@@ -1,13 +1,694 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Cdc, Dedup, Merge, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an ANSI-SQL DuckDB oracle where the semantics are
+  * SQL-expressible.
+  *
+  * Determinism rules used throughout (so oracle hash-compare is exact):
+  *  - every query ends in a total-order ORDER BY (unique tiebreaker);
+  *  - double aggregations route through DECIMAL (see [[graft.dsum]]) so the
+  *    result is independent of partitioning / accumulation order;
+  *  - computed integer outputs are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Multi-way join
+    * with broadcast dims + exact decimal aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    regionRevenue(spark, "/root/testdata/sf0.001")
+
+  /** Revenue by region/nation: lineitem⋈orders⋈customer⋈nation⋈region with
+    * broadcast small dims. */
+  private def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (SURVEY §2.1, §2.2) ----
+    "q01_scan_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 &&
+          col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- aggregations (SURVEY §2.4) ----
+    "q02_agg_pricing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity"), 2).as("avg_qty"),
+          davg(col("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- joins (SURVEY §2.3) ----
+    "q03_join_topk" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_join_dims" -> ((s, d) => regionRevenue(s, d)),
+
+    "q05_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q06_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      val n = t(s, d, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- window functions (SURVEY §2.5) ----
+    "q07_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast(LongType).as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q08_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_spend"),
+          count(lit(1)).over(w).as("running_orders"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q09_window_offset" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- sorts / limits / top-k (SURVEY §2.6) ----
+    "q10_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---- set operations (SURVEY §2.7) ----
+    "q11_set_ops" -> ((s, d) => {
+      val highBal = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val withOrd = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val ex = highBal.except(withOrd).agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("except"))
+      val in = highBal.intersect(withOrd).agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("intersect"))
+      val un = highBal.union(withOrd).distinct().agg(count(lit(1)).as("n"))
+        .withColumn("set_op", lit("union"))
+      ex.unionByName(in).unionByName(un)
+        .select(col("set_op"), col("n"))
+        .orderBy(col("set_op"))
+    }),
+
+    "q12_distinct_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q13_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    "q14_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- scalar date/time functions (SURVEY §2.8) ----
+    "q15_date_parts" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          quarter(col("o_orderdate")).cast(LongType).as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("yr"), col("qtr"))
+    }),
+
+    "q16_date_arith" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_returnflag"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("delay"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("delay")).cast(LongType).as("sum_delay"),
+          min(col("delay")).cast(LongType).as("min_delay"),
+          max(col("delay")).cast(LongType).as("max_delay"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- JSON extraction (SURVEY §2.8 get_json_object) ----
+    "q17_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- expressions / CASE (SURVEY §2.8) ----
+    "q18_case_expr" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high").as("bucket"),
+          concat(substring(col("o_orderpriority"), 1, 1), lit("_"),
+            col("o_orderstatus")).as("prio_status"))
+        .groupBy(col("bucket"), col("prio_status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"), col("prio_status"))
+    }),
+
+    // ---- merge / incremental / CDC (SURVEY §2.3 merge, §2.9) ----
+    "q19_merge_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      // Checkpoint lookup à la Sqoop's saved last-value — a deliberate
+      // one-scalar driver read, scale-factor independent.
+      val cut = ev.agg(expr("max(event_id) div 2")).head().getLong(0)
+      val oldSnap = Merge.latestWins(
+        ev.filter(col("event_id") < cut), Seq("user_id"), Seq(col("event_id")))
+      val fresh = ev.filter(col("event_id") >= cut)
+      Merge.upsert(oldSnap, fresh, Seq("user_id"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q20_incremental" -> ((s, d) => {
+      // Checkpoint = 80% of max id, scale-factor independent (broadcast
+      // scalar, no driver collect).
+      val ev = t(s, d, "events")
+      val ckpt = ev.agg(expr("max(event_id) * 4 div 5").as("ckpt"))
+      ev.crossJoin(broadcast(ckpt))
+        .filter(col("event_id") > col("ckpt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q21_cdc_apply" -> ((s, d) => {
+      val ops = t(s, d, "events").select(
+        col("user_id"),
+        when(col("event_type") === "signup", Cdc.OpInsert)
+          .when(col("event_type") === "error", Cdc.OpDelete)
+          .otherwise(Cdc.OpUpdate).as("op"),
+        col("event_id"), col("value"))
+      Cdc.applyLog(ops, Seq("user_id"), "op", Seq(col("event_id")))
+        .select(col("user_id"), col("op"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- lookup join (SURVEY §2.3 — batch form of the Flink lookup) ----
+    "q22_lookup_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- max_pt (SURVEY §2.8 — latest-partition scalar) ----
+    "q23_max_pt" -> ((s, d) => {
+      val withMon = t(s, d, "orders")
+        .withColumn("mon", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      val maxMon = withMon.agg(max(col("mon")).as("max_mon"))
+      withMon.join(broadcast(maxMon), col("mon") === col("max_mon"))
+        .groupBy(col("mon"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy(col("mon"))
+    }),
+
+    // ---- text analysis (training-data ops) ----
+    "t24_token_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+          sum(TextAnalysis.subwordCount(col("text")).cast(LongType)).as("total_subwords"),
+          sum(length(col("text")).cast(LongType)).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "t25_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          round(TextAnalysis.stopwordRatio(col("text")), 5).as("stop_ratio"),
+          round(TextAnalysis.meanTokenLen(col("text")), 5).as("mean_token_len"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t26_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .withColumn("is_match", col("predicted") === col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t27_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("survivor_id"))
+    }),
+
+    // ---- deduplication (training-data ops) ----
+    "d28_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select(col("survivor_id"), col("dup_count"))
+        .orderBy(col("survivor_id"))
+    }),
+
+    "d29_minhash_neardup" -> ((s, d) => {
+      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 5, numHashes = 128, bands = 32, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d30_simhash_neardup" -> ((s, d) => {
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text", radius = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d31_embed_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.3, numPlanes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search (training-data ops) ----
+    "s32_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.cosine(col("embedding"), VectorFunctions.vec(q)), 5)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+        .limit(10)
+    }),
+
+    "s33_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          dim = 64, query = q, k = 10, numPlanes = 12, probeHamming = 3)
+        .select(col("id"), round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
+    // ---- multimodal plumbing (binary columns + typed metadata) ----
+    "m34_multimodal_meta" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .select(col("doc_id"),
+          call_function("octet_length", col("payload")).cast(LongType).as("byte_len"),
+          ceil(call_function("octet_length", col("payload")).cast(DoubleType) / 1024.0)
+            .cast(LongType).as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_shipdate < TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1995-03-15'
+        | AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, order_date
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_join_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q07_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+        | count(*) OVER w AS running_orders
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_window_offset" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_topk" ->
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q11_set_ops" ->
+      """SELECT * FROM (
+        | SELECT 'except' AS set_op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT SELECT o_custkey FROM orders)
+        | UNION ALL
+        | SELECT 'intersect' AS set_op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT o_custkey FROM orders)
+        | UNION ALL
+        | SELECT 'union' AS set_op, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  UNION SELECT o_custkey FROM orders))
+        |ORDER BY set_op""".stripMargin,
+
+    "q12_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q14_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q15_date_parts" ->
+      """SELECT date_part('year', o_orderdate) AS yr,
+        | date_part('quarter', o_orderdate) AS qtr,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY yr, qtr
+        |ORDER BY yr, qtr""".stripMargin,
+
+    "q16_date_arith" ->
+      """SELECT l_returnflag,
+        | CAST(sum(delay) AS BIGINT) AS sum_delay,
+        | CAST(min(delay) AS BIGINT) AS min_delay,
+        | CAST(max(delay) AS BIGINT) AS max_delay,
+        | count(*) AS n
+        |FROM (
+        | SELECT l_returnflag,
+        |  datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q18_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
+        | substring(o_orderpriority, 1, 1) || '_' || o_orderstatus AS prio_status,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY bucket, prio_status
+        |ORDER BY bucket, prio_status""".stripMargin,
+
+    "q19_merge_upsert" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        | value AS last_value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q20_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE event_id > (SELECT max(event_id) * 4 // 5 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q21_cdc_apply" ->
+      """SELECT user_id, op, event_id, value FROM (
+        | SELECT user_id,
+        |  CASE WHEN event_type = 'signup' THEN 'I'
+        |   WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "q22_lookup_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q23_max_pt" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE date_trunc('month', o_orderdate) =
+        | (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
+        |GROUP BY mon
+        |ORDER BY mon""".stripMargin,
+
+    "t24_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(sum(list_sum(list_transform(string_split(text, ' '),
+        |   w -> CAST(ceil(length(w) / 4.0) AS INT)))) AS BIGINT) AS total_subwords,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "t25_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | round(CAST(len(list_filter(string_split(text, ' '),
+        |   w -> list_contains(['the','a','an','and','or','of','to','in'], w))) AS DOUBLE)
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 5) AS stop_ratio,
+        | round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 5) AS mean_token_len,
+        | round(
+        |  (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END) * 0.5 +
+        |  (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |    w -> list_contains(['the','a','an','and','or','of','to','in'], w))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.02 THEN 1.0 ELSE 0.6 END) * 0.5,
+        |  4) AS quality
+        |FROM documents
+        |WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "d28_dedup_exact" ->
+      """SELECT min(doc_id) AS survivor_id, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY survivor_id""".stripMargin,
+
+    // Double-precision cosine spelled out element-wise: DuckDB's
+    // list_cosine_similarity computes in float32, ours in float64.
+    "s32_ann_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id, round(
+        |  list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))))), 5) AS cosine
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, id
+        |LIMIT 10""".stripMargin,
+
+    "m34_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin)
 }

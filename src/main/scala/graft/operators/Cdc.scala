@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply semantics.
+  *
+  * The reference's OGG handler streams I/U/D operations with key columns,
+  * change type/time/id metadata and optional before-images
+  * (`ogg-plugin/.../modle/TableMapping.java:43-56`,
+  * `ColumnMapping.java:26-41`, `UpdateOperationHandler.java`). Applying such
+  * an op log to get current state is: latest op per key wins, deletes drop
+  * the key. One shuffle on the key; at 100 TB the op log is partitioned by
+  * key hash (the reference's shard-hash routing, `TableMapping.java:56`) so
+  * per-key order is preserved within a partition.
+  */
+object Cdc {
+
+  val OpInsert = "I"
+  val OpUpdate = "U"
+  val OpDelete = "D"
+
+  /** Collapse an op log to final table state. `orderCols` must totally order
+    * ops within a key (change time + change id, per the OGG metadata). */
+  def applyLog(ops: DataFrame, keyCols: Seq[String], opCol: String,
+      orderCols: Seq[Column]): DataFrame =
+    Merge.latestWins(ops, keyCols, orderCols)
+      .filter(col(opCol) =!= OpDelete)
+
+  /** Net-effect summary per key: ops applied, final op, alive flag.
+    * Aggregation-only form (no window) — cheaper when only the summary is
+    * needed: max_by picks the terminal op by the same total order. */
+  def netEffect(ops: DataFrame, keyCols: Seq[String], opCol: String,
+      orderCol: Column): DataFrame =
+    ops.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("op_count"),
+        max_by(col(opCol), orderCol).as("final_op"))
+      .withColumn("alive", col("final_op") =!= OpDelete)
+}

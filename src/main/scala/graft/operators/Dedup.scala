@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB case: every variant is (per-row expression work) → (one shuffle on
+  * a bucket/hash key) → (within-bucket verification). No driver-side
+  * materialization; candidate buckets are capped to bound skew.
+  *
+  * Exact dedup is a hash aggregate; near-dup uses MinHash+LSH banding
+  * (shingle → signature → band → bucket join), SimHash with chunk banding,
+  * or random-hyperplane LSH over embeddings. Signatures/planes are derived
+  * from a fixed seed so plans are deterministic across runs and executors.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical survivor = min(id) per key column set. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
+
+  /** Token k-shingles of a text column ("w1 w2 .. wk" strings). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Set Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** MinHash signatures as a narrow table: (id, m0..m{H-1}).
+    *
+    * Computed posting-style — explode shingles to rows, one xxhash64 per
+    * shingle, then H seeded rehashes (`xxhash64(i, base)`, overflow-free
+    * under ANSI mode unlike the classic a*x+b) reduced with H `min` partial
+    * aggregates. Map-side combine means the shuffle carries only H longs
+    * per doc regardless of document size — this is the 100 TB-safe shape.
+    * (The nested-lambda formulation `transform(seq(H), i → array_min(...))`
+    * is quadratic in practice: Catalyst inlines the shingle expression into
+    * the outer lambda and recomputes it H times per row.)
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val posting = docs
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleK)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    posting.groupBy("id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * docs(idCol, textCol) → (id_a, id_b, jaccard) for candidate pairs whose
+    * exact shingle Jaccard ≥ threshold. bands*rowsPerBand = numHashes.
+    * The band join shuffles on (band_idx, band_hash); buckets larger than
+    * maxBucketSize are dropped (standard LSH skew guard — a degenerate
+    * bucket of N docs would otherwise produce N² pairs). Shingle arrays are
+    * joined back only for the surviving candidate pairs, so the wide
+    * arrays never travel through the band shuffle.
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    val bandCols = (0 until bands).map(j =>
+      xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*))
+    val banded = sigs
+      .select(col("id"), posexplode(array(bandCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+      .persist()
+
+    val bucketSizes = banded.groupBy("band_idx", "band_hash").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+    val pruned = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
+
+    val pairs = pruned.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      .join(pruned.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, ±1 vote per
+    * bit, sign → bit. Integer votes make the result order-independent. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => xxhash64(w))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(
+          sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(
+      transform(votes, (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SimHash signatures posting-style (explode tokens → 64 vote sums →
+    * pack), same scale rationale as [[minhashSignatures]]: the shuffle
+    * carries 64 ints per doc, map-side combined. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val posting = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(call_function("shiftright", col("h"), lit(b))
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+    posting.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius. Banding on four 16-bit
+    * chunks guarantees recall for radius ≤ 3 (pigeonhole); verification is
+    * an exact popcount on the XOR. */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      radius: Int = 3, maxBucketSize: Int = 256): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol).persist()
+    val chunked = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
+
+    val sizes = chunked.groupBy("chunk_idx", "chunk_val").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+    val pruned = chunked.join(sizes, Seq("chunk_idx", "chunk_val"))
+
+    val l = pruned.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val rgt = pruned.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(rgt,
+        l("chunk_idx") === rgt("chunk_idx") && l("chunk_val") === rgt("chunk_val") &&
+          l("id_a") < rgt("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
+  /** Character/token n-gram Jaccard near-dups without MinHash: exact-verify
+    * every pair that shares at least `minCommon` rare shingles. Shuffles on
+    * the shingle itself; common shingles above docFreqCap are dropped first
+    * (inverse-document-frequency pruning). */
+  def ngramJaccardNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      docFreqCap: Int = 32): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("g")).persist()
+    val rare = posting.groupBy("g").count().filter(col("count").between(2, docFreqCap))
+    val prunedPosting = posting.join(rare, "g")
+    val pairs = prunedPosting.select(col("g"), col("id").as("id_a"))
+      .join(prunedPosting.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Random-hyperplane LSH bucket key for an embedding column: sign bits of
+    * `numPlanes` fixed-seed hyperplane dot products, packed into an int. */
+  def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int = 16): Column = {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dot(emb, VectorFunctions.vec(p)) > 0.0, 1L << i)
+        .otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket join + exact cosine
+    * verification ≥ threshold. */
+  def embeddingNearDups(
+      embDf: DataFrame, idCol: String, embCol: String, dim: Int,
+      threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
+    val b = embDf.select(
+      col(idCol).as("id"), col(embCol).as("emb"),
+      hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val rgt = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(rgt, l("bucket") === rgt("bucket") && l("id_a") < rgt("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import Dedup.hyperplaneBucket
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Brute force is the correctness baseline: one codegen'd cosine per row,
+  * then TakeOrderedAndProject (top-k never materializes the full sort).
+  * The scale path is hyperplane-LSH bucketing: probe only buckets within a
+  * small Hamming distance of the query's bucket, so a 100 TB corpus scans
+  * `buckets_probed / 2^planes` of itself instead of everything.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against a constant query vector. */
+  def bruteForceTopK(
+      embDf: DataFrame, idCol: String, embCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    embDf.select(
+        col(idCol).as("id"),
+        cosine(col(embCol), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+
+  /** ANN top-k via hyperplane LSH: score only rows whose bucket is within
+    * `probeHamming` bits of the query bucket (multi-probe). Recall < 1 by
+    * construction; verify against [[bruteForceTopK]] in tests. */
+  def lshTopK(
+      embDf: DataFrame, idCol: String, embCol: String, dim: Int,
+      query: Seq[Double], k: Int,
+      numPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val qDf = embDf.sparkSession.range(1)
+      .select(vec(query).as("q_emb"))
+      .select(col("q_emb"), hyperplaneBucket(col("q_emb"), dim, numPlanes).as("q_bucket"))
+    val bucketed = embDf.select(
+      col(idCol).as("id"), col(embCol).as("emb"),
+      hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
+    bucketed.join(broadcast(qDf),
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeHamming)
+      .select(col("id"), cosine(col("emb"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per row, LSH-bucketed (for kNN-graph
+    * construction). Returns (id, neighbor_id, cosine, rank≤k). */
+  def knnGraph(
+      embDf: DataFrame, idCol: String, embCol: String, dim: Int,
+      k: Int, numPlanes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = embDf.select(
+      col(idCol).as("id"), col(embCol).as("emb"),
+      hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id"), col("emb"))
+    val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("emb").as("n_emb"))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"), cosine(col("emb"), col("n_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale document pipelines.
+  *
+  * All operators are pure column expressions built from
+  * `org.apache.spark.sql.functions` (higher-order functions over arrays), so
+  * they stay inside whole-stage codegen and scale linearly with no shuffle:
+  * on a 1000-executor cluster each task processes its parquet split
+  * independently. The ingest-side parsing mirrors the reference's
+  * text→typed-column serializers
+  * (`flume-plugin/.../DelimitedTextSerializer.java:63-92`,
+  * `RegexEventSerializer.java:75-110`) re-expressed as Catalyst expressions
+  * instead of per-event Java loops.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; single-space delimited corpora stay exact. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: tokens plus extra splits on 4-char chunks of
+    * long words (a cheap deterministic stand-in for a real BPE vocab). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, w) => acc + ceil(length(w).cast(DoubleType) / 4.0).cast(IntegerType))
+
+  private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  /** Fraction of tokens that are stopwords — a standard quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(StopWords))).cast(DoubleType) /
+      size(t).cast(DoubleType)
+  }
+
+  /** Mean characters per token (cheap fluency proxy). */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+      .cast(DoubleType) / tokenCount(text).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: length window + stopword presence.
+    * Deterministic, expression-only. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast(DoubleType)
+    val lengthOk = when(n.between(50, 5000), 1.0).otherwise(0.5)
+    val stopOk = when(stopwordRatio(text) > 0.02, 1.0).otherwise(0.6)
+    round(lengthOk * 0.5 + stopOk * 0.5, 4)
+  }
+
+  /** Tiny per-language marker vocabularies for the n-gram/stopword language
+    * heuristic. Deterministic argmax (score, then language code) so results
+    * are stable across partitionings. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Language-ID heuristic: argmax of marker-token hits; ties break on the
+    * language code so the answer is order-independent. Returns "und" when no
+    * marker hits at all. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(t, w => w.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash fingerprint over tokens (order-sensitive, so permuted
+    * documents fingerprint differently, unlike a bag-of-words hash). The
+    * chain `acc ← xxhash64(acc, token)` is the ANSI-safe equivalent of the
+    * classic polynomial hash (no long overflow). 64-bit, expression-only. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+}

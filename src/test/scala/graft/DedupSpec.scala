@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhash finds a planted near-duplicate") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)
+    // Mutate one token near the end — jaccard stays high.
+    val mutated = donor.split(" ").dropRight(1).mkString(" ") + " zzz"
+    val planted = base.unionByName(Seq((100007L, mutated)).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashNearDups(planted, "doc_id", "text", threshold = 0.6)
+    assert(pairs.filter($"id_a" === 7 && $"id_b" === 100007).count() == 1)
+  }
+
+  test("identical texts have simhash hamming 0 and jaccard 1") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sh = df.select(Dedup.simhash64($"text").as("s")).collect().map(_.getLong(0))
+    assert(sh(0) == sh(1))
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleK = 3, threshold = 0.99)
+    assert(pairs.count() == 1)
+    assert(pairs.head().getDouble(2) == 1.0)
+  }
+
+  test("simhash near-dup distances are within radius and symmetric-free") {
+    val out = Dedup.simhashNearDups(Tables.documents(spark, sf), "doc_id", "text",
+      radius = 8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(2) <= 8))
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("lsh ann has decent recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 10).select("id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      64, q, 10, numPlanes = 12, probeHamming = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lsh.intersect(brute).size >= 5, s"recall too low: $lsh vs $brute")
+  }
+
+  test("embedding near-dups verified by exact cosine") {
+    val out = Dedup.embeddingNearDups(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", dim = 64, threshold = 0.3, numPlanes = 8).collect()
+    assert(out.forall(_.getDouble(2) >= 0.3))
+  }
+}

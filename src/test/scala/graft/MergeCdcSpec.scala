@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Merge}
+
+class MergeCdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("upsert: new rows win, old-only rows survive") {
+    val old = Seq((1L, "a", 10L), (2L, "b", 11L)).toDF("k", "v", "ver")
+    val neu = Seq((2L, "B", 20L), (3L, "c", 21L)).toDF("k", "v", "ver")
+    val out = Merge.upsert(old, neu, Seq("k"), Seq(col("ver")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("upsert prefers new side even on equal order key") {
+    val old = Seq((1L, "old", 5L)).toDF("k", "v", "ver")
+    val neu = Seq((1L, "new", 5L)).toDF("k", "v", "ver")
+    val out = Merge.upsert(old, neu, Seq("k"), Seq(col("ver"))).collect()
+    assert(out.head.getString(1) == "new")
+  }
+
+  test("cdc applyLog: delete drops key, latest update wins") {
+    val ops = Seq(
+      (1L, Cdc.OpInsert, 1L, 1.0), (1L, Cdc.OpUpdate, 2L, 2.0),
+      (2L, Cdc.OpInsert, 3L, 3.0), (2L, Cdc.OpDelete, 4L, 0.0),
+      (3L, Cdc.OpInsert, 5L, 5.0)
+    ).toDF("k", "op", "seq", "v")
+    val out = Cdc.applyLog(ops, Seq("k"), "op", Seq(col("seq")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2.0), (3L, 5.0)))
+  }
+
+  test("cdc netEffect summarizes without window shuffle") {
+    val ops = Seq(
+      (1L, Cdc.OpInsert, 1L), (1L, Cdc.OpDelete, 2L), (2L, Cdc.OpInsert, 3L)
+    ).toDF("k", "op", "seq")
+    val out = Cdc.netEffect(ops, Seq("k"), "op", col("seq"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, "D", false), (2L, "I", true)))
+  }
+
+  test("incremental append pushes the filter to the scan") {
+    val df = Merge.incrementalAppend(Tables.events(spark, sf), "event_id", lit(500L))
+    assert(df.count() == Tables.events(spark, sf)
+      .filter(col("event_id") > 500).count())
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + value checks for every declared query on sf0.001. The real
+  * correctness gate is the driver's DuckDB differential check (tools/check.py
+  * locally); these specs catch regressions fast and pin a few known values.
+  */
+class QueriesSpec extends SparkTestBase {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has either an oracle or is declared expression-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Non-SQL-expressible ops (hash-seeded / approximate): rows-only check.
+    assert(noOracle == Set("t26_langid", "t27_fingerprint",
+      "d29_minhash_neardup", "d30_simhash_neardup", "d31_embed_neardup",
+      "s33_ann_lsh"))
+  }
+
+  test("all queries run and return rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("q02 aggregates match lineitem row count") {
+    val total = SparkEntry.queries("q02_agg_pricing")(spark, sf)
+      .agg(sum("count_order")).head().getLong(0)
+    val filtered = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02"))).count()
+    assert(total == filtered)
+  }
+
+  test("q10 topk is sorted descending") {
+    val prices = SparkEntry.queries("q10_topk")(spark, sf)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+    assert(prices.length == 20)
+  }
+
+  test("q19 merge upsert equals global latest-per-user") {
+    val got = SparkEntry.queries("q19_merge_upsert")(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(got.count() == users)
+  }
+
+  test("d28 exact dedup partitions the table") {
+    val d = SparkEntry.queries("d28_dedup_exact")(spark, sf)
+    val total = d.agg(sum("dup_count")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+}
