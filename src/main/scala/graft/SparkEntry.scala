@@ -405,6 +405,61 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // ---- ingest parsing (flume regex/delimiter serializers, SURVEY §2.2) ----
+    "q36_regexp_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+            .cast(LongType).as("k"))
+        .filter(col("k") % 7 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- generator / UDTF family (explode, SURVEY §2.10) ----
+    "q37_explode_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // ---- approximate aggregates (HLL / quantile sketch — algorithms are
+    //      engine-specific, so rows-only check) ----
+    "q38_approx" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- structured streaming: event-time tumbling window over the
+    //      events table as a file stream (SURVEY §2.9 superset) ----
+    "str39_stream_window" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The streaming file source lists a directory; expose the single
+      // parquet file through a temp-dir symlink (no copy).
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_str39")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = graft.streaming.MicroBatch.windowedCounts(
+        stream, "ts", "1 hour", "1 hour", Seq(col("event_type")))
+      val name = "str39_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.MicroBatch.runToMemory(s, agg, name)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hr"),
+          col("event_type"), col("n"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
     // ---- multimodal plumbing (binary columns + typed metadata) ----
     "m34_multimodal_meta" -> ((s, d) => {
       t(s, d, "documents")
@@ -683,6 +738,29 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, id
         |LIMIT 10""".stripMargin,
+
+    "q36_regexp_extract" ->
+      """SELECT event_type, count(*) AS n, sum(k) AS sum_k
+        |FROM (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        | FROM events)
+        |WHERE k % 7 = 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q37_explode_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+
+    "str39_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hr,
+        | event_type, count(*) AS n
+        |FROM events
+        |GROUP BY hr, event_type
+        |ORDER BY hr, event_type""".stripMargin,
 
     "m34_multimodal_meta" ->
       """SELECT doc_id,

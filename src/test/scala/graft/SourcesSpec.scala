@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{JdbcImport, PartitionedWrite}
+
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- partitioned writes ----
+
+  test("partitioned write + dynamic overwrite replaces only touched partitions") {
+    val dir = Files.createTempDirectory("graft_pw").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+    PartitionedWrite.writePartitioned(o, dir, Seq("yr"))
+    val before = spark.read.parquet(dir)
+    assert(before.count() == o.count())
+    assert(before.select("yr").distinct().count() ==
+      o.select("yr").distinct().count())
+
+    // Overwrite a single partition with one row; others must survive.
+    val one = o.filter(col("yr") === 1995).limit(1)
+    PartitionedWrite.writePartitioned(one, dir, Seq("yr"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("yr") === 1995).count() == 1)
+    assert(after.filter(col("yr") =!= 1995).count() ==
+      o.filter(col("yr") =!= 1995).count())
+  }
+
+  test("dynamic partition limit guard fails fast") {
+    val o = Tables.orders(spark, sf)
+      .withColumn("pt", col("o_orderkey") % 1000)
+    val e = intercept[IllegalArgumentException] {
+      PartitionedWrite.checkDynamicPartitionLimit(o, Seq("pt"), limit = 10)
+    }
+    assert(e.getMessage.contains("exceeds limit"))
+  }
+
+  test("%{col} partition template resolves per row") {
+    val df = Seq(("a", 2024), ("b", 2025)).toDF("name", "yr")
+    val got = df.select(
+      PartitionedWrite.resolveTemplate("pt_%{yr}_%{name}").as("pt"))
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("pt_2024_a", "pt_2025_b"))
+  }
+
+  test("maxPt finds the latest partition value") {
+    val dir = Files.createTempDirectory("graft_maxpt").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+    PartitionedWrite.writePartitioned(o, dir, Seq("mon"))
+    val pt = PartitionedWrite.maxPt(spark.read.parquet(dir), "mon")
+    val want = o.agg(max("mon")).head().getString(0)
+    assert(pt == want)
+  }
+
+  // ---- JDBC (embedded Derby — the Sqoop HsqldbTestServer pattern,
+  //      odps-sqoop/src/test/.../HsqldbTestServer.java) ----
+
+  private lazy val derbyUrl: String = {
+    val dir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE emp (id INT PRIMARY KEY, name VARCHAR(32), sal DOUBLE)")
+    (1 to 97).foreach(i =>
+      st.execute(s"INSERT INTO emp VALUES ($i, 'name$i', ${i * 10.0})"))
+    conn.close()
+    url
+  }
+
+  test("split predicates cover the range exactly once") {
+    val preds = JdbcImport.splitPredicates("id", 1, 97, 4)
+    assert(preds.size == 4)
+    assert(preds.head.startsWith("id >= 1 AND id < "))
+    assert(preds.last.endsWith("id <= 97"))
+  }
+
+  test("parallel jdbc import reads all rows across 4 mappers") {
+    val df = JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+      url = derbyUrl, table = "emp", splitBy = "id", numMappers = 4))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 97)
+    assert(df.agg(sum("sal")).head().getDouble(0) == (1 to 97).map(_ * 10.0).sum)
+  }
+
+  test("free-form query with $CONDITIONS and incremental append") {
+    val df = JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+      url = derbyUrl,
+      query = "SELECT id, sal FROM emp WHERE $CONDITIONS",
+      splitBy = "id", numMappers = 3,
+      incremental = Some(JdbcImport.Append("id", "90"))))
+    assert(df.count() == 7)
+    assert(df.agg(min("id")).head().getInt(0) == 91)
+  }
+
+  test("jdbc export appends and upsert merges") {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    conn.createStatement().execute(
+      "CREATE TABLE emp_out (id INT PRIMARY KEY, name VARCHAR(32), sal DOUBLE)")
+    conn.close()
+    val df = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "name", "sal")
+    JdbcImport.exportTable(df, derbyUrl, "emp_out")
+    val upd = Seq((2, "B", 20.0), (3, "c", 3.0)).toDF("id", "name", "sal")
+    JdbcImport.exportUpsert(upd, derbyUrl,
+      """MERGE INTO emp_out t USING SYSIBM.SYSDUMMY1
+        |ON t.id = ? WHEN MATCHED THEN UPDATE SET name = ?, sal = ?
+        |WHEN NOT MATCHED THEN INSERT (id, name, sal) VALUES (?, ?, ?)""".stripMargin) {
+      (ps, r) =>
+        ps.setInt(1, r.getInt(0))
+        ps.setString(2, r.getString(1)); ps.setDouble(3, r.getDouble(2))
+        ps.setInt(4, r.getInt(0)); ps.setString(5, r.getString(1))
+        ps.setDouble(6, r.getDouble(2))
+    }
+    val back = JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+      url = derbyUrl, table = "emp_out"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)))
+  }
+}

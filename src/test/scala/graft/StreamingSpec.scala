@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CdcStream, MicroBatch}
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsDir(): String = {
+    // Stage events as a directory source (streaming file source needs a dir
+    // it can list; single parquet file works too, but a dir is realistic).
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts over a file stream match batch aggregation") {
+    val dir = eventsDir()
+    val stream = MicroBatch.fileStream(spark, dir)
+    val agg = MicroBatch.windowedCounts(stream, "ts", "1 hour", "1 hour",
+      Seq(col("event_type")))
+    val got = MicroBatch.runToMemory(spark, agg, "win_counts")
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+    val want = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("cdc stateful stream: deletes drop keys, updates win by seq") {
+    val dir = Files.createTempDirectory("graft_cdc").toString
+    Seq(
+      CdcStream.CdcOp(1L, "I", 1L, 1.0), CdcStream.CdcOp(1L, "U", 2L, 5.0),
+      CdcStream.CdcOp(2L, "I", 3L, 2.0), CdcStream.CdcOp(2L, "D", 4L, 0.0),
+      CdcStream.CdcOp(3L, "I", 5L, 9.0)
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val ops = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CdcStream.CdcOp]].schema)
+      .parquet(dir)
+      .as[CdcStream.CdcOp]
+    val out = CdcStream.runBatch(spark, ops, "cdc_state")
+      .collect().map(s => (s.key, s.value)).toSeq.sorted
+    assert(out == Seq((1L, 5.0), (3L, 9.0)))
+  }
+
+  test("dead-letter split routes dirty rows without aborting") {
+    val dir = eventsDir()
+    val stream = MicroBatch.fileStream(spark, dir)
+    var good = 0L
+    var bad = 0L
+    val q = MicroBatch.withDeadLetter(stream, col("value") >= 10.0,
+        b => good += b.count(), b => bad += b.count())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ev = Tables.events(spark, sf)
+    assert(good == ev.filter(col("value") >= 10.0).count())
+    assert(bad == ev.filter(col("value") < 10.0).count())
+  }
+
+  test("lookup join refreshes the dimension per micro-batch") {
+    val dir = eventsDir()
+    val stream = MicroBatch.fileStream(spark, dir)
+    var loads = 0
+    var joined = 0L
+    val dim = Seq(("click", 1), ("purchase", 2)).toDF("event_type", "w")
+    val q = MicroBatch.lookupJoin(stream, () => { loads += 1; dim },
+        Seq("event_type"), b => joined += b.filter(col("w").isNotNull).count())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(loads >= 1)
+    val ev = Tables.events(spark, sf)
+    assert(joined == ev.filter(col("event_type").isin("click", "purchase")).count())
+  }
+}
