@@ -1,0 +1,224 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over a filesystem metastore: namespaces are
+  * directories, tables are directories of partitioned parquet plus a
+  * `_graft_meta.json` holding the catalog-owned schema (data + partition
+  * columns split, like `OdpsTable`'s dataSchema/partitionSchema —
+  * `spark-connector/.../OdpsTable.scala:81-97`). Scan and write delegate to
+  * Spark's built-in Parquet DSv2, so partition pruning, filter pushdown and
+  * vectorized read are the stock Catalyst paths (SURVEY §3.1 "our engine"
+  * note) — the catalog contributes metadata semantics only:
+  * create/alter/drop/rename, namespace listing
+  * (`OdpsTableCatalog.scala:457-509`), and explicit partition management
+  * (`OdpsTableCatalog.scala:402-425`).
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.root = /path/to/warehouse
+  * }}}
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root"))
+      .getOrElse(sys.error(s"catalog $name needs option 'root'")))
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path = ns.foldLeft(root)(_.resolve(_))
+  private def tablePath(ident: Identifier): Path =
+    nsPath(ident.namespace()).resolve(ident.name())
+  private def metaFile(dir: Path): Path = dir.resolve("_graft_meta.json")
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!Files.isDirectory(p)) false
+    else {
+      if (!cascade && Files.list(p).iterator().hasNext)
+        sys.error(s"namespace ${namespace.mkString(".")} is not empty")
+      deleteRecursively(p)
+      true
+    }
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Files.list(nsPath(namespace)).iterator().asScala
+      .filter(p => Files.exists(metaFile(p)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(metaFile(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tablePath(ident)
+    if (!Files.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val meta = TableMeta.read(metaFile(dir))
+    new GraftTable(ident, dir, meta, SparkSession.active)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    val partitionCols = partitions.map { t =>
+      t.name() match {
+        case "identity" => t.references()(0).fieldNames().mkString(".")
+        case other => sys.error(s"unsupported partition transform: $other " +
+          "(only identity partitioning, like the reference's key=value specs)")
+      }
+    }
+    val dir = tablePath(ident)
+    Files.createDirectories(dir)
+    TableMeta(schema, partitionCols.toSeq, properties.asScala.toMap)
+      .write(metaFile(dir))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    if (!Files.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    var meta = TableMeta.read(metaFile(dir))
+    changes.foreach {
+      case p: TableChange.SetProperty =>
+        meta = meta.copy(properties = meta.properties + (p.property() -> p.value()))
+      case p: TableChange.RemoveProperty =>
+        meta = meta.copy(properties = meta.properties - p.property())
+      case a: TableChange.AddColumn =>
+        val f = StructField(a.fieldNames().mkString("."), a.dataType(), a.isNullable)
+        meta = meta.copy(schema = StructType(meta.schema.fields :+ f))
+      case c => throw new UnsupportedOperationException(s"alterTable: $c")
+    }
+    meta.write(metaFile(dir))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!Files.exists(metaFile(dir))) false
+    else { deleteRecursively(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.move(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+/** Catalog-owned table metadata: full schema + ordered partition columns —
+  * the dataSchema/partitionSchema split is derived (`OdpsTable.scala:97`
+  * builds full = data ++ partition; we store full and the partition names).
+  * Hand-rolled JSON via Spark's DataType json codec (no extra deps). */
+final case class TableMeta(schema: StructType, partitionCols: Seq[String],
+    properties: Map[String, String]) {
+
+  def dataSchema: StructType =
+    StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+  def partitionSchema: StructType =
+    StructType(partitionCols.map(c => schema(c)))
+
+  def write(file: Path): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val props = properties.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json =
+      s"""{"schemaJson": ${q(schema.json)},
+         | "partitionCols": [${partitionCols.map(q).mkString(",")}],
+         | "properties": $props}""".stripMargin
+    Files.write(file, json.getBytes(StandardCharsets.UTF_8))
+  }
+}
+
+object TableMeta {
+  def read(file: Path): TableMeta = {
+    val json = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
+    // Minimal JSON extraction (we wrote it; fields are in fixed order).
+    def field(name: String): String = {
+      val i = json.indexOf("\"" + name + "\"")
+      require(i >= 0, s"missing $name in $file")
+      json.substring(i)
+    }
+    def str(tail: String): String = {
+      val sb = new StringBuilder
+      var i = tail.indexOf(':')
+      while (tail(i) != '"') i += 1
+      i += 1
+      while (tail(i) != '"') {
+        if (tail(i) == '\\') { sb.append(tail(i + 1)); i += 2 }
+        else { sb.append(tail(i)); i += 1 }
+      }
+      sb.toString
+    }
+    val schema = DataType.fromJson(str(field("schemaJson"))).asInstanceOf[StructType]
+    val colsRaw = field("partitionCols")
+    val cols = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(colsRaw.substring(colsRaw.indexOf('['), colsRaw.indexOf(']') + 1))
+      .map(_.group(1)).toSeq
+    val propsRaw = field("properties")
+    val propsBody = propsRaw.substring(propsRaw.indexOf('{'), propsRaw.lastIndexOf('}') + 1)
+    val props = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(propsBody).map(m => m.group(1) -> m.group(2)).toMap
+    TableMeta(schema, cols, props)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalog table backed by a partitioned-parquet directory.
+  *
+  * Read/write delegate to Spark's `ParquetTable` (built-in DSv2), so the
+  * physical plan is stock `FileSourceScanExec`/`FileBatchWrite` with
+  * partition pruning, pushdown and vectorization — the reference's whole
+  * custom scan stack (`OdpsScan.scala`) collapses into this delegation.
+  * On top, this class implements `SupportsPartitionManagement`: partitions
+  * are `col=value` directories, created/dropped/listed as catalog objects
+  * (`OdpsTableCatalog.scala:402-425`, `OdpsTable.scala:103-135`).
+  */
+class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
+    spark: SparkSession)
+  extends Table with SupportsRead with SupportsWrite with SupportsPartitionManagement {
+
+  private lazy val delegate = ParquetTable(
+    ident.toString, spark,
+    new CaseInsensitiveStringMap(Map("path" -> dir.toString).asJava),
+    Seq(dir.toString), Some(meta.schema), classOf[ParquetFileFormat])
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = meta.schema
+  override def partitioning(): Array[Transform] =
+    meta.partitionCols.map(Expressions.identity).toArray
+  override def properties(): java.util.Map[String, String] =
+    meta.properties.asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.newWriteBuilder(info)
+
+  // ---- partition management (col=value directories) ----
+
+  override def partitionSchema(): StructType = meta.partitionSchema
+
+  private def partitionDir(identRow: InternalRow): Path = {
+    val ps = partitionSchema()
+    (0 until ps.length).foldLeft(dir) { (p, i) =>
+      val v = identRow.get(i, ps(i).dataType)
+      p.resolve(s"${ps(i).name}=$v")
+    }
+  }
+
+  override def createPartition(id: InternalRow,
+      properties: java.util.Map[String, String]): Unit = {
+    val p = partitionDir(id)
+    if (Files.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        name(), id, partitionSchema())
+    Files.createDirectories(p)
+  }
+
+  override def dropPartition(id: InternalRow): Boolean = {
+    val p = partitionDir(id)
+    if (!Files.exists(p)) false
+    else {
+      def rm(x: Path): Unit = {
+        if (Files.isDirectory(x))
+          Files.list(x).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(x)
+      }
+      rm(p)
+      true
+    }
+  }
+
+  override def replacePartitionMetadata(id: InternalRow,
+      properties: java.util.Map[String, String]): Unit = ()
+
+  override def loadPartitionMetadata(id: InternalRow): java.util.Map[String, String] =
+    Collections.emptyMap()
+
+  /** Lists partition identifier rows by scanning the directory tree; `names`
+    * + `id` form a prefix filter (Spark's contract for SHOW PARTITIONS /
+    * partition pruning of the listing). */
+  override def listPartitionIdentifiers(names: Array[String],
+      id: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    def walk(p: Path, depth: Int, acc: Seq[String]): Seq[Seq[String]] = {
+      if (depth == ps.length) Seq(acc)
+      else if (!Files.isDirectory(p)) Seq.empty
+      else Files.list(p).iterator().asScala.toSeq
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(ps(depth).name + "="))
+        .flatMap(d => walk(d, depth + 1,
+          acc :+ d.getFileName.toString.substring(ps(depth).name.length + 1)))
+    }
+    val all = walk(dir, 0, Seq.empty).map { values =>
+      InternalRow.fromSeq(values.zipWithIndex.map { case (v, i) =>
+        castPartitionValue(v, ps(i).dataType)
+      })
+    }
+    val filtered = all.filter { row =>
+      names.zipWithIndex.forall { case (n, i) =>
+        val fieldIdx = ps.fieldIndex(n)
+        row.get(fieldIdx, ps(fieldIdx).dataType) == id.get(i, ps(fieldIdx).dataType)
+      }
+    }
+    filtered.toArray
+  }
+
+  private def castPartitionValue(s: String, dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case org.apache.spark.sql.types.StringType => UTF8String.fromString(s)
+      case org.apache.spark.sql.types.IntegerType => s.toInt
+      case org.apache.spark.sql.types.LongType => s.toLong
+      case other => sys.error(s"unsupported partition column type $other")
+    }
+}

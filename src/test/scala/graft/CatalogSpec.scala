@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** SQL round-trip through the GraftCatalog — the reference's primary test
+  * style (`SQLQuerySuite.scala:166-211`: create → insert → select with
+  * partition pruning → catalog DDL). */
+class CatalogSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft_warehouse").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", dir)
+    dir
+  }
+
+  private def sql(s: String) = { warehouse; spark.sql(s) }
+
+  test("namespace + table DDL round trip") {
+    sql("CREATE NAMESPACE graft.db1")
+    sql("CREATE TABLE graft.db1.sales (name STRING, num INT, dt STRING) PARTITIONED BY (dt)")
+    assert(sql("SHOW TABLES IN graft.db1").collect().map(_.getString(1)).contains("sales"))
+    assert(sql("DESCRIBE TABLE graft.db1.sales").collect()
+      .exists(r => r.getString(0) == "dt"))
+  }
+
+  test("insert + partition-pruned select matches") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
+    sql("CREATE TABLE graft.db2.sales (name STRING, num INT, dt STRING) PARTITIONED BY (dt)")
+    sql("INSERT INTO graft.db2.sales VALUES ('a', 1, '2017'), ('b', 2, '2017'), ('c', 3, '2018')")
+    val out = sql("SELECT name, num FROM graft.db2.sales WHERE dt = '2017' ORDER BY name")
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    // pruning: the physical scan must not read the 2018 partition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("dt=2017") || !plan.contains("dt=2018"))
+  }
+
+  test("dynamic partition insert from testdata + aggregate") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
+    sql("CREATE TABLE graft.db3.orders_p (o_orderkey BIGINT, o_totalprice DOUBLE, yr INT) PARTITIONED BY (yr)")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("yr"))
+      .writeTo("graft.db3.orders_p").append()
+    val got = sql("SELECT yr, count(*) AS n FROM graft.db3.orders_p GROUP BY yr ORDER BY yr")
+    val want = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("yr")).agg(count(lit(1)).as("n"))
+      .orderBy("yr")
+    assert(got.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      want.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
+  }
+
+  test("partition management DDL: add/show/drop partitions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    sql("CREATE TABLE graft.db4.pt_tbl (v INT, dt STRING) PARTITIONED BY (dt)")
+    sql("ALTER TABLE graft.db4.pt_tbl ADD PARTITION (dt='2024-01')")
+    sql("ALTER TABLE graft.db4.pt_tbl ADD PARTITION (dt='2024-02')")
+    val parts = sql("SHOW PARTITIONS graft.db4.pt_tbl").collect().map(_.getString(0))
+    assert(parts.toSet == Set("dt=2024-01", "dt=2024-02"))
+    sql("ALTER TABLE graft.db4.pt_tbl DROP PARTITION (dt='2024-01')")
+    assert(sql("SHOW PARTITIONS graft.db4.pt_tbl").count() == 1)
+  }
+
+  test("rename and drop table") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    sql("CREATE TABLE graft.db5.t1 (v INT)")
+    sql("ALTER TABLE graft.db5.t1 RENAME TO db5.t2")
+    assert(sql("SHOW TABLES IN graft.db5").collect().map(_.getString(1)).toSet == Set("t2"))
+    sql("DROP TABLE graft.db5.t2")
+    assert(sql("SHOW TABLES IN graft.db5").count() == 0)
+  }
+}
