@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Aggregators, VectorFunctions}
+import org.apache.spark.sql.graft.NativeFunctions
+import graft.operators.Dedup
+
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native cosine matches the higher-order-function formulation") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val both = emb.select(
+      NativeFunctions.cosineSim($"embedding", VectorFunctions.vec(q)).as("native"),
+      VectorFunctions.cosineHof($"embedding", VectorFunctions.vec(q)).as("hof"))
+    val rows = both.collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("native simhash64 matches the column formulation") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val both = docs.select(
+      NativeFunctions.simhash64($"text").as("native"),
+      Dedup.simhash64($"text").as("hof"))
+    both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native token_count matches split-size") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val both = docs.select(
+      NativeFunctions.tokenCount($"text").as("native"),
+      size(split($"text", " ")).as("hof"))
+    both.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("expressions are SQL-registrable and codegen survives") {
+    NativeFunctions.register(spark)
+    Tables.documents(spark, sf).limit(10).createOrReplaceTempView("docs_expr")
+    val out = spark.sql(
+      "SELECT token_count(text) AS tc, simhash64(text) AS sh FROM docs_expr")
+    assert(out.count() == 10)
+    assert(out.head().getInt(0) > 0)
+  }
+
+  test("minhash sketch aggregator estimates group similarity") {
+    val agg = Aggregators.minhashSketchAgg(64)
+    val sigs = Tables.documents(spark, sf)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .groupBy($"lang").agg(agg(col("w")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // Same corpus vocabulary across langs → high similarity; sanity: the
+    // estimate is in [0,1] and self-similarity is 1.
+    val langs = sigs.keys.toSeq
+    val a = sigs(langs.head)
+    assert(Aggregators.estimatedJaccard(a, a) == 1.0)
+    langs.tail.foreach { l =>
+      val j = Aggregators.estimatedJaccard(a, sigs(l))
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+}
