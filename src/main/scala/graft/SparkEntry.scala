@@ -382,6 +382,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "d40_ngram_neardup" -> ((s, d) => {
+      operators.Dedup.ngramJaccardNearDups(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 4, threshold = 0.35, docFreqCap = 24)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search (training-data ops) ----
     "s32_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -403,6 +410,40 @@ object SparkEntry {
           dim = 64, query = q, k = 10, numPlanes = 12, probeHamming = 3)
         .select(col("id"), round(col("cosine"), 5).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
+    }),
+
+    "s41_knn_graph" -> ((s, d) => {
+      Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, k = 5, numPlanes = 8)
+        .select(col("id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank").cast(LongType).as("rank"))
+        .orderBy(col("id"), col("rank"))
+    }),
+
+    "t42_group_sketch" -> ((s, d) => {
+      // MinHash sketch UDAF: per-source vocabulary signature, then
+      // estimated Jaccard of each source against source 'src0'.
+      val agg = graft.functions.Aggregators.minhashSketchAgg(64)
+      val sigs = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source")).agg(agg(col("w")).as("sig"))
+      val base = sigs.filter(col("source") === "src0")
+        .select(col("sig").as("base_sig"))
+      sigs.crossJoin(broadcast(base))
+        .select(col("source"),
+          round(aggregate(zip_with(col("sig"), col("base_sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast(DoubleType) / 64.0, 4).as("est_jaccard"))
+        .orderBy(col("source"))
+    }),
+
+    "m43_frame_sample" -> ((s, d) => {
+      val meta = operators.Multimodal.decode(operators.Multimodal.withPayload(
+        t(s, d, "documents"), "doc_id", "text"))
+      operators.Multimodal.frameSamplePlan(meta, everyMs = 1000L, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          col("ts_ms"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // ---- ingest parsing (flume regex/delimiter serializers, SURVEY §2.2) ----

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, batch-decoded per partition.
+  *
+  * The Spark-side shape is real — schema, partition-parallel batch
+  * processing via `mapPartitions` (the Scala analog of `mapInPandas`:
+  * iterator-of-batches in, iterator out, no driver materialization),
+  * deterministic output contract — while the actual media decode is a
+  * clearly-marked STUB (no codec libs in this environment). Swapping
+  * [[MediaDecode.decodeStub]] for a real JNI/codec call changes nothing
+  * about the distributed plan.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  final case class MediaMeta(
+      docId: Long, byteLen: Int, format: String,
+      width: Int, height: Int, nFrames: Int, durationMs: Long)
+
+  object MediaDecode {
+    /** STUB decode: derives deterministic pseudo-metadata from the payload
+      * bytes (stands in for an image/video header parse). Real
+      * implementation would parse the container here — this is the only
+      * function to replace. */
+    def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+      var h = 1125899906842597L // deterministic FNV-ish fold over bytes
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      val fmt = (math.floorMod(h, 3L): @unchecked) match {
+        case 0L => "jpeg"; case 1L => "png"; case 2L => "webm"
+      }
+      MediaMeta(docId, payload.length, fmt,
+        width = 64 + math.floorMod(h >> 8, 1024L).toInt,
+        height = 64 + math.floorMod(h >> 18, 1024L).toInt,
+        nFrames = if (fmt == "webm") 1 + math.floorMod(h >> 28, 300L).toInt else 1,
+        durationMs = if (fmt == "webm") math.floorMod(h >> 38, 60000L) else 0L)
+    }
+  }
+
+  /** Attach a binary payload column (here: utf-8 of text — in production
+    * the storage layer supplies real media bytes). */
+  def withPayload(df: DataFrame, idCol: String, srcCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(srcCol).cast(BinaryType).as("payload"))
+
+  /** Batch decode: one partition = one iterator pass, constant memory —
+    * this is the mapInPandas batch shape. Output is a typed Dataset. */
+  def decode(payloads: DataFrame): Dataset[MediaMeta] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { (rows: Iterator[Row]) =>
+        rows.map(r => MediaDecode.decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+  }
+
+  /** Frame-sample plan for video rows: every `everyMs` milliseconds, at
+    * most `maxFrames` — returns (doc_id, frame_idx, ts_ms) rows. Pure
+    * expression fan-out (sequence + explode), no UDF. */
+  def frameSamplePlan(meta: Dataset[MediaMeta], everyMs: Long,
+      maxFrames: Int): DataFrame =
+    meta.toDF()
+      .filter(col("nFrames") > 1)
+      .select(col("docId").as("doc_id"),
+        explode(slice(sequence(lit(0L), col("durationMs"), lit(everyMs)),
+          1, maxFrames)).as("ts_ms"))
+      .withColumn("frame_idx", (col("ts_ms") / everyMs).cast(IntegerType))
+
+  /** Resize stub: records the target size in metadata; a real kernel would
+    * transform payload bytes per partition exactly like [[decode]]. */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim).cast(DoubleType) / greatest(col("width"), col("height")))
+    meta.toDF().select(
+      col("docId").as("doc_id"),
+      col("width"), col("height"),
+      round(col("width") * scale).cast(IntegerType).as("out_width"),
+      round(col("height") * scale).cast(IntegerType).as("out_height"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates — the ".explain and iterate" discipline from
+  * the build brief, pinned as tests so regressions fail loudly:
+  * filter pushdown reaches the parquet scan, projections prune ReadSchema,
+  * small dims broadcast, bucketed joins avoid shuffles, count(*) scans no
+  * columns. */
+class PlansSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (q01)") {
+    val p = plan(SparkEntry.queries("q01_scan_filter")(spark, sf))
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p.take(2000))
+  }
+
+  test("column pruning: unused columns never reach the scan (q22)") {
+    val p = plan(SparkEntry.queries("q22_lookup_join")(spark, sf))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_tax"), "q22 does not use l_tax; scan must prune it")
+    assert(!p.contains("l_shipdate"))
+  }
+
+  test("small dimensions broadcast (q04)") {
+    val p = plan(SparkEntry.queries("q04_join_dims")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("count(*) over parquet scans zero columns") {
+    val p = plan(Tables.lineitem(spark, sf).groupBy().count())
+    assert(p.contains("ReadSchema: struct<>"), p.take(800))
+  }
+
+  test("partial aggregation before the shuffle (q02)") {
+    val p = plan(SparkEntry.queries("q02_agg_pricing")(spark, sf))
+    // two HashAggregate levels (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("bucketed join avoids shuffle exchanges") {
+    val wh = Files.createTempDirectory("graft_buckets").toString
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite")
+      .option("path", s"$wh/o_b").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    li.write.mode("overwrite")
+      .option("path", s"$wh/li_b").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("o_bucketed")
+        .join(spark.table("li_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed tables must co-locate without a shuffle:\n" + p.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    }
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val df = Tables.embeddings(spark, sf).select(
+      graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(p.contains("*(1) Project"), p.take(500))
+  }
+}

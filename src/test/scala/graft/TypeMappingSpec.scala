@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TypeMapping
+import graft.operators.Multimodal
+
+class TypeMappingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scalar type mapping matches the reference table") {
+    assert(TypeMapping.toSparkType("BIGINT") == LongType)
+    assert(TypeMapping.toSparkType("datetime") == TimestampType)
+    assert(TypeMapping.toSparkType("DECIMAL") == DecimalType(38, 18))
+    assert(TypeMapping.toSparkType("decimal(10,2)") == DecimalType(10, 2))
+    // legacy (54,18) remap → capped at max precision
+    assert(TypeMapping.toSparkType("decimal(54,18)") == DecimalType(38, 18))
+    assert(TypeMapping.toSparkType("char(10)") == StringType)
+    assert(TypeMapping.toSparkType("varchar(20)") == StringType)
+  }
+
+  test("nested type mapping round-trips") {
+    val t = "ARRAY<DECIMAL(10,2)>"
+    assert(TypeMapping.toSparkType(t) == ArrayType(DecimalType(10, 2)))
+    assert(TypeMapping.toSparkType("MAP<STRING,ARRAY<INT>>") ==
+      MapType(StringType, ArrayType(IntegerType)))
+    val st = TypeMapping.toSparkType("STRUCT<a:INT,b:MAP<STRING,BIGINT>>")
+    assert(st == StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("b", MapType(StringType, LongType)))))
+    // inverse
+    assert(TypeMapping.toExternalType(TypeMapping.toSparkType(t)) == t)
+  }
+
+  test("char read trim and varchar write guard") {
+    val df = Seq(("abc   ", "tooLongValue")).toDF("c", "v")
+    assert(df.select(TypeMapping.charReadValue($"c")).head().getString(0) == "abc")
+    assert(df.select(TypeMapping.varcharWriteValue($"v", 20)).head()
+      .getString(0) == "tooLongValue")
+    assert(df.select(TypeMapping.varcharWriteValue($"v", 4, truncate = true))
+      .head().getString(0) == "tooL")
+    intercept[Exception] {
+      df.select(TypeMapping.varcharWriteValue($"v", 4)).collect()
+    }
+  }
+
+  test("multimodal decode is deterministic and partition-parallel") {
+    val payloads = Multimodal.withPayload(
+      Tables.documents(spark, sf).limit(100), "doc_id", "text")
+    val meta = Multimodal.decode(payloads.repartition(8))
+    val rows = meta.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(m => m.byteLen > 0 && m.width >= 64 && m.height >= 64))
+    // determinism across runs / partitionings
+    val again = Multimodal.decode(payloads.repartition(3)).collect()
+    assert(rows.sortBy(_.docId).toSeq == again.sortBy(_.docId).toSeq)
+  }
+
+  test("frame sampling fans out video rows only") {
+    val meta = Multimodal.decode(Multimodal.withPayload(
+      Tables.documents(spark, sf).limit(200), "doc_id", "text"))
+    val frames = Multimodal.frameSamplePlan(meta, everyMs = 1000L, maxFrames = 5)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 5))
+    val videos = meta.filter(col("nFrames") > 1).count()
+    assert(perDoc.length == videos)
+  }
+
+  test("resize plan preserves aspect ratio bound") {
+    val meta = Multimodal.decode(Multimodal.withPayload(
+      Tables.documents(spark, sf).limit(50), "doc_id", "text"))
+    val out = Multimodal.resizePlan(meta, maxDim = 256).collect()
+    assert(out.forall(r => r.getInt(3) <= 256 && r.getInt(4) <= 256))
+  }
+}
