@@ -412,6 +412,16 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    "s44_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          query = q, k = 10, nlist = 16, nprobe = 6)
+        .select(col("id"), round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
     "s41_knn_graph" -> ((s, d) => {
       Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, k = 5, numPlanes = 8)

@@ -95,12 +95,14 @@ object TypeMapping {
 
   // -- helpers for nested type-name parsing (top-level comma split) --
 
+  // Depth counts both <> (nested types) and () (decimal precision) — a
+  // comma inside DECIMAL(p,s) is not a field separator.
   private def splitTopLevel(s: String): (String, String) = {
     var depth = 0
     s.zipWithIndex.foreach { case (ch, i) =>
       ch match {
-        case '<' => depth += 1
-        case '>' => depth -= 1
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
         case ',' if depth == 0 => return (s.substring(0, i), s.substring(i + 1))
         case _ =>
       }
@@ -114,12 +116,13 @@ object TypeMapping {
     var start = 0
     def push(part: String): Unit = {
       val i = part.indexOf(':')
+      require(i > 0, s"expected name:type in struct field: $part")
       out += ((part.substring(0, i).trim, part.substring(i + 1).trim))
     }
     s.zipWithIndex.foreach { case (ch, i) =>
       ch match {
-        case '<' => depth += 1
-        case '>' => depth -= 1
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
         case ',' if depth == 0 => push(s.substring(start, i)); start = i + 1
         case _ =>
       }

@@ -46,6 +46,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
+    * `nlist` cells; a query scans only the `nprobe` nearest cells. The
+    * 100 TB deployment writes the cell-assigned table partitioned by
+    * `cell` so a probe is a partition-pruned scan; here the assignment is
+    * computed inline. Centroids are fit on a sample with a fixed seed
+    * (deterministic plans, like every other signature in this library). */
+  def ivfTopK(
+      embDf: DataFrame, idCol: String, embCol: String,
+      query: Seq[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      sampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = embDf.select(array_to_vector(col(embCol)).as("features"))
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(sample)
+    val centers = model.clusterCenters.map(_.toArray.toSeq)
+
+    // nearest-cell assignment: argmin_i ||x - c_i||^2 = argmin_i (||c_i||^2 - 2 x·c_i)
+    def cellOf(v: Column): Column = {
+      val scored = centers.zipWithIndex.map { case (c, i) =>
+        val cNorm = c.map(x => x * x).sum
+        struct((lit(cNorm) - lit(2.0) * dot(v, vec(c))).as("d"),
+          lit(i).as("cell"))
+      }
+      array_min(array(scored: _*)).getField("cell")
+    }
+
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.map(x => x * x).sum -
+          2.0 * c.zip(query).map { case (a, b) => a * b }.sum
+        (d, i)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+
+    embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+        cellOf(col(embCol)).as("cell"))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id"), cosine(col("emb"), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per row, LSH-bucketed (for kNN-graph
     * construction). Returns (id, neighbor_id, cosine, rank≤k). */
   def knnGraph(

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins/aggregations whose key distribution breaks the
+  * one-shuffle-partition-per-key assumption at scale.
+  *
+  * First line of defense is AQE's skew-join splitting (on by default —
+  * SURVEY §4 "split planning / shuffle sizing" is built-in). These helpers
+  * cover the case AQE can't: a broadcast-infeasible dimension joined on a
+  * pathologically hot key. Classic salting: fact keys get a random salt in
+  * [0,n); the dimension is replicated n× with all salts; the join key
+  * becomes (key, salt), spreading each hot key over n reducers.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, n): hash of the whole row's key plus
+    * a disambiguator column (monotonically_increasing_id is fine too, but a
+    * hash keeps re-runs identical for differential testing). */
+  def salt(n: Int, disambiguator: Column): Column =
+    pmod(xxhash64(disambiguator), lit(n.toLong)).cast("int")
+
+  /** Salted equi-join: `fact ⋈ dim` on `key`, with the hot-key load spread
+    * over `salts` reducers. `dim` is replicated `salts`× (keep it the
+    * smaller side). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, disambiguator: Column, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(salts, disambiguator))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase skewed aggregation: partial-aggregate on (key, salt), then
+    * final-aggregate on key. For algebraic aggregates Spark's own partial
+    * aggregation already does this; use for aggregations forced through a
+    * single phase (e.g. collect-style or UDAFs with big state). */
+  def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
+      disambiguator: Column,
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+    df.withColumn("__salt", salt(salts, disambiguator))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+}

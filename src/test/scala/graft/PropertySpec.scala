@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TypeMapping
+import graft.sources.JdbcImport
+
+/** Property tests for the pure translation layers — the SURVEY §5 strategy
+  * (ScalaCheck where the reference has pure functions: type codecs, split
+  * algebra, partition templates). Uses ScalaCheck generators with a fixed
+  * seed and an explicit sampling loop (no scalatest-plus bridge available
+  * offline). */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("jdbc split predicates partition the range exactly") {
+    val gen = for {
+      lo <- Gen.chooseNum(-100000L, 100000L)
+      span <- Gen.chooseNum(0L, 500000L)
+      n <- Gen.chooseNum(1, 64)
+    } yield (lo, lo + span, n)
+    samples(gen).foreach { case (lo, hi, n) =>
+      val preds = JdbcImport.splitPredicates("x", lo, hi, n)
+      assert(preds.nonEmpty && preds.size <= n)
+      val Range1 = """x >= (-?\d+) AND x < (-?\d+)""".r
+      val Range2 = """x >= (-?\d+) AND x <= (-?\d+)""".r
+      val ranges = preds.map {
+        case Range1(a, b) => (a.toLong, b.toLong)     // [a, b)
+        case Range2(a, b) => (a.toLong, b.toLong + 1) // [a, b]
+      }
+      assert(ranges.head._1 == lo, s"($lo,$hi,$n)")
+      assert(ranges.last._2 == hi + 1, s"($lo,$hi,$n)")
+      ranges.sliding(2).foreach {
+        case Seq((_, e), (s, _)) => assert(e == s, s"($lo,$hi,$n)")
+        case _ =>
+      }
+    }
+  }
+
+  test("scalar type mapping round-trips through external names") {
+    import org.apache.spark.sql.types._
+    val scalars = Gen.oneOf[DataType](ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, BooleanType, StringType, BinaryType,
+      DateType, TimestampType, DecimalType(38, 18), DecimalType(10, 2))
+    samples(scalars).foreach { dt =>
+      assert(TypeMapping.toSparkType(TypeMapping.toExternalType(dt)) == dt)
+    }
+  }
+
+  test("nested type mapping round-trips") {
+    import org.apache.spark.sql.types._
+    val leaf = Gen.oneOf[DataType](IntegerType, StringType, DoubleType,
+      DecimalType(12, 3))
+    def nested(depth: Int): Gen[DataType] =
+      if (depth == 0) leaf
+      else Gen.oneOf(
+        leaf,
+        nested(depth - 1).map(ArrayType(_)),
+        Gen.zip(leaf, nested(depth - 1)).map { case (k, v) => MapType(k, v) },
+        Gen.zip(nested(depth - 1), nested(depth - 1)).map { case (a, b) =>
+          StructType(Seq(StructField("f1", a), StructField("f2", b)))
+        })
+    samples(nested(3)).foreach { dt =>
+      assert(TypeMapping.toSparkType(TypeMapping.toExternalType(dt)) == dt)
+    }
+  }
+
+  test("partition template resolution never throws on literal segments") {
+    samples(Gen.listOfN(3, Gen.alphaLowerStr.suchThat(_.nonEmpty)), 50)
+      .foreach { parts =>
+        val tpl = s"${parts(0)}_%{c1}_${parts(1)}_%{c2}_${parts(2)}"
+        graft.sources.PartitionedWrite.resolveTemplate(tpl)
+      }
+  }
+}
