@@ -213,6 +213,16 @@ object SparkEntry {
         .orderBy(col("yr"), col("qtr"))
     }),
 
+    // Metabase-dialect day-of-week/ISO-week semantics (maxcompute.clj:741-786):
+    // Spark weekday() is Mon=0 → +1 = ISO dow; weekofyear = ISO week.
+    "q45_dow_week" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy((weekday(col("o_orderdate")) + 1).cast(LongType).as("iso_dow"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(weekofyear(col("o_orderdate"))).as("n_distinct_weeks"))
+        .orderBy(col("iso_dow"))
+    }),
+
     "q16_date_arith" -> ((s, d) => {
       val o = t(s, d, "orders")
       val li = t(s, d, "lineitem")
@@ -667,6 +677,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY yr, qtr
         |ORDER BY yr, qtr""".stripMargin,
+
+    "q45_dow_week" ->
+      """SELECT isodow(o_orderdate) AS iso_dow, count(*) AS n_orders,
+        | count(DISTINCT weekofyear(o_orderdate)) AS n_distinct_weeks
+        |FROM orders
+        |GROUP BY iso_dow
+        |ORDER BY iso_dow""".stripMargin,
 
     "q16_date_arith" ->
       """SELECT l_returnflag,

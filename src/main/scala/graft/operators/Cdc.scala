@@ -27,6 +27,24 @@ object Cdc {
     Merge.latestWins(ops, keyCols, orderCols)
       .filter(col(opCol) =!= OpDelete)
 
+  /** Before-image consistency audit for op logs that carry both images —
+    * the OGG update schema (`ColumnMapping.java:26-41`: `dest` after-image,
+    * `destOld` before-image). A well-formed log has every U/D op's
+    * before-image equal to the previous op's after-image for that key;
+    * violations indicate lost or reordered changes (the failure mode the
+    * reference's shard-hash routing exists to prevent). Returns the
+    * violating ops with the expected image attached. */
+  def beforeImageViolations(ops: DataFrame, keyCols: Seq[String], opCol: String,
+      orderCol: Column, beforeCol: String, afterCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+    ops
+      .withColumn("expected_before", lag(col(afterCol), 1).over(w))
+      .filter(col(opCol).isin(OpUpdate, OpDelete) &&
+        col("expected_before").isNotNull &&
+        col(beforeCol) =!= col("expected_before"))
+  }
+
   /** Net-effect summary per key: ops applied, final op, alive flag.
     * Aggregation-only form (no window) — cheaper when only the summary is
     * needed: max_by picks the terminal op by the same total order. */

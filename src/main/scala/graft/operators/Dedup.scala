@@ -48,7 +48,7 @@ object Dedup {
     * is quadratic in practice: Catalyst inlines the shingle expression into
     * the outer lambda and recomputes it H times per row.)
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+  def minhashSignaturesPosting(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val posting = docs
       .select(col(idCol).as("id"),
@@ -58,6 +58,16 @@ object Dedup {
       min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     posting.groupBy("id").agg(minCols.head, minCols.tail: _*)
   }
+
+  /** Default signature path: the fused native expression (one pass per doc,
+    * zero shuffle — bit-compatible with [[minhashSignaturesPosting]], which
+    * stays as the row-explosion fallback for documents too large to shingle
+    * in one task). Returns (id, sig: array<long>). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.graft.NativeFunctions
+        .minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -77,7 +87,7 @@ object Dedup {
     val r = numHashes / bands
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
     val bandCols = (0 until bands).map(j =>
-      xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*))
+      xxhash64(slice(col("sig"), j * r + 1, r)))
     val banded = sigs
       .select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
@@ -122,10 +132,16 @@ object Dedup {
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** SimHash signatures posting-style (explode tokens → 64 vote sums →
-    * pack), same scale rationale as [[minhashSignatures]]: the shuffle
-    * carries 64 ints per doc, map-side combined. */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash signatures via the fused native expression (one pass per doc,
+    * no shuffle). [[simhashSignaturesPosting]] keeps the explode→aggregate
+    * form for documents too large to tokenize in one task. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.graft.NativeFunctions.simhash64(col(textCol)).as("sig"))
+
+  /** Posting-style SimHash (explode tokens → 64 vote sums → pack): the
+    * shuffle carries 64 ints per doc, map-side combined. */
+  def simhashSignaturesPosting(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val posting = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
@@ -179,6 +195,7 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.5,
       docFreqCap: Int = 32): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .persist()
     val posting = sh.select(col("id"), explode(col("sh")).as("g")).persist()
     val rare = posting.groupBy("g").count().filter(col("count").between(2, docFreqCap))
     val prunedPosting = posting.join(rare, "g")

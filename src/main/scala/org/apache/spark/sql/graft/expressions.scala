@@ -163,6 +163,54 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** MinHash signature of a whitespace-tokenized string: token `k`-shingles,
+  * xxhash64(seed 42) per shingle, then `numHashes` seeded rehashes reduced
+  * by min — one fused pass per row producing `array<long>`.
+  *
+  * Bit-compatible with the posting-style
+  * `graft.operators.Dedup.minhashSignatures` (which remains the
+  * documents-larger-than-memory path): the rehash chain replicates
+  * `xxhash64(lit(i), baseHash)` = XxHash64 over (int i, long base) with
+  * seed 42, i.e. hash(base, LongType, hash(i, IntegerType, 42)). */
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // seed per slot: XxHash64 folds the literal slot index first
+  private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String]
+      .split(UTF8String.fromString(" "), -1)
+    val nShingles = math.max(tokens.length - shingleK, 0) + 1
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val space = UTF8String.fromString(" ")
+    var s = 0
+    while (s < nShingles) {
+      val end = math.min(s + shingleK, tokens.length)
+      val shingle = UTF8String.concatWs(space,
+        java.util.Arrays.copyOfRange(tokens, s, end): _*)
+      val base = XxHash64Function.hash(shingle, StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(base, LongType, slotSeeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
 /** Token count without materializing the token array: counts separator
   * bytes in one pass over the UTF8 buffer. */
 case class TokenCount(child: Expression)
@@ -214,6 +262,10 @@ object NativeFunctions {
 
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  def minhashSignature(c: Column, shingleK: Int, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(c), shingleK, numHashes))
 
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))

@@ -45,6 +45,17 @@ class ExpressionsSpec extends SparkTestBase {
     assert(out.head().getInt(0) > 0)
   }
 
+  test("native minhash signature is bit-compatible with the posting form") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val posting = Dedup.minhashSignaturesPosting(docs, "doc_id", "text", 5, 32)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 32).map(i => r.getLong(i)).toSeq).toMap
+    assert(native.keySet == posting.keySet)
+    native.keys.foreach(k => assert(native(k) == posting(k), s"doc $k"))
+  }
+
   test("minhash sketch aggregator estimates group similarity") {
     val agg = Aggregators.minhashSketchAgg(64)
     val sigs = Tables.documents(spark, sf)

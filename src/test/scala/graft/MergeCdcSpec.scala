@@ -43,6 +43,22 @@ class MergeCdcSpec extends SparkTestBase {
       Seq((1L, "D", false), (2L, "I", true)))
   }
 
+  test("before-image audit flags broken update chains") {
+    val ops = Seq(
+      // key 1: consistent chain I(→"a") U("a"→"b")
+      (1L, Cdc.OpInsert, 1L, null.asInstanceOf[String], "a"),
+      (1L, Cdc.OpUpdate, 2L, "a", "b"),
+      // key 2: broken chain — update claims before="x" but prior after="c"
+      (2L, Cdc.OpInsert, 3L, null.asInstanceOf[String], "c"),
+      (2L, Cdc.OpUpdate, 4L, "x", "d")
+    ).toDF("k", "op", "seq", "before_img", "after_img")
+    val bad = Cdc.beforeImageViolations(ops, Seq("k"), "op", col("seq"),
+      "before_img", "after_img").collect()
+    assert(bad.length == 1)
+    assert(bad.head.getLong(0) == 2L)
+    assert(bad.head.getAs[String]("expected_before") == "c")
+  }
+
   test("incremental append pushes the filter to the scan") {
     val df = Merge.incrementalAppend(Tables.events(spark, sf), "event_id", lit(500L))
     assert(df.count() == Tables.events(spark, sf)

@@ -61,6 +61,28 @@ class StreamingSpec extends SparkTestBase {
     assert(bad == ev.filter(col("value") < 10.0).count())
   }
 
+  test("checkpointed file sink writes event-time partitioned output") {
+    val dir = eventsDir()
+    val outDir = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ck").toString
+    val stream = MicroBatch.fileStream(spark, dir)
+      .withColumn("dt", MicroBatch.eventTimePartition(col("ts"), "yyyy-MM-dd"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("dt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == Tables.events(spark, sf).count())
+    // partition dirs exist per day
+    val days = Files.list(java.nio.file.Paths.get(outDir)).iterator()
+    val dtDirs = Iterator.continually(days).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("dt=")).toSeq
+    assert(dtDirs.nonEmpty)
+  }
+
   test("lookup join refreshes the dimension per micro-batch") {
     val dir = eventsDir()
     val stream = MicroBatch.fileStream(spark, dir)
