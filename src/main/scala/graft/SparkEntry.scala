@@ -191,6 +191,17 @@ object SparkEntry {
         .orderBy(col("status"), col("priority"))
     }),
 
+    "q46_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr"), lit(-1L)).as("yr"),
+          col("n_orders"))
+        .orderBy(col("status"), col("yr"))
+    }),
+
     "q14_percentile" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -658,6 +669,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q46_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(yr, -1) AS yr, n_orders
+        |FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n_orders
+        | FROM orders GROUP BY CUBE (o_orderstatus, yr))
+        |ORDER BY status, yr""".stripMargin,
 
     "q14_percentile" ->
       """SELECT l_returnflag,

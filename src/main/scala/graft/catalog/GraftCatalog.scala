@@ -116,16 +116,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
-    val partitionCols = partitions.map { t =>
+    var bucketProps = Map.empty[String, String]
+    val partitionCols = partitions.flatMap { t =>
       t.name() match {
-        case "identity" => t.references()(0).fieldNames().mkString(".")
+        case "identity" => Some(t.references()(0).fieldNames().mkString("."))
+        case "bucket" =>
+          // bucket(n, cols...) → hash-clustered table (OdpsBucketSpec hash
+          // variant, `OdpsTable.scala:46-79`); recorded as properties, the
+          // write path enforces distribution+ordering.
+          val n = t.arguments().collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              lit.value().toString.toInt
+          }.getOrElse(sys.error("bucket transform needs a bucket count"))
+          val cols = t.references().map(_.fieldNames().mkString("."))
+          bucketProps = Map(
+            GraftTable.BucketColsKey -> cols.mkString(","),
+            GraftTable.BucketCountKey -> n.toString)
+          None
         case other => sys.error(s"unsupported partition transform: $other " +
-          "(only identity partitioning, like the reference's key=value specs)")
+          "(identity and bucket only, like the reference's partition/cluster specs)")
       }
     }
     val dir = tablePath(ident)
     Files.createDirectories(dir)
-    TableMeta(schema, partitionCols.toSeq, properties.asScala.toMap)
+    TableMeta(schema, partitionCols.toSeq, properties.asScala.toMap ++ bucketProps)
       .write(metaFile(dir))
     loadTable(ident)
   }
@@ -164,6 +178,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+}
+
+/** Catalog-aware scalar helpers. */
+object CatalogFunctions {
+
+  /** `max_pt(table)` — the latest partition value of a partitioned catalog
+    * table, resolved from the PARTITION LISTING (no data scan), exactly the
+    * reference's MaxPtUDF
+    * (`spark-connector/common/src/main/java/org/apache/spark/sql/odps/udf/MaxPtUDF.java:30-41`). */
+  def maxPt(spark: SparkSession, catalogName: String, namespace: Array[String],
+      table: String): Option[String] = {
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, catalogName)
+      .asInstanceOf[TableCatalog]
+    cat.loadTable(Identifier.of(namespace, table)) match {
+      case pm: SupportsPartitionManagement =>
+        val ps = pm.partitionSchema()
+        require(ps.nonEmpty, s"$table is not partitioned")
+        val vals = pm.listPartitionIdentifiers(Array.empty, InternalRow.empty)
+          .map(r => r.get(0, ps(0).dataType).toString)
+        if (vals.isEmpty) None else Some(vals.max)
+      case _ => sys.error(s"$table does not support partition management")
+    }
   }
 }
 

@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * are `col=value` directories, created/dropped/listed as catalog objects
   * (`OdpsTableCatalog.scala:402-425`, `OdpsTable.scala:103-135`).
   */
+object GraftTable {
+  val BucketColsKey = "graft.bucket.cols"
+  val BucketCountKey = "graft.bucket.count"
+}
+
 class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
     spark: SparkSession)
   extends Table with SupportsRead with SupportsWrite with SupportsPartitionManagement {
@@ -50,8 +55,41 @@ class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    delegate.newWriteBuilder(info)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val inner = delegate.newWriteBuilder(info)
+    bucketSpec match {
+      case None => inner
+      case Some((cols, n)) =>
+        // Declarative write distribution/ordering for clustered tables —
+        // the DSv2 hook the reference uses for range-clustered writes
+        // (`OdpsWriteBuilder.scala:70-116`): Spark injects the
+        // repartition+local-sort, no custom exchange needed.
+        new WriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.Write
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          private val d = inner.build()
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder}
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(cols.map(c => E.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+          override def requiredNumPartitions(): Int = n
+          override def requiredOrdering(): Array[SortOrder] =
+            cols.map(c => E.sort(E.column(c), SortDirection.ASCENDING)).toArray
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = d.toBatch
+          override def toStreaming = d.toStreaming
+          override def description(): String = d.description()
+          }
+        }
+    }
+  }
+
+  /** (bucketCols, numBuckets) when this table is hash-clustered. */
+  private def bucketSpec: Option[(Seq[String], Int)] =
+    for {
+      cols <- meta.properties.get(GraftTable.BucketColsKey)
+      n <- meta.properties.get(GraftTable.BucketCountKey)
+    } yield (cols.split(",").toSeq, n.toInt)
 
   // ---- partition management (col=value directories) ----
 

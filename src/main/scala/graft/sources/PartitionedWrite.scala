@@ -74,6 +74,34 @@ object PartitionedWrite {
     }
   }
 
+  /** Static-partition overwrite with the reference's empty-result edge
+    * semantics (`OdpsBatchWrite.scala:54-89`): overwriting a partition with
+    * an EMPTY result must still truncate it (and create the partition dir
+    * if absent) — Spark's dynamic overwrite would silently leave old data
+    * in place because no partition value ever materializes. `spec` is the
+    * ordered static partition assignment col→value. */
+  def overwriteStaticPartition(df: DataFrame, path: String,
+      spec: Seq[(String, String)]): Unit = {
+    val partDir = spec.foldLeft(java.nio.file.Paths.get(path)) {
+      case (p, (c, v)) => p.resolve(s"$c=$v")
+    }
+    // truncate-or-create first — commits even when df is empty
+    if (java.nio.file.Files.exists(partDir)) {
+      def rm(x: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(x)) {
+          val it = java.nio.file.Files.list(x).iterator()
+          while (it.hasNext) rm(it.next())
+        }
+        java.nio.file.Files.deleteIfExists(x)
+      }
+      rm(partDir)
+    }
+    java.nio.file.Files.createDirectories(partDir)
+    val dataCols = df.columns.filterNot(spec.map(_._1).contains)
+    df.select(dataCols.map(col): _*)
+      .write.mode("append").parquet(partDir.toString)
+  }
+
   /** Latest partition value of a partitioned parquet table — `max_pt`
     * (`spark-connector/common/.../udf/MaxPtUDF.java:30-41`), resolved from
     * the file index (partition listing), not by scanning data. */

@@ -250,6 +250,15 @@ case class TokenCount(child: Expression)
   override def prettyName: String = "token_count"
 }
 
+/** Bridge to the session's catalog manager (private[sql]) for catalog-aware
+  * helpers like max_pt. */
+object Catalogs {
+  def plugin(spark: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
+}
+
 /** Column-level entry points for the native expressions. */
 object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column =

@@ -64,6 +64,34 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SHOW PARTITIONS graft.db4.pt_tbl").count() == 1)
   }
 
+  test("bucketed catalog table enforces write distribution and ordering") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    sql("""CREATE TABLE graft.db6.orders_b (o_orderkey BIGINT, o_totalprice DOUBLE)
+          | PARTITIONED BY (bucket(4, o_orderkey))""".stripMargin)
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .writeTo("graft.db6.orders_b").append()
+    // RequiresDistributionAndOrdering(numPartitions=4) → exactly 4 files
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$warehouse/db6/orders_b")).iterator()
+    var parquets = 0
+    while (files.hasNext) {
+      if (files.next().getFileName.toString.endsWith(".parquet")) parquets += 1
+    }
+    assert(parquets == 4, s"expected 4 bucket files, got $parquets")
+    assert(sql("SELECT count(*) FROM graft.db6.orders_b").head().getLong(0) ==
+      Tables.orders(spark, sf).count())
+  }
+
+  test("catalog max_pt resolves from the partition listing") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    sql("CREATE TABLE graft.db7.pt (v INT, dt STRING) PARTITIONED BY (dt)")
+    sql("ALTER TABLE graft.db7.pt ADD PARTITION (dt='2024-01')")
+    sql("ALTER TABLE graft.db7.pt ADD PARTITION (dt='2024-03')")
+    sql("ALTER TABLE graft.db7.pt ADD PARTITION (dt='2024-02')")
+    assert(graft.catalog.CatalogFunctions.maxPt(spark, "graft",
+      Array("db7"), "pt").contains("2024-03"))
+  }
+
   test("rename and drop table") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
     sql("CREATE TABLE graft.db5.t1 (v INT)")

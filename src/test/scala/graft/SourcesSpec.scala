@@ -47,6 +47,22 @@ class SourcesSpec extends SparkTestBase {
     assert(got.toSeq == Seq("pt_2024_a", "pt_2025_b"))
   }
 
+  test("static-partition overwrite with EMPTY result still truncates") {
+    val dir = Files.createTempDirectory("graft_empty_ow").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")).cast("string"))
+    PartitionedWrite.writePartitioned(o, dir, Seq("yr"))
+    val before = spark.read.parquet(dir).filter(col("yr") === "1995").count()
+    assert(before > 0)
+    // overwrite yr=1995 with an empty result — must truncate, not no-op
+    PartitionedWrite.overwriteStaticPartition(
+      o.filter(lit(false)), dir, Seq("yr" -> "1995"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("yr") === "1995").count() == 0)
+    assert(after.filter(col("yr") =!= "1995").count() ==
+      o.filter(col("yr") =!= "1995").count())
+  }
+
   test("maxPt finds the latest partition value") {
     val dir = Files.createTempDirectory("graft_maxpt").toString
     val o = Tables.orders(spark, sf)
