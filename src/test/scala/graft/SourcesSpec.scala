@@ -73,6 +73,43 @@ class SourcesSpec extends SparkTestBase {
     assert(pt == want)
   }
 
+  // ---- file formats (Sqoop text/csv/json surface) ----
+
+  test("delimited csv round trip preserves values and nulls") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderstatus") === "P", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+      .limit(500)
+    graft.sources.FileFormats.writeDelimited(src, dir, delimiter = "|")
+    val back = graft.sources.FileFormats.readDelimited(spark, dir, src.schema,
+      delimiter = "|")
+    assert(back.count() == 500)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("json lines round trip with fixed schema") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value").limit(300)
+    graft.sources.FileFormats.writeJsonLines(src, dir)
+    val back = graft.sources.FileFormats.readJsonLines(spark, dir, src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("raw text parse: delimited serializer semantics") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Seq("1;alice;9.5", "2;bob;3.25").toDF("value")
+      .write.mode("overwrite").text(dir)
+    val parsed = graft.sources.FileFormats.readTextParsed(spark, dir,
+      graft.sources.FileFormats.delimitedParser(";", Seq("id", "name", "score")))
+      .select(col("id").cast("long"), col("name"), col("score").cast("double"))
+      .orderBy("id")
+    assert(parsed.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "alice", 9.5), (2L, "bob", 3.25)))
+  }
+
   // ---- JDBC (embedded Derby — the Sqoop HsqldbTestServer pattern,
   //      odps-sqoop/src/test/.../HsqldbTestServer.java) ----
 
