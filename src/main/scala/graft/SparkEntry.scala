@@ -249,6 +249,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Metabase-dialect date arithmetic (maxcompute.clj:1138-1200):
+    // dateadd by unit + unix-time conversion.
+    "q47_date_add" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus_30d"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- JSON extraction (SURVEY §2.8 get_json_object) ----
     "q17_json_extract" -> ((s, d) => {
       t(s, d, "events")
@@ -715,6 +727,15 @@ object SparkEntry {
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q47_date_add" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        | strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q17_json_extract" ->
       """SELECT event_type, count(*) AS n,

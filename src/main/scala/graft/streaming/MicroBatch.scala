@@ -87,6 +87,14 @@ object MicroBatch {
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Ordered per-key delivery before a stateful op: hash-repartition on the
+    * key columns so all ops for one key land in one partition — the
+    * reference's shard-hash routing (`TableMapping.java:56`, ShardWriter).
+    * groupByKey implies this for its own operator; use this when a
+    * downstream foreachBatch/mapPartitions consumer needs key locality. */
+  def keyOrdered(df: DataFrame, keys: Seq[String], partitions: Int): DataFrame =
+    df.repartition(partitions, keys.map(col): _*)
+
   /** Event-time windowed aggregation with watermarking (late data handled —
     * the superset of the reference's processing-time-only streams). */
   def windowedCounts(stream: DataFrame, ts: String, watermark: String,
