@@ -327,6 +327,35 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- sessionization (event-time gap windows, §2.9 superset) ----
+    "q49_sessionize" -> ((s, d) => {
+      operators.Sessionize.sessions(t(s, d, "events"), "ts", "user_id", "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- stateful streaming CDC (mapGroupsWithState) vs batch oracle ----
+    "str48_cdc_stream" -> ((s, d) => {
+      import s.implicits._
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_str48")
+      val ops = t(s, d, "events").select(
+        col("user_id").as("key"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("seq"), col("value"))
+      ops.write.mode("overwrite").parquet(streamDir.toString)
+      val opStream = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.CdcStream.CdcOp]].schema)
+        .parquet(streamDir.toString)
+        .as[graft.streaming.CdcStream.CdcOp]
+      val name = "str48_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.CdcStream.runBatch(s, opStream, name)
+        .select(col("key"), col("seq"), col("value"))
+        .orderBy(col("key"))
+    }),
+
     // ---- lookup join (SURVEY §2.3 — batch form of the Flink lookup) ----
     "q22_lookup_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -781,6 +810,35 @@ object SparkEntry {
         | FROM events)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+
+    "q49_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "str48_cdc_stream" ->
+      """SELECT user_id AS key, event_id AS seq, value FROM (
+        | SELECT user_id, event_id, value,
+        |  CASE WHEN event_type = 'signup' THEN 'I'
+        |   WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin,
 
     "q22_lookup_join" ->
       """SELECT p_brand, count(*) AS n_items,

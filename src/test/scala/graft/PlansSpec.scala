@@ -27,6 +27,19 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("l_shipdate"))
   }
 
+  test("string-prefix filters push down (extended filter IR)") {
+    val df = Tables.part(spark, sf)
+      .filter(col("p_name").startsWith("gold"))
+      .select("p_partkey", "p_name")
+    val p = plan(df)
+    assert(p.contains("StringStartsWith(p_name,gold)"), p.take(1500))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (q10)") {
+    val p = plan(SparkEntry.queries("q10_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("small dimensions broadcast (q04)") {
     val p = plan(SparkEntry.queries("q04_join_dims")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(800))

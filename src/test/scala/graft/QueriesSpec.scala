@@ -18,7 +18,8 @@ class QueriesSpec extends SparkTestBase {
     assert(noOracle == Set("t26_langid", "t27_fingerprint",
       "d29_minhash_neardup", "d30_simhash_neardup", "d31_embed_neardup",
       "s33_ann_lsh", "q38_approx", "d40_ngram_neardup", "s41_knn_graph",
-      "t42_group_sketch", "m43_frame_sample", "s44_ann_ivf"))
+      "t42_group_sketch", "m43_frame_sample", "s44_ann_ivf"),
+      s"unexpected oracle-less queries: $noOracle")
   }
 
   test("all queries run and return rows on sf0.001") {
