@@ -83,6 +83,26 @@ object TypeMapping {
     case other => sys.error(s"unsupported spark type: $other")
   }
 
+  /** Migration risk report for an external schema — the Hive→MaxCompute
+    * type transformer's "risk" annotations
+    * (`odps-data-carrier/meta-processor/.../HiveTypeTransformer.java:79-187`)
+    * as data: for each column, the mapped Spark type plus a lossiness
+    * warning where the conversion narrows semantics. */
+  def migrationRisks(columns: Seq[(String, String)]): Seq[(String, DataType, Option[String])] =
+    columns.map { case (name, ext) =>
+      val dt = toSparkType(ext)
+      val risk = ext.trim.toLowerCase match {
+        case t if t.startsWith("char") || t.startsWith("varchar") =>
+          Some(s"$ext → STRING: length constraint enforced only on write (varcharWriteValue)")
+        case DecimalRe(p, _) if p.toInt > DecimalType.MAX_PRECISION =>
+          Some(s"$ext → ${toExternalType(dt)}: precision capped at ${DecimalType.MAX_PRECISION}")
+        case "datetime" =>
+          Some("DATETIME → TIMESTAMP: millisecond precision widened to microsecond")
+        case _ => None
+      }
+      (name, dt, risk)
+    }
+
   /** CHAR(n) read semantics: right-trim padding (`OdpsUtils.scala:67-70`). */
   def charReadValue(c: Column): Column = rtrim(c)
 

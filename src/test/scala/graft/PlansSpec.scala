@@ -45,6 +45,11 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("scans are vectorized (columnar batch read)") {
+    val p = plan(SparkEntry.queries("q01_scan_filter")(spark, sf))
+    assert(p.contains("Batched: true"), p.take(800))
+  }
+
   test("count(*) over parquet scans zero columns") {
     val p = plan(Tables.lineitem(spark, sf).groupBy().count())
     assert(p.contains("ReadSchema: struct<>"), p.take(800))

@@ -45,6 +45,17 @@ class TypeMappingSpec extends SparkTestBase {
     }
   }
 
+  test("migration risk report flags lossy conversions") {
+    val risks = TypeMapping.migrationRisks(Seq(
+      "a" -> "BIGINT", "b" -> "varchar(10)", "c" -> "decimal(54,18)",
+      "d" -> "datetime"))
+    assert(risks(0)._3.isEmpty)
+    assert(risks(1)._3.exists(_.contains("length constraint")))
+    assert(risks(2)._3.exists(_.contains("precision capped")))
+    assert(risks(3)._3.exists(_.contains("millisecond")))
+    assert(risks(2)._2 == DecimalType(38, 18))
+  }
+
   test("multimodal decode is deterministic and partition-parallel") {
     val payloads = Multimodal.withPayload(
       Tables.documents(spark, sf).limit(100), "doc_id", "text")
