@@ -145,6 +145,22 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // RANGE frame (value-based window, §2.5): trailing-30-day spend per
+    // customer — frame bounds on epoch seconds, decimal-routed sum.
+    "q50_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 200)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("spend_30d"),
+          count(lit(1)).over(w).as("orders_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- sorts / limits / top-k (SURVEY §2.6) ----
     "q10_topk" -> ((s, d) => {
       t(s, d, "orders")
@@ -670,6 +686,16 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q50_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+        | count(*) OVER w AS orders_30d
+        |FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q10_topk" ->

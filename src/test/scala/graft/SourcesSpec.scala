@@ -89,6 +89,15 @@ class SourcesSpec extends SparkTestBase {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("orc round trip (columnar alternative format)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity").limit(1000)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("json lines round trip with fixed schema") {
     val dir = Files.createTempDirectory("graft_json").toString
     val src = Tables.events(spark, sf)
