@@ -546,6 +546,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- delimited ingest fidelity (Sqoop text import): stage → re-read
+    //      with explicit schema → aggregate must match the parquet oracle ----
+    "q51_csv_ingest" -> ((s, d) => {
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q51").toString
+      graft.sources.FileFormats.writeDelimited(src, dir, delimiter = "|")
+      graft.sources.FileFormats.readDelimited(s, dir, src.schema, delimiter = "|")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- generator / UDTF family (explode, SURVEY §2.10) ----
     "q37_explode_tokens" -> ((s, d) => {
       t(s, d, "documents")
@@ -938,6 +954,14 @@ object SparkEntry {
         |WHERE k % 7 = 0
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q51_csv_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q37_explode_tokens" ->
       """SELECT token, count(*) AS n
