@@ -343,6 +343,35 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- temporal joins (as-of / interval — beyond the reference) ----
+    "q57_asof_join" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val ev = t(s, d, "events")
+        .select(col("user_id").as("o_custkey"), col("ts"),
+          col("event_id"), col("value"))
+      operators.TemporalJoins.asofBackward(o, ev, "o_custkey",
+          "o_orderdate", "ts", Seq("event_id", "value"), "event_id")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q56_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_ts"))
+      val matched = operators.TemporalJoins.intervalJoin(
+          purchases, errors, "user_id", "p_ts", "e_ts", 3600L)
+        .groupBy(col("p_id")).agg(count(lit(1)).as("n_err"))
+      purchases.join(matched, Seq("p_id"), "left")
+        .select(col("p_id"), col("user_id"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"))
+        .orderBy(col("p_id"))
+    }),
+
     // ---- sessionization (event-time gap windows, §2.9 superset) ----
     "q49_sessionize" -> ((s, d) => {
       operators.Sessionize.sessions(t(s, d, "events"), "ts", "user_id", "30 minutes")
@@ -852,6 +881,27 @@ object SparkEntry {
         | FROM events)
         |WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+
+    "q57_asof_join" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        | FROM events),
+        |ed AS (SELECT user_id, ts, event_id, value FROM e WHERE rn = 1)
+        |SELECT o.o_orderkey, o.o_custkey,
+        | ed.event_id AS asof_event_id, ed.value AS asof_value
+        |FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+        |ASOF LEFT JOIN ed ON o.o_custkey = ed.user_id AND ed.ts <= o.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q56_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id,
+        | (SELECT count(*) FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |   AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR) AS n_err
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_id""".stripMargin,
 
     "q49_sessionize" ->
       """WITH flagged AS (

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the reference lacks (SURVEY §2.3 notes "no theta/range/
+  * as-of joins") and Spark has no built-in operator for — implemented as
+  * compositions of built-ins per the preference order (compose before
+  * custom plan): one keyed shuffle each, no O(n²) comparisons.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for each left row, the single latest right row
+    * with `rightTs <= leftTs` on the same key (inclusive). The classic
+    * union-and-carry-forward formulation: tag both sides, sort within key
+    * by (ts, side), run `last(right_payload, ignoreNulls)` over the
+    * running frame — ONE shuffle on the key, no range explosion.
+    *
+    * Right rows are pre-deduplicated to one per (key, ts) (latest by
+    * `rightTieBreak`) so the match is well-defined under ties — the same
+    * contract DuckDB's ASOF JOIN has.
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+
+    val rightDedup = Merge.latestWins(
+      right.select((key +: rightTs +: rightPayload).distinct.map(col): _*),
+      Seq(key, rightTs), Seq(col(rightTieBreak)))
+
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val r = rightDedup.select(
+      col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), payloadStruct.as("__r"))
+    val leftCols = left.columns
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lit(null).cast(r.schema("__r").dataType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+
+    // right rows sort before left at equal ts → inclusive (<=) semantics
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r.withColumn("__l",
+        lit(null).cast(l.schema("__l").dataType)))
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
+  }
+
+  /** Keyed interval join: pairs (l, r) with equal `key` and
+    * `|leftTs - rightTs| <= toleranceSec`. Time is bucketed at tolerance
+    * width; the left side joins buckets {b-1, b, b+1} — an equi-join on
+    * (key, bucket) followed by the exact filter, so the shuffle is keyed
+    * and skew-bounded instead of a theta-join.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
+
+    // double-precision epoch seconds: µs-precision timestamps stay exact
+    // (epoch µs < 2^53), unlike a long cast which truncates sub-second
+    val lSec = col(leftTs).cast("double")
+    val rSec = col(rightTs).cast("double")
+    val lb = left.withColumn("__b_exact", floor(lSec / toleranceSec))
+    val lExpl = lb.withColumn("__b",
+      explode(array(col("__b_exact") - 1, col("__b_exact"), col("__b_exact") + 1)))
+      .drop("__b_exact")
+    val rb = right.withColumn("__b", floor(rSec / toleranceSec))
+
+    lExpl.join(rb, Seq(key, "__b"))
+      .filter(abs(lSec - rSec) <= toleranceSec.toDouble)
+      .drop("__b")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof backward picks latest right row at-or-before left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "o1"),
+      (1L, ts("2024-01-01 12:00:00"), "o2"),
+      (2L, ts("2024-01-01 09:00:00"), "o3") // no event at or before
+    ).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // equal ts → inclusive match
+      (1L, ts("2024-01-01 11:00:00"), 102L),
+      (2L, ts("2024-01-01 09:30:00"), 200L)
+    ).toDF("k", "rts", "eid")
+    val out = TemporalJoins.asofBackward(left, right, "k", "lts", "rts",
+        Seq("eid"), "eid")
+      .orderBy("name").collect()
+      .map(r => (r.getAs[String]("name"), Option(r.get(r.fieldIndex("asof_eid")))))
+    assert(out.toSeq == Seq(
+      ("o1", Some(101L)),  // inclusive: equal-ts event wins over 09:30
+      ("o2", Some(102L)),
+      ("o3", None)))
+  }
+
+  test("interval join equals brute-force theta join") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts".as("e_ts"))
+    val bucketed = TemporalJoins.intervalJoin(
+        purchases, errors, "user_id", "p_ts", "e_ts", 3600L)
+      .select("p_id", "e_ts")
+    val brute = purchases.join(errors, Seq("user_id"))
+      .filter(abs($"p_ts".cast("double") - $"e_ts".cast("double")) <= 3600.0)
+      .select("p_id", "e_ts")
+    assert(bucketed.except(brute).isEmpty && brute.except(bucketed).isEmpty)
+    assert(bucketed.count() == brute.count())
+  }
+}
