@@ -218,6 +218,19 @@ object SparkEntry {
         .orderBy(col("status"), col("yr"))
     }),
 
+    // Array aggregation (§2.8 array support): deterministic via sort_array,
+    // emitted as a joined string so cross-engine comparison is exact.
+    "q58_array_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy(col("o_custkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+            .as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q14_percentile" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -390,7 +403,7 @@ object SparkEntry {
         when(col("event_type") === "signup", "I")
           .when(col("event_type") === "error", "D").otherwise("U").as("op"),
         col("event_id").as("seq"), col("value"))
-      ops.write.mode("overwrite").parquet(streamDir.toString)
+      ops.coalesce(4).write.mode("overwrite").parquet(streamDir.toString)
       val opStream = s.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[graft.streaming.CdcStream.CdcOp]].schema)
         .parquet(streamDir.toString)
@@ -781,6 +794,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q58_array_agg" ->
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        | count(*) AS n
+        |FROM orders
+        |WHERE o_custkey < 50
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q46_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
