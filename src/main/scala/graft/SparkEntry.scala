@@ -504,7 +504,7 @@ object SparkEntry {
 
     "d40_ngram_neardup" -> ((s, d) => {
       operators.Dedup.ngramJaccardNearDups(t(s, d, "documents"), "doc_id", "text",
-          shingleK = 4, threshold = 0.35, docFreqCap = 24)
+          shingleK = 4, threshold = 0.35, docFreqCap = 16)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
