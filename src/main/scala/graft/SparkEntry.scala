@@ -301,6 +301,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- string function surface (SURVEY §2.8 dialect parity) ----
+    "q54_string_funcs" -> ((s, d) => {
+      t(s, d, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_up"),
+          concat_ws("|", lower(substring(col("c_name"), 1, 8)),
+            lpad(col("c_custkey").cast(StringType), 6, "0")).as("name_key"),
+          instr(col("c_name"), "1").cast(LongType).as("pos_1"),
+          length(translate(col("c_name"), "0123456789", "")).cast(LongType)
+            .as("alpha_len"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- filtered / conditional aggregates (SURVEY §2.4) ----
+    "q55_conditional_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_bulk"),
+          dsum(when(col("l_returnflag") === "R",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("returned_revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // ---- expressions / CASE (SURVEY §2.8) ----
     "q18_case_expr" -> ((s, d) => {
       t(s, d, "orders")
@@ -866,6 +893,27 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q54_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS name_up,
+        | concat_ws('|', lower(substring(c_name, 1, 8)),
+        |  lpad(CAST(c_custkey AS VARCHAR), 6, '0')) AS name_key,
+        | CAST(strpos(c_name, '1') AS BIGINT) AS pos_1,
+        | CAST(length(translate(c_name, '0123456789', '')) AS BIGINT) AS alpha_len
+        |FROM customer
+        |WHERE c_custkey < 300
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q55_conditional_agg" ->
+      """SELECT l_linestatus,
+        | CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |  FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     "q18_case_expr" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
