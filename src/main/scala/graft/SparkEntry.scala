@@ -888,7 +888,8 @@ object SparkEntry {
 
     "q17_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        | sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        | CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type
@@ -1067,7 +1068,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
 
     "q36_regexp_extract" ->
-      """SELECT event_type, count(*) AS n, sum(k) AS sum_k
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         | FROM events)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,6 +23,20 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep rows whose bucket (over `keys`) has between 2 and `cap` members,
+    * computed as a window count over the same keys. One shuffle: the window
+    * hash-partitions on `keys`, the downstream self-join on the same keys
+    * reuses that partitioning (and Spark's ReuseExchange dedups the two
+    * identical join sides), so no groupBy-count subtree, no join-back, and
+    * nothing to persist. This is the shared skew guard for every LSH
+    * operator here: a degenerate bucket of N members is O(N²) pairs in one
+    * reducer, so buckets above `cap` are dropped. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz").between(2, cap))
+      .drop("__bsz")
 
   /** Token k-shingles of a text column ("w1 w2 .. wk" strings). */
   def shingles(text: Column, k: Int): Column = {
@@ -91,11 +106,7 @@ object Dedup {
     val banded = sigs
       .select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
-      .persist()
-
-    val bucketSizes = banded.groupBy("band_idx", "band_hash").count()
-      .filter(col("count") <= maxBucketSize && col("count") > 1)
-    val pruned = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
+    val pruned = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucketSize)
 
     val pairs = pruned.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
       .join(pruned.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
@@ -161,17 +172,14 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       radius: Int = 3, maxBucketSize: Int = 256): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol).persist()
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val chunked = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
-
-    val sizes = chunked.groupBy("chunk_idx", "chunk_val").count()
-      .filter(col("count") <= maxBucketSize && col("count") > 1)
-    val pruned = chunked.join(sizes, Seq("chunk_idx", "chunk_val"))
+    val pruned = capBuckets(chunked, Seq("chunk_idx", "chunk_val"), maxBucketSize)
 
     val l = pruned.select(col("chunk_idx"), col("chunk_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -187,20 +195,23 @@ object Dedup {
   }
 
   /** Character/token n-gram Jaccard near-dups without MinHash: exact-verify
-    * every pair that shares at least `minCommon` rare shingles. Shuffles on
-    * the shingle itself; common shingles above docFreqCap are dropped first
-    * (inverse-document-frequency pruning). */
+    * every pair that shares at least one rare shingle. The posting shuffles
+    * on the shingle's 64-bit hash — never the shingle string, and never the
+    * full shingle array (those are re-derived only for the surviving pairs
+    * in the verify join, the same shape as [[minhashNearDups]]). Shingles
+    * with document frequency above docFreqCap are dropped first
+    * (inverse-document-frequency pruning); a 64-bit hash collision can only
+    * add a candidate pair, which exact verification then screens. */
   def ngramJaccardNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       docFreqCap: Int = 32): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .persist()
-    val posting = sh.select(col("id"), explode(col("sh")).as("g")).persist()
-    val rare = posting.groupBy("g").count().filter(col("count").between(2, docFreqCap))
-    val prunedPosting = posting.join(rare, "g")
-    val pairs = prunedPosting.select(col("g"), col("id").as("id_a"))
-      .join(prunedPosting.select(col("g"), col("id").as("id_b")), Seq("g"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val prunedPosting = capBuckets(posting, Seq("gh"), docFreqCap)
+    val pairs = prunedPosting.select(col("gh"), col("id").as("id_a"))
+      .join(prunedPosting.select(col("gh"), col("id").as("id_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -224,15 +235,21 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: hyperplane-LSH bucket join + exact cosine
-    * verification ≥ threshold. */
+    * verification ≥ threshold. Buckets larger than `maxBucketSize` are
+    * dropped before the self-join — the same skew guard as the text
+    * near-dups; embeddings are the likeliest column to collapse into one
+    * degenerate bucket (templated text, near-identical images), which would
+    * otherwise put O(N²) pairs in a single reducer. */
   def embeddingNearDups(
       embDf: DataFrame, idCol: String, embCol: String, dim: Int,
-      threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
+      threshold: Double = 0.95, numPlanes: Int = 12,
+      maxBucketSize: Int = 256): DataFrame = {
     val b = embDf.select(
       col(idCol).as("id"), col(embCol).as("emb"),
       hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val rgt = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    val pruned = capBuckets(b, Seq("bucket"), maxBucketSize)
+    val l = pruned.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val rgt = pruned.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
     l.join(rgt, l("bucket") === rgt("bucket") && l("id_a") < rgt("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cosine"))

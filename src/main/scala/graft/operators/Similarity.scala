@@ -51,14 +51,20 @@ object Similarity {
     * 100 TB deployment writes the cell-assigned table partitioned by
     * `cell` so a probe is a partition-pruned scan; here the assignment is
     * computed inline. Centroids are fit on a sample with a fixed seed
-    * (deterministic plans, like every other signature in this library). */
+    * (deterministic plans, like every other signature in this library).
+    * The fit sample is absolute-capped at `fitSampleRows`: the fraction is
+    * derived from a count(*) (column-pruned, near-free on parquet) so a
+    * 100 TB corpus never accidentally flows through the driver-coordinated
+    * k-means fit — centroid quality saturates long before 100k rows. */
   def ivfTopK(
       embDf: DataFrame, idCol: String, embCol: String,
       query: Seq[Double], k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      sampleFraction: Double = 1.0): DataFrame = {
+      fitSampleRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val n = embDf.count()
+    val sampleFraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
     val sample = embDf.select(array_to_vector(col(embCol)).as("features"))
       .sample(withReplacement = false, sampleFraction, seed = 42)
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(sample)
@@ -91,14 +97,18 @@ object Similarity {
   }
 
   /** All-pairs top-k neighbors per row, LSH-bucketed (for kNN-graph
-    * construction). Returns (id, neighbor_id, cosine, rank≤k). */
+    * construction). Returns (id, neighbor_id, cosine, rank≤k). Buckets
+    * larger than `maxBucketSize` are dropped before the self-join — the
+    * same count-and-filter skew guard as the dedup operators; without it a
+    * degenerate bucket is O(N²) in one reducer. */
   def knnGraph(
       embDf: DataFrame, idCol: String, embCol: String, dim: Int,
-      k: Int, numPlanes: Int = 10): DataFrame = {
+      k: Int, numPlanes: Int = 10, maxBucketSize: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = embDf.select(
+    val bAll = embDf.select(
       col(idCol).as("id"), col(embCol).as("emb"),
       hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
+    val b = Dedup.capBuckets(bAll, Seq("bucket"), maxBucketSize)
     val l = b.select(col("bucket"), col("id"), col("emb"))
     val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("emb").as("n_emb"))
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id"))

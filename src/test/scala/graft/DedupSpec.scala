@@ -53,4 +53,39 @@ class DedupSpec extends SparkTestBase {
       "vec_id", "embedding", dim = 64, threshold = 0.3, numPlanes = 8).collect()
     assert(out.forall(_.getDouble(2) >= 0.3))
   }
+
+  test("ngram jaccard finds a planted near-duplicate via hashed postings") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)
+    val mutated = donor.split(" ").dropRight(1).mkString(" ") + " zzz"
+    val planted = base.unionByName(Seq((100007L, mutated)).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardNearDups(planted, "doc_id", "text", threshold = 0.6)
+    assert(pairs.filter($"id_a" === 7 && $"id_b" === 100007).count() == 1)
+  }
+
+  test("embedding near-dup bucket cap drops a degenerate bucket") {
+    // 40 identical embeddings all land in one LSH bucket: capped out at
+    // maxBucketSize=30 (zero pairs), all-pairs when the cap is raised.
+    val vec = Array.tabulate(8)(i => (i + 1).toFloat)
+    val clones = spark.range(40).select($"id".as("vec_id"),
+      typedLit(vec).as("embedding"))
+    val capped = Dedup.embeddingNearDups(clones, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 8, maxBucketSize = 30)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.embeddingNearDups(clones, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, numPlanes = 8, maxBucketSize = 64)
+    assert(uncapped.count() == 40L * 39 / 2)
+  }
+
+  test("knn graph bucket cap bounds pair blow-up") {
+    val vec = Array.tabulate(8)(i => (i + 1).toFloat)
+    val clones = spark.range(40).select($"id".as("vec_id"),
+      typedLit(vec).as("embedding"))
+    val capped = Similarity.knnGraph(clones, "vec_id", "embedding",
+      dim = 8, k = 3, numPlanes = 8, maxBucketSize = 30)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.knnGraph(clones, "vec_id", "embedding",
+      dim = 8, k = 3, numPlanes = 8, maxBucketSize = 64)
+    assert(uncapped.count() == 40 * 3)
+  }
 }
