@@ -1,10 +1,10 @@
 package graft.catalog
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.Collections
 
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -13,6 +13,8 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.Fs
 
 /** A Spark `TableCatalog` over a filesystem metastore: namespaces are
   * directories, tables are directories of partitioned parquet plus a
@@ -26,6 +28,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`OdpsTableCatalog.scala:457-509`), and explicit partition management
   * (`OdpsTableCatalog.scala:402-425`).
   *
+  * All file operations go through the Hadoop `FileSystem` API ([[Fs]]), so
+  * `root` may live on local disk, HDFS, or an object store.
+  *
   * Register with:
   * {{{
   *   spark.sql.catalog.graft      = graft.catalog.GraftCatalog
@@ -35,28 +40,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var root: Path = _
+  private var root: HPath = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Paths.get(Option(options.get("root"))
+    root = new HPath(Option(options.get("root"))
       .getOrElse(sys.error(s"catalog $name needs option 'root'")))
-    Files.createDirectories(root)
+    Fs.mkdirs(root)
   }
 
   override def name(): String = catalogName
 
-  private def nsPath(ns: Array[String]): Path = ns.foldLeft(root)(_.resolve(_))
-  private def tablePath(ident: Identifier): Path =
-    nsPath(ident.namespace()).resolve(ident.name())
-  private def metaFile(dir: Path): Path = dir.resolve("_graft_meta.json")
+  private def nsPath(ns: Array[String]): HPath =
+    ns.foldLeft(root)(new HPath(_, _))
+  private def tablePath(ident: Identifier): HPath =
+    new HPath(nsPath(ident.namespace()), ident.name())
+  private def metaFile(dir: HPath): HPath = new HPath(dir, "_graft_meta.json")
 
   // ---- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
+    Fs.listDirs(root).map(p => Array(p.getName)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
@@ -65,7 +69,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    Files.isDirectory(nsPath(namespace))
+    Fs.isDir(nsPath(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -75,7 +79,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
-    Files.createDirectories(nsPath(namespace))
+    Fs.mkdirs(nsPath(namespace))
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -84,11 +88,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
-    if (!Files.isDirectory(p)) false
+    if (!Fs.isDir(p)) false
     else {
-      if (!cascade && Files.list(p).iterator().hasNext)
+      if (!cascade && !Fs.isEmptyDir(p))
         sys.error(s"namespace ${namespace.mkString(".")} is not empty")
-      deleteRecursively(p)
+      Fs.delete(p)
       true
     }
   }
@@ -97,17 +101,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Files.list(nsPath(namespace)).iterator().asScala
-      .filter(p => Files.exists(metaFile(p)))
-      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+    Fs.listDirs(nsPath(namespace))
+      .filter(p => Fs.exists(metaFile(p)))
+      .map(p => Identifier.of(namespace, p.getName)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Files.exists(metaFile(tablePath(ident)))
+    Fs.exists(metaFile(tablePath(ident)))
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tablePath(ident)
-    if (!Files.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val meta = TableMeta.read(metaFile(dir))
     new GraftTable(ident, dir, meta, SparkSession.active)
   }
@@ -138,7 +142,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     }
     val dir = tablePath(ident)
-    Files.createDirectories(dir)
+    Fs.mkdirs(dir)
     TableMeta(schema, partitionCols.toSeq, properties.asScala.toMap ++ bucketProps)
       .write(metaFile(dir))
     loadTable(ident)
@@ -146,7 +150,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tablePath(ident)
-    if (!Files.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     var meta = TableMeta.read(metaFile(dir))
     changes.foreach {
       case p: TableChange.SetProperty =>
@@ -164,20 +168,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
-    if (!Files.exists(metaFile(dir))) false
-    else { deleteRecursively(dir); true }
+    if (!Fs.exists(metaFile(dir))) false
+    else { Fs.delete(dir); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Files.move(tablePath(oldIdent), tablePath(newIdent))
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
+    Fs.rename(tablePath(oldIdent), tablePath(newIdent))
   }
 }
 
@@ -216,20 +214,20 @@ final case class TableMeta(schema: StructType, partitionCols: Seq[String],
   def partitionSchema: StructType =
     StructType(partitionCols.map(c => schema(c)))
 
-  def write(file: Path): Unit = {
+  def write(file: HPath): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val props = properties.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val json =
       s"""{"schemaJson": ${q(schema.json)},
          | "partitionCols": [${partitionCols.map(q).mkString(",")}],
          | "properties": $props}""".stripMargin
-    Files.write(file, json.getBytes(StandardCharsets.UTF_8))
+    Fs.writeString(file, json)
   }
 }
 
 object TableMeta {
-  def read(file: Path): TableMeta = {
-    val json = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
+  def read(file: HPath): TableMeta = {
+    val json = Fs.readString(file)
     // Minimal JSON extraction (we wrote it; fields are in fixed order).
     def field(name: String): String = {
       val i = json.indexOf("\"" + name + "\"")

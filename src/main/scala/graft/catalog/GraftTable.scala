@@ -1,9 +1,10 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
 import java.util.Collections
 
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -32,7 +33,7 @@ object GraftTable {
   val BucketCountKey = "graft.bucket.count"
 }
 
-class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
+class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     spark: SparkSession)
   extends Table with SupportsRead with SupportsWrite with SupportsPartitionManagement {
 
@@ -48,14 +49,41 @@ class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
   override def properties(): java.util.Map[String, String] =
     meta.properties.asJava
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC).asJava
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+    // V1_BATCH_WRITE routes partitioned inserts through the staged
+    // partitioned writer; unpartitioned/bucketed tables stay on DSv2.
+    (if (meta.partitionCols.nonEmpty) base + TableCapability.V1_BATCH_WRITE
+     else base).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Partitioned tables write through the V1 fallback into the staged
+    // partitioned writer, so rows land in col=value directories and reads
+    // get real partition pruning (the DSv2 file write would lay the files
+    // flat). Dynamic INSERT OVERWRITE maps to the staged dynamic-partition
+    // overwrite — `OdpsBatchWrite`'s overwrite-session semantics.
+    if (meta.partitionCols.nonEmpty) {
+      import org.apache.spark.sql.connector.write.{SupportsDynamicOverwrite, SupportsTruncate, V1Write}
+      return new WriteBuilder with SupportsDynamicOverwrite with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def overwriteDynamicPartitions(): WriteBuilder = { overwrite = true; this }
+        override def build(): org.apache.spark.sql.connector.write.Write = new V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit =
+                graft.sources.PartitionedWrite.writePartitioned(
+                  data, dir.toString, meta.partitionCols,
+                  overwrite = overwrite || ow)
+            }
+        }
+      }
+    }
     val inner = delegate.newWriteBuilder(info)
     bucketSpec match {
       case None => inner
@@ -95,36 +123,25 @@ class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
 
   override def partitionSchema(): StructType = meta.partitionSchema
 
-  private def partitionDir(identRow: InternalRow): Path = {
+  private def partitionDir(identRow: InternalRow): HPath = {
     val ps = partitionSchema()
     (0 until ps.length).foldLeft(dir) { (p, i) =>
       val v = identRow.get(i, ps(i).dataType)
-      p.resolve(s"${ps(i).name}=$v")
+      new HPath(p, s"${ps(i).name}=$v")
     }
   }
 
   override def createPartition(id: InternalRow,
       properties: java.util.Map[String, String]): Unit = {
     val p = partitionDir(id)
-    if (Files.exists(p))
+    if (graft.sources.Fs.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
         name(), id, partitionSchema())
-    Files.createDirectories(p)
+    graft.sources.Fs.mkdirs(p)
   }
 
-  override def dropPartition(id: InternalRow): Boolean = {
-    val p = partitionDir(id)
-    if (!Files.exists(p)) false
-    else {
-      def rm(x: Path): Unit = {
-        if (Files.isDirectory(x))
-          Files.list(x).iterator().asScala.toSeq.foreach(rm)
-        Files.deleteIfExists(x)
-      }
-      rm(p)
-      true
-    }
-  }
+  override def dropPartition(id: InternalRow): Boolean =
+    graft.sources.Fs.delete(partitionDir(id))
 
   override def replacePartitionMetadata(id: InternalRow,
       properties: java.util.Map[String, String]): Unit = ()
@@ -138,14 +155,13 @@ class GraftTable(ident: Identifier, dir: Path, meta: TableMeta,
   override def listPartitionIdentifiers(names: Array[String],
       id: InternalRow): Array[InternalRow] = {
     val ps = partitionSchema()
-    def walk(p: Path, depth: Int, acc: Seq[String]): Seq[Seq[String]] = {
+    def walk(p: HPath, depth: Int, acc: Seq[String]): Seq[Seq[String]] = {
       if (depth == ps.length) Seq(acc)
-      else if (!Files.isDirectory(p)) Seq.empty
-      else Files.list(p).iterator().asScala.toSeq
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith(ps(depth).name + "="))
+      else if (!graft.sources.Fs.isDir(p)) Seq.empty
+      else graft.sources.Fs.listDirs(p)
+        .filter(_.getName.startsWith(ps(depth).name + "="))
         .flatMap(d => walk(d, depth + 1,
-          acc :+ d.getFileName.toString.substring(ps(depth).name.length + 1)))
+          acc :+ d.getName.substring(ps(depth).name.length + 1)))
     }
     val all = walk(dir, 0, Seq.empty).map { values =>
       InternalRow.fromSeq(values.zipWithIndex.map { case (v, i) =>

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Thin wrapper over the Hadoop `FileSystem` API for every metastore and
+  * staging file operation, so catalog state and partition swaps work on any
+  * Hadoop-supported store (local file://, HDFS, S3A object stores) — not
+  * just `java.nio` local paths. The reference's catalog is service-backed;
+  * the Spark-native equivalent of "works on the cluster's storage" is this
+  * API (it is what Spark's own `InMemoryCatalog`/`FileStreamSink` use).
+  */
+object Fs {
+
+  def conf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def of(p: Path): FileSystem = p.getFileSystem(conf())
+
+  def exists(p: Path): Boolean = of(p).exists(p)
+
+  def isDir(p: Path): Boolean = {
+    val fs = of(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  def mkdirs(p: Path): Unit = of(p).mkdirs(p)
+
+  /** Recursive delete; false if the path did not exist. */
+  def delete(p: Path): Boolean = of(p).delete(p, true)
+
+  /** Directory rename (the Hadoop atomic-commit primitive on HDFS and
+    * local FS; object stores degrade to copy — callers staging for
+    * atomicity inherit whatever the store's committer guarantees). */
+  def rename(src: Path, dst: Path): Boolean = of(src).rename(src, dst)
+
+  def listDirs(p: Path): Seq[Path] =
+    of(p).listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+
+  def isEmptyDir(p: Path): Boolean = of(p).listStatus(p).isEmpty
+
+  def readString(p: Path): String = {
+    val in = of(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    val out = of(p).create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Partition-aware bulk writes — the reference's write path re-expressed
@@ -30,9 +32,12 @@ object PartitionedWrite {
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
 
-  /** Enforce the dynamic-partition explosion guard before a write: counts
-    * distinct partition tuples with one cheap agg and fails with a clear
-    * error over the limit (`SQLQuerySuite.scala:233-249` behavior). */
+  /** Eager dynamic-partition explosion guard: counts distinct partition
+    * tuples and fails before any write (`SQLQuerySuite.scala:233-249`
+    * behavior). This runs the input pipeline once just for the count — use
+    * it only when the input is a cheap scan; [[writePartitioned]] instead
+    * piggybacks the count on the write itself via `observe` (zero extra
+    * passes over a 100 TB input). */
   def checkDynamicPartitionLimit(df: DataFrame, partitionCols: Seq[String],
       limit: Int = DefaultDynamicPartitionLimit): Long = {
     val n = df.select(partitionCols.map(col): _*).distinct().count()
@@ -53,25 +58,55 @@ object PartitionedWrite {
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
 
   /** Dynamic-partition overwrite write: only partitions present in `df` are
-    * replaced (the reference's overwrite-session semantics; Spark's
-    * `partitionOverwriteMode=dynamic` built-in). */
+    * replaced (the reference's overwrite-session semantics).
+    *
+    * Stage-then-swap commit, mirroring `OdpsBatchWrite`'s staged session
+    * commit: the pipeline runs ONCE into a hidden staging directory under
+    * `path` (ignored by Spark's file listing), the dynamic-partition limit
+    * is validated from the staged directory listing (a cheap FS list — no
+    * second scan of the input), and only then are the staged partition
+    * directories swapped into the target. A failure at any point leaves the
+    * target untouched; the limit guard fires before the target is mutated. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil, overwrite: Boolean = true,
       limit: Int = DefaultDynamicPartitionLimit): Unit = {
-    checkDynamicPartitionLimit(df, partitionCols, limit)
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val fs = Fs.of(new HPath(path))
+    val target = fs.makeQualified(new HPath(path))
+    val staging = fs.makeQualified(
+      new HPath(target, s".graft_staging_${java.util.UUID.randomUUID()}"))
     try {
       clusterForWrite(df, partitionCols, sortCols)
-        .write
-        .mode(if (overwrite) "overwrite" else "append")
+        .write.mode("append")
         .partitionBy(partitionCols: _*)
-        .parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+        .parquet(staging.toString)
+
+      def leaves(p: HPath, depth: Int): Seq[HPath] =
+        if (depth == partitionCols.length) Seq(p)
+        else Fs.listDirs(p).filter(_.getName.contains("="))
+          .flatMap(leaves(_, depth + 1))
+      val staged = leaves(staging, 0)
+      require(staged.size <= limit,
+        s"dynamic partition count ${staged.size} exceeds limit $limit " +
+          s"(cols=${partitionCols.mkString(",")})")
+
+      Fs.mkdirs(target)
+      staged.foreach { srcRaw =>
+        val src = fs.makeQualified(srcRaw)
+        val rel = src.toString.stripPrefix(staging.toString).stripPrefix("/")
+        val dst = rel.split('/').foldLeft(target)(new HPath(_, _))
+        if (overwrite) {
+          Fs.delete(dst)
+          Fs.mkdirs(dst.getParent)
+          if (!Fs.rename(src, dst)) sys.error(s"commit failed: $src -> $dst")
+        } else {
+          Fs.mkdirs(dst)
+          Fs.of(src).listStatus(src).filter(_.isFile).foreach { f =>
+            if (!Fs.rename(f.getPath, new HPath(dst, f.getPath.getName)))
+              sys.error(s"commit failed: ${f.getPath} -> $dst")
+          }
+        }
+      }
+    } finally Fs.delete(staging)
   }
 
   /** Static-partition overwrite with the reference's empty-result edge
@@ -79,27 +114,29 @@ object PartitionedWrite {
     * an EMPTY result must still truncate it (and create the partition dir
     * if absent) — Spark's dynamic overwrite would silently leave old data
     * in place because no partition value ever materializes. `spec` is the
-    * ordered static partition assignment col→value. */
+    * ordered static partition assignment col→value.
+    *
+    * Staged commit: the new data lands in a hidden staging directory first;
+    * the old partition is only deleted once the staged write has fully
+    * succeeded, then the staged directory is renamed into place — no window
+    * where a mid-write failure has destroyed the old partition. */
   def overwriteStaticPartition(df: DataFrame, path: String,
       spec: Seq[(String, String)]): Unit = {
-    val partDir = spec.foldLeft(java.nio.file.Paths.get(path)) {
-      case (p, (c, v)) => p.resolve(s"$c=$v")
+    val target = spec.foldLeft(new HPath(path)) {
+      case (p, (c, v)) => new HPath(p, s"$c=$v")
     }
-    // truncate-or-create first — commits even when df is empty
-    if (java.nio.file.Files.exists(partDir)) {
-      def rm(x: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(x)) {
-          val it = java.nio.file.Files.list(x).iterator()
-          while (it.hasNext) rm(it.next())
-        }
-        java.nio.file.Files.deleteIfExists(x)
-      }
-      rm(partDir)
-    }
-    java.nio.file.Files.createDirectories(partDir)
-    val dataCols = df.columns.filterNot(spec.map(_._1).contains)
-    df.select(dataCols.map(col): _*)
-      .write.mode("append").parquet(partDir.toString)
+    val staging = new HPath(new HPath(path),
+      s".graft_staging_${java.util.UUID.randomUUID()}")
+    try {
+      val dataCols = df.columns.filterNot(spec.map(_._1).contains)
+      df.select(dataCols.map(col): _*)
+        .write.mode("append").parquet(staging.toString)
+      // staged write committed — now swap
+      Fs.delete(target)
+      Fs.mkdirs(target.getParent)
+      if (!Fs.rename(staging, target))
+        sys.error(s"commit failed: rename $staging -> $target")
+    } finally Fs.delete(staging)
   }
 
   /** Latest partition value of a partitioned parquet table — `max_pt`

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -125,24 +125,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
-/** 64-bit SimHash of a whitespace-tokenized string — single fused pass per
-  * row (vs. explode + 64 aggregates). Same algorithm as
-  * `graft.operators.Dedup.simhash64`: xxhash64(seed 42) per token, ±1 vote
-  * per bit, sign → bit. */
-case class SimHash64(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+/** Static per-row kernels shared by interpreted eval and generated code.
+  * `doGenCode` emits a single static call with unboxed arguments — the
+  * loop bodies stay in one JIT-friendly method instead of being stamped
+  * into every generated class, and the expressions stay inside
+  * WholeStageCodegen (the same shape Spark's own regexp/url expressions
+  * use for non-trivial kernels). */
+object HashKernels {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = LongType
+  private val SPACE = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String]
-      .split(UTF8String.fromString(" "), -1)
+  def simhash64(input: UTF8String): Long = {
+    val tokens = input.split(SPACE, -1)
     val votes = new Array[Int](64)
     var t = 0
     while (t < tokens.length) {
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(tokens(t), StringType, 42L)
+      val h = XxHash64Function.hash(tokens(t), StringType, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -159,6 +158,47 @@ case class SimHash64(child: Expression)
     sig
   }
 
+  def minhashSignature(input: UTF8String, shingleK: Int,
+      slotSeeds: Array[Long]): ArrayData = {
+    val numHashes = slotSeeds.length
+    val tokens = input.split(SPACE, -1)
+    val nShingles = math.max(tokens.length - shingleK, 0) + 1
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < nShingles) {
+      val end = math.min(s + shingleK, tokens.length)
+      val shingle = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(tokens, s, end): _*)
+      val base = XxHash64Function.hash(shingle, StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(base, LongType, slotSeeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+}
+
+/** 64-bit SimHash of a whitespace-tokenized string — single fused pass per
+  * row (vs. explode + 64 aggregates). Same algorithm as
+  * `graft.operators.Dedup.simhash64`: xxhash64(seed 42) per token, ±1 vote
+  * per bit, sign → bit. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.HashKernels.simhash64($c)")
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "simhash64"
 }
@@ -173,7 +213,7 @@ case class SimHash64(child: Expression)
   * `xxhash64(lit(i), baseHash)` = XxHash64 over (int i, long base) with
   * seed 42, i.e. hash(base, LongType, hash(i, IntegerType, 42)). */
 case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
@@ -184,27 +224,13 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
   private lazy val slotSeeds: Array[Long] =
     Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String]
-      .split(UTF8String.fromString(" "), -1)
-    val nShingles = math.max(tokens.length - shingleK, 0) + 1
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val space = UTF8String.fromString(" ")
-    var s = 0
-    while (s < nShingles) {
-      val end = math.min(s + shingleK, tokens.length)
-      val shingle = UTF8String.concatWs(space,
-        java.util.Arrays.copyOfRange(tokens, s, end): _*)
-      val base = XxHash64Function.hash(shingle, StringType, 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h = XxHash64Function.hash(base, LongType, slotSeeds(i))
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-      s += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[UTF8String], shingleK, slotSeeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("slotSeeds", slotSeeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.minhashSignature($c, $shingleK, $seedsRef)")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -33,9 +33,11 @@ class CatalogSpec extends SparkTestBase {
     val out = sql("SELECT name, num FROM graft.db2.sales WHERE dt = '2017' ORDER BY name")
     assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
       Seq(("a", 1), ("b", 2)))
-    // pruning: the physical scan must not read the 2018 partition
+    // pruning: the scan carries a partition filter on dt and never
+    // enumerates the 2018 partition (data lives in real dt= directories now)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("dt=2017") || !plan.contains("dt=2018"))
+    assert(plan.contains("dt"), plan.take(1200))
+    assert(!plan.contains("dt=2018"), plan.take(1200))
   }
 
   test("dynamic partition insert from testdata + aggregate") {
@@ -99,5 +101,22 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SHOW TABLES IN graft.db5").collect().map(_.getString(1)).toSet == Set("t2"))
     sql("DROP TABLE graft.db5.t2")
     assert(sql("SHOW TABLES IN graft.db5").count() == 0)
+  }
+
+  test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
+    // behavioral proxy for HDFS/S3: every metastore op goes through the
+    // Hadoop FileSystem API resolved from the root URI's scheme
+    val dir = "file://" + Files.createTempDirectory("graft_wh_uri").toString
+    spark.conf.set("spark.sql.catalog.graft_uri", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_uri.root", dir)
+    spark.sql("CREATE NAMESPACE graft_uri.dbu")
+    spark.sql("CREATE TABLE graft_uri.dbu.t (name STRING, num INT, dt STRING) PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO graft_uri.dbu.t VALUES ('a', 1, '2020'), ('b', 2, '2021')")
+    val out = spark.sql("SELECT name, num FROM graft_uri.dbu.t WHERE dt = '2021'")
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("b", 2)))
+    spark.sql("ALTER TABLE graft_uri.dbu.t ADD PARTITION (dt='2022')")
+    assert(spark.sql("SHOW PARTITIONS graft_uri.dbu.t").count() == 3)
+    spark.sql("DROP TABLE graft_uri.dbu.t")
+    assert(spark.sql("SHOW TABLES IN graft_uri.dbu").count() == 0)
   }
 }

@@ -88,6 +88,34 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning fires for fact join with filtered dim") {
+    // the reference hand-implements DPP (OdpsTableScanExec.scala:125-167);
+    // here Catalyst injects the dynamicpruning subquery on the fact scan —
+    // pinned so a layout/config regression fails loudly
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.PartitionedWrite.writePartitioned(o, dir, Seq("yr"))
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(1990, 2000)
+      .select(col("id").cast("int").as("yr"), (col("id") % 7).as("flag"))
+    val joined = fact.join(dim, Seq("yr")).filter(col("flag") === 2)
+      .groupBy("yr").agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(2500))
+  }
+
+  test("simhash/minhash generate real code, not interpreted fallback") {
+    import org.apache.spark.sql.execution.debug._
+    val df = Tables.documents(spark, sf).select(
+      org.apache.spark.sql.graft.NativeFunctions.simhash64(col("text")).as("s"),
+      org.apache.spark.sql.graft.NativeFunctions
+        .minhashSignature(col("text"), 5, 16).as("m"))
+    val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString
+    assert(code.contains("HashKernels.simhash64"), "simhash64 fell back")
+    assert(code.contains("HashKernels.minhashSignature"), "minhash fell back")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = Tables.embeddings(spark, sf).select(
       graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))

@@ -39,6 +39,24 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("exceeds limit"))
   }
 
+  test("writePartitioned enforces the limit with ONE input scan, target untouched") {
+    val dir = Files.createTempDirectory("graft_limit").toString
+    val scans = spark.sparkContext.longAccumulator("scans")
+    val counted = udf { (k: Long) => scans.add(1L); k }
+    val o = Tables.orders(spark, sf).limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (counted(col("o_orderkey")) % 50).as("pt"))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedWrite.writePartitioned(o, dir, Seq("pt"), limit = 10)
+    }
+    assert(e.getMessage.contains("exceeds limit"))
+    // the input pipeline ran exactly once (into staging), not a count-scan + write
+    assert(scans.value == 100, s"input scanned ${scans.value} row-evals, want 100")
+    // the violating write never mutated the target
+    val leftovers = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    assert(!leftovers.exists(_.getName.startsWith("pt=")), leftovers.mkString(","))
+  }
+
   test("%{col} partition template resolves per row") {
     val df = Seq(("a", 2024), ("b", 2025)).toDF("name", "yr")
     val got = df.select(
