@@ -631,6 +631,63 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // avro staging round trip (AvroImportMapper.java surface): write the
+    // working set to avro containers, read it back through the splittable
+    // input format, aggregate — oracle runs on the original parquet.
+    "q59_avro_ingest" -> ((s, d) => {
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q59").toString + "/data"
+      graft.sources.FileFormats.writeAvro(src, dir)
+      graft.sources.FileFormats.readAvro(s, dir, src.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // decimal end-to-end (SURVEY §7.4 risk): DECIMAL(12,2)/(38,18) columns
+    // written to parquet (decimal logical type), read back, aggregated in
+    // decimal, rendered as strings so the compare is exact at full scale.
+    "q60_decimal_agg" -> ((s, d) => {
+      val src = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_d"),
+          // through (12,2) first: both engines agree on the 2-decimal value,
+          // then widen — a direct double→(38,18) cast differs in the last
+          // ulps (DuckDB expands the binary double, Spark shortest-rounds)
+          col("l_discount").cast(DecimalType(12, 2))
+            .cast(DecimalType(38, 18)).as("disc_d"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q60").toString + "/data"
+      src.write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_d")).cast(DecimalType(38, 2)).cast(StringType).as("sum_price"),
+          min(col("price_d")).cast(StringType).as("min_price"),
+          max(col("price_d")).cast(StringType).as("max_price"),
+          sum(col("disc_d")).cast(DecimalType(38, 18)).cast(StringType).as("sum_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // map-typed scalar functions (SURVEY §1.2 MAP<k,v> surface):
+    // map_from_arrays / element_at / size / map_keys / map_values
+    "q61_map_funcs" -> ((s, d) => {
+      t(s, d, "nation")
+        .select(col("n_nationkey"),
+          map_from_arrays(
+            array(lit("nk"), lit("name")),
+            array(col("n_nationkey").cast(StringType), col("n_name"))).as("m"))
+        .select(col("n_nationkey"),
+          element_at(col("m"), "name").as("name_v"),
+          size(col("m")).cast(LongType).as("m_size"),
+          array_join(map_keys(col("m")), ",").as("ks"),
+          array_join(map_values(col("m")), "|").as("vs"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // ---- generator / UDTF family (explode, SURVEY §2.10) ----
     "q37_explode_tokens" -> ((s, d) => {
       t(s, d, "documents")
@@ -1083,6 +1140,35 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q59_avro_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q60_decimal_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+        | CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS min_price,
+        | CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price,
+        | CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS VARCHAR) AS sum_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q61_map_funcs" ->
+      """SELECT n_nationkey,
+        | m['name'][1] AS name_v,
+        | CAST(cardinality(m) AS BIGINT) AS m_size,
+        | array_to_string(map_keys(m), ',') AS ks,
+        | array_to_string(map_values(m), '|') AS vs
+        |FROM (SELECT n_nationkey,
+        |  MAP(['nk','name'], [CAST(n_nationkey AS VARCHAR), n_name]) AS m
+        | FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q37_explode_tokens" ->
       """SELECT token, count(*) AS n

@@ -20,7 +20,13 @@ object Sessionize {
 
   /** Session ids without the built-in (portable formulation — identical to
     * what the DuckDB oracle computes): new-session flag via lag, running
-    * sum per key. Used to cross-check `session_window` semantics. */
+    * sum per key. Used to cross-check `session_window` semantics.
+    *
+    * Gap boundary (pinned by SessionizeSpec): `session_window` MERGES an
+    * event whose gap equals the duration exactly — the session interval is
+    * closed at prev_ts + gap — so a new session starts only when the gap is
+    * STRICTLY GREATER than the duration; this formulation and the q49
+    * oracle both use `>`. */
   def sessionIds(df: DataFrame, ts: String, key: String, tieBreak: String,
       gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

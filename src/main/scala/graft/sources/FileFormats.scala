@@ -56,4 +56,142 @@ object FileFormats {
     line => names.zipWithIndex.map { case (n, i) =>
       split(line, java.util.regex.Pattern.quote(delimiter)).getItem(i).as(n)
     }
+
+  // ---- SequenceFile / raw-key text (RawKeyTextOutputFormat.java,
+  //      Sqoop --as-sequencefile surface) ----
+
+  /** Keyed SequenceFile egest: (key, value) Text pairs, one container per
+    * task, block-compressed-capable and splittable on re-read. */
+  def writeKeyedSequenceFile(df: DataFrame, path: String,
+      keyCol: String, valueCol: String): Unit = {
+    import org.apache.hadoop.io.Text
+    import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
+    val ki = df.schema.fieldIndex(keyCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    df.rdd.mapPartitions(_.map { r =>
+        (new Text(String.valueOf(r.get(ki))), new Text(String.valueOf(r.get(vi))))
+      })
+      .saveAsNewAPIHadoopFile(path, classOf[Text], classOf[Text],
+        classOf[SequenceFileOutputFormat[Text, Text]])
+  }
+
+  /** Keyed SequenceFile ingest → (key string, value string) DataFrame;
+    * splits parallelize across the container blocks. */
+  def readKeyedSequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.Text
+    import org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat
+    import org.apache.spark.sql.Row
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[SequenceFileInputFormat[Text, Text]],
+        classOf[Text], classOf[Text])
+      // copy out of the reader's reused Writable buffers before advancing
+      .map { case (k, v) => Row(k.toString, v.toString) }
+    spark.createDataFrame(rows, StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** RawKeyTextOutputFormat semantics (`RawKeyTextOutputFormat.java`: key
+    * bytes + newline, value ignored): one string column out through the
+    * codegen'd text writer. */
+  def writeRawKeyText(df: DataFrame, path: String, keyCol: String): Unit =
+    df.select(col(keyCol).cast("string").as("value"))
+      .write.mode("overwrite").text(path)
+
+  // ---- Avro container files (AvroImportMapper.java / AvroExportMapper) ----
+  //
+  // Implemented over the Hadoop AvroKey{Input,Output}Format from avro-mapred
+  // (the exact machinery Sqoop's Avro mappers drive): reads are SPLITTABLE
+  // on the container sync markers, so a 100 TB avro directory parallelizes
+  // like parquet; writes stream one container file per task with no
+  // driver-side materialization. Supported types: the Sqoop import surface
+  // (boolean/int/long/float/double/string), nullable via union(null, T).
+
+  /** Spark schema → Avro record schema JSON (computed on the driver, shipped
+    * as a string — avro Schema itself is not serializable). */
+  private[sources] def avroSchemaJson(schema: StructType, name: String): String = {
+    import org.apache.spark.sql.types._
+    def base(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType | ShortType | ByteType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case other => sys.error(s"avro egest: unsupported type $other " +
+        "(Sqoop avro surface is primitive columns)")
+    }
+    val fields = schema.fields.map { f =>
+      val t = if (f.nullable) s"""["null", ${base(f.dataType)}]""" else base(f.dataType)
+      s"""{"name": "${f.name}", "type": $t, "default": null}"""
+    }.mkString(",")
+    s"""{"type": "record", "name": "$name", "fields": [$fields]}"""
+  }
+
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+
+    val schema = df.schema
+    val json = avroSchemaJson(schema, "graft_record")
+    val job = Job.getInstance(Fs.conf())
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(json))
+    val n = schema.length
+    df.rdd.mapPartitions { rows =>
+      val avro = new Schema.Parser().parse(json)
+      rows.map { r =>
+        val rec: GenericRecord = new GenericData.Record(avro)
+        var i = 0
+        while (i < n) {
+          rec.put(i, if (r.isNullAt(i)) null else r.get(i) match {
+            case s: String => s
+            case b: Byte => b.toInt
+            case s: Short => s.toInt
+            case v => v
+          })
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.Row
+
+    val job = Job.getInstance(Fs.conf())
+    AvroJob.setInputKeySchema(job,
+      new org.apache.avro.Schema.Parser().parse(avroSchemaJson(schema, "graft_record")))
+    val n = schema.length
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        job.getConfiguration)
+      // convert before the iterator advances — the record reader reuses the
+      // underlying datum object
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row.fromSeq((0 until n).map { i =>
+          rec.get(i) match {
+            case null => null
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v => v
+          }
+        })
+      }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessionize
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gap boundary: exact-gap event MERGES, gap+1s starts a new session") {
+    // pins Spark's closed-interval merge semantics: an event exactly
+    // `gap` after the previous one stays in the session; one second more
+    // starts a new session — the lag/sum oracle formulation uses `>`
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(mins: Int, secs: Int = 0) =
+      new Timestamp(t0.getTime + mins * 60000L + secs * 1000L)
+    val df = Seq(
+      (1L, 1L, t0),
+      (1L, 2L, plus(30)),          // exactly 30 min later → merges (closed boundary)
+      (1L, 3L, plus(60, 1))        // 30:01 after event 2 → NEW session
+    ).toDF("user_id", "event_id", "ts")
+
+    val sw = Sessionize.sessions(df, "ts", "user_id", "30 minutes")
+      .orderBy("session_start")
+      .collect().map(_.getLong(2)).toSeq
+    assert(sw == Seq(2L, 1L), s"session_window events per session: $sw")
+
+    // the portable lag/sum formulation must agree on the boundary
+    val ids = Sessionize.sessionIds(df, "ts", "user_id", "event_id", 1800L)
+      .groupBy("session_id").agg(count(lit(1)).as("n"))
+      .orderBy("session_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(ids == Seq(2L, 1L), s"sessionIds events per session: $ids")
+  }
+
+  test("session_window and sessionIds agree on real event data") {
+    val ev = Tables.events(spark, sf)
+    val a = Sessionize.sessions(ev, "ts", "user_id", "30 minutes")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val b = Sessionize.sessionIds(ev, "ts", "user_id", "event_id", 1800L)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+}

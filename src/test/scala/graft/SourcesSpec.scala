@@ -116,6 +116,36 @@ class SourcesSpec extends SparkTestBase {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("avro container round trip (splittable Hadoop input format)") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/data"
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderstatus") === "P", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+      .limit(500)
+    graft.sources.FileFormats.writeAvro(src, dir)
+    val back = graft.sources.FileFormats.readAvro(spark, dir, src.schema)
+    assert(back.count() == 500)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("keyed sequence file round trip + raw-key text output") {
+    val dir = Files.createTempDirectory("graft_seq").toString + "/data"
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("string").as("k"), col("n_name").as("v"))
+    graft.sources.FileFormats.writeKeyedSequenceFile(src, dir, "k", "v")
+    val back = graft.sources.FileFormats.readKeyedSequenceFile(spark, dir)
+      .withColumnsRenamed(Map("key" -> "k", "value" -> "v"))
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+
+    val txtDir = Files.createTempDirectory("graft_rawkey").toString
+    graft.sources.FileFormats.writeRawKeyText(src, txtDir, "v")
+    val lines = spark.read.text(txtDir)
+    assert(lines.count() == src.count())
+    assert(lines.join(src, lines("value") === src("v"), "left_anti").count() == 0)
+  }
+
   test("json lines round trip with fixed schema") {
     val dir = Files.createTempDirectory("graft_json").toString
     val src = Tables.events(spark, sf)
