@@ -14,7 +14,12 @@ object Bench {
     // query doesn't absorb one-time session costs.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset for iteration: SPARK_GRAFT_ONLY=q01_scan_filter,d29_...
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

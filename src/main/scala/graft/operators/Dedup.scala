@@ -52,6 +52,13 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 
+  /** Distinct shingle xxhash64 set as `array<long>` (fused native
+    * expression — no shingle strings in the plan). Set operations over
+    * these hashes equal the string-set operations up to 64-bit collisions,
+    * which is the same fidelity MinHash itself assumes. */
+  def shingleHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.NativeFunctions.shingleHashes(text, k)
+
   /** MinHash signatures as a narrow table: (id, m0..m{H-1}).
     *
     * Computed posting-style — explode shingles to rows, one xxhash64 per
@@ -115,7 +122,8 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val sh = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -206,9 +214,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       docFreqCap: Int = 32): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val sh = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("gh"))
     val prunedPosting = capBuckets(posting, Seq("gh"), docFreqCap)
     val pairs = prunedPosting.select(col("gh"), col("id").as("id_a"))
       .join(prunedPosting.select(col("gh"), col("id").as("id_b")), Seq("gh"))

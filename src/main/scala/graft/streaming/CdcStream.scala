@@ -47,15 +47,22 @@ object CdcStream {
 
   /** Run a CDC op stream to completion (test/verification path) and return
     * the final alive state per key. */
-  def runBatch(spark: SparkSession, ops: Dataset[CdcOp], name: String): Dataset[CdcState] = {
+  def runBatch(spark: SparkSession, ops: Dataset[CdcOp], name: String,
+      statePartitions: Int = 4): Dataset[CdcState] = {
     import spark.implicits._
     val q = applyStream(ops)
-    val sq = q.writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try sq.processAllAvailable() finally sq.stop()
+    // size state-store parallelism to the workload, not the batch shuffle
+    // width — every micro-batch pays per-store snapshot+commit IO
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val sq = q.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // memory sink in update mode appends per-batch snapshots; latest seq wins
     val tbl = spark.table(name).as[CdcState]
     import org.apache.spark.sql.expressions.Window

@@ -106,14 +106,25 @@ object MicroBatch {
 
   /** Run a streaming DataFrame to completion against the available input
     * (memory sink, complete mode) and return the materialized result —
-    * batch-equivalent semantics for tests/verification. */
-  def runToMemory(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q: StreamingQuery = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    * batch-equivalent semantics for tests/verification.
+    *
+    * `statePartitions` sizes the stateful-operator parallelism (one state
+    * store instance per shuffle partition, fixed for the life of the
+    * checkpoint): production streams size this to key cardinality / state
+    * volume rather than inheriting the batch shuffle width, since every
+    * micro-batch pays per-store snapshot+commit IO. */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
+      statePartitions: Int = 4): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q: StreamingQuery = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

@@ -158,6 +158,29 @@ object HashKernels {
     sig
   }
 
+  /** Distinct token k-shingle hashes in first-occurrence order — the same
+    * base hashing as [[minhashSignature]] (xxhash64 seed 42 over the
+    * space-joined shingle string), so a posting built from this explodes to
+    * exactly `xxhash64(shingle_string)` of the HOF formulation. */
+  def shingleHashes(input: UTF8String, shingleK: Int): ArrayData = {
+    val tokens = input.split(SPACE, -1)
+    val nShingles = math.max(tokens.length - shingleK, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nShingles * 2)
+    var s = 0
+    while (s < nShingles) {
+      val end = math.min(s + shingleK, tokens.length)
+      val shingle = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(tokens, s, end): _*)
+      seen.add(XxHash64Function.hash(shingle, StringType, 42L))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   def minhashSignature(input: UTF8String, shingleK: Int,
       slotSeeds: Array[Long]): ArrayData = {
     val numHashes = slotSeeds.length
@@ -237,6 +260,26 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** Distinct token k-shingle xxhash64 values of a whitespace-tokenized
+  * string, as `array<long>` — one fused pass per row; feeds posting-style
+  * dedup joins without ever materializing shingle strings in the plan. */
+case class ShingleHashes(child: Expression, shingleK: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.shingleHashes($c, $shingleK)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** Token count without materializing the token array: counts separator
   * bytes in one pass over the UTF8 buffer. */
 case class TokenCount(child: Expression)
@@ -301,6 +344,9 @@ object NativeFunctions {
   def minhashSignature(c: Column, shingleK: Int, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(c), shingleK, numHashes))
+
+  def shingleHashes(c: Column, shingleK: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c), shingleK))
 
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))
