@@ -509,6 +509,18 @@ object SparkEntry {
         .orderBy(col("survivor_id"))
     }),
 
+    // hash-first exact dedup (the 100 TB shape: only (id, hash) shuffles,
+    // key columns travel for colliding groups only); dups planted via a
+    // shifted-id union so the group output is non-trivial
+    "d62_dedup_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.exactDupGroups(planted, "doc_id", Seq("text"))
+        .select(col("survivor_id"), col("dup_count"))
+        .orderBy(col("survivor_id"))
+    }),
+
     "d29_minhash_neardup" -> ((s, d) => {
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
           shingleK = 5, numHashes = 128, bands = 32, threshold = 0.4)
@@ -1109,6 +1121,14 @@ object SparkEntry {
       """SELECT min(doc_id) AS survivor_id, count(*) AS dup_count
         |FROM documents
         |GROUP BY text
+        |ORDER BY survivor_id""".stripMargin,
+
+    "d62_dedup_groups" ->
+      """SELECT min(doc_id) AS survivor_id, count(*) AS dup_count
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY text
+        |HAVING count(*) > 1
         |ORDER BY survivor_id""".stripMargin,
 
     // Double-precision cosine spelled out element-wise: DuckDB's

@@ -24,6 +24,26 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact duplicate GROUPS at large-key scale: the first shuffle carries
+    * only (id, xxhash64(keys)) — 16 bytes/row, never the key columns
+    * themselves — and the true key columns travel only for rows whose hash
+    * group has >1 member (the candidate set, tiny for natural corpora).
+    * A 64-bit collision can only add a candidate; the final group-by on the
+    * real keys restores exactness. Returns (keyCols*, survivor_id,
+    * dup_count) for keys occurring more than once. */
+  def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val ids = df.select(col(idCol).as("id"),
+      xxhash64(keyCols.map(col): _*).as("kh"))
+    val cand = ids
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("kh")))
+      .filter(col("c") > 1)
+      .select("id")
+    df.join(cand, df(idCol) === cand("id"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+  }
+
   /** Keep rows whose bucket (over `keys`) has between 2 and `cap` members,
     * computed as a window count over the same keys. One shuffle: the window
     * hash-partitions on `keys`, the downstream self-join on the same keys

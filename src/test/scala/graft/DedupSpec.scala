@@ -54,6 +54,20 @@ class DedupSpec extends SparkTestBase {
     assert(out.forall(_.getDouble(2) >= 0.3))
   }
 
+  test("exactDupGroups matches full group-by on planted duplicates") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val planted = docs.unionByName(
+      docs.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val got = Dedup.exactDupGroups(planted, "doc_id", Seq("text"))
+      .select("survivor_id", "dup_count")
+    val want = planted.groupBy("text")
+      .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("dup_count"))
+      .filter($"dup_count" > 1)
+      .select("survivor_id", "dup_count")
+    assert(got.count() == docs.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("ngram jaccard finds a planted near-duplicate via hashed postings") {
     val base = Tables.documents(spark, sf).select("doc_id", "text")
     val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)
