@@ -10,10 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: initialize parquet reader + codegen paths so the first timed
-    // query doesn't absorb one-time session costs.
+    // Warmup: initialize parquet reader + codegen + shuffle/window/join
+    // machinery so the first timed queries measure steady state (what a
+    // long-running job sees), not one-time JIT/session costs.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(100000).select(col("id"), (col("id") % 97).as("k"))
+      w.withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+        .join(w.select(col("k"), col("id").as("id2")), "k")
+        .select(explode(array(col("id"), col("id2"))).as("x"))
+        .groupBy().max("x").collect()
+    }
     // Optional subset for iteration: SPARK_GRAFT_ONLY=q01_scan_filter,d29_...
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

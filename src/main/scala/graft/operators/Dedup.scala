@@ -44,6 +44,28 @@ object Dedup {
       .filter(col("dup_count") > 1)
   }
 
+  /** Ordered candidate pairs within capped buckets, WITHOUT a self-join:
+    * one groupBy on the bucket keys (which reuses the `capBuckets` window
+    * partitioning — no extra shuffle) collects the ≤cap member structs,
+    * then a pair-expansion HOF explodes the O(cap²)-bounded combinations.
+    * Compared to the classic bucket self-join this removes a second
+    * evaluation of the bucket subtree, the join itself, and one wide
+    * exchange. Returns columns `a`, `b` (structs of "id" +: payload),
+    * with a.id < b.id by construction (members sorted). The outer lambda
+    * references only the collected attribute, so Catalyst's lambda
+    * inlining hazard (see project notes) does not apply. */
+  private[graft] def bucketPairs(pruned: DataFrame, keys: Seq[String],
+      payload: Seq[String] = Nil): DataFrame = {
+    val member = struct(("id" +: payload).map(col): _*)
+    val buckets = pruned.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(member)).as("__xs"))
+    val pairsCol = flatten(transform(col("__xs"), (a, i) =>
+      transform(slice(col("__xs"), i + lit(2), size(col("__xs"))),
+        b => struct(a.as("a"), b.as("b")))))
+    buckets.select(explode(pairsCol).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+  }
+
   /** Keep rows whose bucket (over `keys`) has between 2 and `cap` members,
     * computed as a window count over the same keys. One shuffle: the window
     * hash-partitions on `keys`, the downstream self-join on the same keys
@@ -126,20 +148,17 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
-    val bandCols = (0 until bands).map(j =>
-      xxhash64(slice(col("sig"), j * r + 1, r)))
-    val banded = sigs
-      .select(col("id"), posexplode(array(bandCols: _*)))
+    // fused signature+banding kernel (bit-identical to
+    // xxhash64(slice(sig, j*r+1, r)) — pinned in ExpressionsSpec)
+    val banded = docs
+      .select(col(idCol).as("id"),
+        posexplode(org.apache.spark.sql.graft.NativeFunctions
+          .minhashBands(col(textCol), shingleK, numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
     val pruned = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucketSize)
 
-    val pairs = pruned.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-      .join(pruned.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val pairs = bucketPairs(pruned, Seq("band_idx", "band_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
     val sh = docs.select(col(idCol).as("id"),
@@ -209,15 +228,9 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
     val pruned = capBuckets(chunked, Seq("chunk_idx", "chunk_val"), maxBucketSize)
 
-    val l = pruned.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val rgt = pruned.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(rgt,
-        l("chunk_idx") === rgt("chunk_idx") && l("chunk_val") === rgt("chunk_val") &&
-          l("id_a") < rgt("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    bucketPairs(pruned, Seq("chunk_idx", "chunk_val"), payload = Seq("sig"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= radius)
   }
@@ -238,10 +251,8 @@ object Dedup {
       shingleHashes(col(textCol), shingleK).as("sh"))
     val posting = sh.select(col("id"), explode(col("sh")).as("gh"))
     val prunedPosting = capBuckets(posting, Seq("gh"), docFreqCap)
-    val pairs = prunedPosting.select(col("gh"), col("id").as("id_a"))
-      .join(prunedPosting.select(col("gh"), col("id").as("id_b")), Seq("gh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val pairs = bucketPairs(prunedPosting, Seq("gh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")

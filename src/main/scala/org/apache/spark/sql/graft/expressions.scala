@@ -158,6 +158,53 @@ object HashKernels {
     sig
   }
 
+  private def minhashSignatureRaw(input: UTF8String, shingleK: Int,
+      slotSeeds: Array[Long]): Array[Long] = {
+    val numHashes = slotSeeds.length
+    val tokens = input.split(SPACE, -1)
+    val nShingles = math.max(tokens.length - shingleK, 0) + 1
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < nShingles) {
+      val end = math.min(s + shingleK, tokens.length)
+      val shingle = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(tokens, s, end): _*)
+      val base = XxHash64Function.hash(shingle, StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(base, LongType, slotSeeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** MinHash LSH band hashes in one fused pass: signature (as in
+    * [[minhashSignature]]) folded into `bands` band keys, each the xxhash64
+    * chain over its `numHashes / bands` signature slots — bit-identical to
+    * Catalyst's `xxhash64(slice(sig, j*r+1, r))`, which seeds 42 and folds
+    * elements sequentially. */
+  def minhashBands(input: UTF8String, shingleK: Int, bands: Int,
+      slotSeeds: Array[Long]): ArrayData = {
+    val sig = minhashSignatureRaw(input, shingleK, slotSeeds)
+    val r = slotSeeds.length / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = 42L
+      var i = j * r
+      while (i < (j + 1) * r) {
+        h = XxHash64Function.hash(sig(i), LongType, h)
+        i += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Distinct token k-shingle hashes in first-occurrence order — the same
     * base hashing as [[minhashSignature]] (xxhash64 seed 42 over the
     * space-joined shingle string), so a posting built from this explodes to
@@ -182,27 +229,8 @@ object HashKernels {
   }
 
   def minhashSignature(input: UTF8String, shingleK: Int,
-      slotSeeds: Array[Long]): ArrayData = {
-    val numHashes = slotSeeds.length
-    val tokens = input.split(SPACE, -1)
-    val nShingles = math.max(tokens.length - shingleK, 0) + 1
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var s = 0
-    while (s < nShingles) {
-      val end = math.min(s + shingleK, tokens.length)
-      val shingle = UTF8String.concatWs(SPACE,
-        java.util.Arrays.copyOfRange(tokens, s, end): _*)
-      val base = XxHash64Function.hash(shingle, StringType, 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h = XxHash64Function.hash(base, LongType, slotSeeds(i))
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-      s += 1
-    }
-    ArrayData.toArrayData(sig)
-  }
+      slotSeeds: Array[Long]): ArrayData =
+    ArrayData.toArrayData(minhashSignatureRaw(input, shingleK, slotSeeds))
 }
 
 /** 64-bit SimHash of a whitespace-tokenized string — single fused pass per
@@ -258,6 +286,37 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+/** MinHash LSH band hashes of a whitespace-tokenized string — signature and
+  * banding fused into a single pass per row (array<long> of `bands` band
+  * keys). Replaces a 32-wide `xxhash64(slice(sig, ...))` expression tree
+  * with one kernel call: smaller generated code, one traversal. */
+case class MinHashBands(child: Expression, shingleK: Int, numHashes: Int,
+    bands: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashBands(input.asInstanceOf[UTF8String], shingleK, bands, slotSeeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("slotSeeds", slotSeeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.minhashBands($c, $shingleK, $bands, $seedsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_bands"
 }
 
 /** Distinct token k-shingle xxhash64 values of a whitespace-tokenized
@@ -347,6 +406,10 @@ object NativeFunctions {
 
   def shingleHashes(c: Column, shingleK: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c), shingleK))
+
+  def minhashBands(c: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
+    ExpressionUtils.column(MinHashBands(
+      ExpressionUtils.expression(c), shingleK, numHashes, bands))
 
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))

@@ -56,6 +56,35 @@ class ExpressionsSpec extends SparkTestBase {
     native.keys.foreach(k => assert(native(k) == posting(k), s"doc $k"))
   }
 
+  test("fused minhash bands are bit-compatible with xxhash64-over-slice") {
+    import org.apache.spark.sql.graft.NativeFunctions
+    val docs = Tables.documents(spark, sf).limit(50)
+    val sigs = NativeFunctions.minhashSignature($"text", 5, 128).as("sig")
+    val bandCols = (0 until 32).map(j =>
+      xxhash64(slice($"sig", j * 4 + 1, 4)).as(s"b$j"))
+    val sliced = docs.select($"doc_id", sigs)
+      .select(($"doc_id" +: bandCols): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getLong).toSeq).toMap
+    val fused = docs
+      .select($"doc_id", NativeFunctions.minhashBands($"text", 5, 128, 32).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    fused.keys.foreach(k => assert(fused(k) == sliced(k), s"doc $k"))
+  }
+
+  test("shingle hashes match xxhash64 over distinct string shingles") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).limit(50)
+    val viaStrings = docs
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+      .groupBy($"doc_id").agg(collect_set($"h").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaKernel = docs
+      .select($"doc_id", Dedup.shingleHashes($"text", 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    viaKernel.keys.foreach(k => assert(viaKernel(k) == viaStrings(k), s"doc $k"))
+  }
+
   test("minhash sketch aggregator estimates group similarity") {
     val agg = Aggregators.minhashSketchAgg(64)
     val sigs = Tables.documents(spark, sf)
