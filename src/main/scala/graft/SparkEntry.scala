@@ -651,7 +651,8 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
       val dir = java.nio.file.Files.createTempDirectory("graft_q59").toString + "/data"
-      graft.sources.FileFormats.writeAvro(src, dir)
+      // small working set → few staging containers (q51 precedent)
+      graft.sources.FileFormats.writeAvro(src.coalesce(4), dir)
       graft.sources.FileFormats.readAvro(s, dir, src.schema)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -673,7 +674,7 @@ object SparkEntry {
           col("l_discount").cast(DecimalType(12, 2))
             .cast(DecimalType(38, 18)).as("disc_d"))
       val dir = java.nio.file.Files.createTempDirectory("graft_q60").toString + "/data"
-      src.write.mode("overwrite").parquet(dir)
+      src.coalesce(4).write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

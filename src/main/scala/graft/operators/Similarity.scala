@@ -67,7 +67,11 @@ object Similarity {
     val sampleFraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
     val sample = embDf.select(array_to_vector(col(embCol)).as("features"))
       .sample(withReplacement = false, sampleFraction, seed = 42)
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(sample)
+    // random init, not k-means|| — the parallel init alone costs ~5 extra
+    // distributed passes, and IVF only needs coarse cells, not optimal
+    // clusters (recall comes from nprobe, verified in ScaleOpsSpec)
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
+      .setInitMode("random").fit(sample)
     val centers = model.clusterCenters.map(_.toArray.toSeq)
 
     // nearest-cell assignment: argmin_i ||x - c_i||^2 = argmin_i (||c_i||^2 - 2 x·c_i)
