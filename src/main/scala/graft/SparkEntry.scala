@@ -521,6 +521,32 @@ object SparkEntry {
         .orderBy(col("survivor_id"))
     }),
 
+    // dup-cluster resolution: pairs chained (id ↔ id+100k ↔ id+200k) so
+    // min-label propagation must traverse two hops per component
+    "d63_dup_clusters" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 100000L).as("id_b"))
+        .unionByName(ids.select((col("doc_id") + 100000L).as("id_a"),
+          (col("doc_id") + 200000L).as("id_b")))
+      Dedup.dupClusters(pairs)
+        .orderBy(col("id"))
+    }),
+
+    // deterministic stratified sampling (reproducible across engines and
+    // partitionings); the oracle-shared hash is modulo-on-key here, the
+    // operator's default is seeded xxhash64
+    "q64_hash_sample" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      Dedup.hashSample(o, "o_orderkey", 0.25,
+          hash = Some(col("o_orderkey") * 2654435761L % 1000003L),
+          denominator = 1000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "d29_minhash_neardup" -> ((s, d) => {
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
           shingleK = 5, numHashes = 128, bands = 32, threshold = 0.4)
@@ -1131,6 +1157,21 @@ object SparkEntry {
         |GROUP BY text
         |HAVING count(*) > 1
         |ORDER BY survivor_id""".stripMargin,
+
+    "d63_dup_clusters" ->
+      """SELECT id, cluster_id FROM (
+        | SELECT doc_id AS id, doc_id AS cluster_id FROM documents
+        | UNION ALL SELECT doc_id + 100000, doc_id FROM documents
+        | UNION ALL SELECT doc_id + 200000, doc_id FROM documents)
+        |ORDER BY id""".stripMargin,
+
+    "q64_hash_sample" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE ((o_orderkey * 2654435761) % 1000003) % 1000 < 250
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // Double-precision cosine spelled out element-wise: DuckDB's
     // list_cosine_similarity computes in float32, ours in float64.

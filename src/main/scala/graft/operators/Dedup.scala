@@ -261,6 +261,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters from a pair list: connected components by min-label
+    * propagation, so every member maps to its component's smallest id (the
+    * canonical survivor). Each iteration is one join + agg over the
+    * (small) dup-pair graph with lineage truncated via `localCheckpoint` —
+    * the standard DataFrame shape for iterative graph algorithms; LSH dup
+    * graphs have tiny diameters so this converges in a few rounds. Returns
+    * (id, cluster_id). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id")).agg(min("label").as("nl"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(
+          labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Deterministic stratified sample: keep a row iff its hash bucket (out
+    * of `denominator`) falls below `fraction · denominator` — reproducible
+    * across runs, partitionings and engines (unlike `df.sample`), zero
+    * shuffle, filter fully codegen'd. `hash` defaults to seeded xxhash64 of
+    * the id column; pass any deterministic expression to stratify
+    * differently (e.g. by user, by domain). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
+    val h = hash.getOrElse(xxhash64(lit("graft_sample"), col(idCol)))
+    df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
+  }
+
   /** Random-hyperplane LSH bucket key for an embedding column: sign bits of
     * `numPlanes` fixed-seed hyperplane dot products, packed into an int. */
   def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int = 16): Column = {

@@ -68,6 +68,29 @@ class DedupSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("dupClusters resolves chains and stars to the min id") {
+    // chain 1-2-3-4 and star 10-(11,12,13): all collapse to component min
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), got.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), got.toString)
+  }
+
+  test("hashSample is deterministic and close to the target fraction") {
+    val o = Tables.orders(spark, sf)
+    val a = Dedup.hashSample(o, "o_orderkey", 0.25)
+    val b = Dedup.hashSample(o, "o_orderkey", 0.25)
+    val (na, nb, n) = (a.count(), b.count(), o.count())
+    assert(na == nb)
+    val frac = na.toDouble / n
+    assert(frac > 0.2 && frac < 0.3, s"fraction $frac")
+    // sampling is a pushed-down codegen filter, no shuffle
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("ngram jaccard finds a planted near-duplicate via hashed postings") {
     val base = Tables.documents(spark, sf).select("doc_id", "text")
     val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)
