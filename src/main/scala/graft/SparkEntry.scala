@@ -547,6 +547,20 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // context-window packing: running token budget per language, one
+    // training sequence per (lang, bin)
+    "q65_token_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.graft.NativeFunctions.tokenCount(col("text"))
+          .cast(LongType).as("n_tokens"))
+      operators.TextAnalysis
+        .packByTokenBudget(docs, "n_tokens", 2048, col("lang"), col("doc_id"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("tok_sum"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     "d29_minhash_neardup" -> ((s, d) => {
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
           shingleK = 5, numHashes = 128, bands = 32, threshold = 0.4)
@@ -1164,6 +1178,21 @@ object SparkEntry {
         | UNION ALL SELECT doc_id + 100000, doc_id FROM documents
         | UNION ALL SELECT doc_id + 200000, doc_id FROM documents)
         |ORDER BY id""".stripMargin,
+
+    "q65_token_pack" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |packed AS (
+        | SELECT lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT) AS bin
+        | FROM toks)
+        |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+        |FROM packed
+        |GROUP BY lang, bin
+        |ORDER BY lang, bin""".stripMargin,
 
     "q64_hash_sample" ->
       """SELECT o_orderstatus, count(*) AS n,

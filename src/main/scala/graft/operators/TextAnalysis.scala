@@ -82,4 +82,23 @@ object TextAnalysis {
     * classic polynomial hash (no long overflow). 64-bit, expression-only. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  /** Pack documents into training context windows by running token budget:
+    * within each `group`, documents ordered by `order` are assigned
+    * `bin = floor((cumulative_tokens - tokens) / capacity)` — i.e. a bin
+    * boundary falls wherever the running total crosses a capacity multiple.
+    * One window shuffle per group; bins stream out in order so a downstream
+    * writer can emit one training sequence per (group, bin). Documents
+    * longer than `capacity` get a bin of their own (they overflow it, the
+    * consumer truncates — the standard greedy-packing contract). */
+  def packByTokenBudget(df: DataFrame, tokenCol: String, capacity: Int,
+      group: Column, order: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokenCol)) / capacity).cast(LongType))
+      .drop("__cum")
+  }
 }
