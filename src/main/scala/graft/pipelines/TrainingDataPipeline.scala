@@ -9,8 +9,9 @@ import graft.sources.PartitionedWrite
 
 /** End-to-end training-data curation: the composition a 100 TB pretraining
   * pipeline actually runs, built entirely from this library's operators —
-  * ingest → language-ID → quality filter → exact dedup → MinHash near-dup
-  * removal → tokenize/stats → partitioned shard write.
+  * ingest → language-ID → quality filter → optional deterministic sample →
+  * exact dedup → MinHash near-dup removal (cluster-canonical survivors via
+  * connected components) → tokenize/stats → partitioned shard write.
   *
   * Every stage is a DataFrame transform (Catalyst-optimized end to end:
   * the quality filter's expressions push into the same stage as language
@@ -24,7 +25,11 @@ object TrainingDataPipeline {
       minTokens: Int = 10,
       nearDupThreshold: Double = 0.8,
       shingleK: Int = 5,
-      outputPartitionCol: String = "lang")
+      outputPartitionCol: String = "lang",
+      /** Deterministic corpus downsample applied before dedup (None = all);
+        * hash-bucket sampling, so the same documents survive at any
+        * partitioning — reproducible ablation runs. */
+      sampleFraction: Option[Double] = None)
 
   final case class Report(
       input: Long, afterQuality: Long, afterExactDedup: Long,
@@ -50,13 +55,18 @@ object TrainingDataPipeline {
     df.join(survivors, "doc_id")
   }
 
-  /** Near-dup removal: MinHash candidate pairs above threshold; the larger
-    * doc_id of each pair is dropped (min-id survivor, transitively safe
-    * because pairs are verified with exact Jaccard). */
+  /** Near-dup removal with CLUSTER-canonical survivors: MinHash pairs →
+    * connected components ([[Dedup.dupClusters]]) → keep only each
+    * cluster's min id. Cluster resolution matters for chains: with pairs
+    * (1,2),(2,3) but no (1,3), pairwise loser-dropping would discard 3
+    * even though its only near-dup (2) is also dropped; clustering keeps
+    * exactly one representative per component. */
   def dropNearDups(df: DataFrame, cfg: Config): DataFrame = {
-    val losers = Dedup.minhashNearDups(df, "doc_id", "text",
-        shingleK = cfg.shingleK, threshold = cfg.nearDupThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleK = cfg.shingleK, threshold = cfg.nearDupThreshold)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
     df.join(losers, Seq("doc_id"), "left_anti")
   }
 
@@ -64,7 +74,10 @@ object TrainingDataPipeline {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Config = Config()): Report = {
     val annotated = annotate(docs).persist()
-    val quality = qualityFilter(annotated, cfg).persist()
+    val sampled = cfg.sampleFraction
+      .map(f => Dedup.hashSample(annotated, "doc_id", f))
+      .getOrElse(annotated)
+    val quality = qualityFilter(sampled, cfg).persist()
     val exact = dropExactDups(quality).persist()
     val deduped = dropNearDups(exact, cfg).persist()
 
