@@ -1158,6 +1158,32 @@ object SparkEntry {
         |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
 
+    // langid heuristic replicated: marker-hit argmax, ties broken to the
+    // lexicographically larger language code (Spark's array_max on
+    // struct(score, lang) — hence the descending CASE order)
+    "t26_langid" ->
+      """WITH scored AS (
+        | SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), w -> list_contains(['der','die','das','und','ist','nicht','ein'], w))) AS s_de,
+        |  len(list_filter(string_split(text,' '), w -> list_contains(['the','a','and','is','of','to','in'], w))) AS s_en,
+        |  len(list_filter(string_split(text,' '), w -> list_contains(['el','la','los','y','es','un','que'], w))) AS s_es,
+        |  len(list_filter(string_split(text,' '), w -> list_contains(['le','la','les','et','est','un','que'], w))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), w -> list_contains(['de5','shi4','le5','zai4','he2'], w))) AS s_zh
+        | FROM documents),
+        |pred AS (
+        | SELECT doc_id, lang,
+        |  CASE
+        |   WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+        |   WHEN s_zh = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'zh'
+        |   WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |   WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |   WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |   ELSE 'de' END AS predicted
+        | FROM scored)
+        |SELECT doc_id, lang, predicted, (predicted = lang) AS is_match
+        |FROM pred
+        |ORDER BY doc_id""".stripMargin,
+
     "d28_dedup_exact" ->
       """SELECT min(doc_id) AS survivor_id, count(*) AS dup_count
         |FROM documents
