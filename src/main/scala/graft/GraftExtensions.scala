@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, SimHash64, TokenCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashBands, MinHashSignature, ShingleHashes, SimHash64, TokenCount}
 
 /** Session extensions: inject the native expressions as SQL functions —
   * the registration pattern of the reference's `OdpsExtensions`
@@ -32,5 +32,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       exprs => TokenCount(exprs.head)))
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"expected integer literal, got $other")
+      }
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      exprs => ShingleHashes(exprs(0), intLit(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      exprs => MinHashSignature(exprs(0), intLit(exprs(1)), intLit(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+        intLit(exprs(3)))))
   }
 }

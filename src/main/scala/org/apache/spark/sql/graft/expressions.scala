@@ -417,6 +417,10 @@ object NativeFunctions {
   /** Register the native expressions for SQL use in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => sys.error(s"expected integer literal, got $other")
+    }
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
@@ -425,5 +429,12 @@ object NativeFunctions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("token_count",
       exprs => TokenCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+        intLit(exprs(3))), "built-in")
   }
 }

@@ -68,6 +68,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("bucketPairs equals the bucket self-join formulation") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "bucket")
+    val pruned = Dedup.capBuckets(df, Seq("bucket"), 20)
+    val viaPairs = Dedup.bucketPairs(pruned, Seq("bucket"))
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+    val viaJoin = pruned.select($"bucket", $"id".as("id_a"))
+      .join(pruned.select($"bucket", $"id".as("id_b")), Seq("bucket"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct()
+    assert(viaPairs.count() > 0)
+    assert(viaPairs.except(viaJoin).isEmpty && viaJoin.except(viaPairs).isEmpty)
+  }
+
   test("dupClusters resolves chains and stars to the min id") {
     // chain 1-2-3-4 and star 10-(11,12,13): all collapse to component min
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),

@@ -40,9 +40,14 @@ class ExpressionsSpec extends SparkTestBase {
     NativeFunctions.register(spark)
     Tables.documents(spark, sf).limit(10).createOrReplaceTempView("docs_expr")
     val out = spark.sql(
-      "SELECT token_count(text) AS tc, simhash64(text) AS sh FROM docs_expr")
+      """SELECT token_count(text) AS tc, simhash64(text) AS sh,
+        | size(shingle_hashes(text, 3)) AS nsh,
+        | size(minhash_signature(text, 5, 32)) AS nsig,
+        | size(minhash_bands(text, 5, 32, 8)) AS nb
+        |FROM docs_expr""".stripMargin)
     assert(out.count() == 10)
-    assert(out.head().getInt(0) > 0)
+    val h = out.head()
+    assert(h.getInt(0) > 0 && h.getInt(2) > 0 && h.getInt(3) == 32 && h.getInt(4) == 8)
   }
 
   test("native minhash signature is bit-compatible with the posting form") {

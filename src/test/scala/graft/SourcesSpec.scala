@@ -39,6 +39,37 @@ class SourcesSpec extends SparkTestBase {
     assert(e.getMessage.contains("exceeds limit"))
   }
 
+  test("append-mode partitioned write adds files without replacing partitions") {
+    val dir = Files.createTempDirectory("graft_pw_app").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+    PartitionedWrite.writePartitioned(o, dir, Seq("yr"))
+    val one = o.filter(col("yr") === 1995).limit(3)
+    PartitionedWrite.writePartitioned(one, dir, Seq("yr"), overwrite = false)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("yr") === 1995).count() ==
+      o.filter(col("yr") === 1995).count() + 3)
+    assert(after.filter(col("yr") =!= 1995).count() ==
+      o.filter(col("yr") =!= 1995).count())
+  }
+
+  test("multi-level partitioned write swaps nested partition dirs") {
+    val dir = Files.createTempDirectory("graft_pw_multi").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("st", col("o_orderstatus"))
+    PartitionedWrite.writePartitioned(o, dir, Seq("yr", "st"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == o.count())
+    // replace one leaf partition; sibling statuses in the same year survive
+    val one = o.filter(col("yr") === 1995 && col("st") === "O").limit(1)
+    PartitionedWrite.writePartitioned(one, dir, Seq("yr", "st"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("yr") === 1995 && col("st") === "O").count() == 1)
+    assert(after.filter(col("yr") === 1995 && col("st") =!= "O").count() ==
+      o.filter(col("yr") === 1995 && col("st") =!= "O").count())
+  }
+
   test("writePartitioned enforces the limit with ONE input scan, target untouched") {
     val dir = Files.createTempDirectory("graft_limit").toString
     val scans = spark.sparkContext.longAccumulator("scans")
