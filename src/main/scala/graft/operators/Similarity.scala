@@ -46,6 +46,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** One-time corpus bucketization for [[lshTopKPrebucketed]]: adds the
+    * hyperplane bucket as a column. Persist the result partitioned by
+    * `bucket` (e.g. `PartitionedWrite.writePartitioned(_, dir,
+    * Seq("bucket"))`) and each query becomes a partition-pruned scan. */
+  def bucketize(embDf: DataFrame, idCol: String, embCol: String, dim: Int,
+      numPlanes: Int = 12): DataFrame =
+    embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+      hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
+
+  /** All bucket ids within Hamming distance `r` of `bucket` (multi-probe
+    * set) — small for small r: C(p,0)+C(p,1)+...+C(p,r). */
+  private[graft] def probeSet(bucket: Long, numPlanes: Int, r: Int): Seq[Long] = {
+    def flips(start: Int, left: Int, cur: Long): Seq[Long] =
+      if (left == 0) Seq(cur)
+      else (start until numPlanes).flatMap(i =>
+        flips(i + 1, left - 1, cur ^ (1L << i)))
+    (0 to r).flatMap(k => flips(0, k, bucket)).distinct
+  }
+
+  /** ANN top-k over a pre-bucketized corpus ([[bucketize]]): the probe is a
+    * `bucket IN (...)` filter over the enumerated multi-probe set, so a
+    * corpus stored partitioned by bucket scans only `|probe set| / 2^planes`
+    * of itself — the genuine 100 TB path ([[lshTopK]] recomputes buckets
+    * per query, which is a full scan). */
+  def lshTopKPrebucketed(
+      bucketed: DataFrame, query: Seq[Double], k: Int,
+      dim: Int, numPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val qBucket = {
+      val rnd = new scala.util.Random(42)
+      val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+      planes.zipWithIndex.map { case (p, i) =>
+        if (p.zip(query).map { case (a, b) => a * b }.sum > 0.0) 1L << i else 0L
+      }.sum
+    }
+    val probes = probeSet(qBucket, numPlanes, probeHamming)
+    bucketed.filter(col("bucket").isin(probes: _*))
+      .select(col("id"), cosine(col("emb"), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
     * `nlist` cells; a query scans only the `nprobe` nearest cells. The
     * 100 TB deployment writes the cell-assigned table partitioned by

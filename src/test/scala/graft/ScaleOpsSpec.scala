@@ -52,6 +52,20 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ck.load("job1").get.toLong == ev.agg(max("event_id")).head().getLong(0))
   }
 
+  test("prebucketed lsh ann equals the inline form") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" =!= 0)
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val inline = Similarity.lshTopK(emb, "vec_id", "embedding", 64, q, 10,
+        numPlanes = 12, probeHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bucketed = Similarity.bucketize(emb, "vec_id", "embedding", 64, 12)
+    val pre = Similarity.lshTopKPrebucketed(bucketed, q, 10, 64,
+        numPlanes = 12, probeHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline == pre, s"$inline vs $pre")
+  }
+
   test("ivf ann has decent recall vs brute force") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" =!= 0)
     val q = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
