@@ -494,6 +494,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction over planted identifiers (synthetic corpus has none)
+    "q66_redact" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://ex.com/page tel 555-123-4567")).as("dirty"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("dirty")).as("clean"))
+        .withColumn("has_email", col("clean").contains("<EMAIL>"))
+        .withColumn("still_dirty", col("clean").contains("@example.com"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // overlapping token-window chunking (RAG/embedding prep)
+    "q67_chunk" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkByTokens(col("text"), 64, 8)))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+          org.apache.spark.sql.graft.NativeFunctions.tokenCount(col("col"))
+            .cast(LongType).as("chunk_tokens"),
+          substring(col("col"), 1, 30).as("chunk_head"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "t27_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1157,6 +1184,39 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
+
+    "q66_redact" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or https://ex.com/page tel 555-123-4567' AS d
+        | FROM documents WHERE doc_id < 100),
+        |cleaned AS (
+        | SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        | FROM dirty)
+        |SELECT doc_id, clean,
+        | contains(clean, '<EMAIL>') AS has_email,
+        | contains(clean, '@example.com') AS still_dirty
+        |FROM cleaned
+        |ORDER BY doc_id""".stripMargin,
+
+    "q67_chunk" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50),
+        |chunks AS (
+        | SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(list_slice(t, i*56+1, i*56+64), ' ') AS chunk
+        | FROM toks,
+        |  unnest(range(0, CAST(floor(greatest(len(t)-8-1, 0)/56.0) AS BIGINT) + 1)) AS u(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+        | substring(chunk, 1, 30) AS chunk_head
+        |FROM chunks
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // langid heuristic replicated: marker-hit argmax, ties broken to the
     // lexicographically larger language code (Spark's array_max on

@@ -83,6 +83,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
+  /** PII redaction for training corpora: emails, URLs and phone-shaped
+    * numbers are replaced with stable placeholder tokens. Pure codegen'd
+    * regexp chain (RE2-compatible patterns, so the same rules run on any
+    * engine); extend the chain for locale-specific identifiers. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ ]+", "<URL>")
+    regexp_replace(url, "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")
+  }
+
+  /** Overlapping token-window chunks (RAG/embedding prep): windows of
+    * `size` tokens advancing by `size - overlap`, as an array of chunk
+    * strings. Expression-only (sequence → slice → join), so chunking is a
+    * zero-shuffle map stage; explode downstream to one row per chunk. */
+  def chunkByTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val t = tokens(text)
+    val lastIdx = floor(
+      greatest(size(t) - overlap - 1, lit(0)).cast(DoubleType) / step)
+      .cast(IntegerType)
+    transform(sequence(lit(0), lastIdx),
+      i => array_join(slice(t, i * step + 1, lit(chunkSize)), " "))
+  }
+
   /** Pack documents into training context windows by running token budget:
     * within each `group`, documents ordered by `order` are assigned
     * `bin = floor((cumulative_tokens - tokens) / capacity)` — i.e. a bin
