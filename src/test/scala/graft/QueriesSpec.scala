@@ -15,7 +15,8 @@ class QueriesSpec extends SparkTestBase {
   test("every query key has either an oracle or is declared expression-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops (hash-seeded / approximate): rows-only check.
-    assert(noOracle == Set("t26_langid", "t27_fingerprint",
+    // (t26_langid graduated to an exact DuckDB oracle in round 2)
+    assert(noOracle == Set("t27_fingerprint",
       "d29_minhash_neardup", "d30_simhash_neardup", "d31_embed_neardup",
       "s33_ann_lsh", "q38_approx", "d40_ngram_neardup", "s41_knn_graph",
       "t42_group_sketch", "m43_frame_sample", "s44_ann_ivf"),
