@@ -160,6 +160,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         val f = StructField(a.fieldNames().mkString("."), a.dataType(), a.isNullable)
         meta = meta.copy(schema = StructType(meta.schema.fields :+ f))
+      case r: TableChange.RenameColumn =>
+        val from = r.fieldNames().mkString(".")
+        require(!meta.partitionCols.contains(from),
+          s"cannot rename partition column $from")
+        meta = meta.copy(schema = StructType(meta.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = r.newName()) else f)))
+      case d: TableChange.DeleteColumn =>
+        val name = d.fieldNames().mkString(".")
+        require(!meta.partitionCols.contains(name),
+          s"cannot drop partition column $name")
+        require(meta.schema.fieldNames.contains(name), s"no such column $name")
+        meta = meta.copy(schema =
+          StructType(meta.schema.fields.filterNot(_.name == name)))
       case c => throw new UnsupportedOperationException(s"alterTable: $c")
     }
     meta.write(metaFile(dir))

@@ -103,6 +103,17 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SHOW TABLES IN graft.db5").count() == 0)
   }
 
+  test("alter table: add, rename and drop data columns") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    sql("CREATE TABLE graft.db7.t (a INT, b STRING, dt STRING) PARTITIONED BY (dt)")
+    sql("ALTER TABLE graft.db7.t ADD COLUMN c DOUBLE")
+    sql("ALTER TABLE graft.db7.t RENAME COLUMN b TO b2")
+    sql("ALTER TABLE graft.db7.t DROP COLUMN a")
+    val cols = sql("DESCRIBE TABLE graft.db7.t").collect().map(_.getString(0))
+    assert(cols.contains("b2") && cols.contains("c") && !cols.contains("a"))
+    intercept[Exception] { sql("ALTER TABLE graft.db7.t DROP COLUMN dt") }
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme
