@@ -47,6 +47,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     root = new HPath(Option(options.get("root"))
       .getOrElse(sys.error(s"catalog $name needs option 'root'")))
     Fs.mkdirs(root)
+    // dynamic-overwrite writes need the planner strategy (no V1 fallback
+    // exec exists for OverwritePartitionsDynamic)
+    SparkSession.getActiveSession.foreach(graft.plans.GraftStrategies.install)
   }
 
   override def name(): String = catalogName
@@ -164,6 +167,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val from = r.fieldNames().mkString(".")
         require(!meta.partitionCols.contains(from),
           s"cannot rename partition column $from")
+        // metadata-only rename over existing parquet (resolved by name)
+        // would silently read the renamed column as NULL — require rewrite
+        require(!hasDataFiles(dir),
+          s"RENAME COLUMN requires a table rewrite on non-empty tables")
         meta = meta.copy(schema = StructType(meta.schema.fields.map(f =>
           if (f.name == from) f.copy(name = r.newName()) else f)))
       case d: TableChange.DeleteColumn =>
@@ -171,6 +178,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(!meta.partitionCols.contains(name),
           s"cannot drop partition column $name")
         require(meta.schema.fieldNames.contains(name), s"no such column $name")
+        // dropping then re-adding over existing files would resurrect data
+        require(!hasDataFiles(dir),
+          s"DROP COLUMN requires a table rewrite on non-empty tables")
         meta = meta.copy(schema =
           StructType(meta.schema.fields.filterNot(_.name == name)))
       case c => throw new UnsupportedOperationException(s"alterTable: $c")
@@ -178,6 +188,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     meta.write(metaFile(dir))
     loadTable(ident)
   }
+
+  /** Any data under the table dir: partition dirs or bare parquet files. */
+  private def hasDataFiles(dir: HPath): Boolean =
+    Fs.of(dir).listStatus(dir).exists(s =>
+      (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        (s.isDirectory && s.getPath.getName.contains("=")))
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
@@ -188,7 +204,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Fs.rename(tablePath(oldIdent), tablePath(newIdent))
+    // Hadoop rename reports failure as false, not an exception
+    if (!Fs.rename(tablePath(oldIdent), tablePath(newIdent)))
+      sys.error(s"rename failed: ${tablePath(oldIdent)} -> ${tablePath(newIdent)} " +
+        "(does the target namespace exist?)")
   }
 }
 

@@ -42,6 +42,11 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     new CaseInsensitiveStringMap(Map("path" -> dir.toString).asJava),
     Seq(dir.toString), Some(meta.schema), classOf[ParquetFileFormat])
 
+  /** Table directory (for the strategy-planned write path). */
+  def location: String = dir.toString
+  /** Ordered partition column names. */
+  def partitionColumnNames: Seq[String] = meta.partitionCols
+
   override def name(): String = ident.toString
   override def schema(): StructType = meta.schema
   override def partitioning(): Array[Transform] =
@@ -50,12 +55,18 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     meta.properties.asJava
 
   override def capabilities(): java.util.Set[TableCapability] = {
-    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
-    // V1_BATCH_WRITE routes partitioned inserts through the staged
-    // partitioned writer; unpartitioned/bucketed tables stay on DSv2.
-    (if (meta.partitionCols.nonEmpty) base + TableCapability.V1_BATCH_WRITE
-     else base).asJava
+    // Partitioned tables route writes through the V1 fallback into the
+    // staged partitioned writer (real col=value layout) — except dynamic
+    // overwrite, which Spark has no V1 fallback exec for and which
+    // GraftStrategies plans onto the same writer directly.
+    // Unpartitioned/bucketed tables stay on DSv2.
+    (if (meta.partitionCols.nonEmpty)
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+    else
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)).asJava
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -68,18 +79,51 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     // flat). Dynamic INSERT OVERWRITE maps to the staged dynamic-partition
     // overwrite — `OdpsBatchWrite`'s overwrite-session semantics.
     if (meta.partitionCols.nonEmpty) {
-      import org.apache.spark.sql.connector.write.{SupportsDynamicOverwrite, SupportsTruncate, V1Write}
-      return new WriteBuilder with SupportsDynamicOverwrite with SupportsTruncate {
-        private var overwrite = false
-        override def truncate(): WriteBuilder = { overwrite = true; this }
-        override def overwriteDynamicPartitions(): WriteBuilder = { overwrite = true; this }
+      import org.apache.spark.sql.connector.write.{SupportsDynamicOverwrite, SupportsOverwrite, V1Write, WriteBuilder => WB}
+      import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo => FEq, Filter}
+      return new WB with SupportsOverwrite with SupportsDynamicOverwrite {
+        // None = plain append; Some(Nil) = full-table overwrite (static
+        // INSERT OVERWRITE); Some(spec) = static partition-subtree
+        // overwrite; DYNAMIC = replace only staged partitions (session
+        // partitionOverwriteMode=dynamic at plan time)
+        private var truncateSpec: Option[Seq[(String, String)]] = None
+        private var dynamic = false
+        // satisfies V2Writes; the actual dynamic plan comes from
+        // GraftStrategies → GraftDynamicOverwriteExec
+        override def overwriteDynamicPartitions(): WB = { dynamic = true; this }
+        override def overwrite(filters: Array[Filter]): WB = {
+          val dynamicMode = SparkSession.active.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+          filters match {
+            case Array(_: AlwaysTrue) | Array() if dynamicMode =>
+              dynamic = true
+            case Array(_: AlwaysTrue) | Array() =>
+              truncateSpec = Some(Nil)
+            case fs =>
+              val eqs = fs.map {
+                case FEq(attr, v) => attr -> String.valueOf(v)
+                case other => sys.error(s"unsupported overwrite filter $other " +
+                  "(static partition specs only)")
+              }.toMap
+              // partition spec must be a leading prefix of the partition cols
+              val prefix = meta.partitionCols.takeWhile(eqs.contains)
+              require(prefix.size == eqs.size,
+                s"overwrite spec $eqs must be a leading prefix of " +
+                  s"partition columns ${meta.partitionCols.mkString(",")}")
+              truncateSpec = Some(prefix.map(c => c -> eqs(c)))
+          }
+          this
+        }
         override def build(): org.apache.spark.sql.connector.write.Write = new V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit =
                 graft.sources.PartitionedWrite.writePartitioned(
                   data, dir.toString, meta.partitionCols,
-                  overwrite = overwrite || ow)
+                  overwrite = dynamic || truncateSpec.isDefined || ow,
+                  truncateSpec = truncateSpec.orElse(
+                    if (ow && !dynamic) Some(Nil) else None))
             }
         }
       }

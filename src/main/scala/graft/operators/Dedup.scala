@@ -32,13 +32,13 @@ object Dedup {
     * real keys restores exactness. Returns (keyCols*, survivor_id,
     * dup_count) for keys occurring more than once. */
   def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val ids = df.select(col(idCol).as("id"),
+    val ids = df.select(col(idCol).as("__dup_id"),
       xxhash64(keyCols.map(col): _*).as("kh"))
     val cand = ids
       .withColumn("c", count(lit(1)).over(Window.partitionBy("kh")))
       .filter(col("c") > 1)
-      .select("id")
-    df.join(cand, df(idCol) === cand("id"))
+      .select("__dup_id") // distinct name so an idCol named "id" can't collide
+    df.join(cand, df(idCol) === cand("__dup_id")).drop("__dup_id")
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
@@ -266,7 +266,10 @@ object Dedup {
     * canonical survivor). Each iteration is one join + agg over the
     * (small) dup-pair graph with lineage truncated via `localCheckpoint` —
     * the standard DataFrame shape for iterative graph algorithms; LSH dup
-    * graphs have tiny diameters so this converges in a few rounds. Returns
+    * graphs have tiny diameters so this converges in a few rounds.
+    * Checkpoint blocks are O(graph vertices) — two longs per dup-pair
+    * member, a sliver of corpus size — and superseded iterations' blocks
+    * are reclaimed by Spark's ContextCleaner once unreferenced. Returns
     * (id, cluster_id). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -304,12 +307,19 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
   }
 
+  /** Fixed-seed hyperplane set — the single source of truth for LSH plane
+    * generation; [[hyperplaneBucket]] (executor side) and
+    * `Similarity.lshTopKPrebucketed`'s query bucket (driver side) both use
+    * it, so their bucket keys are bit-identical by construction. */
+  private[graft] def hyperplanes(dim: Int, numPlanes: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane LSH bucket key for an embedding column: sign bits of
     * `numPlanes` fixed-seed hyperplane dot products, packed into an int. */
   def hyperplaneBucket(emb: Column, dim: Int, numPlanes: Int = 16): Column = {
-    val rnd = new scala.util.Random(42)
-    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
+    val bits = hyperplanes(dim, numPlanes).zipWithIndex.map { case (p, i) =>
       when(VectorFunctions.dot(emb, VectorFunctions.vec(p)) > 0.0, 1L << i)
         .otherwise(0L)
     }

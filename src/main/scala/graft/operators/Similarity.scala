@@ -73,13 +73,10 @@ object Similarity {
   def lshTopKPrebucketed(
       bucketed: DataFrame, query: Seq[Double], k: Int,
       dim: Int, numPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
-    val qBucket = {
-      val rnd = new scala.util.Random(42)
-      val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-      planes.zipWithIndex.map { case (p, i) =>
+    val qBucket = Dedup.hyperplanes(dim, numPlanes).zipWithIndex.map {
+      case (p, i) =>
         if (p.zip(query).map { case (a, b) => a * b }.sum > 0.0) 1L << i else 0L
-      }.sum
-    }
+    }.sum
     val probes = probeSet(qBucket, numPlanes, probeHamming)
     bucketed.filter(col("bucket").isin(probes: _*))
       .select(col("id"), cosine(col("emb"), vec(query)).as("cosine"))

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, OverwritePartitionsDynamic}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.catalog.GraftTable
+
+/** Planner strategy for the one write shape Spark cannot route through the
+  * V1 fallback: dynamic partition overwrite (`INSERT OVERWRITE` with
+  * `partitionOverwriteMode=dynamic`) — there is no
+  * `OverwritePartitionsDynamicExecV1`, so without this strategy a
+  * partitioned [[GraftTable]] would need a full custom DSv2 BatchWrite.
+  * Instead the logical `OverwritePartitionsDynamic` over a GraftTable is
+  * planned directly onto the staged partitioned writer
+  * ([[graft.sources.PartitionedWrite.writePartitioned]]), which already
+  * implements replace-touched-partitions with stage-then-swap commit.
+  * This is the reference's `OdpsExtensions` strategy-injection pattern
+  * (`spark-connector/.../extension/OdpsExtensions.scala:89-149`). */
+class GraftStrategies(spark: SparkSession) extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case o: OverwritePartitionsDynamic => o.table match {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case gt: GraftTable =>
+            GraftDynamicOverwriteExec(gt, o.query, spark) :: Nil
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    case _ => Nil
+  }
+}
+
+object GraftStrategies {
+  /** Idempotently attach to a live session (runtime equivalent of
+    * configuring GraftExtensions at session build). */
+  def install(spark: SparkSession): Unit = {
+    val es = spark.experimental.extraStrategies
+    if (!es.exists(_.isInstanceOf[GraftStrategies]))
+      spark.experimental.extraStrategies = es :+ new GraftStrategies(spark)
+  }
+}
+
+/** Eagerly-executed command node: materializes the aligned insert query
+  * (analysis has already resolved it to the table's column order and
+  * names) and hands it to the staged partitioned writer. */
+case class GraftDynamicOverwriteExec(table: GraftTable, query: LogicalPlan,
+    spark: SparkSession) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private def run(): Unit = {
+    val df = org.apache.spark.sql.graft.Catalogs.ofRows(spark, query)
+    graft.sources.PartitionedWrite.writePartitioned(
+      df, table.location, table.partitionColumnNames, overwrite = true)
+  }
+
+  override def executeCollect(): Array[InternalRow] = { run(); Array.empty }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    run()
+    sparkContext.emptyRDD
+  }
+}

@@ -124,8 +124,12 @@ object FileFormats {
         "(Sqoop avro surface is primitive columns)")
     }
     val fields = schema.fields.map { f =>
-      val t = if (f.nullable) s"""["null", ${base(f.dataType)}]""" else base(f.dataType)
-      s"""{"name": "${f.name}", "type": $t, "default": null}"""
+      // a null default is only legal on union-with-null types — Avro 1.12
+      // validates defaults at parse time
+      if (f.nullable)
+        s"""{"name": "${f.name}", "type": ["null", ${base(f.dataType)}], "default": null}"""
+      else
+        s"""{"name": "${f.name}", "type": ${base(f.dataType)}}"""
     }.mkString(",")
     s"""{"type": "record", "name": "$name", "fields": [$fields]}"""
   }
@@ -176,6 +180,7 @@ object FileFormats {
     AvroJob.setInputKeySchema(job,
       new org.apache.avro.Schema.Parser().parse(avroSchemaJson(schema, "graft_record")))
     val n = schema.length
+    val fieldTypes: Array[String] = schema.fields.map(_.dataType.typeName).toArray
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable],
@@ -185,9 +190,13 @@ object FileFormats {
       .map { case (k, _) =>
         val rec = k.datum()
         Row.fromSeq((0 until n).map { i =>
+          val narrowTo = fieldTypes(i)
           rec.get(i) match {
             case null => null
             case u: org.apache.avro.util.Utf8 => u.toString
+            // avro int widens Short/Byte on write; narrow back per schema
+            case v: java.lang.Integer if narrowTo == "short" => v.shortValue()
+            case v: java.lang.Integer if narrowTo == "byte" => v.byteValue()
             case v => v
           }
         })

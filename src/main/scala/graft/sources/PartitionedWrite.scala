@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{Path => HPath}
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Partition-aware bulk writes — the reference's write path re-expressed
@@ -36,8 +36,9 @@ object PartitionedWrite {
     * tuples and fails before any write (`SQLQuerySuite.scala:233-249`
     * behavior). This runs the input pipeline once just for the count — use
     * it only when the input is a cheap scan; [[writePartitioned]] instead
-    * piggybacks the count on the write itself via `observe` (zero extra
-    * passes over a 100 TB input). */
+    * validates the limit from its staged directory listing (a cheap FS
+    * list after the single staging write — zero extra passes over a
+    * 100 TB input). */
   def checkDynamicPartitionLimit(df: DataFrame, partitionCols: Seq[String],
       limit: Int = DefaultDynamicPartitionLimit): Long = {
     val n = df.select(partitionCols.map(col): _*).distinct().count()
@@ -65,15 +66,25 @@ object PartitionedWrite {
     * `path` (ignored by Spark's file listing), the dynamic-partition limit
     * is validated from the staged directory listing (a cheap FS list — no
     * second scan of the input), and only then are the staged partition
-    * directories swapped into the target. A failure at any point leaves the
-    * target untouched; the limit guard fires before the target is mutated. */
+    * directories swapped into the target. A failure before the swap leaves
+    * the target untouched and cleans staging; a failure DURING the swap
+    * preserves the staging directory (it may hold the only copy of data
+    * whose target partition was already cleared) and names it in the error
+    * for recovery. `truncateSpec` widens the replacement beyond the staged
+    * partitions once the staged write has validated: `Some(Nil)` drops ALL
+    * existing partitions first (static INSERT OVERWRITE semantics),
+    * `Some(prefixSpec)` drops the matching partition subtree (static
+    * PARTITION(col=value) overwrite — truncates even when the new data is
+    * empty), `None` touches only staged partitions. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil, overwrite: Boolean = true,
-      limit: Int = DefaultDynamicPartitionLimit): Unit = {
+      limit: Int = DefaultDynamicPartitionLimit,
+      truncateSpec: Option[Seq[(String, String)]] = None): Unit = {
     val fs = Fs.of(new HPath(path))
     val target = fs.makeQualified(new HPath(path))
     val staging = fs.makeQualified(
       new HPath(target, s".graft_staging_${java.util.UUID.randomUUID()}"))
+    var swapping = false
     try {
       clusterForWrite(df, partitionCols, sortCols)
         .write.mode("append")
@@ -90,6 +101,15 @@ object PartitionedWrite {
           s"(cols=${partitionCols.mkString(",")})")
 
       Fs.mkdirs(target)
+      swapping = true
+      truncateSpec.foreach { spec =>
+        if (spec.isEmpty)
+          Fs.listDirs(target).filter(_.getName.contains("=")).foreach(Fs.delete)
+        else
+          Fs.delete(spec.foldLeft(target) { case (p, (c, v)) =>
+            new HPath(p, s"$c=$v")
+          })
+      }
       staged.foreach { srcRaw =>
         val src = fs.makeQualified(srcRaw)
         val rel = src.toString.stripPrefix(staging.toString).stripPrefix("/")
@@ -97,16 +117,19 @@ object PartitionedWrite {
         if (overwrite) {
           Fs.delete(dst)
           Fs.mkdirs(dst.getParent)
-          if (!Fs.rename(src, dst)) sys.error(s"commit failed: $src -> $dst")
+          if (!Fs.rename(src, dst))
+            sys.error(s"commit failed: $src -> $dst; staged data preserved at $staging")
         } else {
           Fs.mkdirs(dst)
           Fs.of(src).listStatus(src).filter(_.isFile).foreach { f =>
             if (!Fs.rename(f.getPath, new HPath(dst, f.getPath.getName)))
-              sys.error(s"commit failed: ${f.getPath} -> $dst")
+              sys.error(s"commit failed: ${f.getPath} -> $dst; " +
+                s"staged data preserved at $staging")
           }
         }
       }
-    } finally Fs.delete(staging)
+      swapping = false
+    } finally if (!swapping) Fs.delete(staging)
   }
 
   /** Static-partition overwrite with the reference's empty-result edge
@@ -119,7 +142,10 @@ object PartitionedWrite {
     * Staged commit: the new data lands in a hidden staging directory first;
     * the old partition is only deleted once the staged write has fully
     * succeeded, then the staged directory is renamed into place — no window
-    * where a mid-write failure has destroyed the old partition. */
+    * where a mid-write failure has destroyed the old partition. If the
+    * final rename itself fails (after the old partition was cleared), the
+    * staging directory is PRESERVED — it holds the only copy — and the
+    * error names it for recovery. */
   def overwriteStaticPartition(df: DataFrame, path: String,
       spec: Seq[(String, String)]): Unit = {
     val target = spec.foldLeft(new HPath(path)) {
@@ -127,16 +153,20 @@ object PartitionedWrite {
     }
     val staging = new HPath(new HPath(path),
       s".graft_staging_${java.util.UUID.randomUUID()}")
+    var swapping = false
     try {
       val dataCols = df.columns.filterNot(spec.map(_._1).contains)
       df.select(dataCols.map(col): _*)
         .write.mode("append").parquet(staging.toString)
       // staged write committed — now swap
+      swapping = true
       Fs.delete(target)
       Fs.mkdirs(target.getParent)
       if (!Fs.rename(staging, target))
-        sys.error(s"commit failed: rename $staging -> $target")
-    } finally Fs.delete(staging)
+        sys.error(s"commit failed: rename $staging -> $target; " +
+          s"staged data preserved at $staging")
+      swapping = false
+    } finally if (!swapping) Fs.delete(staging)
   }
 
   /** Latest partition value of a partitioned parquet table — `max_pt`

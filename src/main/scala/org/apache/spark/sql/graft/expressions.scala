@@ -385,6 +385,14 @@ object Catalogs {
       name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalogManager.catalog(name)
+
+  /** DataFrame over an analyzed logical plan (private[sql] Dataset.ofRows) —
+    * used by the strategy-planned write path. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
 /** Column-level entry points for the native expressions. */

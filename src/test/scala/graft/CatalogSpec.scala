@@ -114,6 +114,25 @@ class CatalogSpec extends SparkTestBase {
     intercept[Exception] { sql("ALTER TABLE graft.db7.t DROP COLUMN dt") }
   }
 
+  test("INSERT OVERWRITE: static replaces the whole table, dynamic only touched parts") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    sql("CREATE TABLE graft.db8.t (v INT, dt STRING) PARTITIONED BY (dt)")
+    sql("INSERT INTO graft.db8.t VALUES (1,'2020'), (2,'2021')")
+    // static mode (default): partitions absent from the insert must be dropped
+    sql("INSERT OVERWRITE graft.db8.t VALUES (3,'2022')")
+    val stat = sql("SELECT v, dt FROM graft.db8.t").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(stat == Set((3, "2022")), stat.toString)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT INTO graft.db8.t VALUES (4,'2023')")
+      sql("INSERT OVERWRITE graft.db8.t VALUES (5,'2022')")
+      val dyn = sql("SELECT v, dt FROM graft.db8.t").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(dyn == Set((5, "2022"), (4, "2023")), dyn.toString)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme

@@ -68,6 +68,12 @@ class DedupSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("exactDupGroups works when the id column is literally named 'id'") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
+    val got = Dedup.exactDupGroups(df, "id", Seq("text")).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L && got(0).getLong(2) == 2L)
+  }
+
   test("bucketPairs equals the bucket self-join formulation") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 400).map(i => (i.toLong, rnd.nextInt(40).toLong))

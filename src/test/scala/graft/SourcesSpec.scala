@@ -177,6 +177,16 @@ class SourcesSpec extends SparkTestBase {
     assert(lines.join(src, lines("value") === src("v"), "left_anti").count() == 0)
   }
 
+  test("avro round trip with non-nullable and narrow-int columns") {
+    val dir = Files.createTempDirectory("graft_avro_nn").toString + "/data"
+    val src = spark.range(100).select(col("id"),
+      (col("id") % 5).cast("smallint").as("k"),
+      (col("id") % 3).cast("tinyint").as("b"))
+    graft.sources.FileFormats.writeAvro(src, dir)
+    val back = graft.sources.FileFormats.readAvro(spark, dir, src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("json lines round trip with fixed schema") {
     val dir = Files.createTempDirectory("graft_json").toString
     val src = Tables.events(spark, sf)
