@@ -105,6 +105,21 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("dynamicpruning"), p.take(2500))
   }
 
+  test("near-dup plans stay at two wide exchanges (no self-join blowup)") {
+    // the in-bucket pair expansion keeps the whole pipeline at: one window
+    // shuffle on the bucket keys + one shuffle for pair-dedup/verify — a
+    // reintroduced bucket self-join or count-join-back would add exchanges
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    Seq(
+      graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text"),
+      graft.operators.Dedup.ngramJaccardNearDups(docs, "doc_id", "text")
+    ).foreach { df =>
+      val p = plan(df)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= 3, s"plan grew to $n wide exchanges:\n" + p.take(1500))
+    }
+  }
+
   test("simhash/minhash generate real code, not interpreted fallback") {
     import org.apache.spark.sql.execution.debug._
     val df = Tables.documents(spark, sf).select(
