@@ -521,6 +521,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // benchmark decontamination: docs ≡ 0 (mod 25) form the "benchmark";
+    // at threshold 0.99 only their exact corpus twins are removed
+    "q68_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      Dedup.decontaminate(docs, bench, "doc_id", "text", threshold = 0.99)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // Gopher-style intra-doc repetition quality signal
+    "q69_repetition" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextAnalysis.repetitionRatio(col("text"), 2), 5).as("rep2"),
+          round(TextAnalysis.repetitionRatio(
+            concat(col("text"), lit(" "), col("text")), 2), 5).as("rep2_doubled"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t27_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1183,6 +1206,32 @@ object SparkEntry {
         |  4) AS quality
         |FROM documents
         |WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "q68_decontaminate" ->
+      """SELECT lang, count(*) AS n,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE doc_id % 25 <> 0
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q69_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id, string_split(text, ' ') AS t,
+        |  string_split(text || ' ' || text, ' ') AS t2
+        | FROM documents WHERE doc_id < 200),
+        |r AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, greatest(len(t)-2, 0) + 1),
+        |   i -> array_to_string(list_slice(t, i+1, i+2), ' ')) AS grams,
+        |  list_transform(range(0, greatest(len(t2)-2, 0) + 1),
+        |   i -> array_to_string(list_slice(t2, i+1, i+2), ' ')) AS grams2
+        | FROM g)
+        |SELECT doc_id,
+        | round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 5) AS rep2,
+        | round(1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / len(grams2), 5) AS rep2_doubled
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "q66_redact" ->

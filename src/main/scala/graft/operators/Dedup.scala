@@ -74,10 +74,11 @@ object Dedup {
     * nothing to persist. This is the shared skew guard for every LSH
     * operator here: a degenerate bucket of N members is O(N²) pairs in one
     * reducer, so buckets above `cap` are dropped. */
-  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
+      minSize: Int = 2): DataFrame =
     df.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bsz").between(2, cap))
+      .filter(col("__bsz").between(minSize, cap))
       .drop("__bsz")
 
   /** Token k-shingles of a text column ("w1 w2 .. wk" strings). */
@@ -305,6 +306,39 @@ object Dedup {
       hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
     val h = hash.getOrElse(xxhash64(lit("graft_sample"), col(idCol)))
     df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
+  }
+
+  /** Benchmark decontamination: drop corpus documents whose shingle overlap
+    * with any benchmark document reaches `threshold` Jaccard — the standard
+    * pretraining hygiene step (test-set leakage removal). Same posting
+    * shape as [[ngramJaccardNearDups]] but the join is corpus×benchmark,
+    * never corpus×corpus, so cost scales with the (small) benchmark side:
+    * benchmark postings are document-frequency-unpruned (a benchmark doc
+    * must never escape because its phrasing is common — `docFreqCap`
+    * applies to the CORPUS side only). Returns the clean corpus. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, threshold: Double = 0.5,
+      docFreqCap: Int = 64): DataFrame = {
+    val cSh = corpus.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+    // minSize=1: a corpus doc's UNIQUE shingles (df=1) are precisely what
+    // match its benchmark twin — the self-join default of 2 would drop them
+    val cPost = capBuckets(
+      cSh.select(col("id"), explode(col("sh")).as("gh")), Seq("gh"), docFreqCap,
+      minSize = 1)
+    val bSh = benchmark.select(col(idCol).as("bid"),
+      shingleHashes(col(textCol), shingleK).as("bsh"))
+    val bPost = bSh.select(col("bid"), explode(col("bsh")).as("gh"))
+    val candidates = cPost.join(bPost, "gh")
+      .select("id", "bid").distinct()
+    val dirty = candidates
+      .join(cSh, "id").join(bSh, "bid")
+      .select(col("id"), jaccard(col("sh"), col("bsh")).as("j"))
+      .filter(col("j") >= threshold)
+      .select("id").distinct()
+    corpus.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** Fixed-seed hyperplane set — the single source of truth for LSH plane

@@ -83,6 +83,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
+  /** Intra-document repetition ratio (Gopher/RefinedWeb-style quality
+    * rule): fraction of token n-grams that are repeats of an earlier
+    * n-gram in the same document — 0.0 for fully novel text, → 1.0 for
+    * boilerplate loops. Expression-only, zero shuffle. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
+      size(grams).cast(DoubleType)
+  }
+
   /** PII redaction for training corpora: emails, URLs and phone-shaped
     * numbers are replaced with stable placeholder tokens. Pure codegen'd
     * regexp chain (RE2-compatible patterns, so the same rules run on any

@@ -68,6 +68,18 @@ class DedupSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("decontaminate removes near-matches of benchmark docs, keeps the rest") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)
+    val mutated = donor.split(" ").dropRight(1).mkString(" ") + " zzz"
+    // benchmark holds a slightly-mutated copy of doc 7 — still leaked
+    val bench = Seq((900001L, mutated)).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(base, bench, "doc_id", "text",
+      threshold = 0.6)
+    assert(clean.filter($"doc_id" === 7).count() == 0, "leaked doc survived")
+    assert(clean.count() == base.count() - 1, "over-removal")
+  }
+
   test("exactDupGroups works when the id column is literally named 'id'") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
     val got = Dedup.exactDupGroups(df, "id", Seq("text")).collect()
