@@ -705,6 +705,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // resize planning over decoded media metadata (stub decode → real
+    // distributed plan; deterministic, rows-only check)
+    "m70_resize" -> ((s, d) => {
+      val meta = operators.Multimodal.decode(operators.Multimodal.withPayload(
+        t(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text"))
+      operators.Multimodal.resizePlan(meta, maxDim = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- ingest parsing (flume regex/delimiter serializers, SURVEY §2.2) ----
     "q36_regexp_extract" -> ((s, d) => {
       t(s, d, "events")

@@ -99,29 +99,50 @@ object Similarity {
       query: Seq[Double], k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       fitSampleRows: Long = 100000L): DataFrame = {
+    // random init, not k-means|| — the parallel init alone costs ~5 extra
+    // distributed passes, and IVF only needs coarse cells, not optimal
+    // clusters (recall comes from nprobe, verified in ScaleOpsSpec)
+    val centers = ivfFit(embDf, embCol, nlist, fitSampleRows)
+    ivfTopKPreassigned(
+      ivfAssign(embDf, idCol, embCol, centers), centers, query, k, nprobe)
+  }
+
+  /** Fit IVF centroids once (capped sample, fixed seed) — the build step
+    * of the 100 TB deployment. Returns the centroid vectors. */
+  def ivfFit(embDf: DataFrame, embCol: String, nlist: Int,
+      fitSampleRows: Long = 100000L): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val n = embDf.count()
     val sampleFraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
     val sample = embDf.select(array_to_vector(col(embCol)).as("features"))
       .sample(withReplacement = false, sampleFraction, seed = 42)
-    // random init, not k-means|| — the parallel init alone costs ~5 extra
-    // distributed passes, and IVF only needs coarse cells, not optimal
-    // clusters (recall comes from nprobe, verified in ScaleOpsSpec)
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
-      .setInitMode("random").fit(sample)
-    val centers = model.clusterCenters.map(_.toArray.toSeq)
+    new KMeans().setK(nlist).setSeed(42).setMaxIter(8).setInitMode("random")
+      .fit(sample).clusterCenters.map(_.toArray.toSeq).toSeq
+  }
 
-    // nearest-cell assignment: argmin_i ||x - c_i||^2 = argmin_i (||c_i||^2 - 2 x·c_i)
-    def cellOf(v: Column): Column = {
-      val scored = centers.zipWithIndex.map { case (c, i) =>
-        val cNorm = c.map(x => x * x).sum
-        struct((lit(cNorm) - lit(2.0) * dot(v, vec(c))).as("d"),
-          lit(i).as("cell"))
-      }
-      array_min(array(scored: _*)).getField("cell")
+  /** Nearest-centroid cell id: argmin ||x−c||² = argmin (||c||² − 2·x·c). */
+  def cellOf(v: Column, centers: Seq[Seq[Double]]): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2.0) * dot(v, vec(c))).as("d"),
+        lit(i).as("cell"))
     }
+    array_min(array(scored: _*)).getField("cell")
+  }
 
+  /** One-time cell assignment for [[ivfTopKPreassigned]]: persist the
+    * result partitioned by `cell` and each probe is a partition-pruned
+    * scan of `nprobe / nlist` of the corpus. */
+  def ivfAssign(embDf: DataFrame, idCol: String, embCol: String,
+      centers: Seq[Seq[Double]]): DataFrame =
+    embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+      cellOf(col(embCol), centers).as("cell"))
+
+  /** ANN top-k over a pre-assigned corpus: `cell IN (nprobe nearest)` is a
+    * plain pushable filter — no per-row centroid scoring at query time. */
+  def ivfTopKPreassigned(assigned: DataFrame, centers: Seq[Seq[Double]],
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val probeCells = centers.zipWithIndex
       .map { case (c, i) =>
         val d = c.map(x => x * x).sum -
@@ -129,10 +150,7 @@ object Similarity {
         (d, i)
       }
       .sortBy(_._1).take(nprobe).map(_._2)
-
-    embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
-        cellOf(col(embCol)).as("cell"))
-      .filter(col("cell").isin(probeCells: _*))
+    assigned.filter(col("cell").isin(probeCells: _*))
       .select(col("id"), cosine(col("emb"), vec(query)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)

@@ -19,7 +19,7 @@ class QueriesSpec extends SparkTestBase {
     assert(noOracle == Set("t27_fingerprint",
       "d29_minhash_neardup", "d30_simhash_neardup", "d31_embed_neardup",
       "s33_ann_lsh", "q38_approx", "d40_ngram_neardup", "s41_knn_graph",
-      "t42_group_sketch", "m43_frame_sample", "s44_ann_ivf"),
+      "t42_group_sketch", "m43_frame_sample", "s44_ann_ivf", "m70_resize"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
