@@ -116,6 +116,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tablePath(ident)
     if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val meta = TableMeta.read(metaFile(dir))
+    // initialize() may have run without an active session; every query
+    // path goes through loadTable, so (re-)install the write strategy here
+    graft.plans.GraftStrategies.install(SparkSession.active)
     new GraftTable(ident, dir, meta, SparkSession.active)
   }
 

@@ -80,7 +80,7 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     // overwrite — `OdpsBatchWrite`'s overwrite-session semantics.
     if (meta.partitionCols.nonEmpty) {
       import org.apache.spark.sql.connector.write.{SupportsDynamicOverwrite, SupportsOverwrite, V1Write, WriteBuilder => WB}
-      import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo => FEq, Filter}
+      import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe => FEqNs, EqualTo => FEq, Filter}
       return new WB with SupportsOverwrite with SupportsDynamicOverwrite {
         // None = plain append; Some(Nil) = full-table overwrite (static
         // INSERT OVERWRITE); Some(spec) = static partition-subtree
@@ -103,6 +103,7 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
             case fs =>
               val eqs = fs.map {
                 case FEq(attr, v) => attr -> String.valueOf(v)
+                case FEqNs(attr, v) => attr -> String.valueOf(v)
                 case other => sys.error(s"unsupported overwrite filter $other " +
                   "(static partition specs only)")
               }.toMap
@@ -171,7 +172,8 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     val ps = partitionSchema()
     (0 until ps.length).foldLeft(dir) { (p, i) =>
       val v = identRow.get(i, ps(i).dataType)
-      new HPath(p, s"${ps(i).name}=$v")
+      new HPath(p, graft.sources.PartitionedWrite.partSegment(
+        ps(i).name, String.valueOf(v)))
     }
   }
 
@@ -205,7 +207,8 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
       else graft.sources.Fs.listDirs(p)
         .filter(_.getName.startsWith(ps(depth).name + "="))
         .flatMap(d => walk(d, depth + 1,
-          acc :+ d.getName.substring(ps(depth).name.length + 1)))
+          acc :+ org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(d.getName.substring(ps(depth).name.length + 1))))
     }
     val all = walk(dir, 0, Seq.empty).map { values =>
       InternalRow.fromSeq(values.zipWithIndex.map { case (v, i) =>

@@ -310,34 +310,51 @@ object Dedup {
 
   /** Benchmark decontamination: drop corpus documents whose shingle overlap
     * with any benchmark document reaches `threshold` Jaccard — the standard
-    * pretraining hygiene step (test-set leakage removal). Same posting
-    * shape as [[ngramJaccardNearDups]] but the join is corpus×benchmark,
-    * never corpus×corpus, so cost scales with the (small) benchmark side:
-    * benchmark postings are document-frequency-unpruned (a benchmark doc
-    * must never escape because its phrasing is common — `docFreqCap`
-    * applies to the CORPUS side only). Returns the clean corpus. */
+    * pretraining hygiene step (test-set leakage removal).
+    *
+    * Two passes, both scaling with the (small) benchmark side:
+    *  1. EXACT pass — whole-text hash semi-join, uncapped, so verbatim
+    *     copies of a benchmark doc are always removed no matter how many
+    *     times they occur (the mass-contamination case that any
+    *     frequency-capped candidate generation could miss);
+    *  2. NEAR pass — shingle posting join. Per shingle, at most
+    *     `maxMatchesPerShingle` corpus candidates survive, chosen by a
+    *     per-shingle hash order (different survivors per shingle, so a
+    *     heavily duplicated near-match still surfaces through SOME of its
+    *     shingles with overwhelming probability); exact Jaccard then
+    *     verifies. This caps the join fan-out of shingles that are common
+    *     across the corpus at a bounded, documented recall trade. */
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = 5, threshold: Double = 0.5,
-      docFreqCap: Int = 64): DataFrame = {
+      maxMatchesPerShingle: Int = 64): DataFrame = {
+    // pass 1: exact text match, no caps anywhere
+    val bTexts = benchmark.select(xxhash64(col(textCol)).as("bth")).distinct()
+    val exactDirty = corpus
+      .join(bTexts, xxhash64(col(textCol)) === col("bth"), "left_semi")
+      .select(col(idCol).as("id"))
+
+    // pass 2: near matches via capped shingle postings + exact verify
     val cSh = corpus.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("sh"))
-    // minSize=1: a corpus doc's UNIQUE shingles (df=1) are precisely what
-    // match its benchmark twin — the self-join default of 2 would drop them
-    val cPost = capBuckets(
-      cSh.select(col("id"), explode(col("sh")).as("gh")), Seq("gh"), docFreqCap,
-      minSize = 1)
+    val w = Window.partitionBy("gh").orderBy(xxhash64(col("gh"), col("id")))
+    val cPost = cSh.select(col("id"), explode(col("sh")).as("gh"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxMatchesPerShingle)
+      .drop("__rn")
     val bSh = benchmark.select(col(idCol).as("bid"),
       shingleHashes(col(textCol), shingleK).as("bsh"))
     val bPost = bSh.select(col("bid"), explode(col("bsh")).as("gh"))
     val candidates = cPost.join(bPost, "gh")
       .select("id", "bid").distinct()
-    val dirty = candidates
+    val nearDirty = candidates
       .join(cSh, "id").join(bSh, "bid")
       .select(col("id"), jaccard(col("sh"), col("bsh")).as("j"))
       .filter(col("j") >= threshold)
-      .select("id").distinct()
+      .select("id")
+
+    val dirty = exactDirty.union(nearDirty).distinct()
     corpus.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 

@@ -86,14 +86,17 @@ object TextAnalysis {
   /** Intra-document repetition ratio (Gopher/RefinedWeb-style quality
     * rule): fraction of token n-grams that are repeats of an earlier
     * n-gram in the same document — 0.0 for fully novel text, → 1.0 for
-    * boilerplate loops. Expression-only, zero shuffle. */
+    * boilerplate loops. Distinct count via the fused ShingleHashes kernel
+    * and total via TokenCount arithmetic — no HOF lambda, so the token
+    * split happens once per row, not once per gram (the Catalyst
+    * lambda-inlining hazard documented on minhashSignaturesPosting). */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
-      size(grams).cast(DoubleType)
+    val total = greatest(
+      org.apache.spark.sql.graft.NativeFunctions.tokenCount(text) - n,
+      lit(0)) + 1
+    lit(1.0) - size(org.apache.spark.sql.graft.NativeFunctions
+        .shingleHashes(text, n)).cast(DoubleType) /
+      total.cast(DoubleType)
   }
 
   /** PII redaction for training corpora: emails, URLs and phone-shaped
@@ -108,19 +111,11 @@ object TextAnalysis {
   }
 
   /** Overlapping token-window chunks (RAG/embedding prep): windows of
-    * `size` tokens advancing by `size - overlap`, as an array of chunk
-    * strings. Expression-only (sequence → slice → join), so chunking is a
-    * zero-shuffle map stage; explode downstream to one row per chunk. */
-  def chunkByTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
-    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
-    val step = chunkSize - overlap
-    val t = tokens(text)
-    val lastIdx = floor(
-      greatest(size(t) - overlap - 1, lit(0)).cast(DoubleType) / step)
-      .cast(IntegerType)
-    transform(sequence(lit(0), lastIdx),
-      i => array_join(slice(t, i * step + 1, lit(chunkSize)), " "))
-  }
+    * `chunkSize` tokens advancing by `chunkSize - overlap`, as an array of
+    * chunk strings — fused native kernel (one token split per row), zero
+    * shuffle; explode downstream to one row per chunk. */
+  def chunkByTokens(text: Column, chunkSize: Int, overlap: Int): Column =
+    org.apache.spark.sql.graft.NativeFunctions.tokenChunks(text, chunkSize, overlap)
 
   /** Pack documents into training context windows by running token budget:
     * within each `group`, documents ordered by `order` are assigned

@@ -17,6 +17,13 @@ object PartitionedWrite {
     * (`OdpsOptions.scala:112`). */
   val DefaultDynamicPartitionLimit = 512
 
+  /** Partition directory segment with Spark's path escaping, so values
+    * containing '%', '=', ':' etc. target the same directories Spark's
+    * partitioned writer creates. */
+  private[graft] def partSegment(colName: String, value: String): String =
+    s"$colName=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(value)
+
   /** Resolve a Sqoop-style `%{column}` partition-value template
     * (`odps-sqoop/.../OdpsUploadProcessor.java:182-231`) into a Column. */
   def resolveTemplate(template: String): Column = {
@@ -105,10 +112,15 @@ object PartitionedWrite {
       truncateSpec.foreach { spec =>
         if (spec.isEmpty)
           Fs.listDirs(target).filter(_.getName.contains("=")).foreach(Fs.delete)
-        else
-          Fs.delete(spec.foldLeft(target) { case (p, (c, v)) =>
-            new HPath(p, s"$c=$v")
-          })
+        else {
+          val subtree = spec.foldLeft(target) { case (p, (c, v)) =>
+            new HPath(p, partSegment(c, v))
+          }
+          Fs.delete(subtree)
+          // truncate, don't drop: an empty insert must leave an empty
+          // partition behind (reference empty-overwrite semantics)
+          Fs.mkdirs(subtree)
+        }
       }
       staged.foreach { srcRaw =>
         val src = fs.makeQualified(srcRaw)
@@ -149,7 +161,7 @@ object PartitionedWrite {
   def overwriteStaticPartition(df: DataFrame, path: String,
       spec: Seq[(String, String)]): Unit = {
     val target = spec.foldLeft(new HPath(path)) {
-      case (p, (c, v)) => new HPath(p, s"$c=$v")
+      case (p, (c, v)) => new HPath(p, partSegment(c, v))
     }
     val staging = new HPath(new HPath(path),
       s".graft_staging_${java.util.UUID.randomUUID()}")

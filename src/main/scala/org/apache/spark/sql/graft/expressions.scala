@@ -231,6 +231,24 @@ object HashKernels {
   def minhashSignature(input: UTF8String, shingleK: Int,
       slotSeeds: Array[Long]): ArrayData =
     ArrayData.toArrayData(minhashSignatureRaw(input, shingleK, slotSeeds))
+
+  /** Overlapping token-window chunks in one pass (RAG/embedding prep):
+    * windows of `chunkSize` tokens advancing by `chunkSize - overlap`. */
+  def chunkTokens(input: UTF8String, chunkSize: Int, overlap: Int): ArrayData = {
+    val tokens = input.split(SPACE, -1)
+    val step = chunkSize - overlap
+    val lastIdx = math.max(tokens.length - overlap - 1, 0) / step
+    val out = new Array[UTF8String](lastIdx + 1)
+    var i = 0
+    while (i <= lastIdx) {
+      val start = i * step
+      val end = math.min(start + chunkSize, tokens.length)
+      out(i) = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(tokens, start, end): _*)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** 64-bit SimHash of a whitespace-tokenized string — single fused pass per
@@ -339,6 +357,28 @@ case class ShingleHashes(child: Expression, shingleK: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Overlapping token-window chunks of a whitespace-tokenized string —
+  * single fused pass per row (the HOF formulation re-evaluates the token
+  * split once per chunk after Catalyst lambda inlining). */
+case class TokenChunks(child: Expression, chunkSize: Int, overlap: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.chunkTokens(input.asInstanceOf[UTF8String], chunkSize, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.chunkTokens($c, $chunkSize, $overlap)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "token_chunks"
+}
+
 /** Token count without materializing the token array: counts separator
   * bytes in one pass over the UTF8 buffer. */
 case class TokenCount(child: Expression)
@@ -418,6 +458,10 @@ object NativeFunctions {
   def minhashBands(c: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     ExpressionUtils.column(MinHashBands(
       ExpressionUtils.expression(c), shingleK, numHashes, bands))
+
+  def tokenChunks(c: Column, chunkSize: Int, overlap: Int): Column =
+    ExpressionUtils.column(TokenChunks(
+      ExpressionUtils.expression(c), chunkSize, overlap))
 
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))

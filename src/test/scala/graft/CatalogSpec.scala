@@ -133,6 +133,22 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
   }
 
+  test("partition values with special characters round-trip (path escaping)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    sql("CREATE TABLE graft.db9.t (v INT, dt STRING) PARTITIONED BY (dt)")
+    sql("INSERT INTO graft.db9.t VALUES (1, '100%'), (2, 'a:b')")
+    val got = sql("SELECT v, dt FROM graft.db9.t ORDER BY v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "100%"), (2, "a:b")), got.toString)
+    assert(sql("SHOW PARTITIONS graft.db9.t").count() == 2)
+    // static partition overwrite with empty result truncates, not drops
+    sql("INSERT OVERWRITE graft.db9.t PARTITION (dt='100%') " +
+      "SELECT v FROM graft.db9.t WHERE false")
+    assert(sql("SELECT * FROM graft.db9.t WHERE dt = '100%'").count() == 0)
+    assert(sql("SELECT * FROM graft.db9.t WHERE dt = 'a:b'").count() == 1)
+    assert(sql("SHOW PARTITIONS graft.db9.t").count() == 2, "partition dropped")
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme
