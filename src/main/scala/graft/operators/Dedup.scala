@@ -283,13 +283,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id")).agg(min("label").as("nl"))
+      // convergence piggybacks on the checkpoint materialization via
+      // observe — no separate compare-join job per iteration
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$i")
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .observe(obs,
+          sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("chg"))
+        .select("id", "label")
         .localCheckpoint(true)
-      converged = updated.join(
-          labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = obs.get("chg").asInstanceOf[Long] == 0L
       labels = updated
       i += 1
     }
