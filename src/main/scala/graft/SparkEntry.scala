@@ -1217,11 +1217,15 @@ object SparkEntry {
         |WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
 
+    // clean = not a benchmark id AND not an exact-text twin of a benchmark
+    // doc (at threshold 0.99 with ~30-shingle docs only identical shingle
+    // sets can match, which for this corpus means identical text)
     "q68_decontaminate" ->
       """SELECT lang, count(*) AS n,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents
         |WHERE doc_id % 25 <> 0
+        | AND text NOT IN (SELECT text FROM documents WHERE doc_id % 25 = 0)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
