@@ -80,6 +80,20 @@ class DedupSpec extends SparkTestBase {
     assert(clean.count() == base.count() - 1, "over-removal")
   }
 
+  test("mass contamination: 100 verbatim copies all removed despite tight caps") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)
+    val copies = spark.range(100).select(($"id" + 500000L).as("doc_id"),
+      lit(donor).as("text"))
+    val corpus = base.unionByName(copies)
+    val bench = Seq((900001L, donor)).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      threshold = 0.9, maxMatchesPerShingle = 4)
+    // the exact-hash pass is uncapped: every copy (and doc 7 itself) goes
+    assert(clean.filter($"doc_id" >= 500000L || $"doc_id" === 7).count() == 0)
+    assert(clean.count() == base.count() - 1)
+  }
+
   test("exactDupGroups works when the id column is literally named 'id'") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "text")
     val got = Dedup.exactDupGroups(df, "id", Seq("text")).collect()
