@@ -47,9 +47,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     root = new HPath(Option(options.get("root"))
       .getOrElse(sys.error(s"catalog $name needs option 'root'")))
     Fs.mkdirs(root)
-    // dynamic-overwrite writes need the planner strategy (no V1 fallback
-    // exec exists for OverwritePartitionsDynamic)
-    SparkSession.getActiveSession.foreach(graft.plans.GraftStrategies.install)
   }
 
   override def name(): String = catalogName

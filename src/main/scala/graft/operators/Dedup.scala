@@ -74,11 +74,10 @@ object Dedup {
     * nothing to persist. This is the shared skew guard for every LSH
     * operator here: a degenerate bucket of N members is O(N²) pairs in one
     * reducer, so buckets above `cap` are dropped. */
-  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
-      minSize: Int = 2): DataFrame =
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     df.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bsz").between(minSize, cap))
+      .filter(col("__bsz").between(2, cap))
       .drop("__bsz")
 
   /** Token k-shingles of a text column ("w1 w2 .. wk" strings). */
@@ -342,14 +341,18 @@ object Dedup {
     // pass 2: near matches via capped shingle postings + exact verify
     val cSh = corpus.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("sh"))
-    val w = Window.partitionBy("gh").orderBy(xxhash64(col("gh"), col("id")))
-    val cPost = cSh.select(col("id"), explode(col("sh")).as("gh"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxMatchesPerShingle)
-      .drop("__rn")
     val bSh = benchmark.select(col(idCol).as("bid"),
       shingleHashes(col(textCol), shingleK).as("bsh"))
     val bPost = bSh.select(col("bid"), explode(col("bsh")).as("gh"))
+    // shrink BEFORE the cap window: only corpus postings whose shingle
+    // appears in the (small, broadcastable) benchmark shingle set matter,
+    // so the window sorts the matched sliver, not every corpus token
+    val w = Window.partitionBy("gh").orderBy(xxhash64(col("gh"), col("id")))
+    val cPost = cSh.select(col("id"), explode(col("sh")).as("gh"))
+      .join(broadcast(bPost.select("gh").distinct()), "gh", "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxMatchesPerShingle)
+      .drop("__rn")
     val candidates = cPost.join(bPost, "gh")
       .select("id", "bid").distinct()
     val nearDirty = candidates

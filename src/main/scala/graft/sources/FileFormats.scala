@@ -180,7 +180,7 @@ object FileFormats {
     AvroJob.setInputKeySchema(job,
       new org.apache.avro.Schema.Parser().parse(avroSchemaJson(schema, "graft_record")))
     val n = schema.length
-    val fieldTypes: Array[String] = schema.fields.map(_.dataType.typeName).toArray
+    val fieldTypes = schema.fields.map(_.dataType)
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable],
@@ -195,8 +195,10 @@ object FileFormats {
             case null => null
             case u: org.apache.avro.util.Utf8 => u.toString
             // avro int widens Short/Byte on write; narrow back per schema
-            case v: java.lang.Integer if narrowTo == "short" => v.shortValue()
-            case v: java.lang.Integer if narrowTo == "byte" => v.byteValue()
+            case v: java.lang.Integer
+              if narrowTo == org.apache.spark.sql.types.ShortType => v.shortValue()
+            case v: java.lang.Integer
+              if narrowTo == org.apache.spark.sql.types.ByteType => v.byteValue()
             case v => v
           }
         })
