@@ -45,6 +45,8 @@ object TypeMapping {
     case t if t.equalsIgnoreCase("date") => DateType
     case t if t.equalsIgnoreCase("datetime") => TimestampType // milli precision
     case t if t.equalsIgnoreCase("timestamp") => TimestampType // micro precision
+    case t if t.equalsIgnoreCase("timestamp_ntz") => TimestampNTZType
+    case t if t.equalsIgnoreCase("json") => StringType // external flag via jsonField
     case t if t.equalsIgnoreCase("decimal") => DefaultDecimal
     case DecimalRe(p, s) =>
       val (pi, si) = (p.toInt, s.toInt)
@@ -74,6 +76,7 @@ object TypeMapping {
     case BinaryType => "BINARY"
     case DateType => "DATE"
     case TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP_NTZ"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case a: ArrayType => s"ARRAY<${toExternalType(a.elementType)}>"
     case m: MapType => s"MAP<${toExternalType(m.keyType)},${toExternalType(m.valueType)}>"
@@ -102,6 +105,21 @@ object TypeMapping {
       }
       (name, dt, risk)
     }
+
+  /** JSON external type surfaces as StringType tagged in field metadata —
+    * the Trino connector's JSON↔varchar mapping
+    * (`trino-connector/.../TypeConvertUtils.java:97-110`); the tag is what
+    * lets a schema round-trip preserve JSON-ness that StringType alone
+    * would erase. */
+  def jsonField(name: String, nullable: Boolean = true): StructField =
+    StructField(name, StringType, nullable,
+      new MetadataBuilder().putString(ExternalTypeKey, "JSON").build())
+
+  /** External type of a field: the metadata tag when present (JSON,
+    * DATETIME precision markers), else derived from the Spark type. */
+  def externalTypeOf(f: StructField): String =
+    if (f.metadata.contains(ExternalTypeKey)) f.metadata.getString(ExternalTypeKey)
+    else toExternalType(f.dataType)
 
   /** CHAR(n) read semantics: right-trim padding (`OdpsUtils.scala:67-70`). */
   def charReadValue(c: Column): Column = rtrim(c)

@@ -44,6 +44,36 @@ object Dedup {
       .filter(col("dup_count") > 1)
   }
 
+  /** Loser ids of exact duplicate groups, hash-first — the removal-side
+    * companion of [[exactDupGroups]], shaped so the corpus spine never
+    * shuffles wide rows:
+    *  1. one aggregate on `xxhash64(keys)` finds colliding hashes; with
+    *     map-side combine the only corpus-wide shuffle carries
+    *     (hash, partial count) = 16 bytes/row;
+    *  2. the colliding-hash set (tiny for natural corpora) broadcast-joins
+    *     back to pull just the CANDIDATE rows' true keys;
+    *  3. survivor = min(id) per true key group among candidates (a window
+    *     over only the candidate sliver — 64-bit collisions merely add a
+    *     candidate, the true-key grouping restores exactness);
+    *  4. everything but the survivor is a loser.
+    * Returns one column `idCol`. Anti-join it against the corpus to dedup:
+    * the loser set is small, so AQE broadcasts it and the corpus side of
+    * the anti-join does not shuffle either. */
+  def exactLosers(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val kh = xxhash64(keyCols.map(col): _*)
+    val candKh = df.select(kh.as("__kh"))
+      .groupBy("__kh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__kh")
+    val candRows = df.withColumn("__kh", kh)
+      .join(candKh, "__kh")
+      .select((idCol +: keyCols).map(col): _*)
+    candRows
+      .withColumn("__surv",
+        min(col(idCol)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col(idCol) =!= col("__surv"))
+      .select(col(idCol))
+  }
+
   /** Ordered candidate pairs within capped buckets, WITHOUT a self-join:
     * one groupBy on the bucket keys (which reuses the `capBuckets` window
     * partitioning — no extra shuffle) collects the ≤cap member structs,
@@ -272,8 +302,13 @@ object Dedup {
     * are reclaimed by Spark's ContextCleaner once unreferenced. Returns
     * (id, cluster_id). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // edges are checkpointed too: every iteration joins against them, and
+    // without truncation each join would re-execute the full upstream
+    // candidate pipeline (minhash/shingle over the corpus) per iteration.
+    // The block is O(dup pairs) — two longs per edge.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -288,8 +323,9 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .observe(obs,
-          sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("chg"))
+        .observe(obs, coalesce( // sum over an empty graph is null, not 0
+          sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)),
+          lit(0L)).as("chg"))
         .select("id", "label")
         .localCheckpoint(true)
       converged = obs.get("chg").asInstanceOf[Long] == 0L

@@ -48,12 +48,15 @@ object TrainingDataPipeline {
     annotated.filter(col("quality") >= cfg.minQuality &&
       col("n_tokens") >= cfg.minTokens)
 
-  /** Exact dedup: keep the min-id survivor per identical text. */
-  def dropExactDups(df: DataFrame): DataFrame = {
-    val survivors = Dedup.exact(df, "doc_id", Seq("text"))
-      .select(col("survivor_id").as("doc_id"))
-    df.join(survivors, "doc_id")
-  }
+  /** Exact dedup: keep the min-id survivor per identical text. Hash-first
+    * ([[Dedup.exactLosers]]): the corpus-wide shuffle carries only
+    * (xxhash64, partial count) with map-side combine — document text never
+    * crosses the wire except for the tiny colliding-hash candidate sliver,
+    * and the final anti-join broadcasts the loser ids so the corpus spine
+    * itself does not shuffle at all. */
+  def dropExactDups(df: DataFrame): DataFrame =
+    df.join(Dedup.exactLosers(df, "doc_id", Seq("text")),
+      Seq("doc_id"), "left_anti")
 
   /** Near-dup removal with CLUSTER-canonical survivors: MinHash pairs →
     * connected components ([[Dedup.dupClusters]]) → keep only each
@@ -70,27 +73,44 @@ object TrainingDataPipeline {
     df.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Run the full pipeline; write shards partitioned by language. */
+  /** Run the full pipeline; write shards partitioned by language.
+    *
+    * All five Report numbers come from `observe()` metrics riding plans the
+    * pipeline executes anyway — the near-dup stage's eager edge
+    * materialization fires the input/quality/exact-dedup observations, and
+    * the shard write fires the output ones. No stage is `persist()`ed and
+    * no extra counting job runs: at 100 TB the old persist-then-count
+    * report cost 4× corpus-scale cache pressure plus five scheduled scans;
+    * this costs one accumulator per stage. (The same stage subtree can
+    * appear in several plan branches — candidate hash set, loser anti-join
+    * — but every instance observes the stage's full row set, so the
+    * recorded metric is the stage count regardless of which branch
+    * reported it.) */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Config = Config()): Report = {
-    val annotated = annotate(docs).persist()
+    import org.apache.spark.sql.Observation
+    val (obsIn, obsQ, obsE, obsD) =
+      (Observation(), Observation(), Observation(), Observation())
+    val annotated = annotate(docs).observe(obsIn, count(lit(1)).as("n"))
     val sampled = cfg.sampleFraction
       .map(f => Dedup.hashSample(annotated, "doc_id", f))
       .getOrElse(annotated)
-    val quality = qualityFilter(sampled, cfg).persist()
-    val exact = dropExactDups(quality).persist()
-    val deduped = dropNearDups(exact, cfg).persist()
+    val quality = qualityFilter(sampled, cfg)
+      .observe(obsQ, count(lit(1)).as("n"))
+    val exact = dropExactDups(quality)
+      .observe(obsE, count(lit(1)).as("n"))
+    val deduped = dropNearDups(exact, cfg).observe(obsD,
+      count(lit(1)).as("n"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("tok"))
 
     PartitionedWrite.writePartitioned(
       deduped, outDir, Seq(cfg.outputPartitionCol))
 
-    val report = Report(
-      input = annotated.count(),
-      afterQuality = quality.count(),
-      afterExactDedup = exact.count(),
-      afterNearDedup = deduped.count(),
-      totalTokens = deduped.agg(sum("n_tokens")).head().getLong(0))
-    Seq(annotated, quality, exact, deduped).foreach(_.unpersist())
-    report
+    Report(
+      input = obsIn.get("n").asInstanceOf[Long],
+      afterQuality = obsQ.get("n").asInstanceOf[Long],
+      afterExactDedup = obsE.get("n").asInstanceOf[Long],
+      afterNearDedup = obsD.get("n").asInstanceOf[Long],
+      totalTokens = obsD.get("tok").asInstanceOf[Long])
   }
 }

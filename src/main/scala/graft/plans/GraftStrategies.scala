@@ -56,16 +56,19 @@ case class GraftDynamicOverwriteExec(table: GraftTable, query: LogicalPlan,
 
   override def output: Seq[Attribute] = Nil
 
-  private def run(): Unit = {
+  // Commands normally execute exactly once via executeCollect, but a plan
+  // that hits both executeCollect and doExecute must not double-write; the
+  // lazy val is the once-guard (thread-safe, one evaluation per instance).
+  @transient private lazy val ranOnce: Unit = {
     val df = org.apache.spark.sql.graft.Catalogs.ofRows(spark, query)
     graft.sources.PartitionedWrite.writePartitioned(
       df, table.location, table.partitionColumnNames, overwrite = true)
   }
 
-  override def executeCollect(): Array[InternalRow] = { run(); Array.empty }
+  override def executeCollect(): Array[InternalRow] = { ranOnce; Array.empty }
 
   protected override def doExecute(): RDD[InternalRow] = {
-    run()
+    ranOnce
     sparkContext.emptyRDD
   }
 }

@@ -1,33 +1,32 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 /** Durable last-value checkpoints for incremental loads — the state behind
   * Sqoop's `--incremental append/lastmodified` saved last-value
   * (`odps-sqoop/src/java/org/apache/sqoop/SqoopOptions.java:322-329`) and
   * the Flume/OGG offset persistence (`Configure.java:51-52`,
   * `HandlerInfoManager.java`). One tiny file per (job, key); writes are
-  * atomic (tmp + move) so a crashed driver never leaves a torn checkpoint.
+  * atomic (tmp + overwrite-rename) so a crashed driver never leaves a torn
+  * checkpoint. All IO goes through the Hadoop `FileSystem` API, so an
+  * incremental job can checkpoint to the cluster's durable store (HDFS,
+  * S3A, file://) — not just the driver's local disk.
   */
 final class Checkpoints(dir: String) {
-  private val root: Path = Paths.get(dir)
-  Files.createDirectories(root)
+  private val root = new Path(dir)
+  Fs.mkdirs(root)
 
-  private def file(job: String): Path = root.resolve(s"$job.ckpt")
+  private def file(job: String): Path = new Path(root, s"$job.ckpt")
 
   def load(job: String): Option[String] = {
     val f = file(job)
-    if (Files.exists(f))
-      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
-    else None
+    if (Fs.exists(f)) Some(Fs.readString(f)) else None
   }
 
   def save(job: String, value: String): Unit = {
-    val tmp = root.resolve(s".$job.ckpt.tmp")
-    Files.write(tmp, value.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, file(job), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(root, s".$job.ckpt.tmp")
+    Fs.writeString(tmp, value)
+    Fs.renameOverwrite(tmp, file(job))
   }
 
   /** Run one incremental cycle: read the checkpoint, hand it to `body`

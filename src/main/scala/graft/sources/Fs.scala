@@ -54,4 +54,13 @@ object Fs {
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Atomic rename that replaces an existing destination. `FileSystem.rename`
+    * refuses an existing target on most stores, so replace-style commits
+    * (checkpoint files) go through `FileContext`, whose OVERWRITE rename is
+    * the posix-rename primitive on HDFS and local FS. */
+  def renameOverwrite(src: Path, dst: Path): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(src.toUri, conf())
+    fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 }

@@ -182,11 +182,26 @@ object PartitionedWrite {
   }
 
   /** Latest partition value of a partitioned parquet table — `max_pt`
-    * (`spark-connector/common/.../udf/MaxPtUDF.java:30-41`), resolved from
-    * the file index (partition listing), not by scanning data. */
+    * (`spark-connector/common/.../udf/MaxPtUDF.java:30-41`). This variant
+    * runs a Spark job over the DataFrame projecting ONLY the partition
+    * column (whose values come from the file index, so no data files are
+    * decoded — but file splits are still scheduled). For a pure
+    * directory-listing resolution with no job at all, use [[maxPtListing]]
+    * (path-based) or `CatalogFunctions.maxPt` (catalog-based). */
   def maxPt(df: DataFrame, partitionCol: String): String = {
     val row = df.select(col(partitionCol).cast("string")).distinct()
       .agg(max(col(partitionCol))).head()
     if (row.isNullAt(0)) null else row.getString(0)
+  }
+
+  /** Latest partition value resolved purely from the `col=value` directory
+    * listing — no Spark job, no data scan; the exact MaxPtUDF contract. */
+  def maxPtListing(path: String, partitionCol: String): Option[String] = {
+    val prefix = s"$partitionCol="
+    val vals = Fs.listDirs(new HPath(path)).map(_.getName)
+      .filter(_.startsWith(prefix))
+      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(prefix)))
+    if (vals.isEmpty) None else Some(vals.max)
   }
 }

@@ -68,6 +68,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("exactLosers complements exact(): anti-join equals survivor semi-join") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val planted = docs.unionByName(
+      docs.limit(50).select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val viaLosers = planted.join(
+      Dedup.exactLosers(planted, "doc_id", Seq("text")),
+      Seq("doc_id"), "left_anti")
+    val viaSurvivors = planted.join(
+      Dedup.exact(planted, "doc_id", Seq("text"))
+        .select($"survivor_id".as("doc_id")), "doc_id")
+    assert(viaLosers.except(viaSurvivors).isEmpty &&
+      viaSurvivors.except(viaLosers).isEmpty)
+  }
+
   test("decontaminate removes near-matches of benchmark docs, keeps the rest") {
     val base = Tables.documents(spark, sf).select("doc_id", "text")
     val donor = base.filter($"doc_id" === 7).select($"text").head().getString(0)

@@ -120,6 +120,24 @@ class SourcesSpec extends SparkTestBase {
     val pt = PartitionedWrite.maxPt(spark.read.parquet(dir), "mon")
     val want = o.agg(max("mon")).head().getString(0)
     assert(pt == want)
+    // listing-based variant: same answer from the directory names alone
+    assert(PartitionedWrite.maxPtListing(dir, "mon").contains(want))
+    assert(PartitionedWrite.maxPtListing(dir, "nope").isEmpty)
+  }
+
+  test("checkpoints work over file:// URIs and survive a crash mid-save") {
+    val dir = "file://" + Files.createTempDirectory("graft_ckpt_fs").toString
+    val ck = new graft.sources.Checkpoints(dir)
+    ck.save("job", "100")
+    assert(ck.load("job").contains("100"))
+    // simulate a crash after the tmp write but before the rename: a stale
+    // tmp file must not corrupt the committed checkpoint…
+    graft.sources.Fs.writeString(
+      new org.apache.hadoop.fs.Path(dir, ".job.ckpt.tmp"), "torn")
+    assert(ck.load("job").contains("100"))
+    // …and the next save replaces both atomically
+    ck.save("job", "200")
+    assert(ck.load("job").contains("200"))
   }
 
   // ---- file formats (Sqoop text/csv/json surface) ----

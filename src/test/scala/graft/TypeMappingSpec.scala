@@ -20,6 +20,18 @@ class TypeMappingSpec extends SparkTestBase {
     assert(TypeMapping.toSparkType("varchar(20)") == StringType)
   }
 
+  test("timestamp_ntz and json map like the Trino connector") {
+    assert(TypeMapping.toSparkType("timestamp_ntz") == TimestampNTZType)
+    assert(TypeMapping.toExternalType(TimestampNTZType) == "TIMESTAMP_NTZ")
+    // JSON surfaces as StringType with the external type preserved in
+    // field metadata (StringType alone would erase it)
+    assert(TypeMapping.toSparkType("json") == StringType)
+    val f = TypeMapping.jsonField("payload")
+    assert(f.dataType == StringType)
+    assert(TypeMapping.externalTypeOf(f) == "JSON")
+    assert(TypeMapping.externalTypeOf(StructField("x", LongType)) == "BIGINT")
+  }
+
   test("nested type mapping round-trips") {
     val t = "ARRAY<DECIMAL(10,2)>"
     assert(TypeMapping.toSparkType(t) == ArrayType(DecimalType(10, 2)))
