@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -37,7 +37,7 @@ import graft.sources.Fs
   *   spark.sql.catalog.graft.root = /path/to/warehouse
   * }}}
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
 
   private var catalogName: String = _
   private var root: HPath = _
@@ -116,13 +116,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // initialize() may have run without an active session; every query
     // path goes through loadTable, so (re-)install the write strategy here
     graft.plans.GraftStrategies.install(SparkSession.active)
-    new GraftTable(ident, dir, meta, SparkSession.active)
+    if (meta.isView) new GraftViewTable(ident, meta)
+    else {
+      // external tables read their data from the recorded location, not
+      // the warehouse directory that holds only their metadata
+      val dataDir = meta.externalLocation.map(new HPath(_)).getOrElse(dir)
+      new GraftTable(ident, dataDir, meta, SparkSession.active)
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    // CREATE EXTERNAL TABLE ... LOCATION — Spark passes the reserved
+    // "external"/"location" properties; recorded as EXTERNAL_TABLE with the
+    // data directory outside the warehouse (`OdpsTable.scala:37-44`).
+    val external = Option(properties.get(TableCatalog.PROP_EXTERNAL))
+      .exists(_.equalsIgnoreCase("true"))
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+    require(!external || location.isDefined,
+      s"external table $ident needs an explicit LOCATION")
+    val externalProps: Map[String, String] =
+      if (external) Map(TableMeta.TypeKey -> "EXTERNAL_TABLE",
+        TableMeta.ExternalLocationKey -> location.get)
+      else Map.empty
     var bucketProps = Map.empty[String, String]
     val partitionCols = partitions.flatMap { t =>
       t.name() match {
@@ -146,7 +164,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val dir = tablePath(ident)
     Fs.mkdirs(dir)
-    TableMeta(schema, partitionCols.toSeq, properties.asScala.toMap ++ bucketProps)
+    TableMeta(schema, partitionCols.toSeq,
+      properties.asScala.toMap ++ bucketProps ++ externalProps)
       .write(metaFile(dir))
     loadTable(ident)
   }
@@ -169,7 +188,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"cannot rename partition column $from")
         // metadata-only rename over existing parquet (resolved by name)
         // would silently read the renamed column as NULL — require rewrite
-        require(!hasDataFiles(dir),
+        require(!hasDataFiles(dataDirOf(dir, meta)),
           s"RENAME COLUMN requires a table rewrite on non-empty tables")
         meta = meta.copy(schema = StructType(meta.schema.fields.map(f =>
           if (f.name == from) f.copy(name = r.newName()) else f)))
@@ -179,7 +198,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"cannot drop partition column $name")
         require(meta.schema.fieldNames.contains(name), s"no such column $name")
         // dropping then re-adding over existing files would resurrect data
-        require(!hasDataFiles(dir),
+        require(!hasDataFiles(dataDirOf(dir, meta)),
           s"DROP COLUMN requires a table rewrite on non-empty tables")
         meta = meta.copy(schema =
           StructType(meta.schema.fields.filterNot(_.name == name)))
@@ -189,16 +208,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** Where the table's data actually lives (external location or the
+    * warehouse directory). */
+  private def dataDirOf(dir: HPath, meta: TableMeta): HPath =
+    meta.externalLocation.map(new HPath(_)).getOrElse(dir)
+
   /** Any data under the table dir: partition dirs or bare parquet files. */
   private def hasDataFiles(dir: HPath): Boolean =
-    Fs.of(dir).listStatus(dir).exists(s =>
+    Fs.exists(dir) && Fs.of(dir).listStatus(dir).exists(s =>
       (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
         (s.isDirectory && s.getPath.getName.contains("=")))
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
     if (!Fs.exists(metaFile(dir))) false
-    else { Fs.delete(dir); true }
+    else {
+      // DROP on an external table removes METADATA ONLY — the data at the
+      // external location must survive (the reference's external-table
+      // drop contract). The warehouse dir of an external table holds only
+      // `_graft_meta.json`, so deleting it never touches data.
+      Fs.delete(dir)
+      true
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -209,10 +240,145 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       sys.error(s"rename failed: ${tablePath(oldIdent)} -> ${tablePath(newIdent)} " +
         "(does the target namespace exist?)")
   }
+
+  // ---- views (DSv2 ViewCatalog; the reference's VIRTUAL_VIEW table type,
+  //      `OdpsTable.scala:37-44`) ----
+
+  private def readMetaIfView(ident: Identifier): Option[TableMeta] = {
+    val f = metaFile(tablePath(ident))
+    if (!Fs.exists(f)) None
+    else Some(TableMeta.read(f)).filter(_.isView)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Fs.listDirs(nsPath(ns))
+      .filter(p => Fs.exists(metaFile(p)))
+      .map(p => Identifier.of(ns, p.getName))
+      .filter(id => readMetaIfView(id).isDefined).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    readMetaIfView(ident).isDefined
+
+  override def loadView(ident: Identifier): View =
+    readMetaIfView(ident)
+      .map(new GraftViewTable(ident, _))
+      .getOrElse(throw new NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (tableExists(ident) || viewExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val props = info.properties().asScala.toMap ++ Map(
+      TableMeta.TypeKey -> "VIRTUAL_VIEW",
+      TableMeta.ViewTextKey -> info.sql(),
+      TableMeta.ViewCatalogKey -> info.currentCatalog(),
+      TableMeta.ViewNamespaceKey -> info.currentNamespace().mkString("."))
+    val dir = tablePath(ident)
+    Fs.mkdirs(dir)
+    TableMeta(info.schema(), Seq.empty, props).write(metaFile(dir))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val meta = readMetaIfView(ident)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val props = changes.foldLeft(meta.properties) {
+      case (ps, s: ViewChange.SetProperty) => ps + (s.property() -> s.value())
+      case (ps, r: ViewChange.RemoveProperty) => ps - r.property()
+      case (_, c) => throw new UnsupportedOperationException(s"alterView: $c")
+    }
+    meta.copy(properties = props).write(metaFile(tablePath(ident)))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    readMetaIfView(ident) match {
+      case Some(_) => Fs.delete(tablePath(ident)); true
+      case None => false
+    }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (readMetaIfView(oldIdent).isEmpty) throw new NoSuchViewException(oldIdent)
+    renameTable(oldIdent, newIdent)
+  }
+}
+
+/** A stored view, usable both as the DSv2 `View` and as the `Table` that
+  * table-path resolution sees. Like the reference, a view is NOT readable
+  * by direct table scan (`OdpsScan.scala:152-156` throws
+  * `odpsTable is virtual view, not support read`): `newScanBuilder` raises
+  * the same guard, and the absence of write capabilities rejects writes at
+  * analysis. Resolution happens by planning the stored SQL —
+  * [[CatalogFunctions.viewDf]]. */
+final class GraftViewTable(ident: Identifier, meta: TableMeta)
+  extends Table with SupportsRead with View {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = meta.schema
+  override def properties(): java.util.Map[String, String] =
+    meta.properties.asJava
+  // BATCH_READ is advertised so resolution reaches newScanBuilder, where
+  // the explicit virtual-view guard fires (clearer than the generic
+  // "does not support batch scan"); no write capability → writes rejected.
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$name is a virtual view, not readable by table scan — " +
+        s"plan its SQL instead (CatalogFunctions.viewDf)")
+
+  override def query(): String = meta.viewText.getOrElse(
+    sys.error(s"view $name has no stored SQL"))
+  override def currentCatalog(): String =
+    meta.properties.getOrElse(TableMeta.ViewCatalogKey, "spark_catalog")
+  override def currentNamespace(): Array[String] =
+    meta.properties.get(TableMeta.ViewNamespaceKey)
+      .map(_.split("\\.").filter(_.nonEmpty)).getOrElse(Array.empty)
+  override def queryColumnNames(): Array[String] = meta.schema.fieldNames
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
 }
 
 /** Catalog-aware scalar helpers. */
 object CatalogFunctions {
+
+  private def viewCatalog(spark: SparkSession, name: String): ViewCatalog =
+    org.apache.spark.sql.graft.Catalogs.plugin(spark, name)
+      .asInstanceOf[ViewCatalog]
+
+  /** CREATE VIEW: plans the SQL once (validating it and capturing the
+    * output schema — the reference stores a view's schema with the table
+    * meta) and stores it as a VIRTUAL_VIEW catalog object. */
+  def createView(spark: SparkSession, catalogName: String,
+      namespace: Array[String], name: String, sql: String): Unit = {
+    val schema = spark.sql(sql).schema // plan, don't execute
+    viewCatalog(spark, catalogName).createView(new ViewInfo(
+      Identifier.of(namespace, name), sql,
+      catalogName, namespace, schema,
+      schema.fieldNames, Array.empty, Array.empty,
+      Collections.emptyMap[String, String]()))
+  }
+
+  /** Resolve a stored view by planning its SQL — the read path for
+    * VIRTUAL_VIEW objects (direct table scans are guarded off, like the
+    * reference's `OdpsScan.scala:152-156`). */
+  def viewDf(spark: SparkSession, catalogName: String,
+      namespace: Array[String], name: String): org.apache.spark.sql.DataFrame = {
+    val v = viewCatalog(spark, catalogName)
+      .loadView(Identifier.of(namespace, name))
+    val df = spark.sql(v.query)
+    require(df.schema.fieldNames.sameElements(v.schema.fieldNames),
+      s"view $name: stored schema ${v.schema.simpleString} no longer matches " +
+        s"its SQL (underlying table changed?)")
+    df
+  }
 
   /** `max_pt(table)` — the latest partition value of a partitioned catalog
     * table, resolved from the PARTITION LISTING (no data scan), exactly the
@@ -246,6 +412,18 @@ final case class TableMeta(schema: StructType, partitionCols: Seq[String],
   def partitionSchema: StructType =
     StructType(partitionCols.map(c => schema(c)))
 
+  /** MANAGED_TABLE | EXTERNAL_TABLE | VIRTUAL_VIEW — the reference's
+    * first-class table-type distinction (`OdpsTable.scala:37-44`). */
+  def tableType: String =
+    properties.getOrElse(TableMeta.TypeKey, "MANAGED_TABLE")
+  def isView: Boolean = tableType == "VIRTUAL_VIEW"
+  def isExternal: Boolean = tableType == "EXTERNAL_TABLE"
+  /** Stored view SQL (VIRTUAL_VIEW only). */
+  def viewText: Option[String] = properties.get(TableMeta.ViewTextKey)
+  /** Data directory of an EXTERNAL_TABLE (outside the warehouse). */
+  def externalLocation: Option[String] =
+    properties.get(TableMeta.ExternalLocationKey)
+
   def write(file: HPath): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val props = properties.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
@@ -258,6 +436,12 @@ final case class TableMeta(schema: StructType, partitionCols: Seq[String],
 }
 
 object TableMeta {
+  val TypeKey = "graft.table.type"
+  val ViewTextKey = "graft.view.text"
+  val ViewCatalogKey = "graft.view.currentCatalog"
+  val ViewNamespaceKey = "graft.view.currentNamespace"
+  val ExternalLocationKey = "graft.external.location"
+
   def read(file: HPath): TableMeta = {
     val json = Fs.readString(file)
     // Minimal JSON extraction (we wrote it; fields are in fixed order).

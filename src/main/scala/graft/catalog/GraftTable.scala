@@ -55,6 +55,11 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     meta.properties.asJava
 
   override def capabilities(): java.util.Set[TableCapability] = {
+    // External tables are read-only through the catalog — the reference
+    // rejects writes to EXTERNAL_TABLE (`OdpsWriteBuilder.scala:124-128`);
+    // omitting the write capabilities makes analysis reject INSERTs with a
+    // clean "does not support append" error.
+    if (meta.isExternal) return Set(TableCapability.BATCH_READ).asJava
     // Partitioned tables route writes through the V1 fallback into the
     // staged partitioned writer (real col=value layout) — except dynamic
     // overwrite, which Spark has no V1 fallback exec for and which
@@ -73,6 +78,11 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     delegate.newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // belt-and-braces behind the capabilities() gate above
+    if (meta.isExternal)
+      throw new UnsupportedOperationException(
+        s"${name()} is an external table — writes through the catalog are " +
+          "rejected; write to its location with an explicit job instead")
     // Partitioned tables write through the V1 fallback into the staged
     // partitioned writer, so rows land in col=value directories and reads
     // get real partition pruning (the DSv2 file write would lay the files

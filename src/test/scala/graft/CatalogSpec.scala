@@ -149,6 +149,51 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SHOW PARTITIONS graft.db9.t").count() == 2, "partition dropped")
   }
 
+  test("views: create, resolve by stored SQL, scan guard, write rejected, drop") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import graft.catalog.CatalogFunctions
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbv")
+    sql("CREATE TABLE graft.dbv.base (name STRING, num INT)")
+    sql("INSERT INTO graft.dbv.base VALUES ('a', 1), ('b', 2), ('c', 3)")
+    CatalogFunctions.createView(spark, "graft", Array("dbv"), "v_big",
+      "SELECT name, num * 10 AS num10 FROM graft.dbv.base WHERE num >= 2")
+    // resolves by planning the stored SQL
+    val got = CatalogFunctions.viewDf(spark, "graft", Array("dbv"), "v_big")
+      .orderBy("name").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("b", 20), ("c", 30)))
+    // a view is NOT readable by direct table scan (reference guard)
+    val scanErr = intercept[Exception](sql("SELECT * FROM graft.dbv.v_big").collect())
+    assert(scanErr.getMessage.toLowerCase.contains("view"))
+    // and writes are rejected at analysis
+    val writeErr = intercept[Exception](
+      sql("INSERT INTO graft.dbv.v_big VALUES ('x', 9)"))
+    assert(writeErr.getMessage.nonEmpty)
+    // view listing + drop: metadata only, base table untouched
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, "graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    assert(cat.listViews("dbv").map(_.name()).toSeq == Seq("v_big"))
+    assert(cat.viewExists(Identifier.of(Array("dbv"), "v_big")))
+    assert(!cat.dropView(Identifier.of(Array("dbv"), "base"))) // not a view
+    assert(cat.dropView(Identifier.of(Array("dbv"), "v_big")))
+    assert(sql("SELECT count(*) FROM graft.dbv.base").head().getLong(0) == 3)
+  }
+
+  test("external tables: reads work, writes rejected, DROP keeps the data") {
+    val ext = Files.createTempDirectory("graft_ext_data").toString
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.mode("overwrite").parquet(ext)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbe")
+    sql(s"CREATE EXTERNAL TABLE graft.dbe.ext_t (id BIGINT, v BIGINT) LOCATION '$ext'")
+    val out = sql("SELECT sum(v) AS s FROM graft.dbe.ext_t").head().getLong(0)
+    assert(out == 20)
+    val writeErr = intercept[Exception](
+      sql("INSERT INTO graft.dbe.ext_t VALUES (99, 99)"))
+    assert(writeErr.getMessage.nonEmpty)
+    sql("DROP TABLE graft.dbe.ext_t")
+    assert(sql("SHOW TABLES IN graft.dbe").count() == 0)
+    // the external data survived the drop
+    assert(spark.read.parquet(ext).count() == 5)
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme
