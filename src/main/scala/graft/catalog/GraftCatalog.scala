@@ -380,6 +380,21 @@ object CatalogFunctions {
     df
   }
 
+  /** Explicit ANALYZE: recompute and persist a catalog table's row/byte
+    * statistics from the committed files (commits refresh automatically;
+    * this covers tables written outside the catalog, e.g. external data
+    * that changed). Returns the fresh stats. */
+  def analyzeTable(spark: SparkSession, catalogName: String,
+      namespace: Array[String], table: String): TableStatistics.TableStats = {
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, catalogName)
+      .asInstanceOf[TableCatalog]
+    cat.loadTable(Identifier.of(namespace, table)) match {
+      case gt: GraftTable => TableStatistics.refresh(
+        new HPath(gt.location), gt.partitionColumnNames)
+      case other => sys.error(s"cannot analyze ${other.name()}")
+    }
+  }
+
   /** `max_pt(table)` — the latest partition value of a partitioned catalog
     * table, resolved from the PARTITION LISTING (no data scan), exactly the
     * reference's MaxPtUDF

@@ -75,7 +75,45 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    delegate.newScanBuilder(options) match {
+      // same parquet builder, plus commit-collected stats for the planner
+      case pb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+        new org.apache.spark.sql.graft.GraftScanBuilder(
+          pb.sparkSession, pb.fileIndex, pb.schema, pb.dataSchema, pb.options,
+          () => TableStatistics.read(dir).map(ts => (ts.rows, ts.bytes)))
+      case other => other
+    }
+
+  private def refreshStats(): Unit =
+    TableStatistics.refresh(dir, meta.partitionCols)
+
+  /** Wrap a DSv2 write so a successful commit refreshes the stats file —
+    * the write-commit half of the stats-fed planning loop. */
+  private def withStatsRefresh(d: org.apache.spark.sql.connector.write.Write)
+      : org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def description(): String = d.description()
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new org.apache.spark.sql.connector.write.BatchWrite {
+          private val b = d.toBatch
+          override def createBatchWriterFactory(
+              info: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
+            b.createBatchWriterFactory(info)
+          override def useCommitCoordinator(): Boolean = b.useCommitCoordinator()
+          override def onDataWriterCommit(
+              m: org.apache.spark.sql.connector.write.WriterCommitMessage): Unit =
+            b.onDataWriterCommit(m)
+          override def commit(
+              msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+            b.commit(msgs)
+            refreshStats()
+          }
+          override def abort(
+              msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+            b.abort(msgs)
+        }
+      override def toStreaming = d.toStreaming
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // belt-and-braces behind the capabilities() gate above
@@ -129,19 +167,24 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
         override def build(): org.apache.spark.sql.connector.write.Write = new V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
-              override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit =
+              override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit = {
                 graft.sources.PartitionedWrite.writePartitioned(
                   data, dir.toString, meta.partitionCols,
                   overwrite = dynamic || truncateSpec.isDefined || ow,
                   truncateSpec = truncateSpec.orElse(
                     if (ow && !dynamic) Some(Nil) else None))
+                refreshStats()
+              }
             }
         }
       }
     }
     val inner = delegate.newWriteBuilder(info)
     bucketSpec match {
-      case None => inner
+      case None => new WriteBuilder {
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          withStatsRefresh(inner.build())
+      }
       case Some((cols, n)) =>
         // Declarative write distribution/ordering for clustered tables —
         // the DSv2 hook the reference uses for range-clustered writes
@@ -159,7 +202,8 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
           override def requiredNumPartitions(): Int = n
           override def requiredOrdering(): Array[SortOrder] =
             cols.map(c => E.sort(E.column(c), SortDirection.ASCENDING)).toArray
-          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = d.toBatch
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            withStatsRefresh(d).toBatch
           override def toStreaming = d.toStreaming
           override def description(): String = d.description()
           }

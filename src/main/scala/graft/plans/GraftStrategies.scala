@@ -63,6 +63,8 @@ case class GraftDynamicOverwriteExec(table: GraftTable, query: LogicalPlan,
     val df = org.apache.spark.sql.graft.Catalogs.ofRows(spark, query)
     graft.sources.PartitionedWrite.writePartitioned(
       df, table.location, table.partitionColumnNames, overwrite = true)
+    graft.catalog.TableStatistics.refresh(
+      new org.apache.hadoop.fs.Path(table.location), table.partitionColumnNames)
   }
 
   override def executeCollect(): Array[InternalRow] = { ranOnce; Array.empty }

@@ -138,4 +138,41 @@ class PlansSpec extends SparkTestBase {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     assert(p.contains("*(1) Project"), p.take(500))
   }
+
+  test("stats-fed planning: pruned-partition stats drive broadcast vs SMJ") {
+    import org.apache.spark.sql.functions.{col => c}
+    val wh = Files.createTempDirectory("graft_stats_wh").toString
+    spark.conf.set("spark.sql.catalog.gstat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstat.root", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstat.db")
+    spark.sql("CREATE TABLE gstat.db.dim (k BIGINT, pad STRING, dt STRING) " +
+      "PARTITIONED BY (dt)")
+    // 10 equal partitions; write commit collects row/byte stats per partition
+    spark.range(2000)
+      .select(c("id").as("k"), lpad(c("id").cast("string"), 60, "x").as("pad"),
+        concat(lit("p"), (c("id") % 10).cast("string")).as("dt"))
+      .writeTo("gstat.db.dim").append()
+    val statsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.optimizedPlan.collectLeaves().head.stats
+    val sAll = statsOf(spark.table("gstat.db.dim"))
+    val one = spark.table("gstat.db.dim").filter(c("dt") === "p3")
+    val sOne = statsOf(one)
+    // commit-collected rows, scaled by the pruned byte fraction
+    assert(sAll.rowCount.contains(BigInt(2000)), sAll.toString)
+    assert(sOne.rowCount.exists(rc => rc >= 180 && rc <= 220), sOne.toString)
+    assert(sOne.sizeInBytes * 5 < sAll.sizeInBytes)
+    // a threshold BETWEEN pruned and total size discriminates: the join
+    // broadcasts the dim only because the planner sees the PRUNED size
+    val fact = spark.range(500000).select((c("id") % 2000).as("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((sOne.sizeInBytes + sAll.sizeInBytes) / 2).toString)
+      val pruned = fact.join(
+        spark.table("gstat.db.dim").filter(c("dt") === "p3"), "k")
+      assert(plan(pruned).contains("BroadcastHashJoin"), plan(pruned).take(2000))
+      val unpruned = fact.join(spark.table("gstat.db.dim"), "k")
+      assert(plan(unpruned).contains("SortMergeJoin"), plan(unpruned).take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
