@@ -158,8 +158,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             GraftTable.BucketColsKey -> cols.mkString(","),
             GraftTable.BucketCountKey -> n.toString)
           None
+        case "range_cluster" =>
+          // range_cluster(n, cols...) → range-clustered table (the
+          // reference's `range` cluster type, `OdpsTable.scala:46-79`).
+          // Directions default ASC; per-column DESC via the
+          // 'graft.range.cols' table property ("col DESC, col2 ASC").
+          val n = t.arguments().collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              lit.value().toString.toInt
+          }.getOrElse(sys.error("range_cluster transform needs a partition count"))
+          val cols = t.references().map(_.fieldNames().mkString("."))
+          // an explicit 'graft.range.cols' TBLPROPERTY (carrying DESC
+          // directions) wins over the transform's ASC default
+          val colsProp: Map[String, String] =
+            if (properties.containsKey(GraftTable.RangeColsKey)) Map.empty
+            else Map(GraftTable.RangeColsKey -> cols.mkString(","))
+          bucketProps = colsProp + (GraftTable.RangeCountKey -> n.toString)
+          None
         case other => sys.error(s"unsupported partition transform: $other " +
-          "(identity and bucket only, like the reference's partition/cluster specs)")
+          "(identity, bucket and range_cluster, like the reference's partition/cluster specs)")
       }
     }
     val dir = tablePath(ident)

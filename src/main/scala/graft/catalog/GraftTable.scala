@@ -31,6 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftTable {
   val BucketColsKey = "graft.bucket.cols"
   val BucketCountKey = "graft.bucket.count"
+  // range clustering: cols value is "col [ASC|DESC], col2 [ASC|DESC], ..."
+  val RangeColsKey = "graft.range.cols"
+  val RangeCountKey = "graft.range.count"
 }
 
 class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
@@ -180,6 +183,35 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
       }
     }
     val inner = delegate.newWriteBuilder(info)
+    rangeSpec match {
+      case Some((orders, n)) =>
+        // Range-clustered write: ordered distribution = one global sort,
+        // which range-partitions the data AND sorts within partitions in
+        // the declared per-column ASC/DESC — `Distributions.ordered` like
+        // the reference's range cluster spec (`OdpsWriteBuilder.scala:70-116`).
+        return new WriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.Write
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          private val d = inner.build()
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder}
+          private val sortOrders: Array[SortOrder] = orders.map { case (c, desc) =>
+            E.sort(E.column(c),
+              if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING)
+          }.toArray
+          override def requiredDistribution(): Distribution =
+            Distributions.ordered(sortOrders)
+          override def requiredNumPartitions(): Int = n
+          override def requiredOrdering(): Array[SortOrder] = sortOrders
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            withStatsRefresh(d).toBatch
+          override def toStreaming = d.toStreaming
+          override def description(): String = d.description()
+          }
+        }
+      case None =>
+    }
     bucketSpec match {
       case None => new WriteBuilder {
         override def build(): org.apache.spark.sql.connector.write.Write =
@@ -217,6 +249,22 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
       cols <- meta.properties.get(GraftTable.BucketColsKey)
       n <- meta.properties.get(GraftTable.BucketCountKey)
     } yield (cols.split(",").toSeq, n.toInt)
+
+  /** ((col, isDescending)*, numPartitions) when this table is
+    * RANGE-clustered — the reference's `range` cluster type with
+    * per-column ASC/DESC sort (`OdpsTable.scala:46-79`). */
+  private def rangeSpec: Option[(Seq[(String, Boolean)], Int)] =
+    for {
+      cols <- meta.properties.get(GraftTable.RangeColsKey)
+      n <- meta.properties.get(GraftTable.RangeCountKey)
+    } yield (cols.split(",").toSeq.map { tok =>
+      val parts = tok.trim.split("\\s+")
+      require(parts.length <= 2 &&
+        (parts.length == 1 || parts(1).equalsIgnoreCase("ASC") ||
+          parts(1).equalsIgnoreCase("DESC")),
+        s"bad range-cluster column spec: '$tok' (want 'col [ASC|DESC]')")
+      (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
+    }, n.toInt)
 
   // ---- partition management (col=value directories) ----
 

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 /** SQL round-trip through the GraftCatalog — the reference's primary test
@@ -81,6 +83,34 @@ class CatalogSpec extends SparkTestBase {
     }
     assert(parquets == 4, s"expected 4 bucket files, got $parquets")
     assert(sql("SELECT count(*) FROM graft.db6.orders_b").head().getLong(0) ==
+      Tables.orders(spark, sf).count())
+  }
+
+  test("range-clustered table: DESC global sort + disjoint file ranges") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    sql("""CREATE TABLE graft.db9.orders_r (o_orderkey BIGINT, o_totalprice DOUBLE)
+          | PARTITIONED BY (range_cluster(4, o_totalprice))
+          | TBLPROPERTIES('graft.range.cols'='o_totalprice DESC')""".stripMargin)
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .writeTo("graft.db9.orders_r").append()
+    val dir = java.nio.file.Paths.get(s"$warehouse/db9/orders_r")
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+    assert(files.size == 4, s"expected 4 range files, got ${files.size}")
+    // each file internally DESC-sorted; files cover disjoint DESC ranges
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f.toString)
+        .select("o_totalprice").collect().map(_.getDouble(0)).toSeq
+      assert(vals == vals.sortBy(-_), s"file $f not DESC-sorted")
+      (vals.head, vals.last) // (max-ish first, min-ish last)
+    }
+    ranges.sliding(2).foreach {
+      case Seq((_, lo1), (hi2, _)) =>
+        assert(lo1 >= hi2, s"range files overlap: $ranges")
+      case _ =>
+    }
+    assert(sql("SELECT count(*) FROM graft.db9.orders_r").head().getLong(0) ==
       Tables.orders(spark, sf).count())
   }
 
