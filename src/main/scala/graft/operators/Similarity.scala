@@ -157,22 +157,58 @@ object Similarity {
   }
 
   /** All-pairs top-k neighbors per row, LSH-bucketed (for kNN-graph
-    * construction). Returns (id, neighbor_id, cosine, rank≤k). Buckets
-    * larger than `maxBucketSize` are dropped before the self-join — the
-    * same count-and-filter skew guard as the dedup operators; without it a
-    * degenerate bucket is O(N²) in one reducer. */
+    * construction). Returns (id, neighbor_id, cosine, rank≤k).
+    *
+    * Unlike the dedup operators (where an over-cap bucket can be dropped —
+    * no pair means no duplicate), a kNN graph must keep EVERY node
+    * connected, so the skew guard caps the PAIRS, not the membership:
+    *  - over-cap buckets keep a deterministic hash-sample of
+    *    `maxBucketSize` members as the CANDIDATE side, while every node
+    *    still probes — pairs per bucket are O(N·cap), never O(N²), and no
+    *    node loses all its neighbors;
+    *  - singleton-bucket nodes multi-probe: they re-probe the
+    *    `singletonProbes` buckets obtained by flipping their
+    *    least-confident hyperplane bits (smallest |margin| first — the
+    *    classic multi-probe LSH order), which is where their nearest
+    *    neighbors most likely landed. */
   def knnGraph(
       embDf: DataFrame, idCol: String, embCol: String, dim: Int,
-      k: Int, numPlanes: Int = 10, maxBucketSize: Int = 1024): DataFrame = {
+      k: Int, numPlanes: Int = 10, maxBucketSize: Int = 1024,
+      singletonProbes: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bAll = embDf.select(
-      col(idCol).as("id"), col(embCol).as("emb"),
-      hyperplaneBucket(col(embCol), dim, numPlanes).as("bucket"))
-    val b = Dedup.capBuckets(bAll, Seq("bucket"), maxBucketSize)
-    val l = b.select(col("bucket"), col("id"), col("emb"))
-    val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("emb").as("n_emb"))
+    val planes = Dedup.hyperplanes(dim, numPlanes)
+    // one projection computes every plane margin once; bucket and probe
+    // order both derive from these columns
+    val dotted = embDf.select(
+      Seq(col(idCol).as("id"), col(embCol).as("emb")) ++
+        planes.zipWithIndex.map { case (p, i) =>
+          dot(col(embCol), vec(p)).as(s"__d$i")
+        }: _*)
+    val bucketCol = (0 until numPlanes)
+      .map(i => when(col(s"__d$i") > 0.0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+    // plane indices ordered by |margin| ascending = least-confident first
+    val flipOrder = transform(
+      array_sort(array((0 until numPlanes).map(i =>
+        struct(abs(col(s"__d$i")).as("m"), lit(i).as("i"))): _*)),
+      s => s("i"))
+    val sized = dotted
+      .select(col("id"), col("emb"), bucketCol.as("bucket"),
+        flipOrder.as("__flips"))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("bucket")))
+      .withColumn("__rk", row_number().over(Window.partitionBy("bucket")
+        .orderBy(xxhash64(lit("graft_knn"), col("id")))))
+    val candidates = sized.filter(col("__rk") <= maxBucketSize)
+      .select(col("bucket"), col("id").as("neighbor_id"), col("emb").as("n_emb"))
+    val own = sized.select(col("bucket"), col("id"), col("emb"))
+    val probes = sized.filter(col("__bsz") === 1)
+      .select(col("id"), col("emb"),
+        explode(transform(slice(col("__flips"), 1, singletonProbes), j =>
+          col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), j))))
+          .as("bucket"))
+      .select(col("bucket"), col("id"), col("emb"))
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("neighbor_id"))
-    l.join(r, Seq("bucket"))
+    own.unionByName(probes).join(candidates, Seq("bucket"))
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"), cosine(col("emb"), col("n_emb")).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -174,13 +174,83 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.count() == 40L * 39 / 2)
   }
 
-  test("knn graph bucket cap bounds pair blow-up") {
+  // ---- exact all-pairs oracles for the LSH pair operators (the driver's
+  // DuckDB gate cannot express seeded xxhash64 LSH, so the subset/recall
+  // bounds are pinned here instead, against brute-force ground truth) ----
+
+  /** Deterministic ~1/5 sample of documents plus planted near-duplicates
+    * (last word replaced) — keeps the all-pairs oracle small and the
+    * positive set nonempty. */
+  private def sampledWithPlants(nPlants: Int): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(pmod(xxhash64($"doc_id"), lit(5)) === 0)
+    val plants = docs.orderBy("doc_id").limit(nPlants)
+      .select(($"doc_id" + 800000L).as("doc_id"),
+        concat(regexp_replace($"text", "\\s+\\S+$", ""), lit(" zzz")).as("text"))
+    docs.unionByName(plants)
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash pairs: subset of exact-Jaccard pairs, recall >= 0.8") {
+    val planted = sampledWithPlants(15)
+    val t = 0.7
+    val got = pairSet(Dedup.minhashNearDups(planted, "doc_id", "text",
+      shingleK = 5, threshold = t))
+    val sh = planted.select($"doc_id", Dedup.shingles($"text", 5).as("sh"))
+    val exact = pairSet(sh.toDF("id_a", "sh_a")
+      .crossJoin(sh.toDF("id_b", "sh_b"))
+      .filter($"id_a" < $"id_b")
+      .filter(Dedup.jaccard($"sh_a", $"sh_b") >= t))
+    assert(exact.nonEmpty)
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got.size >= exact.size * 0.8, s"recall ${got.size}/${exact.size}")
+  }
+
+  test("simhash pairs: exactly the Hamming-radius pairs (banding recall)") {
+    val planted = sampledWithPlants(15)
+    val radius = 3
+    val got = pairSet(Dedup.simhashNearDups(planted, "doc_id", "text",
+      radius = radius))
+    val sigs = Dedup.simhashSignatures(planted, "doc_id", "text")
+    val exact = pairSet(sigs.toDF("id_a", "sig_a")
+      .crossJoin(sigs.toDF("id_b", "sig_b"))
+      .filter($"id_a" < $"id_b")
+      .filter(bit_count($"sig_a".bitwiseXOR($"sig_b")) <= radius))
+    // 16-bit chunk banding is pigeonhole-complete for radius <= 3, and no
+    // bucket tops the cap at this scale: the pair set must be EXACT
+    assert(exact.nonEmpty)
+    assert(got == exact, s"missing: ${exact -- got}; extra: ${got -- exact}")
+  }
+
+  test("ngram pairs: subset of exact-Jaccard pairs, recall >= 0.8") {
+    val planted = sampledWithPlants(15)
+    val t = 0.5
+    val got = pairSet(Dedup.ngramJaccardNearDups(planted, "doc_id", "text",
+      shingleK = 3, threshold = t))
+    val sh = planted.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val exact = pairSet(sh.toDF("id_a", "sh_a")
+      .crossJoin(sh.toDF("id_b", "sh_b"))
+      .filter($"id_a" < $"id_b")
+      .filter(Dedup.jaccard($"sh_a", $"sh_b") >= t))
+    assert(exact.nonEmpty)
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got.size >= exact.size * 0.8, s"recall ${got.size}/${exact.size}")
+  }
+
+  test("knn graph caps pairs in a degenerate bucket but keeps every node") {
     val vec = Array.tabulate(8)(i => (i + 1).toFloat)
     val clones = spark.range(40).select($"id".as("vec_id"),
       typedLit(vec).as("embedding"))
+    // over-cap bucket: the candidate side is hash-sampled to maxBucketSize
+    // (pairs O(N·cap), not O(N²)) while every node still probes — so all
+    // 40 nodes keep their k neighbors instead of being dropped
     val capped = Similarity.knnGraph(clones, "vec_id", "embedding",
       dim = 8, k = 3, numPlanes = 8, maxBucketSize = 30)
-    assert(capped.count() == 0)
+    assert(capped.count() == 40 * 3)
+    assert(capped.select("id").distinct().count() == 40)
     val uncapped = Similarity.knnGraph(clones, "vec_id", "embedding",
       dim = 8, k = 3, numPlanes = 8, maxBucketSize = 64)
     assert(uncapped.count() == 40 * 3)

@@ -66,6 +66,49 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(inline == pre, s"$inline vs $pre")
   }
 
+  test("knn graph: 2×cap dense cluster stays connected with near-neighbor quality") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val cap = 8
+    val k = 5
+    val base = Array.tabulate(dim)(_ => rnd.nextGaussian())
+    // 16 = 2×cap near-identical vectors — the exact shape that used to be
+    // dropped wholesale by the bucket cap — plus background noise (some of
+    // which lands in singleton buckets and exercises multi-probe)
+    val cluster = (0 until 16).map { j =>
+      (1000L + j, base.map(v => (v + rnd.nextGaussian() * 0.02).toFloat))
+    }
+    val noise = (0 until 30).map { j =>
+      (2000L + j, Array.tabulate(dim)(_ => rnd.nextGaussian().toFloat))
+    }
+    val df = (cluster ++ noise).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", dim, k = k,
+      numPlanes = 6, maxBucketSize = cap).collect()
+    val ids = cluster.map(_._1).toSet
+    // every planted node keeps at least one neighbor
+    val byNode = g.groupBy(_.getLong(0))
+    assert(ids.subsetOf(byNode.keySet), s"dropped: ${ids -- byNode.keySet}")
+    // recall@k against brute force, cosine-quality form (standard for ANN
+    // when near-ties dominate): a retrieved neighbor counts iff its cosine
+    // reaches the node's true k-th-neighbor cosine minus 1e-3. In-cluster
+    // cosines sit ≈1 and out-of-cluster ≈ random, so a node connected to
+    // anything but its genuine near-dups scores 0.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val vecs = (cluster ++ noise).toMap
+    val recalls = ids.toSeq.map { i =>
+      val kth = ids.filter(_ != i).toSeq
+        .map(j => cos(vecs(i), vecs(j))).sorted.reverse.apply(k - 1)
+      val retrieved = byNode(i).map(r => r.getLong(1))
+      retrieved.count(j => cos(vecs(i), vecs(j)) >= kth - 1e-3).toDouble / k
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"recall@$k = $recall")
+  }
+
   test("ivf ann has decent recall vs brute force") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" =!= 0)
     val q = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
