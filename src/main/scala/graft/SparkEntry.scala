@@ -463,6 +463,51 @@ object SparkEntry {
         .orderBy(col("mon"))
     }),
 
+    // ---- catalog: views + external tables (§ views / EXTERNAL_TABLE) ----
+    "q71_view" -> ((s, d) => {
+      // catalog plugins are cached per session by name: register once,
+      // then drop/recreate the view so repeated invocations (bench
+      // warmups) stay idempotent
+      if (s.conf.getOption("spark.sql.catalog.graft_vwq").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_vwq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_vwq.root",
+          java.nio.file.Files.createTempDirectory("graft_vwq").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_vwq.vdb")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li_for_view")
+      org.apache.spark.sql.graft.Catalogs.plugin(s, "graft_vwq")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+        .dropView(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("vdb"), "v_flag_agg"))
+      graft.catalog.CatalogFunctions.createView(s, "graft_vwq",
+        Array("vdb"), "v_flag_agg",
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM graft_li_for_view
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      graft.catalog.CatalogFunctions.viewDf(s, "graft_vwq",
+        Array("vdb"), "v_flag_agg")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q72_external" -> ((s, d) => {
+      if (s.conf.getOption("spark.sql.catalog.graft_extq").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_extq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_extq.root",
+          java.nio.file.Files.createTempDirectory("graft_extq").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_extq.edb")
+      s.sql("DROP TABLE IF EXISTS graft_extq.edb.supplier_ext")
+      s.sql("CREATE EXTERNAL TABLE graft_extq.edb.supplier_ext " +
+        "(s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE) " +
+        s"LOCATION '$d/supplier.parquet'")
+      s.sql("""SELECT s_nationkey, count(*) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM graft_extq.edb.supplier_ext
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // ---- text analysis (training-data ops) ----
     "t24_token_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -1188,6 +1233,20 @@ object SparkEntry {
         | (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
         |GROUP BY mon
         |ORDER BY mon""".stripMargin,
+
+    "q71_view" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q72_external" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
 
     "t24_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
