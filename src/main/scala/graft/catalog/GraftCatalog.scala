@@ -119,9 +119,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (meta.isView) new GraftViewTable(ident, meta)
     else {
       // external tables read their data from the recorded location, not
-      // the warehouse directory that holds only their metadata
+      // the warehouse directory that holds only their metadata — and their
+      // stats file homes with the metadata (never inside external data)
       val dataDir = meta.externalLocation.map(new HPath(_)).getOrElse(dir)
-      new GraftTable(ident, dataDir, meta, SparkSession.active)
+      new GraftTable(ident, dataDir, meta, SparkSession.active,
+        statsDir = if (meta.isExternal) Some(dir) else None)
     }
   }
 
@@ -179,10 +181,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           "(identity, bucket and range_cluster, like the reference's partition/cluster specs)")
       }
     }
+    val finalProps =
+      properties.asScala.toMap ++ bucketProps ++ externalProps
+    // a hand-written range spec (TBLPROPERTIES) must name real columns,
+    // and when the range_cluster transform is also given, the SAME
+    // columns — otherwise the advertised clustering and the effective
+    // write sort silently diverge
+    finalProps.get(GraftTable.RangeColsKey).foreach { spec =>
+      val parsed = GraftTable.parseRangeCols(spec)
+      parsed.foreach { case (c, _) =>
+        require(schema.fieldNames.contains(c),
+          s"range-cluster column $c is not in the table schema")
+      }
+      if (properties.containsKey(GraftTable.RangeColsKey) &&
+          partitions.exists(_.name() == "range_cluster")) {
+        val fromTransform = partitions.find(_.name() == "range_cluster").get
+          .references().map(_.fieldNames().mkString(".")).toSet
+        require(parsed.map(_._1).toSet == fromTransform,
+          s"'${GraftTable.RangeColsKey}' names ${parsed.map(_._1).toSet} but " +
+            s"range_cluster(...) declares $fromTransform — they must match")
+      }
+    }
     val dir = tablePath(ident)
     Fs.mkdirs(dir)
-    TableMeta(schema, partitionCols.toSeq,
-      properties.asScala.toMap ++ bucketProps ++ externalProps)
+    TableMeta(schema, partitionCols.toSeq, finalProps)
       .write(metaFile(dir))
     loadTable(ident)
   }
@@ -191,6 +213,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val dir = tablePath(ident)
     if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     var meta = TableMeta.read(metaFile(dir))
+    require(!meta.isView,
+      s"$ident is a view — its schema derives from its SQL; use ALTER VIEW")
     changes.foreach {
       case p: TableChange.SetProperty =>
         meta = meta.copy(properties = meta.properties + (p.property() -> p.value()))
@@ -240,6 +264,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val dir = tablePath(ident)
     if (!Fs.exists(metaFile(dir))) false
     else {
+      // symmetric with dropView (which refuses tables): a view is not
+      // droppable through the table path
+      require(!TableMeta.read(metaFile(dir)).isView,
+        s"$ident is a view — use DROP VIEW")
       // DROP on an external table removes METADATA ONLY — the data at the
       // external location must survive (the reference's external-table
       // drop contract). The warehouse dir of an external table holds only
@@ -372,25 +400,32 @@ object CatalogFunctions {
 
   /** CREATE VIEW: plans the SQL once (validating it and capturing the
     * output schema — the reference stores a view's schema with the table
-    * meta) and stores it as a VIRTUAL_VIEW catalog object. */
+    * meta) and stores it as a VIRTUAL_VIEW catalog object, together with
+    * the session's current catalog/namespace so [[viewDf]] can re-resolve
+    * unqualified names in the DEFINING context. */
   def createView(spark: SparkSession, catalogName: String,
       namespace: Array[String], name: String, sql: String): Unit = {
     val schema = spark.sql(sql).schema // plan, don't execute
+    val (defCat, defNs) = org.apache.spark.sql.graft.Catalogs.currentContext(spark)
     viewCatalog(spark, catalogName).createView(new ViewInfo(
       Identifier.of(namespace, name), sql,
-      catalogName, namespace, schema,
+      defCat, defNs, schema,
       schema.fieldNames, Array.empty, Array.empty,
       Collections.emptyMap[String, String]()))
   }
 
   /** Resolve a stored view by planning its SQL — the read path for
     * VIRTUAL_VIEW objects (direct table scans are guarded off, like the
-    * reference's `OdpsScan.scala:152-156`). */
+    * reference's `OdpsScan.scala:152-156`). The SQL is planned in the
+    * catalog/namespace where the view was DEFINED (persisted at create
+    * time), so unqualified table names resolve as they did for the view's
+    * author, not wherever the reader's session currently points. */
   def viewDf(spark: SparkSession, catalogName: String,
       namespace: Array[String], name: String): org.apache.spark.sql.DataFrame = {
     val v = viewCatalog(spark, catalogName)
       .loadView(Identifier.of(namespace, name))
-    val df = spark.sql(v.query)
+    val df = org.apache.spark.sql.graft.Catalogs.withCurrentContext(
+      spark, v.currentCatalog(), v.currentNamespace())(spark.sql(v.query))
     require(df.schema.fieldNames.sameElements(v.schema.fieldNames),
       s"view $name: stored schema ${v.schema.simpleString} no longer matches " +
         s"its SQL (underlying table changed?)")
@@ -407,7 +442,8 @@ object CatalogFunctions {
       .asInstanceOf[TableCatalog]
     cat.loadTable(Identifier.of(namespace, table)) match {
       case gt: GraftTable => TableStatistics.refresh(
-        new HPath(gt.location), gt.partitionColumnNames)
+        new HPath(gt.location), gt.partitionColumnNames,
+        Some(new HPath(gt.statsLocation)))
       case other => sys.error(s"cannot analyze ${other.name()}")
     }
   }
@@ -497,11 +533,25 @@ object TableMeta {
     val colsRaw = field("partitionCols")
     val cols = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(colsRaw.substring(colsRaw.indexOf('['), colsRaw.indexOf(']') + 1))
-      .map(_.group(1)).toSeq
+      .map(m => unescape(m.group(1))).toSeq
     val propsRaw = field("properties")
     val propsBody = propsRaw.substring(propsRaw.indexOf('{'), propsRaw.lastIndexOf('}') + 1)
     val props = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(propsBody).map(m => m.group(1) -> m.group(2)).toMap
+      .findAllMatchIn(propsBody)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
     TableMeta(schema, cols, props)
+  }
+
+  /** Inverse of the write-side `q()` escaping — without it, stored view
+    * SQL containing quotes or backslashes (regex predicates!) would be
+    * corrupted on the read round-trip. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }

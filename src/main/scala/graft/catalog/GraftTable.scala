@@ -34,11 +34,28 @@ object GraftTable {
   // range clustering: cols value is "col [ASC|DESC], col2 [ASC|DESC], ..."
   val RangeColsKey = "graft.range.cols"
   val RangeCountKey = "graft.range.count"
+
+  /** Parse a range-cluster column spec into ((col, isDescending))*. */
+  def parseRangeCols(spec: String): Seq[(String, Boolean)] =
+    spec.split(",").toSeq.map { tok =>
+      val parts = tok.trim.split("\\s+")
+      require(parts.length <= 2 &&
+        (parts.length == 1 || parts(1).equalsIgnoreCase("ASC") ||
+          parts(1).equalsIgnoreCase("DESC")),
+        s"bad range-cluster column spec: '$tok' (want 'col [ASC|DESC]')")
+      (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
+    }
 }
 
 class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
-    spark: SparkSession)
+    spark: SparkSession, statsDir: Option[HPath] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsPartitionManagement {
+
+  /** Where the stats file lives: the data dir for managed tables, the
+    * warehouse metadata dir for external ones (whose data directory the
+    * catalog must never write into). */
+  private val statsHome: HPath = statsDir.getOrElse(dir)
+  def statsLocation: String = statsHome.toString
 
   private lazy val delegate = ParquetTable(
     ident.toString, spark,
@@ -83,12 +100,12 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
       case pb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
         new org.apache.spark.sql.graft.GraftScanBuilder(
           pb.sparkSession, pb.fileIndex, pb.schema, pb.dataSchema, pb.options,
-          () => TableStatistics.read(dir).map(ts => (ts.rows, ts.bytes)))
+          () => TableStatistics.read(statsHome).map(ts => (ts.rows, ts.bytes)))
       case other => other
     }
 
   private def refreshStats(): Unit =
-    TableStatistics.refresh(dir, meta.partitionCols)
+    TableStatistics.refresh(dir, meta.partitionCols, statsDir)
 
   /** Wrap a DSv2 write so a successful commit refreshes the stats file —
     * the write-commit half of the stats-fed planning loop. */
@@ -257,14 +274,7 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     for {
       cols <- meta.properties.get(GraftTable.RangeColsKey)
       n <- meta.properties.get(GraftTable.RangeCountKey)
-    } yield (cols.split(",").toSeq.map { tok =>
-      val parts = tok.trim.split("\\s+")
-      require(parts.length <= 2 &&
-        (parts.length == 1 || parts(1).equalsIgnoreCase("ASC") ||
-          parts(1).equalsIgnoreCase("DESC")),
-        s"bad range-cluster column spec: '$tok' (want 'col [ASC|DESC]')")
-      (parts(0), parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
-    }, n.toInt)
+    } yield (GraftTable.parseRangeCols(cols), n.toInt)
 
   // ---- partition management (col=value directories) ----
 

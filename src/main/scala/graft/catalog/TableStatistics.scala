@@ -47,8 +47,12 @@ object TableStatistics {
     val parts = ts.parts.toSeq.sortBy(_._1).map { case (k, p) =>
       s""""$k":{"rows":${p.rows},"bytes":${p.bytes},"files":${p.files}}"""
     }.mkString("{", ",", "}")
-    Fs.writeString(statsFile(dir),
+    // tmp + rename: a planning query reading concurrently must never see a
+    // truncated/half-written stats file
+    val tmp = new HPath(dir, "._graft_stats.json.tmp")
+    Fs.writeString(tmp,
       s"""{"rows":${ts.rows},"bytes":${ts.bytes},"parts":$parts}""")
+    Fs.renameOverwrite(tmp, statsFile(dir))
   }
 
   private def fileRows(p: HPath): Long = {
@@ -57,14 +61,38 @@ object TableStatistics {
     try r.getRecordCount finally r.close()
   }
 
+  /** Footer reads fan out over a small thread pool — a bulk initial load
+    * (or analyzeTable over a large external dataset) is one ranged read
+    * per file, and on object stores the serial form would put O(files)
+    * round-trip latency inside the commit path. */
+  private def fileRowsAll(paths: Seq[HPath]): Map[HPath, Long] = {
+    if (paths.isEmpty) Map.empty
+    else if (paths.size == 1) Map(paths.head -> fileRows(paths.head))
+    else {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.size))
+      try {
+        val tasks: Seq[java.util.concurrent.Callable[(HPath, Long)]] =
+          paths.map(p => () => p -> fileRows(p))
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+  }
+
   private def dataFiles(p: HPath): Seq[FileStatus] =
     Fs.of(p).listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
-  /** Recompute the table's stats from the committed layout, reusing stored
-    * row counts for unchanged partitions, and persist the result. */
-  def refresh(dir: HPath, partitionCols: Seq[String]): TableStats = {
-    val old = read(dir).map(_.parts).getOrElse(Map.empty)
+  /** Recompute the table's stats from the committed layout under `dir`,
+    * reusing stored row counts for unchanged partitions, and persist the
+    * result. `statsDir` overrides where the stats FILE lives — external
+    * tables keep their data directory pristine and home the stats next to
+    * the catalog metadata instead. */
+  def refresh(dir: HPath, partitionCols: Seq[String],
+      statsDir: Option[HPath] = None): TableStats = {
+    val home = statsDir.getOrElse(dir)
+    val old = read(home).map(_.parts).getOrElse(Map.empty)
     def walk(p: HPath, depth: Int, rel: String): Seq[(String, HPath)] =
       if (depth == partitionCols.length) Seq(rel -> p)
       else if (!Fs.isDir(p)) Seq.empty
@@ -72,18 +100,23 @@ object TableStatistics {
         .filter(_.getName.startsWith(partitionCols(depth) + "="))
         .flatMap(d => walk(d, depth + 1,
           if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
-    val parts = walk(dir, 0, "").map { case (rel, p) =>
-      val fs = dataFiles(p)
+    val listed = walk(dir, 0, "").map { case (rel, p) => (rel, dataFiles(p)) }
+    val changed = listed.filter { case (rel, fs) =>
+      !old.get(rel).exists(ps =>
+        ps.bytes == fs.map(_.getLen).sum && ps.files == fs.size)
+    }
+    val rowsByFile = fileRowsAll(changed.flatMap(_._2.map(_.getPath)))
+    val parts = listed.map { case (rel, fs) =>
       val bytes = fs.map(_.getLen).sum
       val stat = old.get(rel) match {
         case Some(ps) if ps.bytes == bytes && ps.files == fs.size => ps
-        case _ => PartStat(fs.map(f => fileRows(f.getPath)).sum, bytes, fs.size)
+        case _ => PartStat(fs.map(f => rowsByFile(f.getPath)).sum, bytes, fs.size)
       }
       rel -> stat
     }.toMap
     val ts = TableStats(parts.values.map(_.rows).sum,
       parts.values.map(_.bytes).sum, parts)
-    write(dir, ts)
+    write(home, ts)
     ts
   }
 }

@@ -55,10 +55,13 @@ object Fs {
     finally out.close()
   }
 
-  /** Atomic rename that replaces an existing destination. `FileSystem.rename`
-    * refuses an existing target on most stores, so replace-style commits
-    * (checkpoint files) go through `FileContext`, whose OVERWRITE rename is
-    * the posix-rename primitive on HDFS and local FS. */
+  /** Rename that replaces an existing destination (`FileSystem.rename`
+    * refuses an existing target on most stores). Atomic on HDFS; on the
+    * local FS and object stores the OVERWRITE path degrades to
+    * delete-then-rename, so a concurrent reader may briefly see the file
+    * MISSING (never torn). Use only where a missing-file read degrades
+    * gracefully (e.g. the stats file → estimate fallback); durable
+    * last-value state uses the backup-chain protocol in `Checkpoints`. */
   def renameOverwrite(src: Path, dst: Path): Unit = {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(src.toUri, conf())
     fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)

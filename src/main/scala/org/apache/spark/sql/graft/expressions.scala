@@ -433,6 +433,33 @@ object Catalogs {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's current (catalog name, namespace) — the context a view
+    * definition must be resolved in, captured at CREATE VIEW time. */
+  def currentContext(spark: org.apache.spark.sql.SparkSession): (String, Array[String]) = {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    (cm.currentCatalog.name(), cm.currentNamespace)
+  }
+
+  /** Run `f` with the session's current catalog/namespace switched to the
+    * given context, restoring the previous context afterwards — view SQL
+    * must resolve unqualified names in the catalog/namespace where the
+    * view was DEFINED, not where the reader happens to be. */
+  def withCurrentContext[A](spark: org.apache.spark.sql.SparkSession,
+      catalog: String, namespace: Array[String])(f: => A): A = {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name(), cm.currentNamespace)
+    try {
+      cm.setCurrentCatalog(catalog)
+      if (namespace.nonEmpty) cm.setCurrentNamespace(namespace)
+      f
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+    }
+  }
 }
 
 /** Column-level entry points for the native expressions. */

@@ -208,6 +208,24 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT count(*) FROM graft.dbv.base").head().getLong(0) == 3)
   }
 
+  test("view SQL with backslashes and quotes survives the metadata round trip") {
+    import graft.catalog.CatalogFunctions
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbv2")
+    sql("CREATE TABLE graft.dbv2.logs (line STRING)")
+    sql("""INSERT INTO graft.dbv2.logs VALUES ('a  b'), ('say "hi"'), ('xy')""")
+    // regex with backslash escapes AND a double-quoted literal in the SQL
+    CatalogFunctions.createView(spark, "graft", Array("dbv2"), "v_clean",
+      """SELECT regexp_replace(line, '\\s+', '_') AS cleaned
+        |FROM graft.dbv2.logs WHERE line != "xy"""".stripMargin)
+    val got = CatalogFunctions.viewDf(spark, "graft", Array("dbv2"), "v_clean")
+      .orderBy("cleaned").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a_b", "say_\"hi\""))
+    // DROP TABLE must refuse a view (symmetric with dropView refusing tables)
+    val err = intercept[Exception](sql("DROP TABLE graft.dbv2.v_clean"))
+    assert(err.getMessage.toLowerCase.contains("view"))
+    assert(spark.sql("SELECT 1").count() == 1) // session still healthy
+  }
+
   test("external tables: reads work, writes rejected, DROP keeps the data") {
     val ext = Files.createTempDirectory("graft_ext_data").toString
     spark.range(5).selectExpr("id", "id * 2 AS v").write.mode("overwrite").parquet(ext)

@@ -138,6 +138,14 @@ class SourcesSpec extends SparkTestBase {
     // …and the next save replaces both atomically
     ck.save("job", "200")
     assert(ck.load("job").contains("200"))
+    // crash between the backup and commit renames (ckpt missing, bak
+    // present): load falls back to the previous committed value
+    graft.sources.Fs.rename(
+      new org.apache.hadoop.fs.Path(dir, "job.ckpt"),
+      new org.apache.hadoop.fs.Path(dir, ".job.ckpt.bak"))
+    assert(ck.load("job").contains("200"))
+    ck.save("job", "300") // recovery: next save commits cleanly
+    assert(ck.load("job").contains("300"))
   }
 
   // ---- file formats (Sqoop text/csv/json surface) ----
