@@ -3,9 +3,12 @@ package org.apache.spark.sql.graft
 import java.util.OptionalLong
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.read.{Statistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.sources.{EqualTo => FEqualTo, Filter, In => FIn}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -40,7 +43,44 @@ class GraftStatsScan(p: ParquetScan, tableStats: Option[(Long, Long)])
   extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
     p.dataSchema, p.readDataSchema, p.readPartitionSchema, p.pushedFilters,
     p.options, p.pushedAggregate, p.partitionFilters, p.dataFilters,
-    p.pushedVariantExtractions) {
+    p.pushedVariantExtractions) with SupportsRuntimeFiltering {
+
+  // ---- dynamic partition pruning for catalog (DSv2) scans ----
+  // Spark's stock FileScan never implements SupportsRuntimeFiltering, so a
+  // catalog fact table would scan EVERY partition in a fact⋈filtered-dim
+  // join — the V1 read path gets DPP, the V2 one silently doesn't. The
+  // reference hand-implements exactly this (`OdpsTableScanExec.scala:
+  // 125-167` collects dim keys and prunes fact partitions at runtime).
+  // Here: declare the partition columns filterable; at runtime translate
+  // the arriving IN/= filters into catalyst predicates and rebuild a
+  // pruned copy of the scan — BatchScanExec calls filter() and then
+  // re-plans input partitions, which we serve from the pruned copy.
+
+  @volatile private var prunedScan: ParquetScan = null
+
+  override def filterAttributes(): Array[NamedReference] =
+    readPartitionSchema.fieldNames.map(FieldReference(_))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def attr(name: String): Option[AttributeReference] =
+      readPartitionSchema.fields.find(_.name.equalsIgnoreCase(name))
+        .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    val runtimeFilters: Seq[Expression] = filters.toSeq.flatMap {
+      case FIn(a, values) => attr(a).map(ar =>
+        org.apache.spark.sql.catalyst.expressions.In(ar,
+          values.toSeq.map(v => Literal.create(v, ar.dataType))))
+      case FEqualTo(a, v) => attr(a).map(ar =>
+        org.apache.spark.sql.catalyst.expressions.EqualTo(ar,
+          Literal.create(v, ar.dataType)))
+      case _ => None // unsupported shapes just skip pruning (safe)
+    }
+    if (runtimeFilters.nonEmpty)
+      prunedScan = p.copy(partitionFilters = p.partitionFilters ++ runtimeFilters)
+  }
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    if (prunedScan != null) prunedScan.planInputPartitions()
+    else super.planInputPartitions()
 
   override def estimateStatistics(): Statistics = tableStats match {
     case Some((totalRows, totalBytes)) if totalRows > 0 && totalBytes > 0 =>

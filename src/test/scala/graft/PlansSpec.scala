@@ -139,6 +139,32 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("*(1) Project"), p.take(500))
   }
 
+  test("catalog (DSv2) fact scan gets dynamic partition pruning") {
+    import org.apache.spark.sql.functions.{col => c}
+    val wh = Files.createTempDirectory("graft_dpp_wh").toString
+    spark.conf.set("spark.sql.catalog.gdpp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdpp.root", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdpp.db")
+    spark.sql("CREATE TABLE gdpp.db.fact (k BIGINT, v DOUBLE, yr INT) " +
+      "PARTITIONED BY (yr)")
+    spark.range(20000)
+      .select(c("id").as("k"), rand(7).as("v"),
+        (lit(1990) + (c("id") % 10)).cast("int").as("yr"))
+      .writeTo("gdpp.db.fact").append()
+    val dim = spark.range(1990, 2000)
+      .select(c("id").cast("int").as("yr"), (c("id") % 7).as("flag"))
+    val joined = spark.table("gdpp.db.fact").join(dim, Seq("yr"))
+      .filter(c("flag") === 2)
+      .groupBy("yr").agg(count(lit(1)).as("n"))
+    // the stock DSv2 FileScan silently loses DPP (no runtime filtering);
+    // GraftStatsScan implements SupportsRuntimeFiltering, so the planner
+    // injects the dynamicpruning subquery on the catalog fact scan
+    val p = plan(joined)
+    assert(p.contains("dynamicpruning"), p.take(2500))
+    // and the result is still correct
+    assert(joined.collect().map(_.getLong(1)).sum == 20000 / 10 * 2)
+  }
+
   test("stats-fed planning: pruned-partition stats drive broadcast vs SMJ") {
     import org.apache.spark.sql.functions.{col => c}
     val wh = Files.createTempDirectory("graft_stats_wh").toString
