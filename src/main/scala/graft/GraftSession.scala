@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // DSv2 parquet scans answer COUNT/MIN/MAX from footers when legal —
+      // the V2-layer form of the reference's count-only scan
+      // (`OdpsScan.scala:158-159` returns row-count partitions); off by
+      // default in Spark, on by design here
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     warehouseRoot.foreach { root =>
       b = b.config("spark.sql.catalog.graft", classOf[catalog.GraftCatalog].getName)

@@ -139,6 +139,24 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("*(1) Project"), p.take(500))
   }
 
+  test("catalog scans push COUNT/MIN/MAX into parquet footers") {
+    import org.apache.spark.sql.functions.{col => c}
+    val wh = Files.createTempDirectory("graft_aggpd_wh").toString
+    spark.conf.set("spark.sql.catalog.gagg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gagg.root", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gagg.db")
+    spark.sql("CREATE TABLE gagg.db.t (k BIGINT, v BIGINT)")
+    spark.range(10000).select(c("id").as("k"), (c("id") * 3).as("v"))
+      .writeTo("gagg.db.t").append()
+    val agg = spark.sql("SELECT count(*) AS n, min(v) AS mn, max(v) AS mx " +
+      "FROM gagg.db.t")
+    val p = plan(agg)
+    assert(p.contains("PushedAggregation"), p.take(1500))
+    val row = agg.head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (10000L, 0L, 29997L))
+  }
+
   test("catalog (DSv2) fact scan gets dynamic partition pruning") {
     import org.apache.spark.sql.functions.{col => c}
     val wh = Files.createTempDirectory("graft_dpp_wh").toString
