@@ -208,6 +208,28 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT count(*) FROM graft.dbv.base").head().getLong(0) == 3)
   }
 
+  test("alterView sets/removes properties; renameView moves the view") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange}
+    import graft.catalog.CatalogFunctions
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbv3")
+    sql("CREATE TABLE graft.dbv3.b (x INT)")
+    sql("INSERT INTO graft.dbv3.b VALUES (1), (2)")
+    CatalogFunctions.createView(spark, "graft", Array("dbv3"), "v1",
+      "SELECT x * 2 AS x2 FROM graft.dbv3.b")
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, "graft")
+      .asInstanceOf[ViewCatalog]
+    val id1 = Identifier.of(Array("dbv3"), "v1")
+    cat.alterView(id1, ViewChange.setProperty("comment", "doubled"))
+    assert(cat.loadView(id1).properties().get("comment") == "doubled")
+    cat.alterView(id1, ViewChange.removeProperty("comment"))
+    assert(!cat.loadView(id1).properties().containsKey("comment"))
+    cat.renameView(id1, Identifier.of(Array("dbv3"), "v2"))
+    assert(!cat.viewExists(id1))
+    val got = CatalogFunctions.viewDf(spark, "graft", Array("dbv3"), "v2")
+      .orderBy("x2").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 4))
+  }
+
   test("view SQL with backslashes and quotes survives the metadata round trip") {
     import graft.catalog.CatalogFunctions
     sql("CREATE NAMESPACE IF NOT EXISTS graft.dbv2")

@@ -139,6 +139,25 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("*(1) Project"), p.take(500))
   }
 
+  test("catalog scans keep filter pushdown and column pruning through GraftStatsScan") {
+    import org.apache.spark.sql.functions.{col => c}
+    val wh = Files.createTempDirectory("graft_pd_wh").toString
+    spark.conf.set("spark.sql.catalog.gpd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpd.root", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpd.db")
+    spark.sql("CREATE TABLE gpd.db.t (k BIGINT, v DOUBLE, s STRING)")
+    spark.range(1000)
+      .select(c("id").as("k"), rand(1).as("v"), c("id").cast("string").as("s"))
+      .writeTo("gpd.db.t").append()
+    val q = spark.table("gpd.db.t").filter(c("k") > 500).select("k")
+    val p = plan(q)
+    // the stats-carrying scan subclass must not lose the stock behaviors
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(k,500"),
+      p.take(1500))
+    assert(!p.contains("ReadSchema: struct<k:bigint,v:double"),
+      "projection must prune v/s from the scan:\n" + p.take(1500))
+  }
+
   test("catalog scans push COUNT/MIN/MAX into parquet footers") {
     import org.apache.spark.sql.functions.{col => c}
     val wh = Files.createTempDirectory("graft_aggpd_wh").toString
