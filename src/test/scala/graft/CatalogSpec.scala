@@ -208,6 +208,21 @@ class CatalogSpec extends SparkTestBase {
     assert(sql("SELECT count(*) FROM graft.dbv.base").head().getLong(0) == 3)
   }
 
+  test("TIMESTAMP_NTZ columns round-trip through catalog tables") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbntz")
+    sql("CREATE TABLE graft.dbntz.t (id BIGINT, ts TIMESTAMP_NTZ)")
+    sql("INSERT INTO graft.dbntz.t VALUES " +
+      "(1, TIMESTAMP_NTZ'2024-03-01 12:30:00'), " +
+      "(2, TIMESTAMP_NTZ'2024-03-02 00:15:30.123456')")
+    val back = sql("SELECT id, ts FROM graft.dbntz.t ORDER BY id")
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val vals = back.collect().map(_.getAs[java.time.LocalDateTime](1))
+    assert(vals(0) == java.time.LocalDateTime.of(2024, 3, 1, 12, 30))
+    assert(vals(1) == java.time.LocalDateTime.of(2024, 3, 2, 0, 15, 30,
+      123456000))
+  }
+
   test("alterView sets/removes properties; renameView moves the view") {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewChange}
     import graft.catalog.CatalogFunctions
