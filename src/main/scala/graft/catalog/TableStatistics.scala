@@ -48,8 +48,10 @@ object TableStatistics {
       s""""$k":{"rows":${p.rows},"bytes":${p.bytes},"files":${p.files}}"""
     }.mkString("{", ",", "}")
     // tmp + rename: a planning query reading concurrently must never see a
-    // truncated/half-written stats file
-    val tmp = new HPath(dir, "._graft_stats.json.tmp")
+    // truncated/half-written stats file; UUID tmp name so two concurrent
+    // commits can't clobber each other's staging file
+    val tmp = new HPath(dir,
+      s"._graft_stats.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Fs.writeString(tmp,
       s"""{"rows":${ts.rows},"bytes":${ts.bytes},"parts":$parts}""")
     Fs.renameOverwrite(tmp, statsFile(dir))
