@@ -898,6 +898,120 @@ object SparkEntry {
           ceil(call_function("octet_length", col("payload")).cast(DoubleType) / 1024.0)
             .cast(LongType).as("n_chunks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- round-3 curation / scale additions ----
+
+    // Gopher/C4-style quality gate: per-doc signals + keep flag; thresholds
+    // chosen so both outcomes occur on the synthetic corpus
+    "t73_gopher_quality" -> ((s, d) => {
+      val txt = col("text")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(txt).cast(LongType).as("n_words"),
+          round(TextAnalysis.meanTokenLen(txt), 4).as("mean_len"),
+          round(TextAnalysis.stopwordRatio(txt), 4).as("stop_ratio"),
+          round(TextAnalysis.repetitionRatio(txt, 2), 5).as("rep2"),
+          TextAnalysis.gopherKeep(txt, minWords = 30, maxWords = 10000,
+            minMeanLen = 3.0, maxMeanLen = 5.0,
+            minStopRatio = 0.02, maxRepetition = 0.08).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level repeated-span removal: hash-first loser detection, then
+    // per-doc reassembly; must equal the straightforward span-string SQL
+    "d74_span_dedup" -> ((s, d) => {
+      Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text", spanTokens = 8)
+        .select(col("id").as("doc_id"), col("text"),
+          col("kept_spans").cast(LongType).as("kept_spans"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom-pruned selective join: semantically the plain join (the sketch
+    // only pre-drops fact rows that cannot match)
+    "q75_bloom_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      operators.BloomJoin.bloomPrunedJoin(
+          t(s, d, "orders"), cust, "o_custkey", "c_custkey",
+          expectedDimRows = 100000)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // per-source stratified sampling (training-data mixing); rates are
+    // dyadic rationals so rate*denominator is exact in both engines
+    "q76_stratified_sample" -> ((s, d) => {
+      Dedup.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
+          rates = Map("src0" -> 0.75, "src1" -> 0.125, "src2" -> 0.5),
+          defaultRate = 0.25,
+          hash = Some(col("doc_id") * 2654435761L % 1000003L),
+          denominator = 1000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
+    // symmetric int8 quantization with per-vector absmax scale
+    "s77_quantize" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+        .withColumn("qv", VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(transform(col("qv"), x => abs(x))).cast(LongType).as("q_absmax"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // pivot: dimension values to columns (explicit value list so the plan
+    // needs no extra distinct-values job)
+    "q78_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // grouping sets with grouping_id (partial rollup lattice)
+    "q79_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"), sum(col("o_custkey")).as("ck"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // HLL distinct sketches (Datasketches): mergeable across partitions —
+    // rows-only (approximate by design); ScaleOpsSpec pins the error bound
+    // and that per-partition sketch union equals the global sketch
+    "t80_hll_sketch" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est_docs"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // salted join: load-spreading must be semantically invisible
+    "q81_salted_join" -> ((s, d) => {
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      operators.Skew.saltedJoin(t(s, d, "orders"), dim, "o_custkey",
+          salts = 8, disambiguator = col("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1488,5 +1602,99 @@ object SparkEntry {
         | CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks
         |FROM documents
         |WHERE doc_id < 200
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t73_gopher_quality" ->
+      """WITH g AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(t) AS n_words,
+        |  (length(text) - len(t) + 1.0) / len(t) AS mean_len,
+        |  len(list_filter(t, w -> w IN ('the','a','an','and','or','of','to','in'))) * 1.0
+        |    / len(t) AS stop_ratio,
+        |  1.0 - len(list_distinct(list_transform(range(0, greatest(len(t)-2, 0) + 1),
+        |      i -> array_to_string(list_slice(t, i+1, i+2), ' ')))) * 1.0
+        |    / (greatest(len(t)-2, 0) + 1) AS rep2
+        | FROM g)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | round(mean_len, 4) AS mean_len, round(stop_ratio, 4) AS stop_ratio,
+        | round(rep2, 5) AS rep2,
+        | (n_words BETWEEN 30 AND 10000 AND mean_len BETWEEN 3.0 AND 5.0
+        |  AND stop_ratio >= 0.02 AND rep2 <= 0.08) AS keep
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "d74_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |spans AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  array_to_string(list_slice(t, i*8+1, i*8+8), ' ') AS span
+        | FROM toks,
+        |  unnest(range(0, CAST(floor(greatest(len(t)-1, 0)/8.0) AS BIGINT) + 1)) AS u(i)),
+        |kept AS (
+        | SELECT doc_id, pos, span,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        | FROM spans)
+        |SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text,
+        | count(*) AS kept_spans
+        |FROM kept WHERE rn = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q75_bloom_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q76_stratified_sample" ->
+      """SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000003) % 1000 <
+        | CASE source WHEN 'src0' THEN 750 WHEN 'src1' THEN 125
+        |  WHEN 'src2' THEN 500 ELSE 250 END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "s77_quantize" ->
+      """WITH q AS (
+        | SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        | FROM embeddings),
+        |qq AS (
+        | SELECT e.vec_id, q.scale,
+        |  list_transform(e.embedding, x -> CASE WHEN q.scale = 0 THEN 0
+        |    ELSE CAST(round(CAST(x AS DOUBLE) / q.scale) AS INT) END) AS qv
+        | FROM embeddings e JOIN q ON e.vec_id = q.vec_id)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        | CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        | CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS BIGINT) AS q_absmax
+        |FROM qq
+        |ORDER BY vec_id""".stripMargin,
+
+    "q78_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q79_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS ck
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q81_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
 }

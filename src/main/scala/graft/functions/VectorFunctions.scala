@@ -41,4 +41,35 @@ object VectorFunctions {
 
   /** Literal column for a constant query/plane vector. */
   def vec(values: Seq[Double]): Column = array(values.map(lit): _*)
+
+  /** Per-vector absmax scale for symmetric int8 quantization:
+    * `max(|v_i|) / 127`, 0.0 for the all-zero vector. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast(DoubleType)))) / 127.0
+
+  /** Symmetric int8 quantization (`array<int>` in [-127, 127]):
+    * `round(v_i / scale)`, the all-zero vector (scale 0) maps to zeros.
+    * `scale` must be a previously-projected [[int8Scale]] column — passing
+    * the scale EXPRESSION inline would get inlined into the per-element
+    * lambda and recomputed dim× per row (the Catalyst lambda-inlining
+    * hazard; see minhashSignaturesPosting). Storing (scale, int8 vector)
+    * shrinks an fp32 embedding column 4× — at 100 TB that is the
+    * difference between an ANN index that fits executor memory and one
+    * that doesn't. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, 0)
+        .otherwise(round(x.cast(DoubleType) / scale).cast("int")))
+
+  /** Dequantized copy of an int8 vector: `q_i · scale`, `array<double>`. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast(DoubleType) * scale)
+
+  /** L2-normalized copy (`array<double>`, unit norm); zero vectors pass
+    * through unchanged. `norm` must be a previously-projected [[norm]]
+    * column (same inlining hazard as [[quantizeInt8]]). Normalizing once
+    * at ingest turns every downstream cosine into a plain dot product. */
+  def l2Normalize(v: Column, norm: Column): Column =
+    transform(v, x =>
+      when(norm === 0.0, 0.0).otherwise(x.cast(DoubleType) / norm))
 }

@@ -347,6 +347,68 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
   }
 
+  /** Corpus-level repeated-span removal (the C4/RefinedWeb curation step):
+    * documents are cut into fixed `spanTokens`-token spans (the fused
+    * [[org.apache.spark.sql.graft.TokenChunks]] kernel, overlap 0, trailing
+    * partial span kept); every span that already occurred earlier in the
+    * corpus — first occurrence = smallest (id, pos) — is dropped, and each
+    * document is reassembled from its surviving spans in order. Documents
+    * whose every span is a repeat disappear entirely (span dedup subsumes
+    * exact-document dedup).
+    *
+    * Scale shape mirrors [[exactLosers]]: the corpus-wide shuffle that
+    * finds repeated spans carries only `(xxhash64(span), partial count)`
+    * = 16 bytes/row with map-side combine — never the span text. The
+    * colliding-hash sliver (tiny for natural corpora, so AQE broadcasts
+    * it) pulls back just the CANDIDATE spans' text for the true
+    * first-occurrence window — a 64-bit collision can only add a
+    * candidate; grouping by the real span string restores exactness. The
+    * loser (id, pos) list then anti-joins the span stream, and the only
+    * remaining corpus-wide exchange is the per-document reassembly
+    * groupBy — the irreducible shuffle of any corpus rewrite.
+    * Returns (id, text, kept_spans). */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    def spans = docs.select(col(idCol).as("id"),
+        posexplode(org.apache.spark.sql.graft.NativeFunctions
+          .tokenChunks(col(textCol), spanTokens, 0)))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "span"))
+    val candHashes = spans
+      .select(xxhash64(col("span")).as("__sh"))
+      .groupBy("__sh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__sh")
+    val candSpans = spans.withColumn("__sh", xxhash64(col("span")))
+      .join(candHashes, "__sh")
+    val losers = candSpans
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("span").orderBy("id", "pos")))
+      .filter(col("__rn") > 1)
+      .select(col("id"), col("pos"))
+    spans.join(losers, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("text"),
+        count(lit(1)).as("kept_spans"))
+  }
+
+  /** Per-stratum deterministic sampling — the data-mixing step of a
+    * training pipeline (e.g. upsample curated sources, downsample
+    * crawl): each stratum keeps its own fraction, resolved through the
+    * same engine-portable hash-bucket rule as [[hashSample]]. Zero
+    * shuffle, fully codegen'd filter; reproducible across runs,
+    * partitionings and engines, unlike `df.sampleBy`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
+    val h = hash.getOrElse(xxhash64(lit("graft_sample"), col(idCol)))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(h, lit(denominator)) < (rate * denominator))
+  }
+
   /** Benchmark decontamination: drop corpus documents whose shingle overlap
     * with any benchmark document reaches `threshold` Jaccard — the standard
     * pretraining hygiene step (test-set leakage removal).

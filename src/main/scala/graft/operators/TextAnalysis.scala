@@ -99,6 +99,21 @@ object TextAnalysis {
       total.cast(DoubleType)
   }
 
+  /** Gopher/C4-style document quality rules, as one codegen'd boolean:
+    * word-count window, mean-token-length window, minimum stopword ratio
+    * (gibberish screen), maximum bigram repetition (boilerplate screen).
+    * Each signal is also exposed individually above so a pipeline can log
+    * per-rule rejection rates; thresholds are the knobs a curation run
+    * sweeps. Zero shuffle — the filter runs inside the scan stage. */
+  def gopherKeep(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopRatio: Double = 0.02, maxRepetition: Double = 0.5): Column =
+    tokenCount(text).between(minWords, maxWords) &&
+      meanTokenLen(text).between(minMeanLen, maxMeanLen) &&
+      stopwordRatio(text) >= minStopRatio &&
+      repetitionRatio(text, 2) <= maxRepetition
+
   /** PII redaction for training corpora: emails, URLs and phone-shaped
     * numbers are replaced with stable placeholder tokens. Pure codegen'd
     * regexp chain (RE2-compatible patterns, so the same rules run on any

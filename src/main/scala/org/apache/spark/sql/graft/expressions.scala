@@ -493,6 +493,27 @@ object NativeFunctions {
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))
 
+  /** Bloom-filter aggregate over `xxhash64(value)` — the same pair Spark's
+    * own runtime-filter injection uses (`BloomFilterAggregate` fed by
+    * `XxHash64`), exposed so an operator can build a filter on one
+    * DataFrame and apply it to another. Returns one binary row (the
+    * serialized sketch). */
+  def bloomAggregate(value: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(value))),
+        expectedItems).toAggregateExpression())
+
+  /** Codegen'd membership probe against a serialized bloom filter built by
+    * [[bloomAggregate]]; hashes `value` with the matching XxHash64. */
+  def bloomMightContain(bloom: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloom, BinaryType),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(value)))))
+
   /** Register the native expressions for SQL use in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{BloomJoin, Dedup, TextAnalysis}
+
+/** Round-3 curation operators: span dedup, quality gate, stratified
+  * sampling, bloom-pruned join, int8 quantization, HLL sketches. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("spanDedup drops repeated spans, keeps first occurrence, and " +
+      "removes fully-duplicate documents") {
+    val a = "w1 w2 w3 w4 unique1 unique2 unique3 unique4"      // spans A1 A2
+    val docs = Seq(
+      (1L, a),
+      (2L, "w1 w2 w3 w4 fresh1 fresh2 fresh3 fresh4"),         // A1 + fresh
+      (3L, a),                                                 // full dup: gone
+      (4L, "solo1 solo2 solo3 solo4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (a, 2L))
+    assert(out(2L) == ("fresh1 fresh2 fresh3 fresh4", 1L)) // shared span dropped
+    assert(!out.contains(3L))
+    assert(out(4L) == ("solo1 solo2 solo3 solo4", 1L))
+  }
+
+  test("spanDedup hash-first path equals the naive span-string window") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val k = 8
+    val spans = docs.select(col("doc_id").as("id"),
+        posexplode(org.apache.spark.sql.graft.NativeFunctions
+          .tokenChunks(col("text"), k, 0)))
+      .withColumnsRenamed(Map("col" -> "span"))
+    val naive = spans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("span").orderBy("id", "pos")))
+      .filter(col("rn") === 1)
+      .groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        x => x.getField("span")), " ").as("text"))
+    val fast = Dedup.spanDedup(docs, "doc_id", "text", k)
+      .select(col("id"), col("text"))
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
+
+  test("gopherKeep applies each quality rule independently") {
+    val pass = "the quick brown fox jumps over a lazy dog near the old mill " +
+      "and runs far away to find some food in the deep dark woods tonight ok"
+    val tooShort = "just a few words here"
+    val noStops = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "alpha2 beta2 gamma2 delta2 epsilon2 zeta2"
+    val repetitive = ("spam ham " * 20).trim
+    val df = Seq(pass, tooShort, noStops, repetitive).toDF("text")
+      .select(col("text"), TextAnalysis.gopherKeep(col("text"),
+        minWords = 25, maxWords = 1000, minMeanLen = 2.0, maxMeanLen = 8.0,
+        minStopRatio = 0.02, maxRepetition = 0.5).as("keep"))
+    val keep = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(keep(pass))
+    assert(!keep(tooShort))      // word-count rule
+    assert(!keep(noStops))       // stopword-ratio rule
+    assert(!keep(repetitive))    // repetition rule
+  }
+
+  test("stratifiedSample honors per-stratum rates and is repartition-invariant") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val sampled = Dedup.stratifiedSample(df, "id", "src",
+      rates = Map("a" -> 0.5), defaultRate = 0.125)
+    val counts = sampled.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash buckets are uniform-ish; 2000 rows/stratum → loose 3-sigma bounds
+    assert(counts("a") > 850 && counts("a") < 1150)
+    assert(counts("b") > 160 && counts("b") < 340)
+    val repart = Dedup.stratifiedSample(df.repartition(17), "id", "src",
+      rates = Map("a" -> 0.5), defaultRate = 0.125)
+    assert(sampled.select("id").except(repart.select("id")).isEmpty &&
+      repart.select("id").except(sampled.select("id")).isEmpty)
+  }
+
+  test("bloomPrunedJoin equals the plain join and probes before the join") {
+    val orders = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf).filter(col("c_acctbal") > 0)
+    val pruned = BloomJoin.bloomPrunedJoin(orders, dim,
+      "o_custkey", "c_custkey", expectedDimRows = 10000)
+    val plain = orders.join(dim, orders("o_custkey") === dim("c_custkey"))
+    assert(pruned.except(plain).isEmpty && plain.except(pruned).isEmpty)
+    // the probe must sit on the fact side BEFORE the join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
+  test("quantizeInt8 round-trips within scale/2 per element") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("qv", VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+    val bad = emb.select(
+        max(abs(col("qv").getItem(0))).as("m"),
+        max(aggregate(
+          zip_with(
+            VectorFunctions.dequantizeInt8(col("qv"), col("scale")),
+            transform(col("embedding"), x => x.cast("double")),
+            (dq, v) => abs(dq - v) - col("scale") / 2.0 - lit(1e-12)),
+          lit(0.0), (acc, e) => greatest(acc, e))).as("worst"))
+      .head()
+    assert(bad.getAs[Int]("m") <= 127)
+    assert(bad.getAs[Double]("worst") <= 0.0) // every element within scale/2
+  }
+
+  test("quantizeInt8 maps the zero vector to zeros") {
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "embedding")
+      .withColumn("scale", VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("qv", VectorFunctions.quantizeInt8(col("embedding"), col("scale")))
+      .select("qv").head().getSeq[Int](0)
+    assert(z == Seq(0, 0, 0))
+  }
+
+  test("hll sketch estimate is near-exact and per-partition sketches merge " +
+      "to the global estimate") {
+    val docs = Tables.documents(spark, sf)
+    val exact = docs.select(countDistinct("doc_id")).head().getLong(0)
+    val est = docs.select(
+      hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("e"))
+      .head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05)
+    // mergeability: union of per-partition sketches == global sketch
+    val merged = docs.repartition(7)
+      .groupBy(spark_partition_id().as("p"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    assert(merged == est)
+  }
+}
