@@ -366,12 +366,16 @@ object Dedup {
     * loser (id, pos) list then anti-joins the span stream, and the only
     * remaining corpus-wide exchange is the per-document reassembly
     * groupBy — the irreducible shuffle of any corpus rewrite.
-    * Returns (id, text, kept_spans). */
+    * Returns (id, text, kept_spans [, carryCols*]): `carryCols` are
+    * per-document metadata columns carried through the reassembly
+    * (cheaper than a post-hoc corpus-wide metadata join). */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int): DataFrame = {
-    def spans = docs.select(col(idCol).as("id"),
+      spanTokens: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    def spans = docs.select(
+      (col(idCol).as("id") +:
         posexplode(org.apache.spark.sql.graft.NativeFunctions
-          .tokenChunks(col(textCol), spanTokens, 0)))
+          .tokenChunks(col(textCol), spanTokens, 0)) +:
+        carryCols.map(col)): _*)
       .withColumnsRenamed(Map("pos" -> "pos", "col" -> "span"))
     val candHashes = spans
       .select(xxhash64(col("span")).as("__sh"))
@@ -390,7 +394,8 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("span")))),
           x => x.getField("span")), " ").as("text"),
-        count(lit(1)).as("kept_spans"))
+        (count(lit(1)).as("kept_spans") +:
+          carryCols.map(c => first(col(c)).as(c))): _*)
   }
 
   /** Per-stratum deterministic sampling — the data-mixing step of a

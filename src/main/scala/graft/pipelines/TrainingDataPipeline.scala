@@ -29,24 +29,48 @@ object TrainingDataPipeline {
       /** Deterministic corpus downsample applied before dedup (None = all);
         * hash-bucket sampling, so the same documents survive at any
         * partitioning — reproducible ablation runs. */
-      sampleFraction: Option[Double] = None)
+      sampleFraction: Option[Double] = None,
+      /** Also apply the Gopher-style rule gate ([[TextAnalysis.gopherKeep]])
+        * on top of the composite quality score. */
+      gopherRules: Boolean = false,
+      /** Replace emails/URLs/phone numbers with placeholder tokens before
+        * anything downstream sees the text. */
+      redactPii: Boolean = false,
+      /** Per-source mixing rates (strata column, rates, default rate):
+        * deterministic hash sampling per stratum, applied with the
+        * corpus downsample before dedup. */
+      mixingRates: Option[(String, Map[String, Double], Double)] = None,
+      /** Corpus-level repeated-span removal after near-dup dedup: spans of
+        * this many tokens that occurred earlier in the corpus are dropped
+        * and documents rewritten ([[Dedup.spanDedup]]). */
+      spanDedupTokens: Option[Int] = None)
 
   final case class Report(
       input: Long, afterQuality: Long, afterExactDedup: Long,
       afterNearDedup: Long, totalTokens: Long)
 
-  /** Annotate: language, quality, token count — one codegen'd pass. */
-  def annotate(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"), col("source"),
+  /** Annotate: (optional PII redaction,) language, quality, token count —
+    * one codegen'd pass; redaction rewrites `text` before any signal
+    * reads it. */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val src = if (cfg.redactPii)
+      docs.withColumn("text", TextAnalysis.redactPii(col("text")))
+    else docs
+    src.select(col("doc_id"), col("text"), col("source"),
       TextAnalysis.langId(col("text")).as("lang"),
       TextAnalysis.qualityScore(col("text")).as("quality"),
       org.apache.spark.sql.graft.NativeFunctions.tokenCount(col("text"))
         .cast(LongType).as("n_tokens"))
+  }
 
-  /** Quality gate: per-row predicate, fully pushed into the scan stage. */
-  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
-    annotated.filter(col("quality") >= cfg.minQuality &&
+  /** Quality gate: per-row predicate, fully pushed into the scan stage;
+    * with `gopherRules` the rule-based screen runs in the same stage. */
+  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame = {
+    val base = annotated.filter(col("quality") >= cfg.minQuality &&
       col("n_tokens") >= cfg.minTokens)
+    if (cfg.gopherRules) base.filter(TextAnalysis.gopherKeep(col("text")))
+    else base
+  }
 
   /** Exact dedup: keep the min-id survivor per identical text. Hash-first
     * ([[Dedup.exactLosers]]): the corpus-wide shuffle carries only
@@ -86,22 +110,45 @@ object TrainingDataPipeline {
     * — but every instance observes the stage's full row set, so the
     * recorded metric is the stage count regardless of which branch
     * reported it.) */
+  /** Optional benchmark-decontamination input for [[run]]: documents whose
+    * shingle overlap with any of these reaches the threshold are dropped
+    * between the quality gate and dedup. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      cfg: Config = Config()): Report = {
+      cfg: Config = Config(), benchmark: Option[DataFrame] = None): Report = {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
-    val annotated = annotate(docs).observe(obsIn, count(lit(1)).as("n"))
+    val annotated = annotate(docs, cfg).observe(obsIn, count(lit(1)).as("n"))
     val sampled = cfg.sampleFraction
       .map(f => Dedup.hashSample(annotated, "doc_id", f))
       .getOrElse(annotated)
-    val quality = qualityFilter(sampled, cfg)
+    val mixed = cfg.mixingRates
+      .map { case (strata, rates, dflt) =>
+        Dedup.stratifiedSample(sampled, "doc_id", strata, rates, dflt) }
+      .getOrElse(sampled)
+    val quality = qualityFilter(mixed, cfg)
       .observe(obsQ, count(lit(1)).as("n"))
-    val exact = dropExactDups(quality)
+    val clean = benchmark
+      .map(b => Dedup.decontaminate(quality, b, "doc_id", "text", cfg.shingleK))
+      .getOrElse(quality)
+    val exact = dropExactDups(clean)
       .observe(obsE, count(lit(1)).as("n"))
-    val deduped = dropNearDups(exact, cfg).observe(obsD,
-      count(lit(1)).as("n"),
-      coalesce(sum(col("n_tokens")), lit(0L)).as("tok"))
+    val nearDeduped = dropNearDups(exact, cfg)
+    // span dedup rewrites text, so token totals are recomputed after it
+    val deduped = cfg.spanDedupTokens
+      .map { k =>
+        Dedup.spanDedup(nearDeduped, "doc_id", "text", k,
+            carryCols = Seq("source", "lang", "quality"))
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("n_tokens",
+            org.apache.spark.sql.graft.NativeFunctions.tokenCount(col("text"))
+              .cast(LongType))
+          .drop("kept_spans")
+      }
+      .getOrElse(nearDeduped)
+      .observe(obsD,
+        count(lit(1)).as("n"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tok"))
 
     PartitionedWrite.writePartitioned(
       deduped, outDir, Seq(cfg.outputPartitionCol))

@@ -84,6 +84,45 @@ class PipelineSpec extends SparkTestBase {
       out.agg(sum("n_tokens")).head().getLong(0))
   }
 
+  test("full-config run: mixing, gopher rules, decontamination, span dedup") {
+    val docs = Tables.documents(spark, sf)
+    // benchmark = a couple of corpus docs verbatim → must be decontaminated
+    val benchmark = docs.filter($"doc_id".isin(5L, 7L))
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    // plant a doc sharing its first 8-token span with doc 1 → span dropped
+    val d1 = docs.filter($"doc_id" === 1).head().getAs[String]("text")
+    val shared = d1.split(" ").take(8).mkString(" ")
+    val planted = docs.unionByName(Seq(
+      (910001L, shared + " novel1 novel2 novel3 novel4 novel5 novel6 novel7 novel8",
+        "en", "srcspan", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val outDir = Files.createTempDirectory("graft_pipe_full").toString
+    val report = TrainingDataPipeline.run(spark, planted, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        nearDupThreshold = 0.99,
+        gopherRules = false, redactPii = true,
+        mixingRates = Some(("source", Map("src0" -> 1.0), 1.0)),
+        spanDedupTokens = Some(8)),
+      benchmark = Some(benchmark))
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == report.afterNearDedup)
+    // decontaminated: the benchmark twins are gone
+    assert(out.filter($"doc_id".isin(5L, 7L)).count() == 0)
+    // span dedup: the planted doc survives but lost its shared span
+    val plantedOut = out.filter($"doc_id" === 910001L).head()
+    assert(plantedOut.getAs[String]("text") ==
+      "novel1 novel2 novel3 novel4 novel5 novel6 novel7 novel8")
+    assert(plantedOut.getAs[Long]("n_tokens") == 8L)
+    // metadata carried through the rewrite
+    assert(plantedOut.getAs[String]("source") == "srcspan")
+    // doc 1 keeps its own span (first occurrence)
+    assert(out.filter($"doc_id" === 1L)
+      .head().getAs[String]("text") == d1)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("pipeline is deterministic across runs") {
     val docs = Tables.documents(spark, sf)
     val out1 = Files.createTempDirectory("graft_p1").toString
