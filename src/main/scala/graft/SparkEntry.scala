@@ -1003,6 +1003,65 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // STREAMING session windows: gap-merged per-key state, append mode
+    // (the only mode session aggregation supports). Append withholds
+    // sessions until the watermark passes their end, so a far-future
+    // sentinel event (user_id -1) is added to push the watermark beyond
+    // every real session — the production "stream keeps flowing" shape;
+    // the sentinel's own open session is the only state left unemitted.
+    "str82_stream_session" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_str82")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      val sentinelDir = java.nio.file.Files.createTempDirectory("graft_str82_s")
+      raw.limit(1)
+        .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+      java.nio.file.Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.move(p, streamDir.resolve("zz_sentinel.parquet")))
+      val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = graft.streaming.MicroBatch.sessionCounts(
+        stream, "ts", "1 hour", "30 minutes", Seq(col("user_id")))
+      val name = "str82_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.MicroBatch.runToMemory(s, agg, name, outputMode = "append")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // unpivot / melt: measures to rows
+    "q83_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"),
+          dsum(col("l_discount"), 4).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    // distribution window functions: ntile / percent_rank / cume_dist
+    "q84_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // salted join: load-spreading must be semantically invisible
     "q81_salted_join" -> ((s, d) => {
       val dim = t(s, d, "customer")
@@ -1696,5 +1755,46 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin)
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "str82_stream_session" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q83_unpivot" ->
+      """WITH agg AS (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        | SELECT l_returnflag, 'qty' AS measure, qty AS value FROM agg
+        | UNION ALL SELECT l_returnflag, 'price', price FROM agg
+        | UNION ALL SELECT l_returnflag, 'disc', disc FROM agg)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q84_window_dist" ->
+      """SELECT c_custkey, c_nationkey,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
 }

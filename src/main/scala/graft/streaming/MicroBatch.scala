@@ -104,6 +104,19 @@ object MicroBatch {
       .groupBy(window(col(ts), window_) +: keys: _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Event-time SESSION windows (gap-merged) over a stream: the streaming
+    * form of [[graft.operators.Sessionize.sessions]] — state merges
+    * overlapping per-key sessions across micro-batches; the watermark
+    * bounds how long an open session is retained. Emit in update mode
+    * (complete is unsupported for session state; append withholds
+    * still-open sessions until the watermark passes them). */
+  def sessionCounts(stream: DataFrame, ts: String, watermark: String,
+      gap: String, keys: Seq[Column]): DataFrame =
+    stream
+      .withWatermark(ts, watermark)
+      .groupBy(session_window(col(ts), gap) +: keys: _*)
+      .agg(count(lit(1)).as("n"))
+
   /** Run a streaming DataFrame to completion against the available input
     * (memory sink, complete mode) and return the materialized result —
     * batch-equivalent semantics for tests/verification.
@@ -114,12 +127,12 @@ object MicroBatch {
     * volume rather than inheriting the batch shuffle width, since every
     * micro-batch pays per-store snapshot+commit IO. */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
-      statePartitions: Int = 4): DataFrame = {
+      statePartitions: Int = 4, outputMode: String = "complete"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q: StreamingQuery = agg.writeStream
-        .outputMode("complete")
+        .outputMode(outputMode)
         .format("memory")
         .queryName(name)
         .start()
