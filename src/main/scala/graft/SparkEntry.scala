@@ -1022,8 +1022,12 @@ object SparkEntry {
         .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
         .withColumn("user_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-      java.nio.file.Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
-        .forEach(p => java.nio.file.Files.move(p, streamDir.resolve("zz_sentinel.parquet")))
+      locally { // list() holds a directory fd until closed
+        val listing = java.nio.file.Files.list(sentinelDir)
+        try listing.filter(_.toString.endsWith(".parquet")).forEach(p =>
+          java.nio.file.Files.move(p, streamDir.resolve("zz_sentinel.parquet")))
+        finally listing.close()
+      }
       val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val agg = graft.streaming.MicroBatch.sessionCounts(

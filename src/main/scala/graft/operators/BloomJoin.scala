@@ -28,10 +28,20 @@ object BloomJoin {
     * (Spark derives optimal bit count; ~1.2 MB per 1M keys at the default
     * 3% false-positive rate). The sketch is built with one aggregate job on
     * the dim side — O(dim) work, O(sketch) driver memory — and shipped to
-    * fact tasks as a literal (task-binary broadcast). */
+    * fact tasks as a literal (task-binary broadcast).
+    *
+    * Only join types where non-matching FACT rows are absent from the
+    * result are accepted (inner / semi / right outer): for those the probe
+    * can only drop rows the join would drop anyway. A left/full/anti join
+    * preserves non-matching fact rows, which the pre-filter would
+    * incorrectly remove. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedDimRows: Long, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "semi", "left_semi", "leftsemi", "right",
+        "right_outer", "rightouter").contains(joinType.toLowerCase),
+      s"bloom pre-filter would change '$joinType' join semantics " +
+        "(non-matching fact rows must not survive the join)")
     val sketch = dim
       .select(NativeFunctions.bloomAggregate(col(dimKey), expectedDimRows).as("bf"))
       .head().getAs[Array[Byte]](0) // O(sketch) scalar read, like a query vector

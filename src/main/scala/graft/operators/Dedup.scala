@@ -368,7 +368,10 @@ object Dedup {
     * groupBy — the irreducible shuffle of any corpus rewrite.
     * Returns (id, text, kept_spans [, carryCols*]): `carryCols` are
     * per-document metadata columns carried through the reassembly
-    * (cheaper than a post-hoc corpus-wide metadata join). */
+    * (cheaper than a post-hoc corpus-wide metadata join).
+    * Documents with NULL text produce no spans and therefore no output
+    * row (same as a document whose every span is a repeat) — coalesce
+    * nulls upstream if they must survive the rewrite. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, carryCols: Seq[String] = Nil): DataFrame = {
     def spans = docs.select(
@@ -376,7 +379,7 @@ object Dedup {
         posexplode(org.apache.spark.sql.graft.NativeFunctions
           .tokenChunks(col(textCol), spanTokens, 0)) +:
         carryCols.map(col)): _*)
-      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "span"))
+      .withColumnRenamed("col", "span")
     val candHashes = spans
       .select(xxhash64(col("span")).as("__sh"))
       .groupBy("__sh").agg(count(lit(1)).as("__c"))
@@ -403,11 +406,15 @@ object Dedup {
     * crawl): each stratum keeps its own fraction, resolved through the
     * same engine-portable hash-bucket rule as [[hashSample]]. Zero
     * shuffle, fully codegen'd filter; reproducible across runs,
-    * partitionings and engines, unlike `df.sampleBy`. */
+    * partitionings and engines, unlike `df.sampleBy`. The default hash
+    * seed differs from [[hashSample]]'s so composing the two (corpus
+    * downsample × stratum mixing) keeps independent buckets — with a
+    * shared seed the filters would correlate and the composed keep rate
+    * would be min(f, rate) instead of f·rate. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double,
       hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
-    val h = hash.getOrElse(xxhash64(lit("graft_sample"), col(idCol)))
+    val h = hash.getOrElse(xxhash64(lit("graft_mix"), col(idCol)))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }

@@ -31,8 +31,10 @@ object TrainingDataPipeline {
         * partitioning — reproducible ablation runs. */
       sampleFraction: Option[Double] = None,
       /** Also apply the Gopher-style rule gate ([[TextAnalysis.gopherKeep]])
-        * on top of the composite quality score. */
-      gopherRules: Boolean = false,
+        * on top of the composite quality score, with these thresholds —
+        * the knobs a curation run sweeps (e.g. raise maxMeanLen for
+        * code-heavy corpora). */
+      gopherRules: Option[GopherRules] = None,
       /** Replace emails/URLs/phone numbers with placeholder tokens before
         * anything downstream sees the text. */
       redactPii: Boolean = false,
@@ -45,6 +47,18 @@ object TrainingDataPipeline {
         * and documents rewritten ([[Dedup.spanDedup]]). */
       spanDedupTokens: Option[Int] = None)
 
+  /** Rule-gate thresholds for [[TextAnalysis.gopherKeep]]. */
+  final case class GopherRules(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopRatio: Double = 0.02, maxRepetition: Double = 0.5)
+
+  /** Stage counts observed on the single write pass. `afterExactDedup`
+    * includes decontamination losses when a benchmark is supplied (they
+    * land between the quality and exact-dedup observations), and
+    * `afterNearDedup` is the FINAL document count — after span dedup when
+    * `spanDedupTokens` is set (span dedup can delete fully-duplicate
+    * documents). */
   final case class Report(
       input: Long, afterQuality: Long, afterExactDedup: Long,
       afterNearDedup: Long, totalTokens: Long)
@@ -68,8 +82,9 @@ object TrainingDataPipeline {
   def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame = {
     val base = annotated.filter(col("quality") >= cfg.minQuality &&
       col("n_tokens") >= cfg.minTokens)
-    if (cfg.gopherRules) base.filter(TextAnalysis.gopherKeep(col("text")))
-    else base
+    cfg.gopherRules.fold(base)(g => base.filter(TextAnalysis.gopherKeep(
+      col("text"), g.minWords, g.maxWords, g.minMeanLen, g.maxMeanLen,
+      g.minStopRatio, g.maxRepetition)))
   }
 
   /** Exact dedup: keep the min-id survivor per identical text. Hash-first
@@ -128,8 +143,16 @@ object TrainingDataPipeline {
       .getOrElse(sampled)
     val quality = qualityFilter(mixed, cfg)
       .observe(obsQ, count(lit(1)).as("n"))
+    // the benchmark must see the same redaction as the corpus, or a
+    // PII-bearing benchmark doc would no longer exact-hash-match its
+    // verbatim corpus twin
     val clean = benchmark
-      .map(b => Dedup.decontaminate(quality, b, "doc_id", "text", cfg.shingleK))
+      .map { b0 =>
+        val b = if (cfg.redactPii)
+          b0.withColumn("text", TextAnalysis.redactPii(col("text")))
+        else b0
+        Dedup.decontaminate(quality, b, "doc_id", "text", cfg.shingleK)
+      }
       .getOrElse(quality)
     val exact = dropExactDups(clean)
       .observe(obsE, count(lit(1)).as("n"))

@@ -107,9 +107,11 @@ object MicroBatch {
   /** Event-time SESSION windows (gap-merged) over a stream: the streaming
     * form of [[graft.operators.Sessionize.sessions]] — state merges
     * overlapping per-key sessions across micro-batches; the watermark
-    * bounds how long an open session is retained. Emit in update mode
-    * (complete is unsupported for session state; append withholds
-    * still-open sessions until the watermark passes them). */
+    * bounds how long an open session is retained. Emit in APPEND mode —
+    * the only output mode Spark supports for streaming session windows:
+    * a session row appears once, when the watermark passes its end, so a
+    * quiet stream holds its last sessions open until later events advance
+    * the watermark. */
   def sessionCounts(stream: DataFrame, ts: String, watermark: String,
       gap: String, keys: Seq[Column]): DataFrame =
     stream

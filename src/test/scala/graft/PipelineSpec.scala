@@ -101,7 +101,12 @@ class PipelineSpec extends SparkTestBase {
     val report = TrainingDataPipeline.run(spark, planted, outDir,
       TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
         nearDupThreshold = 0.99,
-        gopherRules = false, redactPii = true,
+        redactPii = true,
+        // permissive thresholds: exercises the rule-gate path without
+        // changing which documents survive
+        gopherRules = Some(TrainingDataPipeline.GopherRules(minWords = 1,
+          minMeanLen = 0.0, maxMeanLen = 100.0, minStopRatio = 0.0,
+          maxRepetition = 1.0)),
         mixingRates = Some(("source", Map("src0" -> 1.0), 1.0)),
         spanDedupTokens = Some(8)),
       benchmark = Some(benchmark))
