@@ -1066,6 +1066,20 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // timezone conversion (Metabase dialect convert-timezone,
+    // maxcompute.clj:795): UTC instants rendered as Asia/Shanghai wall
+    // time. Shanghai is DST-less (+08:00 for the whole data range), so the
+    // oracle can state the conversion as a fixed interval shift.
+    "q85_convert_tz" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("utc"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Shanghai"),
+            "yyyy-MM-dd HH:mm:ss").as("sh"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // salted join: load-spreading must be semantically invisible
     "q81_salted_join" -> ((s, d) => {
       val dim = t(s, d, "customer")
@@ -1792,6 +1806,14 @@ object SparkEntry {
         | UNION ALL SELECT l_returnflag, 'price', price FROM agg
         | UNION ALL SELECT l_returnflag, 'disc', disc FROM agg)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q85_convert_tz" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS utc,
+        | strftime(o_orderdate + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS sh
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q84_window_dist" ->
       """SELECT c_custkey, c_nationkey,
