@@ -48,6 +48,34 @@ class CurationOpsSpec extends SparkTestBase {
     assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
   }
 
+  test("spanDedup: raw span text only shuffles for the candidate sliver " +
+      "and the reassembly") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case r: ReusedExchangeExec => r +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 8)
+    out.count()
+    val shuffles = flatten(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    // a shuffle carrying the raw span column must be the candidate-sliver
+    // window (downstream of the broadcast join with the colliding-hash
+    // set); the corpus-wide repeated-span detection shuffles only
+    // (xxhash64, partial count)
+    shuffles.filter(_.output.exists(_.name == "span")).foreach { s =>
+      assert(flatten(s.child).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"span-width shuffle not under the candidate join:\n$s")
+    }
+  }
+
   test("gopherKeep applies each quality rule independently") {
     val pass = "the quick brown fox jumps over a lazy dog near the old mill " +
       "and runs far away to find some food in the deep dark woods tonight ok"
