@@ -1080,6 +1080,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // statistical aggregates (corr / covariance / stddev): rounded to 6
+    // decimals — the co-moment accumulation is order-sensitive at ~1e-14,
+    // far below the rounding grain, so the hash compare is stable across
+    // partitionings and engines
+    "q86_stats_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cv"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // salted join: load-spreading must be semantically invisible
     "q81_salted_join" -> ((s, d) => {
       val dim = t(s, d, "customer")
@@ -1806,6 +1820,15 @@ object SparkEntry {
         | UNION ALL SELECT l_returnflag, 'price', price FROM agg
         | UNION ALL SELECT l_returnflag, 'disc', disc FROM agg)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q86_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS c,
+        | round(stddev_samp(l_quantity), 6) AS sd,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cv
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q85_convert_tz" ->
       """SELECT o_orderkey,
