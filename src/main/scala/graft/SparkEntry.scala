@@ -1054,15 +1054,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("measure"))
     }),
 
-    // distribution window functions: ntile / percent_rank / cume_dist
+    // distribution window functions: ntile / percent_rank / cume_dist.
+    // The ratios are compared through their integer-exact numerators
+    // (cume_dist*n and percent_rank*(n-1) are whole numbers by
+    // definition): rounding the raw ratios invites cross-engine tie-break
+    // divergence when k/n lands exactly on a rounding boundary (Spark
+    // rounds the shortest decimal form half-up, DuckDB rounds the binary
+    // double — observed at sf0.1).
     "q84_window_dist" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      val n = count(lit(1)).over(Window.partitionBy(col("c_nationkey")))
       t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          round(percent_rank().over(w) * (n - 1)).cast(LongType).as("pr_num"),
+          round(cume_dist().over(w) * n).cast(LongType).as("cd_num"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -1841,8 +1848,10 @@ object SparkEntry {
     "q84_window_dist" ->
       """SELECT c_custkey, c_nationkey,
         | ntile(4) OVER w AS quartile,
-        | round(percent_rank() OVER w, 6) AS pr,
-        | round(cume_dist() OVER w, 6) AS cd
+        | CAST(round(percent_rank() OVER w *
+        |   (count(*) OVER (PARTITION BY c_nationkey) - 1)) AS BIGINT) AS pr_num,
+        | CAST(round(cume_dist() OVER w *
+        |   count(*) OVER (PARTITION BY c_nationkey)) AS BIGINT) AS cd_num
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin)
