@@ -31,15 +31,31 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
 
-  /** Fraction of tokens that are stopwords — a standard quality signal. */
-  def stopwordRatio(text: Column): Column = {
+  /** Fraction of tokens that are stopwords — a standard quality signal.
+    * Fused: one `TokenSetHits` pass instead of split + filter lambda;
+    * [[stopwordRatioHof]] keeps the HOF form as the executable spec. */
+  def stopwordRatio(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions
+      .tokenSetHits(text, Seq(StopWords)).getItem(0).cast(DoubleType) /
+      org.apache.spark.sql.graft.NativeFunctions.tokenCount(text).cast(DoubleType)
+
+  private[graft] def stopwordRatioHof(text: Column): Column = {
     val t = tokens(text)
     size(filter(t, w => w.isInCollection(StopWords))).cast(DoubleType) /
       size(t).cast(DoubleType)
   }
 
-  /** Mean characters per token (cheap fluency proxy). */
-  def meanTokenLen(text: Column): Column =
+  /** Mean characters per token (cheap fluency proxy). For single-space
+    * tokenization the token-length sum is `length(text) - (n-1)` exactly
+    * (n tokens, n-1 separators — empty tokens included on both sides), so
+    * no array pass is needed at all; [[meanTokenLenHof]] keeps the
+    * aggregate-over-tokens form as the executable spec. */
+  def meanTokenLen(text: Column): Column = {
+    val n = org.apache.spark.sql.graft.NativeFunctions.tokenCount(text)
+    (length(text) - n + 1).cast(DoubleType) / n.cast(DoubleType)
+  }
+
+  private[graft] def meanTokenLenHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
       .cast(DoubleType) / tokenCount(text).cast(DoubleType)
 
@@ -64,8 +80,20 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax of marker-token hits; ties break on the
     * language code so the answer is order-independent. Returns "und" when no
-    * marker hits at all. */
+    * marker hits at all. Fused: all marker sets probe in ONE tokenization
+    * pass (`TokenSetHits`) instead of one split+filter tree per language;
+    * [[langIdHof]] keeps the HOF form as the executable spec. */
   def langId(text: Column): Column = {
+    val hits = org.apache.spark.sql.graft.NativeFunctions
+      .tokenSetHits(text, LangMarkers.map(_._2))
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(hits.getItem(i).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  private[graft] def langIdHof(text: Column): Column = {
     val t = tokens(text)
     val scored = LangMarkers.map { case (lang, markers) =>
       struct(
@@ -94,8 +122,8 @@ object TextAnalysis {
     val total = greatest(
       org.apache.spark.sql.graft.NativeFunctions.tokenCount(text) - n,
       lit(0)) + 1
-    lit(1.0) - size(org.apache.spark.sql.graft.NativeFunctions
-        .shingleHashes(text, n)).cast(DoubleType) /
+    lit(1.0) - org.apache.spark.sql.graft.NativeFunctions
+        .shingleDistinctCount(text, n).cast(DoubleType) /
       total.cast(DoubleType)
   }
 

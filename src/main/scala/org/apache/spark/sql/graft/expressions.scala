@@ -232,6 +232,45 @@ object HashKernels {
       slotSeeds: Array[Long]): ArrayData =
     ArrayData.toArrayData(minhashSignatureRaw(input, shingleK, slotSeeds))
 
+  /** Distinct-shingle COUNT without materializing the hash array — the
+    * counting tail of [[shingleHashes]] fused away (repetition-ratio path:
+    * only the cardinality is ever used). */
+  def shingleDistinctCount(input: UTF8String, shingleK: Int): Int = {
+    val tokens = input.split(SPACE, -1)
+    val nShingles = math.max(tokens.length - shingleK, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    var s = 0
+    while (s < nShingles) {
+      val end = math.min(s + shingleK, tokens.length)
+      val shingle = UTF8String.concatWs(SPACE,
+        java.util.Arrays.copyOfRange(tokens, s, end): _*)
+      seen.add(XxHash64Function.hash(shingle, StringType, 42L))
+      s += 1
+    }
+    seen.size
+  }
+
+  /** Per-set token membership counts in ONE tokenization pass: for each
+    * vocabulary set, how many tokens are members. Replaces N
+    * `size(filter(split(text), _.isInCollection(set)))` trees — langid
+    * probes 5 marker sets and the quality rules one stopword set, so the
+    * HOF form tokenizes the document 6 times; this does it once. */
+  def tokenSetHits(input: UTF8String,
+      sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val tokens = input.split(SPACE, -1)
+    val hits = new Array[Int](sets.length)
+    var t = 0
+    while (t < tokens.length) {
+      var i = 0
+      while (i < sets.length) {
+        if (sets(i).contains(tokens(t))) hits(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    ArrayData.toArrayData(hits)
+  }
+
   /** Overlapping token-window chunks in one pass (RAG/embedding prep):
     * windows of `chunkSize` tokens advancing by `chunkSize - overlap`. */
   def chunkTokens(input: UTF8String, chunkSize: Int, overlap: Int): ArrayData = {
@@ -418,6 +457,56 @@ case class TokenCount(child: Expression)
   override def prettyName: String = "token_count"
 }
 
+/** Distinct token-k-shingle count — `size(shingle_hashes(text, k))` with
+  * the array fused away (one pass, no allocation beyond the hash set). */
+case class ShingleDistinctCount(child: Expression, shingleK: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleDistinctCount(input.asInstanceOf[UTF8String], shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.shingleDistinctCount($c, $shingleK)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_distinct_count"
+}
+
+/** Membership-hit counts of whitespace tokens against N vocabulary sets,
+  * in one tokenization pass (`array<int>`, one slot per set) — the fused
+  * form of N parallel `size(filter(tokens, _.isInCollection(set)))`
+  * trees (language-ID markers, stopword ratios). */
+case class TokenSetHits(child: Expression, sets: Seq[Seq[String]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val hashSets: Array[java.util.HashSet[UTF8String]] =
+    sets.map { s =>
+      val hs = new java.util.HashSet[UTF8String](s.size * 2)
+      s.foreach(w => hs.add(UTF8String.fromString(w)))
+      hs
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenSetHits(input.asInstanceOf[UTF8String], hashSets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("hashSets", hashSets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.tokenSetHits($c, $setsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "token_set_hits"
+}
+
 /** Bridge to the session's catalog manager (private[sql]) for catalog-aware
   * helpers like max_pt. */
 object Catalogs {
@@ -492,6 +581,13 @@ object NativeFunctions {
 
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))
+
+  def shingleDistinctCount(c: Column, shingleK: Int): Column =
+    ExpressionUtils.column(ShingleDistinctCount(
+      ExpressionUtils.expression(c), shingleK))
+
+  def tokenSetHits(c: Column, sets: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(TokenSetHits(ExpressionUtils.expression(c), sets))
 
   /** Bloom-filter aggregate over `xxhash64(value)` — the same pair Spark's
     * own runtime-filter injection uses (`BloomFilterAggregate` fed by

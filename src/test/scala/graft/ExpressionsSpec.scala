@@ -50,6 +50,31 @@ class ExpressionsSpec extends SparkTestBase {
     assert(h.getInt(0) > 0 && h.getInt(2) > 0 && h.getInt(3) == 32 && h.getInt(4) == 8)
   }
 
+  test("fused text-signal kernels match their HOF specs (incl. edge cases)") {
+    import graft.operators.TextAnalysis
+    val edge = Seq("", "x", "the", "the the the", "a  b", " leading",
+      "trailing ").toDF("text")
+    val docs = Tables.documents(spark, sf).select($"text").limit(300)
+      .unionByName(edge)
+    val both = docs.select(
+      TextAnalysis.stopwordRatio($"text").as("sr_f"),
+      TextAnalysis.stopwordRatioHof($"text").as("sr_h"),
+      TextAnalysis.meanTokenLen($"text").as("ml_f"),
+      TextAnalysis.meanTokenLenHof($"text").as("ml_h"),
+      TextAnalysis.langId($"text").as("li_f"),
+      TextAnalysis.langIdHof($"text").as("li_h"),
+      org.apache.spark.sql.graft.NativeFunctions
+        .shingleDistinctCount($"text", 2).as("sd_f"),
+      size(NativeFunctions.shingleHashes($"text", 2)).as("sd_h"))
+    both.collect().foreach { r =>
+      def d(i: Int) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+      assert(d(0) == d(1) || (d(0).isNaN && d(1).isNaN))
+      assert(d(2) == d(3) || (d(2).isNaN && d(3).isNaN))
+      assert(r.getString(4) == r.getString(5))
+      assert(r.getInt(6) == r.getInt(7))
+    }
+  }
+
   test("native minhash signature is bit-compatible with the posting form") {
     val docs = Tables.documents(spark, sf).limit(50)
     val native = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 32)
