@@ -24,8 +24,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: tokens plus extra splits on 4-char chunks of
-    * long words (a cheap deterministic stand-in for a real BPE vocab). */
+    * long words (a cheap deterministic stand-in for a real BPE vocab).
+    * Fused single byte scan; [[subwordCountHof]] is the executable spec. */
   def subwordCount(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.subwordCount(text)
+
+  private[graft] def subwordCountHof(text: Column): Column =
     aggregate(tokens(text), lit(0),
       (acc, w) => acc + ceil(length(w).cast(DoubleType) / 4.0).cast(IntegerType))
 
@@ -107,8 +111,12 @@ object TextAnalysis {
   /** Rolling-hash fingerprint over tokens (order-sensitive, so permuted
     * documents fingerprint differently, unlike a bag-of-words hash). The
     * chain `acc ← xxhash64(acc, token)` is the ANSI-safe equivalent of the
-    * classic polynomial hash (no long overflow). 64-bit, expression-only. */
+    * classic polynomial hash (no long overflow). 64-bit, fused single
+    * pass; [[fingerprintHof]] is the executable spec. */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.tokenFingerprint(text)
+
+  private[graft] def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
   /** Intra-document repetition ratio (Gopher/RefinedWeb-style quality

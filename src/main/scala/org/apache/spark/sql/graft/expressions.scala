@@ -271,6 +271,42 @@ object HashKernels {
     ArrayData.toArrayData(hits)
   }
 
+  /** BPE-ish subword count in one byte scan (no token array): per token,
+    * ceil(char_len / 4) — matches the HOF
+    * `aggregate(tokens, 0, acc + ceil(len(w)/4))` exactly: token length
+    * counts codepoints (UTF-8 lead bytes), like Spark's `length()`. */
+  def subwordCount(input: UTF8String): Int = {
+    val n = input.numBytes()
+    var count = 0
+    var tokLen = 0
+    var i = 0
+    while (i < n) {
+      val b = input.getByte(i)
+      if (b == ' '.toByte) {
+        count += (tokLen + 3) / 4
+        tokLen = 0
+      } else if ((b & 0xC0) != 0x80) tokLen += 1 // codepoint lead byte
+      i += 1
+    }
+    count + (tokLen + 3) / 4
+  }
+
+  /** Order-sensitive rolling fingerprint over whitespace tokens — the
+    * fused form of `aggregate(tokens, 0L, (acc, w) => xxhash64(acc, w))`:
+    * each step folds (acc: long, token: string) through XxHash64 with
+    * seed 42, exactly as the two-argument xxhash64 Column does. */
+  def tokenFingerprint(input: UTF8String): Long = {
+    val tokens = input.split(SPACE, -1)
+    var acc = 0L
+    var t = 0
+    while (t < tokens.length) {
+      acc = XxHash64Function.hash(tokens(t), StringType,
+        XxHash64Function.hash(acc, LongType, 42L))
+      t += 1
+    }
+    acc
+  }
+
   /** Overlapping token-window chunks in one pass (RAG/embedding prep):
     * windows of `chunkSize` tokens advancing by `chunkSize - overlap`. */
   def chunkTokens(input: UTF8String, chunkSize: Int, overlap: Int): ArrayData = {
@@ -457,6 +493,44 @@ case class TokenCount(child: Expression)
   override def prettyName: String = "token_count"
 }
 
+/** BPE-ish subword count — one byte scan, no token array (the fused form
+  * of the aggregate-over-tokens HOF in TextAnalysis.subwordCount). */
+case class SubwordCount(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.subwordCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.subwordCount($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "subword_count"
+}
+
+/** Order-sensitive rolling token fingerprint — the fused form of the
+  * xxhash64-fold HOF in TextAnalysis.fingerprint (bit-identical chain). */
+case class TokenFingerprint(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.tokenFingerprint($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "token_fingerprint"
+}
+
 /** Distinct token-k-shingle count — `size(shingle_hashes(text, k))` with
   * the array fused away (one pass, no allocation beyond the hash set). */
 case class ShingleDistinctCount(child: Expression, shingleK: Int)
@@ -588,6 +662,12 @@ object NativeFunctions {
 
   def tokenSetHits(c: Column, sets: Seq[Seq[String]]): Column =
     ExpressionUtils.column(TokenSetHits(ExpressionUtils.expression(c), sets))
+
+  def subwordCount(c: Column): Column =
+    ExpressionUtils.column(SubwordCount(ExpressionUtils.expression(c)))
+
+  def tokenFingerprint(c: Column): Column =
+    ExpressionUtils.column(TokenFingerprint(ExpressionUtils.expression(c)))
 
   /** Bloom-filter aggregate over `xxhash64(value)` — the same pair Spark's
     * own runtime-filter injection uses (`BloomFilterAggregate` fed by

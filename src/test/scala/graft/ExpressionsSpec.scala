@@ -65,14 +65,29 @@ class ExpressionsSpec extends SparkTestBase {
       TextAnalysis.langIdHof($"text").as("li_h"),
       org.apache.spark.sql.graft.NativeFunctions
         .shingleDistinctCount($"text", 2).as("sd_f"),
-      size(NativeFunctions.shingleHashes($"text", 2)).as("sd_h"))
+      size(NativeFunctions.shingleHashes($"text", 2)).as("sd_h"),
+      TextAnalysis.subwordCount($"text").as("sw_f"),
+      TextAnalysis.subwordCountHof($"text").as("sw_h"),
+      TextAnalysis.fingerprint($"text").as("fp_f"),
+      TextAnalysis.fingerprintHof($"text").as("fp_h"))
     both.collect().foreach { r =>
       def d(i: Int) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
       assert(d(0) == d(1) || (d(0).isNaN && d(1).isNaN))
       assert(d(2) == d(3) || (d(2).isNaN && d(3).isNaN))
       assert(r.getString(4) == r.getString(5))
       assert(r.getInt(6) == r.getInt(7))
+      assert(r.getInt(8) == r.getInt(9))
+      assert(r.getLong(10) == r.getLong(11))
     }
+  }
+
+  test("fused subword count handles multi-byte codepoints like length()") {
+    import graft.operators.TextAnalysis
+    val df = Seq("héllo wörld", "日本語のテキスト です", "mixed ascii ünd utf8")
+      .toDF("text")
+      .select(TextAnalysis.subwordCount($"text").as("f"),
+        TextAnalysis.subwordCountHof($"text").as("h"))
+    df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
   test("native minhash signature is bit-compatible with the posting form") {
