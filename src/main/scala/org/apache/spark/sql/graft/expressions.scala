@@ -712,5 +712,11 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction("minhash_bands",
       exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
         intLit(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("subword_count",
+      exprs => SubwordCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("token_fingerprint",
+      exprs => TokenFingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_distinct_count",
+      exprs => ShingleDistinctCount(exprs(0), intLit(exprs(1))), "built-in")
   }
 }

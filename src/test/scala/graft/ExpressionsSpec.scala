@@ -43,11 +43,14 @@ class ExpressionsSpec extends SparkTestBase {
       """SELECT token_count(text) AS tc, simhash64(text) AS sh,
         | size(shingle_hashes(text, 3)) AS nsh,
         | size(minhash_signature(text, 5, 32)) AS nsig,
-        | size(minhash_bands(text, 5, 32, 8)) AS nb
+        | size(minhash_bands(text, 5, 32, 8)) AS nb,
+        | subword_count(text) AS sw, token_fingerprint(text) AS fp,
+        | shingle_distinct_count(text, 3) AS sdc
         |FROM docs_expr""".stripMargin)
     assert(out.count() == 10)
     val h = out.head()
     assert(h.getInt(0) > 0 && h.getInt(2) > 0 && h.getInt(3) == 32 && h.getInt(4) == 8)
+    assert(h.getInt(5) > 0 && h.getInt(7) == h.getInt(2))
   }
 
   test("fused text-signal kernels match their HOF specs (incl. edge cases)") {
