@@ -108,6 +108,37 @@ object JdbcImport {
       .option("batchsize", batchSize)
       .jdbc(url, table, properties)
 
+  /** Staged export (Sqoop `--staging-table`,
+    * `odps-sqoop/.../ExportJobBase.java:347-410`): the distributed write
+    * lands in a staging table; only after EVERY task has committed does a
+    * single transactional `INSERT INTO target SELECT` migrate the rows and
+    * clear the staging table — a failed or partial export job leaves the
+    * target untouched (the staging table may hold partial rows, which the
+    * next run's `clearStaging` wipes, mirroring `--clear-staging-table`).
+    * The target-side migration is one SQL statement, so its atomicity is
+    * the database's transaction, not Spark's. */
+  def exportStaged(df: DataFrame, url: String, table: String,
+      stagingTable: String, clearStaging: Boolean = true,
+      properties: Properties = new Properties(),
+      batchSize: Int = 1000): Unit = {
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val conn = java.sql.DriverManager.getConnection(url, properties)
+      try f(conn) finally conn.close()
+    }
+    if (clearStaging)
+      withConn(_.createStatement().executeUpdate(s"DELETE FROM $stagingTable"))
+    exportTable(df, url, stagingTable, properties, batchSize)
+    withConn { conn =>
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stagingTable")
+        st.executeUpdate(s"DELETE FROM $stagingTable")
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+  }
+
   /** Upsert export (`JdbcUpsertExportJob`): per-partition prepared-statement
     * loop with a caller-supplied dialect SQL (MERGE/ON CONFLICT/ON
     * DUPLICATE KEY — vendor-specific, exactly like Sqoop's per-manager

@@ -298,4 +298,36 @@ class SourcesSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
     assert(rows == Seq((1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)))
   }
+
+  test("staged jdbc export migrates on success, leaves target untouched on failure") {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    conn.createStatement().execute(
+      "CREATE TABLE stg_target (id INT PRIMARY KEY, name VARCHAR(8))")
+    conn.createStatement().execute(
+      "CREATE TABLE stg_stage (id INT, name VARCHAR(8))")
+    conn.close()
+
+    def targetRows(): Seq[(Int, String)] =
+      JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+          url = derbyUrl, table = "stg_target"))
+        .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    def stagingCount(): Long =
+      JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+        url = derbyUrl, table = "stg_stage")).count()
+
+    // failure path: a VARCHAR(8) overflow aborts the staged write — the
+    // target must not see any rows (staging may hold a partial batch)
+    val bad = Seq((1, "ok"), (2, "way_too_long_for_varchar8")).toDF("id", "name")
+    intercept[Exception] {
+      JdbcImport.exportStaged(bad, derbyUrl, "stg_target", "stg_stage")
+    }
+    assert(targetRows().isEmpty, "failed export must not touch the target")
+
+    // success path: clearStaging wipes the failure's residue, rows migrate,
+    // staging ends empty
+    val good = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    JdbcImport.exportStaged(good, derbyUrl, "stg_target", "stg_stage")
+    assert(targetRows() == Seq((1, "a"), (2, "b")))
+    assert(stagingCount() == 0, "staging must be drained after migration")
+  }
 }
