@@ -121,7 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // external tables read their data from the recorded location, not
       // the warehouse directory that holds only their metadata — and their
       // stats file homes with the metadata (never inside external data)
-      val dataDir = meta.externalLocation.map(new HPath(_)).getOrElse(dir)
+      val dataDir = dataDirOf(dir, meta)
       new GraftTable(ident, dataDir, meta, SparkSession.active,
         statsDir = if (meta.isExternal) Some(dir) else None)
     }
@@ -195,11 +195,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       }
       if (properties.containsKey(GraftTable.RangeColsKey) &&
           partitions.exists(_.name() == "range_cluster")) {
+        // compare ORDER, not just membership — a reordered TBLPROPERTIES
+        // spec would silently sort writes differently from the transform
+        // the table advertises
         val fromTransform = partitions.find(_.name() == "range_cluster").get
-          .references().map(_.fieldNames().mkString(".")).toSet
-        require(parsed.map(_._1).toSet == fromTransform,
-          s"'${GraftTable.RangeColsKey}' names ${parsed.map(_._1).toSet} but " +
-            s"range_cluster(...) declares $fromTransform — they must match")
+          .references().map(_.fieldNames().mkString(".")).toSeq
+        require(parsed.map(_._1) == fromTransform,
+          s"'${GraftTable.RangeColsKey}' names ${parsed.map(_._1)} but " +
+            s"range_cluster(...) declares $fromTransform — the columns and " +
+            "their order must match")
       }
     }
     val dir = tablePath(ident)
@@ -265,8 +269,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!Fs.exists(metaFile(dir))) false
     else {
       // symmetric with dropView (which refuses tables): a view is not
-      // droppable through the table path
-      require(!TableMeta.read(metaFile(dir)).isView,
+      // droppable through the table path. A torn/corrupt meta file (crash
+      // mid-create) must still be droppable: unreadable meta is treated as
+      // a managed table — the warehouse dir is catalog-owned either way,
+      // and external data never lives inside it.
+      require(!scala.util.Try(TableMeta.read(metaFile(dir)))
+          .toOption.exists(_.isView),
         s"$ident is a view — use DROP VIEW")
       // DROP on an external table removes METADATA ONLY — the data at the
       // external location must survive (the reference's external-table
@@ -278,6 +286,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // same view guard as dropTable/alterTable: a view is not renameable
+    // through the table path (renameView uses the raw move below)
+    require(!scala.util.Try(TableMeta.read(metaFile(tablePath(oldIdent))))
+        .toOption.exists(_.isView),
+      s"$oldIdent is a view — rename it through the view catalog")
+    moveTableDir(oldIdent, newIdent)
+  }
+
+  private def moveTableDir(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     // Hadoop rename reports failure as false, not an exception
@@ -349,7 +366,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (readMetaIfView(oldIdent).isEmpty) throw new NoSuchViewException(oldIdent)
-    renameTable(oldIdent, newIdent)
+    moveTableDir(oldIdent, newIdent)
   }
 }
 

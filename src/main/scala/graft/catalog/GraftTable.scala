@@ -104,8 +104,20 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
       case other => other
     }
 
-  private def refreshStats(): Unit =
-    TableStatistics.refresh(dir, meta.partitionCols, statsDir)
+  /** Stats are advisory: the data is already committed when this runs, so
+    * a refresh failure (transient FS error, concurrent file removal
+    * between listing and footer read) must never surface as a failed
+    * write job — Spark would report failure for landed data and a retry
+    * would duplicate rows. `touched` scopes the refresh to the committed
+    * partitions (see [[TableStatistics.refresh]]). */
+  private def refreshStats(touched: Option[TableStatistics.Touched] = None): Unit =
+    try TableStatistics.refresh(dir, meta.partitionCols, statsDir, touched)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] stats refresh for ${name()} failed (stats may be stale " +
+            s"until the next commit or ANALYZE): $e")
+    }
 
   /** Wrap a DSv2 write so a successful commit refreshes the stats file —
     * the write-commit half of the stats-fed planning loop. */
@@ -188,12 +200,16 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit = {
-                graft.sources.PartitionedWrite.writePartitioned(
+                val spec = truncateSpec.orElse(
+                  if (ow && !dynamic) Some(Nil) else None)
+                val written = graft.sources.PartitionedWrite.writePartitioned(
                   data, dir.toString, meta.partitionCols,
                   overwrite = dynamic || truncateSpec.isDefined || ow,
-                  truncateSpec = truncateSpec.orElse(
-                    if (ow && !dynamic) Some(Nil) else None))
-                refreshStats()
+                  truncateSpec = spec)
+                refreshStats(Some(TableStatistics.Touched(written,
+                  removedPrefix = spec.map(_.map { case (c, v) =>
+                    graft.sources.PartitionedWrite.partSegment(c, v)
+                  }.mkString("/")))))
               }
             }
         }
@@ -289,8 +305,19 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     }
   }
 
+  /** Partition ADD/DROP mutate the data directory, so external tables
+    * refuse them like any other write (`OdpsWriteBuilder.scala:124-128`
+    * semantics) — DROP PARTITION on an external location would recursively
+    * delete data the catalog does not own. */
+  private def requireManagedForPartitionDdl(op: String): Unit =
+    if (meta.isExternal)
+      throw new UnsupportedOperationException(
+        s"${name()} is an external table — $op would modify the external " +
+          "location; manage partition directories with an explicit job instead")
+
   override def createPartition(id: InternalRow,
       properties: java.util.Map[String, String]): Unit = {
+    requireManagedForPartitionDdl("ADD PARTITION")
     val p = partitionDir(id)
     if (graft.sources.Fs.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
@@ -298,8 +325,10 @@ class GraftTable(ident: Identifier, dir: HPath, meta: TableMeta,
     graft.sources.Fs.mkdirs(p)
   }
 
-  override def dropPartition(id: InternalRow): Boolean =
+  override def dropPartition(id: InternalRow): Boolean = {
+    requireManagedForPartitionDdl("DROP PARTITION")
     graft.sources.Fs.delete(partitionDir(id))
+  }
 
   override def replacePartitionMetadata(id: InternalRow,
       properties: java.util.Map[String, String]): Unit = ()

@@ -27,9 +27,12 @@ object TableStatistics {
 
   def read(dir: HPath): Option[TableStats] = {
     val f = statsFile(dir)
+    // existence check + read are not atomic against a concurrent commit's
+    // renameOverwrite (delete-then-rename on object stores has a brief
+    // missing-file window) — a vanished file degrades to None (planner
+    // falls back to size estimates), never to a failed query
     if (!Fs.exists(f)) None
-    else {
-      val json = Fs.readString(f)
+    else scala.util.Try(Fs.readString(f)).toOption.flatMap { json =>
       val entry =
         "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\{\"rows\":(\\d+),\"bytes\":(\\d+),\"files\":(\\d+)\\}".r
       val parts = entry.findAllMatchIn(json).map { m =>
@@ -40,6 +43,11 @@ object TableStatistics {
         TableStats(m.group(1).toLong, m.group(2).toLong, parts))
     }
   }
+
+  /** Scope of a commit's stats refresh: the partition rel-paths the write
+    * landed in, plus (for overwrite truncations) the rel-path prefix whose
+    * stored entries must be dropped ("" = whole table). */
+  final case class Touched(rels: Seq[String], removedPrefix: Option[String] = None)
 
   private def write(dir: HPath, ts: TableStats): Unit = {
     // partition keys are path-escaped (ExternalCatalogUtils), so they never
@@ -90,9 +98,18 @@ object TableStatistics {
     * reusing stored row counts for unchanged partitions, and persist the
     * result. `statsDir` overrides where the stats FILE lives — external
     * tables keep their data directory pristine and home the stats next to
-    * the catalog metadata instead. */
+    * the catalog metadata instead.
+    *
+    * `touched` scopes the refresh to the partitions a commit actually
+    * wrote (plus a truncated prefix whose stored entries are dropped):
+    * only those directories are listed and footer-read, the rest of the
+    * stored stats carry over — at 100k partitions a full walk per commit
+    * would put O(table) FS round-trips inside every write. Without
+    * `touched` (explicit ANALYZE, unpartitioned tables) the full walk
+    * runs and also reconciles partitions changed by external writers. */
   def refresh(dir: HPath, partitionCols: Seq[String],
-      statsDir: Option[HPath] = None): TableStats = {
+      statsDir: Option[HPath] = None,
+      touched: Option[Touched] = None): TableStats = {
     val home = statsDir.getOrElse(dir)
     val old = read(home).map(_.parts).getOrElse(Map.empty)
     def walk(p: HPath, depth: Int, rel: String): Seq[(String, HPath)] =
@@ -102,13 +119,28 @@ object TableStatistics {
         .filter(_.getName.startsWith(partitionCols(depth) + "="))
         .flatMap(d => walk(d, depth + 1,
           if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
-    val listed = walk(dir, 0, "").map { case (rel, p) => (rel, dataFiles(p)) }
+    val (base, listed) = touched match {
+      case Some(t) if partitionCols.nonEmpty =>
+        val pruned = t.removedPrefix match {
+          case Some("") => Map.empty[String, PartStat]
+          case Some(prefix) => old.filterNot(_._1.startsWith(prefix))
+          case None => old
+        }
+        val rels = t.rels.distinct
+        val dirs = rels.map(rel =>
+          rel -> rel.split('/').foldLeft(dir)(new HPath(_, _)))
+        (pruned -- rels,
+          dirs.filter(d => Fs.isDir(d._2)).map { case (rel, p) => (rel, dataFiles(p)) })
+      case _ =>
+        (Map.empty[String, PartStat],
+          walk(dir, 0, "").map { case (rel, p) => (rel, dataFiles(p)) })
+    }
     val changed = listed.filter { case (rel, fs) =>
       !old.get(rel).exists(ps =>
         ps.bytes == fs.map(_.getLen).sum && ps.files == fs.size)
     }
     val rowsByFile = fileRowsAll(changed.flatMap(_._2.map(_.getPath)))
-    val parts = listed.map { case (rel, fs) =>
+    val parts = base ++ listed.map { case (rel, fs) =>
       val bytes = fs.map(_.getLen).sum
       val stat = old.get(rel) match {
         case Some(ps) if ps.bytes == bytes && ps.files == fs.size => ps

@@ -170,7 +170,13 @@ object Similarity {
     *    `singletonProbes` buckets obtained by flipping their
     *    least-confident hyperplane bits (smallest |margin| first — the
     *    classic multi-probe LSH order), which is where their nearest
-    *    neighbors most likely landed. */
+    *    neighbors most likely landed.
+    * Residual limitation: a singleton whose own AND probed buckets hold no
+    * other member emits no rows at all — on a very sparse corpus raise
+    * `singletonProbes` or lower `numPlanes` (fewer, denser buckets);
+    * callers needing guaranteed-total node coverage should anti-join the
+    * output ids against the input and handle the isolated remainder
+    * (e.g. brute-force that sliver — it is small by construction). */
   def knnGraph(
       embDf: DataFrame, idCol: String, embCol: String, dim: Int,
       k: Int, numPlanes: Int = 10, maxBucketSize: Int = 1024,

@@ -61,10 +61,18 @@ case class GraftDynamicOverwriteExec(table: GraftTable, query: LogicalPlan,
   // lazy val is the once-guard (thread-safe, one evaluation per instance).
   @transient private lazy val ranOnce: Unit = {
     val df = org.apache.spark.sql.graft.Catalogs.ofRows(spark, query)
-    graft.sources.PartitionedWrite.writePartitioned(
+    val written = graft.sources.PartitionedWrite.writePartitioned(
       df, table.location, table.partitionColumnNames, overwrite = true)
-    graft.catalog.TableStatistics.refresh(
-      new org.apache.hadoop.fs.Path(table.location), table.partitionColumnNames)
+    // advisory refresh scoped to the overwritten partitions: a stats
+    // failure must not fail a write whose data already committed
+    try graft.catalog.TableStatistics.refresh(
+      new org.apache.hadoop.fs.Path(table.location), table.partitionColumnNames,
+      touched = Some(graft.catalog.TableStatistics.Touched(written)))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] stats refresh after dynamic overwrite " +
+          s"failed (stale until next commit or ANALYZE): $e")
+    }
   }
 
   override def executeCollect(): Array[InternalRow] = { ranOnce; Array.empty }

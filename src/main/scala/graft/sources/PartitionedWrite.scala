@@ -82,11 +82,13 @@ object PartitionedWrite {
     * existing partitions first (static INSERT OVERWRITE semantics),
     * `Some(prefixSpec)` drops the matching partition subtree (static
     * PARTITION(col=value) overwrite — truncates even when the new data is
-    * empty), `None` touches only staged partitions. */
+    * empty), `None` touches only staged partitions.
+    * Returns the written partition rel-paths (`col=v/col2=v2` form) so a
+    * caller can scope its stats refresh to the touched partitions. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil, overwrite: Boolean = true,
       limit: Int = DefaultDynamicPartitionLimit,
-      truncateSpec: Option[Seq[(String, String)]] = None): Unit = {
+      truncateSpec: Option[Seq[(String, String)]] = None): Seq[String] = {
     val fs = Fs.of(new HPath(path))
     val target = fs.makeQualified(new HPath(path))
     val staging = fs.makeQualified(
@@ -122,7 +124,7 @@ object PartitionedWrite {
           Fs.mkdirs(subtree)
         }
       }
-      staged.foreach { srcRaw =>
+      val written = staged.map { srcRaw =>
         val src = fs.makeQualified(srcRaw)
         val rel = src.toString.stripPrefix(staging.toString).stripPrefix("/")
         val dst = rel.split('/').foldLeft(target)(new HPath(_, _))
@@ -139,8 +141,10 @@ object PartitionedWrite {
                 s"staged data preserved at $staging")
           }
         }
+        rel
       }
       swapping = false
+      written
     } finally if (!swapping) Fs.delete(staging)
   }
 
@@ -195,9 +199,12 @@ object PartitionedWrite {
   }
 
   /** Latest partition value resolved purely from the `col=value` directory
-    * listing — no Spark job, no data scan; the exact MaxPtUDF contract. */
+    * listing — no Spark job, no data scan; the exact MaxPtUDF contract.
+    * A nonexistent table path is None (no partitions yet), matching the
+    * catalog maxPt's behavior rather than throwing. */
   def maxPtListing(path: String, partitionCol: String): Option[String] = {
     val prefix = s"$partitionCol="
+    if (!Fs.exists(new HPath(path))) return None
     val vals = Fs.listDirs(new HPath(path)).map(_.getName)
       .filter(_.startsWith(prefix))
       .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils

@@ -279,6 +279,42 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.read.parquet(ext).count() == 5)
   }
 
+  test("external tables refuse partition DDL; corrupt meta stays droppable; " +
+      "views refuse table rename") {
+    // partition DDL on an external PARTITIONED table must not touch the
+    // external location
+    val ext = Files.createTempDirectory("graft_ext_pd").toString
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS dt")
+      .write.partitionBy("dt").mode("overwrite").parquet(ext)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbg")
+    sql("CREATE EXTERNAL TABLE graft.dbg.extp (id BIGINT, dt STRING) " +
+      s"PARTITIONED BY (dt) LOCATION '$ext'")
+    val dropErr = intercept[Exception](
+      sql("ALTER TABLE graft.dbg.extp DROP PARTITION (dt='1')"))
+    assert(dropErr.getMessage.contains("external"))
+    assert(spark.read.parquet(ext).count() == 3, "external data must survive")
+    val addErr = intercept[Exception](
+      sql("ALTER TABLE graft.dbg.extp ADD PARTITION (dt='9')"))
+    assert(addErr.getMessage.contains("external"))
+
+    // a torn meta file (crash mid-create) must still be droppable
+    sql("CREATE TABLE graft.dbg.torn (id BIGINT)")
+    val metaPath = java.nio.file.Paths.get(
+      warehouse, "dbg", "torn", "_graft_meta.json")
+    java.nio.file.Files.writeString(metaPath, "{\"partial")
+    sql("DROP TABLE graft.dbg.torn")
+    assert(!sql("SHOW TABLES IN graft.dbg").collect()
+      .map(_.getString(1)).contains("torn"))
+
+    // rename through the table path refuses views, like drop/alter
+    sql("CREATE TABLE graft.dbg.base (id BIGINT)")
+    graft.catalog.CatalogFunctions.createView(spark, "graft", Array("dbg"),
+      "v_ren", "SELECT * FROM graft.dbg.base")
+    val renErr = intercept[Exception](
+      sql("ALTER TABLE graft.dbg.v_ren RENAME TO v_ren2"))
+    assert(renErr.getMessage.contains("view"))
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme
