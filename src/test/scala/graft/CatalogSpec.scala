@@ -315,6 +315,34 @@ class CatalogSpec extends SparkTestBase {
     assert(renErr.getMessage.contains("view"))
   }
 
+  test("commit-scoped stats stay exact across append, second append, and " +
+      "partition overwrite") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.catalog.TableStatistics
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbs")
+    sql("CREATE TABLE graft.dbs.st (v BIGINT, dt STRING) PARTITIONED BY (dt)")
+    val dir = new HPath(s"$warehouse/dbs/st")
+    def stored() = TableStatistics.read(dir).get
+    def actual() = sql("SELECT count(*) FROM graft.dbs.st").head().getLong(0)
+
+    sql("INSERT INTO graft.dbs.st VALUES (1,'a'), (2,'a'), (3,'b')")
+    assert(stored().rows == 3 && stored().rows == actual())
+    // second append into ONE existing partition: only that entry changes
+    sql("INSERT INTO graft.dbs.st VALUES (4,'a')")
+    assert(stored().rows == 4 && stored().rows == actual())
+    assert(stored().parts("dt=b").rows == 1)
+    // dynamic overwrite replaces only the touched partition's entry
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE graft.dbs.st VALUES (9,'a')")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(stored().rows == 2 && stored().rows == actual())
+    assert(stored().parts("dt=a").rows == 1 && stored().parts("dt=b").rows == 1)
+    // static full overwrite prunes every stale entry
+    sql("INSERT OVERWRITE graft.dbs.st VALUES (7,'c')")
+    assert(stored().rows == 1 && stored().rows == actual())
+    assert(stored().parts.keySet == Set("dt=c"))
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme
