@@ -1110,6 +1110,21 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // small-file compaction: a deliberately fragmented copy of orders is
+    // compacted in place (per-partition staged rewrite), then read back —
+    // the aggregate must be indistinguishable from the uncompacted source
+    "q87_compact" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q87")
+        .toString + "/orders"
+      val o = t(s, d, "orders").withColumn("yr", year(col("o_orderdate")))
+      o.repartition(16).write.partitionBy("yr").parquet(dir)
+      sources.Maintenance.compactPartitions(s, dir, Seq("yr"))
+      s.read.parquet(dir)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("yr"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1827,6 +1842,14 @@ object SparkEntry {
         | UNION ALL SELECT l_returnflag, 'price', price FROM agg
         | UNION ALL SELECT l_returnflag, 'disc', disc FROM agg)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q87_compact" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | count(*) AS cnt,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY yr""".stripMargin,
 
     "q86_stats_agg" ->
       """SELECT l_returnflag,

@@ -465,6 +465,51 @@ object CatalogFunctions {
     }
   }
 
+  /** Small-file compaction of a managed catalog table (see
+    * [[graft.sources.Maintenance.compactPartitions]]): rewrites only the
+    * fragmented partitions, then refreshes the table statistics scoped to
+    * exactly those partitions. Rejected for hash/range-clustered tables
+    * (a hash rewrite would break their bucket-to-file contract — re-insert
+    * through their declarative write path instead) and for external tables
+    * (the catalog never writes into external data directories). Returns
+    * the rewritten partition rel-paths. */
+  def compactTable(spark: SparkSession, catalogName: String,
+      namespace: Array[String], table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, catalogName)
+      .asInstanceOf[TableCatalog]
+    cat.loadTable(Identifier.of(namespace, table)) match {
+      case gt: GraftTable =>
+        val props = gt.properties()
+        require(!props.containsKey(GraftTable.BucketColsKey) &&
+          !props.containsKey(GraftTable.RangeColsKey),
+          s"$table is clustered; compaction would break its bucket layout")
+        require(!props.containsKey(TableMeta.ExternalLocationKey),
+          s"$table is external; the catalog does not rewrite external data")
+        val rels = graft.sources.Maintenance.compactPartitions(
+          spark, gt.location, gt.partitionColumnNames, targetFileBytes)
+        if (rels.nonEmpty) TableStatistics.refresh(
+          new HPath(gt.location), gt.partitionColumnNames,
+          Some(new HPath(gt.statsLocation)),
+          Some(TableStatistics.Touched(rels.filter(_.nonEmpty))))
+        rels
+      case other => sys.error(s"cannot compact ${other.name()}")
+    }
+  }
+
+  /** Reclaim crashed-commit staging debris under a managed table's
+    * directory ([[graft.sources.Maintenance.vacuumStaging]]). */
+  def vacuumTable(spark: SparkSession, catalogName: String,
+      namespace: Array[String], table: String, ttlMs: Long): Seq[String] = {
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, catalogName)
+      .asInstanceOf[TableCatalog]
+    cat.loadTable(Identifier.of(namespace, table)) match {
+      case gt: GraftTable =>
+        graft.sources.Maintenance.vacuumStaging(gt.location, ttlMs)
+      case other => sys.error(s"cannot vacuum ${other.name()}")
+    }
+  }
+
   /** `max_pt(table)` — the latest partition value of a partitioned catalog
     * table, resolved from the PARTITION LISTING (no data scan), exactly the
     * reference's MaxPtUDF

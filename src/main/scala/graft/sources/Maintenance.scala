@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance: small-file compaction and staging-debris vacuum.
+  *
+  * Streaming sinks, incremental imports, and per-commit dynamic-partition
+  * writes accrete many small files per partition; at 100 TB that turns a
+  * scan's task list (and an object store's LIST calls) into the bottleneck.
+  * The reference delegates this to its warehouse service (its Hive layer
+  * carries the compactor conf surface through untouched,
+  * `spark-connector/hive/.../HiveUtils.scala:278-280`; MaxCompute merges
+  * small files service-side) — a standalone Spark engine has to own it.
+  *
+  * Compaction here is a metadata-planned rewrite: the partition listing
+  * (file counts + bytes, no data read) picks the fragmented partitions,
+  * ONE Spark job rewrites exactly those partitions into
+  * ceil(bytes/targetFileBytes) files each, and the staged stage-then-swap
+  * commit of [[PartitionedWrite.writePartitioned]] makes the swap
+  * crash-safe — readers never see a partition half-compacted, and a
+  * failure leaves the original files in place.
+  */
+object Maintenance {
+
+  /** One fragmented leaf partition: `rel` is the `col=v/col2=v2` rel-path
+    * ("" for an unpartitioned table), `targetFiles` what compaction would
+    * rewrite it to. */
+  final case class CompactionPlan(rel: String, files: Int, bytes: Long,
+      targetFiles: Int)
+
+  private def dataFiles(p: HPath) =
+    Fs.of(p).listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  private def leafDirs(root: HPath, partitionCols: Seq[String],
+      depth: Int = 0, rel: String = ""): Seq[(String, HPath)] =
+    if (depth == partitionCols.length) Seq(rel -> root)
+    else if (!Fs.isDir(root)) Seq.empty
+    else Fs.listDirs(root)
+      .filter(_.getName.startsWith(partitionCols(depth) + "="))
+      .flatMap(d => leafDirs(d, partitionCols, depth + 1,
+        if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
+
+  /** Partitions worth rewriting: more files than ceil(bytes/target) — the
+    * file count a single well-sized write would produce. Pure FS listing,
+    * no data read, no Spark job. */
+  def compactionCandidates(path: String, partitionCols: Seq[String],
+      targetFileBytes: Long): Seq[CompactionPlan] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    leafDirs(new HPath(path), partitionCols).flatMap { case (rel, dir) =>
+      val fs = dataFiles(dir)
+      val bytes = fs.map(_.getLen).sum
+      val target = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (fs.size > target) Some(CompactionPlan(rel, fs.size, bytes, target))
+      else None
+    }
+  }
+
+  /** Rewrite every fragmented partition of a partitioned parquet table into
+    * `ceil(bytes/targetFileBytes)` files, in one Spark job, committed
+    * stage-then-swap per partition. Only the partitions named by
+    * [[compactionCandidates]] are read or touched — the cost is
+    * proportional to the fragmentation, not the table. Returns the
+    * rewritten partition rel-paths (for a touched-scope stats refresh).
+    *
+    * Rows are routed to output files by a hash of all columns, so the
+    * rewrite is deterministic under any input partitioning. Each partition
+    * comes out in AT MOST `targetFiles` files: the bucket exchange is
+    * AQE-coalescible, so buckets whose shuffle bytes fall under the
+    * advisory partition size merge into fewer, better-sized files — at a
+    * production `targetFileBytes` (≥ the advisory size) buckets stay
+    * separate and the count is exact. NOT for hash/range-clustered
+    * tables — an arbitrary-hash rewrite would break their bucket-to-file
+    * contract (the catalog wrapper rejects them).
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    if (partitionCols.isEmpty) return compactUnpartitioned(
+      spark, path, targetFileBytes)
+    val plans = compactionCandidates(path, partitionCols, targetFileBytes)
+    if (plans.isEmpty) return Seq.empty
+    val root = new HPath(path)
+    // One read branch per DISTINCT target file count (few in practice):
+    // each branch lists only its partitions' directories and buckets rows
+    // with a constant modulus — no plan-table join, no value re-parsing.
+    val branches = plans.groupBy(_.targetFiles).toSeq.map { case (n, ps) =>
+      val dirs = ps.map(p =>
+        p.rel.split('/').foldLeft(root)(new HPath(_, _)).toString)
+      val df = spark.read.option("basePath", path).parquet(dirs: _*)
+      df.withColumn("__graft_bucket",
+        pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong)).cast("int"))
+    }
+    val data = branches.reduce(_ unionByName _)
+    val clustered = data
+      .repartition((partitionCols :+ "__graft_bucket").map(col): _*)
+      .drop("__graft_bucket")
+    PartitionedWrite.writePartitioned(clustered, path, partitionCols,
+      limit = Int.MaxValue, preClustered = true)
+  }
+
+  private def compactUnpartitioned(spark: SparkSession, path: String,
+      targetFileBytes: Long): Seq[String] = {
+    val plans = compactionCandidates(path, Nil, targetFileBytes)
+    if (plans.isEmpty) return Seq.empty
+    val root = new HPath(path)
+    val fs = Fs.of(root)
+    val staging = fs.makeQualified(
+      new HPath(root, s".graft_staging_${java.util.UUID.randomUUID()}"))
+    var swapping = false
+    try {
+      val df = spark.read.parquet(path)
+      df.withColumn("__graft_bucket",
+          pmod(xxhash64(df.columns.map(col): _*),
+            lit(plans.head.targetFiles.toLong)).cast("int"))
+        .repartition(col("__graft_bucket"))
+        .drop("__graft_bucket")
+        .write.mode("append").parquet(staging.toString)
+      // staged write committed — swap: drop the old files, adopt the new
+      // (staged part-file names are UUID-suffixed, they cannot collide)
+      swapping = true
+      dataFiles(root).foreach(f => Fs.delete(f.getPath))
+      dataFiles(staging).foreach { f =>
+        if (!Fs.rename(f.getPath, new HPath(root, f.getPath.getName)))
+          sys.error(s"compaction commit failed: ${f.getPath} -> $root; " +
+            s"staged data preserved at $staging")
+      }
+      swapping = false
+      Seq("")
+    } finally if (!swapping) Fs.delete(staging)
+  }
+
+  /** Delete `.graft_staging_*` directories older than `ttlMs` — debris from
+    * commits that died before their swap (the writers deliberately preserve
+    * staging on mid-swap failure so an operator can recover; once recovered
+    * or irrelevant, vacuum reclaims the space). The TTL guards in-flight
+    * commits: a staging directory younger than the longest plausible write
+    * is never touched. Returns the deleted paths. */
+  def vacuumStaging(path: String, ttlMs: Long): Seq[String] = {
+    val root = new HPath(path)
+    if (!Fs.isDir(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - ttlMs
+    Fs.of(root).listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".graft_staging_") &&
+        s.getModificationTime < cutoff)
+      .map { s => Fs.delete(s.getPath); s.getPath.toString }
+  }
+}

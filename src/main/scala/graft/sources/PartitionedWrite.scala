@@ -84,18 +84,22 @@ object PartitionedWrite {
     * PARTITION(col=value) overwrite — truncates even when the new data is
     * empty), `None` touches only staged partitions.
     * Returns the written partition rel-paths (`col=v/col2=v2` form) so a
-    * caller can scope its stats refresh to the touched partitions. */
+    * caller can scope its stats refresh to the touched partitions.
+    * `preClustered` skips the default [[clusterForWrite]] repartition for
+    * callers that already shaped the data (e.g. compaction's per-partition
+    * file bucketing, which a partition-column repartition would undo). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil, overwrite: Boolean = true,
       limit: Int = DefaultDynamicPartitionLimit,
-      truncateSpec: Option[Seq[(String, String)]] = None): Seq[String] = {
+      truncateSpec: Option[Seq[(String, String)]] = None,
+      preClustered: Boolean = false): Seq[String] = {
     val fs = Fs.of(new HPath(path))
     val target = fs.makeQualified(new HPath(path))
     val staging = fs.makeQualified(
       new HPath(target, s".graft_staging_${java.util.UUID.randomUUID()}"))
     var swapping = false
     try {
-      clusterForWrite(df, partitionCols, sortCols)
+      (if (preClustered) df else clusterForWrite(df, partitionCols, sortCols))
         .write.mode("append")
         .partitionBy(partitionCols: _*)
         .parquet(staging.toString)
