@@ -421,6 +421,49 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (rate * denominator))
   }
 
+  /** Deterministic fractional upsampling — the mixing step that REPEATS
+    * high-value sources by a non-integer factor (e.g. curated text ×2.5
+    * in a pretraining mix): every row is emitted floor(w) times, plus one
+    * extra copy for the hash-selected frac(w) share of rows, so expected
+    * multiplicity is exactly `weight` and the realized output is
+    * reproducible across runs, partitionings, and engines (the
+    * [[hashSample]] bucket rule, own seed). Weights < 1 degenerate to
+    * sampling. The 1-based copy index is exposed as `copyCol` so a
+    * downstream shard shuffle can spread copies apart. Zero shuffle:
+    * floor/explode are narrow — upsampling a 100 TB corpus is a map-only
+    * pass whose output volume is the mix's token budget, the irreducible
+    * cost. */
+  def upsample(df: DataFrame, idCol: String, weight: Column,
+      copyCol: String = "copy_idx",
+      hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
+    val h = hash.getOrElse(xxhash64(lit("graft_upsample"), col(idCol)))
+    val copies = floor(weight).cast("long") +
+      when(pmod(h, lit(denominator)) < (weight - floor(weight)) * denominator,
+        1L).otherwise(0L)
+    df.withColumn(copyCol,
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(lit(Array.empty[Long]))))
+  }
+
+  /** Deterministic training-order sharding — the final "shuffle the
+    * corpus for training" pass: rows are assigned to `shards` by a seeded
+    * engine-portable hash of (id, copy disambiguators) and each shard is
+    * sorted by that hash, so readers streaming the shard files see a
+    * reproducible pseudo-random document order. One hash shuffle + local
+    * sort — no global sort, no single-reducer row numbering; write the
+    * result with `partitionBy(shardCol)`. */
+  def trainShards(df: DataFrame, idCol: String, shards: Int,
+      shardCol: String = "shard",
+      hash: Option[Column] = None): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = hash.getOrElse(xxhash64(lit("graft_order"), col(idCol)))
+    df.withColumn(shardCol, pmod(h, lit(shards)).cast("int"))
+      .withColumn("__graft_ord", h)
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col("__graft_ord"), col(idCol))
+      .drop("__graft_ord")
+  }
+
   /** Benchmark decontamination: drop corpus documents whose shingle overlap
     * with any benchmark document reaches `threshold` Jaccard — the standard
     * pretraining hygiene step (test-set leakage removal).
