@@ -123,7 +123,12 @@ object TableStatistics {
       case Some(t) if partitionCols.nonEmpty =>
         val pruned = t.removedPrefix match {
           case Some("") => Map.empty[String, PartStat]
-          case Some(prefix) => old.filterNot(_._1.startsWith(prefix))
+          // segment-aligned: truncating dt=1 must not drop dt=19's stats —
+          // a raw startsWith here silently erased sibling partitions from
+          // the totals until the next full ANALYZE
+          case Some(prefix) =>
+            old.filterNot { case (r, _) =>
+              r == prefix || r.startsWith(prefix + "/") }
           case None => old
         }
         val rels = t.rels.distinct

@@ -55,6 +55,51 @@ object Fs {
     finally out.close()
   }
 
+  /** Bounded exponential-backoff retry for transient store errors — the
+    * reference retries writer ops and scan sessions the same way
+    * (`OdpsUtils.scala:288-309`: 3 retries, 3 s·2ⁿ; `OdpsOptions.scala:90-94`).
+    * Only `IOException`s are considered transient (an object store's 5xx
+    * surfaces as one through the Hadoop FS API); `FileNotFoundException`
+    * and everything else is deterministic and rethrown immediately. */
+  private[graft] val DefaultRetries = 3
+  /** Base backoff; attempt n sleeps base·2ⁿ. Overridable for tests. */
+  @volatile private[graft] var retryBaseBackoffMs: Long = 500L
+
+  private[graft] def withRetries[T](what: String)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: java.io.IOException
+            if attempt < DefaultRetries && !e.isInstanceOf[java.io.FileNotFoundException] =>
+          Thread.sleep(retryBaseBackoffMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+
+  /** [[rename]] with transient-error retries, for commit paths. Rename is
+    * not idempotent, so a retry after a lost-ack success would see src
+    * missing: that state (src gone, dst present) is reported as success. */
+  def renameRetried(src: Path, dst: Path): Boolean = {
+    var attempt = 0
+    while (true) {
+      try return of(src).rename(src, dst)
+      catch {
+        case e: java.io.IOException if attempt < DefaultRetries =>
+          if (!exists(src) && exists(dst)) return true
+          Thread.sleep(retryBaseBackoffMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[delete]] with transient-error retries, for commit paths. Delete is
+    * idempotent: a retry finding the path already gone is success. */
+  def deleteRetried(p: Path): Boolean = withRetries(s"delete $p")(of(p).delete(p, true))
+
   /** Rename that replaces an existing destination (`FileSystem.rename`
     * refuses an existing target on most stores). Atomic on HDFS; on the
     * local FS and object stores the OVERWRITE path degrades to

@@ -35,6 +35,17 @@ object Maintenance {
     Fs.of(p).listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
+  /** Test seam: invoked at unpartitioned-swap step boundaries ("adopt" per
+    * staged file, "adopted", "retire" per old file, "retired") so
+    * crash-injection tests can kill the commit at any point and assert
+    * what a reader sees. Production no-op. */
+  private[graft] var onSwapStep: String => Unit = _ => ()
+
+  /** Test seam: invoked after [[compactPartitions]] snapshots its
+    * candidates' file sets, so tests can interleave a concurrent append
+    * before the rewrite+swap. Production no-op. */
+  private[graft] var onPartitionedPlan: () => Unit = () => ()
+
   private def leafDirs(root: HPath, partitionCols: Seq[String],
       depth: Int = 0, rel: String = ""): Seq[(String, HPath)] =
     if (depth == partitionCols.length) Seq(rel -> root)
@@ -85,6 +96,17 @@ object Maintenance {
     val plans = compactionCandidates(path, partitionCols, targetFileBytes)
     if (plans.isEmpty) return Seq.empty
     val root = new HPath(path)
+    // Concurrent-writer guard: snapshot each candidate's file set now, and
+    // have the swap re-list at commit time — a partition whose files
+    // changed since planning (a writer appended mid-compaction) is SKIPPED,
+    // its staged rewrite discarded, its new rows untouched; the next run
+    // recompacts it. The re-list-to-rename window is not zero; writers
+    // racing the swap itself need a single maintenance owner.
+    def partDir(rel: String) = rel.split('/').foldLeft(root)(new HPath(_, _))
+    def fileSet(rel: String): Map[String, Long] =
+      dataFiles(partDir(rel)).map(f => f.getPath.getName -> f.getLen).toMap
+    val snapshot = plans.map(p => p.rel -> fileSet(p.rel)).toMap
+    onPartitionedPlan()
     // One read branch per DISTINCT target file count (few in practice):
     // each branch lists only its partitions' directories and buckets rows
     // with a constant modulus — no plan-table join, no value re-parsing.
@@ -100,15 +122,35 @@ object Maintenance {
       .repartition((partitionCols :+ "__graft_bucket").map(col): _*)
       .drop("__graft_bucket")
     PartitionedWrite.writePartitioned(clustered, path, partitionCols,
-      limit = Int.MaxValue, preClustered = true)
+      limit = Int.MaxValue, preClustered = true,
+      swapGuard = Some(rel => snapshot.get(rel).contains(fileSet(rel))))
   }
 
+  /** Unpartitioned rewrite, committed adopt-then-retire: staged files join
+    * the root FIRST (UUID-suffixed names cannot collide with the old set),
+    * then the old files move aside into `staging/.retire`, and nothing is
+    * deleted until both steps finished — at EVERY crash point the root
+    * holds a complete copy of the table (the old set, the new set, or
+    * transiently both; a concurrent reader may briefly see duplicate rows
+    * during the swap, never missing ones). A mid-swap failure preserves
+    * staging — including the retired originals and a `_swap_manifest.json`
+    * naming the old/new file sets — so recovery is mechanical.
+    *
+    * Concurrent-writer guard: the root file set is snapshotted at planning
+    * and re-checked after the staged write; if it changed (a writer
+    * appended or replaced a file), the stale rewrite is DISCARDED and the
+    * table left untouched — the next maintenance run recompacts. The
+    * re-check-to-adopt window is not zero; concurrent writers during the
+    * swap itself still need external coordination (single maintenance
+    * owner), as with any FS-level table format without a lock service. */
   private def compactUnpartitioned(spark: SparkSession, path: String,
       targetFileBytes: Long): Seq[String] = {
     val plans = compactionCandidates(path, Nil, targetFileBytes)
     if (plans.isEmpty) return Seq.empty
     val root = new HPath(path)
     val fs = Fs.of(root)
+    def snapshot() = dataFiles(root).map(f => f.getPath.getName -> f.getLen).toMap
+    val planned = snapshot()
     val staging = fs.makeQualified(
       new HPath(root, s".graft_staging_${java.util.UUID.randomUUID()}"))
     var swapping = false
@@ -120,15 +162,28 @@ object Maintenance {
         .repartition(col("__graft_bucket"))
         .drop("__graft_bucket")
         .write.mode("append").parquet(staging.toString)
-      // staged write committed — swap: drop the old files, adopt the new
-      // (staged part-file names are UUID-suffixed, they cannot collide)
+      if (snapshot() != planned) return Seq.empty // stale rewrite; staging cleaned
+      val staged = dataFiles(staging).map(_.getPath)
+      Fs.writeString(new HPath(staging, "_swap_manifest.json"),
+        s"""{"old":[${planned.keys.toSeq.sorted.map(n => s""""$n"""").mkString(",")}],""" +
+          s""""new":[${staged.map(_.getName).sorted.map(n => s""""$n"""").mkString(",")}]}""")
       swapping = true
-      dataFiles(root).foreach(f => Fs.delete(f.getPath))
-      dataFiles(staging).foreach { f =>
-        if (!Fs.rename(f.getPath, new HPath(root, f.getPath.getName)))
-          sys.error(s"compaction commit failed: ${f.getPath} -> $root; " +
+      staged.foreach { p =>
+        onSwapStep("adopt")
+        if (!Fs.renameRetried(p, new HPath(root, p.getName)))
+          sys.error(s"compaction commit failed: $p -> $root; " +
             s"staged data preserved at $staging")
       }
+      onSwapStep("adopted")
+      val retire = new HPath(staging, ".retire")
+      Fs.mkdirs(retire)
+      planned.keys.foreach { name =>
+        onSwapStep("retire")
+        if (!Fs.renameRetried(new HPath(root, name), new HPath(retire, name)))
+          sys.error(s"compaction commit failed: retiring $name; " +
+            s"swap state preserved at $staging (see _swap_manifest.json)")
+      }
+      onSwapStep("retired")
       swapping = false
       Seq("")
     } finally if (!swapping) Fs.delete(staging)

@@ -87,12 +87,18 @@ object PartitionedWrite {
     * caller can scope its stats refresh to the touched partitions.
     * `preClustered` skips the default [[clusterForWrite]] repartition for
     * callers that already shaped the data (e.g. compaction's per-partition
-    * file bucketing, which a partition-column repartition would undo). */
+    * file bucketing, which a partition-column repartition would undo).
+    * `swapGuard`, if set, is consulted per staged partition rel-path just
+    * before its swap: false = leave the target partition untouched and
+    * discard that partition's staged data (compaction's concurrent-writer
+    * guard). Skipped partitions are absent from the returned rel-paths,
+    * so a touched-scope stats refresh never sees them. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil, overwrite: Boolean = true,
       limit: Int = DefaultDynamicPartitionLimit,
       truncateSpec: Option[Seq[(String, String)]] = None,
-      preClustered: Boolean = false): Seq[String] = {
+      preClustered: Boolean = false,
+      swapGuard: Option[String => Boolean] = None): Seq[String] = {
     val fs = Fs.of(new HPath(path))
     val target = fs.makeQualified(new HPath(path))
     val staging = fs.makeQualified(
@@ -117,35 +123,39 @@ object PartitionedWrite {
       swapping = true
       truncateSpec.foreach { spec =>
         if (spec.isEmpty)
-          Fs.listDirs(target).filter(_.getName.contains("=")).foreach(Fs.delete)
+          Fs.listDirs(target).filter(_.getName.contains("="))
+            .foreach(Fs.deleteRetried(_))
         else {
           val subtree = spec.foldLeft(target) { case (p, (c, v)) =>
             new HPath(p, partSegment(c, v))
           }
-          Fs.delete(subtree)
+          Fs.deleteRetried(subtree)
           // truncate, don't drop: an empty insert must leave an empty
           // partition behind (reference empty-overwrite semantics)
           Fs.mkdirs(subtree)
         }
       }
-      val written = staged.map { srcRaw =>
+      val written = staged.flatMap { srcRaw =>
         val src = fs.makeQualified(srcRaw)
         val rel = src.toString.stripPrefix(staging.toString).stripPrefix("/")
         val dst = rel.split('/').foldLeft(target)(new HPath(_, _))
-        if (overwrite) {
-          Fs.delete(dst)
-          Fs.mkdirs(dst.getParent)
-          if (!Fs.rename(src, dst))
-            sys.error(s"commit failed: $src -> $dst; staged data preserved at $staging")
-        } else {
-          Fs.mkdirs(dst)
-          Fs.of(src).listStatus(src).filter(_.isFile).foreach { f =>
-            if (!Fs.rename(f.getPath, new HPath(dst, f.getPath.getName)))
-              sys.error(s"commit failed: ${f.getPath} -> $dst; " +
-                s"staged data preserved at $staging")
+        if (!swapGuard.forall(_(rel))) None // changed since planning: skip
+        else {
+          if (overwrite) {
+            Fs.deleteRetried(dst)
+            Fs.mkdirs(dst.getParent)
+            if (!Fs.renameRetried(src, dst))
+              sys.error(s"commit failed: $src -> $dst; staged data preserved at $staging")
+          } else {
+            Fs.mkdirs(dst)
+            Fs.of(src).listStatus(src).filter(_.isFile).foreach { f =>
+              if (!Fs.renameRetried(f.getPath, new HPath(dst, f.getPath.getName)))
+                sys.error(s"commit failed: ${f.getPath} -> $dst; " +
+                  s"staged data preserved at $staging")
+            }
           }
+          Some(rel)
         }
-        rel
       }
       swapping = false
       written
@@ -180,9 +190,9 @@ object PartitionedWrite {
         .write.mode("append").parquet(staging.toString)
       // staged write committed — now swap
       swapping = true
-      Fs.delete(target)
+      Fs.deleteRetried(target)
       Fs.mkdirs(target.getParent)
-      if (!Fs.rename(staging, target))
+      if (!Fs.renameRetried(staging, target))
         sys.error(s"commit failed: rename $staging -> $target; " +
           s"staged data preserved at $staging")
       swapping = false

@@ -343,6 +343,28 @@ class CatalogSpec extends SparkTestBase {
     assert(stored().parts.keySet == Set("dt=c"))
   }
 
+  test("partition truncate prunes only the exact partition, never a " +
+      "sibling sharing its name as a string prefix") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.catalog.TableStatistics
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dbs")
+    sql("CREATE TABLE graft.dbs.sib (v BIGINT, dt STRING, h STRING) " +
+      "PARTITIONED BY (dt, h)")
+    val dir = new HPath(s"$warehouse/dbs/sib")
+    def stored() = TableStatistics.read(dir).get
+    def actual() = sql("SELECT count(*) FROM graft.dbs.sib").head().getLong(0)
+    sql("INSERT INTO graft.dbs.sib VALUES " +
+      "(1,'1','a'), (2,'1','b'), (3,'19','a'), (4,'19','a'), (5,'1x','a')")
+    assert(stored().rows == 5 && stored().rows == actual())
+    // truncate dt='1' (a leading-prefix spec): dt=19 and dt=1x are string-
+    // prefix siblings of "dt=1" and must keep their stored stats
+    sql("INSERT OVERWRITE graft.dbs.sib PARTITION (dt='1') VALUES (9,'c')")
+    assert(stored().rows == actual(), s"stored=${stored()} actual=${actual()}")
+    assert(stored().parts("dt=19/h=a").rows == 2)
+    assert(stored().parts("dt=1x/h=a").rows == 1)
+    assert(stored().parts.keySet.filter(_.startsWith("dt=1/")) == Set("dt=1/h=c"))
+  }
+
   test("catalog works through a scheme-qualified file:/// root (Hadoop FS path)") {
     // behavioral proxy for HDFS/S3: every metastore op goes through the
     // Hadoop FileSystem API resolved from the root URI's scheme
