@@ -81,14 +81,18 @@ object Fs {
 
   /** [[rename]] with transient-error retries, for commit paths. Rename is
     * not idempotent, so a retry after a lost-ack success would see src
-    * missing: that state (src gone, dst present) is reported as success. */
+    * missing: that state (src gone, dst present) is reported as success.
+    * As in [[withRetries]], `FileNotFoundException` is deterministic — after
+    * the lost-ack check it is rethrown immediately, not backed off. */
   def renameRetried(src: Path, dst: Path): Boolean = {
     var attempt = 0
     while (true) {
       try return of(src).rename(src, dst)
       catch {
-        case e: java.io.IOException if attempt < DefaultRetries =>
+        case e: java.io.IOException =>
           if (!exists(src) && exists(dst)) return true
+          if (attempt >= DefaultRetries ||
+            e.isInstanceOf[java.io.FileNotFoundException]) throw e
           Thread.sleep(retryBaseBackoffMs * (1L << attempt))
           attempt += 1
       }

@@ -41,9 +41,10 @@ object Maintenance {
     * what a reader sees. Production no-op. */
   private[graft] var onSwapStep: String => Unit = _ => ()
 
-  /** Test seam: invoked after [[compactPartitions]] snapshots its
-    * candidates' file sets, so tests can interleave a concurrent append
-    * before the rewrite+swap. Production no-op. */
+  /** Test seam: invoked right after the planning snapshot of the file sets
+    * under compaction — in [[compactPartitions]] (per-candidate sets) and in
+    * [[compactUnpartitioned]] (root set) — so tests can interleave a
+    * concurrent append inside the planning→swap window. Production no-op. */
   private[graft] var onPartitionedPlan: () => Unit = () => ()
 
   private def leafDirs(root: HPath, partitionCols: Seq[String],
@@ -91,6 +92,7 @@ object Maintenance {
   def compactPartitions(spark: SparkSession, path: String,
       partitionCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    recoverInterruptedSwap(new HPath(path))
     if (partitionCols.isEmpty) return compactUnpartitioned(
       spark, path, targetFileBytes)
     val plans = compactionCandidates(path, partitionCols, targetFileBytes)
@@ -121,9 +123,15 @@ object Maintenance {
     val clustered = data
       .repartition((partitionCols :+ "__graft_bucket").map(col): _*)
       .drop("__graft_bucket")
-    PartitionedWrite.writePartitioned(clustered, path, partitionCols,
-      limit = Int.MaxValue, preClustered = true,
+    val rewritten = PartitionedWrite.writePartitioned(clustered, path,
+      partitionCols, limit = Int.MaxValue, preClustered = true,
       swapGuard = Some(rel => snapshot.get(rel).contains(fileSet(rel))))
+    // Same-session readers may hold pre-swap listings in Spark's shared
+    // FileStatusCache; a retired file served from it fails the next scan
+    // (FILE_NOT_EXIST). Invalidate the path after any swap — the analogue
+    // of the reference invalidating its table-meta cache on DDL.
+    if (rewritten.nonEmpty) spark.catalog.refreshByPath(path)
+    rewritten
   }
 
   /** Unpartitioned rewrite, committed adopt-then-retire: staged files join
@@ -151,6 +159,7 @@ object Maintenance {
     val fs = Fs.of(root)
     def snapshot() = dataFiles(root).map(f => f.getPath.getName -> f.getLen).toMap
     val planned = snapshot()
+    onPartitionedPlan()
     val staging = fs.makeQualified(
       new HPath(root, s".graft_staging_${java.util.UUID.randomUUID()}"))
     var swapping = false
@@ -185,8 +194,54 @@ object Maintenance {
       }
       onSwapStep("retired")
       swapping = false
+      spark.catalog.refreshByPath(path) // drop pre-swap file listings
       Seq("")
     } finally if (!swapping) Fs.delete(staging)
+  }
+
+  /** Mechanical recovery from a crashed unpartitioned swap, driven by the
+    * `_swap_manifest.json` the commit wrote before its first rename. Left
+    * unresolved, the interrupted state (full old set + some adopted new
+    * files = duplicate rows) would be made PERMANENT by the next compaction
+    * run rewriting the duplicates — so every [[compactPartitions]] call
+    * resolves it first. Adopt-then-retire ordering makes recovery
+    * deterministic from the root's state alone:
+    *  - every old file still present → the crash was mid-adopt; the old set
+    *    is complete, so un-adopt (delete) any new files and keep the old;
+    *  - any old file missing → adoption had finished (retire only starts
+    *    after), so the new set is complete; finish retiring old files.
+    * Either way the staging dir (manifest + retired originals) is then
+    * deleted. No-op when no manifest is present. */
+  private[graft] def recoverInterruptedSwap(root: HPath): Unit = {
+    if (!Fs.isDir(root)) return
+    val fs = Fs.of(root)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".graft_staging_"))
+      .foreach { st =>
+        val manifest = new HPath(st.getPath, "_swap_manifest.json")
+        if (Fs.exists(manifest)) {
+          val json = Fs.readString(manifest)
+          def names(key: String): Seq[String] =
+            s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
+              .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"")
+                .stripSuffix("\"")).filter(_.nonEmpty))
+              .getOrElse(Seq.empty)
+          val oldSet = names("old")
+          val newSet = names("new")
+          val oldComplete = oldSet.forall(n => Fs.exists(new HPath(root, n)))
+          if (oldComplete)
+            newSet.foreach(n => Fs.deleteRetried(new HPath(root, n)))
+          else {
+            val retire = new HPath(st.getPath, ".retire")
+            Fs.mkdirs(retire)
+            oldSet.filter(n => Fs.exists(new HPath(root, n))).foreach { n =>
+              if (!Fs.renameRetried(new HPath(root, n), new HPath(retire, n)))
+                sys.error(s"swap recovery failed: retiring $n under $root")
+            }
+          }
+          Fs.deleteRetried(st.getPath)
+        }
+      }
   }
 
   /** Delete `.graft_staging_*` directories older than `ttlMs` — debris from

@@ -151,10 +151,8 @@ class MaintenanceSpec extends SparkTestBase {
     s.repartition(6).write.mode("overwrite").parquet(dir)
     val before = spark.read.parquet(dir).count()
     val filesBefore = leafFiles(dir).size
-    // simulate the concurrent append inside the planning→swap window via
-    // the crash seam's sibling hook on the unpartitioned path: append just
-    // before the first adopt would run — too late for the guard, so use
-    // the partitioned-plan seam instead (fires right after the snapshot)
+    // simulate the concurrent append inside the planning→swap window: the
+    // plan seam fires right after the root file-set snapshot
     Maintenance.onPartitionedPlan = () => {
       s.limit(1).withColumn("s_suppkey", lit(999999999L))
         .write.mode("append").parquet(dir)
@@ -194,22 +192,60 @@ class MaintenanceSpec extends SparkTestBase {
       finally Maintenance.onPartitionedPlan = () => ()
     assert(!rels.contains(s"yr=$racedYr"), "changed partition must be skipped")
     assert(rels.toSet == years.filterNot(_ == racedYr).map(y => s"yr=$y").toSet)
-    val after = spark.read.parquet(dir)
-    assert(after.filter(col("o_orderkey") === 888888888L).count() == 1,
+    assert(spark.read.parquet(dir)
+        .filter(col("o_orderkey") === 888888888L).count() == 1,
       "appended row must survive exactly once")
     assert(leafFiles(racedDir).size > 1, "skipped partition left as-is")
     // a later run (no race) compacts the skipped partition too
     val rels2 = Maintenance.compactPartitions(spark, dir, Seq("yr"), 1L << 30)
     assert(rels2.contains(s"yr=$racedYr"))
     assert(leafFiles(racedDir).size == 1)
-    assert(after.filter(col("o_orderkey") === 888888888L).count() == 1)
-    val expected = before.map { case (yr, cnt, s0) =>
-      if (yr == racedYr) (yr, cnt + 1, s0 + 888888888L - before.head._3 / before.head._2) else (yr, cnt, s0) }
-    // content check minus the synthetic sum arithmetic: count per year
+    // re-read AFTER the second swap — a DataFrame built earlier would hold
+    // the pre-swap file listing
+    assert(spark.read.parquet(dir)
+      .filter(col("o_orderkey") === 888888888L).count() == 1)
     val counts = spark.read.parquet(dir).groupBy("yr").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     before.foreach { case (yr, cnt, _) =>
       assert(counts(yr) == (if (yr == racedYr) cnt + 1 else cnt)) }
+  }
+
+  test("a compaction run after a crashed swap first recovers the " +
+      "interrupted state — duplicates are never made permanent") {
+    val s = Tables.supplier(spark, sf)
+    val expectKeys = s.select("s_suppkey").as[Long].collect().toSet
+    // post-adopt crash → root holds full old set + full new set (duplicate
+    // rows, old complete → recovery un-adopts); mid-retire crash → full new
+    // set + some old (duplicates, old incomplete → recovery finishes retiring)
+    for ((step, k) <- Seq("adopted" -> 1, "retire" -> 2)) {
+      val dir = Files.createTempDirectory(s"graft_recover_$step").toString
+      s.repartition(6).write.mode("overwrite").parquet(dir)
+      var seen = 0
+      Maintenance.onSwapStep = { st =>
+        if (st == step) {
+          seen += 1; if (seen == k) sys.error(s"injected crash at $st#$k")
+        }
+      }
+      try intercept[Exception](
+        Maintenance.compactPartitions(spark, dir, Nil, 1L << 30))
+      finally Maintenance.onSwapStep = _ => ()
+      val root = new HPath(dir)
+      assert(Fs.of(root).listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(".graft_staging_")),
+        s"crash at $step#$k must leave staging for recovery")
+      // next maintenance run recovers per the manifest first: post-adopt
+      // recovery restores the fragmented old set (then compacts it);
+      // mid-retire recovery completes the swap (nothing left to compact)
+      Maintenance.compactPartitions(spark, dir, Nil, 1L << 30)
+      assert(leafFiles(dir).size == 1, s"table not compacted after $step#$k")
+      val rows = spark.read.parquet(dir).select("s_suppkey").as[Long].collect()
+      assert(rows.toSet == expectKeys, s"recovery after $step#$k lost rows")
+      assert(rows.length == expectKeys.size,
+        s"recovery after $step#$k made duplicates permanent")
+      assert(!Fs.of(root).listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(".graft_staging_")),
+        "recovery must clean the interrupted staging dir")
+    }
   }
 
   test("vacuum deletes only expired staging debris") {
