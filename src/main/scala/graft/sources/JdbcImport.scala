@@ -108,41 +108,84 @@ object JdbcImport {
       .option("batchsize", batchSize)
       .jdbc(url, table, properties)
 
+  /** Conservative SQL identifier check for names interpolated into DDL/DML
+    * text (table and staging-table names arrive as config strings, not bind
+    * parameters — JDBC cannot parameterize identifiers). Optionally
+    * schema-qualified; anything else (quotes, spaces, semicolons) is
+    * rejected before it reaches a statement. */
+  private[graft] def validIdentifier(name: String): Boolean =
+    name.matches("""[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?""")
+
+  private def requireIdentifier(name: String, what: String): Unit =
+    require(validIdentifier(name),
+      s"$what '$name' is not a plain (optionally schema-qualified) SQL identifier")
+
   /** Staged export (Sqoop `--staging-table`,
     * `odps-sqoop/.../ExportJobBase.java:347-410`): the distributed write
     * lands in a staging table; only after EVERY task has committed does a
-    * single transactional `INSERT INTO target SELECT` migrate the rows and
-    * clear the staging table — a failed or partial export job leaves the
-    * target untouched (the staging table may hold partial rows, which the
-    * next run's `clearStaging` wipes, mirroring `--clear-staging-table`).
-    * The target-side migration is one SQL statement, so its atomicity is
-    * the database's transaction, not Spark's. */
+    * single transactional `INSERT INTO target (cols) SELECT cols` migrate
+    * the rows and clear the staging table — a failed or partial export job
+    * leaves the target untouched (the staging table may hold partial rows,
+    * which the next run's `clearStaging` wipes, mirroring
+    * `--clear-staging-table`). The target-side migration is one DB
+    * transaction, so its atomicity is the database's, not Spark's — which
+    * also makes it safe to retry on transient connection errors
+    * ([[Retry.withBackoff]]): a failed attempt rolled back.
+    *
+    * The migration names the DataFrame's columns explicitly on both sides,
+    * so a staging table whose column order differs from the target still
+    * lands every value in the right column — `SELECT *` would pair columns
+    * by position. The names are validated as plain identifiers and
+    * interpolated UNQUOTED: the database then case-folds them exactly as it
+    * folded the tables' unquoted DDL names (quoting would pin the
+    * DataFrame's case and miss e.g. Derby's uppercase-folded columns).
+    *
+    * The staging table must have a SINGLE owner per run: Sqoop's contract
+    * (`ExportJobBase`) and ours — two concurrent exports sharing one
+    * staging table would interleave rows and `clearStaging` each other;
+    * give each job its own staging table. */
   def exportStaged(df: DataFrame, url: String, table: String,
       stagingTable: String, clearStaging: Boolean = true,
       properties: Properties = new Properties(),
       batchSize: Int = 1000): Unit = {
+    requireIdentifier(table, "target table")
+    requireIdentifier(stagingTable, "staging table")
+    df.schema.fieldNames.foreach(requireIdentifier(_, "export column"))
+    val cols = df.schema.fieldNames.mkString(", ")
     def withConn[A](f: java.sql.Connection => A): A = {
       val conn = java.sql.DriverManager.getConnection(url, properties)
       try f(conn) finally conn.close()
     }
     if (clearStaging)
-      withConn(_.createStatement().executeUpdate(s"DELETE FROM $stagingTable"))
+      Retry.withBackoff(s"clear staging $stagingTable") {
+        withConn(_.createStatement().executeUpdate(s"DELETE FROM $stagingTable"))
+      }
     exportTable(df, url, stagingTable, properties, batchSize)
-    withConn { conn =>
-      conn.setAutoCommit(false)
-      try {
-        val st = conn.createStatement()
-        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stagingTable")
-        st.executeUpdate(s"DELETE FROM $stagingTable")
-        conn.commit()
-      } catch { case e: Throwable => conn.rollback(); throw e }
+    Retry.withBackoff(s"staged-export migrate $stagingTable -> $table") {
+      withConn { conn =>
+        conn.setAutoCommit(false)
+        try {
+          val st = conn.createStatement()
+          st.executeUpdate(
+            s"INSERT INTO $table ($cols) SELECT $cols FROM $stagingTable")
+          st.executeUpdate(s"DELETE FROM $stagingTable")
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      }
     }
   }
 
   /** Upsert export (`JdbcUpsertExportJob`): per-partition prepared-statement
     * loop with a caller-supplied dialect SQL (MERGE/ON CONFLICT/ON
     * DUPLICATE KEY — vendor-specific, exactly like Sqoop's per-manager
-    * upsert statements). `setParams` binds one row. */
+    * upsert statements). `setParams` binds one row.
+    *
+    * Upserts are idempotent by construction, so a transient connection
+    * failure retries the WHOLE partition on a fresh connection
+    * ([[Retry.withBackoff]]) — rows upserted by the failed attempt are
+    * simply upserted again. The rows are materialized per partition for
+    * that replay; partition sizing bounds the buffer (same contract as any
+    * retryable sink task). */
   def exportUpsert(df: DataFrame, url: String, upsertSql: String,
       properties: Properties = new Properties(),
       batchSize: Int = 1000)(
@@ -151,20 +194,23 @@ object JdbcImport {
     props.putAll(properties)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url, props)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(upsertSql)
-          var n = 0
-          rows.foreach { r =>
-            setParams(ps, r)
-            ps.addBatch()
-            n += 1
-            if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
-          }
-          ps.executeBatch()
-          conn.commit()
-        } finally conn.close()
+        val buffered = rows.toArray
+        Retry.withBackoff(s"upsert-export partition") {
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(upsertSql)
+            var n = 0
+            buffered.foreach { r =>
+              setParams(ps, r)
+              ps.addBatch()
+              n += 1
+              if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
+            }
+            ps.executeBatch()
+            conn.commit()
+          } finally conn.close()
+        }
       }
     }
   }

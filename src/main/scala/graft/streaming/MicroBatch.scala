@@ -73,7 +73,11 @@ object MicroBatch {
   /** Stream-to-table lookup join with per-micro-batch dimension refresh —
     * the Flink lookup join's TTL cache re-expressed as a re-resolved
     * broadcast inside foreachBatch
-    * (`flink-connector-odps/.../OdpsLookupFunction.java:94-150`). */
+    * (`flink-connector-odps/.../OdpsLookupFunction.java:94-150`). The
+    * dimension reload is read-only, so a transient source failure retries
+    * with bounded backoff ([[graft.sources.Retry.withBackoff]]) instead of
+    * failing the stream — the reference's lookup function retries its scan
+    * session the same way (`OdpsLookupFunction.java:105-150`). */
   def lookupJoin(
       stream: DataFrame, loadDim: () => DataFrame, joinKeys: Seq[String],
       sink: DataFrame => Unit,
@@ -81,7 +85,8 @@ object MicroBatch {
     val w = stream.writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(batch.join(broadcast(loadDim()), joinKeys, "left"))
+        val dim = graft.sources.Retry.withBackoff("lookup dimension reload")(loadDim())
+        sink(batch.join(broadcast(dim), joinKeys, "left"))
         ()
       }
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w

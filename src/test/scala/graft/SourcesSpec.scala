@@ -330,4 +330,79 @@ class SourcesSpec extends SparkTestBase {
     assert(targetRows() == Seq((1, "a"), (2, "b")))
     assert(stagingCount() == 0, "staging must be drained after migration")
   }
+
+  test("staged export lands columns by NAME when staging and target orders differ") {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    // target declares (name, id); staging declares (id, name) — a
+    // positional SELECT * migration would cross the columns
+    conn.createStatement().execute(
+      "CREATE TABLE ord_target (name VARCHAR(8), id INT PRIMARY KEY)")
+    conn.createStatement().execute(
+      "CREATE TABLE ord_stage (id INT, name VARCHAR(8))")
+    conn.close()
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    JdbcImport.exportStaged(df, derbyUrl, "ord_target", "ord_stage")
+    val back = JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+        url = derbyUrl, table = "ord_target"))
+      .orderBy("id").collect().map(r =>
+        (r.getAs[Int]("ID"), r.getAs[String]("NAME"))).toSeq
+    assert(back == Seq((1, "a"), (2, "b")))
+  }
+
+  test("staged export rejects non-identifier table names and columns") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      JdbcImport.exportStaged(df, derbyUrl, "t; DROP TABLE emp", "stg")
+    }
+    intercept[IllegalArgumentException] {
+      JdbcImport.exportStaged(df, derbyUrl, "t", "stg--comment")
+    }
+    intercept[IllegalArgumentException] {
+      JdbcImport.exportStaged(df.withColumnRenamed("name", "na me"),
+        derbyUrl, "emp_out", "stg")
+    }
+    assert(JdbcImport.validIdentifier("schema1.table_2"))
+    assert(!JdbcImport.validIdentifier("a.b.c"))
+  }
+
+  // ---- transient-error retry policy ----
+
+  test("retry succeeds through 2 transient failures, aborts after 4, and " +
+      "rethrows non-transient errors immediately") {
+    import graft.sources.Retry
+    val saved = Retry.baseBackoffMs
+    Retry.baseBackoffMs = 1L
+    try {
+      var calls = 0
+      val out = Retry.withBackoff("2-flaky") {
+        calls += 1
+        if (calls <= 2) throw new java.sql.SQLTransientException(s"flake $calls")
+        42
+      }
+      assert(out == 42 && calls == 3)
+
+      calls = 0
+      val e = intercept[java.sql.SQLRecoverableException](Retry.withBackoff("4-flaky") {
+        calls += 1
+        throw new java.sql.SQLRecoverableException(s"flake $calls")
+      })
+      assert(calls == 4, "3 retries = 4 attempts, then abort")
+      assert(e.getMessage == "flake 4", "the LAST failure surfaces")
+
+      calls = 0
+      intercept[java.sql.SQLSyntaxErrorException](Retry.withBackoff("syntax") {
+        calls += 1
+        throw new java.sql.SQLSyntaxErrorException("bad sql")
+      })
+      assert(calls == 1, "deterministic errors must not burn retries")
+
+      // connection-class SQLStates (08xxx) are transient even as plain
+      // SQLException; FileNotFound is deterministic even as an IOException
+      assert(Retry.transientDefault(new java.sql.SQLException("conn", "08001")))
+      assert(Retry.transientDefault(new java.sql.SQLException("deadlock", "40001")))
+      assert(!Retry.transientDefault(new java.sql.SQLException("missing", "42X05")))
+      assert(Retry.transientDefault(new java.io.IOException("reset")))
+      assert(!Retry.transientDefault(new java.io.FileNotFoundException("gone")))
+    } finally Retry.baseBackoffMs = saved
+  }
 }

@@ -97,4 +97,27 @@ class StreamingSpec extends SparkTestBase {
     val ev = Tables.events(spark, sf)
     assert(joined == ev.filter(col("event_type").isin("click", "purchase")).count())
   }
+
+  test("lookup join rides out transient dimension-reload failures") {
+    import graft.sources.Retry
+    val dir = eventsDir()
+    val stream = MicroBatch.fileStream(spark, dir)
+    var attempts = 0
+    var joined = 0L
+    val dim = Seq(("click", 1), ("purchase", 2)).toDF("event_type", "w")
+    val saved = Retry.baseBackoffMs
+    Retry.baseBackoffMs = 1L
+    val q = MicroBatch.lookupJoin(stream, () => {
+        attempts += 1
+        // the first two reloads fail transiently (dimension source flake)
+        if (attempts <= 2) throw new java.sql.SQLTransientException(s"dim flake $attempts")
+        dim
+      },
+        Seq("event_type"), b => joined += b.filter(col("w").isNotNull).count())
+      .start()
+    try q.processAllAvailable() finally { q.stop(); Retry.baseBackoffMs = saved }
+    assert(attempts >= 3, "the failed reloads must have been retried")
+    val ev = Tables.events(spark, sf)
+    assert(joined == ev.filter(col("event_type").isin("click", "purchase")).count())
+  }
 }
