@@ -92,6 +92,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     else {
       if (!cascade && !Fs.isEmptyDir(p))
         sys.error(s"namespace ${namespace.mkString(".")} is not empty")
+      // cascade removes tables wholesale — drop their cached meta/stats too
+      if (cascade) listTables(namespace).foreach(invalidateCached)
       Fs.delete(p)
       true
     }
@@ -109,10 +111,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def tableExists(ident: Identifier): Boolean =
     Fs.exists(metaFile(tablePath(ident)))
 
+  /** Drop a table's cached meta + stats entries — called by every DDL
+    * through this catalog so same-process readers never see their own
+    * changes stale ([[MetaCache]] coherence contract). */
+  private def invalidateCached(ident: Identifier): Unit = {
+    val dir = tablePath(ident)
+    MetaCache.meta.invalidate(metaFile(dir).toString)
+    MetaCache.stats.invalidate(TableStatistics.statsFile(dir).toString)
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tablePath(ident)
-    if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val meta = TableMeta.read(metaFile(dir))
+    // Cached ([[MetaCache.meta]], TTL'd): every query resolution lands
+    // here, and the uncached form is an exists+read against the metastore
+    // per table per query. DDL through this catalog invalidates; foreign
+    // DDL becomes visible within the TTL.
+    val meta = MetaCache.meta.get(metaFile(dir).toString) {
+      if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+      TableMeta.read(metaFile(dir))
+    }
     // initialize() may have run without an active session; every query
     // path goes through loadTable, so (re-)install the write strategy here
     graft.plans.GraftStrategies.install(SparkSession.active)
@@ -210,6 +227,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     Fs.mkdirs(dir)
     TableMeta(schema, partitionCols.toSeq, finalProps)
       .write(metaFile(dir))
+    invalidateCached(ident)
     loadTable(ident)
   }
 
@@ -250,6 +268,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case c => throw new UnsupportedOperationException(s"alterTable: $c")
     }
     meta.write(metaFile(dir))
+    invalidateCached(ident)
     loadTable(ident)
   }
 
@@ -281,6 +300,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // drop contract). The warehouse dir of an external table holds only
       // `_graft_meta.json`, so deleting it never touches data.
       Fs.delete(dir)
+      invalidateCached(ident)
       true
     }
   }
@@ -301,6 +321,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!Fs.rename(tablePath(oldIdent), tablePath(newIdent)))
       sys.error(s"rename failed: ${tablePath(oldIdent)} -> ${tablePath(newIdent)} " +
         "(does the target namespace exist?)")
+    invalidateCached(oldIdent)
+    invalidateCached(newIdent)
   }
 
   // ---- views (DSv2 ViewCatalog; the reference's VIRTUAL_VIEW table type,
@@ -343,6 +365,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val dir = tablePath(ident)
     Fs.mkdirs(dir)
     TableMeta(info.schema(), Seq.empty, props).write(metaFile(dir))
+    invalidateCached(ident)
     loadView(ident)
   }
 
@@ -355,12 +378,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case (_, c) => throw new UnsupportedOperationException(s"alterView: $c")
     }
     meta.copy(properties = props).write(metaFile(tablePath(ident)))
+    invalidateCached(ident)
     loadView(ident)
   }
 
   override def dropView(ident: Identifier): Boolean =
     readMetaIfView(ident) match {
-      case Some(_) => Fs.delete(tablePath(ident)); true
+      case Some(_) =>
+        Fs.delete(tablePath(ident)); invalidateCached(ident); true
       case None => false
     }
 

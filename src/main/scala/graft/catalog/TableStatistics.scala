@@ -25,7 +25,15 @@ object TableStatistics {
 
   def statsFile(dir: HPath): HPath = new HPath(dir, "_graft_stats.json")
 
-  def read(dir: HPath): Option[TableStats] = {
+  /** Cached read ([[MetaCache.stats]], TTL'd): scan planning consults the
+    * stats per query, and the uncached form is a LIST+GET per table per
+    * query on an object store. Stats writes through this process
+    * invalidate ([[write]]); foreign writers become visible within the
+    * TTL — acceptable for advisory planner stats. */
+  def read(dir: HPath): Option[TableStats] =
+    MetaCache.stats.get(statsFile(dir).toString)(readUncached(dir))
+
+  private def readUncached(dir: HPath): Option[TableStats] = {
     val f = statsFile(dir)
     // existence check + read are not atomic against a concurrent commit's
     // renameOverwrite (delete-then-rename on object stores has a brief
@@ -63,6 +71,7 @@ object TableStatistics {
     Fs.writeString(tmp,
       s"""{"rows":${ts.rows},"bytes":${ts.bytes},"parts":$parts}""")
     Fs.renameOverwrite(tmp, statsFile(dir))
+    MetaCache.stats.invalidate(statsFile(dir).toString)
   }
 
   private def fileRows(p: HPath): Long = {

@@ -381,4 +381,51 @@ class CatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_uri.dbu.t")
     assert(spark.sql("SHOW TABLES IN graft_uri.dbu").count() == 0)
   }
+
+  test("table meta + stats are cached across queries inside the TTL; " +
+      "DDL and commits invalidate; expiry re-reads") {
+    import graft.catalog.MetaCache
+    val wh = Files.createTempDirectory("graft_wh_cache").toString
+    spark.conf.set("spark.sql.catalog.graft_mc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mc.root", wh)
+    spark.sql("CREATE NAMESPACE graft_mc.db")
+    spark.sql("CREATE TABLE graft_mc.db.t (v BIGINT, dt STRING) PARTITIONED BY (dt)")
+    spark.sql("INSERT INTO graft_mc.db.t VALUES (1, 'a'), (2, 'b')")
+    val metaKey = s"$wh/db/t/_graft_meta.json"
+    val statsKey = s"$wh/db/t/_graft_stats.json"
+    def q(): Long = spark.sql("SELECT count(*) FROM graft_mc.db.t").head().getLong(0)
+    assert(q() == 2)
+    val metaWarm = MetaCache.meta.loadCount(metaKey)
+    val statsWarm = MetaCache.stats.loadCount(statsKey)
+    assert(metaWarm >= 1, "the key layout must match what the catalog caches under")
+
+    (1 to 5).foreach(_ => assert(q() == 2))
+    assert(MetaCache.meta.loadCount(metaKey) == metaWarm,
+      "queries inside the TTL must not re-read the meta file")
+    assert(MetaCache.stats.loadCount(statsKey) == statsWarm,
+      "queries inside the TTL must not re-read the stats file")
+
+    // DDL through the catalog invalidates → exactly one fresh meta read
+    spark.sql("ALTER TABLE graft_mc.db.t SET TBLPROPERTIES ('graft.k'='v')")
+    assert(q() == 2)
+    val metaAfterDdl = MetaCache.meta.loadCount(metaKey)
+    assert(metaAfterDdl == metaWarm + 1,
+      "DDL must force exactly one fresh meta read")
+
+    // a write commit refreshes stats (invalidating) → fresh stats read,
+    // and the fresh value is the committed one
+    spark.sql("INSERT INTO graft_mc.db.t VALUES (3, 'c')")
+    assert(q() == 3)
+    assert(MetaCache.stats.loadCount(statsKey) > statsWarm,
+      "a commit must force a fresh stats read")
+
+    // TTL expiry re-reads even without invalidation
+    val saved = MetaCache.meta.ttlMs
+    MetaCache.meta.ttlMs = -1L
+    try {
+      assert(q() == 3)
+      assert(MetaCache.meta.loadCount(metaKey) > metaAfterDdl,
+        "an expired entry must be re-read")
+    } finally MetaCache.meta.ttlMs = saved
+  }
 }
