@@ -751,12 +751,25 @@ object SparkEntry {
     }),
 
     // resize planning over decoded media metadata (stub decode → real
-    // distributed plan; deterministic, rows-only check)
+    // distributed plan; SQL-replicable stub → full differential oracle)
     "m70_resize" -> ((s, d) => {
       val meta = operators.Multimodal.decode(operators.Multimodal.withPayload(
         t(s, d, "documents").filter(col("doc_id") < 300), "doc_id", "text"))
       operators.Multimodal.resizePlan(meta, maxDim = 256)
         .orderBy(col("doc_id"))
+    }),
+
+    // composed training-data pipeline (the showcase): quality gate → exact
+    // dedup → near dedup → partitioned write, report observed on the single
+    // write pass. Rows-only gate entry + per-round bench timing; the report
+    // equals TrainingDataPipeline.run's (pinned in PipelineSpec).
+    "p88_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_p88").toString
+      val r = pipelines.TrainingDataPipeline.run(s, t(s, d, "documents"), out)
+      Seq((r.input, r.afterQuality, r.afterExactDedup, r.afterNearDedup,
+        r.totalTokens)).toDF("input", "after_quality", "after_exact_dedup",
+        "after_near_dedup", "total_tokens")
     }),
 
     // ---- ingest parsing (flume regex/delimiter serializers, SURVEY §2.2) ----
@@ -1716,6 +1729,38 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
+
+    // replicates MediaDecode.decodeStub's (docId, byteLen) arithmetic —
+    // the stub is deliberately SQL-expressible so these plans get a value
+    // check, not just a row count
+    "m43_frame_sample" ->
+      """WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |  (doc_id * 131071 + octet_length(encode(text)) * 8191) % 1000003 AS h
+        | FROM documents),
+        |vids AS (SELECT doc_id,
+        |  1 + (doc_id * 17 + len) % 300 AS n_frames,
+        |  (doc_id * 97 + len * 13) % 60000 AS duration_ms
+        | FROM meta WHERE h % 3 = 2)
+        |SELECT doc_id, CAST(ts_ms // 1000 AS BIGINT) AS frame_idx, ts_ms
+        |FROM (SELECT doc_id,
+        |  unnest(list_slice(generate_series(0, duration_ms, 1000), 1, 8)) AS ts_ms
+        | FROM vids WHERE n_frames > 1)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "m70_resize" ->
+      """WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS len
+        | FROM documents WHERE doc_id < 300),
+        |wh AS (SELECT doc_id,
+        |  CAST(64 + (doc_id * 37 + len * 11) % 1024 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id * 59 + len * 7) % 1024 AS INTEGER) AS height
+        | FROM meta),
+        |sc AS (SELECT doc_id, width, height,
+        |  least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(width, height)) AS scl
+        | FROM wh)
+        |SELECT doc_id, width, height,
+        |  CAST(round(width * scl) AS INTEGER) AS out_width,
+        |  CAST(round(height * scl) AS INTEGER) AS out_height
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t73_gopher_quality" ->
       """WITH g AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),

@@ -23,22 +23,27 @@ object Multimodal {
       width: Int, height: Int, nFrames: Int, durationMs: Long)
 
   object MediaDecode {
-    /** STUB decode: derives deterministic pseudo-metadata from the payload
-      * bytes (stands in for an image/video header parse). Real
-      * implementation would parse the container here — this is the only
-      * function to replace. */
+    /** STUB decode: derives deterministic pseudo-metadata from the doc id
+      * and payload byte length (stands in for an image/video header
+      * parse). Real implementation would parse the container here — this
+      * is the only function to replace.
+      *
+      * The derivation is plain modular arithmetic on (docId, byteLen)
+      * rather than an opaque byte fold, so the SAME formulas are
+      * expressible in ANSI SQL — the frame-sample and resize plans built
+      * on it get a real differential oracle (value check), not just a
+      * rows-only one. */
     def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-      var h = 1125899906842597L // deterministic FNV-ish fold over bytes
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      val fmt = (math.floorMod(h, 3L): @unchecked) match {
+      val len = payload.length.toLong
+      val h = (docId * 131071L + len * 8191L) % 1000003L
+      val fmt = (h % 3L: @unchecked) match {
         case 0L => "jpeg"; case 1L => "png"; case 2L => "webm"
       }
       MediaMeta(docId, payload.length, fmt,
-        width = 64 + math.floorMod(h >> 8, 1024L).toInt,
-        height = 64 + math.floorMod(h >> 18, 1024L).toInt,
-        nFrames = if (fmt == "webm") 1 + math.floorMod(h >> 28, 300L).toInt else 1,
-        durationMs = if (fmt == "webm") math.floorMod(h >> 38, 60000L) else 0L)
+        width = (64L + (docId * 37L + len * 11L) % 1024L).toInt,
+        height = (64L + (docId * 59L + len * 7L) % 1024L).toInt,
+        nFrames = if (fmt == "webm") (1L + (docId * 17L + len) % 300L).toInt else 1,
+        durationMs = if (fmt == "webm") (docId * 97L + len * 13L) % 60000L else 0L)
     }
   }
 
