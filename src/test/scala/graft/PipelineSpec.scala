@@ -139,4 +139,16 @@ class PipelineSpec extends SparkTestBase {
     val b = spark.read.parquet(out2).select("doc_id")
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("the p88_pipeline gate entry reports exactly what run() reports") {
+    val row = SparkEntry.queries("p88_pipeline")(spark, sf).head()
+    val out = Files.createTempDirectory("graft_p88_pin").toString
+    val r = TrainingDataPipeline.run(spark, Tables.documents(spark, sf), out)
+    assert(row.getLong(0) == r.input)
+    assert(row.getLong(1) == r.afterQuality)
+    assert(row.getLong(2) == r.afterExactDedup)
+    assert(row.getLong(3) == r.afterNearDedup)
+    assert(row.getLong(4) == r.totalTokens)
+    assert(r.input > 0 && r.afterNearDedup > 0 && r.totalTokens > 0)
+  }
 }

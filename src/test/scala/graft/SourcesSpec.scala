@@ -365,6 +365,44 @@ class SourcesSpec extends SparkTestBase {
     assert(!JdbcImport.validIdentifier("a.b.c"))
   }
 
+  test("CAS checkpoints: a stale commit fails, racing advances never " +
+      "lose an update") {
+    import graft.sources.Checkpoints
+    val dir = Files.createTempDirectory("graft_cas").toString
+    val ck = new Checkpoints(dir)
+
+    val (v0, g0) = ck.loadCas("job")
+    assert(v0.isEmpty && g0 == 0L)
+    assert(ck.saveCas("job", g0, "10"), "first committer must win")
+    assert(!ck.saveCas("job", g0, "7"),
+      "a commit against a superseded generation must FAIL, not overwrite")
+    assert(ck.loadCas("job") == (Some("10"), 1L))
+
+    // advanceCas re-runs its cycle from the winner's mark after losing
+    var calls = 0
+    val out = ck.advanceCas("job", "0") { last =>
+      calls += 1
+      if (calls == 1) assert(ck.saveCas("job", 1L, "11")) // interloper wins
+      (last.toLong + 1).toString
+    }
+    assert(calls == 2, "the lost cycle must re-run")
+    assert(out == "12", "the re-run must start from the interloper's mark")
+    assert(ck.loadCas("job") == (Some("12"), 3L))
+
+    // canonical lost-update check: 4 threads × 5 increments all land
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 4).map(_ => pool.submit(new Runnable {
+        def run(): Unit = (1 to 5).foreach(_ =>
+          ck.advanceCas("ctr", "0", maxAttempts = 200)(l =>
+            (l.toLong + 1).toString))
+      }))
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(ck.loadCas("ctr")._1.contains("20"),
+      "every concurrent increment must be reflected exactly once")
+  }
+
   // ---- transient-error retry policy ----
 
   test("retry succeeds through 2 transient failures, aborts after 4, and " +
