@@ -28,7 +28,11 @@ object JdbcImport {
       numMappers: Int = 4,
       boundaryQuery: String = "",
       incremental: Option[Incremental] = None,
-      properties: Properties = new Properties())
+      properties: Properties = new Properties(),
+      /** Chunks of read-ahead per mapper (0 = off): overlaps the JDBC
+        * fetch with downstream work via [[AsyncPrefetch]] — the
+        * reference's opt-in prefetch queue (`OdpsOptions.scala:102-106`). */
+      prefetchChunks: Int = 0)
 
   sealed trait Incremental { def checkCol: String; def lastValue: String }
   /** New-rows-only: `checkCol > lastValue`. */
@@ -81,7 +85,7 @@ object JdbcImport {
     require(cfg.table.nonEmpty ^ cfg.query.nonEmpty, "exactly one of table/query")
     require(cfg.query.isEmpty || cfg.query.contains("$CONDITIONS"),
       "free-form query must contain $CONDITIONS")
-    if (cfg.splitBy.isEmpty) {
+    val imported = if (cfg.splitBy.isEmpty) {
       // single-mapper path (Sqoop -m 1): no split column needed
       val src = if (cfg.table.nonEmpty) cfg.table
         else s"(${cfg.query.replace("$CONDITIONS", "1=1")}) graft_q"
@@ -96,6 +100,9 @@ object JdbcImport {
         else s"(${cfg.query.replace("$CONDITIONS", "1=1")}) graft_q"
       spark.read.jdbc(cfg.url, src, preds.toArray, cfg.properties)
     }
+    if (cfg.prefetchChunks > 0)
+      AsyncPrefetch.rows(imported, queueChunks = cfg.prefetchChunks)
+    else imported
   }
 
   /** Batched export (ODPS→RDBMS direction, `JdbcExportJob`): plain append
