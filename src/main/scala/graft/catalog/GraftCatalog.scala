@@ -522,6 +522,43 @@ object CatalogFunctions {
     }
   }
 
+  /** Rewrite a managed table's files Z-order-clustered on `zorderCols`
+    * (the `OPTIMIZE … ZORDER BY` maintenance op —
+    * [[graft.sources.Maintenance.zorderRewrite]]): files come out tight in
+    * every clustering dimension, so min/max skipping serves predicates on
+    * any of them. Same eligibility rules as compaction — a hash/range-
+    * clustered table's layout is already a contract, and external data is
+    * never rewritten. Refreshes stats for the rewritten scope. */
+  def zorderTable(spark: SparkSession, catalogName: String,
+      namespace: Array[String], table: String, zorderCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val cat = org.apache.spark.sql.graft.Catalogs.plugin(spark, catalogName)
+      .asInstanceOf[TableCatalog]
+    cat.loadTable(Identifier.of(namespace, table)) match {
+      case gt: GraftTable =>
+        val props = gt.properties()
+        require(!props.containsKey(GraftTable.BucketColsKey) &&
+          !props.containsKey(GraftTable.RangeColsKey),
+          s"$table is clustered; its layout is already a contract")
+        require(!props.containsKey(TableMeta.ExternalLocationKey),
+          s"$table is external; the catalog does not rewrite external data")
+        val cols = gt.schema().fieldNames.toSet
+        zorderCols.foreach(c => require(cols.contains(c),
+          s"zorder column $c is not a column of $table"))
+        require(zorderCols.forall(c => !gt.partitionColumnNames.contains(c)),
+          "zorder columns must be data columns, not partition columns")
+        val rels = graft.sources.Maintenance.zorderRewrite(
+          spark, gt.location, gt.partitionColumnNames, zorderCols,
+          targetFileBytes)
+        if (rels.nonEmpty) TableStatistics.refresh(
+          new HPath(gt.location), gt.partitionColumnNames,
+          Some(new HPath(gt.statsLocation)),
+          Some(TableStatistics.Touched(rels.filter(_.nonEmpty))))
+        rels
+      case other => sys.error(s"cannot zorder ${other.name()}")
+    }
+  }
+
   /** Reclaim crashed-commit staging debris under a managed table's
     * directory ([[graft.sources.Maintenance.vacuumStaging]]). */
   def vacuumTable(spark: SparkSession, catalogName: String,

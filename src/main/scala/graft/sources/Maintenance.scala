@@ -155,6 +155,21 @@ object Maintenance {
       targetFileBytes: Long): Seq[String] = {
     val plans = compactionCandidates(path, Nil, targetFileBytes)
     if (plans.isEmpty) return Seq.empty
+    rewriteUnpartitioned(spark, path) { df =>
+      df.withColumn("__graft_bucket",
+          pmod(xxhash64(df.columns.map(col): _*),
+            lit(plans.head.targetFiles.toLong)).cast("int"))
+        .repartition(col("__graft_bucket"))
+        .drop("__graft_bucket")
+    }
+  }
+
+  /** Shared root-file rewrite under the adopt-then-retire commit and the
+    * planning-snapshot concurrent-writer guard (contract documented on
+    * [[compactUnpartitioned]]); `layout` shapes the replacement file set
+    * (hash buckets for compaction, curve order for [[zorderRewrite]]). */
+  private def rewriteUnpartitioned(spark: SparkSession, path: String)(
+      layout: DataFrame => DataFrame): Seq[String] = {
     val root = new HPath(path)
     val fs = Fs.of(root)
     def snapshot() = dataFiles(root).map(f => f.getPath.getName -> f.getLen).toMap
@@ -164,12 +179,7 @@ object Maintenance {
       new HPath(root, s".graft_staging_${java.util.UUID.randomUUID()}"))
     var swapping = false
     try {
-      val df = spark.read.parquet(path)
-      df.withColumn("__graft_bucket",
-          pmod(xxhash64(df.columns.map(col): _*),
-            lit(plans.head.targetFiles.toLong)).cast("int"))
-        .repartition(col("__graft_bucket"))
-        .drop("__graft_bucket")
+      layout(spark.read.parquet(path))
         .write.mode("append").parquet(staging.toString)
       if (snapshot() != planned) return Seq.empty // stale rewrite; staging cleaned
       val staged = dataFiles(staging).map(_.getPath)
@@ -197,6 +207,66 @@ object Maintenance {
       spark.catalog.refreshByPath(path) // drop pre-swap file listings
       Seq("")
     } finally if (!swapping) Fs.delete(staging)
+  }
+
+  /** Rewrite a table's files in Z-order over `zorderCols` (the `OPTIMIZE …
+    * ZORDER BY` maintenance op): every file comes out tight in ALL the
+    * clustering dimensions, so min/max skipping works for predicates on any
+    * of them ([[graft.operators.ZOrder]] for the layout math). Unlike
+    * compaction this rewrites EVERY partition — it is a layout change, not
+    * a fragmentation repair — but reuses the same crash-safe commits and
+    * concurrent-writer guards: adopt-then-retire + planning-snapshot for
+    * the unpartitioned root, per-partition staged swap with re-list guard
+    * for partitioned tables (changed partitions are skipped, their stale
+    * rewrite discarded). Partitioned tables cluster WITHIN each partition:
+    * partition pruning stays the coarse filter, the curve tightens file
+    * spans inside. Returns the rewritten partition rel-paths.
+    */
+  def zorderRewrite(spark: SparkSession, path: String,
+      partitionCols: Seq[String], zorderCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8): Seq[String] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new HPath(path)
+    recoverInterruptedSwap(root)
+    def targetFor(bytes: Long) =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (partitionCols.isEmpty) {
+      val files = dataFiles(root)
+      if (files.isEmpty) return Seq.empty
+      val n = targetFor(files.map(_.getLen).sum)
+      return rewriteUnpartitioned(spark, path)(
+        graft.operators.ZOrder.cluster(_, zorderCols, n, bits))
+    }
+    val leaves = leafDirs(root, partitionCols)
+      .filter { case (_, dir) => dataFiles(dir).nonEmpty }
+    if (leaves.isEmpty) return Seq.empty
+    def fileSet(dir: HPath): Map[String, Long] =
+      dataFiles(dir).map(f => f.getPath.getName -> f.getLen).toMap
+    val snapshot = leaves.map { case (rel, dir) => rel -> fileSet(dir) }.toMap
+    val dirByRel = leaves.toMap
+    onPartitionedPlan()
+    val totalTarget = leaves.map { case (_, dir) =>
+      targetFor(dataFiles(dir).map(_.getLen).sum) }.sum
+    val df = spark.read.option("basePath", path)
+      .parquet(leaves.map(_._2.toString): _*)
+    val zk = graft.operators.ZOrder.key(
+      graft.operators.ZOrder.fitBoundaries(df, zorderCols, bits),
+      zorderCols, bits)
+    // one range exchange on (partition cols, curve key): tasks hold
+    // contiguous curve runs within a partition, the dynamic-partition
+    // writer splits any partition-straddling task by directory
+    val orderCols = partitionCols.map(col) :+ col("__graft_zkey")
+    val clustered = df.withColumn("__graft_zkey", zk)
+      .repartitionByRange(totalTarget, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .drop("__graft_zkey")
+    val rewritten = PartitionedWrite.writePartitioned(clustered, path,
+      partitionCols, limit = Int.MaxValue, preClustered = true,
+      swapGuard = Some(rel =>
+        dirByRel.get(rel).exists(d => snapshot(rel) == fileSet(d))))
+    if (rewritten.nonEmpty) spark.catalog.refreshByPath(path)
+    rewritten
   }
 
   /** Mechanical recovery from a crashed unpartitioned swap, driven by the

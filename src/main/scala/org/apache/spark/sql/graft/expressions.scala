@@ -581,6 +581,91 @@ case class TokenSetHits(child: Expression, sets: Seq[Seq[String]])
   override def prettyName: String = "token_set_hits"
 }
 
+/** Kernels for Z-order (Morton-curve) clustering keys. Kept as static
+  * methods so codegen calls inline into every generated class. */
+object ZOrderKernels {
+
+  /** Upper-bound binary search: the number of boundaries `<= x` — the
+    * rank bucket id in `[0, bounds.length]`. NaN sorts above every
+    * boundary (bucket = bounds.length), matching Spark's NaN-greatest
+    * double ordering. */
+  def rangeBucket(x: Double, bounds: Array[Double]): Int = {
+    if (java.lang.Double.isNaN(x)) return bounds.length
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Morton interleave of `k` bucket ids at `bits` bits each: round `i`
+    * appends bit `(bits-1-i)` of every id in column order, so the high
+    * bits of every dimension lead the key and close ids in ALL
+    * dimensions land close on the curve. Requires `k * bits <= 63`. */
+  def interleave(ids: ArrayData, bits: Int): Long = {
+    val k = ids.numElements()
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < k) {
+        out = (out << 1) | ((ids.getInt(j) >>> (bits - 1 - i)) & 1L)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Rank bucket id of a double against precomputed sorted cut points
+  * (binary search, codegen'd) — the per-dimension quantile-bucket step of
+  * a Z-order key. Null input → null (callers coalesce to bucket 0). */
+case class RangeBucketId(child: Expression, boundaries: Seq[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+
+  private lazy val bounds: Array[Double] = boundaries.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ZOrderKernels.rangeBucket(input.asInstanceOf[Double], bounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ZOrderKernels.rangeBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "range_bucket_id"
+}
+
+/** Morton bit-interleave of an `array<int>` of bucket ids into one long
+  * Z-order key ([[ZOrderKernels.interleave]]). */
+case class InterleaveBits(child: Expression, bits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType, containsNull = false))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ZOrderKernels.interleave(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ZOrderKernels.interleave($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "interleave_bits"
+}
+
 /** Bridge to the session's catalog manager (private[sql]) for catalog-aware
   * helpers like max_pt. */
 object Catalogs {
@@ -669,6 +754,16 @@ object NativeFunctions {
   def tokenFingerprint(c: Column): Column =
     ExpressionUtils.column(TokenFingerprint(ExpressionUtils.expression(c)))
 
+  /** Rank bucket id against sorted cut points ([[RangeBucketId]]). */
+  def rangeBucketId(c: Column, boundaries: Seq[Double]): Column =
+    ExpressionUtils.column(RangeBucketId(
+      ExpressionUtils.expression(c), boundaries))
+
+  /** Morton interleave of an `array<int>` of bucket ids ([[InterleaveBits]]). */
+  def interleaveBits(c: Column, bits: Int): Column =
+    ExpressionUtils.column(InterleaveBits(
+      ExpressionUtils.expression(c), bits))
+
   /** Bloom-filter aggregate over `xxhash64(value)` — the same pair Spark's
     * own runtime-filter injection uses (`BloomFilterAggregate` fed by
     * `XxHash64`), exposed so an operator can build a filter on one
@@ -718,5 +813,7 @@ object NativeFunctions {
       exprs => TokenFingerprint(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_distinct_count",
       exprs => ShingleDistinctCount(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("interleave_bits",
+      exprs => InterleaveBits(exprs(0), intLit(exprs(1))), "built-in")
   }
 }

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ZOrderKernels
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.operators.ZOrder
+
+class ZOrderSpec extends SparkTestBase {
+
+  // ---- kernel unit checks -------------------------------------------------
+
+  test("interleave matches a bit-by-bit reference") {
+    def ref(ids: Seq[Int], bits: Int): Long = {
+      var out = 0L
+      for (i <- (bits - 1) to 0 by -1; id <- ids)
+        out = (out << 1) | ((id >> i) & 1L)
+      out
+    }
+    val cases = Seq(
+      (Seq(0, 0), 4), (Seq(15, 15), 4), (Seq(5, 10), 4),
+      (Seq(1, 2, 3), 8), (Seq(255), 8), (Seq(170, 85), 8))
+    cases.foreach { case (ids, bits) =>
+      assert(ZOrderKernels.interleave(
+        ArrayData.toArrayData(ids.toArray), bits) === ref(ids, bits),
+        s"ids=$ids bits=$bits")
+    }
+    // two dims, 2 bits: (3, 0) -> 1010b = 10; (0, 3) -> 0101b = 5
+    assert(ZOrderKernels.interleave(ArrayData.toArrayData(Array(3, 0)), 2) === 10L)
+    assert(ZOrderKernels.interleave(ArrayData.toArrayData(Array(0, 3)), 2) === 5L)
+  }
+
+  test("rangeBucket is the number of boundaries <= x; NaN goes last") {
+    val bs = Array(10.0, 20.0, 30.0)
+    assert(ZOrderKernels.rangeBucket(5.0, bs) === 0)
+    assert(ZOrderKernels.rangeBucket(10.0, bs) === 1) // tie goes right
+    assert(ZOrderKernels.rangeBucket(25.0, bs) === 2)
+    assert(ZOrderKernels.rangeBucket(99.0, bs) === 3)
+    assert(ZOrderKernels.rangeBucket(Double.NaN, bs) === 3)
+    assert(ZOrderKernels.rangeBucket(1.0, Array.empty[Double]) === 0)
+  }
+
+  test("key expression is codegen'd and curve-orders a grid") {
+    import spark.implicits._
+    // spark.range (not a local relation) so the projection isn't
+    // constant-folded away and the codegen assertion sees a real plan
+    val grid = spark.range(256)
+      .select((col("id") % 16).cast("int").as("x"),
+        (col("id") / 16).cast("int").as("y"))
+    val bounds = Map(
+      "x" -> (1 until 16).map(_.toDouble - 0.5).toArray,
+      "y" -> (1 until 16).map(_.toDouble - 0.5).toArray)
+    val keyed = grid.withColumn("zk", ZOrder.key(bounds, Seq("x", "y"), 4))
+    // stays inside whole-stage codegen (no CodegenFallback kernels) —
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(keyed.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    val rows = keyed.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // distinct keys for distinct grid cells, full 8-bit range
+    assert(rows.values.toSet.size === 256)
+    assert(rows.values.min === 0L && rows.values.max === 255L)
+    // Morton property: (x,y) and (x+1,y) in the same 2x2 block differ less
+    // in key than points far apart in y
+    assert(math.abs(rows((0, 0)) - rows((1, 1))) < math.abs(rows((0, 0)) - rows((0, 8))))
+  }
+
+  test("nulls take bucket 0") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Integer, java.lang.Integer)]((null, 5), (3, 5))
+      .toDF("x", "y")
+    val bounds = Map("x" -> Array(2.0), "y" -> Array(2.0))
+    val keys = df.withColumn("zk", ZOrder.key(bounds, Seq("x", "y"), 1))
+      .orderBy("zk").select("zk").as[Long].collect()
+    // null x -> bucket 0 -> key 01b = 1; x=3 -> bucket 1 -> key 11b = 3
+    assert(keys.toSeq === Seq(1L, 3L))
+  }
+
+  // ---- the point: multi-dimensional file skipping -------------------------
+
+  test("z-order files are prunable on BOTH dimensions; linear sort only on one") {
+    import spark.implicits._
+    // two independent uniform dims — worst case for a linear sort
+    val n = 20000
+    val df = (0 until n)
+      .map(i => (((i * 2654435761L) % n).toDouble, ((i * 40503L) % n).toDouble))
+      .toDF("a", "b")
+    val files = 16
+
+    // per-output-file [min,max] span of each dim, normalized by full range;
+    // a predicate `dim = v` skips a file iff v is outside its span, so the
+    // mean span IS the expected fraction of files a point lookup must read
+    def meanSpans(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = laid
+        .withColumn("f", spark_partition_id())
+        .groupBy("f")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .agg(avg("sa").as("ma"), avg("sb").as("mb"))
+        .head()
+      (spans.getDouble(0) / n, spans.getDouble(1) / n)
+    }
+
+    val (la, lb) = meanSpans(
+      df.repartitionByRange(files, col("a")).sortWithinPartitions("a"))
+    val (za, zb) = meanSpans(ZOrder.cluster(df, Seq("a", "b"), files))
+
+    // linear: perfect on a (~1/16), useless on b (~full range)
+    assert(la < 0.10, s"linear sort should be tight on a, got $la")
+    assert(lb > 0.90, s"linear sort spans ~all of b, got $lb")
+    // z-order: BOTH dims tight — an aligned 1/16 curve span covers 1/4 of
+    // each dim; sampled range boundaries straddle block edges, so allow
+    // up to 2x the aligned span
+    assert(za < 0.50, s"z-order should prune on a, got $za")
+    assert(zb < 0.50, s"z-order should prune on b, got $zb")
+    assert(zb < lb / 2, s"z-order must beat linear on b: $zb vs $lb")
+    // and the layout did not lose or duplicate rows
+    assert(ZOrder.cluster(df, Seq("a", "b"), files).count() === n)
+  }
+
+  // ---- maintenance-level rewrite (OPTIMIZE ... ZORDER BY analogue) ------
+
+  test("zorderRewrite re-lays an unpartitioned table on the curve in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zrw").toString
+    val n = 20000
+    val df = (0 until n)
+      .map(i => (((i * 2654435761L) % n).toDouble, ((i * 40503L) % n).toDouble))
+      .toDF("a", "b")
+    df.repartitionByRange(12, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("a"), sum("b")).head()
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      graft.sources.Fs.of(p).listStatus(p).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+
+    val rels = graft.sources.Maintenance.zorderRewrite(
+      spark, dir, Nil, Seq("a", "b"), targetFileBytes = bytes / 8)
+    assert(rels === Seq(""))
+    assert(spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("a"), sum("b")).head() === before)
+
+    // per actual on-disk file, both dims' normalized spans must be tight —
+    // the b dim was full-range per file under the old a-sorted layout
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .agg(avg("sa"), avg("sb")).head()
+    assert(spans.getDouble(0) / n < 0.6, s"a span ${spans.getDouble(0) / n}")
+    assert(spans.getDouble(1) / n < 0.6, s"b span ${spans.getDouble(1) / n}")
+  }
+
+  test("zorderRewrite clusters within partitions, partition dirs intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zrwp").toString + "/t"
+    val o = Tables.orders(spark, sf).withColumn("yr", year(col("o_orderdate")))
+    o.repartition(4).write.partitionBy("yr").parquet(dir)
+    def checksum() = spark.read.parquet(dir).groupBy("yr")
+      .agg(count(lit(1)).as("c"), sum("o_orderkey").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val before = checksum()
+
+    val rels = graft.sources.Maintenance.zorderRewrite(
+      spark, dir, Seq("yr"), Seq("o_custkey", "o_totalprice"))
+    assert(rels.nonEmpty && rels.forall(_.startsWith("yr=")))
+    assert(checksum() === before)
+    // partition pruning still the coarse filter: dirs survive
+    assert(before.map(_._1).forall(y =>
+      graft.sources.Fs.isDir(new org.apache.hadoop.fs.Path(s"$dir/yr=$y"))))
+  }
+
+  test("catalog zorderTable rewrites managed data and validates columns") {
+    import graft.catalog.CatalogFunctions
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_z").toString
+    spark.conf.set("spark.sql.catalog.graft_z", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_z.root", wh)
+    spark.sql("CREATE NAMESPACE graft_z.db")
+    spark.sql("CREATE TABLE graft_z.db.t (a BIGINT, b BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft_z.db.t VALUES ($i, ${10 - i}, 'x'), " +
+        s"(${i + 5}, ${5 - i}, 'y')"))
+
+    val rels = CatalogFunctions.zorderTable(
+      spark, "graft_z", Array("db"), "t", Seq("a", "b"))
+    assert(rels.toSet === Set("dt=x", "dt=y"))
+    assert(spark.sql("SELECT count(*), sum(a), sum(b) FROM graft_z.db.t")
+      .head().toSeq === Seq(6L, 27L, 33L))
+
+    val e1 = intercept[Exception](CatalogFunctions.zorderTable(
+      spark, "graft_z", Array("db"), "t", Seq("nope")))
+    assert(e1.getMessage.contains("not a column"))
+    val e2 = intercept[Exception](CatalogFunctions.zorderTable(
+      spark, "graft_z", Array("db"), "t", Seq("dt")))
+    assert(e2.getMessage.contains("partition"))
+  }
+
+  test("zorderRewrite discards its rewrite when a writer races it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zrace").toString
+    (0 until 1000).map(i => (i.toDouble, (999 - i).toDouble)).toDF("a", "b")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val appended = Seq((5000.0, 5000.0)).toDF("a", "b")
+    graft.sources.Maintenance.onPartitionedPlan = () =>
+      appended.coalesce(1).write.mode("append").parquet(dir)
+    try {
+      val rels = graft.sources.Maintenance.zorderRewrite(
+        spark, dir, Nil, Seq("a", "b"))
+      assert(rels.isEmpty, "stale rewrite must be discarded")
+    } finally graft.sources.Maintenance.onPartitionedPlan = () => ()
+    spark.catalog.refreshByPath(dir)
+    // the concurrent append survived, nothing lost or duplicated
+    assert(spark.read.parquet(dir).count() === 1001)
+    assert(spark.read.parquet(dir).filter(col("a") === 5000.0).count() === 1)
+  }
+
+  test("skewed dimension degrades gracefully (dedup'd boundaries, no crash)") {
+    import spark.implicits._
+    val df = (0 until 2000)
+      .map(i => (if (i % 2 == 0) 7.0 else i.toDouble, i.toDouble))
+      .toDF("a", "b")
+    val out = ZOrder.cluster(df, Seq("a", "b"), 4, bits = 4)
+    assert(out.count() === 2000)
+  }
+}
