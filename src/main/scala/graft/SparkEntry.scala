@@ -441,6 +441,35 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // Watermarked stream-stream interval join (§2.9): clicks pair with
+    // same-user purchases inside a day. Inner join in append mode emits
+    // each pair once both rows arrived; the watermarks + time bound keep
+    // the join state finite. Deterministic (every pair emits exactly
+    // once) → exact SQL oracle.
+    "str90_stream_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_str90")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"))
+      val joined = graft.streaming.MicroBatch.intervalJoin(
+          clicks, buys, "user_id", "click_ts", "buy_ts", "1 hour", "1 day")
+        .select(col("l.user_id").as("user_id"), col("click_id"), col("buy_id"))
+      val name = "str90_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.MicroBatch.runToMemory(s, joined, name,
+          outputMode = "append")
+        .orderBy(col("click_id"), col("buy_id"))
+    }),
+
     // ---- lookup join (SURVEY §2.3 — batch form of the Flink lookup) ----
     "q22_lookup_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -770,6 +799,25 @@ object SparkEntry {
       Seq((r.input, r.afterQuality, r.afterExactDedup, r.afterNearDedup,
         r.totalTokens)).toDF("input", "after_quality", "after_exact_dedup",
         "after_near_dedup", "total_tokens")
+    }),
+
+    // Z-order clustered layout (Delta OPTIMIZE ZORDER analogue): cluster
+    // events on the Morton curve over (user_id, value), write, read back
+    // with a predicate on BOTH dims. Results are layout-invariant — the
+    // oracle is the same filter+agg on the unclustered table — while
+    // ZOrderSpec pins the actual pruning property (per-file spans tight in
+    // every dimension, not just the leading sort key).
+    "q89_zorder" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q89").toString
+      operators.ZOrder.cluster(ev, Seq("user_id", "value"), 8)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("user_id") <= 7 && col("value") <= 100.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
     }),
 
     // ---- ingest parsing (flume regex/delimiter serializers, SURVEY §2.2) ----
@@ -1378,6 +1426,24 @@ object SparkEntry {
         |FROM orders
         |GROUP BY bucket, prio_status
         |ORDER BY bucket, prio_status""".stripMargin,
+
+    "str90_stream_join" ->
+      """SELECT l.user_id AS user_id, l.event_id AS click_id,
+        | r.event_id AS buy_id
+        |FROM events l JOIN events r
+        | ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+        | AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 1 DAY
+        |ORDER BY click_id, buy_id""".stripMargin,
+
+    "q89_zorder" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id <= 7 AND value <= 100.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q19_merge_upsert" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,

@@ -124,6 +124,25 @@ object MicroBatch {
       .groupBy(session_window(col(ts), gap) +: keys: _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Watermarked stream-stream INNER interval join: left rows pair with
+    * right rows sharing `key` whose event time falls in
+    * `[leftTs, leftTs + range]`. The time bound plus BOTH watermarks is
+    * what makes the state finite — Spark evicts a buffered left row once
+    * the right watermark passes `leftTs + range` (no future match can
+    * arrive), and symmetrically for right rows; an unconstrained
+    * stream-stream join would buffer both streams forever. Inner join in
+    * append mode: a pair emits as soon as both rows have arrived, the
+    * watermark only governs eviction. Column names that collide across
+    * the sides resolve as `l.*` / `r.*`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      range: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
+      s"r.$rightTs <= l.$leftTs + interval $range"))
+  }
+
   /** Run a streaming DataFrame to completion against the available input
     * (memory sink, complete mode) and return the materialized result —
     * batch-equivalent semantics for tests/verification.

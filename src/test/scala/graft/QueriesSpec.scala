@@ -15,14 +15,15 @@ class QueriesSpec extends SparkTestBase {
   test("every query key has either an oracle or is declared expression-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Non-SQL-expressible ops (hash-seeded / approximate): rows-only check.
-    // (t26_langid graduated to an exact DuckDB oracle in round 2;
-    // t80_hll_sketch is Datasketches-HLL approximate by design, pinned by
-    // CurationOpsSpec error-bound + merge tests)
+    // (t26_langid graduated to an exact DuckDB oracle in round 2; m43/m70
+    // graduated to value-pinned oracles in round 6; t80_hll_sketch is
+    // Datasketches-HLL approximate by design, pinned by CurationOpsSpec
+    // error-bound + merge tests; p88_pipeline is the composed showcase —
+    // its report numbers are pinned by PipelineSpec)
     assert(noOracle == Set("t27_fingerprint",
       "d29_minhash_neardup", "d30_simhash_neardup", "d31_embed_neardup",
       "s33_ann_lsh", "q38_approx", "d40_ngram_neardup", "s41_knn_graph",
-      "t42_group_sketch", "m43_frame_sample", "s44_ann_ivf", "m70_resize",
-      "t80_hll_sketch"),
+      "t42_group_sketch", "s44_ann_ivf", "t80_hll_sketch", "p88_pipeline"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
