@@ -705,6 +705,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means cells as the candidate
+    // generator (sample-capped fit), within-cell exact-cosine verify,
+    // min-id survivor. Rows-only: the k-means fit is not SQL-expressible;
+    // DedupSpec pins planted-duplicate collapse + pair soundness.
+    "d91_semantic_dedup" -> ((s, d) => {
+      operators.Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id",
+          "embedding", nlist = 8, threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     "d40_ngram_neardup" -> ((s, d) => {
       operators.Dedup.ngramJaccardNearDups(t(s, d, "documents"), "doc_id", "text",
           shingleK = 4, threshold = 0.35, docFreqCap = 16)

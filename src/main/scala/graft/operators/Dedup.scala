@@ -558,4 +558,47 @@ object Dedup {
         VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    * "SemDeDup: data-efficient learning at web-scale through semantic
+    * deduplication" — public method): k-means cells over the embedding
+    * space replace LSH buckets as the candidate generator, so candidates
+    * are items that are SEMANTICALLY close (same region of embedding
+    * space), not just hash-colliding. Fit is sample-capped
+    * ([[Similarity.ivfFit]]); assignment is one codegen'd argmin pass
+    * against `nlist` centroids (no shuffle); the within-cell pair
+    * expansion shuffles once on the cell id and is bounded by the shared
+    * [[capBuckets]] skew guard. Returns (id_a, id_b, cosine ≥ threshold)
+    * with id_a < id_b. */
+  def semanticNearDups(embDf: DataFrame, idCol: String, embCol: String,
+      nlist: Int = 16, threshold: Double = 0.97,
+      maxClusterSize: Int = 1024,
+      fitSampleRows: Long = 100000L): DataFrame = {
+    val centers = Similarity.ivfFit(embDf, embCol, nlist, fitSampleRows)
+    val assigned = embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.cellOf(col(embCol), centers).as("cell"))
+    val pruned = capBuckets(assigned, Seq("cell"), maxClusterSize)
+    val l = pruned.select(col("cell"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = pruned.select(col("cell"), col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, l("cell") === r("cell") && l("id_a") < r("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Semantic dedup: keep every row not semantically dominated by a
+    * smaller-id row ([[semanticNearDups]] pairs; the anti-join drops the
+    * larger id of each pair — the same canonical-survivor rule as the
+    * text near-dups). A cluster larger than `maxClusterSize` is skipped
+    * by the skew guard (its rows all survive) — at 100 TB raise `nlist`
+    * so cells stay bounded rather than raising the cap. */
+  def semanticDedup(embDf: DataFrame, idCol: String, embCol: String,
+      nlist: Int = 16, threshold: Double = 0.97,
+      maxClusterSize: Int = 1024,
+      fitSampleRows: Long = 100000L): DataFrame = {
+    val losers = semanticNearDups(embDf, idCol, embCol, nlist, threshold,
+        maxClusterSize, fitSampleRows)
+      .select(col("id_b").as("__loser")).distinct()
+    embDf.join(losers, embDf(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -174,6 +174,33 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.count() == 40L * 39 / 2)
   }
 
+  test("semantic dedup collapses planted duplicate vectors to the min id") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    // three copies of each base vector: ids i, i+1000, i+2000
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq(i.toLong, (i + 1000).toLong, (i + 2000).toLong).map((_, v.toSeq)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val surv = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 4, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // exact copies share a k-means cell by construction (identical argmin),
+    // so every clone pairs with its original and the min id survives
+    assert(surv == (0 until 40).map(_.toLong).toSet)
+    // and the survivor set is exactly the input minus the distinct losers
+    val losers = Dedup.semanticNearDups(df, "vec_id", "embedding",
+        nlist = 4, threshold = 0.999)
+      .select("id_b").distinct().count()
+    assert(surv.size == rows.size - losers)
+  }
+
+  test("semantic near-dup pairs are exact-cosine verified, within-cell only") {
+    val out = Dedup.semanticNearDups(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", nlist = 8, threshold = 0.3).collect()
+    assert(out.forall(_.getDouble(2) >= 0.3), "below-threshold pair leaked")
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)), "pair order broken")
+  }
+
   // ---- exact all-pairs oracles for the LSH pair operators (the driver's
   // DuckDB gate cannot express seeded xxhash64 LSH, so the subset/recall
   // bounds are pinned here instead, against brute-force ground truth) ----

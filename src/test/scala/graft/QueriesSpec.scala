@@ -23,7 +23,8 @@ class QueriesSpec extends SparkTestBase {
     assert(noOracle == Set("t27_fingerprint",
       "d29_minhash_neardup", "d30_simhash_neardup", "d31_embed_neardup",
       "s33_ann_lsh", "q38_approx", "d40_ngram_neardup", "s41_knn_graph",
-      "t42_group_sketch", "s44_ann_ivf", "t80_hll_sketch", "p88_pipeline"),
+      "t42_group_sketch", "s44_ann_ivf", "t80_hll_sketch", "p88_pipeline",
+      "d91_semantic_dedup"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
