@@ -705,6 +705,37 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Streaming ingest-time dedup (dropDuplicatesWithinWatermark): state
+    // is one entry per key, watermark-evicted. Projecting just the keys
+    // makes the output the distinct key set — exact SQL oracle.
+    "str92_stream_dedup" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_str92")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = graft.streaming.MicroBatch.streamDedup(
+          src, "ts", "1 hour", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val name = "str92_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.MicroBatch.runToMemory(s, deduped, name,
+          outputMode = "append")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Temperature-scaled domain mixing (p_d ∝ n_d^alpha): rows-only —
+    // the realized sample hangs on seeded xxhash64 buckets; DedupSpec
+    // pins the per-domain rate realization and smoothing direction.
+    "d93_temperature_mix" -> ((s, d) => {
+      operators.Dedup.temperatureMix(t(s, d, "documents"), "doc_id",
+          "source", alpha = 0.5, targetRows = 300)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
     // SemDeDup-style semantic dedup: k-means cells as the candidate
     // generator (sample-capped fit), within-cell exact-cosine verify,
     // min-id survivor. Rows-only: the k-means fit is not SQL-expressible;
@@ -1437,6 +1468,11 @@ object SparkEntry {
         |FROM orders
         |GROUP BY bucket, prio_status
         |ORDER BY bucket, prio_status""".stripMargin,
+
+    "str92_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "str90_stream_join" ->
       """SELECT l.user_id AS user_id, l.event_id AS click_id,

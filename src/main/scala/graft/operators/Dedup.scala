@@ -421,6 +421,32 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (rate * denominator))
   }
 
+  /** Temperature-scaled domain mixing — the `p_d ∝ n_d^α` exponential
+    * smoothing rule used to set multi-domain/multilingual training mixes
+    * (α < 1 upweights small domains, α = 1 keeps natural proportions;
+    * the public recipe from the multilingual-BERT/XLM-R line of work).
+    * Target share `p_d = n_d^α / Σ n^α` of a `targetRows` budget,
+    * realized as per-domain rates `min(1, p_d·targetRows/n_d)` through
+    * the deterministic [[stratifiedSample]] bucket rule, so the realized
+    * mix is reproducible across runs and partitionings. Cost: one count
+    * aggregate (one row per domain to the driver — domains are few by
+    * definition) + one zero-shuffle codegen'd filter. A domain whose
+    * budgeted share exceeds its size keeps every row — repetition beyond
+    * 1x is [[upsample]]'s job, compose the two for that. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val wsum = counts.values.map(math.pow(_, alpha)).sum
+    val rates = counts.map { case (d, n) =>
+      d -> math.min(1.0, math.pow(n.toDouble, alpha) / wsum *
+        targetRows / n)
+    }
+    stratifiedSample(df, idCol, domainCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic fractional upsampling — the mixing step that REPEATS
     * high-value sources by a non-integer factor (e.g. curated text ×2.5
     * in a pretraining mix): every row is emitted floor(w) times, plus one

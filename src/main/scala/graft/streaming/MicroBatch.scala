@@ -124,6 +124,18 @@ object MicroBatch {
       .groupBy(session_window(col(ts), gap) +: keys: _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup with BOUNDED state: one state entry per key,
+    * evicted once the watermark passes its event time plus the horizon —
+    * duplicates separated by more than the watermark can re-emit, which
+    * is the price of finite state on an infinite stream (the batch
+    * operators in [[graft.operators.Dedup]] are the exact-once pass; this
+    * is the ingest-time guard that keeps re-delivered rows out of the
+    * landing zone). Emits each key's first-arriving row. */
+  def streamDedup(stream: DataFrame, ts: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked stream-stream INNER interval join: left rows pair with
     * right rows sharing `key` whose event time falls in
     * `[leftTs, leftTs + range]`. The time bound plus BOTH watermarks is

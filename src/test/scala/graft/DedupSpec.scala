@@ -174,6 +174,29 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.count() == 40L * 39 / 2)
   }
 
+  test("temperature mix: alpha<1 upweights small domains, caps at 1x, deterministic") {
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "mid")) ++
+      (1101 to 1110).map(i => (i.toLong, "tiny"))).toDF("id", "dom")
+    val out = Dedup.temperatureMix(df, "id", "dom", alpha = 0.5, targetRows = 500)
+    val got = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny domain's budgeted share exceeds its size -> rate caps at 1, all kept
+    assert(got("tiny") == 10L)
+    // expected rates: w = sqrt(n) -> p = w/sum(w); realized = hash sample,
+    // allow sampling noise around p * 500
+    val wsum = math.sqrt(1000) + math.sqrt(100) + math.sqrt(10)
+    def expected(n: Int) = math.min(n.toDouble, math.sqrt(n) / wsum * 500)
+    assert(math.abs(got("big") - expected(1000)) < 60, s"big=${got("big")}")
+    assert(math.abs(got("mid") - expected(100)) < 40, s"mid=${got("mid")}")
+    // smoothing direction: small domains gain share vs their natural share
+    val total = got.values.sum.toDouble
+    assert(got("mid") / total > 100.0 / 1110)
+    // deterministic: identical realized sample on re-run
+    val again = Dedup.temperatureMix(df, "id", "dom", alpha = 0.5, targetRows = 500)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("semantic dedup collapses planted duplicate vectors to the min id") {
     val rnd = new scala.util.Random(7)
     val base = (0 until 40).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))

@@ -31,6 +31,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("stream dedup emits each key once despite re-delivered input") {
+    // stage the events TWICE — a redelivery — and dedup on the ingest path
+    val dir = Files.createTempDirectory("graft_stream_dd").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    Tables.events(spark, sf).write.mode("append").parquet(dir)
+    val deduped = MicroBatch.streamDedup(
+        MicroBatch.fileStream(spark, dir), "ts", "1 hour",
+        Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+    val got = MicroBatch.runToMemory(spark, deduped, "sdd", outputMode = "append")
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val dir = eventsDir()
     def src = MicroBatch.fileStream(spark, dir)
