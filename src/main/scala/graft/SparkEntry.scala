@@ -549,6 +549,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Exact corpus heavy hitters: vocabulary-sized shuffle (map-side
+    // combine) + TakeOrderedAndProject; total order (n desc, token) makes
+    // top-k deterministic across engines.
+    "t94_top_tokens" -> ((s, d) => {
+      operators.TextAnalysis.topTokens(t(s, d, "documents"), "text", 50)
+    }),
+
     "t25_quality" -> ((s, d) => {
       t(s, d, "documents")
         .filter(col("doc_id") < 100)
@@ -1610,6 +1617,14 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "t94_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
 
     "t25_quality" ->
       """SELECT doc_id,

@@ -186,4 +186,25 @@ object TextAnalysis {
         floor((col("__cum") - col(tokenCol)) / capacity).cast(LongType))
       .drop("__cum")
   }
+
+  /** Corpus-wide token frequency table `(token, n)` — exact, and already
+    * the 100 TB shape: `explode` is narrow, and the count's map-side
+    * combine means the shuffle carries one `(token, partial count)` per
+    * DISTINCT token per partition — Zipf says that is vocabulary-sized,
+    * not occurrence-sized. No sketch needed for exactness at scale; the
+    * bottleneck (hot tokens) is partial aggregation's job, not a
+    * reducer's. */
+  def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Top-k heavy-hitter tokens with a total tie-break order
+    * (count desc, token asc), so the result is deterministic across
+    * engines and partitionings; plans as TakeOrderedAndProject (per-
+    * partition top-k, k rows to the driver side of the exchange). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    tokenFrequencies(df, textCol)
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
 }

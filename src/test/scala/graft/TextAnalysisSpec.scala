@@ -21,6 +21,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == Seq(0L, 0L, 1L, 1L, 3L), got.toString)
   }
 
+  test("topTokens: exact counts, total tie-break order, top-k plan") {
+    val docs = Seq((1L, "a b b c c c"), (2L, "c a a x")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTokens(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // c:4, a:3, b:2, x:1 -> top 3; a before b would only matter on ties
+    assert(got == Seq(("c", 4L), ("a", 3L), ("b", 2L)))
+    // ties break by token ascending (deterministic across engines)
+    val tied = Seq((1L, "z y z y")).toDF("doc_id", "text")
+    val t2 = TextAnalysis.topTokens(tied, "text", 1).collect().head.getString(0)
+    assert(t2 == "y")
+    // per-partition top-k, not a global sort
+    val plan = TextAnalysis.topTokens(Tables.documents(spark, sf), "text", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
   test("packing preserves every document exactly once per group") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang",
       TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))

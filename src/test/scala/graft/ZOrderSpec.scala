@@ -134,19 +134,21 @@ class ZOrderSpec extends SparkTestBase {
     }
 
     val rels = graft.sources.Maintenance.zorderRewrite(
-      spark, dir, Nil, Seq("a", "b"), targetFileBytes = bytes / 8)
+      spark, dir, Nil, Seq("a", "b"), targetFileBytes = bytes / 16)
     assert(rels === Seq(""))
     assert(spark.read.parquet(dir)
       .agg(count(lit(1)), sum("a"), sum("b")).head() === before)
 
     // per actual on-disk file, both dims' normalized spans must be tight —
-    // the b dim was full-range per file under the old a-sorted layout
+    // the b dim was full-range per file under the old a-sorted layout.
+    // 16 files = 2 curve bits per dim -> aligned span 0.25; sampled range
+    // cuts straddle curve blocks, so allow up to ~2x the aligned span
     val spans = spark.read.parquet(dir)
       .groupBy(input_file_name())
       .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
       .agg(avg("sa"), avg("sb")).head()
-    assert(spans.getDouble(0) / n < 0.6, s"a span ${spans.getDouble(0) / n}")
-    assert(spans.getDouble(1) / n < 0.6, s"b span ${spans.getDouble(1) / n}")
+    assert(spans.getDouble(0) / n < 0.65, s"a span ${spans.getDouble(0) / n}")
+    assert(spans.getDouble(1) / n < 0.65, s"b span ${spans.getDouble(1) / n}")
   }
 
   test("zorderRewrite clusters within partitions, partition dirs intact") {
