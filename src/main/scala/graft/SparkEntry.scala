@@ -794,6 +794,23 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // PQ-compressed ANN (IVF-PQ's compression half): m-subspace codebooks
+    // (sample-capped fit), codes = m small ints per vector, ADC lookup
+    // scoring + exact rerank. Rows-only: the k-means fit is not
+    // SQL-expressible; DedupSpec pins recall vs brute force + self-query.
+    "s95_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val books = Similarity.pqFit(corpus, "embedding", m = 8, codebookSize = 16)
+      Similarity.pqTopK(
+          Similarity.pqEncode(corpus, "vec_id", "embedding", books),
+          books, q, k = 10)
+        .select(col("id"), round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
     "s41_knn_graph" -> ((s, d) => {
       Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, k = 5, numPlanes = 8)

@@ -220,4 +220,84 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ---- product quantization (IVF-PQ's compression half) -----------------
+
+  /** PQ codebooks: the embedding is cut into `m` subvectors and each
+    * subspace gets its own `codebookSize`-entry k-means codebook (fit on
+    * the same absolute-capped sample regime as [[ivfFit]]; the sample is
+    * locally checkpointed once so the m fits don't re-scan the corpus).
+    * A vector stores as `m` small codes — `m` bytes against `4·dim` for
+    * float32, a 32x cut at dim=64/m=8 — which is what lets a 100 TB
+    * embedding store live in memory-speed storage. Returns
+    * `codebooks(j)(c)` = centroid `c` of subspace `j`. */
+  def pqFit(embDf: DataFrame, embCol: String, m: Int = 8,
+      codebookSize: Int = 16,
+      fitSampleRows: Long = 100000L): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = embDf.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val dsub = dim / m
+    val n = embDf.count()
+    val fraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
+    val sample = embDf.select(col(embCol).as("e"))
+      .sample(withReplacement = false, fraction, seed = 42)
+      .localCheckpoint(eager = true) // bounded rows; read once, fit m times
+    (0 until m).map { j =>
+      new KMeans().setK(codebookSize).setSeed(42L + j).setMaxIter(5)
+        .setInitMode("random")
+        .setFeaturesCol("f")
+        .fit(sample.select(
+          array_to_vector(slice(col("e"), j * dsub + 1, dsub)).as("f")))
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** Encode each vector as its per-subspace nearest-codeword ids
+    * (`codes: array<int>`, length m) — the stored representation. The
+    * original embedding column is kept alongside for the exact rerank;
+    * drop it when only ADC ranking is needed. */
+  def pqEncode(embDf: DataFrame, idCol: String, embCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.size
+    val codes = codebooks.indices.map { j =>
+      cellOf(slice(col(embCol), j * dsub + 1, dsub), codebooks(j))
+    }
+    embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
+      array(codes: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the query builds one
+    * tiny lookup table per subspace (`q_j · c` and `‖c‖²` for each
+    * codeword — m·codebookSize scalars, driver-side), and each row's
+    * approximate cosine is m table lookups + adds instead of `dim`
+    * multiplies on 4·dim bytes. The ADC shortlist (`k·rerankFactor`,
+    * TakeOrderedAndProject) is then reranked by exact cosine — the
+    * standard two-stage PQ serve path. */
+  def pqTopK(encoded: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      query: Seq[Double], k: Int, rerankFactor: Int = 4): DataFrame = {
+    val dsub = codebooks.head.head.size
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val dotLut = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qj = query.slice(j * dsub, (j + 1) * dsub)
+      cb.map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val normLut = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    def lookup(lut: Seq[Seq[Double]]): Seq[Column] =
+      lut.zipWithIndex.map { case (tbl, j) =>
+        element_at(vec(tbl), element_at(col("codes"), j + 1) + 1)
+      }
+    val adcDot = lookup(dotLut).reduce(_ + _)
+    val adcNorm = sqrt(lookup(normLut).reduce(_ + _))
+    val adc = when(adcNorm > 0.0 && lit(qNorm) > 0.0,
+      adcDot / (adcNorm * qNorm)).otherwise(0.0)
+    encoded
+      .select(col("id"), col("emb"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("id"))
+      .limit(k * rerankFactor)
+      .select(col("id"), cosine(col("emb"), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -197,6 +197,36 @@ class DedupSpec extends SparkTestBase {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("pq: codes are m small ints; adc+rerank top-k has decent recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val books = Similarity.pqFit(corpus, "embedding", m = 8, codebookSize = 16)
+    assert(books.size == 8 && books.forall(_.size == 16) &&
+      books.forall(_.forall(_.size == 8))) // 64-dim / 8 subspaces
+    val encoded = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+    val codes = encoded.select($"codes").head().getSeq[Int](0)
+    assert(codes.size == 8 && codes.forall(c => c >= 0 && c < 16))
+
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, 10).select("id").collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(encoded, books, q, k = 10, rerankFactor = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pq.intersect(brute).size >= 5, s"recall too low: $pq vs $brute")
+  }
+
+  test("pq self-query: an indexed vector finds itself at cosine 1") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 7).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val books = Similarity.pqFit(emb, "embedding", m = 8, codebookSize = 16)
+    val top = Similarity.pqTopK(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books), books, q, k = 1)
+      .head()
+    assert(top.getLong(0) == 7L && top.getDouble(1) > 0.9999)
+  }
+
   test("semantic dedup collapses planted duplicate vectors to the min id") {
     val rnd = new scala.util.Random(7)
     val base = (0 until 40).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
