@@ -743,6 +743,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Semantic decontamination: corpus rows within LSH-bucketed cosine
+    // reach of a "benchmark" slice are dropped (the embedding companion
+    // of q68's shingle-overlap decontamination). Rows-only: seeded-LSH
+    // buckets are not SQL-expressible; DedupSpec pins planted-copy
+    // removal and survivor soundness.
+    "d96_semantic_decontaminate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      operators.Dedup.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20).select(col("embedding")),
+          "embedding", dim = 64, threshold = 0.3, numPlanes = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup-style semantic dedup: k-means cells as the candidate
     // generator (sample-capped fit), within-cell exact-cosine verify,
     // min-id survivor. Rows-only: the k-means fit is not SQL-expressible;

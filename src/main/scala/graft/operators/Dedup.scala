@@ -585,6 +585,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Cross-corpus embedding matches: corpus rows within `threshold`
+    * cosine of ANY benchmark row — the semantic companion of the
+    * shingle-overlap [[decontaminate]], catching paraphrased or
+    * re-templated eval content that token overlap misses. Same
+    * hyperplane-LSH candidate generation as [[embeddingNearDups]], but
+    * as a two-table bucket equi-join: the benchmark side is small by
+    * definition (AQE broadcasts it), the corpus side never self-joins,
+    * and corpus buckets above `maxBucketSize` are dropped (boilerplate
+    * embeddings), bounding any reducer. LSH recall targets near-copies
+    * (high cosine) — the decontamination regime; it is not an all-pairs
+    * scan. Returns (corpus_id, bench_id, cosine ≥ threshold). */
+  def crossEmbeddingMatches(corpus: DataFrame, corpusId: String,
+      corpusEmb: String, bench: DataFrame, benchId: String,
+      benchEmb: String, dim: Int, threshold: Double = 0.95,
+      numPlanes: Int = 12, maxBucketSize: Int = 4096): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+        col(corpusEmb).as("c_emb"),
+        hyperplaneBucket(col(corpusEmb), dim, numPlanes).as("bucket"))
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val b = bench.select(col(benchId).as("bench_id"),
+      col(benchEmb).as("b_emb"),
+      hyperplaneBucket(col(benchEmb), dim, numPlanes).as("bucket"))
+    c.join(b, "bucket")
+      .select(col("corpus_id"), col("bench_id"),
+        VectorFunctions.cosine(col("c_emb"), col("b_emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Drop corpus rows semantically matching the benchmark
+    * ([[crossEmbeddingMatches]] → distinct corpus ids → anti-join; the
+    * matched set is small, so the corpus side of the anti-join does not
+    * shuffle). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      embCol: String, bench: DataFrame, benchEmbCol: String, dim: Int,
+      threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
+    val matched = crossEmbeddingMatches(corpus, idCol, embCol,
+        bench.select(monotonically_increasing_id().as("__bid"),
+          col(benchEmbCol)),
+        "__bid", benchEmbCol, dim, threshold, numPlanes)
+      .select(col("corpus_id").as("__hit")).distinct()
+    corpus.join(matched, corpus(idCol) === col("__hit"), "left_anti")
+  }
+
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
     * "SemDeDup: data-efficient learning at web-scale through semantic
     * deduplication" — public method): k-means cells over the embedding

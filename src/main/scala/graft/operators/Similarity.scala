@@ -244,14 +244,18 @@ object Similarity {
     val sample = embDf.select(col(embCol).as("e"))
       .sample(withReplacement = false, fraction, seed = 42)
       .localCheckpoint(eager = true) // bounded rows; read once, fit m times
-    (0 until m).map { j =>
+    // the m subspace fits are independent (own seed each) and tiny —
+    // submit them concurrently so wall time is one fit's scheduling
+    // latency, not m of them
+    import scala.collection.parallel.CollectionConverters._
+    (0 until m).par.map { j =>
       new KMeans().setK(codebookSize).setSeed(42L + j).setMaxIter(5)
         .setInitMode("random")
         .setFeaturesCol("f")
         .fit(sample.select(
           array_to_vector(slice(col("e"), j * dsub + 1, dsub)).as("f")))
         .clusterCenters.map(_.toArray.toSeq).toSeq
-    }
+    }.toList
   }
 
   /** Encode each vector as its per-subspace nearest-codeword ids

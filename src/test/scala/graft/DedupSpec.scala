@@ -197,6 +197,23 @@ class DedupSpec extends SparkTestBase {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("semantic decontamination drops planted benchmark copies, keeps the rest") {
+    val rnd = new scala.util.Random(11)
+    def v() = Array.fill(16)(rnd.nextGaussian().toFloat).toSeq
+    val corpusVecs = (0 until 50).map(i => (i.toLong, v()))
+    val corpus = corpusVecs.toDF("id", "emb")
+    // benchmark = exact copies of corpus ids 3, 17, 41 plus unrelated rows
+    val bench = (Seq(3, 17, 41).map(i => corpusVecs(i)._2) ++
+      (0 until 5).map(_ => v())).toDF("emb")
+    val surv = Dedup.semanticDecontaminate(corpus, "id", "emb", bench,
+        "emb", dim = 16, threshold = 0.999, numPlanes = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // identical vectors share every hyperplane sign -> always same bucket
+    assert(!surv.contains(3L) && !surv.contains(17L) && !surv.contains(41L))
+    // random 16-dim gaussians essentially never hit cosine 0.999
+    assert(surv.size == 47, s"expected 47 survivors, got ${surv.size}")
+  }
+
   test("pq: codes are m small ints; adc+rerank top-k has decent recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()
