@@ -549,6 +549,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Normalization-keyed exact dedup: normalize (lower/strip/collapse),
+    // then count docs sharing a normalized key — catches case/punct
+    // re-renders byte-exact hashing misses. Exact SQL oracle.
+    "t97_normalize_dedup" -> ((s, d) => {
+      val norm = operators.TextAnalysis.normalizeText(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), norm.as("norm"))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("dup_count"))
+        .select(col("survivor_id"), col("dup_count"),
+          length(col("norm")).cast(LongType).as("norm_len"))
+        .orderBy(col("survivor_id"))
+    }),
+
     // Exact corpus heavy hitters: vocabulary-sized shuffle (map-side
     // combine) + TakeOrderedAndProject; total order (n desc, token) makes
     // top-k deterministic across engines.
@@ -1649,6 +1664,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "t97_normalize_dedup" ->
+      """SELECT min(doc_id) AS survivor_id, count(*) AS dup_count,
+        | CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        | FROM documents)
+        |GROUP BY norm
+        |ORDER BY survivor_id""".stripMargin,
 
     "t94_top_tokens" ->
       """SELECT token, count(*) AS n

@@ -187,6 +187,18 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Canonical text for dedup keys: lowercase, strip everything outside
+    * `[a-z0-9 ]`, collapse whitespace runs, trim. Exact dedup on
+    * `normalizeText(text)` catches case/punctuation re-renders of the
+    * same content that byte-exact hashing misses — the cheap first rung
+    * below near-dup. Deliberately ASCII-conservative so the
+    * transformation is bit-identical across engines (differential
+    * testability beats aggressive Unicode folding here; layer a Unicode
+    * normalizer on top when the corpus needs it). Zero shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Corpus-wide token frequency table `(token, n)` — exact, and already
     * the 100 TB shape: `explode` is narrow, and the count's map-side
     * combine means the shuffle carries one `(token, partial count)` per
