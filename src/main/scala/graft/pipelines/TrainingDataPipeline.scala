@@ -42,6 +42,11 @@ object TrainingDataPipeline {
         * deterministic hash sampling per stratum, applied with the
         * corpus downsample before dedup. */
       mixingRates: Option[(String, Map[String, Double], Double)] = None,
+      /** Temperature-scaled mixing (domain column, alpha, target rows):
+        * derives the per-domain rates from the `p ∝ n^alpha` smoothing
+        * rule instead of hand-set `mixingRates`
+        * ([[Dedup.temperatureMix]]); mutually exclusive with it. */
+      temperatureMixing: Option[(String, Double, Long)] = None,
       /** Corpus-level repeated-span removal after near-dup dedup: spans of
         * this many tokens that occurred earlier in the corpus are dropped
         * and documents rewritten ([[Dedup.spanDedup]]). */
@@ -137,9 +142,13 @@ object TrainingDataPipeline {
     val sampled = cfg.sampleFraction
       .map(f => Dedup.hashSample(annotated, "doc_id", f))
       .getOrElse(annotated)
+    require(cfg.mixingRates.isEmpty || cfg.temperatureMixing.isEmpty,
+      "set mixingRates (hand-set) or temperatureMixing (derived), not both")
     val mixed = cfg.mixingRates
       .map { case (strata, rates, dflt) =>
         Dedup.stratifiedSample(sampled, "doc_id", strata, rates, dflt) }
+      .orElse(cfg.temperatureMixing.map { case (domain, alpha, target) =>
+        Dedup.temperatureMix(sampled, "doc_id", domain, alpha, target) })
       .getOrElse(sampled)
     val quality = qualityFilter(mixed, cfg)
       .observe(obsQ, count(lit(1)).as("n"))

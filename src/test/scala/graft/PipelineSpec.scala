@@ -128,6 +128,27 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("temperature mixing knob derives rates from domain counts") {
+    val docs = Tables.documents(spark, sf)
+    val outDir = Files.createTempDirectory("graft_pipe_temp").toString
+    val target = 200L
+    val report = TrainingDataPipeline.run(spark, docs, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        temperatureMixing = Some(("source", 0.5, target))))
+    // the mix lands near the target (hash-sampling noise), never above
+    // input, and the pipeline stays consistent downstream
+    assert(report.afterQuality <= report.input)
+    assert(math.abs(report.afterQuality - target) < target / 2,
+      s"mix=${report.afterQuality} target=$target")
+    // both knobs at once is a config error
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.run(spark, docs, outDir,
+        TrainingDataPipeline.Config(
+          mixingRates = Some(("source", Map.empty[String, Double], 1.0)),
+          temperatureMixing = Some(("source", 0.5, 100L))))
+    }
+  }
+
   test("pipeline is deterministic across runs") {
     val docs = Tables.documents(spark, sf)
     val out1 = Files.createTempDirectory("graft_p1").toString
