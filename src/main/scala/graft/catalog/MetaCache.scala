@@ -25,33 +25,58 @@ private[graft] final class TtlLruCache[V](maxEntries: Int) {
 
   // access-order LinkedHashMap = LRU; all access under the map's lock
   // (loads happen OUTSIDE the lock — a slow FS read must not serialize
-  // every other table's resolution)
+  // every other table's resolution). Evicting a key also drops its
+  // side-table entries so nothing grows past maxEntries.
   private val map = new java.util.LinkedHashMap[String, (Long, V)](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[String, (Long, V)]): Boolean =
-      size() > maxEntries
+        e: java.util.Map.Entry[String, (Long, V)]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict) { loads.remove(e.getKey); invalidatedAt.remove(e.getKey) }
+      evict
+    }
   }
 
-  /** Per-key count of actual backing loads — the observable tests pin. */
+  /** Per-key count of actual backing loads — the observable tests pin.
+    * Bounded: entries die with their key's LRU eviction. */
   private val loads = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** Per-key stamp written by [[invalidate]]. A load that began before
+    * the latest invalidation must NOT install its (now stale) value —
+    * without this, "read v1 → DDL writes v2 + invalidates → put(v1)"
+    * re-caches the pre-DDL state for a full TTL, breaking the documented
+    * same-process coherence contract. Bounded like [[loads]]. */
+  private val invalidatedAt = new ConcurrentHashMap[String, java.lang.Long]()
+
   /** Cached value for `key`, loading (and caching) on miss or expiry. A
-    * throwing load caches nothing and propagates. */
+    * throwing load caches nothing and propagates; a load overtaken by an
+    * [[invalidate]] returns its value but does not cache it. */
   def get(key: String)(load: => V): V = {
     val now = System.currentTimeMillis()
     val hit = map.synchronized {
       Option(map.get(key)).collect { case (t, v) if now - t <= ttlMs => v }
     }
     hit.getOrElse {
+      val stamp0 = invalidatedAt.get(key)
       val v = load
       loads.computeIfAbsent(key, _ => new AtomicLong()).incrementAndGet()
-      map.synchronized { map.put(key, (System.currentTimeMillis(), v)) }
+      map.synchronized {
+        if (invalidatedAt.get(key) eq stamp0)
+          map.put(key, (System.currentTimeMillis(), v))
+      }
       v
     }
   }
 
-  def invalidate(key: String): Unit =
-    map.synchronized { map.remove(key); () }
+  def invalidate(key: String): Unit = map.synchronized {
+    // stamps for keys never re-cached (DDL on a cold table) would pile up;
+    // clearing wholesale is safe-ish — an in-flight load could then install
+    // a value staled by an invalidation that the clear erased, but that
+    // needs an invalidate AND an overflow-clear inside one load window
+    if (invalidatedAt.size() > 16 * maxEntries) invalidatedAt.clear()
+    invalidatedAt.put(key, java.lang.Long.valueOf(System.nanoTime()))
+    map.remove(key)
+    ()
+  }
 
   private[graft] def loadCount(key: String): Long =
     Option(loads.get(key)).fold(0L)(_.get())

@@ -437,14 +437,23 @@ object Dedup {
       alpha: Double, targetRows: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
     require(targetRows > 0, "targetRows must be positive")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    // null domains are a domain, not a leak: a when-chain on the raw
+    // column can never match NULL (ternary logic), which would silently
+    // drop every null-domain row AND deflate the other domains' rates
+    // (the null group still inflates wsum) — so bucket through a
+    // null-coalesced shadow column
+    val dcol = "__graft_domain"
+    val withDomain = df.withColumn(dcol,
+      coalesce(col(domainCol).cast(StringType), lit("__graft_null__")))
+    val counts = withDomain.groupBy(col(dcol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val wsum = counts.values.map(math.pow(_, alpha)).sum
     val rates = counts.map { case (d, n) =>
       d -> math.min(1.0, math.pow(n.toDouble, alpha) / wsum *
         targetRows / n)
     }
-    stratifiedSample(df, idCol, domainCol, rates, defaultRate = 0.0)
+    stratifiedSample(withDomain, idCol, dcol, rates, defaultRate = 0.0)
+      .drop(dcol)
   }
 
   /** Deterministic fractional upsampling — the mixing step that REPEATS

@@ -38,8 +38,12 @@ object AsyncPrefetch {
 
   /** Wrap `it` with a bounded background prefetcher. Chunks of up to
     * `chunkRows` elements are queued, at most `queueChunks` ahead;
-    * `timeoutMs` bounds how long the consumer waits on a silent producer
-    * (the reference's 60 s wait). Buffered elements must be immutable or
+    * `timeoutMs` bounds how long the consumer tolerates a producer making
+    * NO PROGRESS — neither reading a row nor offering a chunk (the
+    * reference's 60 s wait). Progress resets the clock: a slow-but-alive
+    * source (hundreds of ms per row — the very workload this wrapper
+    * exists for) never times out just because a full chunk takes longer
+    * than `timeoutMs` to accumulate. Buffered elements must be immutable or
     * owned copies — Dataset.mapPartitions hands out deserialized copies,
     * which is why [[rows]] goes through it (raw InternalRow iterators
     * reuse their row object and must NOT be buffered). */
@@ -61,13 +65,19 @@ object AsyncPrefetch {
     def offerUntilCancelled(x: AnyRef): Unit =
       while (!cancelled && !queue.offer(x, 100, TimeUnit.MILLISECONDS)) ()
 
+    @volatile var lastProgressNanos = System.nanoTime()
+
     val producer = new Thread(() => {
       try {
         val buf = new ArrayBuffer[T](chunkRows)
         while (it.hasNext && !cancelled) {
           buf.clear()
-          while (it.hasNext && buf.length < chunkRows) buf += it.next()
+          while (it.hasNext && buf.length < chunkRows) {
+            buf += it.next()
+            lastProgressNanos = System.nanoTime()
+          }
           offerUntilCancelled(buf.toVector)
+          lastProgressNanos = System.nanoTime()
         }
       } catch { case t: Throwable => error = t }
       finally offerUntilCancelled(Poison)
@@ -82,11 +92,17 @@ object AsyncPrefetch {
 
       private def pump(): Unit =
         while (!exhausted && idx >= chunk.size) {
-          val polled = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
+          // poll in slices so the progress clock is consulted while
+          // waiting — only a producer that is neither reading rows nor
+          // offering chunks for timeoutMs is declared dead
+          val polled = queue.poll(
+            math.min(100L, timeoutMs), TimeUnit.MILLISECONDS)
           if (polled == null) {
-            cancelled = true
-            throw new java.util.concurrent.TimeoutException(
-              s"prefetch producer silent for ${timeoutMs} ms")
+            if ((System.nanoTime() - lastProgressNanos) / 1000000L >= timeoutMs) {
+              cancelled = true
+              throw new java.util.concurrent.TimeoutException(
+                s"prefetch producer made no progress for ${timeoutMs} ms")
+            }
           } else if (polled.eq(Poison)) {
             exhausted = true
             if (error != null) throw error

@@ -187,12 +187,12 @@ object JdbcImport {
     * DUPLICATE KEY — vendor-specific, exactly like Sqoop's per-manager
     * upsert statements). `setParams` binds one row.
     *
-    * Upserts are idempotent by construction, so a transient connection
-    * failure retries the WHOLE partition on a fresh connection
-    * ([[Retry.withBackoff]]) — rows upserted by the failed attempt are
-    * simply upserted again. The rows are materialized per partition for
-    * that replay; partition sizing bounds the buffer (same contract as any
-    * retryable sink task). */
+    * Upserts are idempotent by construction, so a transient failure
+    * replays only the CURRENT uncommitted batch on a fresh connection
+    * ([[Retry.withBackoff]]) — earlier batches are already committed, and
+    * a lost-ack commit merely upserts the same rows again. Memory is
+    * O(batchSize) per task, never O(partition): the executor buffers one
+    * batch for replay, the partition itself streams. */
   def exportUpsert(df: DataFrame, url: String, upsertSql: String,
       properties: Properties = new Properties(),
       batchSize: Int = 1000)(
@@ -200,24 +200,41 @@ object JdbcImport {
     val props = new Properties()
     props.putAll(properties)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      if (rows.nonEmpty) {
-        val buffered = rows.toArray
-        Retry.withBackoff(s"upsert-export partition") {
-          val conn = java.sql.DriverManager.getConnection(url, props)
-          try {
-            conn.setAutoCommit(false)
-            val ps = conn.prepareStatement(upsertSql)
-            var n = 0
-            buffered.foreach { r =>
-              setParams(ps, r)
-              ps.addBatch()
-              n += 1
-              if (n % batchSize == 0) { ps.executeBatch(); conn.commit() }
-            }
-            ps.executeBatch()
-            conn.commit()
-          } finally conn.close()
+      if (rows.hasNext) {
+        var conn: java.sql.Connection = null
+        var ps: java.sql.PreparedStatement = null
+        def ensureConn(): Unit = if (conn == null) {
+          conn = java.sql.DriverManager.getConnection(url, props)
+          conn.setAutoCommit(false)
+          ps = conn.prepareStatement(upsertSql)
         }
+        def dropConn(): Unit = {
+          if (conn != null) scala.util.Try(conn.close())
+          conn = null; ps = null
+        }
+        val batch = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row](batchSize)
+        def flush(): Unit = if (batch.nonEmpty) {
+          Retry.withBackoff("upsert-export batch") {
+            try {
+              ensureConn()
+              batch.foreach { r => setParams(ps, r); ps.addBatch() }
+              ps.executeBatch()
+              conn.commit()
+            } catch { case e: Throwable =>
+              dropConn() // uncommitted batch rolls back; retry re-binds it
+              throw e
+            }
+          }
+          batch.clear()
+        }
+        try {
+          rows.foreach { r =>
+            batch += r
+            if (batch.size >= batchSize) flush()
+          }
+          flush()
+        } finally dropConn()
       }
     }
   }

@@ -91,8 +91,9 @@ object Maintenance {
     */
   def compactPartitions(spark: SparkSession, path: String,
       partitionCols: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
-    recoverInterruptedSwap(new HPath(path))
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      swapRecoveryMinAgeMs: Long = SwapRecoveryMinAgeMs): Seq[String] = {
+    recoverInterruptedSwap(new HPath(path), swapRecoveryMinAgeMs)
     if (partitionCols.isEmpty) return compactUnpartitioned(
       spark, path, targetFileBytes)
     val plans = compactionCandidates(path, partitionCols, targetFileBytes)
@@ -225,10 +226,11 @@ object Maintenance {
   def zorderRewrite(spark: SparkSession, path: String,
       partitionCols: Seq[String], zorderCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
-      bits: Int = 8): Seq[String] = {
+      bits: Int = 8,
+      swapRecoveryMinAgeMs: Long = SwapRecoveryMinAgeMs): Seq[String] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new HPath(path)
-    recoverInterruptedSwap(root)
+    recoverInterruptedSwap(root, swapRecoveryMinAgeMs)
     def targetFor(bytes: Long) =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (partitionCols.isEmpty) {
@@ -269,12 +271,28 @@ object Maintenance {
     rewritten
   }
 
+  /** Minimum manifest age before [[recoverInterruptedSwap]] treats an
+    * unresolved swap as crashed rather than live. A swap's manifest exists
+    * only for the duration of the adopt+retire renames (seconds); one this
+    * old belongs to a dead run. */
+  val SwapRecoveryMinAgeMs: Long = 15 * 60 * 1000L
+
   /** Mechanical recovery from a crashed unpartitioned swap, driven by the
     * `_swap_manifest.json` the commit wrote before its first rename. Left
     * unresolved, the interrupted state (full old set + some adopted new
     * files = duplicate rows) would be made PERMANENT by the next compaction
     * run rewriting the duplicates — so every [[compactPartitions]] call
-    * resolves it first. Adopt-then-retire ordering makes recovery
+    * resolves it first.
+    *
+    * A manifest YOUNGER than `minAgeMs` may belong to a LIVE swap — another
+    * maintenance run between its adopt and retire steps. "Recovering" that
+    * state would delete the live run's adopted files and let its retire
+    * step strand the table with NEITHER file set. Age cannot distinguish
+    * live from freshly-crashed, so maintenance REFUSES to proceed until
+    * the manifest ages past the window (or an operator resolves it) —
+    * the same conservative stance [[vacuumStaging]] takes with its TTL.
+    *
+    * Adopt-then-retire ordering makes recovery
     * deterministic from the root's state alone:
     *  - every old file still present → the crash was mid-adopt; the old set
     *    is complete, so un-adopt (delete) any new files and keep the old;
@@ -282,7 +300,8 @@ object Maintenance {
     *    after), so the new set is complete; finish retiring old files.
     * Either way the staging dir (manifest + retired originals) is then
     * deleted. No-op when no manifest is present. */
-  private[graft] def recoverInterruptedSwap(root: HPath): Unit = {
+  private[graft] def recoverInterruptedSwap(root: HPath,
+      minAgeMs: Long = SwapRecoveryMinAgeMs): Unit = {
     if (!Fs.isDir(root)) return
     val fs = Fs.of(root)
     fs.listStatus(root).toSeq
@@ -290,6 +309,12 @@ object Maintenance {
       .foreach { st =>
         val manifest = new HPath(st.getPath, "_swap_manifest.json")
         if (Fs.exists(manifest)) {
+          val age = System.currentTimeMillis() -
+            fs.getFileStatus(manifest).getModificationTime
+          if (age < minAgeMs) sys.error(
+            s"unresolved swap manifest $manifest is ${age / 1000}s old — " +
+              "possibly a LIVE concurrent swap; refusing maintenance until " +
+              s"it ages past ${minAgeMs / 1000}s or an operator resolves it")
           val json = Fs.readString(manifest)
           def names(key: String): Seq[String] =
             s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)

@@ -606,6 +606,13 @@ object ZOrderKernels {
     * dimensions land close on the curve. Requires `k * bits <= 63`. */
   def interleave(ids: ArrayData, bits: Int): Long = {
     val k = ids.numElements()
+    // arity is only known per-row (the array child need not be a literal
+    // CreateArray), so the overflow guard lives here: silently shifting a
+    // dimension's high bits off the top of the long would produce keys
+    // with NO locality in that dimension — data clustered on them looks
+    // fine and prunes nothing
+    if (k * bits > 63) throw new IllegalArgumentException(
+      s"interleave_bits: $k dims at $bits bits = ${k * bits} key bits; max 63")
     var out = 0L
     var i = 0
     while (i < bits) {

@@ -60,6 +60,19 @@ class AsyncPrefetchSpec extends SparkTestBase {
     intercept[java.util.concurrent.TimeoutException](it.hasNext)
   }
 
+  test("a slow-but-alive source never times out: progress resets the clock") {
+    // 12 rows at ~60 ms each = ~720 ms total, chunkRows far larger than
+    // the row count, timeout 200 ms: a whole-chunk arrival bound would
+    // fire (no chunk inside 200 ms); a progress bound must not
+    val src = new Iterator[Int] {
+      private var i = 0
+      override def hasNext: Boolean = i < 12
+      override def next(): Int = { Thread.sleep(60); i += 1; i }
+    }
+    val it = AsyncPrefetch.prefetch(src, chunkRows = 256, timeoutMs = 200)
+    assert(it.toSeq == (1 to 12))
+  }
+
   test("rows() is plan-transparent: same schema, rows and partitioning") {
     val o = Tables.orders(spark, sf).repartition(4)
     val wrapped = AsyncPrefetch.rows(o, queueChunks = 2, chunkRows = 64)

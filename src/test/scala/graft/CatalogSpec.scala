@@ -428,4 +428,18 @@ class CatalogSpec extends SparkTestBase {
         "an expired entry must be re-read")
     } finally MetaCache.meta.ttlMs = saved
   }
+
+  test("a load overtaken by invalidate must not re-install its stale value") {
+    val c = new graft.catalog.TtlLruCache[String](10)
+    // the load simulates "DDL invalidated this key while the FS read was
+    // in flight" — the value it returns is already stale when it lands
+    assert(c.get("k") { c.invalidate("k"); "v1" } == "v1")
+    var reloaded = false
+    assert(c.get("k") { reloaded = true; "v2" } == "v2")
+    assert(reloaded, "the stale v1 must not have been cached")
+    // and the clean v2 load cached normally: third get is a hit
+    var again = false
+    val v3 = c.get("k") { again = true; "v3" }
+    assert(v3 == "v2" && !again, "the clean v2 load must have cached")
+  }
 }

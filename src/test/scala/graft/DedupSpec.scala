@@ -197,6 +197,19 @@ class DedupSpec extends SparkTestBase {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("temperature mix keeps null-domain rows as their own domain") {
+    val df = ((1 to 90).map(i => (i.toLong, Some("web"))) ++
+      (91 to 100).map(i => (i.toLong, None: Option[String])))
+      .toDF("id", "dom")
+    // target >= input: every rate caps at 1 -> NOTHING may be dropped,
+    // including the null-domain rows a raw when-chain would silently lose
+    val out = Dedup.temperatureMix(df, "id", "dom", alpha = 0.5,
+      targetRows = 1000)
+    assert(out.count() == 100)
+    assert(out.filter($"dom".isNull).count() == 10)
+    assert(out.columns.toSeq == Seq("id", "dom"), "shadow column must not leak")
+  }
+
   test("semantic decontamination drops planted benchmark copies, keeps the rest") {
     val rnd = new scala.util.Random(11)
     def v() = Array.fill(16)(rnd.nextGaussian().toFloat).toSeq

@@ -144,6 +144,36 @@ class MaintenanceSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance refuses while a swap manifest is young — a live " +
+      "concurrent swap must never be 'recovered' out from under its owner") {
+    val s = Tables.supplier(spark, sf)
+    val dir = Files.createTempDirectory("graft_refuse").toString
+    s.repartition(6).write.mode("overwrite").parquet(dir)
+    var seen = 0
+    Maintenance.onSwapStep = { st =>
+      if (st == "adopted") { seen += 1; sys.error("injected crash at adopted") }
+    }
+    try intercept[Exception](
+      Maintenance.compactPartitions(spark, dir, Nil, 1L << 30))
+    finally Maintenance.onSwapStep = _ => ()
+    // the manifest is seconds old: indistinguishable from a live swap →
+    // both compaction and zorder refuse rather than un-adopt its files
+    val e1 = intercept[Exception](
+      Maintenance.compactPartitions(spark, dir, Nil, 1L << 30))
+    assert(e1.getMessage.contains("refusing maintenance"), e1.getMessage)
+    val e2 = intercept[Exception](Maintenance.zorderRewrite(
+      spark, dir, Nil, Seq("s_suppkey", "s_nationkey")))
+    assert(e2.getMessage.contains("refusing maintenance"), e2.getMessage)
+    // no data was touched by the refusals: old + adopted sets both intact
+    val keys = Tables.supplier(spark, sf).select("s_suppkey").as[Long].collect().toSet
+    assert(spark.read.parquet(dir).select("s_suppkey").as[Long]
+      .collect().toSet == keys)
+    // once aged (minAge 0), the same call recovers and compacts
+    Maintenance.compactPartitions(spark, dir, Nil, 1L << 30,
+      swapRecoveryMinAgeMs = 0L)
+    assert(leafFiles(dir).size == 1)
+  }
+
   test("unpartitioned compaction discards its rewrite when a writer " +
       "appended between planning and swap") {
     val dir = Files.createTempDirectory("graft_flat_race").toString
@@ -235,8 +265,10 @@ class MaintenanceSpec extends SparkTestBase {
         s"crash at $step#$k must leave staging for recovery")
       // next maintenance run recovers per the manifest first: post-adopt
       // recovery restores the fragmented old set (then compacts it);
-      // mid-retire recovery completes the swap (nothing left to compact)
-      Maintenance.compactPartitions(spark, dir, Nil, 1L << 30)
+      // mid-retire recovery completes the swap (nothing left to compact).
+      // minAge 0 = the manifest has aged past the live-swap window
+      Maintenance.compactPartitions(spark, dir, Nil, 1L << 30,
+        swapRecoveryMinAgeMs = 0L)
       assert(leafFiles(dir).size == 1, s"table not compacted after $step#$k")
       val rows = spark.read.parquet(dir).select("s_suppkey").as[Long].collect()
       assert(rows.toSet == expectKeys, s"recovery after $step#$k lost rows")

@@ -29,6 +29,12 @@ class ZOrderSpec extends SparkTestBase {
     assert(ZOrderKernels.interleave(ArrayData.toArrayData(Array(0, 3)), 2) === 5L)
   }
 
+  test("interleave refuses dims*bits > 63 instead of silently overflowing") {
+    val e = intercept[IllegalArgumentException](
+      ZOrderKernels.interleave(ArrayData.toArrayData(Array(1, 2, 3)), 32))
+    assert(e.getMessage.contains("96"))
+  }
+
   test("rangeBucket is the number of boundaries <= x; NaN goes last") {
     val bs = Array(10.0, 20.0, 30.0)
     assert(ZOrderKernels.rangeBucket(5.0, bs) === 0)
