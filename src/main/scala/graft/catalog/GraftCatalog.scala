@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Fs
@@ -173,6 +173,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
               lit.value().toString.toInt
           }.getOrElse(sys.error("bucket transform needs a bucket count"))
           val cols = t.references().map(_.fieldNames().mkString("."))
+          require(bucketProps.isEmpty,
+            "bucket(...) and range_cluster(...) cannot be combined — one " +
+              "cluster layout per table (a silent merge would discard one)")
           bucketProps = Map(
             GraftTable.BucketColsKey -> cols.mkString(","),
             GraftTable.BucketCountKey -> n.toString)
@@ -187,6 +190,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
               lit.value().toString.toInt
           }.getOrElse(sys.error("range_cluster transform needs a partition count"))
           val cols = t.references().map(_.fieldNames().mkString("."))
+          require(bucketProps.isEmpty,
+            "bucket(...) and range_cluster(...) cannot be combined — one " +
+              "cluster layout per table (a silent merge would discard one)")
           // an explicit 'graft.range.cols' TBLPROPERTY (carrying DESC
           // directions) wins over the transform's ASC default
           val colsProp: Map[String, String] =
@@ -198,6 +204,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           "(identity, bucket and range_cluster, like the reference's partition/cluster specs)")
       }
     }
+    // v1 limitation, enforced rather than silently broken: the partitioned
+    // write path (V1 staged partition writer) lays out partition dirs and
+    // does NOT apply hash/range cluster distribution — a table advertising
+    // both would carry a clustering contract its writes never establish
+    require(partitionCols.isEmpty || bucketProps.isEmpty,
+      "a table cannot be both partitioned and hash/range-clustered: the " +
+        "partitioned write path does not enforce cluster distribution")
     val finalProps =
       properties.asScala.toMap ++ bucketProps ++ externalProps
     // a hand-written range spec (TBLPROPERTIES) must name real columns,
@@ -249,6 +262,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         val from = r.fieldNames().mkString(".")
         require(!meta.partitionCols.contains(from),
           s"cannot rename partition column $from")
+        require(!clusterColsOf(meta).contains(from),
+          s"cannot rename cluster column $from — the stored bucket/range " +
+            "spec would reference a nonexistent column and every write " +
+            "would fail analysis")
         // metadata-only rename over existing parquet (resolved by name)
         // would silently read the renamed column as NULL — require rewrite
         require(!hasDataFiles(dataDirOf(dir, meta)),
@@ -259,6 +276,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         val name = d.fieldNames().mkString(".")
         require(!meta.partitionCols.contains(name),
           s"cannot drop partition column $name")
+        require(!clusterColsOf(meta).contains(name),
+          s"cannot drop cluster column $name — the stored bucket/range " +
+            "spec would reference a nonexistent column and every write " +
+            "would fail analysis")
         require(meta.schema.fieldNames.contains(name), s"no such column $name")
         // dropping then re-adding over existing files would resurrect data
         require(!hasDataFiles(dataDirOf(dir, meta)),
@@ -271,6 +292,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     invalidateCached(ident)
     loadTable(ident)
   }
+
+  /** Columns named by the table's hash/range cluster spec, if any. */
+  private def clusterColsOf(meta: TableMeta): Set[String] =
+    (meta.properties.get(GraftTable.BucketColsKey).toSeq
+      .flatMap(_.split(",").map(_.trim)) ++
+      meta.properties.get(GraftTable.RangeColsKey).toSeq
+        .flatMap(GraftTable.parseRangeCols(_).map(_._1))).toSet
 
   /** Where the table's data actually lives (external location or the
     * warehouse directory). */
@@ -330,8 +358,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   private def readMetaIfView(ident: Identifier): Option[TableMeta] = {
     val f = metaFile(tablePath(ident))
+    // cached like loadTable's read — view resolution (and SHOW VIEWS over
+    // a namespace) would otherwise re-LIST+GET per table per call, the
+    // exact metastore hotspot MetaCache exists to remove; view DDL goes
+    // through invalidateCached, so the coherence contract is the same
     if (!Fs.exists(f)) None
-    else Some(TableMeta.read(f)).filter(_.isView)
+    else Some(MetaCache.meta.get(f.toString)(TableMeta.read(f)))
+      .filter(_.isView)
   }
 
   override def listViews(namespace: String*): Array[Identifier] = {
@@ -584,9 +617,19 @@ object CatalogFunctions {
       case pm: SupportsPartitionManagement =>
         val ps = pm.partitionSchema()
         require(ps.nonEmpty, s"$table is not partitioned")
-        val vals = pm.listPartitionIdentifiers(Array.empty, InternalRow.empty)
-          .map(r => r.get(0, ps(0).dataType).toString)
-        if (vals.isEmpty) None else Some(vals.max)
+        val dt = ps(0).dataType
+        val raw = pm.listPartitionIdentifiers(Array.empty, InternalRow.empty)
+          .map(_.get(0, dt))
+        // compare in the PARTITION COLUMN'S type — a string max over
+        // numeric partitions returns "9" > "10" and serves stale data
+        if (raw.isEmpty) None
+        else Some((dt match {
+          case ByteType | ShortType | IntegerType | LongType | DateType =>
+            raw.maxBy(_.asInstanceOf[Number].longValue())
+          case FloatType | DoubleType =>
+            raw.maxBy(_.asInstanceOf[Number].doubleValue())
+          case _ => raw.maxBy(_.toString)
+        }).toString)
       case _ => sys.error(s"$table does not support partition management")
     }
   }

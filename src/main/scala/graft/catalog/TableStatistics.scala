@@ -23,33 +23,68 @@ object TableStatistics {
   final case class TableStats(rows: Long, bytes: Long,
       parts: Map[String, PartStat])
 
+  /** LOGICAL stats identity (cache/invalidation key, legacy file). The
+    * committed content lives in generation files `_graft_stats.g{N}.json`
+    * beside it — the same rename-NO-overwrite CAS protocol as
+    * [[graft.sources.Checkpoints.saveCas]], because a plain
+    * read-merge-overwrite loses one commit's partition entries whenever
+    * two jobs insert into DISJOINT partitions concurrently (both read the
+    * same base, last rename wins, the loser's partitions revert to stale
+    * counts until the next rewrite). */
   def statsFile(dir: HPath): HPath = new HPath(dir, "_graft_stats.json")
+
+  private val GenRe = "_graft_stats\\.g(\\d+)\\.json".r
+  private def genFile(home: HPath, gen: Long): HPath =
+    new HPath(home, s"_graft_stats.g$gen.json")
+  private def listGens(home: HPath): Seq[(Long, HPath)] =
+    if (!Fs.isDir(home)) Seq.empty
+    else Fs.of(home).listStatus(home).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case GenRe(n) => Some(n.toLong -> s.getPath)
+        case _ => None
+      }
+    }
+
+  /** Serializes same-JVM CAS commits; cross-JVM the rename-NONE is the
+    * arbiter (atomic on HDFS, checked on the local FS). */
+  private val casLock = new Object
 
   /** Cached read ([[MetaCache.stats]], TTL'd): scan planning consults the
     * stats per query, and the uncached form is a LIST+GET per table per
     * query on an object store. Stats writes through this process
-    * invalidate ([[write]]); foreign writers become visible within the
-    * TTL — acceptable for advisory planner stats. */
+    * invalidate; foreign writers become visible within the TTL —
+    * acceptable for advisory planner stats. */
   def read(dir: HPath): Option[TableStats] =
-    MetaCache.stats.get(statsFile(dir).toString)(readUncached(dir))
+    MetaCache.stats.get(statsFile(dir).toString)(readUncached(dir)._1)
 
-  private def readUncached(dir: HPath): Option[TableStats] = {
-    val f = statsFile(dir)
-    // existence check + read are not atomic against a concurrent commit's
-    // renameOverwrite (delete-then-rename on object stores has a brief
-    // missing-file window) — a vanished file degrades to None (planner
-    // falls back to size estimates), never to a failed query
-    if (!Fs.exists(f)) None
-    else scala.util.Try(Fs.readString(f)).toOption.flatMap { json =>
-      val entry =
-        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\{\"rows\":(\\d+),\"bytes\":(\\d+),\"files\":(\\d+)\\}".r
-      val parts = entry.findAllMatchIn(json).map { m =>
-        m.group(1) -> PartStat(m.group(2).toLong, m.group(3).toLong, m.group(4).toInt)
-      }.toMap
-      val top = "\"rows\":(\\d+),\"bytes\":(\\d+),\"parts\"".r
-      top.findFirstMatchIn(json).map(m =>
-        TableStats(m.group(1).toLong, m.group(2).toLong, parts))
+  /** Latest committed (stats, generation); (None, 0) before any commit.
+    * Retries if generation pruning removed the listed file underneath the
+    * read; a still-vanished file degrades to None (planner falls back to
+    * size estimates), never to a failed query. */
+  private def readUncached(dir: HPath): (Option[TableStats], Long) = {
+    var attempt = 0
+    while (attempt < 3) {
+      val latest = listGens(dir).sortBy(-_._1).headOption
+      val (f, gen) = latest.map { case (g, p) => (p, g) }
+        .getOrElse((statsFile(dir), 0L))
+      if (!Fs.exists(f)) return (None, gen)
+      scala.util.Try(Fs.readString(f)).toOption match {
+        case Some(json) => return (parse(json), gen)
+        case None => attempt += 1 // pruned underneath the read; re-list
+      }
     }
+    (None, 0L)
+  }
+
+  private def parse(json: String): Option[TableStats] = {
+    val entry =
+      "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\{\"rows\":(\\d+),\"bytes\":(\\d+),\"files\":(\\d+)\\}".r
+    val parts = entry.findAllMatchIn(json).map { m =>
+      m.group(1) -> PartStat(m.group(2).toLong, m.group(3).toLong, m.group(4).toInt)
+    }.toMap
+    val top = "\"rows\":(\\d+),\"bytes\":(\\d+),\"parts\"".r
+    top.findFirstMatchIn(json).map(m =>
+      TableStats(m.group(1).toLong, m.group(2).toLong, parts))
   }
 
   /** Scope of a commit's stats refresh: the partition rel-paths the write
@@ -57,21 +92,44 @@ object TableStatistics {
     * stored entries must be dropped ("" = whole table). */
   final case class Touched(rels: Seq[String], removedPrefix: Option[String] = None)
 
-  private def write(dir: HPath, ts: TableStats): Unit = {
+  private def render(ts: TableStats): String = {
     // partition keys are path-escaped (ExternalCatalogUtils), so they never
     // contain raw quotes or backslashes — safe to embed directly
     val parts = ts.parts.toSeq.sortBy(_._1).map { case (k, p) =>
       s""""$k":{"rows":${p.rows},"bytes":${p.bytes},"files":${p.files}}"""
     }.mkString("{", ",", "}")
-    // tmp + rename: a planning query reading concurrently must never see a
-    // truncated/half-written stats file; UUID tmp name so two concurrent
-    // commits can't clobber each other's staging file
-    val tmp = new HPath(dir,
-      s"._graft_stats.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Fs.writeString(tmp,
-      s"""{"rows":${ts.rows},"bytes":${ts.bytes},"parts":$parts}""")
-    Fs.renameOverwrite(tmp, statsFile(dir))
-    MetaCache.stats.invalidate(statsFile(dir).toString)
+    s"""{"rows":${ts.rows},"bytes":${ts.bytes},"parts":$parts}"""
+  }
+
+  /** Commit `ts` as generation `expectedGen + 1` iff `expectedGen` is
+    * still the latest — a racing commit's rename wins the name and this
+    * one returns false so the caller re-reads and re-merges. Generations
+    * below `expectedGen` are pruned on success (the previous one stays
+    * readable for in-flight readers); the legacy un-versioned file is
+    * retired on the first CAS commit. */
+  private def casCommit(home: HPath, expectedGen: Long,
+      ts: TableStats): Boolean = {
+    val tmp = new HPath(home,
+      s"._graft_stats.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Fs.writeString(tmp, render(ts))
+    val next = genFile(home, expectedGen + 1)
+    val won = casLock.synchronized {
+      listGens(home).map(_._1).maxOption.getOrElse(0L) == expectedGen && {
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, Fs.conf())
+            .rename(tmp, next, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    }
+    if (!won) Fs.delete(tmp)
+    else {
+      listGens(home).filter(_._1 < expectedGen).foreach(g => Fs.delete(g._2))
+      if (expectedGen == 0L && Fs.exists(statsFile(home)))
+        Fs.delete(statsFile(home)) // retire the pre-CAS un-versioned file
+      MetaCache.stats.invalidate(statsFile(home).toString)
+    }
+    won
   }
 
   private def fileRows(p: HPath): Long = {
@@ -120,7 +178,26 @@ object TableStatistics {
       statsDir: Option[HPath] = None,
       touched: Option[Touched] = None): TableStats = {
     val home = statsDir.getOrElse(dir)
-    val old = read(home).map(_.parts).getOrElse(Map.empty)
+    // read-merge-commit under CAS: a lost race re-reads the winner's stats
+    // and re-merges, so concurrent commits to DISJOINT partitions both
+    // land instead of the last rename silently reverting the other's
+    // entries. Merging is cheap to repeat (footer reads only re-run for
+    // partitions still marked changed against the fresh base).
+    var attempt = 0
+    while (attempt < 8) {
+      val (oldStats, gen) = readUncached(home)
+      val ts = computeMerged(dir, partitionCols, touched,
+        oldStats.map(_.parts).getOrElse(Map.empty))
+      if (casCommit(home, gen, ts)) return ts
+      attempt += 1
+    }
+    sys.error(s"stats refresh for $home lost 8 CAS races — " +
+      "contention too high or a committer is livelocked")
+  }
+
+  private def computeMerged(dir: HPath, partitionCols: Seq[String],
+      touched: Option[Touched],
+      old: Map[String, PartStat]): TableStats = {
     def walk(p: HPath, depth: Int, rel: String): Seq[(String, HPath)] =
       if (depth == partitionCols.length) Seq(rel -> p)
       else if (!Fs.isDir(p)) Seq.empty
@@ -162,9 +239,7 @@ object TableStatistics {
       }
       rel -> stat
     }.toMap
-    val ts = TableStats(parts.values.map(_.rows).sum,
+    TableStats(parts.values.map(_.rows).sum,
       parts.values.map(_.bytes).sum, parts)
-    write(home, ts)
-    ts
   }
 }

@@ -104,10 +104,11 @@ object Dedup {
     * nothing to persist. This is the shared skew guard for every LSH
     * operator here: a degenerate bucket of N members is O(N²) pairs in one
     * reducer, so buckets above `cap` are dropped. */
-  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
+      min: Int = 2): DataFrame =
     df.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bsz").between(2, cap))
+      .filter(col("__bsz").between(min, cap))
       .drop("__bsz")
 
   /** Token k-shingles of a text column ("w1 w2 .. wk" strings). */
@@ -520,11 +521,22 @@ object Dedup {
       idCol: String, textCol: String,
       shingleK: Int = 5, threshold: Double = 0.5,
       maxMatchesPerShingle: Int = 64): DataFrame = {
-    // pass 1: exact text match, no caps anywhere
-    val bTexts = benchmark.select(xxhash64(col(textCol)).as("bth")).distinct()
+    // pass 1: exact text match, no caps anywhere. The hash join finds
+    // candidates; the text-equality filter restores exactness — the
+    // module invariant that a 64-bit collision can only ADD a candidate,
+    // never delete an innocent document (at 10^10 docs x 10^5 benchmark
+    // rows, unverified hash-equality deletions reach O(1) expected).
+    // The benchmark side is small, so this stays a broadcast join and
+    // the corpus text never shuffles.
+    val bTexts = benchmark
+      .select(xxhash64(col(textCol)).as("bth"), col(textCol).as("__btxt"))
+      .distinct()
     val exactDirty = corpus
-      .join(bTexts, xxhash64(col(textCol)) === col("bth"), "left_semi")
-      .select(col(idCol).as("id"))
+      .select(col(idCol).as("id"), col(textCol).as("__ctxt"),
+        xxhash64(col(textCol)).as("__cth"))
+      .join(broadcast(bTexts), col("__cth") === col("bth"))
+      .filter(col("__ctxt") === col("__btxt"))
+      .select("id").distinct()
 
     // pass 2: near matches via capped shingle postings + exact verify
     val cSh = corpus.select(col(idCol).as("id"),
@@ -609,12 +621,13 @@ object Dedup {
       corpusEmb: String, bench: DataFrame, benchId: String,
       benchEmb: String, dim: Int, threshold: Double = 0.95,
       numPlanes: Int = 12, maxBucketSize: Int = 4096): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"),
+    // min = 1: a cross join needs no second corpus member in the bucket —
+    // only the shared max-size skew guard
+    val c = capBuckets(
+      corpus.select(col(corpusId).as("corpus_id"),
         col(corpusEmb).as("c_emb"),
-        hyperplaneBucket(col(corpusEmb), dim, numPlanes).as("bucket"))
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        hyperplaneBucket(col(corpusEmb), dim, numPlanes).as("bucket")),
+      Seq("bucket"), maxBucketSize, min = 1)
     val b = bench.select(col(benchId).as("bench_id"),
       col(benchEmb).as("b_emb"),
       hyperplaneBucket(col(benchEmb), dim, numPlanes).as("bucket"))

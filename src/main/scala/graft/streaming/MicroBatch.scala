@@ -57,13 +57,21 @@ object MicroBatch {
       stream: DataFrame, isGood: Column,
       goodSink: DataFrame => Unit, dlqSink: DataFrame => Unit,
       cfg: IngestConfig = IngestConfig()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val flag = "__graft_dlq_good"
+    require(!stream.columns.contains(flag),
+      s"stream already carries a $flag column")
     val w = stream.writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val marked = batch.withColumn("__good", isGood).persist()
+        // NULL-valued predicates are DIRTY, not lost: a bare filter(p) /
+        // filter(!p) pair drops NULL rows from BOTH sinks (ternary logic)
+        // — and a predicate over a corrupt row evaluating to NULL is the
+        // dead-letter queue's core case
+        val marked = batch
+          .withColumn(flag, coalesce(isGood, lit(false))).persist()
         try {
-          goodSink(marked.filter(col("__good")).drop("__good"))
-          dlqSink(marked.filter(!col("__good")).drop("__good"))
+          goodSink(marked.filter(col(flag)).drop(flag))
+          dlqSink(marked.filter(!col(flag)).drop(flag))
         } finally marked.unpersist()
         ()
       }

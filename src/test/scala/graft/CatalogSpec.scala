@@ -343,6 +343,88 @@ class CatalogSpec extends SparkTestBase {
     assert(stored().parts.keySet == Set("dt=c"))
   }
 
+  test("concurrent stats refreshes to disjoint partitions both land (CAS)") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.catalog.TableStatistics
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_stats_cas").toString
+    val dir = new HPath(s"$wh/t")
+    // two partitions written directly (no catalog — this pins the stats
+    // layer itself)
+    Seq((1L, "a"), (2L, "a")).toDF("v", "dt").write.partitionBy("dt").parquet(s"$wh/t")
+    Seq((3L, "b")).toDF("v", "dt").write.mode("append").partitionBy("dt").parquet(s"$wh/t")
+    // racing commits: each refreshes ONLY its own partition's scope, in
+    // parallel; a read-merge-overwrite protocol loses one side's entry
+    import scala.collection.parallel.CollectionConverters._
+    (0 until 8).par.foreach { i =>
+      val rel = if (i % 2 == 0) "dt=a" else "dt=b"
+      TableStatistics.refresh(dir, Seq("dt"),
+        touched = Some(TableStatistics.Touched(Seq(rel))))
+    }
+    val stats = TableStatistics.read(dir).get
+    assert(stats.parts.keySet == Set("dt=a", "dt=b"),
+      s"a racing refresh lost a partition: ${stats.parts.keySet}")
+    assert(stats.parts("dt=a").rows == 2 && stats.parts("dt=b").rows == 1)
+    assert(stats.rows == 3)
+  }
+
+  test("stats survive the legacy un-versioned file and migrate to CAS generations") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.catalog.TableStatistics
+    import graft.sources.Fs
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_stats_legacy").toString
+    val dir = new HPath(s"$wh/t")
+    Seq((1L, "a")).toDF("v", "dt").write.partitionBy("dt").parquet(s"$wh/t")
+    // hand-write a pre-CAS stats file; a refresh must read it as the base
+    // and retire it in favor of a generation file
+    Fs.writeString(TableStatistics.statsFile(dir),
+      """{"rows":1,"bytes":999,"parts":{"dt=a":{"rows":1,"bytes":999,"files":1}}}""")
+    val ts = TableStatistics.refresh(dir, Seq("dt"))
+    assert(ts.parts("dt=a").rows == 1)
+    assert(!Fs.exists(TableStatistics.statsFile(dir)),
+      "legacy stats file must be retired after the first CAS commit")
+    assert(TableStatistics.read(dir).get.rows == 1)
+  }
+
+  test("maxPt compares in the partition column's type, not as strings") {
+    val wh = Files.createTempDirectory("graft_maxpt_num").toString
+    spark.conf.set("spark.sql.catalog.graft_mp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mp.root", wh)
+    sql("CREATE NAMESPACE graft_mp.db")
+    sql("CREATE TABLE graft_mp.db.t (v BIGINT, pt INT) PARTITIONED BY (pt)")
+    sql("INSERT INTO graft_mp.db.t VALUES (1, 9), (2, 10)")
+    // "9" > "10" lexicographically — the typed compare must say 10
+    assert(graft.catalog.CatalogFunctions.maxPt(
+      spark, "graft_mp", Array("db"), "t") == Some("10"))
+  }
+
+  test("cluster specs are guarded: no partition+cluster combos, no " +
+      "dropping/renaming cluster columns") {
+    val wh = Files.createTempDirectory("graft_cluster_guard").toString
+    spark.conf.set("spark.sql.catalog.graft_cg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cg.root", wh)
+    sql("CREATE NAMESPACE graft_cg.db")
+    // partitioned + bucketed: the partitioned write path can't enforce the
+    // cluster contract, so creation must refuse
+    val e1 = intercept[Exception](sql(
+      "CREATE TABLE graft_cg.db.pb (v BIGINT, dt STRING) " +
+        "PARTITIONED BY (dt, bucket(4, v))"))
+    assert(e1.getMessage.contains("partitioned and hash/range-clustered"),
+      e1.getMessage)
+    // dropping or renaming a cluster column would orphan the stored spec
+    sql("CREATE TABLE graft_cg.db.b (v BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, v))")
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE graft_cg.db.b DROP COLUMN v"))
+    assert(e2.getMessage.contains("cluster column"), e2.getMessage)
+    val e3 = intercept[Exception](
+      sql("ALTER TABLE graft_cg.db.b RENAME COLUMN v TO v2"))
+    assert(e3.getMessage.contains("cluster column"), e3.getMessage)
+    // non-cluster columns still alter normally on the empty table
+    sql("ALTER TABLE graft_cg.db.b DROP COLUMN w")
+  }
+
   test("partition truncate prunes only the exact partition, never a " +
       "sibling sharing its name as a string prefix") {
     import org.apache.hadoop.fs.{Path => HPath}

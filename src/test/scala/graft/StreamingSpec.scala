@@ -105,6 +105,25 @@ class StreamingSpec extends SparkTestBase {
     assert(bad == ev.filter(col("value") < 10.0).count())
   }
 
+  test("dead-letter: rows whose predicate evaluates to NULL are DIRTY, not lost") {
+    val dir = Files.createTempDirectory("graft_dlq_null").toString
+    // value NULL makes `value >= 10` evaluate to NULL — the corrupt-row
+    // case a DLQ exists for; a filter/!filter pair would drop it entirely
+    Seq((1L, Some(20.0)), (2L, Some(5.0)), (3L, None: Option[Double]))
+      .toDF("id", "value").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    var good = Seq.empty[Long]
+    var bad = Seq.empty[Long]
+    val q = MicroBatch.withDeadLetter(stream, col("value") >= 10.0,
+        b => good ++= b.select("id").as[Long].collect(),
+        b => bad ++= b.select("id").as[Long].collect())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(good.sorted == Seq(1L))
+    assert(bad.sorted == Seq(2L, 3L), s"NULL-predicate row lost: $bad")
+  }
+
   test("checkpointed file sink writes event-time partitioned output") {
     val dir = eventsDir()
     val outDir = Files.createTempDirectory("graft_sink").toString
