@@ -35,15 +35,19 @@ object Multimodal {
       * rows-only one. */
     def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
       val len = payload.length.toLong
-      val h = (docId * 131071L + len * 8191L) % 1000003L
-      val fmt = (h % 3L: @unchecked) match {
+      // floorMod, not %: ids may be negative (hash-derived) or overflow
+      // the multiply — truncated % would go negative (MatchError on the
+      // format switch, negative widths). SQL form: ((x % m) + m) % m.
+      def m(x: Long, mod: Long): Long = java.lang.Math.floorMod(x, mod)
+      val h = m(docId * 131071L + len * 8191L, 1000003L)
+      val fmt = (m(h, 3L): @unchecked) match {
         case 0L => "jpeg"; case 1L => "png"; case 2L => "webm"
       }
       MediaMeta(docId, payload.length, fmt,
-        width = (64L + (docId * 37L + len * 11L) % 1024L).toInt,
-        height = (64L + (docId * 59L + len * 7L) % 1024L).toInt,
-        nFrames = if (fmt == "webm") (1L + (docId * 17L + len) % 300L).toInt else 1,
-        durationMs = if (fmt == "webm") (docId * 97L + len * 13L) % 60000L else 0L)
+        width = (64L + m(docId * 37L + len * 11L, 1024L)).toInt,
+        height = (64L + m(docId * 59L + len * 7L, 1024L)).toInt,
+        nFrames = if (fmt == "webm") (1L + m(docId * 17L + len, 300L)).toInt else 1,
+        durationMs = if (fmt == "webm") m(docId * 97L + len * 13L, 60000L) else 0L)
     }
   }
 

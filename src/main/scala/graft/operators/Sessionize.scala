@@ -34,7 +34,11 @@ object Sessionize {
     df.withColumn("__prev_ts", lag(col(ts), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev_ts").isNull ||
-          col(ts).cast("long") - col("__prev_ts").cast("long") > gapSeconds, 1)
+          // double seconds, not long: a long cast truncates sub-second
+          // precision and merges sessions session_window would split
+          // (gap 1800.9s reads as 1800), breaking the pinned equivalence
+          col(ts).cast("double") - col("__prev_ts").cast("double")
+            > gapSeconds.toDouble, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("__new_session")).over(

@@ -26,8 +26,11 @@ object TemporalJoins {
       key: String, leftTs: String, rightTs: String,
       rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
 
+    // the tie-break column must survive the projection even when it is
+    // not part of the payload, or latestWins cannot resolve it
     val rightDedup = Merge.latestWins(
-      right.select((key +: rightTs +: rightPayload).distinct.map(col): _*),
+      right.select(
+        (key +: rightTs +: rightTieBreak +: rightPayload).distinct.map(col): _*),
       Seq(key, rightTs), Seq(col(rightTieBreak)))
 
     val payloadStruct = struct(rightPayload.map(col): _*)
@@ -63,15 +66,22 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, toleranceSec: Long): DataFrame = {
 
+    // non-key column names shared by both sides (including the common
+    // leftTs == rightTs case) would be AMBIGUOUS_REFERENCE after the
+    // join — the right side's get a `_r` suffix, like SQL aliases would
+    val shared = (right.columns.toSet - key).intersect(left.columns.toSet)
+    val r2 = shared.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + "_r"))
+    val rTs = if (shared.contains(rightTs)) rightTs + "_r" else rightTs
+
     // double-precision epoch seconds: µs-precision timestamps stay exact
     // (epoch µs < 2^53), unlike a long cast which truncates sub-second
     val lSec = col(leftTs).cast("double")
-    val rSec = col(rightTs).cast("double")
+    val rSec = col(rTs).cast("double")
     val lb = left.withColumn("__b_exact", floor(lSec / toleranceSec))
     val lExpl = lb.withColumn("__b",
       explode(array(col("__b_exact") - 1, col("__b_exact"), col("__b_exact") + 1)))
       .drop("__b_exact")
-    val rb = right.withColumn("__b", floor(rSec / toleranceSec))
+    val rb = r2.withColumn("__b", floor(rSec / toleranceSec))
 
     lExpl.join(rb, Seq(key, "__b"))
       .filter(abs(lSec - rSec) <= toleranceSec.toDouble)

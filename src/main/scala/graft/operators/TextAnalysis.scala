@@ -170,12 +170,16 @@ object TextAnalysis {
 
   /** Pack documents into training context windows by running token budget:
     * within each `group`, documents ordered by `order` are assigned
-    * `bin = floor((cumulative_tokens - tokens) / capacity)` — i.e. a bin
-    * boundary falls wherever the running total crosses a capacity multiple.
-    * One window shuffle per group; bins stream out in order so a downstream
-    * writer can emit one training sequence per (group, bin). Documents
-    * longer than `capacity` get a bin of their own (they overflow it, the
-    * consumer truncates — the standard greedy-packing contract). */
+    * `bin = floor(start_offset / capacity)` where `start_offset` is the
+    * running token total BEFORE the document — i.e. a document belongs to
+    * the bin its first token lands in. A document that straddles a
+    * capacity boundary (including any document longer than `capacity`)
+    * therefore overflows its bin, and the consumer splits or truncates at
+    * the boundary — the standard offset-packing contract, which keeps the
+    * assignment a pure per-row expression over one window cumsum instead
+    * of a sequential first-fit scan. One window shuffle per group; bins
+    * stream out in order so a downstream writer can emit one training
+    * sequence per (group, bin). */
   def packByTokenBudget(df: DataFrame, tokenCol: String, capacity: Int,
       group: Column, order: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -39,18 +39,20 @@ final class Checkpoints(dir: String) {
     * crash window leaves either the old value (at ckpt or bak) or the new
     * value (at ckpt) readable via [[load]]. */
   def save(job: String, value: String): Unit = {
+    // retried forms throughout — this IS a commit path, and one transient
+    // store IOException must not abort the whole incremental cycle
     val tmp = new Path(root, s".$job.ckpt.tmp")
     val dst = file(job)
     Fs.writeString(tmp, value)
     if (Fs.exists(dst)) {
-      Fs.delete(bak(job))
-      if (!Fs.rename(dst, bak(job)))
+      Fs.deleteRetried(bak(job))
+      if (!Fs.renameRetried(dst, bak(job)))
         sys.error(s"checkpoint backup rename failed: $dst")
     }
-    if (!Fs.rename(tmp, dst))
+    if (!Fs.renameRetried(tmp, dst))
       sys.error(s"checkpoint commit rename failed: $tmp -> $dst " +
         s"(previous value preserved at ${bak(job)})")
-    Fs.delete(bak(job))
+    Fs.deleteRetried(bak(job))
   }
 
   /** Run one incremental cycle: read the checkpoint, hand it to `body`

@@ -69,6 +69,12 @@ object FileFormats {
     val ki = df.schema.fieldIndex(keyCol)
     val vi = df.schema.fieldIndex(valueCol)
     df.rdd.mapPartitions(_.map { r =>
+        // Text has no null notion and String.valueOf(null) writes the
+        // literal string "null" — indistinguishable from real data on
+        // re-read. Refuse instead; callers coalesce/filter first.
+        require(!r.isNullAt(ki) && !r.isNullAt(vi),
+          s"SequenceFile cannot represent NULL $keyCol/$valueCol — " +
+            "coalesce or filter null rows before export")
         (new Text(String.valueOf(r.get(ki))), new Text(String.valueOf(r.get(vi))))
       })
       .saveAsNewAPIHadoopFile(path, classOf[Text], classOf[Text],

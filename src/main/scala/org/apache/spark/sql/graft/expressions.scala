@@ -39,18 +39,28 @@ private[sql] trait VectorPairExpression extends BinaryExpression with ExpectsInp
     if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 }
 
-/** Dot product of two numeric vectors, accumulated in double. */
+/** Dot product of two numeric vectors, accumulated in double. NULL on
+  * length mismatch or any null element — the same semantics as the
+  * `zip_with`/`aggregate` executable spec (silently truncating to the
+  * shorter vector or reading null slots as 0.0 would score corrupt
+  * embeddings instead of surfacing them). */
 case class DotProduct(left: Expression, right: Expression)
   extends VectorPairExpression {
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += get(x, i, fx) * get(y, i, fy); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += get(x, i, fx) * get(y, i, fy); i += 1
+    }
     dot
   }
 
@@ -60,9 +70,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += ${getter(a, i, elemIsFloat(left))} * ${getter(b, i, elemIsFloat(right))};
          |}
          |${ev.value} = $dot;
@@ -76,18 +88,24 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Cosine similarity of two numeric vectors, accumulated in double —
   * semantically identical to the `zip_with`/`aggregate` formulation in
-  * `graft.functions.VectorFunctions` but one fused loop. 0.0 on zero norm. */
+  * `graft.functions.VectorFunctions` but one fused loop. 0.0 on zero
+  * norm; NULL on length mismatch or any null element (matching the
+  * executable spec — see [[DotProduct]]). */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends VectorPairExpression {
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = get(x, i, fx)
       val yi = get(y, i, fy)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -108,9 +126,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = ${getter(a, i, elemIsFloat(left))};
          |  double $yi = ${getter(b, i, elemIsFloat(right))};
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;

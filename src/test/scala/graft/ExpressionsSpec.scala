@@ -20,6 +20,22 @@ class ExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("cosine/dot are NULL on length mismatch or null elements, like the spec") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (3L, Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+    val rows = df.select($"id",
+        NativeFunctions.cosineSim($"a", $"b").as("c"),
+        NativeFunctions.dotProduct($"a", $"b").as("d"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(math.abs(rows(0).getDouble(2) - 11.0) < 1e-12)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2), "null element must be NULL")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2), "dim mismatch must be NULL")
+  }
+
   test("native simhash64 matches the column formulation") {
     val docs = Tables.documents(spark, sf).limit(100)
     val both = docs.select(

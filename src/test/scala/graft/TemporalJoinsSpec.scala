@@ -33,6 +33,29 @@ class TemporalJoinsSpec extends SparkTestBase {
       ("o3", None)))
   }
 
+  test("asof: a tie-break column outside the payload resolves") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "lts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "old", 1L),
+      (1L, ts("2024-01-01 09:00:00"), "new", 2L)) // same ts, higher seq wins
+      .toDF("k", "rts", "v", "seq")
+    val out = TemporalJoins.asofBackward(left, right, "k", "lts", "rts",
+      rightPayload = Seq("v"), rightTieBreak = "seq")
+    assert(out.select("asof_v").head().getString(0) == "new")
+  }
+
+  test("interval join tolerates identical column names on both sides") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "L"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, ts("2024-01-01 10:30:00"), "R"),
+      (1L, ts("2024-01-01 12:30:00"), "far"))
+      .toDF("k", "ts", "tag")
+    val out = TemporalJoins.intervalJoin(l, r, "k", "ts", "ts", 3600L)
+    assert(out.count() == 1)
+    val row = out.select("tag", "tag_r").head()
+    assert(row.getString(0) == "L" && row.getString(1) == "R")
+  }
+
   test("interval join equals brute-force theta join") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter($"event_type" === "purchase")
