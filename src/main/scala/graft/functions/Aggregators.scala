@@ -21,6 +21,10 @@ object Aggregators {
   class MinHashSketch(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     override def reduce(buf: Array[Long], v: String): Array[Long] = {
+      // skip nulls: hashing a null UTF8String returns the bare seed, which
+      // would inject the SAME phantom element into every null-bearing
+      // group and inflate their pairwise Jaccard estimates
+      if (v == null) return buf
       val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function
         .hash(org.apache.spark.unsafe.types.UTF8String.fromString(v),
           org.apache.spark.sql.types.StringType, 42L)

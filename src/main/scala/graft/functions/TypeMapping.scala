@@ -50,9 +50,10 @@ object TypeMapping {
     case t if t.equalsIgnoreCase("decimal") => DefaultDecimal
     case DecimalRe(p, s) =>
       val (pi, si) = (p.toInt, s.toInt)
-      // legacy (54,18) remap; cap at Spark's max precision
-      if (pi > DecimalType.MAX_PRECISION) DecimalType(DecimalType.MAX_PRECISION, si)
-      else DecimalType(pi, si)
+      // legacy (54,18) remap; cap at Spark's max precision — and cap the
+      // scale alongside (scale > capped precision crashes the constructor)
+      val cp = math.min(pi, DecimalType.MAX_PRECISION)
+      DecimalType(cp, math.min(si, cp))
     case CharRe(_, _) => StringType
     case ArrayRe(inner) => ArrayType(toSparkType(inner))
     case MapRe(inner) =>

@@ -42,7 +42,9 @@ object Cdc {
       .withColumn("expected_before", lag(col(afterCol), 1).over(w))
       .filter(col(opCol).isin(OpUpdate, OpDelete) &&
         col("expected_before").isNotNull &&
-        col(beforeCol) =!= col("expected_before"))
+        // null-SAFE inequality: a NULL before-image on a U/D op is itself
+        // a violation (=!= would evaluate NULL and silently pass it)
+        !(col(beforeCol) <=> col("expected_before")))
   }
 
   /** Net-effect summary per key: ops applied, final op, alive flag.

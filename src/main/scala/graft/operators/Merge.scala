@@ -27,13 +27,16 @@ object Merge {
       .drop("__rn")
   }
 
-  /** Sqoop-style merge: rows from `newDf` replace same-key rows in `oldDf`.
+  /** Sqoop-style merge: rows from `newDf` replace same-key rows in `oldDf`
+    * UNCONDITIONALLY (MergeJob's contract — the new dataset wins even if
+    * an old row orders higher on `orderCols`, e.g. a backfill correction
+    * with a lower version). `orderCols` only break ties WITHIN each side.
     * Schemas must match by name. */
   def upsert(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
       orderCols: Seq[Column]): DataFrame =
     latestWins(
       oldDf.withColumn("__gen", lit(0)).unionByName(newDf.withColumn("__gen", lit(1))),
-      keyCols, orderCols :+ col("__gen")).drop("__gen")
+      keyCols, col("__gen") +: orderCols).drop("__gen")
 
   /** Incremental append: only rows strictly after the checkpoint. The
     * predicate is pushed to the scan (verify `PushedFilters` in explain). */

@@ -26,6 +26,13 @@ object Skew {
     * smaller side). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, disambiguator: Column, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each UNMATCHED dim row once per salt
+    // replica (salts copies instead of one) — refuse rather than corrupt
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+        .contains(jt),
+      s"saltedJoin cannot preserve $joinType semantics: the replicated dim " +
+        "side would null-extend once per salt; use a plain join for it")
     val saltedFact = fact.withColumn("__salt", salt(salts, disambiguator))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

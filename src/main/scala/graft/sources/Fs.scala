@@ -81,18 +81,25 @@ object Fs {
 
   /** [[rename]] with transient-error retries, for commit paths. Rename is
     * not idempotent, so a retry after a lost-ack success would see src
-    * missing: that state (src gone, dst present) is reported as success.
-    * As in [[withRetries]], `FileNotFoundException` is deterministic — after
-    * the lost-ack check it is rethrown immediately, not backed off. */
+    * missing: that state (src gone, dst present) is reported as success —
+    * EXCEPT for `FileNotFoundException` on the FIRST attempt, where the
+    * server is telling us it never found src: nothing was renamed, and a
+    * pre-existing dst is stale data from an earlier run, not our commit.
+    * As in [[withRetries]], FNF is deterministic — after the lost-ack
+    * check it is rethrown immediately, not backed off. The exists() probes
+    * run on a store that just failed, so their own failures are swallowed
+    * (treated as "unknown") rather than escaping the retry loop. */
   def renameRetried(src: Path, dst: Path): Boolean = {
     var attempt = 0
     while (true) {
       try return of(src).rename(src, dst)
       catch {
         case e: java.io.IOException =>
-          if (!exists(src) && exists(dst)) return true
-          if (attempt >= DefaultRetries ||
-            e.isInstanceOf[java.io.FileNotFoundException]) throw e
+          val fnf = e.isInstanceOf[java.io.FileNotFoundException]
+          val srcGone = scala.util.Try(!exists(src)).getOrElse(false)
+          val dstThere = scala.util.Try(exists(dst)).getOrElse(false)
+          if (!(fnf && attempt == 0) && srcGone && dstThere) return true
+          if (attempt >= DefaultRetries || fnf) throw e
           Thread.sleep(retryBaseBackoffMs * (1L << attempt))
           attempt += 1
       }

@@ -46,14 +46,18 @@ object JdbcImport {
     * reads. */
   def splitPredicates(splitBy: String, lo: Long, hi: Long, n: Int): Seq[String] = {
     require(n > 0 && hi >= lo)
-    val step = math.max(1L, math.ceil((hi - lo + 1).toDouble / n).toLong)
+    // BigInt range math: (hi - lo + 1) overflows Long for hash-valued
+    // split columns spanning most of the long range, which silently
+    // shrank the step to 1 and imported almost nothing
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val step = ((span + n - 1) / n).max(1)
     (0 until n).flatMap { i =>
-      val a = lo + i * step
+      val a = BigInt(lo) + i * step
       if (a > hi) None
       else {
-        val b = math.min(a + step - 1, hi)
+        val b = (a + step - 1).min(BigInt(hi))
         Some(
-          if (b == hi) s"$splitBy >= $a AND $splitBy <= $b"
+          if (b == BigInt(hi)) s"$splitBy >= $a AND $splitBy <= $b"
           else s"$splitBy >= $a AND $splitBy < ${b + 1}")
       }
     }
@@ -63,8 +67,8 @@ object JdbcImport {
     cfg.incremental.map(i => s"${i.checkCol} > ${i.lastValue}")
 
   /** Run the boundary query (min/max of the split column) — one driver-side
-    * scalar read, exactly Sqoop's planning step. */
-  def boundaries(spark: SparkSession, cfg: ImportConfig): (Long, Long) = {
+    * scalar read, exactly Sqoop's planning step. None when no rows match. */
+  def boundaries(spark: SparkSession, cfg: ImportConfig): Option[(Long, Long)] = {
     val bq =
       if (cfg.boundaryQuery.nonEmpty) cfg.boundaryQuery
       else {
@@ -75,7 +79,12 @@ object JdbcImport {
         s"SELECT MIN(${cfg.splitBy}) AS graft_lo, MAX(${cfg.splitBy}) AS graft_hi FROM $src$inc"
       }
     val row = spark.read.jdbc(cfg.url, s"($bq) graft_bounds", cfg.properties).head()
-    (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
+    // NULL min/max = no matching rows (empty table, or an incremental
+    // import with nothing new — a ROUTINE state between runs), not an NPE
+    (Option(row.getAs[Number](0)), Option(row.getAs[Number](1))) match {
+      case (Some(l), Some(h)) => Some((l.longValue(), h.longValue()))
+      case _ => None
+    }
   }
 
   /** Parallel import: boundary query → numMappers ranged SELECTs, one Spark
@@ -91,14 +100,21 @@ object JdbcImport {
         else s"(${cfg.query.replace("$CONDITIONS", "1=1")}) graft_q"
       val df = spark.read.jdbc(cfg.url, src, cfg.properties)
       incrementalClause(cfg).map(df.filter).getOrElse(df)
-    } else {
-      val (lo, hi) = boundaries(spark, cfg)
-      val inc = incrementalClause(cfg)
-      val preds = splitPredicates(cfg.splitBy, lo, hi, cfg.numMappers)
-        .map(p => inc.map(c => s"$p AND $c").getOrElse(p))
-      val src = if (cfg.table.nonEmpty) cfg.table
-        else s"(${cfg.query.replace("$CONDITIONS", "1=1")}) graft_q"
-      spark.read.jdbc(cfg.url, src, preds.toArray, cfg.properties)
+    } else boundaries(spark, cfg) match {
+      case Some((lo, hi)) =>
+        val inc = incrementalClause(cfg)
+        val preds = splitPredicates(cfg.splitBy, lo, hi, cfg.numMappers)
+          .map(p => inc.map(c => s"$p AND $c").getOrElse(p))
+        val src = if (cfg.table.nonEmpty) cfg.table
+          else s"(${cfg.query.replace("$CONDITIONS", "1=1")}) graft_q"
+        spark.read.jdbc(cfg.url, src, preds.toArray, cfg.properties)
+      case None =>
+        // nothing to import: one-mapper read of the (empty) matching set
+        // keeps the schema and the downstream contract
+        val src = if (cfg.table.nonEmpty) cfg.table
+          else s"(${cfg.query.replace("$CONDITIONS", "1=1")}) graft_q"
+        val df = spark.read.jdbc(cfg.url, src, cfg.properties)
+        incrementalClause(cfg).map(df.filter).getOrElse(df.limit(0))
     }
     if (cfg.prefetchChunks > 0)
       AsyncPrefetch.rows(imported, queueChunks = cfg.prefetchChunks)

@@ -32,16 +32,21 @@ object CdcStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (key: Long, batch: Iterator[CdcOp], state: GroupState[CdcState]) =>
           val sorted = batch.toSeq.sortBy(_.seq)
-          var cur = state.getOption.getOrElse(CdcState(key, alive = false, -1L, 0.0))
+          // Option, not a sentinel seq: a magic initial value (-1) would
+          // silently drop legitimate ops with seq <= sentinel on a fresh
+          // key (signed/hash-derived sequence ids)
+          var cur = state.getOption
           sorted.foreach { o =>
-            if (o.seq > cur.seq) {
-              cur =
-                if (o.op == "D") CdcState(key, alive = false, o.seq, cur.value)
-                else CdcState(key, alive = true, o.seq, o.value)
+            if (cur.forall(c => o.seq > c.seq)) {
+              cur = Some(
+                if (o.op == "D")
+                  CdcState(key, alive = false, o.seq, cur.fold(0.0)(_.value))
+                else CdcState(key, alive = true, o.seq, o.value))
             } // stale op (seq regression): drop, per latest-wins semantics
           }
-          state.update(cur)
-          cur
+          // the group was invoked with at least one op, so cur is defined
+          state.update(cur.get)
+          cur.get
       }
   }
 

@@ -22,6 +22,26 @@ class MergeCdcSpec extends SparkTestBase {
     assert(out.head.getString(1) == "new")
   }
 
+  test("upsert: new side wins even when the old row orders HIGHER") {
+    // backfill correction: old row carries a larger version — Sqoop
+    // MergeJob semantics say the new dataset still replaces it
+    val old = Seq((1L, "stale", 10L)).toDF("k", "v", "ver")
+    val neu = Seq((1L, "corrected", 5L)).toDF("k", "v", "ver")
+    val out = Merge.upsert(old, neu, Seq("k"), Seq(col("ver"))).collect()
+    assert(out.head.getString(1) == "corrected")
+  }
+
+  test("before-image audit flags a NULL before-image on an update") {
+    val ops = Seq(
+      (1L, Cdc.OpInsert, 1L, null.asInstanceOf[String], "a"),
+      (1L, Cdc.OpUpdate, 2L, null.asInstanceOf[String], "b") // lost image
+    ).toDF("k", "op", "seq", "before_img", "after_img")
+    val bad = Cdc.beforeImageViolations(ops, Seq("k"), "op", col("seq"),
+      "before_img", "after_img").collect()
+    assert(bad.length == 1, "NULL before-image must be a violation")
+    assert(bad.head.getAs[String]("expected_before") == "a")
+  }
+
   test("cdc applyLog: delete drops key, latest update wins") {
     val ops = Seq(
       (1L, Cdc.OpInsert, 1L, 1.0), (1L, Cdc.OpUpdate, 2L, 2.0),

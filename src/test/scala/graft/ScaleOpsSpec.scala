@@ -22,6 +22,15 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("salted join refuses right/full outer (dim replicas would duplicate)") {
+    val f = Seq((1L, "x")).toDF("k", "v")
+    val d = Seq((2L, "unmatched")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException](
+      Skew.saltedJoin(f, d, "k", salts = 4,
+        disambiguator = col("v"), joinType = "right"))
+    assert(e.getMessage.contains("salt"))
+  }
+
   test("two-phase agg equals single-phase") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy("event_type").agg(count(lit(1)).as("n"))

@@ -256,6 +256,30 @@ class SourcesSpec extends SparkTestBase {
     assert(preds.last.endsWith("id <= 97"))
   }
 
+  test("split predicates survive a full-long-range split column") {
+    // (hi - lo + 1) overflows Long here; BigInt math must still cover
+    // the whole range exactly once
+    val preds = JdbcImport.splitPredicates(
+      "id", Long.MinValue, Long.MaxValue, 4)
+    assert(preds.size == 4)
+    assert(preds.head.contains(s"id >= ${Long.MinValue}"))
+    assert(preds.last.endsWith(s"id <= ${Long.MaxValue}"))
+    // interior bounds chain: each range starts where the previous ended
+    val bounds = preds.flatMap("< (-?\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1))
+    val starts = preds.tail.flatMap(">= (-?\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1))
+    assert(bounds == starts, s"gaps between ranges: $preds")
+  }
+
+  test("incremental import with no new rows returns empty, not an NPE") {
+    val df = JdbcImport.importTable(spark, JdbcImport.ImportConfig(
+      url = derbyUrl, table = "emp", splitBy = "id", numMappers = 4,
+      incremental = Some(JdbcImport.Append("id", "1000000"))))
+    assert(df.count() == 0)
+    assert(df.columns.toSeq.map(_.toLowerCase) == Seq("id", "name", "sal"))
+  }
+
   test("parallel jdbc import reads all rows across 4 mappers") {
     val df = JdbcImport.importTable(spark, JdbcImport.ImportConfig(
       url = derbyUrl, table = "emp", splitBy = "id", numMappers = 4))

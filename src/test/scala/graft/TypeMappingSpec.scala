@@ -20,6 +20,13 @@ class TypeMappingSpec extends SparkTestBase {
     assert(TypeMapping.toSparkType("varchar(20)") == StringType)
   }
 
+  test("over-limit decimal caps precision AND scale instead of crashing") {
+    assert(TypeMapping.toSparkType("decimal(54,18)") == DecimalType(38, 18))
+    // scale above the capped precision must cap too — DecimalType(38, 40)
+    // throws in the constructor
+    assert(TypeMapping.toSparkType("decimal(54,40)") == DecimalType(38, 38))
+  }
+
   test("timestamp_ntz and json map like the Trino connector") {
     assert(TypeMapping.toSparkType("timestamp_ntz") == TimestampNTZType)
     assert(TypeMapping.toExternalType(TimestampNTZType) == "TIMESTAMP_NTZ")
