@@ -34,10 +34,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: stdout log tails truncate under the driver harness, which
+    // loses per-query timings needed for cross-round regression diffing. The
+    // file is the artifact of record; stdout stays the driver contract.
+    locally {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      import java.nio.charset.StandardCharsets
+      val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("latest.json"),
+        (line + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
     spark.stop()
   }
 }

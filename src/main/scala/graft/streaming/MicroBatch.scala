@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.StructType
   * commit) is Spark built-in, not hand-rolled.
   */
 object MicroBatch {
+  /** Backtick-quote a column name for APIs that parse their string argument
+    * (withWatermark, Dataset.col) — names with dots/hyphens/spaces resolve
+    * as a single identifier instead of a parse error or nested-field path. */
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
 
   /** Flush thresholds à la Flume (`Configure.java:34-46`): trigger interval
     * is the time bound; maxFilesPerTrigger bounds batch size for file
@@ -157,10 +163,16 @@ object MicroBatch {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, watermark: String,
       range: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark).alias("l")
-    val r = right.withWatermark(rightTs, watermark).alias("r")
-    l.join(r, expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
-      s"r.$rightTs <= l.$leftTs + interval $range"))
+    // withWatermark parses its column argument as a multipart identifier,
+    // and the join condition must not go through the SQL parser either —
+    // backtick-quote for the former, Column API for the latter, so names
+    // with dots, hyphens, or spaces resolve; only the interval literal is
+    // parsed as SQL text.
+    val l = left.withWatermark(quoted(leftTs), watermark).alias("l")
+    val r = right.withWatermark(quoted(rightTs), watermark).alias("r")
+    val lKey = l.col(quoted(key)); val rKey = r.col(quoted(key))
+    val lT = l.col(quoted(leftTs)); val rT = r.col(quoted(rightTs))
+    l.join(r, lKey === rKey && rT >= lT && rT <= lT + expr(s"interval $range"))
   }
 
   /** Run a streaming DataFrame to completion against the available input

@@ -75,6 +75,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("interval join resolves column names that would need backticks in SQL") {
+    // Dots and spaces in the join/timestamp names: a string-interpolated
+    // condition would fail to parse; the Column-API build must resolve them.
+    val dir = eventsDir()
+    def src = MicroBatch.fileStream(spark, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("user.id"), col("event_id").as("click_id"),
+        col("ts").as("click ts"))
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user.id"), col("event_id").as("buy_id"),
+        col("ts").as("buy ts"))
+    val joined = MicroBatch.intervalJoin(
+      clicks, buys, "user.id", "click ts", "buy ts", "1 hour", "1 day")
+    val got = MicroBatch.runToMemory(spark, joined, "ij_bt", outputMode = "append")
+      .select(col("click_id"), col("buy_id"))
+
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("lts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ruid"), col("event_id").as("buy_id"), col("ts").as("rts"))
+    val want = l.join(r, col("user_id") === col("ruid") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("interval 1 day"))
+      .select(col("click_id"), col("buy_id"))
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("cdc stateful stream: deletes drop keys, updates win by seq") {
     val dir = Files.createTempDirectory("graft_cdc").toString
     Seq(
