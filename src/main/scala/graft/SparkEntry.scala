@@ -962,6 +962,29 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // avro LOGICAL types round trip (AvroImportMapper typed-column surface,
+    // odps-sqoop testdata/DatatypeTestData-import-lite.txt): decimal/date/
+    // timestamp columns through the avro container — decimal as
+    // bytes/decimal at declared scale, date as int/date, timestamp as
+    // long/timestamp-micros — read back and aggregated; oracle runs on the
+    // original parquet, so any round-trip drift hash-fails.
+    "q98_avro_typed" -> ((s, d) => {
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"),
+          to_date(col("o_orderdate")).as("odate"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("price_d"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q98").toString + "/data"
+      graft.sources.FileFormats.writeAvro(src.coalesce(4), dir)
+      graft.sources.FileFormats.readAvro(s, dir, src.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_d")).cast(DecimalType(38, 2)).cast(StringType).as("sum_price"),
+          min(col("odate")).cast(StringType).as("min_date"),
+          max(col("o_orderdate")).cast(StringType).as("max_ts"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // decimal end-to-end (SURVEY §7.4 risk): DECIMAL(12,2)/(38,18) columns
     // written to parquet (decimal logical type), read back, aggregated in
     // decimal, rendered as strings so the compare is exact at full scale.
@@ -1868,6 +1891,15 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q98_avro_typed" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+        | CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+        | CAST(max(o_orderdate) AS VARCHAR) AS max_ts
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

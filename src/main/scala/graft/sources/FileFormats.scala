@@ -112,8 +112,12 @@ object FileFormats {
   // (the exact machinery Sqoop's Avro mappers drive): reads are SPLITTABLE
   // on the container sync markers, so a 100 TB avro directory parallelizes
   // like parquet; writes stream one container file per task with no
-  // driver-side materialization. Supported types: the Sqoop import surface
-  // (boolean/int/long/float/double/string), nullable via union(null, T).
+  // driver-side materialization. Supported types: the Sqoop import surface —
+  // boolean/int/long/float/double/string plus the typed columns Sqoop maps
+  // through Avro logical types (decimal → bytes/decimal, date → int/date,
+  // timestamp → long/timestamp-micros, and bytes for raw payloads;
+  // `AvroImportMapper.java`, `testdata/DatatypeTestData-import-lite.txt`) —
+  // nullable via union(null, T).
 
   /** Spark schema → Avro record schema JSON (computed on the driver, shipped
     * as a string — avro Schema itself is not serializable). */
@@ -126,8 +130,14 @@ object FileFormats {
       case FloatType => "\"float\""
       case DoubleType => "\"double\""
       case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case d: DecimalType =>
+        s"""{"type": "bytes", "logicalType": "decimal", "precision": ${d.precision}, "scale": ${d.scale}}"""
+      case DateType => """{"type": "int", "logicalType": "date"}"""
+      case TimestampType => """{"type": "long", "logicalType": "timestamp-micros"}"""
+      case TimestampNTZType => """{"type": "long", "logicalType": "local-timestamp-micros"}"""
       case other => sys.error(s"avro egest: unsupported type $other " +
-        "(Sqoop avro surface is primitive columns)")
+        "(Sqoop avro surface is primitive and logical-typed scalar columns)")
     }
     val fields = schema.fields.map { f =>
       // a null default is only legal on union-with-null types — Avro 1.12
@@ -138,6 +148,74 @@ object FileFormats {
         s"""{"name": "${f.name}", "type": ${base(f.dataType)}}"""
     }.mkString(",")
     s"""{"type": "record", "name": "$name", "fields": [$fields]}"""
+  }
+
+  /** Per-field Spark-value → Avro-datum converter (serializable: built from
+    * the DataType inside the task). Logical types follow the Avro spec:
+    * decimal = two's-complement unscaled bytes at the DECLARED scale, date =
+    * epoch days int, timestamp-micros = epoch micros long. */
+  private def sparkToAvro(dt: org.apache.spark.sql.types.DataType): Any => Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => v => v.asInstanceOf[Byte].toInt
+      case ShortType => v => v.asInstanceOf[Short].toInt
+      case BinaryType => v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case d: DecimalType => v => {
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+        java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      }
+      case DateType => {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt // java8API mode
+      }
+      case TimestampType => {
+        case t: java.sql.Timestamp =>
+          val i = t.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case t: java.time.Instant =>
+          t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }
+      case TimestampNTZType => v => {
+        val t = v.asInstanceOf[java.time.LocalDateTime]
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      }
+      case _ => identity
+    }
+  }
+
+  /** Per-field Avro-datum → Spark-value converter (inverse of
+    * [[sparkToAvro]]); copies out of the reader's reused buffers. */
+  private def avroToSpark(dt: org.apache.spark.sql.types.DataType): Any => Any = {
+    import org.apache.spark.sql.types._
+    def bytesOf(v: Any): Array[Byte] = {
+      val buf = v.asInstanceOf[java.nio.ByteBuffer]
+      val out = new Array[Byte](buf.remaining())
+      buf.duplicate().get(out)
+      out
+    }
+    dt match {
+      case ByteType => v => v.asInstanceOf[java.lang.Integer].byteValue()
+      case ShortType => v => v.asInstanceOf[java.lang.Integer].shortValue()
+      case StringType => v => v.toString // Utf8 → String
+      case BinaryType => v => bytesOf(v)
+      case d: DecimalType => v =>
+        new java.math.BigDecimal(new java.math.BigInteger(bytesOf(v)), d.scale)
+      case DateType => v =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue()))
+      case TimestampType => v => {
+        val micros = v.asInstanceOf[java.lang.Long].longValue()
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      }
+      case TimestampNTZType => v => {
+        val micros = v.asInstanceOf[java.lang.Long].longValue()
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      }
+      case _ => identity
+    }
   }
 
   def writeAvro(df: DataFrame, path: String): Unit = {
@@ -153,18 +231,15 @@ object FileFormats {
     val job = Job.getInstance(Fs.conf())
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(json))
     val n = schema.length
+    val fieldTypes = schema.fields.map(_.dataType)
     df.rdd.mapPartitions { rows =>
       val avro = new Schema.Parser().parse(json)
+      val convert = fieldTypes.map(sparkToAvro)
       rows.map { r =>
         val rec: GenericRecord = new GenericData.Record(avro)
         var i = 0
         while (i < n) {
-          rec.put(i, if (r.isNullAt(i)) null else r.get(i) match {
-            case s: String => s
-            case b: Byte => b.toInt
-            case s: Short => s.toInt
-            case v => v
-          })
+          rec.put(i, if (r.isNullAt(i)) null else convert(i)(r.get(i)))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -192,22 +267,18 @@ object FileFormats {
         classOf[AvroKey[GenericRecord]], classOf[NullWritable],
         job.getConfiguration)
       // convert before the iterator advances — the record reader reuses the
-      // underlying datum object
-      .map { case (k, _) =>
-        val rec = k.datum()
-        Row.fromSeq((0 until n).map { i =>
-          val narrowTo = fieldTypes(i)
-          rec.get(i) match {
-            case null => null
-            case u: org.apache.avro.util.Utf8 => u.toString
-            // avro int widens Short/Byte on write; narrow back per schema
-            case v: java.lang.Integer
-              if narrowTo == org.apache.spark.sql.types.ShortType => v.shortValue()
-            case v: java.lang.Integer
-              if narrowTo == org.apache.spark.sql.types.ByteType => v.byteValue()
-            case v => v
-          }
-        })
+      // underlying datum object (Utf8/ByteBuffer buffers included)
+      .mapPartitions { it =>
+        val convert = fieldTypes.map(avroToSpark)
+        it.map { case (k, _) =>
+          val rec = k.datum()
+          Row.fromSeq((0 until n).map { i =>
+            rec.get(i) match {
+              case null => null
+              case v => convert(i)(v)
+            }
+          })
+        }
       }
     spark.createDataFrame(rows, schema)
   }

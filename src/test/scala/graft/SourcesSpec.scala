@@ -203,6 +203,39 @@ class SourcesSpec extends SparkTestBase {
     assert(lines.join(src, lines("value") === src("v"), "left_anti").count() == 0)
   }
 
+  test("avro round trip with logical types: decimal, date, timestamp, ntz, binary") {
+    val dir = Files.createTempDirectory("graft_avro_lt").toString + "/data"
+    val src = Tables.orders(spark, sf).limit(200)
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price_d"),
+        col("o_totalprice").cast("decimal(38,18)").as("price_wide"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_orderdate").as("ots"),
+        col("o_orderdate").cast("timestamp_ntz").as("ots_ntz"),
+        encode(col("o_orderstatus"), "UTF-8").as("payload"),
+        // null in every logical-typed column exercises the union(null, T) path
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("decimal(12,2)"))
+          .otherwise(col("o_totalprice").cast("decimal(12,2)")).as("price_n"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
+          .otherwise(to_date(col("o_orderdate"))).as("odate_n"),
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")).as("ots_n"))
+    graft.sources.FileFormats.writeAvro(src, dir)
+    val back = graft.sources.FileFormats.readAvro(spark, dir, src.schema)
+    assert(back.count() == 200)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("avro decimal round-trips negatives and sub-unit scale exactly") {
+    val dir = Files.createTempDirectory("graft_avro_dec").toString + "/data"
+    val src = Seq("-12345.67", "-0.01", "0.00", "0.05", "99999999.99")
+      .toDF("s").select(col("s").cast("decimal(10,2)").as("d"))
+    graft.sources.FileFormats.writeAvro(src, dir)
+    val back = graft.sources.FileFormats.readAvro(spark, dir, src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("avro round trip with non-nullable and narrow-int columns") {
     val dir = Files.createTempDirectory("graft_avro_nn").toString + "/data"
     val src = spark.range(100).select(col("id"),
