@@ -41,39 +41,88 @@ object ZOrder {
     bits
   }
 
-  /** Per-dimension quantile cut points (`2^bits - 1` of them) from one
-    * column-pruned aggregate pass. Numeric/date/timestamp columns only
-    * (anything castable to double with order preserved). */
+  /** Fitted cut points for one clustering dimension. */
+  sealed trait DimCuts extends Serializable
+  /** Quantile cut points on a double-castable dimension. */
+  final case class NumericCuts(bounds: Array[Double]) extends DimCuts
+  /** Dictionary-rank cut points on a string dimension, in UTF8 binary
+    * order (the order Spark sorts strings by). */
+  final case class StringCuts(bounds: Array[String]) extends DimCuts
+
+  /** Per-dimension cut points (`<= 2^bits - 1` of them). Double-castable
+    * dimensions (numeric/date/timestamp) fit in ONE shared
+    * `approx_percentile` pass — the driver receives only cut points. A
+    * string dimension fits by dictionary rank: per-value counts (map-side
+    * combined), cumulative-frequency bucketing over the sorted dictionary,
+    * and the driver again receives only the cut values. The dictionary
+    * window runs on a single partition — dictionary-sized by definition,
+    * which is what a CATEGORICAL clustering dimension is; a string column
+    * with corpus-scale cardinality should be clustered via a numeric
+    * surrogate instead. */
   def fitBoundaries(df: DataFrame, cols: Seq[String], bits: Int = 8)
-      : Map[String, Array[Double]] = {
+      : Map[String, DimCuts] = {
     val b = bitsFor(cols.size, bits)
     val buckets = 1 << b
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val err = 1.0 / (4.0 * buckets)
-    // one pass for all dimensions: approx_percentile sketches aggregate
-    // map-side; the driver sees only the cut points
-    val aggs = cols.map { c =>
-      percentile_approx(col(c).cast("double"), lit(probs),
-        lit(math.ceil(1.0 / err).toInt)).as(c)
+    val (strCols, numCols) = cols.partition(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+
+    val numeric: Map[String, DimCuts] = if (numCols.isEmpty) Map.empty else {
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val err = 1.0 / (4.0 * buckets)
+      // one pass for all numeric dimensions: approx_percentile sketches
+      // aggregate map-side; the driver sees only the cut points
+      val aggs = numCols.map { c =>
+        percentile_approx(col(c).cast("double"), lit(probs),
+          lit(math.ceil(1.0 / err).toInt)).as(c)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      numCols.zipWithIndex.map { case (c, i) =>
+        val qs = Option(row.getSeq[Double](i)).getOrElse(Seq.empty)
+        // dedup ties (heavy hitters collapse adjacent quantiles); fewer
+        // effective buckets on a skewed dimension is correct behavior
+        c -> (NumericCuts(qs.distinct.sorted.toArray): DimCuts)
+      }.toMap
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.map { case (c, i) =>
-      val qs = Option(row.getSeq[Double](i)).getOrElse(Seq.empty)
-      // dedup ties (heavy hitters collapse adjacent quantiles); fewer
-      // effective buckets on a skewed dimension is correct behavior
-      c -> qs.distinct.sorted.toArray
+
+    val strings: Map[String, DimCuts] = strCols.map { c =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = df.select(col(c).as("v")).filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("n"))
+      val cum = sum("n").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+      val tot = sum("n").over(Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      // value's bucket = floor(cumulative-count-before * buckets / total);
+      // cut for bucket k>0 = its smallest value. Heavy hitters span
+      // several buckets, leaving some cut-less — fewer effective cuts on
+      // a skewed dimension, same behavior as the numeric fit.
+      val cuts = counts
+        .select(col("v"),
+          (((cum - col("n")) * buckets) / tot).cast("int").as("bk"))
+        .filter(col("bk") > 0)
+        .groupBy("bk").agg(min("v").as("cut"))
+        .orderBy("bk")
+        .collect().map(_.getString(1))
+      c -> (StringCuts(cuts.distinct): DimCuts)
     }.toMap
+
+    numeric ++ strings
   }
 
   /** The Z-order key column for `cols` given fitted per-dimension cut
-    * points: bucket each dimension by binary search, interleave the
-    * bucket bits. Nulls take bucket 0 (sort first, like NULLS FIRST). */
-  def key(boundaries: Map[String, Array[Double]], cols: Seq[String],
+    * points: bucket each dimension by binary search (double or UTF8
+    * binary order per the fit), interleave the bucket bits. Nulls take
+    * bucket 0 (sort first, like NULLS FIRST). */
+  def key(boundaries: Map[String, DimCuts], cols: Seq[String],
       bits: Int = 8): Column = {
     val b = bitsFor(cols.size, bits)
     val ids = cols.map { c =>
-      val bucket = NativeFunctions.rangeBucketId(
-        col(c).cast("double"), boundaries(c).toIndexedSeq)
+      val bucket = boundaries(c) match {
+        case NumericCuts(bounds) => NativeFunctions.rangeBucketId(
+          col(c).cast("double"), bounds.toIndexedSeq)
+        case StringCuts(bounds) => NativeFunctions.stringRangeBucketId(
+          col(c), bounds.toIndexedSeq)
+      }
       coalesce(bucket, lit(0))
     }
     NativeFunctions.interleaveBits(array(ids: _*), b)

@@ -620,6 +620,19 @@ object ZOrderKernels {
     lo
   }
 
+  /** Upper-bound binary search over UTF8String cut points: the number of
+    * boundaries `<= v` in UTF8String (binary) order — the rank bucket id
+    * in `[0, bounds.length]` for a string dimension. */
+  def stringRangeBucket(v: UTF8String, bounds: Array[UTF8String]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid).compareTo(v) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Morton interleave of `k` bucket ids at `bits` bits each: round `i`
     * appends bit `(bits-1-i)` of every id in column order, so the high
     * bits of every dimension lead the key and close ids in ALL
@@ -669,6 +682,35 @@ case class RangeBucketId(child: Expression, boundaries: Seq[Double])
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "range_bucket_id"
+}
+
+/** Rank bucket id of a string against precomputed sorted cut points
+  * (binary search over UTF8String binary order — the order Spark sorts
+  * strings by, so fitted ranks and parquet min/max stats agree). The
+  * dictionary-rank-bucket step of a Z-order key on a categorical
+  * dimension; unseen values still land order-preservingly between their
+  * neighbors. Null input → null (callers coalesce to bucket 0). */
+case class StringRangeBucketId(child: Expression, boundaries: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+
+  private lazy val bounds: Array[UTF8String] =
+    boundaries.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ZOrderKernels.stringRangeBucket(input.asInstanceOf[UTF8String], bounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ZOrderKernels.stringRangeBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "string_range_bucket_id"
 }
 
 /** Morton bit-interleave of an `array<int>` of bucket ids into one long
@@ -784,6 +826,12 @@ object NativeFunctions {
   /** Rank bucket id against sorted cut points ([[RangeBucketId]]). */
   def rangeBucketId(c: Column, boundaries: Seq[Double]): Column =
     ExpressionUtils.column(RangeBucketId(
+      ExpressionUtils.expression(c), boundaries))
+
+  /** Rank bucket id of a string against sorted cut points
+    * ([[StringRangeBucketId]]). */
+  def stringRangeBucketId(c: Column, boundaries: Seq[String]): Column =
+    ExpressionUtils.column(StringRangeBucketId(
       ExpressionUtils.expression(c), boundaries))
 
   /** Morton interleave of an `array<int>` of bucket ids ([[InterleaveBits]]). */

@@ -52,9 +52,9 @@ class ZOrderSpec extends SparkTestBase {
     val grid = spark.range(256)
       .select((col("id") % 16).cast("int").as("x"),
         (col("id") / 16).cast("int").as("y"))
-    val bounds = Map(
-      "x" -> (1 until 16).map(_.toDouble - 0.5).toArray,
-      "y" -> (1 until 16).map(_.toDouble - 0.5).toArray)
+    val bounds = Map[String, ZOrder.DimCuts](
+      "x" -> ZOrder.NumericCuts((1 until 16).map(_.toDouble - 0.5).toArray),
+      "y" -> ZOrder.NumericCuts((1 until 16).map(_.toDouble - 0.5).toArray))
     val keyed = grid.withColumn("zk", ZOrder.key(bounds, Seq("x", "y"), 4))
     // stays inside whole-stage codegen (no CodegenFallback kernels) —
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
@@ -72,11 +72,79 @@ class ZOrderSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq[(java.lang.Integer, java.lang.Integer)]((null, 5), (3, 5))
       .toDF("x", "y")
-    val bounds = Map("x" -> Array(2.0), "y" -> Array(2.0))
+    val bounds = Map[String, ZOrder.DimCuts](
+      "x" -> ZOrder.NumericCuts(Array(2.0)),
+      "y" -> ZOrder.NumericCuts(Array(2.0)))
     val keys = df.withColumn("zk", ZOrder.key(bounds, Seq("x", "y"), 1))
       .orderBy("zk").select("zk").as[Long].collect()
     // null x -> bucket 0 -> key 01b = 1; x=3 -> bucket 1 -> key 11b = 3
     assert(keys.toSeq === Seq(1L, 3L))
+  }
+
+  test("stringRangeBucket is the number of boundaries <= v in binary order") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bs = Array("d", "k", "r").map(UTF8String.fromString)
+    def bucket(s: String) = ZOrderKernels.stringRangeBucket(UTF8String.fromString(s), bs)
+    assert(bucket("a") === 0)
+    assert(bucket("d") === 1) // tie goes right
+    assert(bucket("mmm") === 2)
+    assert(bucket("zebra") === 3)
+    assert(ZOrderKernels.stringRangeBucket(
+      UTF8String.fromString("x"), Array.empty[UTF8String]) === 0)
+  }
+
+  test("string dim fit: dictionary-rank cuts are frequency-balanced and ordered") {
+    import spark.implicits._
+    // skewed categorical: "hot" is half the rows — it must span buckets
+    // alone rather than crowd the others out
+    val vals = Seq.fill(500)("hot") ++
+      (0 until 500).map(i => f"v${i % 50}%03d")
+    val df = vals.toDF("s").withColumn("x", lit(1.0))
+    val cuts = ZOrder.fitBoundaries(df, Seq("s", "x"), bits = 2)("s")
+      .asInstanceOf[ZOrder.StringCuts].bounds
+    assert(cuts.nonEmpty && cuts.length <= 3)
+    assert(cuts.toSeq === cuts.sorted.toSeq)
+    // keys: distinct values map order-preservingly onto bucket ids
+    val keyed = df.withColumn("zk",
+      ZOrder.key(ZOrder.fitBoundaries(df, Seq("s", "x"), 2), Seq("s", "x"), 2))
+    val byVal = keyed.groupBy("s").agg(min("zk").as("k")).orderBy("s")
+      .select("k").as[Long].collect()
+    assert(byVal.toSeq === byVal.sorted.toSeq, "bucket ids must preserve string order")
+  }
+
+  test("z-order on (numeric, string) prunes files on both dimensions") {
+    import spark.implicits._
+    val n = 20000
+    // categorical dim with 64 levels, independent of the numeric dim
+    val df = (0 until n)
+      .map(i => (((i * 2654435761L) % n).toDouble, f"cat${(i * 40503L) % 64}%02d"))
+      .toDF("a", "c")
+    val files = 16
+
+    def spans(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = laid
+        .withColumn("f", spark_partition_id())
+        .groupBy("f")
+        // string span proxy: distinct categories per file / all categories
+        .agg((max("a") - min("a")).as("sa"),
+          countDistinct(col("c")).as("sc"))
+        .agg(avg("sa").as("ma"), avg("sc").as("mc"))
+        .head()
+      (s.getDouble(0) / n, s.getDouble(1) / 64.0)
+    }
+
+    val (la, lc) = spans(
+      df.repartitionByRange(files, col("a")).sortWithinPartitions("a"))
+    val (za, zc) = spans(ZOrder.cluster(df, Seq("a", "c"), files, bits = 4))
+
+    assert(la < 0.10, s"linear tight on a, got $la")
+    assert(lc > 0.90, s"linear spans ~all categories, got $lc")
+    // a `c = 'cat07'` predicate reads only files whose category set holds
+    // it: mean distinct-category fraction IS the expected read fraction
+    assert(za < 0.50, s"z-order should prune on a, got $za")
+    assert(zc < 0.50, s"z-order should prune on c, got $zc")
+    assert(zc < lc / 2, s"z-order must beat linear on c: $zc vs $lc")
+    assert(ZOrder.cluster(df, Seq("a", "c"), files, bits = 4).count() === n)
   }
 
   // ---- the point: multi-dimensional file skipping -------------------------
