@@ -841,6 +841,25 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // IVF-PQ composed (the memory-speed 100 TB serve path): coarse cells
+    // prune the scan to nprobe/nlist of the corpus, ADC ranks only those
+    // cells' m-byte codes, exact rerank on the shortlist. Rows-only: the
+    // k-means fits are not SQL-expressible; DedupSpec pins recall vs brute
+    // force and vs whole-corpus ADC.
+    "s99_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val centers = Similarity.ivfFit(corpus, "embedding", nlist = 16)
+      val books = Similarity.pqFit(corpus, "embedding", m = 8, codebookSize = 16)
+      Similarity.ivfPqTopK(
+          Similarity.ivfPqAssign(corpus, "vec_id", "embedding", centers, books),
+          centers, books, q, k = 10, nprobe = 6)
+        .select(col("id"), round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
     "s41_knn_graph" -> ((s, d) => {
       Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, k = 5, numPlanes = 8)

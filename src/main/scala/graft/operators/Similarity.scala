@@ -279,6 +279,38 @@ object Similarity {
     * multiplies on 4·dim bytes. The ADC shortlist (`k·rerankFactor`,
     * TakeOrderedAndProject) is then reranked by exact cosine — the
     * standard two-stage PQ serve path. */
+  /** One-time IVF-PQ corpus build: coarse cell id ([[cellOf]]) + PQ codes
+    * ([[pqEncode]]) in one stored table. Persist partitioned by `cell`
+    * (e.g. `PartitionedWrite.writePartitioned(_, dir, Seq("cell"))`) and
+    * the serve path reads `nprobe / nlist` of an m-bytes-per-vector store
+    * — the composition that makes a 100 TB embedding corpus servable from
+    * memory-speed storage (the standard IVF-PQ layout, built here from
+    * its public description). */
+  def ivfPqAssign(embDf: DataFrame, idCol: String, embCol: String,
+      centers: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    pqEncode(embDf, idCol, embCol, codebooks)
+      .withColumn("cell", cellOf(col("emb"), centers))
+
+  /** IVF-PQ top-k: prune to the `nprobe` nearest cells (a plain pushable
+    * `cell IN (...)` filter — partition pruning on a cell-partitioned
+    * store), ADC-rank ONLY those cells' rows, exact-rerank the shortlist.
+    * [[pqTopK]] alone scans every code; this scans `nprobe / nlist` of
+    * them — the actual serve path at corpus scale. */
+  def ivfPqTopK(assigned: DataFrame, centers: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double], k: Int,
+      nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.map(x => x * x).sum -
+          2.0 * c.zip(query).map { case (a, b) => a * b }.sum
+        (d, i)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    pqTopK(assigned.filter(col("cell").isin(probeCells: _*)),
+      codebooks, query, k, rerankFactor)
+  }
+
   def pqTopK(encoded: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       query: Seq[Double], k: Int, rerankFactor: Int = 4): DataFrame = {
     val dsub = codebooks.head.head.size

