@@ -386,6 +386,82 @@ class DedupSpec extends SparkTestBase {
     assert(got.size >= exact.size * 0.8, s"recall ${got.size}/${exact.size}")
   }
 
+  /** Deterministic ~1/3 sample of embeddings plus planted near-duplicates:
+    * half exact copies (cosine 1, co-location guaranteed), half first-
+    * element-perturbed (cosine ≈ 0.9999) — the semantic analogue of
+    * [[sampledWithPlants]]. */
+  private def embeddingsWithPlants(nPlants: Int): org.apache.spark.sql.DataFrame = {
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(pmod(xxhash64($"vec_id"), lit(3)) === 0)
+    val picked = base.orderBy("vec_id").limit(nPlants)
+    val exactCopies = picked.limit(nPlants / 2)
+      .select(($"vec_id" + 800000L).as("vec_id"), $"embedding")
+    val perturbed = picked.orderBy($"vec_id".desc).limit(nPlants - nPlants / 2)
+      .select(($"vec_id" + 900000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    base.unionByName(exactCopies).unionByName(perturbed)
+  }
+
+  test("semantic near-dup pairs: subset of exact-cosine pairs, recall >= 0.8") {
+    val planted = embeddingsWithPlants(12)
+    val t = 0.97
+    val got = pairSet(Dedup.semanticNearDups(planted, "vec_id", "embedding",
+      nlist = 8, threshold = t))
+    val e = planted.select($"vec_id", $"embedding")
+    val exact = pairSet(e.toDF("id_a", "emb_a")
+      .crossJoin(e.toDF("id_b", "emb_b"))
+      .filter($"id_a" < $"id_b")
+      .filter(graft.functions.VectorFunctions.cosine($"emb_a", $"emb_b") >= t))
+    assert(exact.size >= 12, s"plants must be in the exact set: $exact")
+    // the operator verifies candidates with the same exact cosine, so any
+    // reported pair must be in the all-pairs truth (zero false positives);
+    // recall < 1 can only come from cell splits on perturbed plants
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got.size >= exact.size * 0.8, s"recall ${got.size}/${exact.size}")
+  }
+
+  test("cross-embedding matches: subset of exact cross-pairs, recall >= 0.8") {
+    val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(pmod(xxhash64($"vec_id"), lit(3)) === 0)
+    // benchmark: copies of corpus rows (half exact, half perturbed) plus
+    // unrelated corpus-disjoint rows
+    val picked = corpus.orderBy("vec_id").limit(10)
+    val benchDup = picked.limit(5)
+      .select(($"vec_id" + 800000L).as("bid"), $"embedding")
+      .unionByName(picked.orderBy($"vec_id".desc).limit(5)
+        .select(($"vec_id" + 900000L).as("bid"),
+          transform($"embedding",
+            (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+    val benchOther = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .filter(pmod(xxhash64($"vec_id"), lit(3)) === 1).limit(5)
+      .select(($"vec_id" + 950000L).as("bid"), $"embedding")
+    val bench = benchDup.unionByName(benchOther)
+
+    val t = 0.97
+    val got = Dedup.crossEmbeddingMatches(corpus, "vec_id", "embedding",
+        bench, "bid", "embedding", dim = 64, threshold = t, numPlanes = 8)
+      .select("corpus_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = corpus.toDF("cid", "c_emb").crossJoin(bench.toDF("bid", "b_emb"))
+      .filter(graft.functions.VectorFunctions.cosine($"c_emb", $"b_emb") >= t)
+      .select("cid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10, s"plants must be in the exact set: $exact")
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got.size >= exact.size * 0.8, s"recall ${got.size}/${exact.size}")
+
+    // and the end-to-end decontaminate drops exactly the matched corpus ids
+    val surv = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench.select("embedding"), "embedding", dim = 64, threshold = t,
+        numPlanes = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val matchedCorpus = got.map(_._1)
+    assert(surv.intersect(matchedCorpus).isEmpty,
+      "matched corpus rows must not survive decontamination")
+  }
+
   test("knn graph caps pairs in a degenerate bucket but keeps every node") {
     val vec = Array.tabulate(8)(i => (i + 1).toFloat)
     val clones = spark.range(40).select($"id".as("vec_id"),
