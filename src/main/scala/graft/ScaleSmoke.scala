@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1.0 scale smoke for the heavy operator family: builds a 10x
+  * dataset from the sf0.1 fixtures (replicas made UNRELATED — rotated
+  * alphabets for text, rotated vectors for embeddings — so duplicate/ANN
+  * workload shape is preserved instead of planting 10-way clone clusters),
+  * times each heavy query at both scales, and pins the executed plan's
+  * exchange count so a scale-up cannot silently add shuffles.
+  *
+  * Usage: runMain graft.ScaleSmoke [baseSfDir] [scaledOutDir]
+  * Emits one JSON line per query and a summary file scale_out/sf1_smoke.json.
+  */
+object ScaleSmoke {
+
+  private val Factor = 10
+  private val IdStride = 10000000L
+
+  /** Replica text transform: alphabet rotated by `i` makes replica words
+    * (hence shingles) unrelated to the original — corpus grows 10x without
+    * growing any near-dup cluster 10x, which is what a real 10x corpus
+    * does. */
+  private def rotText(c: org.apache.spark.sql.Column, i: Int) = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val hi = lo.toUpperCase
+    val rl = lo.drop(i) + lo.take(i)
+    val rh = hi.drop(i) + hi.take(i)
+    if (i == 0) c else translate(c, lo + hi, rl + rh)
+  }
+
+  /** Replica embedding transform: cyclic rotation of an iid-gaussian vector
+    * is another iid-gaussian vector, uncorrelated with the original. */
+  private def rotVec(c: org.apache.spark.sql.Column, i: Int, dim: Int) =
+    if (i == 0) c
+    else concat(slice(c, i + 1, dim - i), slice(c, 1, i))
+
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(fs)
+
+    val docs = Tables.documents(spark, baseDir)
+    (0 until Factor).map { i =>
+      docs.select((col("doc_id") + lit(i * IdStride)).as("doc_id"),
+        rotText(col("text"), i).as("text"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, baseDir)
+    (0 until Factor).map { i =>
+      emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
+        rotVec(col("embedding"), i, 64).as("embedding"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events: ids shift, user/value distributions stay (10x rows per key —
+    // what a longer retention window looks like)
+    val ev = Tables.events(spark, baseDir)
+    (0 until Factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * IdStride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // orders: same year range (partition count fixed, rows per partition
+    // 10x — the compaction workload at scale)
+    val o = Tables.orders(spark, baseDir)
+    (0 until Factor).map { i =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+  }
+
+  private val Heavy = Seq(
+    "d29_minhash_neardup", "d40_ngram_neardup", "d63_dup_clusters",
+    "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
+    "q87_compact", "q89_zorder")
+
+  private def runOne(spark: SparkSession, name: String, dir: String)
+      : (Double, Int, Int) = {
+    // the clock covers query CONSTRUCTION too: maintenance gates (q87/q89)
+    // stage writes and d63 iterates to convergence before returning their
+    // final DataFrame — that work IS the operator
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    (sec, exchanges, broadcasts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$outDir/documents.parquet"))) {
+      println(s"[scale] building ${Factor}x data at $outDir from $baseDir")
+      buildScaled(spark, baseDir, outDir)
+    }
+
+    // warmup (same rationale as Bench)
+    spark.read.parquet(s"$baseDir/lineitem.parquet")
+      .selectExpr("sum(l_quantity)").collect()
+
+    val rows = Heavy.map { name =>
+      // two runs per (query, scale), keep the min: the first base run of a
+      // query also pays its one-time codegen/ML-job warmup, which at these
+      // fixture sizes rivals the query itself and poisons the ratio
+      val (tb, eb, bb) = Seq.fill(2)(runOne(spark, name, baseDir)).minBy(_._1)
+      val (ts, es, bs) = Seq.fill(2)(runOne(spark, name, outDir)).minBy(_._1)
+      val line = f"""{"query":"$name","sf01_sec":$tb%.2f,"sf1_sec":$ts%.2f,""" +
+        f""""ratio":${ts / tb}%.2f,"exchanges":[$eb,$es],"broadcasts":[$bb,$bs]}"""
+      println(s"[scale] $line")
+      line
+    }
+    val out = rows.mkString("[", ",\n", "]")
+    val dir = java.nio.file.Paths.get("scale_out")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("sf1_smoke.json"),
+      (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
