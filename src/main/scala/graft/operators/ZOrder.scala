@@ -116,14 +116,24 @@ object ZOrder {
   def key(boundaries: Map[String, DimCuts], cols: Seq[String],
       bits: Int = 8): Column = {
     val b = bitsFor(cols.size, bits)
+    val buckets = 1 << b
     val ids = cols.map { c =>
-      val bucket = boundaries(c) match {
-        case NumericCuts(bounds) => NativeFunctions.rangeBucketId(
-          col(c).cast("double"), bounds.toIndexedSeq)
-        case StringCuts(bounds) => NativeFunctions.stringRangeBucketId(
-          col(c), bounds.toIndexedSeq)
+      val (bucket, nCuts) = boundaries(c) match {
+        case NumericCuts(bounds) => (NativeFunctions.rangeBucketId(
+          col(c).cast("double"), bounds.toIndexedSeq), bounds.length)
+        case StringCuts(bounds) => (NativeFunctions.stringRangeBucketId(
+          col(c), bounds.toIndexedSeq), bounds.length)
       }
-      coalesce(bucket, lit(0))
+      // A dimension with fewer effective buckets than 2^bits (small
+      // dictionary, tie-collapsed quantiles) must still occupy the HIGH
+      // bits of its lane: raw ids 0..m-1 leave the top bits constant zero
+      // and the interleave degenerates toward a linear sort on the other
+      // dimensions. Spread order-preservingly: id -> id * 2^bits / m.
+      val m = nCuts + 1
+      val spread =
+        if (m >= buckets) bucket
+        else floor(bucket * lit(buckets) / lit(m)).cast("int")
+      coalesce(spread, lit(0))
     }
     NativeFunctions.interleaveBits(array(ids: _*), b)
   }

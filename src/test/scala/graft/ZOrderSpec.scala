@@ -190,6 +190,37 @@ class ZOrderSpec extends SparkTestBase {
 
   // ---- maintenance-level rewrite (OPTIMIZE ... ZORDER BY analogue) ------
 
+  test("zorderRewrite accepts a string dimension end to end (on-disk files tight)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zrw_str").toString
+    val n = 20000
+    val df = (0 until n)
+      .map(i => (((i * 2654435761L) % n).toDouble, f"cat${(i * 40503L) % 64}%02d"))
+      .toDF("a", "c")
+    df.repartitionByRange(12, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("a"), countDistinct("c")).head()
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      graft.sources.Fs.of(p).listStatus(p).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val rels = graft.sources.Maintenance.zorderRewrite(
+      spark, dir, Nil, Seq("a", "c"), targetFileBytes = bytes / 16)
+    assert(rels === Seq(""))
+    assert(spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("a"), countDistinct("c")).head() === before)
+    // per on-disk file: categories per file / 64 is the expected fraction
+    // of files a `c = '...'` point predicate must read
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("a") - min("a")).as("sa"), countDistinct("c").as("sc"))
+      .agg(avg("sa"), avg("sc")).head()
+    assert(spans.getDouble(0) / n < 0.5, s"numeric dim span ${spans.getDouble(0) / n}")
+    assert(spans.getDouble(1) / 64.0 < 0.5, s"string dim span ${spans.getDouble(1) / 64.0}")
+  }
+
   test("zorderRewrite re-lays an unpartitioned table on the curve in place") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zrw").toString
