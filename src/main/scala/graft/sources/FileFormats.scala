@@ -249,6 +249,73 @@ object FileFormats {
       job.getConfiguration)
   }
 
+  /** Avro → Spark schema from a container's embedded writer schema — the
+    * Sqoop export path's contract (`AvroExportMapper` reads the writer
+    * schema; the user never re-declares it). Supports the [[writeAvro]]
+    * surface: records of primitives, bytes, and decimal/date/
+    * timestamp-micros/local-timestamp-micros logical types, nullable via
+    * union(null, T). Narrow ints (byte/short) widen to int on write and
+    * stay int when inferred. */
+  private[sources] def avroToStructType(schema: org.apache.avro.Schema): StructType = {
+    import org.apache.avro.{LogicalTypes, Schema => ASchema}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def dataType(s: ASchema): DataType = s.getType match {
+      case ASchema.Type.BOOLEAN => BooleanType
+      case ASchema.Type.INT => s.getLogicalType match {
+        case _: LogicalTypes.Date => DateType
+        case _ => IntegerType
+      }
+      case ASchema.Type.LONG => s.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros => TimestampType
+        case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+        case _ => LongType
+      }
+      case ASchema.Type.FLOAT => FloatType
+      case ASchema.Type.DOUBLE => DoubleType
+      case ASchema.Type.STRING => StringType
+      case ASchema.Type.BYTES => s.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+      case other => sys.error(s"avro ingest: unsupported type $other")
+    }
+    require(schema.getType == ASchema.Type.RECORD,
+      s"avro ingest expects a record schema, got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      f.schema().getType match {
+        case ASchema.Type.UNION =>
+          val nonNull = f.schema().getTypes.asScala
+            .filter(_.getType != ASchema.Type.NULL)
+          require(nonNull.size == 1,
+            s"avro ingest: field ${f.name} is a non-nullable union")
+          StructField(f.name, dataType(nonNull.head), nullable = true)
+        case _ => StructField(f.name, dataType(f.schema()), nullable = false)
+      }
+    })
+  }
+
+  /** Read an Avro container directory inferring the Spark schema from the
+    * first container's embedded writer schema (one footer-sized driver
+    * read; the data scan stays splittable and distributed). */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = Fs.of(p)
+    val first = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath).find(_.getName.endsWith(".avro"))
+      .getOrElse(sys.error(s"no .avro container files under $path"))
+    val in = fs.open(first)
+    val writerSchema =
+      try {
+        val stream = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        try stream.getSchema finally stream.close()
+      } finally in.close()
+    readAvro(spark, path, avroToStructType(writerSchema))
+  }
+
   def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     import org.apache.avro.generic.GenericRecord
     import org.apache.avro.mapred.AvroKey

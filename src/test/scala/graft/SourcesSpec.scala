@@ -227,6 +227,22 @@ class SourcesSpec extends SparkTestBase {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("avro schema inference reads the writer schema from the container") {
+    val dir = Files.createTempDirectory("graft_avro_inf").toString + "/data"
+    val src = Tables.orders(spark, sf).limit(100)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price_d"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_orderdate").as("ots"),
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    graft.sources.FileFormats.writeAvro(src, dir)
+    // no schema passed: inferred from the embedded writer schema
+    val back = graft.sources.FileFormats.readAvro(spark, dir)
+    assert(back.schema == src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("avro decimal round-trips negatives and sub-unit scale exactly") {
     val dir = Files.createTempDirectory("graft_avro_dec").toString + "/data"
     val src = Seq("-12345.67", "-0.01", "0.00", "0.05", "99999999.99")
