@@ -40,17 +40,19 @@ object ScaleSmoke {
     val fs = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(fs)
 
+    // non-key columns (lang/source/label/...) pass through unchanged, so
+    // group-by cardinalities are preserved while rows multiply
     val docs = Tables.documents(spark, baseDir)
     (0 until Factor).map { i =>
-      docs.select((col("doc_id") + lit(i * IdStride)).as("doc_id"),
-        rotText(col("text"), i).as("text"))
+      docs.withColumn("doc_id", col("doc_id") + lit(i * IdStride))
+        .withColumn("text", rotText(col("text"), i))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = Tables.embeddings(spark, baseDir)
     (0 until Factor).map { i =>
-      emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
-        rotVec(col("embedding"), i, 64).as("embedding"))
+      emb.withColumn("vec_id", col("vec_id") + lit(i * IdStride))
+        .withColumn("embedding", rotVec(col("embedding"), i, 64))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
@@ -72,9 +74,11 @@ object ScaleSmoke {
   }
 
   private val Heavy = Seq(
-    "d29_minhash_neardup", "d40_ngram_neardup", "d63_dup_clusters",
+    "d28_dedup_exact", "d29_minhash_neardup", "d40_ngram_neardup",
+    "d62_dedup_groups", "d63_dup_clusters", "d74_span_dedup",
+    "q68_decontaminate", "t94_top_tokens",
     "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
-    "q87_compact", "q89_zorder")
+    "q87_compact", "q89_zorder", "p88_pipeline")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

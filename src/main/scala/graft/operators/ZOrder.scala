@@ -33,9 +33,13 @@ import org.apache.spark.sql.graft.NativeFunctions
   */
 object ZOrder {
 
-  /** Max bucket-id bits per dimension; `dims * bits` must fit a long. */
+  /** Max bucket-id bits per dimension; `dims * bits` must fit a long, and
+    * `1 << bits` must fit an int (the per-dimension bucket-count
+    * arithmetic) — 20 bits = 1M buckets/dim, far past useful. */
   private def bitsFor(dims: Int, bits: Int): Int = {
     require(dims >= 1, "zorder needs at least one column")
+    require(bits >= 1 && bits <= 20,
+      s"bits per dimension must be in [1, 20], got $bits")
     require(dims * bits <= 63,
       s"$dims dims at $bits bits = ${dims * bits} key bits; must be <= 63")
     bits
