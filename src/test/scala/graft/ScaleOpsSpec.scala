@@ -75,6 +75,32 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(inline == pre, s"$inline vs $pre")
   }
 
+  test("ivf-pq on a cell-partitioned store partition-prunes and matches inline") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" =!= 0)
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val centers = Similarity.ivfFit(emb, "embedding", nlist = 8)
+    val books = Similarity.pqFit(emb, "embedding", m = 8, codebookSize = 16)
+    val assigned = Similarity.ivfPqAssign(emb, "vec_id", "embedding",
+      centers, books)
+    val inline = Similarity.ivfPqTopK(assigned, centers, books, q, 10,
+      nprobe = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val dir = Files.createTempDirectory("graft_ivfpq").toString + "/store"
+    assigned.write.partitionBy("cell").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val served = Similarity.ivfPqTopK(store, centers, books, q, 10, nprobe = 3)
+    val got = served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == inline, s"$got vs $inline")
+
+    // the cell IN (...) probe must reach the scan as a PARTITION filter on
+    // the cell-partitioned store — that is the nprobe/nlist read claim
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      s"cell probe did not partition-prune:\n$scan")
+  }
+
   test("knn graph: 2×cap dense cluster stays connected with near-neighbor quality") {
     val rnd = new scala.util.Random(7)
     val dim = 8
