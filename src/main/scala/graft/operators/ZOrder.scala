@@ -134,9 +134,12 @@ object ZOrder {
       // and the interleave degenerates toward a linear sort on the other
       // dimensions. Spread order-preservingly: id -> id * 2^bits / m.
       val m = nCuts + 1
+      // long arithmetic: id * 2^bits can pass Int.MaxValue for a large
+      // dictionary at high bits, and ANSI mode makes that a runtime error
       val spread =
         if (m >= buckets) bucket
-        else floor(bucket * lit(buckets) / lit(m)).cast("int")
+        else floor(bucket.cast("long") * lit(buckets.toLong) / lit(m.toLong))
+          .cast("int")
       coalesce(spread, lit(0))
     }
     NativeFunctions.interleaveBits(array(ids: _*), b)

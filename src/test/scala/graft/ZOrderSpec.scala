@@ -112,6 +112,19 @@ class ZOrderSpec extends SparkTestBase {
     assert(byVal.toSeq === byVal.sorted.toSeq, "bucket ids must preserve string order")
   }
 
+  test("sparse-lane spread survives a large dictionary at high bits (no int overflow)") {
+    import spark.implicits._
+    // 50k cuts at bits=16: raw id * 2^bits ≈ 3.3e9 > Int.MaxValue — the
+    // spread must go through long arithmetic or ANSI mode errors out
+    val cuts = ZOrder.StringCuts((1 to 50000).map(i => f"v$i%06d").toArray)
+    val bounds = Map[String, ZOrder.DimCuts](
+      "s" -> cuts, "x" -> ZOrder.NumericCuts(Array(0.5)))
+    val df = Seq(("zzzzzz", 1.0), ("a", 0.0)).toDF("s", "x")
+    val ks = df.withColumn("zk", ZOrder.key(bounds, Seq("s", "x"), 16))
+      .orderBy("s").select("zk").as[Long].collect()
+    assert(ks.length == 2 && ks(0) < ks(1), s"order broken: ${ks.toSeq}")
+  }
+
   test("z-order on (numeric, string) prunes files on both dimensions") {
     import spark.implicits._
     val n = 20000
