@@ -252,6 +252,19 @@ class SourcesSpec extends SparkTestBase {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("avro timestamp/date round-trip pre-epoch values (negative micros)") {
+    val dir = Files.createTempDirectory("graft_avro_pre").toString + "/data"
+    val src = Seq("1901-07-02 03:04:05.123456", "1969-12-31 23:59:59.5",
+        "2038-01-19 03:14:08")
+      .toDF("s")
+      .select(col("s").cast("timestamp").as("ts"),
+        col("s").cast("timestamp").cast("timestamp_ntz").as("ts_ntz"),
+        col("s").cast("date").as("dt"))
+    graft.sources.FileFormats.writeAvro(src, dir)
+    val back = graft.sources.FileFormats.readAvro(spark, dir, src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("avro round trip with non-nullable and narrow-int columns") {
     val dir = Files.createTempDirectory("graft_avro_nn").toString + "/data"
     val src = spark.range(100).select(col("id"),
