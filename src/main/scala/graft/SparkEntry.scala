@@ -667,6 +667,22 @@ object SparkEntry {
         .orderBy(col("survivor_id"))
     }),
 
+    // incremental ingest dedup: odd-id docs (+ planted copies of base
+    // texts under new ids) arrive as a batch against the even-id docs as
+    // the already-deduplicated base; survivors are intra-batch-unique
+    // rows whose text is not in the base — and the base's text column
+    // never shuffles, only its 64-bit hashes
+    "d100_dedup_increment" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val inc = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      Dedup.exactIncrement(inc, base, "doc_id", Seq("text"))
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dup-cluster resolution: pairs chained (id ↔ id+100k ↔ id+200k) so
     // min-label propagation must traverse two hops per component
     "d63_dup_clusters" -> ((s, d) => {
@@ -1845,6 +1861,20 @@ object SparkEntry {
         |GROUP BY text
         |HAVING count(*) > 1
         |ORDER BY survivor_id""".stripMargin,
+
+    "d100_dedup_increment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |        UNION ALL
+        |        SELECT doc_id + 500000, text FROM documents WHERE doc_id % 10 = 0),
+        |intra AS (SELECT doc_id, text FROM (
+        |            SELECT doc_id, text,
+        |                   min(doc_id) OVER (PARTITION BY text) AS surv
+        |            FROM inc)
+        |          WHERE doc_id = surv)
+        |SELECT doc_id, length(text) AS n_len FROM intra
+        |WHERE text NOT IN (SELECT text FROM base)
+        |ORDER BY doc_id""".stripMargin,
 
     "d63_dup_clusters" ->
       """SELECT id, cluster_id FROM (

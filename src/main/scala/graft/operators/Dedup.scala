@@ -74,6 +74,41 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** Incremental exact dedup: survivors of an INGEST batch against an
+    * already-deduplicated base corpus — the path an accumulating corpus
+    * actually runs at 100 TB, where re-deduping the base on every ingest
+    * is not an option:
+    *  1. intra-batch: hash-first losers within the increment
+    *     ([[exactLosers]]);
+    *  2. hash screen: the base projects to `xxhash64(keys)` ONLY — the
+    *     base's key columns never move; increment rows whose hash misses
+    *     every base hash are definitely new;
+    *  3. colliding sliver: only base rows sharing a colliding hash pull
+    *     their true keys (a semi-join against the tiny colliding-hash
+    *     set) for the exact verify, so a 64-bit collision can cost a
+    *     narrow re-check but never drop a genuinely-new row.
+    * Returns the surviving increment rows with all their columns. */
+  def exactIncrement(increment: DataFrame, base: DataFrame,
+      idCol: String, keyCols: Seq[String]): DataFrame = {
+    val kh = xxhash64(keyCols.map(col): _*)
+    val intra = increment.join(exactLosers(increment, idCol, keyCols),
+      Seq(idCol), "left_anti")
+    val baseH = base.select(kh.as("__bh")).distinct()
+    val withH = intra.withColumn("__kh", kh)
+    val clean = withH
+      .join(baseH, withH("__kh") === baseH("__bh"), "left_anti")
+      .drop("__kh")
+    val colliding = withH
+      .join(baseH, withH("__kh") === baseH("__bh"), "left_semi")
+    val baseSliver = base.withColumn("__bh2", kh)
+      .join(colliding.select(col("__kh").as("__bh2")).distinct(), "__bh2")
+      .select(keyCols.map(col): _*)
+    val verified = colliding
+      .join(baseSliver, keyCols, "left_anti")
+      .drop("__kh")
+    clean.unionByName(verified)
+  }
+
   /** Ordered candidate pairs within capped buckets, WITHOUT a self-join:
     * one groupBy on the bucket keys (which reuses the `capBuckets` window
     * partitioning — no extra shuffle) collects the ≤cap member structs,

@@ -386,6 +386,31 @@ class DedupSpec extends SparkTestBase {
     assert(got.size >= exact.size * 0.8, s"recall ${got.size}/${exact.size}")
   }
 
+  test("incremental exact dedup: intra-batch + cross-base, equals naive anti-join") {
+    val base = Seq((0L, "a"), (2L, "b"), (4L, "c")).toDF("doc_id", "text")
+    val inc = Seq((1L, "a"), (3L, "d"), (5L, "d"), (7L, "e")).toDF("doc_id", "text")
+    val surv = Dedup.exactIncrement(inc, base, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    // 1 duplicates base "a"; 5 loses intra-batch to 3; 3 and 7 are new
+    assert(surv == Set(3L, 7L), s"got $surv")
+
+    // property on the real corpus: hash-screened result == naive full
+    // anti-join on the actual keys (the hash path must change nothing)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val b = docs.filter($"doc_id" % 2 === 0)
+    val i = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    val got = Dedup.exactIncrement(i, b, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val naive = i
+      .join(Dedup.exactLosers(i, "doc_id", Seq("text")), Seq("doc_id"), "left_anti")
+      .join(b.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive, s"missing: ${naive -- got}; extra: ${got -- naive}")
+    assert(got.nonEmpty)
+  }
+
   /** Deterministic ~1/3 sample of embeddings plus planted near-duplicates:
     * half exact copies (cosine 1, co-location guaranteed), half first-
     * element-perturbed (cosine ≈ 0.9999) — the semantic analogue of
