@@ -683,6 +683,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup ingest: the base corpus participates only via
+    // its precomputed MinHash index (text read once at index build); the
+    // increment plants last-word-perturbed copies of base docs, which the
+    // cross-corpus band join + exact-Jaccard verify must drop. Rows-only:
+    // seeded-LSH is not SQL-expressible; DedupSpec pins the semantics.
+    "d101_neardup_increment" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val idx = Dedup.minhashIndex(base, "doc_id", "text")
+      val inc = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(regexp_replace(col("text"), "\\s+\\S+$", ""),
+              lit(" zzz")).as("text")))
+      Dedup.nearDupIncrement(inc, idx, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dup-cluster resolution: pairs chained (id ↔ id+100k ↔ id+200k) so
     // min-label propagation must traverse two hops per component
     "d63_dup_clusters" -> ((s, d) => {

@@ -74,6 +74,68 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** One-time MinHash index of a corpus for [[nearDupIncrement]]: per doc,
+    * the banded LSH signature and the hashed shingle set — everything the
+    * ingest-time near-dup check needs, so the base corpus TEXT is read
+    * once at index-build time and never again. Persist this (it is
+    * `bands·8 + |shingles|·8` bytes/doc, a small fraction of text) and
+    * append each surviving increment's index rows after ingest. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.graft.NativeFunctions
+        .minhashBands(col(textCol), shingleK, numHashes, bands).as("bands"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+  }
+
+  /** Incremental NEAR-dup dedup: survivors of an ingest batch against a
+    * [[minhashIndex]] of the already-deduplicated base — the analogue of
+    * [[exactIncrement]] for near-duplicates:
+    *  1. intra-batch: canonical min-id survivor over [[minhashNearDups]]
+    *     pairs within the increment;
+    *  2. cross-corpus: band-bucket equi-join of the increment's banded
+    *     signatures against the index's (the increment side is small by
+    *     definition, so AQE broadcasts it — the base index never
+    *     shuffles); base buckets above `maxBucketSize` are dropped
+    *     (boilerplate bands), the shared skew guard;
+    *  3. candidates verify by exact Jaccard over the hashed shingle sets
+    *     (the increment recomputes its own, the base side reads them from
+    *     the index).
+    * Returns the surviving increment rows with all their columns. */
+  def nearDupIncrement(increment: DataFrame, baseIndex: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val intraLosers = minhashNearDups(increment, idCol, textCol,
+        shingleK, numHashes, bands, threshold, maxBucketSize)
+      .select(col("id_b").as("__l")).distinct()
+    val intra = increment
+      .join(intraLosers, increment(idCol) === col("__l"), "left_anti")
+
+    val baseBanded = baseIndex
+      .select(col("id").as("base_id"), posexplode(col("bands")))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val basePruned =
+      capBuckets(baseBanded, Seq("band_idx", "band_hash"), maxBucketSize, min = 1)
+    val incBanded = intra
+      .select(col(idCol).as("inc_id"),
+        posexplode(org.apache.spark.sql.graft.NativeFunctions
+          .minhashBands(col(textCol), shingleK, numHashes, bands)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val cand = incBanded.join(basePruned, Seq("band_idx", "band_hash"))
+      .select("inc_id", "base_id").distinct()
+
+    val incSh = intra.select(col(idCol).as("inc_id"),
+      shingleHashes(col(textCol), shingleK).as("__sh_i"))
+    val baseSh = baseIndex.select(col("id").as("base_id"), col("sh").as("__sh_b"))
+    val matched = cand.join(incSh, "inc_id").join(baseSh, "base_id")
+      .filter(jaccard(col("__sh_i"), col("__sh_b")) >= threshold)
+      .select(col("inc_id").as("__m")).distinct()
+    intra.join(matched, intra(idCol) === col("__m"), "left_anti")
+  }
+
   /** Incremental exact dedup: survivors of an INGEST batch against an
     * already-deduplicated base corpus — the path an accumulating corpus
     * actually runs at 100 TB, where re-deduping the base on every ingest

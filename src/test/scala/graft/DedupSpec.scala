@@ -411,6 +411,33 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("incremental near-dup dedup: perturbed base copies drop, new docs survive") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val idx = Dedup.minhashIndex(base, "doc_id", "text")
+    // planted: near-copies of base docs (last word replaced) under new ids
+    val plants = base.orderBy("doc_id").limit(10)
+      .select(($"doc_id" + 700000L).as("doc_id"),
+        concat(regexp_replace($"text", "\\s+\\S+$", ""), lit(" zzz")).as("text"))
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    val inc = fresh.unionByName(plants)
+    val surv = Dedup.nearDupIncrement(inc, idx, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // every planted near-copy is gone
+    assert(surv.forall(_ < 700000L), s"plants survived: ${surv.filter(_ >= 700000L)}")
+    // fresh odd docs survive unless they near-dup base/increment content;
+    // the corpus has planted exact-dup families, so allow a small loss but
+    // require the vast majority through
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+    assert(surv.size >= freshIds.size * 0.8, s"${surv.size} of ${freshIds.size}")
+    // determinism: identical result on re-run
+    val again = Dedup.nearDupIncrement(inc, idx, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == again)
+  }
+
   /** Deterministic ~1/3 sample of embeddings plus planted near-duplicates:
     * half exact copies (cosine 1, co-location guaranteed), half first-
     * element-perturbed (cosine ≈ 0.9999) — the semantic analogue of

@@ -25,7 +25,8 @@ class QueriesSpec extends SparkTestBase {
       "s33_ann_lsh", "q38_approx", "d40_ngram_neardup", "s41_knn_graph",
       "t42_group_sketch", "s44_ann_ivf", "t80_hll_sketch", "p88_pipeline",
       "d91_semantic_dedup", "d93_temperature_mix", "s95_ann_pq",
-      "d96_semantic_decontaminate", "s99_ann_ivfpq"),
+      "d96_semantic_decontaminate", "s99_ann_ivfpq",
+      "d101_neardup_increment"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
