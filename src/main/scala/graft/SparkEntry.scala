@@ -23,6 +23,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scratch dirs for gate entries that exercise write paths (streams,
+    * compaction, format round-trips). Registered for recursive delete at JVM
+    * exit so Verify/Bench runs leave no temp debris behind. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    sys.addShutdownHook {
+      scratchDirs.forEach { root =>
+        scala.util.Try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+  }
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Multi-way join
     * with broadcast dims + exact decimal aggregation. */
   def entry(spark: SparkSession): DataFrame =
@@ -424,7 +445,7 @@ object SparkEntry {
     // ---- stateful streaming CDC (mapGroupsWithState) vs batch oracle ----
     "str48_cdc_stream" -> ((s, d) => {
       import s.implicits._
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_str48")
+      val streamDir = tmpDir("graft_str48")
       val ops = t(s, d, "events").select(
         col("user_id").as("key"),
         when(col("event_type") === "signup", "I")
@@ -448,7 +469,7 @@ object SparkEntry {
     // once) → exact SQL oracle.
     "str90_stream_join" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_str90")
+      val streamDir = tmpDir("graft_str90")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
@@ -500,7 +521,7 @@ object SparkEntry {
       if (s.conf.getOption("spark.sql.catalog.graft_vwq").isEmpty) {
         s.conf.set("spark.sql.catalog.graft_vwq", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_vwq.root",
-          java.nio.file.Files.createTempDirectory("graft_vwq").toString)
+          tmpDir("graft_vwq").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_vwq.vdb")
       t(s, d, "lineitem").createOrReplaceTempView("graft_li_for_view")
@@ -523,7 +544,7 @@ object SparkEntry {
       if (s.conf.getOption("spark.sql.catalog.graft_extq").isEmpty) {
         s.conf.set("spark.sql.catalog.graft_extq", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_extq.root",
-          java.nio.file.Files.createTempDirectory("graft_extq").toString)
+          tmpDir("graft_extq").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_extq.edb")
       s.sql("DROP TABLE IF EXISTS graft_extq.edb.supplier_ext")
@@ -767,7 +788,7 @@ object SparkEntry {
     // makes the output the distinct key set — exact SQL oracle.
     "str92_stream_dedup" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_str92")
+      val streamDir = tmpDir("graft_str92")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
@@ -944,7 +965,7 @@ object SparkEntry {
     // equals TrainingDataPipeline.run's (pinned in PipelineSpec).
     "p88_pipeline" -> ((s, d) => {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_p88").toString
+      val out = tmpDir("graft_p88").toString
       val r = pipelines.TrainingDataPipeline.run(s, t(s, d, "documents"), out)
       Seq((r.input, r.afterQuality, r.afterExactDedup, r.afterNearDedup,
         r.totalTokens)).toDF("input", "after_quality", "after_exact_dedup",
@@ -960,7 +981,7 @@ object SparkEntry {
     "q89_zorder" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val out = java.nio.file.Files.createTempDirectory("graft_q89").toString
+      val out = tmpDir("graft_q89").toString
       operators.ZOrder.cluster(ev, Seq("user_id", "value"), 8)
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -988,7 +1009,7 @@ object SparkEntry {
       val src = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_q51").toString
+      val dir = tmpDir("graft_q51").toString
       graft.sources.FileFormats.writeDelimited(src, dir, delimiter = "|")
       graft.sources.FileFormats.readDelimited(s, dir, src.schema, delimiter = "|")
         .groupBy(col("o_orderstatus"))
@@ -1005,7 +1026,7 @@ object SparkEntry {
       val src = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_q59").toString + "/data"
+      val dir = tmpDir("graft_q59").toString + "/data"
       // small working set → few staging containers (q51 precedent)
       graft.sources.FileFormats.writeAvro(src.coalesce(4), dir)
       graft.sources.FileFormats.readAvro(s, dir, src.schema)
@@ -1028,7 +1049,7 @@ object SparkEntry {
           col("o_orderdate"),
           to_date(col("o_orderdate")).as("odate"),
           col("o_totalprice").cast(DecimalType(12, 2)).as("price_d"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_q98").toString + "/data"
+      val dir = tmpDir("graft_q98").toString + "/data"
       graft.sources.FileFormats.writeAvro(src.coalesce(4), dir)
       graft.sources.FileFormats.readAvro(s, dir, src.schema)
         .groupBy(col("o_orderstatus"))
@@ -1051,7 +1072,7 @@ object SparkEntry {
           // ulps (DuckDB expands the binary double, Spark shortest-rounds)
           col("l_discount").cast(DecimalType(12, 2))
             .cast(DecimalType(38, 18)).as("disc_d"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_q60").toString + "/data"
+      val dir = tmpDir("graft_q60").toString + "/data"
       src.coalesce(4).write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)
         .groupBy(col("l_returnflag"))
@@ -1106,7 +1127,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The streaming file source lists a directory; expose the single
       // parquet file through a temp-dir symlink (no copy).
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_str39")
+      val streamDir = tmpDir("graft_str39")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
@@ -1245,13 +1266,13 @@ object SparkEntry {
     // the sentinel's own open session is the only state left unemitted.
     "str82_stream_session" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_str82")
+      val streamDir = tmpDir("graft_str82")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
       val raw = s.read.parquet(s"$d/events.parquet")
       val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-      val sentinelDir = java.nio.file.Files.createTempDirectory("graft_str82_s")
+      val sentinelDir = tmpDir("graft_str82_s")
       raw.limit(1)
         .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
         .withColumn("user_id", lit(-1L))
@@ -1350,7 +1371,7 @@ object SparkEntry {
     // compacted in place (per-partition staged rewrite), then read back —
     // the aggregate must be indistinguishable from the uncompacted source
     "q87_compact" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q87")
+      val dir = tmpDir("graft_q87")
         .toString + "/orders"
       val o = t(s, d, "orders").withColumn("yr", year(col("o_orderdate")))
       o.repartition(16).write.partitionBy("yr").parquet(dir)
