@@ -723,6 +723,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance resampling: select the quarter of the corpus whose
+    // hashed-n-gram distribution best matches a 3-source target slice.
+    // Rows-only: bucket hashing + gumbel selection are not SQL-expressible;
+    // DedupSpec pins the semantics (dense weights, family separation,
+    // seeded-gumbel determinism).
+    "d102_importance_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val target = docs
+        .filter(col("source").isin("src18", "src6", "src7"))
+        .select(col("text"))
+      Dedup.importanceResample(docs, "doc_id", "text", target,
+          keepFraction = 0.25)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dup-cluster resolution: pairs chained (id ↔ id+100k ↔ id+200k) so
     // min-label propagation must traverse two hops per component
     "d63_dup_clusters" -> ((s, d) => {

@@ -597,6 +597,130 @@ object Dedup {
       .drop("__graft_ord")
   }
 
+  /** Hashed unigram+bigram feature postings: one row per n-gram occurrence,
+    * carrying `idCols` plus the feature's bucket id in `[0, buckets)`
+    * (seeded xxhash64 of the gram). Tokenization is lowercase alphanumeric
+    * runs; NULL / empty texts produce no postings. Posting-style by design
+    * (explode, then hash) — per-doc feature arrays never nest inside
+    * higher-order lambdas. */
+  private def ngramPostings(df: DataFrame, idCols: Seq[String],
+      textCol: String, buckets: Int, seed: String): DataFrame = {
+    val toks = array_remove(
+      split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), "")
+    val rest = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), rest), slice(toks, lit(2), rest),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(idCols.map(col) :+
+        explode(concat(toks, bigrams)).as("__tok"): _*)
+      .select(idCols.map(col) :+
+        pmod(xxhash64(lit(seed), col("__tok")), lit(buckets.toLong))
+          .as("bucket"): _*)
+  }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public recipe): for every hashed-n-gram
+    * bucket, the smoothed log-likelihood ratio
+    * `log p_target(b) − log p_raw(b)` of the bucket under the target vs the
+    * raw feature distribution. Additive smoothing is deliberately SMALL
+    * (default 0.01/bucket) so a target corpus with far fewer features than
+    * `buckets` isn't swamped by smoothing mass — it only needs to keep
+    * zero-count buckets finite. Returns a DENSE `buckets`-row table
+    * (bucket, n_raw, n_tgt, log_w) — O(buckets) rows regardless of corpus
+    * size, so downstream joins always broadcast it.
+    *
+    * Scale shape: each distribution fit is one map-side-combined count
+    * aggregate collapsing to ≤ `buckets` rows; the totals row is a one-row
+    * broadcast cross join. Nothing corpus-sized is shuffled or collected. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 1 << 13, seed: String = "graft_dsir",
+      smoothing: Double = 0.01): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
+    def dist(df: DataFrame, n: String) =
+      ngramPostings(df, Nil, textCol, buckets, seed)
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    val counts = raw.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(dist(raw, "__nr"), Seq("bucket"), "left")
+      .join(dist(target, "__nt"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__nr"), lit(0L)).as("n_raw"),
+        coalesce(col("__nt"), lit(0L)).as("n_tgt"))
+    val totals = counts.agg(
+      sum("n_raw").as("__tr"), sum("n_tgt").as("__tt"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_raw"), col("n_tgt"),
+        (log((col("n_tgt") + lit(smoothing)) /
+            (col("__tt") + lit(smoothing) * buckets)) -
+          log((col("n_raw") + lit(smoothing)) /
+            (col("__tr") + lit(smoothing) * buckets)))
+          // fixed-scale decimal so per-doc score sums are bit-identical
+          // across partitionings (the repo-wide double-agg determinism rule)
+          .cast(DecimalType(28, 12)).as("log_w"))
+  }
+
+  /** Per-document importance score: the sum of the document's feature
+    * log-ratios under [[importanceWeights]] — the log of the unigram-LM
+    * importance weight `p_target(doc)/p_raw(doc)`. One corpus-wide shuffle
+    * (the per-id groupBy); the weight table is broadcast. Documents with no
+    * features (NULL/empty text) get no row. `log_w` is fixed-scale decimal,
+    * so the sum is deterministic under any partitioning. */
+  def importanceScores(corpus: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 1 << 13,
+      seed: String = "graft_dsir"): DataFrame =
+    ngramPostings(corpus, Seq(idCol), textCol, buckets, seed)
+      .join(broadcast(weights.select("bucket", "log_w")), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("log_w")).as("score"),
+        count(lit(1)).as("n_features"))
+
+  /** DSIR importance resampling: keep the `keepFraction` share of the
+    * corpus whose hashed-n-gram distribution most resembles `target`.
+    * Selection score = LENGTH-NORMALIZED importance score (mean feature
+    * log-ratio — the sum would penalize long documents by the smoothing
+    * bias times feature count) plus, by default, deterministic per-id
+    * Gumbel noise: the Gumbel-top-k trick samples without replacement in
+    * proportion to the importance weights instead of hard-truncating at a
+    * score cutoff (pass `gumbel = false` for the deterministic
+    * top-fraction variant). The noise is a pure function of (seed, id), so
+    * the realized sample is reproducible across runs and partitionings.
+    *
+    * Scale shape: weights fit (bounded aggregates) → broadcast-join score
+    * pass (one shuffle) → ONE approx-quantile scalar to the driver → a
+    * codegen'd filter. No global sort, no driver-side top-k; the realized
+    * fraction is approximate-by-design (quantile sketch; ties at the
+    * cutoff — possible only with `gumbel = false` — are all dropped,
+    * never all kept). */
+  def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, keepFraction: Double,
+      buckets: Int = 1 << 13, seed: String = "graft_dsir",
+      gumbel: Boolean = true, smoothing: Double = 0.01): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction in (0,1], got $keepFraction")
+    val w = importanceWeights(corpus, target, textCol, buckets, seed,
+      smoothing)
+    val noise = if (!gumbel) lit(0.0) else {
+      val m = 1000000007L
+      val u = (pmod(xxhash64(lit(seed + "_gumbel"), col(idCol)), lit(m))
+        .cast(DoubleType) + 0.5) / m.toDouble
+      -log(-log(u))
+    }
+    val scored = importanceScores(corpus, idCol, textCol, w, buckets, seed)
+      .withColumn("sel_score",
+        (col("score") / col("n_features")).cast(DoubleType) + noise)
+    val kept =
+      if (keepFraction == 1.0) scored
+      else {
+        val cut = scored.agg(expr(
+          s"approx_percentile(sel_score, ${1.0 - keepFraction}, 10000)")
+          .as("__cut"))
+        scored.crossJoin(broadcast(cut))
+          .filter(col("sel_score") > col("__cut"))
+      }
+    corpus.join(kept.select(col(idCol), col("score")), Seq(idCol))
+  }
+
   /** Benchmark decontamination: drop corpus documents whose shingle overlap
     * with any benchmark document reaches `threshold` Jaccard — the standard
     * pretraining hygiene step (test-set leakage removal).

@@ -529,4 +529,58 @@ class DedupSpec extends SparkTestBase {
       dim = 8, k = 3, numPlanes = 8, maxBucketSize = 64)
     assert(uncapped.count() == 40 * 3)
   }
+
+  // Two disjoint-vocabulary doc families for the DSIR tests: family A is
+  // what the target distribution looks like, family B is off-distribution.
+  private def dsirDocs: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val vocabA = Seq("solar", "flux", "photon", "lattice", "quark", "spin")
+    val vocabB = Seq("gravel", "asphalt", "cement", "mortar", "brick", "tile")
+    def doc(vocab: Seq[String], rot: Int): String =
+      (0 until 8).map(j => vocab((rot + j) % vocab.size)).mkString(" ")
+    val corpus = ((1 to 30).map(i => (i.toLong, doc(vocabA, i))) ++
+      (31 to 60).map(i => (i.toLong, doc(vocabB, i)))).toDF("doc_id", "text")
+    val target = (1 to 10).map(i => (i.toLong, doc(vocabA, i * 7)))
+      .toDF("tid", "text")
+    (corpus, target)
+  }
+
+  test("dsir weights: dense table, target vocab outweighs off-target vocab") {
+    val (corpus, target) = dsirDocs
+    val buckets = 1 << 10
+    val w = Dedup.importanceWeights(corpus, target, "text", buckets = buckets)
+    assert(w.count() == buckets)
+    def bucketOf(tok: String): Long = corpus.sparkSession.range(1)
+      .select(pmod(xxhash64(lit("graft_dsir"), lit(tok)), lit(buckets.toLong)))
+      .head().getLong(0)
+    val wByBucket = w.select("bucket", "log_w").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(wByBucket(bucketOf("solar")) > 0,
+      "target-vocab bucket must have positive log ratio")
+    assert(wByBucket(bucketOf("gravel")) < 0,
+      "off-target bucket must have negative log ratio")
+  }
+
+  test("dsir resample keeps the target-distribution half of the corpus") {
+    val (corpus, target) = dsirDocs
+    val kept = Dedup.importanceResample(corpus, "doc_id", "text", target,
+        keepFraction = 0.5, buckets = 1 << 10, gumbel = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size >= 25 && kept.size <= 35, s"kept ${kept.size} of 60")
+    assert(kept.forall(_ <= 30L),
+      s"only family-A docs should survive, got off-target ids ${kept.filter(_ > 30L)}")
+  }
+
+  test("dsir gumbel resample is reproducible and spans both families") {
+    val (corpus, target) = dsirDocs
+    def run() = Dedup.importanceResample(corpus, "doc_id", "text", target,
+        keepFraction = 0.5, buckets = 1 << 10, gumbel = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = run()
+    assert(a == run(), "seeded gumbel selection must be deterministic")
+    // noise samples proportionally instead of hard-truncating; with this
+    // fixture's wide score gap family A must still dominate the draw
+    assert(a.count(_ <= 30L) > a.count(_ > 30L),
+      s"family A must dominate the sample: $a")
+  }
 }
