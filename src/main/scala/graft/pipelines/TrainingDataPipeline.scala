@@ -132,9 +132,19 @@ object TrainingDataPipeline {
     * reported it.) */
   /** Optional benchmark-decontamination input for [[run]]: documents whose
     * shingle overlap with any of these reaches the threshold are dropped
-    * between the quality gate and dedup. */
+    * between the quality gate and dedup.
+    *
+    * Optional DSIR selection input (`dsirTarget`): a (target corpus with a
+    * `text` column, keep fraction) pair — after the quality gate, only the
+    * share of the corpus whose hashed-n-gram distribution best matches the
+    * target survives ([[Dedup.importanceResample]]). The target sees the
+    * same PII redaction as the corpus (a redaction-shifted distribution
+    * would skew the likelihood ratios). Its losses land between the
+    * `afterQuality` and `afterExactDedup` observations, like
+    * decontamination's. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      cfg: Config = Config(), benchmark: Option[DataFrame] = None): Report = {
+      cfg: Config = Config(), benchmark: Option[DataFrame] = None,
+      dsirTarget: Option[(DataFrame, Double)] = None): Report = {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
@@ -152,6 +162,15 @@ object TrainingDataPipeline {
       .getOrElse(sampled)
     val quality = qualityFilter(mixed, cfg)
       .observe(obsQ, count(lit(1)).as("n"))
+    val selected = dsirTarget
+      .map { case (t0, frac) =>
+        val tgt = if (cfg.redactPii)
+          t0.withColumn("text", TextAnalysis.redactPii(col("text")))
+        else t0
+        Dedup.importanceResample(quality, "doc_id", "text",
+          tgt.select("text"), frac).drop("score")
+      }
+      .getOrElse(quality)
     // the benchmark must see the same redaction as the corpus, or a
     // PII-bearing benchmark doc would no longer exact-hash-match its
     // verbatim corpus twin
@@ -160,9 +179,9 @@ object TrainingDataPipeline {
         val b = if (cfg.redactPii)
           b0.withColumn("text", TextAnalysis.redactPii(col("text")))
         else b0
-        Dedup.decontaminate(quality, b, "doc_id", "text", cfg.shingleK)
+        Dedup.decontaminate(selected, b, "doc_id", "text", cfg.shingleK)
       }
-      .getOrElse(quality)
+      .getOrElse(selected)
     val exact = dropExactDups(clean)
       .observe(obsE, count(lit(1)).as("n"))
     val nearDeduped = dropNearDups(exact, cfg)

@@ -161,6 +161,34 @@ class PipelineSpec extends SparkTestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("dsir selection stage keeps target-distribution docs before dedup") {
+    val vocabA = Seq("solar", "flux", "photon", "lattice", "quark", "spin")
+    val vocabB = Seq("gravel", "asphalt", "cement", "mortar", "brick", "tile")
+    def doc(vocab: Seq[String], rot: Int): String =
+      (0 until 8).map(j => vocab((rot + j) % vocab.size)).mkString(" ")
+    val corpus = ((1 to 30).map(i => (i.toLong, doc(vocabA, i), "en", "a", 1L)) ++
+      (31 to 60).map(i => (i.toLong, doc(vocabB, i), "en", "b", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val target = (1 to 10).map(i => (i.toLong, doc(vocabA, i * 7)))
+      .toDF("tid", "text")
+    val outDir = Files.createTempDirectory("graft_pipe_dsir").toString
+    val report = TrainingDataPipeline.run(spark, corpus, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        nearDupThreshold = 0.99),
+      dsirTarget = Some((target, 0.5)))
+    assert(report.input == 60 && report.afterQuality == 60)
+    // DSIR losses land before the exact-dedup observation
+    assert(report.afterExactDedup < 60)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == report.afterNearDedup)
+    val a = out.filter($"doc_id" <= 30).count()
+    val b = out.filter($"doc_id" > 30).count()
+    assert(a > b, s"target family must dominate the output: a=$a b=$b")
+    // selection happens before dedup, so survivors are still min-id
+    // canonical within each family's duplicate groups
+    assert(out.count() == out.select("text").distinct().count())
+  }
+
   test("the p88_pipeline gate entry reports exactly what run() reports") {
     val row = SparkEntry.queries("p88_pipeline")(spark, sf).head()
     val out = Files.createTempDirectory("graft_p88_pin").toString
