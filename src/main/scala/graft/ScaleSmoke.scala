@@ -77,6 +77,7 @@ object ScaleSmoke {
     "d28_dedup_exact", "d29_minhash_neardup", "d40_ngram_neardup",
     "d62_dedup_groups", "d63_dup_clusters", "d74_span_dedup",
     "d100_dedup_increment", "d101_neardup_increment",
+    "d102_importance_sample",
     "q68_decontaminate", "t94_top_tokens",
     "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
     "q87_compact", "q89_zorder", "p88_pipeline")

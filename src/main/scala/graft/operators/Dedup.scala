@@ -631,18 +631,28 @@ object Dedup {
     *
     * Scale shape: each distribution fit is one map-side-combined count
     * aggregate collapsing to ≤ `buckets` rows; the totals row is a one-row
-    * broadcast cross join. Nothing corpus-sized is shuffled or collected. */
+    * broadcast cross join. Nothing corpus-sized is shuffled or collected.
+    * `rawFitFraction` < 1 fits the raw distribution on a deterministic
+    * hash-sample of `raw` (the ratio is distribution-normalized, so
+    * sampling the fit is unbiased) — at 100 TB a 1% fit sample makes the
+    * distribution pass negligible next to the scoring pass. */
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
       buckets: Int = 1 << 13, seed: String = "graft_dsir",
-      smoothing: Double = 0.01): DataFrame = {
+      smoothing: Double = 0.01, rawFitFraction: Double = 1.0): DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
+    require(rawFitFraction > 0.0 && rawFitFraction <= 1.0,
+      s"rawFitFraction in (0,1], got $rawFitFraction")
     def dist(df: DataFrame, n: String) =
       ngramPostings(df, Nil, textCol, buckets, seed)
         .groupBy("bucket").agg(count(lit(1)).as(n))
+    val rawFit =
+      if (rawFitFraction >= 1.0) raw
+      else raw.filter(pmod(xxhash64(lit(seed + "_fit"), col(textCol)),
+        lit(1 << 16)) < (lit(rawFitFraction) * (1 << 16)))
     val counts = raw.sparkSession.range(buckets)
       .select(col("id").as("bucket"))
-      .join(dist(raw, "__nr"), Seq("bucket"), "left")
+      .join(dist(rawFit, "__nr"), Seq("bucket"), "left")
       .join(dist(target, "__nt"), Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("__nr"), lit(0L)).as("n_raw"),
@@ -695,11 +705,12 @@ object Dedup {
   def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, keepFraction: Double,
       buckets: Int = 1 << 13, seed: String = "graft_dsir",
-      gumbel: Boolean = true, smoothing: Double = 0.01): DataFrame = {
+      gumbel: Boolean = true, smoothing: Double = 0.01,
+      rawFitFraction: Double = 1.0): DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
       s"keepFraction in (0,1], got $keepFraction")
     val w = importanceWeights(corpus, target, textCol, buckets, seed,
-      smoothing)
+      smoothing, rawFitFraction)
     val noise = if (!gumbel) lit(0.0) else {
       val m = 1000000007L
       val u = (pmod(xxhash64(lit(seed + "_gumbel"), col(idCol)), lit(m))

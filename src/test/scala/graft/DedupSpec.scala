@@ -561,6 +561,41 @@ class DedupSpec extends SparkTestBase {
       "off-target bucket must have negative log ratio")
   }
 
+  test("dsir sampled raw fit preserves the weight structure") {
+    val vocabA = Seq("solar", "flux", "photon", "lattice", "quark", "spin")
+    val vocabB = Seq("gravel", "asphalt", "cement", "mortar", "brick", "tile")
+    def doc(vocab: Seq[String], rot: Int): String =
+      (0 until 8).map(j => vocab((rot + j) % vocab.size)).mkString(" ")
+    // distinct text per doc (unique suffix): the fit sample hashes TEXT, so
+    // it must thin vocab-bucket counts rather than zero 1-of-12 clone groups
+    val corpus = ((1 to 30).map(i => (i.toLong, doc(vocabA, i) + s" ua$i")) ++
+      (31 to 60).map(i => (i.toLong, doc(vocabB, i) + s" ub$i")))
+      .toDF("doc_id", "text")
+    val target = (1 to 10).map(i => (i.toLong, doc(vocabA, i * 7)))
+      .toDF("tid", "text")
+    val full = Dedup.importanceWeights(corpus, target, "text",
+      buckets = 1 << 10)
+    val sampled = Dedup.importanceWeights(corpus, target, "text",
+      buckets = 1 << 10, rawFitFraction = 0.5)
+    // structurally-weighted buckets (vocab words seen across many docs)
+    // keep their sign under the sampled fit; singleton unique-suffix
+    // buckets legitimately lose their smoothing-floor sign when the sample
+    // drops their only occurrence
+    val signFlips = full
+      .select(col("bucket"), col("log_w").as("w_full"),
+        col("n_raw").as("n_full"))
+      .join(sampled.select(col("bucket"), col("log_w").as("w_samp")),
+        Seq("bucket"))
+      .filter(col("n_full") >= 5)
+      .filter((col("w_full") > 0) =!= (col("w_samp") > 0))
+      .count()
+    assert(signFlips == 0, s"$signFlips structural sign flips")
+    // and the sampled raw totals actually shrank
+    val nFull = full.agg(sum("n_raw")).head().getLong(0)
+    val nSamp = sampled.agg(sum("n_raw")).head().getLong(0)
+    assert(nSamp < nFull, s"sampled fit must see fewer postings: $nSamp vs $nFull")
+  }
+
   test("dsir resample keeps the target-distribution half of the corpus") {
     val (corpus, target) = dsirDocs
     val kept = Dedup.importanceResample(corpus, "doc_id", "text", target,
