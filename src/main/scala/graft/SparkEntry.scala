@@ -723,6 +723,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming ingest near-dup dedup: the d101 scenario driven through
+    // Structured Streaming — two micro-batches (maxFilesPerTrigger=1)
+    // survive nearDupIncrement against the persisted index, which
+    // accumulates each batch's survivors so later batches dedup against
+    // earlier ones. Rows-only: seeded LSH is not SQL-expressible;
+    // StreamingSpec pins the cross-batch semantics.
+    "str103_stream_neardup_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = tmpDir("graft_str103")
+      val (indexDir, outDir, srcDir, ckpt) =
+        (s"$root/idx", s"$root/out", s"$root/src", s"$root/ckpt")
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.Dedup.minhashIndex(base, "doc_id", "text")
+        .write.parquet(s"$indexDir/batch=seed")
+      val inc = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(regexp_replace(col("text"), "\\s+\\S+$", ""),
+              lit(" zzz")).as("text")))
+      inc.repartition(2).write.parquet(srcDir)
+      val stream = s.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamNearDupIngest(
+        stream, indexDir, outDir, ckpt, "doc_id", "text", threshold = 0.5)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: select the quarter of the corpus whose
     // hashed-n-gram distribution best matches a 3-source target slice.
     // Rows-only: bucket hashing + gumbel selection are not SQL-expressible;

@@ -175,6 +175,46 @@ object MicroBatch {
     l.join(r, lKey === rKey && rT >= lT && rT <= lT + expr(s"interval $range"))
   }
 
+  /** Streaming ingest NEAR-dup dedup: every micro-batch survives
+    * [[graft.operators.Dedup.nearDupIncrement]] against the MinHash index
+    * persisted under `indexDir`, then appends BOTH its surviving rows (to
+    * `outDir`) and their index rows (to `indexDir`) — so batch N+1 dedups
+    * against the base corpus AND all earlier batches' survivors, while the
+    * base corpus text is never re-read (it participates only through its
+    * index). foreachBatch because the index must feed and accumulate within
+    * one query — a stateful streaming join cannot append its own build side.
+    *
+    * Both writes land in `batch=<id>` subdirectories with overwrite, so a
+    * replayed micro-batch (failure between the two writes, restart before
+    * the checkpoint commit) REPLACES its own partial output instead of
+    * double-appending — the same stage-then-swap idempotency rule the batch
+    * writers follow. Seed `indexDir` before starting with
+    * [[graft.operators.Dedup.minhashIndex]] of the deduplicated base,
+    * written to a `batch=seed` subdirectory (the directory must be uniform
+    * `batch=` partitions for discovery). At 100 TB the index is
+    * `bands·8 + |shingles|·8` bytes/doc — the micro-batch side is small by
+    * definition, so AQE broadcasts it and the accumulated index never
+    * shuffles. */
+  def streamNearDupIngest(stream: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucketSize: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val index = spark.read.parquet(indexDir).select("id", "bands", "sh")
+        val survivors = graft.operators.Dedup.nearDupIncrement(
+          batch, index, idCol, textCol, shingleK, numHashes, bands,
+          threshold, maxBucketSize)
+        survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        graft.operators.Dedup.minhashIndex(survivors, idCol, textCol,
+            shingleK, numHashes, bands)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Run a streaming DataFrame to completion against the available input
     * (memory sink, complete mode) and return the materialized result —
     * batch-equivalent semantics for tests/verification.

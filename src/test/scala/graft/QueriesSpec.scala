@@ -26,7 +26,8 @@ class QueriesSpec extends SparkTestBase {
       "t42_group_sketch", "s44_ann_ivf", "t80_hll_sketch", "p88_pipeline",
       "d91_semantic_dedup", "d93_temperature_mix", "s95_ann_pq",
       "d96_semantic_decontaminate", "s99_ann_ivfpq",
-      "d101_neardup_increment", "d102_importance_sample"),
+      "d101_neardup_increment", "d102_importance_sample",
+      "str103_stream_neardup_ingest"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

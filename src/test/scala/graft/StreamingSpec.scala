@@ -212,4 +212,53 @@ class StreamingSpec extends SparkTestBase {
     val ev = Tables.events(spark, sf)
     assert(joined == ev.filter(col("event_type").isin("click", "purchase")).count())
   }
+
+  test("streaming near-dup ingest dedups across batches via the index") {
+    import graft.operators.Dedup
+    def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    def perturb(t: String) = t.split(" ").dropRight(1).mkString(" ") + " zzz"
+
+    val root = Files.createTempDirectory("graft_snd")
+    val (indexDir, outDir, srcDir, ckpt) = (s"$root/idx", s"$root/out",
+      s"$root/src", s"$root/ckpt")
+    // seed: index of the deduplicated base corpus (batch=seed subdir)
+    val base = Seq((2L, words("alpha")), (4L, words("beta"))).toDF("doc_id", "text")
+    Dedup.minhashIndex(base, "doc_id", "text")
+      .write.parquet(s"$indexDir/batch=seed")
+
+    // two source files = two micro-batches (maxFilesPerTrigger=1):
+    //  batch 1: 101 novel, 103 ~ base doc 2   → 103 dropped via seed index
+    //  batch 2: 201 ~ 101 (NOT in the base!), 205 novel
+    //           → 201 must be dropped via the ACCUMULATED index
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def stage(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft_snd_f").toString + "/data"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("f1.parquet", t0, 101L -> words("gamma"), 103L -> perturb(words("alpha")))
+    stage("f2.parquet", t0 + 30000, 201L -> perturb(words("gamma")), 205L -> words("delta"))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MicroBatch.streamNearDupIngest(stream, indexDir, outDir, ckpt,
+      "doc_id", "text", threshold = 0.5)
+    try q.processAllAvailable() finally q.stop()
+
+    val survivors = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(101L, 205L),
+      s"cross-batch near-dup must be dropped via the accumulated index: $survivors")
+    // the index accumulated exactly the seed + the survivors
+    val idxIds = spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(2L, 4L, 101L, 205L), s"index ids: $idxIds")
+  }
 }
