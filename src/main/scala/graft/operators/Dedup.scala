@@ -615,7 +615,8 @@ object Dedup {
         explode(concat(toks, bigrams)).as("__tok"): _*)
       .select(idCols.map(col) :+
         pmod(xxhash64(lit(seed), col("__tok")), lit(buckets.toLong))
-          .as("bucket"): _*)
+          // internal name so an id column literally called "bucket" works
+          .as("__graft_b"): _*)
   }
 
   /** DSIR-style importance weights (Data Selection via Importance
@@ -645,7 +646,7 @@ object Dedup {
       s"rawFitFraction in (0,1], got $rawFitFraction")
     def dist(df: DataFrame, n: String) =
       ngramPostings(df, Nil, textCol, buckets, seed)
-        .groupBy("bucket").agg(count(lit(1)).as(n))
+        .groupBy(col("__graft_b").as("bucket")).agg(count(lit(1)).as(n))
     val rawFit =
       if (rawFitFraction >= 1.0) raw
       else raw.filter(pmod(xxhash64(lit(seed + "_fit"), col(textCol)),
@@ -680,7 +681,8 @@ object Dedup {
       weights: DataFrame, buckets: Int = 1 << 13,
       seed: String = "graft_dsir"): DataFrame =
     ngramPostings(corpus, Seq(idCol), textCol, buckets, seed)
-      .join(broadcast(weights.select("bucket", "log_w")), Seq("bucket"))
+      .join(broadcast(weights.select(col("bucket").as("__graft_b"),
+        col("log_w"))), Seq("__graft_b"))
       .groupBy(col(idCol))
       .agg(sum(col("log_w")).as("score"),
         count(lit(1)).as("n_features"))

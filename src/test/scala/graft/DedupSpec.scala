@@ -606,6 +606,26 @@ class DedupSpec extends SparkTestBase {
       s"only family-A docs should survive, got off-target ids ${kept.filter(_ > 30L)}")
   }
 
+  test("dsir scoring broadcasts the weight table; idCol may be 'bucket'") {
+    val (corpus, target) = dsirDocs
+    val w = Dedup.importanceWeights(corpus, target, "text", buckets = 1 << 10)
+    val scored = Dedup.importanceScores(corpus, "doc_id", "text", w,
+      buckets = 1 << 10)
+    // the scale guarantee: the ≤buckets-row weight table joins by
+    // broadcast — the corpus posting side never shuffles for the join
+    assert(scored.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "weight join must broadcast")
+    // public column names must not collide with the internal bucket key
+    val renamed = corpus.withColumnRenamed("doc_id", "bucket")
+    val scored2 = Dedup.importanceScores(renamed, "bucket", "text", w,
+      buckets = 1 << 10)
+    val a = scored.select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val b = scored2.select(col("bucket"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(a == b, "scores must be identical under the renamed id column")
+  }
+
   test("dsir gumbel resample is reproducible and spans both families") {
     val (corpus, target) = dsirDocs
     def run() = Dedup.importanceResample(corpus, "doc_id", "text", target,
