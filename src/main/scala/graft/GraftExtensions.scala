@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, MinHashBands, MinHashSignature, ShingleHashes, SimHash64, TokenCount}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, ForeignBucketHash, MinHashBands, MinHashSignature, ShingleHashes, SimHash64, TokenCount}
 
 /** Session extensions: inject the native expressions as SQL functions —
   * the registration pattern of the reference's `OdpsExtensions`
@@ -50,5 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       exprs => MinHashBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
         intLit(exprs(3)))))
+    e.injectFunction((
+      FunctionIdentifier("foreign_bucket_hash"),
+      new ExpressionInfo(classOf[ForeignBucketHash].getName,
+        "foreign_bucket_hash"),
+      exprs => ForeignBucketHash(exprs)))
   }
 }

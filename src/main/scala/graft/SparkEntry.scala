@@ -723,6 +723,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // foreign-warehouse bucket assignment (the §7.3 interop pack):
+    // per-bucket membership stats under the bit-compatible hash. Rows-only:
+    // the foreign hash is definitionally not ANSI-SQL-expressible;
+    // ExpressionsSpec pins known-answer values, null handling, and the
+    // codegen path.
+    "q104_foreign_bucket" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.select(org.apache.spark.sql.graft.NativeFunctions
+          .foreignBucketId(16, col("o_custkey"), col("o_orderstatus"))
+          .as("bucket"),
+          col("o_orderkey"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("bucket"))
+    }),
+
     // streaming ingest near-dup dedup: the d101 scenario driven through
     // Structured Streaming — two micro-batches (maxFilesPerTrigger=1)
     // survive nearDupIncrement against the persisted index, which

@@ -780,6 +780,151 @@ object Catalogs {
 }
 
 /** Column-level entry points for the native expressions. */
+/** Kernels for the foreign-warehouse bucket hash (the optional interop
+  * pack of SURVEY §7.3): a Jenkins one-at-a-time hash over UTF-8 bytes
+  * for strings/binary, a 64→32-bit avalanche mix for integral/floating
+  * types, boolean sentinel constants, null → 0, and per-row combination
+  * `sum ^ (sum >> 8)`. This is the bucket function a MaxCompute-style
+  * warehouse applies to clustered tables (behavior defined by reference
+  * `spark-connector/common/.../bucket/OdpsDefaultHasher.java:37-178` and
+  * `catalyst/expressions/hash.scala:38-104`; re-implemented from that
+  * public definition — both pieces are textbook Jenkins constructions).
+  * Bit-compatibility is what lets a bucketed write co-locate with
+  * warehouse-hashed buckets so a cross-system bucket join needs no
+  * shuffle on either side. Static kernels keep generated code to one
+  * call per column (see [[HashKernels]]). */
+object ForeignHashKernels {
+  def mixLong(v: Long): Int = {
+    var l = v
+    l = (~l) + (l << 18)
+    l ^= (l >> 31)
+    l *= 21
+    l ^= (l >> 11)
+    l += (l << 6)
+    l ^= (l >> 22)
+    l.toInt
+  }
+
+  def hashBytes(bytes: Array[Byte]): Int = {
+    var h = 0
+    var i = 0
+    while (i < bytes.length) {
+      h += bytes(i) // signed byte — the widening the foreign hash specifies
+      h += h << 10
+      h ^= h >> 6
+      i += 1
+    }
+    h += h << 3
+    h ^= h >> 11
+    h += h << 15
+    h
+  }
+
+  def hashUtf8(s: UTF8String): Int = hashBytes(s.getBytes)
+
+  /** Boolean sentinels of the foreign hash (fixed constants, not mixes). */
+  val TrueHash: Int = 0x172ba9c7
+  val FalseHash: Int = -0x3a59cb12
+}
+
+/** Row hash of the foreign warehouse's default clustered-table hasher —
+  * `pmod(foreign_bucket_hash(keys), numBuckets)` reproduces the
+  * warehouse's bucket assignment bit-for-bit, so data written with that
+  * layout co-locates with warehouse-written buckets. Never nullable:
+  * null columns contribute 0, exactly as the foreign hasher defines.
+  * Supported inputs mirror the foreign surface (bool / integral / float /
+  * double / string / binary); timestamps and decimals are rejected at
+  * analysis time like the reference connector rejects them. */
+case class ForeignBucketHash(children: Seq[Expression]) extends Expression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val bad = children.map(_.dataType).filterNot {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType => true
+      case _ => false
+    }
+    if (children.isEmpty)
+      TypeCheckResult.TypeCheckFailure("foreign_bucket_hash needs >= 1 argument")
+    else if (bad.nonEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"foreign_bucket_hash does not support: ${bad.mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var sum = 0
+    var i = 0
+    while (i < children.length) {
+      val c = children(i)
+      val v = c.eval(input)
+      if (v != null) sum += hashOne(v, c.dataType)
+      i += 1
+    }
+    sum ^ (sum >> 8)
+  }
+
+  private def hashOne(v: Any, dt: DataType): Int = dt match {
+    case BooleanType =>
+      if (v.asInstanceOf[Boolean]) ForeignHashKernels.TrueHash
+      else ForeignHashKernels.FalseHash
+    case ByteType => ForeignHashKernels.mixLong(v.asInstanceOf[Byte].toLong)
+    case ShortType => ForeignHashKernels.mixLong(v.asInstanceOf[Short].toLong)
+    case IntegerType => ForeignHashKernels.mixLong(v.asInstanceOf[Int].toLong)
+    case LongType => ForeignHashKernels.mixLong(v.asInstanceOf[Long])
+    case FloatType => ForeignHashKernels.mixLong(
+      java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong)
+    case DoubleType => ForeignHashKernels.mixLong(
+      java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case StringType => ForeignHashKernels.hashUtf8(v.asInstanceOf[UTF8String])
+    case BinaryType => ForeignHashKernels.hashBytes(v.asInstanceOf[Array[Byte]])
+    case other => throw new UnsupportedOperationException(other.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val k = "org.apache.spark.sql.graft.ForeignHashKernels"
+    val sum = ctx.freshName("sum")
+    val pieces = children.map { c =>
+      val g = c.genCode(ctx)
+      val call = c.dataType match {
+        case BooleanType => s"(${g.value} ? 0x172ba9c7 : -0x3a59cb12)"
+        case ByteType | ShortType | IntegerType => s"$k.mixLong((long) ${g.value})"
+        case LongType => s"$k.mixLong(${g.value})"
+        case FloatType => s"$k.mixLong((long) Float.floatToIntBits(${g.value}))"
+        case DoubleType => s"$k.mixLong(Double.doubleToLongBits(${g.value}))"
+        case StringType => s"$k.hashUtf8(${g.value})"
+        case BinaryType => s"$k.hashBytes(${g.value})"
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+      val add = if (c.nullable)
+        s"if (!${g.isNull}) { $sum += $call; }"
+      else s"$sum += $call;"
+      s"""
+         |${g.code}
+         |$add
+       """.stripMargin
+    }
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+         |int $sum = 0;
+         |${pieces.mkString("\n")}
+         |int ${ev.value} = $sum ^ ($sum >> 8);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ForeignBucketHash =
+    copy(children = newChildren)
+  override def prettyName: String = "foreign_bucket_hash"
+}
+
 object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
@@ -822,6 +967,21 @@ object NativeFunctions {
 
   def tokenFingerprint(c: Column): Column =
     ExpressionUtils.column(TokenFingerprint(ExpressionUtils.expression(c)))
+
+  /** Foreign-warehouse row hash ([[ForeignBucketHash]]); compose with
+    * `pmod(_, lit(n))` for the warehouse's bucket id. */
+  def foreignBucketHash(cols: Column*): Column =
+    ExpressionUtils.column(ForeignBucketHash(
+      cols.map(ExpressionUtils.expression)))
+
+  /** The foreign warehouse's bucket assignment for `numBuckets` clustered
+    * buckets — bit-compatible co-location key for cross-system bucket
+    * joins. */
+  def foreignBucketId(numBuckets: Int, cols: Column*): Column = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    org.apache.spark.sql.functions.pmod(foreignBucketHash(cols: _*),
+      org.apache.spark.sql.functions.lit(numBuckets))
+  }
 
   /** Rank bucket id against sorted cut points ([[RangeBucketId]]). */
   def rangeBucketId(c: Column, boundaries: Seq[Double]): Column =
@@ -890,5 +1050,7 @@ object NativeFunctions {
       exprs => ShingleDistinctCount(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("interleave_bits",
       exprs => InterleaveBits(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("foreign_bucket_hash",
+      exprs => ForeignBucketHash(exprs), "built-in")
   }
 }

@@ -165,4 +165,50 @@ class ExpressionsSpec extends SparkTestBase {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("foreign bucket hash: known answers, null→0, codegen = interpreted") {
+    // pins computed with an independent implementation of the published
+    // algorithm (Jenkins OAAT over UTF-8 bytes; 64→32 avalanche mix)
+    val df = Seq((1, "abc", 42L)).toDF("i", "s", "l")
+    val row = df.select(
+      NativeFunctions.foreignBucketHash($"s").as("hs"),
+      NativeFunctions.foreignBucketHash($"l").as("hl"),
+      NativeFunctions.foreignBucketHash(lit(-7)).as("hi"),
+      NativeFunctions.foreignBucketHash(lit(1.5d)).as("hd"),
+      NativeFunctions.foreignBucketHash(lit("héllo")).as("hu"),
+      NativeFunctions.foreignBucketHash($"s", $"l").as("hc"),
+      NativeFunctions.foreignBucketHash(lit(true),
+        lit(null).cast("string")).as("hn")).head()
+    // single-column values still pass through the row finalizer s^(s>>8)
+    assert(row.getInt(0) == 318639172)
+    assert(row.getInt(1) == 2133343376)
+    assert(row.getInt(2) == 1789657598)
+    assert(row.getInt(3) == 358005760)
+    // pin derived from the explicit UTF-8 bytes {104,-61,-87,108,108,111}
+    assert(row.getInt(4) == 1638865859, "multi-byte UTF-8 must hash by bytes")
+    assert(row.getInt(5) == 1812390365, "combine = sum ^ (sum >> 8)")
+    assert(row.getInt(6) == 389841518, "null column must contribute 0")
+
+    // interpreted eval (no codegen) agrees with the codegen'd path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = org.apache.spark.sql.graft.ForeignBucketHash(Seq(
+      Literal.create("abc"), Literal.create(42L))).eval(null)
+    assert(interp == 1812390365)
+
+    // the hash stays inside generated code (no silent interpreted fallback)
+    locally {
+      import org.apache.spark.sql.execution.debug._
+      val probe = Tables.documents(spark, sf).select(
+        NativeFunctions.foreignBucketHash($"text", $"doc_id").as("h"))
+      val code = probe.queryExecution.debug.codegenToSeq().map(_._2).mkString
+      assert(code.contains("ForeignHashKernels"), "foreign hash fell back")
+    }
+
+    // bucket id: non-negative, < n, SQL-registrable
+    NativeFunctions.register(spark)
+    val b = spark.sql(
+      "SELECT pmod(foreign_bucket_hash('abc', 42L), 16) AS b").head().getInt(0)
+    val b2 = df.select(NativeFunctions.foreignBucketId(16, $"s", $"l")).head().getInt(0)
+    assert(b == b2 && b >= 0 && b < 16)
+  }
 }

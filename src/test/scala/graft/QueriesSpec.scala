@@ -27,7 +27,7 @@ class QueriesSpec extends SparkTestBase {
       "d91_semantic_dedup", "d93_temperature_mix", "s95_ann_pq",
       "d96_semantic_decontaminate", "s99_ann_ivfpq",
       "d101_neardup_increment", "d102_importance_sample",
-      "str103_stream_neardup_ingest"),
+      "str103_stream_neardup_ingest", "q104_foreign_bucket"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
