@@ -94,11 +94,13 @@ object Dedup {
     * [[exactIncrement]] for near-duplicates:
     *  1. intra-batch: canonical min-id survivor over [[minhashNearDups]]
     *     pairs within the increment;
-    *  2. cross-corpus: band-bucket equi-join of the increment's banded
-    *     signatures against the index's (the increment side is small by
-    *     definition, so AQE broadcasts it — the base index never
-    *     shuffles); base buckets above `maxBucketSize` are dropped
-    *     (boilerplate bands), the shared skew guard;
+    *  2. cross-corpus: the base index is first shrunk by a BROADCAST
+    *     semi-join against the increment's (small, distinct) bucket keys —
+    *     the full index streams through map tasks and never shuffles; only
+    *     the matched sliver enters the cap window and the band join. Base
+    *     buckets above `maxBucketSize` are dropped (boilerplate bands),
+    *     the shared skew guard — matched buckets keep all their members,
+    *     so the cap sees true bucket sizes;
     *  3. candidates verify by exact Jaccard over the hashed shingle sets
     *     (the increment recomputes its own, the base side reads them from
     *     the index).
@@ -114,23 +116,33 @@ object Dedup {
     val intra = increment
       .join(intraLosers, increment(idCol) === col("__l"), "left_anti")
 
-    val baseBanded = baseIndex
-      .select(col("id").as("base_id"), posexplode(col("bands")))
-      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
-    val basePruned =
-      capBuckets(baseBanded, Seq("band_idx", "band_hash"), maxBucketSize, min = 1)
     val incBanded = intra
       .select(col(idCol).as("inc_id"),
         posexplode(org.apache.spark.sql.graft.NativeFunctions
           .minhashBands(col(textCol), shingleK, numHashes, bands)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    // Shrink the corpus-scale index to the buckets the increment touches
+    // BEFORE any wide operator: the semi-join build side is the increment's
+    // distinct bucket keys (micro-batch-sized by contract), broadcast, so
+    // the index scan is map-only. The cap window then runs over the matched
+    // sliver; a matched bucket keeps all its members, so the window count
+    // is the true bucket size.
+    val incKeys = incBanded.select("band_idx", "band_hash").distinct()
+    val baseMatched = baseIndex
+      .select(col("id").as("base_id"), posexplode(col("bands")))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+      .join(broadcast(incKeys), Seq("band_idx", "band_hash"), "left_semi")
+    val basePruned =
+      capBuckets(baseMatched, Seq("band_idx", "band_hash"), maxBucketSize, min = 1)
     val cand = incBanded.join(basePruned, Seq("band_idx", "band_hash"))
       .select("inc_id", "base_id").distinct()
 
     val incSh = intra.select(col(idCol).as("inc_id"),
       shingleHashes(col(textCol), shingleK).as("__sh_i"))
     val baseSh = baseIndex.select(col("id").as("base_id"), col("sh").as("__sh_b"))
-    val matched = cand.join(incSh, "inc_id").join(baseSh, "base_id")
+    // cand x incSh is increment-sized; broadcasting it keeps the shingle
+    // arrays of the base index (the heavy column) from ever shuffling.
+    val matched = baseSh.join(broadcast(cand.join(incSh, "inc_id")), "base_id")
       .filter(jaccard(col("__sh_i"), col("__sh_b")) >= threshold)
       .select(col("inc_id").as("__m")).distinct()
     intra.join(matched, intra(idCol) === col("__m"), "left_anti")
@@ -149,6 +161,10 @@ object Dedup {
     *     their true keys (a semi-join against the tiny colliding-hash
     *     set) for the exact verify, so a 64-bit collision can cost a
     *     narrow re-check but never drop a genuinely-new row.
+    * Null keys compare EQUAL (`<=>`), matching [[exact]]/[[exactLosers]]
+    * (whose window partitioning groups nulls): a null-keyed increment row
+    * is a duplicate of a null-keyed base row, and of other null-keyed
+    * increment rows — the same one-survivor rule as any other key value.
     * Returns the surviving increment rows with all their columns. */
   def exactIncrement(increment: DataFrame, base: DataFrame,
       idCol: String, keyCols: Seq[String]): DataFrame = {
@@ -165,8 +181,14 @@ object Dedup {
     val baseSliver = base.withColumn("__bh2", kh)
       .join(colliding.select(col("__kh").as("__bh2")).distinct(), "__bh2")
       .select(keyCols.map(col): _*)
+    // <=> not the USING-join's =: xxhash64 maps all-null keys on both
+    // sides to the seed, so null-keyed rows reach this verify — SQL null
+    // inequality would then resurrect them despite exactLosers having
+    // deduped the same nulls within the batch.
     val verified = colliding
-      .join(baseSliver, keyCols, "left_anti")
+      .join(baseSliver,
+        keyCols.map(k => colliding(k) <=> baseSliver(k)).reduce(_ && _),
+        "left_anti")
       .drop("__kh")
     clean.unionByName(verified)
   }
@@ -703,7 +725,14 @@ object Dedup {
     * codegen'd filter. No global sort, no driver-side top-k; the realized
     * fraction is approximate-by-design (quantile sketch; ties at the
     * cutoff — possible only with `gumbel = false` — are all dropped,
-    * never all kept). */
+    * never all kept).
+    *
+    * Documents with NO scoreable features (no alphanumeric n-grams —
+    * [[importanceScores]] emits no row for them) are KEPT with a null
+    * `score`: the likelihood ratio is undefined for them, and silently
+    * deleting data a selection stage cannot judge would be undocumented
+    * loss. Filter `score IS NULL` downstream to drop them explicitly;
+    * `keepFraction` applies to the scoreable share. */
   def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, keepFraction: Double,
       buckets: Int = 1 << 13, seed: String = "graft_dsir",
@@ -722,16 +751,22 @@ object Dedup {
     val scored = importanceScores(corpus, idCol, textCol, w, buckets, seed)
       .withColumn("sel_score",
         (col("score") / col("n_features")).cast(DoubleType) + noise)
+    // LEFT join so featureless docs survive (null score); the quantile
+    // cutoff then passes them via the IS NULL arm.
+    val joined = corpus.join(
+      scored.select(col(idCol), col("score"), col("sel_score")),
+      Seq(idCol), "left")
     val kept =
-      if (keepFraction == 1.0) scored
+      if (keepFraction == 1.0) joined
       else {
         val cut = scored.agg(expr(
           s"approx_percentile(sel_score, ${1.0 - keepFraction}, 10000)")
           .as("__cut"))
-        scored.crossJoin(broadcast(cut))
-          .filter(col("sel_score") > col("__cut"))
+        joined.crossJoin(broadcast(cut))
+          .filter(col("sel_score").isNull || col("sel_score") > col("__cut"))
+          .drop("__cut")
       }
-    corpus.join(kept.select(col(idCol), col("score")), Seq(idCol))
+    kept.drop("sel_score")
   }
 
   /** Benchmark decontamination: drop corpus documents whose shingle overlap

@@ -411,6 +411,19 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("incremental exact dedup treats null keys as equal, like exactLosers") {
+    val base = Seq((0L, Option("a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val inc = Seq((1L, Option.empty[String]), (5L, Option.empty[String]),
+      (3L, Option("x"))).toDF("doc_id", "text")
+    // 1 and 5 both carry a null key: 5 loses intra-batch to 1 (exactLosers
+    // groups nulls), then 1 is a duplicate of base row 2 — the verify join
+    // must use null-safe equality or both would resurrect as "new"
+    val surv = Dedup.exactIncrement(inc, base, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(3L), s"null-keyed rows must dedup against base: $surv")
+  }
+
   test("incremental near-dup dedup: perturbed base copies drop, new docs survive") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val base = docs.filter($"doc_id" % 2 === 0)
@@ -436,6 +449,13 @@ class DedupSpec extends SparkTestBase {
         threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(surv == again)
+    // scale shape: the base index reaches the cap window only through a
+    // BROADCAST semi-join against the increment's bucket keys — the
+    // corpus-scale index must never hash-shuffle in full
+    val plan = Dedup.nearDupIncrement(inc, idx, "doc_id", "text",
+      threshold = 0.5).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      "base index must shrink via a broadcast semi-join before any exchange")
   }
 
   /** Deterministic ~1/3 sample of embeddings plus planted near-duplicates:
@@ -624,6 +644,26 @@ class DedupSpec extends SparkTestBase {
     val b = scored2.select(col("bucket"), col("score")).collect()
       .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     assert(a == b, "scores must be identical under the renamed id column")
+  }
+
+  test("dsir resample keeps featureless docs with a null score") {
+    val (corpus, target) = dsirDocs
+    // no alphanumeric runs → zero n-gram postings → no importance score
+    val weird = Seq((900L, "?!?! ... !!"), (901L, "")).toDF("doc_id", "text")
+    val all = corpus.unionByName(weird)
+    val kept = Dedup.importanceResample(all, "doc_id", "text", target,
+        keepFraction = 0.5, buckets = 1 << 10, gumbel = false)
+      .select(col("doc_id"), col("score").isNull.as("unscored"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept.contains(900L) && kept.contains(901L),
+      s"unscoreable docs must survive, not vanish: ${kept.keySet}")
+    assert(kept(900L) && kept(901L), "unscoreable docs carry a null score")
+    assert(kept.filter(_._1 < 900L).forall(!_._2),
+      "scoreable docs keep a real score")
+    // and at keepFraction = 1.0 the output is the whole corpus
+    val full = Dedup.importanceResample(all, "doc_id", "text", target,
+      keepFraction = 1.0, buckets = 1 << 10, gumbel = false)
+    assert(full.count() == all.count(), "keepFraction=1.0 keeps every row")
   }
 
   test("dsir gumbel resample is reproducible and spans both families") {
