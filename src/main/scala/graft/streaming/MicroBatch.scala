@@ -188,7 +188,11 @@ object MicroBatch {
     * replayed micro-batch (failure between the two writes, restart before
     * the checkpoint commit) REPLACES its own partial output instead of
     * double-appending — the same stage-then-swap idempotency rule the batch
-    * writers follow. Seed `indexDir` before starting with
+    * writers follow. The index read EXCLUDES the replaying batch's own
+    * `batch=<id>` partition: a replay after a crash past the index write
+    * must not dedup the batch against its own previous attempt's index
+    * rows, which would erase the batch's output. Seed `indexDir` before
+    * starting with
     * [[graft.operators.Dedup.minhashIndex]] of the deduplicated base,
     * written to a `batch=seed` subdirectory (the directory must be uniform
     * `batch=` partitions for discovery). At 100 TB the index is
@@ -202,18 +206,35 @@ object MicroBatch {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val index = spark.read.parquet(indexDir).select("id", "bands", "sh")
-        val survivors = graft.operators.Dedup.nearDupIncrement(
-          batch, index, idCol, textCol, shingleK, numHashes, bands,
-          threshold, maxBucketSize)
-        survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        graft.operators.Dedup.minhashIndex(survivors, idCol, textCol,
-            shingleK, numHashes, bands)
-          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-        ()
+        ingestDedupBatch(batch, batchId, indexDir, outDir, idCol, textCol,
+          shingleK, numHashes, bands, threshold, maxBucketSize)
       }
       .start()
+
+  /** One [[streamNearDupIngest]] micro-batch, exposed for direct replay
+    * testing: dedup `batch` against every index partition EXCEPT its own
+    * (`batch=<batchId>` may exist from a crashed previous attempt and must
+    * not count as "the base"), then overwrite this batch's output and
+    * index partitions. Idempotent: running it twice for the same
+    * (batch, batchId) yields identical survivors. */
+  private[graft] def ingestDedupBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): Unit = {
+    val spark = batch.sparkSession
+    // cast: partition discovery types `batch` from the dir names (string
+    // when a `batch=seed` partition is present, numeric otherwise).
+    val index = spark.read.parquet(indexDir)
+      .filter(col("batch").cast("string") =!= lit(batchId.toString))
+      .select("id", "bands", "sh")
+    val survivors = graft.operators.Dedup.nearDupIncrement(
+      batch, index, idCol, textCol, shingleK, numHashes, bands,
+      threshold, maxBucketSize)
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    graft.operators.Dedup.minhashIndex(survivors, idCol, textCol,
+        shingleK, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+  }
 
   /** Run a streaming DataFrame to completion against the available input
     * (memory sink, complete mode) and return the materialized result —

@@ -261,4 +261,31 @@ class StreamingSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(idxIds == Set(2L, 4L, 101L, 205L), s"index ids: $idxIds")
   }
+
+  test("near-dup ingest batch replay is idempotent (no self-index dedup)") {
+    import graft.operators.Dedup
+    def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val root = Files.createTempDirectory("graft_snd_replay")
+    val (indexDir, outDir) = (s"$root/idx", s"$root/out")
+    val base = Seq((2L, words("alpha"))).toDF("doc_id", "text")
+    Dedup.minhashIndex(base, "doc_id", "text")
+      .write.parquet(s"$indexDir/batch=seed")
+
+    val batch = Seq((101L, words("gamma")), (105L, words("delta")))
+      .toDF("doc_id", "text")
+    def run(): Set[Long] = {
+      MicroBatch.ingestDedupBatch(batch, 0L, indexDir, outDir,
+        "doc_id", "text", 5, 128, 32, 0.5, 64)
+      spark.read.parquet(s"$outDir/batch=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val first = run()
+    assert(first == Set(101L, 105L), s"first attempt: $first")
+    // crash-after-index-write replay: batch=0's own index rows now exist;
+    // the replay must NOT dedup the batch against its own previous attempt
+    // (that would emit an empty batch and lose the documents forever)
+    val replay = run()
+    assert(replay == first,
+      s"replay must reproduce the batch, not erase it: $replay")
+  }
 }
