@@ -844,9 +844,12 @@ case class ForeignBucketHash(children: Seq[Expression]) extends Expression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    // NullType: a bare NULL literal contributes 0 like any null value —
+    // rejecting it would make `foreign_bucket_hash(k, NULL)` an analysis
+    // error while the same null arriving as a typed column hashes fine.
     val bad = children.map(_.dataType).filterNot {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | BinaryType => true
+           FloatType | DoubleType | StringType | BinaryType | NullType => true
       case _ => false
     }
     if (children.isEmpty)
@@ -892,6 +895,7 @@ case class ForeignBucketHash(children: Seq[Expression]) extends Expression {
     val k = "org.apache.spark.sql.graft.ForeignHashKernels"
     val sum = ctx.freshName("sum")
     val pieces = children.map { c =>
+      if (c.dataType == org.apache.spark.sql.types.NullType) "" else {
       val g = c.genCode(ctx)
       val call = c.dataType match {
         case BooleanType => s"(${g.value} ? 0x172ba9c7 : -0x3a59cb12)"
@@ -910,6 +914,7 @@ case class ForeignBucketHash(children: Seq[Expression]) extends Expression {
          |${g.code}
          |$add
        """.stripMargin
+      }
     }
     ev.copy(isNull = FalseLiteral, code =
       code"""

@@ -210,5 +210,14 @@ class ExpressionsSpec extends SparkTestBase {
       "SELECT pmod(foreign_bucket_hash('abc', 42L), 16) AS b").head().getInt(0)
     val b2 = df.select(NativeFunctions.foreignBucketId(16, $"s", $"l")).head().getInt(0)
     assert(b == b2 && b >= 0 && b < 16)
+
+    // a bare untyped NULL literal is accepted and contributes 0, same as
+    // a typed null column — not an analysis error
+    val bareNull = spark.sql(
+      "SELECT foreign_bucket_hash('abc', NULL) AS h").head().getInt(0)
+    assert(bareNull == row.getInt(0), "untyped NULL must contribute 0")
+    val bareNullDf = df.select(
+      NativeFunctions.foreignBucketHash($"s", lit(null))).head().getInt(0)
+    assert(bareNullDf == row.getInt(0))
   }
 }
