@@ -139,22 +139,28 @@ object Similarity {
     embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
       cellOf(col(embCol), centers).as("cell"))
 
-  /** ANN top-k over a pre-assigned corpus: `cell IN (nprobe nearest)` is a
-    * plain pushable filter — no per-row centroid scoring at query time. */
-  def ivfTopKPreassigned(assigned: DataFrame, centers: Seq[Seq[Double]],
-      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val probeCells = centers.zipWithIndex
+  /** The `nprobe` cells nearest to `query` by squared L2 to their centroid
+    * (||c||² − 2c·q; the ||q||² term is constant across cells). Shared by
+    * the IVF and IVF-PQ serve paths so both probe identical cells for the
+    * same query — the coarse metric must match [[cellOf]]'s. */
+  private def probeCells(centers: Seq[Seq[Double]], query: Seq[Double],
+      nprobe: Int): Seq[Int] =
+    centers.zipWithIndex
       .map { case (c, i) =>
         val d = c.map(x => x * x).sum -
           2.0 * c.zip(query).map { case (a, b) => a * b }.sum
         (d, i)
       }
       .sortBy(_._1).take(nprobe).map(_._2)
-    assigned.filter(col("cell").isin(probeCells: _*))
+
+  /** ANN top-k over a pre-assigned corpus: `cell IN (nprobe nearest)` is a
+    * plain pushable filter — no per-row centroid scoring at query time. */
+  def ivfTopKPreassigned(assigned: DataFrame, centers: Seq[Seq[Double]],
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame =
+    assigned.filter(col("cell").isin(probeCells(centers, query, nprobe): _*))
       .select(col("id"), cosine(col("emb"), vec(query)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
-  }
 
   /** All-pairs top-k neighbors per row, LSH-bucketed (for kNN-graph
     * construction). Returns (id, neighbor_id, cosine, rank≤k).
@@ -299,17 +305,10 @@ object Similarity {
     * them — the actual serve path at corpus scale. */
   def ivfPqTopK(assigned: DataFrame, centers: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double], k: Int,
-      nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
-    val probeCells = centers.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.map(x => x * x).sum -
-          2.0 * c.zip(query).map { case (a, b) => a * b }.sum
-        (d, i)
-      }
-      .sortBy(_._1).take(nprobe).map(_._2)
-    pqTopK(assigned.filter(col("cell").isin(probeCells: _*)),
+      nprobe: Int = 4, rerankFactor: Int = 4): DataFrame =
+    pqTopK(
+      assigned.filter(col("cell").isin(probeCells(centers, query, nprobe): _*)),
       codebooks, query, k, rerankFactor)
-  }
 
   def pqTopK(encoded: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       query: Seq[Double], k: Int, rerankFactor: Int = 4): DataFrame = {
