@@ -712,7 +712,14 @@ object SparkEntry {
     "d101_neardup_increment" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val base = docs.filter(col("doc_id") % 2 === 0)
-      val idx = Dedup.minhashIndex(base, "doc_id", "text")
+      // Persist the index as production does (minhashIndex doc contract):
+      // nearDupIncrement reads it twice with disjoint column pruning
+      // (id+bands, id+sh) — a live plan would recompute the signature
+      // kernel over the base corpus on each reference.
+      val idxDir = tmpDir("graft_d101_idx")
+      Dedup.minhashIndex(base, "doc_id", "text").write
+        .mode("overwrite").parquet(idxDir.toString)
+      val idx = s.read.parquet(idxDir.toString)
       val inc = docs.filter(col("doc_id") % 2 === 1)
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 500000L).as("doc_id"),

@@ -113,8 +113,13 @@ object Dedup {
     val intraLosers = minhashNearDups(increment, idCol, textCol,
         shingleK, numHashes, bands, threshold, maxBucketSize)
       .select(col("id_b").as("__l")).distinct()
+    // The intra-deduped increment feeds FOUR consumers (bucket keys, band
+    // join, shingle verify, final anti-join); without truncation each one
+    // would re-run the whole intra-batch LSH dedup. localCheckpoint
+    // materializes it once, increment-scale by contract — never the index.
     val intra = increment
       .join(intraLosers, increment(idCol) === col("__l"), "left_anti")
+      .localCheckpoint(eager = false)
 
     val incBanded = intra
       .select(col(idCol).as("inc_id"),

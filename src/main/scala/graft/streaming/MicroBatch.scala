@@ -231,7 +231,10 @@ object MicroBatch {
       batch, index, idCol, textCol, shingleK, numHashes, bands,
       threshold, maxBucketSize)
     survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    graft.operators.Dedup.minhashIndex(survivors, idCol, textCol,
+    // Index from the just-written survivors, not the live `survivors`
+    // plan — referencing it again would re-run the whole dedup pipeline.
+    graft.operators.Dedup.minhashIndex(
+        spark.read.parquet(s"$outDir/batch=$batchId"), idCol, textCol,
         shingleK, numHashes, bands)
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
   }
