@@ -592,6 +592,75 @@ object SparkEntry {
       operators.TextAnalysis.topTokens(t(s, d, "documents"), "text", 50)
     }),
 
+    // BPE tokenizer training: distributed word counts (vocabulary-sized
+    // shuffle) + driver merge fit over a capped count table. Fully
+    // deterministic (tie-broken) but the iterative merge loop is not
+    // SQL-expressible — rows-only; TokenizerSpec pins the classic merge
+    // sequence and partitioning-independence.
+    "t105_bpe_train" -> ((s, d) => {
+      operators.Tokenizer
+        .bpeTrain(t(s, d, "documents"), "text",
+          numMerges = 200, maxWords = 20000)
+        .toDF(s)
+        .orderBy(col("rank"))
+    }),
+
+    // BPE encode over the corpus with the trained model: zero-shuffle
+    // cached encode; rows-only (model-dependent), TokenizerSpec pins
+    // decode∘encode = id and per-word token bounds.
+    "t106_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = operators.Tokenizer
+        .bpeTrain(docs, "text", numMerges = 200, maxWords = 20000)
+      val enc = operators.Tokenizer.bpeEncodeUdf(s, model)
+      docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), enc(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_subwords"),
+          concat_ws("|", slice(col("toks"), 1, 8)).as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact corpus bigram table (LM training statistics): one count
+    // shuffle with map-side combine; top-200 with a total order →
+    // hash-green vs the DuckDB oracle.
+    "t107_bigram_counts" -> ((s, d) => {
+      operators.LanguageModel.ngramCounts(t(s, d, "documents"), "text", 2)
+        .orderBy(col("n").desc, col("ctx"), col("word"))
+        .limit(200)
+    }),
+
+    // CCNet-style perplexity scoring under an add-α bigram LM trained on
+    // the same corpus. Float log/exp differ in ULPs across engines →
+    // rows-only; LanguageModelSpec pins hand-computed probabilities.
+    "t108_lm_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = operators.LanguageModel.train(docs, "text", n = 2, alpha = 0.1)
+      operators.LanguageModel
+        .perplexity(docs.filter(col("doc_id") < 300), lm, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fasttext-style hashing-trick quality classifier: gradient descent as
+    // Spark aggregations (dim-bounded driver traffic per epoch), scoring
+    // as a zero-shuffle codegen'd expression. The iterative fit is not
+    // SQL-expressible → rows-only; ClassifierSpec pins separable-data
+    // convergence, loss descent, and rule recovery on this corpus.
+    "t109_quality_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          array_contains(split(col("text"), " "), "join")
+            .cast("int").as("label"))
+      // Train on a bounded labeled sample (the 100 TB contract: training
+      // sets are label-limited), score the WHOLE corpus zero-shuffle.
+      val model = operators.Classifier.train(docs, "text", "label",
+        dim = 1 << 14, epochs = 12, lr = 2.0, maxTrainRows = 5000)
+      operators.Classifier.classify(docs, "text", model)
+        .select(col("doc_id"), col("label").cast(LongType).as("label"),
+          round(col("score"), 4).as("score"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t25_quality" -> ((s, d) => {
       t(s, d, "documents")
         .filter(col("doc_id") < 100)
@@ -1852,6 +1921,19 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    "t107_bigram_counts" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT t[i] AS ctx, t[i+1] AS word
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+        |)
+        |SELECT ctx, word, count(*) AS n
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n DESC, ctx, word
+        |LIMIT 200""".stripMargin,
 
     "t25_quality" ->
       """SELECT doc_id,

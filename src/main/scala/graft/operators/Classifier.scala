@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import scala.collection.mutable
+
+/** Hashing-trick linear text classifier (fasttext-style: Joulin et al.
+  * 2017, "Bag of Tricks for Efficient Text Classification") trained by
+  * full-batch gradient descent expressed as Spark aggregations — the
+  * standard quality-classifier stage of LLM data pipelines (GPT-3 /
+  * The Pile / RefinedWeb all gate documents on such a model's score).
+  *
+  * 100 TB shape:
+  *  - FEATURES are hashed token buckets (`xxhash64 mod dim`) — a pure
+  *    codegen'd expression, no vocabulary to build or broadcast.
+  *  - TRAINING runs on a bounded labeled set (classifier training sets are
+  *    label-limited by definition; cap with `maxTrainRows` exactly like the
+  *    IVF/PQ fits in [[Similarity]]). Each epoch is one join + one
+  *    `groupBy(bucket)` aggregation; the driver receives only the gradient
+  *    — at most `dim` doubles. The exploded feature table is materialized
+  *    once (lazy localCheckpoint) and reused by every epoch.
+  *  - SCORING is corpus-scale and zero-shuffle: the weight vector enters
+  *    the plan as a literal array and the dot product is a single
+  *    `aggregate` over the hashed tokens, inside whole-stage codegen.
+  */
+object Classifier {
+
+  /** Hashed bag-of-words feature buckets of a text column (with
+    * occurrence multiplicity — fasttext counts repeats). */
+  def hashBuckets(text: Column, dim: Int): Column =
+    transform(filter(split(text, " "), t => t =!= ""),
+      w => pmod(xxhash64(w), lit(dim.toLong)).cast("int"))
+
+  /** A trained model: `weights(dim)` + intercept. */
+  final case class LinearModel(weights: Array[Double], bias: Double,
+      dim: Int) {
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (weights.zipWithIndex.map { case (w, i) => (i, w) } :+ (-1, bias))
+        .toSeq.toDF("bucket", "weight")
+    }
+  }
+
+  object LinearModel {
+    def fromDF(df: DataFrame): LinearModel = {
+      val rows = df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val dim = rows.keys.max + 1
+      LinearModel(Array.tabulate(dim)(rows.getOrElse(_, 0.0)),
+        rows.getOrElse(-1, 0.0), dim)
+    }
+  }
+
+  /** Train logistic regression on (textCol, labelCol∈{0,1}) by full-batch
+    * gradient descent. `maxTrainRows` caps the training set with a
+    * deterministic hash-sample (training sets are label-bounded; the cap
+    * is the scale contract, like every fit in this library). The
+    * per-epoch driver traffic is one gradient of ≤ dim+1 doubles. */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      dim: Int = 1 << 15, epochs: Int = 30, lr: Double = 0.3,
+      l2: Double = 1e-6, maxTrainRows: Long = 1000000L): LinearModel = {
+    val capped = {
+      val total = df.count()
+      if (total <= maxTrainRows) df
+      else df.filter(
+        pmod(xxhash64(col(textCol)), lit(1000000L)) <
+          lit((maxTrainRows * 1000000L) / total))
+    }
+    // One row per (doc, bucket, count) plus one sentinel row (bucket −1,
+    // x=1) per doc that models the intercept — so the margin join and the
+    // gradient aggregation handle bias with zero extra plumbing, and each
+    // epoch is exactly ONE job (collect of ≤ dim+1 gradient rows).
+    // Materialized once — every epoch reuses it without re-tokenizing.
+    // The doc id MUST be assigned in its own projection BELOW the explode:
+    // in a single select the generator becomes a Generate node with the
+    // remaining expressions projected ABOVE it, so a monotonic id placed
+    // alongside the explode would number exploded rows, not documents.
+    val ided = capped
+      .select(monotonically_increasing_id().as("__doc"),
+        col(labelCol).cast(DoubleType).as("__y"), col(textCol))
+    val feats = ided
+      .select(col("__doc"), col("__y"),
+        explode(hashBuckets(col(textCol), dim)).as("__b"))
+      .groupBy(col("__doc"), col("__y"), col("__b"))
+      .agg(count(lit(1)).cast(DoubleType).as("__x"))
+      .unionByName(ided.select(col("__doc"), col("__y"),
+        lit(-1).as("__b"), lit(1.0).as("__x")))
+      // The training set is maxTrainRows-bounded by contract, so the
+      // epoch jobs should run at sample width, not inherit the corpus
+      // scan's partitioning — 20 epochs of scheduler overhead on
+      // hundreds of tiny tasks would dominate the actual math.
+      .coalesce(8)
+      .localCheckpoint(eager = false)
+    val nDocs = math.max(1L,
+      feats.filter(col("__b") === -1).count())
+
+    // bias lives at sentinel bucket −1; real buckets are 0..dim−1.
+    // Adagrad per-bucket steps: sparse text features converge orders of
+    // magnitude faster than a single global rate (rare-but-predictive
+    // buckets keep large steps while hot shared buckets damp quickly).
+    val weights = mutable.Map.empty[Int, Double]
+    val g2 = mutable.Map.empty[Int, Double]
+    val session = feats.sparkSession
+    import session.implicits._
+    var epoch = 0
+    while (epoch < epochs) {
+      val wDf = weights.toSeq.toDF("__b", "__w")
+      val margins = feats
+        .join(broadcast(wDf), Seq("__b"), "left")
+        .groupBy(col("__doc"), col("__y"))
+        .agg(sum(col("__x") * coalesce(col("__w"), lit(0.0))).as("__m"))
+        .select(col("__doc"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__r"))
+      // gradient per bucket (incl. −1 = bias) = Σ x·residual; one
+      // bucket-bounded collect per epoch
+      feats.join(margins, Seq("__doc"))
+        .groupBy(col("__b"))
+        .agg(sum(col("__x") * col("__r")).as("__g"))
+        .collect().foreach { r =>
+          val b = r.getInt(0)
+          val reg = if (b == -1) 0.0 else l2 * weights.getOrElse(b, 0.0)
+          val g = r.getDouble(1) / nDocs + reg
+          val acc = g2.getOrElse(b, 0.0) + g * g
+          g2.update(b, acc)
+          weights.update(b, weights.getOrElse(b, 0.0) -
+            lr * g / (1e-8 + math.sqrt(acc)))
+        }
+      epoch += 1
+    }
+    val arr = Array.tabulate(dim)(weights.getOrElse(_, 0.0))
+    LinearModel(arr, weights.getOrElse(-1, 0.0), dim)
+  }
+
+  /** Corpus-scale scoring: sigmoid(w·x + b) as a single codegen'd
+    * expression — the weight vector is a plan literal (dim ≤ ~2^18 keeps
+    * it a few MB), the dot product one `aggregate` pass over the hashed
+    * tokens. Zero shuffle, no join, no UDF. */
+  def scoreExpr(text: Column, model: LinearModel): Column = {
+    val w = typedLit(model.weights.toIndexedSeq)
+    val dot = aggregate(hashBuckets(text, model.dim),
+      lit(model.bias).cast(DoubleType),
+      (acc, b) => acc + element_at(w, b + 1))
+    lit(1.0) / (lit(1.0) + exp(-dot))
+  }
+
+  /** Score and threshold a corpus: returns (all input columns, score,
+    * keep). */
+  def classify(df: DataFrame, textCol: String, model: LinearModel,
+      threshold: Double = 0.5): DataFrame =
+    df.withColumn("score", scoreExpr(col(textCol), model))
+      .withColumn("keep", col("score") >= threshold)
+}

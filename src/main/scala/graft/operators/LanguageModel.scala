@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** N-gram language-model training and perplexity scoring — the CCNet-style
+  * quality filter (Wenzek et al. 2020): score each document by the
+  * perplexity of a language model trained on a trusted corpus, keep the
+  * low-perplexity (fluent) tail. Production CCNet uses a KenLM 5-gram; this
+  * is the same pipeline re-expressed relationally with add-α (Lidstone)
+  * smoothing so every number is exactly reproducible.
+  *
+  * Everything is DataFrame-shaped and stays distributed end to end:
+  *  - TRAIN is one `explode → groupBy` count (shuffle volume is
+  *    distinct-n-gram-sized, Zipf-bounded, with map-side combine) plus a
+  *    model-sized context rollup. The model is a DataFrame pair — it is
+  *    never collected to the driver.
+  *  - SCORE is an equi-join of exploded document n-grams against the model
+  *    (AQE broadcasts it when small; a plain hash shuffle co-partitions
+  *    both sides when not) followed by a per-document aggregate. No UDFs,
+  *    no driver loops; on 1000 executors each stage partitions cleanly.
+  *
+  * Plays the scoring role the reference leaves to warehouse UDF pipelines
+  * (`odps-sqoop/.../TestDataDrivenDBInputFormat`-style ingest feeding SQL
+  * scoring) as first-class relational operators.
+  */
+object LanguageModel {
+
+  /** All n-grams of `tokens` as an array of n-field structs
+    * (`g0..g{n-1}`), built from n shifted `slice`s zipped together —
+    * linear in document length, expression-only, and crucially NOT a
+    * lambda over the token array (a `transform` that re-references an
+    * array-producing expression is re-evaluated per element after
+    * CollapseProject — the O(len²) higher-order-function trap). Subject
+    * to common-subexpression elimination the token array is computed
+    * once per row. Documents shorter than n yield an empty array. */
+  def ngrams(tokens: Column, n: Int): Column = {
+    require(n >= 2, s"ngrams needs n >= 2, got $n")
+    val len = greatest(lit(0), size(tokens) - (n - 1))
+    val shifted =
+      (0 until n).map(j => slice(tokens, lit(j + 1), len).as(s"g$j"))
+    arrays_zip(shifted: _*)
+  }
+
+  /** A trained model: `grams` = (ctx, word, logp) for every observed
+    * n-gram; `contexts` = (ctx, unseen_logp) — the smoothed log-probability
+    * of any UNSEEN word after an observed context; `uniformLogp` =
+    * log(1/V), the score of an n-gram whose context was never observed.
+    * Both tables are model-sized (distinct n-grams / contexts): persist
+    * them like any model artifact and re-read for serving. */
+  final case class NgramLm(grams: DataFrame, contexts: DataFrame,
+      vocabSize: Long, n: Int, alpha: Double) {
+    def uniformLogp: Double = math.log(1.0 / vocabSize.toDouble)
+  }
+
+  private def tokensOf(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  private def gramPairs(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val ctxCols = (0 until n - 1).map(j => col("gram").getField(s"g$j"))
+    df.select(tokensOf(col(textCol)).as("__toks"))
+      .select(explode(ngrams(col("__toks"), n)).as("gram"))
+      .select(concat_ws(" ", ctxCols: _*).as("ctx"),
+        col("gram").getField(s"g${n - 1}").as("word"))
+  }
+
+  /** Corpus n-gram frequency table `(ctx, word, n)` — exact, one
+    * `explode → groupBy` with map-side combine; shuffle volume is
+    * distinct-n-gram-sized (Zipf), not occurrence-sized. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
+    gramPairs(df, textCol, n)
+      .groupBy(col("ctx"), col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fit an add-α n-gram LM on a corpus. One count shuffle over the
+    * corpus; the returned model tables share a single materialized count
+    * (lazy localCheckpoint) so deriving both does not re-scan the corpus.
+    *
+    * logP(w | ctx) = log((c(ctx,w) + α) / (c(ctx) + α·V)), V = vocabulary
+    * size (distinct observed words in final n-gram position). */
+  def train(df: DataFrame, textCol: String, n: Int = 2,
+      alpha: Double = 0.1): NgramLm = {
+    val counts = ngramCounts(df, textCol, n)
+      .withColumnRenamed("n", "c")
+      .localCheckpoint(eager = false) // model-sized; feeds three consumers
+    val vocab = counts.select(col("word")).distinct().count()
+    val ctxTotals = counts.groupBy(col("ctx"))
+      .agg(sum(col("c")).as("c_ctx"))
+    val denom = col("c_ctx").cast(DoubleType) + lit(alpha * vocab)
+    val grams = counts.join(ctxTotals, "ctx")
+      .select(col("ctx"), col("word"),
+        log((col("c").cast(DoubleType) + lit(alpha)) / denom).as("logp"))
+    val contexts = ctxTotals
+      .select(col("ctx"), log(lit(alpha) / denom).as("unseen_logp"))
+    NgramLm(grams, contexts, vocab, n, alpha)
+  }
+
+  /** Per-document perplexity under a trained model:
+    * ppl(d) = exp(−mean logP over d's n-grams). Documents with fewer than
+    * n tokens have no n-grams and score null (callers decide their fate).
+    * Unseen word after a seen context → the context's smoothed unseen
+    * mass; entirely unseen context → uniform 1/V. Returns
+    * (idCol, n_grams, avg_logp, perplexity). */
+  def perplexity(df: DataFrame, lm: NgramLm, idCol: String,
+      textCol: String): DataFrame = {
+    val n = lm.n
+    val ctxCols = (0 until n - 1).map(j => col("gram").getField(s"g$j"))
+    val pairs = df
+      .select(col(idCol), tokensOf(col(textCol)).as("__toks"))
+      .select(col(idCol), explode_outer(ngrams(col("__toks"), n)).as("gram"))
+      .select(col(idCol),
+        when(col("gram").isNotNull, concat_ws(" ", ctxCols: _*)).as("ctx"),
+        col("gram").getField(s"g${n - 1}").as("word"))
+    val scored = pairs
+      .join(lm.grams.withColumnRenamed("logp", "__glp"),
+        Seq("ctx", "word"), "left")
+      .join(lm.contexts, Seq("ctx"), "left")
+      .select(col(idCol),
+        when(col("ctx").isNull, lit(null).cast(DoubleType))
+          .otherwise(coalesce(col("__glp"), col("unseen_logp"),
+            lit(lm.uniformLogp))).as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(count(col("lp")).as("n_grams"),
+        avg(col("lp")).as("avg_logp"))
+      .select(col(idCol), col("n_grams"), col("avg_logp"),
+        exp(-col("avg_logp")).as("perplexity"))
+  }
+
+  /** CCNet-style keep/drop: train on a trusted reference corpus, score the
+    * target corpus, keep documents at or below the given perplexity
+    * quantile among scoreable documents (plus, optionally, unscoreable
+    * short documents). The quantile cut is one `approx_percentile` scalar
+    * — the driver receives a single double. */
+  def perplexityFilter(target: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 2, alpha: Double = 0.1,
+      keepQuantile: Double = 0.5, keepUnscoreable: Boolean = true): DataFrame = {
+    val lm = train(reference, textCol, n, alpha)
+    // Feeds the cut fit, the keep-filter, and the unscoreable union —
+    // checkpoint once (doc-id + 3 doubles per doc, not the corpus text).
+    val scoredAll = perplexity(target, lm, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val scored = scoredAll.filter(col("perplexity").isNotNull)
+    val cut = scored.agg(
+      expr(s"approx_percentile(perplexity, $keepQuantile)")).head().getDouble(0)
+    val kept = scored.filter(col("perplexity") <= cut)
+    if (keepUnscoreable)
+      kept.unionByName(scoredAll.filter(col("perplexity").isNull))
+    else kept
+  }
+}

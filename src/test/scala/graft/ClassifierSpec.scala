@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+class ClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash buckets are stable, in range, and count repeats") {
+    val df = Seq((1L, "a b a  c")).toDF("id", "text")
+    val b = df.select(Classifier.hashBuckets($"text", 64).as("b"))
+      .head().getSeq[Int](0)
+    assert(b.length == 4, "empty tokens dropped, repeats kept")
+    assert(b.forall(x => x >= 0 && x < 64))
+    assert(b(0) == b(2), "same token hashes to the same bucket")
+  }
+
+  test("learns a linearly separable vocabulary split") {
+    // positives speak {good great fine}, negatives {bad awful poor}
+    val pos = Seq("good great", "great fine good", "fine fine good",
+      "good good great fine")
+    val neg = Seq("bad awful", "awful poor bad", "poor poor bad",
+      "bad bad awful poor")
+    val df = (pos.map((_, 1)) ++ neg.map((_, 0))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("id", "text", "label")
+    val model = Classifier.train(df, "text", "label",
+      dim = 256, epochs = 60, lr = 1.0)
+    val out = Classifier.classify(df, "text", model)
+      .select($"label", $"keep").collect()
+    assert(out.forall(r => r.getBoolean(1) == (r.getInt(0) == 1)),
+      "separable data must classify perfectly")
+    // held-out text using the same vocabulary
+    val held = Seq((100L, "great great fine"), (101L, "poor awful awful"))
+      .toDF("id", "text")
+    val scores = Classifier.classify(held, "text", model)
+      .select($"id", $"score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(100L) > 0.5 && scores(101L) < 0.5)
+  }
+
+  test("training loss decreases across epochs") {
+    def loss(df: org.apache.spark.sql.DataFrame,
+        m: Classifier.LinearModel): Double =
+      Classifier.classify(df, "text", m)
+        .select(when($"label" === 1, -log($"score"))
+          .otherwise(-log(lit(1.0) - $"score")).as("l"))
+        .agg(avg($"l")).head().getDouble(0)
+    val df = Seq((1L, "x y", 1), (2L, "x z", 1), (3L, "u v", 0),
+      (4L, "u w", 0)).toDF("id", "text", "label")
+    val m5 = Classifier.train(df, "text", "label", dim = 64, epochs = 5)
+    val m40 = Classifier.train(df, "text", "label", dim = 64, epochs = 40)
+    assert(loss(df, m40) < loss(df, m5), "more epochs → lower training loss")
+  }
+
+  test("recovers a token-presence rule on the real corpus") {
+    // The synthetic corpus shares one vocabulary across langs/sources, so
+    // no metadata column is text-learnable; plant a ground truth the model
+    // can rediscover: label = document mentions "join". A bag-of-words
+    // linear model must recover it almost exactly (modulo rare hash
+    // collisions at dim 2^14).
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text",
+        array_contains(split($"text", " "), "join").cast("int").as("label"))
+    val model = Classifier.train(docs, "text", "label",
+      dim = 1 << 14, epochs = 40, lr = 2.0)
+    val acc = Classifier.classify(docs, "text", model)
+      .select(($"keep" === ($"label" === 1)).cast("int").as("ok"))
+      .agg(avg($"ok")).head().getDouble(0)
+    val baseRate = docs.agg(avg($"label")).head().getDouble(0)
+    val majority = math.max(baseRate, 1 - baseRate)
+    assert(acc > math.max(majority, 0.9),
+      s"accuracy $acc must beat majority class $majority")
+  }
+
+  test("model round-trips through its DataFrame form") {
+    val df = Seq((1L, "x y", 1), (2L, "u v", 0)).toDF("id", "text", "label")
+    val m = Classifier.train(df, "text", "label", dim = 32, epochs = 10)
+    val back = Classifier.LinearModel.fromDF(m.toDF(spark))
+    assert(back.bias == m.bias)
+    // fromDF reconstructs up to the highest stored bucket; scoring with
+    // either model must agree on the training data
+    val s1 = Classifier.classify(df, "text", m).select($"score")
+      .as[Double].collect().toSeq
+    val s2 = Classifier.classify(df, "text",
+      m.copy(weights = back.weights.padTo(m.dim, 0.0), dim = m.dim))
+      .select($"score").as[Double].collect().toSeq
+    assert(s1 == s2)
+  }
+
+  test("capped training still learns (deterministic sample)") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", ($"lang" === "en").cast("int").as("label"))
+    val m1 = Classifier.train(docs, "text", "label",
+      dim = 1 << 12, epochs = 10, maxTrainRows = 200)
+    val m2 = Classifier.train(docs, "text", "label",
+      dim = 1 << 12, epochs = 10, maxTrainRows = 200)
+    assert(m1.weights.toSeq == m2.weights.toSeq && m1.bias == m2.bias,
+      "hash-capped training is deterministic")
+  }
+}

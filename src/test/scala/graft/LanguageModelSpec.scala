@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModel
+
+class LanguageModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ngrams builds sliding windows, short docs yield empty") {
+    val df = Seq((1L, "a b c d"), (2L, "x"), (3L, "")).toDF("id", "text")
+    val out = df.select($"id",
+      LanguageModel.ngrams(
+        filter(split($"text", " "), t => t =!= ""), 2).as("g"))
+      .select($"id", size($"g").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 0, 3L -> 0))
+    val tri = df.filter($"id" === 1).select(
+      LanguageModel.ngrams(split($"text", " "), 3).as("g"))
+      .select(explode($"g").as("g"))
+      .select(concat_ws("_", $"g.g0", $"g.g1", $"g.g2")).as[String]
+      .collect().toSeq
+    assert(tri == Seq("a_b_c", "b_c_d"))
+  }
+
+  test("bigram model matches hand-computed add-alpha probabilities") {
+    // corpus: "a b" x3, "a c" x1 → c(a,b)=3, c(a,c)=1, c(a)=4, V=2
+    val ref = Seq("a b", "a b", "a b", "a c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val lm = LanguageModel.train(ref, "text", n = 2, alpha = 0.5)
+    assert(lm.vocabSize == 2)
+    val probs = lm.grams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val denom = 4.0 + 0.5 * 2
+    assert(math.abs(probs(("a", "b")) - math.log(3.5 / denom)) < 1e-12)
+    assert(math.abs(probs(("a", "c")) - math.log(1.5 / denom)) < 1e-12)
+    val unseen = lm.contexts.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(unseen("a") - math.log(0.5 / denom)) < 1e-12)
+
+    // doc "a b a d": grams (a,b) seen, (b,a) unseen ctx → log(1/V),
+    // (a,d) unseen word after seen ctx → unseen_logp(a)
+    val doc = Seq((9L, "a b a d")).toDF("id", "text")
+    val scored = LanguageModel.perplexity(doc, lm, "id", "text").head()
+    val expectAvg = (math.log(3.5 / denom) + math.log(1.0 / 2) +
+      math.log(0.5 / denom)) / 3.0
+    assert(scored.getLong(1) == 3)
+    assert(math.abs(scored.getDouble(2) - expectAvg) < 1e-12)
+    assert(math.abs(scored.getDouble(3) - math.exp(-expectAvg)) < 1e-12)
+  }
+
+  test("unscoreable documents score null perplexity but keep their row") {
+    val ref = Seq((1L, "a b c")).toDF("id", "text")
+    val lm = LanguageModel.train(ref, "text", n = 2)
+    val target = Seq((1L, "a b"), (2L, "solo"), (3L, "")).toDF("id", "text")
+    val out = LanguageModel.perplexity(target, lm, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("in-domain text scores lower perplexity than scrambled text") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val lm = LanguageModel.train(docs, "text", n = 2, alpha = 0.1)
+    // Scramble: reverse each document's token order — same unigrams,
+    // destroyed bigram structure.
+    val scrambled = docs.select($"doc_id",
+      concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    val real = LanguageModel.perplexity(docs, lm, "doc_id", "text")
+      .agg(avg("avg_logp")).head().getDouble(0)
+    val fake = LanguageModel.perplexity(scrambled, lm, "doc_id", "text")
+      .agg(avg("avg_logp")).head().getDouble(0)
+    assert(real > fake,
+      s"training-domain avg logp ($real) must beat scrambled ($fake)")
+  }
+
+  test("perplexityFilter keeps the fluent tail and the short docs") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val target = docs.unionByName(
+      Seq((900001L, "zq xv qj"), (900002L, "a")).toDF("doc_id", "text"))
+    val kept = LanguageModel.perplexityFilter(target, docs,
+      "doc_id", "text", keepQuantile = 0.5)
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    val total = target.count()
+    assert(keptIds.size < total, "filter must drop something")
+    assert(keptIds.contains(900002L), "unscoreable short doc kept by default")
+    assert(!keptIds.contains(900001L),
+      "gibberish with unseen contexts should land in the dropped tail")
+  }
+}

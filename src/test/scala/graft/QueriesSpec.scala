@@ -27,7 +27,14 @@ class QueriesSpec extends SparkTestBase {
       "d91_semantic_dedup", "d93_temperature_mix", "s95_ann_pq",
       "d96_semantic_decontaminate", "s99_ann_ivfpq",
       "d101_neardup_increment", "d102_importance_sample",
-      "str103_stream_neardup_ingest", "q104_foreign_bucket"),
+      "str103_stream_neardup_ingest", "q104_foreign_bucket",
+      // r7: BPE merge loop / model-dependent encode are not SQL-expressible
+      // (TokenizerSpec pins the merge sequence + decode∘encode = id);
+      // LM perplexity is log/exp float math that differs in ULPs across
+      // engines (LanguageModelSpec pins hand-computed probabilities)
+      // and the classifier's gradient-descent fit is iterative
+      "t105_bpe_train", "t106_bpe_encode", "t108_lm_perplexity",
+      "t109_quality_classifier"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenizer
+import graft.operators.Tokenizer.{BpeModel, EndOfWord}
+
+class TokenizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Sennrich et al. 2016's worked example corpus.
+  private val sennrich: Seq[(String, Long)] =
+    Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("bpe training reproduces the classic merge sequence") {
+    val m = Tokenizer.bpeTrainFromCounts(sennrich, 5).merges
+    // Pair counts: (e,s)=9 from newest+widest, then (es,t)=9, (est,</w>)=9
+    // — ties at 9 broken lexicographically by left symbol: "e" < "es" <
+    // "est". Then l-o (7), lo-w (7).
+    assert(m(0) == ("e", "s"))
+    assert(m(1) == ("es", "t"))
+    assert(m(2) == ("est", EndOfWord))
+    assert(m(3) == ("l", "o"))
+    assert(m(4) == ("lo", "w"))
+  }
+
+  test("frequent training words collapse to a single token") {
+    val model = Tokenizer.bpeTrainFromCounts(sennrich, 50)
+    // With enough merges every training word becomes one symbol.
+    sennrich.foreach { case (w, _) =>
+      assert(Tokenizer.encodeWord(w, model.ranks) == Vector(w + EndOfWord))
+    }
+  }
+
+  test("oov words fall back to learned subwords, unseen chars to singles") {
+    val model = Tokenizer.bpeTrainFromCounts(sennrich, 3) // es, est, est</w>
+    val enc = Tokenizer.encodeWord("zest", model.ranks)
+    // 'z' was never seen; "est"+</w> was merged at rank 2.
+    assert(enc == Vector("z", "est" + EndOfWord))
+  }
+
+  test("merge loop is incremental-consistent: retrain equals rebuilt counts") {
+    // The incremental pair-count maintenance must match a from-scratch
+    // recount at every prefix: train k+j merges in one run and compare
+    // the first k against an independent k-merge run.
+    val big = Seq("aaab" -> 4L, "abab" -> 3L, "bbba" -> 2L, "aabb" -> 5L)
+    val full = Tokenizer.bpeTrainFromCounts(big, 8).merges
+    (1 to 8).foreach { k =>
+      val part = Tokenizer.bpeTrainFromCounts(big, k).merges
+      assert(full.take(part.length) == part, s"divergence at prefix $k")
+    }
+  }
+
+  test("distributed train on documents is deterministic and usable") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val m1 = Tokenizer.bpeTrain(docs, "text", numMerges = 60, maxWords = 2000)
+    val m2 = Tokenizer.bpeTrain(docs.repartition(7), "text",
+      numMerges = 60, maxWords = 2000)
+    assert(m1.merges == m2.merges, "model must not depend on partitioning")
+    assert(m1.merges.length == 60)
+
+    val enc = docs.limit(50)
+      .select($"doc_id", Tokenizer.bpeEncodeUdf(spark, m1)($"text").as("toks"))
+    val rows = enc.collect()
+    assert(rows.forall(_.getSeq[String](1).nonEmpty))
+    // Subword count never exceeds character count + word count (each
+    // symbol carries ≥1 char or is an end-of-word marker).
+    val joined = docs.limit(50)
+      .select($"doc_id", $"text",
+        Tokenizer.bpeEncodeUdf(spark, m1)($"text").as("toks"))
+      .select($"doc_id",
+        size(split($"text", " ")).as("words"), size($"toks").as("n"))
+      .collect()
+    joined.foreach(r => assert(r.getInt(2) >= r.getInt(1),
+      "at least one token per word"))
+  }
+
+  test("decode inverts encode on single-spaced text") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").limit(30)
+    val model = Tokenizer.bpeTrain(docs, "text", numMerges = 40, maxWords = 500)
+    val back = docs
+      .select($"doc_id", $"text",
+        Tokenizer.bpeDecode(
+          Tokenizer.bpeEncodeUdf(spark, model)($"text")).as("rt"))
+      .withColumn("orig_norm",
+        trim(regexp_replace($"text", " +", " ")))
+      .filter($"rt" =!= $"orig_norm")
+    assert(back.count() == 0, "decode(encode(x)) must equal x")
+  }
+
+  test("model round-trips through its DataFrame form") {
+    val model = Tokenizer.bpeTrainFromCounts(sennrich, 10)
+    val back = BpeModel.fromDF(model.toDF(spark))
+    assert(back.merges == model.merges)
+    assert(Tokenizer.encodeWord("newest", back.ranks) ==
+      Tokenizer.encodeWord("newest", model.ranks))
+  }
+}
