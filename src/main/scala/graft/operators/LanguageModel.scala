@@ -45,12 +45,16 @@ object LanguageModel {
 
   /** A trained model: `grams` = (ctx, word, logp) for every observed
     * n-gram; `contexts` = (ctx, unseen_logp) — the smoothed log-probability
-    * of any UNSEEN word after an observed context; `uniformLogp` =
-    * log(1/V), the score of an n-gram whose context was never observed.
-    * Both tables are model-sized (distinct n-grams / contexts): persist
-    * them like any model artifact and re-read for serving. */
+    * of any UNSEEN word after an observed context; `unigrams` (present when
+    * trained with `backoff` — stupid-backoff style, Brants et al. 2007) =
+    * (word, uni_logp), the discounted unigram fallback for n-grams whose
+    * CONTEXT was never observed; `uniformLogp` = log(1/V), the last-resort
+    * score. All tables are model-sized (distinct n-grams / contexts /
+    * words): persist them like any model artifact and re-read for
+    * serving. */
   final case class NgramLm(grams: DataFrame, contexts: DataFrame,
-      vocabSize: Long, n: Int, alpha: Double) {
+      vocabSize: Long, n: Int, alpha: Double,
+      unigrams: Option[DataFrame] = None) {
     def uniformLogp: Double = math.log(1.0 / vocabSize.toDouble)
   }
 
@@ -78,9 +82,14 @@ object LanguageModel {
     * (lazy localCheckpoint) so deriving both does not re-scan the corpus.
     *
     * logP(w | ctx) = log((c(ctx,w) + α) / (c(ctx) + α·V)), V = vocabulary
-    * size (distinct observed words in final n-gram position). */
+    * size (distinct observed words in final n-gram position).
+    *
+    * With `backoff = Some(λ)` an unseen CONTEXT falls back to the
+    * discounted smoothed unigram, λ·(c(w)+α)/(N+αV) (stupid backoff) —
+    * gentler than the uniform 1/V floor, at the cost of one extra
+    * model-sized table and one extra scoring join. */
   def train(df: DataFrame, textCol: String, n: Int = 2,
-      alpha: Double = 0.1): NgramLm = {
+      alpha: Double = 0.1, backoff: Option[Double] = None): NgramLm = {
     val counts = ngramCounts(df, textCol, n)
       .withColumnRenamed("n", "c")
       .localCheckpoint(eager = false) // model-sized; feeds three consumers
@@ -93,7 +102,16 @@ object LanguageModel {
         log((col("c").cast(DoubleType) + lit(alpha)) / denom).as("logp"))
     val contexts = ctxTotals
       .select(col("ctx"), log(lit(alpha) / denom).as("unseen_logp"))
-    NgramLm(grams, contexts, vocab, n, alpha)
+    val unigrams = backoff.map { lambda =>
+      require(lambda > 0 && lambda <= 1, s"backoff discount must be in (0,1], got $lambda")
+      val wordTotals = counts.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+      val total = wordTotals.agg(sum(col("cw"))).head().getLong(0)
+      wordTotals.select(col("word"),
+        (log((col("cw").cast(DoubleType) + lit(alpha)) /
+          lit(total.toDouble + alpha * vocab)) + lit(math.log(lambda)))
+          .as("uni_logp"))
+    }
+    NgramLm(grams, contexts, vocab, n, alpha, unigrams)
   }
 
   /** Per-document perplexity under a trained model:
@@ -112,14 +130,20 @@ object LanguageModel {
       .select(col(idCol),
         when(col("gram").isNotNull, concat_ws(" ", ctxCols: _*)).as("ctx"),
         col("gram").getField(s"g${n - 1}").as("word"))
-    val scored = pairs
+    val joined = pairs
       .join(lm.grams.withColumnRenamed("logp", "__glp"),
         Seq("ctx", "word"), "left")
       .join(lm.contexts, Seq("ctx"), "left")
+    val withBackoff = lm.unigrams.fold(joined)(u =>
+      joined.join(u, Seq("word"), "left"))
+    val fallbacks =
+      (if (lm.unigrams.isDefined) Seq(col("uni_logp")) else Nil) :+
+        lit(lm.uniformLogp)
+    val scored = withBackoff
       .select(col(idCol),
         when(col("ctx").isNull, lit(null).cast(DoubleType))
-          .otherwise(coalesce(col("__glp"), col("unseen_logp"),
-            lit(lm.uniformLogp))).as("lp"))
+          .otherwise(coalesce(
+            (col("__glp") +: col("unseen_logp") +: fallbacks): _*)).as("lp"))
     scored.groupBy(col(idCol))
       .agg(count(col("lp")).as("n_grams"),
         avg(col("lp")).as("avg_logp"))
@@ -130,22 +154,28 @@ object LanguageModel {
   /** CCNet-style keep/drop: train on a trusted reference corpus, score the
     * target corpus, keep documents at or below the given perplexity
     * quantile among scoreable documents (plus, optionally, unscoreable
-    * short documents). The quantile cut is one `approx_percentile` scalar
-    * — the driver receives a single double. */
+    * short documents). Returns the input rows (all columns) of surviving
+    * documents plus a `perplexity` column. The quantile cut is one
+    * `approx_percentile` scalar — the driver receives a single double; the
+    * only added corpus-scale exchange beyond scoring itself is the id join
+    * back to the input rows. */
   def perplexityFilter(target: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, n: Int = 2, alpha: Double = 0.1,
-      keepQuantile: Double = 0.5, keepUnscoreable: Boolean = true): DataFrame = {
-    val lm = train(reference, textCol, n, alpha)
-    // Feeds the cut fit, the keep-filter, and the unscoreable union —
-    // checkpoint once (doc-id + 3 doubles per doc, not the corpus text).
+      keepQuantile: Double = 0.5, keepUnscoreable: Boolean = true,
+      backoff: Option[Double] = None): DataFrame = {
+    val lm = train(reference, textCol, n, alpha, backoff)
+    // Feeds the cut fit and the keep-filter — checkpoint once
+    // (doc-id + 3 doubles per doc, not the corpus text).
     val scoredAll = perplexity(target, lm, idCol, textCol)
       .localCheckpoint(eager = false)
-    val scored = scoredAll.filter(col("perplexity").isNotNull)
-    val cut = scored.agg(
-      expr(s"approx_percentile(perplexity, $keepQuantile)")).head().getDouble(0)
-    val kept = scored.filter(col("perplexity") <= cut)
-    if (keepUnscoreable)
-      kept.unionByName(scoredAll.filter(col("perplexity").isNull))
-    else kept
+    val cut = scoredAll.filter(col("perplexity").isNotNull)
+      .agg(expr(s"approx_percentile(perplexity, $keepQuantile)"))
+      .head().getDouble(0)
+    val keep = if (keepUnscoreable)
+      col("perplexity").isNull || col("perplexity") <= cut
+    else col("perplexity").isNotNull && col("perplexity") <= cut
+    target.join(scoredAll.select(col(idCol), col("perplexity")),
+        Seq(idCol), "left")
+      .filter(keep)
   }
 }

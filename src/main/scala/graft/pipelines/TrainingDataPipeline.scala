@@ -142,9 +142,23 @@ object TrainingDataPipeline {
     * would skew the likelihood ratios). Its losses land between the
     * `afterQuality` and `afterExactDedup` observations, like
     * decontamination's. */
+  /** Optional CCNet-style perplexity gate (`perplexityRef`): an LM is
+    * trained on the supplied trusted reference corpus and only the target
+    * documents at or below the given perplexity quantile survive
+    * ([[graft.operators.LanguageModel.perplexityFilter]]); unscoreable
+    * (sub-n-gram) docs are kept. The reference sees the same PII
+    * redaction as the corpus. Optional learned quality gate
+    * (`qualityModel`): a pre-trained hashing-trick classifier
+    * ([[graft.operators.Classifier]]) scores every document zero-shuffle
+    * and rows below the threshold are dropped — train it on a labeled
+    * sample beforehand. Both stages' losses land between the
+    * `afterQuality` and `afterExactDedup` observations, like
+    * decontamination's. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Config = Config(), benchmark: Option[DataFrame] = None,
-      dsirTarget: Option[(DataFrame, Double)] = None): Report = {
+      dsirTarget: Option[(DataFrame, Double)] = None,
+      perplexityRef: Option[(DataFrame, Double)] = None,
+      qualityModel: Option[(graft.operators.Classifier.LinearModel, Double)] = None): Report = {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
@@ -171,6 +185,25 @@ object TrainingDataPipeline {
           tgt.select("text"), frac).drop("score")
       }
       .getOrElse(quality)
+    // the LM reference must see the same redaction as the corpus — a
+    // model trained on raw emails/URLs would score redacted text as
+    // out-of-domain
+    val fluent = perplexityRef
+      .map { case (r0, quantile) =>
+        val ref = if (cfg.redactPii)
+          r0.withColumn("text", TextAnalysis.redactPii(col("text")))
+        else r0
+        graft.operators.LanguageModel.perplexityFilter(
+          selected, ref, "doc_id", "text", keepQuantile = quantile)
+          .drop("perplexity")
+      }
+      .getOrElse(selected)
+    val gated = qualityModel
+      .map { case (model, threshold) =>
+        graft.operators.Classifier.classify(fluent, "text", model, threshold)
+          .filter(col("keep")).drop("score", "keep")
+      }
+      .getOrElse(fluent)
     // the benchmark must see the same redaction as the corpus, or a
     // PII-bearing benchmark doc would no longer exact-hash-match its
     // verbatim corpus twin
@@ -179,9 +212,9 @@ object TrainingDataPipeline {
         val b = if (cfg.redactPii)
           b0.withColumn("text", TextAnalysis.redactPii(col("text")))
         else b0
-        Dedup.decontaminate(selected, b, "doc_id", "text", cfg.shingleK)
+        Dedup.decontaminate(gated, b, "doc_id", "text", cfg.shingleK)
       }
-      .getOrElse(selected)
+      .getOrElse(gated)
     val exact = dropExactDups(clean)
       .observe(obsE, count(lit(1)).as("n"))
     val nearDeduped = dropNearDups(exact, cfg)

@@ -73,6 +73,40 @@ class LanguageModelSpec extends SparkTestBase {
       s"training-domain avg logp ($real) must beat scrambled ($fake)")
   }
 
+  test("stupid backoff scores unseen contexts by discounted unigram") {
+    // corpus "a b" x3, "a c" x1: unigram counts a=4, b=3, c=1, N=8, V=3
+    // (unigram table counts every gram position's words... here ctx words
+    // 'a' appear as unigram? unigrams derive from the n-gram table's WORD
+    // column: b=3, c=1, N=4, V=2)
+    val ref = Seq("a b", "a b", "a b", "a c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val lam = 0.4
+    val lm = LanguageModel.train(ref, "text", n = 2, alpha = 0.5,
+      backoff = Some(lam))
+    // doc "x b": one bigram (x,b) with unseen ctx 'x' and seen word 'b'
+    // → log λ + log((3+0.5)/(4+0.5·2))
+    val doc = Seq((9L, "x b")).toDF("id", "text")
+    val got = LanguageModel.perplexity(doc, lm, "id", "text")
+      .head().getDouble(2)
+    val want = math.log(lam) + math.log(3.5 / 5.0)
+    assert(math.abs(got - want) < 1e-12)
+    // unseen ctx AND unseen word still falls to uniform 1/V
+    val doc2 = Seq((9L, "x q")).toDF("id", "text")
+    val got2 = LanguageModel.perplexity(doc2, lm, "id", "text")
+      .head().getDouble(2)
+    assert(math.abs(got2 - math.log(1.0 / 2)) < 1e-12)
+  }
+
+  test("perplexityFilter preserves input columns and adds perplexity") {
+    val ref = Seq((1L, "a b c")).toDF("id", "text")
+    val target = Seq((1L, "a b", "s1"), (2L, "solo", "s2"))
+      .toDF("id", "text", "source")
+    val out = LanguageModel.perplexityFilter(target, ref, "id", "text",
+      keepQuantile = 1.0)
+    assert(out.columns.toSeq == Seq("id", "text", "source", "perplexity"))
+    assert(out.count() == 2)
+  }
+
   test("perplexityFilter keeps the fluent tail and the short docs") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
     val target = docs.unionByName(

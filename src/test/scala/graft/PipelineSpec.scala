@@ -128,6 +128,38 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("perplexity and learned-classifier gates drop the planted junk") {
+    val docs = Tables.documents(spark, sf)
+    // gibberish doc: every bigram context unseen by an LM trained on the
+    // corpus → worst perplexity tail; "awful" marker for the classifier
+    val junkText = Seq.fill(30)("zq xv qj wk").mkString(" ")
+    val planted = docs.unionByName(Seq(
+      (900010L, junkText, "xx", "srcjunk", junkText.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    // classifier trained to recognize docs mentioning "join" as keepable
+    val labeled = docs.select($"doc_id", $"text",
+      array_contains(split($"text", " "), "join").cast("int").as("label"))
+    val model = graft.operators.Classifier.train(labeled, "text", "label",
+      dim = 1 << 12, epochs = 25, lr = 1.0)
+
+    val outDir = Files.createTempDirectory("graft_pipeline_gates").toString
+    val report = TrainingDataPipeline.run(spark, planted, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        nearDupThreshold = 0.99),
+      perplexityRef = Some((docs, 0.9)),
+      qualityModel = Some((model, 0.5)))
+
+    val out = spark.read.parquet(outDir)
+    assert(out.filter($"doc_id" === 900010L).head(1).isEmpty,
+      "gibberish doc must fall to the perplexity gate")
+    assert(out.filter(!array_contains(split($"text", " "), "join"))
+      .head(1).isEmpty, "classifier gate keeps only join-mentioning docs")
+    assert(report.afterExactDedup < report.afterQuality,
+      "gate losses land between quality and exact-dedup observations")
+    assert(out.count() > 0)
+  }
+
   test("temperature mixing knob derives rates from domain counts") {
     val docs = Tables.documents(spark, sf)
     val outDir = Files.createTempDirectory("graft_pipe_temp").toString
