@@ -80,7 +80,9 @@ object ScaleSmoke {
     "d102_importance_sample",
     "q68_decontaminate", "t94_top_tokens",
     "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
-    "q87_compact", "q89_zorder", "p88_pipeline")
+    "q87_compact", "q89_zorder", "p88_pipeline",
+    "t105_bpe_train", "t106_bpe_encode", "t107_bigram_counts",
+    "t108_lm_perplexity", "t109_quality_classifier")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {
@@ -118,7 +120,14 @@ object ScaleSmoke {
     spark.read.parquet(s"$baseDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
 
-    val rows = Heavy.map { name =>
+    // Optional subset for iteration (same contract as Bench); a subset run
+    // writes to sf1_smoke_partial.json so the full artifact is never
+    // clobbered by a partial one.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = Heavy.filter(n => only.forall(_.contains(n)))
+
+    val rows = selected.map { name =>
       // two runs per (query, scale), keep the min: the first base run of a
       // query also pays its one-time codegen/ML-job warmup, which at these
       // fixture sizes rivals the query itself and poisons the ratio
@@ -132,7 +141,9 @@ object ScaleSmoke {
     val out = rows.mkString("[", ",\n", "]")
     val dir = java.nio.file.Paths.get("scale_out")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("sf1_smoke.json"),
+    val fileName =
+      if (only.isDefined) "sf1_smoke_partial.json" else "sf1_smoke.json"
+    java.nio.file.Files.write(dir.resolve(fileName),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
