@@ -641,6 +641,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Boilerplate line removal (CCNet/RefinedWeb line-level dedup): docs
+    // are line-split (12-token chunks; corpus text has no newlines) with a
+    // boilerplate line planted on every third doc; lines in > 5 distinct
+    // docs are removed everywhere and docs reassembled. Hash-first count,
+    // exact confirmation → hash-green vs the DuckDB oracle.
+    "t110_line_dedup" -> ((s, d) => {
+      val boiler = "please subscribe to our newsletter"
+      val lined = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n",
+            TextAnalysis.chunkByTokens(col("text"), 12, 0)).as("lined"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("lined"), lit("\n" + boiler)))
+            .otherwise(col("lined")).as("text"))
+      operators.Dedup.lineDedup(lined, "doc_id", "text", maxDocFreq = 5)
+        .select(col("id").as("doc_id"), col("text"),
+          col("kept_lines"), col("total_lines"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding prototypicality: cosine to the per-label centroid, keep
+    // the [2%, 100%] band per domain. Float centroid/cosine math is
+    // order-dependent across engines → rows-only; CurationLineProtoSpec
+    // pins hand-computed centroids and planted-outlier removal.
+    "s111_prototypicality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      operators.Similarity.prototypicalityFilter(emb,
+        "vec_id", "embedding", "label", loQuantile = 0.02)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          round(col("proto_score"), 6).as("score"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Fasttext-style hashing-trick quality classifier: gradient descent as
     // Spark aggregations (dim-bounded driver traffic per epoch), scoring
     // as a zero-shuffle codegen'd expression. The iterative fit is not
@@ -1921,6 +1956,31 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 50""".stripMargin,
+
+    "t110_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  array_to_string(list_slice(t, i*12+1, i*12+12), ' ') AS line
+        | FROM toks,
+        |  unnest(range(0, CAST(floor(greatest(len(t)-1, 0)/12.0) AS BIGINT) + 1)) AS u(i)),
+        |lines AS (
+        | SELECT * FROM chunks
+        | UNION ALL
+        | SELECT doc_id,
+        |  (SELECT max(pos)+1 FROM chunks c WHERE c.doc_id = d.doc_id) AS pos,
+        |  'please subscribe to our newsletter' AS line
+        | FROM documents d WHERE doc_id % 3 = 0),
+        |boiler AS (
+        | SELECT line
+        | FROM (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        | WHERE df > 5),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler))
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        | count(*) AS kept_lines,
+        | (SELECT count(*) FROM lines l WHERE l.doc_id = kept.doc_id) AS total_lines
+        |FROM kept GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "t107_bigram_counts" ->
       """WITH toks AS (

@@ -526,6 +526,57 @@ object Dedup {
           carryCols.map(c => first(col(c)).as(c))): _*)
   }
 
+  /** Boilerplate line removal — the line-level dedup of the
+    * CCNet/RefinedWeb recipe: a LINE (separator-delimited) that occurs in
+    * more than `maxDocFreq` DISTINCT documents is boilerplate (nav menus,
+    * cookie banners, signatures) and every occurrence is removed; the
+    * surviving lines are reassembled in original order. Documents whose
+    * every line was boilerplate are dropped.
+    *
+    * Hash-first with exact confirmation, like [[exactLosers]]: the
+    * corpus-wide counting shuffle carries `(xxhash64(line), id)` distinct
+    * pairs — 16 B/row, map-side combinable, never line text; the text of
+    * the (rare) candidate hashes is then recounted EXACTLY by line string
+    * on that sliver, so a 64-bit collision can never remove an innocent
+    * line. The boilerplate set is tiny by definition (lines occurring in
+    * many documents) → broadcast anti-join; the only text-bearing
+    * exchange is the per-doc reassembly groupBy, the irreducible shuffle
+    * of any corpus rewrite (same as [[spanDedup]]).
+    *
+    * Returns (id, text, kept_lines, total_lines). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long, sep: String = "\n"): DataFrame = {
+    def lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "line")
+    // pass 1: doc frequency per line HASH (distinct doc pairs, 16 B/row)
+    val candHashes = lines
+      .select(xxhash64(col("line")).as("__lh"), col("id"))
+      .distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__lh"))
+    // pass 2: exact recount by line STRING on the candidate sliver only
+    val boiler = lines
+      .withColumn("__lh", xxhash64(col("line")))
+      .join(broadcast(candHashes), "__lh")
+      .select(col("line"), col("id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("line"))
+    val totals = lines.groupBy(col("id"))
+      .agg(count(lit(1)).as("total_lines"))
+    lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("text"),
+        count(lit(1)).as("kept_lines"))
+      .join(totals, Seq("id"))
+  }
+
   /** Per-stratum deterministic sampling — the data-mixing step of a
     * training pipeline (e.g. upsample curated sources, downsample
     * crawl): each stratum keeps its own fraction, resolved through the

@@ -335,4 +335,55 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  /** Prototypicality scoring — cosine of each embedding to its DOMAIN's
+    * centroid (the SemDeDup-adjacent "distance to cluster center" quality
+    * signal: far-from-centroid rows are outliers/noise, suspiciously
+    * close-to-centroid rows are templated near-duplicates).
+    *
+    * 100 TB shape: the centroid fit is one `posexplode → groupBy(domain,
+    * dim) avg` whose shuffle is (domains × dim) partial sums — map-side
+    * combined, KBs regardless of corpus size; the centroid table is
+    * broadcast and scoring is one codegen'd cosine per row, zero
+    * corpus-scale exchange. Returns the input columns + `proto_score`. */
+  def prototypicality(df: DataFrame, idCol: String, embCol: String,
+      domainCol: String): DataFrame = {
+    val dims = df
+      .select(col(domainCol).as("__dom"), posexplode(col(embCol)))
+      .groupBy(col("__dom"), col("pos"))
+      .agg(avg(col("col")).as("__avg"))
+    val centroids = dims.groupBy(col("__dom"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("__avg")))),
+        x => x.getField("__avg")).as("__centroid"))
+    df.join(broadcast(centroids), col(domainCol) === col("__dom"))
+      .withColumn("proto_score",
+        cosine(col(embCol).cast("array<double>"), col("__centroid")))
+      .drop("__dom", "__centroid")
+  }
+
+  /** Keep the prototypical band per domain: rows whose score sits inside
+    * the [loQuantile, hiQuantile] band of their OWN domain (trims
+    * far-outlier noise at the bottom and templated clones at the top —
+    * set hiQuantile = 1.0 to trim only noise). The cuts are one
+    * `approx_percentile` pair per domain — a domains-sized broadcast
+    * table, not a corpus exchange. */
+  def prototypicalityFilter(df: DataFrame, idCol: String, embCol: String,
+      domainCol: String, loQuantile: Double = 0.05,
+      hiQuantile: Double = 1.0): DataFrame = {
+    require(loQuantile >= 0 && hiQuantile <= 1 && loQuantile < hiQuantile,
+      s"need 0 <= lo < hi <= 1, got [$loQuantile, $hiQuantile]")
+    // The cut fit and the filter each scan the corpus once (two passes
+    // total) — deliberately NOT checkpointed: the scored frame carries
+    // the embedding vectors, and materializing corpus-scale vectors to
+    // buy back one cheap re-aggregation is the wrong trade at 100 TB.
+    val scored = prototypicality(df, idCol, embCol, domainCol)
+    val cuts = scored.groupBy(col(domainCol).as("__dom"))
+      .agg(expr(s"approx_percentile(proto_score, $loQuantile)").as("__lo"),
+        expr(s"approx_percentile(proto_score, $hiQuantile)").as("__hi"))
+    scored.join(broadcast(cuts), col(domainCol) === col("__dom"))
+      .filter(col("proto_score") >= col("__lo") &&
+        col("proto_score") <= col("__hi"))
+      .drop("__dom", "__lo", "__hi")
+  }
 }

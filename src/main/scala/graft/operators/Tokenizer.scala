@@ -236,4 +236,46 @@ object Tokenizer {
     * zero shuffle. */
   def bpeDecode(tokens: Column): Column =
     trim(regexp_replace(concat_ws("", tokens), EndOfWord, " "))
+
+  /** Deterministic id vocabulary of a model: id 0 is reserved for
+    * unknown/OOV symbols, then base symbols (merge constituents that are
+    * not themselves merge outputs) sorted, then merged symbols in
+    * merge-rank order. Fully determined by the merge list, so equal
+    * models yield identical ids on any host. */
+  def vocabulary(model: BpeModel): Vector[(String, Int)] = {
+    val merged = model.merges.map { case (l, r) => l + r }
+    val base = model.merges
+      .flatMap { case (l, r) => Seq(l, r) }
+      .filterNot(merged.toSet)
+      .distinct.sorted
+    (("<unk>" +: base) ++ merged).zipWithIndex
+  }
+
+  /** Vocabulary as a persistable DataFrame (token, id). */
+  def vocabularyDF(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    vocabulary(model).toDF("token", "id")
+  }
+
+  /** Distributed encode straight to trainer-ready id arrays: same
+    * zero-shuffle cached word encode as [[bpeEncodeUdf]], then a
+    * broadcast token→id lookup (OOV symbols — single characters never
+    * seen in any merge — map to id 0). */
+  def bpeEncodeIdsUdf(spark: SparkSession,
+      model: BpeModel): UserDefinedFunction = {
+    val bcRanks = spark.sparkContext.broadcast(model.ranks)
+    val bcVocab = spark.sparkContext.broadcast(vocabulary(model).toMap)
+    val modelId = model.merges.hashCode
+    udf { text: String =>
+      if (text == null) null
+      else {
+        val ranks = bcRanks.value
+        val ids = bcVocab.value
+        text.split(' ').iterator.filter(_.nonEmpty)
+          .flatMap(w => cachedEncode(modelId, w, ranks))
+          .map(ids.getOrElse(_, 0))
+          .toArray
+      }
+    }
+  }
 }

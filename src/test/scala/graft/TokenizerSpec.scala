@@ -89,6 +89,29 @@ class TokenizerSpec extends SparkTestBase {
     assert(back.count() == 0, "decode(encode(x)) must equal x")
   }
 
+  test("id vocabulary is deterministic, unk=0, ids cover the encode output") {
+    // fully-merged model: every training word is one vocab symbol (a
+    // partially-trained model legitimately maps never-merged chars to unk)
+    val model = Tokenizer.bpeTrainFromCounts(sennrich, 50)
+    val vocab = Tokenizer.vocabulary(model)
+    assert(vocab.head == ("<unk>", 0))
+    assert(vocab.map(_._2) == vocab.indices.toVector, "dense ids")
+    assert(vocab.map(_._1).distinct.size == vocab.size, "no dup tokens")
+    val ids = vocab.toMap
+    sennrich.foreach { case (w, _) =>
+      Tokenizer.encodeWord(w, model.ranks).foreach(s =>
+        assert(ids.contains(s), s"symbol $s missing from vocabulary"))
+    }
+    // distributed id encode: OOV char maps to 0, known words to known ids
+    val df = Seq((1L, "newest zzz")).toDF("id", "text")
+    val enc = df.select(
+      Tokenizer.bpeEncodeIdsUdf(spark, model)($"text").as("ids"))
+      .head().getSeq[Int](0)
+    assert(enc.nonEmpty)
+    assert(enc.contains(0), "unseen char 'z' must hit the unk id")
+    assert(enc.exists(_ > 0), "known subwords must hit real ids")
+  }
+
   test("model round-trips through its DataFrame form") {
     val model = Tokenizer.bpeTrainFromCounts(sennrich, 10)
     val back = BpeModel.fromDF(model.toDF(spark))
