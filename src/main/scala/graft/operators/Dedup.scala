@@ -543,12 +543,15 @@ object Dedup {
     * exchange is the per-doc reassembly groupBy, the irreducible shuffle
     * of any corpus rewrite (same as [[spanDedup]]).
     *
-    * Returns (id, text, kept_lines, total_lines). */
+    * Returns (id, text, kept_lines, carryCols..., total_lines). */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-      maxDocFreq: Long, sep: String = "\n"): DataFrame = {
-    def lines = docs.select(col(idCol).as("id"),
-        posexplode(split(col(textCol),
-          java.util.regex.Pattern.quote(sep))))
+      maxDocFreq: Long, sep: String = "\n",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    def lines = docs.select(
+        (col(idCol).as("id") +:
+          posexplode(split(col(textCol),
+            java.util.regex.Pattern.quote(sep))) +:
+          carryCols.map(col)): _*)
       .withColumnRenamed("col", "line")
     // pass 1: doc frequency per line HASH (distinct doc pairs, 16 B/row)
     val candHashes = lines
@@ -573,7 +576,8 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), sep).as("text"),
-        count(lit(1)).as("kept_lines"))
+        (count(lit(1)).as("kept_lines") +:
+          carryCols.map(c => first(col(c)).as(c))): _*)
       .join(totals, Seq("id"))
   }
 

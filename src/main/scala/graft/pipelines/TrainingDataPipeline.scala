@@ -50,7 +50,13 @@ object TrainingDataPipeline {
       /** Corpus-level repeated-span removal after near-dup dedup: spans of
         * this many tokens that occurred earlier in the corpus are dropped
         * and documents rewritten ([[Dedup.spanDedup]]). */
-      spanDedupTokens: Option[Int] = None)
+      spanDedupTokens: Option[Int] = None,
+      /** Boilerplate line removal ([[Dedup.lineDedup]]): newline-delimited
+        * lines occurring in more than this many distinct documents are
+        * removed everywhere; runs with the corpus rewrites (after near-dup
+        * dedup, before span dedup) so the matching stages upstream see the
+        * original text. Docs reduced to nothing are dropped. */
+      lineDedupDocFreq: Option[Long] = None)
 
   /** Rule-gate thresholds for [[TextAnalysis.gopherKeep]]. */
   final case class GopherRules(
@@ -218,10 +224,22 @@ object TrainingDataPipeline {
     val exact = dropExactDups(clean)
       .observe(obsE, count(lit(1)).as("n"))
     val nearDeduped = dropNearDups(exact, cfg)
-    // span dedup rewrites text, so token totals are recomputed after it
+    // corpus rewrites: boilerplate lines first (line-granular), then
+    // repeated spans; token totals recomputed after each rewrite
+    val lineDeduped = cfg.lineDedupDocFreq
+      .map { f =>
+        Dedup.lineDedup(nearDeduped, "doc_id", "text", f,
+            carryCols = Seq("source", "lang", "quality"))
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("n_tokens",
+            org.apache.spark.sql.graft.NativeFunctions.tokenCount(col("text"))
+              .cast(LongType))
+          .drop("kept_lines", "total_lines")
+      }
+      .getOrElse(nearDeduped)
     val deduped = cfg.spanDedupTokens
       .map { k =>
-        Dedup.spanDedup(nearDeduped, "doc_id", "text", k,
+        Dedup.spanDedup(lineDeduped, "doc_id", "text", k,
             carryCols = Seq("source", "lang", "quality"))
           .withColumnRenamed("id", "doc_id")
           .withColumn("n_tokens",
@@ -229,7 +247,7 @@ object TrainingDataPipeline {
               .cast(LongType))
           .drop("kept_spans")
       }
-      .getOrElse(nearDeduped)
+      .getOrElse(lineDeduped)
       .observe(obsD,
         count(lit(1)).as("n"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("tok"))

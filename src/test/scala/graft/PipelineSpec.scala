@@ -160,6 +160,25 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("line-dedup stage strips boilerplate lines from the shards") {
+    val boiler = "subscribe to our newsletter today"
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, concat($"text", lit("\n" + boiler)))
+          .otherwise($"text").as("text"),
+        $"lang", $"source", $"n_chars")
+    val outDir = Files.createTempDirectory("graft_pipeline_lines").toString
+    val report = TrainingDataPipeline.run(spark, docs, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        nearDupThreshold = 0.95, lineDedupDocFreq = Some(10)))
+    val out = spark.read.parquet(outDir)
+    assert(out.filter($"text".contains(boiler)).head(1).isEmpty,
+      "boilerplate line must not reach the shards")
+    assert(out.count() == report.afterNearDedup)
+    assert(out.columns.contains("quality") && out.columns.contains("source"))
+    assert(report.totalTokens > 0)
+  }
+
   test("temperature mixing knob derives rates from domain counts") {
     val docs = Tables.documents(spark, sf)
     val outDir = Files.createTempDirectory("graft_pipe_temp").toString
