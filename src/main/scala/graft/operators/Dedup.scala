@@ -568,17 +568,26 @@ object Dedup {
       .groupBy(col("line")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq)
       .select(col("line"))
-    val totals = lines.groupBy(col("id"))
-      .agg(count(lit(1)).as("total_lines"))
-    lines.join(broadcast(boiler), Seq("line"), "left_anti")
-      .groupBy(col("id"))
+    // Single reassembly pass: flag boilerplate lines (broadcast left
+    // join) instead of anti-joining, so per-doc totals and surviving text
+    // come out of ONE groupBy — two corpus scans total (count + rebuild)
+    // rather than four. Docs reduced to nothing drop via the kept filter.
+    val flagged = lines.join(
+      broadcast(boiler.withColumn("__bl", lit(true))), Seq("line"), "left")
+    flagged.groupBy(col("id"))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")), sep).as("text"),
-        (count(lit(1)).as("kept_lines") +:
+          filter(
+            array_sort(collect_list(struct(col("pos"),
+              when(col("__bl").isNull, col("line")).as("kl")))),
+            x => x.getField("kl").isNotNull),
+          x => x.getField("kl")), sep).as("text"),
+        (sum(when(col("__bl").isNull, 1L).otherwise(0L)).as("kept_lines") +:
+          count(lit(1)).as("total_lines") +:
           carryCols.map(c => first(col(c)).as(c))): _*)
-      .join(totals, Seq("id"))
+      .filter(col("kept_lines") > 0)
+      .select((col("id") +: col("text") +: col("kept_lines") +:
+        carryCols.map(col) :+ col("total_lines")): _*)
   }
 
   /** Per-stratum deterministic sampling — the data-mixing step of a
