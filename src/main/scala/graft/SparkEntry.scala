@@ -980,6 +980,35 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Streaming ingest through the learned quality gate: the classifier
+    // (trained batch-side, weights a plan literal) scores each arriving
+    // document STATELESSLY inside the micro-batch — per-source keep
+    // rates aggregate in complete mode. Demonstrates that every scoring
+    // operator composes onto Structured Streaming unchanged. Rows-only;
+    // StreamingSpec pins stream-vs-batch count equality.
+    "str112_stream_quality" -> ((s, d) => {
+      val streamDir = tmpDir("graft_str112")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          array_contains(split(col("text"), " "), "join")
+            .cast("int").as("label"))
+      val model = operators.Classifier.train(docs, "text", "label",
+        dim = 1 << 14, epochs = 12, lr = 2.0, maxTrainRows = 5000)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      val scored = src.select(col("source"),
+        (operators.Classifier.scoreExpr(col("text"), model) >= 0.5)
+          .cast("long").as("keep"))
+      val agg = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("keep")).as("kept"))
+      val name = "str112_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.MicroBatch.runToMemory(s, agg, name)
+        .orderBy(col("source"))
+    }),
+
     // Temperature-scaled domain mixing (p_d ∝ n_d^alpha): rows-only —
     // the realized sample hangs on seeded xxhash64 buckets; DedupSpec
     // pins the per-domain rate realization and smoothing direction.

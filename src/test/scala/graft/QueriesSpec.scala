@@ -35,7 +35,8 @@ class QueriesSpec extends SparkTestBase {
       // and the classifier's gradient-descent fit is iterative; centroid
       // cosine is order-dependent float math across engines
       "t105_bpe_train", "t106_bpe_encode", "t108_lm_perplexity",
-      "t109_quality_classifier", "s111_prototypicality"),
+      "t109_quality_classifier", "s111_prototypicality",
+      "str112_stream_quality"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

@@ -288,4 +288,39 @@ class StreamingSpec extends SparkTestBase {
     assert(replay == first,
       s"replay must reproduce the batch, not erase it: $replay")
   }
+
+  test("stateless classifier scoring on a stream matches the batch result") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        array_contains(split(col("text"), " "), "join")
+          .cast("int").as("label"))
+    val model = graft.operators.Classifier.train(docs, "text", "label",
+      dim = 1 << 12, epochs = 15, lr = 1.0)
+    val batchCounts = docs
+      .select(col("source"),
+        (graft.operators.Classifier.scoreExpr(col("text"), model) >= 0.5)
+          .cast("long").as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("keep")).as("kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_strq")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val agg = src.select(col("source"),
+        (graft.operators.Classifier.scoreExpr(col("text"), model) >= 0.5)
+          .cast("long").as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("keep")).as("kept"))
+    val name = "strq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val streamed = graft.streaming.MicroBatch.runToMemory(spark, agg, name)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchCounts,
+      "the literal-weights scoring expression must be batch/stream invariant")
+  }
 }
