@@ -238,4 +238,58 @@ class PlansSpec extends SparkTestBase {
       assert(plan(unpruned).contains("SortMergeJoin"), plan(unpruned).take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("classifier scoring is zero-shuffle (literal weights, no join)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val model = graft.operators.Classifier.LinearModel(
+      Array.fill(1 << 10)(0.01), 0.0, 1 << 10)
+    val p = plan(graft.operators.Classifier.classify(docs, "text", model)
+      .filter(col("keep")))
+    assert(!p.contains("Exchange"),
+      s"scoring must be a pure per-row expression, got:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("lineDedup counting shuffle carries line hashes, not line text") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = graft.operators.Dedup.lineDedup(docs, "doc_id", "text", 5)
+    out.count()
+    val p = plan(out)
+    // pass-1 aggregation exchanges on the 64-bit line hash column
+    assert(p.contains("hashpartitioning(__lh"),
+      s"count pass must partition on the hash:\n${p.take(3000)}")
+    // the boilerplate set reaches the reassembly side as a broadcast —
+    // the corpus spine never shuffles for the anti/flag join
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("prototypicality centroid fit aggregates before its exchange") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val scored = graft.operators.Similarity.prototypicality(
+      emb, "vec_id", "embedding", "label")
+    scored.count()
+    val p = plan(scored)
+    // partial HashAggregate below the (domain, dim) exchange: the shuffle
+    // carries partial sums, not raw vector elements
+    val idx = p.indexOf("Exchange hashpartitioning(__dom")
+    assert(idx > 0, p.take(3000))
+    assert(p.substring(idx).contains("HashAggregate"), p.take(3000))
+    // centroids reach the scoring join as a broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("ngram counting partially aggregates map-side (t107)") {
+    val q = SparkEntry.queries("t107_bigram_counts")(spark, sf)
+    q.count()
+    val p = plan(q)
+    // map-side partial agg before the exchange on (ctx, word)
+    val ex = p.indexOf("Exchange hashpartitioning(ctx")
+    assert(ex > 0, p.take(3000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(3000))
+    // top-200 never globally sorts
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
