@@ -67,6 +67,18 @@ class CurationLineProtoSpec extends SparkTestBase {
     assert(r1.getString(1) == "rep\nrep\nrep\nrep\nrep\nother")
   }
 
+  test("lineDedup is idempotent") {
+    // removal only lowers doc frequencies, so a second pass is a no-op
+    val docs = Seq(
+      (1L, "u1\ncommon"), (2L, "u2\ncommon"), (3L, "u3\ncommon"),
+      (4L, "u4\nrare")).toDF("doc_id", "text")
+    val once = Dedup.lineDedup(docs, "doc_id", "text", maxDocFreq = 2)
+      .select($"id".as("doc_id"), $"text")
+    val twice = Dedup.lineDedup(once, "doc_id", "text", maxDocFreq = 2)
+      .select($"id".as("doc_id"), $"text")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
   test("prototypicality: centroid math matches hand computation") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), "a"),

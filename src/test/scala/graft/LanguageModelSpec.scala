@@ -49,6 +49,23 @@ class LanguageModelSpec extends SparkTestBase {
     assert(math.abs(scored.getDouble(3) - math.exp(-expectAvg)) < 1e-12)
   }
 
+  test("trigram model scores with two-word contexts") {
+    // corpus "a b c" x2, "a b d" x1: c(ab,c)=2, c(ab,d)=1, c(ab)=3, V=2
+    val ref = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("id", "text")
+    val lm = LanguageModel.train(ref, "text", n = 3, alpha = 0.5)
+    assert(lm.vocabSize == 2)
+    val probs = lm.grams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val denom = 3.0 + 0.5 * 2
+    assert(math.abs(probs(("a b", "c")) - math.log(2.5 / denom)) < 1e-12)
+    assert(math.abs(probs(("a b", "d")) - math.log(1.5 / denom)) < 1e-12)
+    val scored = LanguageModel.perplexity(
+      Seq((9L, "a b c")).toDF("id", "text"), lm, "id", "text").head()
+    assert(scored.getLong(1) == 1)
+    assert(math.abs(scored.getDouble(2) - math.log(2.5 / denom)) < 1e-12)
+  }
+
   test("unscoreable documents score null perplexity but keep their row") {
     val ref = Seq((1L, "a b c")).toDF("id", "text")
     val lm = LanguageModel.train(ref, "text", n = 2)

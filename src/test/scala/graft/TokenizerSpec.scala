@@ -119,4 +119,19 @@ class TokenizerSpec extends SparkTestBase {
     assert(Tokenizer.encodeWord("newest", back.ranks) ==
       Tokenizer.encodeWord("newest", model.ranks))
   }
+
+  test("two models in one JVM never share encode-cache entries") {
+    val m1 = Tokenizer.bpeTrainFromCounts(sennrich, 50)
+    val m2 = Tokenizer.bpeTrainFromCounts(
+      Seq("new" -> 5L, "est" -> 5L), 50)
+    val df = Seq((1L, "newest")).toDF("id", "text")
+    // encode under m1 first (populates the word cache), then m2 — a
+    // cache keyed only by word would leak m1's single-token encoding
+    val e1 = df.select(Tokenizer.bpeEncodeUdf(spark, m1)($"text"))
+      .head().getSeq[String](0)
+    val e2 = df.select(Tokenizer.bpeEncodeUdf(spark, m2)($"text"))
+      .head().getSeq[String](0)
+    assert(e1 == Seq("newest" + EndOfWord))
+    assert(e2 != e1, "m2 never merged the full word — must re-encode")
+  }
 }
