@@ -676,6 +676,21 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Deterministic train/val/test corpus split over the engine-portable
+    // multiplicative hash (same scheme as q64/q76) → hash-green.
+    "q113_corpus_split" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      operators.Dedup.splitCorpus(o, "o_orderkey",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          hash = Some(col("o_orderkey") * 2654435761L % 1000003L),
+          denominator = 1000)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("split"))
+    }),
+
     // Fasttext-style hashing-trick quality classifier: gradient descent as
     // Spark aggregations (dim-bounded driver traffic per epoch), scoring
     // as a zero-shuffle codegen'd expression. The iterative fit is not
@@ -2180,6 +2195,15 @@ object SparkEntry {
         |FROM packed
         |GROUP BY lang, bin
         |ORDER BY lang, bin""".stripMargin,
+
+    "q113_corpus_split" ->
+      """SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |  ELSE 'test' END AS split,
+        | count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (SELECT o_orderkey,
+        |  ((o_orderkey * 2654435761) % 1000003) % 1000 AS b FROM orders)
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
 
     "q64_hash_sample" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -472,6 +472,31 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
   }
 
+  /** Deterministic disjoint-and-covering corpus split (train/val/test):
+    * weights normalize to contiguous bucket ranges over a hash of the id,
+    * so every row lands in exactly ONE split, reproducibly at any
+    * partitioning (and in any engine when given an engine-portable hash,
+    * as the gate does). Zero shuffle — one codegen'd when-chain; the last
+    * range is open-ended so floating-point bound rounding can never
+    * orphan the tail bucket. Returns the input plus a `split` column. */
+  def splitCorpus(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val h = pmod(hash.getOrElse(xxhash64(lit("graft_split"), col(idCol))),
+      lit(denominator))
+    val bounds = splits.scanLeft(0.0) {
+      case (acc, (_, w)) => acc + w / total * denominator
+    }.tail
+    val assign = splits.zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), b), acc) => when(h < lit(b), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Corpus-level repeated-span removal (the C4/RefinedWeb curation step):
     * documents are cut into fixed `spanTokens`-token spans (the fused
     * [[org.apache.spark.sql.graft.TokenChunks]] kernel, overlap 0, trailing

@@ -79,6 +79,28 @@ class CurationLineProtoSpec extends SparkTestBase {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("splitCorpus: disjoint, covering, partitioning-stable, ~weighted") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val s1 = Dedup.splitCorpus(docs, "doc_id", splits)
+    // every row exactly one split; totals cover the corpus
+    assert(s1.count() == docs.count())
+    val byName = s1.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"), byName.toString)
+    val n = docs.count().toDouble
+    assert(byName("train") / n > 0.7 && byName("train") / n < 0.9)
+    // identical assignment at a different partitioning
+    val s2 = Dedup.splitCorpus(docs.repartition(7), "doc_id", splits)
+    assert(s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      s2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // weights that do not sum to 1 normalize
+    val s3 = Dedup.splitCorpus(docs, "doc_id", Seq(("a", 2.0), ("b", 2.0)))
+    val b3 = s3.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(b3("a") - b3("b")) < n * 0.2, b3.toString)
+  }
+
   test("prototypicality: centroid math matches hand computation") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), "a"),
