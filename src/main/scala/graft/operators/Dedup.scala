@@ -497,6 +497,24 @@ object Dedup {
     df.withColumn("split", assign)
   }
 
+  /** Split-leakage removal: documents in the TRAIN split that are exact
+    * or shingle-overlap near-duplicates of any holdout (val/test) document
+    * are dropped from train — the holdout stays untouched, so evaluation
+    * sets keep their intended distribution while the training side loses
+    * its leaked twins (the train/val decontamination step of The Pile /
+    * GPT-3 style corpus prep). Pure composition of [[splitCorpus]]'s
+    * output with [[decontaminate]]: cost scales with the HOLDOUT side
+    * (small by construction), never train². */
+  def decontaminateSplits(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String = "split", trainSplit: String = "train",
+      shingleK: Int = 5): DataFrame = {
+    val train = df.filter(col(splitCol) === trainSplit)
+    val holdout = df.filter(col(splitCol) =!= trainSplit)
+    decontaminate(train, holdout.select(col(idCol), col(textCol)),
+        idCol, textCol, shingleK)
+      .unionByName(holdout)
+  }
+
   /** Corpus-level repeated-span removal (the C4/RefinedWeb curation step):
     * documents are cut into fixed `spanTokens`-token spans (the fused
     * [[org.apache.spark.sql.graft.TokenChunks]] kernel, overlap 0, trailing

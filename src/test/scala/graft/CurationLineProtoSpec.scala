@@ -101,6 +101,24 @@ class CurationLineProtoSpec extends SparkTestBase {
     assert(math.abs(b3("a") - b3("b")) < n * 0.2, b3.toString)
   }
 
+  test("decontaminateSplits drops the train twin, keeps the holdout doc") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val split = Dedup.splitCorpus(docs, "doc_id",
+      Seq(("train", 0.9), ("val", 0.1)))
+    // plant: a train-split doc that verbatim-copies a val-split doc
+    val valDonor = split.filter($"split" === "val")
+      .select($"text").head().getString(0)
+    val planted = split.unionByName(
+      Seq((990001L, valDonor, "train")).toDF("doc_id", "text", "split"))
+    val out = Dedup.decontaminateSplits(planted, "doc_id", "text")
+    assert(out.filter($"doc_id" === 990001L).head(1).isEmpty,
+      "train-side twin of a holdout doc must be dropped")
+    val valN = planted.filter($"split" === "val").count()
+    assert(out.filter($"split" === "val").count() == valN,
+      "holdout side must be untouched")
+    assert(out.count() < planted.count())
+  }
+
   test("prototypicality: centroid math matches hand computation") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), "a"),
