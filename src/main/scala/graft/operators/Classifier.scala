@@ -132,11 +132,20 @@ object Classifier {
     LinearModel(arr, weights.getOrElse(-1, 0.0), dim)
   }
 
-  /** Corpus-scale scoring: sigmoid(w·x + b) as a single codegen'd
-    * expression — the weight vector is a plan literal (dim ≤ ~2^18 keeps
-    * it a few MB), the dot product one `aggregate` pass over the hashed
-    * tokens. Zero shuffle, no join, no UDF. */
-  def scoreExpr(text: Column, model: LinearModel): Column = {
+  /** Corpus-scale scoring: sigmoid(w·x + b) as ONE fused codegen'd
+    * kernel ([[org.apache.spark.sql.graft.HashedBagSigmoid]]) — a single
+    * byte-scan per row with the weight vector riding the generated class
+    * as a reference object (dim ≤ ~2^18 keeps it a few MB). Zero
+    * shuffle, no join, no UDF, and unlike a higher-order `aggregate`
+    * lambda (which never enters whole-stage codegen) it stays inside the
+    * codegen'd stage. [[scoreExprHof]] is the executable spec. */
+  def scoreExpr(text: Column, model: LinearModel): Column =
+    org.apache.spark.sql.graft.NativeFunctions
+      .hashedBagSigmoid(text, model.weights.toIndexedSeq, model.bias)
+
+  /** HOF formulation of [[scoreExpr]] — bit-identical, kept as the
+    * executable specification of the fused kernel. */
+  private[graft] def scoreExprHof(text: Column, model: LinearModel): Column = {
     val w = typedLit(model.weights.toIndexedSeq)
     val dot = aggregate(hashBuckets(text, model.dim),
       lit(model.bias).cast(DoubleType),

@@ -344,6 +344,31 @@ object HashKernels {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** Fused hashing-trick linear-model sigmoid: tokenize, xxhash64(seed 42)
+    * per token, `pmod(hash, weights.length)` bucket, accumulate the bucket
+    * weight, sigmoid at the end — one pass, no token-bucket array
+    * materialized. Bit-identical to the HOF formulation
+    * `sigmoid(bias + aggregate(hashBuckets(text, dim), ...))` in
+    * `graft.operators.Classifier`. */
+  def hashedBagSigmoid(input: UTF8String, weights: Array[Double],
+      bias: Double): Double = {
+    val tokens = input.split(SPACE, -1)
+    val dim = weights.length.toLong
+    var acc = bias
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      if (tok.numBytes() > 0) {
+        val h = XxHash64Function.hash(tok, StringType, 42L) % dim
+        acc += weights((if (h < 0) h + dim else h).toInt)
+      }
+      t += 1
+    }
+    // StrictMath, not Math: Spark's Exp codegen calls StrictMath.exp, and
+    // the HOF spec must stay bit-identical on every host
+    1.0 / (1.0 + java.lang.StrictMath.exp(-acc))
+  }
 }
 
 /** 64-bit SimHash of a whitespace-tokenized string — single fused pass per
@@ -684,6 +709,35 @@ case class RangeBucketId(child: Expression, boundaries: Seq[Double])
   override def prettyName: String = "range_bucket_id"
 }
 
+/** Fused hashing-trick linear-model sigmoid score — the corpus-scale
+  * serving kernel of `graft.operators.Classifier`: one byte-scan per row,
+  * per-token xxhash64 bucket lookup into the model weights, sigmoid of
+  * the accumulated margin. Replaces an interpreted higher-order
+  * `aggregate` lambda (HOFs never enter whole-stage codegen) with a
+  * single static call that does; the weight vector rides the generated
+  * class as a reference object, not stamped-out code. */
+case class HashedBagSigmoid(child: Expression, weights: Seq[Double],
+    bias: Double)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+
+  private lazy val w: Array[Double] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hashedBagSigmoid(input.asInstanceOf[UTF8String], w, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", w, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HashKernels.hashedBagSigmoid($c, $ref, $bias)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "hashed_bag_sigmoid"
+}
+
 /** Rank bucket id of a string against precomputed sorted cut points
   * (binary search over UTF8String binary order — the order Spark sorts
   * strings by, so fitted ranks and parquet min/max stats agree). The
@@ -959,6 +1013,10 @@ object NativeFunctions {
 
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))
+
+  def hashedBagSigmoid(c: Column, weights: Seq[Double], bias: Double): Column =
+    ExpressionUtils.column(HashedBagSigmoid(
+      ExpressionUtils.expression(c), weights, bias))
 
   def shingleDistinctCount(c: Column, shingleK: Int): Column =
     ExpressionUtils.column(ShingleDistinctCount(

@@ -74,6 +74,26 @@ class ClassifierSpec extends SparkTestBase {
       s"accuracy $acc must beat majority class $majority")
   }
 
+  test("fused scoring kernel is bit-identical to the HOF formulation") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionByName(Seq((990001L, ""), (990002L, "  doubled  spaces "))
+        .toDF("doc_id", "text"))
+    val model = Classifier.LinearModel(
+      Array.tabulate(1 << 10)(i => (i % 7 - 3) * 0.01), -0.2, 1 << 10)
+    val both = docs.select(
+      Classifier.scoreExpr($"text", model).as("fused"),
+      Classifier.scoreExprHof($"text", model).as("hof"))
+    assert(both.filter($"fused" =!= $"hof").head(1).isEmpty,
+      "fused kernel must match the HOF spec bit for bit")
+    // the kernel stays inside generated code (no interpreted fallback)
+    locally {
+      import org.apache.spark.sql.execution.debug._
+      val probe = docs.select(Classifier.scoreExpr($"text", model).as("s"))
+      val code = probe.queryExecution.debug.codegenToSeq().map(_._2).mkString
+      assert(code.contains("hashedBagSigmoid"), "scorer fell back")
+    }
+  }
+
   test("model round-trips through its DataFrame form") {
     val df = Seq((1L, "x y", 1), (2L, "u v", 0)).toDF("id", "text", "label")
     val m = Classifier.train(df, "text", "label", dim = 32, epochs = 10)
