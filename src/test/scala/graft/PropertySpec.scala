@@ -76,4 +76,58 @@ class PropertySpec extends AnyFunSuite {
         graft.sources.PartitionedWrite.resolveTemplate(tpl)
       }
   }
+
+  test("bpe: encodeWord concatenation always reconstructs the word") {
+    import graft.operators.Tokenizer
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val corpus = Gen.nonEmptyListOf(
+      word.flatMap(w => Gen.chooseNum(1L, 20L).map(w -> _)))
+    val merges = Gen.chooseNum(0, 40)
+    val gen = for { c <- corpus; m <- merges; probe <- word } yield (c, m, probe)
+    samples(gen, 100).foreach { case (counts, m, probe) =>
+      val model = Tokenizer.bpeTrainFromCounts(counts, m)
+      // lossless: symbols concatenate back to word + end marker, for
+      // training words and arbitrary probes alike
+      (probe +: counts.map(_._1)).foreach { w =>
+        val enc = Tokenizer.encodeWord(w, model.ranks)
+        assert(enc.mkString == w + Tokenizer.EndOfWord,
+          s"lossy encode of '$w' with $m merges over $counts")
+        assert(enc.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("bpe: more merges never increases a training word's token count") {
+    import graft.operators.Tokenizer
+    val gen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+        .flatMap(w => Gen.chooseNum(1L, 9L).map(w -> _)))
+    samples(gen, 60).foreach { counts =>
+      val full = Tokenizer.bpeTrainFromCounts(counts, 60)
+      (0 to 60 by 10).foldLeft(Int.MaxValue) { (prevTotal, m) =>
+        val model = Tokenizer.BpeModel(full.merges.take(m))
+        val total = counts.map { case (w, _) =>
+          Tokenizer.encodeWord(w, model.ranks).length }.sum
+        assert(total <= prevTotal,
+          s"token total rose from $prevTotal to $total at $m merges")
+        total
+      }
+    }
+  }
+
+  test("splitCorpus bucket bounds cover [0, denominator) for any weights") {
+    import graft.operators.Dedup
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 1000))
+      .suchThat(_.size <= 8)
+    samples(gen, 100).foreach { ws =>
+      val splits = ws.zipWithIndex.map { case (w, i) => (s"s$i", w.toDouble) }
+      // bounds math mirrored from splitCorpus: last bound open-ended
+      val total = splits.map(_._2).sum
+      val bounds = splits.scanLeft(0.0) {
+        case (acc, (_, w)) => acc + w / total * 65536 }.tail
+      assert(bounds.last >= 65536 - 1e-6,
+        s"tail range must reach the denominator: $bounds")
+      assert(bounds == bounds.sorted, "ranges must be monotonic")
+    }
+  }
 }
