@@ -691,6 +691,26 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // Trainer-ready sequence packing: BPE-encode the corpus to id arrays,
+    // lay documents end-to-end per language, cut fixed 256-id training
+    // sequences (pad id 0). Bins bound the reassembly groupBy by
+    // construction. Rows-only (model-dependent ids); TokenizerSpec pins
+    // exact stream reconstruction and fixed lengths.
+    "t114_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = operators.Tokenizer
+        .bpeTrain(docs, "text", numMerges = 200, maxWords = 20000)
+      val enc = operators.Tokenizer.bpeEncodeIdsUdf(s, model)
+      val encoded = docs
+        .select(col("doc_id"), col("lang"), enc(col("text")).as("ids"))
+      operators.Tokenizer.packSequences(encoded, "ids", seqLen = 256,
+          group = col("lang"), order = col("doc_id"))
+        .select(col("group"), col("bin"), col("seq_idx"),
+          size(col("ids")).cast(LongType).as("n_ids"),
+          xxhash64(concat_ws(",", col("ids"))).as("ids_hash"))
+        .orderBy(col("group"), col("bin"), col("seq_idx"))
+    }),
+
     // Fasttext-style hashing-trick quality classifier: gradient descent as
     // Spark aggregations (dim-bounded driver traffic per epoch), scoring
     // as a zero-shuffle codegen'd expression. The iterative fit is not

@@ -257,6 +257,47 @@ object Tokenizer {
     vocabulary(model).toDF("token", "id")
   }
 
+  /** Pack encoded documents into fixed-length training sequences — the
+    * final "concat and chunk" step of pretraining data prep: documents
+    * (as id arrays) are laid end-to-end in a deterministic order within
+    * each group, cut every `seqLen` ids, and the trailing partial
+    * sequence of each bin padded with `padId` (pass None to keep it
+    * ragged).
+    *
+    * Distribution: documents are first assigned to capacity-bounded BINS
+    * by a running token-offset window (the [[TextAnalysis.packByTokenBudget]]
+    * contract — one window shuffle per group); each bin then flattens its
+    * documents and slices sequences independently — a bin is
+    * `seqsPerBin·seqLen` ids by construction, so the per-bin reassembly
+    * groupBy is bounded regardless of corpus size, and sequences never
+    * cross bins (no global concatenation, no driver). Token order inside
+    * a bin is the given document order; no ids are dropped or reordered.
+    * Returns (group, bin, seq_idx, ids). */
+  def packSequences(df: DataFrame, idsCol: String, seqLen: Int,
+      group: Column, order: Column, seqsPerBin: Int = 64,
+      padId: Option[Int] = Some(0)): DataFrame = {
+    require(seqLen > 0 && seqsPerBin > 0, "positive seqLen / seqsPerBin")
+    val binned = TextAnalysis.packByTokenBudget(
+      df.withColumn("__n", size(col(idsCol)))
+        .withColumn("__grp", group).withColumn("__ord", order),
+      "__n", seqLen * seqsPerBin, col("__grp"), col("__ord"))
+    val flat = binned.groupBy(col("__grp"), col("bin"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__ord"), col(idsCol)))),
+        x => x.getField(idsCol))).as("__flat"))
+    val nSeq = ceil(size(col("__flat")).cast("double") / seqLen).cast("int")
+    val sliced = flat.select(col("__grp"), col("bin"),
+      posexplode(transform(sequence(lit(0), greatest(nSeq, lit(1)) - 1),
+        i => slice(col("__flat"), i * seqLen + 1, lit(seqLen)))))
+      .withColumnsRenamed(Map("pos" -> "seq_idx", "col" -> "ids"))
+      .filter(size(col("ids")) > 0)
+    val padded = padId.fold(sliced)(p => sliced.withColumn("ids",
+      concat(col("ids"),
+        array_repeat(lit(p), lit(seqLen) - size(col("ids"))))))
+    padded.select(col("__grp").as("group"), col("bin"),
+      col("seq_idx").cast("long").as("seq_idx"), col("ids"))
+  }
+
   /** Distributed encode straight to trainer-ready id arrays: same
     * zero-shuffle cached word encode as [[bpeEncodeUdf]], then a
     * broadcast token→id lookup (OOV symbols — single characters never

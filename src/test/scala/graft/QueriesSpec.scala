@@ -36,7 +36,7 @@ class QueriesSpec extends SparkTestBase {
       // cosine is order-dependent float math across engines
       "t105_bpe_train", "t106_bpe_encode", "t108_lm_perplexity",
       "t109_quality_classifier", "s111_prototypicality",
-      "str112_stream_quality"),
+      "str112_stream_quality", "t114_pack_sequences"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

@@ -120,6 +120,49 @@ class TokenizerSpec extends SparkTestBase {
       Tokenizer.encodeWord("newest", model.ranks))
   }
 
+  test("packSequences: fixed lengths, order preserved, nothing lost") {
+    val docs = Seq(
+      (1L, "g", Seq(1, 2, 3)),
+      (2L, "g", Seq(4, 5, 6, 7, 8)),   // straddles a seq boundary
+      (3L, "g", Seq(9)),
+      (4L, "h", Seq(10, 11))).toDF("doc_id", "grp", "ids")
+    val out = Tokenizer.packSequences(docs, "ids", seqLen = 4,
+      group = $"grp", order = $"doc_id", seqsPerBin = 16, padId = Some(0))
+    val rows = out.orderBy($"group", $"bin", $"seq_idx").collect()
+    // every sequence exactly seqLen after padding
+    assert(rows.forall(_.getSeq[Int](3).length == 4))
+    // group g: ids laid end-to-end in doc order then cut: [1,2,3,4],
+    // [5,6,7,8], [9,0,0,0]
+    val g = rows.filter(_.getString(0) == "g").map(_.getSeq[Int](3).toList)
+    assert(g.toList == List(List(1, 2, 3, 4), List(5, 6, 7, 8),
+      List(9, 0, 0, 0)))
+    val h = rows.filter(_.getString(0) == "h").map(_.getSeq[Int](3).toList)
+    assert(h.toList == List(List(10, 11, 0, 0)))
+    // unpadded variant reconstructs the exact token stream
+    val ragged = Tokenizer.packSequences(docs, "ids", seqLen = 4,
+      group = $"grp", order = $"doc_id", padId = None)
+      .filter($"group" === "g").orderBy($"bin", $"seq_idx")
+      .collect().flatMap(_.getSeq[Int](3)).toList
+    assert(ragged == (1 to 9).toList)
+  }
+
+  test("packSequences bins bound the reassembly group size") {
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select($"doc_id", lit("all").as("grp"),
+        transform(split($"text", " "),
+          t => (pmod(xxhash64(t), lit(1000L)) + 1).cast("int")).as("ids"))
+    val seqLen = 128
+    val out = Tokenizer.packSequences(docs, "ids", seqLen,
+      group = $"grp", order = $"doc_id", seqsPerBin = 4, padId = Some(0))
+    assert(out.count() > 0)
+    assert(out.filter(size($"ids") =!= seqLen).count() == 0)
+    // ids are 1..1000, pad is 0 → non-pad count must match exactly
+    val inTokens = docs.agg(sum(size($"ids"))).head().getLong(0)
+    val outTokens = out
+      .agg(sum(size(filter($"ids", x => x =!= 0)))).head().getLong(0)
+    assert(outTokens == inTokens, "no id lost or duplicated")
+  }
+
   test("two models in one JVM never share encode-cache entries") {
     val m1 = Tokenizer.bpeTrainFromCounts(sennrich, 50)
     val m2 = Tokenizer.bpeTrainFromCounts(
