@@ -58,6 +58,22 @@ object TrainingDataPipeline {
         * original text. Docs reduced to nothing are dropped. */
       lineDedupDocFreq: Option[Long] = None)
 
+  /** Trainer-ready sequence emission ([[run]]'s `sequenceOutput`): the
+    * surviving documents are BPE-encoded with the supplied pre-trained
+    * model and packed into fixed-length id sequences
+    * ([[graft.operators.Tokenizer.packSequences]]) written to `dir`
+    * partitioned by the pipeline's output-partition column. Train the
+    * model beforehand (on a sample, like every fit in this library).
+    * The default `padId` 0 is the vocabulary's reserved `<unk>` id —
+    * fine when the trainer masks trailing pad, GPT-2-style; pass a
+    * dedicated id if pad must be distinguishable from OOV. */
+  final case class SequencePack(
+      model: graft.operators.Tokenizer.BpeModel,
+      dir: String,
+      seqLen: Int = 2048,
+      seqsPerBin: Int = 64,
+      padId: Int = 0)
+
   /** Rule-gate thresholds for [[TextAnalysis.gopherKeep]]. */
   final case class GopherRules(
       minWords: Int = 50, maxWords: Int = 100000,
@@ -72,7 +88,10 @@ object TrainingDataPipeline {
     * documents). */
   final case class Report(
       input: Long, afterQuality: Long, afterExactDedup: Long,
-      afterNearDedup: Long, totalTokens: Long)
+      afterNearDedup: Long, totalTokens: Long,
+      /** Fixed-length training sequences written (0 unless `sequenceOutput`
+        * was requested). */
+      sequences: Long = 0L)
 
   /** Annotate: (optional PII redaction,) language, quality, token count —
     * one codegen'd pass; redaction rewrites `text` before any signal
@@ -164,7 +183,8 @@ object TrainingDataPipeline {
       cfg: Config = Config(), benchmark: Option[DataFrame] = None,
       dsirTarget: Option[(DataFrame, Double)] = None,
       perplexityRef: Option[(DataFrame, Double)] = None,
-      qualityModel: Option[(graft.operators.Classifier.LinearModel, Double)] = None): Report = {
+      qualityModel: Option[(graft.operators.Classifier.LinearModel, Double)] = None,
+      sequenceOutput: Option[SequencePack] = None): Report = {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
@@ -255,11 +275,32 @@ object TrainingDataPipeline {
     PartitionedWrite.writePartitioned(
       deduped, outDir, Seq(cfg.outputPartitionCol))
 
+    // Sequence emission reads BACK the just-written shards — referencing
+    // the live `deduped` plan again would re-run the entire curation
+    // pipeline (dedup shuffles included) for the encode pass.
+    val nSeq = sequenceOutput.fold(0L) { sp =>
+      val survivors = spark.read.parquet(outDir)
+      val enc = graft.operators.Tokenizer.bpeEncodeIdsUdf(spark, sp.model)
+      val encoded = survivors.select(col("doc_id"),
+        col(cfg.outputPartitionCol), enc(col("text")).as("ids"))
+      val packed = graft.operators.Tokenizer.packSequences(
+        encoded, "ids", sp.seqLen,
+        group = col(cfg.outputPartitionCol), order = col("doc_id"),
+        seqsPerBin = sp.seqsPerBin, padId = Some(sp.padId))
+      val obsS = Observation()
+      PartitionedWrite.writePartitioned(
+        packed.withColumnRenamed("group", cfg.outputPartitionCol)
+          .observe(obsS, count(lit(1)).as("n")),
+        sp.dir, Seq(cfg.outputPartitionCol))
+      obsS.get("n").asInstanceOf[Long]
+    }
+
     Report(
       input = obsIn.get("n").asInstanceOf[Long],
       afterQuality = obsQ.get("n").asInstanceOf[Long],
       afterExactDedup = obsE.get("n").asInstanceOf[Long],
       afterNearDedup = obsD.get("n").asInstanceOf[Long],
-      totalTokens = obsD.get("tok").asInstanceOf[Long])
+      totalTokens = obsD.get("tok").asInstanceOf[Long],
+      sequences = nSeq)
   }
 }

@@ -240,6 +240,33 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() == out.select("text").distinct().count())
   }
 
+  test("sequence output stage emits fixed-length trainer shards") {
+    val docs = Tables.documents(spark, sf)
+    val model = graft.operators.Tokenizer.bpeTrain(
+      docs, "text", numMerges = 60, maxWords = 5000)
+    val outDir = Files.createTempDirectory("graft_pipe_seq_docs").toString
+    val seqDir = Files.createTempDirectory("graft_pipe_seq_out").toString
+    val report = TrainingDataPipeline.run(spark, docs, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1),
+      sequenceOutput = Some(TrainingDataPipeline.SequencePack(
+        model, seqDir, seqLen = 128, seqsPerBin = 8)))
+    val seqs = spark.read.parquet(seqDir)
+    assert(report.sequences > 0 && seqs.count() == report.sequences)
+    assert(seqs.filter(size($"ids") =!= 128).head(1).isEmpty,
+      "every written sequence is exactly seqLen after padding")
+    // layout mirrors the document shards: partitioned by lang
+    assert(seqs.columns.toSet == Set("lang", "bin", "seq_idx", "ids"))
+    // conservation: total ids = survivors' encoded tokens + bounded pad
+    // (less than one seqLen per (lang, bin))
+    val enc = graft.operators.Tokenizer.bpeEncodeIdsUdf(spark, model)
+    val inTok = spark.read.parquet(outDir)
+      .agg(sum(size(enc($"text")))).head().getLong(0)
+    val outTok = report.sequences * 128
+    val nBins = seqs.select("lang", "bin").distinct().count()
+    assert(outTok >= inTok && outTok < inTok + nBins * 128,
+      s"in=$inTok out=$outTok bins=$nBins")
+  }
+
   test("the p88_pipeline gate entry reports exactly what run() reports") {
     val row = SparkEntry.queries("p88_pipeline")(spark, sf).head()
     val out = Files.createTempDirectory("graft_p88_pin").toString
