@@ -289,6 +289,32 @@ class StreamingSpec extends SparkTestBase {
       s"replay must reproduce the batch, not erase it: $replay")
   }
 
+  test("an all-dup ingest batch keeps the output and index readable") {
+    import graft.operators.Dedup
+    def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val root = Files.createTempDirectory("graft_snd_empty")
+    val (indexDir, outDir) = (s"$root/idx", s"$root/out")
+    val base = Seq((2L, words("alpha"))).toDF("doc_id", "text")
+    Dedup.minhashIndex(base, "doc_id", "text")
+      .write.parquet(s"$indexDir/batch=seed")
+    // batch 0: an exact twin of the base doc → ZERO survivors; the write
+    // and the index build from the read-back must both tolerate empty
+    MicroBatch.ingestDedupBatch(
+      Seq((101L, words("alpha"))).toDF("doc_id", "text"),
+      0L, indexDir, outDir, "doc_id", "text", 5, 128, 32, 0.5, 64)
+    // the stream continues: batch 1 still dedups against the seed index
+    MicroBatch.ingestDedupBatch(
+      Seq((201L, words("beta")), (202L, words("alpha")))
+        .toDF("doc_id", "text"),
+      1L, indexDir, outDir, "doc_id", "text", 5, 128, 32, 0.5, 64)
+    val survivors = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(201L), s"survivors: $survivors")
+    val idxIds = spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(2L, 201L), s"index ids: $idxIds")
+  }
+
   test("stateless classifier scoring on a stream matches the batch result") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
