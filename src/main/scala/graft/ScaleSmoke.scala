@@ -82,7 +82,8 @@ object ScaleSmoke {
     "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
     "q87_compact", "q89_zorder", "p88_pipeline",
     "t105_bpe_train", "t106_bpe_encode", "t107_bigram_counts",
-    "t108_lm_perplexity", "t109_quality_classifier")
+    "t108_lm_perplexity", "t109_quality_classifier",
+    "t110_line_dedup", "t114_pack_sequences")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -664,9 +664,18 @@ object Dedup {
     * aggregate (one row per domain to the driver — domains are few by
     * definition) + one zero-shuffle codegen'd filter. A domain whose
     * budgeted share exceeds its size keeps every row — repetition beyond
-    * 1x is [[upsample]]'s job, compose the two for that. */
+    * 1x is [[upsample]]'s job, compose the two for that.
+    *
+    * `weightCol` switches the budget unit from rows to per-row weights —
+    * the TOKEN-budgeted mix real pretraining recipes specify ("X billion
+    * tokens per domain", not documents): domain sizes become
+    * `n_d = Σ weight` and `targetRows` is a weight budget. Rows are still
+    * kept or dropped whole (hash sampling is row-wise uniform within a
+    * domain, so the realized weight share converges to the budgeted
+    * share); null weights count as 0. */
   def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
-      alpha: Double, targetRows: Long): DataFrame = {
+      alpha: Double, targetRows: Long,
+      weightCol: Option[String] = None): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
     require(targetRows > 0, "targetRows must be positive")
     // null domains are a domain, not a leak: a when-chain on the raw
@@ -677,12 +686,15 @@ object Dedup {
     val dcol = "__graft_domain"
     val withDomain = df.withColumn(dcol,
       coalesce(col(domainCol).cast(StringType), lit("__graft_null__")))
-    val counts = withDomain.groupBy(col(dcol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val size = weightCol
+      .map(w => coalesce(sum(col(w).cast(DoubleType)), lit(0.0)))
+      .getOrElse(count(lit(1)).cast(DoubleType))
+    val counts = withDomain.groupBy(col(dcol)).agg(size.as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .filter(_._2 > 0.0) // zero-weight domains keep the default rate 0
     val wsum = counts.values.map(math.pow(_, alpha)).sum
     val rates = counts.map { case (d, n) =>
-      d -> math.min(1.0, math.pow(n.toDouble, alpha) / wsum *
-        targetRows / n)
+      d -> math.min(1.0, math.pow(n, alpha) / wsum * targetRows / n)
     }
     stratifiedSample(withDomain, idCol, dcol, rates, defaultRate = 0.0)
       .drop(dcol)

@@ -47,6 +47,11 @@ object TrainingDataPipeline {
         * rule instead of hand-set `mixingRates`
         * ([[Dedup.temperatureMix]]); mutually exclusive with it. */
       temperatureMixing: Option[(String, Double, Long)] = None,
+      /** With `temperatureMixing`: budget by this per-row weight column
+        * instead of row counts — set to "n_tokens" (computed by
+        * [[annotate]]) for the token-budgeted mix pretraining recipes
+        * specify. */
+      temperatureMixWeightCol: Option[String] = None,
       /** Corpus-level repeated-span removal after near-dup dedup: spans of
         * this many tokens that occurred earlier in the corpus are dropped
         * and documents rewritten ([[Dedup.spanDedup]]). */
@@ -198,7 +203,8 @@ object TrainingDataPipeline {
       .map { case (strata, rates, dflt) =>
         Dedup.stratifiedSample(sampled, "doc_id", strata, rates, dflt) }
       .orElse(cfg.temperatureMixing.map { case (domain, alpha, target) =>
-        Dedup.temperatureMix(sampled, "doc_id", domain, alpha, target) })
+        Dedup.temperatureMix(sampled, "doc_id", domain, alpha, target,
+          cfg.temperatureMixWeightCol) })
       .getOrElse(sampled)
     val quality = qualityFilter(mixed, cfg)
       .observe(obsQ, count(lit(1)).as("n"))

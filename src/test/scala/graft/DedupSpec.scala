@@ -197,6 +197,34 @@ class DedupSpec extends SparkTestBase {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("temperature mix by weight column budgets tokens, not rows") {
+    // domain A: many short docs (400 docs x 1 token = 400 tokens);
+    // domain B: few long docs (40 docs x 100 tokens = 4000 tokens)
+    val df = ((1 to 400).map(i => (i.toLong, "short", 1L)) ++
+      (401 to 440).map(i => (i.toLong, "long", 100L)))
+      .toDF("id", "dom", "n_tokens")
+    // alpha=1 keeps natural TOKEN proportions: a 2200-token budget is half
+    // the 4400-token corpus -> both domains keep rate 0.5 by token mass
+    val out = Dedup.temperatureMix(df, "id", "dom", alpha = 1.0,
+      targetRows = 2200, weightCol = Some("n_tokens"))
+    val tok = out.groupBy("dom").agg(sum($"n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(tok("short") - 200) < 60, s"short=${tok("short")}")
+    assert(math.abs(tok("long") - 2000) < 600, s"long=${tok("long")}")
+    // row-budgeted mix at the same alpha keeps ~10x more SHORT docs than
+    // LONG docs (440-row corpus, 220-row budget -> both rates 0.5 by ROWS)
+    val rows = Dedup.temperatureMix(df, "id", "dom", alpha = 1.0,
+      targetRows = 220)
+    val byRows = rows.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRows("short") > 5 * byRows("long"),
+      s"row budget keeps doc counts, not token mass: $byRows")
+    // weight-budgeted: deterministic on re-run
+    val again = Dedup.temperatureMix(df, "id", "dom", alpha = 1.0,
+      targetRows = 2200, weightCol = Some("n_tokens"))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("temperature mix keeps null-domain rows as their own domain") {
     val df = ((1 to 90).map(i => (i.toLong, Some("web"))) ++
       (91 to 100).map(i => (i.toLong, None: Option[String])))

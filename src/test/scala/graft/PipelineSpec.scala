@@ -191,6 +191,19 @@ class PipelineSpec extends SparkTestBase {
     assert(report.afterQuality <= report.input)
     assert(math.abs(report.afterQuality - target) < target / 2,
       s"mix=${report.afterQuality} target=$target")
+    // token-budgeted variant: the mix budgets sum(n_tokens), so the kept
+    // token mass (pre-dedup ~ afterQuality's share of input tokens) lands
+    // near the token target, not the row count
+    val outTok = Files.createTempDirectory("graft_pipe_temptok").toString
+    val tokTarget = docs
+      .agg(sum(org.apache.spark.sql.graft.NativeFunctions
+        .tokenCount($"text"))).head().getLong(0) / 2
+    val rTok = TrainingDataPipeline.run(spark, docs, outTok,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        temperatureMixing = Some(("source", 1.0, tokTarget)),
+        temperatureMixWeightCol = Some("n_tokens")))
+    assert(math.abs(rTok.totalTokens - tokTarget) < tokTarget / 2,
+      s"tokens=${rTok.totalTokens} target=$tokTarget")
     // both knobs at once is a config error
     intercept[IllegalArgumentException] {
       TrainingDataPipeline.run(spark, docs, outDir,
