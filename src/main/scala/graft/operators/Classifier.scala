@@ -33,22 +33,56 @@ object Classifier {
     transform(filter(split(text, " "), t => t =!= ""),
       w => pmod(xxhash64(w), lit(dim.toLong)).cast("int"))
 
+  /** Sentinel buckets in the persisted model table: bias at −1, and the
+    * declared dimension at −2 (so a table filtered to non-zero weights or
+    * missing trailing buckets still round-trips at the right dim). */
+  private val BiasBucket = -1
+  private val DimBucket = -2
+
   /** A trained model: `weights(dim)` + intercept. */
   final case class LinearModel(weights: Array[Double], bias: Double,
       dim: Int) {
     def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       import spark.implicits._
-      (weights.zipWithIndex.map { case (w, i) => (i, w) } :+ (-1, bias))
+      (weights.zipWithIndex.map { case (w, i) => (i, w) } :+
+        (BiasBucket, bias) :+ (DimBucket, dim.toDouble))
         .toSeq.toDF("bucket", "weight")
     }
   }
 
   object LinearModel {
+    /** Rebuild from the persisted `toDF` form. The dim row (bucket −2) is
+      * authoritative — absent buckets load as weight 0, so a table
+      * filtered to non-zero weights round-trips exactly. A legacy table
+      * without the dim row is accepted only when dense (every bucket
+      * present), where max+1 inference is provably right; anything else
+      * fails loudly instead of silently truncating the weight vector. */
     def fromDF(df: DataFrame): LinearModel = {
       val rows = df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val dim = rows.keys.max + 1
+      require(rows.nonEmpty, "LinearModel.fromDF: empty model table")
+      val dim = rows.get(DimBucket) match {
+        case Some(d) =>
+          val dm = d.toInt
+          require(dm > 0, s"LinearModel.fromDF: invalid dim row $d")
+          val bad = rows.keys.filter(b =>
+            b != DimBucket && b != BiasBucket && (b < 0 || b >= dm))
+          require(bad.isEmpty,
+            s"LinearModel.fromDF: bucket(s) ${bad.take(5).mkString(",")} " +
+              s"outside declared dim $dm")
+          dm
+        case None =>
+          require(rows.contains(BiasBucket),
+            "LinearModel.fromDF: no dim row (bucket -2) and no bias row " +
+              "(bucket -1) - not a persisted LinearModel table")
+          val dm = rows.keys.max + 1
+          require(rows.size == dm + 1,
+            s"LinearModel.fromDF: table has no dim row and is sparse " +
+              s"(${rows.size - 1} weight rows for inferred dim $dm) - " +
+              "cannot infer the true dimension; re-persist with toDF")
+          dm
+      }
       LinearModel(Array.tabulate(dim)(rows.getOrElse(_, 0.0)),
-        rows.getOrElse(-1, 0.0), dim)
+        rows.getOrElse(BiasBucket, 0.0), dim)
     }
   }
 

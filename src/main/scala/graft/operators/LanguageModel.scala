@@ -168,12 +168,21 @@ object LanguageModel {
     // (doc-id + 3 doubles per doc, not the corpus text).
     val scoredAll = perplexity(target, lm, idCol, textCol)
       .localCheckpoint(eager = false)
-    val cut = scoredAll.filter(col("perplexity").isNotNull)
+    val cutRow = scoredAll.filter(col("perplexity").isNotNull)
       .agg(expr(s"approx_percentile(perplexity, $keepQuantile)"))
-      .head().getDouble(0)
-    val keep = if (keepUnscoreable)
-      col("perplexity").isNull || col("perplexity") <= cut
-    else col("perplexity").isNotNull && col("perplexity") <= cut
+      .head()
+    // No scoreable documents (all shorter than n tokens, or empty input):
+    // there is no distribution to cut — degrade to the keepUnscoreable
+    // policy instead of throwing on the NULL percentile.
+    val keep =
+      if (cutRow.isNullAt(0)) {
+        if (keepUnscoreable) lit(true) else col("perplexity").isNotNull
+      } else {
+        val cut = cutRow.getDouble(0)
+        if (keepUnscoreable)
+          col("perplexity").isNull || col("perplexity") <= cut
+        else col("perplexity").isNotNull && col("perplexity") <= cut
+      }
     target.join(scoredAll.select(col(idCol), col("perplexity")),
         Seq(idCol), "left")
       .filter(keep)

@@ -194,9 +194,14 @@ object Tokenizer {
   // it is a pure cache).
   private val MaxCachedWords = 1 << 20
   private lazy val wordCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[String]]()
 
-  private def cachedEncode(modelId: Int, word: String,
+  // Guaranteed-unique id per UDF build (hashCode could collide across two
+  // distinct models in one JVM and silently cross-serve encodings). The id
+  // is minted on the driver when the UDF is built and rides the closure.
+  private val modelIdGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cachedEncode(modelId: Long, word: String,
       ranks: Map[(String, String), Int]): Array[String] = {
     val key = (modelId, word)
     val hit = wordCache.get(key)
@@ -219,7 +224,7 @@ object Tokenizer {
     * once per executor, occurrence-level work is a hash lookup. */
   def bpeEncodeUdf(spark: SparkSession, model: BpeModel): UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(model.ranks)
-    val modelId = model.merges.hashCode
+    val modelId = modelIdGen.incrementAndGet()
     udf { text: String =>
       if (text == null) null
       else {
@@ -306,7 +311,7 @@ object Tokenizer {
       model: BpeModel): UserDefinedFunction = {
     val bcRanks = spark.sparkContext.broadcast(model.ranks)
     val bcVocab = spark.sparkContext.broadcast(vocabulary(model).toMap)
-    val modelId = model.merges.hashCode
+    val modelId = modelIdGen.incrementAndGet()
     udf { text: String =>
       if (text == null) null
       else {

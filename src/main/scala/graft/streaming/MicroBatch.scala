@@ -222,9 +222,25 @@ object MicroBatch {
       shingleK: Int, numHashes: Int, bands: Int,
       threshold: Double, maxBucketSize: Int): Unit = {
     val spark = batch.sparkSession
+    // The index read relies on uniform batch=<id> partition discovery; a
+    // stray data file or partition-less write under indexDir would corrupt
+    // every later micro-batch's schema inference. Fail at batch start with
+    // a layout error instead.
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val stray = graft.sources.Fs.of(root).listStatus(root).filterNot { st =>
+      val n = st.getPath.getName
+      (st.isDirectory && n.startsWith("batch=")) ||
+        n.startsWith("_") || n.startsWith(".")
+    }
+    require(stray.isEmpty,
+      s"streamNearDupIngest: index dir $indexDir must contain only " +
+        s"batch=<id> partition directories; found " +
+        stray.take(5).map(_.getPath.getName).mkString(", "))
     // cast: partition discovery types `batch` from the dir names (string
     // when a `batch=seed` partition is present, numeric otherwise).
-    val index = spark.read.parquet(indexDir)
+    // basePath pins the partition root so relocated/symlinked reads do not
+    // change the discovered columns.
+    val index = spark.read.option("basePath", indexDir).parquet(indexDir)
       .filter(col("batch").cast("string") =!= lit(batchId.toString))
       .select("id", "bands", "sh")
     val survivors = graft.operators.Dedup.nearDupIncrement(

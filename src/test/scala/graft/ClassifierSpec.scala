@@ -99,14 +99,46 @@ class ClassifierSpec extends SparkTestBase {
     val m = Classifier.train(df, "text", "label", dim = 32, epochs = 10)
     val back = Classifier.LinearModel.fromDF(m.toDF(spark))
     assert(back.bias == m.bias)
-    // fromDF reconstructs up to the highest stored bucket; scoring with
-    // either model must agree on the training data
+    assert(back.dim == m.dim, "dim row makes the round-trip exact")
+    assert(back.weights.toSeq == m.weights.toSeq)
     val s1 = Classifier.classify(df, "text", m).select($"score")
       .as[Double].collect().toSeq
-    val s2 = Classifier.classify(df, "text",
-      m.copy(weights = back.weights.padTo(m.dim, 0.0), dim = m.dim))
+    val s2 = Classifier.classify(df, "text", back)
       .select($"score").as[Double].collect().toSeq
     assert(s1 == s2)
+  }
+
+  test("fromDF survives a table filtered to non-zero weights") {
+    val df = Seq((1L, "x y", 1), (2L, "u v", 0)).toDF("id", "text", "label")
+    val m = Classifier.train(df, "text", "label", dim = 64, epochs = 10)
+    // a realistic persisted form: zero rows dropped to save space
+    val sparse = m.toDF(spark).filter($"weight" =!= 0.0 || $"bucket" < 0)
+    val back = Classifier.LinearModel.fromDF(sparse)
+    assert(back.dim == m.dim && back.bias == m.bias)
+    assert(back.weights.toSeq == m.weights.toSeq,
+      "absent buckets load as 0.0 at the declared dim")
+  }
+
+  test("fromDF fails loudly on empty and ambiguous tables") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("bucket", IntegerType),
+      StructField("weight", DoubleType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    intercept[IllegalArgumentException] {
+      Classifier.LinearModel.fromDF(empty)
+    }
+    // legacy (no dim row) AND sparse: the true dim is unknowable — refuse
+    val ambiguous = Seq((0, 0.5), (7, 0.25), (-1, 0.1)).toDF("bucket", "weight")
+    intercept[IllegalArgumentException] {
+      Classifier.LinearModel.fromDF(ambiguous)
+    }
+    // bucket outside the declared dim: corrupt table — refuse
+    val corrupt = Seq((0, 0.5), (99, 0.25), (-1, 0.1), (-2, 16.0))
+      .toDF("bucket", "weight")
+    intercept[IllegalArgumentException] {
+      Classifier.LinearModel.fromDF(corrupt)
+    }
   }
 
   test("capped training still learns (deterministic sample)") {

@@ -124,6 +124,17 @@ class LanguageModelSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("perplexityFilter degrades gracefully with zero scoreable docs") {
+    val ref = Seq((1L, "a b c")).toDF("id", "text")
+    // every target doc is shorter than n=2 tokens → no n-grams, NULL cut
+    val target = Seq((1L, "solo"), (2L, "")).toDF("id", "text")
+    val kept = LanguageModel.perplexityFilter(target, ref, "id", "text")
+    assert(kept.count() == 2, "keepUnscoreable=true keeps everything")
+    val dropped = LanguageModel.perplexityFilter(target, ref, "id", "text",
+      keepUnscoreable = false)
+    assert(dropped.count() == 0, "keepUnscoreable=false drops everything")
+  }
+
   test("perplexityFilter keeps the fluent tail and the short docs") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
     val target = docs.unionByName(

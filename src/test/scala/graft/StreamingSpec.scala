@@ -315,6 +315,38 @@ class StreamingSpec extends SparkTestBase {
     assert(idxIds == Set(2L, 201L), s"index ids: $idxIds")
   }
 
+  test("a malformed index dir fails the ingest batch with a layout error") {
+    import graft.operators.Dedup
+    def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val root = Files.createTempDirectory("graft_snd_layout")
+    val (indexDir, outDir) = (s"$root/idx", s"$root/out")
+    Dedup.minhashIndex(Seq((2L, words("alpha"))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .write.parquet(s"$indexDir/batch=seed")
+    // a stray partition-less parquet file under the index root would
+    // silently break partition discovery for every later micro-batch —
+    // must be rejected at batch start with a clear error instead
+    Files.copy(
+      new java.io.File(s"$indexDir/batch=seed").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+      java.nio.file.Paths.get(s"$indexDir/stray.parquet"))
+    val ex = intercept[IllegalArgumentException] {
+      MicroBatch.ingestDedupBatch(
+        Seq((101L, words("beta"))).toDF("doc_id", "text"),
+        0L, indexDir, outDir, "doc_id", "text", 5, 128, 32, 0.5, 64)
+    }
+    assert(ex.getMessage.contains("stray.parquet"), ex.getMessage)
+    // hidden bookkeeping files (_SUCCESS-style) are tolerated
+    Files.delete(java.nio.file.Paths.get(s"$indexDir/stray.parquet"))
+    Files.createFile(java.nio.file.Paths.get(s"$indexDir/_marker"))
+    MicroBatch.ingestDedupBatch(
+      Seq((101L, words("beta"))).toDF("doc_id", "text"),
+      0L, indexDir, outDir, "doc_id", "text", 5, 128, 32, 0.5, 64)
+    val got = spark.read.parquet(s"$outDir/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(101L))
+  }
+
   test("stateless classifier scoring on a stream matches the batch result") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
