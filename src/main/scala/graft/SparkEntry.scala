@@ -475,7 +475,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$d/events.parquet"))
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = s.readStream.schema(rawSchema).parquet(streamDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", Tables.eventTs(rawSchema("ts").dataType))
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -1005,7 +1005,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$d/events.parquet"))
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(rawSchema).parquet(streamDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", Tables.eventTs(rawSchema("ts").dataType))
       val deduped = graft.streaming.MicroBatch.streamDedup(
           src, "ts", "1 hour", Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
@@ -1373,7 +1373,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$d/events.parquet"))
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(rawSchema).parquet(streamDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", Tables.eventTs(rawSchema("ts").dataType))
       val agg = graft.streaming.MicroBatch.windowedCounts(
         stream, "ts", "1 hour", "1 hour", Seq(col("event_type")))
       val name = "str39_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1511,10 +1511,19 @@ object SparkEntry {
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
       val raw = s.read.parquet(s"$d/events.parquet")
-      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      // Sentinel ts = max + 1 year, computed and written in the SAME
+      // representation the reader inferred for the NANOS column (raw-nanos
+      // long on legacy builds, timestamp otherwise) so one stream schema
+      // covers both files.
+      val bumped = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          max(col("ts")) + lit(365L * 86400L * 1000000000L)
+        case _ => max(col("ts")) + expr("INTERVAL 365 DAYS")
+      }
+      val sentinelTs = raw.agg(bumped.as("ts")).head().get(0)
       val sentinelDir = tmpDir("graft_str82_s")
       raw.limit(1)
-        .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+        .withColumn("ts", lit(sentinelTs).cast(raw.schema("ts").dataType))
         .withColumn("user_id", lit(-1L))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
       locally { // list() holds a directory fd until closed
@@ -1524,7 +1533,7 @@ object SparkEntry {
         finally listing.close()
       }
       val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", Tables.eventTs(raw.schema("ts").dataType))
       val agg = graft.streaming.MicroBatch.sessionCounts(
         stream, "ts", "1 hour", "30 minutes", Seq(col("user_id")))
       val name = "str82_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1620,6 +1629,61 @@ object SparkEntry {
         .groupBy(col("yr"))
         .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_key"))
         .orderBy(col("yr"))
+    }),
+
+    // BM25 ranked keyword retrieval: corpus-side shuffle carries only
+    // (id, term) pairs for QUERY terms; df + corpus stats broadcast back;
+    // top-k is TakeOrderedAndProject. Scores rounded before ranking so
+    // the cut is engine-reproducible.
+    "t115_bm25" -> ((s, d) => {
+      operators.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          query = Seq("merge", "vector", "window"), k = 20)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
+
+    // C4-style line filtering: corpus text is line-split (10-token
+    // chunks), most lines get terminal punctuation, and known-bad lines
+    // (lorem ipsum / javascript / braces / short fragments) are planted
+    // on id-derived subsets; the cleaner must drop exactly those and
+    // docs left under 3 lines.
+    "t116_c4_filter" -> ((s, d) => {
+      val lined = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            TextAnalysis.chunkByTokens(col("text"), 10, 0),
+            l => concat(l, lit(".")))).as("lined"))
+        .select(col("doc_id"),
+          concat(col("lined"),
+            when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("\nenable javascript to view this page."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit("\nfunction() { return 1; }."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("\ntoo short."))
+              .otherwise(lit(""))).as("text"))
+      TextAnalysis.c4Clean(lined, "doc_id", "text",
+          minWordsPerLine = 4, minLines = 3)
+        .select(col("id").as("doc_id"), col("text"),
+          col("kept_lines"), col("total_lines"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram novelty (memorization metric) of odd docs + planted exact
+    // copies of base docs against the even-doc base corpus; copies must
+    // score 0. Exact-string mode for the oracle — hashed mode is the
+    // 100 TB path and TextAnalysisSpec pins their equality.
+    "t117_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val eval = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      TextAnalysis.ngramNovelty(eval, base, "doc_id", "text",
+          n = 3, hashed = false)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("novel_grams"), col("novelty"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2515,5 +2579,82 @@ object SparkEntry {
         |   count(*) OVER (PARTITION BY c_nationkey)) AS BIGINT) AS cd_num
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "t115_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        | FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |tf AS (
+        | SELECT doc_id, dl, term, count(*) AS tf
+        | FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+        | WHERE term IN ('merge', 'vector', 'window')
+        | GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT doc_id,
+        |  round(sum(
+        |   ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |   CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |  ), 4) AS score
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        | GROUP BY doc_id)
+        |SELECT doc_id, score FROM scored
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "t116_c4_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  array_to_string(list_slice(t, i*10+1, i*10+10), ' ') || '.' AS line
+        | FROM toks,
+        |  unnest(range(0, CAST(floor(greatest(len(t)-1, 0)/10.0) AS BIGINT) + 1)) AS u(i)),
+        |kept AS (
+        | SELECT * FROM chunks
+        | WHERE (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?' OR line LIKE '%"')
+        |  AND len(list_filter(string_split(line, ' '), w -> w <> '')) >= 4
+        |  AND NOT contains(lower(line), 'lorem ipsum')
+        |  AND NOT contains(lower(line), 'javascript')
+        |  AND NOT contains(line, '{')),
+        |agg AS (
+        | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |  count(*) AS kept_lines
+        | FROM kept GROUP BY doc_id HAVING count(*) >= 3)
+        |SELECT a.doc_id, a.text, a.kept_lines,
+        | (SELECT count(*) FROM chunks c WHERE c.doc_id = a.doc_id)
+        |  + (CASE WHEN a.doc_id % 7 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN a.doc_id % 11 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN a.doc_id % 13 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN a.doc_id % 5 = 0 THEN 1 ELSE 0 END) AS total_lines
+        |FROM agg a
+        |ORDER BY doc_id""".stripMargin,
+
+    "t117_ngram_novelty" ->
+      """WITH ev AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL
+        | SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |base_grams AS (
+        | SELECT DISTINCT array_to_string(list_slice(t, i+1, i+3), ' ') AS gram
+        | FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+        |  unnest(range(0, greatest(len(t)-2, 0))) AS u(i)),
+        |ev_grams AS (
+        | SELECT doc_id, array_to_string(list_slice(t, i+1, i+3), ' ') AS gram
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+        |  unnest(range(0, greatest(len(t)-2, 0))) AS u(i)),
+        |counted AS (
+        | SELECT g.doc_id, count(*) AS n_grams,
+        |  count(CASE WHEN b.gram IS NULL THEN 1 END) AS novel_grams
+        | FROM ev_grams g LEFT JOIN base_grams b ON g.gram = b.gram
+        | GROUP BY g.doc_id)
+        |SELECT e.doc_id,
+        | coalesce(c.n_grams, 0) AS n_grams,
+        | coalesce(c.novel_grams, 0) AS novel_grams,
+        | round(CAST(c.novel_grams AS DOUBLE) / c.n_grams, 5) AS novelty
+        |FROM (SELECT DISTINCT doc_id FROM ev) e LEFT JOIN counted c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }

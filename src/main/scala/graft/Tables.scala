@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -25,19 +27,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to a
-    * microsecond TimestampType with integer division (`div`, not `/` —
-    * double division would lose precision above 2^53). The generator emits
-    * µs-precision values, so the truncation is lossless. */
+  /** Conversion from whatever this Spark build inferred for the
+    * TIMESTAMP(NANOS) `ts` column to a microsecond `TimestampType`,
+    * keyed on the INFERRED type rather than a conf: parquet NANOS
+    * inference has changed across Spark minor releases, so the three
+    * observed representations are all accepted —
+    *  - `LongType` raw nanos (the `spark.sql.legacy.parquet.nanosAsLong`
+    *    path): integer-divide to micros (`div`, not `/` — double division
+    *    would lose precision above 2^53);
+    *  - `TimestampNTZType` (native NANOS inference, micros-truncated):
+    *    cast reinterprets the wall-clock in the session zone (UTC
+    *    everywhere here), preserving the instant;
+    *  - `TimestampType`: already converted.
+    * The generator emits µs-precision values, so every path is lossless. */
+  def eventTs(inferred: DataType, tsCol: String = "ts"): Column =
+    inferred match {
+      case LongType => expr(s"timestamp_micros(`$tsCol` div 1000)")
+      case TimestampNTZType => col(tsCol).cast(TimestampType)
+      case _ => col(tsCol)
+    }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); normalize to a microsecond
+    * `TimestampType` whatever the reader inferred (see [[eventTs]]). The
+    * legacy conf is still set for older builds where NANOS is otherwise
+    * unreadable; newer builds ignore it and infer TIMESTAMP_NTZ. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    raw.withColumn("ts", eventTs(raw.schema("ts").dataType))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

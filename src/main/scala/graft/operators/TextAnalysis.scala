@@ -223,4 +223,88 @@ object TextAnalysis {
     tokenFrequencies(df, textCol)
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** C4-style line keep rule (Raffel et al. 2020 §2.2, the public web-text
+    * cleaning recipe): a line survives iff it ends in terminal punctuation
+    * (`.` `!` `?` `"`), has at least `minWords` words, and contains none of
+    * the boilerplate markers (curly brace, "lorem ipsum", "javascript").
+    * Pure per-row predicate — composes into a scan-stage filter. */
+  def c4KeepLine(line: Column, minWords: Int = 5): Column = {
+    val words = size(filter(split(line, " "), w => w =!= ""))
+    val lower_ = lower(line)
+    (line.endsWith(".") || line.endsWith("!") ||
+      line.endsWith("?") || line.endsWith("\"")) &&
+      words >= minWords &&
+      !lower_.contains("lorem ipsum") &&
+      !lower_.contains("javascript") &&
+      !line.contains("{")
+  }
+
+  /** C4-style document cleaning: drop bad lines per [[c4KeepLine]],
+    * reassemble survivors, and drop documents left with fewer than
+    * `minLines` lines. Returns `(id, text, kept_lines, total_lines)`.
+    *
+    * Zero shuffle — the line split, the filter lambda, and the rejoin are
+    * all per-row array expressions (the filter runs over the projected
+    * `__lines` attribute, not an inlined `split`, so the array is built
+    * once per row — the HOF re-evaluation trap does not apply). At 100 TB
+    * this is a map-only corpus rewrite; every task cleans its own split. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__lines"))
+      .select(col("id"),
+        filter(col("__lines"), l => c4KeepLine(l, minWordsPerLine)).as("__kept"),
+        size(col("__lines")).as("total_lines"))
+      .filter(size(col("__kept")) >= minLines)
+      .select(col("id"), concat_ws("\n", col("__kept")).as("text"),
+        size(col("__kept")).cast(LongType).as("kept_lines"),
+        col("total_lines").cast(LongType).as("total_lines"))
+
+  /** Per-document n-gram novelty against a reference corpus — the standard
+    * memorization / overlap metric (e.g. the "novel n-gram fraction" of
+    * GPT-2/3-style contamination analyses): the fraction of a document's
+    * n-gram OCCURRENCES whose n-gram never appears in `base`. Exact copies
+    * of base documents score 0; fully unseen text scores 1; documents
+    * shorter than n tokens have no n-grams and score null.
+    *
+    * Scale shape: both sides explode to n-grams narrowly; with
+    * `hashed = true` (the 100 TB default) the join keys are `xxhash64` of
+    * the gram so the wide exchange carries 8-byte longs, never gram
+    * strings — a collision can only under-count novelty by ~2^-64.
+    * `hashed = false` keeps exact strings for engine-differential testing.
+    * The base set is distinct (vocabulary-bounded, map-side combined); the
+    * per-doc rollup is the only corpus-wide aggregate. */
+  def ngramNovelty(docs: DataFrame, base: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, hashed: Boolean = true,
+      roundTo: Int = 5): DataFrame = {
+    require(n >= 2, s"ngramNovelty needs n >= 2, got $n")
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val fields = (0 until n).map(j => col("__g").getField(s"g$j"))
+      val ids = if (withId) Seq(col("id")) else Nil
+      df.select((if (withId) Seq(col(idCol).as("id")) else Nil) :+
+          tokens(col(textCol)).as("__toks"): _*)
+        .select(ids :+
+          explode(LanguageModel.ngrams(col("__toks"), n)).as("__g"): _*)
+        .select(ids :+ concat_ws(" ", fields: _*).as("__gram"): _*)
+    }
+    val key: Column => Column =
+      if (hashed) (c: Column) => xxhash64(c) else identity
+    val baseSet = grams(base, withId = false)
+      .select(key(col("__gram")).as("__bg")).distinct()
+    val docGrams = grams(docs, withId = true)
+      .select(col("id"), key(col("__gram")).as("__dg"))
+    val counted = docGrams
+      .join(baseSet, docGrams("__dg") === baseSet("__bg"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__bg").isNull, 1)).as("novel_grams"))
+    // restore gram-less documents (shorter than n tokens) with null novelty
+    docs.select(col(idCol).as("id"))
+      .join(counted, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        round(col("novel_grams").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), roundTo).as("novelty"))
+  }
 }

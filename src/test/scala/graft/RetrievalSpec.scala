@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus: 3 docs, hand-checkable frequencies
+  private def corpus = Seq(
+    (1L, "spark merge spark merge merge"), // dl 5, tf(merge)=3
+    (2L, "merge row row row row"),         // dl 5, tf(merge)=1
+    (3L, "row row row row row row row")    // dl 7, no query terms
+  ).toDF("doc_id", "text")
+
+  test("bm25: hand-computed score for a single-term query") {
+    val got = Retrieval.bm25Scores(corpus, "doc_id", "text", Seq("merge"),
+        k1 = 1.2, b = 0.75, roundTo = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=17/3, df(merge)=2 -> idf = ln(1 + (3-2+0.5)/(2+0.5))
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    def w(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (17.0 / 3.0)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(got(1L) == r6(w(3, 5)), s"${got(1L)} vs ${w(3, 5)}")
+    assert(got(2L) == r6(w(1, 5)))
+    assert(got(1L) > got(2L)) // higher tf wins at equal dl
+  }
+
+  test("bm25: multi-term scores sum per term; rarer term scores higher") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta"),
+      (2L, "alpha gamma gamma gamma"),
+      (3L, "alpha alpha delta delta")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Scores(docs, "doc_id", "text",
+        Seq("alpha", "beta"), roundTo = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // beta is rarer (df 1 vs alpha's 3): doc 1 must outrank the others
+    assert(got(1L) > got(2L) && got(1L) > got(3L))
+    // docs 2 and 3 score on alpha alone; doc 3 has tf 2 > doc 2's tf 1
+    assert(got(3L) > got(2L))
+  }
+
+  test("bm25TopK: deterministic cut, tie-break by id, top-k plan") {
+    // two identical docs -> identical scores; tie must break by id
+    val docs = Seq(
+      (10L, "merge merge x x"), (2L, "merge merge x x"), (5L, "x x x x")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("merge"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+    val plan = Retrieval.bm25TopK(Tables.documents(spark, sf), "doc_id",
+        "text", Seq("merge", "vector"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("bm25: b=0 removes length normalization entirely") {
+    val docs = Seq(
+      (1L, "merge short"),
+      (2L, "merge " + Seq.fill(50)("pad").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Scores(docs, "doc_id", "text", Seq("merge"),
+        b = 0.0, roundTo = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == got(2L)) // same tf, length ignored
+  }
+}

@@ -48,4 +48,75 @@ class TextAnalysisSpec extends SparkTestBase {
       .agg(sum($"n_tokens").as("t"), max($"n_tokens").as("mx"))
     assert(binTotals.filter($"t" - $"mx" >= 2048).isEmpty)
   }
+
+  test("c4Clean: drops bad lines, keeps good ones, counts both") {
+    val doc = Seq(
+      "this is a perfectly fine sentence.",
+      "another good long enough line!",
+      "a third acceptable closing line?",
+      "too short.",                          // < 5 words
+      "lorem ipsum dolor sit amet friend.",  // blocklist phrase
+      "please enable JavaScript to continue here.", // blocklist (case-insensitive)
+      "var f = function() { return 1; } ok.",       // curly brace
+      "no terminal punctuation on this one"         // bad ending
+    ).mkString("\n")
+    val got = TextAnalysis.c4Clean(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("kept_lines") == 3L)
+    assert(r.getAs[Long]("total_lines") == 8L)
+    assert(r.getAs[String]("text") ==
+      "this is a perfectly fine sentence.\nanother good long enough line!\n" +
+        "a third acceptable closing line?")
+  }
+
+  test("c4Clean: documents left under minLines are dropped entirely") {
+    val docs = Seq(
+      (1L, "one good surviving line here.\nsecond good surviving line here."),
+      (2L, "first fine line of three kept.\nsecond fine line of three kept.\n" +
+        "third fine line of three kept.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(docs, "doc_id", "text", minLines = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
+  test("c4KeepLine: quote ending counts as terminal punctuation") {
+    val df = Seq(
+      ("he said \"this is properly quoted text\"", true),
+      ("ends with comma instead of period,", false)
+    ).toDF("line", "expected")
+    val got = df.select(TextAnalysis.c4KeepLine($"line").as("keep"),
+      $"expected").collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("ngramNovelty: copies score 0, unseen text 1, partial overlap between") {
+    val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d e f"),  // exact copy -> 0
+      (11L, "x y z w q"),    // disjoint   -> 1
+      (12L, "a b c z z z")   // 1 of 4 trigrams seen ("a b c") -> 0.75
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(eval, base, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(10L) == 0.0)
+    assert(got(11L) == 1.0)
+    assert(got(12L) == 0.75)
+  }
+
+  test("ngramNovelty: hashed and exact modes agree; short docs score null") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val eval = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(Seq((999999L, "a b")).toDF("doc_id", "text")) // < n tokens
+    val exact = TextAnalysis.ngramNovelty(eval, base, "doc_id", "text",
+      n = 3, hashed = false)
+    val hashed = TextAnalysis.ngramNovelty(eval, base, "doc_id", "text",
+      n = 3, hashed = true)
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+    val short = hashed.filter($"id" === 999999L).collect().head
+    assert(short.getLong(1) == 0L && short.isNullAt(3))
+  }
 }
