@@ -83,7 +83,8 @@ object ScaleSmoke {
     "q87_compact", "q89_zorder", "p88_pipeline",
     "t105_bpe_train", "t106_bpe_encode", "t107_bigram_counts",
     "t108_lm_perplexity", "t109_quality_classifier",
-    "t110_line_dedup", "t114_pack_sequences")
+    "t110_line_dedup", "t114_pack_sequences",
+    "t115_bm25", "t116_c4_filter", "t117_ngram_novelty")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -242,23 +242,30 @@ object TextAnalysis {
 
   /** C4-style document cleaning: drop bad lines per [[c4KeepLine]],
     * reassemble survivors, and drop documents left with fewer than
-    * `minLines` lines. Returns `(id, text, kept_lines, total_lines)`.
+    * `minLines` lines. Returns `id`, the cleaned text under the input
+    * text column name, `kept_lines`, `total_lines`, and every other
+    * input column unchanged (so the cleaner composes into pipelines
+    * without re-joining metadata).
     *
     * Zero shuffle — the line split, the filter lambda, and the rejoin are
-    * all per-row array expressions (the filter runs over the projected
-    * `__lines` attribute, not an inlined `split`, so the array is built
-    * once per row — the HOF re-evaluation trap does not apply). At 100 TB
-    * this is a map-only corpus rewrite; every task cleans its own split. */
+    * all per-row array expressions (the lambda references only its own
+    * variable, so CollapseProject inlining cannot trigger the HOF
+    * re-evaluation trap). At 100 TB this is a map-only corpus rewrite;
+    * every task cleans its own split. */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
-      minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__lines"))
-      .select(col("id"),
-        filter(col("__lines"), l => c4KeepLine(l, minWordsPerLine)).as("__kept"),
-        size(col("__lines")).as("total_lines"))
+      minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    val others = df.columns.toSeq
+      .filterNot(c => c == idCol || c == textCol).map(col)
+    df.select(col(idCol).as("id") +: split(col(textCol), "\n").as("__lines")
+        +: others: _*)
+      .select(col("id") +:
+        filter(col("__lines"), l => c4KeepLine(l, minWordsPerLine)).as("__kept") +:
+        size(col("__lines")).as("total_lines") +: others: _*)
       .filter(size(col("__kept")) >= minLines)
-      .select(col("id"), concat_ws("\n", col("__kept")).as("text"),
-        size(col("__kept")).cast(LongType).as("kept_lines"),
-        col("total_lines").cast(LongType).as("total_lines"))
+      .select(col("id") +: concat_ws("\n", col("__kept")).as(textCol) +:
+        size(col("__kept")).cast(LongType).as("kept_lines") +:
+        col("total_lines").cast(LongType).as("total_lines") +: others: _*)
+  }
 
   /** Per-document n-gram novelty against a reference corpus — the standard
     * memorization / overlap metric (e.g. the "novel n-gram fraction" of

@@ -61,7 +61,16 @@ object TrainingDataPipeline {
         * removed everywhere; runs with the corpus rewrites (after near-dup
         * dedup, before span dedup) so the matching stages upstream see the
         * original text. Docs reduced to nothing are dropped. */
-      lineDedupDocFreq: Option[Long] = None)
+      lineDedupDocFreq: Option[Long] = None,
+      /** C4-recipe rule-based line cleaning ([[TextAnalysis.c4Clean]]):
+        * (minWordsPerLine, minLines). Runs FIRST — before redaction and
+        * every signal — because it models raw web-text cleanup (terminal
+        * punctuation, short fragments, boilerplate markers); documents
+        * left under minLines are dropped, and `Report.input` counts the
+        * documents that SURVIVE this screen. Unlike `lineDedupDocFreq`
+        * (corpus-frequency lines, needs a shuffle) this is a zero-shuffle
+        * per-row rule. */
+      c4LineFilter: Option[(Int, Int)] = None)
 
   /** Trainer-ready sequence emission ([[run]]'s `sequenceOutput`): the
     * surviving documents are BPE-encoded with the supplied pre-trained
@@ -193,7 +202,12 @@ object TrainingDataPipeline {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
-    val annotated = annotate(docs, cfg).observe(obsIn, count(lit(1)).as("n"))
+    val pre = cfg.c4LineFilter.map { case (minWords, minLines) =>
+      TextAnalysis.c4Clean(docs, "doc_id", "text", minWords, minLines)
+        .withColumnRenamed("id", "doc_id")
+        .drop("kept_lines", "total_lines")
+    }.getOrElse(docs)
+    val annotated = annotate(pre, cfg).observe(obsIn, count(lit(1)).as("n"))
     val sampled = cfg.sampleFraction
       .map(f => Dedup.hashSample(annotated, "doc_id", f))
       .getOrElse(annotated)

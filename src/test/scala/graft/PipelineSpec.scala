@@ -179,6 +179,34 @@ class PipelineSpec extends SparkTestBase {
     assert(report.totalTokens > 0)
   }
 
+  test("c4 line-filter stage cleans bad lines before any signal") {
+    // make each doc multi-line with terminal punctuation, then plant a
+    // boilerplate line and a fragment; the c4 stage must strip both and
+    // report.input must count post-screen survivors
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        concat(
+          concat_ws("\n", transform(
+            graft.operators.TextAnalysis.chunkByTokens($"text", 8, 0),
+            l => concat(l, lit(".")))),
+          lit("\nlorem ipsum dolor sit amet."),
+          lit("\ntoo short.")).as("text"),
+        $"lang", $"source", $"n_chars")
+    val outDir = Files.createTempDirectory("graft_pipeline_c4").toString
+    val report = TrainingDataPipeline.run(spark, docs, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        nearDupThreshold = 0.95, c4LineFilter = Some((4, 1))))
+    val out = spark.read.parquet(outDir)
+    assert(out.filter($"text".contains("lorem ipsum")).head(1).isEmpty,
+      "blocklisted line must not reach the shards")
+    assert(out.filter($"text".contains("too short")).head(1).isEmpty,
+      "short fragment line must not reach the shards")
+    // every fixture doc has a >= 8-token first chunk, so minLines=1 keeps
+    // all docs and report.input counts the full post-screen corpus
+    assert(report.input == docs.count())
+    assert(out.count() == report.afterNearDedup && out.count() > 0)
+  }
+
   test("temperature mixing knob derives rates from domain counts") {
     val docs = Tables.documents(spark, sf)
     val outDir = Files.createTempDirectory("graft_pipe_temp").toString
