@@ -1631,6 +1631,30 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
+    // Corpus diversity profile: per-k-means-cell size + dispersion.
+    // Rows-only: the k-means fit is not SQL-expressible; DedupSpec pins
+    // partition-completeness and planted-cluster recovery.
+    "s118_cluster_stats" -> ((s, d) => {
+      operators.Similarity.clusterStats(t(s, d, "embeddings"),
+          "embedding", nlist = 8)
+        .select(col("cell").cast(LongType).as("cell"), col("n"),
+          round(col("mean_dist"), 4).as("mean_dist"),
+          round(col("max_dist"), 4).as("max_dist"))
+        .orderBy(col("cell"))
+    }),
+
+    // Cluster-balanced diversity sampling: at most perCell survivors per
+    // k-means cell by seeded-hash rank. Rows-only: fit + seeded hash not
+    // SQL-expressible; DedupSpec pins caps, determinism, and that
+    // over-represented cells are flattened.
+    "s119_diversity_sample" -> ((s, d) => {
+      operators.Similarity.clusterBalancedSample(t(s, d, "embeddings"),
+          "vec_id", "embedding", perCell = 20, nlist = 8)
+        .select(col("vec_id"), col("label"),
+          col("cell").cast(LongType).as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // BM25 ranked keyword retrieval: corpus-side shuffle carries only
     // (id, term) pairs for QUERY terms; df + corpus stats broadcast back;
     // top-k is TakeOrderedAndProject. Scores rounded before ranking so

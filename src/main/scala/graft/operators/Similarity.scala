@@ -139,6 +139,67 @@ object Similarity {
     embDf.select(col(idCol).as("id"), col(embCol).as("emb"),
       cellOf(col(embCol), centers).as("cell"))
 
+  /** Nearest-centroid (cell, distance) in one pass: the same argmin as
+    * [[cellOf]], with the true L2 distance recovered from the comparison
+    * key (`argmin key = ||c||² − 2·x·c`, so `dist² = ||x||² + key`; the
+    * `greatest(0, …)` guards float cancellation near zero). */
+  private def cellAndDist(v: Column, centers: Seq[Seq[Double]]): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2.0) * dot(v, vec(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    val m = array_min(array(scored: _*))
+    struct(m.getField("cell").as("cell"),
+      sqrt(greatest(lit(0.0), dot(v, v) + m.getField("d"))).as("dist"))
+  }
+
+  /** Corpus diversity profile over k-means cells: one row per cell with
+    * member count and mean / max L2 distance to the assigned centroid —
+    * the cluster-size + dispersion report a curation run reads to spot
+    * over-represented modes (huge tight cells ≈ templated content) and
+    * noise (cells with large dispersion).
+    *
+    * 100 TB shape: the fit rides the absolute-capped [[ivfFit]] sample;
+    * assignment + distance is a per-row expression (no shuffle); the only
+    * exchange is the `nlist`-row cell aggregate, map-side combined. */
+  def clusterStats(embDf: DataFrame, embCol: String, nlist: Int = 16,
+      fitSampleRows: Long = 100000L): DataFrame = {
+    val centers = ivfFit(embDf, embCol, nlist, fitSampleRows)
+    embDf.select(cellAndDist(col(embCol), centers).as("__cd"))
+      .select(col("__cd").getField("cell").as("cell"),
+        col("__cd").getField("dist").as("__dist"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("__dist")).as("mean_dist"),
+        max(col("__dist")).as("max_dist"))
+  }
+
+  /** Cluster-balanced (diversity) sampling: keep at most `perCell` rows
+    * per k-means cell, selected by a seeded-hash rank — the
+    * cluster-then-sample recipe that flattens over-represented content
+    * modes while preserving coverage of rare ones. Deterministic at any
+    * partitioning (rank = xxhash64(id, seed), ties by id). Returns the
+    * input columns plus the assigned `cell`.
+    *
+    * 100 TB shape: fit is sample-capped, assignment per-row; the one
+    * shuffle is the rank window keyed on `cell` — and a cell is at most
+    * corpus/nlist rows by construction of a balanced k-means, with
+    * `perCell` bounding what survives. */
+  def clusterBalancedSample(embDf: DataFrame, idCol: String,
+      embCol: String, perCell: Int, nlist: Int = 16,
+      fitSampleRows: Long = 100000L, seed: Long = 42L): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    import org.apache.spark.sql.expressions.Window
+    val centers = ivfFit(embDf, embCol, nlist, fitSampleRows)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    embDf.withColumn("cell", cellOf(col(embCol), centers))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCell)
+      .drop("__rk")
+  }
+
   /** The `nprobe` cells nearest to `query` by squared L2 to their centroid
     * (||c||² − 2c·q; the ||q||² term is constant across cells). Shared by
     * the IVF and IVF-PQ serve paths so both probe identical cells for the

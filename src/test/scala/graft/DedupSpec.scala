@@ -706,4 +706,48 @@ class DedupSpec extends SparkTestBase {
     assert(a.count(_ <= 30L) > a.count(_ > 30L),
       s"family A must dominate the sample: $a")
   }
+
+  // two tight far-apart blobs in 4-d: k-means with nlist=2 must recover
+  // them exactly (seeded fit, clearly separated)
+  private def twoBlobEmbeddings = {
+    val blobA = (0L until 30L).map(i =>
+      (i, Seq(10.0, 10.0, 0.0, 0.0).map(_ + (i % 3) * 0.01).map(_.toFloat)))
+    val blobB = (100L until 110L).map(i =>
+      (i, Seq(-10.0, -10.0, 0.0, 0.0).map(_ + (i % 3) * 0.01).map(_.toFloat)))
+    (blobA ++ blobB).toDF("vec_id", "embedding")
+  }
+
+  test("clusterStats: cells partition the corpus, planted blobs recovered") {
+    val emb = twoBlobEmbeddings
+    val got = Similarity.clusterStats(emb, "embedding", nlist = 2).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("n")).sorted.toSeq == Seq(10L, 30L),
+      got.mkString(","))
+    got.foreach { r =>
+      val (mean, mx) = (r.getAs[Double]("mean_dist"), r.getAs[Double]("max_dist"))
+      assert(mean >= 0 && mx >= mean, r.toString)
+      assert(mx < 1.0, s"blob dispersion must be tiny, got $r")
+    }
+    // the real fixture: stats cover every row exactly once
+    val fix = Tables.embeddings(spark, sf)
+    val stats = Similarity.clusterStats(fix, "embedding", nlist = 8)
+    assert(stats.agg(sum($"n")).head().getLong(0) == fix.count())
+  }
+
+  test("clusterBalancedSample: per-cell cap, determinism, flattening") {
+    val emb = twoBlobEmbeddings
+    def run() = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      perCell = 5, nlist = 2)
+    val got = run().collect()
+    // both cells flattened to the cap (blob A had 30, blob B 10)
+    val perCell = got.groupBy(_.getAs[Int]("cell")).view.mapValues(_.length)
+    assert(perCell.values.forall(_ == 5), perCell.toMap.toString)
+    // sample is a subset of the input, deterministic across runs
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.subsetOf((0L until 30L).toSet ++ (100L until 110L).toSet))
+    assert(run().collect().map(_.getAs[Long]("vec_id")).toSet == ids)
+    // input columns survive alongside the assigned cell
+    assert(got.head.schema.fieldNames.toSeq ==
+      Seq("vec_id", "embedding", "cell"))
+  }
 }

@@ -36,7 +36,11 @@ class QueriesSpec extends SparkTestBase {
       // cosine is order-dependent float math across engines
       "t105_bpe_train", "t106_bpe_encode", "t108_lm_perplexity",
       "t109_quality_classifier", "s111_prototypicality",
-      "str112_stream_quality", "t114_pack_sequences"),
+      "str112_stream_quality", "t114_pack_sequences",
+      // r8: k-means fit + seeded-hash rank are not SQL-expressible
+      // (DedupSpec pins partition-completeness, planted-blob recovery,
+      // per-cell caps, and determinism)
+      "s118_cluster_stats", "s119_diversity_sample"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
