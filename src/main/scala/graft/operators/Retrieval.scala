@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.DoubleType
   * (`metabase-maxcompute-driver/src/metabase/driver/maxcompute.clj` builds
   * exactly such filter SQL) upgraded to ranked retrieval.
   *
+  * Two serve paths, mirroring the ANN operators' inline/prebuilt split:
+  *  - [[bm25Scores]]/[[bm25TopK]] tokenize inline — one pruned corpus scan
+  *    per query (the ad-hoc path);
+  *  - [[bm25Postings]]+[[bm25CorpusStats]] build a postings store once;
+  *    [[bm25TopKIndexed]] then answers a query from `|query| / buckets`
+  *    of the postings partitions without ever re-reading document text —
+  *    the repeated-query 100 TB path.
+  *
   * Scale shape (100 TB corpus, 1000 executors):
   *  - the corpus is tokenized per row (no shuffle) and exploded terms are
   *    filtered to the QUERY terms before any wide operator — the only
@@ -31,6 +39,26 @@ object Retrieval {
 
   private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
+  /** Shared scoring tail: `tf` must carry (id, dl, term, tf); `stats` one
+    * row (n_docs, avgdl). df is recomputed from tf (one row per (id,term)
+    * pair ⇒ count = document frequency), collapsed to ≤ |query| rows. */
+  private def score(tf: DataFrame, stats: DataFrame,
+      k1: Double, b: Double, roundTo: Int): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+    val norm = tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats)) // one-row scalar join
+      .select(col("id"), (idf * norm).as("__w"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__w")), roundTo).as("score"))
+  }
+
   /** BM25 scores for every document matching ≥ 1 query term:
     * `(id, score)` with `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
     * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`. Non-matching documents
@@ -42,30 +70,17 @@ object Retrieval {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val base = docs
       .select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
-      .select(col("id"), col("__toks"), size(col("__toks")).as("__dl"))
+      .select(col("id"), col("__toks"), size(col("__toks")).as("dl"))
     // One corpus-wide aggregate → a single row, broadcast as a scalar.
-    val stats = base.agg(count(lit(1)).as("__n_docs"), avg(col("__dl")).as("__avgdl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // Postings restricted to query terms BEFORE the shuffle: only matching
     // (id, term) occurrences enter the exchange, map-side combined.
     val tf = base
-      .select(col("id"), col("__dl"), explode(col("__toks")).as("__term"))
-      .filter(col("__term").isInCollection(query))
-      .groupBy(col("id"), col("__dl"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("__term"))
-      .agg(count(lit(1)).as("__df")) // one row per (id,term) → count = df
-    val tfd = col("__tf").cast(DoubleType)
-    val idf = log(lit(1.0) +
-      (col("__n_docs").cast(DoubleType) - col("__df") + lit(0.5)) /
-        (col("__df").cast(DoubleType) + lit(0.5)))
-    val norm = tfd * lit(k1 + 1.0) /
-      (tfd + lit(k1) * (lit(1.0 - b) +
-        lit(b) * col("__dl").cast(DoubleType) / col("__avgdl")))
-    tf.join(broadcast(dfreq), "__term")
-      .crossJoin(broadcast(stats)) // one-row scalar join
-      .select(col("id"), (idf * norm).as("__w"))
-      .groupBy(col("id"))
-      .agg(round(sum(col("__w")), roundTo).as("score"))
+      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isInCollection(query))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    score(tf, stats, k1, b, roundTo)
   }
 
   /** Top-k documents for a bag-of-words query; deterministic order
@@ -75,6 +90,58 @@ object Retrieval {
       roundTo: Int = 4): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     bm25Scores(docs, idCol, textCol, query, k1, b, roundTo)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** One-time postings build for [[bm25TopKIndexed]]: one row per
+    * (term, document) with the term frequency, the document length, and
+    * the term's hash bucket `tb`. Persist partitioned by `tb` (e.g.
+    * `.write.partitionBy("tb")`) and each query scans only
+    * `|query| / buckets` of the store — document text is never read at
+    * query time. One vocabulary-keyed shuffle at build, map-side
+    * combined; Zipf bounds distinct (term, doc) pairs. */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    docs.select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+  }
+
+  /** Corpus stats companion of [[bm25Postings]] — ONE row (n_docs,
+    * avgdl) over ALL documents, including those the postings table
+    * cannot see (empty after tokenization). Persist it with the
+    * postings; [[bm25TopKIndexed]] broadcasts it. */
+  def bm25CorpusStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
+
+  /** BM25 top-k from a prebuilt postings store ([[bm25Postings]]) +
+    * stats table ([[bm25CorpusStats]]): identical results to
+    * [[bm25TopK]], but the probe is a `tb IN (...) AND term IN (...)`
+    * filter — partition-pruned when the store is partitioned by `tb` —
+    * so a query touches `|query| / buckets` of the postings and never
+    * the corpus text. The query terms' buckets are resolved by one
+    * 1-row local job (the same engine hash the build used, never
+    * reimplemented driver-side). */
+  def bm25TopKIndexed(postings: DataFrame, stats: DataFrame,
+      query: Seq[String], k: Int, buckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
+    require(query.nonEmpty, "query must contain at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    val hashRow = postings.sparkSession.range(1)
+      .select(query.zipWithIndex.map { case (t, i) =>
+        pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(s"h$i") }: _*)
+      .head()
+    val tbs = query.indices.map(hashRow.getLong(_): java.lang.Long)
+    val tf = postings
+      .filter(col("tb").isin(tbs: _*) && col("term").isInCollection(query))
+    score(tf, stats, k1, b, roundTo)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }

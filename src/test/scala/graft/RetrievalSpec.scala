@@ -59,6 +59,34 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("bm25TopKIndexed equals the inline form on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val query = Seq("merge", "vector", "window")
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val postings = Retrieval.bm25Postings(docs, "doc_id", "text")
+    val stats = Retrieval.bm25CorpusStats(docs, "doc_id", "text")
+    val indexed = Retrieval.bm25TopKIndexed(postings, stats, query, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline == indexed)
+  }
+
+  test("bm25 indexed probe partition-prunes a tb-partitioned store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+      .toString + "/postings"
+    val docs = Tables.documents(spark, sf)
+    Retrieval.bm25Postings(docs, "doc_id", "text")
+      .write.partitionBy("tb").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val stats = Retrieval.bm25CorpusStats(docs, "doc_id", "text")
+    val got = Retrieval.bm25TopKIndexed(store, stats, Seq("merge"), k = 5)
+    assert(got.count() == 5)
+    val scan = got.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(scan).isDefined,
+      scan.take(600))
+  }
+
   test("bm25: b=0 removes length normalization entirely") {
     val docs = Seq(
       (1L, "merge short"),
