@@ -84,7 +84,8 @@ object ScaleSmoke {
     "t105_bpe_train", "t106_bpe_encode", "t107_bigram_counts",
     "t108_lm_perplexity", "t109_quality_classifier",
     "t110_line_dedup", "t114_pack_sequences",
-    "t115_bm25", "t116_c4_filter", "t117_ngram_novelty")
+    "t115_bm25", "t116_c4_filter", "t117_ngram_novelty",
+    "s118_cluster_stats", "s119_diversity_sample")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

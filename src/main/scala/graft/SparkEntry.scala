@@ -1631,6 +1631,14 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
+    // Corpus profile report: per-dimension doc/token/char rollups + a
+    // corpus-total row — exact, engine-portable, hash-green.
+    "t120_corpus_profile" -> ((s, d) => {
+      TextAnalysis.corpusProfile(t(s, d, "documents"), "text",
+          Seq("lang", "source"))
+        .orderBy(col("dim"), col("key"))
+    }),
+
     // Corpus diversity profile: per-k-means-cell size + dispersion.
     // Rows-only: the k-means fit is not SQL-expressible; DedupSpec pins
     // partition-completeness and planted-cluster recovery.
@@ -2604,6 +2612,31 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "t120_corpus_profile" ->
+      """WITH base AS (
+        | SELECT lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(length(text) AS BIGINT) AS nc
+        | FROM documents)
+        |SELECT * FROM (
+        | SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS key,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  round(avg(nt), 4) AS avg_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  round(avg(nc), 4) AS avg_chars
+        | FROM base GROUP BY lang
+        | UNION ALL
+        | SELECT 'source', CAST(source AS VARCHAR), count(*),
+        |  CAST(sum(nt) AS BIGINT), round(avg(nt), 4),
+        |  CAST(sum(nc) AS BIGINT), round(avg(nc), 4)
+        | FROM base GROUP BY source
+        | UNION ALL
+        | SELECT 'all', '', count(*),
+        |  CAST(sum(nt) AS BIGINT), round(avg(nt), 4),
+        |  CAST(sum(nc) AS BIGINT), round(avg(nc), 4)
+        | FROM base)
+        |ORDER BY dim, key""".stripMargin,
 
     "t115_bm25" ->
       """WITH toks AS (

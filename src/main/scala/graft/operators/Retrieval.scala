@@ -128,7 +128,11 @@ object Retrieval {
     * so a query touches `|query| / buckets` of the postings and never
     * the corpus text. The query terms' buckets are resolved by one
     * 1-row local job (the same engine hash the build used, never
-    * reimplemented driver-side). */
+    * reimplemented driver-side). `buckets` MUST match the build-time
+    * value: the probe addresses partitions by `hash(term) % buckets`,
+    * so a mismatch looks in the wrong buckets and silently returns
+    * wrong (usually empty) results — store the bucket count with the
+    * postings (e.g. in the directory name) like any index metadata. */
   def bm25TopKIndexed(postings: DataFrame, stats: DataFrame,
       query: Seq[String], k: Int, buckets: Int = 64,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {

@@ -224,6 +224,42 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Corpus profile: one row per (dimension value) per grouping dimension
+    * plus a corpus-total row — document count, token and character
+    * totals/averages. The summary table a curation run publishes next to
+    * its shards (the same numbers `TrainingDataPipeline`'s report tracks
+    * per stage, here as a standalone queryable table).
+    *
+    * Scale: one pass per dimension with map-side combine; every output is
+    * dimension-cardinality-sized (languages, sources — small by nature).
+    * All metrics are exact and engine-portable (counts, sums, rounded
+    * means) — no sketches, so the table is oracle-checkable. */
+  def corpusProfile(df: DataFrame, textCol: String,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "corpusProfile needs at least one dimension")
+    val base = df.select(dims.map(col) :+
+      org.apache.spark.sql.graft.NativeFunctions.tokenCount(col(textCol))
+        .cast(LongType).as("__nt") :+
+      length(col(textCol)).cast(LongType).as("__nc"): _*)
+    def metrics = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).as("total_tokens"),
+      round(avg(col("__nt")), 4).as("avg_tokens"),
+      sum(col("__nc")).as("total_chars"),
+      round(avg(col("__nc")), 4).as("avg_chars"))
+    val perDim = dims.map { d =>
+      base.groupBy(col(d)).agg(metrics.head, metrics.tail: _*)
+        .select(lit(d).as("dim") +: col(d).cast("string").as("key") +:
+          Seq("n_docs", "total_tokens", "avg_tokens", "total_chars",
+            "avg_chars").map(col): _*)
+    }
+    val total = base.agg(metrics.head, metrics.tail: _*)
+      .select(lit("all").as("dim") +: lit("").as("key") +:
+        Seq("n_docs", "total_tokens", "avg_tokens", "total_chars",
+          "avg_chars").map(col): _*)
+    (perDim :+ total).reduce(_ unionByName _)
+  }
+
   /** C4-style line keep rule (Raffel et al. 2020 §2.2, the public web-text
     * cleaning recipe): a line survives iff it ends in terminal punctuation
     * (`.` `!` `?` `"`), has at least `minWords` words, and contains none of

@@ -87,6 +87,14 @@ class RetrievalSpec extends SparkTestBase {
       scan.take(600))
   }
 
+  test("bm25 plan: df/stats joins broadcast, never sort-merge") {
+    val plan = Retrieval.bm25Scores(Tables.documents(spark, sf),
+        "doc_id", "text", Seq("merge", "vector"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
   test("bm25: b=0 removes length normalization entirely") {
     val docs = Seq(
       (1L, "merge short"),

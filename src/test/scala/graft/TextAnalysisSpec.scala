@@ -92,6 +92,22 @@ class TextAnalysisSpec extends SparkTestBase {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
 
+  test("corpusProfile: per-dim rows sum to the corpus-total row") {
+    val docs = Tables.documents(spark, sf)
+    val prof = TextAnalysis.corpusProfile(docs, "text", Seq("lang", "source"))
+      .collect()
+    val all = prof.filter(_.getString(0) == "all")
+    assert(all.length == 1)
+    assert(all.head.getAs[Long]("n_docs") == docs.count())
+    for (dim <- Seq("lang", "source")) {
+      val rows = prof.filter(_.getString(0) == dim)
+      assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+        all.head.getAs[Long]("n_docs"), s"$dim docs")
+      assert(rows.map(_.getAs[Long]("total_tokens")).sum ==
+        all.head.getAs[Long]("total_tokens"), s"$dim tokens")
+    }
+  }
+
   test("ngramNovelty: copies score 0, unseen text 1, partial overlap between") {
     val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val eval = Seq(
