@@ -44,7 +44,14 @@ object Tables {
     inferred match {
       case LongType => expr(s"timestamp_micros(`$tsCol` div 1000)")
       case TimestampNTZType => col(tsCol).cast(TimestampType)
-      case _ => col(tsCol)
+      case TimestampType => col(tsCol)
+      case other =>
+        // Fail fast: this function exists BECAUSE the inference drifted
+        // once — a fourth representation must surface loudly, not flow
+        // downstream as silently-wrong event times.
+        throw new IllegalArgumentException(
+          s"unrecognized inferred type for TIMESTAMP(NANOS) column " +
+            s"`$tsCol`: $other — extend Tables.eventTs for this build")
     }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); normalize to a microsecond

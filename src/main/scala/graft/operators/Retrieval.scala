@@ -41,8 +41,11 @@ object Retrieval {
 
   /** Shared scoring tail: `tf` must carry (id, dl, term, tf); `stats` one
     * row (n_docs, avgdl). df is recomputed from tf (one row per (id,term)
-    * pair ⇒ count = document frequency), collapsed to ≤ |query| rows. */
-  private def score(tf: DataFrame, stats: DataFrame,
+    * pair ⇒ count = document frequency), collapsed to ≤ |query| rows.
+    * A term repeated in the query weights by its query-side multiplicity
+    * (Okapi bag-of-words semantics — the probe plans dedup terms, so the
+    * multiplicity re-enters here as a literal per-term factor). */
+  private def score(tf: DataFrame, stats: DataFrame, query: Seq[String],
       k1: Double, b: Double, roundTo: Int): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tfd = col("tf").cast(DoubleType)
@@ -52,9 +55,13 @@ object Retrieval {
     val norm = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("dl").cast(DoubleType) / col("avgdl")))
+    val mult = query.groupBy(identity).view.mapValues(_.size.toDouble)
+      .foldLeft(lit(1.0)) { case (acc, (t, m)) =>
+        if (m == 1.0) acc else when(col("term") === t, lit(m)).otherwise(acc)
+      }
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats)) // one-row scalar join
-      .select(col("id"), (idf * norm).as("__w"))
+      .select(col("id"), (idf * norm * mult).as("__w"))
       .groupBy(col("id"))
       .agg(round(sum(col("__w")), roundTo).as("score"))
   }
@@ -80,7 +87,7 @@ object Retrieval {
       .filter(col("term").isInCollection(query))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    score(tf, stats, k1, b, roundTo)
+    score(tf, stats, query, k1, b, roundTo)
   }
 
   /** Top-k documents for a bag-of-words query; deterministic order
@@ -145,7 +152,7 @@ object Retrieval {
     val tbs = query.indices.map(hashRow.getLong(_): java.lang.Long)
     val tf = postings
       .filter(col("tb").isin(tbs: _*) && col("term").isInCollection(query))
-    score(tf, stats, k1, b, roundTo)
+    score(tf, stats, query, k1, b, roundTo)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }

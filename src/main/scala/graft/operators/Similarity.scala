@@ -182,22 +182,35 @@ object Similarity {
     * partitioning (rank = xxhash64(id, seed), ties by id). Returns the
     * input columns plus the assigned `cell`.
     *
-    * 100 TB shape: fit is sample-capped, assignment per-row; the one
-    * shuffle is the rank window keyed on `cell` — and a cell is at most
-    * corpus/nlist rows by construction of a balanced k-means, with
-    * `perCell` bounding what survives. */
+    * 100 TB shape: fit is sample-capped, assignment per-row. Because
+    * k-means does NOT balance cell sizes — the over-represented mode
+    * this operator exists to flatten is exactly the one that lands a
+    * huge cell — the per-cell top-k runs in two salted phases: phase 1
+    * ranks within (cell, salt) so no reducer sees more than
+    * ~cellSize/salts rows, and phase 2 re-ranks the surviving
+    * ≤ nlist·salts·perCell rows within cell (tiny by construction).
+    * Per-(cell,salt) top-perCell is a superset of the global per-cell
+    * top-perCell, so the result is identical to a single window. */
   def clusterBalancedSample(embDf: DataFrame, idCol: String,
       embCol: String, perCell: Int, nlist: Int = 16,
-      fitSampleRows: Long = 100000L, seed: Long = 42L): DataFrame = {
+      fitSampleRows: Long = 100000L, seed: Long = 42L,
+      salts: Int = 64): DataFrame = {
     require(perCell > 0, s"perCell must be positive, got $perCell")
+    require(salts > 0, s"salts must be positive, got $salts")
     import org.apache.spark.sql.expressions.Window
     val centers = ivfFit(embDf, embCol, nlist, fitSampleRows)
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    val rank = xxhash64(col(idCol), lit(seed))
+    val w1 = Window.partitionBy(col("cell"), col("__salt"))
+      .orderBy(rank, col(idCol))
+    val w2 = Window.partitionBy(col("cell")).orderBy(rank, col(idCol))
     embDf.withColumn("cell", cellOf(col(embCol), centers))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= perCell)
-      .drop("__rk")
+      .withColumn("__salt",
+        pmod(xxhash64(col(idCol), lit(seed), lit(1L)), lit(salts.toLong)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= perCell)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= perCell)
+      .drop("__salt", "__r1", "__r2")
   }
 
   /** The `nprobe` cells nearest to `query` by squared L2 to their centroid

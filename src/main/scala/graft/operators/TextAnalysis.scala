@@ -230,7 +230,10 @@ object TextAnalysis {
     * its shards (the same numbers `TrainingDataPipeline`'s report tracks
     * per stage, here as a standalone queryable table).
     *
-    * Scale: one pass per dimension with map-side combine; every output is
+    * Scale: ONE corpus pass — the per-dimension rollups and the total
+    * row are grouping sets {(d1), (d2), …, ()} of a single
+    * map-side-combined aggregate (a per-dim union of group-bys would
+    * scan and tokenize the corpus dims+1 times). Every output is
     * dimension-cardinality-sized (languages, sources — small by nature).
     * All metrics are exact and engine-portable (counts, sums, rounded
     * means) — no sketches, so the table is oracle-checkable. */
@@ -241,23 +244,29 @@ object TextAnalysis {
       org.apache.spark.sql.graft.NativeFunctions.tokenCount(col(textCol))
         .cast(LongType).as("__nt") :+
       length(col(textCol)).cast(LongType).as("__nc"): _*)
-    def metrics = Seq(
+    val metrics = Seq(
       count(lit(1)).as("n_docs"),
       sum(col("__nt")).as("total_tokens"),
       round(avg(col("__nt")), 4).as("avg_tokens"),
       sum(col("__nc")).as("total_chars"),
       round(avg(col("__nc")), 4).as("avg_chars"))
-    val perDim = dims.map { d =>
-      base.groupBy(col(d)).agg(metrics.head, metrics.tail: _*)
-        .select(lit(d).as("dim") +: col(d).cast("string").as("key") +:
-          Seq("n_docs", "total_tokens", "avg_tokens", "total_chars",
-            "avg_chars").map(col): _*)
+    // grouping_id distinguishes "d aggregated away" from "d present with
+    // a null value", so null dimension values keep a null key. For the
+    // set where ONLY dim i is present, gid = (2^n − 1) − 2^(n−1−i).
+    val n = dims.length
+    def gidFor(i: Int): Int = ((1 << n) - 1) - (1 << (n - 1 - i))
+    val dim = dims.zipWithIndex.foldRight(lit("all")) { case ((d, i), acc) =>
+      when(col("__gid") === gidFor(i), lit(d)).otherwise(acc)
     }
-    val total = base.agg(metrics.head, metrics.tail: _*)
-      .select(lit("all").as("dim") +: lit("").as("key") +:
+    val key = dims.zipWithIndex.foldRight(lit("")) { case ((d, i), acc) =>
+      when(col("__gid") === gidFor(i), col(d).cast("string")).otherwise(acc)
+    }
+    base.groupingSets(
+        dims.map(d => Seq(col(d))) :+ Seq.empty[Column], dims.map(col): _*)
+      .agg(grouping_id().as("__gid"), metrics: _*)
+      .select(dim.as("dim") +: key.as("key") +:
         Seq("n_docs", "total_tokens", "avg_tokens", "total_chars",
           "avg_chars").map(col): _*)
-    (perDim :+ total).reduce(_ unionByName _)
   }
 
   /** C4-style line keep rule (Raffel et al. 2020 §2.2, the public web-text
@@ -290,6 +299,13 @@ object TextAnalysis {
     * every task cleans its own split. */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
       minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    // The output reserves these names; a passthrough column with one of
+    // them would silently collide (or make the id reference ambiguous).
+    val reserved = (Set("id", "kept_lines", "total_lines") - idCol)
+      .intersect(df.columns.toSet)
+    require(reserved.isEmpty,
+      s"c4Clean reserves output columns ${reserved.mkString(", ")} — " +
+        "rename them on the input first")
     val others = df.columns.toSeq
       .filterNot(c => c == idCol || c == textCol).map(col)
     df.select(col(idCol).as("id") +: split(col(textCol), "\n").as("__lines")

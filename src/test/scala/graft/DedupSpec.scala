@@ -749,5 +749,11 @@ class DedupSpec extends SparkTestBase {
     // input columns survive alongside the assigned cell
     assert(got.head.schema.fieldNames.toSeq ==
       Seq("vec_id", "embedding", "cell"))
+    // the skew-bounded salted two-phase top-k selects the SAME rows as a
+    // single per-cell window (salts = 1 degenerates to the plain window)
+    val plain = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        perCell = 5, nlist = 2, salts = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(plain == ids)
   }
 }

@@ -95,6 +95,17 @@ class RetrievalSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(400))
   }
 
+  test("bm25: repeated query terms weight by query-side multiplicity") {
+    val docs = Seq((1L, "spark x y"), (2L, "other x y")).toDF("doc_id", "text")
+    def scores(q: Seq[String]) =
+      Retrieval.bm25Scores(docs, "doc_id", "text", q, roundTo = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val once = scores(Seq("spark"))
+    val twice = scores(Seq("spark", "spark"))
+    assert(math.abs(twice(1L) - 2 * once(1L)) < 1e-4,
+      s"${twice(1L)} vs 2*${once(1L)}")
+  }
+
   test("bm25: b=0 removes length normalization entirely") {
     val docs = Seq(
       (1L, "merge short"),

@@ -108,6 +108,15 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("c4Clean rejects passthrough columns that collide with its output") {
+    val df = Seq((1L, "a fine enough line here.", 7L))
+      .toDF("doc_id", "text", "id")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.c4Clean(df, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
   test("ngramNovelty: copies score 0, unseen text 1, partial overlap between") {
     val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val eval = Seq(
