@@ -1631,6 +1631,23 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
+    // Per-group heavy hitters: exact top-k tokens per language with a
+    // total tie-break order — the vocabulary-drift view of t94.
+    "t121_top_tokens_by_lang" -> ((s, d) => {
+      TextAnalysis.topTokensByGroup(t(s, d, "documents"), "text", "lang",
+          k = 5)
+        .orderBy(col("group"), col("rank"))
+    }),
+
+    // Keyword-in-context snippets: first query-term hit position + a
+    // token window around it — pure array positions, engine-portable.
+    "t122_snippets" -> ((s, d) => {
+      operators.Retrieval.snippets(t(s, d, "documents"), "doc_id", "text",
+          Seq("vector", "merge"), window = 4)
+        .select(col("id").as("doc_id"), col("match_pos"), col("snippet"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus profile report: per-dimension doc/token/char rollups + a
     // corpus-total row — exact, engine-portable, hash-green.
     "t120_corpus_profile" -> ((s, d) => {
@@ -2612,6 +2629,39 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "t121_top_tokens_by_lang" ->
+      """WITH counts AS (
+        | SELECT lang AS "group", term AS token, count(*) AS n
+        | FROM (SELECT lang,
+        |   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT "group", token, n,
+        |  CAST(row_number() OVER (PARTITION BY "group"
+        |    ORDER BY n DESC, token) AS BIGINT) AS rank
+        | FROM counts)
+        |SELECT "group", token, n, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY "group", rank""".stripMargin,
+
+    "t122_snippets" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS t
+        | FROM documents),
+        |pos AS (
+        | SELECT doc_id, t,
+        |  least(nullif(list_position(t, 'vector'), 0),
+        |        nullif(list_position(t, 'merge'), 0)) AS p
+        | FROM toks)
+        |SELECT doc_id, CAST(p AS BIGINT) AS match_pos,
+        | array_to_string(
+        |  list_slice(t, greatest(1, p - 4), least(len(t), p + 4)), ' ') AS snippet
+        |FROM pos
+        |WHERE p IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "t120_corpus_profile" ->
       """WITH base AS (

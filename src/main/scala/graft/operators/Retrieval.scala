@@ -156,4 +156,30 @@ object Retrieval {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Keyword-in-context snippets — the search-result companion of
+    * [[bm25TopK]]: for every document containing ≥ 1 query term, the
+    * 1-based token position of the FIRST occurrence of any query term
+    * (earliest across terms) and a `window`-token context around it,
+    * as `(id, match_pos, snippet)`. Deterministic and engine-portable
+    * (pure array positions — no scoring); zero shuffle, embarrassingly
+    * parallel: one tokenize + a few array_position probes per row. */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], window: Int = 5): DataFrame = {
+    require(query.nonEmpty, "query must contain at least one term")
+    require(window >= 0, s"window must be non-negative, got $window")
+    // array_position yields 0 for "absent" — nullif so least() skips it
+    // (least ignores nulls in both Spark and DuckDB)
+    val firstPos = least(query.map(t =>
+      nullif(array_position(col("__toks"), lit(t)), lit(0L))): _*)
+    docs.select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
+      .withColumn("match_pos", firstPos)
+      .filter(col("match_pos").isNotNull)
+      .select(col("id"), col("match_pos"),
+        concat_ws(" ", slice(col("__toks"),
+          greatest(lit(1), col("match_pos") - window).cast("int"),
+          (least(size(col("__toks")).cast("long"), col("match_pos") + window)
+            - greatest(lit(1), col("match_pos") - window) + 1).cast("int")))
+          .as("snippet"))
+  }
 }

@@ -224,6 +224,29 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Top-k heavy-hitter tokens PER GROUP (e.g. per language — the
+    * vocabulary-drift view of [[topTokens]]): exact counts, total
+    * tie-break order (count desc, token asc) within each group.
+    *
+    * Scale: the count shuffle is (groups × vocabulary)-sized with
+    * map-side combine (Zipf-bounded, never occurrence-sized); the rank
+    * window partitions by group over vocabulary-sized input — bounded by
+    * the group's vocabulary regardless of corpus size. */
+  def topTokensByGroup(df: DataFrame, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("n").desc, col("token"))
+    df.select(col(groupCol).as("group"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("group"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus profile: one row per (dimension value) per grouping dimension
     * plus a corpus-total row — document count, token and character
     * totals/averages. The summary table a curation run publishes next to

@@ -95,6 +95,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(400))
   }
 
+  test("snippets: earliest term wins, window clamps at both edges") {
+    val docs = Seq(
+      (1L, "x merge y z w q r s"),   // match at 2, left edge clamps
+      (2L, "a b c d e f vector g"),  // match at 7, right edge clamps
+      (3L, "merge a b vector c"),    // both terms: earliest (merge, 1)
+      (4L, "nothing relevant here")  // no match -> absent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.snippets(docs, "doc_id", "text",
+        Seq("vector", "merge"), window = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == (2L, "x merge y z"))
+    assert(got(2L) == (7L, "e f vector g"))
+    assert(got(3L) == (1L, "merge a b"))
+  }
+
   test("bm25: repeated query terms weight by query-side multiplicity") {
     val docs = Seq((1L, "spark x y"), (2L, "other x y")).toDF("doc_id", "text")
     def scores(q: Seq[String]) =

@@ -92,6 +92,20 @@ class TextAnalysisSpec extends SparkTestBase {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
 
+  test("topTokensByGroup: exact per-group counts, tie-break, cap") {
+    val docs = Seq(
+      ("en", "a b b c c c"), ("en", "c a"),
+      ("de", "z y z y x")
+    ).toDF("lang", "text")
+    val got = TextAnalysis.topTokensByGroup(docs, "text", "lang", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // en: c:4, a:2 (b:2 loses the tie to a alphabetically)
+    // de: y:2, z:2 (tie -> y first)
+    assert(got == Set(("en", "c", 4L, 1L), ("en", "a", 2L, 2L),
+      ("de", "y", 2L, 1L), ("de", "z", 2L, 2L)), got.toString)
+  }
+
   test("corpusProfile: per-dim rows sum to the corpus-total row") {
     val docs = Tables.documents(spark, sf)
     val prof = TextAnalysis.corpusProfile(docs, "text", Seq("lang", "source"))
