@@ -27,15 +27,32 @@ object Retry {
     * transaction-rollback SQLStates (08xxx, 40xxx), the JDBC transient /
     * recoverable exception trees, and IOExceptions other than
     * FileNotFound (deterministic). Everything else — syntax errors,
-    * constraint violations, missing tables — fails fast. */
-  def transientDefault(e: Throwable): Boolean = e match {
-    case _: java.sql.SQLTransientException   => true
-    case _: java.sql.SQLRecoverableException => true
-    case s: java.sql.SQLException =>
-      Option(s.getSQLState).exists(st => st.startsWith("08") || st.startsWith("40"))
-    case _: java.io.FileNotFoundException => false
-    case _: java.io.IOException           => true
-    case _                                => false
+    * constraint violations, missing tables — fails fast.
+    *
+    * Walks the CAUSE chain: when the protected block is a Spark action,
+    * the executor-side failure arrives wrapped (SparkException →
+    * FAILED_EXECUTE_UDF / task-failure layers) and a top-level-only check
+    * would never retry a genuinely transient source error underneath. A
+    * decisive verdict at any layer (transient exception type, classified
+    * SQLState, FileNotFound) stops the walk; unrecognized wrappers
+    * delegate to their cause (bounded depth, cycle-safe). */
+  def transientDefault(e: Throwable): Boolean = {
+    @annotation.tailrec
+    def walk(t: Throwable, depth: Int): Boolean = t match {
+      case null => false
+      case _ if depth > 16 => false
+      case _: java.sql.SQLTransientException   => true
+      case _: java.sql.SQLRecoverableException => true
+      case s: java.sql.SQLException
+          if Option(s.getSQLState).exists(st =>
+            st.startsWith("08") || st.startsWith("40")) => true
+      case _: java.io.FileNotFoundException => false
+      case _: java.io.IOException           => true
+      case other =>
+        val cause = other.getCause
+        if (cause eq other) false else walk(cause, depth + 1)
+    }
+    walk(e, 0)
   }
 
   /** Run `f`, retrying transient failures up to `retries` times with

@@ -99,8 +99,18 @@ object MicroBatch {
     val w = stream.writeStream
       .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dim = graft.sources.Retry.withBackoff("lookup dimension reload")(loadDim())
-        sink(batch.join(broadcast(dim), joinKeys, "left"))
+        // Materialize INSIDE the retry: loadDim() alone returns a lazy
+        // plan (only schema resolution touches the source) — without the
+        // count, the actual dimension scan would run inside the join
+        // action, OUTSIDE the retry, and a transient source failure there
+        // would kill the stream despite the backoff.
+        val dim = graft.sources.Retry.withBackoff("lookup dimension reload") {
+          val d = loadDim().persist()
+          try { d.count(); d }
+          catch { case e: Throwable => d.unpersist(); throw e }
+        }
+        try sink(batch.join(broadcast(dim), joinKeys, "left"))
+        finally dim.unpersist()
         ()
       }
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -119,8 +129,8 @@ object MicroBatch {
   def windowedCounts(stream: DataFrame, ts: String, watermark: String,
       window_ : String, keys: Seq[Column]): DataFrame =
     stream
-      .withWatermark(ts, watermark)
-      .groupBy(window(col(ts), window_) +: keys: _*)
+      .withWatermark(quoted(ts), watermark)
+      .groupBy(window(col(quoted(ts)), window_) +: keys: _*)
       .agg(count(lit(1)).as("n"))
 
   /** Event-time SESSION windows (gap-merged) over a stream: the streaming
@@ -134,8 +144,8 @@ object MicroBatch {
   def sessionCounts(stream: DataFrame, ts: String, watermark: String,
       gap: String, keys: Seq[Column]): DataFrame =
     stream
-      .withWatermark(ts, watermark)
-      .groupBy(session_window(col(ts), gap) +: keys: _*)
+      .withWatermark(quoted(ts), watermark)
+      .groupBy(session_window(col(quoted(ts)), gap) +: keys: _*)
       .agg(count(lit(1)).as("n"))
 
   /** Streaming exact dedup with BOUNDED state: one state entry per key,
@@ -147,8 +157,8 @@ object MicroBatch {
     * landing zone). Emits each key's first-arriving row. */
   def streamDedup(stream: DataFrame, ts: String, watermark: String,
       keys: Seq[String]): DataFrame =
-    stream.withWatermark(ts, watermark)
-      .dropDuplicatesWithinWatermark(keys)
+    stream.withWatermark(quoted(ts), watermark)
+      .dropDuplicatesWithinWatermark(keys) // names taken literally, no quoting
 
   /** Watermarked stream-stream INNER interval join: left rows pair with
     * right rows sharing `key` whose event time falls in
@@ -202,7 +212,13 @@ object MicroBatch {
   def streamNearDupIngest(stream: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, maxBucketSize: Int = 64): StreamingQuery =
+      threshold: Double = 0.8, maxBucketSize: Int = 64): StreamingQuery = {
+    // Survivors land under batch=<id> partitions; a data column named
+    // `batch` would collide with the discovered partition column AFTER
+    // batches have already been written — fail at wiring time instead.
+    require(!stream.columns.contains("batch"),
+      "streamNearDupIngest: the stream must not carry a column named " +
+        "'batch' — it is reserved for the output/index partition layout")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -210,6 +226,7 @@ object MicroBatch {
           shingleK, numHashes, bands, threshold, maxBucketSize)
       }
       .start()
+  }
 
   /** One [[streamNearDupIngest]] micro-batch, exposed for direct replay
     * testing: dedup `batch` against every index partition EXCEPT its own
@@ -243,16 +260,23 @@ object MicroBatch {
     val index = spark.read.option("basePath", indexDir).parquet(indexDir)
       .filter(col("batch").cast("string") =!= lit(batchId.toString))
       .select("id", "bands", "sh")
-    val survivors = graft.operators.Dedup.nearDupIncrement(
-      batch, index, idCol, textCol, shingleK, numHashes, bands,
-      threshold, maxBucketSize)
-    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    // Index from the just-written survivors, not the live `survivors`
-    // plan — referencing it again would re-run the whole dedup pipeline.
-    graft.operators.Dedup.minhashIndex(
-        spark.read.parquet(s"$outDir/batch=$batchId"), idCol, textCol,
-        shingleK, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    // nearDupIncrement references the increment from several plan branches
+    // (intra-batch banding, shingle verify, anti-joins) before its lazy
+    // localCheckpoint materializes — persist so the micro-batch's source
+    // files are decoded once per trigger, not once per branch.
+    val pinned = batch.persist()
+    try {
+      val survivors = graft.operators.Dedup.nearDupIncrement(
+        pinned, index, idCol, textCol, shingleK, numHashes, bands,
+        threshold, maxBucketSize)
+      survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      // Index from the just-written survivors, not the live `survivors`
+      // plan — referencing it again would re-run the whole dedup pipeline.
+      graft.operators.Dedup.minhashIndex(
+          spark.read.parquet(s"$outDir/batch=$batchId"), idCol, textCol,
+          shingleK, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally pinned.unpersist()
   }
 
   /** Run a streaming DataFrame to completion against the available input
@@ -263,7 +287,12 @@ object MicroBatch {
     * store instance per shuffle partition, fixed for the life of the
     * checkpoint): production streams size this to key cardinality / state
     * volume rather than inheriting the batch shuffle width, since every
-    * micro-batch pays per-store snapshot+commit IO. */
+    * micro-batch pays per-store snapshot+commit IO.
+    *
+    * NOT concurrency-safe: the shuffle-partition conf is session-global
+    * and save/restored around the run, so overlapping calls on one
+    * session would race — this is a sequential verification harness, not
+    * a serving path (production streams set the conf once at wiring). */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
       statePartitions: Int = 4, outputMode: String = "complete"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -213,6 +213,37 @@ class StreamingSpec extends SparkTestBase {
     assert(joined == ev.filter(col("event_type").isin("click", "purchase")).count())
   }
 
+  test("lookup join retries failures at dimension SCAN time, not just construction") {
+    import graft.sources.Retry
+    val dir = eventsDir()
+    val stream = MicroBatch.fileStream(spark, dir)
+    var joined = 0L
+    StreamingSpec.scanAttempts.set(0)
+    // The poison fires when the dimension is EVALUATED (executor-side),
+    // after loadDim has already returned a perfectly healthy lazy plan —
+    // the failure mode a lazy-only retry would miss.
+    val poison = udf { (et: String) =>
+      if (StreamingSpec.scanAttempts.get() <= 1)
+        // transient-classified cause, reaching Retry through Spark's
+        // FAILED_EXECUTE_UDF wrapper — the chain transientDefault walks
+        throw new java.io.IOException("transient dim scan flake")
+      et
+    }
+    val dim = Seq(("click", 1), ("purchase", 2)).toDF("event_type", "w")
+      .withColumn("event_type", poison(col("event_type")))
+    val saved = Retry.baseBackoffMs
+    Retry.baseBackoffMs = 1L
+    val q = MicroBatch.lookupJoin(stream,
+        () => { StreamingSpec.scanAttempts.incrementAndGet(); dim },
+        Seq("event_type"), b => joined += b.filter(col("w").isNotNull).count())
+      .start()
+    try q.processAllAvailable() finally { q.stop(); Retry.baseBackoffMs = saved }
+    assert(StreamingSpec.scanAttempts.get() >= 2,
+      "the scan-time failure must have triggered a reload retry")
+    val ev = Tables.events(spark, sf)
+    assert(joined == ev.filter(col("event_type").isin("click", "purchase")).count())
+  }
+
   test("streaming near-dup ingest dedups across batches via the index") {
     import graft.operators.Dedup
     def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
@@ -381,4 +412,10 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batchCounts,
       "the literal-weights scoring expression must be batch/stream invariant")
   }
+}
+
+object StreamingSpec {
+  // Shared with executor-side UDFs (same JVM in local mode): counts
+  // dimension reload attempts for the scan-time retry test.
+  val scanAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }
