@@ -70,7 +70,12 @@ object Dedup {
     candRows
       .withColumn("__surv",
         min(col(idCol)).over(Window.partitionBy(keyCols.map(col): _*)))
-      .filter(col(idCol) =!= col("__surv"))
+      // null-safe: a NULL-id duplicate must still lose to the group's
+      // (non-null) min survivor — plain =!= evaluates to NULL for it and
+      // the filter would let the duplicate row survive. (A group whose
+      // ids are ALL null has a null survivor and keeps its rows; ids are
+      // assumed populated — this guards the stray-null case.)
+      .filter(!(col(idCol) <=> col("__surv")))
       .select(col(idCol))
   }
 
@@ -110,9 +115,27 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val intraLosers = minhashNearDups(increment, idCol, textCol,
-        shingleK, numHashes, bands, threshold, maxBucketSize)
-      .select(col("id_b").as("__l")).distinct()
+    // Probe/build parameter mismatch check — structural, one limit-1 scan
+    // of the index. An index built with different `bands` produces band
+    // keys that match NOTHING, so every base near-duplicate would
+    // silently survive ingest. (shingleK/numHashes are not structurally
+    // detectable — persist them with the index like any model metadata.)
+    baseIndex.select(size(col("bands")).as("__nb")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == bands,
+          s"baseIndex carries ${r.getInt(0)} bands per signature but " +
+            s"nearDupIncrement was called with bands=$bands — probe with " +
+            "the index's build-time parameters")
+      }
+    // Cluster-canonical intra-batch survivors: pairwise id_b-dropping
+    // over-deletes chains (a~b, b~c, a!~c would delete BOTH b and c,
+    // losing c's content entirely) — the same reasoning as the batch
+    // pipeline's dropNearDups; the pair graph is increment-sized, so the
+    // few label-propagation rounds are cheap.
+    val intraLosers = dupClusters(minhashNearDups(increment, idCol, textCol,
+        shingleK, numHashes, bands, threshold, maxBucketSize))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__l")).distinct()
     // The intra-deduped increment feeds FOUR consumers (bucket keys, band
     // join, shingle verify, final anti-join); without truncation each one
     // would re-run the whole intra-batch LSH dedup. localCheckpoint
@@ -368,18 +391,37 @@ object Dedup {
           .reduce(_ + _).as("sig"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius. Banding on four 16-bit
-    * chunks guarantees recall for radius ≤ 3 (pigeonhole); verification is
-    * an exact popcount on the XOR. */
+  /** The signature chunking that backs [[simhashNearDups]]'s recall
+    * guarantee: `max(4, radius+1)` chunks covering all 64 bits, so two
+    * signatures within Hamming `radius` differ in at most `radius` chunks
+    * and MUST share one (pigeonhole). Widths differ by at most one bit
+    * when the chunk count does not divide 64; the mask after the
+    * arithmetic shift discards sign-extension bits. */
+  private[graft] def simhashChunks(sig: Column, radius: Int): Seq[Column] = {
+    require(radius >= 0 && radius <= 15,
+      s"simhash banding supports radius 0..15 (16 chunks of >= 4 bits), got $radius")
+    val c = math.max(4, radius + 1)
+    val widths = (0 until c).map(i => 64 / c + (if (i < 64 % c) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    widths.zip(offsets).map { case (w, off) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      call_function("shiftright", sig, lit(off)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius. Banding on
+    * `max(4, radius+1)` chunks guarantees candidate recall for ANY
+    * requested radius (pigeonhole — a fixed four-chunk banding would
+    * silently lose pairs beyond radius 3); verification is an exact
+    * popcount on the XOR. Larger radii cost proportionally more chunk
+    * rows and denser buckets — the usual LSH recall/cost dial. */
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       radius: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol)
     val chunked = sigs.select(
       col("id"), col("sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+      posexplode(array(simhashChunks(col("sig"), radius): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
     val pruned = capBuckets(chunked, Seq("chunk_idx", "chunk_val"), maxBucketSize)
 
@@ -457,6 +499,13 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // Partial convergence means distant chain members still carry labels
+    // above their component minimum — a caller that drops non-canonical
+    // ids would then silently KEEP duplicates. Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within $maxIter iterations — the " +
+        "pair graph has a component with diameter > maxIter (long " +
+        "near-dup chains); raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -508,10 +557,18 @@ object Dedup {
   def decontaminateSplits(df: DataFrame, idCol: String, textCol: String,
       splitCol: String = "split", trainSplit: String = "train",
       shingleK: Int = 5): DataFrame = {
-    val train = df.filter(col(splitCol) === trainSplit)
-    val holdout = df.filter(col(splitCol) =!= trainSplit)
+    // Null-safe complement: with a user-supplied split column, plain
+    // === / =!= would BOTH reject a NULL split value and the row would
+    // vanish from the output entirely (the ternary-logic trap
+    // temperatureMix documents). Null splits land in the holdout side:
+    // they are not train, so they are kept untouched.
+    val train = df.filter(col(splitCol) <=> trainSplit)
+    val holdout = df.filter(!(col(splitCol) <=> trainSplit))
+    // The holdout can be a corpus FRACTION (e.g. a 5% val split of a
+    // 10 TB corpus), not a benchmark-sized table — leave the join
+    // strategy to the planner instead of forcing a broadcast.
     decontaminate(train, holdout.select(col(idCol), col(textCol)),
-        idCol, textCol, shingleK)
+        idCol, textCol, shingleK, hintBroadcast = false)
       .unionByName(holdout)
   }
 
@@ -613,8 +670,9 @@ object Dedup {
       .select(col("line"))
     // Single reassembly pass: flag boilerplate lines (broadcast left
     // join) instead of anti-joining, so per-doc totals and surviving text
-    // come out of ONE groupBy — two corpus scans total (count + rebuild)
-    // rather than four. Docs reduced to nothing drop via the kept filter.
+    // come out of ONE groupBy — three corpus scans total (hash count,
+    // exact recount on the candidate sliver, rebuild) rather than four.
+    // Docs reduced to nothing drop via the kept filter.
     val flagged = lines.join(
       broadcast(boiler.withColumn("__bl", lit(true))), Seq("line"), "left")
     flagged.groupBy(col("id"))
@@ -909,11 +967,20 @@ object Dedup {
     *     shingles with overwhelming probability); exact Jaccard then
     *     verifies. This caps the join fan-out of shingles that are common
     *     across the corpus at a bounded, documented recall trade. */
+  /** `hintBroadcast` (default true) forces the benchmark side to
+    * broadcast — right for a true benchmark (MBs). Pass false when the
+    * "benchmark" is itself a corpus fraction (e.g.
+    * [[decontaminateSplits]]'s holdout): a forced broadcast of a 500 GB
+    * side would hit Spark's broadcast limit; without the hint the
+    * planner picks a shuffle join that still scales with that side. */
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = 5, threshold: Double = 0.5,
-      maxMatchesPerShingle: Int = 64): DataFrame = {
+      maxMatchesPerShingle: Int = 64,
+      hintBroadcast: Boolean = true): DataFrame = {
+    def hint(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
     // pass 1: exact text match, no caps anywhere. The hash join finds
     // candidates; the text-equality filter restores exactness — the
     // module invariant that a 64-bit collision can only ADD a candidate,
@@ -927,7 +994,7 @@ object Dedup {
     val exactDirty = corpus
       .select(col(idCol).as("id"), col(textCol).as("__ctxt"),
         xxhash64(col(textCol)).as("__cth"))
-      .join(broadcast(bTexts), col("__cth") === col("bth"))
+      .join(hint(bTexts), col("__cth") === col("bth"))
       .filter(col("__ctxt") === col("__btxt"))
       .select("id").distinct()
 
@@ -942,7 +1009,7 @@ object Dedup {
     // so the window sorts the matched sliver, not every corpus token
     val w = Window.partitionBy("gh").orderBy(xxhash64(col("gh"), col("id")))
     val cPost = cSh.select(col("id"), explode(col("sh")).as("gh"))
-      .join(broadcast(bPost.select("gh").distinct()), "gh", "left_semi")
+      .join(hint(bPost.select("gh").distinct()), "gh", "left_semi")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxMatchesPerShingle)
       .drop("__rn")

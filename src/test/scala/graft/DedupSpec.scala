@@ -707,6 +707,79 @@ class DedupSpec extends SparkTestBase {
       s"family A must dominate the sample: $a")
   }
 
+  test("simhashChunks: pairs within radius always share a chunk; chunks cover 64 bits") {
+    val rnd = new scala.util.Random(7)
+    for (radius <- Seq(0, 3, 5, 8, 15)) {
+      // random signature pairs at Hamming distance <= radius (flip <= r bits)
+      val pairs = Seq.fill(50) {
+        val a = rnd.nextLong()
+        val flips = rnd.shuffle((0 until 64).toList)
+          .take(rnd.nextInt(radius + 1))
+        (a, flips.foldLeft(a)((s, b) => s ^ (1L << b)))
+      }
+      val df = pairs.toDF("a", "b")
+        .select(array(Dedup.simhashChunks(col("a"), radius): _*).as("ca"),
+          array(Dedup.simhashChunks(col("b"), radius): _*).as("cb"),
+          col("a"))
+      // pigeonhole: some chunk index holds the same value on both sides
+      val shared = df.select(exists(
+        zip_with(col("ca"), col("cb"), (x, y) => x === y), p => p).as("s"),
+        col("ca"), col("a"))
+      assert(shared.filter(!col("s")).isEmpty,
+        s"radius $radius: a within-radius pair shared no chunk")
+      // chunks are a partition of the 64 bits: total width is 64 and the
+      // popcount of the signature equals the summed chunk popcounts
+      val pops = shared.select((aggregate(col("ca"), lit(0),
+        (acc, c) => acc + bit_count(c)) === bit_count(col("a"))).as("ok"))
+      assert(pops.filter(!col("ok")).isEmpty, s"radius $radius: chunk bits lost")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashChunks(col("x"), 16)
+    }
+  }
+
+  test("dupClusters fails loudly instead of returning partial labels") {
+    // a 12-node chain has diameter 11; min-label propagation advances one
+    // hop per iteration, so maxIter = 3 cannot converge
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough iterations the same chain resolves to one cluster
+    val ok = Dedup.dupClusters(chain, maxIter = 15)
+      .select("cluster_id").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("exactLosers: a null-id duplicate loses to the real survivor") {
+    val df = Seq((Option(1L), "same"), (Option.empty[Long], "same"),
+      (Option(7L), "other")).toDF("doc_id", "text")
+    val losers = Dedup.exactLosers(df, "doc_id", Seq("text")).collect()
+    assert(losers.length == 1 && losers.head.isNullAt(0),
+      s"the null-id duplicate must be the loser: ${losers.mkString(",")}")
+  }
+
+  test("decontaminateSplits: null-split rows survive in the holdout side") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "train"),
+      (2L, "alpha beta gamma delta epsilon zeta", "val"), // train twin -> dropped
+      (3L, "totally different words here now ok", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "split")
+    val out = Dedup.decontaminateSplits(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L), s"got $out")
+  }
+
+  test("nearDupIncrement rejects an index built with different bands") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val idx = Dedup.minhashIndex(docs, "doc_id", "text", bands = 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupIncrement(docs, idx, "doc_id", "text", bands = 32)
+    }
+    assert(e.getMessage.contains("bands"))
+  }
+
   // two tight far-apart blobs in 4-d: k-means with nlist=2 must recover
   // them exactly (seeded fit, clearly separated)
   private def twoBlobEmbeddings = {
