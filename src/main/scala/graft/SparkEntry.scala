@@ -1733,6 +1733,59 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_grams"),
           col("novel_grams"), col("novelty"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion: a BM25 lexical
+    // shortlist fused with an embedding-cosine shortlist (query vector =
+    // the stored embedding of id 7, so both engines rank from identical
+    // floats). Both scores are rounded before ranking, ranks fuse by
+    // 1/(60+rank), ties by id — fully engine-reproducible.
+    "t123_hybrid_rrf" -> ((s, d) => {
+      val lex = operators.Retrieval.bm25TopK(t(s, d, "documents"),
+        "doc_id", "text", query = Seq("merge", "vector", "window"), k = 50)
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding").as("__qv"))
+      val sem = emb.crossJoin(broadcast(qv)) // one-row scalar join
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.cosine(col("embedding"), col("__qv")), 4)
+            .as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(50)
+      operators.Retrieval.rrfFuse(Seq(lex, sem), k = 20)
+        .select(col("id").as("doc_id"), col("rrf_score"), col("n_lists"))
+    }),
+
+    // Per-domain quota cap: en (218 docs) is cut to its 60 longest,
+    // the other languages pass under the cap whole — deterministic
+    // preference order (n_chars desc, doc_id asc).
+    "d124_domain_cap" -> ((s, d) => {
+      Dedup.domainCap(t(s, d, "documents"), "doc_id", "lang",
+          cap = 60, preference = col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus duplication audit over a corpus with planted exact dups
+    // (every 5th doc copied once, every 25th twice): group-size
+    // histogram + totals. Hash-first: text travels only for colliding
+    // hash groups.
+    "d125_dedup_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      Dedup.dedupReport(corpus, "doc_id", Seq("text"))
+    }),
+
+    // Temperature-mix PLAN as an auditable table — the same α-scaled
+    // rate formula d93 materializes, pinned here cross-engine (the
+    // whole plan is relational: one group-by + a one-row scalar join).
+    "d126_mixture_plan" -> ((s, d) => {
+      Dedup.mixturePlan(t(s, d, "documents"), "lang",
+        alpha = 0.5, targetRows = 300)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2763,5 +2816,83 @@ object SparkEntry {
         | coalesce(c.novel_grams, 0) AS novel_grams,
         | round(CAST(c.novel_grams AS DOUBLE) / c.n_grams, 5) AS novelty
         |FROM (SELECT DISTINCT doc_id FROM ev) e LEFT JOIN counted c USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t123_hybrid_rrf" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        | FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |tf AS (
+        | SELECT doc_id, dl, term, count(*) AS tf
+        | FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+        | WHERE term IN ('merge', 'vector', 'window')
+        | GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lex AS (
+        | SELECT doc_id AS id,
+        |  round(sum(
+        |   ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |   CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |  ), 4) AS score
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        | GROUP BY doc_id
+        | ORDER BY score DESC, id LIMIT 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+        |sem AS (
+        | SELECT vec_id AS id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                               CAST(qv AS DOUBLE[])), 4) AS score
+        | FROM embeddings CROSS JOIN q
+        | ORDER BY score DESC, id LIMIT 50),
+        |ranks AS (
+        | SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk FROM lex
+        | UNION ALL
+        | SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk FROM sem)
+        |SELECT id AS doc_id,
+        | round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score,
+        | count(*) AS n_lists
+        |FROM ranks GROUP BY id
+        |ORDER BY rrf_score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "d124_domain_cap" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 60
+        |ORDER BY doc_id""".stripMargin,
+
+    "d125_dedup_report" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 500000, text FROM documents WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 600000, text FROM documents WHERE doc_id % 25 = 0),
+        |groups AS (SELECT text, count(*) AS sz FROM corpus GROUP BY text)
+        |SELECT * FROM (
+        | SELECT 'size' AS dim, CAST(sz AS BIGINT) AS group_size,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows
+        | FROM groups GROUP BY sz
+        | UNION ALL
+        | SELECT 'all', 0, CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT)
+        | FROM groups)
+        |ORDER BY dim, group_size""".stripMargin,
+
+    "d126_mixture_plan" ->
+      """WITH sizes AS (
+        | SELECT coalesce(CAST(lang AS VARCHAR), '') AS domain,
+        |  CAST(count(*) AS DOUBLE) AS n
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT sum(pow(n, 0.5)) AS wsum FROM sizes)
+        |SELECT domain, CAST(n AS BIGINT) AS n,
+        | round(pow(n, 0.5) / wsum, 6) AS share,
+        | round(least(1.0, pow(n, 0.5) / wsum * 300.0 / n), 6) AS rate,
+        | CAST(round(n * least(1.0, pow(n, 0.5) / wsum * 300.0 / n))
+        |  AS BIGINT) AS expected_n
+        |FROM sizes CROSS JOIN w
+        |ORDER BY domain""".stripMargin)
 }

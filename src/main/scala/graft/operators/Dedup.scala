@@ -758,6 +758,106 @@ object Dedup {
       .drop(dcol)
   }
 
+  /** Distributed sibling of [[temperatureMix]]'s driver-side rate math —
+    * the MIXTURE PLAN as a DataFrame: one row per domain with its size
+    * `n` (rows, or Σ`weightCol` when budgets are in tokens), its
+    * temperature-scaled share `n^alpha / Σ n^alpha`, the capped
+    * per-domain sampling `rate` = min(1, share·target/n), and the
+    * expected realized size. Pretraining recipes are REVIEWED as such
+    * tables before anything materializes; this emits the plan itself so
+    * it can be persisted, diffed, and audited. Entirely relational (one
+    * group-by + a one-row scalar join — nothing through the driver), and
+    * exactly the formula [[temperatureMix]] applies, so the plan and the
+    * materialization can never drift.
+    *
+    * Null domains report as the empty string (a domain, not a leak —
+    * same semantics as temperatureMix's null bucket). `rate` and `share`
+    * are rounded to `roundTo` decimals for engine-reproducibility;
+    * `expected_n` = round(n·rate) uses the UNROUNDED rate. */
+  def mixturePlan(df: DataFrame, domainCol: String, alpha: Double,
+      targetRows: Long, weightCol: Option[String] = None,
+      roundTo: Int = 6): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    val size = weightCol
+      .map(w => coalesce(sum(col(w).cast(DoubleType)), lit(0.0)))
+      .getOrElse(count(lit(1)).cast(DoubleType))
+    val sizes = df
+      .groupBy(coalesce(col(domainCol).cast(StringType), lit(""))
+        .as("domain"))
+      .agg(size.as("n"))
+      .filter(col("n") > 0.0)
+    val wsum = sizes.agg(sum(pow(col("n"), lit(alpha))).as("__wsum"))
+    val share = pow(col("n"), lit(alpha)) / col("__wsum")
+    val rate = least(lit(1.0), share * lit(targetRows.toDouble) / col("n"))
+    sizes.crossJoin(broadcast(wsum)) // one-row scalar join
+      .select(col("domain"), col("n").cast(LongType).as("n"),
+        round(share, roundTo).as("share"),
+        round(rate, roundTo).as("rate"),
+        round(col("n") * rate).cast(LongType).as("expected_n"))
+      .orderBy(col("domain"))
+  }
+
+  /** Per-domain quota cap — the "no domain dominates the mix" guard
+    * (Gopher-style source capping): keep at most `cap` rows per domain,
+    * PREFERRING rows by `preference` descending (a quality score, a
+    * recency timestamp — any column expression), ties by ascending id so
+    * the cut is deterministic at any partitioning. Domains under the cap
+    * pass through whole. One hash shuffle on the domain + a per-domain
+    * local sort (rank never leaves its partition); a skewed giant domain
+    * is ONE reducer's sort — for pathological skew, pre-trim with
+    * [[hashSample]] before capping. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, preference: Column): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(preference.desc, col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
+      .drop("__graft_rn")
+  }
+
+  /** Corpus duplication audit — the report a dedup pass is judged by:
+    * one row per duplicate-group SIZE with the number of groups and rows
+    * at that size, plus an `'all'` summary row (total rows, distinct
+    * keys, duplicate surplus = rows − keys). Exact group sizes on the
+    * REAL key columns (hash-first shuffle shape of [[exactDupGroups]]:
+    * the wide exchange carries (id, xxhash64) and keys travel only for
+    * colliding hash groups), then two vanishing aggregations — sizes are
+    * O(distinct sizes) ≈ dozens of rows at any corpus scale. */
+  def dedupReport(df: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "dedupReport needs at least one key column")
+    val hashed = df.select(xxhash64(keyCols.map(col): _*).as("__graft_kh"),
+      struct(keyCols.map(col): _*).as("__graft_k"))
+    val hcnt = hashed.groupBy(col("__graft_kh"))
+      .agg(count(lit(1)).as("__c"))
+    // kh groups of size 1 are certainly unique keys — counted without the
+    // keys ever entering an exchange; only the colliding sliver re-groups
+    // on the real key struct (catches both true dups and hash collisions)
+    val singles = hcnt.filter(col("__c") === 1)
+      .agg(count(lit(1)).as("g"))
+      .select(lit(1L).as("sz"), col("g"), col("g").as("r"))
+    val multiSizes = hashed
+      .join(hcnt.filter(col("__c") > 1).select(col("__graft_kh")),
+        "__graft_kh")
+      .groupBy(col("__graft_k")).agg(count(lit(1)).as("sz"))
+    val multiBySize = multiSizes.groupBy(col("sz"))
+      .agg(count(lit(1)).as("g"), sum(col("sz")).as("r"))
+    val bySize = multiBySize.unionByName(singles)
+      .groupBy(col("sz")) // collided-but-distinct keys fold into size 1
+      .agg(sum(col("g")).as("n_groups"), sum(col("r")).as("n_rows"))
+      .select(lit("size").as("dim"), col("sz").cast(LongType).as("group_size"),
+        col("n_groups").cast(LongType).as("n_groups"),
+        col("n_rows").cast(LongType).as("n_rows"))
+    val summary = bySize
+      .agg(sum(col("n_groups")).as("k"), sum(col("n_rows")).as("r"))
+      .select(lit("all").as("dim"), lit(0L).as("group_size"),
+        col("k").cast(LongType).as("n_groups"),
+        col("r").cast(LongType).as("n_rows"))
+    bySize.unionByName(summary).orderBy(col("dim"), col("group_size"))
+  }
+
   /** Deterministic fractional upsampling — the mixing step that REPEATS
     * high-value sources by a non-integer factor (e.g. curated text ×2.5
     * in a pretraining mix): every row is emitted floor(w) times, plus one

@@ -157,6 +157,50 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    * the public hybrid-search combiner every lexical+vector engine
+    * ships): fuse N ranked SHORTLISTS into one ranking by
+    * `rrf(id) = Σ_lists 1 / (rrfK + rank_list(id))`, where `rank` is the
+    * 1-based position under (score desc, id asc). A document absent from
+    * a list simply contributes no term for it — the standard convention;
+    * `n_lists` reports how many lists ranked each survivor.
+    *
+    * Rank-based fusion is what makes heterogeneous scorers composable:
+    * BM25 scores and cosine similarities live on incomparable scales, but
+    * their RANKS are scale-free. Compose [[bm25TopK]] with an embedding
+    * top-k (`Similarity.bruteForceTopK` / the LSH/IVF serve paths) for
+    * hybrid retrieval.
+    *
+    * CONTRACT: inputs are top-k shortlists (each ≤ a few thousand rows),
+    * not corpus-scale rankings — ranking within a list is a single-task
+    * window by design (the lists are driver-mergeable by definition; a
+    * corpus-scale global ranking would be a global sort no fusion
+    * formula needs). Cost: N tiny windows + one union + one group-by on
+    * O(N·k) rows. The fused score is rounded to `roundTo` decimals
+    * BEFORE the final ordering so the cut is engine-reproducible; ties
+    * break by ascending id. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      idCol: String = "id", scoreCol: String = "score",
+      roundTo: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val ranked = rankings.map { r =>
+      r.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+        .select(col("id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__s").desc, col("id"))).as("__rnk"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(
+        round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("__rnk"))), roundTo)
+          .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Keyword-in-context snippets — the search-result companion of
     * [[bm25TopK]]: for every document containing ≥ 1 query term, the
     * 1-based token position of the FIRST occurrence of any query term

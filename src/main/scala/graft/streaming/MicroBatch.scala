@@ -160,6 +160,76 @@ object MicroBatch {
     stream.withWatermark(quoted(ts), watermark)
       .dropDuplicatesWithinWatermark(keys) // names taken literally, no quoting
 
+  /** Keyed UPSERT into a partitioned parquet snapshot — the MERGE-style
+    * streaming sink an update-mode aggregation needs (the built-in file
+    * sink is append-only, so re-emitted keys would duplicate): each
+    * micro-batch touches ONLY the partitions it carries rows for
+    * (dynamic partition overwrite), merging prior rows for those
+    * partitions with the batch by `keyCols` — batch rows win, untouched
+    * keys survive, untouched partitions are never read or written. The
+    * merge is idempotent, so a replayed micro-batch (restart between
+    * sink write and offset commit) converges to the same snapshot.
+    *
+    * Scale: per-batch cost ∝ size of TOUCHED partitions only — pick
+    * `partitionCol` to match update locality (an event-time window key:
+    * late data concentrates in few recent windows). The list of touched
+    * partition values round-trips through the driver — O(distinct
+    * partitions per batch), bounded by the watermark for windowed aggs.
+    * Readers see partition-level atomicity (Spark's commit protocol
+    * stages files before rename), which is what a dashboard polling a
+    * snapshot needs.
+    *
+    * `partitionCol` must be a grouping column of the aggregation (it
+    * identifies the partition a key lives in — string-typed keys
+    * round-trip partition-value encoding cleanly; format timestamps with
+    * `date_format` first). */
+  def upsertSnapshot(batch: DataFrame, dir: String, partitionCol: String,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsertSnapshot needs at least one key column")
+    require(!keyCols.contains(partitionCol),
+      "partitionCol is implicitly part of the key; keyCols must not repeat it")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val touched = batch.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)) // O(partitions per batch) scalars
+    val prior =
+      try spark.read.schema(batch.schema).parquet(dir)
+        .filter(col(partitionCol).isin(touched: _*)) // partition-pruned
+        // batch rows REPLACE prior rows with the same key
+        .join(batch.select((partitionCol +: keyCols).map(col): _*),
+          partitionCol +: keyCols, "left_anti")
+      catch { // first batch: no snapshot yet
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Path does not exist") =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+      }
+    batch.unionByName(prior)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(dir)
+  }
+
+  /** Streaming wiring for [[upsertSnapshot]]: an update-mode
+    * aggregation → per-batch keyed merge into the partitioned snapshot.
+    * Update mode is the point — only CHANGED (partition, key) rows flow,
+    * and the merge folds them into the standing snapshot; with a
+    * watermark on the aggregation, state AND the touched-partition set
+    * stay bounded while old partitions remain readable forever. */
+  def streamUpsert(agg: DataFrame, dir: String, partitionCol: String,
+      keyCols: Seq[String],
+      cfg: IngestConfig = IngestConfig()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = agg.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertSnapshot(batch, dir, partitionCol, keyCols)
+      }
+    if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
   /** Watermarked stream-stream INNER interval join: left rows pair with
     * right rows sharing `key` whose event time falls in
     * `[leftTs, leftTs + range]`. The time bound plus BOTH watermarks is

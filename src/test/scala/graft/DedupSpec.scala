@@ -829,4 +829,70 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(plain == ids)
   }
+
+  test("mixturePlan: hand-computed shares/rates, cap at 1x, matches temperatureMix math") {
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "mid")) ++
+      (1101 to 1110).map(i => (i.toLong, "tiny"))).toDF("id", "dom")
+    val plan = Dedup.mixturePlan(df, "dom", alpha = 0.5, targetRows = 500)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val wsum = math.sqrt(1000) + math.sqrt(100) + math.sqrt(10)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rate(n: Int) = math.min(1.0, math.sqrt(n) / wsum * 500 / n)
+    assert(plan("big") == ((1000L, r6(math.sqrt(1000) / wsum), r6(rate(1000)),
+      math.round(1000 * rate(1000)))))
+    assert(plan("mid")._3 == r6(rate(100)))
+    // tiny's budgeted share exceeds its size -> rate caps at exactly 1
+    assert(plan("tiny")._3 == 1.0 && plan("tiny")._4 == 10L)
+    // shares sum to 1 (up to rounding)
+    assert(math.abs(plan.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("mixturePlan: weight column budgets tokens; null domain reports as ''") {
+    val df = Seq(
+      (1L, "a", 100.0), (2L, "a", 100.0), // a: weight 200
+      (3L, null.asInstanceOf[String], 50.0)) // null dom: weight 50
+      .toDF("id", "dom", "tok")
+    val plan = Dedup.mixturePlan(df, "dom", alpha = 1.0, targetRows = 100,
+        weightCol = Some("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // alpha=1: shares proportional to weight; target 100 of 250 total
+    assert(plan.keySet == Set("a", ""))
+    assert(plan("a")._1 == 200L && plan("")._1 == 50L)
+    assert(plan("a")._2 == 0.4 && plan("")._2 == 0.4) // 100/250 each
+  }
+
+  test("domainCap: cap binds per domain, preference desc, ties by id") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),
+      (5L, "b", 5)).toDF("id", "dom", "q")
+    val got = Dedup.domainCap(df, "id", "dom", cap = 2,
+        preference = col("q"))
+      .collect().map(_.getLong(0)).toSet
+    // a keeps its two best by (q desc, id asc): ids 2 and 4 (both q=30);
+    // b is under the cap and passes whole
+    assert(got == Set(2L, 4L, 5L))
+    // input columns pass through unchanged, no helper column leaks
+    val cols = Dedup.domainCap(df, "id", "dom", 2, col("q")).columns.toSeq
+    assert(cols == Seq("id", "dom", "q"))
+  }
+
+  test("dedupReport: histogram + totals, exact under forced hash regrouping") {
+    // 3 keys: x appears 3x, y 2x, z 1x -> sizes {3:1 group, 2:1, 1:1};
+    // totals: 3 groups, 6 rows
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"),
+      (6L, "z")).toDF("id", "k")
+    val got = Dedup.dedupReport(df, "id", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("all", 0L, 3L, 6L),
+      ("size", 1L, 1L, 1L), ("size", 2L, 1L, 1L * 2), ("size", 3L, 1L, 3L)))
+    // multi-key grouping: (k, v) pairs distinct even when k collides
+    val two = Seq((1L, "x", 1), (2L, "x", 1), (3L, "x", 2)).toDF("id", "k", "v")
+    val g2 = Dedup.dedupReport(two, "id", Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2.toSeq == Seq(
+      ("all", 0L, 2L, 3L), ("size", 1L, 1L, 1L), ("size", 2L, 1L, 2L)))
+  }
 }

@@ -132,4 +132,38 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(1L) == got(2L)) // same tf, length ignored
   }
+
+  test("rrf: hand-computed fusion of two shortlists") {
+    // list A ranks (10, 20, 30); list B ranks (20, 10, 40)
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("id", "score")
+    val b = Seq((20L, 9.0), (10L, 8.0), (40L, 7.0)).toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map( // 1/(60+rank) per list
+      10L -> r6(1.0 / 61 + 1.0 / 62), 20L -> r6(1.0 / 62 + 1.0 / 61),
+      30L -> r6(1.0 / 63), 40L -> r6(1.0 / 63))
+    assert(got.map(g => g._1 -> g._2).toMap == exp)
+    // 10 and 20 tie exactly (symmetric ranks) -> id ascending
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(got.map(g => g._1 -> g._3).toMap ==
+      Map(10L -> 2L, 20L -> 2L, 30L -> 1L, 40L -> 1L))
+  }
+
+  test("rrf: rank ties within a list break by ascending id") {
+    // identical scores: rank order must be id order in BOTH engines
+    val a = Seq((5L, 1.0), (3L, 1.0), (4L, 1.0)).toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(a), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(3L -> r6(1.0 / 61), 4L -> r6(1.0 / 62), 5L -> r6(1.0 / 63)))
+  }
+
+  test("rrf: k cuts after fusion, absent ids contribute nothing") {
+    val a = Seq((1L, 2.0), (2L, 1.0)).toDF("id", "score")
+    val b = Seq((3L, 5.0)).toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 2).collect()
+    // fused: 1 -> 1/61, 3 -> 1/61, 2 -> 1/62; cut keeps (1, 3) by tie/id
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
 }
