@@ -1786,6 +1786,40 @@ object SparkEntry {
     "d126_mixture_plan" -> ((s, d) => {
       Dedup.mixturePlan(t(s, d, "documents"), "lang",
         alpha = 0.5, targetRows = 300)
+    }),
+
+    // Streaming trending top-n: update-mode hourly counts merged into a
+    // window-partitioned snapshot by the keyed UPSERT sink (each
+    // micro-batch dynamic-overwrites only the window partitions it
+    // touched), then top-3 per hour ranked from the snapshot. Four
+    // arrival-ordered micro-batches force real cross-batch merges; the
+    // watermark horizon exceeds the fixture span so the oracle is exact.
+    "str127_stream_topn" -> ((s, d) => {
+      val root = tmpDir("graft_str127")
+      val (srcDir, snapDir, ckpt) =
+        (s"$root/src", s"$root/snap", s"$root/ckpt")
+      Tables.events(s, d).select(col("ts"), col("event_type"))
+        .repartition(4).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val counts = graft.streaming.MicroBatch.windowedCounts(
+          stream, "ts", "1000 hours", "1 hour", Seq(col("event_type")))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hr"),
+          col("event_type"), col("n"))
+      val q = graft.streaming.MicroBatch.streamUpsert(counts, snapDir,
+          "hr", Seq("event_type"),
+          graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val w = Window.partitionBy(col("hr"))
+        .orderBy(col("n").desc, col("event_type"))
+      s.read.parquet(snapDir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("hr"), col("event_type"), col("n"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("hr"), col("rank"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2894,5 +2928,18 @@ object SparkEntry {
         | CAST(round(n * least(1.0, pow(n, 0.5) / wsum * 300.0 / n))
         |  AS BIGINT) AS expected_n
         |FROM sizes CROSS JOIN w
-        |ORDER BY domain""".stripMargin)
+        |ORDER BY domain""".stripMargin,
+
+    "str127_stream_topn" ->
+      """WITH c AS (
+        | SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hr,
+        |  event_type, count(*) AS n
+        | FROM events GROUP BY hr, event_type),
+        |r AS (
+        | SELECT hr, event_type, n, row_number()
+        |   OVER (PARTITION BY hr ORDER BY n DESC, event_type) AS rank
+        | FROM c)
+        |SELECT hr, event_type, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY hr, rank""".stripMargin)
 }

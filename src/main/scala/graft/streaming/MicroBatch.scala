@@ -192,19 +192,18 @@ object MicroBatch {
     val spark = batch.sparkSession
     val touched = batch.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)) // O(partitions per batch) scalars
+    val snapPath = new org.apache.hadoop.fs.Path(dir)
+    val exists = snapPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(snapPath)
     val prior =
-      try spark.read.schema(batch.schema).parquet(dir)
+      if (!exists) // first batch: no snapshot yet
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      else spark.read.schema(batch.schema).parquet(dir)
         .filter(col(partitionCol).isin(touched: _*)) // partition-pruned
         // batch rows REPLACE prior rows with the same key
         .join(batch.select((partitionCol +: keyCols).map(col): _*),
           partitionCol +: keyCols, "left_anti")
-      catch { // first batch: no snapshot yet
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("Path does not exist") =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              batch.schema)
-      }
     batch.unionByName(prior)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

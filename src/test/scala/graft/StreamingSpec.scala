@@ -412,6 +412,69 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batchCounts,
       "the literal-weights scoring expression must be batch/stream invariant")
   }
+
+  test("upsertSnapshot: batch rows win, untouched keys and partitions survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/snap"
+    // seed snapshot: two partitions
+    graft.streaming.MicroBatch.upsertSnapshot(
+      Seq(("p1", "a", 1L), ("p1", "b", 2L), ("p2", "c", 3L))
+        .toDF("part", "k", "n"), dir, "part", Seq("k"))
+    // update: touches p1 only — updates a, adds d; b must survive, p2 untouched
+    graft.streaming.MicroBatch.upsertSnapshot(
+      Seq(("p1", "a", 10L), ("p1", "d", 4L)).toDF("part", "k", "n"),
+      dir, "part", Seq("k"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("k"),
+        r.getAs[Long]("n"))).toSet
+    assert(got == Set(("p1", "a", 10L), ("p1", "b", 2L), ("p1", "d", 4L),
+      ("p2", "c", 3L)))
+    // idempotent: replaying the same batch changes nothing
+    graft.streaming.MicroBatch.upsertSnapshot(
+      Seq(("p1", "a", 10L), ("p1", "d", 4L)).toDF("part", "k", "n"),
+      dir, "part", Seq("k"))
+    assert(spark.read.parquet(dir).count() == 4)
+    // an empty batch is a no-op, not a truncate
+    graft.streaming.MicroBatch.upsertSnapshot(
+      Seq.empty[(String, String, Long)].toDF("part", "k", "n"),
+      dir, "part", Seq("k"))
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("streamUpsert merges update-mode windowed counts across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strup")
+    val (srcDir, snapDir, ckpt) =
+      (s"$root/src", s"$root/snap", s"$root/ckpt")
+    // two files -> two micro-batches hitting the SAME window key
+    Seq(("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
+        ("2024-01-01 00:30:00", "view"))
+      .toDF("t", "event_type").withColumn("ts", to_timestamp(col("t")))
+      .select("ts", "event_type").repartition(1).write.parquet(srcDir)
+    Seq(("2024-01-01 00:40:00", "click"), ("2024-01-01 01:05:00", "view"))
+      .toDF("t", "event_type").withColumn("ts", to_timestamp(col("t")))
+      .select("ts", "event_type").repartition(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val counts = graft.streaming.MicroBatch.windowedCounts(
+        stream, "ts", "100 hours", "1 hour", Seq(col("event_type")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hr"),
+        col("event_type"), col("n"))
+    val q = graft.streaming.MicroBatch.streamUpsert(counts, snapDir,
+        "hr", Seq("event_type"),
+        graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(snapDir)
+      .collect().map(r => (r.getAs[String]("hr"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"))).toSet
+    // cross-batch totals, not last-batch counts: click 3 in hour 00
+    assert(got == Set(("2024-01-01 00:00", "click", 3L),
+      ("2024-01-01 00:00", "view", 1L), ("2024-01-01 01:00", "view", 1L)))
+  }
 }
 
 object StreamingSpec {
