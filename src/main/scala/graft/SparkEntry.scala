@@ -1820,6 +1820,27 @@ object SparkEntry {
         .select(col("hr"), col("event_type"), col("n"),
           col("rank").cast(LongType).as("rank"))
         .orderBy(col("hr"), col("rank"))
+    }),
+
+    // Mergeable KLL quantile sketches: per-(lang, source) sketches fold
+    // to per-lang via kll_merge_agg — the persisted-partial-stats read
+    // path. k=400 > any lang's count at the gate SF keeps every sketch
+    // in exact mode, so quantiles equal inclusive order statistics and
+    // the DuckDB oracle is exact; the approximate regime (n >> k) is
+    // pinned by error-bound unit tests instead.
+    "t128_kll_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeFunctions
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(NativeFunctions.kllSketchAgg(
+          col("n_chars").cast(DoubleType), k = 400).as("sk"))
+        .groupBy(col("lang"))
+        .agg(NativeFunctions.kllMergeAgg(col("sk"), k = 400).as("sk"))
+        .select(col("lang"),
+          NativeFunctions.kllCount(col("sk")).as("n"),
+          round(NativeFunctions.kllQuantile(col("sk"), 0.5), 2).as("p50"),
+          round(NativeFunctions.kllQuantile(col("sk"), 0.9), 2).as("p90"))
+        .orderBy(col("lang"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2941,5 +2962,15 @@ object SparkEntry {
         | FROM c)
         |SELECT hr, event_type, n, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3
-        |ORDER BY hr, rank""".stripMargin)
+        |ORDER BY hr, rank""".stripMargin,
+
+    "t128_kll_quantiles" ->
+      """WITH s AS (
+        | SELECT lang, count(*) AS n,
+        |  list_sort(list(CAST(n_chars AS DOUBLE))) AS v
+        | FROM documents GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        | round(v[CAST(ceil(0.5 * n) AS INT)], 2) AS p50,
+        | round(v[CAST(ceil(0.9 * n) AS INT)], 2) AS p90
+        |FROM s ORDER BY lang""".stripMargin)
 }

@@ -1083,6 +1083,28 @@ object NativeFunctions {
         new org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(ExpressionUtils.expression(value)))))
 
+  /** Mergeable KLL quantile-sketch aggregate ([[KllSketchAgg]]): reduces a
+    * double column to a serialized sketch (binary) that answers any
+    * rank/quantile query and merges associatively — persist per-slice,
+    * fold later with [[kllMergeAgg]]. */
+  def kllSketchAgg(value: Column, k: Int = 200): Column =
+    ExpressionUtils.column(KllSketchAgg(
+      ExpressionUtils.expression(value), k).toAggregateExpression())
+
+  /** Fold persisted KLL sketches (binary) into one ([[KllMergeAgg]]). */
+  def kllMergeAgg(sketch: Column, k: Int = 200): Column =
+    ExpressionUtils.column(KllMergeAgg(
+      ExpressionUtils.expression(sketch), k).toAggregateExpression())
+
+  /** Quantile at `rank` from a serialized KLL sketch ([[KllQuantile]]). */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    ExpressionUtils.column(KllQuantile(
+      ExpressionUtils.expression(sketch), rank))
+
+  /** Exact value count a serialized KLL sketch absorbed ([[KllCount]]). */
+  def kllCount(sketch: Column): Column =
+    ExpressionUtils.column(KllCount(ExpressionUtils.expression(sketch)))
+
   /** Register the native expressions for SQL use in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -164,4 +164,48 @@ class CurationOpsSpec extends SparkTestBase {
       .head().getLong(0)
     assert(merged == est)
   }
+
+  test("kll sketch: exact mode equals order statistics; nulls skipped; " +
+      "empty sketch yields null quantile") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    import spark.implicits._
+    val vals = Seq(5.0, 1.0, 4.0, 2.0, 3.0, 2.0) // sorted: 1 2 2 3 4 5
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).toDF("x")
+    val row = df.agg(kllSketchAgg(col("x"), k = 200).as("sk"))
+      .select(kllCount(col("sk")).as("n"),
+        kllQuantile(col("sk"), 0.5).as("p50"),
+        kllQuantile(col("sk"), 0.0).as("p0"),
+        kllQuantile(col("sk"), 1.0).as("p100")).head()
+    assert(row.getLong(0) == 6L) // null skipped, duplicates counted
+    // inclusive rank: smallest v with rank >= q -> ceil(0.5*6)=3rd value
+    assert(row.getDouble(1) == 2.0)
+    assert(row.getDouble(2) == 1.0 && row.getDouble(3) == 5.0)
+    // an all-null group produces an EMPTY sketch, not a crash or a number
+    val empty = Seq(Option.empty[Double]).toDF("x")
+      .agg(kllSketchAgg(col("x")).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5)).head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("kll sketch: approximate regime bounds rank error; partial sketches " +
+      "merge to the corpus answer") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    // 100k uniform values with k=200 -> deep compaction; normalized rank
+    // error for k=200 is ~1.65% at 99% confidence. Assert 3%.
+    val df = spark.range(100000).select((col("id") % 10000).cast("double").as("x"))
+    val q = df.agg(kllSketchAgg(col("x"), k = 200).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5).as("p50"),
+        kllCount(col("sk")).as("n")).head()
+    assert(q.getLong(1) == 100000L) // n is exact even when compacted
+    assert(math.abs(q.getDouble(0) - 5000.0) / 10000.0 < 0.03,
+      s"p50=${q.getDouble(0)}")
+    // merge path: per-slice sketches folded == same error envelope, same n
+    val merged = df.groupBy((col("x") % 7).as("slice"))
+      .agg(kllSketchAgg(col("x"), k = 200).as("sk"))
+      .agg(kllMergeAgg(col("sk"), k = 200).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5).as("p50"),
+        kllCount(col("sk")).as("n")).head()
+    assert(merged.getLong(1) == 100000L)
+    assert(math.abs(merged.getDouble(0) - 5000.0) / 10000.0 < 0.03)
+  }
 }
