@@ -1841,6 +1841,24 @@ object SparkEntry {
           round(NativeFunctions.kllQuantile(col("sk"), 0.5), 2).as("p50"),
           round(NativeFunctions.kllQuantile(col("sk"), 0.9), 2).as("p90"))
         .orderBy(col("lang"))
+    }),
+
+    // PCA-shortlisted ANN: fit a 16-dim basis on the capped sample, rank
+    // an 8x-overfetched shortlist by projected L2 over normalized
+    // vectors (the sphere-distance surrogate for cosine), exact-rerank
+    // in full dimension. Rows-only (SVD fit is not SQL-expressible);
+    // DedupSpec pins variance capture, orthonormality, the projection
+    // formula, and recall vs brute force.
+    "s129_pca_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = Similarity.pcaFit(emb, "embedding", outDim = 16)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.pcaTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", model, q, k = 10)
+        .select(col("id").as("vec_id"),
+          round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -460,4 +460,89 @@ object Similarity {
         col("proto_score") <= col("__hi"))
       .drop("__dom", "__lo", "__hi")
   }
+
+  /** A fitted PCA basis: `components` (outDim rows, each a dim-length
+    * unit vector, descending variance), the fit-sample `mean`, and the
+    * per-component explained-variance fractions. A few KB of driver
+    * state — the same "model as plan literals" contract as IVF/PQ. */
+  final case class PcaModel(components: Seq[Seq[Double]],
+      mean: Seq[Double], explainedVariance: Seq[Double])
+
+  /** Fit a PCA basis on an absolute-capped sample (same build-step
+    * pattern as [[ivfFit]]/[[pqFit]] — a 100 TB corpus can never flow
+    * through the dense SVD): principal directions of the centered
+    * sample covariance, via spark.ml's PCA on the sample. Projection is
+    * NOT delegated to ml (its transform skips mean-centering and runs
+    * UDF vector math); [[pcaProject]] does the textbook centered
+    * projection with codegen'd dot products. */
+  def pcaFit(embDf: DataFrame, embCol: String, outDim: Int,
+      fitSampleRows: Long = 100000L): PcaModel = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    import org.apache.spark.ml.feature.{PCA => MlPca}
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    val n = embDf.count()
+    val fraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
+    val sample = embDf
+      .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+      .sample(withReplacement = false, fraction, seed = 42)
+      .localCheckpoint() // fit + mean read the SAME sample once
+    val mean = sample.select(Summarizer.mean(col("features")))
+      .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray.toSeq
+    val fitted = new MlPca().setK(outDim)
+      .setInputCol("features").setOutputCol("__pc").fit(sample)
+    val pc = fitted.pc // dim × outDim, column-major principal components
+    val comps = (0 until outDim).map(j =>
+      (0 until pc.numRows).map(i => pc(i, j)).toSeq)
+    PcaModel(comps, mean, fitted.explainedVariance.toArray.toSeq)
+  }
+
+  /** Project embeddings onto a fitted basis: `y_j = (x − μ)·c_j`,
+    * expanded to `x·c_j − (μ·c_j)` so the mean folds into one scalar
+    * literal per component — outDim codegen'd dot products per row,
+    * zero shuffle, embarrassingly parallel. Output: `(id, proj)` with
+    * `proj` an outDim `array<double>`. */
+  def pcaProject(embDf: DataFrame, idCol: String, embCol: String,
+      model: PcaModel): DataFrame = {
+    val proj = model.components.map { c =>
+      val muDotC = model.mean.zip(c).map { case (m, w) => m * w }.sum
+      dot(col(embCol), vec(c)) - lit(muDotC)
+    }
+    embDf.select(col(idCol).as("id"), array(proj: _*).as("proj"))
+  }
+
+  /** ANN with a PCA shortlist: rank a `k·overfetch` shortlist by L2
+    * distance in the REDUCED space over L2-NORMALIZED vectors — on the
+    * unit sphere `cos(x,q) = 1 − ‖x̂−q̂‖²/2`, and an orthonormal
+    * projection can only SHRINK a difference vector, so projected-L2
+    * ranking is the standard PCA-ANN surrogate (mean-centering cancels
+    * in differences, so the shortlist pass needs `outDim` dot products
+    * per row, not the full dim). The shortlist alone is then re-scored
+    * with exact full-dimension cosine — the same shortlist-then-rerank
+    * shape as [[pqTopK]], with PCA instead of quantization as the cheap
+    * space. */
+  def pcaTopK(embDf: DataFrame, idCol: String, embCol: String,
+      model: PcaModel, query: Seq[Double], k: Int,
+      overfetch: Int = 8): DataFrame = {
+    require(k > 0 && overfetch >= 1, s"bad k=$k overfetch=$overfetch")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qHat = if (qNorm == 0.0) query else query.map(_ / qNorm)
+    val qProj = model.components.map(c =>
+      qHat.zip(c).map { case (x, w) => x * w }.sum)
+    // project x/‖x‖ onto the basis: (x·c_j) / ‖x‖ — one norm + outDim
+    // dots per row, all codegen'd
+    val xn = sqrt(dot(col("__emb"), col("__emb")))
+    val proj = model.components.map(c =>
+      when(xn === 0.0, lit(0.0)).otherwise(dot(col("__emb"), vec(c)) / xn))
+    val shortlist = embDf
+      .select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .select(col("id"), l2Distance(array(proj: _*), vec(qProj)).as("__d"))
+      .orderBy(col("__d").asc, col("id"))
+      .limit(k * overfetch)
+    embDf.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .join(shortlist.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), cosine(col("__emb"), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
 }

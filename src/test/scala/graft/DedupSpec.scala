@@ -830,6 +830,57 @@ class DedupSpec extends SparkTestBase {
     assert(plain == ids)
   }
 
+  test("pca: planted low-rank structure captured, components orthonormal, " +
+      "projection matches the hand formula") {
+    // variance lives in dims 0-1 (scaled pattern), dims 2-3 are constant:
+    // two components must explain ~all variance
+    val rows = (0 until 60).map { i =>
+      val a = (i % 7).toDouble; val b = (i % 5).toDouble
+      (i.toLong, Seq(3 * a + b, a - 2 * b, 1.0, -2.0).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(df, "embedding", outDim = 2)
+    assert(model.explainedVariance.sum > 0.999,
+      s"explained=${model.explainedVariance}")
+    // orthonormal basis
+    val Seq(c0, c1) = model.components
+    def d(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(d(c0, c0) - 1.0) < 1e-9 && math.abs(d(c1, c1) - 1.0) < 1e-9)
+    assert(math.abs(d(c0, c1)) < 1e-9)
+    // projection = (x - mean) . c, verified against driver-side math
+    val got = Similarity.pcaProject(df, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.take(5).foreach { case (id, v) =>
+      val x = v.map(_.toDouble)
+      val centered = x.zip(model.mean).map { case (a, m) => a - m }
+      val exp = Seq(d(centered, c0), d(centered, c1))
+      got(id).zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6, s"id=$id got=${got(id)} exp=$exp") }
+    }
+  }
+
+  test("pcaTopK: shortlist + exact rerank has decent recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val rest = emb.filter($"vec_id" =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val model = Similarity.pcaFit(emb, "embedding", outDim = 16)
+    val pca = Similarity.pcaTopK(rest, "vec_id", "embedding", model, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pca.intersect(brute).size >= 5, s"recall too low: $pca vs $brute")
+    // the rerank is exact: reported cosines equal brute-force cosines
+    val bruteScores = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Similarity.pcaTopK(rest, "vec_id", "embedding", model, q, 10)
+      .collect().foreach { r =>
+        bruteScores.get(r.getLong(0)).foreach(b =>
+          assert(math.abs(r.getDouble(1) - b) < 1e-12))
+      }
+  }
+
   test("mixturePlan: hand-computed shares/rates, cap at 1x, matches temperatureMix math") {
     val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
       (1001 to 1100).map(i => (i.toLong, "mid")) ++

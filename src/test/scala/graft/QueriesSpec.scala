@@ -40,7 +40,10 @@ class QueriesSpec extends SparkTestBase {
       // r8: k-means fit + seeded-hash rank are not SQL-expressible
       // (DedupSpec pins partition-completeness, planted-blob recovery,
       // per-cell caps, and determinism)
-      "s118_cluster_stats", "s119_diversity_sample"),
+      "s118_cluster_stats", "s119_diversity_sample",
+      // r8: PCA SVD fit is not SQL-expressible (DedupSpec pins variance
+      // capture, orthonormality, projection formula, recall vs brute)
+      "s129_pca_ann"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
