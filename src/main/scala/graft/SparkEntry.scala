@@ -1859,6 +1859,26 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           round(col("cosine"), 5).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // Content-defined chunking storage-dedup report: text payloads as
+    // binary, with planted exact copies (every 4th) and prefix-edited
+    // copies (every 10th) — CDC re-synchronizes after the edit, so the
+    // edited copies still share their tails and dedup_ratio rises well
+    // above the exact-copy floor. Rows-only (rolling hash is not
+    // SQL-expressible); TypeMappingSpec pins shift-resistance, size
+    // bounds, coverage, and the planted-duplicate ratio.
+    "m130_cdc_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(lit("spliced prefix bytes "), col("text")).as("text")))
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      operators.Multimodal.storageDedupReport(corpus, "doc_id", "payload",
+        minSize = 64, avgBits = 7, maxSize = 512)
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -91,4 +91,47 @@ object Multimodal {
       round(col("width") * scale).cast(IntegerType).as("out_width"),
       round(col("height") * scale).cast(IntegerType).as("out_height"))
   }
+
+  import org.apache.spark.sql.graft.NativeFunctions
+
+  /** Content-defined chunk postings of a binary column: one row per
+    * chunk, `(id, chunk_hash, off, len)` — the storage-dedup view of a
+    * payload corpus (LBFS/Rabin CDC via a codegen'd buzhash kernel:
+    * boundaries are a local rolling-hash decision, so a payload whose
+    * encoding inserts/splices bytes still shares every re-synchronized
+    * chunk with its original, which fixed-size chunking cannot).
+    * Explode is narrow — a map-only pass; join/group the postings on
+    * `chunk_hash` for cross-payload sharing. */
+  def cdcPostings(df: DataFrame, idCol: String, binCol: String,
+      minSize: Int = 64, avgBits: Int = 8, maxSize: Int = 1024): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(NativeFunctions.contentChunks(col(binCol),
+          minSize, avgBits, maxSize)).as("__c"))
+      .select(col("id"), col("__c.hash").as("chunk_hash"),
+        col("__c.off").as("off"), col("__c.len").as("len"))
+
+  /** Corpus storage-dedup report over content-defined chunks: ONE row —
+    * payload count, total bytes, chunk occurrences, distinct chunks
+    * (identity = (hash, len): a 64-bit-collision pair would also need
+    * equal lengths to alias), distinct bytes, and the dedup ratio
+    * `total/distinct` (≥ 1; 2.0 ≈ half the corpus is redundant at chunk
+    * granularity). Shuffle carries (hash, len) pairs only — 12 B per
+    * CHUNK (not per byte), map-side combined; payload bytes never leave
+    * their partition. */
+  def storageDedupReport(df: DataFrame, idCol: String, binCol: String,
+      minSize: Int = 64, avgBits: Int = 8, maxSize: Int = 1024): DataFrame = {
+    val posts = cdcPostings(df, idCol, binCol, minSize, avgBits, maxSize)
+    val distinct = posts.groupBy(col("chunk_hash"), col("len"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("distinct_chunks"),
+        sum(col("len").cast(LongType)).as("distinct_bytes"),
+        sum(col("len").cast(LongType) * col("occ")).as("total_bytes"),
+        sum(col("occ")).as("n_chunks"))
+    val payloads = df.agg(count(lit(1)).as("n_payloads"))
+    payloads.crossJoin(distinct) // two one-row frames
+      .select(col("n_payloads"), col("total_bytes"), col("n_chunks"),
+        col("distinct_chunks"), col("distinct_bytes"),
+        round(col("total_bytes").cast(DoubleType) /
+          col("distinct_bytes"), 4).as("dedup_ratio"))
+  }
 }

@@ -626,6 +626,108 @@ case class TokenSetHits(child: Expression, sets: Seq[Seq[String]])
   override def prettyName: String = "token_set_hits"
 }
 
+/** Content-defined chunking (the LBFS/Rabin rolling-hash recipe,
+  * re-expressed with a buzhash window): boundaries fall where a rolling
+  * hash of the last [[CdcKernels.Window]] bytes hits a mask — a purely
+  * LOCAL decision, so inserting or deleting bytes shifts only the chunks
+  * around the edit while every later boundary re-synchronizes (the
+  * property fixed-size chunking lacks, and the reason storage dedup uses
+  * CDC for binary payloads whose encodings prepend/splice bytes). */
+object CdcKernels {
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Rolling-hash window: boundary decisions depend on exactly this many
+    * trailing bytes. */
+  final val Window = 48
+
+  // 256-entry byte→long table, deterministic splitmix64 stream — the
+  // buzhash "random" alphabet (public construction; any fixed bijective
+  // mix works, determinism across executors is what matters)
+  private val table: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Chunks of `bytes` as `array<struct<hash, off, len>>`: a boundary
+    * closes a chunk at byte `i` when the chunk is ≥ `minSize` and the
+    * rolling hash's low `avgBits` bits are all zero (expected chunk size
+    * ≈ 2^avgBits), or unconditionally at `maxSize`; the tail flushes as
+    * a final (possibly short) chunk. `hash` is xxhash64 of the chunk's
+    * bytes — the dedup identity. The hash state resets per chunk, so
+    * chunking is deterministic and self-synchronizing. */
+  def contentChunks(bytes: Array[Byte], minSize: Int, avgBits: Int,
+      maxSize: Int): GenericArrayData = {
+    val mask = (1L << avgBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[GenericInternalRow]
+    def emit(start: Int, end: Int): Unit = { // [start, end)
+      val slice = java.util.Arrays.copyOfRange(bytes, start, end)
+      val h = XxHash64Function.hash(slice, BinaryType, 42L)
+      out += new GenericInternalRow(
+        Array[Any](h, start, end - start))
+    }
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val size = i - start + 1
+      h = java.lang.Long.rotateLeft(h, 1) ^ table(bytes(i) & 0xFF)
+      if (size > Window) // roll the outgoing byte off the window
+        h ^= java.lang.Long.rotateLeft(
+          table(bytes(i - Window) & 0xFF), Window % 64)
+      if ((size >= minSize && (h & mask) == 0L) || size >= maxSize) {
+        emit(start, i + 1)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) emit(start, bytes.length)
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Content-defined chunk list of a binary payload ([[CdcKernels]]):
+  * `array<struct<hash, off, len>>`. Null payload → null; empty → empty
+  * array. The per-byte work happens once per row in the static kernel —
+  * codegen emits a single static call. */
+case class ContentChunks(child: Expression, minSize: Int, avgBits: Int,
+    maxSize: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  require(minSize >= 1 && maxSize >= minSize,
+    s"need 1 <= minSize <= maxSize, got [$minSize, $maxSize]")
+  require(avgBits >= 4 && avgBits <= 28, s"avgBits in [4,28], got $avgBits")
+  require(minSize > CdcKernels.Window,
+    s"minSize must exceed the ${CdcKernels.Window}-byte rolling window " +
+      "(shorter chunks would cut on partially-filled windows and lose " +
+      "shift resistance)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hash", LongType, nullable = false),
+    StructField("off", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CdcKernels.contentChunks(input.asInstanceOf[Array[Byte]],
+      minSize, avgBits, maxSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CdcKernels.contentChunks($c, " +
+        s"$minSize, $avgBits, $maxSize)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "content_chunks"
+}
+
 /** Kernels for Z-order (Morton-curve) clustering keys. Kept as static
   * methods so codegen calls inline into every generated class. */
 object ZOrderKernels {
@@ -1082,6 +1184,12 @@ object NativeFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(bloom, BinaryType),
         new org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(ExpressionUtils.expression(value)))))
+
+  /** Content-defined chunk list of a binary payload ([[ContentChunks]]). */
+  def contentChunks(c: Column, minSize: Int, avgBits: Int,
+      maxSize: Int): Column =
+    ExpressionUtils.column(ContentChunks(
+      ExpressionUtils.expression(c), minSize, avgBits, maxSize))
 
   /** Mergeable KLL quantile-sketch aggregate ([[KllSketchAgg]]): reduces a
     * double column to a serialized sketch (binary) that answers any

@@ -43,7 +43,11 @@ class QueriesSpec extends SparkTestBase {
       "s118_cluster_stats", "s119_diversity_sample",
       // r8: PCA SVD fit is not SQL-expressible (DedupSpec pins variance
       // capture, orthonormality, projection formula, recall vs brute)
-      "s129_pca_ann"),
+      "s129_pca_ann",
+      // r8: CDC rolling-hash boundaries are not SQL-expressible
+      // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
+      // planted-duplicate ratio)
+      "m130_cdc_dedup"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

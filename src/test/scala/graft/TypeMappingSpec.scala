@@ -103,4 +103,70 @@ class TypeMappingSpec extends SparkTestBase {
     val out = Multimodal.resizePlan(meta, maxDim = 256).collect()
     assert(out.forall(r => r.getInt(3) <= 256 && r.getInt(4) <= 256))
   }
+
+  // deterministic pseudo-random payload for the CDC tests
+  private def cdcBytes(n: Int, seed: Long = 7L): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(r.nextInt(256).toByte)
+  }
+
+  private def chunksOf(payloads: Seq[(Long, Array[Byte])],
+      minSize: Int = 64, avgBits: Int = 6, maxSize: Int = 512) = {
+    val df = payloads.toDF("id", "payload")
+    Multimodal.cdcPostings(df, "id", "payload", minSize, avgBits, maxSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+  }
+
+  test("cdc chunks: sizes bounded, offsets contiguous, bytes fully covered") {
+    val data = cdcBytes(5000)
+    val got = chunksOf(Seq((1L, data)))(1L)
+    // contiguous cover: offsets chain and lengths sum to the payload
+    var expectOff = 0
+    got.foreach { case (_, _, off, len) =>
+      assert(off == expectOff); expectOff += len
+    }
+    assert(expectOff == data.length)
+    // every chunk but the tail respects [minSize, maxSize]
+    got.dropRight(1).foreach { case (_, _, _, len) =>
+      assert(len >= 64 && len <= 512, s"len=$len")
+    }
+    assert(got.last._4 <= 512 && got.length > 3)
+    // deterministic across re-evaluation
+    assert(chunksOf(Seq((1L, data)))(1L) == got)
+  }
+
+  test("cdc chunks re-synchronize after a prefix splice (shift resistance)") {
+    val base = cdcBytes(6000)
+    val spliced = cdcBytes(97, seed = 99L) ++ base // insert 97 bytes at front
+    val got = chunksOf(Seq((1L, base), (2L, spliced)))
+    val h1 = got(1L).map(_._2).toSet
+    val h2 = got(2L).map(_._2).toSet
+    // all but the first chunk(s) around the edit must re-appear verbatim
+    val shared = h1.intersect(h2).size
+    assert(shared >= h1.size - 2, s"shared $shared of ${h1.size}")
+    // fixed-size chunking would share nothing: check offsets actually moved
+    val off1 = got(1L).map(_._3).toSet
+    val off2 = got(2L).map(_._3).toSet
+    assert(off1 != off2)
+  }
+
+  test("storageDedupReport: planted duplicate payload doubles total over distinct") {
+    val a = cdcBytes(4096); val b = cdcBytes(4096, seed = 21L)
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "payload")
+    val r = Multimodal.storageDedupReport(df, "id", "payload",
+      minSize = 64, avgBits = 6, maxSize = 512).head()
+    assert(r.getAs[Long]("n_payloads") == 3L)
+    assert(r.getAs[Long]("total_bytes") == 3L * 4096)
+    // payloads 1 and 2 are identical: their chunk sets dedup fully
+    assert(r.getAs[Long]("distinct_bytes") == 2L * 4096)
+    assert(r.getAs[Double]("dedup_ratio") == 1.5)
+    // null payloads: no chunks, still counted as payloads
+    val withNull = Seq((1L, a), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val rn = Multimodal.storageDedupReport(withNull, "id", "payload").head()
+    assert(rn.getAs[Long]("n_payloads") == 2L)
+    assert(rn.getAs[Long]("total_bytes") == 4096L)
+  }
 }
