@@ -1879,6 +1879,33 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       operators.Multimodal.storageDedupReport(corpus, "doc_id", "payload",
         minSize = 64, avgBits = 7, maxSize = 512)
+    }),
+
+    // Per-benchmark contamination audit: benchA is a verbatim corpus
+    // slice (exact hits), benchB is a mutated slice (near hits at
+    // jaccard >= 0.5 but not exact). Rows-only (hashed-shingle jaccard);
+    // DedupSpec pins the exact/near split on a hand-built fixture.
+    "d131_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(lit("benchA").as("bset"), col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select(lit("benchB").as("bset"), col("doc_id"),
+            concat(regexp_replace(col("text"), "\\s+\\S+$", ""),
+              lit(" zzz")).as("text")))
+      Dedup.contaminationReport(docs, bench, "doc_id", "text", "bset",
+        threshold = 0.5)
+    }),
+
+    // Curriculum-ordered sharding: hash-random shard membership with an
+    // easy→hard (n_chars asc) sequence number inside each shard — the
+    // engine-portable hash makes the whole contract oracle-exact.
+    "q132_curriculum" -> ((s, d) => {
+      Dedup.curriculumShards(t(s, d, "documents"), "doc_id",
+          difficulty = col("n_chars"), shards = 8,
+          hash = Some(col("doc_id")))
+        .select(col("doc_id"), col("shard"), col("seq"))
+        .orderBy(col("shard"), col("seq"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -3010,5 +3037,13 @@ object SparkEntry {
         |SELECT lang, CAST(n AS BIGINT) AS n,
         | round(v[CAST(ceil(0.5 * n) AS INT)], 2) AS p50,
         | round(v[CAST(ceil(0.9 * n) AS INT)], 2) AS p90
-        |FROM s ORDER BY lang""".stripMargin)
+        |FROM s ORDER BY lang""".stripMargin,
+
+    "q132_curriculum" ->
+      """SELECT doc_id, shard, seq FROM (
+        | SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS seq
+        | FROM documents)
+        |ORDER BY shard, seq""".stripMargin)
 }

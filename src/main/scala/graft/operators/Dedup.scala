@@ -1125,6 +1125,89 @@ object Dedup {
     corpus.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark-set contamination REPORT — the audit table a release
+    * publishes next to its decontamination pass ([[decontaminate]] is
+    * the enforcement; this is the evidence): one row per `setCol` label
+    * on the benchmark table with the distinct corpus documents flagged
+    * by exact text match (`n_exact`, uncapped — same invariant as
+    * decontaminate: hash candidates, text-verified), by shingle-Jaccard
+    * near match ≥ `threshold` (`n_near`, capped postings + exact
+    * verify), their union `n_contaminated`, and that union as a corpus
+    * fraction. The same kernels and caps as [[decontaminate]], so the
+    * report and the enforcement can never disagree about what counts as
+    * contaminated. Scale: benchmark-sized broadcasts, the corpus text
+    * never shuffles; output is O(benchmark sets) rows. */
+  def contaminationReport(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, setCol: String,
+      shingleK: Int = 5, threshold: Double = 0.5,
+      maxMatchesPerShingle: Int = 64): DataFrame = {
+    val total = corpus.count().toDouble // one scalar for the fraction
+    val bTexts = benchmark
+      .select(col(setCol).as("bset"), xxhash64(col(textCol)).as("bth"),
+        col(textCol).as("__btxt"))
+      .distinct()
+    val exactDirty = corpus
+      .select(col(idCol).as("id"), col(textCol).as("__ctxt"),
+        xxhash64(col(textCol)).as("__cth"))
+      .join(broadcast(bTexts), col("__cth") === col("bth"))
+      .filter(col("__ctxt") === col("__btxt"))
+      .select(col("id"), col("bset")).distinct()
+
+    val cSh = corpus.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+    val bSh = benchmark.select(col(setCol).as("bset"), col(idCol).as("bid"),
+      shingleHashes(col(textCol), shingleK).as("bsh"))
+    val bPost = bSh.select(col("bset"), col("bid"), explode(col("bsh")).as("gh"))
+    val w = Window.partitionBy("gh").orderBy(xxhash64(col("gh"), col("id")))
+    val cPost = cSh.select(col("id"), explode(col("sh")).as("gh"))
+      .join(broadcast(bPost.select("gh").distinct()), "gh", "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxMatchesPerShingle)
+      .drop("__rn")
+    val nearDirty = cPost.join(bPost, "gh")
+      .select("id", "bset", "bid").distinct()
+      .join(cSh, "id").join(bSh.select(col("bid"), col("bsh")), "bid")
+      .select(col("id"), col("bset"), jaccard(col("sh"), col("bsh")).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("id"), col("bset")).distinct()
+
+    val flagged = exactDirty.select(col("id"), col("bset"), lit(1).as("__e"))
+      .unionByName(nearDirty.select(col("id"), col("bset"), lit(0).as("__e")))
+      .groupBy(col("id"), col("bset"))
+      .agg(max(col("__e")).as("__any_exact"))
+    flagged.groupBy(col("bset").as("benchmark_set"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("__any_exact")).cast(LongType).as("n_exact"))
+      .join(nearDirty.groupBy(col("bset").as("benchmark_set"))
+        .agg(count(lit(1)).as("n_near")), Seq("benchmark_set"), "left")
+      .select(col("benchmark_set"), col("n_contaminated"), col("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        round(col("n_contaminated") / lit(total), 6).as("frac_contaminated"))
+      .orderBy(col("benchmark_set"))
+  }
+
+  /** Curriculum-ordered sharding — [[trainShards]] with a DIFFICULTY
+    * order: shard membership stays hash-random (each shard remains an
+    * IID sample of the corpus), but within a shard rows are numbered
+    * easy→hard by `difficulty` (ties by id), the ordering
+    * curriculum-learning trainers consume. `seqCol` is the 1-based
+    * position a sequential shard reader sees — write with
+    * `partitionBy(shardCol)` sorted by it. One hash shuffle + a
+    * per-shard window (a shard-sized local sort, the same cost as
+    * trainShards' sort); the injectable `hash` keeps the assignment
+    * engine-portable for differential testing. */
+  def curriculumShards(df: DataFrame, idCol: String, difficulty: Column,
+      shards: Int, shardCol: String = "shard", seqCol: String = "seq",
+      hash: Option[Column] = None): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = hash.getOrElse(xxhash64(lit("graft_curriculum"), col(idCol)))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(difficulty.asc, col(idCol))
+    df.withColumn(shardCol, pmod(h, lit(shards)).cast("int"))
+      .withColumn(seqCol, row_number().over(w).cast(LongType))
+  }
+
   /** Fixed-seed hyperplane set — the single source of truth for LSH plane
     * generation; [[hyperplaneBucket]] (executor side) and
     * `Similarity.lshTopKPrebucketed`'s query bucket (driver side) both use

@@ -830,6 +830,52 @@ class DedupSpec extends SparkTestBase {
     assert(plain == ids)
   }
 
+  test("contaminationReport: exact vs near split, fractions, clean sets absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated content nothing shared here at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta") // dup of 1
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      // exact copy of doc 1 (and its dup 4)
+      ("bA", 100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // near copy of doc 2: one trailing token changed
+      ("bB", 200L, "one two three four five six seven nine"),
+      // a set that matches nothing must not appear in the report
+      ("bC", 300L, "completely disjoint vocabulary xyzzy quux")
+    ).toDF("bset", "doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, bench, "doc_id", "text",
+        "bset", shingleK = 3, threshold = 0.4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // bA: docs 1 and 4 exact (near also fires on them — union counts once)
+    assert(got("bA")._1 == 2L && got("bA")._2 == 2L)
+    assert(got("bA")._4 == 0.5) // 2 of 4 corpus docs
+    // bB: doc 2 near only
+    assert(got("bB") == ((1L, 0L, 1L, 0.25)))
+    assert(!got.contains("bC"))
+  }
+
+  test("curriculumShards: IID shards, easy-to-hard seq, injectable hash") {
+    val df = (1L to 40L).map(i => (i, (41 - i) * 10)).toDF("id", "hard")
+    val out = Dedup.curriculumShards(df, "id", difficulty = col("hard"),
+        shards = 4, hash = Some(col("id")))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // shard = id % 4 under the injected hash
+    assert(out.forall { case (id, sh, _) => sh == (id % 4).toInt })
+    // within a shard, seq follows ascending difficulty = descending id
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val bypos = rows.sortBy(_._3).map(_._1)
+      assert(bypos.toSeq == bypos.sortBy(id => (41 - id) * 10).toSeq)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // default hash: same shard sizes properties, deterministic
+    val d1 = Dedup.curriculumShards(df, "id", col("hard"), 4).collect()
+    val d2 = Dedup.curriculumShards(df, "id", col("hard"), 4).collect()
+    assert(d1.map(_.toSeq).toSet == d2.map(_.toSeq).toSet)
+  }
+
   test("pca: planted low-rank structure captured, components orthonormal, " +
       "projection matches the hand formula") {
     // variance lives in dims 0-1 (scaled pattern), dims 2-3 are constant:

@@ -47,7 +47,10 @@ class QueriesSpec extends SparkTestBase {
       // r8: CDC rolling-hash boundaries are not SQL-expressible
       // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
       // planted-duplicate ratio)
-      "m130_cdc_dedup"),
+      "m130_cdc_dedup",
+      // r8: hashed-shingle jaccard near-match is not SQL-expressible
+      // (DedupSpec pins the exact/near split on a hand-built fixture)
+      "d131_contamination_report"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
