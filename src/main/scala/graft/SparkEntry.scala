@@ -1897,6 +1897,31 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    // Theta-sketch snapshot algebra: distinct-set sketches of two corpus
+    // slices answer overlap / difference / union WITHOUT joining the
+    // slices. Both slices stay under the sketch's retained capacity at
+    // the gate SF, so every estimate is exact and the DuckDB
+    // set-algebra oracle hash-matches; the sampling regime is pinned by
+    // error-bound unit tests.
+    "t133_theta_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeFunctions._
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+        .agg(thetaSketchAgg(col("text")).as("ska"))
+      val b = docs.filter(col("doc_id") % 3 === 0)
+        .agg(thetaSketchAgg(col("text")).as("skb"))
+      a.crossJoin(b) // two one-row frames
+        .select(
+          round(thetaEstimate(col("ska"))).cast(LongType).as("n_a"),
+          round(thetaEstimate(col("skb"))).cast(LongType).as("n_b"),
+          round(thetaEstimate(thetaCombine(col("ska"), col("skb"),
+            "intersect"))).cast(LongType).as("n_overlap"),
+          round(thetaEstimate(thetaCombine(col("ska"), col("skb"),
+            "a_not_b"))).cast(LongType).as("n_only_a"),
+          round(thetaEstimate(thetaCombine(col("ska"), col("skb"),
+            "union"))).cast(LongType).as("n_union"))
+    }),
+
     // Curriculum-ordered sharding: hash-random shard membership with an
     // easy→hard (n_chars asc) sequence number inside each shard — the
     // engine-portable hash makes the whole contract oracle-exact.
@@ -3045,5 +3070,15 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id % 8
         |    ORDER BY n_chars, doc_id) AS BIGINT) AS seq
         | FROM documents)
-        |ORDER BY shard, seq""".stripMargin)
+        |ORDER BY shard, seq""".stripMargin,
+
+    "t133_theta_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT
+        | (SELECT count(*) FROM a) AS n_a,
+        | (SELECT count(*) FROM b) AS n_b,
+        | (SELECT count(*) FROM a WHERE text IN (SELECT text FROM b)) AS n_overlap,
+        | (SELECT count(*) FROM a WHERE text NOT IN (SELECT text FROM b)) AS n_only_a,
+        | (SELECT count(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS n_union""".stripMargin)
 }

@@ -124,6 +124,160 @@ private[sql] case class KllMergeAgg(
     copy(child = newChild)
 }
 
+/** Theta distinct-value sketch aggregate (DataSketches theta — the
+  * SET-OPERATION sketch family): absorbs a string column into a compact
+  * serialized sketch whose ESTIMATES COMPOSE UNDER union / intersection
+  * / difference. That composition is what HLL cannot do and what makes
+  * theta the corpus-snapshot planning tool: sketch snapshot A and
+  * snapshot B independently (one pass each, KBs of state), then answer
+  * "how many distinct documents overlap?" or "how many are new in B?"
+  * WITHOUT ever joining the corpora — [[ThetaCombine]] does the set
+  * algebra on the sketches alone. Exact below the sketch's retained-set
+  * capacity (default 4096), bounded relative error above. */
+private[sql] case class ThetaSketchAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+  import org.apache.datasketches.theta.{SetOperation, Sketches, Union}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_sketch_agg"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.toString)
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** Fold PERSISTED theta sketches (binary) into one — the cross-snapshot
+  * read path, mirroring [[KllMergeAgg]]. Null inputs skipped. */
+private[sql] case class ThetaUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+  import org.apache.datasketches.theta.{SetOperation, Sketches, Union}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+}
+
+/** Set algebra on two serialized theta sketches: `union`, `intersect`,
+  * or `a_not_b` → the combined sketch (binary), composable further.
+  * Runs on aggregate-output rows (one per group/snapshot), so
+  * interpreted eval is fine. NULL if either side is NULL. */
+private[sql] case class ThetaCombine(left: Expression, right: Expression,
+    op: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes with CodegenFallback {
+  import org.apache.datasketches.theta.{SetOperation, Sketches}
+
+  require(Set("union", "intersect", "a_not_b")(op), s"unknown theta op $op")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"theta_$op"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = Sketches.wrapSketch(Memory.wrap(l.asInstanceOf[Array[Byte]]))
+    val b = Sketches.wrapSketch(Memory.wrap(r.asInstanceOf[Array[Byte]]))
+    (op match {
+      case "union" =>
+        val u = SetOperation.builder().buildUnion(); u.union(a); u.union(b)
+        u.getResult
+      case "intersect" =>
+        val i = SetOperation.builder().buildIntersection()
+        i.intersect(a); i.intersect(b); i.getResult
+      case "a_not_b" =>
+        SetOperation.builder().buildANotB().aNotB(a, b)
+    }).toByteArray
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Distinct-count estimate of a serialized theta sketch (exact while the
+  * sketch never exceeded its retained capacity). */
+private[sql] case class ThetaEstimate(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  import org.apache.datasketches.theta.Sketches
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_estimate"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    Sketches.wrapSketch(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+      .getEstimate
+
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(child = newChild)
+}
+
 /** Quantile at `rank` ∈ [0,1] from a serialized KLL sketch. Operates on
   * aggregate OUTPUT rows (one per group), so interpreted eval is fine —
   * the per-value hot path is the sketch update inside the aggregate,

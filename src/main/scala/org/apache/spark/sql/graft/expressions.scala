@@ -1213,6 +1213,29 @@ object NativeFunctions {
   def kllCount(sketch: Column): Column =
     ExpressionUtils.column(KllCount(ExpressionUtils.expression(sketch)))
 
+  /** Theta distinct-set sketch aggregate ([[ThetaSketchAgg]]): the
+    * set-operation sketch — estimates compose under union / intersect /
+    * difference via [[thetaCombine]], so snapshot overlap questions
+    * never join the snapshots. */
+  def thetaSketchAgg(value: Column): Column =
+    ExpressionUtils.column(ThetaSketchAgg(
+      ExpressionUtils.expression(value)).toAggregateExpression())
+
+  /** Fold persisted theta sketches (binary) into one ([[ThetaUnionAgg]]). */
+  def thetaUnionAgg(sketch: Column): Column =
+    ExpressionUtils.column(ThetaUnionAgg(
+      ExpressionUtils.expression(sketch)).toAggregateExpression())
+
+  /** Set algebra on two serialized theta sketches ([[ThetaCombine]]):
+    * op ∈ union | intersect | a_not_b. */
+  def thetaCombine(a: Column, b: Column, op: String): Column =
+    ExpressionUtils.column(ThetaCombine(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), op))
+
+  /** Distinct estimate of a serialized theta sketch ([[ThetaEstimate]]). */
+  def thetaEstimate(sketch: Column): Column =
+    ExpressionUtils.column(ThetaEstimate(ExpressionUtils.expression(sketch)))
+
   /** Register the native expressions for SQL use in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -187,6 +187,44 @@ class CurationOpsSpec extends SparkTestBase {
     assert(empty.isNullAt(0))
   }
 
+  test("theta sketch: exact-mode set algebra; null sketches null-safe") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"doc$i").toDF("x")
+      .agg(thetaSketchAgg(col("x")).as("sk"))
+    val b = (51 to 160).map(i => s"doc$i").toDF("x")
+      .agg(thetaSketchAgg(col("x")).as("sk"))
+    val r = a.crossJoin(b.select(col("sk").as("sk2")))
+      .select(
+        thetaEstimate(col("sk")).as("na"),
+        thetaEstimate(thetaCombine(col("sk"), col("sk2"), "intersect")).as("ni"),
+        thetaEstimate(thetaCombine(col("sk"), col("sk2"), "a_not_b")).as("nd"),
+        thetaEstimate(thetaCombine(col("sk"), col("sk2"), "union")).as("nu"))
+      .head()
+    assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 50.0)
+    assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 160.0)
+    // nulls are skipped by the aggregate, not sketched as a value
+    val withNull = (Seq("a", "b").map(Option(_)) :+ None).toDF("x")
+      .agg(thetaEstimate(thetaSketchAgg(col("x")))).head().getDouble(0)
+    assert(withNull == 2.0)
+  }
+
+  test("theta sketch: sampling regime bounds error; persisted sketches fold") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    // 100k distinct >> 4096 retained: estimate within 5% (k=4096 gives
+    // ~1.6% RSE; 5% is > 3 sigma)
+    val df = spark.range(100000)
+      .select(col("id"), concat(lit("v"), col("id")).as("x"))
+    val est = df.agg(thetaEstimate(thetaSketchAgg(col("x"))))
+      .head().getDouble(0)
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.05, s"est=$est")
+    // per-slice sketches persisted then folded: same error envelope
+    val folded = df.groupBy((col("id") % 13).as("slice"))
+      .agg(thetaSketchAgg(col("x")).as("sk"))
+      .agg(thetaEstimate(thetaUnionAgg(col("sk")))).head().getDouble(0)
+    assert(math.abs(folded - 100000.0) / 100000.0 < 0.05, s"folded=$folded")
+  }
+
   test("kll sketch: approximate regime bounds rank error; partial sketches " +
       "merge to the corpus answer") {
     import org.apache.spark.sql.graft.NativeFunctions._
