@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Cdc, Dedup, Merge, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Dedup, Merge, Similarity, TextAnalysis, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an ANSI-SQL DuckDB oracle where the semantics are
@@ -1798,20 +1798,35 @@ object SparkEntry {
       val root = tmpDir("graft_str127")
       val (srcDir, snapDir, ckpt) =
         (s"$root/src", s"$root/snap", s"$root/ckpt")
+      // range-partition the replayed source by time: a real stream arrives
+      // roughly time-ordered, so each micro-batch touches a BOUNDED window
+      // of snapshot partitions — replaying a random shuffle instead made
+      // every batch rewrite all 720 hour dirs (the r8 bench outlier)
       Tables.events(s, d).select(col("ts"), col("event_type"))
-        .repartition(4).write.parquet(srcDir)
+        .repartitionByRange(4, col("ts")).write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      // hour-grain counts, DAY-grain snapshot partitions (hr stays in the
+      // key): time-bucketed sink partitioning sized so one partition dir
+      // holds ~24 keys, not one — directory count is a scale knob, not a
+      // correctness one
       val counts = graft.streaming.MicroBatch.windowedCounts(
           stream, "ts", "1000 hours", "1 hour", Seq(col("event_type")))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hr"),
+          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"))
-      val q = graft.streaming.MicroBatch.streamUpsert(counts, snapDir,
-          "hr", Seq("event_type"),
-          graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt))
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // same state-partition right-sizing as runToMemory: 4 state stores,
+      // not 32 — per-batch state commit overhead is per store
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.MicroBatch.streamUpsert(counts, snapDir,
+            "day", Seq("hr", "event_type"),
+            graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val w = Window.partitionBy(col("hr"))
         .orderBy(col("n").desc, col("event_type"))
       s.read.parquet(snapDir)
@@ -1931,6 +1946,96 @@ object SparkEntry {
           hash = Some(col("doc_id")))
         .select(col("doc_id"), col("shard"), col("seq"))
         .orderBy(col("shard"), col("seq"))
+    }),
+
+    // URL canonicalization — the whole regex pipeline (case, userinfo,
+    // default ports, www, fragments, tracking params, trailing slash) is
+    // mirrored step-for-step in the oracle SQL; hash-exact.
+    "q134_url_normalize" -> ((s, d) => {
+      val url = concat(
+        lit("HTTPS://User:pw@WWW."), col("source"),
+        lit(".Example.COM:443/Docs/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("/?utm_source=feed&id="))
+          .otherwise(lit("?id=")), col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("&utm_campaign=x#frag"))
+          .otherwise(lit("#sec")))
+      t(s, d, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.normalizeUrl(col("url")).as("norm_url"),
+          UrlOps.urlHost(col("url")).as("host"),
+          UrlOps.registrableDomain(UrlOps.urlHost(col("url"))).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL-level exact dedup after canonicalization: five raw spellings per
+    // logical page (www/casing/tracking variants) collapse to one survivor.
+    // The oracle derives the expected canonical form INDEPENDENTLY (it
+    // never runs the regex pipeline) — stronger than a mirrored oracle.
+    "d135_url_dedup" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://www.corpus.org/page/"))
+          .otherwise(lit("HTTPS://corpus.org/page/")),
+        col("doc_id") % 100,
+        when(col("doc_id") % 3 === 0, lit("?utm_source=a")).otherwise(lit("")))
+      UrlOps.urlDedup(
+          t(s, d, "documents").filter(col("doc_id") < 500)
+            .select(col("doc_id"), url.as("url")),
+          "doc_id", "url")
+        .orderBy(col("norm_url"))
+    }),
+
+    // HTML → text extraction: scripts/styles/comments dropped, tags to
+    // spaces, entities decoded once, whitespace collapsed. Oracle builds
+    // the expected prose independently of the regex pipeline.
+    "q136_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><script>var x = 1 &amp;&amp; 2;</script>" +
+          "<style>p{color:red}</style></head><body><h1>Doc "), col("doc_id"),
+        lit("</h1><!-- hidden --><p>"), col("text"),
+        lit(" &amp; tail</p></body></html>"))
+      t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), TextAnalysis.htmlToText(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Soft dedup: duplicates stay in the corpus but carry weight 1/n —
+    // hash-first (16 B/row corpus shuffle), exact under collisions, and
+    // the weight math is IEEE division so the oracle hash-matches.
+    "d137_soft_dedup" -> ((s, d) => {
+      Dedup.softDedupWeights(t(s, d, "documents"), "doc_id", Seq("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact-substring (k-gram coverage) dedup: a planted 8-word tail shared
+    // by every doc_id%5==0 document keeps only its first occurrence; the
+    // oracle re-derives coverage from scratch with window n-grams in SQL.
+    // exactGrams=true for differential testing (prod path hashes grams;
+    // WebCorpusSpec pins hashed == exact).
+    "d138_substring_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"),
+            lit(" common tail sentence repeated across many documents")))
+            .otherwise(col("text")).as("text"))
+      Dedup.substringDedup(docs, "doc_id", "text", k = 8, exactGrams = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ANN index persistence: fit IVF once, persist centroids as a table,
+    // reload, serve. Rows-only (k-means fit not SQL-expressible);
+    // WebCorpusSpec pins persisted == in-memory serving exactly.
+    "s139_ann_persist" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val centers = Similarity.ivfFit(emb, "embedding", nlist = 16)
+      val loaded = Similarity.centersFromDF(Similarity.centersToDF(s, centers))
+      Similarity.ivfTopKPreassigned(
+          Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0), "vec_id",
+            "embedding", loaded), loaded, q, k = 10, nprobe = 6)
+        .select(col("id"), round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -3080,5 +3185,117 @@ object SparkEntry {
         | (SELECT count(*) FROM b) AS n_b,
         | (SELECT count(*) FROM a WHERE text IN (SELECT text FROM b)) AS n_overlap,
         | (SELECT count(*) FROM a WHERE text NOT IN (SELECT text FROM b)) AS n_only_a,
-        | (SELECT count(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS n_union""".stripMargin)
+        | (SELECT count(*) FROM (SELECT text FROM a UNION SELECT text FROM b)) AS n_union""".stripMargin,
+
+    // step-for-step mirror of UrlOps.normalizeUrl (RE2 \1 backrefs instead
+    // of Java $1; 'g' everywhere because Spark regexp_replace is global)
+    "q134_url_normalize" ->
+      """WITH raw AS (
+        | SELECT doc_id,
+        |  'HTTPS://User:pw@WWW.' || source || '.Example.COM:443/Docs/' || doc_id ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id=' ELSE '?id=' END ||
+        |  doc_id ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x#frag' ELSE '#sec' END AS url
+        | FROM documents WHERE doc_id < 400),
+        |n1 AS (SELECT doc_id, url,
+        |  regexp_replace(trim(url), '#.*$', '', 'g') AS u FROM raw),
+        |n2 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) ||
+        |  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '', 'g') AS u
+        | FROM n1),
+        |n3 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '//[^/@?#]*@', '//', 'g') AS u FROM n2),
+        |n4 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '^(https://[^/:?#]*):443([/?].*)?$', '\1\2', 'g') AS u
+        | FROM n3),
+        |n5 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '^(http://[^/:?#]*):80([/?].*)?$', '\1\2', 'g') AS u
+        | FROM n4),
+        |n6 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1', 'g') AS u
+        | FROM n5),
+        |n7 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)=[^&#]*', '', 'g') AS u
+        | FROM n6),
+        |n8 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)=[^&#]*&', '?', 'g') AS u
+        | FROM n7),
+        |n9 AS (SELECT doc_id, url,
+        |  regexp_replace(u, '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)=[^&#]*$', '', 'g') AS u
+        | FROM n8),
+        |n10 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(u, '[?&]$', '', 'g'), '/+$', '', 'g') AS u
+        | FROM n9),
+        |fin AS (SELECT doc_id, url, u AS norm_url,
+        |  lower(regexp_extract(trim(url),
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        | FROM n10)
+        |SELECT doc_id, url, norm_url, host,
+        | regexp_extract(host,
+        |  '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z]{2}|[^.]+\.[^.]+)$', 1) AS domain
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // independent oracle: derives the canonical URL arithmetically, never
+    // running the normalization pipeline the engine uses
+    "d135_url_dedup" ->
+      """SELECT 'https://corpus.org/page/' || (doc_id % 100) AS norm_url,
+        | min(doc_id) AS keep_doc_id, count(*) AS n_urls
+        |FROM documents WHERE doc_id < 500
+        |GROUP BY 1 ORDER BY norm_url""".stripMargin,
+
+    // independent oracle: expected prose built directly from the columns
+    "q136_html_extract" ->
+      """SELECT doc_id, 'Doc ' || doc_id || ' ' || text || ' & tail' AS clean
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
+
+    "d137_soft_dedup" ->
+      """SELECT doc_id,
+        | CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+        | CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full re-derivation of k-gram-coverage substring dedup: window
+    // n-grams, canonical = min (doc, pos), covered positions cut, text
+    // rebuilt in order
+    "d138_substring_dedup" ->
+      """WITH docs AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |   THEN text || ' common tail sentence repeated across many documents'
+        |   ELSE text END AS text
+        | FROM documents WHERE doc_id < 300),
+        |words AS (
+        | SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS idx, s.t[g.i] AS w
+        | FROM docs, LATERAL (SELECT string_split(text, ' ') AS t) s,
+        |      LATERAL (SELECT unnest(generate_series(1, len(s.t))) AS i) g),
+        |grams AS (
+        | SELECT doc_id, idx AS pos,
+        |  string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS g,
+        |  count(*) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+        | FROM words),
+        |full_grams AS (SELECT doc_id, pos, g FROM grams WHERE cnt = 8),
+        |canon AS (SELECT g, min(doc_id * 1000000 + pos) AS m
+        | FROM full_grams GROUP BY g),
+        |covered AS (
+        | SELECT f.doc_id, f.pos FROM full_grams f JOIN canon c ON f.g = c.g
+        | WHERE f.doc_id * 1000000 + f.pos <> c.m),
+        |coveredpos AS (
+        | SELECT DISTINCT doc_id, pos + o.o AS idx
+        | FROM covered, (SELECT UNNEST(range(0, 8)) AS o) o),
+        |kept AS (
+        | SELECT w.doc_id, w.idx, w.w FROM words w
+        | WHERE NOT EXISTS (SELECT 1 FROM coveredpos c
+        |   WHERE c.doc_id = w.doc_id AND c.idx = w.idx)),
+        |rebuilt AS (
+        | SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS clean_text,
+        |  count(*) AS n_kept
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        | CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
+        |  AS n_removed
+        |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

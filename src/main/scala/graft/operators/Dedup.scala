@@ -1337,4 +1337,109 @@ object Dedup {
       .select(col("id_b").as("__loser")).distinct()
     embDf.join(losers, embDf(idCol) === col("__loser"), "left_anti")
   }
+
+  /** SoftDeDup-style duplicate DOWN-WEIGHTING: instead of dropping
+    * duplicates, every row gets a training weight `dup_count^(−beta)`
+    * (`beta = 1` makes each duplicate GROUP contribute total mass 1 —
+    * the "count each fact once" objective; `beta < 1` interpolates
+    * toward keep-everything). Removal loses the distributional signal
+    * that popular content IS popular; soft dedup keeps the row and lets
+    * the loss weight carry the correction.
+    *
+    * Hash-first like [[exactLosers]]: the corpus-wide aggregate runs on
+    * `xxhash64(keys)` with map-side combine (16 B/row shuffle), true key
+    * columns travel only for the colliding-hash sliver, and the exact
+    * per-key count over that sliver restores exactness under 64-bit
+    * collisions (a collision only adds a candidate). Non-candidate rows
+    * never shuffle wide — they get weight 1 via the left join. At
+    * `beta = 1.0` the weight is computed as `1.0 / count` (exactly
+    * rounded IEEE division, bit-identical across engines) rather than
+    * `pow(count, −1)`, keeping the gate differentially testable.
+    * Returns (idCol, dup_count, weight). */
+  def softDedupWeights(df: DataFrame, idCol: String, keyCols: Seq[String],
+      beta: Double = 1.0): DataFrame = {
+    require(beta >= 0.0, s"beta must be non-negative, got $beta")
+    val kh = xxhash64(keyCols.map(col): _*)
+    val candKh = df.select(kh.as("__kh"))
+      .groupBy("__kh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__kh")
+    val candCnt = df.withColumn("__kh", kh)
+      .join(candKh, "__kh")
+      .select((idCol +: keyCols).map(col): _*)
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .select(col(idCol).as("__sd_id"), col("__cnt"))
+    val cnt = coalesce(col("__cnt"), lit(1L))
+    val w =
+      if (beta == 1.0) lit(1.0) / cnt
+      else pow(cnt.cast("double"), lit(-beta))
+    df.select(col(idCol))
+      .join(candCnt, col(idCol) === col("__sd_id"), "left")
+      .select(col(idCol), cnt.as("dup_count"), w.as("weight"))
+  }
+
+  /** Exact-substring dedup (the k-gram-coverage formulation of Lee et
+    * al.'s ExactSubstr): any word span that appears elsewhere in the
+    * corpus keeps exactly its FIRST occurrence (min (doc, position))
+    * and is cut from every other position — across documents and for
+    * repeats within one document. Catches the cross-document boilerplate
+    * that document-level exact dedup misses and sentence-span dedup
+    * ([[spanDedup]]) only catches when sentence boundaries line up.
+    *
+    * Mechanics: every k-word gram posts (gram, doc, pos); the canonical
+    * occurrence per gram is the minimum (doc, pos); every non-canonical
+    * occurrence covers its k word positions; covered positions are cut
+    * and the survivor words re-joined in order. A word survives iff NO
+    * duplicated k-gram covers it, so runs of duplicated text vanish
+    * wholesale while the canonical copy stays intact.
+    *
+    * Scale shape: gram posting is narrow (explode); the canonical
+    * aggregate is a groupBy(min) — partial aggregation absorbs hot
+    * boilerplate grams map-side, so no reducer sees a hot gram's full
+    * occurrence list (this is why it is NOT a window over the gram). The
+    * join back is AQE-skew-handled. Coverage explode is bounded at k×
+    * the DUPLICATED-occurrence count, then distinct. With
+    * `exactGrams = false` (default) gram keys are xxhash64 — 8 B keys
+    * in every shuffle; a 64-bit collision can only cut a false extra
+    * span, at ~n²/2⁶⁴ odds. `exactGrams = true` keeps literal gram
+    * strings for differential testing (the d138 oracle).
+    * Returns (idCol, clean_text, n_removed). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, exactGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = docs.select(col(idCol).as("__sid"),
+      split(col(textCol), " ").as("__w"))
+    val gramKey: Column => Column =
+      if (exactGrams) identity else (g: Column) => xxhash64(g)
+    // sequence(0, size-k) is only valid when size >= k — Spark's sequence
+    // DESCENDS for start > stop, so short docs must be filtered, not fed
+    // a negative stop.
+    val grams = base.filter(size(col("__w")) >= k)
+      .select(col("__sid"), posexplode(transform(
+        sequence(lit(0), size(col("__w")) - k),
+        i => gramKey(concat_ws(" ", slice(col("__w"), i + 1, lit(k))))))
+        .as(Seq("__pos", "__g")))
+    val canon = grams.groupBy("__g")
+      .agg(min(struct(col("__sid"), col("__pos"))).as("__min"))
+    val coveredPos = grams.join(canon, "__g")
+      .filter(!(struct(col("__sid"), col("__pos")) <=> col("__min")))
+      .select(col("__sid"),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__idx"))
+      .distinct()
+    val words = base.select(col("__sid"),
+      posexplode(col("__w")).as(Seq("__idx", "__word")))
+    val rebuilt = words.join(coveredPos, Seq("__sid", "__idx"), "left_anti")
+      .groupBy("__sid")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__word")))),
+          s => s.getField("__word")), " ").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).as("__n_words"))
+      .join(rebuilt, col(idCol) === col("__sid"), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_words") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

@@ -545,4 +545,134 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  // ---- index-model persistence -------------------------------------------
+  //
+  // The fit step (ivfFit/pqFit/pcaFit) reads a capped sample of the corpus;
+  // the serve step only needs the few-KB model. Persisting the model as a
+  // plain table separates BUILD (one heavy batch job) from SERVE (any later
+  // session loads the table and queries) — the production shape for a
+  // 100 TB index, and the same round-trip contract as Classifier.toDF.
+  // Loaders validate shape explicitly (contiguous ids, uniform dims,
+  // non-empty) so a filtered or truncated table fails loudly at load, not
+  // silently at query time.
+
+  import org.apache.spark.sql.SparkSession
+
+  /** Persist IVF centroids as `(cell_id, n_cells, center)` — also fits any
+    * other `Seq[Seq[Double]]` center list (e.g. a k-means model reused by
+    * [[clusterStats]]). The DECLARED total rides in every row so a
+    * filtered/truncated table — even one missing only TRAILING cells,
+    * which id-contiguity alone cannot see — fails loudly at load. */
+  def centersToDF(spark: SparkSession, centers: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    require(centers.nonEmpty, "no centers to persist")
+    centers.zipWithIndex.map { case (c, i) => (i, centers.length, c) }
+      .toDF("cell_id", "n_cells", "center")
+  }
+
+  /** Load IVF centroids persisted by [[centersToDF]]. Validates that cell
+    * ids are exactly 0..n_cells−1 and dimensions are uniform. */
+  def centersFromDF(df: DataFrame): Seq[Seq[Double]] = {
+    val rows = df.select(col("cell_id").cast("int"),
+        col("n_cells").cast("int"), col("center").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toList))
+    require(rows.nonEmpty, "empty centers table")
+    val declared = rows.map(_._2).distinct
+    require(declared.size == 1, s"inconsistent n_cells: $declared")
+    val n = declared.head
+    require(rows.length == n,
+      s"centers table has ${rows.length} rows, declares $n")
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    require(byId.size == rows.length, "duplicate cell_id rows")
+    require((0 until n).forall(byId.contains),
+      s"cell ids not contiguous 0..${n - 1}")
+    val out = (0 until n).map(byId)
+    require(out.map(_.length).distinct.size == 1,
+      "centers have inconsistent dimensions")
+    out
+  }
+
+  /** Persist PQ codebooks as `(subspace, code, m, ksize, center)` — the
+    * declared shape rides in every row (see [[centersToDF]]). */
+  def pqToDF(spark: SparkSession,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    require(codebooks.nonEmpty, "no codebooks to persist")
+    val ksizes = codebooks.map(_.length).distinct
+    require(ksizes.size == 1, s"ragged codebooks: sizes $ksizes")
+    (for {
+      (book, j) <- codebooks.zipWithIndex
+      (c, code) <- book.zipWithIndex
+    } yield (j, code, codebooks.length, ksizes.head, c))
+      .toDF("subspace", "code", "m", "ksize", "center")
+  }
+
+  /** Load PQ codebooks persisted by [[pqToDF]]. Validates the declared
+    * (m, ksize) shape against the rows actually present, and uniform
+    * subvector dimensions. */
+  def pqFromDF(df: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val rows = df.select(col("subspace").cast("int"), col("code").cast("int"),
+        col("m").cast("int"), col("ksize").cast("int"),
+        col("center").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Double](4).toList))
+    require(rows.nonEmpty, "empty codebook table")
+    val shapes = rows.map(r => (r._3, r._4)).distinct
+    require(shapes.size == 1, s"inconsistent declared shapes: $shapes")
+    val (m, ksize) = shapes.head
+    require(rows.length == m * ksize,
+      s"codebook table has ${rows.length} rows, declares $m x $ksize")
+    val byKey = rows.map(r => (r._1, r._2) -> r._5).toMap
+    require(byKey.size == rows.length, "duplicate (subspace, code) rows")
+    require(byKey.keys.forall { case (j, c) => j < m && c < ksize },
+      "row ids outside declared shape")
+    val out = (0 until m).map(j => (0 until ksize).map(c => byKey((j, c))))
+    require(out.flatten.map(_.length).distinct.size == 1,
+      "codewords have inconsistent dimensions")
+    out
+  }
+
+  /** Persist a [[PcaModel]] as `(kind, idx, vec, variance)`: one row per
+    * component (kind `component`, variance = explained fraction) plus one
+    * `mean` row. Explicit kinds, not sentinel ids — a truncated or
+    * filtered table fails validation in [[pcaFromDF]]. */
+  def pcaToDF(spark: SparkSession, model: PcaModel): DataFrame = {
+    import spark.implicits._
+    val n = model.components.length
+    val comps = model.components.zipWithIndex.map { case (c, i) =>
+      ("component", i, n, c, model.explainedVariance(i))
+    }
+    (comps :+ (("mean", 0, n, model.mean, 0.0)))
+      .toDF("kind", "idx", "n_components", "vec", "variance")
+  }
+
+  /** Load a [[PcaModel]] persisted by [[pcaToDF]]. */
+  def pcaFromDF(df: DataFrame): PcaModel = {
+    val rows = df.select(col("kind"), col("idx").cast("int"),
+        col("n_components").cast("int"),
+        col("vec").cast("array<double>"), col("variance").cast("double"))
+      .collect()
+    require(rows.nonEmpty, "empty PCA model table")
+    val declared = rows.map(_.getInt(2)).distinct
+    require(declared.length == 1, s"inconsistent n_components: ${declared.toSeq}")
+    val n = declared.head
+    val means = rows.filter(_.getString(0) == "mean")
+    require(means.length == 1, s"want exactly one mean row, got ${means.length}")
+    val comps = rows.filter(_.getString(0) == "component")
+      .map(r => (r.getInt(1), r.getSeq[Double](3).toList, r.getDouble(4)))
+    require(comps.length == n,
+      s"model table has ${comps.length} component rows, declares $n")
+    val byId = comps.map(c => c._1 -> c).toMap
+    require(byId.size == comps.length, "duplicate component idx rows")
+    require((0 until n).forall(byId.contains),
+      s"component ids not contiguous 0..${n - 1}")
+    val ordered = (0 until n).map(byId)
+    val mean = means.head.getSeq[Double](3).toList
+    require(ordered.forall(_._2.length == mean.length),
+      "component/mean dimensions inconsistent")
+    PcaModel(ordered.map(_._2), mean, ordered.map(_._3))
+  }
 }

@@ -203,6 +203,33 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** HTML → visible text — the crawl-ingest front door (CommonCrawl WET
+    * style extraction). Steps, in order:
+    *  1. drop `<script>…</script>` and `<style>…</style>` blocks whole
+    *     (their content is code, not prose) and `<!-- comments -->`;
+    *  2. replace every remaining tag with a space (block boundaries must
+    *     not glue words together);
+    *  3. decode the five XML entities plus `&nbsp;`/`&apos;` — `&amp;`
+    *     LAST, so `&amp;lt;` decodes once to the literal `&lt;` rather
+    *     than twice to `<`;
+    *  4. collapse whitespace runs, trim.
+    * A regex extractor, not an HTML parser — malformed nesting degrades to
+    * extra whitespace, never to an error. Pure codegen'd built-ins
+    * (`regexp_replace`/`replace`), zero shuffle, and each step mirrors
+    * 1:1 into the q136 oracle SQL. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = ent.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
   /** Corpus-wide token frequency table `(token, n)` — exact, and already
     * the 100 TB shape: `explode` is narrow, and the count's map-side
     * combine means the shuffle carries one `(token, partial count)` per

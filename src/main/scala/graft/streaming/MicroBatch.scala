@@ -204,7 +204,13 @@ object MicroBatch {
         // batch rows REPLACE prior rows with the same key
         .join(batch.select((partitionCol +: keyCols).map(col): _*),
           partitionCol +: keyCols, "left_anti")
+    // cluster by the partition value before the partitioned write: without
+    // this every one of the N write tasks opens a file in every touched
+    // dir (N×dirs small files per upsert — the death-by-files pattern);
+    // with it each dir gets one file per upsert. The shuffle only moves
+    // the touched slice, which update-mode keeps bounded.
     batch.unionByName(prior)
+      .repartition(col(partitionCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -44,6 +44,10 @@ class QueriesSpec extends SparkTestBase {
       // r8: PCA SVD fit is not SQL-expressible (DedupSpec pins variance
       // capture, orthonormality, projection formula, recall vs brute)
       "s129_pca_ann",
+      // r8: IVF fit behind the persistence round trip is k-means
+      // (WebCorpusSpec pins persisted == in-memory serving and loud
+      // failure on truncated model tables)
+      "s139_ann_persist",
       // r8: CDC rolling-hash boundaries are not SQL-expressible
       // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
       // planted-duplicate ratio)
