@@ -2022,6 +2022,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-source score calibration: per-group percent rank makes one
+    // global threshold keep the same fraction of every source. The
+    // (rank−1)/(n−1) division is IEEE-exact in both engines.
+    "t140_score_calibrate" -> ((s, d) => {
+      TextAnalysis.calibrateScores(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "n_chars", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN index persistence: fit IVF once, persist centroids as a table,
     // reload, serve. Rows-only (k-means fit not SQL-expressible);
     // WebCorpusSpec pins persisted == in-memory serving exactly.
@@ -3253,6 +3264,11 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
         | CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t140_score_calibrate" ->
+      """SELECT doc_id, lang, n_chars,
+        | percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS calibrated
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // full re-derivation of k-gram-coverage substring dedup: window

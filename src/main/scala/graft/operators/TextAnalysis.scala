@@ -230,6 +230,58 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
+  /** Cross-source score calibration: raw heuristic scores (perplexity,
+    * quality, classifier logits) have SOURCE-dependent distributions, so
+    * one global threshold over-prunes some sources and under-prunes
+    * others. Calibration maps each score to its percent rank WITHIN its
+    * group — uniform [0, 1] per group — after which a single global cut
+    * keeps the same fraction of every source.
+    *
+    * Exact form: `percent_rank() = (rank−1)/(n−1)` per group (ties share
+    * a rank; a 1-row group calibrates to 0). One shuffle keyed on the
+    * group + a per-group sort — fine while every group fits a reducer.
+    * When one source is corpus-sized, use [[calibrateScoresApprox]]:
+    * same contract, bounded per-group state. */
+  def calibrateScores(df: DataFrame, scoreCol: String, groupCol: String,
+      outCol: String = "calibrated"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(outCol, percent_rank().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
+  }
+
+  /** Scale form of [[calibrateScores]]: one `percentile_approx` pass
+    * yields `buckets−1` cut points per group (a few KB — groups are
+    * sources/languages, never corpus-sized), broadcast back, and the
+    * calibrated value is `|cuts ≤ score| / buckets` via a codegen'd
+    * array probe. No per-group sort, no group ever concentrates on one
+    * reducer; error is bounded by bucket width + the sketch accuracy. */
+  def calibrateScoresApprox(df: DataFrame, scoreCol: String,
+      groupCol: String, outCol: String = "calibrated",
+      buckets: Int = 100, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val ps = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val cuts = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(scoreCol).cast("double"), ps, lit(accuracy))
+        .as("__cuts"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn(outCol,
+        size(filter(col("__cuts"),
+          c => c <= col(scoreCol).cast("double"))).cast("double") / buckets)
+      .drop("__cuts")
+  }
+
+  /** Keep the top `keepFraction` of each group by calibrated score (the
+    * per-source analogue of a global quantile gate). Boundary ties all
+    * survive — deterministic, at-least-fraction semantics. */
+  def calibratedKeep(df: DataFrame, scoreCol: String, groupCol: String,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction in (0,1], got $keepFraction")
+    calibrateScores(df, scoreCol, groupCol, "__cal")
+      .filter(col("__cal") >= 1.0 - keepFraction)
+      .drop("__cal")
+  }
+
   /** Corpus-wide token frequency table `(token, n)` — exact, and already
     * the 100 TB shape: `explode` is narrow, and the count's map-side
     * combine means the shuffle carries one `(token, partial count)` per

@@ -192,6 +192,44 @@ class WebCorpusSpec extends SparkTestBase {
     assert(t1 === t2)
   }
 
+  // ---- score calibration --------------------------------------------------
+
+  test("calibrateScores: per-group percent rank, ties share, singleton is 0") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0),
+      ("b", 5.0)).toDF("src", "score")
+    val got = TextAnalysis.calibrateScores(df, "score", "src")
+      .orderBy("src", "score").select("calibrated").as[Double].collect()
+    assert(got.toSeq === Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0, 0.0))
+  }
+
+  test("calibrateScoresApprox tracks exact calibration within bucket width") {
+    // tie-free scores so the comparison isolates bucketing error
+    val df = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b", i * 1.0 + i * i * 1e-4))
+      .toDF("src", "score")
+    val exact = TextAnalysis.calibrateScores(df, "score", "src", "e")
+    val buckets = 50
+    val both = TextAnalysis.calibrateScoresApprox(exact, "score", "src", "a",
+        buckets = buckets)
+      .select(abs(col("a") - col("e")).as("d")).as[Double].collect()
+    // CDF-vs-percent-rank convention differs by <= 1/n; sketch is exact at
+    // this size, so total deviation is bounded by bucket width + 1/n
+    assert(both.max <= 1.0 / buckets + 1.0 / 99 + 1e-9,
+      s"max deviation ${both.max}")
+  }
+
+  test("calibratedKeep keeps the same fraction of every group") {
+    val df = (1 to 100).flatMap(i => Seq(("big", i * 1.0), ("big", i + 0.5)))
+      .zipWithIndex.map { case ((g, v), ix) => (g, v + ix * 1e-9) } ++
+      (1 to 40).map(i => ("small", i * 7.0))
+    val in = df.toDF("src", "score")
+    val kept = TextAnalysis.calibratedKeep(in, "score", "src", 0.25)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // at-least-fraction semantics, tie-free data → exact-ish per group
+    assert(kept("big") >= 50 && kept("big") <= 52)
+    assert(kept("small") >= 10 && kept("small") <= 11)
+  }
+
   // ---- ANN model persistence ---------------------------------------------
 
   test("IVF centers round-trip through a DataFrame") {
