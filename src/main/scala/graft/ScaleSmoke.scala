@@ -85,7 +85,11 @@ object ScaleSmoke {
     "t108_lm_perplexity", "t109_quality_classifier",
     "t110_line_dedup", "t114_pack_sequences",
     "t115_bm25", "t116_c4_filter", "t117_ngram_novelty",
-    "s118_cluster_stats", "s119_diversity_sample")
+    "s118_cluster_stats", "s119_diversity_sample",
+    // r8 web-corpus family. d138/d135 gates are fixture-bounded by design
+    // (planted-duplicate slices); substringDedup's corpus-scale shape is
+    // the same postings pattern t110 already smokes.
+    "d137_soft_dedup", "t140_score_calibrate")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

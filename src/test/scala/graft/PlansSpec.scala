@@ -280,6 +280,58 @@ class PlansSpec extends SparkTestBase {
       p.take(3000))
   }
 
+  test("URL normalization and HTML extraction are zero-shuffle expressions") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val p = plan(docs.select(col("doc_id"),
+      graft.operators.UrlOps.normalizeUrl(col("text")).as("u"),
+      graft.operators.TextAnalysis.htmlToText(col("text")).as("h")))
+    assert(!p.contains("Exchange"),
+      s"regex chains must stay per-row:\n${p.take(2000)}")
+    // "*(n)" is the whole-stage-codegen marker in executedPlan.toString
+    assert(p.startsWith("*("), p.take(2000))
+  }
+
+  test("softDedupWeights corpus-wide aggregate partitions on the key hash") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = graft.operators.Dedup.softDedupWeights(docs, "doc_id", Seq("text"))
+    out.count()
+    val p = plan(out)
+    // the full-corpus count shuffles 16 B/row (id, xxhash64), never text
+    assert(p.contains("hashpartitioning(__kh"),
+      s"candidate pass must partition on the hash:\n${p.take(3000)}")
+    // the colliding-candidate weights reach the spine join as a broadcast
+    // (tiny for natural corpora; AQE may fold it either way at fixture SF)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("substringDedup never goes all-pairs and shuffles on the gram key") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = graft.operators.Dedup.substringDedup(docs, "doc_id", "text")
+    out.count()
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // gram canonicalization exchanges on the 8-byte gram hash with a
+    // partial (map-side) aggregate below it — hot boilerplate grams are
+    // absorbed before the shuffle
+    assert(p.contains("hashpartitioning(__g"),
+      s"canonical agg must partition on the gram key:\n${p.take(3000)}")
+    assert(p.contains("partial_min") || p.contains("partial_"), p.take(3000))
+  }
+
+  test("calibrateScoresApprox avoids the per-group sort window") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val out = graft.operators.TextAnalysis.calibrateScoresApprox(
+      docs, "n_chars", "lang")
+    out.count()
+    val p = plan(out)
+    assert(!p.contains("Window"),
+      s"approx path must not sort per group:\n${p.take(2000)}")
+    // cut table reaches every row as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("ngram counting partially aggregates map-side (t107)") {
     val q = SparkEntry.queries("t107_bigram_counts")(spark, sf)
     q.count()
