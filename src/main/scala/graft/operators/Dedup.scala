@@ -1405,7 +1405,8 @@ object Dedup {
     * strings for differential testing (the d138 oracle).
     * Returns (idCol, clean_text, n_removed). */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, exactGrams: Boolean = false): DataFrame = {
+      k: Int = 8, exactGrams: Boolean = false,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val base = docs.select(col(idCol).as("__sid"),
       split(col(textCol), " ").as("__w"))
@@ -1435,11 +1436,13 @@ object Dedup {
           array_sort(collect_list(struct(col("__idx"), col("__word")))),
           s => s.getField("__word")), " ").as("clean_text"),
         count(lit(1)).as("__n_kept"))
-    docs.select(col(idCol), size(split(col(textCol), " ")).as("__n_words"))
+    docs.select((Seq(col(idCol),
+        size(split(col(textCol), " ")).as("__n_words")) ++
+        carryCols.map(col)): _*)
       .join(rebuilt, col(idCol) === col("__sid"), "left")
-      .select(col(idCol),
+      .select((Seq(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("__n_words") - coalesce(col("__n_kept"), lit(0L)))
-          .as("n_removed"))
+          .as("n_removed")) ++ carryCols.map(col)): _*)
   }
 }

@@ -270,16 +270,24 @@ object TextAnalysis {
       .drop("__cuts")
   }
 
-  /** Keep the top `keepFraction` of each group by calibrated score (the
-    * per-source analogue of a global quantile gate). Boundary ties all
-    * survive — deterministic, at-least-fraction semantics. */
+  /** Keep the top `keepFraction` of each group by score rank (the
+    * per-source analogue of a global quantile gate). Uses `cume_dist`
+    * (fraction of the group at or below this score), NOT `percent_rank`:
+    * percent_rank's ties-FIRST convention assigns a whole tie plateau its
+    * lowest rank, so a coarse score distribution (e.g. a rule score with
+    * few distinct values) could silently drop an entire top plateau.
+    * With cume_dist the boundary plateau always survives — deterministic
+    * at-least-fraction semantics: never fewer than the fraction, more
+    * only by the width of the boundary tie. */
   def calibratedKeep(df: DataFrame, scoreCol: String, groupCol: String,
       keepFraction: Double): DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
       s"keepFraction in (0,1], got $keepFraction")
-    calibrateScores(df, scoreCol, groupCol, "__cal")
-      .filter(col("__cal") >= 1.0 - keepFraction)
-      .drop("__cal")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__cd", cume_dist().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))))
+      .filter(col("__cd") > 1.0 - keepFraction)
+      .drop("__cd")
   }
 
   /** Corpus-wide token frequency table `(token, n)` — exact, and already

@@ -70,7 +70,33 @@ object TrainingDataPipeline {
         * documents that SURVIVE this screen. Unlike `lineDedupDocFreq`
         * (corpus-frequency lines, needs a shuffle) this is a zero-shuffle
         * per-row rule. */
-      c4LineFilter: Option[(Int, Int)] = None)
+      c4LineFilter: Option[(Int, Int)] = None,
+      /** Treat ingest `text` as raw HTML and extract visible prose
+        * ([[TextAnalysis.htmlToText]]) before every other stage —
+        * zero-shuffle, so it fuses into the same scan stage as C4
+        * cleaning and annotation. */
+      htmlExtract: Boolean = false,
+      /** URL hygiene (column holding each doc's URL): canonicalize and
+        * keep one min-id survivor per normalized URL — the cheapest dedup
+        * rung, BEFORE any text signal is computed (RefinedWeb runs it
+        * first for the same reason: the dup decision reads a ~100 B key,
+        * not the document). */
+      urlDedupCol: Option[String] = None,
+      /** Domain blocklist over the same URL column: drop documents whose
+        * registrable domain is listed (broadcast
+        * [[graft.operators.UrlOps.domainFilter]]). */
+      blockedDomains: Option[Seq[String]] = None,
+      /** Per-source calibrated quality gate: AFTER the global score
+        * screens, keep the top fraction of each group by calibrated
+        * quality ([[TextAnalysis.calibratedKeep]]) — one global knob that
+        * prunes every source equally instead of whichever source's score
+        * distribution sits lowest. (groupCol, keepFraction). */
+      calibratedQuality: Option[(String, Double)] = None,
+      /** Exact-substring (k-gram coverage) rewrite
+        * ([[Dedup.substringDedup]]) — the strongest corpus-rewrite rung,
+        * after span dedup; spans duplicated anywhere keep only their
+        * first occurrence. Documents cut to nothing are dropped. */
+      substringDedupK: Option[Int] = None)
 
   /** Trainer-ready sequence emission ([[run]]'s `sequenceOutput`): the
     * surviving documents are BPE-encoded with the supplied pre-trained
@@ -202,11 +228,31 @@ object TrainingDataPipeline {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
+    // URL hygiene first: blocklist + URL-level dedup read only the URL
+    // column — no text signal is paid for a page that loses here
+    val urlScreened = cfg.urlDedupCol.map { u =>
+      val blocked = cfg.blockedDomains.filter(_.nonEmpty).map { doms =>
+        import spark.implicits._
+        graft.operators.UrlOps.domainFilter(docs, u,
+          doms.toDF("domain"), "domain", "deny")
+      }.getOrElse(docs)
+      val keep = graft.operators.UrlOps.urlDedup(blocked, "doc_id", u)
+        .select(col("keep_doc_id").as("doc_id"))
+      blocked.join(keep, Seq("doc_id"), "left_semi")
+    }.getOrElse {
+      require(cfg.blockedDomains.isEmpty,
+        "blockedDomains needs urlDedupCol to name the URL column")
+      docs
+    }
+    val extracted =
+      if (cfg.htmlExtract)
+        urlScreened.withColumn("text", TextAnalysis.htmlToText(col("text")))
+      else urlScreened
     val pre = cfg.c4LineFilter.map { case (minWords, minLines) =>
-      TextAnalysis.c4Clean(docs, "doc_id", "text", minWords, minLines)
+      TextAnalysis.c4Clean(extracted, "doc_id", "text", minWords, minLines)
         .withColumnRenamed("id", "doc_id")
         .drop("kept_lines", "total_lines")
-    }.getOrElse(docs)
+    }.getOrElse(extracted)
     val annotated = annotate(pre, cfg).observe(obsIn, count(lit(1)).as("n"))
     val sampled = cfg.sampleFraction
       .map(f => Dedup.hashSample(annotated, "doc_id", f))
@@ -220,7 +266,13 @@ object TrainingDataPipeline {
         Dedup.temperatureMix(sampled, "doc_id", domain, alpha, target,
           cfg.temperatureMixWeightCol) })
       .getOrElse(sampled)
-    val quality = qualityFilter(mixed, cfg)
+    val qualityGated = qualityFilter(mixed, cfg)
+    // the calibrated gate is part of the quality stage: afterQuality
+    // reports what survives BOTH the global screens and the per-source cut
+    val quality = cfg.calibratedQuality
+      .map { case (group, frac) =>
+        TextAnalysis.calibratedKeep(qualityGated, "quality", group, frac) }
+      .getOrElse(qualityGated)
       .observe(obsQ, count(lit(1)).as("n"))
     val selected = dsirTarget
       .map { case (t0, frac) =>
@@ -277,7 +329,7 @@ object TrainingDataPipeline {
           .drop("kept_lines", "total_lines")
       }
       .getOrElse(nearDeduped)
-    val deduped = cfg.spanDedupTokens
+    val spanDeduped = cfg.spanDedupTokens
       .map { k =>
         Dedup.spanDedup(lineDeduped, "doc_id", "text", k,
             carryCols = Seq("source", "lang", "quality"))
@@ -288,6 +340,20 @@ object TrainingDataPipeline {
           .drop("kept_spans")
       }
       .getOrElse(lineDeduped)
+    // strongest rewrite rung last: spans duplicated ANYWHERE keep only
+    // their first occurrence; docs cut to nothing drop out
+    val deduped = cfg.substringDedupK
+      .map { k =>
+        Dedup.substringDedup(spanDeduped, "doc_id", "text", k,
+            carryCols = Seq("source", "lang", "quality"))
+          .filter(col("clean_text") =!= "")
+          .withColumnRenamed("clean_text", "text")
+          .withColumn("n_tokens",
+            org.apache.spark.sql.graft.NativeFunctions.tokenCount(col("text"))
+              .cast(LongType))
+          .drop("n_removed")
+      }
+      .getOrElse(spanDeduped)
       .observe(obsD,
         count(lit(1)).as("n"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("tok"))

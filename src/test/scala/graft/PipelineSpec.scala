@@ -241,6 +241,60 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("web front-door stages: blocklist, url dedup, html extract, substring rewrite") {
+    val tail = " unique shared tail sentence appearing twice across documents here"
+    val docs = Tables.documents(spark, sf).filter($"doc_id" < 200)
+      // make the probe docs' texts unique so exact/near dedup can't
+      // interfere with the URL-stage assertions
+      .withColumn("text",
+        when($"doc_id".isin(10L, 11L, 12L),
+          concat($"text", lit(" u"), $"doc_id"))
+        .when($"doc_id".isin(20L, 25L), concat($"text", lit(tail)))
+        .otherwise($"text"))
+      .withColumn("text", concat(lit("<html><body><p>"), $"text",
+        lit("</p><script>var x = 1;</script></body></html>")))
+      .withColumn("url",
+        when($"doc_id" === 11L, lit("https://WWW.good.org/p/10?utm_source=x"))
+        .when($"doc_id" === 10L, lit("https://good.org/p/10"))
+        .when($"doc_id" === 12L, lit("https://spam.bad-domain.com/x"))
+        .otherwise(concat(lit("https://good.org/p/"), $"doc_id")))
+
+    val outDir = Files.createTempDirectory("graft_pipe_web").toString
+    val report = TrainingDataPipeline.run(spark, docs, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        htmlExtract = true, urlDedupCol = Some("url"),
+        blockedDomains = Some(Seq("bad-domain.com")),
+        substringDedupK = Some(8)))
+    val out = spark.read.parquet(outDir)
+    // 11 lost URL dedup to 10 (same canonical URL), 12 hit the blocklist
+    assert(out.filter($"doc_id".isin(11L, 12L)).head(1).isEmpty)
+    assert(out.filter($"doc_id" === 10L).count() == 1)
+    // html never reaches the shards
+    assert(out.filter($"text".contains("<")).head(1).isEmpty)
+    // substring rewrite: first occurrence (doc 20) keeps the shared tail,
+    // doc 25 loses exactly those words
+    val t20 = out.filter($"doc_id" === 20L).head().getAs[String]("text")
+    val t25 = out.filter($"doc_id" === 25L).head().getAs[String]("text")
+    assert(t20.endsWith("here"), t20.takeRight(80))
+    assert(!t25.contains("shared tail sentence"), t25.takeRight(80))
+    assert(report.input == 200 - 2) // the two URL-stage losses precede input
+  }
+
+  test("calibrated quality gate keeps the same share of every source") {
+    val docs = Tables.documents(spark, sf)
+    val outDir = Files.createTempDirectory("graft_pipe_cal").toString
+    val report = TrainingDataPipeline.run(spark, docs, outDir,
+      TrainingDataPipeline.Config(minQuality = 0.0, minTokens = 1,
+        calibratedQuality = Some(("source", 0.5))))
+    // with no global screens, the calibrated gate alone sets afterQuality.
+    // The fixture's rule score is a two-value plateau per source, so the
+    // at-least-fraction semantics keep the whole top plateau (more than
+    // half) while still dropping every source's bottom plateau.
+    assert(report.afterQuality < report.input &&
+      report.afterQuality >= (0.5 * report.input).toLong,
+      s"afterQuality=${report.afterQuality} input=${report.input}")
+  }
+
   test("pipeline is deterministic across runs") {
     val docs = Tables.documents(spark, sf)
     val out1 = Files.createTempDirectory("graft_p1").toString

@@ -218,6 +218,19 @@ class WebCorpusSpec extends SparkTestBase {
       s"max deviation ${both.max}")
   }
 
+  test("calibratedKeep never drops a whole tie plateau") {
+    // two-value plateau: 5 low + 20 high per group — percent_rank would
+    // rank the high plateau at 5/24 and drop EVERYTHING at frac 0.5;
+    // cume_dist keeps the top plateau and cuts the bottom one
+    val df = (1 to 25).map(i => ("s", if (i <= 5) 0.8 else 1.0))
+      .toDF("src", "score")
+    val kept = TextAnalysis.calibratedKeep(df, "score", "src", 0.5)
+    assert(kept.count() === 20)
+    // fully-tied group: everything survives (at-least-fraction)
+    val tied = (1 to 10).map(_ => ("t", 1.0)).toDF("src", "score")
+    assert(TextAnalysis.calibratedKeep(tied, "score", "src", 0.3).count() === 10)
+  }
+
   test("calibratedKeep keeps the same fraction of every group") {
     val df = (1 to 100).flatMap(i => Seq(("big", i * 1.0), ("big", i + 0.5)))
       .zipWithIndex.map { case ((g, v), ix) => (g, v + ix * 1e-9) } ++
