@@ -2033,6 +2033,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Compression-ratio quality signal: deflate ratio per document + the
+    // band gate. Rows-only (DuckDB has no deflate); zlib output is
+    // deterministic for a given input/level, and ExpressionsSpec pins
+    // ordering properties + interpreted ≡ codegen.
+    "t141_compression_signal" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.compressionRatio(col("text")), 4).as("ratio"),
+          TextAnalysis.compressionKeep(col("text"), 0.05, 0.95).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN index persistence: fit IVF once, persist centroids as a table,
     // reload, serve. Rows-only (k-means fit not SQL-expressible);
     // WebCorpusSpec pins persisted == in-memory serving exactly.

@@ -230,6 +230,24 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
+  /** Deflate compression ratio of the document bytes — the Gopher/Dolma
+    * "natural-language statistics" signal the rule gates can't see:
+    * templated/repeated text compresses far below prose, random blobs
+    * (base64, minified data) sit near 1.0. Codegen'd static-kernel call,
+    * thread-local zlib state, zero shuffle. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graft.NativeFunctions.compressionRatio(text, level)
+
+  /** The band gate over [[compressionRatio]]: keep documents whose ratio
+    * lies in [minRatio, maxRatio] — below is degenerate repetition,
+    * above is incompressible noise. Thresholds are corpus-dependent
+    * knobs (prose at level 6 typically lands ~0.3–0.6). */
+  def compressionKeep(text: Column, minRatio: Double = 0.1,
+      maxRatio: Double = 0.9): Column = {
+    val r = compressionRatio(text)
+    r >= minRatio && r <= maxRatio
+  }
+
   /** Cross-source score calibration: raw heuristic scores (perplexity,
     * quality, classifier logits) have SOURCE-dependent distributions, so
     * one global threshold over-prunes some sources and under-prunes

@@ -92,6 +92,11 @@ object TrainingDataPipeline {
         * prunes every source equally instead of whichever source's score
         * distribution sits lowest. (groupCol, keepFraction). */
       calibratedQuality: Option[(String, Double)] = None,
+      /** Compression-ratio band gate ([[TextAnalysis.compressionKeep]]):
+        * (minRatio, maxRatio) — drops degenerate repetition below the
+        * band and incompressible noise above it; fuses into the same
+        * per-row stage as the other quality screens. */
+      compressionBand: Option[(Double, Double)] = None,
       /** Exact-substring (k-gram coverage) rewrite
         * ([[Dedup.substringDedup]]) — the strongest corpus-rewrite rung,
         * after span dedup; spans duplicated anywhere keep only their
@@ -152,9 +157,12 @@ object TrainingDataPipeline {
   def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame = {
     val base = annotated.filter(col("quality") >= cfg.minQuality &&
       col("n_tokens") >= cfg.minTokens)
-    cfg.gopherRules.fold(base)(g => base.filter(TextAnalysis.gopherKeep(
-      col("text"), g.minWords, g.maxWords, g.minMeanLen, g.maxMeanLen,
-      g.minStopRatio, g.maxRepetition)))
+    val ruled = cfg.gopherRules.fold(base)(g => base.filter(
+      TextAnalysis.gopherKeep(
+        col("text"), g.minWords, g.maxWords, g.minMeanLen, g.maxMeanLen,
+        g.minStopRatio, g.maxRepetition)))
+    cfg.compressionBand.fold(ruled) { case (lo, hi) =>
+      ruled.filter(TextAnalysis.compressionKeep(col("text"), lo, hi)) }
   }
 
   /** Exact dedup: keep the min-id survivor per identical text. Hash-first

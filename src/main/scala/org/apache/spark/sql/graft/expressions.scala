@@ -693,6 +693,70 @@ object CdcKernels {
   }
 }
 
+/** Deflate kernel for the compression-ratio quality signal. Static so
+  * codegen emits one call; the Deflater (native zlib state) and output
+  * buffer are thread-local and reused across rows — one allocation per
+  * executor thread per level, not per document. */
+object CompressKernels {
+  private val deflaters =
+    new ThreadLocal[java.util.HashMap[Integer, java.util.zip.Deflater]] {
+      override def initialValue() =
+        new java.util.HashMap[Integer, java.util.zip.Deflater]()
+    }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](1 << 16)
+  }
+
+  /** Raw-deflate (no zlib header) size of `bytes` at `level`. */
+  def deflatedSize(bytes: Array[Byte], level: Int): Int = {
+    val map = deflaters.get()
+    var d = map.get(level)
+    if (d == null) {
+      d = new java.util.zip.Deflater(level, true)
+      map.put(level, d)
+    } else d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(b)
+    total
+  }
+
+  /** `deflated_size / raw_size` of the UTF-8 bytes; empty string → 1.0.
+    * Deterministic for a given input and level (pure-software zlib). */
+  def compressionRatio(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) 1.0
+    else deflatedSize(bytes, level).toDouble / bytes.length
+  }
+}
+
+/** Deflate compression ratio of a document's UTF-8 bytes — the
+  * Gopher/Dolma-style "does this text have natural-language statistics"
+  * signal: highly repetitive or templated text compresses far below
+  * prose, while random bytes/base64 blobs sit near (or above) 1.0. One
+  * static-kernel call per row; the zlib state is reused thread-locally
+  * ([[CompressKernels]]). */
+case class CompressionRatio(child: Expression, level: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(level >= 1 && level <= 9, s"deflate level in [1,9], got $level")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    CompressKernels.compressionRatio(input.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CompressKernels.compressionRatio($c, $level)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "compression_ratio"
+}
+
 /** Content-defined chunk list of a binary payload ([[CdcKernels]]):
   * `array<struct<hash, off, len>>`. Null payload → null; empty → empty
   * array. The per-byte work happens once per row in the static kernel —
@@ -1133,6 +1197,9 @@ object NativeFunctions {
   def tokenFingerprint(c: Column): Column =
     ExpressionUtils.column(TokenFingerprint(ExpressionUtils.expression(c)))
 
+  def compressionRatio(c: Column, level: Int = 6): Column =
+    ExpressionUtils.column(CompressionRatio(ExpressionUtils.expression(c), level))
+
   /** Foreign-warehouse row hash ([[ForeignBucketHash]]); compose with
     * `pmod(_, lit(n))` for the warehouse's bucket id. */
   def foreignBucketHash(cols: Column*): Column =
@@ -1262,6 +1329,9 @@ object NativeFunctions {
       exprs => SubwordCount(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("token_fingerprint",
       exprs => TokenFingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("compression_ratio",
+      exprs => CompressionRatio(exprs(0),
+        if (exprs.length > 1) intLit(exprs(1)) else 6), "built-in")
     reg.createOrReplaceTempFunction("shingle_distinct_count",
       exprs => ShingleDistinctCount(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("interleave_bits",

@@ -166,6 +166,47 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("compression ratio orders repetition below prose below noise") {
+    import spark.implicits._
+    val rep = "spam ham " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far afield to inspect seventeen distinct grazing meadows " +
+      "before returning home beneath a reddening autumn sky tonight"
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(400)((rnd.nextInt(93) + 33).toChar).mkString
+    val got = Seq(rep, prose, noise, "").toDF("t")
+      .select(graft.operators.TextAnalysis.compressionRatio($"t").as("r"))
+      .as[Double].collect()
+    assert(got(0) < got(1), s"repetition ${got(0)} !< prose ${got(1)}")
+    assert(got(1) < got(2), s"prose ${got(1)} !< noise ${got(2)}")
+    assert(got(3) === 1.0) // empty string convention
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(graft.operators.TextAnalysis.compressionRatio($"t")).head()
+    assert(n.isNullAt(0))
+    // thread-local zlib state reuse is stateless across rows: same input
+    // twice → identical ratios
+    val twice = Seq(rep, rep).toDF("t")
+      .select(graft.operators.TextAnalysis.compressionRatio($"t").as("r"))
+      .as[Double].collect()
+    assert(twice(0) === twice(1))
+  }
+
+  test("compression ratio: interpreted = codegen, SQL-registrable") {
+    import org.apache.spark.sql.graft.{CompressionRatio, NativeFunctions}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = "alpha beta alpha beta alpha beta gamma"
+    val interp = CompressionRatio(Literal(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType), 6)
+      .eval(null).asInstanceOf[Double]
+    NativeFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT compression_ratio('$s'), compression_ratio('$s', 9)").head()
+    assert(viaSql.getDouble(0) === interp)
+    assert(viaSql.getDouble(1) > 0.0)
+  }
+
   test("foreign bucket hash: known answers, null→0, codegen = interpreted") {
     // pins computed with an independent implementation of the published
     // algorithm (Jenkins OAAT over UTF-8 bytes; 64→32 avalanche mix)

@@ -48,6 +48,9 @@ class QueriesSpec extends SparkTestBase {
       // (WebCorpusSpec pins persisted == in-memory serving and loud
       // failure on truncated model tables)
       "s139_ann_persist",
+      // r8: deflate is not SQL-expressible (ExpressionsSpec pins ordering
+      // properties, empty/null semantics, interpreted = codegen)
+      "t141_compression_signal",
       // r8: CDC rolling-hash boundaries are not SQL-expressible
       // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
       // planted-duplicate ratio)
