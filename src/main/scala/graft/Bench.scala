@@ -49,7 +49,10 @@ object Bench {
       import java.nio.charset.StandardCharsets
       val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
       Files.createDirectories(dir)
-      Files.write(dir.resolve("latest.json"),
+      // a subset run must never clobber the full artifact of record
+      // (same contract as ScaleSmoke's sf1_smoke_partial.json)
+      val name = if (only.isDefined) "latest_partial.json" else "latest.json"
+      Files.write(dir.resolve(name),
         (line + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }

@@ -1805,8 +1805,11 @@ object SparkEntry {
       Tables.events(s, d).select(col("ts"), col("event_type"))
         .repartitionByRange(4, col("ts")).write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
+      // two files per trigger → two micro-batches: the first creates the
+      // snapshot, the second merges into it — replay semantics are fully
+      // exercised without paying the per-batch state-commit floor 4x
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
       // hour-grain counts, DAY-grain snapshot partitions (hr stays in the
       // key): time-bucketed sink partitioning sized so one partition dir
       // holds ~24 keys, not one — directory count is a scale knob, not a
@@ -1894,6 +1897,24 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
       operators.Multimodal.storageDedupReport(corpus, "doc_id", "payload",
         minSize = 64, avgBits = 7, maxSize = 512)
+    }),
+
+    // Binary near-dup pairs over CDC chunks: every %6 doc gets a
+    // header-spliced twin — boundary re-synchronization must pair it with
+    // its original despite the byte shift. Rows-only (buzhash CDC);
+    // MultimodalSpec-side tests pin splice recovery and the ubiquity cap.
+    "m142_binary_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("n_chars") >= 256 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat(lit("HDRv2:"), col("text")).as("text")))
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      operators.Multimodal.binaryNearDups(corpus, "doc_id", "payload",
+          threshold = 0.5, minSize = 64, avgBits = 6, maxSize = 512)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Per-benchmark contamination audit: benchA is a verbatim corpus

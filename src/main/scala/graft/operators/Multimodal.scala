@@ -134,4 +134,50 @@ object Multimodal {
         round(col("total_bytes").cast(DoubleType) /
           col("distinct_bytes"), 4).as("dedup_ratio"))
   }
+
+  /** Binary near-duplicate pairs at CHUNK granularity: payloads sharing
+    * ≥ `threshold` of their bytes (byte-weighted Jaccard over distinct
+    * content-defined chunks). Because CDC boundaries re-synchronize
+    * across byte splices, a payload with a prepended header or an
+    * in-place edit still pairs with its original — the binary analogue
+    * of text near-dup, with no decode step (works on opaque media).
+    *
+    * Shape: postings (12 B/chunk identity) → ubiquity cap (chunks in
+    * more than `maxChunkDocs` payloads are boilerplate — container
+    * magic, shared headers — carrying quadratic pair cost and no
+    * discriminative signal; the same skew-guard role as `capBuckets` in
+    * the text family) → equi-join on chunk identity → per-pair shared
+    * bytes → exact byte-Jaccard filter. Payload bytes never shuffle.
+    * Returns (id_a, id_b, shared_bytes, jaccard_bytes), id_a < id_b. */
+  def binaryNearDups(df: DataFrame, idCol: String, binCol: String,
+      threshold: Double = 0.5,
+      minSize: Int = 64, avgBits: Int = 8, maxSize: Int = 1024,
+      maxChunkDocs: Int = 256): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
+    val posts = cdcPostings(df, idCol, binCol, minSize, avgBits, maxSize)
+      .select(col("id"), col("chunk_hash"), col("len")).distinct()
+    val bytesPerId = posts.groupBy(col("id"))
+      .agg(sum(col("len").cast(LongType)).as("__bytes"))
+    val freq = posts.groupBy(col("chunk_hash"), col("len"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxChunkDocs)
+      .select(col("chunk_hash"), col("len"))
+    val rare = posts.join(freq, Seq("chunk_hash", "len"), "left_semi")
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.len") === col("b.len") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.len").cast(LongType)).as("shared_bytes"))
+    pairs
+      .join(bytesPerId.select(col("id").as("id_a"), col("__bytes").as("__ba")),
+        Seq("id_a"))
+      .join(bytesPerId.select(col("id").as("id_b"), col("__bytes").as("__bb")),
+        Seq("id_b"))
+      .withColumn("jaccard_bytes",
+        col("shared_bytes").cast(DoubleType) /
+          (col("__ba") + col("__bb") - col("shared_bytes")))
+      .filter(col("jaccard_bytes") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared_bytes"),
+        round(col("jaccard_bytes"), 4).as("jaccard_bytes"))
+  }
 }

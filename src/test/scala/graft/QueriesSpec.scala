@@ -51,6 +51,9 @@ class QueriesSpec extends SparkTestBase {
       // r8: deflate is not SQL-expressible (ExpressionsSpec pins ordering
       // properties, empty/null semantics, interpreted = codegen)
       "t141_compression_signal",
+      // r8: buzhash CDC chunking is not SQL-expressible (spec pins splice
+      // recovery, unrelated-payload rejection, ubiquity cap)
+      "m142_binary_neardup",
       // r8: CDC rolling-hash boundaries are not SQL-expressible
       // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
       // planted-duplicate ratio)

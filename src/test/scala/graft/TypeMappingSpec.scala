@@ -152,6 +152,34 @@ class TypeMappingSpec extends SparkTestBase {
     assert(off1 != off2)
   }
 
+  test("binaryNearDups: splice-shifted payload pairs with its original") {
+    val base = cdcBytes(6000, seed = 11L)
+    val header = cdcBytes(100, seed = 12L)
+    val spliced = header ++ base // every boundary shifted by 100 bytes
+    val unrelated = cdcBytes(6000, seed = 13L)
+    val df = Seq((1L, base), (2L, spliced), (3L, unrelated))
+      .toDF("id", "payload")
+    val got = Multimodal.binaryNearDups(df, "id", "payload",
+        threshold = 0.5, minSize = 64, avgBits = 6, maxSize = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // CDC re-synchronizes after the splice: (1,2) pair; unrelated stays out
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("binaryNearDups: ubiquitous chunks alone cannot create pairs") {
+    // payloads share ONLY a common header chunk (the container-magic
+    // pattern); with the ubiquity cap at 2 the header is discarded and
+    // nothing pairs — without the cap every payload pair would share it
+    val header = cdcBytes(600, seed = 20L)
+    val df = (1L to 4L).map(i =>
+        (i, header ++ cdcBytes(1200, seed = 30L + i)))
+      .toDF("id", "payload")
+    val got = Multimodal.binaryNearDups(df, "id", "payload",
+      threshold = 0.1, minSize = 64, avgBits = 6, maxSize = 512,
+      maxChunkDocs = 2)
+    assert(got.isEmpty)
+  }
+
   test("storageDedupReport: planted duplicate payload doubles total over distinct") {
     val a = cdcBytes(4096); val b = cdcBytes(4096, seed = 21L)
     val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "payload")
