@@ -2043,6 +2043,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff: the minimal I/U/D op log between two table versions
+    // (inverse of q21's CDC apply). One full-outer join on the key;
+    // null-safe struct compare. Hash-green vs an independent SQL diff.
+    "q143_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val before = o.filter(col("o_orderkey") % 7 =!= 0)
+      val after = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      Cdc.snapshotDiff(before, after, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Deequ-style expectations: every rule folds into ONE aggregation
+    // pass (a validation must not scan a 100 TB table once per rule);
+    // the report is rules-cardinality-sized.
+    "q144_expectations" -> ((s, d) => {
+      operators.Expectations.report(t(s, d, "lineitem"), Seq(
+        operators.Expectations.Check("qty_in_range",
+          col("l_quantity").between(1, 50)),
+        operators.Expectations.Check("ship_in_era",
+          col("l_shipdate").between("1992-01-01", "1998-12-31")),
+        operators.Expectations.Check("positive_price",
+          col("l_extendedprice") > 0),
+        operators.Expectations.Check("discount_band",
+          col("l_discount").between(0, 0.05), maxViolationRate = 0.5)))
+    }),
+
     // Cross-source score calibration: per-group percent rank makes one
     // global threshold keep the same fraction of every source. The
     // (rank−1)/(n−1) division is IEEE-exact in both engines.
@@ -3298,6 +3328,50 @@ object SparkEntry {
         | CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
         | CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q143_snapshot_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |b AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |a AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM base WHERE o_orderkey % 5 <> 0),
+        |j AS (
+        | SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  coalesce(a.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |       WHEN a.o_orderkey IS NULL THEN 'D'
+        |       WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+        |         OR a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'U'
+        |  END AS op
+        | FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT * FROM j WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q144_expectations" ->
+      """WITH agg AS (
+        | SELECT count(*) AS n,
+        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+        |  sum(CASE WHEN l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'
+        |      THEN 0 ELSE 1 END) AS v_ship,
+        |  sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price,
+        |  sum(CASE WHEN l_discount BETWEEN 0 AND 0.05 THEN 0 ELSE 1 END) AS v_disc
+        | FROM lineitem),
+        |r AS (
+        | SELECT 'qty_in_range' AS "check", CAST(v_qty AS BIGINT) AS v,
+        |   CAST(0.0 AS DOUBLE) AS tol, n FROM agg
+        | UNION ALL SELECT 'ship_in_era', CAST(v_ship AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), n FROM agg
+        | UNION ALL SELECT 'positive_price', CAST(v_price AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), n FROM agg
+        | UNION ALL SELECT 'discount_band', CAST(v_disc AS BIGINT),
+        |   CAST(0.5 AS DOUBLE), n FROM agg)
+        |SELECT "check", CAST(n AS BIGINT) AS n_rows, v AS n_violations,
+        | CAST(v AS DOUBLE) / n AS violation_rate,
+        | CAST(v AS DOUBLE) / n <= tol AS passed
+        |FROM r ORDER BY "check"""".stripMargin,
 
     "t140_score_calibrate" ->
       """SELECT doc_id, lang, n_chars,

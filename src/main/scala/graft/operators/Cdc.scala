@@ -57,4 +57,37 @@ object Cdc {
         count(lit(1)).as("op_count"),
         max_by(col(opCol), orderCol).as("final_op"))
       .withColumn("alive", col("final_op") =!= OpDelete)
+
+  /** Snapshot diff — the INVERSE of [[applyLog]]: the minimal I/U/D op
+    * log that transforms snapshot `before` into snapshot `after`, keyed
+    * by `keyCols` (the table-versioning "what changed between loads"
+    * question; feeding the result to [[applyLog]] over `before`
+    * reproduces `after`). Values compare null-safely as one struct
+    * (codegen'd); unchanged keys drop out.
+    *
+    * Scale: ONE full-outer join keyed on the key columns — the same
+    * shuffle any keyed compare costs; no driver materialization. Emits
+    * `after`'s row for I/U and `before`'s for D, plus `opCol`. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schemas differ: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    require(keyCols.nonEmpty && keyCols.forall(before.columns.contains),
+      s"bad key columns $keyCols")
+    val valCols = after.columns.filterNot(keyCols.contains).toSeq
+    def pack(df: DataFrame, v: String) = df.select(
+      struct(keyCols.map(col): _*).as("__k"),
+      struct(valCols.map(col): _*).as(v))
+    val joined = pack(before, "__bv")
+      .join(pack(after, "__av"), Seq("__k"), "full_outer")
+      .withColumn(opCol,
+        when(col("__bv").isNull, OpInsert)
+          .when(col("__av").isNull, OpDelete)
+          .when(!(col("__av") <=> col("__bv")), OpUpdate))
+      .filter(col(opCol).isNotNull)
+    val v = coalesce(col("__av"), col("__bv"))
+    joined.select(
+      keyCols.map(k => col("__k").getField(k).as(k)) ++
+        valCols.map(c => v.getField(c).as(c)) :+ col(opCol): _*)
+  }
 }

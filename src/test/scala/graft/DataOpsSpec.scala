@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Expectations}
+
+/** Table-versioning and data-quality operators: snapshot diff (the
+  * inverse of CDC apply) and single-pass expectations reports. */
+class DataOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val before = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "s", "v")
+  private val after = Seq(
+    (1L, "a", 10.0),           // unchanged → absent from the diff
+    (2L, "b", 25.0),           // U
+    (4L, "dd", 40.0),          // U (string field)
+    (5L, "e", 50.0))           // I; 3 deleted
+    .toDF("k", "s", "v")
+
+  test("snapshotDiff emits the minimal I/U/D log") {
+    val got = Cdc.snapshotDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (2L, "b", 25.0, "U"),
+      (3L, "c", 30.0, "D"),
+      (4L, "dd", 40.0, "U"),
+      (5L, "e", 50.0, "I")))
+  }
+
+  test("snapshotDiff round-trips: applyLog(before ++ diff) == after") {
+    val diff = Cdc.snapshotDiff(before, after, Seq("k"))
+    // seed ops (the standing snapshot as inserts at t=0) + the diff at t=1
+    val ops = before.withColumn("op", lit("I")).withColumn("t", lit(0))
+      .unionByName(diff.withColumn("t", lit(1)))
+    val applied = Cdc.applyLog(ops, Seq("k"), "op", Seq(col("t")))
+      .select("k", "s", "v").orderBy("k").collect().toSeq
+    val want = after.orderBy("k").collect().toSeq
+    assert(applied === want)
+  }
+
+  test("snapshotDiff handles null values null-safely") {
+    val b = Seq((1L, Some("x")), (2L, None: Option[String])).toDF("k", "s")
+    val a = Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("k", "s")
+    val got = Cdc.snapshotDiff(b, a, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // key 2: null == null → unchanged; key 1: x → null is an update
+    assert(got.toSeq === Seq((1L, "U")))
+  }
+
+  test("snapshotDiff rejects mismatched schemas and bad keys") {
+    intercept[IllegalArgumentException](
+      Cdc.snapshotDiff(before, after.drop("v"), Seq("k")))
+    intercept[IllegalArgumentException](
+      Cdc.snapshotDiff(before, after, Seq("nope")))
+  }
+
+  test("expectations: single pass, violation counting, tolerance") {
+    val df = Seq((1, 10), (2, -5), (3, 200), (4, 30)).toDF("id", "x")
+    val got = Expectations.report(df, Seq(
+        Expectations.Check("x_positive", col("x") > 0),
+        Expectations.Check("x_small", col("x") < 100, maxViolationRate = 0.3),
+        Expectations.Check("id_low", col("id") <= 4)))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("id_low", 4L, 0L, 0.0, true),
+      ("x_positive", 4L, 1L, 0.25, false),
+      ("x_small", 4L, 1L, 0.25, true))) // 0.25 <= 0.3 tolerance
+  }
+
+  test("expectations: NULL predicate counts as a violation; empty passes") {
+    val df = Seq(Some(1), None, Some(3)).toDF("x")
+    val got = Expectations.report(df,
+        Seq(Expectations.Check("x_odd", col("x") % 2 === 1)))
+      .head()
+    assert(got.getLong(2) === 1L) // only the NULL row violates
+    val empty = Expectations.report(df.filter(lit(false)),
+      Seq(Expectations.Check("any", lit(true))))
+    assert(empty.head().getBoolean(4))
+  }
+
+  test("uniquenessReport counts rows beyond the first per duplicate key") {
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"))
+      .toDF("k", "p")
+    val r = Expectations.uniquenessReport(df, Seq("k")).head()
+    assert(r.getLong(1) === 5L && r.getLong(2) === 2L)
+    assert(!r.getBoolean(4))
+    val ok = Expectations.uniquenessReport(df.dropDuplicates("k"), Seq("k"))
+      .head()
+    assert(ok.getLong(2) === 0L && ok.getBoolean(4))
+  }
+}
