@@ -44,6 +44,46 @@ class WebCorpusSpec extends SparkTestBase {
     assert(norm1("  padded  ") === "padded")
   }
 
+  test("normalizeUrl is idempotent over generated URL shapes") {
+    val rnd = new scala.util.Random(7)
+    def pick[A](xs: Seq[A]) = xs(rnd.nextInt(xs.size))
+    val urls = (1 to 300).map { i =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS"))
+      val user = pick(Seq("", "u:p@", "User@"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("ex.com", "a.b.Example.ORG", "news.co.uk"))
+      val port = pick(Seq("", ":443", ":80", ":8443"))
+      val path = pick(Seq("", "/", "/P/x", s"/d/$i/"))
+      val q = pick(Seq("", "?id=1", "?utm_source=a", "?id=1&utm_b=2&z=3",
+        "?utm_a=1&utm_b=2", "?a=1&ref=x"))
+      val frag = pick(Seq("", "#f", "#Sec/2"))
+      s"$scheme://$user$www$host$port$path$q$frag"
+    } :+ "not a url" :+ "" :+ "ftp://weird.example/Z?utm_x=1"
+    val df = urls.toDF("u")
+      .select(UrlOps.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), UrlOps.normalizeUrl(col("n1")).as("n2"))
+    val bad = df.filter(!(col("n1") <=> col("n2"))).collect()
+    assert(bad.isEmpty,
+      bad.take(5).map(r => s"'${r.getString(0)}' -> '${r.getString(1)}'")
+        .mkString("; "))
+  }
+
+  test("softDedupWeights conserves mass: sum(weight) == distinct keys") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = Dedup.softDedupWeights(docs, "doc_id", Seq("text"))
+      .agg(sum("weight")).head().getDouble(0)
+    val distinct = docs.select("text").distinct().count()
+    assert(math.abs(total - distinct) < 1e-6, s"$total vs $distinct")
+  }
+
+  test("compressionRatio stays in a sane band on fixture text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mm = docs.select(TextAnalysis.compressionRatio(col("text")).as("r"))
+      .agg(min("r"), max("r")).head()
+    assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) <= 1.2,
+      s"${mm.getDouble(0)}..${mm.getDouble(1)}")
+  }
+
   test("urlHost and registrableDomain") {
     val got = Seq(
       "https://User@WWW.News.Example.CO.UK:443/x",
