@@ -2043,6 +2043,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Batch ANN serve: every query row gets its top-k in ONE job — probe
+    // cells computed as a per-row expression, cell equi-join, per-query
+    // rank window. Rows-only (k-means fit); WebCorpusSpec pins batch ≡
+    // per-query serving.
+    "s145_ann_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centers = Similarity.ivfFit(emb, "embedding", nlist = 16)
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopKBatch(
+          Similarity.ivfAssign(corpus, "vec_id", "embedding", centers),
+          centers, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("id"),
+          round(col("cosine"), 5).as("cosine"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Snapshot diff: the minimal I/U/D op log between two table versions
     // (inverse of q21's CDC apply). One full-outer join on the key;
     // null-safe struct compare. Hash-green vs an independent SQL diff.

@@ -227,6 +227,51 @@ object Similarity {
       }
       .sortBy(_._1).take(nprobe).map(_._2)
 
+  /** The `nprobe` nearest cells of an embedding COLUMN (the per-row form
+    * of [[probeCells]]): distances to every centroid as an array of
+    * (argmin-key, cell) structs, sorted, sliced — all codegen'd; centers
+    * are plan literals. Returns `array<int>` of cell ids. */
+  private def probeCellsExpr(v: Column, centers: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2.0) * dot(v, vec(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
+  /** BATCH ANN serve: top-k corpus neighbors for EVERY row of a query
+    * table in one job — the bulk-annotation / RAG-backfill shape, where
+    * per-query driver round-trips ([[ivfTopKPreassigned]]'s `isin`
+    * filter) would make the driver the bottleneck.
+    *
+    * Shape: each query row computes its `nprobe` probe cells as a
+    * codegen'd expression and explodes to (query, cell); the equi-join
+    * against the cell-assigned corpus keys on `cell` (at scale, persist
+    * `assigned` partitioned by cell so the corpus side arrives
+    * co-located and only probed cells are scanned); scoring is one
+    * cosine per candidate; per-query top-k is a rank window whose
+    * reducer input is bounded by the query's probed-cell population.
+    * Returns (query_id, id, cosine, rank ≤ k). */
+  def ivfTopKBatch(assigned: DataFrame, centers: Seq[Seq[Double]],
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0, s"bad k=$k nprobe=$nprobe")
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.select(col(qIdCol).as("query_id"),
+        col(qEmbCol).as("__qemb"),
+        explode(probeCellsExpr(col(qEmbCol), centers, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    probes.join(assigned, Seq("cell"))
+      .select(col("query_id"), col("id"),
+        cosine(col("emb"), col("__qemb")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k over a pre-assigned corpus: `cell IN (nprobe nearest)` is a
     * plain pushable filter — no per-row centroid scoring at query time. */
   def ivfTopKPreassigned(assigned: DataFrame, centers: Seq[Seq[Double]],

@@ -54,6 +54,9 @@ class QueriesSpec extends SparkTestBase {
       // r8: buzhash CDC chunking is not SQL-expressible (spec pins splice
       // recovery, unrelated-payload rejection, ubiquity cap)
       "m142_binary_neardup",
+      // r8: batch ANN rides the k-means fit (WebCorpusSpec pins batch
+      // serving == per-query serving exactly)
+      "s145_ann_batch",
       // r8: CDC rolling-hash boundaries are not SQL-expressible
       // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
       // planted-duplicate ratio)

@@ -324,6 +324,28 @@ class WebCorpusSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Similarity.pcaFromDF(noTail))
   }
 
+  test("batch ANN serve equals per-query serving for every query") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centers = Similarity.ivfFit(emb, "embedding", nlist = 4)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", centers)
+    val queries = emb.filter(col("vec_id") < 3)
+    val batch = Similarity.ivfTopKBatch(assigned, centers, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val q = qr.getSeq[Float](1).map(_.toDouble).toList
+      val single = Similarity.ivfTopKPreassigned(assigned, centers, q,
+          k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"query $qid diverged")
+    }
+  }
+
   test("persisted IVF model serves identical top-k to the in-memory fit") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centers = Similarity.ivfFit(emb, "embedding", nlist = 4)
