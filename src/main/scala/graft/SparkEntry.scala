@@ -2043,6 +2043,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode dedup key: NFC + lower + whitespace collapse — composed and
+    // decomposed renderings of the same text land on one key. Hash-green:
+    // DuckDB's nfc_normalize mirrors the JDK normalizer.
+    "t146_unicode_normalize" -> ((s, d) => {
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.unicodeDedupKey(
+            concat(col("text"), lit(" Café ÉLAN  x"))).as("key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Extended PII redaction: email/url/phone plus IP + SSN shapes (the
+    // oracle mirrors the regex chain; the Luhn card kernel is identity on
+    // this card-free input and is pinned by ExpressionsSpec known answers).
+    "q147_redact_extended" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact a"), col("doc_id"),
+        lit("@ex.org ip 10.0."), col("doc_id") % 256,
+        lit(".7 ssn 123-45-6789 tel 555-123-4567"))
+      t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextAnalysis.redactPiiExtended(dirty).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch ANN serve: every query row gets its top-k in ONE job — probe
     // cells computed as a per-row expression, cell equi-join, per-query
     // rank window. Rows-only (k-means fit); WebCorpusSpec pins batch ≡
@@ -3346,6 +3371,30 @@ object SparkEntry {
         | CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
         | CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t146_unicode_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(
+        |  nfc_normalize(lower(text || ' Cafe' || chr(769) || ' ÉLAN  x')),
+        |  '\s+', ' ', 'g')) AS key
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+
+    "q147_redact_extended" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  text || ' contact a' || doc_id || '@ex.org ip 10.0.' ||
+        |  (doc_id % 256) || '.7 ssn 123-45-6789 tel 555-123-4567' AS d
+        | FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(d,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     "q143_snapshot_diff" ->
       """WITH base AS (

@@ -230,6 +230,35 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
+  /** Unicode normalization (default NFC) — the multilingual layer above
+    * the ASCII-conservative [[normalizeText]]: composed vs decomposed
+    * renderings of identical text byte-differ and defeat exact-hash
+    * dedup until normalized. JDK `java.text.Normalizer` via a codegen'd
+    * static kernel; ASCII passes through unchanged. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.NativeFunctions.unicodeNormalize(text, form)
+
+  /** Multilingual exact-dedup key: NFC-normalize, lowercase, collapse
+    * whitespace runs, trim — [[normalizeText]]'s contract without the
+    * ASCII-only folding, for corpora where accents and non-Latin scripts
+    * carry the content. */
+  def unicodeDedupKey(text: Column): Column =
+    trim(regexp_replace(normalizeUnicode(lower(text)), "\\s+", " "))
+
+  /** [[redactPii]] plus the network/identity shapes the base pass skips:
+    * IPv4 addresses, US-SSN-shaped ids, and Luhn-valid payment-card
+    * numbers (13–19 digits with optional dash/space separators — the
+    * checksum gate lives in a native kernel because a regex cannot
+    * express it, and it is what keeps phone numbers and ordinary ids
+    * untouched). All codegen'd, zero shuffle. */
+  def redactPiiExtended(text: Column): Column = {
+    val base = redactPii(text)
+    val ip = regexp_replace(base,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    val ssn = regexp_replace(ip, "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>")
+    org.apache.spark.sql.graft.NativeFunctions.redactCardNumbers(ssn)
+  }
+
   /** Deflate compression ratio of the document bytes — the Gopher/Dolma
     * "natural-language statistics" signal the rule gates can't see:
     * templated/repeated text compresses far below prose, random blobs

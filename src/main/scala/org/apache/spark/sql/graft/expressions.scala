@@ -693,6 +693,116 @@ object CdcKernels {
   }
 }
 
+/** JDK Unicode normalization kernel (java.text.Normalizer — no external
+  * dependency). Static so codegen emits one call. */
+object UnicodeKernels {
+  def normalize(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) — the multilingual dedup-key
+  * prerequisite: composed vs decomposed renderings of the same text
+  * byte-differ and defeat exact hashing until normalized. ASCII input
+  * passes through unchanged, so the ASCII-conservative
+  * `TextAnalysis.normalizeText` remains the differential-testing rung and
+  * this is the layer above it. */
+case class UnicodeNormalize(child: Expression, form: String)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"bad form $form")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernels.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.graft.UnicodeKernels.normalize($c, "$form")""")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "unicode_normalize"
+}
+
+/** Luhn-gated payment-card redaction kernel: digit runs (optionally
+  * dash/space separated) of 13–19 digits that pass the Luhn checksum
+  * replace with `<CC>`; everything else — phone numbers, ids, ordinary
+  * digits — passes through untouched. The checksum gate is what a pure
+  * regex cannot express and what cuts the false-positive rate ~10x. */
+object PiiKernels {
+  def luhnValid(digits: CharSequence): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def redactCards(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        // candidate run: digits plus single dash/space separators that
+        // sit BETWEEN digits
+        var j = i
+        var lastDigit = i - 1
+        val digits = new java.lang.StringBuilder(19)
+        var run = true
+        while (j < n && run) {
+          val cj = str.charAt(j)
+          if (cj >= '0' && cj <= '9') {
+            digits.append(cj); lastDigit = j; j += 1
+          } else if ((cj == '-' || cj == ' ') && j + 1 < n &&
+              str.charAt(j + 1) >= '0' && str.charAt(j + 1) <= '9') {
+            j += 1
+          } else run = false
+        }
+        if (digits.length >= 13 && digits.length <= 19 &&
+            luhnValid(digits)) {
+          sb.append("<CC>")
+        } else {
+          sb.append(str, i, lastDigit + 1)
+        }
+        i = lastDigit + 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** [[PiiKernels.redactCards]] as a codegen'd expression. */
+case class RedactCardNumbers(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    PiiKernels.redactCards(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.PiiKernels.redactCards($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "redact_card_numbers"
+}
+
 /** Deflate kernel for the compression-ratio quality signal. Static so
   * codegen emits one call; the Deflater (native zlib state) and output
   * buffer are thread-local and reused across rows — one allocation per
@@ -1200,6 +1310,12 @@ object NativeFunctions {
   def compressionRatio(c: Column, level: Int = 6): Column =
     ExpressionUtils.column(CompressionRatio(ExpressionUtils.expression(c), level))
 
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(c), form))
+
+  def redactCardNumbers(c: Column): Column =
+    ExpressionUtils.column(RedactCardNumbers(ExpressionUtils.expression(c)))
+
   /** Foreign-warehouse row hash ([[ForeignBucketHash]]); compose with
     * `pmod(_, lit(n))` for the warehouse's bucket id. */
   def foreignBucketHash(cols: Column*): Column =
@@ -1332,6 +1448,14 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction("compression_ratio",
       exprs => CompressionRatio(exprs(0),
         if (exprs.length > 1) intLit(exprs(1)) else 6), "built-in")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      exprs => UnicodeNormalize(exprs(0), exprs.lift(1).map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) =>
+          v.toString
+        case other => sys.error(s"expected string literal form, got $other")
+      }.getOrElse("NFC")), "built-in")
+    reg.createOrReplaceTempFunction("redact_card_numbers",
+      exprs => RedactCardNumbers(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_distinct_count",
       exprs => ShingleDistinctCount(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("interleave_bits",

@@ -166,6 +166,58 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("unicode normalize: composed and decomposed agree after NFC") {
+    import spark.implicits._
+    val composed = "caf\u00e9 \u00c9LAN"
+    val decomposed = "cafe\u0301 E\u0301LAN"
+    val got = Seq((composed, decomposed)).toDF("a", "b")
+      .select(
+        graft.operators.TextAnalysis.unicodeDedupKey($"a"),
+        graft.operators.TextAnalysis.unicodeDedupKey($"b"))
+      .head()
+    assert(got.getString(0) === got.getString(1))
+    assert(got.getString(0) === "café élan")
+    // NFKC folds compatibility forms (ﬁ ligature) that NFC keeps
+    val nfkc = Seq("ﬁle").toDF("t")
+      .select(graft.operators.TextAnalysis.normalizeUnicode($"t", "NFKC"))
+      .head().getString(0)
+    assert(nfkc === "file")
+  }
+
+  test("card redaction: Luhn-valid numbers redact, others pass through") {
+    import spark.implicits._
+    val cases = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN
+      ("pay 4111111111111111 now", "pay <CC> now"),
+      ("pay 4111-1111-1111-1111 now", "pay <CC> now"),
+      ("pay 4111 1111 1111 1111 now", "pay <CC> now"),
+      // same digits, checksum broken → untouched
+      ("pay 4111111111111112 now", "pay 4111111111111112 now"),
+      // too short for a PAN (12 digits), Luhn-valid or not → untouched
+      ("id 123456781234 x", "id 123456781234 x"),
+      // phone shapes never reach 13 digits → untouched
+      ("tel 555-123-4567", "tel 555-123-4567"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("t")
+      .select(org.apache.spark.sql.graft.NativeFunctions
+        .redactCardNumbers(col("t")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+    assert(org.apache.spark.sql.graft.PiiKernels.luhnValid("4111111111111111"))
+    assert(!org.apache.spark.sql.graft.PiiKernels.luhnValid("4111111111111112"))
+  }
+
+  test("redactPiiExtended: every shape in one pass") {
+    import spark.implicits._
+    val dirty = "mail a@b.co ip 10.1.2.3 ssn 123-45-6789 tel 555-123-4567 " +
+      "card 5500 0000 0000 0004 end"
+    val got = Seq(dirty).toDF("t")
+      .select(graft.operators.TextAnalysis.redactPiiExtended($"t"))
+      .head().getString(0)
+    assert(got ===
+      "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> card <CC> end")
+  }
+
   test("compression ratio orders repetition below prose below noise") {
     import spark.implicits._
     val rep = "spam ham " * 200
