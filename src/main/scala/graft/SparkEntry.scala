@@ -917,6 +917,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming curation: the full ingest-time composition — redact →
+    // rule screens with a reasoned DLQ → near-dup dedup vs the
+    // accumulated index. Planted junk (too-short docs, exact replays of
+    // already-ingested text) must land in DLQ / lose dedup. Rows-only
+    // (MinHash index); StreamingSpec pins reasons + replay idempotence.
+    "str148_stream_curate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = tmpDir("graft_str148")
+      val (indexDir, outDir, rejDir, srcDir, ckpt) =
+        (s"$root/idx", s"$root/out", s"$root/rej", s"$root/src", s"$root/ckpt")
+      val inc = docs.filter(col("doc_id") < 300)
+        // plant rule-rejects: sub-minTokens docs
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            lit("tiny doc").as("text")))
+        // plant dup-rejects: verbatim replays of in-stream docs
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .filter(col("doc_id") < 300)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      inc.repartition(2).write.parquet(srcDir)
+      val stream = s.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamCurate(
+        stream, indexDir, outDir, rejDir, ckpt, "doc_id", "text",
+        graft.streaming.MicroBatch.CurateConfig(
+          minQuality = 0.0, minTokens = 5, threshold = 0.6))
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(outDir)
+        .select(col("doc_id"), lit("kept").as("disposition"))
+      val rej = s.read.parquet(rejDir)
+        .select(col("doc_id"), concat(lit("rej:"), col("reason")).as("disposition"))
+      out.unionByName(rej).orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: select the quarter of the corpus whose
     // hashed-n-gram distribution best matches a 3-source target slice.
     // Rows-only: bucket hashing + gumbel selection are not SQL-expressible;

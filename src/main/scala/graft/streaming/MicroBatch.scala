@@ -319,7 +319,9 @@ object MicroBatch {
     // every later micro-batch's schema inference. Fail at batch start with
     // a layout error instead.
     val root = new org.apache.hadoop.fs.Path(indexDir)
-    val stray = graft.sources.Fs.of(root).listStatus(root).filterNot { st =>
+    val fs = graft.sources.Fs.of(root)
+    val listing = if (fs.exists(root)) fs.listStatus(root).toSeq else Nil
+    val stray = listing.filterNot { st =>
       val n = st.getPath.getName
       (st.isDirectory && n.startsWith("batch=")) ||
         n.startsWith("_") || n.startsWith(".")
@@ -331,10 +333,17 @@ object MicroBatch {
     // cast: partition discovery types `batch` from the dir names (string
     // when a `batch=seed` partition is present, numeric otherwise).
     // basePath pins the partition root so relocated/symlinked reads do not
-    // change the discovered columns.
-    val index = spark.read.option("basePath", indexDir).parquet(indexDir)
-      .filter(col("batch").cast("string") =!= lit(batchId.toString))
-      .select("id", "bands", "sh")
+    // change the discovered columns. An absent/empty dir (unseeded first
+    // batch — the cold-start case) is an EMPTY index with the right
+    // schema, derived from a zero-row plan, not a read error.
+    val index =
+      if (listing.exists(_.getPath.getName.startsWith("batch=")))
+        spark.read.option("basePath", indexDir).parquet(indexDir)
+          .filter(col("batch").cast("string") =!= lit(batchId.toString))
+          .select("id", "bands", "sh")
+      else
+        graft.operators.Dedup.minhashIndex(batch.limit(0), idCol, textCol,
+          shingleK, numHashes, bands).select("id", "bands", "sh")
     // nearDupIncrement references the increment from several plan branches
     // (intra-batch banding, shingle verify, anti-joins) before its lazy
     // localCheckpoint materializes — persist so the micro-batch's source
@@ -381,5 +390,90 @@ object MicroBatch {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
+  }
+
+  /** Knobs for [[streamCurate]] — the per-batch analogue of
+    * `TrainingDataPipeline.Config`, restricted to the stages that make
+    * sense per micro-batch (rule screens are per-row; the dedup stage is
+    * the incremental index check, not a corpus-wide pass). */
+  final case class CurateConfig(
+      minQuality: Double = 0.7,
+      minTokens: Int = 10,
+      htmlExtract: Boolean = false,
+      redactPii: Boolean = true,
+      compressionBand: Option[(Double, Double)] = None,
+      classifier: Option[(graft.operators.Classifier.LinearModel, Double)] = None,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucketSize: Int = 64)
+
+  /** Streaming curation — the ingest-time composition of the batch
+    * curation pipeline: each micro-batch runs (optional HTML extraction
+    * →) optional PII redaction → per-row quality screens (+ optional
+    * compression band and learned-classifier gate) → near-dup dedup
+    * against the ACCUMULATED MinHash index → surviving documents append
+    * under `outDir/batch=<id>` and the index grows by exactly their
+    * signatures ([[streamNearDupIngest]]'s replay-idempotent contract).
+    * Rule-rejected rows land under `rejectDir/batch=<id>` with a
+    * `reason` column (first failing screen) — the curation DLQ, so
+    * nothing silently vanishes. Near-dup losers are intentionally NOT
+    * DLQ'd: duplication is a relation to the corpus, not a defect of the
+    * row, and the index says it all.
+    *
+    * All screens are codegen'd per-row expressions — the only shuffles
+    * per batch are the capped-bucket dedup exchanges. Replay-idempotent:
+    * output, index, and reject partitions are all overwritten per
+    * (batch, id). */
+  def streamCurate(stream: DataFrame, indexDir: String, outDir: String,
+      rejectDir: String, checkpointDir: String,
+      idCol: String, textCol: String,
+      cfg: CurateConfig = CurateConfig()): StreamingQuery = {
+    require(!stream.columns.contains("batch"),
+      "streamCurate: the stream must not carry a column named 'batch'")
+    import graft.operators.{Classifier, TextAnalysis}
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val extracted =
+          if (cfg.htmlExtract)
+            batch.withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
+          else batch
+        val redacted =
+          if (cfg.redactPii)
+            extracted.withColumn(textCol,
+              TextAnalysis.redactPiiExtended(col(textCol)))
+          else extracted
+        val scored = redacted
+          .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+          .withColumn("__nt", org.apache.spark.sql.graft.NativeFunctions
+            .tokenCount(col(textCol)).cast("long"))
+        val withReason = {
+          val comp = cfg.compressionBand.map { case (lo, hi) =>
+            when(!TextAnalysis.compressionKeep(col(textCol), lo, hi),
+              lit("compression"))
+          }
+          val cls = cfg.classifier.map { case (model, thr) =>
+            when(Classifier.scoreExpr(col(textCol), model) < thr,
+              lit("classifier"))
+          }
+          val reasons = Seq(
+            Some(when(col("__nt") < cfg.minTokens, lit("tokens"))),
+            Some(when(col("__q") < cfg.minQuality, lit("quality"))),
+            comp, cls).flatten
+          scored.withColumn("__reason", coalesce(
+            (reasons :+ lit(null).cast("string")): _*))
+        }
+        val rejects = withReason.filter(col("__reason").isNotNull)
+          .withColumnRenamed("__reason", "reason")
+          .drop("__q", "__nt")
+        rejects.write.mode("overwrite")
+          .parquet(s"$rejectDir/batch=$batchId")
+        val kept = withReason.filter(col("__reason").isNull)
+          .drop("__reason", "__q", "__nt")
+        ingestDedupBatch(kept, batchId, indexDir, outDir, idCol, textCol,
+          cfg.shingleK, cfg.numHashes, cfg.bands, cfg.threshold,
+          cfg.maxBucketSize)
+      }
+      .start()
   }
 }

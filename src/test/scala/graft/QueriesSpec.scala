@@ -57,6 +57,9 @@ class QueriesSpec extends SparkTestBase {
       // r8: batch ANN rides the k-means fit (WebCorpusSpec pins batch
       // serving == per-query serving exactly)
       "s145_ann_batch",
+      // r8: streaming curation rides the MinHash index (StreamingSpec
+      // pins DLQ reasons, dup rejection, replay idempotence)
+      "str148_stream_curate",
       // r8: CDC rolling-hash boundaries are not SQL-expressible
       // (TypeMappingSpec pins shift-resistance, size bounds, coverage,
       // planted-duplicate ratio)

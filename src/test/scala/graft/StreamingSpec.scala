@@ -293,6 +293,85 @@ class StreamingSpec extends SparkTestBase {
     assert(idxIds == Set(2L, 4L, 101L, 205L), s"index ids: $idxIds")
   }
 
+  test("streamCurate: reasoned DLQ, cross-batch dedup, restart is a no-op") {
+    def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val root = Files.createTempDirectory("graft_curate")
+    val (indexDir, outDir, rejDir, srcDir, ckpt) = (s"$root/idx", s"$root/out",
+      s"$root/rej", s"$root/src", s"$root/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def stage(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft_cur_f").toString + "/data"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, name)
+      Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // batch 1: a good doc, a too-short doc, a PII-bearing good doc
+    stage("f1.parquet", t0,
+      1L -> words("alpha"), 2L -> "tiny", 3L -> (words("beta") + " a@b.co"))
+    // batch 2: verbatim replay of doc 1 (must lose to the accumulated
+    // index), plus a novel doc
+    stage("f2.parquet", t0 + 30000, 10L -> words("alpha"), 11L -> words("gamma"))
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamCurate(stream, indexDir, outDir, rejDir, ckpt,
+        "doc_id", "text",
+        MicroBatch.CurateConfig(minQuality = 0.0, minTokens = 3,
+          threshold = 0.6))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 11L), s"kept: $kept")
+    val rejects = spark.read.parquet(rejDir)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejects == Map(2L -> "tokens"), s"rejects: $rejects")
+    // redaction ran before the index was built
+    val t3 = spark.read.parquet(outDir).filter($"doc_id" === 3L)
+      .head().getAs[String]("text")
+    assert(t3.contains("<EMAIL>") && !t3.contains("a@b.co"))
+    // restart against the same checkpoint: nothing new → outputs unchanged
+    run()
+    val kept2 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+  }
+
+  test("streamCurate DLQ reports the FIRST failing screen") {
+    def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val root = Files.createTempDirectory("graft_curate2")
+    val (indexDir, outDir, rejDir, srcDir, ckpt) = (s"$root/idx", s"$root/out",
+      s"$root/rej", s"$root/src", s"$root/ckpt")
+    // a repetitive doc fails the compression band; the short doc fails
+    // tokens FIRST even though it would also fail compression
+    Seq(1L -> words("ok"), 2L -> ("spam ham " * 100).trim, 3L -> "tiny")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+      .parquet(srcDir)
+    val q = MicroBatch.streamCurate(stream, indexDir, outDir, rejDir, ckpt,
+      "doc_id", "text",
+      MicroBatch.CurateConfig(minQuality = 0.0, minTokens = 3,
+        compressionBand = Some((0.15, 1.0)), threshold = 0.6))
+    try q.processAllAvailable() finally q.stop()
+    val rejects = spark.read.parquet(rejDir)
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejects == Map(2L -> "compression", 3L -> "tokens"), s"$rejects")
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("near-dup ingest batch replay is idempotent (no self-index dedup)") {
     import graft.operators.Dedup
     def words(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
