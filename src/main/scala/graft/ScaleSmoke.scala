@@ -89,7 +89,9 @@ object ScaleSmoke {
     // r8 web-corpus family. d138/d135 gates are fixture-bounded by design
     // (planted-duplicate slices); substringDedup's corpus-scale shape is
     // the same postings pattern t110 already smokes.
-    "d137_soft_dedup", "t140_score_calibrate")
+    "d137_soft_dedup", "t140_score_calibrate",
+    // r8 data-ops + batch serve (full-table gates)
+    "q143_snapshot_diff", "q144_expectations", "s145_ann_batch")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {
