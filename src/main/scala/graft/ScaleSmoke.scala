@@ -71,6 +71,14 @@ object ScaleSmoke {
       o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // lineitem: key shift only — the expectation rules read value columns
+    // whose distributions stay, which is exactly what a 10x fact table does
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until Factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   private val Heavy = Seq(

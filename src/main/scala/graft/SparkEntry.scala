@@ -2110,7 +2110,12 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val centers = Similarity.ivfFit(emb, "embedding", nlist = 16)
       val corpus = emb.filter(col("vec_id") % 50 =!= 0)
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      // FIXED query set (ids < 500 exist at every SF): the serve cost is
+      // queries x probed-cell population by design, so the scale smoke
+      // must vary only the corpus axis; production raises nlist with the
+      // corpus to hold cell size (and per-query cost) constant
+      val queries = emb.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < 500)
       Similarity.ivfTopKBatch(
           Similarity.ivfAssign(corpus, "vec_id", "embedding", centers),
           centers, queries, "vec_id", "embedding", k = 5, nprobe = 4)
