@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Cdc, Dedup, Merge, Similarity, TextAnalysis, UrlOps}
+import graft.operators.{Cdc, Dedup, Funnel, Merge, Similarity, Skew, TextAnalysis, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an ANSI-SQL DuckDB oracle where the semantics are
@@ -2192,7 +2192,96 @@ object SparkEntry {
             "embedding", loaded), loaded, q, k = 10, nprobe = 6)
         .select(col("id"), round(col("cosine"), 5).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
-    }))
+    }),
+
+    // Ordered-step funnel (view → click → purchase): first-touch strict-
+    // order semantics, ONE exchange on user_id reused by the stacked
+    // step windows and the final reduction. Oracle re-derives the chain
+    // with sequential min-filter CTEs.
+    "q149_funnel" -> ((s, d) => {
+      Funnel.report(t(s, d, "events"), "user_id", "ts", Seq(
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase"))
+    }),
+
+    // Exact k-per-group sample via the mergeable bottom-k aggregate: the
+    // exchange carries at most k (hash, id) pairs per group per map
+    // partition, never a whole sorted group. The oracle IS the rank-
+    // window formulation the aggregate replaces.
+    "d150_group_sample" -> ((s, d) => {
+      Dedup.groupBottomK(t(s, d, "documents"), "source", "doc_id", 20)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Unicode script-mix profile: per-range codepoint counts + dominant
+    // script + purity, one codegen'd kernel pass. Deterministic non-ASCII
+    // tails (mirrored in the oracle) exercise the non-Latin counters on
+    // the ASCII fixture corpus.
+    "t151_script_profile" -> ((s, d) => {
+      val spiced = t(s, d, "documents").filter(col("doc_id") < 300)
+        .withColumn("text2", concat(col("text"),
+          when(col("lang") === "zh", lit(" 汉字文本分析 中文"))
+            .when(col("lang") === "es", lit(" mañana señor, ¿qué?"))
+            .when(col("lang") === "de", lit(" Straße Müller Größe"))
+            .when(col("lang") === "fr", lit(" déjà été à côté"))
+            .when(col("lang") === "en" && col("doc_id") % 7 === 0,
+              lit(" Привет мир"))
+            .otherwise(lit(" plain ascii tail"))))
+      TextAnalysis.scriptProfile(spiced, "text2")
+        .select(col("doc_id"), col("latin"), col("cyrillic"), col("cjk"),
+          col("script_letters"), col("dominant_script"),
+          col("script_purity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Join-key skew diagnostic: top-10 heaviest keys + per-key-count
+    // distribution summary. One corpus-sized count agg; top-k is
+    // TakeOrderedAndProject, every later step runs on key- or topN-sized
+    // data.
+    "q152_skew_profile" -> ((s, d) =>
+      Skew.keyProfile(t(s, d, "events"), col("user_id"), 10)),
+
+    // Count-min frequency sketch: per-source sketches persisted (the
+    // incremental-stats shape), folded with cmsMergeAgg, probed for the
+    // exact top-40 tokens. At fixture vocabulary << sketch width the
+    // min-over-depth estimate equals the exact count (same exact-regime
+    // contract as the t128 KLL and t133 theta gates); CurationOpsSpec
+    // pins the never-undercount and ε·N bounds in the colliding regime.
+    "t153_cms_freq" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeFunctions
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val folded = toks
+        .groupBy(col("source"))
+        .agg(NativeFunctions.cmsSketchAgg(col("token"), eps = 0.0001).as("sk"))
+        .agg(NativeFunctions.cmsMergeAgg(col("sk"), eps = 0.0001).as("sk"))
+      TextAnalysis.topTokens(docs, "text", 40)
+        .crossJoin(broadcast(folded))
+        .select(col("token"),
+          NativeFunctions.cmsEstimate(col("sk"), col("token")).as("est"))
+        .orderBy(col("token"))
+    }),
+
+    // Cohort retention: first-activity week cohorts × week offsets, with
+    // distinct-active counts and retention fractions. One entity agg, one
+    // (entity, period) distinct, one co-partitioned join; the matrix is
+    // calendar²-sized.
+    "q154_retention" -> ((s, d) =>
+      operators.Retention.cohorts(t(s, d, "events"), "user_id", "ts",
+        "week")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset"), col("active"), col("cohort_size"), col("retention"))
+        .orderBy(col("cohort_week"), col("offset"))),
+
+    // PMI collocations: pairs that co-occur beyond their marginals, one
+    // fixed double evaluation order so the scores are engine-exact.
+    // Model-sized joins only; totals ride one broadcast row.
+    "t155_collocations" -> ((s, d) =>
+      operators.LanguageModel.collocations(t(s, d, "documents"), "text",
+        minCount = 5, topK = 150)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -3526,5 +3615,171 @@ object SparkEntry {
         | CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
         |  AS n_removed
         |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q149_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        | JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |  (SELECT count(*) FROM s2) AS u2,
+        |  (SELECT count(*) FROM s3) AS u3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, CAST(u1 AS BIGINT) AS users,
+        |  round(CAST(u1 AS DOUBLE) / u1, 6) AS conversion FROM c
+        | UNION ALL SELECT CAST(2 AS BIGINT), CAST(u2 AS BIGINT),
+        |  round(CAST(u2 AS DOUBLE) / u1, 6) FROM c
+        | UNION ALL SELECT CAST(3 AS BIGINT), CAST(u3 AS BIGINT),
+        |  round(CAST(u3 AS DOUBLE) / u1, 6) FROM c) f
+        |ORDER BY step""".stripMargin,
+
+    "d150_group_sample" ->
+      """SELECT source, doc_id FROM (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "t151_script_profile" ->
+      """WITH spiced AS (
+        | SELECT doc_id,
+        |  text || CASE
+        |   WHEN lang = 'zh' THEN ' 汉字文本分析 中文'
+        |   WHEN lang = 'es' THEN ' mañana señor, ¿qué?'
+        |   WHEN lang = 'de' THEN ' Straße Müller Größe'
+        |   WHEN lang = 'fr' THEN ' déjà été à côté'
+        |   WHEN lang = 'en' AND doc_id % 7 = 0 THEN ' Привет мир'
+        |   ELSE ' plain ascii tail' END AS t
+        | FROM documents WHERE doc_id < 300),
+        |cnt AS (
+        | SELECT doc_id,
+        |  length(t) - length(regexp_replace(t,
+        |   '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS latin,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{0370}-\x{03FF}]', '', 'g')) AS greek,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{0600}-\x{06FF}]', '', 'g')) AS arabic,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{0590}-\x{05FF}]', '', 'g')) AS hebrew,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{0900}-\x{097F}]', '', 'g')) AS devanagari,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{2E80}-\x{9FFF}\x{F900}-\x{FAFF}]', '', 'g')) AS cjk,
+        |  length(t) - length(regexp_replace(t,
+        |   '[\x{AC00}-\x{D7AF}]', '', 'g')) AS hangul
+        | FROM spiced),
+        |prof AS (
+        | SELECT *,
+        |  latin + cyrillic + greek + arabic + hebrew + devanagari
+        |   + cjk + hangul AS script_letters,
+        |  greatest(latin, cyrillic, greek, arabic, hebrew, devanagari,
+        |   cjk, hangul) AS mx
+        | FROM cnt)
+        |SELECT doc_id, CAST(latin AS BIGINT) AS latin,
+        | CAST(cyrillic AS BIGINT) AS cyrillic, CAST(cjk AS BIGINT) AS cjk,
+        | CAST(script_letters AS BIGINT) AS script_letters,
+        | CASE WHEN mx = 0 THEN 'none'
+        |  WHEN latin = mx THEN 'latin'
+        |  WHEN cyrillic = mx THEN 'cyrillic'
+        |  WHEN greek = mx THEN 'greek'
+        |  WHEN arabic = mx THEN 'arabic'
+        |  WHEN hebrew = mx THEN 'hebrew'
+        |  WHEN devanagari = mx THEN 'devanagari'
+        |  WHEN cjk = mx THEN 'cjk'
+        |  ELSE 'hangul' END AS dominant_script,
+        | CASE WHEN script_letters = 0 THEN NULL
+        |  ELSE round(CAST(mx AS DOUBLE) / script_letters, 6)
+        |  END AS script_purity
+        |FROM prof ORDER BY doc_id""".stripMargin,
+
+    "q152_skew_profile" ->
+      """WITH counts AS (
+        | SELECT user_id AS key, count(*) AS cnt FROM events
+        | GROUP BY user_id),
+        |summary AS (
+        | SELECT CAST(count(*) AS BIGINT) AS distinct_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |  max(cnt) AS max_cnt,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+        | FROM counts),
+        |top AS (
+        | SELECT key, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+        | FROM counts ORDER BY cnt DESC, key ASC LIMIT 10)
+        |SELECT rank, key, cnt,
+        | round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+        | distinct_keys, total_rows, max_cnt, p50_cnt, p99_cnt
+        |FROM top CROSS JOIN summary
+        |ORDER BY rank""".stripMargin,
+
+    "t153_cms_freq" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |  AS token
+        | FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        |top AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 40)
+        |SELECT t.token AS token, CAST(c.n AS BIGINT) AS est
+        |FROM top t JOIN cnt c ON t.token = c.token
+        |ORDER BY t.token""".stripMargin,
+
+    "q154_retention" ->
+      """WITH f AS (
+        | SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        | FROM events GROUP BY user_id),
+        |a AS (
+        | SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+        |j AS (
+        | SELECT a.user_id, f.cohort,
+        |  CAST(floor(date_diff('day', f.cohort, a.p) / 7.0) AS BIGINT)
+        |   AS off
+        | FROM a JOIN f ON a.user_id = f.user_id),
+        |g AS (
+        | SELECT cohort, off, count(*) AS active FROM j GROUP BY 1, 2),
+        |s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort_week,
+        | g.off AS "offset", CAST(g.active AS BIGINT) AS active,
+        | CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        | round(CAST(g.active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM g JOIN s ON g.cohort = s.cohort
+        |ORDER BY cohort_week, "offset"""".stripMargin,
+
+    "t155_collocations" ->
+      """WITH toks AS (
+        | SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+        | FROM documents),
+        |uni AS (
+        | SELECT tok, count(*) AS c FROM (
+        |  SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |pairs AS (
+        | SELECT t[i] AS w1, t[i+1] AS w2
+        | FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1))
+        |   AS i) g),
+        |bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |tot AS (
+        | SELECT (SELECT sum(c_ab) FROM bi) AS n_bi,
+        |  (SELECT sum(c) FROM uni) AS n_uni)
+        |SELECT w1, w2, c_ab,
+        | round(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni) /
+        |   (CAST(n_bi AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        |FROM bi
+        | JOIN uni ua ON bi.w1 = ua.tok
+        | JOIN uni ub ON bi.w2 = ub.tok
+        | CROSS JOIN tot
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 150""".stripMargin)
 }

@@ -711,6 +711,39 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (rate * denominator))
   }
 
+  /** Exact k-per-group deterministic sample — "k example documents from
+    * EVERY source/domain/cluster" — via the mergeable bottom-k-by-hash
+    * aggregate ([[org.apache.spark.sql.graft.BottomKIdsAgg]]): each group
+    * keeps the k ids with the smallest (hash, id) pairs, which is a
+    * uniform without-replacement sample when the hash is uniform, and a
+    * deterministic function of the input set always.
+    *
+    * Why not `row_number() OVER (PARTITION BY group ORDER BY hash)`? The
+    * window formulation SORTS EVERY GROUP IN FULL — at 100 TB that is a
+    * corpus-wide shuffle carrying every row into a per-group sort just to
+    * throw away all but k. Here the exchange carries at most k (hash, id)
+    * pairs per group per map partition (heap state is O(k), map-side
+    * combined), and nothing is ever sorted but k-element heaps. The two
+    * formulations are equivalent by construction — `DataOpsSpec` pins
+    * engine ≡ window on real data, and the d150 gate's oracle IS the
+    * window formulation.
+    *
+    * Returns (group, id) rows, totally ordered within a group by the
+    * caller's hash then id. The default hash is engine-portable
+    * (multiplicative, mirrors [[hashSample]]'s style) so an external
+    * system reproduces the exact sample. Join the result back to the
+    * corpus (broadcast — it is `groups·k` rows) to fetch payloads. */
+  def groupBottomK(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      hash: Option[Column] = None): DataFrame = {
+    val h = hash.getOrElse(
+      pmod(col(idCol) * lit(2654435761L), lit(1000003L)))
+    df.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.NativeFunctions
+        .bottomKIdsAgg(h.cast("long"), col(idCol).cast("long"), k)
+        .as("__ids"))
+      .select(col(groupCol), explode(col("__ids")).as(idCol))
+  }
+
   /** Temperature-scaled domain mixing — the `p_d ∝ n_d^α` exponential
     * smoothing rule used to set multi-domain/multilingual training mixes
     * (α < 1 upweights small domains, α = 1 keeps natural proportions;

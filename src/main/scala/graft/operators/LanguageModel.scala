@@ -77,6 +77,43 @@ object LanguageModel {
       .groupBy(col("ctx"), col("word"))
       .agg(count(lit(1)).as("n"))
 
+  /** PMI collocation mining — word pairs that co-occur far more than
+    * their marginals predict (Church & Hanks 1990): the corpus-analysis
+    * view of [[ngramCounts]] that surfaces multi-word entities
+    * ("machine learning", "hong kong") and template artifacts.
+    *
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) computed as
+    * `ln(c_ab · N_uni² / (N_bi · c_a · c_b))` with one fixed double
+    * evaluation order, rounded to 6 places — engine-reproducible, so the
+    * t154 gate is hash-exact against SQL. `minCount` suppresses the
+    * low-frequency pairs whose PMI explodes (the classic instability).
+    *
+    * Scale: bigram and unigram tables are model-sized (Zipf), the joins
+    * are model-keyed, totals ride one broadcast row; nothing joins or
+    * sorts the corpus itself. Top-k is count-bounded by `topK` with a
+    * total (pmi desc, pair) tie-break order. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      topK: Int = 100): DataFrame = {
+    val bi = ngramCounts(df, textCol, 2).withColumnRenamed("n", "c_ab")
+    val uni = df.select(explode(tokensOf(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // totals BEFORE the minCount filter: probabilities are over the whole
+    // corpus, not the surviving pairs
+    val totals = bi.agg(sum(col("c_ab")).as("n_bi"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_uni")))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("ctx"), col("c").as("c_a")), "ctx")
+      .join(uni.select(col("tok").as("word"), col("c").as("c_b")), "word")
+      .crossJoin(broadcast(totals))
+      .select(col("ctx").as("w1"), col("word").as("w2"), col("c_ab"),
+        round(log(
+          col("c_ab").cast(DoubleType) * col("n_uni") * col("n_uni") /
+            (col("n_bi").cast(DoubleType) * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Fit an add-α n-gram LM on a corpus. One count shuffle over the
     * corpus; the returned model tables share a single materialized count
     * (lazy localCheckpoint) so deriving both does not re-scan the corpus.

@@ -51,4 +51,44 @@ object Skew {
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Join/aggregation-key skew diagnostic — the MEASUREMENT half of this
+    * module: before choosing salting/broadcast/AQE settings for a 100 TB
+    * join, profile the key. Returns the `topN` heaviest keys, each row
+    * carrying its count, share of all rows, and the distribution summary
+    * of per-key counts (distinct keys, max, exact p50/p99 of the
+    * count-per-key distribution): `max_cnt / p50_cnt` is the skew ratio
+    * that decides whether AQE's skew split suffices or a hot key needs
+    * salting.
+    *
+    * Shape: one map-side-combined count aggregate (the only corpus-sized
+    * pass), then everything else runs on the distinct-key-sized counts
+    * table — top-N via `TakeOrderedAndProject` (distributed heap top-k,
+    * never a global sort; the rank window runs AFTER the limit, over ≤
+    * topN rows), and one summary row broadcast onto the topN rows. The
+    * exact `percentile` over per-key counts is itself an aggregate over
+    * the counts table; corpora whose DISTINCT-key count is itself huge
+    * should swap it for `percentile_approx` — same plan otherwise. */
+  def keyProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      count(lit(1)).as("distinct_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)))
+    top.crossJoin(broadcast(summary))
+      .select(col("rank").cast("long").as("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total_rows").cast("double"), 6)
+          .as("share"),
+        col("distinct_keys"), col("total_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"))
+      .orderBy(col("rank"))
+  }
 }

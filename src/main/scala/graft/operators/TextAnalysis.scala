@@ -245,6 +245,52 @@ object TextAnalysis {
   def unicodeDedupKey(text: Column): Column =
     trim(regexp_replace(normalizeUnicode(lower(text)), "\\s+", " "))
 
+  /** Per-script codepoint counts (native codegen'd kernel, one pass):
+    * `struct<latin,cyrillic,greek,arabic,hebrew,devanagari,cjk,hangul:
+    * bigint>`. Classes are fixed public codepoint ranges (not
+    * `Character.UnicodeScript`), so any engine reproduces them with
+    * regex character classes — the t151 oracle does exactly that. */
+  def scriptCounts(text: Column): Column =
+    org.apache.spark.sql.graft.NativeFunctions.scriptCounts(text)
+
+  /** Script-mix profile — the curation signal ABOVE [[langId]]: language
+    * ID answers "which one language", this answers "how many scripts".
+    * Mixed-script documents (Cyrillic look-alike spoofing inside Latin
+    * text, CJK spam in an English crawl, boilerplate RTL fragments) are
+    * classic junk markers that survive per-language filters.
+    *
+    * Appends per-script counts plus:
+    *  - `script_letters` — total classified codepoints;
+    *  - `dominant_script` — the largest class, ties broken by the fixed
+    *    class order (latin first), `none` when no codepoint classified;
+    *  - `script_purity` — dominant/total, rounded to 6 places (NULL when
+    *    `script_letters` = 0): a gate like `purity >= 0.95` flags
+    *    mixed-script documents.
+    * Zero shuffle — one codegen'd kernel call per row plus built-in
+    * column arithmetic on the eight counters. */
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val fields = Seq("latin", "cyrillic", "greek", "arabic", "hebrew",
+      "devanagari", "cjk", "hangul")
+    val withCounts = df.withColumn("__sc", scriptCounts(col(textCol)))
+    val counted = fields.foldLeft(withCounts) { (acc, f) =>
+      acc.withColumn(f, col(s"__sc.$f"))
+    }.drop("__sc")
+    val total = fields.map(col).reduce(_ + _)
+    val maxCnt = greatest(fields.map(col): _*)
+    // first class (in declaration order) reaching the max wins the tie
+    val dominant = fields.foldRight(lit("none")) { (f, acc) =>
+      when(col(f) === maxCnt && maxCnt > 0, lit(f)).otherwise(acc)
+    }
+    // foldRight puts earlier classes OUTERMOST so latin wins ties
+    counted
+      .withColumn("script_letters", total)
+      .withColumn("dominant_script", dominant)
+      .withColumn("script_purity",
+        when(col("script_letters") === 0, lit(null).cast("double"))
+          .otherwise(round(maxCnt.cast("double") /
+            col("script_letters").cast("double"), 6)))
+  }
+
   /** [[redactPii]] plus the network/identity shapes the base pass skips:
     * IPv4 addresses, US-SSN-shaped ids, and Luhn-valid payment-card
     * numbers (13–19 digits with optional dash/space separators — the

@@ -318,3 +318,292 @@ private[sql] case class KllCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): KllCount =
     copy(child = newChild)
 }
+
+/** Exact deterministic k-per-group sample as MERGEABLE AGGREGATE STATE —
+  * "give me exactly k documents from every source/domain/cluster of a
+  * 100 TB corpus" without the rank-window formulation's full sort of
+  * every group.
+  *
+  * The sample is BOTTOM-K BY A CALLER-SUPPLIED SORT KEY (canonically a
+  * portable hash of the row id, which makes the sample uniform,
+  * deterministic, and reproducible in any engine): the aggregate keeps
+  * the k smallest (key, id) pairs per group in a bounded binary heap.
+  * `update` is O(log k) against O(1)-sized state, partials combine
+  * map-side, and `merge` is heap-union — so the exchange carries at
+  * most k pairs per group per map partition instead of every row, and
+  * nothing ever sorts a whole group. Equivalent by construction to
+  * `row_number() OVER (PARTITION BY g ORDER BY key, id) <= k` (the
+  * oracle formulation, pinned by DataOpsSpec), which is exactly what
+  * makes it gate-checkable while being the plan you'd actually run.
+  *
+  * Bottom-k-by-hash is the classic mergeable uniform-sample trick (the
+  * KMV / bottom-k sketch family, e.g. Cohen & Kaplan, "Summarizing data
+  * using bottom-k sketches", PODC 2007) applied to row SELECTION rather
+  * than cardinality estimation.
+  *
+  * Ties: ordering is lexicographic on (key, id), so duplicate keys are
+  * broken by id and the result is a deterministic function of the input
+  * SET. Null key or id rows are skipped. Output is `array<bigint>` of
+  * the selected ids, ascending by (key, id).
+  */
+private[sql] object BottomKBuffer {
+  /** Bounded max-heap of (key, id) pairs — head is the LARGEST retained
+    * pair, so a better (smaller) candidate replaces it in O(log k). */
+  final class Heap(val k: Int) {
+    val q = new java.util.PriorityQueue[(Long, Long)](
+      math.max(1, k),
+      new java.util.Comparator[(Long, Long)] {
+        // reverse lexicographic → max-heap
+        override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
+      })
+    def offer(key: Long, id: Long): Unit = {
+      if (q.size < k) { q.add((key, id)); () }
+      else {
+        val worst = q.peek()
+        if (key < worst._1 || (key == worst._1 && id < worst._2)) {
+          q.poll(); q.add((key, id)); ()
+        }
+      }
+    }
+    def mergeFrom(other: Heap): Unit = {
+      val it = other.q.iterator()
+      while (it.hasNext) { val p = it.next(); offer(p._1, p._2) }
+    }
+    /** ids ascending by (key, id). */
+    def sortedIds: Array[Long] = {
+      val arr = q.toArray(new Array[(Long, Long)](q.size))
+      java.util.Arrays.sort(arr, new java.util.Comparator[(Long, Long)] {
+        override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      })
+      arr.map(_._2)
+    }
+  }
+}
+
+private[sql] case class BottomKIdsAgg(
+    key: Expression,
+    id: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKBuffer.Heap]
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0 && k <= 1000000, s"bottom-k k must be in [1, 1e6], got $k")
+
+  override def left: Expression = key
+  override def right: Expression = id
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_ids_agg"
+
+  override def createAggregationBuffer(): BottomKBuffer.Heap =
+    new BottomKBuffer.Heap(k)
+
+  override def update(buf: BottomKBuffer.Heap, input: InternalRow): BottomKBuffer.Heap = {
+    val kv = key.eval(input)
+    val iv = id.eval(input)
+    if (kv != null && iv != null)
+      buf.offer(kv.asInstanceOf[Long], iv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BottomKBuffer.Heap, other: BottomKBuffer.Heap): BottomKBuffer.Heap = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: BottomKBuffer.Heap): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.sortedIds)
+
+  override def serialize(buf: BottomKBuffer.Heap): Array[Byte] = {
+    val ids = buf.q.toArray(new Array[(Long, Long)](buf.q.size))
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * ids.length)
+    bb.putInt(ids.length)
+    ids.foreach { p => bb.putLong(p._1); bb.putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKBuffer.Heap = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new BottomKBuffer.Heap(k)
+    var i = 0
+    while (i < n) { h.offer(bb.getLong, bb.getLong); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKIdsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKIdsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKIdsAgg =
+    copy(key = newLeft, id = newRight)
+}
+
+/** Mergeable count-min frequency sketch (Cormode & Muthukrishnan 2005)
+  * over a string column — the FREQUENCY member of the persisted-sketch
+  * family (KLL = quantiles, theta/HLL = distinct, MinHash = similarity,
+  * CMS = per-item counts): a fixed-size table answering "how often did
+  * THIS token/URL/key occur?" for any item, including items chosen
+  * AFTER the scan. Estimates overcount only (never under), by at most
+  * ε·N with the configured confidence. Backed by Spark's own
+  * `org.apache.spark.util.sketch.CountMinSketch` (the `df.stat`
+  * implementation), so the binary format matches what Spark users
+  * already persist.
+  *
+  * Merge is cell-wise addition — commutative and associative — so the
+  * serialized result is BIT-DETERMINISTIC for a given (input multiset,
+  * eps, confidence, seed), regardless of partitioning or merge order:
+  * per-slice sketches persisted daily fold into exact sums of their
+  * count tables. Null inputs are skipped. Use [[CmsEstimate]] to probe.
+  */
+private[sql] case class CmsSketchAgg(
+    child: Expression,
+    eps: Double,
+    confidence: Double,
+    seed: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.CountMinSketch]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+  require(confidence > 0 && confidence < 1,
+    s"confidence must be in (0,1), got $confidence")
+
+  private type Cms = org.apache.spark.util.sketch.CountMinSketch
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch_agg"
+
+  override def createAggregationBuffer(): Cms =
+    org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)
+
+  override def update(buf: Cms, input: InternalRow): Cms = {
+    val v = child.eval(input)
+    // hash the UTF-8 bytes (matches CountMinSketch.addString's own
+    // String→bytes path) without materializing a java String per row
+    if (v != null)
+      buf.addBinary(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes)
+    buf
+  }
+
+  override def merge(buf: Cms, other: Cms): Cms = {
+    buf.mergeInPlace(other)
+    buf
+  }
+
+  private def toBytes(s: Cms): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    s.writeTo(bos)
+    bos.toByteArray
+  }
+
+  override def eval(buf: Cms): Any = toBytes(buf)
+  override def serialize(buf: Cms): Array[Byte] = toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+    copy(child = newChild)
+}
+
+/** Point-frequency estimate of `item` from a serialized [[CmsSketchAgg]]
+  * sketch. Runs on aggregate-output rows or probe tables (sketch-sized,
+  * not corpus-sized), so interpreted eval with a per-partition-cached
+  * deserialize would be overkill — probes re-read the sketch; keep probe
+  * tables small or join the sketch in once. NULL if either side NULL. */
+private[sql] case class CmsEstimate(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sk.asInstanceOf[Array[Byte]]))
+      .estimateCount(item.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Fold PERSISTED CMS sketches (binary [[CmsSketchAgg]] output) into one —
+  * read-side of incremental frequency stats: per-day/per-slice sketches
+  * merge by cell-wise addition into exactly the sketch a single pass
+  * would have built (same (eps, confidence, seed) required — Spark's
+  * `mergeInPlace` rejects incompatible shapes loudly). Null inputs
+  * skipped. */
+private[sql] case class CmsMergeAgg(
+    child: Expression,
+    eps: Double,
+    confidence: Double,
+    seed: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.CountMinSketch]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  private type Cms = org.apache.spark.util.sketch.CountMinSketch
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_merge_agg"
+
+  override def createAggregationBuffer(): Cms =
+    org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)
+
+  override def update(buf: Cms, input: InternalRow): Cms = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: Cms, other: Cms): Cms = {
+    buf.mergeInPlace(other)
+    buf
+  }
+
+  private def toBytes(s: Cms): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    s.writeTo(bos)
+    bos.toByteArray
+  }
+
+  override def eval(buf: Cms): Any = toBytes(buf)
+  override def serialize(buf: Cms): Array[Byte] = toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}

@@ -1419,6 +1419,44 @@ object NativeFunctions {
   def thetaEstimate(sketch: Column): Column =
     ExpressionUtils.column(ThetaEstimate(ExpressionUtils.expression(sketch)))
 
+  /** Per-script codepoint counts of a string ([[ScriptCounts]]):
+    * struct(latin, cyrillic, greek, arabic, hebrew, devanagari, cjk,
+    * hangul). */
+  def scriptCounts(c: Column): Column =
+    ExpressionUtils.column(ScriptCounts(ExpressionUtils.expression(c)))
+
+  /** Mergeable exact bottom-k sampler ([[BottomKIdsAgg]]): the k ids with
+    * the smallest (key, id) pairs per group, as `array<bigint>` ascending —
+    * deterministic k-per-group sampling without sorting whole groups. */
+  def bottomKIdsAgg(key: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(BottomKIdsAgg(
+      ExpressionUtils.expression(key), ExpressionUtils.expression(id),
+      k).toAggregateExpression())
+
+  /** Mergeable count-min frequency sketch over a string column
+    * ([[CmsSketchAgg]]): fixed-size table answering per-item frequency
+    * for ANY item, merge = cell-wise addition (bit-deterministic). */
+  def cmsSketchAgg(value: Column, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): Column =
+    ExpressionUtils.column(CmsSketchAgg(
+      ExpressionUtils.expression(value), eps, confidence,
+      seed).toAggregateExpression())
+
+  /** Fold persisted CMS sketches (binary) into one ([[CmsMergeAgg]]);
+    * same (eps, confidence, seed) as the sketches being folded. */
+  def cmsMergeAgg(sketch: Column, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): Column =
+    ExpressionUtils.column(CmsMergeAgg(
+      ExpressionUtils.expression(sketch), eps, confidence,
+      seed).toAggregateExpression())
+
+  /** Point-frequency estimate of `item` from a serialized CMS sketch
+    * ([[CmsEstimate]]); overcounts only, ≤ ε·N with the sketch's
+    * confidence. */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    ExpressionUtils.column(CmsEstimate(
+      ExpressionUtils.expression(sketch), ExpressionUtils.expression(item)))
+
   /** Register the native expressions for SQL use in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -1462,5 +1500,76 @@ object NativeFunctions {
       exprs => InterleaveBits(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("foreign_bucket_hash",
       exprs => ForeignBucketHash(exprs), "built-in")
+    reg.createOrReplaceTempFunction("script_counts",
+      exprs => ScriptCounts(exprs.head), "built-in")
   }
+}
+
+/** Unicode script-mix profiling kernel — the curation signal ABOVE
+  * language-ID: a document whose characters straddle scripts (Latin body
+  * with Cyrillic look-alikes, CJK spam inside an English crawl, mixed
+  * RTL fragments) is a classic junk/adversarial marker that n-gram
+  * language-ID misses because it answers "which one language" rather
+  * than "how many scripts".
+  *
+  * Classes are defined as CODEPOINT RANGES (not `Character.UnicodeScript`)
+  * so an external engine can reproduce the counts with plain regex
+  * character classes — the exact ranges below are mirrored 1:1 in the
+  * t151 oracle. One pass over the string, counting CODEPOINTS (not UTF-16
+  * units — supplementary-plane input must not double-count), eight
+  * counters, zero allocation beyond the result row.
+  */
+object ScriptKernels {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  // field order is the tie-break priority for "dominant script"
+  val FieldNames: Seq[String] = Seq("latin", "cyrillic", "greek", "arabic",
+    "hebrew", "devanagari", "cjk", "hangul")
+
+  def scriptCounts(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var latin = 0L; var cyr = 0L; var greek = 0L; var arab = 0L
+    var heb = 0L; var dev = 0L; var cjk = 0L; var hang = 0L
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= 0xC0 && cp <= 0x24F)) latin += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) arab += 1
+      else if (cp >= 0x590 && cp <= 0x5FF) heb += 1
+      else if (cp >= 0x900 && cp <= 0x97F) dev += 1
+      else if ((cp >= 0x2E80 && cp <= 0x9FFF) ||
+               (cp >= 0xF900 && cp <= 0xFAFF)) cjk += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7AF) hang += 1
+    }
+    new GenericInternalRow(Array[Any](latin, cyr, greek, arab, heb, dev,
+      cjk, hang))
+  }
+}
+
+/** [[ScriptKernels.scriptCounts]] as a codegen'd expression returning
+  * `struct<latin,cyrillic,greek,arabic,hebrew,devanagari,cjk,hangul:
+  * bigint>`. */
+case class ScriptCounts(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    StructType(ScriptKernels.FieldNames.map(f =>
+      StructField(f, LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptKernels.scriptCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ScriptKernels.scriptCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "script_counts"
 }

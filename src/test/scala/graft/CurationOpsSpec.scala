@@ -246,4 +246,37 @@ class CurationOpsSpec extends SparkTestBase {
     assert(merged.getLong(1) == 100000L)
     assert(math.abs(merged.getDouble(0) - 5000.0) / 10000.0 < 0.03)
   }
+
+  test("cms sketch: exact in the uncrowded regime, never undercounts, " +
+      "persisted sketches fold bit-identically") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    import spark.implicits._
+    // 37 distinct items vs width ~2/eps = 20000: estimates are exact
+    val df = (1 to 500).map(i => s"tok${i % 37}").toDF("x")
+    val probe = df.agg(cmsSketchAgg(col("x"), eps = 0.0001).as("sk"))
+      .select(cmsEstimate(col("sk"), lit("tok1")).as("a"),
+        cmsEstimate(col("sk"), lit("absent")).as("z")).head()
+    assert(probe.getLong(0) === 14L)   // i % 37 == 1 for 14 of 1..500
+    assert(probe.getLong(1) === 0L)
+
+    // cell-wise-addition merge: per-slice sketches fold to the EXACT
+    // bytes of the one-pass sketch, independent of partitioning
+    val whole = df.agg(cmsSketchAgg(col("x")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val folded = df.repartition(7)
+      .withColumn("s", pmod(xxhash64(col("x")), lit(5)))
+      .groupBy(col("s")).agg(cmsSketchAgg(col("x")).as("sk"))
+      .agg(cmsMergeAgg(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, folded))
+
+    // crowded regime (5000 distinct vs width 200): overcount only,
+    // bounded by eps*N with headroom
+    val big = spark.range(20000)
+      .select(concat(lit("w"), col("id") % 5000).as("x"))
+    val est = big.agg(cmsSketchAgg(col("x"), eps = 0.01).as("sk"))
+      .select(cmsEstimate(col("sk"), lit("w1")).as("e")).head().getLong(0)
+    assert(est >= 4L, s"CMS must never undercount, got $est")
+    assert(est <= 4L + (3 * 0.01 * 20000).toLong, s"overcount blew up: $est")
+  }
 }

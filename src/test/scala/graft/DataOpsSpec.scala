@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Expectations}
+import graft.operators.{Cdc, Dedup, Expectations, Skew}
 
 /** Table-versioning and data-quality operators: snapshot diff (the
   * inverse of CDC apply) and single-pass expectations reports. */
@@ -91,5 +91,62 @@ class DataOpsSpec extends SparkTestBase {
     val ok = Expectations.uniquenessReport(df.dropDuplicates("k"), Seq("k"))
       .head()
     assert(ok.getLong(2) === 0L && ok.getBoolean(4))
+  }
+
+  test("groupBottomK equals the rank-window formulation on real documents") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.groupBottomK(docs, "source", "doc_id", 7)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(1000003L))
+    val want = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(h, col("doc_id"))))
+      .where(col("rn") <= 7)
+      .select(col("source"), col("doc_id").cast("long"))
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("groupBottomK: k beyond group size keeps whole group; " +
+      "partitioning-invariant; null ids skipped") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L))
+      .toDF("g", "id")
+    val all = Dedup.groupBottomK(df, "g", "id", 10)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(all.toSeq === Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L)))
+
+    val p1 = Dedup.groupBottomK(df.repartition(1), "g", "id", 2)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val p7 = Dedup.groupBottomK(df.repartition(7), "g", "id", 2)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(p1.toSeq === p7.toSeq,
+      "the sample must be a function of the input set, not the partitioning")
+
+    val withNull = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("a", null.asInstanceOf[java.lang.Long])).toDF("g", "id")
+    val r = Dedup.groupBottomK(withNull, "g", "id", 5).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq === Seq(("a", 1L)))
+  }
+
+  test("keyProfile: top-N, share, tie-break by key, exact count percentiles") {
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "x")
+    val got = Skew.keyProfile(df, col("k"), 3).collect()
+    assert(got.length === 3)
+    val first = got(0)
+    assert(first.getLong(0) === 1L && first.getString(1) === "a" &&
+      first.getLong(2) === 5L)
+    assert(first.getDouble(3) === 0.416667)          // 5/12 rounded
+    assert(first.getLong(4) === 4L)                  // distinct keys
+    assert(first.getLong(5) === 12L)                 // total rows
+    assert(first.getLong(6) === 5L)                  // max
+    assert(first.getDouble(7) === 3.0)               // p50 of [1,3,3,5]
+    assert(first.getDouble(8) === 4.94)              // 3 + 0.97*(5-3)
+    // count tie between b and c breaks by key ascending
+    assert(got(1).getString(1) === "b" && got(2).getString(1) === "c")
   }
 }

@@ -313,4 +313,43 @@ class ExpressionsSpec extends SparkTestBase {
       NativeFunctions.foreignBucketHash($"s", lit(null))).head().getInt(0)
     assert(bareNullDf == row.getInt(0))
   }
+
+  test("script counts: known answers, codepoint counting, codegen survives") {
+    import org.apache.spark.sql.graft.{NativeFunctions, ScriptCounts}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // H\u00e9llo (latin 5, incl. the accented e) + \u043c\u0438\u0440 (cyr 3)
+    // + \u6c49\u5b57 (cjk 2) + \ud55c\uae00 (hangul 2) + an emoji and a
+    // supplementary-plane letter (U+1D49C), both outside every class —
+    // surrogate pairs must count as ONE codepoint pass, never two
+    val s = "H\u00e9llo \u043c\u0438\u0440 \u6c49\u5b57 \ud55c\uae00 " +
+      new String(Character.toChars(0x1F389)) +
+      new String(Character.toChars(0x1D49C))
+    val row = Seq(Tuple1(s)).toDF("t")
+      .select(NativeFunctions.scriptCounts($"t").as("sc"))
+      .head().getStruct(0)
+    assert(row.getLong(0) === 5L, "latin")
+    assert(row.getLong(1) === 3L, "cyrillic")
+    assert(row.getLong(6) === 2L, "cjk")
+    assert(row.getLong(7) === 2L, "hangul")
+    assert((2 to 5).forall(row.getLong(_) === 0L))
+
+    // interpreted eval agrees with the codegen'd dataframe path
+    val interp = ScriptCounts(Literal(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(interp.getLong(0) === 5L && interp.getLong(1) === 3L &&
+      interp.getLong(6) === 2L && interp.getLong(7) === 2L)
+
+    // SQL registration + the kernel stays inside generated code
+    NativeFunctions.register(spark)
+    assert(spark.sql("SELECT script_counts('ab').latin").head().getLong(0) === 2L)
+    locally {
+      import org.apache.spark.sql.execution.debug._
+      val probe = Tables.documents(spark, sf)
+        .select(NativeFunctions.scriptCounts($"text").as("sc"))
+      val code = probe.queryExecution.debug.codegenToSeq().map(_._2).mkString
+      assert(code.contains("ScriptKernels"), "script kernel fell back")
+    }
+  }
 }

@@ -1,0 +1,185 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Retention}
+
+/** Ordered-step funnel semantics (first-touch, strict order, optional
+  * horizon) + the one-exchange plan shape. */
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+      min * 60000L)
+
+  private val steps = Seq(
+    col("et") === "view", col("et") === "click", col("et") === "purchase")
+
+  test("strict order: a step before the previous step's time does not count") {
+    // u1 clicked BEFORE first viewing — the click cannot advance the funnel
+    val df = Seq(
+      (1L, "click", ts(1)), (1L, "view", ts(2)), (1L, "purchase", ts(3)))
+      .toDF("u", "et", "ts")
+    val r = Funnel.reach(df, "u", "ts", steps).collect()
+    assert(r.length === 1)
+    assert(r.head.getTimestamp(1) === ts(2))  // t1 = first view
+    assert(r.head.isNullAt(2) && r.head.isNullAt(3),
+      "click at t=1 precedes the view; purchase requires the click")
+  }
+
+  test("equal timestamps do not advance; a later event does") {
+    val df = Seq(
+      (1L, "view", ts(5)), (1L, "click", ts(5)),  // same instant → no advance
+      (1L, "click", ts(6)),
+      (2L, "view", ts(5)), (2L, "click", ts(5)))  // only the tie → stuck
+      .toDF("u", "et", "ts")
+    val r = Funnel.reach(df, "u", "ts", steps)
+      .orderBy("u").collect()
+    assert(r(0).getTimestamp(2) === ts(6), "u1 advances via the later click")
+    assert(r(1).isNullAt(2), "u2's same-instant click must not advance")
+  }
+
+  test("first-touch: earliest valid timestamp wins at every step") {
+    val df = Seq(
+      (1L, "view", ts(10)), (1L, "view", ts(1)),
+      (1L, "click", ts(2)), (1L, "click", ts(8)),
+      (1L, "purchase", ts(3)))
+      .toDF("u", "et", "ts")
+    val r = Funnel.reach(df, "u", "ts", steps).collect().head
+    assert(r.getTimestamp(1) === ts(1))
+    assert(r.getTimestamp(2) === ts(2))
+    assert(r.getTimestamp(3) === ts(3))
+  }
+
+  test("within horizon bounds every later step relative to t1") {
+    val df = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(30)), (1L, "purchase", ts(200)),
+      (2L, "view", ts(0)), (2L, "click", ts(30)), (2L, "purchase", ts(90)))
+      .toDF("u", "et", "ts")
+    val bounded = Funnel.reach(df, "u", "ts", steps,
+      within = Some(expr("INTERVAL 100 MINUTES")))
+      .orderBy("u").collect()
+    assert(bounded(0).isNullAt(3), "u1's purchase at +200min is outside")
+    assert(bounded(1).getTimestamp(3) === ts(90))
+    val unbounded = Funnel.reach(df, "u", "ts", steps).orderBy("u").collect()
+    assert(unbounded(0).getTimestamp(3) === ts(200))
+  }
+
+  test("entities that never reach step 1 are absent from reach") {
+    val df = Seq(
+      (1L, "view", ts(1)), (2L, "click", ts(1)), (2L, "purchase", ts(2)))
+      .toDF("u", "et", "ts")
+    val r = Funnel.reach(df, "u", "ts", steps).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("report: counts, conversion rounding, step order") {
+    val df = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(1)), (2L, "click", ts(2)),
+      (3L, "view", ts(1)))
+      .toDF("u", "et", "ts")
+    val rep = Funnel.report(df, "u", "ts", steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.toSeq === Seq(
+      (1L, 3L, 1.0), (2L, 2L, 0.666667), (3L, 1L, 0.333333)))
+  }
+
+  test("plan: one hash exchange on the entity, reused by windows and agg") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case r: ReusedExchangeExec => r +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").as("u"), col("event_type").as("et"), col("ts"))
+    val out = Funnel.reach(ev, "u", "ts", steps)
+    out.count()
+    val shuffles = flatten(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size === 1,
+      s"funnel depth must not add exchanges, got ${shuffles.size}:\n" +
+        out.queryExecution.executedPlan)
+  }
+
+  test("funnel agrees with an independent per-user scan on real events") {
+    val ev = Tables.events(spark, sf)
+    val got = Funnel.report(ev, "user_id", "ts", Seq(
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent oracle: per-user sorted scan on the driver (fixture-sized)
+    val byUser = ev.select("user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    val stepNames = Seq("view", "click", "purchase")
+    var counts = Array(0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3.getTime)
+      var prev: Option[Long] = None
+      var i = 0
+      var continue = true
+      while (i < 3 && continue) {
+        val hit = sorted.collectFirst {
+          case (_, et, t) if et == stepNames(i) &&
+            prev.forall(p => t.getTime > p) => t.getTime
+        }
+        hit match {
+          case Some(t) => counts(i) += 1; prev = Some(t); i += 1
+          case None => continue = false
+        }
+      }
+    }
+    assert(got.map(_._2).toSeq === counts.toSeq)
+  }
+
+  test("retention cohorts: hand-built calendar, distinct weekly activity") {
+    def at(day: Int, hour: Int = 12): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        day * 86400000L + hour * 3600000L)   // 2024-01-01 is a Monday
+    val df = Seq(
+      (1L, at(0)), (1L, at(2)), (1L, at(8)), (1L, at(22)),  // W0,W0,W1,W3
+      (2L, at(3)),                                          // W0 only
+      (3L, at(9)), (3L, at(15)))                            // W1, W2
+      .toDF("u", "ts")
+    val got = Retention.cohorts(df, "u", "ts", "week")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),   // u1+u2 active in their week 0
+      ("2024-01-01", 1L, 1L, 2L, 0.5),   // u1 back in week 1
+      ("2024-01-01", 3L, 1L, 2L, 0.5),   // u1 back in week 3
+      ("2024-01-08", 0L, 1L, 1L, 1.0),   // u3 cohort
+      ("2024-01-08", 1L, 1L, 1L, 1.0)))  // u3 back the next week
+  }
+
+  test("retention: same-week repeat events count an entity once") {
+    def at(day: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        day * 86400000L)
+    val df = Seq((1L, at(0)), (1L, at(1)), (1L, at(2)), (1L, at(3)))
+      .toDF("u", "ts")
+    val got = Retention.cohorts(df, "u", "ts", "week").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 1L && got.head.getDouble(4) === 1.0)
+  }
+
+  test("retention: month cohorts use month boundaries, not 30-day blocks") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-31 10:00:00")),
+      (1L, Timestamp.valueOf("2024-02-01 10:00:00")))   // next day, next month
+      .toDF("u", "ts")
+    val got = Retention.cohorts(df, "u", "ts", "month")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L), (1L, 1L)),
+      "one day apart across the boundary must be offset 1")
+  }
+}

@@ -148,4 +148,24 @@ class LanguageModelSpec extends SparkTestBase {
     assert(!keptIds.contains(900001L),
       "gibberish with unseen contexts should land in the dropped tail")
   }
+
+  test("collocations: hand-computed PMI, minCount gate, total order") {
+    // one doc: x y x y x y x y x y -> unigrams x:5 y:5 (N_uni = 10),
+    // bigrams "x y":5 "y x":4 (N_bi = 9)
+    val df = Seq((1L, "x y x y x y x y x y")).toDF("id", "text")
+    val all = LanguageModel.collocations(df, "text", minCount = 1, topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // pmi(x,y) = ln(5 * 10^2 / (9 * 5 * 5)) = ln(20/9); pmi(y,x) = ln(16/9)
+    assert(all.toSeq === Seq(
+      ("x", "y", 5L, BigDecimal(math.log(20.0 / 9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("y", "x", 4L, BigDecimal(math.log(16.0 / 9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // minCount suppresses the rare pair but totals stay corpus-wide:
+    // the surviving score is unchanged
+    val cut = LanguageModel.collocations(df, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(cut.toSeq === Seq(("x", "y", all(0)._4)))
+  }
 }

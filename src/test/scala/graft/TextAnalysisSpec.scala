@@ -158,4 +158,25 @@ class TextAnalysisSpec extends SparkTestBase {
     val short = hashed.filter($"id" === 999999L).collect().head
     assert(short.getLong(1) == 0L && short.isNullAt(3))
   }
+
+  test("scriptProfile: dominance, tie goes to the first class, purity, none") {
+    val df = Seq(
+      (1L, "hello \u043c\u0438\u0440"),                    // latin 5, cyr 3
+      (2L, "\u043c\u0438\u0440\u043c\u0438\u0440 hi"),  // cyr 6, latin 2
+      (3L, "123 ... !"),                                      // nothing classified
+      (4L, "ab \u044f\u0431"))                              // 2-2 tie
+      .toDF("id", "t")
+    val got = TextAnalysis.scriptProfile(df, "t")
+      .select("id", "latin", "cyrillic", "script_letters",
+        "dominant_script", "script_purity")
+      .orderBy("id").collect()
+    assert(got(0).getString(4) === "latin")
+    assert(got(0).getLong(1) === 5L && got(0).getLong(2) === 3L)
+    assert(got(0).getDouble(5) === 0.625)
+    assert(got(1).getString(4) === "cyrillic")
+    assert(got(2).getString(4) === "none" && got(2).isNullAt(5))
+    assert(got(2).getLong(3) === 0L)
+    assert(got(3).getString(4) === "latin",
+      "ties break by the fixed class order, latin first")
+  }
 }
