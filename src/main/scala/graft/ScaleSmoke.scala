@@ -99,7 +99,13 @@ object ScaleSmoke {
     // the same postings pattern t110 already smokes.
     "d137_soft_dedup", "t140_score_calibrate",
     // r8 data-ops + batch serve (full-table gates)
-    "q143_snapshot_diff", "q144_expectations", "s145_ann_batch")
+    "q143_snapshot_diff", "q144_expectations", "s145_ann_batch",
+    // r8 event analytics, sampling, profiling, sketch gates. t151's
+    // zero-shuffle map scan shares t116's smoked shape but the kernel
+    // differs, so it earns its own row.
+    "q149_funnel", "q154_retention", "q152_skew_profile",
+    "d150_group_sample", "t153_cms_freq", "t155_collocations",
+    "t151_script_profile", "q157_scd2")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

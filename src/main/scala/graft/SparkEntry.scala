@@ -2281,7 +2281,72 @@ object SparkEntry {
     // Model-sized joins only; totals ride one broadcast row.
     "t155_collocations" -> ((s, d) =>
       operators.LanguageModel.collocations(t(s, d, "documents"), "text",
-        minCount = 5, topK = 150)))
+        minCount = 5, topK = 150)),
+
+    // Stateful streaming funnel: the q149 chain evaluated incrementally
+    // with O(k) state per entity; exact under batch-monotone event time,
+    // so the file-source stream reproduces the batch oracle bit-for-bit.
+    "str156_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val streamDir = tmpDir("graft_str156")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+        .withColumn("ts", Tables.eventTs(rawSchema("ts").dataType))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("entity"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1)
+            .otherwise(2).as("step"),
+          unix_micros(col("ts")).as("ts"))
+        .as[graft.streaming.StreamFunnel.StepEvent]
+      val reach = graft.streaming.StreamFunnel.reachStream(src, 3)
+      val name = "str156_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val tbl = graft.streaming.MicroBatch.runToMemory(s, reach.toDF(),
+        name, outputMode = "update")
+      val fin = tbl.groupBy(col("entity"))
+        .agg(max(col("reached")).as("reached"))
+      val counts = fin.agg(
+        sum(when(col("reached") >= 1, 1).otherwise(0)).cast("long").as("u1"),
+        sum(when(col("reached") >= 2, 1).otherwise(0)).cast("long").as("u2"),
+        sum(when(col("reached") >= 3, 1).otherwise(0)).cast("long").as("u3"))
+      counts.select(explode(array(
+          struct(lit(1).cast("long").as("step"), col("u1").as("users")),
+          struct(lit(2).cast("long").as("step"), col("u2").as("users")),
+          struct(lit(3).cast("long").as("step"), col("u3").as("users"))))
+        .as("sr"))
+        .select(col("sr.step"), col("sr.users"))
+        .crossJoin(broadcast(counts.select(col("u1"))))
+        .select(col("step"), col("users"),
+          when(col("u1") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              col("users").cast("double") / col("u1").cast("double"), 6))
+            .as("conversion"))
+        .orderBy(col("step"))
+    }),
+
+    // SCD Type-2 dimension history from an op log (per-customer order
+    // stream as the change log): validity intervals via one key-partitioned
+    // lead window; deletes close intervals without opening one.
+    "q157_scd2" -> ((s, d) => {
+      val log = t(s, d, "orders").select(
+        col("o_custkey").as("k"),
+        when(col("o_orderkey") % 11 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("o_orderdate").as("ts"),
+        col("o_totalprice").as("price"),
+        col("o_orderkey"))
+      Cdc.scd2(log, Seq("k"), "op", "ts", Seq(col("o_orderkey")))
+        .select(col("k"),
+          date_format(col("ts"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("price"), col("o_orderkey"), col("is_current"))
+        .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -3781,5 +3846,45 @@ object SparkEntry {
         | CROSS JOIN tot
         |WHERE c_ab >= 5
         |ORDER BY pmi DESC, w1, w2
-        |LIMIT 150""".stripMargin)
+        |LIMIT 150""".stripMargin,
+
+    "str156_stream_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        | JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |  (SELECT count(*) FROM s2) AS u2,
+        |  (SELECT count(*) FROM s3) AS u3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, CAST(u1 AS BIGINT) AS users,
+        |  round(CAST(u1 AS DOUBLE) / u1, 6) AS conversion FROM c
+        | UNION ALL SELECT CAST(2 AS BIGINT), CAST(u2 AS BIGINT),
+        |  round(CAST(u2 AS DOUBLE) / u1, 6) FROM c
+        | UNION ALL SELECT CAST(3 AS BIGINT), CAST(u3 AS BIGINT),
+        |  round(CAST(u3 AS DOUBLE) / u1, 6) FROM c) f
+        |ORDER BY step""".stripMargin,
+
+    "q157_scd2" ->
+      """WITH log AS (
+        | SELECT o_custkey AS k,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |  o_orderdate AS ts, o_totalprice AS price, o_orderkey
+        | FROM orders),
+        |v AS (
+        | SELECT *, lead(ts) OVER (PARTITION BY k ORDER BY ts, o_orderkey)
+        |   AS valid_to
+        | FROM log)
+        |SELECT k, strftime(ts, '%Y-%m-%d') AS valid_from,
+        | strftime(valid_to, '%Y-%m-%d') AS valid_to,
+        | price, o_orderkey, valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY k, valid_from, o_orderkey""".stripMargin)
 }

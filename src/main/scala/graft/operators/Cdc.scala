@@ -90,4 +90,31 @@ object Cdc {
       keyCols.map(k => col("__k").getField(k).as(k)) ++
         valCols.map(c => v.getField(c).as(c)) :+ col(opCol): _*)
   }
+
+  /** SCD Type-2 dimension history from an op log: one VALIDITY-INTERVAL
+    * row per surviving op — `valid_from` = the op's change time,
+    * `valid_to` = the NEXT op's change time for that key (NULL = still
+    * current), `is_current` flag. A delete op closes the previous
+    * version's interval (its timestamp becomes that row's `valid_to`)
+    * without opening one — the lead window runs BEFORE the delete filter
+    * so a deleted key's history ends at the delete time with no current
+    * row.
+    *
+    * `orderCols` breaks ties when change times repeat within a key (the
+    * OGG change-id convention, same contract as [[applyLog]]).
+    *
+    * Scale: one hash exchange on the key + a per-key sort — the minimum
+    * any versioning pass costs; output is op-log-sized, never joined
+    * against the dimension. */
+  def scd2(ops: DataFrame, keyCols: Seq[String], opCol: String,
+      tsCol: String, orderCols: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: orderCols: _*)
+    ops
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= OpDelete)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

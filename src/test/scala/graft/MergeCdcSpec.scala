@@ -84,4 +84,28 @@ class MergeCdcSpec extends SparkTestBase {
     assert(df.count() == Tables.events(spark, sf)
       .filter(col("event_id") > 500).count())
   }
+
+  test("scd2: validity intervals, delete closes without opening, ties by seq") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val log = Seq(
+      (1L, "I", t(0), 10.0, 1L), (1L, "U", t(5), 20.0, 2L),
+      (1L, "D", t(9), 0.0, 3L),                       // closes, no row
+      (2L, "I", t(1), 5.0, 4L),                       // still current
+      (3L, "I", t(2), 1.0, 5L), (3L, "U", t(2), 2.0, 6L)) // same ts, seq tie
+      .toDF("k", "op", "ts", "v", "seq")
+    val got = Cdc.scd2(log, Seq("k"), "op", "ts", Seq(col("seq")))
+      .select(col("k"), col("valid_from"), col("valid_to"), col("v"),
+        col("is_current"))
+      .orderBy(col("k"), col("valid_from"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, t(0), Some(t(5)), 10.0, false),
+      (1L, t(5), Some(t(9)), 20.0, false),   // closed BY the delete
+      (2L, t(1), None, 5.0, true),
+      (3L, t(2), Some(t(2)), 1.0, false),    // tie: earlier seq closed at same ts
+      (3L, t(2), None, 2.0, true)))
+  }
 }

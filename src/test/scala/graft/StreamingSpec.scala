@@ -554,6 +554,86 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("2024-01-01 00:00", "click", 3L),
       ("2024-01-01 00:00", "view", 1L), ("2024-01-01 01:00", "view", 1L)))
   }
+
+  test("streaming funnel: time-split batches reproduce the batch chain " +
+      "exactly, state advances across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.StepEvent
+    import graft.operators.Funnel
+
+    // fixture events mapped to step indices, time-split into 3 batches
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("entity"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("step"),
+        unix_micros(col("ts")).as("ts"))
+    val rows = ev.as[StepEvent].collect().sortBy(e => (e.ts, e.step))
+    val cut = rows.length / 3
+    val batches = Seq(rows.take(cut), rows.slice(cut, 2 * cut),
+      rows.drop(2 * cut))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StepEvent]
+    val q = StreamFunnel.reachStream(ms.toDS(), 3).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sf_funnel").start()
+    try {
+      batches.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("sf_funnel")
+      .groupBy(col("entity")).agg(max(col("reached")).as("reached"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // batch reference over the same events
+    val want = Funnel.reach(
+        Tables.events(spark, sf)
+          .filter(col("event_type").isin("view", "click", "purchase")),
+        "user_id", "ts", Seq(
+          col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .collect().map { r =>
+        r.getLong(0) -> Seq(1, 2, 3).count(i => !r.isNullAt(i))
+      }.toMap
+
+    // batch reach omits never-viewed entities; stream emits them at 0
+    assert(got.filter(_._2 > 0) === want.filter(_._2 > 0))
+    assert(want.keySet.subsetOf(got.keySet))
+  }
+
+  test("streaming funnel: same-instant step does not advance; horizon " +
+      "bounds later steps; chain survives batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.StepEvent
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StepEvent]
+    val q = StreamFunnel.reachStream(ms.toDS(), 3, withinMs = Some(100L))
+      .toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sf_funnel2").start()
+    try {
+      // u1: view@10 then click@10 (same instant -> stuck at 1)
+      // u2: view@10 in batch 1, click@20 in batch 2, purchase@200 beyond
+      //     the 100ms horizon -> stuck at 2
+      // u3: full chain within horizon, split across all three batches
+      ms.addData(Seq(StepEvent(1L, 0, 10L), StepEvent(1L, 1, 10L),
+        StepEvent(2L, 0, 10L), StepEvent(3L, 0, 10L)))
+      q.processAllAvailable()
+      ms.addData(Seq(StepEvent(2L, 1, 20L), StepEvent(3L, 1, 40L)))
+      q.processAllAvailable()
+      ms.addData(Seq(StepEvent(2L, 2, 200L), StepEvent(3L, 2, 90L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("sf_funnel2")
+      .groupBy(col("entity")).agg(max(col("reached")).as("reached"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin === Map(1L -> 1, 2L -> 2, 3L -> 3))
+  }
 }
 
 object StreamingSpec {
