@@ -2346,7 +2346,15 @@ object SparkEntry {
           date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
           col("price"), col("o_orderkey"), col("is_current"))
         .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
-    }))
+    }),
+
+    // Top-k-by-score per group via the mergeable heap aggregate (the
+    // quality-ranked domain cap at 100 TB shape — no group sort). Oracle
+    // is the rank-window-desc formulation it replaces.
+    "d158_group_topk" -> ((s, d) =>
+      Dedup.groupTopKByScore(t(s, d, "documents"), "lang", "doc_id",
+          "n_chars", 5)
+        .orderBy(col("lang"), col("doc_id"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -3886,5 +3894,14 @@ object SparkEntry {
         | strftime(valid_to, '%Y-%m-%d') AS valid_to,
         | price, o_orderkey, valid_to IS NULL AS is_current
         |FROM v WHERE op <> 'D'
-        |ORDER BY k, valid_from, o_orderkey""".stripMargin)
+        |ORDER BY k, valid_from, o_orderkey""".stripMargin,
+
+    "d158_group_topk" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin)
 }

@@ -744,6 +744,27 @@ object Dedup {
       .select(col(groupCol), explode(col("__ids")).as(idCol))
   }
 
+  /** Exact top-k-BY-SCORE per group — the quality-ranked sibling of
+    * [[groupBottomK]] ("keep the k highest-quality documents per
+    * domain"): scores map through the order-preserving sortable-bits
+    * transform ([[org.apache.spark.sql.graft.SortableDoubleBits]]),
+    * bit-inverted so the k LARGEST scores are the k smallest keys, and
+    * ride the same mergeable O(k)-state heap — no group is ever sorted,
+    * the exchange carries ≤ k pairs per group per map partition. This is
+    * [[domainCap]]'s 100 TB form: the rank-window cap sorts every
+    * domain; this keeps only heap state. Ties (equal scores) break by id
+    * ascending; null scores are skipped (a row without a score cannot be
+    * preferred); NaN orders above +Infinity exactly like Spark's sort.
+    * Returns (group, id); join back to fetch payloads. */
+  def groupTopKByScore(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val nf = org.apache.spark.sql.graft.NativeFunctions
+    val key = bitwise_not(nf.sortableDoubleBits(col(scoreCol).cast("double")))
+    df.groupBy(col(groupCol))
+      .agg(nf.bottomKIdsAgg(key, col(idCol).cast("long"), k).as("__ids"))
+      .select(col(groupCol), explode(col("__ids")).as(idCol))
+  }
+
   /** Temperature-scaled domain mixing — the `p_d ∝ n_d^α` exponential
     * smoothing rule used to set multi-domain/multilingual training mixes
     * (α < 1 upweights small domains, α = 1 keeps natural proportions;

@@ -1433,6 +1433,11 @@ object NativeFunctions {
       ExpressionUtils.expression(key), ExpressionUtils.expression(id),
       k).toAggregateExpression())
 
+  /** Order-preserving double → long bits ([[SortableDoubleBits]]);
+    * NaN above +Inf, matching Spark's sort order. */
+  def sortableDoubleBits(c: Column): Column =
+    ExpressionUtils.column(SortableDoubleBits(ExpressionUtils.expression(c)))
+
   /** Mergeable count-min frequency sketch over a string column
     * ([[CmsSketchAgg]]): fixed-size table answering per-item frequency
     * for ANY item, merge = cell-wise addition (bit-deterministic). */
@@ -1572,4 +1577,39 @@ case class ScriptCounts(child: Expression)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "script_counts"
+}
+
+/** Order-preserving IEEE-754 double → signed long mapping (the classic
+  * sortable-bits trick: flip the sign bit for positives, flip ALL bits
+  * for negatives): `a < b  ⇔  sortableBits(a) < sortableBits(b)` for all
+  * non-NaN doubles, and NaN (canonical bits) lands ABOVE +Infinity —
+  * the same total order Spark's own sort uses. Lets score-typed columns
+  * ride long-keyed machinery (the bottom-k sampler) without loss. */
+object SortKernels {
+  def sortableBits(d: Double): Long = {
+    // Lucene's doubleToSortableLong: negatives flip their magnitude bits
+    // (sign bit stays 1 → they remain the SMALLER signed-long half, in
+    // reversed-magnitude = ascending-value order); non-negatives pass
+    // through (sign bit 0 → the larger half, already ascending)
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+}
+
+/** [[SortKernels.sortableBits]] as a codegen'd expression. */
+case class SortableDoubleBits(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SortKernels.sortableBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SortKernels.sortableBits($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "sortable_double_bits"
 }

@@ -149,4 +149,35 @@ class DataOpsSpec extends SparkTestBase {
     // count tie between b and c breaks by key ascending
     assert(got(1).getString(1) === "b" && got(2).getString(1) === "c")
   }
+
+  test("groupTopKByScore equals rank-window-desc; null skipped; NaN above Inf") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.groupTopKByScore(docs, "lang", "doc_id", "n_chars", 4)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("rn") <= 4)
+      .select(col("lang"), col("doc_id").cast("long"))
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === want)
+
+    val edge = Seq(
+      ("g", 1L, Double.NaN), ("g", 2L, Double.PositiveInfinity),
+      ("g", 3L, 5.0), ("g", 4L, Double.NegativeInfinity))
+      .toDF("g", "id", "score")
+    val top2 = Dedup.groupTopKByScore(edge, "g", "id", "score", 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(top2 === Set(1L, 2L), "NaN must rank above +Inf, like Spark sort")
+
+    val withNull = Seq(("g", 1L, Option(1.0)), ("g", 2L, Option.empty[Double]))
+      .toDF("g", "id", "score")
+    val r = Dedup.groupTopKByScore(withNull, "g", "id", "score", 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(r === Seq(1L), "null scores cannot be selected")
+  }
 }
