@@ -2354,7 +2354,20 @@ object SparkEntry {
     "d158_group_topk" -> ((s, d) =>
       Dedup.groupTopKByScore(t(s, d, "documents"), "lang", "doc_id",
           "n_chars", 5)
-        .orderBy(col("lang"), col("doc_id"))))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Event-rate anomaly detection: per-(type, hour) counts z-scored
+    // against a trailing 24-bucket baseline built from EXACT integer
+    // window sums (never a built-in stddev — accumulation algorithms
+    // differ across engines), so the scores hash-match the oracle.
+    "q159_rate_anomaly" -> ((s, d) =>
+      operators.Anomaly.rateAnomalies(t(s, d, "events"), "event_type",
+          "ts", "hour", lookback = 24, minPoints = 8, zThreshold = 3.0)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("hr"),
+          col("n"), col("baseline_mean"), col("baseline_sd"), col("z"),
+          col("is_anomaly"))
+        .orderBy(col("series"), col("hr"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -3903,5 +3916,34 @@ object SparkEntry {
         |   ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 5
-        |ORDER BY lang, doc_id""".stripMargin)
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q159_rate_anomaly" ->
+      """WITH c AS (
+        | SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |wnd AS (
+        | SELECT *, count(n) OVER w AS k, sum(n) OVER w AS s1,
+        |  sum(n * n) OVER w AS s2
+        | FROM c
+        | WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |sc AS (
+        | SELECT series, bucket, n,
+        |  CASE WHEN k >= 8
+        |   THEN round(CAST(s1 AS DOUBLE) / k, 6) END AS baseline_mean,
+        |  CASE WHEN k >= 8
+        |   THEN round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |     / (k - 1)), 6) END AS baseline_sd,
+        |  CASE WHEN k >= 8 AND
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) > 0
+        |   THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+        |     / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |       / (k - 1)), 6) END AS z
+        | FROM wnd)
+        |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,
+        | CAST(n AS BIGINT) AS n, baseline_mean, baseline_sd, z,
+        | coalesce(z > 3.0, FALSE) AS is_anomaly
+        |FROM sc ORDER BY series, hr""".stripMargin)
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-rate anomaly detection — "did the error rate spike this hour?":
+  * the monitoring consumer at the end of the reference's log-collector
+  * pipelines (Flume/log-service sinks feed exactly this kind of alerting
+  * query downstream).
+  *
+  * Method: per (series, time-bucket) counts, then a z-score of each
+  * bucket against its TRAILING window of `lookback` buckets (the bucket
+  * itself excluded — a spike must not inflate its own baseline).
+  *
+  * Engine-reproducibility: the baseline variance is computed from EXACT
+  * integer window sums (Σc and Σc² are BIGINTs — bucket counts are
+  * integers, so both sums are exact in any engine) with one fixed
+  * double-arithmetic formula, `(Σc² − (Σc)²/n)/(n−1)` — never from a
+  * built-in `stddev`, whose accumulation algorithm (Welford vs naive)
+  * differs across engines in final ULPs. The q159 oracle mirrors the
+  * formula token-for-token and hash-matches.
+  *
+  * Scale: one map-side-combined count aggregate over the events (output
+  * is series×calendar-sized), then one window pass over THAT — the
+  * window sorts series×buckets, never events. Alert tables stay tiny at
+  * any corpus size.
+  */
+object Anomaly {
+
+  /** Per-(series, bucket) rate table with trailing-baseline z-scores:
+    * (series, bucket, n, baseline_mean, baseline_sd, z, is_anomaly).
+    * Buckets with fewer than `minPoints` trailing points (series start)
+    * or zero baseline variance get NULL z and are never flagged.
+    * `bucket` is a `date_trunc` unit ("hour", "day", ...). */
+  def rateAnomalies(events: DataFrame, seriesCol: String, tsCol: String,
+      bucket: String = "hour", lookback: Int = 24, minPoints: Int = 8,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2 && minPoints >= 2 && minPoints <= lookback,
+      s"need 2 <= minPoints <= lookback, got $minPoints/$lookback")
+    val counts = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    // exact integer sums over the trailing frame; all double math happens
+    // in ONE fixed expression order below
+    val withSums = counts
+      .withColumn("__k", count(col("n")).over(w))
+      .withColumn("__s1", sum(col("n")).over(w))
+      .withColumn("__s2", sum(col("n") * col("n")).over(w))
+    val k = col("__k").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val mean = s1 / k
+    val variance = (s2 - s1 * s1 / k) / (k - 1)
+    val sd = sqrt(variance)
+    withSums
+      .withColumn("baseline_mean",
+        when(col("__k") >= minPoints, round(mean, 6)))
+      .withColumn("baseline_sd",
+        when(col("__k") >= minPoints, round(sd, 6)))
+      .withColumn("z",
+        when(col("__k") >= minPoints && variance > 0,
+          round((col("n").cast("double") - mean) / sd, 6)))
+      .withColumn("is_anomaly",
+        coalesce(col("z") > zThreshold, lit(false)))
+      .drop("__k", "__s1", "__s2")
+  }
+}

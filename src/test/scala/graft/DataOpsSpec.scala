@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Dedup, Expectations, Skew}
+import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Skew}
 
 /** Table-versioning and data-quality operators: snapshot diff (the
   * inverse of CDC apply) and single-pass expectations reports. */
@@ -179,5 +179,40 @@ class DataOpsSpec extends SparkTestBase {
     val r = Dedup.groupTopKByScore(withNull, "g", "id", "score", 5)
       .collect().map(_.getLong(1)).toSeq
     assert(r === Seq(1L), "null scores cannot be selected")
+  }
+
+  test("rateAnomalies: planted spike flags, series start and flat " +
+      "baseline stay null") {
+    import java.sql.Timestamp
+    def hour(h: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    // 20 hourly buckets alternating 2/4 events, then a 40-event spike
+    val calm = (0 until 20).flatMap { h =>
+      (0 until (if (h % 2 == 0) 2 else 4)).map(i => ("err", hour(h)))
+    }
+    val spike = (0 until 40).map(i => ("err", hour(20)))
+    // a second, CONSTANT series: zero variance -> never flagged
+    val flat = (0 until 22).flatMap { h =>
+      (0 until 3).map(i => ("ok", hour(h)))
+    }
+    val df = (calm ++ spike ++ flat).toDF("event_type", "ts")
+    val out = Anomaly.rateAnomalies(df, "event_type", "ts", "hour",
+        lookback = 12, minPoints = 8, zThreshold = 3.0)
+      .orderBy(col("series"), col("bucket")).collect()
+
+    val err = out.filter(_.getString(0) == "err")
+    // first minPoints buckets of the series have no baseline
+    assert(err.take(8).forall(_.isNullAt(5)), "series start must be null-z")
+    val spikeRow = err.last
+    assert(spikeRow.getLong(2) === 40L)
+    assert(spikeRow.getBoolean(6), s"spike must flag, z=${spikeRow.get(5)}")
+    assert(spikeRow.getDouble(5) > 3.0)
+    // calm alternation never flags
+    assert(err.init.forall(!_.getBoolean(6)))
+
+    val ok = out.filter(_.getString(0) == "ok")
+    assert(ok.forall(!_.getBoolean(6)))
+    assert(ok.drop(8).forall(_.isNullAt(5)),
+      "zero-variance baseline must yield null z, not infinity")
   }
 }
