@@ -71,19 +71,19 @@ object Funnel {
     val counts = r.agg(
       count(col("t1")).as("u1"),
       (2 to steps.length).map(i => count(col(s"t$i")).as(s"u$i")): _*)
-    val stacked = counts.select(explode(array(
+    // one select over the single aggregate row builds every output row —
+    // the funnel pipeline executes ONCE (a cross join back to the counts
+    // would re-run the whole reach plan for the second consumer)
+    counts.select(explode(array(
       (1 to steps.length).map(i =>
-        struct(lit(i).cast("long").as("step"), col(s"u$i").as("users"))): _*))
+        struct(lit(i).cast("long").as("step"), col(s"u$i").as("users"),
+          // no step-1 entities → conversion is undefined, not NaN
+          when(col("u1") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              col(s"u$i").cast("double") / col("u1").cast("double"), 6))
+            .as("conversion"))): _*))
       .as("s"))
-      .select(col("s.step"), col("s.users"))
-    // one-row cross join only carries u1 (scalar) onto k rows
-    stacked.crossJoin(broadcast(counts.select(col("u1"))))
-      .select(col("step"), col("users"),
-        // no step-1 entities → conversion is undefined, not NaN
-        when(col("u1") === 0, lit(null).cast("double"))
-          .otherwise(round(
-            col("users").cast("double") / col("u1").cast("double"), 6))
-          .as("conversion"))
+      .select(col("s.step"), col("s.users"), col("s.conversion"))
       .orderBy("step")
   }
 }

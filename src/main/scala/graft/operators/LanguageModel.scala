@@ -94,9 +94,13 @@ object LanguageModel {
     * total (pmi desc, pair) tie-break order. */
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
       topK: Int = 100): DataFrame = {
+    // both model-sized tables feed two consumers each (totals + the
+    // scoring joins) — truncate lineage so each corpus count runs once
     val bi = ngramCounts(df, textCol, 2).withColumnRenamed("n", "c_ab")
+      .localCheckpoint(eager = false)
     val uni = df.select(explode(tokensOf(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     // totals BEFORE the minCount filter: probabilities are over the whole
     // corpus, not the surviving pairs
     val totals = bi.agg(sum(col("c_ab")).as("n_bi"))

@@ -29,9 +29,13 @@ object Retention {
     val perDay = Map("day" -> 1L, "week" -> 7L)
     require(perDay.contains(period) || period == "month",
       s"period must be day/week/month, got $period")
+    // entity-keyed, consumed twice (the activity join and the cohort
+    // sizes) — truncate lineage so the corpus-wide first-activity agg
+    // runs once (lazy: materializes on first use)
     val firsts = events
       .groupBy(col(entity))
       .agg(min(date_trunc(period, col(ts))).as("cohort"))
+      .localCheckpoint(eager = false)
     val active = events
       .select(col(entity), date_trunc(period, col(ts)).as("p"))
       .distinct()

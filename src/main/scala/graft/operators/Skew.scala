@@ -70,7 +70,11 @@ object Skew {
     * the counts table; corpora whose DISTINCT-key count is itself huge
     * should swap it for `percentile_approx` — same plan otherwise. */
   def keyProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    // key-cardinality-sized, but COMPUTING it scans the corpus — both the
+    // summary and the top-N consume it, so truncate the lineage (lazy:
+    // materializes on first use) instead of scanning twice
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val summary = counts.agg(
       count(lit(1)).as("distinct_keys"),
       sum(col("cnt")).as("total_rows"),
