@@ -2367,7 +2367,21 @@ object SparkEntry {
           date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("hr"),
           col("n"), col("baseline_mean"), col("baseline_sd"), col("z"),
           col("is_anomaly"))
-        .orderBy(col("series"), col("hr"))))
+        .orderBy(col("series"), col("hr"))),
+
+    // A/B analysis: per-user conversion units (hash-assigned variants),
+    // two-proportion z vs control from exact integer counts in one fixed
+    // double order — rates/lifts/z hash-match the oracle.
+    "q160_ab_test" -> ((s, d) => {
+      val units = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .withColumn("variant",
+          element_at(array(lit("control"), lit("a"), lit("b")),
+            (col("user_id") % 3 + 1).cast("int")))
+      operators.Experiment.abTest(units, "variant", "converted", "control")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -3945,5 +3959,43 @@ object SparkEntry {
         |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,
         | CAST(n AS BIGINT) AS n, baseline_mean, baseline_sd, z,
         | coalesce(z > 3.0, FALSE) AS is_anomaly
-        |FROM sc ORDER BY series, hr""".stripMargin)
+        |FROM sc ORDER BY series, hr""".stripMargin,
+
+    "q160_ab_test" ->
+      """WITH units AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS converted,
+        |  ['control', 'a', 'b'][CAST(user_id % 3 + 1 AS INT)] AS variant
+        | FROM events GROUP BY user_id),
+        |stats AS (
+        | SELECT variant, count(*) AS n, sum(converted) AS conv
+        | FROM units GROUP BY variant),
+        |ctrl AS (SELECT n AS n0, conv AS c0 FROM stats
+        | WHERE variant = 'control'),
+        |j AS (SELECT * FROM stats CROSS JOIN ctrl)
+        |SELECT variant, CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conv,
+        | round(CAST(conv AS DOUBLE) / n, 6) AS rate,
+        | CASE WHEN variant = 'control' THEN NULL
+        |  ELSE round(CAST(conv AS DOUBLE) / n - CAST(c0 AS DOUBLE) / n0, 6)
+        |  END AS lift,
+        | CASE WHEN variant = 'control' THEN NULL
+        |  WHEN NOT ((CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |    * (1.0 - CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |    * (1.0 / n + 1.0 / n0) > 0) THEN NULL
+        |  ELSE round((CAST(conv AS DOUBLE) / n - CAST(c0 AS DOUBLE) / n0)
+        |   / sqrt((CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |     * (1.0 - CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |     * (1.0 / n + 1.0 / n0)), 6)
+        |  END AS z,
+        | coalesce(abs(CASE WHEN variant = 'control' THEN NULL
+        |  WHEN NOT ((CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |    * (1.0 - CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |    * (1.0 / n + 1.0 / n0) > 0) THEN NULL
+        |  ELSE round((CAST(conv AS DOUBLE) / n - CAST(c0 AS DOUBLE) / n0)
+        |   / sqrt((CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |     * (1.0 - CAST(conv + c0 AS DOUBLE) / (n + n0))
+        |     * (1.0 / n + 1.0 / n0)), 6)
+        |  END) > 1.959964, FALSE) AS significant
+        |FROM j ORDER BY variant""".stripMargin)
 }

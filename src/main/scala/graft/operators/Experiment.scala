@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A/B experiment analysis — the decision layer over [[Funnel]] /
+  * [[Retention]]: per-variant conversion rates with a two-proportion
+  * z-test against a control (the standard pooled-variance form).
+  *
+  * Engine-reproducibility: all inputs are EXACT integer counts; every
+  * double expression below has one fixed evaluation order mirrored
+  * token-for-token in the q160 oracle, and rounding happens once at the
+  * output — so rates, lifts, and z-scores hash-match across engines
+  * (same discipline as [[Anomaly]]).
+  *
+  * Scale: one map-side-combined count aggregate over the unit table
+  * (output is variant-cardinality-sized — variants are few by
+  * definition), the control row broadcasts onto it, and everything else
+  * is per-row arithmetic on a tiny table.
+  */
+object Experiment {
+
+  /** Per-variant report: (variant, n, conv, rate, lift, z, significant).
+    * `df` is one row per EXPERIMENT UNIT (user, session, ...) with its
+    * variant label and a boolean conversion flag — aggregate events to
+    * units first (e.g. via [[Funnel.reach]]) so units, not events, are
+    * the sample. The control row carries NULL lift/z and `significant`
+    * false; a variant with degenerate pooled variance (0% or 100%
+    * everywhere) gets NULL z rather than ±∞. `zCrit` defaults to the
+    * two-sided 5% critical value. */
+  def abTest(df: DataFrame, variantCol: String, convertedCol: String,
+      control: String, zCrit: Double = 1.959964): DataFrame = {
+    val stats = df
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(convertedCol).cast("long")).as("conv"))
+      .localCheckpoint(eager = false) // two consumers below
+    val ctrl = stats.filter(col("variant") === control)
+      .select(col("n").as("n0"), col("conv").as("c0"))
+    require(!ctrl.isEmpty, s"control variant '$control' not present")
+    val joined = stats.crossJoin(broadcast(ctrl))
+    val rate = col("conv").cast("double") / col("n")
+    val rate0 = col("c0").cast("double") / col("n0")
+    val pool = (col("conv") + col("c0")).cast("double") /
+      (col("n") + col("n0"))
+    val se2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n") + lit(1.0) / col("n0"))
+    val isCtrl = col("variant") === control
+    joined.select(
+      col("variant"), col("n"), col("conv"),
+      round(rate, 6).as("rate"),
+      when(isCtrl, lit(null).cast("double"))
+        .otherwise(round(rate - rate0, 6)).as("lift"),
+      when(isCtrl || !(se2 > 0), lit(null).cast("double"))
+        .otherwise(round((rate - rate0) / sqrt(se2), 6)).as("z"))
+      .withColumn("significant", coalesce(abs(col("z")) > zCrit, lit(false)))
+      .orderBy(col("variant"))
+  }
+}

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Retention}
+import graft.operators.{Experiment, Funnel, Retention}
 
 /** Ordered-step funnel semantics (first-touch, strict order, optional
   * horizon) + the one-exchange plan shape. */
@@ -181,5 +181,40 @@ class FunnelSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((0L, 1L), (1L, 1L)),
       "one day apart across the boundary must be offset 1")
+  }
+
+  test("abTest: hand-computed z, control row null, degenerate variance null") {
+    val units =
+      (1 to 1000).map(i => ("control", i <= 100)) ++
+      (1 to 1000).map(i => ("a", i <= 150)) ++
+      (1 to 200).map(i => ("dead", false))          // 0% everywhere vs 10%
+    val df = units.toDF("variant", "converted")
+    val got = Experiment.abTest(df, "variant", "converted", "control")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6))).toSeq
+
+    def z(c1: Long, n1: Long, c0: Long, n0: Long): Double = {
+      val rate = c1.toDouble / n1; val rate0 = c0.toDouble / n0
+      val pool = (c1 + c0).toDouble / (n1 + n0)
+      val se2 = pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n0)
+      BigDecimal((rate - rate0) / math.sqrt(se2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === Seq(
+      ("a", 1000L, 150L, 0.15, Some(z(150, 1000, 100, 1000)), true),
+      ("control", 1000L, 100L, 0.1, None, false),
+      ("dead", 200L, 0L, 0.0, Some(z(0, 200, 100, 1000)), true)))
+
+    // pooled variance degenerates only when EVERY arm is 0% (or 100%)
+    val flat = Seq(("control", false), ("x", false)).toDF("variant", "converted")
+    val fz = Experiment.abTest(flat, "variant", "converted", "control")
+      .filter(col("variant") === "x").head()
+    assert(fz.isNullAt(5) && !fz.getBoolean(6),
+      "0%-vs-0% must yield null z, not NaN")
+
+    intercept[IllegalArgumentException] {
+      Experiment.abTest(flat, "variant", "converted", "missing")
+    }
   }
 }
