@@ -2381,7 +2381,14 @@ object SparkEntry {
           element_at(array(lit("control"), lit("a"), lit("b")),
             (col("user_id") % 3 + 1).cast("int")))
       operators.Experiment.abTest(units, "variant", "converted", "control")
-    }))
+    }),
+
+    // Column profiling: equi-width histogram with under/overflow bins —
+    // one map-side-combined count agg to a bins-sized table; bin edges
+    // and shares in one fixed double order, hash-exact vs the oracle.
+    "q161_histogram" -> ((s, d) =>
+      operators.Expectations.histogram(t(s, d, "lineitem"),
+        col("l_extendedprice"), 0.0, 80000.0, 16)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -3997,5 +4004,23 @@ object SparkEntry {
         |     * (1.0 - CAST(conv + c0 AS DOUBLE) / (n + n0))
         |     * (1.0 / n + 1.0 / n0)), 6)
         |  END) > 1.959964, FALSE) AS significant
-        |FROM j ORDER BY variant""".stripMargin)
+        |FROM j ORDER BY variant""".stripMargin,
+
+    "q161_histogram" ->
+      """WITH r AS (
+        | SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+        |   / 5000.0) AS BIGINT) AS raw
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        | SELECT CASE WHEN raw < 0 THEN -1 WHEN raw >= 16 THEN 16
+        |  ELSE raw END AS bin
+        | FROM r),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin)
+        |SELECT bin, cnt,
+        | CASE WHEN bin = -1 THEN NULL
+        |  ELSE round(0.0 + bin * 5000.0, 6) END AS lo_edge,
+        | CASE WHEN bin = 16 THEN NULL
+        |  ELSE round(0.0 + (bin + 1) * 5000.0, 6) END AS hi_edge,
+        | round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS share
+        |FROM c ORDER BY bin""".stripMargin)
 }

@@ -72,4 +72,43 @@ object Expectations {
       rate <= maxViolationRate))
       .toDF("check", "n_rows", "n_violations", "violation_rate", "passed")
   }
+
+  /** Equi-width histogram of a numeric column — the distribution half of
+    * column profiling ([[report]] answers rule questions, this answers
+    * "what does the column LOOK like"): one map-side-combined count
+    * aggregate to a bins-sized table, nothing else corpus-scale.
+    *
+    * Bins are half-open `[lo_edge, hi_edge)` over `[lo, hi)`; values
+    * below `lo` land in bin −1 (underflow, NULL lo_edge), values ≥ `hi`
+    * in bin `bins` (overflow, NULL hi_edge); NULLs are excluded (null
+    * RATES belong to [[report]]). Only non-empty bins appear — at 100 TB
+    * a dense calendar of empty bins is presentation, not data. Bin
+    * assignment and edges use one fixed double evaluation order
+    * (`floor((x−lo)/width)`, `lo + bin·width`), so the q161 gate
+    * hash-matches the oracle; `share` is each bin's fraction of counted
+    * rows (window total over the bins-sized result, rounded to 6). */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo")
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    val raw = floor((value.cast("double") - lit(lo)) / lit(width))
+      .cast("long")
+    val bin = when(raw < 0, lit(-1L))
+      .when(raw >= bins, lit(bins.toLong))
+      .otherwise(raw)
+    val counted = df.filter(value.isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("lo_edge",
+        when(col("bin") === -1L, lit(null).cast("double"))
+          .otherwise(round(lit(lo) + col("bin") * lit(width), 6)))
+      .withColumn("hi_edge",
+        when(col("bin") === bins.toLong, lit(null).cast("double"))
+          .otherwise(round(lit(lo) + (col("bin") + 1) * lit(width), 6)))
+      .withColumn("share",
+        round(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy(col("bin"))
+  }
 }

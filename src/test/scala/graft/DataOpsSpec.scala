@@ -215,4 +215,19 @@ class DataOpsSpec extends SparkTestBase {
     assert(ok.drop(8).forall(_.isNullAt(5)),
       "zero-variance baseline must yield null z, not infinity")
   }
+
+  test("histogram: half-open bins, under/overflow, nulls excluded, shares") {
+    val df = Seq(Some(-1.0), Some(0.0), Some(2.5), Some(4.999), Some(5.0),
+      Some(10.0), Some(12.0), None).toDF("x")
+    val got = Expectations.histogram(df, col("x"), 0.0, 10.0, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (-1L, 1L, None, Some(0.0), 0.142857),        // underflow
+      (0L, 3L, Some(0.0), Some(5.0), 0.428571),    // [0,5): 0, 2.5, 4.999
+      (1L, 1L, Some(5.0), Some(10.0), 0.142857),   // [5,10): 5.0
+      (2L, 2L, Some(10.0), None, 0.285714)))       // >= hi incl. 10.0 exactly
+  }
 }
