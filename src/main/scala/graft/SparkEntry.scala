@@ -2388,7 +2388,19 @@ object SparkEntry {
     // and shares in one fixed double order, hash-exact vs the oracle.
     "q161_histogram" -> ((s, d) =>
       operators.Expectations.histogram(t(s, d, "lineitem"),
-        col("l_extendedprice"), 0.0, 80000.0, 16)))
+        col("l_extendedprice"), 0.0, 80000.0, 16)),
+
+    // Time-series gap filling: dense per-series hourly calendar, zero
+    // counts in holes, decimal-routed value sums carried forward (LOCF).
+    // Calendar explode + keyed fill join — nothing corpus-scale after
+    // the first aggregate.
+    "q162_gap_fill" -> ((s, d) =>
+      operators.TimeSeries.resample(t(s, d, "events"), "event_type", "ts",
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6))
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("hr"),
+          col("n"), col("v"))
+        .orderBy(col("series"), col("hr"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -4022,5 +4034,27 @@ object SparkEntry {
         | CASE WHEN bin = 16 THEN NULL
         |  ELSE round(0.0 + (bin + 1) * 5000.0, 6) END AS hi_edge,
         | round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS share
-        |FROM c ORDER BY bin""".stripMargin)
+        |FROM c ORDER BY bin""".stripMargin,
+
+    "q162_gap_fill" ->
+      """WITH agg AS (
+        | SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+        | FROM events GROUP BY 1, 2),
+        |cal AS (
+        | SELECT series,
+        |  unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        | FROM (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+        |   FROM agg GROUP BY series)),
+        |j AS (
+        | SELECT c.series, c.bucket, coalesce(a.n, 0) AS n,
+        |  last_value(a.v IGNORE NULLS) OVER (PARTITION BY c.series
+        |    ORDER BY c.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        | FROM cal c LEFT JOIN agg a
+        |  ON c.series = a.series AND c.bucket = a.bucket)
+        |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,
+        | CAST(n AS BIGINT) AS n, v
+        |FROM j ORDER BY series, hr""".stripMargin)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — the densifying step [[Anomaly]] and any
+  * dashboard rollup sit on: raw event buckets SKIP empty periods, so a
+  * "per hour" table silently has holes exactly where the interesting
+  * zeros are (an outage hour is a missing row, not a 0 row).
+  *
+  * [[resample]] builds each series' dense calendar between its own first
+  * and last bucket and fills the holes: counts become literal 0, carried
+  * metrics use last-observation-carried-forward.
+  *
+  * Scale: the aggregate output is series×calendar-sized; the calendar
+  * explode generates at most (span / step) rows per series (calendar-,
+  * not event-bounded); the fill join is keyed on (series, bucket) and
+  * the LOCF window sorts series×calendar rows, never events. Nothing
+  * after the first aggregate touches corpus-scale data.
+  */
+object TimeSeries {
+
+  /** Dense per-(series, bucket) table over each series' observed span:
+    * (series, bucket, n, v) where `n` is the bucket's event count
+    * (0 where the calendar was filled) and `v` is `valueAgg` of the
+    * bucket's events, gaps carried forward from the last observed bucket
+    * (NULL before the first observation — LOCF invents nothing).
+    * `bucket` is a `date_trunc` unit and `step` its interval literal
+    * (e.g. "hour" / "interval 1 hour"). */
+  def resample(events: DataFrame, seriesCol: String, tsCol: String,
+      valueAgg: Column, bucket: String = "hour",
+      step: String = "interval 1 hour"): DataFrame = {
+    val agg = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("__n"), valueAgg.as("__v"))
+      .localCheckpoint(eager = false) // calendar spans + the fill join
+    val calendar = agg
+      .groupBy(col("series"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col("series"),
+        explode(sequence(col("__lo"), col("__hi"), expr(step)))
+          .as("bucket"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(agg, Seq("series", "bucket"), "left")
+      .select(col("series"), col("bucket"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        last(col("__v"), ignoreNulls = true).over(w).as("v"))
+  }
+}

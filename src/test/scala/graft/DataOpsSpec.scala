@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Skew}
+import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Skew, TimeSeries}
 
 /** Table-versioning and data-quality operators: snapshot diff (the
   * inverse of CDC apply) and single-pass expectations reports. */
@@ -229,5 +229,28 @@ class DataOpsSpec extends SparkTestBase {
       (0L, 3L, Some(0.0), Some(5.0), 0.428571),    // [0,5): 0, 2.5, 4.999
       (1L, 1L, Some(5.0), Some(10.0), 0.142857),   // [5,10): 5.0
       (2L, 2L, Some(10.0), None, 0.285714)))       // >= hi incl. 10.0 exactly
+  }
+
+  test("resample: holes become zero-count rows, values carry forward, " +
+      "spans are per-series") {
+    import java.sql.Timestamp
+    def hour(h: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    val df = Seq(
+      ("a", hour(0), 10.0), ("a", hour(0), 20.0),  // bucket 0: n=2, v=30
+      ("a", hour(3), 5.0),                         // holes at 1, 2
+      ("b", hour(5), 1.0))                         // own 1-bucket span
+      .toDF("g", "ts", "value")
+    val got = TimeSeries.resample(df, "g", "ts",
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6))
+      .orderBy(col("series"), col("bucket"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", hour(0), 2L, 30.0),
+      ("a", hour(1), 0L, 30.0),   // filled, value carried
+      ("a", hour(2), 0L, 30.0),
+      ("a", hour(3), 1L, 5.0),
+      ("b", hour(5), 1L, 1.0)))   // b's calendar never bleeds into a's
   }
 }
