@@ -130,4 +130,53 @@ class PropertySpec extends AnyFunSuite {
       assert(bounds == bounds.sorted, "ranges must be monotonic")
     }
   }
+
+  test("sortableDoubleBits is a total-order embedding matching Spark sort") {
+    import org.apache.spark.sql.graft.SortKernels.sortableBits
+    val specials = Seq(Double.NegativeInfinity, -Double.MaxValue,
+      -1.0, -Double.MinPositiveValue, -0.0, 0.0,
+      Double.MinPositiveValue, 1.0, Double.MaxValue,
+      Double.PositiveInfinity, Double.NaN)
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1e300, 1e300),
+      Gen.chooseNum(-1.0, 1.0),
+      Gen.oneOf(specials))
+    val xs = samples(gen, 500) ++ specials
+    // java.lang.Double.compare is exactly Spark's sort order for doubles
+    // (NaN greatest, -0.0 < 0.0 is NOT distinguished by compare — it
+    // orders -0.0 < 0.0, and so does the bit embedding)
+    for (a <- xs; b <- xs.take(40)) {
+      assert(java.lang.Long.compare(sortableBits(a), sortableBits(b)).signum ===
+        java.lang.Double.compare(a, b).signum,
+        s"order must be preserved for ($a, $b)")
+    }
+  }
+
+  test("bottom-k group sample: aggregate equals sorted-take-k for random " +
+      "data, any k, any partitioning") {
+    // law behind d150/d158: the mergeable heap is a pure function of the
+    // input SET — exercised through the public column API on a local df
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    (0 until 8).foreach { trial =>
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(12)
+      val parts = 1 + rnd.nextInt(7)
+      val rows = (0 until n).map { i =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "key", "id").repartition(parts)
+      val got = df.groupBy($"g")
+        .agg(org.apache.spark.sql.graft.NativeFunctions
+          .bottomKIdsAgg($"key", $"id", k).as("ids"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(k).map(_._2).toList
+      }
+      assert(got === want, s"trial $trial n=$n k=$k parts=$parts")
+    }
+  }
 }
