@@ -106,7 +106,8 @@ object ScaleSmoke {
     "q149_funnel", "q154_retention", "q152_skew_profile",
     "d150_group_sample", "t153_cms_freq", "t155_collocations",
     "t151_script_profile", "q157_scd2", "q159_rate_anomaly",
-    "q160_ab_test", "q161_histogram", "q162_gap_fill")
+    "q160_ab_test", "q161_histogram", "q162_gap_fill",
+    "q163_drop_anomaly")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2400,6 +2400,19 @@ object SparkEntry {
         .select(col("series"),
           date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("hr"),
           col("n"), col("v"))
+        .orderBy(col("series"), col("hr"))),
+
+    // Drop-aware anomaly scoring: dense zero-filled calendar + two-sided
+    // flags — an outage hour is an explicit 0 that scores, not a missing
+    // row that vanishes (the q159 variant that can see drops).
+    "q163_drop_anomaly" -> ((s, d) =>
+      operators.Anomaly.rateAnomalies(t(s, d, "events"), "event_type",
+          "ts", "hour", lookback = 24, minPoints = 8, zThreshold = 3.0,
+          dense = true, twoSided = true)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("hr"),
+          col("n"), col("baseline_mean"), col("baseline_sd"), col("z"),
+          col("is_anomaly"))
         .orderBy(col("series"), col("hr"))))
 
   def oracleSql: Map[String, String] = Map(
@@ -4056,5 +4069,43 @@ object SparkEntry {
         |  ON c.series = a.series AND c.bucket = a.bucket)
         |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,
         | CAST(n AS BIGINT) AS n, v
-        |FROM j ORDER BY series, hr""".stripMargin)
+        |FROM j ORDER BY series, hr""".stripMargin,
+
+    "q163_drop_anomaly" ->
+      """WITH sparse AS (
+        | SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |cal AS (
+        | SELECT series,
+        |  unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        | FROM (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+        |   FROM sparse GROUP BY series)),
+        |c AS (
+        | SELECT cal.series, cal.bucket, coalesce(s.n, 0) AS n
+        | FROM cal LEFT JOIN sparse s
+        |  ON cal.series = s.series AND cal.bucket = s.bucket),
+        |wnd AS (
+        | SELECT *, count(n) OVER w AS k, sum(n) OVER w AS s1,
+        |  sum(n * n) OVER w AS s2
+        | FROM c
+        | WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |sc AS (
+        | SELECT series, bucket, n,
+        |  CASE WHEN k >= 8
+        |   THEN round(CAST(s1 AS DOUBLE) / k, 6) END AS baseline_mean,
+        |  CASE WHEN k >= 8
+        |   THEN round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |     / (k - 1)), 6) END AS baseline_sd,
+        |  CASE WHEN k >= 8 AND
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) > 0
+        |   THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+        |     / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+        |       / (k - 1)), 6) END AS z
+        | FROM wnd)
+        |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,
+        | CAST(n AS BIGINT) AS n, baseline_mean, baseline_sd, z,
+        | coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+        |FROM sc ORDER BY series, hr""".stripMargin)
 }

@@ -35,13 +35,34 @@ object Anomaly {
     * `bucket` is a `date_trunc` unit ("hour", "day", ...). */
   def rateAnomalies(events: DataFrame, seriesCol: String, tsCol: String,
       bucket: String = "hour", lookback: Int = 24, minPoints: Int = 8,
-      zThreshold: Double = 3.0): DataFrame = {
+      zThreshold: Double = 3.0, dense: Boolean = false,
+      twoSided: Boolean = false): DataFrame = {
     require(lookback >= 2 && minPoints >= 2 && minPoints <= lookback,
       s"need 2 <= minPoints <= lookback, got $minPoints/$lookback")
-    val counts = events
+    val sparse = events
       .groupBy(col(seriesCol).as("series"),
         date_trunc(bucket, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n"))
+    // `dense` fills each series' calendar with explicit ZERO buckets
+    // before scoring — without it a total outage is a MISSING row that
+    // neither scores nor feeds baselines, and the operator can only see
+    // spikes. `twoSided` flags |z|, catching those drops.
+    val counts = if (!dense) sparse else {
+      val step = Map("hour" -> "interval 1 hour", "day" -> "interval 1 day",
+        "week" -> "interval 7 days")
+      require(step.contains(bucket),
+        s"dense calendars support hour/day/week buckets, got $bucket")
+      val checkpointed = sparse.localCheckpoint(eager = false)
+      checkpointed
+        .groupBy(col("series"))
+        .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+        .select(col("series"),
+          explode(sequence(col("__lo"), col("__hi"),
+            expr(step(bucket)))).as("bucket"))
+        .join(checkpointed, Seq("series", "bucket"), "left")
+        .select(col("series"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }
     val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
       .rowsBetween(-lookback, -1)
     // exact integer sums over the trailing frame; all double math happens
@@ -65,7 +86,10 @@ object Anomaly {
         when(col("__k") >= minPoints && variance > 0,
           round((col("n").cast("double") - mean) / sd, 6)))
       .withColumn("is_anomaly",
-        coalesce(col("z") > zThreshold, lit(false)))
+        coalesce(
+          if (twoSided) abs(col("z")) > zThreshold
+          else col("z") > zThreshold,
+          lit(false)))
       .drop("__k", "__s1", "__s2")
   }
 }

@@ -253,4 +253,31 @@ class DataOpsSpec extends SparkTestBase {
       ("a", hour(3), 1L, 5.0),
       ("b", hour(5), 1L, 1.0)))   // b's calendar never bleeds into a's
   }
+
+  test("rateAnomalies dense+twoSided: a total-outage hour flags as a drop") {
+    import java.sql.Timestamp
+    def hour(h: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    // steady 3-or-5 events/hour, hour 15 completely MISSING, then resumes
+    val rows = (0 until 20).filter(_ != 15).flatMap { h =>
+      (0 until (if (h % 2 == 0) 3 else 5)).map(_ => ("err", hour(h)))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val sparse = Anomaly.rateAnomalies(df, "event_type", "ts", "hour",
+      lookback = 12, minPoints = 8, zThreshold = 3.0)
+    // without densification the outage hour does not even EXIST
+    assert(sparse.filter(col("bucket") === hour(15)).isEmpty)
+    val dense = Anomaly.rateAnomalies(df, "event_type", "ts", "hour",
+      lookback = 12, minPoints = 8, zThreshold = 3.0,
+      dense = true, twoSided = true)
+    val outage = dense.filter(col("bucket") === hour(15)).head()
+    assert(outage.getLong(2) === 0L)
+    assert(outage.getDouble(5) < -3.0, s"z=${outage.get(5)}")
+    assert(outage.getBoolean(6), "the drop must flag")
+    // one-sided scoring must NOT flag the same drop
+    val oneSided = Anomaly.rateAnomalies(df, "event_type", "ts", "hour",
+      lookback = 12, minPoints = 8, zThreshold = 3.0, dense = true)
+      .filter(col("bucket") === hour(15)).head()
+    assert(!oneSided.getBoolean(6))
+  }
 }
