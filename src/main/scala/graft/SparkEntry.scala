@@ -3777,7 +3777,7 @@ object SparkEntry {
       """SELECT source, doc_id FROM (
         | SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source
-        |   ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |   ORDER BY ((doc_id % 1000003) * 427799) % 1000003, doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 20
         |ORDER BY source, doc_id""".stripMargin,
@@ -4062,9 +4062,12 @@ object SparkEntry {
         |   FROM agg GROUP BY series)),
         |j AS (
         | SELECT c.series, c.bucket, coalesce(a.n, 0) AS n,
-        |  last_value(a.v IGNORE NULLS) OVER (PARTITION BY c.series
-        |    ORDER BY c.bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  CASE WHEN a.n IS NOT NULL THEN a.v ELSE
+        |   (last_value(CASE WHEN a.n IS NOT NULL
+        |      THEN struct_pack(v := a.v) END IGNORE NULLS)
+        |    OVER (PARTITION BY c.series ORDER BY c.bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
+        |  END AS v
         | FROM cal c LEFT JOIN agg a
         |  ON c.series = a.series AND c.bucket = a.bucket)
         |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,

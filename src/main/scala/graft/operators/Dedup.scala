@@ -731,12 +731,19 @@ object Dedup {
     * Returns (group, id) rows, totally ordered within a group by the
     * caller's hash then id. The default hash is engine-portable
     * (multiplicative, mirrors [[hashSample]]'s style) so an external
-    * system reproduces the exact sample. Join the result back to the
-    * corpus (broadcast — it is `groups·k` rows) to fetch payloads. */
+    * system reproduces the exact sample. The multiplication is done on
+    * PRE-REDUCED operands — `((id mod M)·(A mod M)) mod M`, identical to
+    * `(id·A) mod M` by modular arithmetic but bounded by (M−1)·427799
+    * ≈ 4.3e11, so it can never overflow a Long: the naive product
+    * `id·2654435761` overflows for ids ≥ ~3.5e9, which under ANSI mode
+    * is a job-killing ARITHMETIC_OVERFLOW at exactly the scale this
+    * aggregate targets. Join the result back to the corpus (broadcast —
+    * it is `groups·k` rows) to fetch payloads. */
   def groupBottomK(df: DataFrame, groupCol: String, idCol: String, k: Int,
       hash: Option[Column] = None): DataFrame = {
+    // 427799 = 2654435761 mod 1000003 (Knuth multiplier, pre-reduced)
     val h = hash.getOrElse(
-      pmod(col(idCol) * lit(2654435761L), lit(1000003L)))
+      pmod(pmod(col(idCol), lit(1000003L)) * lit(427799L), lit(1000003L)))
     df.groupBy(col(groupCol))
       .agg(org.apache.spark.sql.graft.NativeFunctions
         .bottomKIdsAgg(h.cast("long"), col(idCol).cast("long"), k)
@@ -772,11 +779,16 @@ object Dedup {
     * Target share `p_d = n_d^α / Σ n^α` of a `targetRows` budget,
     * realized as per-domain rates `min(1, p_d·targetRows/n_d)` through
     * the deterministic [[stratifiedSample]] bucket rule, so the realized
-    * mix is reproducible across runs and partitionings. Cost: one count
-    * aggregate (one row per domain to the driver — domains are few by
-    * definition) + one zero-shuffle codegen'd filter. A domain whose
-    * budgeted share exceeds its size keeps every row — repetition beyond
-    * 1x is [[upsample]]'s job, compose the two for that.
+    * mix is reproducible across runs and partitionings. Fully
+    * distributed — the rate math is [[mixturePlan]]'s relational formula
+    * (one group-by to a domains-sized table + a one-row scalar join),
+    * and the rates reach the rows through a join the optimizer
+    * broadcasts when domains are few (the usual case) and shuffles when
+    * a caller passes a 100M-cardinality domain column — NOTHING is ever
+    * collected to the driver, so domain cardinality is never a failure
+    * mode. A domain whose budgeted share exceeds its size keeps every
+    * row — repetition beyond 1x is [[upsample]]'s job, compose the two
+    * for that.
     *
     * `weightCol` switches the budget unit from rows to per-row weights —
     * the TOKEN-budgeted mix real pretraining recipes specify ("X billion
@@ -801,15 +813,25 @@ object Dedup {
     val size = weightCol
       .map(w => coalesce(sum(col(w).cast(DoubleType)), lit(0.0)))
       .getOrElse(count(lit(1)).cast(DoubleType))
-    val counts = withDomain.groupBy(col(dcol)).agg(size.as("n"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      .filter(_._2 > 0.0) // zero-weight domains keep the default rate 0
-    val wsum = counts.values.map(math.pow(_, alpha)).sum
-    val rates = counts.map { case (d, n) =>
-      d -> math.min(1.0, math.pow(n, alpha) / wsum * targetRows / n)
-    }
-    stratifiedSample(withDomain, idCol, dcol, rates, defaultRate = 0.0)
-      .drop(dcol)
+    val sizes = withDomain.groupBy(col(dcol)).agg(size.as("__graft_n"))
+      .filter(col("__graft_n") > 0.0) // zero-weight domains: rate 0
+    val wsum = sizes
+      .agg(sum(pow(col("__graft_n"), lit(alpha))).as("__graft_wsum"))
+    val rates = sizes.crossJoin(broadcast(wsum)) // one-row scalar join
+      .select(col(dcol), least(lit(1.0),
+        pow(col("__graft_n"), lit(alpha)) / col("__graft_wsum")
+          * lit(targetRows.toDouble) / col("__graft_n"))
+        .as("__graft_rate"))
+    // the same deterministic bucket rule as [[stratifiedSample]], with
+    // the rate arriving by join instead of a when-chain: an inner join
+    // realizes defaultRate = 0 (zero-weight domains vanish with their
+    // missing rate row) and keeps the plan size constant in #domains
+    val denom = 1 << 16
+    val h = xxhash64(lit("graft_mix"), col(idCol))
+    withDomain
+      .join(rates, Seq(dcol))
+      .filter(pmod(h, lit(denom)) < (col("__graft_rate") * denom))
+      .drop(dcol, "__graft_rate")
   }
 
   /** Distributed sibling of [[temperatureMix]]'s driver-side rate math —

@@ -80,8 +80,10 @@ object Expectations {
     *
     * Bins are half-open `[lo_edge, hi_edge)` over `[lo, hi)`; values
     * below `lo` land in bin −1 (underflow, NULL lo_edge), values ≥ `hi`
-    * in bin `bins` (overflow, NULL hi_edge); NULLs are excluded (null
-    * RATES belong to [[report]]). Only non-empty bins appear — at 100 TB
+    * in bin `bins` (overflow, NULL hi_edge); NULLs and NaNs are
+    * excluded (null RATES belong to [[report]]; a NaN is a value that
+    * cannot be ordered into any bin), −Infinity lands in the underflow
+    * bin and +Infinity in the overflow bin. Only non-empty bins appear — at 100 TB
     * a dense calendar of empty bins is presentation, not data. Bin
     * assignment and edges use one fixed double evaluation order
     * (`floor((x−lo)/width)`, `lo + bin·width`), so the q161 gate
@@ -92,12 +94,18 @@ object Expectations {
     require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo")
     import org.apache.spark.sql.expressions.Window
     val width = (hi - lo) / bins
-    val raw = floor((value.cast("double") - lit(lo)) / lit(width))
-      .cast("long")
+    val v = value.cast("double")
+    // the long cast runs ONLY on finite in-range values: ±Infinity is
+    // routed to the under/overflow bins by the raw-double comparisons
+    // (floor of ±Inf is ±Inf, which compares correctly) and NaN is
+    // excluded with NULLs BEFORE the cast — otherwise a single
+    // non-finite value kills the whole profiling job under ANSI mode
+    // (CAST_INVALID_INPUT / overflow) instead of binning or skipping
+    val raw = floor((v - lit(lo)) / lit(width))
     val bin = when(raw < 0, lit(-1L))
       .when(raw >= bins, lit(bins.toLong))
-      .otherwise(raw)
-    val counted = df.filter(value.isNotNull)
+      .otherwise(raw.cast("long"))
+    val counted = df.filter(value.isNotNull && !isnan(v))
       .groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
     counted
       .withColumn("lo_edge",

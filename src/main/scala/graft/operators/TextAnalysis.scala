@@ -271,10 +271,19 @@ object TextAnalysis {
   def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
     val fields = Seq("latin", "cyrillic", "greek", "arabic", "hebrew",
       "devanagari", "cjk", "hangul")
-    val withCounts = df.withColumn("__sc", scriptCounts(col(textCol)))
+    // appended columns must not silently REPLACE caller data (withColumn
+    // overwrites same-named columns) — fail loudly instead
+    val appended = fields ++
+      Seq("script_letters", "dominant_script", "script_purity")
+    val clash = df.columns.map(_.toLowerCase).toSet
+      .intersect(appended.toSet)
+    require(clash.isEmpty,
+      s"scriptProfile appends columns ${clash.mkString(", ")} that " +
+        "already exist on the input — rename or drop them first")
+    val withCounts = df.withColumn("__graft_sc", scriptCounts(col(textCol)))
     val counted = fields.foldLeft(withCounts) { (acc, f) =>
-      acc.withColumn(f, col(s"__sc.$f"))
-    }.drop("__sc")
+      acc.withColumn(f, col(s"__graft_sc.$f"))
+    }.drop("__graft_sc")
     val total = fields.map(col).reduce(_ + _)
     val maxCnt = greatest(fields.map(col): _*)
     // first class (in declaration order) reaching the max wins the tie

@@ -44,10 +44,20 @@ object TimeSeries {
           .as("bucket"))
     val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LOCF invents nothing: an OBSERVED bucket emits its own aggregate —
+    // even when that aggregate is legitimately NULL (all-null values in
+    // the bucket) — and only calendar-FILLED buckets inherit. The carry
+    // value is the most recent OBSERVED bucket's aggregate, struct-boxed
+    // so a null observation still counts as "the last observation" (and
+    // is carried as null) instead of being skipped for an older value.
+    val observed = col("__n").isNotNull
     calendar
       .join(agg, Seq("series", "bucket"), "left")
       .select(col("series"), col("bucket"),
         coalesce(col("__n"), lit(0L)).as("n"),
-        last(col("__v"), ignoreNulls = true).over(w).as("v"))
+        when(observed, col("__v"))
+          .otherwise(last(when(observed, struct(col("__v"))),
+            ignoreNulls = true).over(w).getField("__v"))
+          .as("v"))
   }
 }

@@ -99,7 +99,10 @@ class DataOpsSpec extends SparkTestBase {
     val got = Dedup.groupBottomK(docs, "source", "doc_id", 7)
       .orderBy("source", "doc_id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(1000003L))
+    // pre-reduced form of (doc_id·2654435761) mod 1000003 — same values,
+    // overflow-free for any Long id (427799 = 2654435761 mod 1000003)
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L),
+      lit(1000003L))
     val want = docs
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy(h, col("doc_id"))))
@@ -229,6 +232,54 @@ class DataOpsSpec extends SparkTestBase {
       (0L, 3L, Some(0.0), Some(5.0), 0.428571),    // [0,5): 0, 2.5, 4.999
       (1L, 1L, Some(5.0), Some(10.0), 0.142857),   // [5,10): 5.0
       (2L, 2L, Some(10.0), None, 0.285714)))       // >= hi incl. 10.0 exactly
+  }
+
+  test("histogram: NaN rows are skipped, ±Infinity bins as under/overflow " +
+      "— a non-finite value must never kill the profiling job") {
+    val df = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0, 7.0).toDF("x")
+    val got = Expectations.histogram(df, col("x"), 0.0, 10.0, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      (-1L, 1L),  // -Inf -> underflow
+      (0L, 1L),   // 1.0
+      (1L, 1L),   // 7.0
+      (2L, 1L)))  // +Inf -> overflow; NaN contributes nowhere
+  }
+
+  test("resample: an OBSERVED bucket whose aggregate is null stays null " +
+      "— LOCF fills only calendar holes, it invents nothing") {
+    import java.sql.Timestamp
+    def hour(h: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    val df = Seq(
+      ("a", hour(0), Some(10.0)),
+      ("a", hour(2), None: Option[Double]), // observed, all-null values
+      ("a", hour(4), Some(7.0)))
+      .toDF("g", "ts", "value")
+    val got = TimeSeries.resample(df, "g", "ts", sum(col("value")))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got === Seq(
+      (1L, Some(10.0)),  // observed
+      (0L, Some(10.0)),  // hole: carries the last observation
+      (1L, None),        // OBSERVED null aggregate: emitted as null
+      (0L, None),        // hole after an observed-null: carries the null
+      (1L, Some(7.0))))  // observed
+  }
+
+  test("groupBottomK default hash survives ids past 2^32 under ANSI mode " +
+      "— pre-reduced modular multiply never overflows a Long") {
+    val huge = Seq(("g", 5000000000L), ("g", Long.MaxValue),
+      ("g", 9999999999L), ("g", 1L)).toDF("g", "id")
+    val got = Dedup.groupBottomK(huge, "g", "id", 2)
+      .collect().map(_.getLong(1)).toSet
+    // values, not a crash: the pre-reduced hash equals (id·A) mod M
+    def h(id: Long) = BigInt(id) * BigInt(2654435761L) mod BigInt(1000003L)
+    val want = Seq(5000000000L, Long.MaxValue, 9999999999L, 1L)
+      .sortBy(id => (h(id), id)).take(2).toSet
+    assert(got === want)
   }
 
   test("resample: holes become zero-count rows, values carry forward, " +

@@ -225,6 +225,17 @@ class DedupSpec extends SparkTestBase {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("temperature mix handles high-cardinality domain columns " +
+      "— rates travel by join, never a driver map or a when-chain plan") {
+    val df = (1 to 5000).map(i => (i.toLong, s"d${i % 2500}"))
+      .toDF("id", "dom")
+    // every domain has 2 rows; target = corpus size -> every rate caps
+    // at 1 and nothing drops, across 2500 domains in one bounded plan
+    val out = Dedup.temperatureMix(df, "id", "dom", alpha = 1.0,
+      targetRows = 5000)
+    assert(out.count() === 5000)
+  }
+
   test("temperature mix keeps null-domain rows as their own domain") {
     val df = ((1 to 90).map(i => (i.toLong, Some("web"))) ++
       (91 to 100).map(i => (i.toLong, None: Option[String])))

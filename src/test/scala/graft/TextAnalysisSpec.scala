@@ -179,4 +179,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3).getString(4) === "latin",
       "ties break by the fixed class order, latin first")
   }
+
+  test("scriptProfile refuses inputs that already carry its output names " +
+      "— appending must never silently replace caller data") {
+    val clash = Seq((1L, "hi", 42L)).toDF("id", "t", "latin")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.scriptProfile(clash, "t")
+    }
+    assert(e.getMessage.contains("latin"))
+    val clash2 = Seq((1L, "hi", 0.5)).toDF("id", "t", "script_purity")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scriptProfile(clash2, "t")
+    }
+  }
 }
