@@ -23,6 +23,17 @@ object Bench {
         .join(w.select(col("k"), col("id").as("id2")), "k")
         .select(explode(array(col("id"), col("id2"))).as("x"))
         .groupBy().max("x").collect()
+      // warm the Spark ML KMeans path too (class loading + codegen for
+      // vector ops) — every ANN/clustering query pays ~3s of one-time
+      // ML initialization otherwise, which is session cost, not query
+      // cost (a long-running serve job fits models once)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val tiny = spark.range(256)
+        .select(array_to_vector(array((0 until 8).map(j =>
+          ((col("id") * (j + 3)) % 17).cast("double")): _*)).as("features"))
+      new KMeans().setK(4).setSeed(1).setMaxIter(2).setInitMode("random")
+        .fit(tiny)
     }
     // Optional subset for iteration: SPARK_GRAFT_ONLY=q01_scan_filter,d29_...
     val only = sys.env.get("SPARK_GRAFT_ONLY")

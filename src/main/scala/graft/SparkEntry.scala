@@ -1181,8 +1181,10 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val centers = Similarity.ivfFit(corpus, "embedding", nlist = 16)
-      val books = Similarity.pqFit(corpus, "embedding", m = 8, codebookSize = 16)
+      // one-pass build: one count + one sample scan fit both models
+      val (centers, books) =
+        Similarity.ivfPqFit(corpus, "embedding", nlist = 16,
+          m = 8, codebookSize = 16)
       Similarity.ivfPqTopK(
           Similarity.ivfPqAssign(corpus, "vec_id", "embedding", centers, books),
           centers, books, q, k = 10, nprobe = 6)

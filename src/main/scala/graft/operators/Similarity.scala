@@ -359,19 +359,25 @@ object Similarity {
   def pqFit(embDf: DataFrame, embCol: String, m: Int = 8,
       codebookSize: Int = 16,
       fitSampleRows: Long = 100000L): Seq[Seq[Seq[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val dim = embDf.select(size(col(embCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
-    val dsub = dim / m
     val n = embDf.count()
     val fraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
     val sample = embDf.select(col(embCol).as("e"))
       .sample(withReplacement = false, fraction, seed = 42)
       .localCheckpoint(eager = true) // bounded rows; read once, fit m times
-    // the m subspace fits are independent (own seed each) and tiny —
-    // submit them concurrently so wall time is one fit's scheduling
-    // latency, not m of them
+    pqFitFromSample(sample, m, codebookSize)
+  }
+
+  /** Fit the `m` subspace codebooks from an already-materialized sample
+    * (single column `e`). The m fits are independent (own seed each) and
+    * tiny — submitted concurrently so wall time is one fit's scheduling
+    * latency, not m of them. */
+  private def pqFitFromSample(sample: DataFrame, m: Int,
+      codebookSize: Int): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = sample.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val dsub = dim / m
     import scala.collection.parallel.CollectionConverters._
     (0 until m).par.map { j =>
       new KMeans().setK(codebookSize).setSeed(42L + j).setMaxIter(5)
@@ -381,6 +387,31 @@ object Similarity {
           array_to_vector(slice(col("e"), j * dsub + 1, dsub)).as("f")))
         .clusterCenters.map(_.toArray.toSeq).toSeq
     }.toList
+  }
+
+  /** One-pass IVF-PQ build: ONE corpus count + ONE sample scan feed both
+    * the coarse-centroid fit and the m subspace codebooks — calling
+    * [[ivfFit]] then [[pqFit]] separately scans the corpus twice for
+    * counts and twice for samples; at build scale those are four reads
+    * of a 100 TB table doing the work of two. Seeds, iteration counts,
+    * and the sample itself are identical to the separate calls (same
+    * seed-42 fraction sample), so the models are bit-identical — this is
+    * strictly a pass-count optimization. */
+  def ivfPqFit(embDf: DataFrame, embCol: String, nlist: Int = 16,
+      m: Int = 8, codebookSize: Int = 16, fitSampleRows: Long = 100000L)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = embDf.count()
+    val fraction = math.min(1.0, fitSampleRows.toDouble / math.max(n, 1L))
+    val sample = embDf.select(col(embCol).as("e"))
+      .sample(withReplacement = false, fraction, seed = 42)
+      .localCheckpoint(eager = true)
+    val centers = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
+      .setInitMode("random")
+      .fit(sample.select(array_to_vector(col("e")).as("features")))
+      .clusterCenters.map(_.toArray.toSeq).toSeq
+    (centers, pqFitFromSample(sample, m, codebookSize))
   }
 
   /** Encode each vector as its per-subspace nearest-codeword ids

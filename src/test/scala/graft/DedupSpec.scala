@@ -321,6 +321,19 @@ class DedupSpec extends SparkTestBase {
     assert(probeCellRows < corpusN, "nprobe=2 must scan a strict subset")
   }
 
+  test("ivfPqFit one-pass build produces the same models as the " +
+      "separate ivfFit + pqFit calls — pass-count only, never results") {
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" =!= 0)
+    val (centers1, books1) =
+      Similarity.ivfPqFit(corpus, "embedding", nlist = 16, m = 8,
+        codebookSize = 16)
+    val centers2 = Similarity.ivfFit(corpus, "embedding", nlist = 16)
+    val books2 = Similarity.pqFit(corpus, "embedding", m = 8,
+      codebookSize = 16)
+    assert(centers1 === centers2)
+    assert(books1 === books2)
+  }
+
   test("pq self-query: an indexed vector finds itself at cosine 1") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 7).select($"embedding").head()
