@@ -107,13 +107,33 @@ object Dedup {
     *     the shared skew guard — matched buckets keep all their members,
     *     so the cap sees true bucket sizes;
     *  3. candidates verify by exact Jaccard over the hashed shingle sets
-    *     (the increment recomputes its own, the base side reads them from
-    *     the index).
+    *     (the increment computes its own once, the base side reads them
+    *     from the index).
     * Returns the surviving increment rows with all their columns. */
   def nearDupIncrement(increment: DataFrame, baseIndex: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame =
+    nearDupIncrementIndexed(increment, baseIndex, idCol, textCol,
+      shingleK, numHashes, bands, threshold, maxBucketSize)
+      .drop("bands", "sh")
+
+  /** [[nearDupIncrement]] that also RETURNS the survivors' minhash
+    * sketches as `bands`/`sh` columns ([[minhashIndex]]'s schema, keyed
+    * by the caller's id column): the ingest loop appends survivors to
+    * the index every batch, and rebuilding the index from survivor TEXT
+    * re-runs the shingle+minhash kernels — the dominant per-doc compute
+    * of the whole pipeline — a second time. The sketches here are the
+    * ones the dedup itself banded and verified with (computed once into
+    * the increment's checkpoint), so indexing them is free. */
+  def nearDupIncrementIndexed(increment: DataFrame, baseIndex: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
+    require(!increment.columns.contains("bands") &&
+      !increment.columns.contains("sh"),
+      "nearDupIncrementIndexed appends 'bands'/'sh' columns — the " +
+        "increment must not already carry them")
     require(numHashes % bands == 0, "bands must divide numHashes")
     // Probe/build parameter mismatch check — structural, one limit-1 scan
     // of the index. An index built with different `bands` produces band
@@ -140,14 +160,18 @@ object Dedup {
     // join, shingle verify, final anti-join); without truncation each one
     // would re-run the whole intra-batch LSH dedup. localCheckpoint
     // materializes it once, increment-scale by contract — never the index.
+    // The sketches are computed INTO the checkpoint so the band join and
+    // the shingle verify read them instead of re-running the kernels,
+    // and the survivors carry them out for index appends.
     val intra = increment
       .join(intraLosers, increment(idCol) === col("__l"), "left_anti")
+      .withColumn("bands", org.apache.spark.sql.graft.NativeFunctions
+        .minhashBands(col(textCol), shingleK, numHashes, bands))
+      .withColumn("sh", shingleHashes(col(textCol), shingleK))
       .localCheckpoint(eager = false)
 
     val incBanded = intra
-      .select(col(idCol).as("inc_id"),
-        posexplode(org.apache.spark.sql.graft.NativeFunctions
-          .minhashBands(col(textCol), shingleK, numHashes, bands)))
+      .select(col(idCol).as("inc_id"), posexplode(col("bands")))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
     // Shrink the corpus-scale index to the buckets the increment touches
     // BEFORE any wide operator: the semi-join build side is the increment's
@@ -166,7 +190,7 @@ object Dedup {
       .select("inc_id", "base_id").distinct()
 
     val incSh = intra.select(col(idCol).as("inc_id"),
-      shingleHashes(col(textCol), shingleK).as("__sh_i"))
+      col("sh").as("__sh_i"))
     val baseSh = baseIndex.select(col("id").as("base_id"), col("sh").as("__sh_b"))
     // cand x incSh is increment-sized; broadcasting it keeps the shingle
     // arrays of the base index (the heavy column) from ever shuffling.

@@ -350,15 +350,20 @@ object MicroBatch {
     // files are decoded once per trigger, not once per branch.
     val pinned = batch.persist()
     try {
-      val survivors = graft.operators.Dedup.nearDupIncrement(
-        pinned, index, idCol, textCol, shingleK, numHashes, bands,
-        threshold, maxBucketSize)
-      survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      // Index from the just-written survivors, not the live `survivors`
-      // plan — referencing it again would re-run the whole dedup pipeline.
-      graft.operators.Dedup.minhashIndex(
-          spark.read.parquet(s"$outDir/batch=$batchId"), idCol, textCol,
-          shingleK, numHashes, bands)
+      // The indexed variant carries the survivors' own bands/sh out of
+      // the dedup, so the index append reuses the sketches the dedup
+      // already computed instead of re-running the shingle+minhash
+      // kernels over survivor text (the dominant per-doc compute). The
+      // eager checkpoint materializes the (increment-sized) survivors
+      // once for the two writes — referencing the live plan twice would
+      // re-run the whole dedup pipeline.
+      val survivors = graft.operators.Dedup.nearDupIncrementIndexed(
+          pinned, index, idCol, textCol, shingleK, numHashes, bands,
+          threshold, maxBucketSize)
+        .localCheckpoint(eager = true)
+      survivors.drop("bands", "sh")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      survivors.select(col(idCol).as("id"), col("bands"), col("sh"))
         .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     } finally pinned.unpersist()
   }

@@ -795,6 +795,27 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set(2L, 3L), s"got $out")
   }
 
+  test("nearDupIncrementIndexed: carried sketches equal a fresh " +
+      "minhashIndex of the survivors; bands/sh input names rejected") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 200)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val idx = Dedup.minhashIndex(base, "doc_id", "text")
+    val inc = docs.filter($"doc_id" % 2 === 1)
+    val surv = Dedup.nearDupIncrementIndexed(inc, idx, "doc_id", "text",
+      threshold = 0.5)
+    assert(surv.columns.takeRight(2).toSeq === Seq("bands", "sh"))
+    val carried = surv.select($"doc_id".as("id"), $"bands", $"sh")
+    val fresh = Dedup.minhashIndex(surv.drop("bands", "sh"),
+      "doc_id", "text")
+    assert(carried.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(carried).isEmpty,
+      "index appends must be able to reuse the dedup's own sketches")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupIncrementIndexed(surv, idx, "doc_id", "text")
+    }
+  }
+
   test("nearDupIncrement rejects an index built with different bands") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
     val idx = Dedup.minhashIndex(docs, "doc_id", "text", bands = 16)
