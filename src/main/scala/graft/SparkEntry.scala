@@ -2415,7 +2415,86 @@ object SparkEntry {
           date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("hr"),
           col("n"), col("baseline_mean"), col("baseline_sd"), col("z"),
           col("is_anomaly"))
-        .orderBy(col("series"), col("hr"))))
+        .orderBy(col("series"), col("hr"))),
+
+    // Time-RANGE window frame ("revenue in the 7 calendar days ending at
+    // this order"), which the rows-frame cumulative gates (q08/q50)
+    // cannot express: per-key shuffle + one ordered frame scan,
+    // decimal-routed so the frame sum is accumulation-order-exact.
+    "q164_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-6 * 86400L, 0)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("roll_rev"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Equal-frequency (decile) binning without a global sort: cuts from
+    // one percentile aggregate, assignment by a zero-shuffle comparison
+    // chain — never ntile's everything-in-one-partition window.
+    "q165_quantile_bins" -> ((s, d) =>
+      operators.Expectations.quantileBins(t(s, d, "orders"),
+        col("o_totalprice"), 10)),
+
+    // Categorical mutual information (lang × source association): one
+    // count aggregate to a pairs-sized table, windows over THAT.
+    "t166_mutual_info" -> ((s, d) =>
+      operators.Expectations.mutualInfo(t(s, d, "documents"),
+        "lang", "source")),
+
+    // Link-graph PageRank (host-authority curation signal) over the
+    // customer→supplier purchase graph — 10 damped iterations, each one
+    // keyed contribution aggregate + a 1-row dangling-mass scalar; the
+    // oracle unrolls the same iterations as chained CTEs.
+    "q167_pagerank" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      operators.Graph.pageRank(e, "src", "dst").orderBy(col("id"))
+    }))
+
+  /** q167's oracle: the same damped iteration unrolled as chained CTEs
+    * (recursive-CTE aggregation over the recursive term is not portable
+    * SQL). Constants are forced to DOUBLE so both engines run the same
+    * IEEE arithmetic. */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |pr0 AS MATERIALIZED (
+        | SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        | FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",
+         |c$k AS MATERIALIZED (
+         | SELECT e.dst AS id, sum(p.rank / od.deg) AS c
+         | FROM e JOIN pr${k - 1} p ON e.src = p.id
+         |  JOIN od ON od.src = e.src
+         | GROUP BY e.dst),
+         |d$k AS MATERIALIZED (
+         | SELECT coalesce(sum(p.rank), 0) AS dang FROM pr${k - 1} p
+         | LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
+         |pr$k AS MATERIALIZED (
+         | SELECT n.id,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |    / (SELECT n FROM nn)
+         |  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0 AS DOUBLE))
+         |    + (SELECT dang FROM d$k) / (SELECT n FROM nn)) AS rank
+         | FROM nodes n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
@@ -4112,5 +4191,55 @@ object SparkEntry {
         |SELECT series, strftime(bucket, '%Y-%m-%d %H:%M') AS hr,
         | CAST(n AS BIGINT) AS n, baseline_mean, baseline_sd, z,
         | coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
-        |FROM sc ORDER BY series, hr""".stripMargin)
+        |FROM sc ORDER BY series, hr""".stripMargin,
+
+    "q164_rolling_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS d,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |   AS DOUBLE) AS roll_rev,
+        | count(*) OVER w AS roll_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        | RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q165_quantile_bins" ->
+      """WITH cuts AS (
+        | SELECT quantile_cont(o_totalprice,
+        |   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        | FROM orders WHERE o_totalprice IS NOT NULL
+        |  AND NOT isnan(o_totalprice)),
+        |b AS (
+        | SELECT CAST(CASE
+        |   WHEN o_totalprice <= q[1] THEN 1 WHEN o_totalprice <= q[2] THEN 2
+        |   WHEN o_totalprice <= q[3] THEN 3 WHEN o_totalprice <= q[4] THEN 4
+        |   WHEN o_totalprice <= q[5] THEN 5 WHEN o_totalprice <= q[6] THEN 6
+        |   WHEN o_totalprice <= q[7] THEN 7 WHEN o_totalprice <= q[8] THEN 8
+        |   WHEN o_totalprice <= q[9] THEN 9 ELSE 10 END AS BIGINT) AS bin,
+        |  o_totalprice AS v
+        | FROM orders, cuts
+        | WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice))
+        |SELECT bin, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "t166_mutual_info" ->
+      """WITH j AS (
+        | SELECT coalesce(lang, '__null__') AS a,
+        |  coalesce(source, '__null__') AS b, count(*) AS n
+        | FROM documents GROUP BY 1, 2)
+        |SELECT a, b, n,
+        | round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+        |   AS p_joint,
+        | round(ln(CAST(n AS DOUBLE) * CAST(sum(n) OVER () AS DOUBLE)
+        |   / (CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE)
+        |      * CAST(sum(n) OVER (PARTITION BY b) AS DOUBLE))), 6) AS pmi,
+        | round((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE))
+        |   * ln(CAST(n AS DOUBLE) * CAST(sum(n) OVER () AS DOUBLE)
+        |   / (CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE)
+        |      * CAST(sum(n) OVER (PARTITION BY b) AS DOUBLE))), 6)
+        |   AS mi_part
+        |FROM j ORDER BY a, b""".stripMargin,
+
+    "q167_pagerank" -> pageRankOracleSql(10))
 }

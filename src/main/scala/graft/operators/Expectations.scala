@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -118,5 +119,72 @@ object Expectations {
         round(col("cnt").cast("double") /
           sum(col("cnt")).over(Window.partitionBy()), 6))
       .orderBy(col("bin"))
+  }
+
+  /** Quantile (equal-frequency) binning — [[histogram]]'s sibling for
+    * skewed columns where fixed-width bins put 99% of rows in one bar:
+    * rows are bucketed by the column's own quantile cuts, so every bin
+    * holds ~1/bins of the data. Returns one row per non-empty bin:
+    * (bin 1..bins, cnt, lo, hi) where lo/hi are the OBSERVED min/max
+    * inside the bin (cuts themselves are reproducible from the row
+    * boundaries). NULL and NaN rows are excluded like [[histogram]].
+    *
+    * Why not `ntile(bins)` over a global ORDER BY: that window moves
+    * the entire table into ONE partition's sort. Here the cuts come
+    * from a single percentile aggregate, and bin assignment is a
+    * zero-shuffle codegen'd comparison chain against `bins−1` scalar
+    * cuts — the table itself is never globally sorted. The exact
+    * `percentile` aggregate buffers the column being profiled; at
+    * 100 TB swap it for `percentile_approx`/KLL cuts (same plumbing,
+    * one expression) — binning stays identical. A value equal to a cut
+    * goes to the LOWER bin (`<= cut`), mirroring standard inclusive
+    * upper-edge quantile semantics. */
+  def quantileBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins > 1, s"need bins > 1, got $bins")
+    val v = value.cast("double")
+    val clean = df.filter(value.isNotNull && !isnan(v))
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cuts = clean
+      .agg(percentile(v, lit(probs.toArray)))
+      .head().getSeq[Double](0)
+    val bin = cuts.zipWithIndex.foldRight(lit(bins.toLong)) {
+      case ((cut, i), acc) => when(v <= cut, lit(i.toLong + 1)).otherwise(acc)
+    }
+    clean.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(v).as("lo"), max(v).as("hi"))
+      .orderBy(col("bin"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * feature-association profile ("how much does `source` tell you
+    * about `lang`?") behind mix audits and leakage checks (a split
+    * column with high MI against the label column is a red flag).
+    * Returns one row per observed (a, b) pair with its joint count and
+    * probability, the pointwise mutual information
+    * `pmi = ln(p(a,b) / (p(a)·p(b)))`, and `mi_part = p(a,b)·pmi` —
+    * summing `mi_part` gives the table's total MI in nats.
+    *
+    * 100 TB shape: ONE map-side-combined count aggregate to a
+    * (|A|·|B|)-sized table; marginals and totals are windows OVER THAT
+    * table (pairs-sized, not corpus-sized). NULL categories form their
+    * own class, like temperatureMix's null domain. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(
+        coalesce(col(aCol).cast("string"), lit("__null__")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("__null__")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    val all = Window.partitionBy()
+    val total = sum(col("n")).over(all)
+    val pj = col("n").cast("double") / total.cast("double")
+    val pmi = log((col("n").cast("double") * total.cast("double")) /
+      (sum(col("n")).over(wa).cast("double") *
+        sum(col("n")).over(wb).cast("double")))
+    joint.select(col("a"), col("b"), col("n"),
+        round(pj, 6).as("p_joint"),
+        round(pmi, 6).as("pmi"),
+        round(pj * pmi, 6).as("mi_part"))
+      .orderBy(col("a"), col("b"))
   }
 }

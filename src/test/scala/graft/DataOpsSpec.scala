@@ -247,6 +247,41 @@ class DataOpsSpec extends SparkTestBase {
       (2L, 1L)))  // +Inf -> overflow; NaN contributes nowhere
   }
 
+  test("quantileBins: equal-frequency deciles, boundary goes low, " +
+      "non-finite rows skipped") {
+    val df = ((1 to 100).map(_.toDouble) ++
+      Seq(Double.NaN)).map(Option(_)).toDF("x")
+    val got = Expectations.quantileBins(df, col("x"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    // cuts at p25/p50/p75 of 1..100 = 25.75, 50.5, 75.25; `<= cut` puts
+    // 25/50/75 in the lower bin -> 25 rows per bin, NaN contributes none
+    assert(got === Seq(
+      (1L, 25L, 1.0, 25.0), (2L, 25L, 26.0, 50.0),
+      (3L, 25L, 51.0, 75.0), (4L, 25L, 76.0, 100.0)))
+  }
+
+  test("mutualInfo: independent columns give zero MI, dependent give " +
+      "positive, nulls are a class") {
+    // independent: every (a, b) combination equally likely
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val mi0 = Expectations.mutualInfo(ind, "a", "b")
+      .agg(sum("mi_part")).head().getDouble(0)
+    assert(math.abs(mi0) < 1e-9, s"independent MI must be 0, got $mi0")
+    // perfectly dependent: b = f(a) -> MI = H(a) = ln 2 for a fair coin
+    val dep = ((1 to 10).map(_ => ("x", "u")) ++
+      (1 to 10).map(_ => ("y", "v"))).toDF("a", "b")
+    val mi1 = Expectations.mutualInfo(dep, "a", "b")
+      .agg(sum("mi_part")).head().getDouble(0)
+    assert(math.abs(mi1 - math.log(2)) < 1e-5, s"MI=ln2 expected, $mi1")
+    val withNull = Seq(("x", Some("u")), ("x", None), ("y", Some("u")))
+      .toDF("a", "b")
+    val rows = Expectations.mutualInfo(withNull, "a", "b").collect()
+    assert(rows.exists(_.getString(1) == "__null__"),
+      "null category must profile as its own class")
+  }
+
   test("resample: an OBSERVED bucket whose aggregate is null stays null " +
       "— LOCF fills only calendar holes, it invents nothing") {
     import java.sql.Timestamp

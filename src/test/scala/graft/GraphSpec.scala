@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank: hand-computed 4-node graph with a dangling sink") {
+    // 1→2, 1→3, 2→3, 3→4; node 4 is a sink whose mass redistributes.
+    // Expected ranks from the reference iteration (d=0.85, 10 iters),
+    // computed independently of this implementation.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(
+      (1L, 0.120574), (2L, 0.17177), (3L, 0.317502), (4L, 0.390154)))
+  }
+
+  test("pageRank: mass conserves (ranks sum to 1) and parallel edges " +
+      "collapse") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L),
+      (3L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 15,
+      roundTo = 9)
+    val total = ranks.agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"mass leaked: $total")
+    // duplicate 1→2 edges must not triple 2's share: with collapse the
+    // graph is the symmetric-ish cycle, so no node triples another
+    val m = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(2L) < 2 * m(3L), s"parallel edges over-weighted: $m")
+  }
+
+  test("pageRank: partitioning-invariant and deterministic on re-run") {
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      .limit(5000)
+    val a = Graph.pageRank(edges.repartition(1), "src", "dst",
+      iterations = 5).orderBy("id").collect().toSeq
+    val b = Graph.pageRank(edges.repartition(13), "src", "dst",
+      iterations = 5).orderBy("id").collect().toSeq
+    assert(a === b, "rank must be a function of the graph, not layout")
+  }
+
+  test("pageRank: zero iterations returns the uniform prior") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 0)
+      .collect().map(_.getDouble(1)).toSet
+    assert(got === Set(0.333333))
+  }
+}
