@@ -107,7 +107,13 @@ object ScaleSmoke {
     "d150_group_sample", "t153_cms_freq", "t155_collocations",
     "t151_script_profile", "q157_scd2", "q159_rate_anomaly",
     "q160_ab_test", "q161_histogram", "q162_gap_fill",
-    "q163_drop_anomaly")
+    "q163_drop_anomaly",
+    // r9 analytics round-out: the iterative graph op (checkpointed
+    // per-iteration aggregates), the time-RANGE window, the two-pass
+    // quantile binning, and the pairs-sized MI profile
+    "q167_pagerank", "q164_rolling_window", "q165_quantile_bins",
+    "t166_mutual_info", "q170_hits", "d169_sorted_neighborhood",
+    "q168_asof_forward")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2457,6 +2457,43 @@ object SparkEntry {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1000000L).as("dst"))
       operators.Graph.pageRank(e, "src", "dst").orderBy(col("id"))
+    }),
+
+    // Forward as-of join (asofBackward's mirror): for each order, the
+    // customer's EARLIEST event at-or-after the order date — the "next
+    // reading" lookup; one keyed shuffle, frame reversed.
+    "q168_asof_forward" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val ev = t(s, d, "events")
+        .select(col("user_id").as("o_custkey"), col("ts"),
+          col("event_id"), col("value"))
+      operators.TemporalJoins.asofForward(o, ev, "o_custkey",
+          "o_orderdate", "ts", Seq("event_id", "value"), "event_id")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Sorted-neighborhood blocking (entity-resolution candidate pairs):
+    // all pairs within 5 positions of the global (n_chars, doc_id)
+    // order — range-repartition + per-bucket leads + an exact boundary
+    // sliver, never one partition's global window.
+    "d169_sorted_neighborhood" -> ((s, d) =>
+      operators.Linkage.sortedNeighborhoodPairs(
+          t(s, d, "documents"), "doc_id", col("n_chars"),
+          neighborhood = 5, buckets = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // HITS hubs/authorities over the same purchase graph as q167 — the
+    // bipartite centrality pair (breadth-heavy hubs vs cited
+    // authorities); L1-normalized so the per-iteration scalar is exact.
+    "q170_hits" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      operators.Graph.hits(e, "src", "dst").orderBy(col("id"))
     }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
@@ -2494,6 +2531,41 @@ object SparkEntry {
     }.mkString
     head + iters +
       s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
+  }
+
+  /** q170's oracle: HITS unrolled the same way (auth then hub per
+    * iteration, each L1-normalized by a scalar subquery). */
+  private def hitsOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        | SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS MATERIALIZED (
+        | SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (
+        | SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",
+         |ar$k AS MATERIALIZED (
+         | SELECT e.dst AS id, sum(h.hub) AS a
+         | FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
+         |a$k AS MATERIALIZED (
+         | SELECT n.id, coalesce(ar.a, CAST(0 AS DOUBLE))
+         |   / (SELECT sum(a) FROM ar$k) AS auth
+         | FROM nodes n LEFT JOIN ar$k ar ON ar.id = n.id),
+         |hr$k AS MATERIALIZED (
+         | SELECT e.src AS id, sum(a.auth) AS h
+         | FROM e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+         |h$k AS MATERIALIZED (
+         | SELECT n.id, coalesce(hr.h, CAST(0 AS DOUBLE))
+         |   / (SELECT sum(h) FROM hr$k) AS hub
+         | FROM nodes n LEFT JOIN hr$k hr ON hr.id = n.id)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+         |SELECT a.id, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+         |FROM a$iterations a JOIN h$iterations h ON a.id = h.id
+         |ORDER BY a.id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4241,5 +4313,32 @@ object SparkEntry {
         |   AS mi_part
         |FROM j ORDER BY a, b""".stripMargin,
 
-    "q167_pagerank" -> pageRankOracleSql(10))
+    "q167_pagerank" -> pageRankOracleSql(10),
+
+    "q168_asof_forward" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) AS rn
+        | FROM events),
+        |ed AS (SELECT user_id, ts, event_id, value FROM e WHERE rn = 1)
+        |SELECT o.o_orderkey, o.o_custkey,
+        | f.event_id AS asof_event_id, f.value AS asof_value
+        |FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+        |LEFT JOIN LATERAL (
+        | SELECT event_id, value FROM ed
+        | WHERE ed.user_id = o.o_custkey AND ed.ts >= o.o_orderdate
+        | ORDER BY ed.ts LIMIT 1) f ON TRUE
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "d169_sorted_neighborhood" ->
+      """WITH r AS (
+        | SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        | FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q170_hits" -> hitsOracleSql(10))
 }

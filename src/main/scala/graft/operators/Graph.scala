@@ -77,4 +77,59 @@ object Graph {
     }
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg) — the BIPARTITE centrality
+    * pair PageRank flattens: a hub score ("links to many good
+    * authorities" — a crawl seed list, a breadth-heavy curator) and an
+    * authority score ("linked by many good hubs" — the source worth
+    * preferring), mutually reinforcing:
+    *
+    *   auth_i+1(v) ∝ Σ_{u→v} hub_i(u)      (then L1-normalized)
+    *   hub_i+1(u)  ∝ Σ_{u→v} auth_i+1(v)   (then L1-normalized)
+    *
+    * L1 normalization (scores sum to 1) instead of the textbook L2 so
+    * the per-iteration scalar is a plain `sum` — exact in any engine —
+    * and scores read as shares. Same execution shape as [[pageRank]]:
+    * edges checkpointed once, per half-iteration one keyed aggregate +
+    * a 1-row normalizer, nodes-sized checkpointed score tables.
+    * Returns (id, auth, hub) per node, rounded to `roundTo`; nodes with
+    * no in-edges have auth 0, nodes with no out-edges hub 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+      .localCheckpoint(eager = true)
+    var auth = nodes.select(col("id"), lit(0.0).as("auth"))
+    for (_ <- 0 until iterations) {
+      // nodes-sized; checkpointed because both the normalizer and the
+      // score join read it — without truncation each reads re-runs the
+      // edge join
+      val aRaw = e.join(hub, e("src") === hub("id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__a"))
+        .localCheckpoint(eager = false)
+      val aNorm = aRaw.agg(sum(col("__a")).as("__s"))
+      auth = nodes.join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aNorm)) // one-row scalar join
+        .select(col("id"),
+          (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
+        .localCheckpoint(eager = true)
+      val hRaw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__h"))
+        .localCheckpoint(eager = false)
+      val hNorm = hRaw.agg(sum(col("__h")).as("__s"))
+      hub = nodes.join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("id"),
+          (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
+        .localCheckpoint(eager = true)
+    }
+    auth.join(hub, "id")
+      .select(col("id"), round(col("auth"), roundTo).as("auth"),
+        round(col("hub"), roundTo).as("hub"))
+  }
 }

@@ -56,6 +56,50 @@ object TemporalJoins {
         rightPayload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
   }
 
+  /** Forward as-of join — [[asofBackward]]'s mirror: for each left row,
+    * the single EARLIEST right row with `rightTs >= leftTs` on the same
+    * key (inclusive; "the next reading at or after this order"). Same
+    * union-and-carry formulation with the frame reversed: `first(...,
+    * ignoreNulls)` over the FOLLOWING frame — still one keyed shuffle.
+    * Right rows pre-dedup to one per (key, ts) by `rightTieBreak`
+    * (latest wins, matching [[asofBackward]]). Payload columns come back
+    * as `asof_<name>`, NULL when no right row follows. */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+
+    val rightDedup = Merge.latestWins(
+      right.select(
+        (key +: rightTs +: rightTieBreak +: rightPayload).distinct.map(col): _*),
+      Seq(key, rightTs), Seq(col(rightTieBreak)))
+
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val r = rightDedup.select(
+      col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), payloadStruct.as("__r"))
+    val leftCols = left.columns
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lit(null).cast(r.schema("__r").dataType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+
+    // left rows sort BEFORE right at equal ts (side 1 desc? no — order
+    // right side with __side ascending puts right first; forward wants
+    // the right row at equal ts to be visible in the following frame,
+    // so right rows must sort at-or-after left: order by (ts, -side)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l.unionByName(r.withColumn("__l",
+        lit(null).cast(l.schema("__l").dataType)))
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
+  }
+
   /** Keyed interval join: pairs (l, r) with equal `key` and
     * `|leftTs - rightTs| <= toleranceSec`. Time is bucketed at tolerance
     * width; the left side joins buckets {b-1, b, b+1} — an equi-join on

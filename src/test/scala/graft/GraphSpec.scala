@@ -46,6 +46,31 @@ class GraphSpec extends SparkTestBase {
     assert(a === b, "rank must be a function of the graph, not layout")
   }
 
+  test("hits: hand-computed bipartite graph (golden-ratio shares), " +
+      "sides stay disjoint") {
+    // hubs {1,2} → authorities {3,4}; 4 is cited by both hubs.
+    // Expected L1-normalized fixpoint shares computed independently.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 0.0, 0.618034), (2L, 0.0, 0.381966),
+      (3L, 0.381966, 0.0), (4L, 0.618034, 0.0)))
+  }
+
+  test("hits: scores are L1-normalized shares and partitioning-invariant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val r1 = Graph.hits(edges.repartition(1), "src", "dst", roundTo = 9)
+    val r7 = Graph.hits(edges.repartition(7), "src", "dst", roundTo = 9)
+    assert(r1.orderBy("id").collect().toSeq ===
+      r7.orderBy("id").collect().toSeq)
+    val sums = r1.agg(sum("auth"), sum("hub")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-6)
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.pageRank(edges, "src", "dst", iterations = 0)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The single-global-window formulation the operator must equal. */
+  private def bruteforce(df: org.apache.spark.sql.DataFrame,
+      idCol: String, key: org.apache.spark.sql.Column,
+      w: Int): Set[(Long, Long)] = {
+    val r = df.select(col(idCol).cast("long").as("id"),
+        row_number().over(Window.orderBy(key, col(idCol))).as("rk"))
+    r.as("a").join(r.as("b"),
+        col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + w)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+  }
+
+  test("sortedNeighborhoodPairs equals the global-window formulation " +
+      "on real documents, at any bucket count") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    val want = bruteforce(docs, "doc_id", col("n_chars"), 4)
+    for (buckets <- Seq(1, 3, 16)) {
+      val got = Linkage.sortedNeighborhoodPairs(docs, "doc_id",
+          col("n_chars"), neighborhood = 4, buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"buckets=$buckets")
+    }
+  }
+
+  test("sortedNeighborhoodPairs: buckets smaller than the neighborhood " +
+      "still recover every cross-boundary pair") {
+    // 10 rows over 16 buckets -> most buckets hold 0 or 1 rows, so pairs
+    // span several buckets; the boundary sliver must chain them
+    val tiny = (1 to 10).map(i => (i.toLong, i * 10)).toDF("id", "k")
+    val want = bruteforce(tiny, "id", col("k"), 3)
+    val got = Linkage.sortedNeighborhoodPairs(tiny, "id", col("k"),
+        neighborhood = 3, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.size === 3 * 10 - (1 + 2 + 3)) // 24 sliding pairs
+  }
+
+  test("sortedNeighborhoodPairs: duplicate sort keys break ties by id " +
+      "and near-duplicate records land in one neighborhood") {
+    val df = Seq((5L, 100), (6L, 100), (7L, 100), (1L, 999))
+      .toDF("id", "len")
+    val got = Linkage.sortedNeighborhoodPairs(df, "id", col("len"),
+        neighborhood = 2, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // order: 5,6,7 (len 100, id ties), then 1 (len 999)
+    assert(got === Set((5L, 6L), (5L, 7L), (6L, 7L), (6L, 1L), (7L, 1L)))
+  }
+}

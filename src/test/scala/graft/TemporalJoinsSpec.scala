@@ -33,6 +33,47 @@ class TemporalJoinsSpec extends SparkTestBase {
       ("o3", None)))
   }
 
+  test("asof forward picks earliest right row at-or-after left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "o1"),
+      (1L, ts("2024-01-01 12:00:00"), "o2"), // no event at or after
+      (2L, ts("2024-01-01 09:00:00"), "o3")
+    ).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // equal ts → inclusive match
+      (1L, ts("2024-01-01 11:00:00"), 102L),
+      (2L, ts("2024-01-01 09:30:00"), 200L)
+    ).toDF("k", "rts", "eid")
+    val out = TemporalJoins.asofForward(left, right, "k", "lts", "rts",
+        Seq("eid"), "eid")
+      .orderBy("name").collect()
+      .map(r => (r.getAs[String]("name"), Option(r.get(r.fieldIndex("asof_eid")))))
+    assert(out.toSeq == Seq(
+      ("o1", Some(101L)),  // inclusive: equal-ts event beats 11:00
+      ("o2", None),        // nothing follows
+      ("o3", Some(200L))))
+  }
+
+  test("asof forward mirrors backward on reversed time") {
+    // forward(t) on data D == backward(-t) on time-negated D: check the
+    // two agree on real events via the mirror
+    val ev = Tables.events(spark, sf).limit(500)
+      .select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val probes = ev.select(col("k"), col("ts").as("lts")).limit(50)
+    val fwd = TemporalJoins.asofForward(probes, ev, "k", "lts", "ts",
+        Seq("event_id"), "event_id")
+      .select(col("k"), col("lts"), col("asof_event_id"))
+    val neg = (c: org.apache.spark.sql.Column) => -unix_timestamp(c)
+    val evN = ev.select(col("k"), neg(col("ts")).as("nts"), col("event_id"))
+    val probesN = probes.select(col("k"), neg(col("lts")).as("nlts"),
+      col("lts"))
+    val bwd = TemporalJoins.asofBackward(probesN, evN, "k", "nlts", "nts",
+        Seq("event_id"), "event_id")
+      .select(col("k"), col("lts"), col("asof_event_id"))
+    assert(fwd.exceptAll(bwd).isEmpty && bwd.exceptAll(fwd).isEmpty)
+  }
+
   test("asof: a tie-break column outside the payload resolves") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "lts")
     val right = Seq(
