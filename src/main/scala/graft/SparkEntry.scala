@@ -2494,7 +2494,29 @@ object SparkEntry {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1000000L).as("dst"))
       operators.Graph.hits(e, "src", "dst").orderBy(col("id"))
-    }))
+    }),
+
+    // Percentile winsorization (robust feature prep): tails clip to the
+    // p5/p95 cuts from one percentile aggregate; clipping itself is a
+    // zero-shuffle comparison against two broadcast scalars.
+    "q171_winsorize" -> ((s, d) =>
+      operators.Expectations.winsorize(t(s, d, "lineitem"),
+          col("l_extendedprice"), 0.05, 0.95, "price_w")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("price_w"), 6).as("price_w"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Robust (median/MAD) per-series outlier flags — the value-column
+    // counterpart of q159's count z-scores; moment-free baseline so the
+    // outliers cannot drag their own threshold.
+    "q172_robust_outliers" -> ((s, d) =>
+      operators.Anomaly.robustOutliers(t(s, d, "events"), "event_type",
+          col("value"))
+        .select(col("event_id"), col("event_type"),
+          round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"),
+          col("robust_z"), col("is_outlier"))
+        .orderBy(col("event_id"))))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -2519,8 +2541,8 @@ object SparkEntry {
          |  JOIN od ON od.src = e.src
          | GROUP BY e.dst),
          |d$k AS MATERIALIZED (
-         | SELECT coalesce(sum(p.rank), 0) AS dang FROM pr${k - 1} p
-         | LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
+         | SELECT CAST(1.0 AS DOUBLE) - coalesce(sum(c), CAST(0 AS DOUBLE))
+         |  AS dang FROM c$k),
          |pr$k AS MATERIALIZED (
          | SELECT n.id,
          |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
@@ -4340,5 +4362,39 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q170_hits" -> hitsOracleSql(10))
+    "q170_hits" -> hitsOracleSql(10),
+
+    "q171_winsorize" ->
+      """WITH cuts AS (
+        | SELECT quantile_cont(l_extendedprice, [0.05, 0.95]) AS q
+        | FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice))
+        |SELECT l_orderkey, l_linenumber,
+        | round(CASE WHEN isnan(l_extendedprice) THEN l_extendedprice
+        |            WHEN l_extendedprice < q[1] THEN q[1]
+        |            WHEN l_extendedprice > q[2] THEN q[2]
+        |            ELSE l_extendedprice END, 6) AS price_w
+        |FROM lineitem, cuts
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q172_robust_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        | GROUP BY event_type),
+        |d AS (
+        | SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        | FROM events e JOIN m ON e.event_type = m.event_type
+        | WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+        | GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type,
+        | round(m.med, 6) AS median, round(d.mad, 6) AS mad,
+        | CASE WHEN d.mad > 0 AND NOT isnan(e.value)
+        |   THEN round(0.6745 * (e.value - m.med) / d.mad, 6)
+        | END AS robust_z,
+        | coalesce(abs(robust_z) > 3.5, FALSE) AS is_outlier
+        |FROM events e
+        |LEFT JOIN m ON e.event_type = m.event_type
+        |LEFT JOIN d ON e.event_type = d.event_type
+        |ORDER BY e.event_id""".stripMargin)
 }

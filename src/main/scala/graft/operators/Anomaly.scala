@@ -92,4 +92,48 @@ object Anomaly {
           lit(false)))
       .drop("__k", "__s1", "__s2")
   }
+
+  /** Robust per-series outlier flags — the median/MAD counterpart of
+    * [[rateAnomalies]]' mean/sd z-score, for VALUE columns where a few
+    * extreme points wreck a moment-based baseline (mean and stddev are
+    * both dragged by the outliers they are supposed to find; the median
+    * and the median-absolute-deviation are not):
+    *
+    *   robust_z = 0.6745 · (v − median) / MAD
+    *
+    * (0.6745 ≈ Φ⁻¹(0.75) rescales MAD to σ under normality — the
+    * standard Iglewicz-Hoaglin form; |robust_z| > 3.5 is their
+    * recommended cut, the `k` default.) A series whose MAD is 0 (over
+    * half the points identical) yields NULL z and never flags — the
+    * [[rateAnomalies]] zero-variance contract. NULL values pass through
+    * unflagged with NULL z; NaN likewise (unordered).
+    *
+    * Scale: two exact per-series percentile aggregates (group-sized
+    * buffers — series are few by definition; the 100 TB path swaps
+    * `percentile_approx` in) + broadcast joins of the series-sized
+    * stats; flagging is per-row codegen. Appends `median`, `mad`,
+    * `robust_z`, `is_outlier`. */
+  def robustOutliers(df: DataFrame, seriesCol: String, value: Column,
+      k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val appended = Seq("median", "mad", "robust_z", "is_outlier")
+    val clash = df.columns.toSet.intersect(appended.toSet)
+    require(clash.isEmpty,
+      s"robustOutliers appends ${clash.mkString(", ")} — already present " +
+        "on the input; rename or drop them first")
+    val v = value.cast("double")
+    val med = df.filter(value.isNotNull && !isnan(v))
+      .groupBy(col(seriesCol))
+      .agg(percentile(v, lit(0.5)).as("median"))
+    val withMed = df.join(broadcast(med), Seq(seriesCol), "left")
+    val mad = withMed.filter(value.isNotNull && !isnan(v))
+      .groupBy(col(seriesCol))
+      .agg(percentile(abs(v - col("median")), lit(0.5)).as("mad"))
+    val z = lit(0.6745) * (v - col("median")) / col("mad")
+    withMed.join(broadcast(mad), Seq(seriesCol), "left")
+      .withColumn("robust_z",
+        when(col("mad") > 0 && !isnan(v), round(z, 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > k, lit(false)))
+  }
 }

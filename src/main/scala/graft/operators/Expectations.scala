@@ -155,6 +155,34 @@ object Expectations {
       .orderBy(col("bin"))
   }
 
+  /** Percentile winsorization — robust feature prep: values below the
+    * `loP` quantile clip UP to it, values above `hiP` clip DOWN
+    * (training-signal columns keep their distribution body while fat
+    * tails stop dominating normalization). Cuts come from ONE exact
+    * percentile aggregate (same small-stats contract as
+    * [[quantileBins]]; swap `percentile_approx` in at 100 TB — one
+    * expression, identical plumbing); clipping is a zero-shuffle
+    * codegen'd comparison against two broadcast scalars. NULL passes
+    * through; NaN passes through (it is not ordered, so it neither
+    * clips nor escapes — flag it with [[report]]). Appends `outCol`. */
+  def winsorize(df: DataFrame, value: Column, loP: Double, hiP: Double,
+      outCol: String): DataFrame = {
+    require(loP >= 0.0 && hiP <= 1.0 && loP < hiP,
+      s"need 0 <= loP < hiP <= 1, got ($loP, $hiP)")
+    require(!df.columns.contains(outCol),
+      s"winsorize appends '$outCol', which already exists on the input")
+    val v = value.cast("double")
+    val cuts = df.filter(value.isNotNull && !isnan(v))
+      .agg(percentile(v, lit(Array(loP, hiP)))).head().getSeq[Double](0)
+    val (lo, hi) = (cuts(0), cuts(1))
+    // NaN is guarded explicitly: Spark (and DuckDB) order NaN ABOVE
+    // every double, so `v > hi` would silently clip NaN to the hi cut —
+    // an unknown value must not masquerade as a large one
+    df.withColumn(outCol,
+      when(isnan(v), v)
+        .when(v < lo, lit(lo)).when(v > hi, lit(hi)).otherwise(v))
+  }
+
   /** Mutual information between two categorical columns — the
     * feature-association profile ("how much does `source` tell you
     * about `lang`?") behind mix audits and leakage checks (a split

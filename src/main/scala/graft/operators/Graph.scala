@@ -54,18 +54,25 @@ object Graph {
     // degree rides WITH each edge so the per-iteration join touches only
     // (edges ⋈ ranks) — checkpointed once, re-read every iteration
     val eDeg = e.join(outDeg, "src").localCheckpoint(eager = true)
-    val srcs = outDeg.select(col("src").as("id"))
 
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     for (_ <- 0 until iterations) {
+      // contrib is the iteration's ONE keyed aggregate; checkpointed
+      // because the dangling scalar and the rank join both read it (and
+      // to truncate the iterative lineage)
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__c"))
-      // rank parked on sinks (nodes with no out-edges) — one scalar row
-      val dangling = ranks.join(srcs, Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+        .localCheckpoint(eager = false)
+      // dangling mass by conservation: every non-sink distributes its
+      // whole rank, so Σ contrib = 1 − (rank parked on sinks) — one
+      // scalar over the already-aggregated contrib table instead of a
+      // second corpus-of-nodes anti-join + sum per iteration
+      val dangling = contrib
+        .agg((lit(1.0) - coalesce(sum(col("__c")), lit(0.0)))
+          .as("__dang"))
       ranks = nodes
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling)) // one-row scalar join
@@ -73,7 +80,6 @@ object Graph {
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dang") / n))
             .as("rank"))
-        .localCheckpoint(eager = true)
     }
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
@@ -103,7 +109,7 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(eager = true)
     var hub = nodes.select(col("id"), lit(1.0).as("hub"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var auth = nodes.select(col("id"), lit(0.0).as("auth"))
     for (_ <- 0 until iterations) {
       // nodes-sized; checkpointed because both the normalizer and the
@@ -117,7 +123,7 @@ object Graph {
         .crossJoin(broadcast(aNorm)) // one-row scalar join
         .select(col("id"),
           (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val hRaw = e.join(auth, e("dst") === auth("id"))
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__h"))
         .localCheckpoint(eager = false)
@@ -126,7 +132,7 @@ object Graph {
         .crossJoin(broadcast(hNorm))
         .select(col("id"),
           (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     auth.join(hub, "id")
       .select(col("id"), round(col("auth"), roundTo).as("auth"),

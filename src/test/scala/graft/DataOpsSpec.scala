@@ -261,6 +261,52 @@ class DataOpsSpec extends SparkTestBase {
       (3L, 25L, 51.0, 75.0), (4L, 25L, 76.0, 100.0)))
   }
 
+  test("winsorize: tails clip to the percentile cuts, NaN and NULL " +
+      "pass through, clashing output name rejected") {
+    val df = ((1 to 100).map(i => Option(i.toDouble)) ++
+      Seq(Some(Double.NaN), None)).toDF("x")
+    val out = Expectations.winsorize(df, col("x"), 0.1, 0.9, "xw")
+    val m = out.filter(col("x").isNotNull && !isnan(col("x")))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // interpolated cuts of 1..100: p10 ≈ 10.9, p90 ≈ 90.1; tails must
+    // clip to EXACTLY the percentile aggregate's own doubles
+    val cuts = df.filter(col("x").isNotNull && !isnan(col("x")))
+      .agg(percentile(col("x"), lit(Array(0.1, 0.9))))
+      .head().getSeq[Double](0)
+    assert(math.abs(cuts(0) - 10.9) < 1e-9 &&
+      math.abs(cuts(1) - 90.1) < 1e-9)
+    assert(m(1.0) === cuts(0) && m(5.0) === cuts(0))
+    assert(m(50.0) === 50.0)
+    assert(m(95.0) === cuts(1) && m(100.0) === cuts(1))
+    assert(out.filter(isnan(col("xw"))).count() === 1L)
+    assert(out.filter(col("xw").isNull).count() === 1L)
+    intercept[IllegalArgumentException] {
+      Expectations.winsorize(out, col("x"), 0.1, 0.9, "xw")
+    }
+  }
+
+  test("robustOutliers: median/MAD flags the planted spike, zero-MAD " +
+      "series never flags, clash rejected") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0)) ++ Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)))
+      .toDF("g", "v")
+    val out = Anomaly.robustOutliers(df, "g", col("v"))
+    val a = out.filter(col("g") === "a").orderBy("v").collect()
+    // series a: median 3, |v-3| = [2,1,0,1,97] -> MAD 1
+    assert(a.forall(r => r.getDouble(2) === 3.0 && r.getDouble(3) === 1.0))
+    val spike = a.last
+    assert(spike.getDouble(4) === 65.4265 && spike.getBoolean(5),
+      s"spike z=${spike.get(4)}")
+    assert(a.init.forall(!_.getBoolean(5)), "body must not flag")
+    // series b: median 5, deviations [0,0,0,4] -> MAD 0 -> null z
+    val b = out.filter(col("g") === "b").collect()
+    assert(b.forall(r => r.isNullAt(4) && !r.getBoolean(5)),
+      "zero-MAD series must yield null z, never a flag")
+    intercept[IllegalArgumentException] {
+      Anomaly.robustOutliers(out, "g", col("v"))
+    }
+  }
+
   test("mutualInfo: independent columns give zero MI, dependent give " +
       "positive, nulls are a class") {
     // independent: every (a, b) combination equally likely
