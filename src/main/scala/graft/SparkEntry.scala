@@ -2516,7 +2516,18 @@ object SparkEntry {
           round(col("median"), 6).as("median"),
           round(col("mad"), 6).as("mad"),
           col("robust_z"), col("is_outlier"))
-        .orderBy(col("event_id"))))
+        .orderBy(col("event_id"))),
+
+    // Deterministic contrastive negative sampling: 3 pseudo-random
+    // other docs per anchor via the portable hash over the exact
+    // distributed global-rank index — one range-partition sort + one
+    // position equi-join, no execution-time randomness.
+    "d173_negative_samples" -> ((s, d) =>
+      operators.Linkage.negativeSamples(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", k = 3,
+          buckets = 8)
+        .select(col("anchor"), col("i").cast(LongType).as("i"), col("neg"))
+        .orderBy(col("anchor"), col("i"))))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -2546,9 +2557,10 @@ object SparkEntry {
          |pr$k AS MATERIALIZED (
          | SELECT n.id,
          |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-         |    / (SELECT n FROM nn)
+         |    * (CAST(1.0 AS DOUBLE) / (SELECT n FROM nn))
          |  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0 AS DOUBLE))
-         |    + (SELECT dang FROM d$k) / (SELECT n FROM nn)) AS rank
+         |    + (SELECT dang FROM d$k)
+         |      * (CAST(1.0 AS DOUBLE) / (SELECT n FROM nn))) AS rank
          | FROM nodes n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
     }.mkString
     head + iters +
@@ -4396,5 +4408,21 @@ object SparkEntry {
         |FROM events e
         |LEFT JOIN m ON e.event_type = m.event_type
         |LEFT JOIN d ON e.event_type = d.event_type
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "d173_negative_samples" ->
+      """WITH r AS (
+        | SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS g
+        | FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |d AS (
+        | SELECT r.doc_id AS anchor, CAST(i AS BIGINT) AS i, r.g AS ga,
+        |  (((r.doc_id % 1000000007) * 427799 + i * 40503 + 42)
+        |    % 1000000007) % ((SELECT n FROM nn) - 1) + 1 AS draw
+        | FROM r CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i))
+        |SELECT d.anchor, d.i, r2.doc_id AS neg
+        |FROM d JOIN r AS r2
+        | ON r2.g = CASE WHEN d.draw >= d.ga THEN d.draw + 1
+        |            ELSE d.draw END
+        |ORDER BY anchor, i""".stripMargin)
 }

@@ -39,23 +39,83 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping, roundTo,
+      weightCol = None, teleportIds = None)
+
+  /** Weighted PageRank: parallel (src, dst) edges collapse by SUMMING
+    * `weightCol` (a link count, a click volume), and each source
+    * distributes its rank proportionally to edge weight instead of
+    * uniformly — `contrib(u→v) = rank(u)·w(u→v)/Σ_x w(u→x)`. Rows with
+    * null/zero/negative weight are dropped (they carry no mass). Same
+    * execution shape and dangling semantics as [[pageRank]]. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 10, damping: Double = 0.85,
+      roundTo: Int = 6): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping, roundTo,
+      weightCol = Some(weightCol), teleportIds = None)
+
+  /** Personalized (topic-sensitive) PageRank: the random surfer
+    * teleports UNIFORMLY OVER `seeds` instead of over all nodes, so
+    * rank measures authority AS SEEN FROM the seed set — "rank hosts by
+    * proximity to these trusted domains", the TrustRank-style curation
+    * variant. Dangling mass returns to the seeds too (the standard
+    * personalized formulation: every teleport event lands on a seed).
+    * Seeds need not appear in the edge list; unknown seeds still
+    * receive their teleport share. Scores sum to 1 over nodes ∪ seeds. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, roundTo: Int = 6): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping, roundTo,
+      weightCol = None, teleportIds = Some(seeds))
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, damping: Double, roundTo: Int,
+      weightCol: Option[String], teleportIds: Option[DataFrame])
+      : DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping in [0,1], got $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("id"))
+    // weighted: parallel edges merge additively; unweighted: collapse
+    val e = weightCol match {
+      case Some(w) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(w).cast("double").as("__w"))
+          .filter(col("__w") > 0.0)
+          .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct().withColumn("__w", lit(1.0))
+    }
+    val graphNodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = teleportIds
+      .map(s => graphNodes.union(
+        s.select(s.columns.head).toDF("id")).distinct())
+      .getOrElse(graphNodes)
       .localCheckpoint(eager = true)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    // degree rides WITH each edge so the per-iteration join touches only
-    // (edges ⋈ ranks) — checkpointed once, re-read every iteration
-    val eDeg = e.join(outDeg, "src").localCheckpoint(eager = true)
+    // teleport share per node: uniform 1/n, or 1/|seeds| on seeds and 0
+    // elsewhere (personalized); rides the nodes table as a column so the
+    // iteration never special-cases
+    val withT = teleportIds match {
+      case Some(s) =>
+        val seedSet = s.select(s.columns.head).toDF("id").distinct()
+          .localCheckpoint(eager = true)
+        val k = seedSet.count()
+        require(k > 0, "personalized pageRank needs at least one seed")
+        nodes.join(seedSet.withColumn("__t", lit(1.0 / k)), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__t"), lit(0.0)).as("__t"))
+      case None => nodes.select(col("id"), lit(1.0 / n).as("__t"))
+    }
+    val tNodes = withT.localCheckpoint(eager = true)
+    val outW = e.groupBy(col("src")).agg(sum(col("__w")).as("__deg"))
+    // weight share rides WITH each edge so the per-iteration join
+    // touches only (edges ⋈ ranks) — checkpointed once
+    val eDeg = e.join(outW, "src").localCheckpoint(eager = true)
 
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    var ranks = tNodes.select(col("id"), col("__t").as("rank"))
       .localCheckpoint(eager = false)
     for (_ <- 0 until iterations) {
       // contrib is the iteration's ONE keyed aggregate; checkpointed
@@ -63,7 +123,8 @@ object Graph {
       // to truncate the iterative lineage)
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
+        .select(col("dst").as("id"),
+          (col("rank") * col("__w") / col("__deg")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__c"))
         .localCheckpoint(eager = false)
       // dangling mass by conservation: every non-sink distributes its
@@ -73,12 +134,12 @@ object Graph {
       val dangling = contrib
         .agg((lit(1.0) - coalesce(sum(col("__c")), lit(0.0)))
           .as("__dang"))
-      ranks = nodes
+      ranks = tNodes
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling)) // one-row scalar join
         .select(col("id"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("__c"), lit(0.0)) + col("__dang") / n))
+          (lit(1.0 - damping) * col("__t") + lit(damping) *
+            (coalesce(col("__c"), lit(0.0)) + col("__dang") * col("__t")))
             .as("rank"))
     }
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))

@@ -80,4 +80,80 @@ object Linkage {
     intra.unionByName(cross)
       .select(col("id_a").cast(idT), col("id_b").cast(idT))
   }
+
+  /** Exact dense global rank (1..N) in the (sortKey, id) total order —
+    * WITHOUT a single-partition window: range repartition (Spark's
+    * distributed sort) + per-bucket `row_number` + bucket-count prefix
+    * offsets (a buckets-sized aggregate broadcast back). The building
+    * block under [[sortedNeighborhoodPairs]]' boundary sliver and
+    * [[negativeSamples]]' index join, exposed because "give every row
+    * its exact position" keeps coming up (dense ids for trainers,
+    * deterministic shard assignment) and the naive
+    * `row_number() OVER (ORDER BY …)` moves the corpus to one task.
+    * Appends `grank`. */
+  def globalRank(df: DataFrame, idCol: String, sortKey: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!df.columns.contains("grank"),
+      "globalRank appends 'grank', which already exists on the input")
+    val ranged = df
+      .repartitionByRange(buckets, sortKey, col(idCol))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val wB = Window.partitionBy(col("__b"))
+      .orderBy(sortKey, col(idCol))
+    val offsets = ranged.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranged.withColumn("__r", row_number().over(wB))
+      .join(broadcast(offsets), "__b")
+      .withColumn("grank", col("__off") + col("__r"))
+      .drop("__b", "__r", "__off")
+  }
+
+  /** Deterministic negative sampling — `k` pseudo-random OTHER rows per
+    * anchor, the contrastive-pair generator (embedding / reranker
+    * training needs "k negatives per document", reproducibly, at corpus
+    * scale): negative `i` of anchor `a` is the row at global position
+    * `h(a, i) mod (N−1)` (positions at-or-after the anchor shift by one
+    * so the anchor can never draw itself). The hash is the same
+    * overflow-free pre-reduced multiplicative form as the sampling
+    * family (engine-portable — an external system reproduces the exact
+    * pairs), mixed per (anchor, i).
+    *
+    * 100 TB shape: one [[globalRank]] pass (distributed sort), then the
+    * anchors explode ×k and equi-join the rank index on the computed
+    * position — two keyed shuffles, no randomness at execution time and
+    * no driver-side state. Returns (anchor, i, neg) where `neg` is the
+    * sampled id. Collisions across i are possible (independent draws
+    * with replacement, the standard contrastive regime). */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+      seed: Long = 42L, buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count()
+    require(n >= 2, s"need at least 2 rows to sample negatives, got $n")
+    // one distributed-sort pass feeds both sides of the position join
+    val ranks = globalRank(df.select(col(idCol)), idCol, col(idCol),
+      buckets).localCheckpoint(eager = false)
+    val idx = ranks.select(col(idCol).as("neg"), col("grank"))
+    val anchors = ranks
+      .select(col(idCol).as("anchor"), col("grank").as("__ga"))
+    // portable overflow-free hash: ((a mod M)·A' + i·B' + seed mod M)
+    // mod M, with (M−1)·A' ≈ 4.3e14 « Long.Max; M ≈ 1e9 bounds the
+    // drawable positions — stripe the seed for corpora past 1e9 rows
+    val M = 1000000007L
+    val h = pmod(
+      pmod(col("anchor"), lit(M)) * lit(427799L) +
+        col("__i") * lit(40503L) + lit(seed % M), lit(M))
+    val draw = pmod(h, lit(n - 1)) + 1 // position in 1..N-1
+    anchors
+      .withColumn("__i", explode(array((1 to k).map(lit): _*)))
+      .withColumn("__pos",
+        when(draw >= col("__ga"), draw + 1).otherwise(draw))
+      .join(idx, col("__pos") === col("grank"))
+      .select(col("anchor"), col("__i").as("i"), col("neg"))
+  }
 }

@@ -71,6 +71,47 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("pageRankWeighted: mass follows edge weight, parallel edges sum") {
+    // hub 1 links 2 and 3; weight 9:1 -> 2 must far outrank 3
+    val w = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val ranks = Graph.pageRankWeighted(w, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(2L) > 3 * ranks(3L),
+      s"weight 9:1 must dominate: $ranks")
+    // the same graph expressed as 9 parallel unit edges is identical
+    val dup = ((1 to 9).map(_ => (1L, 2L, 1.0)) ++
+      Seq((1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)))
+      .toDF("src", "dst", "w")
+    val ranks2 = Graph.pageRankWeighted(dup, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks === ranks2, "parallel edges must merge additively")
+    // zero/null weights carry no mass
+    val z = Seq((1L, 2L, 1.0), (1L, 3L, 0.0)).toDF("src", "dst", "w")
+    val rz = Graph.pageRankWeighted(z, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!rz.contains(3L), "a zero-weight-only node is not in the graph")
+  }
+
+  test("pageRankPersonalized: rank concentrates around the seed set " +
+      "and unknown seeds still get their teleport share") {
+    // two disconnected 2-cycles; seeding {1} must leave {3,4} at 0
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = Graph.pageRankPersonalized(edges, "src", "dst", seeds)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > 0.0, s"seed side must hold mass: $r")
+    assert(r(3L) === 0.0 && r(4L) === 0.0,
+      s"unreachable-from-seed nodes must score 0: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+    // a seed outside the edge list appears with its teleport share
+    val outside = Seq(Tuple1(99L)).toDF("id")
+    val r2 = Graph.pageRankPersonalized(edges, "src", "dst", outside)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2(99L) > 0.0, s"unknown seed must still receive teleport: $r2")
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.pageRank(edges, "src", "dst", iterations = 0)

@@ -44,6 +44,39 @@ class LinkageSpec extends SparkTestBase {
     assert(want.size === 3 * 10 - (1 + 2 + 3)) // 24 sliding pairs
   }
 
+  test("globalRank equals the single-window row_number at any bucket " +
+      "count, including ties broken by id") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    val want = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long").as("grank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (buckets <- Seq(1, 7, 32)) {
+      val got = Linkage.globalRank(docs, "doc_id", col("n_chars"), buckets)
+        .select("doc_id", "grank")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"buckets=$buckets")
+    }
+  }
+
+  test("negativeSamples: exactly k others per anchor, never itself, " +
+      "deterministic and partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val neg = Linkage.negativeSamples(docs, "doc_id", k = 4)
+    val rows = neg.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(rows.length === n * 4, "every anchor draws exactly k")
+    assert(rows.forall { case (a, _, b) => a != b },
+      "an anchor must never draw itself")
+    val ids = docs.collect().map(_.getLong(0)).toSet
+    assert(rows.forall { case (_, _, b) => ids.contains(b) })
+    val again = Linkage.negativeSamples(docs.repartition(13), "doc_id",
+        k = 4).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet === again.toSet,
+      "samples are a function of the corpus, not its layout")
+  }
+
   test("sortedNeighborhoodPairs: duplicate sort keys break ties by id " +
       "and near-duplicate records land in one neighborhood") {
     val df = Seq((5L, 100), (6L, 100), (7L, 100), (1L, 999))
