@@ -2527,7 +2527,31 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id")), "doc_id", k = 3,
           buckets = 8)
         .select(col("anchor"), col("i").cast(LongType).as("i"), col("neg"))
-        .orderBy(col("anchor"), col("i"))))
+        .orderBy(col("anchor"), col("i"))),
+
+    // Fuzzy cross-corpus matching (entity resolution's MATCHING half):
+    // truncated probe docs link back to their masters by token Jaccard —
+    // postings candidates (df-capped), exact verify, best match per
+    // probe. The oracle brute-forces all pairs; pruning affects only
+    // candidate recall, never a score, so the two agree.
+    "d174_fuzzy_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") < 300)
+        .select((col("doc_id") + 900000L).as("probe_id"),
+          regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      operators.Linkage.fuzzyJoin(probes,
+          docs.select(col("doc_id"), col("text")),
+          "probe_id", "text", "doc_id", "text", threshold = 0.5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Time-weighted average over irregular observations (the correct
+    // mean for uneven sampling — a plain avg over-weights chatty
+    // periods): step-function integral per series, decimal-routed.
+    "q175_twap" -> ((s, d) =>
+      operators.TimeSeries.timeWeightedAvg(t(s, d, "events"),
+          "event_type", "ts", col("value"))
+        .orderBy(col("series"))))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -4424,5 +4448,44 @@ object SparkEntry {
         |FROM d JOIN r AS r2
         | ON r2.g = CASE WHEN d.draw >= d.ga THEN d.draw + 1
         |            ELSE d.draw END
-        |ORDER BY anchor, i""".stripMargin)
+        |ORDER BY anchor, i""".stripMargin,
+
+    "d174_fuzzy_join" ->
+      """WITH l AS (
+        | SELECT doc_id + 900000 AS probe_id,
+        |  list_distinct(list_filter(regexp_split_to_array(
+        |    regexp_replace(text, '\s+\S+$', ''), '\s+'),
+        |    x -> x <> '')) AS lt
+        | FROM documents WHERE doc_id < 300),
+        |r AS (
+        | SELECT doc_id,
+        |  list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS rt
+        | FROM documents),
+        |s AS (
+        | SELECT l.probe_id, r.doc_id,
+        |  round(CAST(len(list_intersect(lt, rt)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(lt, rt))), 6) AS jaccard
+        | FROM l CROSS JOIN r),
+        |k AS (
+        | SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY jaccard DESC, doc_id) AS rank
+        | FROM s WHERE jaccard >= 0.5)
+        |SELECT probe_id, doc_id, jaccard, rank FROM k WHERE rank <= 1
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    "q175_twap" ->
+      """WITH o AS (
+        | SELECT event_type AS series, epoch(ts) AS t, value AS v
+        | FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |d AS (
+        | SELECT series, v,
+        |  lead(t) OVER (PARTITION BY series ORDER BY t, v) - t AS dt
+        | FROM o)
+        |SELECT series, count(*) AS n_obs,
+        | round(CAST(coalesce(sum(CAST(dt AS DECIMAL(18,6))), 0)
+        |   AS DOUBLE), 6) AS span_sec,
+        | round(CAST(sum(CAST(v * dt AS DECIMAL(28,6))) AS DOUBLE)
+        |   / CAST(sum(CAST(dt AS DECIMAL(18,6))) AS DOUBLE), 6) AS twa
+        |FROM d GROUP BY series ORDER BY series""".stripMargin)
 }

@@ -81,6 +81,58 @@ object Linkage {
       .select(col("id_a").cast(idT), col("id_b").cast(idT))
   }
 
+  /** Fuzzy (token-Jaccard) cross-corpus matching — the MATCHING half of
+    * entity resolution ([[sortedNeighborhoodPairs]] generates
+    * candidates within one corpus; this links a probe table against a
+    * reference: "which master record is this dirty row?"). For each
+    * left row, the `topPerLeft` right rows whose DISTINCT-token Jaccard
+    * meets `threshold`, ranked by (score desc, right id).
+    *
+    * Execution, the postings compose-then-verify shape of the near-dup
+    * family: tokens explode on both sides; the RIGHT (reference)
+    * postings drop tokens shared by more than `maxTokenDf` right rows
+    * (stopword-ish tokens generate quadratic candidates and carry no
+    * identity — the [[Dedup.capBuckets]] skew guard); candidates are
+    * the distinct (left, right) pairs sharing a surviving token; each
+    * candidate verifies by EXACT Jaccard over the full token sets
+    * (pruning affects candidate RECALL only, never a reported score).
+    * Never an all-pairs product; the shuffles are keyed by token and by
+    * pair. Tokens are whitespace-split, case-preserving — normalize
+    * upstream ([[graft.operators.TextAnalysis]]) for looser matching.
+    * Returns the left id, matched right id, `jaccard` (rounded to 6),
+    * and `rank`. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftText: String, rightId: String, rightText: String,
+      threshold: Double, maxTokenDf: Int = 1000,
+      topPerLeft: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1], got $threshold")
+    require(topPerLeft >= 1 && maxTokenDf >= 1, "bad caps")
+    def toks(text: Column) =
+      array_distinct(filter(split(text, "\\s+"), t => t =!= ""))
+    val l = left.select(col(leftId).as("__lid"),
+      toks(col(leftText)).as("__lt"))
+    val r = right.select(col(rightId).as("__rid"),
+      toks(col(rightText)).as("__rt"))
+    val lPost = l.select(col("__lid"), explode(col("__lt")).as("__tok"))
+    val rPost = Dedup.capBuckets(
+      r.select(col("__rid"), explode(col("__rt")).as("__tok")),
+      Seq("__tok"), maxTokenDf, min = 1)
+    val cand = lPost.join(rPost, "__tok")
+      .select(col("__lid"), col("__rid")).distinct()
+    val scored = cand
+      .join(l, "__lid").join(r, "__rid")
+      .select(col("__lid"), col("__rid"),
+        round(Dedup.jaccard(col("__lt"), col("__rt")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("__lid"))
+      .orderBy(col("jaccard").desc, col("__rid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerLeft)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        col("jaccard"), col("rank").cast("long").as("rank"))
+  }
+
   /** Exact dense global rank (1..N) in the (sortKey, id) total order —
     * WITHOUT a single-partition window: range repartition (Spark's
     * distributed sort) + per-bucket `row_number` + bucket-count prefix

@@ -60,4 +60,49 @@ object TimeSeries {
             ignoreNulls = true).over(w).getField("__v"))
           .as("v"))
   }
+
+  /** Time-weighted average (TWAP) per series over IRREGULARLY-spaced
+    * observations — the correct mean when readings arrive at uneven
+    * intervals (a sensor that reports on change, a price feed): each
+    * observation's value is held until the next one, so
+    *
+    *   twa = Σ v_i·(t_{i+1} − t_i) / (t_n − t_1)
+    *
+    * (step-function integral; a plain `avg` over-weights chatty
+    * periods). Null values are skipped as missing observations; a
+    * series with fewer than two non-null observations has no interval
+    * to integrate and reports NULL. Also returns the integrated span in
+    * seconds and the observation count. The weighted sum routes through
+    * DECIMAL (the [[graft.dsum]] discipline) so the result is exact
+    * under any partitioning. One keyed shuffle + per-series ordered
+    * window — series-sized output. */
+  def timeWeightedAvg(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // double epoch seconds keep µs precision exactly (epoch µs < 2^53),
+    // where a seconds-truncating conversion loses sub-second intervals
+    // differently per engine — same trick as TemporalJoins.intervalJoin
+    val obs = events
+      .filter(value.isNotNull && !isnan(value.cast("double")))
+      .select(col(seriesCol).as("series"),
+        col(tsCol).cast("double").as("__t"),
+        value.cast("double").as("__v"))
+    // ties on __t get dt = 0 (their contribution vanishes); __v in the
+    // order makes WHICH tied reading carries the interval deterministic
+    // (the largest value at a timestamp holds until the next one)
+    val w = Window.partitionBy(col("series")).orderBy(col("__t"), col("__v"))
+    obs
+      .withColumn("__dt", lead(col("__t"), 1).over(w) - col("__t"))
+      .groupBy(col("series"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        round(coalesce(sum(col("__dt").cast(DecimalType(18, 6))),
+          lit(0).cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("span_sec"),
+        round(
+          sum((col("__v") * col("__dt")).cast(DecimalType(28, 6)))
+            .cast("double") /
+            sum(col("__dt").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("twa"))
+  }
 }

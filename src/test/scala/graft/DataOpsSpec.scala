@@ -350,6 +350,28 @@ class DataOpsSpec extends SparkTestBase {
       (1L, Some(7.0))))  // observed
   }
 
+  test("timeWeightedAvg: step-function integral over uneven intervals, " +
+      "singletons report null, last reading carries no weight") {
+    import java.sql.Timestamp
+    def at(sec: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L)
+    val df = Seq(
+      ("a", at(0), Some(10.0)), ("a", at(10), Some(20.0)),
+      ("a", at(40), Some(99.0)),     // last obs: no interval, no weight
+      ("b", at(5), Some(7.0)),       // singleton
+      ("c", at(0), Some(1.0)), ("c", at(3), None)) // null obs skipped
+      .toDF("g", "ts", "v")
+    val got = TimeSeries.timeWeightedAvg(df, "g", "ts", col("v"))
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // a: (10·10 + 20·30) / 40 = 17.5 — 99.0 never enters
+    assert(got.toSeq === Seq(
+      ("a", 3L, 40.0, Some(17.5)),
+      ("b", 1L, 0.0, None),
+      ("c", 1L, 0.0, None))) // the null obs is missing, c is a singleton
+  }
+
   test("groupBottomK default hash survives ids past 2^32 under ANSI mode " +
       "— pre-reduced modular multiply never overflows a Long") {
     val huge = Seq(("g", 5000000000L), ("g", Long.MaxValue),

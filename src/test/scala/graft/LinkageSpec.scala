@@ -44,6 +44,40 @@ class LinkageSpec extends SparkTestBase {
     assert(want.size === 3 * 10 - (1 + 2 + 3)) // 24 sliding pairs
   }
 
+  test("fuzzyJoin: truncated probes link to their masters, unrelated " +
+      "text stays unmatched, rank breaks score ties by id") {
+    val ref = Seq(
+      (1L, "acme global logistics incorporated"),
+      (2L, "zenith marine insurance group"),
+      (3L, "acme global logistics"))
+      .toDF("id", "name")
+    val probes = Seq(
+      (10L, "acme global logistics incorporated llc"), // ~1,3
+      (20L, "completely different words entirely"))
+      .toDF("pid", "name")
+    val got = Linkage.fuzzyJoin(probes, ref, "pid", "name", "id", "name",
+        threshold = 0.4, topPerLeft = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    // probe 10 vs 1: |∩|=4, |∪|=5 -> 0.8; vs 3: 3/5 -> 0.6
+    assert(got.toSeq === Seq((10L, 1L, 0.8, 1L), (10L, 3L, 0.6, 2L)))
+  }
+
+  test("fuzzyJoin: the token-df cap prunes candidates, never scores — " +
+      "a match reached through a rare token keeps its exact jaccard") {
+    // 'common' appears in every ref row; with maxTokenDf = 1 only the
+    // rare tokens generate candidates, but the verified score still
+    // counts 'common' in the intersection
+    val ref = Seq((1L, "common alpha beta"), (2L, "common gamma delta"),
+      (3L, "common epsilon zeta")).toDF("id", "t")
+    val probes = Seq((9L, "common alpha beta")).toDF("pid", "t")
+    val got = Linkage.fuzzyJoin(probes, ref, "pid", "t", "id", "t",
+        threshold = 0.5, maxTokenDf = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 1.0)),
+      "exact jaccard must include the pruned token")
+  }
+
   test("globalRank equals the single-window row_number at any bucket " +
       "count, including ties broken by id") {
     val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
