@@ -144,9 +144,10 @@ object Expectations {
     val v = value.cast("double")
     val clean = df.filter(value.isNotNull && !isnan(v))
     val probs = (1 until bins).map(_.toDouble / bins)
-    val cuts = clean
-      .agg(percentile(v, lit(probs.toArray)))
-      .head().getSeq[Double](0)
+    val cutsRow = clean.agg(percentile(v, lit(probs.toArray))).head()
+    require(!cutsRow.isNullAt(0),
+      "quantileBins: the column has no non-null finite values to bin")
+    val cuts = cutsRow.getSeq[Double](0)
     val bin = cuts.zipWithIndex.foldRight(lit(bins.toLong)) {
       case ((cut, i), acc) => when(v <= cut, lit(i.toLong + 1)).otherwise(acc)
     }
@@ -172,8 +173,11 @@ object Expectations {
     require(!df.columns.contains(outCol),
       s"winsorize appends '$outCol', which already exists on the input")
     val v = value.cast("double")
-    val cuts = df.filter(value.isNotNull && !isnan(v))
-      .agg(percentile(v, lit(Array(loP, hiP)))).head().getSeq[Double](0)
+    val cutsRow = df.filter(value.isNotNull && !isnan(v))
+      .agg(percentile(v, lit(Array(loP, hiP)))).head()
+    require(!cutsRow.isNullAt(0),
+      "winsorize: the column has no non-null finite values to profile")
+    val cuts = cutsRow.getSeq[Double](0)
     val (lo, hi) = (cuts(0), cuts(1))
     // NaN is guarded explicitly: Spark (and DuckDB) order NaN ABOVE
     // every double, so `v > hi` would silently clip NaN to the hi cut —

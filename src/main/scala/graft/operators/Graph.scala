@@ -76,15 +76,18 @@ object Graph {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping in [0,1], got $damping")
-    // weighted: parallel edges merge additively; unweighted: collapse
+    // weighted: parallel edges merge additively; unweighted: collapse.
+    // A null endpoint is not an edge (joins on null would silently park
+    // rank on a phantom node) — dropped up front.
+    val valid = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     val e = weightCol match {
       case Some(w) =>
-        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        valid.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(w).cast("double").as("__w"))
           .filter(col("__w") > 0.0)
           .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
       case None =>
-        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        valid.select(col(srcCol).as("src"), col(dstCol).as("dst"))
           .distinct().withColumn("__w", lit(1.0))
     }
     val graphNodes = e.select(col("src").as("id"))
@@ -164,7 +167,9 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, roundTo: Int = 6): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
