@@ -1858,11 +1858,12 @@ object SparkEntry {
       // same state-partition right-sizing as runToMemory: 4 state stores,
       // not 32 — per-batch state commit overhead is per store
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.MicroBatch.streamUpsert(counts, snapDir,
             "day", Seq("hr", "event_type"),
-            graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt))
+            graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt,
+              triggerMillis = 0)) // replay: drain now, no tick waits
           .start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -26,11 +26,22 @@ object MicroBatch {
 
   /** Flush thresholds à la Flume (`Configure.java:34-46`): trigger interval
     * is the time bound; maxFilesPerTrigger bounds batch size for file
-    * sources. Retries are Spark's task retries. */
+    * sources. Retries are Spark's task retries.
+    *
+    * `triggerMillis <= 0` selects `Trigger.AvailableNow` — the REPLAY
+    * trigger: drain everything already present (still split into
+    * micro-batches by maxFilesPerTrigger) and stop, with no
+    * processing-time tick between batches. A live ingest wants the time
+    * bound; a backfill/replay idling up to `triggerMillis` between
+    * batches is pure wasted wall clock. */
   final case class IngestConfig(
       triggerMillis: Long = 5000L,
       maxFilesPerTrigger: Int = 16,
-      checkpointDir: String = "")
+      checkpointDir: String = "") {
+    def trigger: Trigger =
+      if (triggerMillis <= 0) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(triggerMillis)
+  }
 
   /** File-source stream over a directory of parquet (schema pinned from the
     * existing files — the reference's catalog-owned fixed schema, §1.4). */
@@ -67,7 +78,7 @@ object MicroBatch {
     require(!stream.columns.contains(flag),
       s"stream already carries a $flag column")
     val w = stream.writeStream
-      .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+      .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // NULL-valued predicates are DIRTY, not lost: a bare filter(p) /
         // filter(!p) pair drops NULL rows from BOTH sinks (ternary logic)
@@ -97,7 +108,7 @@ object MicroBatch {
       sink: DataFrame => Unit,
       cfg: IngestConfig = IngestConfig()): DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
-      .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+      .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Materialize INSIDE the retry: loadDim() alone returns a lazy
         // plan (only schema resolution touches the source) — without the
@@ -228,7 +239,7 @@ object MicroBatch {
       cfg: IngestConfig = IngestConfig()): DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = agg.writeStream
       .outputMode("update")
-      .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+      .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertSnapshot(batch, dir, partitionCol, keyCols)
       }
