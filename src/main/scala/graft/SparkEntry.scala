@@ -2552,7 +2552,32 @@ object SparkEntry {
     "q175_twap" -> ((s, d) =>
       operators.TimeSeries.timeWeightedAvg(t(s, d, "events"),
           "event_type", "ts", col("value"))
-        .orderBy(col("series"))))
+        .orderBy(col("series"))),
+
+    // Personalized (topic-sensitive) PageRank: the surfer teleports to
+    // nation-1 customers only — authority AS SEEN FROM a trusted seed
+    // set (TrustRank); dangling mass returns to the seeds.
+    "q176_ppr" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val seeds = t(s, d, "customer").filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("id"))
+      operators.Graph.pageRankPersonalized(e, "src", "dst", seeds)
+        .orderBy(col("id"))
+    }),
+
+    // Weighted PageRank: parallel purchase edges merge additively, so a
+    // supplier's rank reflects purchase VOLUME, not just distinct buyers.
+    "q177_pagerank_weighted" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"), lit(1.0).as("w"))
+      operators.Graph.pageRankWeighted(e, "src", "dst", "w")
+        .orderBy(col("id"))
+    }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -2587,6 +2612,41 @@ object SparkEntry {
          |    + (SELECT dang FROM d$k)
          |      * (CAST(1.0 AS DOUBLE) / (SELECT n FROM nn))) AS rank
          | FROM nodes n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
+  }
+
+  /** q176/q177's oracle: the general (weighted, teleport-vector)
+    * PageRank iteration unrolled — `e(src, dst, w)` comes from
+    * `edgeSql`, the teleport share rides a `tp(id, t)` CTE built by
+    * `tpSql` over the node set, and each iteration applies
+    * `(1−d)·t + d·(c + dang·t)` with the conservation-identity
+    * dangling, exactly the Spark formula. */
+  private def pageRankGeneralOracleSql(edgeSql: String, tpSql: String,
+      iterations: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED ($edgeSql),
+         |od AS MATERIALIZED (
+         | SELECT src, sum(w) AS deg FROM e GROUP BY src),
+         |tp AS MATERIALIZED ($tpSql),
+         |pr0 AS MATERIALIZED (SELECT id, t AS rank FROM tp)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s""",
+         |c$k AS MATERIALIZED (
+         | SELECT e.dst AS id, sum(p.rank * e.w / od.deg) AS c
+         | FROM e JOIN pr${k - 1} p ON e.src = p.id
+         |  JOIN od ON od.src = e.src
+         | GROUP BY e.dst),
+         |d$k AS MATERIALIZED (
+         | SELECT CAST(1.0 AS DOUBLE) - coalesce(sum(c), CAST(0 AS DOUBLE))
+         |  AS dang FROM c$k),
+         |pr$k AS MATERIALIZED (
+         | SELECT n.id,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.t
+         |  + CAST(0.85 AS DOUBLE) * (coalesce(c.c, CAST(0 AS DOUBLE))
+         |    + (SELECT dang FROM d$k) * n.t) AS rank
+         | FROM tp n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
     }.mkString
     head + iters +
       s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
@@ -4488,5 +4548,31 @@ object SparkEntry {
         |   AS DOUBLE), 6) AS span_sec,
         | round(CAST(sum(CAST(v * dt AS DECIMAL(28,6))) AS DOUBLE)
         |   / CAST(sum(CAST(dt AS DECIMAL(18,6))) AS DOUBLE), 6) AS twa
-        |FROM d GROUP BY series ORDER BY series""".stripMargin)
+        |FROM d GROUP BY series ORDER BY series""".stripMargin,
+
+    "q176_ppr" -> pageRankGeneralOracleSql(
+      """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst,
+        |  CAST(1.0 AS DOUBLE) AS w
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+      """SELECT n.id, coalesce(s.t, CAST(0 AS DOUBLE)) AS t
+        | FROM (SELECT src AS id FROM e UNION SELECT dst FROM e
+        |       UNION SELECT c_custkey FROM customer
+        |       WHERE c_nationkey = 1) n
+        | LEFT JOIN (
+        |  SELECT DISTINCT c_custkey AS id,
+        |   CAST(1.0 AS DOUBLE) / (SELECT count(DISTINCT c_custkey)
+        |     FROM customer WHERE c_nationkey = 1) AS t
+        |  FROM customer WHERE c_nationkey = 1) s ON s.id = n.id""".stripMargin,
+      10),
+
+    "q177_pagerank_weighted" -> pageRankGeneralOracleSql(
+      """SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+        |  CAST(count(*) AS DOUBLE) AS w
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2""".stripMargin,
+      """SELECT id, CAST(1.0 AS DOUBLE) /
+        |  (SELECT count(*) FROM
+        |    (SELECT src AS id FROM e UNION SELECT dst FROM e)) AS t
+        | FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin,
+      10))
 }
