@@ -2577,6 +2577,28 @@ object SparkEntry {
           (col("l_suppkey") + 1000000L).as("dst"), lit(1.0).as("w"))
       operators.Graph.pageRankWeighted(e, "src", "dst", "w")
         .orderBy(col("id"))
+    }),
+
+    // Incremental aggregate maintenance (IVM): a standing per-type
+    // rollup folds an imaged CDC diff (deletes, updates, inserts)
+    // WITHOUT rescanning the base — the oracle recomputes the rollup
+    // from scratch over v2, pinning incremental ≡ recompute exactly.
+    "q178_incremental_agg" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type").as("g"), col("value"))
+      val v2 = base.filter(col("event_id") % 17 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 5 === 0, col("value") + 1.5)
+            .otherwise(col("value")))
+        .unionByName(base.filter(col("event_id") % 13 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"), col("g"),
+            (col("value") * 2.0).as("value")))
+      val prior = base.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_v"))
+      val log = operators.Cdc.snapshotDiffImaged(base, v2, Seq("event_id"))
+      operators.Cdc.incrementalAgg(prior, log, "g", "value")
+        .select(col("g"), col("n"), round(col("sum_v"), 6).as("sum_v"))
+        .orderBy(col("g"))
     }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
@@ -4574,5 +4596,19 @@ object SparkEntry {
         |  (SELECT count(*) FROM
         |    (SELECT src AS id FROM e UNION SELECT dst FROM e)) AS t
         | FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin,
-      10))
+      10),
+
+    "q178_incremental_agg" ->
+      """WITH v2 AS (
+        | SELECT event_id, event_type AS g,
+        |  CASE WHEN event_id % 5 = 0 THEN value + 1.5 ELSE value END
+        |   AS value
+        | FROM events WHERE event_id % 17 <> 0
+        | UNION ALL
+        | SELECT event_id + 10000000, event_type, value * 2.0
+        | FROM events WHERE event_id % 13 = 0)
+        |SELECT g, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |  AS sum_v
+        |FROM v2 GROUP BY g ORDER BY g""".stripMargin)
 }

@@ -91,6 +91,90 @@ object Cdc {
         valCols.map(c => v.getField(c).as(c)) :+ col(opCol): _*)
   }
 
+  /** [[snapshotDiff]] with BOTH images — the OGG update shape
+    * (`ColumnMapping.java:26-41`: `dest` after-image, `destOld`
+    * before-image): one row per changed key with `before_image` /
+    * `after_image` value structs (NULL for I / D respectively) and the
+    * op. This is the log [[incrementalAgg]] consumes — an Update's
+    * DELTA needs both sides. Same single full-outer keyed join as
+    * [[snapshotDiff]]. */
+  def snapshotDiffImaged(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schemas differ: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    require(keyCols.nonEmpty && keyCols.forall(before.columns.contains),
+      s"bad key columns $keyCols")
+    val valCols = after.columns.filterNot(keyCols.contains).toSeq
+    def pack(df: DataFrame, v: String) = df.select(
+      struct(keyCols.map(col): _*).as("__k"),
+      struct(valCols.map(col): _*).as(v))
+    pack(before, "__bv")
+      .join(pack(after, "__av"), Seq("__k"), "full_outer")
+      .withColumn(opCol,
+        when(col("__bv").isNull, OpInsert)
+          .when(col("__av").isNull, OpDelete)
+          .when(!(col("__av") <=> col("__bv")), OpUpdate))
+      .filter(col(opCol).isNotNull)
+      .select(keyCols.map(k => col("__k").getField(k).as(k)) :+
+        col("__bv").as("before_image") :+ col("__av").as("after_image") :+
+        col(opCol): _*)
+  }
+
+  /** Incremental aggregate maintenance (IVM for distributive
+    * aggregates): fold an imaged CDC log into a standing per-group
+    * (row count, value sum) rollup WITHOUT rescanning the base table —
+    * at 100 TB the base scan is exactly what a maintained rollup
+    * exists to avoid. Each op contributes removal of its before-image
+    * and addition of its after-image (an Update that MOVES a row
+    * between groups naturally splits into −old-group / +new-group
+    * contributions), the contributions aggregate to a
+    * changed-groups-sized delta, and ONE keyed merge join updates the
+    * rollup; groups whose count reaches 0 drop out.
+    *
+    * Exactness: per-row values round to DECIMAL(28,6) before summing
+    * (the [[graft.dsum]] discipline), so
+    * `incrementalAgg(agg(v1), diff(v1, v2)) ≡ agg(v2)` EXACTLY — the
+    * q178 gate pins that equivalence against a from-scratch oracle.
+    * Null `valueCol`s add nothing to the sum but count as rows, like
+    * any aggregate. Groups are merged by SQL equality — a NULL group
+    * does not merge with itself across prior and delta; bucket null
+    * groups upstream (coalesce) if they occur.
+    *
+    * `prior` carries (groupCol, nCol, sumCol) as produced by a prior
+    * run of the same rollup; returns the same shape. */
+  def incrementalAgg(prior: DataFrame, imagedLog: DataFrame,
+      groupCol: String, valueCol: String, nCol: String = "n",
+      sumCol: String = "sum_v", opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(28, 6)
+    val contrib = imagedLog.select(explode(array(
+        when(col(opCol) =!= OpInsert, struct(
+          col(s"before_image.$groupCol").as("__g"),
+          lit(-1L).as("__dn"),
+          (-col(s"before_image.$valueCol")).cast(dec).as("__dv"))),
+        when(col(opCol) =!= OpDelete, struct(
+          col(s"after_image.$groupCol").as("__g"),
+          lit(1L).as("__dn"),
+          col(s"after_image.$valueCol").cast(dec).as("__dv")))))
+        .as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("__c.__g").as("__g"), col("__c.__dn").as("__dn"),
+        col("__c.__dv").as("__dv"))
+    val delta = contrib.groupBy(col("__g"))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+    prior
+      .select(col(groupCol).as("__g"), col(nCol).as("__n"),
+        col(sumCol).cast(dec).as("__s"))
+      .join(delta, Seq("__g"), "full_outer")
+      .select(col("__g").as(groupCol),
+        (coalesce(col("__n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col("__s"), lit(0).cast(dec)) +
+          coalesce(col("__dv"), lit(0).cast(dec)))
+          .cast(DoubleType).as(sumCol))
+      .filter(col(nCol) > 0)
+  }
+
   /** SCD Type-2 dimension history from an op log: one VALIDITY-INTERVAL
     * row per surviving op — `valid_from` = the op's change time,
     * `valid_to` = the NEXT op's change time for that key (NULL = still

@@ -29,6 +29,31 @@ class DataOpsSpec extends SparkTestBase {
       (5L, "e", 50.0, "I")))
   }
 
+  test("incrementalAgg folds an imaged diff into a rollup: moves, " +
+      "deletes, group death, and incremental ≡ recompute") {
+    // groups: a{1,2}, b{3}, c{4}; after: 2 moves a→b (group-moving U),
+    // 3 deletes (group c... wait 3 is b) — build explicitly:
+    val v1 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "c", 40.0)).toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 11.0),   // U in place
+      (2L, "b", 20.0),              // U moving a→b
+      (5L, "a", 5.0))               // I; 3 (b) and 4 (c: group dies) D
+      .toDF("k", "g", "v")
+    val prior = v1.groupBy("g")
+      .agg(count(lit(1)).as("n"), graft.dsum(col("v"), 6).as("sum_v"))
+    val log = Cdc.snapshotDiffImaged(v1, v2, Seq("k"))
+    val got = Cdc.incrementalAgg(prior, log, "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = v2.groupBy("g")
+      .agg(count(lit(1)).as("n"), graft.dsum(col("v"), 6).as("sum_v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.toSeq === Seq(("a", 2L, 16.0), ("b", 1L, 20.0)),
+      "group c must die with its last row; the move lands in b")
+  }
+
   test("snapshotDiff round-trips: applyLog(before ++ diff) == after") {
     val diff = Cdc.snapshotDiff(before, after, Seq("k"))
     // seed ops (the standing snapshot as inserts at t=0) + the diff at t=1
