@@ -2599,6 +2599,41 @@ object SparkEntry {
       operators.Cdc.incrementalAgg(prior, log, "g", "value")
         .select(col("g"), col("n"), round(col("sum_v"), 6).as("sum_v"))
         .orderBy(col("g"))
+    }),
+
+    // Streaming rollup maintenance: two imaged-CDC micro-batches (the
+    // v1 insert load, then the v1→v2 diff) fold into versioned rollup
+    // snapshots — replay-idempotent, arrival-order-insensitive (deltas
+    // commute); the final state must equal the from-scratch aggregate
+    // over v2, which IS the oracle.
+    "str179_stream_rollup" -> ((s, d) => {
+      val root = tmpDir("graft_str179")
+      val (srcDir, rollDir, ckpt) =
+        (s"$root/src", s"$root/roll", s"$root/ckpt")
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type").as("g"), col("value"))
+      val v2 = base.filter(col("event_id") % 17 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 5 === 0, col("value") + 1.5)
+            .otherwise(col("value")))
+        .unionByName(base.filter(col("event_id") % 13 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"), col("g"),
+            (col("value") * 2.0).as("value")))
+      operators.Cdc.snapshotDiffImaged(base.limit(0), base, Seq("event_id"))
+        .coalesce(1).write.parquet(srcDir)
+      operators.Cdc.snapshotDiffImaged(base, v2, Seq("event_id"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamRollup(stream, rollDir,
+          "g", "value", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readRollup(s, rollDir)
+        .select(col("g"), col("n"), round(col("sum_v"), 6).as("sum_v"))
+        .orderBy(col("g"))
     }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
@@ -4599,6 +4634,21 @@ object SparkEntry {
       10),
 
     "q178_incremental_agg" ->
+      """WITH v2 AS (
+        | SELECT event_id, event_type AS g,
+        |  CASE WHEN event_id % 5 = 0 THEN value + 1.5 ELSE value END
+        |   AS value
+        | FROM events WHERE event_id % 17 <> 0
+        | UNION ALL
+        | SELECT event_id + 10000000, event_type, value * 2.0
+        | FROM events WHERE event_id % 13 = 0)
+        |SELECT g, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |  AS sum_v
+        |FROM v2 GROUP BY g ORDER BY g""".stripMargin,
+
+    // the streaming maintenance must land on exactly the q178 state
+    "str179_stream_rollup" ->
       """WITH v2 AS (
         | SELECT event_id, event_type AS g,
         |  CASE WHEN event_id % 5 = 0 THEN value + 1.5 ELSE value END

@@ -141,10 +141,18 @@ object Cdc {
     * groups upstream (coalesce) if they occur.
     *
     * `prior` carries (groupCol, nCol, sumCol) as produced by a prior
-    * run of the same rollup; returns the same shape. */
+    * run of the same rollup; returns the same shape.
+    *
+    * `pruneEmpty = false` KEEPS zero/negative-count groups — required
+    * when deltas may apply out of order (deltas form a commutative
+    * monoid, so any once-each application order converges, but an
+    * intermediate state can hold a group at n ≤ 0 whose mass a prune
+    * would destroy; prune at READ time instead —
+    * [[graft.streaming.MicroBatch.readRollup]]). */
   def incrementalAgg(prior: DataFrame, imagedLog: DataFrame,
       groupCol: String, valueCol: String, nCol: String = "n",
-      sumCol: String = "sum_v", opCol: String = "op"): DataFrame = {
+      sumCol: String = "sum_v", opCol: String = "op",
+      pruneEmpty: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val dec = DecimalType(28, 6)
     val contrib = imagedLog.select(explode(array(
@@ -172,7 +180,7 @@ object Cdc {
         (coalesce(col("__s"), lit(0).cast(dec)) +
           coalesce(col("__dv"), lit(0).cast(dec)))
           .cast(DoubleType).as(sumCol))
-      .filter(col(nCol) > 0)
+      .filter(if (pruneEmpty) col(nCol) > 0 else lit(true))
   }
 
   /** SCD Type-2 dimension history from an op log: one VALIDITY-INTERVAL

@@ -246,6 +246,74 @@ object MicroBatch {
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming incremental-rollup maintenance — the ingest-time form of
+    * [[graft.operators.Cdc.incrementalAgg]]: a stream of IMAGED CDC ops
+    * ([[graft.operators.Cdc.snapshotDiffImaged]]'s schema — the OGG
+    * dest/destOld shape) folds into a standing per-group (n, sum)
+    * rollup, one versioned snapshot per micro-batch:
+    *
+    *  - batch `b` reads the LATEST snapshot with version < b, applies
+    *    its delta, and overwrites `dir/version=b` — a replayed batch
+    *    recomputes from the SAME prior and overwrites the SAME dir, so
+    *    crash-and-replay is exactly idempotent with no commit protocol
+    *    beyond the directory swap;
+    *  - deltas form a commutative monoid, so the maintenance never
+    *    depends on batch arrival order; intermediate snapshots may hold
+    *    groups at n ≤ 0 (a delete arriving before its insert) —
+    *    [[readRollup]] prunes them at read time, `pruneEmpty = false`
+    *    keeps their mass until the matching ops land.
+    *
+    * At 100 TB the rollup is groups-sized — the whole point: the base
+    * table is never rescanned, each batch costs one changed-groups-sized
+    * merge. Old versions are bounded by the checkpointed batch count;
+    * vacuum them like any staging dir ([[graft.sources.Maintenance]]). */
+  def streamRollup(opsStream: DataFrame, dir: String, groupCol: String,
+      valueCol: String,
+      cfg: IngestConfig = IngestConfig()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = opsStream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = latestRollupVersion(spark, dir, beforeExclusive = Some(batchId))
+          .map(v => spark.read.parquet(s"$dir/version=$v"))
+          .getOrElse {
+            import org.apache.spark.sql.types._
+            val gT = batch.schema(s"after_image").dataType
+              .asInstanceOf[StructType](groupCol).dataType
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField(groupCol, gT),
+                StructField("n", LongType), StructField("sum_v", DoubleType))))
+          }
+        graft.operators.Cdc
+          .incrementalAgg(prior, batch, groupCol, valueCol,
+            pruneEmpty = false)
+          .write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current state of a [[streamRollup]] directory: the latest
+    * version's snapshot with dead (n ≤ 0) groups pruned. */
+  def readRollup(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no rollup versions under $dir"))
+    spark.read.parquet(s"$dir/version=$v").filter(col("n") > 0)
+  }
+
+  private def latestRollupVersion(spark: SparkSession, dir: String,
+      beforeExclusive: Option[Long]): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.sources.Fs.of(root)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("version="))
+      .map(_.getPath.getName.stripPrefix("version=").toLong)
+      .filter(v => beforeExclusive.forall(v < _))
+      .sorted.lastOption
+  }
+
   /** Watermarked stream-stream INNER interval join: left rows pair with
     * right rows sharing `key` whose event time falls in
     * `[leftTs, leftTs + range]`. The time bound plus BOTH watermarks is

@@ -54,6 +54,41 @@ class DataOpsSpec extends SparkTestBase {
       "group c must die with its last row; the move lands in b")
   }
 
+  test("incrementalAgg deltas commute: diff-before-inserts converges to " +
+      "the same rollup once both batches land") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 11.0), (2L, "b", 20.0), (5L, "a", 5.0))
+      .toDF("k", "g", "v")
+    val ins = Cdc.snapshotDiffImaged(v1.limit(0), v1, Seq("k"))
+    val dif = Cdc.snapshotDiffImaged(v1, v2, Seq("k"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_v",
+          org.apache.spark.sql.types.DoubleType))))
+    def apply2(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame) = {
+      val mid = Cdc.incrementalAgg(empty, first, "g", "v",
+        pruneEmpty = false)
+      Cdc.incrementalAgg(mid, second, "g", "v", pruneEmpty = false)
+        .filter(col("n") > 0)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val want = v2.groupBy("g")
+      .agg(count(lit(1)).as("n"), graft.dsum(col("v"), 6).as("sum_v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(apply2(ins, dif) === want)
+    assert(apply2(dif, ins) === want,
+      "reversed arrival order must converge to the same state")
+  }
+
   test("snapshotDiff round-trips: applyLog(before ++ diff) == after") {
     val diff = Cdc.snapshotDiff(before, after, Seq("k"))
     // seed ops (the standing snapshot as inserts at t=0) + the diff at t=1

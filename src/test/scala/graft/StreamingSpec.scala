@@ -555,6 +555,41 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 00:00", "view", 1L), ("2024-01-01 01:00", "view", 1L)))
   }
 
+  test("streamRollup: versioned snapshots reach the recompute state; " +
+      "restart with no new input is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Cdc
+    val root = java.nio.file.Files.createTempDirectory("graft_strroll")
+    val (srcDir, rollDir, ckpt) =
+      (s"$root/src", s"$root/roll", s"$root/ckpt")
+    val v1 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 11.0), (2L, "b", 20.0), (5L, "a", 5.0))
+      .toDF("k", "g", "v")
+    Cdc.snapshotDiffImaged(v1.limit(0), v1, Seq("k"))
+      .coalesce(1).write.parquet(srcDir)
+    Cdc.snapshotDiffImaged(v1, v2, Seq("k"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamRollup(stream, rollDir,
+          "g", "v", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def state() = graft.streaming.MicroBatch.readRollup(spark, rollDir)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(state() === Seq(("a", 2L, 16.0), ("b", 1L, 20.0)))
+    run() // restart: checkpoint replays nothing, state unchanged
+    assert(state() === Seq(("a", 2L, 16.0), ("b", 1L, 20.0)))
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
