@@ -79,7 +79,21 @@ object ScaleSmoke {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    copyDims(spark, baseDir, outDir)
   }
+
+  /** Dimension tables pass through unchanged — a 10x FACT table keeps
+    * its dimensions (customers/suppliers don't decuple because orders
+    * do), which is exactly the broadcast-side stability the smoke wants
+    * to exercise. Idempotent top-up so pre-existing scaled dirs gain
+    * newly-needed dims without a rebuild. */
+  def copyDims(spark: SparkSession, baseDir: String, outDir: String): Unit =
+    Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
+      val dst = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        spark.read.parquet(s"$baseDir/$t.parquet")
+          .write.mode("overwrite").parquet(dst.toString)
+    }
 
   private val Heavy = Seq(
     "d28_dedup_exact", "d29_minhash_neardup", "d40_ngram_neardup",
@@ -146,7 +160,7 @@ object ScaleSmoke {
         java.nio.file.Paths.get(s"$outDir/documents.parquet"))) {
       println(s"[scale] building ${Factor}x data at $outDir from $baseDir")
       buildScaled(spark, baseDir, outDir)
-    }
+    } else copyDims(spark, baseDir, outDir) // top-up newly-needed dims
 
     // warmup (same rationale as Bench)
     spark.read.parquet(s"$baseDir/lineitem.parquet")
