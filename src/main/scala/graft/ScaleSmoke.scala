@@ -128,7 +128,9 @@ object ScaleSmoke {
     "q167_pagerank", "q164_rolling_window", "q165_quantile_bins",
     "t166_mutual_info", "q170_hits", "d169_sorted_neighborhood",
     "q168_asof_forward", "q171_winsorize", "q172_robust_outliers",
-    "d173_negative_samples", "d174_fuzzy_join", "q175_twap", "q176_ppr", "q177_pagerank_weighted", "q178_incremental_agg", "str179_stream_rollup")
+    "d173_negative_samples", "d174_fuzzy_join", "q175_twap",
+    "q176_ppr", "q177_pagerank_weighted", "q178_incremental_agg",
+    "str179_stream_rollup", "q180_kcore", "q181_event_transitions")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2634,6 +2634,39 @@ object SparkEntry {
       graft.streaming.MicroBatch.readRollup(s, rollDir)
         .select(col("g"), col("n"), round(col("sum_v"), 6).as("sum_v"))
         .orderBy(col("g"))
+    }),
+
+    // k-core decomposition: peel the purchase graph to its k=30 core —
+    // the densely-embedded customers/suppliers that survive iterative
+    // low-degree removal (the link-farm/periphery separator). The
+    // oracle unrolls the peeling; converged rounds are no-ops, so a
+    // fixed unroll reproduces the fixpoint exactly.
+    "q180_kcore" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      operators.Graph.kCore(e, "src", "dst", k = 30).orderBy(col("id"))
+    }),
+
+    // Per-user event transition matrix (Markov behavior model): ordered
+    // (from → to) pair counts + per-from transition probabilities; one
+    // keyed window + one pairs-sized aggregate.
+    "q181_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast(DoubleType), 6))
+        .orderBy(col("from_type"), col("to_type"))
     }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
@@ -2707,6 +2740,34 @@ object SparkEntry {
     }.mkString
     head + iters +
       s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
+  }
+
+  /** q180's oracle: the k-core peeling unrolled — each round keeps only
+    * edges whose BOTH endpoints have round-start degree ≥ k; once the
+    * fixpoint is reached further rounds are no-ops, so a fixed unroll ≥
+    * the convergence round count reproduces the fixpoint exactly. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH u AS (
+         | SELECT o_custkey AS a, l_suppkey + 1000000 AS b
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (
+         | SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM u UNION ALL SELECT b, a FROM u)
+         | WHERE a <> b)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s""",
+         |k$r AS MATERIALIZED (
+         | SELECT a AS id FROM e${r - 1} GROUP BY a HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         | SELECT e.a, e.b FROM e${r - 1} e
+         | JOIN k$r ka ON e.a = ka.id
+         | JOIN k$r kb ON e.b = kb.id)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+         |SELECT a AS id, count(*) AS core_degree
+         |FROM e$rounds GROUP BY a ORDER BY id""".stripMargin
   }
 
   /** q170's oracle: HITS unrolled the same way (auth then hub per
@@ -4646,6 +4707,22 @@ object SparkEntry {
         | round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
         |  AS sum_v
         |FROM v2 GROUP BY g ORDER BY g""".stripMargin,
+
+    "q180_kcore" -> kCoreOracleSql(30, 20),
+
+    "q181_event_transitions" ->
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_type
+        | FROM events)
+        |SELECT from_type, to_type, count(*) AS n,
+        | round(CAST(count(*) AS DOUBLE) /
+        |  CAST(sum(count(*)) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |  AS p
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // the streaming maintenance must land on exactly the q178 state
     "str179_stream_rollup" ->

@@ -204,4 +204,49 @@ object Graph {
       .select(col("id"), round(col("auth"), roundTo).as("auth"),
         round(col("hub"), roundTo).as("hub"))
   }
+
+  /** k-core decomposition (undirected): iteratively peel nodes with
+    * degree < k until the fixpoint — the densely-connected core that
+    * survives is the classic link-farm/periphery separator (a spam farm
+    * inflates degree but collapses once its low-degree shells peel; a
+    * genuinely embedded host keeps k mutually-core neighbors). Returns
+    * the surviving nodes with their WITHIN-CORE degree (≥ k by
+    * construction).
+    *
+    * Direction is ignored and parallel/self edges collapse (degree =
+    * distinct neighbors). Each round is one degree aggregate + one
+    * semi-join shrinking the (checkpointed) edge list; the loop's only
+    * driver traffic is a row-count convergence check per round, and
+    * rounds are bounded by `maxRounds` (the fixpoint is reached when a
+    * round removes nothing — further rounds are no-ops, which is what
+    * lets a fixed-unroll oracle reproduce the result exactly). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    var e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")) // self-loops add no core support
+      .distinct()
+      .localCheckpoint(eager = true)
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      val keep = e.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("id"))
+      val pruned = e
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(eager = true)
+      val m = pruned.count()
+      converged = m == n
+      e = pruned; n = m; rounds += 1
+    }
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -112,6 +112,20 @@ class GraphSpec extends SparkTestBase {
     assert(r2(99L) > 0.0, s"unknown seed must still receive teleport: $r2")
   }
 
+  test("kCore: peeling cascades (a pendant chain unravels), self-loops " +
+      "and parallel edges don't inflate degree") {
+    // triangle {1,2,3} + chain 1–4–5 + noise: self-loop on 1, dup edge
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L),
+      (1L, 1L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // round 1 peels 5 (deg 1); that drops 4 to deg 1 — round 2 peels it:
+    // the cascade, not just a one-shot degree filter
+    assert(got.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k above the clique degree empties the core
+    assert(Graph.kCore(edges, "src", "dst", k = 3).isEmpty)
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.pageRank(edges, "src", "dst", iterations = 0)
