@@ -130,7 +130,16 @@ object ScaleSmoke {
     "q168_asof_forward", "q171_winsorize", "q172_robust_outliers",
     "d173_negative_samples", "d174_fuzzy_join", "q175_twap",
     "q176_ppr", "q177_pagerank_weighted", "q178_incremental_agg",
-    "str179_stream_rollup", "q180_kcore", "q181_event_transitions")
+    "str179_stream_rollup", "q180_kcore", "q181_event_transitions",
+    // r9: the streaming family at both scales. These time the whole
+    // replayed pipeline (micro-batch state commits included); the pinned
+    // exchange counts are those of the returned result plan — the
+    // per-batch plan shape is pinned by StreamingSpec instead, since a
+    // completed stream exposes no executedPlan post-hoc.
+    "str103_stream_neardup_ingest", "str112_stream_quality",
+    "str127_stream_topn", "str148_stream_curate",
+    // r9: the composed media pipeline showcase
+    "p182_media_pipeline")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

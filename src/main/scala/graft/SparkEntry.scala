@@ -44,6 +44,36 @@ object SparkEntry {
     p
   }
 
+  /** Stage replayed micro-batches DETERMINISTICALLY: each DataFrame
+    * becomes exactly one parquet file under `srcDir`, with pinned,
+    * strictly increasing modification times. `FileStreamSource` orders
+    * files by (mtime, path), so with `maxFilesPerTrigger=1` batch i IS
+    * `batches(i)` — unlike a `repartition(n).write` split, where both the
+    * row→file assignment and the sub-millisecond mtime tie-break vary run
+    * to run, which made the order-SENSITIVE streaming gates (cross-batch
+    * dedup) nondeterministic under value-pinned oracles. */
+  private def stageReplayBatches(s: SparkSession,
+      batches: Seq[DataFrame], srcDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(srcDir)
+    java.nio.file.Files.createDirectories(dir)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val stage = s"$srcDir/.stage$i"
+      df.coalesce(1).write.parquet(stage)
+      val stageP = java.nio.file.Paths.get(stage)
+      val part = java.nio.file.Files.list(stageP).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file staged for batch $i"))
+      val dst = dir.resolve(f"batch-$i%05d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.walk(stageP)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Multi-way join
     * with broadcast dims + exact decimal aggregation. */
   def entry(spark: SparkSession): DataFrame =
@@ -901,13 +931,17 @@ object SparkEntry {
       val base = docs.filter(col("doc_id") % 2 === 0)
       graft.operators.Dedup.minhashIndex(base, "doc_id", "text")
         .write.parquet(s"$indexDir/batch=seed")
-      val inc = docs.filter(col("doc_id") % 2 === 1)
-        .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 500000L).as("doc_id"),
-            concat(regexp_replace(col("text"), "\\s+\\S+$", ""),
-              lit(" zzz")).as("text")))
-      inc.repartition(2).write.parquet(srcDir)
-      val stream = s.readStream.schema(inc.schema)
+      // batch 1: the odd-id fresh docs; batch 2: planted near-dups of
+      // already-indexed docs. Staged with pinned order — cross-batch
+      // dedup is order-sensitive, so the replay must fix which batch
+      // each row rides in (a repartition(2) split did not).
+      val fresh = docs.filter(col("doc_id") % 2 === 1)
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(regexp_replace(col("text"), "\\s+\\S+$", ""),
+            lit(" zzz")).as("text"))
+      stageReplayBatches(s, Seq(fresh, planted), srcDir)
+      val stream = s.readStream.schema(fresh.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = graft.streaming.MicroBatch.streamNearDupIngest(
         stream, indexDir, outDir, ckpt, "doc_id", "text", threshold = 0.5)
@@ -927,17 +961,19 @@ object SparkEntry {
       val root = tmpDir("graft_str148")
       val (indexDir, outDir, rejDir, srcDir, ckpt) =
         (s"$root/idx", s"$root/out", s"$root/rej", s"$root/src", s"$root/ckpt")
-      val inc = docs.filter(col("doc_id") < 300)
-        // plant rule-rejects: sub-minTokens docs
-        .unionByName(docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 500000L).as("doc_id"),
-            lit("tiny doc").as("text")))
-        // plant dup-rejects: verbatim replays of in-stream docs
+      // batch 1: the originals; batch 2: planted junk — rule-rejects
+      // (sub-minTokens docs) and verbatim replays that must lose dedup
+      // against batch 1's survivors. Pinned batch order (dedup vs the
+      // accumulated index is order-sensitive).
+      val originals = docs.filter(col("doc_id") < 300)
+      val junk = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          lit("tiny doc").as("text"))
         .unionByName(docs.filter(col("doc_id") % 40 === 0)
           .filter(col("doc_id") < 300)
           .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
-      inc.repartition(2).write.parquet(srcDir)
-      val stream = s.readStream.schema(inc.schema)
+      stageReplayBatches(s, Seq(originals, junk), srcDir)
+      val stream = s.readStream.schema(originals.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = graft.streaming.MicroBatch.streamCurate(
         stream, indexDir, outDir, rejDir, ckpt, "doc_id", "text",
@@ -2646,7 +2682,10 @@ object SparkEntry {
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1000000L).as("dst"))
-      operators.Graph.kCore(e, "src", "dst", k = 30).orderBy(col("id"))
+      // k=10: the largest core that is non-empty at every fixture
+      // scale (sf0.001 peels to ~130 nodes; smaller SFs peel to zero at
+      // higher k — the gate must return rows at the unit-smoke scale too)
+      operators.Graph.kCore(e, "src", "dst", k = 10).orderBy(col("id"))
     }),
 
     // Per-user event transition matrix (Markov behavior model): ordered
@@ -2667,6 +2706,21 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("from_type")))
             .cast(DoubleType), 6))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // end-to-end MULTIMODAL curation (the media sibling of p88): binary
+    // payloads → CDC-chunk near-dup screen → decode → frame sample →
+    // batch pack → partitioned manifest. Rows-only gate: the report row
+    // equals MediaCurationPipeline.run's (pinned in PipelineSpec), and
+    // every stage's math is oracle-checked by its own gate (m142, m43,
+    // t114 families).
+    "p182_media_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val out = tmpDir("graft_p182").toString
+      val r = pipelines.MediaCurationPipeline.run(
+        s, t(s, d, "documents"), out)
+      Seq((r.input, r.afterNearDedup, r.videos, r.frames, r.batches))
+        .toDF("input", "after_near_dedup", "videos", "frames", "batches")
     }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
@@ -2805,7 +2859,45 @@ object SparkEntry {
          |ORDER BY a.id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Gates whose oracle is a VALUE-PINNED expected table rather than an
+    * algebraic re-derivation: seeded LSH pair lists, ANN shortlists, BPE
+    * merge tables, sketch estimates — functions ANSI SQL cannot express,
+    * but whose output is a pure deterministic function of the input
+    * parquet (verified by byte-comparing repeated `Verify` runs at
+    * different SPARK_GRAFT_CPUS, i.e. different shuffle partitioning).
+    * Each name loads `resources/graft/pinned/<name>.sql`, a VALUES
+    * literal of the full sf0.01 result generated by
+    * `tools/pin_oracles.py` — so drift in a seeded path fails the
+    * correctness gate itself, not just the unit suite that pins the
+    * algorithm's laws. Regenerate the resource after any INTENTIONAL
+    * change to a pinned path. */
+  private val pinnedOracleGates: Seq[String] = Seq(
+    "d101_neardup_increment", "d102_importance_sample",
+    "d131_contamination_report", "d29_minhash_neardup",
+    "d30_simhash_neardup", "d31_embed_neardup", "d40_ngram_neardup",
+    "d91_semantic_dedup", "d93_temperature_mix",
+    "d96_semantic_decontaminate", "m130_cdc_dedup", "m142_binary_neardup",
+    "p88_pipeline", "q104_foreign_bucket", "q38_approx",
+    "s111_prototypicality", "s118_cluster_stats", "s119_diversity_sample",
+    "s129_pca_ann", "s139_ann_persist", "s145_ann_batch", "s33_ann_lsh",
+    "s41_knn_graph", "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
+    "str103_stream_neardup_ingest", "str112_stream_quality",
+    "str148_stream_curate", "t105_bpe_train", "t106_bpe_encode",
+    "t108_lm_perplexity", "t109_quality_classifier", "t114_pack_sequences",
+    "t141_compression_signal", "t27_fingerprint", "t42_group_sketch",
+    "t80_hll_sketch")
+
+  private def pinnedOracles: Map[String, String] =
+    pinnedOracleGates.map { name =>
+      val in = getClass.getResourceAsStream(s"/graft/pinned/$name.sql")
+      require(in != null, s"missing pinned oracle resource for $name")
+      val sql =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      name -> sql
+    }.toMap
+
+  def oracleSql: Map[String, String] = pinnedOracles ++ Map(
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
@@ -4708,7 +4800,7 @@ object SparkEntry {
         |  AS sum_v
         |FROM v2 GROUP BY g ORDER BY g""".stripMargin,
 
-    "q180_kcore" -> kCoreOracleSql(30, 20),
+    "q180_kcore" -> kCoreOracleSql(10, 20),
 
     "q181_event_transitions" ->
       """WITH p AS (

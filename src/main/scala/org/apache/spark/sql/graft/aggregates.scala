@@ -77,9 +77,12 @@ private[sql] case class KllSketchAgg(
   * distribution stats: per-load sketches merge associatively, so a
   * year of daily summaries folds without touching the data they
   * summarize. Null inputs (e.g. an empty load's missing row) are
-  * skipped. The result sketch adopts the smallest k seen (DataSketches
-  * merge semantics — accuracy degrades to the coarsest input, never
-  * breaks). */
+  * skipped. A persisted sketch whose k differs from the declared k is
+  * REFUSED, loudly: DataSketches would happily merge it, silently
+  * degrading every quantile to the smallest k in the fold — a year of
+  * k=400 dailies poisoned by one k=200 stray, detectable only by the
+  * answers drifting. Cross-version/cross-k folds must be explicit:
+  * either re-sketch the raw data or declare the coarser k. */
 private[sql] case class KllMergeAgg(
     child: Expression,
     k: Int,
@@ -100,8 +103,14 @@ private[sql] case class KllMergeAgg(
 
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      require(sk.getK == k,
+        s"kll_merge_agg(k=$k) refuses a sketch serialized with k=${sk.getK}: " +
+          "a mixed-k fold silently degrades every quantile to the smallest k " +
+          "in the fold; re-sketch the raw data or declare k=" + sk.getK)
+      buf.merge(sk)
+    }
     buf
   }
 
@@ -577,9 +586,24 @@ private[sql] case class CmsMergeAgg(
 
   override def update(buf: Cms, input: InternalRow): Cms = {
     val v = child.eval(input)
-    if (v != null)
-      buf.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val other = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      // fail loudly with the declared geometry: mergeInPlace's own
+      // IncompatibleMergeException names neither the aggregate nor the
+      // expected (eps, confidence, seed), which is what the caller must
+      // fix — a CMS fold only composes cell-for-cell on one geometry
+      try buf.mergeInPlace(other)
+      catch {
+        case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+          throw new IllegalArgumentException(
+            s"cms_merge_agg(eps=$eps, confidence=$confidence, seed=$seed) " +
+              s"refuses a sketch with different geometry (got depth=" +
+              s"${other.depth} width=${other.width}): CMS only folds " +
+              "cell-for-cell on one (eps, confidence, seed); re-sketch the " +
+              "raw data or declare the matching parameters", e)
+      }
+    }
     buf
   }
 

@@ -279,4 +279,81 @@ class CurationOpsSpec extends SparkTestBase {
     assert(est >= 4L, s"CMS must never undercount, got $est")
     assert(est <= 4L + (3 * 0.01 * 20000).toLong, s"overcount blew up: $est")
   }
+
+  private def messageChain(e: Throwable): String = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+  }
+
+  test("kll fold: mixed-k persisted sketches are refused loudly, not " +
+      "silently degraded to the smaller k") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    val df = spark.range(1000).select(col("id").cast("double").as("v"))
+    val k200 = df.agg(kllSketchAgg(col("v"), k = 200).as("sk"))
+    val k400 = df.agg(kllSketchAgg(col("v"), k = 400).as("sk"))
+    val mixed = k200.union(k400)
+
+    // same-k folds stay lawful at both sizes
+    for (k <- Seq(200, 400)) {
+      val d = if (k == 200) k200 else k400
+      val folded = d.union(d).agg(kllMergeAgg(col("sk"), k = k).as("sk"))
+        .select(kllQuantile(col("sk"), 0.5).as("q")).head().getDouble(0)
+      assert(math.abs(folded - 499.5) < 50.0, s"k=$k median drifted: $folded")
+    }
+
+    // mixed-k fold fails with the declared and offending k in the message
+    val e = intercept[Exception] {
+      mixed.agg(kllMergeAgg(col("sk"), k = 200).as("sk")).collect()
+    }
+    val chain = messageChain(e)
+    assert(chain.contains("kll_merge_agg(k=200)") && chain.contains("k=400"),
+      s"expected a loud mixed-k refusal, got: $chain")
+  }
+
+  test("cms fold: sketches with different geometry (eps/seed) are refused " +
+      "with the declared parameters in the error") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    val df = (1 to 100).map(i => s"tok$i").toDF("x")
+    val a = df.agg(cmsSketchAgg(col("x"), eps = 0.01).as("sk"))
+    val b = df.agg(cmsSketchAgg(col("x"), eps = 0.001).as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).agg(cmsMergeAgg(col("sk"), eps = 0.01).as("sk")).collect()
+    }
+    val chain = messageChain(e)
+    assert(chain.contains("cms_merge_agg(eps=0.01"),
+      s"expected a loud geometry refusal naming the declared eps, got: $chain")
+  }
+
+  test("theta fold: mixed exact-mode and sampling-mode sketches union " +
+      "lawfully (theta composes across retained-set sizes by design)") {
+    import org.apache.spark.sql.graft.NativeFunctions._
+    // small corpus: exact-mode sketch; large corpus: sampling mode.
+    // Disjoint ids, so truth = 500 + 100000.
+    val small = spark.range(500)
+      .select(concat(lit("s"), col("id")).as("x"))
+      .agg(thetaSketchAgg(col("x")).as("sk"))
+    val large = spark.range(100000)
+      .select(concat(lit("l"), col("id")).as("x"))
+      .agg(thetaSketchAgg(col("x")).as("sk"))
+    val est = small.union(large)
+      .agg(thetaUnionAgg(col("sk")).as("sk"))
+      .select(thetaEstimate(col("sk")).as("e")).head().getDouble(0)
+    assert(math.abs(est - 100500.0) / 100500.0 < 0.05,
+      s"mixed-regime theta union drifted: $est")
+  }
+
+  test("hll fold: mixed-lgConfigK unions throw by default and require the " +
+      "explicit allowDifferentLgConfigK opt-in") {
+    val df = spark.range(1000).toDF("id")
+    val sk12 = df.agg(hll_sketch_agg(col("id"), lit(12)).as("sk"))
+    val sk14 = df.agg(hll_sketch_agg(col("id"), lit(14)).as("sk"))
+    val mixed = sk12.union(sk14)
+    intercept[Exception] {
+      mixed.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e")).collect()
+    }
+    val est = mixed
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("e"))
+      .head().getLong(0)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"opt-in union drifted: $est")
+  }
 }

@@ -362,6 +362,59 @@ class PipelineSpec extends SparkTestBase {
       s"in=$inTok out=$outTok bins=$nBins")
   }
 
+  test("media pipeline: binary near-dup screen, frame sample, batch pack") {
+    import graft.pipelines.MediaCurationPipeline
+    val docs = Tables.documents(spark, sf)
+    // plant two long near-identical payloads: big enough (~4 KB) that CDC
+    // produces many chunks, so the mid-payload edit re-synchronizes and
+    // byte-jaccard stays high. Short fixture docs chunk as a single blob
+    // (any edit zeroes the jaccard) — that regime is m142's concern.
+    val base = (1 to 400).map(i => s"tok$i word$i").mkString(" ")
+    val twin = base.patch(2000, "EDITED-SPLICE", 0)
+    val planted = docs.unionByName(Seq(
+      (900001L, base, "xx", "srcdup", base.length.toLong),
+      (900002L, twin, "xx", "srcdup", twin.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    val outDir = Files.createTempDirectory("graft_media").toString
+    val report = MediaCurationPipeline.run(spark, planted, outDir)
+
+    assert(report.input == docs.count() + 2)
+    // the twin loses to its cluster's min id (900001 survives)
+    assert(report.afterNearDedup < report.input)
+    val manifest = spark.read.parquet(outDir)
+    assert(!manifest.filter($"doc_id" === 900002L).head(1).nonEmpty)
+    assert(manifest.filter($"doc_id" === 900001L).head(1).nonEmpty)
+
+    // manifest invariants: counts match the report; stills contribute
+    // exactly one frame at t=0; videos never exceed the per-video cap;
+    // a document's frames all land in one (format, bin) batch
+    assert(manifest.count() == report.frames)
+    assert(manifest.select("format", "bin").distinct().count()
+      == report.batches)
+    assert(manifest.filter($"media" === "video")
+      .select("doc_id").distinct().count() == report.videos)
+    val perDoc = manifest.groupBy("doc_id", "media")
+      .agg(count(lit(1)).as("nf"),
+        countDistinct($"format", $"bin").as("nbin"))
+    assert(perDoc.filter($"media" === "still" &&
+      ($"nf" =!= 1 || $"nbin" =!= 1)).head(1).isEmpty)
+    assert(perDoc.filter($"nf" > 8 || $"nbin" =!= 1).head(1).isEmpty)
+    assert(report.videos > 0 && report.frames > report.afterNearDedup)
+  }
+
+  test("the p182_media_pipeline gate entry reports exactly what run() reports") {
+    import graft.pipelines.MediaCurationPipeline
+    val row = SparkEntry.queries("p182_media_pipeline")(spark, sf).head()
+    val out = Files.createTempDirectory("graft_p182_pin").toString
+    val r = MediaCurationPipeline.run(spark, Tables.documents(spark, sf), out)
+    assert(row.getLong(0) == r.input)
+    assert(row.getLong(1) == r.afterNearDedup)
+    assert(row.getLong(2) == r.videos)
+    assert(row.getLong(3) == r.frames)
+    assert(row.getLong(4) == r.batches)
+  }
+
   test("the p88_pipeline gate entry reports exactly what run() reports") {
     val row = SparkEntry.queries("p88_pipeline")(spark, sf).head()
     val out = Files.createTempDirectory("graft_p88_pin").toString
