@@ -139,7 +139,10 @@ object ScaleSmoke {
     "str103_stream_neardup_ingest", "str112_stream_quality",
     "str127_stream_topn", "str148_stream_curate",
     // r9: the composed media pipeline showcase
-    "p182_media_pipeline")
+    "p182_media_pipeline",
+    // r9: sketch-fold rolling distinct (corpus pass + buckets-sized
+    // range join) and the iterative LPA rounds
+    "q183_rolling_distinct", "q184_label_propagation")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

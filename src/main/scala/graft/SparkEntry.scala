@@ -2721,7 +2721,63 @@ object SparkEntry {
         s, t(s, d, "documents"), out)
       Seq((r.input, r.afterNearDedup, r.videos, r.frames, r.batches))
         .toDF("input", "after_near_dedup", "videos", "frames", "batches")
-    }))
+    }),
+
+    // Daily + trailing-7-day distinct users per event type via mergeable
+    // theta sketches: one corpus pass to a day-grain sketch table, then
+    // a buckets-sized range self-join folds 7 sketches per row. Exact
+    // below sketch capacity (gate scale) → exact DuckDB COUNT(DISTINCT)
+    // differential; ±2% estimates at 100 TB, where the exact
+    // formulation re-shuffles every event into every window it touches.
+    "q183_rolling_distinct" -> ((s, d) =>
+      operators.TimeSeries.rollingDistinct(t(s, d, "events"),
+          "event_type", "ts", "user_id", window = 7)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("bucket_distinct"), col("rolling_distinct"))
+        .orderBy(col("series"), col("day"))),
+
+    // Community detection by deterministic synchronous label propagation
+    // (most-frequent neighbor label, ties to the smallest) on the
+    // customer–supplier graph; 3 fixed rounds, oracle unrolls the same
+    // rounds as chained CTEs.
+    "q184_label_propagation" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      operators.Graph.labelPropagation(e, "src", "dst", iterations = 3)
+        .orderBy(col("id"))
+    }),
+
+    // CUSUM level-shift detection over daily event rates: Page's
+    // recursion reformulated as running-sum-minus-running-min — two
+    // ordered windows over exact decimals, so the statistic is
+    // engine-exact and the oracle replicates it token-for-token.
+    "q185_cusum" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type").as("series"),
+          to_date(date_trunc("day", col("ts"))).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      operators.Anomaly.cusum(daily, "series", "bucket", col("n"),
+          slack = 0.25, threshold = 3.0)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("n"), round(col("cusum_hi"), 6).as("cusum_hi"),
+          round(col("cusum_lo"), 6).as("cusum_lo"), col("is_shift"))
+        .orderBy(col("series"), col("day"))
+    }),
+
+    // Leakage-safe train/val/test split: assignment is a pure portable
+    // hash of the GROUP key (user), so one user's rows never straddle
+    // the split — per-split user/event counts, reproducible in plain SQL.
+    "q186_group_split" -> ((s, d) =>
+      operators.Dedup.groupSplit(t(s, d, "events"), "user_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("split"))))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -2897,7 +2953,106 @@ object SparkEntry {
       name -> sql
     }.toMap
 
+  /** q184's oracle: the same deterministic synchronous LPA rounds
+    * unrolled as chained CTEs (most-frequent neighbor label, ties to
+    * the smallest — both engines run the identical argmax rule). */
+  private def lpaOracleSql(iterations: Int): String = {
+    val head =
+      """WITH u AS (
+        | SELECT o_custkey AS a, l_suppkey + 1000000 AS b
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (
+        | SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM u UNION ALL SELECT b, a FROM u)
+        | WHERE a <> b),
+        |l0 AS MATERIALIZED (
+        | SELECT DISTINCT a AS id, a AS label FROM e)""".stripMargin
+    val iters = (1 to iterations).map { r =>
+      s""",
+         |c$r AS MATERIALIZED (
+         | SELECT e.a AS id, l.label, count(*) AS n
+         | FROM e JOIN l${r - 1} l ON e.b = l.id GROUP BY e.a, l.label),
+         |l$r AS MATERIALIZED (
+         | SELECT id, label FROM (
+         |  SELECT id, label,
+         |   row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC)
+         |    AS rn
+         |  FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + iters +
+      s"""
+         |SELECT id, label FROM l$iterations ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = pinnedOracles ++ Map(
+    "q183_rolling_distinct" ->
+      """WITH b AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT series, bucket,
+        |  count(DISTINCT user_id) AS bucket_distinct
+        | FROM b GROUP BY series, bucket),
+        |r AS (SELECT a.series, a.bucket,
+        |  count(DISTINCT b.user_id) AS rolling_distinct
+        | FROM (SELECT DISTINCT series, bucket FROM b) a
+        | JOIN b ON b.series = a.series
+        |  AND b.bucket BETWEEN a.bucket - 6 AND a.bucket
+        | GROUP BY a.series, a.bucket)
+        |SELECT d.series, strftime(d.bucket, '%Y-%m-%d') AS day,
+        | d.bucket_distinct, r.rolling_distinct
+        |FROM d JOIN r ON d.series = r.series AND d.bucket = r.bucket
+        |ORDER BY d.series, day""".stripMargin,
+
+    "q184_label_propagation" -> lpaOracleSql(3),
+
+    "q185_cusum" ->
+      """WITH c AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket, count(*) AS n
+        | FROM events GROUP BY series, bucket),
+        |st AS (SELECT series, CAST(count(n) AS DOUBLE) AS k,
+        |  CAST(sum(CAST(n AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(n * n AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        | FROM c GROUP BY series),
+        |z AS (SELECT c.series, c.bucket, c.n,
+        |  CASE WHEN k >= 2 AND (s2 - s1 * s1 / k) / (k - 1) > 0
+        |   THEN CAST(round((CAST(n AS DOUBLE) - s1 / k)
+        |     / sqrt((s2 - s1 * s1 / k) / (k - 1)), 6) AS DECIMAL(28,6))
+        |  END AS z
+        | FROM c JOIN st ON c.series = st.series),
+        |r AS (SELECT series, bucket, n,
+        |  sum(z - CAST(0.25 AS DECIMAL(28,6))) OVER w AS rh,
+        |  sum(-z - CAST(0.25 AS DECIMAL(28,6))) OVER w AS rl
+        | FROM z
+        | WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |  ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT series, bucket, n,
+        |  CAST(rh - least(min(rh) OVER w, CAST(0 AS DECIMAL(28,6)))
+        |   AS DOUBLE) AS cusum_hi,
+        |  CAST(rl - least(min(rl) OVER w, CAST(0 AS DECIMAL(28,6)))
+        |   AS DOUBLE) AS cusum_lo
+        | FROM r
+        | WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |  ROWS UNBOUNDED PRECEDING))
+        |SELECT series, strftime(bucket, '%Y-%m-%d') AS day, n,
+        | round(cusum_hi, 6) AS cusum_hi, round(cusum_lo, 6) AS cusum_lo,
+        | coalesce(cusum_hi > 3.0 OR cusum_lo > 3.0, FALSE) AS is_shift
+        |FROM s ORDER BY series, day""".stripMargin,
+
+    "q186_group_split" ->
+      """WITH s AS (
+        | SELECT user_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       WHEN b < 10000 THEN 'test' END AS split
+        | FROM (SELECT user_id,
+        |   ((user_id % 1000003) * 427799 % 1000003) % 10000 AS b
+        |  FROM events))
+        |SELECT split, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_date

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-rate anomaly detection — "did the error rate spike this hour?":
   * the monitoring consumer at the end of the reference's log-collector
@@ -135,5 +136,71 @@ object Anomaly {
         when(col("mad") > 0 && !isnan(v), round(z, 6)))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > k, lit(false)))
+  }
+
+  /** CUSUM changepoint detection per series — the LEVEL-SHIFT detector
+    * that completes the family: [[rateAnomalies]] flags single-bucket
+    * spikes, [[robustOutliers]] flags extreme values, but a rate that
+    * drifts up 0.5σ per bucket and STAYS there trips neither; the
+    * cumulative sum of small same-signed deviations does.
+    *
+    * Page's one-sided CUSUM is the recursion
+    * `S_i = max(0, S_{i−1} + z_i − slack)` — sequential on its face,
+    * but algebraically `S_i = R_i − min(0, min_{j≤i} R_j)` where
+    * `R = cumsum(z − slack)`: a running sum minus its running minimum,
+    * TWO ordinary ordered-window aggregates. That reformulation is what
+    * makes the operator distributable — no per-series sequential scan,
+    * no UDAF state, just one series-keyed window pass over the
+    * buckets-sized input.
+    *
+    * Engine-reproducibility: per-series mean/sd come from exact decimal
+    * sums in one fixed formula (never a built-in `stddev`), z is rounded
+    * to 6 and cast to DECIMAL before the cumsum, so both running
+    * aggregates are ASSOCIATIVE EXACT arithmetic — DuckDB's segment-tree
+    * windowed sum and Spark's running fold add the same decimals and the
+    * q185 oracle hash-matches. Flags: `cusum_hi` / `cusum_lo` (upward /
+    * downward shift statistics) and `is_shift` when either exceeds
+    * `threshold` (both in σ units; slack ≈ half the shift size you want
+    * to detect). Series with zero variance or fewer than 2 buckets
+    * yield NULL statistics, never flags. Input is a bucket-level table
+    * (series, order, value) — densify with [[TimeSeries.resample]]
+    * first if missing buckets should count as zero. */
+  def cusum(buckets: DataFrame, seriesCol: String, orderCol: String,
+      value: Column, slack: Double = 0.5, threshold: Double = 5.0)
+      : DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got $slack/$threshold")
+    val v = value.cast("double")
+    val wAll = Window.partitionBy(col(seriesCol))
+    val wRun = Window.partitionBy(col(seriesCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact decimal sums -> one fixed double formula (the q159 contract)
+    val k = count(v).over(wAll).cast("double")
+    val s1 = sum(v.cast(DecimalType(28, 6))).over(wAll).cast("double")
+    val s2 = sum((v * v).cast(DecimalType(28, 6))).over(wAll).cast("double")
+    val mean = s1 / k
+    val variance = (s2 - s1 * s1 / k) / (k - 1)
+    val sd = sqrt(variance)
+    val scored = buckets
+      .withColumn("__z",
+        when(k >= 2 && variance > 0,
+          round((v - mean) / sd, 6).cast(DecimalType(28, 6))))
+    // decimal running sum and running min: associative exact arithmetic,
+    // identical under any engine's window-aggregation order
+    val rHi = sum(col("__z") - lit(slack).cast(DecimalType(28, 6))).over(wRun)
+    val rLo = sum(-col("__z") - lit(slack).cast(DecimalType(28, 6))).over(wRun)
+    scored
+      .withColumn("__rh", rHi)
+      .withColumn("__rl", rLo)
+      .withColumn("cusum_hi",
+        (col("__rh") - least(min(col("__rh")).over(wRun),
+          lit(0).cast(DecimalType(28, 6)))).cast("double"))
+      .withColumn("cusum_lo",
+        (col("__rl") - least(min(col("__rl")).over(wRun),
+          lit(0).cast(DecimalType(28, 6)))).cast("double"))
+      .withColumn("is_shift",
+        coalesce(col("cusum_hi") > threshold || col("cusum_lo") > threshold,
+          lit(false)))
+      .drop("__z", "__rh", "__rl")
   }
 }

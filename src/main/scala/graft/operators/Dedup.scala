@@ -545,6 +545,44 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
   }
 
+  /** Leakage-safe dataset split: every row of a GROUP (user, domain,
+    * dup-cluster) lands on the same side, because the split is a pure
+    * function of the group key — a row-level random split puts one
+    * user's Monday events in train and their Tuesday events in test,
+    * and the model "predicts" what it memorized. Assign
+    * `splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` style
+    * cumulative hash-bucket bands; fractions must sum to ≤ 1 (any
+    * remainder gets NULL — an explicit holdout). Zero shuffle, fully
+    * codegen'd, reproducible across runs/partitionings/engines. The
+    * default hash is the overflow-free portable multiplicative chain
+    * (the [[groupBottomK]] discipline) over a NUMERIC group key, so an
+    * external system reproduces the assignment in plain SQL; pass
+    * `hash = Some(xxhash64(...))` for string keys (portable across
+    * Spark jobs, not across engines). Appends `split`. */
+  def groupSplit(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], hash: Option[Column] = None,
+      denominator: Int = 10000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "need at least one split with positive fraction")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    // 427799 = 2654435761 mod 1000003 (pre-reduced Knuth multiplier)
+    val h = hash.getOrElse(
+      pmod(pmod(col(groupCol), lit(1000003L)) * lit(427799L), lit(1000003L)))
+    val b = pmod(h, lit(denominator))
+    // integer cut bands, not float thresholds: 0.8 + 0.1 accumulates to
+    // 0.9000000000000001 in IEEE, and `b < 0.9…1 * 10000` admits bucket
+    // 9000 while an external SQL reimplementation's `b < 9000` does not —
+    // rounding each cumulative cut to a bucket count removes the boundary
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(hi => math.round(hi * denominator))
+    val expr = splits.zip(cuts).foldRight(
+      lit(null).cast("string")) { case (((name, _), hi), acc) =>
+      when(b < lit(hi), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic disjoint-and-covering corpus split (train/val/test):
     * weights normalize to contiguous bucket ranges over a hash of the id,
     * so every row lands in exactly ONE split, reproducibly at any

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality — the host/domain AUTHORITY signal web-corpus
@@ -248,5 +249,49 @@ object Graph {
       e = pruned; n = m; rounds += 1
     }
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Community detection by synchronous label propagation (LPA): every
+    * node starts as its own label; each round it adopts its neighbors'
+    * most frequent label, ties broken by the SMALLEST label — a fully
+    * deterministic rule, so a fixed-round run is reproducible and the
+    * q184 oracle unrolls the identical rounds as chained CTEs (classic
+    * LPA's random tie-breaks and asynchronous schedules are
+    * better-converging but unverifiable). Fixed `iterations`, not a
+    * convergence loop: synchronous LPA can oscillate on bipartite
+    * structure, so "run k rounds" IS the defined semantics.
+    *
+    * Per round: one edge⋈labels hash join (labels are nodes-sized,
+    * edges never re-shuffle after the one-time symmetrize) + one
+    * (node, label) count aggregate + one per-node argmax — all
+    * map-side-combinable; per-round state is checkpointed nodes-sized.
+    * Returns (id, label) with communities named by their smallest
+    * member label. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true) // reused every round, fixed lineage
+    var labels = e.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(eager = true)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__n").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      labels = e
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("id"), col("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels
   }
 }

@@ -105,4 +105,52 @@ object TimeSeries {
             sum(col("__dt").cast(DecimalType(18, 6))).cast("double"), 6)
           .as("twa"))
   }
+
+  /** Per-day and rolling-window DISTINCT counts per series ("daily
+    * active users + trailing-7-day actives") via mergeable theta
+    * sketches: ONE corpus pass builds a day-grain sketch table
+    * (map-side combined — the shuffle carries KB sketches, not ids),
+    * then the rolling union is a buckets-sized range self-join folding
+    * `window` sketches per row. The naive formulation — count
+    * `DISTINCT` over a row-range window — re-shuffles every event into
+    * every window it touches (window× amplification) and holds per-key
+    * distinct sets in the sort buffer; at 100 TB that is the job that
+    * never finishes, while the sketch table here is days×series rows.
+    *
+    * Exactness contract: theta sketches are EXACT below their retained
+    * capacity (4096 distinct), so at gate scale the estimates equal
+    * `COUNT(DISTINCT ...)` and the q183 oracle is an exact DuckDB
+    * differential; above capacity the counts degrade to ±2% estimates —
+    * the documented scale behavior, pinned by `CurationOpsSpec`'s theta
+    * error-envelope tests. Output: (series, bucket,
+    * bucket_distinct, rolling_distinct), one row per OBSERVED
+    * (series, day); `rolling_distinct` unions the trailing `window`
+    * days' sketches including the current day (absent days contribute
+    * nothing — exactly their distinct-id content). */
+  def rollingDistinct(events: DataFrame, seriesCol: String, tsCol: String,
+      idCol: String, window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.graft.NativeFunctions
+    val daily = events
+      .filter(col(idCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .agg(NativeFunctions
+        .thetaSketchAgg(col(idCol).cast("string")).as("__sk"))
+      .localCheckpoint(eager = false) // both sides of the range join
+    val anchors = daily.select(col("series"), col("bucket"))
+    anchors.as("a")
+      .join(daily.as("b"),
+        col("b.series") === col("a.series") &&
+          col("b.bucket") <= col("a.bucket") &&
+          col("b.bucket") >= date_sub(col("a.bucket"), window - 1))
+      .groupBy(col("a.series").as("series"), col("a.bucket").as("bucket"))
+      .agg(
+        NativeFunctions.thetaEstimate(
+          max(when(col("b.bucket") === col("a.bucket"), col("b.__sk"))))
+          .cast("long").as("bucket_distinct"),
+        NativeFunctions.thetaEstimate(
+          NativeFunctions.thetaUnionAgg(col("b.__sk")))
+          .cast("long").as("rolling_distinct"))
+  }
 }

@@ -494,4 +494,80 @@ class DataOpsSpec extends SparkTestBase {
       .filter(col("bucket") === hour(15)).head()
     assert(!oneSided.getBoolean(6))
   }
+
+  test("rollingDistinct: exact below sketch capacity, window unions " +
+      "across days, partitioning-invariant") {
+    // series X: users 1..10 on day 1, 6..15 on day 2, 100 on day 5
+    val ts = (d: Int, u: Int) =>
+      (s"X", java.sql.Timestamp.valueOf(f"2024-03-0$d 12:00:00"), u.toLong)
+    val rows = (1 to 10).map(ts(1, _)) ++ (6 to 15).map(ts(2, _)) :+
+      ts(5, 100)
+    val df = rows.toDF("series", "ts", "uid")
+    val got = TimeSeries.rollingDistinct(df, "series", "ts", "uid",
+        window = 3)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // day1: 10/10; day2: 10 distinct, rolling |1..15| = 15;
+    // day5: window [3,5] sees only day5 → 1/1
+    assert(got.toSeq === Seq((10L, 10L), (10L, 15L), (1L, 1L)))
+    val again = TimeSeries.rollingDistinct(df.repartition(7), "series",
+        "ts", "uid", window = 3)
+      .orderBy("bucket").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("cusum: a planted level shift trips the one-sided statistic where " +
+      "single-bucket z-scores stay quiet; zero-variance series never flag") {
+    // 20 buckets at 100, then 20 at 106 — a 0.75σ-ish drift per bucket
+    // that a 3σ spike detector never sees
+    val rows = (1 to 20).map(i => ("s", i, 100.0)) ++
+      (21 to 40).map(i => ("s", i, 106.0))
+    val df = rows.toDF("series", "bucket", "v")
+    val got = Anomaly.cusum(df, "series", "bucket", col("v"),
+      slack = 0.25, threshold = 3.0)
+    assert(got.filter(col("is_shift")).count() > 0, "shift must flag")
+    // the UPWARD statistic fires only in the shifted half (the mirror
+    // statistic legitimately flags the below-mean first half — with a
+    // whole-series baseline a step is a drop then a rise)
+    val firstHi = got.filter(col("cusum_hi") > 3.0)
+      .agg(min(col("bucket"))).head().getInt(0)
+    assert(firstHi > 20, s"cusum_hi before the shift: $firstHi")
+    // a pure downward step trips cusum_lo in its shifted half
+    val down = rows.map { case (s, i, v) => (s, i, 200.0 - v) }
+      .toDF("series", "bucket", "v")
+    val gotDown = Anomaly.cusum(down, "series", "bucket", col("v"),
+      slack = 0.25, threshold = 3.0)
+    val firstLo = gotDown.filter(col("cusum_lo") > 3.0)
+      .agg(min(col("bucket"))).head().getInt(0)
+    assert(firstLo > 20, s"cusum_lo before the drop: $firstLo")
+    // constant series: NULL statistics, no flags
+    val flat = (1 to 10).map(i => ("f", i, 5.0)).toDF("series", "bucket", "v")
+    val gotFlat = Anomaly.cusum(flat, "series", "bucket", col("v"))
+    assert(gotFlat.filter(col("is_shift")).count() == 0)
+    assert(gotFlat.filter(col("cusum_hi").isNotNull).count() == 0)
+  }
+
+  test("groupSplit: all rows of a group land on one side, fractions " +
+      "land near targets, assignment is repartition-invariant") {
+    val rows = for (g <- 1L to 500L; r <- 1 to 3) yield (g, r)
+    val df = rows.toDF("gid", "rep")
+    val got = Dedup.groupSplit(df, "gid",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // no group straddles splits
+    assert(got.groupBy("gid")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // every row assigned (fractions sum to 1) and shares are plausible
+    assert(got.filter(col("split").isNull).count() == 0)
+    val shares = got.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares("train") > 1000 && shares("train") < 1400, s"$shares")
+    // deterministic under partitioning
+    val again = Dedup.groupSplit(df.repartition(11), "gid",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(again.exceptAll(got).count() == 0 && got.exceptAll(again).count() == 0)
+    // remainder band: fractions summing below 1 leave NULL holdout
+    val hold = Dedup.groupSplit(df, "gid", Seq("train" -> 0.5))
+    assert(hold.filter(col("split").isNull).count() > 0)
+  }
 }
