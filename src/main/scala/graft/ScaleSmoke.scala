@@ -142,7 +142,10 @@ object ScaleSmoke {
     "p182_media_pipeline",
     // r9: sketch-fold rolling distinct (corpus pass + buckets-sized
     // range join) and the iterative LPA rounds
-    "q183_rolling_distinct", "q184_label_propagation")
+    "q183_rolling_distinct", "q184_label_propagation",
+    // r9: basket pair expansion (capped quadratic) + attribution's
+    // entity-windowed span join + the KLL window fold
+    "q189_copurchase", "q187_attribution", "q190_rolling_quantile")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

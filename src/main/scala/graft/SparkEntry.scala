@@ -2777,7 +2777,49 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
-        .orderBy(col("split"))))
+        .orderBy(col("split"))),
+
+    // Last-touch revenue attribution: purchases credit the latest
+    // preceding touch (click/view/signup) since the previous purchase;
+    // decimal-summed credits, one entity exchange + co-partitioned
+    // touch↔conversion join.
+    "q187_attribution" -> ((s, d) =>
+      operators.Attribution.credit(t(s, d, "events"), "user_id", "ts",
+          "event_id",
+          isTouch = col("event_type").isin("click", "view", "signup"),
+          channel = col("event_type"),
+          isConversion = col("event_type") === "purchase",
+          value = col("value"), model = "last")
+        .orderBy(col("channel"))),
+
+    // Frequent 3-step behavior paths: every length-3 window of each
+    // user's ordered event stream, counted corpus-wide, top 25 by count
+    // with deterministic ties.
+    "q188_event_paths" -> ((s, d) =>
+      operators.Attribution.eventPaths(t(s, d, "events"), "user_id",
+          "ts", "event_id", col("event_type"), k = 3, topN = 25)),
+
+    // Market-basket co-purchase pairs over lineitem baskets (orders):
+    // basket-keyed pair join with a skew cap, exact counts + lift.
+    "q189_copurchase" -> ((s, d) =>
+      operators.Affinity.coOccurrence(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // Trailing-7-day p50/p95 of event value per type via mergeable KLL
+    // sketches (q183's pattern with quantiles): day-grain sketches fold
+    // over a buckets-sized range join; exact-mode quantiles equal
+    // inclusive order statistics at gate scale → exact oracle. k=800 >
+    // the gate SF's largest window (501 values) keeps every fold exact —
+    // the t128 sizing rule; the approximate regime is pinned by KLL
+    // error-envelope unit tests.
+    "q190_rolling_quantile" -> ((s, d) =>
+      operators.TimeSeries.rollingQuantile(t(s, d, "events"),
+          "event_type", "ts", col("value"), window = 7, k = 800)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("n"), col("p50"), col("p95"))
+        .orderBy(col("series"), col("day"))))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -3039,6 +3081,78 @@ object SparkEntry {
         | round(cusum_hi, 6) AS cusum_hi, round(cusum_lo, 6) AS cusum_lo,
         | coalesce(cusum_hi > 3.0 OR cusum_lo > 3.0, FALSE) AS is_shift
         |FROM s ORDER BY series, day""".stripMargin,
+
+    "q187_attribution" ->
+      """WITH ev AS (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN event_type IN ('click','view','signup')
+        |   THEN 1 ELSE 0 END AS tch,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cnv
+        | FROM events
+        | WHERE event_type IN ('click','view','signup','purchase')),
+        |sp AS (SELECT *, coalesce(sum(cnv) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span
+        | FROM ev),
+        |t AS (SELECT user_id, span, ts, event_id, event_type AS ch
+        | FROM sp WHERE tch = 1),
+        |c AS (SELECT user_id, span, CAST(value AS DOUBLE) AS v
+        | FROM sp WHERE cnv = 1),
+        |j AS (SELECT c.user_id, c.span, c.v, t.ts, t.event_id, t.ch
+        | FROM c LEFT JOIN t
+        |  ON t.user_id = c.user_id AND t.span = c.span),
+        |p AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id, span
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM j)
+        |SELECT ch AS channel, count(*) AS n_credits,
+        | CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS credit
+        |FROM p WHERE rn = 1 GROUP BY ch ORDER BY ch""".stripMargin,
+
+    "q188_event_paths" ->
+      """WITH p AS (
+        | SELECT concat_ws('>', event_type,
+        |   lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+        |  lead(event_type, 2) OVER w AS e2
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*) AS n FROM p WHERE e2 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 25""".stripMargin,
+
+    "q189_copurchase" ->
+      """WITH posts AS (
+        | SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        | WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b FROM posts GROUP BY b HAVING count(*) <= 256),
+        |k AS (SELECT posts.b, posts.i FROM posts JOIN sz USING (b)),
+        |tot AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM k),
+        |f AS (SELECT i, count(*) AS ni FROM k GROUP BY i),
+        |pr AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_baskets
+        | FROM k a JOIN k b ON a.b = b.b AND a.i < b.i
+        | GROUP BY a.i, b.i HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_baskets,
+        | round(CAST(n_baskets AS DOUBLE) * (SELECT n FROM tot) /
+        |  (CAST(fa.ni AS DOUBLE) * CAST(fb.ni AS DOUBLE)), 6) AS lift
+        |FROM pr JOIN f fa ON fa.i = pr.item_a
+        | JOIN f fb ON fb.i = pr.item_b
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q190_rolling_quantile" ->
+      """WITH b AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  CAST(value AS DOUBLE) AS v
+        | FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT a.series, a.bucket,
+        |  list_sort(list(b.v)) AS vs, count(*) AS n
+        | FROM (SELECT DISTINCT series, bucket FROM b) a
+        | JOIN b ON b.series = a.series
+        |  AND b.bucket BETWEEN a.bucket - 6 AND a.bucket
+        | GROUP BY a.series, a.bucket)
+        |SELECT series, strftime(bucket, '%Y-%m-%d') AS day,
+        | CAST(n AS BIGINT) AS n,
+        | round(vs[CAST(ceil(0.5 * n) AS INT)], 2) AS p50,
+        | round(vs[CAST(ceil(0.95 * n) AS INT)], 2) AS p95
+        |FROM w ORDER BY series, day""".stripMargin,
 
     "q186_group_split" ->
       """WITH s AS (

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Marketing-style conversion attribution and path mining over an event
+  * stream — the revenue-credit companion of [[Funnel]] (same
+  * product-analytics consumer the reference's event collectors feed;
+  * see `Funnel`'s provenance note).
+  *
+  * Scale shape, both operators: ONE hash exchange on the entity key,
+  * window passes that reuse it, and aggregates that are map-side
+  * combinable. Attribution's touch↔conversion pairing is a
+  * co-partitioned self-join on (entity, span) — spans are bounded by
+  * conversions per entity, so no reducer ever sees more than one
+  * entity's touch window. Nothing event-scale reaches the driver.
+  */
+object Attribution {
+
+  /** Credit conversion value to preceding touch channels. Span
+    * semantics: events are ordered per entity by (ts, tie); each
+    * conversion closes a span that began after the previous conversion,
+    * and only touches INSIDE that span (strictly before the conversion
+    * in the ordering) are candidates. Models:
+    *  - "first": the span's earliest touch gets the full value;
+    *  - "last": the span's latest touch gets the full value;
+    *  - "linear": every touch in the span gets `round(value/n, 6)`.
+    * Conversions with NO preceding touch in their span credit the
+    * channel NULL (kept — unattributed revenue is a real number the
+    * report must show, not drop). Credited values are rounded to 6 and
+    * summed as DECIMAL, so the totals are engine-exact under any
+    * partitioning. Returns (channel, n_credits, credit) — `n_credits`
+    * counts credit rows: conversions for first/last, conversion–touch
+    * pairs for linear. */
+  def credit(events: DataFrame, entity: String, ts: String, tie: String,
+      isTouch: Column, channel: Column, isConversion: Column,
+      value: Column, model: String = "last"): DataFrame = {
+    require(Set("first", "last", "linear")(model), s"unknown model $model")
+    val wPrev = Window.partitionBy(col(entity))
+      .orderBy(col(ts), col(tie))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // span id = conversions strictly before this event: a conversion's
+    // own span id is its index, and exactly the touches since the
+    // previous conversion share it
+    val base = events
+      .filter(isTouch || isConversion)
+      .withColumn("__span", coalesce(
+        sum(isConversion.cast("long")).over(wPrev), lit(0L)))
+    val touches = base.filter(isTouch).select(col(entity).as("__e"),
+      col("__span"), col(ts).as("__tts"), col(tie).as("__ttie"),
+      channel.as("__ch"))
+    val convs = base.filter(isConversion).select(col(entity).as("__e"),
+      col("__span"), value.cast("double").as("__v"))
+    val joined = convs.join(touches, Seq("__e", "__span"), "left")
+    val wSpan = Window.partitionBy(col("__e"), col("__span"))
+    val picked = model match {
+      case "linear" =>
+        // an unattributed conversion (no touches in span: the left join's
+        // single null-channel row, __n = 0) keeps its FULL value — never
+        // divide by the empty touch count
+        joined.withColumn("__n", count(col("__ch")).over(wSpan))
+          .withColumn("__credit",
+            when(col("__n") === 0, round(col("__v"), 6))
+              .otherwise(round(col("__v") / col("__n"), 6))
+              .cast(DecimalType(28, 6)))
+      case m =>
+        val orderKey = struct(col("__tts"), col("__ttie"))
+        val pick = if (m == "first") min(orderKey).over(wSpan)
+                   else max(orderKey).over(wSpan)
+        // null-safe compares keep the unattributed conversion row (the
+        // left join's single all-null touch, which also IS its span's
+        // min/max struct — plain === would null out and drop it)
+        joined.withColumn("__pick", pick)
+          .filter(col("__tts") <=> col("__pick.__tts") &&
+            col("__ttie") <=> col("__pick.__ttie"))
+          .withColumn("__credit",
+            round(col("__v"), 6).cast(DecimalType(28, 6)))
+    }
+    picked
+      .groupBy(col("__ch").as("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("__credit")).cast("double").as("credit"))
+  }
+
+  /** Frequent k-step event paths — "what do entities DO, in order?":
+    * every length-`k` window of each entity's ordered event stream
+    * becomes a `a>b>c` path string, counted corpus-wide; returns the
+    * `topN` paths by count (ties broken by path string, so the cut is
+    * deterministic). One entity exchange + k−1 stacked leads over it +
+    * a map-side-combined count + TakeOrdered — the same plan family as
+    * [[Funnel.reach]], with output bounded by topN. */
+  def eventPaths(events: DataFrame, entity: String, ts: String,
+      tie: String, step: Column, k: Int, topN: Int): DataFrame = {
+    require(k >= 2, s"paths need k >= 2, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tie))
+    val steps = (0 until k).map {
+      case 0 => step
+      case i => lead(step, i).over(w)
+    }
+    events
+      .withColumn("__path", concat_ws(">", steps: _*))
+      .withColumn("__last", steps.last) // materialized: a window expr
+      .filter(col("__last").isNotNull)  // cannot sit in a filter directly
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+}

@@ -153,4 +153,49 @@ object TimeSeries {
           NativeFunctions.thetaUnionAgg(col("b.__sk")))
           .cast("long").as("rolling_distinct"))
   }
+
+  /** Rolling-window QUANTILES per series ("trailing-7-day p95 latency")
+    * — the [[rollingDistinct]] pattern with KLL sketches: one corpus
+    * pass builds day-grain quantile sketches (map-side combined,
+    * KB-sized state per (series, day)), then the trailing window is a
+    * buckets-sized range self-join folding `window` sketches per row
+    * via `kll_merge_agg`. The naive per-window percentile re-sorts
+    * every event into every window it touches.
+    *
+    * Same exactness contract as [[rollingDistinct]]: below `k` values
+    * per window the KLL sketch is in exact mode and each quantile IS
+    * the inclusive order statistic (`v[ceil(q·n)]` — the q190 oracle's
+    * formula); beyond that, bounded rank error (±~1.65/√k), pinned by
+    * `CurationOpsSpec`'s KLL envelope tests. NULL values are skipped by
+    * the sketch and excluded from `n`. Output: (series, bucket, n,
+    * <one column per named rank>), quantiles rounded to 2. */
+  def rollingQuantile(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, ranks: Seq[(String, Double)] =
+        Seq("p50" -> 0.5, "p95" -> 0.95),
+      window: Int = 7, k: Int = 400): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(ranks.nonEmpty && ranks.forall(r => r._2 > 0 && r._2 <= 1),
+      s"ranks must sit in (0, 1]: $ranks")
+    import org.apache.spark.sql.graft.NativeFunctions
+    val daily = events
+      .groupBy(col(seriesCol).as("series"),
+        to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .agg(NativeFunctions
+        .kllSketchAgg(value.cast("double"), k).as("__sk"))
+      .localCheckpoint(eager = false)
+    val anchors = daily.select(col("series"), col("bucket"))
+    val folded = anchors.as("a")
+      .join(daily.as("b"),
+        col("b.series") === col("a.series") &&
+          col("b.bucket") <= col("a.bucket") &&
+          col("b.bucket") >= date_sub(col("a.bucket"), window - 1))
+      .groupBy(col("a.series").as("series"), col("a.bucket").as("bucket"))
+      .agg(NativeFunctions.kllMergeAgg(col("__sk"), k).as("__sk"))
+    folded.select(
+      col("series") +: col("bucket") +:
+        NativeFunctions.kllCount(col("__sk")).as("n") +:
+        ranks.map { case (name, q) =>
+          round(NativeFunctions.kllQuantile(col("__sk"), q), 2).as(name)
+        }: _*)
+  }
 }

@@ -516,6 +516,22 @@ class DataOpsSpec extends SparkTestBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("rollingQuantile: exact-mode quantiles equal inclusive order " +
+      "statistics over the folded window") {
+    val ts = (d: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-03-0$d 12:$m%02d:00")
+    val rows = (1 to 10).map(i => ("X", ts(1, i), i.toDouble)) ++
+      (11 to 20).map(i => ("X", ts(2, i), i.toDouble))
+    val df = rows.toDF("series", "ts", "v")
+    val got = TimeSeries.rollingQuantile(df, "series", "ts", col("v"),
+        ranks = Seq("p50" -> 0.5, "p95" -> 0.95), window = 2, k = 200)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // day1: n=10, p50=v[5]=5, p95=v[ceil(9.5)]=v[10]=10
+    // day2 folds both days: n=20, p50=v[10]=10, p95=v[19]=19
+    assert(got.toSeq === Seq((10L, 5.0, 10.0), (20L, 10.0, 19.0)))
+  }
+
   test("cusum: a planted level shift trips the one-sided statistic where " +
       "single-bucket z-scores stay quiet; zero-variance series never flag") {
     // 20 buckets at 100, then 20 at 106 — a 0.75σ-ish drift per bucket

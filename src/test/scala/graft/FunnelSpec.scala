@@ -217,4 +217,72 @@ class FunnelSpec extends SparkTestBase {
       Experiment.abTest(flat, "variant", "converted", "missing")
     }
   }
+
+  test("attribution: last/first/linear credit hand-built journeys; " +
+      "unattributed conversions keep full value on the NULL channel") {
+    import graft.operators.Attribution
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: click(1) view(2) BUY(3,$10) view(4) BUY(5,$20)
+    // user 2: BUY(1,$5) with no touches at all
+    val ev = Seq(
+      (1L, ts(1), 1L, "click", 0.0), (1L, ts(2), 2L, "view", 0.0),
+      (1L, ts(3), 3L, "buy", 10.0), (1L, ts(4), 4L, "view", 0.0),
+      (1L, ts(5), 5L, "buy", 20.0),
+      (2L, ts(1), 6L, "buy", 5.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(model: String) = Attribution.credit(ev, "user_id", "ts",
+        "event_id", isTouch = col("event_type").isin("click", "view"),
+        channel = col("event_type"),
+        isConversion = col("event_type") === "buy",
+        value = col("value"), model = model)
+      .collect().map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val last = run("last")
+    // buy#1 credits view(2); buy#2 credits view(4); user2 unattributed
+    assert(last("view") == (2L, 30.0), s"$last")
+    assert(last("NULL") == (1L, 5.0), s"$last")
+    assert(!last.contains("click"))
+    val first = run("first")
+    // buy#1 credits click(1); buy#2's span starts after buy#1 → view(4)
+    assert(first("click") == (1L, 10.0), s"$first")
+    assert(first("view") == (1L, 20.0), s"$first")
+    val linear = run("linear")
+    // buy#1 splits $10 over {click, view}; buy#2 gives view $20 whole
+    assert(linear("click") == (1L, 5.0), s"$linear")
+    assert(linear("view") == (2L, 25.0), s"$linear")
+    assert(linear("NULL") == (1L, 5.0), s"$linear")
+  }
+
+  test("eventPaths: counts ordered k-windows, drops incomplete tails, " +
+      "deterministic top-N cut") {
+    import graft.operators.Attribution
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "b"),
+      (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "b"), (2L, ts(3), 7L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Attribution.eventPaths(ev, "user_id", "ts", "event_id",
+        col("event_type"), k = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // user1 windows: a>b>c, b>c>b; user2: a>b>c — tails of length <3 drop
+    assert(got.toSeq === Seq("a>b>c" -> 2L, "b>c>b" -> 1L))
+  }
+
+  test("coOccurrence: exact pair counts and lift on a hand basket set; " +
+      "mega-baskets excluded whole; support cut applies") {
+    import graft.operators.Affinity
+    // baskets: {x,y} {x,y} {x,z} {y} + a 5-item mega basket (cap 4)
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")) ++
+      (1 to 5).map(i => (9L, s"m$i"))
+    val df = rows.toDF("basket", "item")
+    val got = Affinity.coOccurrence(df, "basket", "item",
+        minSupport = 2L, maxBasketSize = 4)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    // only (x,y) reaches support 2 of the 4 kept baskets:
+    // lift = 2·4 / (3·3)
+    assert(got.toSeq === Seq(("x", "y") -> (2L, 0.888889)))
+  }
 }

@@ -358,4 +358,30 @@ class WebCorpusSpec extends SparkTestBase {
       q, k = 5, nprobe = 2).collect().toSeq
     assert(serve(centers) === serve(loaded))
   }
+
+  test("IVF index append: incrementally assigned batches serve exactly " +
+      "like a one-shot assignment of the union") {
+    // the incremental-maintenance contract: cell assignment is a pure
+    // function of (vector, centers), so appending a new batch assigned
+    // with the SAME frozen centers is indistinguishable from rebuilding —
+    // no refit, no re-assignment of the base, union the postings and go
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centers = Similarity.ivfFit(emb, "embedding", nlist = 4)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val increment = emb.filter(col("vec_id") % 3 === 0)
+    val incremental = Similarity
+      .ivfAssign(base, "vec_id", "embedding", centers)
+      .unionByName(Similarity
+        .ivfAssign(increment, "vec_id", "embedding", centers))
+    val oneShot = Similarity.ivfAssign(emb, "vec_id", "embedding", centers)
+    val q = emb.select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toList
+    def serve(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKPreassigned(assigned, centers, q, k = 8, nprobe = 2)
+        .collect().toSeq
+    assert(serve(incremental) === serve(oneShot))
+    // and the assignments themselves are identical row sets
+    assert(incremental.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(incremental).isEmpty)
+  }
 }
