@@ -2819,7 +2819,59 @@ object SparkEntry {
         .select(col("series"),
           date_format(col("bucket"), "yyyy-MM-dd").as("day"),
           col("n"), col("p50"), col("p95"))
-        .orderBy(col("series"), col("day"))))
+        .orderBy(col("series"), col("day"))),
+
+    // Operators COMPOSE: funnel completion latency percentiles = Funnel
+    // .reach ⋈ KLL sketch, both already oracle-checked alone. Latencies
+    // are floor-second integers (unix_timestamp convention, mirrored in
+    // the oracle) and completer counts sit far under k → exact mode →
+    // exact oracle.
+    "q191_funnel_latency" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeFunctions
+      operators.Funnel.reach(t(s, d, "events"), "user_id", "ts", Seq(
+          col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .filter(col("t3").isNotNull)
+        .select((unix_timestamp(col("t3")) - unix_timestamp(col("t1")))
+          .cast(DoubleType).as("sec"))
+        .agg(count(lit(1)).as("n_completers"),
+          NativeFunctions.kllSketchAgg(col("sec"), k = 4096).as("__sk"))
+        .select(col("n_completers"),
+          round(NativeFunctions.kllQuantile(col("__sk"), 0.5), 2)
+            .as("p50_sec"),
+          round(NativeFunctions.kllQuantile(col("__sk"), 0.9), 2)
+            .as("p90_sec"))
+    }),
+
+    // Cohort lifetime-value curves: users cohorted by first-event week
+    // (portable integer week arithmetic — floor(days-since-Monday-epoch
+    // / 7) — so both engines bucket identically), purchase revenue
+    // decimal-cumsum'd per cohort over periods, normalized per user.
+    "q192_cohort_ltv" -> ((s, d) => {
+      def wk(c: Column) =
+        floor(datediff(to_date(c), lit("1970-01-05")) / 7).cast(LongType)
+      val ev = t(s, d, "events")
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__f"))
+        .select(col("user_id"), wk(col("__f")).as("cohort_week"))
+        .localCheckpoint(eager = false) // sizes + the revenue join
+      val sizes = first.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_users"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("period"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (wk(col("ts")) - col("cohort_week")).as("period"))
+        .agg(sum(col("value").cast(DecimalType(28, 6))).as("__rev"))
+        .join(sizes, Seq("cohort_week"))
+        .withColumn("__cum", sum(col("__rev")).over(w))
+        .select(col("cohort_week"), col("period"), col("n_users"),
+          round(col("__rev").cast(DoubleType), 6).as("revenue"),
+          round(col("__cum").cast(DoubleType) /
+            col("n_users").cast(DoubleType), 6).as("cum_ltv_per_user"))
+        .orderBy(col("cohort_week"), col("period"))
+    }))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -3135,6 +3187,53 @@ object SparkEntry {
         |FROM pr JOIN f fa ON fa.i = pr.item_a
         | JOIN f fb ON fb.i = pr.item_b
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q191_funnel_latency" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        | JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        | GROUP BY e.user_id),
+        |lat AS (SELECT CAST(floor(epoch(s3.t3)) AS BIGINT)
+        |   - CAST(floor(epoch(s1.t1)) AS BIGINT) AS sec
+        | FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+        |o AS (SELECT list_sort(list(CAST(sec AS DOUBLE))) AS vs,
+        |  count(*) AS n FROM lat)
+        |SELECT CAST(n AS BIGINT) AS n_completers,
+        | round(vs[CAST(ceil(0.5 * n) AS INT)], 2) AS p50_sec,
+        | round(vs[CAST(ceil(0.9 * n) AS INT)], 2) AS p90_sec
+        |FROM o""".stripMargin,
+
+    "q192_cohort_ltv" ->
+      """WITH f AS (
+        | SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id),
+        |fc AS (SELECT user_id,
+        |  CAST(floor(datediff('day', DATE '1970-01-05',
+        |   CAST(ft AS DATE)) / 7) AS BIGINT) AS cohort_week FROM f),
+        |sz AS (SELECT cohort_week, count(*) AS n_users
+        | FROM fc GROUP BY cohort_week),
+        |r AS (SELECT fc.cohort_week,
+        |  CAST(floor(datediff('day', DATE '1970-01-05',
+        |   CAST(e.ts AS DATE)) / 7) AS BIGINT) - fc.cohort_week AS period,
+        |  sum(CAST(e.value AS DECIMAL(28,6))) AS revenue
+        | FROM events e JOIN fc ON e.user_id = fc.user_id
+        | WHERE e.event_type = 'purchase'
+        | GROUP BY fc.cohort_week, period),
+        |c AS (SELECT cohort_week, period, revenue,
+        |  sum(revenue) OVER (PARTITION BY cohort_week ORDER BY period
+        |   ROWS UNBOUNDED PRECEDING) AS cum FROM r)
+        |SELECT c.cohort_week, c.period, sz.n_users,
+        | round(CAST(c.revenue AS DOUBLE), 6) AS revenue,
+        | round(CAST(c.cum AS DOUBLE) / sz.n_users, 6) AS cum_ltv_per_user
+        |FROM c JOIN sz ON sz.cohort_week = c.cohort_week
+        |ORDER BY c.cohort_week, c.period""".stripMargin,
 
     "q190_rolling_quantile" ->
       """WITH b AS (

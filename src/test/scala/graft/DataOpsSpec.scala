@@ -563,6 +563,50 @@ class DataOpsSpec extends SparkTestBase {
     assert(gotFlat.filter(col("cusum_hi").isNotNull).count() == 0)
   }
 
+  test("cusum: the window reformulation equals Page's sequential " +
+      "recursion exactly on pseudo-random series") {
+    // S_i = max(0, S_{i-1} + z_i − slack) computed by literal fold must
+    // equal the running-sum − running-min formulation bit-for-bit: the
+    // operator rounds z to 6 and folds DECIMALs, so both sides run the
+    // same exact arithmetic
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rng.nextInt(40)
+      val vals = Vector.fill(n)(math.floor(rng.nextDouble() * 1e4) / 100.0)
+      val df = vals.zipWithIndex.map { case (v, i) => ("s", i, v) }
+        .toDF("series", "bucket", "v")
+      val got = Anomaly.cusum(df, "series", "bucket", col("v"),
+          slack = 0.25, threshold = 3.0)
+        .orderBy("bucket").collect()
+        .map(r => (Option(r.getAs[Any]("cusum_hi")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("cusum_lo")).map(_.asInstanceOf[Double])))
+      // reference: same stats formulas in the same evaluation order
+      val k = n.toDouble
+      val s1 = vals.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val s2 = vals.map(v => BigDecimal(v * v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val mean = s1 / k
+      val variance = (s2 - s1 * s1 / k) / (k - 1)
+      val sd = math.sqrt(variance)
+      if (variance > 0) {
+        val z = vals.map(v => BigDecimal((v - mean) / sd)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val slack = BigDecimal("0.25")
+        def page(zs: Seq[BigDecimal]): Seq[BigDecimal] =
+          zs.scanLeft(BigDecimal(0)) { (s, zi) =>
+            (s + zi - slack).max(BigDecimal(0)) }.tail
+        val hi = page(z).map(_.toDouble)
+        val lo = page(z.map(-_)).map(_.toDouble)
+        got.zip(hi.zip(lo)).zipWithIndex.foreach {
+          case (((gh, gl), (rh, rl)), i) =>
+            assert(gh.contains(rh) && gl.contains(rl),
+              s"trial $trial row $i: got ($gh, $gl) want ($rh, $rl)")
+        }
+      }
+    }
+  }
+
   test("groupSplit: all rows of a group land on one side, fractions " +
       "land near targets, assignment is repartition-invariant") {
     val rows = for (g <- 1L to 500L; r <- 1 to 3) yield (g, r)

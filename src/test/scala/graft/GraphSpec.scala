@@ -152,6 +152,33 @@ class GraphSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("labelPropagation equals a literal synchronous simulation on " +
+      "pseudo-random graphs") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val nNodes = 12 + rng.nextInt(10)
+      val raw = Seq.fill(40)(
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Graph.labelPropagation(raw.toDF("src", "dst"),
+          "src", "dst", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: adjacency sets, 3 synchronous rounds of
+      // most-frequent-neighbor-label with ties to the smallest label
+      val adj = (raw ++ raw.map(_.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var labels = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to 3) {
+        labels = adj.map { case (n, nbrs) =>
+          val counts = nbrs.toSeq.map(labels).groupBy(identity)
+            .view.mapValues(_.size).toSeq
+          n -> counts.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got === labels, s"trial $trial diverged")
+    }
+  }
+
   test("labelPropagation: an isolated edge pair keeps its own label and " +
       "one round adopts the smaller endpoint") {
     val edges = Seq((7L, 8L)).toDF("src", "dst")
