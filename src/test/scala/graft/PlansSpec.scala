@@ -344,4 +344,32 @@ class PlansSpec extends SparkTestBase {
     // top-200 never globally sorts
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("rollingDistinct folds sketches with a map-side partial aggregate " +
+      "and broadcasts the buckets-sized anchor table") {
+    import graft.operators.TimeSeries
+    val q = TimeSeries.rollingDistinct(Tables.events(spark, sf),
+      "event_type", "ts", "user_id", window = 7)
+    q.count()
+    val p = plan(q)
+    // the rolling union combines sketches BEFORE its exchange — the
+    // shuffle carries partially-folded KB sketches, not per-day rows
+    assert(p.contains("partial_theta_union_agg"), p.take(3000))
+    // the anchors side of the range join is buckets-sized → broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("coOccurrence counts pairs map-side before the pair exchange") {
+    import graft.operators.Affinity
+    val q = Affinity.coOccurrence(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_orderkey", "l_partkey")
+    q.count()
+    val p = plan(q)
+    // the quadratic pair stream is partially counted before it shuffles
+    // on (item_a, item_b) — the exchange carries counts, not raw pairs
+    val ex = p.indexOf("Exchange hashpartitioning(__i")
+    assert(ex > 0, p.take(4000))
+    assert(p.substring(0, ex).contains("partial_count") ||
+      p.substring(ex).contains("partial_count"), p.take(4000))
+  }
 }
