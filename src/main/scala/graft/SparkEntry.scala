@@ -3032,7 +3032,8 @@ object SparkEntry {
     "s129_pca_ann", "s139_ann_persist", "s145_ann_batch", "s33_ann_lsh",
     "s41_knn_graph", "s44_ann_ivf", "s95_ann_pq", "s99_ann_ivfpq",
     "str103_stream_neardup_ingest", "str112_stream_quality",
-    "str148_stream_curate", "t105_bpe_train", "t106_bpe_encode",
+    "str148_stream_curate", "p182_media_pipeline",
+    "t105_bpe_train", "t106_bpe_encode",
     "t108_lm_perplexity", "t109_quality_classifier", "t114_pack_sequences",
     "t141_compression_signal", "t27_fingerprint", "t42_group_sketch",
     "t80_hll_sketch")
