@@ -145,7 +145,9 @@ object ScaleSmoke {
     "q183_rolling_distinct", "q184_label_propagation",
     // r9: basket pair expansion (capped quadratic) + attribution's
     // entity-windowed span join + the KLL window fold
-    "q189_copurchase", "q187_attribution", "q190_rolling_quantile")
+    "q189_copurchase", "q187_attribution", "q190_rolling_quantile",
+    // r9: posting-style TF-IDF (corpus token pass) + the decomposition
+    "t193_tfidf_terms", "q194_seasonal")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2871,7 +2871,29 @@ object SparkEntry {
           round(col("__cum").cast(DoubleType) /
             col("n_users").cast(DoubleType), 6).as("cum_ltv_per_user"))
         .orderBy(col("cohort_week"), col("period"))
-    }))
+    }),
+
+    // Per-document TF-IDF keywords: posting-style tf, term-keyed df over
+    // the postings, smoothed-idf scoring, per-doc rank window on ROUNDED
+    // scores (engine-reproducible cut).
+    "t193_tfidf_terms" -> ((s, d) =>
+      operators.TextAnalysis.tfidfTerms(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Additive seasonal decomposition of daily event rates: centered
+    // 7-day moving-average trend, weekday-slot seasonal indices over the
+    // detrended values, residual — all decimal-routed, portable integer
+    // weekday arithmetic.
+    "q194_seasonal" -> ((s, d) =>
+      operators.TimeSeries.seasonalDecompose(t(s, d, "events"),
+          "event_type", "ts", lit(1.0))
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+          col("v"), col("trend"), col("seasonal"), col("residual"))
+        .orderBy(col("series"), col("day"))))
 
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
@@ -3188,6 +3210,52 @@ object SparkEntry {
         |FROM pr JOIN f fa ON fa.i = pr.item_a
         | JOIN f fb ON fb.i = pr.item_b
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "t193_tfidf_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        | FROM documents WHERE doc_id < 300),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks
+        | WHERE term <> '' GROUP BY id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS nn FROM documents WHERE doc_id < 300),
+        |sc AS (SELECT tf.id, tf.term,
+        |  round(CAST(tf.tf AS DOUBLE)
+        |   * (ln(CAST(nn + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0),
+        |   6) AS score
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT id, term, score, row_number() OVER (
+        |  PARTITION BY id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q194_seasonal" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  sum(CAST(1.0 AS DECIMAL(28,6))) AS v
+        | FROM events GROUP BY series, bucket),
+        |tr AS (SELECT series, bucket, v,
+        |  count(v) OVER w AS k, sum(v) OVER w AS sv
+        | FROM dly WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT series, bucket, v,
+        |  CASE WHEN k = 7 THEN round(CAST(sv AS DOUBLE) / 7.0, 6) END
+        |   AS trend FROM tr),
+        |t3 AS (SELECT *,
+        |  CAST(round(CAST(v AS DOUBLE) - trend, 6) AS DECIMAL(28,6))
+        |   AS det,
+        |  (datediff('day', DATE '1970-01-01', bucket) + 4) % 7 AS slot
+        | FROM t2),
+        |ssn AS (SELECT series, slot,
+        |  CAST(sum(det) AS DOUBLE) / CAST(count(det) AS DOUBLE) AS s
+        | FROM t3 GROUP BY series, slot)
+        |SELECT t3.series, strftime(bucket, '%Y-%m-%d') AS day,
+        | round(CAST(v AS DOUBLE), 6) AS v, trend,
+        | s AS seasonal,
+        | CAST(det AS DOUBLE) - s AS residual
+        |FROM t3 JOIN ssn ON ssn.series = t3.series AND ssn.slot = t3.slot
+        |ORDER BY t3.series, day""".stripMargin,
 
     "q191_funnel_latency" ->
       """WITH s1 AS (

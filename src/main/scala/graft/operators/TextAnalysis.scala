@@ -578,4 +578,47 @@ object TextAnalysis {
         round(col("novel_grams").cast(DoubleType) /
           col("n_grams").cast(DoubleType), roundTo).as("novelty"))
   }
+
+  /** Per-document TF-IDF keyword extraction — "what is this document
+    * ABOUT": the top-`k` terms by `tf · (ln((N+1)/(df+1)) + 1)`
+    * (smoothed idf, sklearn's convention — the +1s keep corpus-wide
+    * terms at a positive floor instead of exactly zero, so a document
+    * made ONLY of stopwords still yields keywords). The ranking
+    * compares ROUNDED scores (6 places) with the term string as
+    * tie-break, so the extracted keyword set is engine-reproducible —
+    * raw-double ordering would let a last-ULP `ln` difference flip a
+    * rank cut.
+    *
+    * Scale shape: one (doc, term) posting aggregate (map-side
+    * combined), a term-keyed document-frequency aggregate over THAT
+    * (never the raw tokens), a broadcast 1-row corpus count, and a
+    * per-document rank window bounded by the doc's vocabulary. The
+    * corpus text is read once. */
+  def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // df-count side + the score join
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        round(col("tf").cast(DoubleType) *
+          (log((col("__n") + 1).cast(DoubleType) /
+            (col("df") + 1).cast(DoubleType)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast(LongType).as("rank"),
+        col("term"), col("score"))
+  }
 }

@@ -198,4 +198,61 @@ object TimeSeries {
           round(NativeFunctions.kllQuantile(col("__sk"), q), 2).as(name)
         }: _*)
   }
+
+  /** Classical seasonal decomposition of a daily series —
+    * `value = trend + seasonal + residual` (the additive STL-lite every
+    * monitoring stack runs before alerting, so a weekly rhythm stops
+    * masquerading as anomalies):
+    *
+    *  - `trend`: centered 7-day moving average (NULL at the edges where
+    *    the full window doesn't exist — the honest convention; a
+    *    shrinking-window edge estimate invents trend);
+    *  - `seasonal`: the mean DETRENDED value of the series' weekday
+    *    slot, centered so the seven indices sum to ~0;
+    *  - `residual`: what neither explains — the input to outlier logic.
+    *
+    * Engine-reproducible by the decimal discipline: daily values and
+    * every window/mean sum route through DECIMAL with one double
+    * division per statistic, and the weekday slot is pure integer
+    * arithmetic (`(days_since_1970 + 4) mod 7`, 0 = Sunday) rather than
+    * an engine-specific dayofweek. One keyed shuffle to daily buckets;
+    * everything after is series×calendar-sized. */
+  def seasonalDecompose(events: DataFrame, seriesCol: String,
+      tsCol: String, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events
+      .groupBy(col(seriesCol).as("series"),
+        to_date(date_trunc("day", col(tsCol))).as("bucket"))
+      .agg(sum(value.cast(DecimalType(28, 6))).as("__v"))
+    val wTrend = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__k", count(col("__v")).over(wTrend))
+      .withColumn("trend",
+        when(col("__k") === 7,
+          round(sum(col("__v")).over(wTrend).cast("double") / 7.0, 6)))
+      .withColumn("__det",
+        round(col("__v").cast("double") - col("trend"), 6)
+          .cast(DecimalType(28, 6)))
+      .localCheckpoint(eager = false) // seasonal means + the final join
+    val slot = pmod(datediff(col("bucket"), lit("1970-01-01")) + 4, lit(7))
+    val seasonal = trended
+      .withColumn("__slot", slot)
+      .groupBy(col("series"), col("__slot"))
+      .agg((sum(col("__det")).cast("double") /
+        count(col("__det")).cast("double")).as("__s"))
+    trended.withColumn("__slot", slot)
+      .join(seasonal, Seq("series", "__slot"), "left")
+      .select(col("series"), col("bucket"),
+        round(col("__v").cast("double"), 6).as("v"),
+        col("trend"),
+        // seasonal stays the RAW quotient: IEEE division of identical
+        // operands is correctly rounded, hence bit-identical in every
+        // engine — while round(quotient, 6) manufactures exact decimal
+        // .5 ties (a 6-scale sum over counts like 4) that Spark
+        // (binary-value HALF_UP) and other engines (printed-digit rules)
+        // settle differently. Don't round what is already deterministic.
+        col("__s").as("seasonal"),
+        (col("__det").cast("double") - col("__s")).as("residual"))
+  }
 }

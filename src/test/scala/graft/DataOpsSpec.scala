@@ -516,6 +516,38 @@ class DataOpsSpec extends SparkTestBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("seasonalDecompose: recovers a planted weekly rhythm; edges get " +
+      "NULL trend; value = trend + seasonal + residual where defined") {
+    // 28 days of baseline 10 with +5 every Sunday-slot day
+    val rows = (0 until 28).flatMap { d =>
+      val day = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 3, 4).plusDays(d).atTime(12, 0))
+      val n = if ((d % 7) == 6) 15 else 10 // planted weekly spike
+      Seq.fill(n)(("s", day))
+    }
+    val df = rows.toDF("series", "ts")
+    val got = TimeSeries.seasonalDecompose(df, "series", "ts", lit(1.0))
+      .orderBy("bucket").collect()
+    assert(got.length == 28)
+    // first and last 3 days: no full centered window → null trend
+    assert(got.take(3).forall(_.isNullAt(3)))
+    assert(got.takeRight(3).forall(_.isNullAt(3)))
+    val defined = got.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    assert(defined.nonEmpty)
+    defined.foreach { r =>
+      val (v, t, s, res) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      // det is rounded to 6 places before the residual, so the identity
+      // holds to half an ulp of that scale
+      assert(math.abs(v - (t + s + res)) < 1e-6, s"decomposition broke: $r")
+    }
+    // the planted spike day carries the large positive seasonal index
+    val bySlot = defined.map(r => (r.getDate(1).toLocalDate.getDayOfWeek,
+      r.getDouble(4)))
+    val maxSlot = bySlot.maxBy(_._2)._1
+    assert(maxSlot == java.time.DayOfWeek.SUNDAY, s"got $maxSlot")
+  }
+
   test("rollingQuantile: exact-mode quantiles equal inclusive order " +
       "statistics over the folded window") {
     val ts = (d: Int, m: Int) =>

@@ -192,4 +192,36 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.scriptProfile(clash2, "t")
     }
   }
+
+  test("tfidfTerms: rare discriminative terms outrank ubiquitous ones; " +
+      "smoothed idf keeps all-stopword docs scoreable") {
+    val docs = Seq(
+      (1L, "the the the zebra zebra quantum"),
+      (2L, "the the apple apple apple zebra"),
+      (3L, "the banana banana"),
+      (4L, "the the the") // stopword-only: must still yield keywords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq)
+      .toMap
+    // doc1: zebra (tf 2, df 2) beats "the" (tf 3, df 4: idf floor 1.0
+    // vs ln(5/3)+1) and quantum (tf 1, unique)
+    assert(got(1L).head == "zebra", s"${got(1L)}")
+    assert(got(1L).contains("quantum") || got(1L).contains("the"))
+    // doc3: banana dominates
+    assert(got(3L).head == "banana", s"${got(3L)}")
+    // doc4 has only "the" — still present with one keyword
+    assert(got(4L) == Seq("the"), s"${got(4L)}")
+    // determinism across partitioning
+    val again = TextAnalysis.tfidfTerms(docs.repartition(5), "doc_id",
+        "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    val first = TextAnalysis.tfidfTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(again == first)
+  }
 }
