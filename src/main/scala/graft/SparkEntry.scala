@@ -2883,6 +2883,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Discrete churn life table with right-censoring: per activity age,
+    // at-risk population (reverse cumsum over an ages-sized table),
+    // churn events, and the hazard — users last seen near the corpus
+    // end are censored, not churned.
+    "q195_churn_hazard" -> ((s, d) =>
+      operators.Retention.hazard(t(s, d, "events"), "user_id", "ts",
+        censorGuardDays = 3)),
+
     // Additive seasonal decomposition of daily event rates: centered
     // 7-day moving-average trend, weekday-slot seasonal indices over the
     // detrended values, residual — all decimal-routed, portable integer
@@ -3210,6 +3218,28 @@ object SparkEntry {
         |FROM pr JOIN f fa ON fa.i = pr.item_a
         | JOIN f fb ON fb.i = pr.item_b
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q195_churn_hazard" ->
+      """WITH sp AS (
+        | SELECT user_id,
+        |  min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS f,
+        |  max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS l
+        | FROM events GROUP BY user_id),
+        |e AS (SELECT max(l) AS en FROM sp),
+        |a AS (SELECT l - f AS age_days,
+        |  (SELECT en FROM e) - l < 3 AS cens FROM sp),
+        |p AS (SELECT age_days, count(*) AS n,
+        |  sum(CASE WHEN cens THEN 0 ELSE 1 END) AS n_churned,
+        |  sum(CASE WHEN cens THEN 1 ELSE 0 END) AS n_censored
+        | FROM a GROUP BY age_days),
+        |r AS (SELECT *, sum(n) OVER (ORDER BY age_days DESC
+        |  ROWS UNBOUNDED PRECEDING) AS n_at_risk FROM p)
+        |SELECT CAST(age_days AS BIGINT) AS age_days,
+        | CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        | CAST(n_churned AS BIGINT) AS n_churned,
+        | CAST(n_censored AS BIGINT) AS n_censored,
+        | CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+        |FROM r ORDER BY age_days""".stripMargin,
 
     "t193_tfidf_terms" ->
       """WITH toks AS (

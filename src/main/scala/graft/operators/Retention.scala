@@ -60,4 +60,54 @@ object Retention {
           col("cohort_size").cast("double"), 6).as("retention"))
       .orderBy(col("cohort"), col("offset"))
   }
+
+  /** Discrete churn life table (hazard curve) — [[cohorts]] answers "how
+    * many came back?", this answers "WHEN do they leave?": per activity
+    * age `a` (days between a user's first and last observed event), the
+    * population still at risk, the churn events, and the discrete hazard
+    * `churned / at_risk`.
+    *
+    * Censoring, the part a naive churn count gets wrong: a user last
+    * seen within `censorGuardDays` of the corpus' end may simply not
+    * have come back YET — they count as AT RISK through their observed
+    * age but never as a churn event (right-censoring at last
+    * observation, the Kaplan-Meier life-table convention). Without the
+    * guard every active user looks churned at the observation boundary
+    * and the tail hazard explodes.
+    *
+    * `hazard` is one double division of exact integer counts — no
+    * rounding, bit-identical in any engine. Scale shape: one entity
+    * aggregate (first/last day), a 1-row corpus-end scalar broadcast,
+    * an ages-sized count table and one window cumsum over THAT — the
+    * at-risk tally never touches events again. Rows: one per observed
+    * age, descending-age cumulative at-risk. */
+  def hazard(events: DataFrame, entity: String, ts: String,
+      censorGuardDays: Int = 7): DataFrame = {
+    require(censorGuardDays >= 0, s"bad censorGuardDays $censorGuardDays")
+    import org.apache.spark.sql.expressions.Window
+    // portable integer day index (same discipline as groupSplit's weeks)
+    val day = datediff(to_date(col(ts)), lit("1970-01-01"))
+    val spans = events
+      .groupBy(col(entity))
+      .agg(min(day).as("__f"), max(day).as("__l"))
+    val corpusEnd = spans.agg(max(col("__l")).as("__end"))
+    val aged = spans.crossJoin(broadcast(corpusEnd))
+      .select((col("__l") - col("__f")).as("age_days"),
+        (col("__end") - col("__l") < censorGuardDays).as("__censored"))
+    val perAge = aged.groupBy(col("age_days"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__censored"), 0L).otherwise(1L)).as("n_churned"),
+        sum(when(col("__censored"), 1L).otherwise(0L)).as("n_censored"))
+    // at_risk(a) = users with age >= a: reverse-cumulative over the
+    // ages-sized table
+    val w = Window.orderBy(col("age_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge
+      .withColumn("n_at_risk", sum(col("__n")).over(w))
+      .select(col("age_days").cast("long").as("age_days"),
+        col("n_at_risk"), col("n_churned"), col("n_censored"),
+        (col("n_churned").cast("double") /
+          col("n_at_risk").cast("double")).as("hazard"))
+      .orderBy(col("age_days"))
+  }
 }

@@ -218,6 +218,26 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("hazard: right-censoring keeps boundary users at risk without " +
+      "counting them as churn; at-risk is the reverse cumulative") {
+    val day = (d: Int) => Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay())
+    // corpus end = day 20. u1: days 1-5 (age 4, churned); u2: 1 and 19
+    // (age 18, last seen 1 day before end -> censored at guard 3);
+    // u3: day 2 only (age 0, churned); u4: 18-20 (age 2, censored)
+    val ev = Seq((1L, day(1)), (1L, day(5)), (2L, day(1)), (2L, day(19)),
+      (3L, day(2)), (4L, day(18)), (4L, day(20)))
+      .toDF("user_id", "ts")
+    val got = Retention.hazard(ev, "user_id", "ts", censorGuardDays = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0L, 4L, 1L, 0L, 0.25),  // u3 churns of 4 at risk
+      (2L, 3L, 0L, 1L, 0.0),   // u4 censored, still at risk through 2
+      (4L, 2L, 1L, 0L, 0.5),   // u1 churns of the 2 surviving past 2
+      (18L, 1L, 0L, 1L, 0.0))) // u2 censored at the boundary
+  }
+
   test("attribution: last/first/linear credit hand-built journeys; " +
       "unattributed conversions keep full value on the NULL channel") {
     import graft.operators.Attribution
