@@ -2883,6 +2883,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Distribution-drift gate (PSI): current week-4 order prices vs the
+    // week-1 reference, binned on the REFERENCE's quantile cuts — the
+    // refresh-the-corpus / retrain-the-scorer go-no-go check.
+    "q196_psi_drift" -> ((s, d) => {
+      // portable integer weeks (the q192 discipline) — engine week-of-
+      // year conventions differ, integer day arithmetic does not
+      val o = t(s, d, "orders")
+        .select(col("o_totalprice").as("price"),
+          floor(datediff(to_date(col("o_orderdate")), lit("1970-01-05"))
+            / 7).cast(LongType).as("wk"))
+      operators.Expectations.populationStability(
+        ref = o.filter(col("wk") % 4 === 1),
+        cur = o.filter(col("wk") % 4 === 0),
+        value = col("price"), bins = 10)
+    }),
+
     // Discrete churn life table with right-censoring: per activity age,
     // at-risk population (reverse cumsum over an ages-sized table),
     // churn events, and the hazard — users last seen near the corpus
@@ -3218,6 +3234,49 @@ object SparkEntry {
         |FROM pr JOIN f fa ON fa.i = pr.item_a
         | JOIN f fb ON fb.i = pr.item_b
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q196_psi_drift" ->
+      """WITH o AS (
+        | SELECT o_totalprice AS price,
+        |  CAST(floor(datediff('day', DATE '1970-01-05',
+        |   CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk
+        | FROM orders),
+        |refd AS (SELECT price FROM o WHERE wk % 4 = 1
+        | AND price IS NOT NULL AND NOT isnan(price)),
+        |curd AS (SELECT price FROM o WHERE wk % 4 = 0
+        | AND price IS NOT NULL AND NOT isnan(price)),
+        |cuts AS (SELECT quantile_cont(price,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM refd),
+        |rb AS (SELECT CAST(CASE
+        |  WHEN price <= q[1] THEN 1 WHEN price <= q[2] THEN 2
+        |  WHEN price <= q[3] THEN 3 WHEN price <= q[4] THEN 4
+        |  WHEN price <= q[5] THEN 5 WHEN price <= q[6] THEN 6
+        |  WHEN price <= q[7] THEN 7 WHEN price <= q[8] THEN 8
+        |  WHEN price <= q[9] THEN 9 ELSE 10 END AS BIGINT) AS bin
+        | FROM refd, cuts),
+        |cb AS (SELECT CAST(CASE
+        |  WHEN price <= q[1] THEN 1 WHEN price <= q[2] THEN 2
+        |  WHEN price <= q[3] THEN 3 WHEN price <= q[4] THEN 4
+        |  WHEN price <= q[5] THEN 5 WHEN price <= q[6] THEN 6
+        |  WHEN price <= q[7] THEN 7 WHEN price <= q[8] THEN 8
+        |  WHEN price <= q[9] THEN 9 ELSE 10 END AS BIGINT) AS bin
+        | FROM curd, cuts),
+        |rn AS (SELECT bin, count(*) AS ref_n FROM rb GROUP BY bin),
+        |cn AS (SELECT bin, count(*) AS cur_n FROM cb GROUP BY bin),
+        |j AS (SELECT coalesce(rn.bin, cn.bin) AS bin,
+        |  coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        | FROM rn FULL OUTER JOIN cn ON rn.bin = cn.bin),
+        |s AS (SELECT bin, ref_n, cur_n,
+        |  CAST(ref_n AS DOUBLE) / CAST(sum(ref_n) OVER () AS DOUBLE)
+        |   AS ref_share,
+        |  CAST(cur_n AS DOUBLE) / CAST(sum(cur_n) OVER () AS DOUBLE)
+        |   AS cur_share
+        | FROM j)
+        |SELECT bin, ref_n, cur_n, ref_share, cur_share,
+        | CASE WHEN ref_n > 0 AND cur_n > 0
+        |  THEN (cur_share - ref_share) * ln(cur_share / ref_share)
+        | END AS psi_part
+        |FROM s ORDER BY bin""".stripMargin,
 
     "q195_churn_hazard" ->
       """WITH sp AS (

@@ -219,4 +219,54 @@ object Expectations {
         round(pj * pmi, 6).as("mi_part"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * distribution of a score column — the standard drift gate an ML/
+    * curation pipeline runs before trusting a refreshed corpus or a
+    * retrained scorer (rule of thumb: Σ psi_part < 0.1 stable, > 0.25
+    * act): bins come from the reference's equal-frequency quantile cuts
+    * ([[quantileBins]]' contract — stats-sized driver scalars; swap
+    * `percentile_approx` in at 100 TB), both datasets land in those
+    * SAME bins via one codegen'd comparison chain, and
+    * `psi_part = (cur_share − ref_share) · ln(cur_share / ref_share)`
+    * per bin. A bin empty on either side yields NULL psi_part (ln of a
+    * zero share is the caller's modeling decision — the standard ε-fudge
+    * invents stability; surfacing NULL does not). Shares and psi stay
+    * RAW doubles: each is a correctly-rounded division/log of exact
+    * counts, already engine-identical, while rounding can land on exact
+    * decimal ties (the q194 lesson). Output is bins-sized:
+    * (bin, ref_n, cur_n, ref_share, cur_share, psi_part). */
+  def populationStability(ref: DataFrame, cur: DataFrame, value: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 1, s"need bins > 1, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val v = value.cast("double")
+    val refClean = ref.filter(value.isNotNull && !isnan(v))
+    val curClean = cur.filter(value.isNotNull && !isnan(v))
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cutsRow = refClean.agg(percentile(v, lit(probs.toArray))).head()
+    require(!cutsRow.isNullAt(0),
+      "populationStability: reference has no non-null finite values")
+    val cuts = cutsRow.getSeq[Double](0)
+    val bin = cuts.zipWithIndex.foldRight(lit(bins.toLong)) {
+      case ((cut, i), acc) => when(v <= cut, lit(i.toLong + 1)).otherwise(acc)
+    }
+    val r = refClean.groupBy(bin.as("bin")).agg(count(lit(1)).as("ref_n"))
+    val c = curClean.groupBy(bin.as("bin")).agg(count(lit(1)).as("cur_n"))
+    val wAll = Window.partitionBy()
+    val joinedBins = r.join(c, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val refShare = col("ref_n").cast("double") /
+      sum(col("ref_n")).over(wAll).cast("double")
+    val curShare = col("cur_n").cast("double") /
+      sum(col("cur_n")).over(wAll).cast("double")
+    joinedBins
+      .withColumn("ref_share", refShare)
+      .withColumn("cur_share", curShare)
+      .withColumn("psi_part",
+        when(col("ref_n") > 0 && col("cur_n") > 0,
+          (col("cur_share") - col("ref_share")) *
+            log(col("cur_share") / col("ref_share"))))
+      .orderBy(col("bin"))
+  }
 }

@@ -516,6 +516,25 @@ class DataOpsSpec extends SparkTestBase {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("populationStability: identical distributions score ~0, a planted " +
+      "shift scores large; empty-side bins yield NULL psi") {
+    val ref = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    // same distribution → every bin share matches → psi ≈ 0
+    val same = Expectations.populationStability(ref, ref, col("v"), bins = 10)
+      .agg(sum(col("psi_part"))).head().getDouble(0)
+    assert(math.abs(same) < 1e-12, s"identical corpora drifted: $same")
+    // shifted distribution → mass leaves low bins for the top bin
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 50.0).toDF("v")
+    val drift = Expectations.populationStability(ref, shifted, col("v"),
+        bins = 10)
+    val psi = drift.agg(sum(col("psi_part"))).head().getDouble(0)
+    assert(psi > 0.25, s"planted shift must trip the act threshold: $psi")
+    // the emptied low bins carry NULL psi_part, never ±Infinity
+    assert(drift.filter(col("cur_n") === 0 && col("psi_part").isNotNull)
+      .count() == 0)
+    assert(drift.filter(col("psi_part").isNaN).count() == 0)
+  }
+
   test("seasonalDecompose: recovers a planted weekly rhythm; edges get " +
       "NULL trend; value = trend + seasonal + residual where defined") {
     // 28 days of baseline 10 with +5 every Sunday-slot day
