@@ -66,15 +66,16 @@ object Attribution {
               .otherwise(round(col("__v") / col("__n"), 6))
               .cast(DecimalType(28, 6)))
       case m =>
-        val orderKey = struct(col("__tts"), col("__ttie"))
-        val pick = if (m == "first") min(orderKey).over(wSpan)
-                   else max(orderKey).over(wSpan)
-        // null-safe compares keep the unattributed conversion row (the
-        // left join's single all-null touch, which also IS its span's
-        // min/max struct — plain === would null out and drop it)
-        joined.withColumn("__pick", pick)
-          .filter(col("__tts") <=> col("__pick.__tts") &&
-            col("__ttie") <=> col("__pick.__ttie"))
+        // row_number (not a min/max-struct equality filter) so a (ts,
+        // tie) collision between two touches still credits EXACTLY one
+        // row — a tie filter would keep every collider and double-count
+        // the conversion's value. The unattributed conversion (left
+        // join's single all-null touch row) is its span's only row, so
+        // rn = 1 keeps it.
+        val ord = if (m == "first") Seq(col("__tts").asc, col("__ttie").asc)
+                  else Seq(col("__tts").desc, col("__ttie").desc)
+        joined.withColumn("__rn", row_number().over(wSpan.orderBy(ord: _*)))
+          .filter(col("__rn") === 1)
           .withColumn("__credit",
             round(col("__v"), 6).cast(DecimalType(28, 6)))
     }

@@ -147,27 +147,48 @@ object Dedup {
             s"nearDupIncrement was called with bands=$bands — probe with " +
             "the index's build-time parameters")
       }
+    // The shingle+minhash kernels — the dominant per-doc compute of the
+    // whole pipeline — run EXACTLY ONCE over the increment, into this
+    // checkpoint; every downstream pass (intra-batch band join + verify,
+    // base-index probe, shingle verify, survivors' index append) reads
+    // the precomputed `bands`/`sh` columns instead of re-sketching.
+    // Increment-scale by contract — never the index.
+    val withSk = increment
+      .withColumn("bands", org.apache.spark.sql.graft.NativeFunctions
+        .minhashBands(col(textCol), shingleK, numHashes, bands))
+      .withColumn("sh", shingleHashes(col(textCol), shingleK))
+      .localCheckpoint(eager = false)
+    // Intra-batch pair candidates from the precomputed sketches — the
+    // same band→cap→pair→jaccard-verify shape as [[minhashNearDups]],
+    // minus its per-doc kernels.
+    val bandedIntra = withSk
+      .select(col(idCol).as("id"), posexplode(col("bands")))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val prunedIntra =
+      capBuckets(bandedIntra, Seq("band_idx", "band_hash"), maxBucketSize)
+    val shTbl = withSk.select(col(idCol).as("id"), col("sh"))
+    val intraPairs = bucketPairs(prunedIntra, Seq("band_idx", "band_hash"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .join(shTbl.withColumnsRenamed(
+        Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(shTbl.withColumnsRenamed(
+        Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
     // Cluster-canonical intra-batch survivors: pairwise id_b-dropping
     // over-deletes chains (a~b, b~c, a!~c would delete BOTH b and c,
     // losing c's content entirely) — the same reasoning as the batch
     // pipeline's dropNearDups; the pair graph is increment-sized, so the
     // few label-propagation rounds are cheap.
-    val intraLosers = dupClusters(minhashNearDups(increment, idCol, textCol,
-        shingleK, numHashes, bands, threshold, maxBucketSize))
+    val intraLosers = dupClusters(intraPairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__l")).distinct()
-    // The intra-deduped increment feeds FOUR consumers (bucket keys, band
-    // join, shingle verify, final anti-join); without truncation each one
-    // would re-run the whole intra-batch LSH dedup. localCheckpoint
-    // materializes it once, increment-scale by contract — never the index.
-    // The sketches are computed INTO the checkpoint so the band join and
-    // the shingle verify read them instead of re-running the kernels,
-    // and the survivors carry them out for index appends.
-    val intra = increment
-      .join(intraLosers, increment(idCol) === col("__l"), "left_anti")
-      .withColumn("bands", org.apache.spark.sql.graft.NativeFunctions
-        .minhashBands(col(textCol), shingleK, numHashes, bands))
-      .withColumn("sh", shingleHashes(col(textCol), shingleK))
+    // The intra-deduped increment feeds three consumers (band join,
+    // shingle verify, final anti-join); a second nodes-light checkpoint
+    // keeps the anti-join from re-running per consumer. Reads the
+    // sketch checkpoint — no kernel re-run.
+    val intra = withSk
+      .join(intraLosers, withSk(idCol) === col("__l"), "left_anti")
       .localCheckpoint(eager = false)
 
     val incBanded = intra

@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-run checkpoint strategy. Every iterative operator here
+    * truncates lineage once per round; HOW it truncates is a
+    * durability choice the caller makes via `checkpointDir`:
+    *
+    *  - `None` (default): `localCheckpoint` — executor-local blocks,
+    *    no extra I/O. Right for local runs and tests, but the blocks
+    *    are NON-REPLICATED executor state: on a real cluster, losing
+    *    one executor mid-run kills the job with no lineage left to
+    *    recompute from.
+    *  - `Some(dir)`: reliable `checkpoint` to `dir` (HDFS/object
+    *    store) — each round's state is written to durable storage, so
+    *    a 10-iteration PageRank over a 100 TB-derived host graph
+    *    survives executor loss. The state written per round is
+    *    nodes-sized (edges checkpoint once), so the extra I/O is small
+    *    relative to the edge joins.
+    *
+    * Returns a checkpoint function bound to the chosen strategy; sets
+    * the SparkContext checkpoint dir once up front for the reliable
+    * path. */
+  private def ckptFn(df0: DataFrame, dir: Option[String])
+      : Boolean => DataFrame => DataFrame = {
+    dir.foreach(df0.sparkSession.sparkContext.setCheckpointDir)
+    eager => df =>
+      if (dir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+  }
+
   /** Standard damped PageRank with uniform dangling-mass redistribution:
     *
     *   rank_0(v)   = 1/N
@@ -40,9 +67,9 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
-      roundTo: Int = 6): DataFrame =
+      roundTo: Int = 6, checkpointDir: Option[String] = None): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, roundTo,
-      weightCol = None, teleportIds = None)
+      weightCol = None, teleportIds = None, checkpointDir)
 
   /** Weighted PageRank: parallel (src, dst) edges collapse by SUMMING
     * `weightCol` (a link count, a click volume), and each source
@@ -52,9 +79,9 @@ object Graph {
     * execution shape and dangling semantics as [[pageRank]]. */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int = 10, damping: Double = 0.85,
-      roundTo: Int = 6): DataFrame =
+      roundTo: Int = 6, checkpointDir: Option[String] = None): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, roundTo,
-      weightCol = Some(weightCol), teleportIds = None)
+      weightCol = Some(weightCol), teleportIds = None, checkpointDir)
 
   /** Personalized (topic-sensitive) PageRank: the random surfer
     * teleports UNIFORMLY OVER `seeds` instead of over all nodes, so
@@ -66,15 +93,17 @@ object Graph {
     * receive their teleport share. Scores sum to 1 over nodes ∪ seeds. */
   def pageRankPersonalized(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85, roundTo: Int = 6): DataFrame =
+      damping: Double = 0.85, roundTo: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, roundTo,
-      weightCol = None, teleportIds = Some(seeds))
+      weightCol = None, teleportIds = Some(seeds), checkpointDir)
 
   private def pageRankImpl(edges: DataFrame, srcCol: String,
       dstCol: String, iterations: Int, damping: Double, roundTo: Int,
-      weightCol: Option[String], teleportIds: Option[DataFrame])
-      : DataFrame = {
+      weightCol: Option[String], teleportIds: Option[DataFrame],
+      checkpointDir: Option[String]): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val ck = ckptFn(edges, checkpointDir)
     require(damping >= 0.0 && damping <= 1.0,
       s"damping in [0,1], got $damping")
     // weighted: parallel edges merge additively; unweighted: collapse.
@@ -97,7 +126,7 @@ object Graph {
       .map(s => graphNodes.union(
         s.select(s.columns.head).toDF("id")).distinct())
       .getOrElse(graphNodes)
-      .localCheckpoint(eager = true)
+      .transform(ck(true))
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     // teleport share per node: uniform 1/n, or 1/|seeds| on seeds and 0
@@ -106,21 +135,21 @@ object Graph {
     val withT = teleportIds match {
       case Some(s) =>
         val seedSet = s.select(s.columns.head).toDF("id").distinct()
-          .localCheckpoint(eager = true)
+          .transform(ck(true))
         val k = seedSet.count()
         require(k > 0, "personalized pageRank needs at least one seed")
         nodes.join(seedSet.withColumn("__t", lit(1.0 / k)), Seq("id"), "left")
           .select(col("id"), coalesce(col("__t"), lit(0.0)).as("__t"))
       case None => nodes.select(col("id"), lit(1.0 / n).as("__t"))
     }
-    val tNodes = withT.localCheckpoint(eager = true)
+    val tNodes = withT.transform(ck(true))
     val outW = e.groupBy(col("src")).agg(sum(col("__w")).as("__deg"))
     // weight share rides WITH each edge so the per-iteration join
     // touches only (edges ⋈ ranks) — checkpointed once
-    val eDeg = e.join(outW, "src").localCheckpoint(eager = true)
+    val eDeg = e.join(outW, "src").transform(ck(true))
 
     var ranks = tNodes.select(col("id"), col("__t").as("rank"))
-      .localCheckpoint(eager = false)
+      .transform(ck(false))
     for (_ <- 0 until iterations) {
       // contrib is the iteration's ONE keyed aggregate; checkpointed
       // because the dangling scalar and the rank join both read it (and
@@ -130,7 +159,7 @@ object Graph {
         .select(col("dst").as("id"),
           (col("rank") * col("__w") / col("__deg")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__c"))
-        .localCheckpoint(eager = false)
+        .transform(ck(false))
       // dangling mass by conservation: every non-sink distributes its
       // whole rank, so Σ contrib = 1 − (rank parked on sinks) — one
       // scalar over the already-aggregated contrib table instead of a
@@ -166,17 +195,19 @@ object Graph {
     * Returns (id, auth, hub) per node, rounded to `roundTo`; nodes with
     * no in-edges have auth 0, nodes with no out-edges hub 0. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, roundTo: Int = 6): DataFrame = {
+      iterations: Int = 10, roundTo: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ck = ckptFn(edges, checkpointDir)
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().transform(ck(true))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(ck(true))
     var hub = nodes.select(col("id"), lit(1.0).as("hub"))
-      .localCheckpoint(eager = false)
+      .transform(ck(false))
     var auth = nodes.select(col("id"), lit(0.0).as("auth"))
     for (_ <- 0 until iterations) {
       // nodes-sized; checkpointed because both the normalizer and the
@@ -184,22 +215,22 @@ object Graph {
       // edge join
       val aRaw = e.join(hub, e("src") === hub("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__a"))
-        .localCheckpoint(eager = false)
+        .transform(ck(false))
       val aNorm = aRaw.agg(sum(col("__a")).as("__s"))
       auth = nodes.join(aRaw, Seq("id"), "left")
         .crossJoin(broadcast(aNorm)) // one-row scalar join
         .select(col("id"),
           (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
-        .localCheckpoint(eager = false)
+        .transform(ck(false))
       val hRaw = e.join(auth, e("dst") === auth("id"))
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__h"))
-        .localCheckpoint(eager = false)
+        .transform(ck(false))
       val hNorm = hRaw.agg(sum(col("__h")).as("__s"))
       hub = nodes.join(hRaw, Seq("id"), "left")
         .crossJoin(broadcast(hNorm))
         .select(col("id"),
           (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
-        .localCheckpoint(eager = false)
+        .transform(ck(false))
     }
     auth.join(hub, "id")
       .select(col("id"), round(col("auth"), roundTo).as("auth"),
@@ -222,16 +253,18 @@ object Graph {
     * round removes nothing — further rounds are no-ops, which is what
     * lets a fixed-unroll oracle reproduce the result exactly). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, checkpointDir: Option[String] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val ck = ckptFn(edges, checkpointDir)
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
     var e = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")) // self-loops add no core support
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(ck(true))
     var n = e.count()
     var rounds = 0
     var converged = n == 0L
@@ -243,11 +276,18 @@ object Graph {
       val pruned = e
         .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(eager = true)
+        .transform(ck(true))
       val m = pruned.count()
-      converged = m == n
+      converged = m == n || m == 0 // empty is trivially the fixpoint
       e = pruned; n = m; rounds += 1
     }
+    // a partially-peeled edge set is NOT the k-core — surface it loudly
+    // instead of returning a silently-wrong superset (a caller wanting
+    // the bounded-rounds semantics can catch and retry with a larger
+    // bound; any fixed-unroll oracle must unroll to this same bound)
+    if (!converged) throw new IllegalStateException(
+      s"kCore(k=$k) did not reach the fixpoint within maxRounds=" +
+        s"$maxRounds (last round still removed edges); raise maxRounds")
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
@@ -268,18 +308,20 @@ object Graph {
     * Returns (id, label) with communities named by their smallest
     * member label. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5, checkpointDir: Option[String] = None)
+      : DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ck = ckptFn(edges, checkpointDir)
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true) // reused every round, fixed lineage
+      .transform(ck(true)) // reused every round, fixed lineage
     var labels = e.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(eager = true)
+      .transform(ck(true))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__n").desc, col("label").asc)
     for (_ <- 1 to iterations) {
@@ -290,7 +332,7 @@ object Graph {
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") === 1)
         .select(col("id"), col("label"))
-        .localCheckpoint(eager = true)
+        .transform(ck(true))
     }
     labels
   }

@@ -273,6 +273,28 @@ class FunnelSpec extends SparkTestBase {
     assert(linear("NULL") == (1L, 5.0), s"$linear")
   }
 
+  test("attribution: a (ts, tie) collision between touches credits " +
+      "exactly ONE row — value is never double-counted") {
+    import graft.operators.Attribution
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // two touches sharing (ts, event_id) — e.g. a dirty feed replaying
+    // the same tie key — then one $10 conversion
+    val ev = Seq(
+      (1L, ts(1), 7L, "click", 0.0), (1L, ts(1), 7L, "view", 0.0),
+      (1L, ts(2), 8L, "buy", 10.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    for (model <- Seq("first", "last")) {
+      val got = Attribution.credit(ev, "user_id", "ts", "event_id",
+          isTouch = col("event_type").isin("click", "view"),
+          channel = col("event_type"),
+          isConversion = col("event_type") === "buy",
+          value = col("value"), model = model)
+        .agg(sum("n_credits"), sum("credit")).collect().head
+      assert(got.getLong(0) == 1L, s"$model credited ${got.getLong(0)} rows")
+      assert(got.getDouble(1) == 10.0, s"$model total ${got.getDouble(1)}")
+    }
+  }
+
   test("eventPaths: counts ordered k-windows, drops incomplete tails, " +
       "deterministic top-N cut") {
     import graft.operators.Attribution

@@ -126,6 +126,48 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, "src", "dst", k = 3).isEmpty)
   }
 
+  test("kCore: throws loudly when maxRounds is exhausted before the " +
+      "fixpoint instead of returning a partially-peeled edge set") {
+    // 1–4–5 chain cascades: round 1 peels 5, round 2 peels 4 — with
+    // maxRounds = 1 the loop ends mid-peel and must NOT pretend the
+    // leftover superset is the 2-core
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+    // the same graph peels in 2 rounds + 1 confirming no-op round
+    assert(Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 3)
+      .count() == 3L)
+  }
+
+  test("reliable checkpointDir: every iterative operator returns results " +
+      "identical to the localCheckpoint path and writes durable state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gck").toString
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val some = Some(dir)
+    assert(Graph.pageRank(edges, "src", "dst", checkpointDir = some)
+      .orderBy("id").collect().toSeq ===
+      Graph.pageRank(edges, "src", "dst").orderBy("id").collect().toSeq)
+    assert(Graph.hits(edges, "src", "dst", checkpointDir = some)
+      .orderBy("id").collect().toSeq ===
+      Graph.hits(edges, "src", "dst").orderBy("id").collect().toSeq)
+    assert(Graph.kCore(edges, "src", "dst", k = 2, checkpointDir = some)
+      .orderBy("id").collect().toSeq ===
+      Graph.kCore(edges, "src", "dst", k = 2)
+        .orderBy("id").collect().toSeq)
+    assert(Graph.labelPropagation(edges, "src", "dst",
+        checkpointDir = some).orderBy("id").collect().toSeq ===
+      Graph.labelPropagation(edges, "src", "dst")
+        .orderBy("id").collect().toSeq)
+    // the reliable path actually wrote RDD checkpoint state to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(wrote > 0, s"no reliable checkpoint state written under $dir")
+  }
+
   test("pageRank: zero iterations returns the uniform prior") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.pageRank(edges, "src", "dst", iterations = 0)
