@@ -1990,6 +1990,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Perceptual (dHash) near-dup pairs: the re-encoding-robust
+    // complement of m142's byte-level CDC chunking — planted variants
+    // re-encode every doc char at "2x" (byte doubling), sharing zero
+    // raw chunks but the same coarse gradient. Value-pinned (the dHash
+    // kernel is not SQL-expressible); TypeMappingSpec carries the
+    // semantics (known-answer ramps, scale invariance, skew guard).
+    "m197_phash_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("n_chars") >= 256 && col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"),
+            regexp_replace(col("text"), "(.)", "$1$1").as("text")))
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      operators.Multimodal.perceptualNearDups(corpus, "doc_id", "payload",
+          maxHamming = 6, bands = 8, maxBucketSize = 256)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Per-benchmark contamination audit: benchA is a verbatim corpus
     // slice (exact hits), benchB is a mutated slice (near hits at
     // jaccard >= 0.5 but not exact). Rows-only (hashed-shingle jaccard);
@@ -2672,6 +2692,40 @@ object SparkEntry {
         .orderBy(col("g"))
     }),
 
+    // Backpressure / admission control under replay: six staged files,
+    // maxFilesPerTrigger=2 -> exactly three micro-batches of exactly two
+    // files each (mtime-ordered), audited by a per-batch row-count sink;
+    // a RESTART on the same checkpoint re-admits NOTHING (replay
+    // idempotence). The algebraic oracle recomputes each batch's row
+    // count from the file-slice rule — one big batch, a dropped file, or
+    // double admission all break the per-batch counts.
+    "str198_stream_backpressure" -> ((s, d) => {
+      val root = tmpDir("graft_str198")
+      val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      stageReplayBatches(s,
+        (0 until 6).map(i => ev.filter(pmod(col("event_id"), lit(6)) === i)),
+        srcDir)
+      val cfg = graft.streaming.MicroBatch.IngestConfig(
+        triggerMillis = 0, maxFilesPerTrigger = 2, checkpointDir = ckpt)
+      def runOnce(): Unit = {
+        val q = graft.streaming.MicroBatch.fileStream(s, srcDir, cfg)
+          .writeStream.trigger(cfg.trigger)
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.agg(count(lit(1)).as("n_rows"))
+              .select(lit(id).as("batch_id"), col("n_rows"))
+              .coalesce(1).write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        try q.awaitTermination() finally q.stop()
+      }
+      runOnce() // drains all six files in three bounded batches
+      runOnce() // restart on the same checkpoint: admits zero batches
+      s.read.parquet(outDir).orderBy(col("batch_id"))
+    }),
+
     // k-core decomposition: peel the purchase graph to its k=30 core —
     // the densely-embedded customers/suppliers that survive iterative
     // low-degree removal (the link-farm/periphery separator). The
@@ -3073,6 +3127,7 @@ object SparkEntry {
     "d30_simhash_neardup", "d31_embed_neardup", "d40_ngram_neardup",
     "d91_semantic_dedup", "d93_temperature_mix",
     "d96_semantic_decontaminate", "m130_cdc_dedup", "m142_binary_neardup",
+    "m197_phash_neardup",
     "p88_pipeline", "q104_foreign_bucket", "q38_approx",
     "s111_prototypicality", "s118_cluster_stats", "s119_diversity_sample",
     "s129_pca_ann", "s139_ann_persist", "s145_ann_batch", "s33_ann_lsh",
@@ -5329,6 +5384,12 @@ object SparkEntry {
     // unrolled to kCore's maxRounds bound (30) so the oracle can never
     // compare a fixpoint against a non-fixpoint — converged rounds are
     // no-ops, so over-unrolling is safe
+    "str198_stream_backpressure" ->
+      """WITH f AS (
+        | SELECT ((event_id % 6) + 6) % 6 AS fi FROM events)
+        |SELECT fi // 2 AS batch_id, count(*) AS n_rows
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q180_kcore" -> kCoreOracleSql(10, 30),
 
     "q181_event_transitions" ->

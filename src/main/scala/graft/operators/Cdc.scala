@@ -21,11 +21,78 @@ object Cdc {
   val OpDelete = "D"
 
   /** Collapse an op log to final table state. `orderCols` must totally order
-    * ops within a key (change time + change id, per the OGG metadata). */
+    * ops within a key (change time + change id, per the OGG metadata).
+    * Expects ONE schema; an op log whose later batches evolved (added
+    * columns, widened types) goes through [[unionEvolved]] first —
+    * see [[applyLogEvolved]]. */
   def applyLog(ops: DataFrame, keyCols: Seq[String], opCol: String,
       orderCols: Seq[Column]): DataFrame =
     Merge.latestWins(ops, keyCols, orderCols)
       .filter(col(opCol) =!= OpDelete)
+
+  /** Union op-log batches whose schemas EVOLVED over time — the
+    * column-add / type-widen drift a long-lived CDC capture accrues as
+    * the source table migrates (the reference ships a type-conversion
+    * risk table for exactly this migration surface,
+    * `odps-data-carrier/.../HiveTypeTransformer.java:79-187`; its
+    * "safe" conversions are the ones sanctioned here).
+    *
+    * Rules, applied per column name across all batches:
+    *  - a column missing from a batch is filled with NULL — an added
+    *    column is by definition nullable for rows that predate it;
+    *  - integral widths widen to the widest seen (byte→short→int→long),
+    *    float widens to double — lossless, order-independent;
+    *  - ANY other type disagreement (string vs long, decimal scale
+    *    change, struct reshape) throws `IllegalArgumentException`
+    *    naming every conflicting column — silently coercing those is
+    *    how a CDC pipeline corrupts history, so the caller must
+    *    migrate explicitly.
+    *
+    * Column order is first-seen order, so the earliest batch's layout
+    * is stable. Pure metadata resolution driver-side; the data path is
+    * each batch cast/null-filled once and unioned — no shuffle. */
+  def unionEvolved(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "unionEvolved needs at least one batch")
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if integral(a) && integral(b) =>
+        Some(if (a.defaultSize >= b.defaultSize) a else b)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+    val evolved = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    val conflicts = scala.collection.mutable.ArrayBuffer[String]()
+    for (b <- batches; f <- b.schema.fields) evolved.get(f.name) match {
+      case None => evolved(f.name) = f.dataType
+      case Some(t) => widen(t, f.dataType) match {
+        case Some(w) => evolved(f.name) = w
+        case None =>
+          conflicts += s"${f.name} (${t.simpleString} vs " +
+            s"${f.dataType.simpleString})"
+      }
+    }
+    if (conflicts.nonEmpty) throw new IllegalArgumentException(
+      "unionEvolved: op-log batches disagree on column type(s) beyond " +
+        s"sanctioned widenings: ${conflicts.distinct.mkString(", ")} — " +
+        "migrate these columns explicitly before applying the log")
+    batches.map { b =>
+      val present = b.columns.toSet
+      b.select(evolved.toSeq.map { case (n, t) =>
+        (if (present(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[applyLog]] over schema-evolving batches: [[unionEvolved]] then
+    * collapse. Rows that predate an added column surface NULL for it in
+    * the final state (unless a later op rewrote the key). */
+  def applyLogEvolved(batches: Seq[DataFrame], keyCols: Seq[String],
+      opCol: String, orderCols: Seq[Column]): DataFrame =
+    applyLog(unionEvolved(batches), keyCols, opCol, orderCols)
 
   /** Before-image consistency audit for op logs that carry both images —
     * the OGG update schema (`ColumnMapping.java:26-41`: `dest` after-image,

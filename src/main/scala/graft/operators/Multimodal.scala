@@ -149,6 +149,53 @@ object Multimodal {
     * the text family) → equi-join on chunk identity → per-pair shared
     * bytes → exact byte-Jaccard filter. Payload bytes never shuffle.
     * Returns (id_a, id_b, shared_bytes, jaccard_bytes), id_a < id_b. */
+  /** Perceptual near-duplicate pairs via 64-bit dHash — the
+    * re-encoding-robust complement of [[binaryNearDups]]: CDC chunking
+    * finds payloads sharing raw BYTES, so a JPEG re-encoded as PNG (or
+    * re-compressed at another quality) shares nothing; dHash fingerprints
+    * the coarse content gradient (public dHash recipe: downsample to a
+    * 9×8 grid, hash the adjacent-cell compares), so re-encodes and mild
+    * edits land within a few Hamming bits. Decode-to-luma is the one
+    * STUBbed step ([[org.apache.spark.sql.graft.PerceptualKernels]]);
+    * the hashing, banding, skew guard, and pair join are the real
+    * 100 TB plan.
+    *
+    * Scale shape — never all-pairs: the hash splits into `bands`
+    * equal bit-slices; by pigeonhole, any pair within `maxHamming <
+    * bands` bits agrees on at least one slice, so candidates come from
+    * equi-joining (band_idx, band_val) buckets, `capBuckets`-guarded
+    * against degenerate buckets (uniform payloads — all-white frames —
+    * collapse to one hash), then exact-verified with one
+    * `bit_count(xor)`. 8 B per payload per band shuffles; payload bytes
+    * never leave the scan. Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def perceptualNearDups(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = 256): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"guaranteed recall needs maxHamming < bands (pigeonhole), got " +
+        s"maxHamming=$maxHamming bands=$bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
+    val sigs = df.select(col(idCol).as("id"),
+        NativeFunctions.dhash64(col(binCol)).as("__ph"))
+      .filter(col("__ph").isNotNull)
+    val banded = sigs.select(col("id"), col("__ph"), posexplode(array(
+        (0 until bands).map(b => call_function("shiftrightunsigned",
+          col("__ph"), lit(b * bits)).bitwiseAND(lit(mask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
+    val pruned = Dedup.capBuckets(banded,
+      Seq("band_idx", "band_val"), maxBucketSize)
+    Dedup.bucketPairs(pruned, Seq("band_idx", "band_val"),
+        payload = Seq("__ph"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function("bit_count",
+          col("a.__ph").bitwiseXOR(col("b.__ph"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def binaryNearDups(df: DataFrame, idCol: String, binCol: String,
       threshold: Double = 0.5,
       minSize: Int = 64, avgBits: Int = 8, maxSize: Int = 1024,

@@ -902,6 +902,86 @@ case class ContentChunks(child: Expression, minSize: Int, avgBits: Int,
   override def prettyName: String = "content_chunks"
 }
 
+/** dHash (difference hash) perceptual fingerprint of a media payload.
+  * The public pHash/dHash recipe: resize to a (GridW+1-wide) grayscale
+  * grid, set bit (r, c) iff cell(r,c) < cell(r,c+1) — robust to
+  * re-encoding, scaling, and mild edits because the hash depends on the
+  * coarse luminance GRADIENT, not bytes. Two payloads are perceptual
+  * near-duplicates when the Hamming distance of their hashes is small.
+  */
+object PerceptualKernels {
+  /** 9 columns x 8 rows: 8 adjacent-compare bits per row = 64 bits. */
+  val GridW = 9
+  val GridH = 8
+
+  /** STUB "decode + grayscale + resize": box-resample the payload byte
+    * stream into a GridW x GridH grid of unsigned-byte means. The box
+    * averaging IS the real dHash resize step — applied to the raw byte
+    * stream instead of decoded pixels because no codec libs exist in
+    * this environment. Swap this loop's input for a real decoder's luma
+    * plane and nothing downstream (hashing, banding, pair join)
+    * changes. Deterministic; an empty payload grids to zeros. */
+  def lumaGrid(bytes: Array[Byte]): Array[Int] = {
+    val cells = GridW * GridH
+    val grid = new Array[Int](cells)
+    val n = bytes.length
+    if (n > 0) {
+      var i = 0
+      while (i < cells) {
+        var lo = (i.toLong * n / cells).toInt
+        var hi = ((i + 1).toLong * n / cells).toInt
+        if (lo >= n) lo = n - 1
+        if (hi <= lo) hi = lo + 1 // tiny payloads: cells share bytes
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += bytes(j) & 0xFF; j += 1 }
+        grid(i) = (s / (hi - lo)).toInt
+        i += 1
+      }
+    }
+    grid
+  }
+
+  /** The REAL dHash step over a 72-cell grid: row-major adjacent
+    * compares, bit index r*(GridW-1)+c. */
+  def dhashOfGrid(grid: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < GridH) {
+      var c = 0
+      while (c < GridW - 1) {
+        if (grid(r * GridW + c) < grid(r * GridW + c + 1))
+          h |= 1L << (r * (GridW - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  def dhash64(bytes: Array[Byte]): Long = dhashOfGrid(lumaGrid(bytes))
+}
+
+/** 64-bit dHash of a binary payload ([[PerceptualKernels]]) — the
+  * perceptual near-dup fingerprint; codegen emits one static call per
+  * row. Null payload -> null. */
+case class DHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PerceptualKernels.dhash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.PerceptualKernels.dhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "dhash64"
+}
+
 /** Kernels for Z-order (Morton-curve) clustering keys. Kept as static
   * methods so codegen calls inline into every generated class. */
 object ZOrderKernels {
@@ -1367,6 +1447,10 @@ object NativeFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(bloom, BinaryType),
         new org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(ExpressionUtils.expression(value)))))
+
+  /** 64-bit perceptual dHash of a binary payload ([[DHash64]]). */
+  def dhash64(c: Column): Column =
+    ExpressionUtils.column(DHash64(ExpressionUtils.expression(c)))
 
   /** Content-defined chunk list of a binary payload ([[ContentChunks]]). */
   def contentChunks(c: Column, minSize: Int, avgBits: Int,

@@ -53,6 +53,49 @@ class MergeCdcSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2.0), (3L, 5.0)))
   }
 
+  test("unionEvolved + applyLogEvolved: a later batch's added nullable " +
+      "column back-fills NULL; integral widths widen; final state is " +
+      "the evolved schema") {
+    // batch 1: the original (k, op, seq, v:int) shape
+    val b1 = Seq((1, Cdc.OpInsert, 1L, 10), (2, Cdc.OpInsert, 2L, 20))
+      .toDF("k", "op", "seq", "v")
+    // batch 2: source migrated — v widened int->long, new `tag` column
+    val b2 = Seq((2L, Cdc.OpUpdate, 3L, 21L, "hot"),
+      (3L, Cdc.OpInsert, 4L, 30L, "new"))
+      .toDF("k", "op", "seq", "v", "tag")
+    val st = Cdc.applyLogEvolved(Seq(b1, b2), Seq("k"), "op",
+      Seq(col("seq")))
+    assert(st.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, "v must widen to long")
+    assert(st.columns.toSeq == Seq("k", "op", "seq", "v", "tag"),
+      "first-seen column order, added column last")
+    val rows = st.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.getString(4)).getOrElse("NULL")))
+    // key 1 predates `tag` -> NULL; key 2 rewritten by batch 2 -> hot
+    assert(rows.toSeq == Seq((1L, 10L, "NULL"), (2L, 21L, "hot"),
+      (3L, 30L, "new")), rows.mkString(","))
+  }
+
+  test("unionEvolved rejects non-widening type drift loudly, naming " +
+      "the column") {
+    val b1 = Seq((1L, "a")).toDF("k", "v")
+    val b2 = Seq((2L, 7L)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Cdc.unionEvolved(Seq(b1, b2))
+    }
+    assert(ex.getMessage.contains("v (string vs bigint)"), ex.getMessage)
+    // float->double IS sanctioned, in either encounter order
+    val f = Seq((1L, 1.5f)).toDF("k", "x")
+    val d = Seq((2L, 2.5)).toDF("k", "x")
+    for (order <- Seq(Seq(f, d), Seq(d, f))) {
+      val u = Cdc.unionEvolved(order)
+      assert(u.schema("x").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(u.count() == 2L)
+    }
+  }
+
   test("cdc netEffect summarizes without window shuffle") {
     val ops = Seq(
       (1L, Cdc.OpInsert, 1L), (1L, Cdc.OpDelete, 2L), (2L, Cdc.OpInsert, 3L)

@@ -180,6 +180,63 @@ class TypeMappingSpec extends SparkTestBase {
     assert(got.isEmpty)
   }
 
+  test("dhash64: known answers (monotone ramps), and 2x byte-scaling " +
+      "is hash-invariant (the box resample absorbs it)") {
+    import org.apache.spark.sql.graft.{NativeFunctions, PerceptualKernels}
+    // strictly increasing byte ramp -> every adjacent grid compare is <
+    // -> all 64 bits set; decreasing ramp -> none
+    val up = Array.tabulate(720)(i => (i * 255 / 719).toByte)
+    val down = up.reverse
+    assert(PerceptualKernels.dhash64(up) == -1L)
+    assert(PerceptualKernels.dhash64(down) == 0L)
+    // duplicating every byte is a 2x "upscale": identical box means
+    val doubled = up.flatMap(b => Array(b, b))
+    assert(PerceptualKernels.dhash64(doubled) == -1L)
+    // the expression path equals the kernel
+    val viaExpr = Seq((1L, up)).toDF("id", "payload")
+      .select(NativeFunctions.dhash64(col("payload"))).head().getLong(0)
+    assert(viaExpr == -1L)
+  }
+
+  test("perceptualNearDups: a byte-rescaled payload pairs with its " +
+      "original while an unrelated payload stays out; CDC chunking " +
+      "misses the same pair") {
+    val base = cdcBytes(6000, seed = 41L)
+    // "re-encode at 2x": every byte doubled — zero shared raw chunks
+    // with base, but the SAME coarse gradient
+    val rescaled = base.flatMap(b => Array(b, b))
+    val unrelated = cdcBytes(6000, seed = 42L)
+    val df = Seq((1L, base), (2L, rescaled), (3L, unrelated))
+      .toDF("id", "payload")
+    val got = Multimodal.perceptualNearDups(df, "id", "payload",
+        maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), s"got $got")
+    // byte-level CDC near-dup CANNOT see this pair (no shared bytes)
+    val cdc = Multimodal.binaryNearDups(df, "id", "payload",
+        threshold = 0.1, minSize = 64, avgBits = 6, maxSize = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cdc.contains((1L, 2L)),
+      "byte-CDC seeing a rescaled payload would make dHash redundant")
+  }
+
+  test("perceptualNearDups: degenerate identical-hash buckets are " +
+      "capped (skew guard), and maxHamming >= bands is rejected") {
+    val blob = cdcBytes(2000, seed = 50L)
+    val df = (1L to 6L).map(i => (i, blob)).toDF("id", "payload")
+    // 6 identical hashes: every band bucket holds 6 > cap 4 -> dropped
+    assert(Multimodal.perceptualNearDups(df, "id", "payload",
+      maxHamming = 3, maxBucketSize = 4).isEmpty)
+    // raising the cap admits all 15 pairs at hamming 0
+    assert(Multimodal.perceptualNearDups(df, "id", "payload",
+      maxHamming = 3, maxBucketSize = 8).count() == 15L)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.perceptualNearDups(df, "id", "payload",
+        maxHamming = 8, bands = 8)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
   test("storageDedupReport: planted duplicate payload doubles total over distinct") {
     val a = cdcBytes(4096); val b = cdcBytes(4096, seed = 21L)
     val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "payload")
