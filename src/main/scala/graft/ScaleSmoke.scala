@@ -147,7 +147,11 @@ object ScaleSmoke {
     // entity-windowed span join + the KLL window fold
     "q189_copurchase", "q187_attribution", "q190_rolling_quantile",
     // r9: posting-style TF-IDF (corpus token pass) + the decomposition
-    "t193_tfidf_terms", "q194_seasonal")
+    "t193_tfidf_terms", "q194_seasonal",
+    // r10: perceptual dHash near-dup (banded Hamming LSH over per-doc
+    // 64-bit hashes — 8 B/doc/band shuffle) and the bounded-admission
+    // replay stream (per-batch audit commits included)
+    "m197_phash_neardup", "str198_stream_backpressure")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

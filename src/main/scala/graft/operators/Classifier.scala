@@ -125,7 +125,7 @@ object Classifier {
       // scan's partitioning — 20 epochs of scheduler overhead on
       // hundreds of tiny tasks would dominate the actual math.
       .coalesce(8)
-      .localCheckpoint(eager = false)
+      .transform(Checkpointing(_, eager = false))
     val nDocs = math.max(1L,
       feats.filter(col("__b") === -1).count())
 

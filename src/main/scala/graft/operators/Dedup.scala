@@ -518,12 +518,14 @@ object Dedup {
     // without truncation each join would re-execute the full upstream
     // candidate pipeline (minhash/shingle over the corpus) per iteration.
     // The block is O(dup pairs) — two longs per edge.
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val edges = Checkpointing(
+      pairs.select(col("id_a"), col("id_b"))
+        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+      eager = true)
+    var labels = Checkpointing(
+      edges.select(col("id_a").as("id")).distinct()
+        .withColumn("label", col("id")),
+      eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -539,7 +541,7 @@ object Dedup {
           sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)),
           lit(0L)).as("chg"))
         .select("id", "label")
-        .localCheckpoint(true)
+        .transform(Checkpointing(_, eager = true))
       converged = obs.get("chg").asInstanceOf[Long] == 0L
       labels = updated
       i += 1

@@ -44,9 +44,12 @@ object Graph {
     * path. */
   private def ckptFn(df0: DataFrame, dir: Option[String])
       : Boolean => DataFrame => DataFrame = {
-    dir.foreach(df0.sparkSession.sparkContext.setCheckpointDir)
+    // explicit param wins; else the session-wide switch
+    // ([[Checkpointing.ConfKey]]) selects durability
+    val resolved = dir.orElse(Checkpointing.configuredDir(df0))
+    resolved.foreach(df0.sparkSession.sparkContext.setCheckpointDir)
     eager => df =>
-      if (dir.isDefined) df.checkpoint(eager)
+      if (resolved.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
   }
 

@@ -138,6 +138,36 @@ class DedupSpec extends SparkTestBase {
     assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), got.toString)
   }
 
+  test("spark.graft.checkpointDir switches iterative loops to reliable " +
+      "checkpoints with identical results") {
+    import graft.operators.{Checkpointing, Classifier}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i % 3 == 0) "join the spam club now" else
+        s"plain document number $i about suppliers", i % 3 min 1))
+      .toDF("doc_id", "text", "label")
+    val local = Dedup.dupClusters(pairs).orderBy("id").collect().toSeq
+    val mLocal = Classifier.train(docs, "text", "label",
+      dim = 256, epochs = 4, maxTrainRows = 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckconf")
+    spark.conf.set(Checkpointing.ConfKey, dir.toString)
+    try {
+      assert(Dedup.dupClusters(pairs).orderBy("id").collect().toSeq
+        === local)
+      val mRel = Classifier.train(docs, "text", "label",
+        dim = 256, epochs = 4, maxTrainRows = 200)
+      assert(mRel.weights.toSeq === mLocal.weights.toSeq &&
+        mRel.bias === mLocal.bias)
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(wrote > 0, s"no reliable checkpoint state under $dir")
+    } finally spark.conf.unset(Checkpointing.ConfKey)
+    // conf unset: back to localCheckpoint (still correct)
+    assert(Dedup.dupClusters(pairs).orderBy("id").collect().toSeq
+      === local)
+  }
+
   test("hashSample is deterministic and close to the target fraction") {
     val o = Tables.orders(spark, sf)
     val a = Dedup.hashSample(o, "o_orderkey", 0.25)
