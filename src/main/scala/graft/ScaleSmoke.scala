@@ -151,7 +151,14 @@ object ScaleSmoke {
     // r10: perceptual dHash near-dup (banded Hamming LSH over per-doc
     // 64-bit hashes — 8 B/doc/band shuffle) and the bounded-admission
     // replay stream (per-batch audit commits included)
-    "m197_phash_neardup", "str198_stream_backpressure")
+    "m197_phash_neardup", "str198_stream_backpressure",
+    // r10: degree-oriented triangle census (wedge join bounded at
+    // O(m^1.5)), frontier-expansion BFS, and the two-aggregate
+    // golden-record survivorship
+    "q199_triangles", "q200_bfs_reach", "d201_golden_record",
+    // r10: O(log n)-round alternating-star components and the
+    // exact-decimal assortativity reduce
+    "q202_connected_components", "q203_assortativity")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

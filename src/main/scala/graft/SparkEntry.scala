@@ -2010,6 +2010,89 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Triangle census over a SPARSE co-purchase part graph (parts
+    // co-occurring in a deterministic 20% order slice — the full
+    // co-supply graph is near-complete at small SF, a degenerate
+    // fixture): degree-ordered orientation bounds the wedge join at
+    // O(m^1.5); LCC separates embedded communities (≈1) from
+    // link-farm-style hubs (high degree, ≈0).
+    "q199_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      operators.Graph.triangles(e, "src", "dst").orderBy(col("id"))
+    }),
+
+    // Multi-source BFS over the same co-purchase graph: minimum hop
+    // distance from the deterministic seed set (p_partkey % 97 = 0,
+    // seeds outside the graph stay at hop 0), 3 hops, undirected —
+    // frontier expansion with a per-round anti-join against the
+    // settled set; the oracle unrolls the identical rounds.
+    "q200_bfs_reach" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey"))
+      operators.Graph.bfsHops(e, "src", "dst", seeds, maxHops = 3,
+          directed = false)
+        .orderBy(col("id"))
+    }),
+
+    // Golden-record survivorship over exact-content clusters: a mirror
+    // crawl is planted under shifted ids (a second copy of everything,
+    // a third copy of every doc_id % 3 == 0) so clusters carry
+    // conflicting metadata; smallest doc_id survives, plurality source
+    // wins with smallest-value tie-break — both rules deterministic.
+    "d201_golden_record" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val planted = docs
+        .unionByName(docs.select((col("doc_id") + 100000L).as("doc_id"),
+          col("text"), lit("mirror_a").as("source")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            col("text"), lit("mirror_a").as("source")))
+      operators.Linkage.goldenRecords(planted, Seq("text"), "doc_id",
+          Seq(col("doc_id")), "source")
+        .select(col("canonical_id"), col("members"),
+          col("n_source").as("n_sources"), col("top_source"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    // Connected components by alternating large-star/small-star —
+    // O(log n) rounds vs min-propagation's O(diameter); run on the 5%
+    // order slice so the graph has real structure (11 components at
+    // sf0.01). The oracle is diameter-bound min-propagation unrolled
+    // to 12 rounds (fixpoint needs 8 at sf0.01 / 11 at sf0.1; converged
+    // rounds are no-ops, so over-unrolling is safe) — two different
+    // algorithms agreeing on the exact labels.
+    "q202_connected_components" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      operators.Graph.connectedComponents(e, "src", "dst")
+        .orderBy(col("id"))
+    }),
+
+    // Degree assortativity over the co-purchase graph: hubs-to-hubs vs
+    // hubs-to-leaves in one exact-decimal Pearson (the only float op is
+    // the final division, identical IEEE in any engine).
+    "q203_assortativity" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      operators.Graph.assortativity(e, "src", "dst")
+    }),
+
     // Per-benchmark contamination audit: benchA is a verbatim corpus
     // slice (exact hits), benchB is a mutated slice (near hits at
     // jaccard >= 0.5 but not exact). Rows-only (hashed-shingle jaccard);
@@ -3011,6 +3094,37 @@ object SparkEntry {
       s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
   }
 
+  /** q202's oracle: connected components by MIN-PROPAGATION unrolled —
+    * a deliberately DIFFERENT algorithm from the implementation's
+    * alternating large-star/small-star, converging to the same labels
+    * (component = smallest member id). Each round takes the min of a
+    * node's own label and its neighbors' labels; after the fixpoint
+    * (round 8 at sf0.01, 11 at sf0.1) further rounds are no-ops, so a
+    * fixed unroll ≥ the convergence depth reproduces it exactly. */
+  private def ccOracleSql(rounds: Int): String = {
+    val head =
+      """WITH u AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 20 = 0),
+        |e AS MATERIALIZED (
+        | SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u),
+        |c0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM e)"""
+        .stripMargin
+    val iters = (1 to rounds).map { k =>
+      s""",
+         |c$k AS MATERIALIZED (
+         | SELECT c.id, least(c.comp, coalesce(m.mc, c.comp)) AS comp
+         | FROM c${k - 1} c LEFT JOIN (
+         |   SELECT e.dst AS id, min(p.comp) AS mc
+         |   FROM e JOIN c${k - 1} p ON p.id = e.src
+         |   GROUP BY e.dst) m ON m.id = c.id)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT id, comp AS component FROM c$rounds ORDER BY id"
+  }
+
   /** q176/q177's oracle: the general (weighted, teleport-vector)
     * PageRank iteration unrolled — `e(src, dst, w)` comes from
     * `edgeSql`, the teleport share rides a `tp(id, t)` CTE built by
@@ -3181,6 +3295,101 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = pinnedOracles ++ Map(
+    "q199_triangles" ->
+      """WITH u AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 5 = 0),
+        |e AS MATERIALIZED (SELECT a, b FROM u UNION SELECT b, a FROM u),
+        |deg AS MATERIALIZED (
+        | SELECT a AS id, count(*) AS degree FROM e GROUP BY a),
+        |tri AS MATERIALIZED (
+        | SELECT e1.a AS id, CAST(count(*) / 2 AS BIGINT) AS t
+        | FROM e e1 JOIN e e2 ON e2.a = e1.b AND e2.b <> e1.a
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        | GROUP BY e1.a)
+        |SELECT d.id, d.degree, coalesce(t.t, 0) AS triangles,
+        | round(CASE WHEN d.degree >= 2
+        |  THEN 2.0 * coalesce(t.t, 0)
+        |   / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |  ELSE 0.0 END, 6) AS lcc
+        |FROM deg d LEFT JOIN tri t ON t.id = d.id
+        |ORDER BY d.id""".stripMargin,
+
+    "q200_bfs_reach" ->
+      """WITH u AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 5 = 0),
+        |e AS MATERIALIZED (
+        | SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u),
+        |d0 AS MATERIALIZED (
+        | SELECT DISTINCT p_partkey AS id, 0 AS hops FROM part
+        | WHERE p_partkey % 97 = 0),
+        |n1 AS MATERIALIZED (
+        | SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id
+        | WHERE e.dst NOT IN (SELECT id FROM d0)),
+        |d1 AS MATERIALIZED (
+        | SELECT id, hops FROM d0 UNION ALL SELECT id, 1 FROM n1),
+        |n2 AS MATERIALIZED (
+        | SELECT DISTINCT e.dst AS id FROM e JOIN n1 ON e.src = n1.id
+        | WHERE e.dst NOT IN (SELECT id FROM d1)),
+        |d2 AS MATERIALIZED (
+        | SELECT id, hops FROM d1 UNION ALL SELECT id, 2 FROM n2),
+        |n3 AS MATERIALIZED (
+        | SELECT DISTINCT e.dst AS id FROM e JOIN n2 ON e.src = n2.id
+        | WHERE e.dst NOT IN (SELECT id FROM d2)),
+        |d3 AS MATERIALIZED (
+        | SELECT id, hops FROM d2 UNION ALL SELECT id, 3 FROM n3)
+        |SELECT id, hops FROM d3 ORDER BY id""".stripMargin,
+
+    "d201_golden_record" ->
+      """WITH p AS MATERIALIZED (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text, 'mirror_a' FROM documents
+        | UNION ALL
+        | SELECT doc_id + 200000, text, 'mirror_a' FROM documents
+        | WHERE doc_id % 3 = 0),
+        |v AS MATERIALIZED (
+        | SELECT text, source, count(*) AS n, min(doc_id) AS cid
+        | FROM p GROUP BY text, source),
+        |c AS (SELECT text, CAST(sum(n) AS BIGINT) AS members,
+        |  count(*) AS n_sources, min(cid) AS canonical_id
+        | FROM v GROUP BY text),
+        |t AS (SELECT text, source, row_number() OVER (
+        |  PARTITION BY text ORDER BY n DESC, source ASC) AS rn FROM v)
+        |SELECT c.canonical_id, c.members, c.n_sources,
+        | t.source AS top_source
+        |FROM c JOIN t ON c.text = t.text AND t.rn = 1
+        |ORDER BY canonical_id""".stripMargin,
+
+    "q202_connected_components" -> ccOracleSql(12),
+
+    "q203_assortativity" ->
+      """WITH u AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 5 = 0),
+        |e AS MATERIALIZED (SELECT a, b FROM u UNION SELECT b, a FROM u),
+        |deg AS MATERIALIZED (
+        | SELECT a AS id, count(*) AS degree FROM e GROUP BY a),
+        |j AS (SELECT CAST(da.degree AS DECIMAL(19,0)) AS x,
+        |  CAST(db.degree AS DECIMAL(19,0)) AS y
+        | FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |s AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS m,
+        |  CAST(sum(x*y) AS DECIMAL(19,0)) AS sxy,
+        |  CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+        |  CAST(sum(x*x) AS DECIMAL(19,0)) AS sxx FROM j)
+        |SELECT CAST(m AS BIGINT) AS edges_directed,
+        | round(CASE WHEN m*sxx - sx*sx = 0 THEN NULL
+        |  ELSE CAST(m*sxy - sx*sx AS DOUBLE)
+        |   / CAST(m*sxx - sx*sx AS DOUBLE) END, 6) AS assortativity
+        |FROM s""".stripMargin,
+
     "q183_rolling_distinct" ->
       """WITH b AS (
         | SELECT event_type AS series,

@@ -294,6 +294,246 @@ object Graph {
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Per-node triangle count and local clustering coefficient — the
+    * classic cohesion signal (a host embedded in a tight community has
+    * high LCC; a link farm inflates degree but closes few triangles,
+    * LCC ≈ 0). Direction is ignored; parallel and self edges collapse.
+    * Returns one row per node: (id, degree, triangles, lcc) with
+    * `degree` = distinct neighbors, `lcc = 2·T/(deg·(deg−1))` (0 when
+    * degree < 2), rounded to `roundTo`.
+    *
+    * 100 TB shape — degree-ordered edge orientation (the standard
+    * triangle-listing bound): each undirected edge {u,v} is kept once,
+    * directed from the (degree, id)-smaller endpoint to the larger, so
+    * every node's oriented out-degree is O(√m) and the wedge self-join
+    * does Σ outdeg² = O(m^1.5) work — the optimal listing bound —
+    * instead of Σ deg² which a hub node makes quadratic. Each triangle
+    * is generated exactly once (at its smallest vertex), closed by one
+    * equi-semi-join on the oriented edge set, and fanned out to its
+    * three corners for the per-node count. Three keyed shuffles total,
+    * no broadcast of anything edge-scale, nothing reaches the driver. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    // orient lo→hi by (degree, id); the struct fields carry identical
+    // names on both sides so the comparison types line up
+    val oriented = e
+      .join(deg.select(col("id").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("__db")), "b")
+      .filter(struct(col("__da").as("d"), col("a").as("n")) <
+        struct(col("__db").as("d"), col("b").as("n")))
+      .select(col("a").as("lo"), col("b").as("hi"),
+        struct(col("__db").as("d"), col("b").as("n")).as("__ord"))
+    val o1 = oriented.select(col("lo"), col("hi").as("v"),
+      col("__ord").as("__ov"))
+    val o2 = oriented.select(col("lo"), col("hi").as("w"),
+      col("__ord").as("__ow"))
+    // wedges at the smallest vertex (ord(v) < ord(w) halves the pairs);
+    // a wedge is a triangle iff the oriented closing edge v→w exists
+    val tris = o1.join(o2, Seq("lo"))
+      .filter(col("__ov") < col("__ow"))
+      .select(col("lo").as("u"), col("v"), col("w"))
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")),
+        Seq("v", "w"), "left_semi")
+    val cnt = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(cnt, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2,
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)), roundTo).as("lcc"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014 — the public MapReduce-era recipe): converges in O(log n)
+    * ROUNDS instead of the O(diameter) of min-label propagation
+    * ([[graft.operators.Dedup.dupClusters]]' loop, which is the right
+    * tool for shallow duplicate clusters). On a 100 TB web graph whose
+    * components contain long chains, diameter-bound propagation is the
+    * difference between ~20 rounds and thousands.
+    *
+    * Per round: two star steps, each ONE neighbor-min aggregate + one
+    * join, rewriting the (checkpointed) pair set; emitted pairs always
+    * point at the current minimum, so the set is canonically oriented
+    * (big, small) and the exact convergence check is a count + one
+    * anti-join. Driver traffic per round: two scalars. Throws if
+    * `maxRounds` is exhausted before the fixpoint (a silently partial
+    * clustering is worse than a loud failure — same contract as
+    * [[kCore]]).
+    *
+    * Returns (id, component) for every node with at least one edge,
+    * `component` = the smallest node id in the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val ck = ckptFn(edges, checkpointDir)
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val nodes = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+      .transform(ck(true))
+    // m(u) = min(Γ(u) ∪ {u}) from the both-directions view
+    def gamma(pairs: DataFrame): DataFrame =
+      pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    def withMin(pairs: DataFrame): DataFrame = {
+      val nbrs = gamma(pairs)
+      val m = nbrs.groupBy(col("a")).agg(min(col("b")).as("__mn"))
+        .select(col("a").as("__u"),
+          least(col("__mn"), col("a")).as("__m"))
+      nbrs.join(m, nbrs("a") === col("__u"))
+    }
+    // large-star: every strictly-larger neighbor links to the min;
+    // small-star: every not-larger neighbor AND u itself link to it
+    def largeStar(pairs: DataFrame): DataFrame =
+      withMin(pairs)
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("__m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    def smallStar(pairs: DataFrame): DataFrame = {
+      val wm = withMin(pairs)
+      // (v, m) for every not-larger neighbor v, plus (u, m) itself
+      wm.filter(col("b") < col("a"))
+        .select(col("b").as("a"), col("__m").as("b"))
+        .union(wm.select(col("a"), col("__m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    var p = und
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct().transform(ck(true))
+    var pCount = p.count()
+    var rounds = 0
+    var converged = pCount == 0L
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(p)).transform(ck(true))
+      val nCount = next.count()
+      // exact set equality: same size and nothing new (both sets are
+      // canonically (big, small)-oriented after the first round)
+      converged = nCount == pCount &&
+        next.join(p, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      p = next; pCount = nCount; rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach the fixpoint within " +
+        s"maxRounds=$maxRounds; raise maxRounds")
+    val lbl = gamma(p).groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("component"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of the
+    * endpoint degrees over the symmetrized edge list — positive when
+    * hubs attach to hubs (a spam mesh / mutual-promotion ring),
+    * negative when hubs attach to leaves (the organic hierarchical
+    * web). One number a curation run reads next to [[triangles]]' LCC.
+    *
+    * Engine-portable by construction: the four sufficient statistics
+    * (edge count, Σxy, Σx, Σx²) are EXACT fixed-precision decimals
+    * (declared precisions bound the 100 TB case: Σ caps at 10¹⁹), and
+    * the only floating-point operation is the single final division —
+    * identical IEEE doubles in any engine, then rounded to `roundTo`.
+    * Returns one row (edges_directed, assortativity); `assortativity`
+    * is null for a degree-regular graph (zero variance). Two keyed
+    * shuffles (degree, then the stats reduce). */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val d19 = "decimal(19,0)"
+    val j = e
+      .join(deg.select(col("id").as("a"), col("degree").as("__x")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("__y")), "b")
+      .select(col("__x").cast(d19).as("x"), col("__y").cast(d19).as("y"))
+    j.agg(
+        count(lit(1)).cast("decimal(18,0)").as("__m"),
+        sum(col("x") * col("y")).cast(d19).as("__sxy"),
+        sum(col("x")).cast(d19).as("__sx"),
+        sum(col("x") * col("x")).cast(d19).as("__sxx"))
+      .select(col("__m").cast("bigint").as("edges_directed"),
+        round(
+          when(col("__m") * col("__sxx") - col("__sx") * col("__sx") === 0,
+            lit(null).cast("double"))
+          .otherwise(
+            (col("__m") * col("__sxy") - col("__sx") * col("__sx"))
+              .cast("double") /
+            (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")), roundTo)
+          .as("assortativity"))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any seed, out to
+    * `maxHops` — the "supply-chain / link proximity to a trusted set"
+    * reachability signal (TrustRank's discrete cousin: instead of a
+    * teleporting surfer, the hard hop count). Returns (id, hops) for
+    * every node reachable within `maxHops`; seeds are hop 0 whether or
+    * not they appear in the edge list, unreachable nodes are absent.
+    * `directed = false` symmetrizes the edges first.
+    *
+    * Frontier-expansion shape: per hop ONE edges⋈frontier join, a
+    * distinct, and an anti-join against the settled set — each keyed by
+    * node id; the settled table is nodes-sized and checkpointed per
+    * round ([[Checkpointing]] semantics: local by default, durable via
+    * `checkpointDir` or the session conf). The only driver traffic is
+    * the per-round frontier count for early exit, so a saturated graph
+    * stops paying for the remaining hops. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int, directed: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val ck = ckptFn(edges, checkpointDir)
+    val valid = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = if (directed) valid
+      else valid.union(valid.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val e = sym.filter(col("src") =!= col("dst")).distinct()
+      .transform(ck(true))
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("hops", lit(0))
+      .transform(ck(true))
+    var frontier = dist.select(col("id"))
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .transform(ck(true))
+      if (next.count() == 0L) exhausted = true
+      else {
+        dist = dist.union(next).transform(ck(true))
+        frontier = next.select(col("id"))
+      }
+    }
+    dist
+  }
+
   /** Community detection by synchronous label propagation (LPA): every
     * node starts as its own label; each round it adopts its neighbors'
     * most frequent label, ties broken by the SMALLEST label — a fully

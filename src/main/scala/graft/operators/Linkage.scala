@@ -208,4 +208,53 @@ object Linkage {
       .join(idx, col("__pos") === col("grank"))
       .select(col("anchor"), col("__i").as("i"), col("neg"))
   }
+
+  /** Golden-record survivorship — the step AFTER linkage: collapse each
+    * duplicate cluster to one master row (the MDM "survivorship" rules,
+    * here the two deterministic classics):
+    *
+    *  - `canonical_id`: the `idCol` of the cluster row with the
+    *    SMALLEST `winnerKey` struct ("oldest id wins", "highest trust
+    *    wins" via a negated score, …). `winnerKey` must be a total
+    *    order over cluster rows (include `idCol` last if the leading
+    *    keys can tie) — ties would otherwise make the pick
+    *    partitioning-dependent.
+    *  - `top_<voteCol>`: the PLURALITY value of `voteCol` across the
+    *    cluster, ties broken by the smallest value — "most sources
+    *    agree" conflict resolution, fully deterministic.
+    *
+    * Plus `members` (cluster size) and `n_<voteCol>` (distinct values
+    * seen — a conflict-rate signal). Returns one row per cluster:
+    * (clusterCols*, canonical_id, members, n_<voteCol>, top_<voteCol>).
+    *
+    * 100 TB shape: two aggregates, no window over raw rows — the first
+    * reduces the corpus to (cluster, vote) granularity with map-side
+    * combine carrying (count, min winner) partials; the second runs
+    * over that already-reduced table, so the wide shuffle moves one row
+    * per (cluster, distinct vote), not per record. For long cluster
+    * keys (raw text), pass a fingerprint column as the cluster key so
+    * the shuffle carries 8 bytes, not documents. */
+  def goldenRecords(df: DataFrame, clusterCols: Seq[String], idCol: String,
+      winnerKey: Seq[Column], voteCol: String): DataFrame = {
+    require(clusterCols.nonEmpty, "need at least one cluster column")
+    require(winnerKey.nonEmpty, "need a winner ordering")
+    val cs = clusterCols.map(col)
+    val wk = struct(winnerKey.zipWithIndex
+      .map { case (c, i) => c.as(s"k$i") }: _*)
+    val perVote = df
+      .groupBy((cs :+ col(voteCol)): _*)
+      .agg(count(lit(1)).as("__n"),
+        min_by(col(idCol), wk).as("__cid"),
+        min(wk).as("__wk"))
+    // ties: __wk is total by contract; (−n, vote) is unique because
+    // vote values are distinct within the cluster after the first agg
+    perVote
+      .groupBy(cs: _*)
+      .agg(sum(col("__n")).as("members"),
+        count(lit(1)).as(s"n_$voteCol"),
+        min_by(col("__cid"), col("__wk")).as("canonical_id"),
+        min_by(col(voteCol),
+          struct((-col("__n")).as("n"), col(voteCol).as("v")))
+          .as(s"top_$voteCol"))
+  }
 }

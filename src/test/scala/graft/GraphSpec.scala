@@ -231,4 +231,113 @@ class GraphSpec extends SparkTestBase {
     // only on odd/even parity, so the DEFINED semantics is "k rounds"
     assert(got === Map(7L -> 7L, 8L -> 8L))
   }
+
+  test("triangles: hand-computed counts on a triangle + pendant + " +
+      "isolated pair; direction, parallel and self edges collapse") {
+    // triangle {1,2,3} (one edge given twice, one reversed), pendant
+    // 3–4, isolated pair 5–6, plus a self loop that must not count
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (5L, 6L), (4L, 4L)).toDF("src", "dst")
+    val got = Graph.triangles(edges, "src", "dst").orderBy("id")
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0)),
+      5L -> ((1L, 0L, 0.0)), 6L -> ((1L, 0L, 0.0))))
+  }
+
+  test("triangles: K4 is fully clustered and the count is " +
+      "partitioning-invariant") {
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val one = Graph.triangles(k4, "src", "dst").orderBy("id").collect()
+    // every node: degree 3, C(3,2)=3 triangles, lcc 2*3/(3*2)=1
+    assert(one.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L &&
+      r.getDouble(3) == 1.0))
+    val re = Graph.triangles(k4.repartition(7), "src", "dst")
+      .orderBy("id").collect()
+    assert(one.toSeq === re.toSeq)
+  }
+
+  test("bfsHops: directed vs undirected chain, maxHops bound") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(3L).toDF("id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(Graph.bfsHops(chain, "src", "dst", seeds, maxHops = 5))
+      === Map(3L -> 0, 4L -> 1))
+    assert(m(Graph.bfsHops(chain, "src", "dst", seeds, maxHops = 5,
+      directed = false)) === Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2))
+    assert(m(Graph.bfsHops(chain, "src", "dst", seeds, maxHops = 1,
+      directed = false)) === Map(3L -> 0, 2L -> 1, 4L -> 1))
+  }
+
+  test("connectedComponents: path + pair + triangle get their " +
+      "smallest-member labels; direction and self loops are ignored") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // path 1..5
+      (10L, 11L),                                           // pair
+      (20L, 21L), (21L, 22L), (22L, 20L), (20L, 20L))       // triangle
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: a 60-node chain converges within the " +
+      "default 20 rounds (O(log n), not O(diameter)) and matches " +
+      "dupClusters' min-propagation labels") {
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(chain, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 60 && cc.values.forall(_ == 1L))
+    // cross-algorithm agreement on a random-ish pair set
+    val pairs = (0L until 200L).map(i =>
+      ((i * 7) % 50, (i * 13) % 50)).filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val a = Graph.connectedComponents(pairs, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Dedup.dupClusters(
+        pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("connectedComponents: throws when maxRounds is exhausted and is " +
+      "partitioning-invariant") {
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, "src", "dst", maxRounds = 1)
+    }
+    val a = Graph.connectedComponents(chain, "src", "dst")
+      .orderBy("id").collect().toSeq
+    val b = Graph.connectedComponents(chain.repartition(7), "src", "dst")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("assortativity: a star is perfectly disassortative (−1), a " +
+      "regular graph has no degree variance (null)") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r1 = Graph.assortativity(star, "src", "dst").head
+    assert(r1.getLong(0) === 6L && r1.getDouble(1) === -1.0)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val r2 = Graph.assortativity(cycle, "src", "dst").head
+    assert(r2.getLong(0) === 8L && r2.isNullAt(1))
+  }
+
+  test("bfsHops: multi-source takes the minimum hop; seeds outside the " +
+      "graph stay at hop 0; saturation exits early") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 4L, 99L).toDF("id")
+    val got = Graph.bfsHops(chain, "src", "dst", seeds, maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 4L -> 0, 99L -> 0, 2L -> 1, 5L -> 1,
+      3L -> 2))
+  }
 }

@@ -121,4 +121,44 @@ class LinkageSpec extends SparkTestBase {
     // order: 5,6,7 (len 100, id ties), then 1 (len 999)
     assert(got === Set((5L, 6L), (5L, 7L), (6L, 7L), (6L, 1L), (7L, 1L)))
   }
+
+  test("goldenRecords: min-key winner, plurality vote, deterministic " +
+      "tie-break, singleton clusters pass through") {
+    val df = Seq(
+      (1L, "A", "s2"), (2L, "A", "s1"), (3L, "A", "s1"), // plurality s1
+      (10L, "B", "s9"), (11L, "B", "s0"),                // tie → asc s0
+      (20L, "C", "s5")                                   // singleton
+    ).toDF("doc_id", "key", "source")
+    val got = Linkage.goldenRecords(df, Seq("key"), "doc_id",
+        Seq(col("doc_id")), "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(got === Map(
+      "A" -> ((1L, 3L, 2L, "s1")),
+      "B" -> ((10L, 2L, 2L, "s0")),
+      "C" -> ((20L, 1L, 1L, "s5"))))
+  }
+
+  test("goldenRecords: a trust-ordered winner key picks the " +
+      "highest-score row, id as the total-order tail") {
+    val df = Seq(
+      (30L, "D", "x", 1.0), (31L, "D", "x", 5.0), (32L, "D", "x", 5.0))
+      .toDF("doc_id", "key", "source", "trust")
+    val got = Linkage.goldenRecords(df, Seq("key"), "doc_id",
+        Seq(-col("trust"), col("doc_id")), "source")
+      .select("canonical_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(31L)) // max trust, then smallest id
+  }
+
+  test("goldenRecords is partitioning-invariant") {
+    val df = (0L until 300L).map(i =>
+      (i, s"k${i % 37}", s"s${i % 5}")).toDF("doc_id", "key", "source")
+    val a = Linkage.goldenRecords(df, Seq("key"), "doc_id",
+      Seq(col("doc_id")), "source").orderBy("key").collect().toSeq
+    val b = Linkage.goldenRecords(df.repartition(13), Seq("key"),
+      "doc_id", Seq(col("doc_id")), "source").orderBy("key")
+      .collect().toSeq
+    assert(a === b)
+  }
 }
