@@ -158,7 +158,9 @@ object ScaleSmoke {
     "q199_triangles", "q200_bfs_reach", "d201_golden_record",
     // r10: O(log n)-round alternating-star components and the
     // exact-decimal assortativity reduce
-    "q202_connected_components", "q203_assortativity")
+    "q202_connected_components", "q203_assortativity",
+    // r10: days-sized ACF, PageRank-over-words, privacy audit
+    "q204_autocorr", "t205_textrank", "q206_k_anonymity")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

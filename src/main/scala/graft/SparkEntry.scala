@@ -2093,6 +2093,31 @@ object SparkEntry {
       operators.Graph.assortativity(e, "src", "dst")
     }),
 
+    // Daily-series autocorrelation at lags 1-3: exact decimal daily
+    // buckets feed corr over identical double inputs in both engines —
+    // the structure-exists screen run before seasonal decomposition.
+    "q204_autocorr" -> ((s, d) =>
+      operators.TimeSeries.autocorrelation(t(s, d, "events"),
+          "event_type", "ts", col("value"), maxLag = 3)
+        .orderBy(col("series"))),
+
+    // TextRank keywords: PageRank composed over the corpus word-
+    // adjacency graph (adjacent-pair zip per row — no doc id, no window
+    // function); the oracle builds the same graph in SQL and unrolls the
+    // same damped iteration as q167/q176. Total (rank desc, token)
+    // order makes the top-25 cut deterministic across engines.
+    "t205_textrank" -> ((s, d) =>
+      operators.TextAnalysis.textRankKeywords(
+        t(s, d, "documents"), "text", iterations = 10, topK = 25)),
+
+    // k-anonymity / l-diversity audit over (nation, segment) quasi-
+    // identifiers with account balance as the sensitive attribute —
+    // the violating groups a privacy gate must surface exactly.
+    "q206_k_anonymity" -> ((s, d) =>
+      operators.Expectations.kAnonymity(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 3)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Per-benchmark contamination audit: benchA is a verbatim corpus
     // slice (exact hits), benchB is a mutated slice (near hits at
     // jaccard >= 0.5 but not exact). Rows-only (hashed-shingle jaccard);
@@ -3132,7 +3157,7 @@ object SparkEntry {
     * `(1−d)·t + d·(c + dang·t)` with the conservation-identity
     * dangling, exactly the Spark formula. */
   private def pageRankGeneralOracleSql(edgeSql: String, tpSql: String,
-      iterations: Int): String = {
+      iterations: Int, tail: Option[String] = None): String = {
     val head =
       s"""WITH e AS MATERIALIZED ($edgeSql),
          |od AS MATERIALIZED (
@@ -3156,8 +3181,8 @@ object SparkEntry {
          |    + (SELECT dang FROM d$k) * n.t) AS rank
          | FROM tp n LEFT JOIN c$k c ON c.id = n.id)""".stripMargin
     }.mkString
-    head + iters +
-      s"\nSELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id"
+    head + iters + "\n" + tail.getOrElse(
+      s"SELECT id, round(rank, 6) AS rank FROM pr$iterations ORDER BY id")
   }
 
   /** q180's oracle: the k-core peeling unrolled — each round keeps only
@@ -3365,6 +3390,53 @@ object SparkEntry {
         | t.source AS top_source
         |FROM c JOIN t ON c.text = t.text AND t.rn = 1
         |ORDER BY canonical_id""".stripMargin,
+
+    "q204_autocorr" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  sum(CAST(value AS DECIMAL(28,6))) AS v
+        | FROM events GROUP BY series, bucket),
+        |l AS (SELECT series, CAST(v AS DOUBLE) AS v,
+        |  CAST(lag(v, 1) OVER w AS DOUBLE) AS l1,
+        |  CAST(lag(v, 2) OVER w AS DOUBLE) AS l2,
+        |  CAST(lag(v, 3) OVER w AS DOUBLE) AS l3
+        | FROM dly WINDOW w AS (PARTITION BY series ORDER BY bucket))
+        |SELECT series, count(v) AS n_days,
+        | round(corr(v, l1), 6) AS acf1,
+        | round(corr(v, l2), 6) AS acf2,
+        | round(corr(v, l3), 6) AS acf3
+        |FROM l GROUP BY series
+        |ORDER BY series""".stripMargin,
+
+    "t205_textrank" -> pageRankGeneralOracleSql(
+      """SELECT a AS src, b AS dst, CAST(1.0 AS DOUBLE) AS w FROM (
+        | SELECT DISTINCT t[i] AS a, t[i+1] AS b
+        | FROM (SELECT string_split(text, ' ') AS t FROM documents) toks,
+        |  unnest(range(1, len(t))) AS u(i)
+        | WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]) p
+        |UNION
+        |SELECT b, a, CAST(1.0 AS DOUBLE) FROM (
+        | SELECT DISTINCT t[i] AS a, t[i+1] AS b
+        | FROM (SELECT string_split(text, ' ') AS t FROM documents) toks,
+        |  unnest(range(1, len(t))) AS u(i)
+        | WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1]) q"""
+        .stripMargin,
+      """SELECT src AS id,
+        | CAST(1.0 AS DOUBLE) /
+        |  (SELECT CAST(count(DISTINCT src) AS DOUBLE) FROM e) AS t
+        |FROM e GROUP BY src""".stripMargin,
+      10,
+      Some("SELECT id AS token, round(rank, 6) AS rank FROM pr10 " +
+        "ORDER BY 2 DESC, 1 LIMIT 25")),
+
+    "q206_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        | count(DISTINCT c_acctbal) AS sensitive_distinct
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) < 10 OR count(DISTINCT c_acctbal) < 3
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q202_connected_components" -> ccOracleSql(12),
 

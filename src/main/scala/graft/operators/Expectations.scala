@@ -269,4 +269,28 @@ object Expectations {
             log(col("cur_share") / col("ref_share"))))
       .orderBy(col("bin"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    * 2007, the public privacy-release criteria): every quasi-identifier
+    * combination whose group has fewer than `k` members (re-
+    * identification risk) or fewer than `l` distinct sensitive values
+    * (attribute-disclosure risk — everyone in the group shares the
+    * secret). The pre-release gate a training-data pipeline runs before
+    * shipping user-derived tables. Returns the VIOLATING groups:
+    * (quasiCols*, group_size, sensitive_distinct).
+    *
+    * Scale: one aggregate keyed by the quasi-identifier tuple with
+    * map-side combine; the distinct-count is exact (the violation
+    * threshold `l` is small — an approximation that under- or
+    * over-counts near the cut is the one place a privacy gate cannot
+    * afford it). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long = 1L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("sensitive_distinct"))
+      .filter(col("group_size") < k || col("sensitive_distinct") < l)
+  }
 }

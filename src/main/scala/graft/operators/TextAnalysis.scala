@@ -413,6 +413,41 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, the public
+    * recipe): PageRank over the corpus-wide word-adjacency graph —
+    * tokens that co-occur next to many well-connected tokens rank
+    * highest, a vocabulary-quality signal that, unlike raw frequency
+    * ([[topTokens]]), surfaces structurally central terms. Adjacent
+    * token pairs (window 2) are built PER ROW with a zip of two array
+    * slices — no window function, no doc id needed — then symmetrized
+    * (TextRank's graph is undirected) and ranked by
+    * [[graft.operators.Graph.pageRank]]'s damped iteration. Returns the
+    * top-k (token, rank), ordered by (rounded rank desc, token) — a
+    * total order, so the cut is deterministic across engines.
+    *
+    * Scale: the pair fan-out is occurrence-sized but collapses to the
+    * DISTINCT vocabulary-adjacency graph (Zipf-bounded) before any
+    * iteration; each PageRank round is one keyed aggregate over that
+    * graph, per [[Graph]]'s contract. */
+  def textRankKeywords(df: DataFrame, textCol: String,
+      iterations: Int = 10, topK: Int = 25): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val withT = df.select(tokens(col(textCol)).as("__t"))
+    val n1 = greatest(size(col("__t")) - 1, lit(0))
+    val adj = withT
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), n1),
+        slice(col("__t"), lit(2), n1))).as("__pr"))
+      .select(col("__pr").getField("0").as("a"),
+        col("__pr").getField("1").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+    val sym = adj.union(adj.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRank(sym, "a", "b", iterations)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as("token"), col("rank"))
+  }
+
   /** Top-k heavy-hitter tokens PER GROUP (e.g. per language — the
     * vocabulary-drift view of [[topTokens]]): exact counts, total
     * tie-break order (count desc, token asc) within each group.

@@ -255,4 +255,35 @@ object TimeSeries {
         col("__s").as("seasonal"),
         (col("__det").cast("double") - col("__s")).as("residual"))
   }
+
+  /** Autocorrelation of the daily-bucketed series at lags 1..`maxLag` —
+    * the "does yesterday predict today" screen run BEFORE
+    * [[seasonalDecompose]] (ACF says whether there is structure worth
+    * fitting; the decomposition says what it is). Daily buckets are
+    * EXACT decimal sums (engine-portable inputs); each lag's Pearson
+    * correlation pairs a day with its k-back neighbor per series,
+    * ignoring the first k days (null lag). Returns one row per series:
+    * (series, n_days, acf1..acf<maxLag>), correlations rounded to 6.
+    *
+    * Scale: one keyed aggregate to the days-sized table, ONE window
+    * pass producing all lags, one final reduce — the corpus shuffles
+    * once, everything after is days-per-series-sized. */
+  def autocorrelation(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30,
+      s"maxLag must be in [1,30], got $maxLag")
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).as("__v"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    val withLags = dly.select(
+      col("series") +: col("__v") +:
+        (1 to maxLag).map(k => lag(col("__v"), k).over(w).as(s"__l$k")): _*)
+    val aggs = count(col("__v")).as("n_days") +:
+      (1 to maxLag).map(k =>
+        round(corr(col("__v").cast("double"),
+          col(s"__l$k").cast("double")), 6).as(s"acf$k"))
+    withLags.groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
+  }
 }

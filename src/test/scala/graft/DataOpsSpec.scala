@@ -681,4 +681,38 @@ class DataOpsSpec extends SparkTestBase {
     val hold = Dedup.groupSplit(df, "gid", Seq("train" -> 0.5))
     assert(hold.filter(col("split").isNull).count() > 0)
   }
+
+  test("autocorrelation: an alternating daily series has acf1 = -1, " +
+      "acf2 = +1, and same-day events sum into one bucket") {
+    // 10 days alternating totals 1.0 / 3.0, each day split into two
+    // half-value events (the daily sum must see 1.0/3.0, not halves)
+    val rows = (0 until 10).flatMap { day =>
+      val v = if (day % 2 == 0) 0.5 else 1.5
+      Seq((f"2024-01-${day + 1}%02d 03:00:00", "s", v),
+        (f"2024-01-${day + 1}%02d 17:00:00", "s", v))
+    }
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.autocorrelation(ev, "event_type", "ts",
+      col("value"), maxLag = 2).head
+    assert(got.getString(0) === "s" && got.getLong(1) === 10L)
+    assert(got.getDouble(2) === -1.0 && got.getDouble(3) === 1.0)
+  }
+
+  test("kAnonymity: exactly the under-k and under-l groups are " +
+      "reported, passing groups are absent") {
+    val df = Seq(
+      // group (1, "x"): size 3 (< k=4) — size violation
+      (1, "x", 10.0), (1, "x", 11.0), (1, "x", 12.0),
+      // group (2, "y"): size 4, but all share one sensitive value (< l=2)
+      (2, "y", 5.0), (2, "y", 5.0), (2, "y", 5.0), (2, "y", 5.0),
+      // group (3, "z"): size 4, 2 distinct — passes both
+      (3, "z", 1.0), (3, "z", 2.0), (3, "z", 1.0), (3, "z", 2.0)
+    ).toDF("nat", "seg", "bal")
+    val got = Expectations.kAnonymity(df, Seq("nat", "seg"), "bal",
+        k = 4, l = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1, "x", 3L, 3L), (2, "y", 4L, 1L)))
+  }
 }

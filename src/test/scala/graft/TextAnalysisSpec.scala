@@ -224,4 +224,18 @@ class TextAnalysisSpec extends SparkTestBase {
         r.getDouble(3))).toSet
     assert(again == first)
   }
+
+  test("textRankKeywords: the adjacency hub outranks its leaves, leaf " +
+      "ties break by token, and the result is partitioning-invariant") {
+    // word graph from adjacency: a↔b (twice, collapses) and a↔c — a
+    // star centered on "a"; b and c are symmetric leaves
+    val docs = Seq("a b a c", "b a").toDF("text")
+    val got = TextAnalysis.textRankKeywords(docs, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(got(0)._2 > got(1)._2 && got(1)._2 === got(2)._2)
+    val re = TextAnalysis.textRankKeywords(docs.repartition(5), "text",
+      topK = 3).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(re.toSeq === got.toSeq)
+  }
 }
