@@ -159,8 +159,10 @@ object ScaleSmoke {
     // r10: O(log n)-round alternating-star components and the
     // exact-decimal assortativity reduce
     "q202_connected_components", "q203_assortativity",
-    // r10: days-sized ACF, PageRank-over-words, privacy audit
-    "q204_autocorr", "t205_textrank", "q206_k_anonymity")
+    // r10: days-sized ACF, PageRank-over-words, privacy audit, and the
+    // star-edge incremental CC fold (base never re-read)
+    "q204_autocorr", "t205_textrank", "q206_k_anonymity",
+    "q207_cc_increment")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

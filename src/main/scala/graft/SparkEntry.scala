@@ -2118,6 +2118,26 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 3)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // Incremental connected components: the base half of the q202 graph
+    // is clustered first and participates in the delta fold ONLY via
+    // its nodes-sized star edges; folding in the other half must
+    // reproduce the full-graph labels exactly (merges and new nodes
+    // included) — the oracle IS q202's full-graph min-propagation.
+    "q207_cc_increment" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.ok").as("ok"), col("x.pk").as("src"),
+          col("y.pk").as("dst"))
+      val base = pairs.filter(col("ok") % 40 === 0)
+      val delta = pairs.filter(col("ok") % 40 =!= 0)
+      val labels = operators.Graph.connectedComponents(base, "src", "dst")
+      operators.Graph.connectedComponentsIncrement(labels, delta,
+          "src", "dst")
+        .orderBy(col("id"))
+    }),
+
     // Per-benchmark contamination audit: benchA is a verbatim corpus
     // slice (exact hits), benchB is a mutated slice (near hits at
     // jaccard >= 0.5 but not exact). Rows-only (hashed-shingle jaccard);
@@ -3439,6 +3459,9 @@ object SparkEntry {
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q202_connected_components" -> ccOracleSql(12),
+
+    // same full-graph labels: the star-edge fold is semantics-neutral
+    "q207_cc_increment" -> ccOracleSql(12),
 
     "q203_assortativity" ->
       """WITH u AS (

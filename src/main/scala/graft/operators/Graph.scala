@@ -439,6 +439,35 @@ object Graph {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Incremental connected components: fold a DELTA edge batch into an
+    * already-clustered graph WITHOUT re-reading the base edge list. The
+    * base participates only through its STAR EDGES — the
+    * (id, component) labels [[connectedComponents]] returned — which
+    * are connectivity-EQUIVALENT to the full base graph (every node is
+    * connected to its component representative) while being nodes-sized
+    * rather than edges-sized. Running the alternating-star loop on
+    * (star ∪ delta) therefore yields exactly the components of
+    * (base ∪ delta), including merges the delta causes between old
+    * components and nodes the delta introduces.
+    *
+    * This is the 100 TB ingest shape: per batch, the work scales with
+    * (nodes + delta edges), never with the accumulated edge history —
+    * the same never-reprocess-the-base contract as the incremental
+    * dedup family. The returned labels feed the next increment. */
+  def connectedComponentsIncrement(labels: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20, checkpointDir: Option[String] = None)
+      : DataFrame = {
+    require(labels.columns.length >= 2,
+      "labels must be the (id, component) table connectedComponents returns")
+    val star = labels.select(col(labels.columns.head).as("src"),
+      col(labels.columns(1)).as("dst"))
+    val delta = deltaEdges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"))
+    connectedComponents(star.union(delta), "src", "dst", maxRounds,
+      checkpointDir)
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of the
     * endpoint degrees over the symmetrized edge list — positive when
     * hubs attach to hubs (a spam mesh / mutual-promotion ring),

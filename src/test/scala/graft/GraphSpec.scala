@@ -319,6 +319,23 @@ class GraphSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("connectedComponentsIncrement: a delta merges two base " +
+      "components and introduces new nodes, matching full-graph CC") {
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val delta = Seq((3L, 10L),            // merges {1,2,3} with {10,11}
+      (20L, 21L)).toDF("src", "dst")      // brand-new component
+    val labels = Graph.connectedComponents(base, "src", "dst")
+    val inc = Graph.connectedComponentsIncrement(labels, delta,
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.connectedComponents(
+        base.unionByName(delta), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      11L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("assortativity: a star is perfectly disassortative (−1), a " +
       "regular graph has no degree variance (null)") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
