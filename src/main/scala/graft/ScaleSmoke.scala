@@ -162,7 +162,9 @@ object ScaleSmoke {
     // r10: days-sized ACF, PageRank-over-words, privacy audit, and the
     // star-edge incremental CC fold (base never re-read)
     "q204_autocorr", "t205_textrank", "q206_k_anonymity",
-    "q207_cc_increment")
+    "q207_cc_increment",
+    // r10: gaps-and-islands coverage + Heaps-curve vocabulary growth
+    "q208_interval_coverage", "t209_vocab_growth")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2138,6 +2138,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Interval-union coverage: per user, 5-minute event intervals merge
+    // into maximal segments (gaps-and-islands over one keyed window) —
+    // exact integer microseconds end to end, no float anywhere.
+    "q208_interval_coverage" -> ((s, d) =>
+      operators.Sessionize.intervalCoverage(t(s, d, "events"),
+          "user_id", "ts", durationUs = 300000000L)
+        .select(col("key").as("user_id"), col("covered_us"),
+          col("n_segments"))
+        .orderBy(col("user_id"))),
+
+    // Vocabulary-growth (Heaps-curve) profile over BIGRAMS (the unigram
+    // vocabulary of the synthetic corpus saturates in bucket 0):
+    // first-seen counts per 50-doc bucket plus the cumulative
+    // vocabulary — the saturation signal for "does more of this source
+    // still buy new language".
+    "t209_vocab_growth" -> ((s, d) =>
+      operators.TextAnalysis.vocabGrowth(
+          t(s, d, "documents"), "doc_id", "text", bucketSize = 50L,
+          ngram = 2)
+        .orderBy(col("bucket"))),
+
     // Per-benchmark contamination audit: benchA is a verbatim corpus
     // slice (exact hits), benchB is a mutated slice (near hits at
     // jaccard >= 0.5 but not exact). Rows-only (hashed-shingle jaccard);
@@ -3462,6 +3483,45 @@ object SparkEntry {
 
     // same full-graph labels: the star-edge fold is semantics-neutral
     "q207_cc_increment" -> ccOracleSql(12),
+
+    "q208_interval_coverage" ->
+      """WITH iv AS (
+        | SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + 300000000 AS e
+        | FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        | FROM iv),
+        |fl AS (SELECT user_id, s, e,
+        |  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+        | FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |  sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM fl),
+        |seg AS (SELECT user_id, island, min(s) AS ss, max(e) AS ee
+        | FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(ee - ss) AS BIGINT) AS covered_us,
+        | count(*) AS n_segments
+        |FROM seg GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "t209_vocab_growth" ->
+      """WITH fs AS (
+        | SELECT bg, min(doc_id) AS first FROM (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents) toks,
+        |   unnest(range(1, len(t))) AS u(i)
+        |  WHERE t[i] <> '' AND t[i+1] <> '') GROUP BY bg),
+        |b AS (SELECT first // 50 AS bucket, count(*) AS new_tokens
+        | FROM fs GROUP BY 1)
+        |SELECT bucket, new_tokens,
+        | CAST(sum(new_tokens) OVER (ORDER BY bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS vocab
+        |FROM b ORDER BY bucket""".stripMargin,
 
     "q203_assortativity" ->
       """WITH u AS (

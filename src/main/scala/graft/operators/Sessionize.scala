@@ -45,4 +45,45 @@ object Sessionize {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev_ts", "__new_session")
   }
+
+  /** Interval-union coverage (the gaps-and-islands merge): per key,
+    * collapse overlapping-or-touching `[ts, ts + duration)` intervals
+    * into maximal segments and report the total covered microseconds
+    * and segment count — "how much wall-clock does this user/sensor
+    * actually cover once overlaps collapse", the de-double-counted
+    * complement of [[sessions]] (which counts events; this measures
+    * TIME). Touching intervals (next start == running max end) merge.
+    *
+    * Everything is exact integer microseconds (`unix_micros`), so the
+    * result is engine-portable with no float anywhere. The classic
+    * single-window formulation: running max-end over the per-key
+    * start-ordered intervals flags island starts; a cumulative sum
+    * names the islands; two aggregates finish. Equal-start ties need no
+    * tie-break — any order yields the same islands (a tied row is
+    * always inside its predecessor's interval).
+    *
+    * Scale: ONE shuffle keyed by `keyCol`; both windows ride the same
+    * sort, the island aggregate is map-side combinable, and per-key
+    * state is the key's interval count — no global window anywhere. */
+  def intervalCoverage(df: DataFrame, keyCol: String, tsCol: String,
+      durationUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(durationUs > 0, s"durationUs must be > 0, got $durationUs")
+    val iv = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__s"))
+      .withColumn("__e", col("__s") + lit(durationUs))
+    val w = Window.partitionBy(col("key")).orderBy(col("__s"), col("__e"))
+    val pme = max(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("__ni",
+        when(pme.isNull || col("__s") > pme, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("__isl"))
+      .agg(min(col("__s")).as("__ss"), max(col("__e")).as("__ee"))
+      .groupBy(col("key"))
+      .agg(sum((col("__ee") - col("__ss")).cast("decimal(28,0)"))
+          .cast("bigint").as("covered_us"),
+        count(lit(1)).as("n_segments"))
+  }
 }

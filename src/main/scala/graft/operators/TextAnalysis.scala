@@ -448,6 +448,44 @@ object TextAnalysis {
       .select(col("id").as("token"), col("rank"))
   }
 
+  /** Vocabulary-growth (Heaps-curve) profile: order the corpus by
+    * `idCol`, bucket every `bucketSize` ids, and report per bucket the
+    * count of FIRST-SEEN tokens plus the cumulative vocabulary — the
+    * saturation signal a curation run reads to decide whether more of
+    * the same source still buys new language ("Heaps' law" flattening)
+    * or the corpus has gone repetitive. Fully exact: first-seen is a
+    * `min(id)` per token, buckets are integer division.
+    *
+    * Scale: the occurrence explode collapses to the vocabulary-sized
+    * first-seen table with map-side combine (min is algebraic); the
+    * cumulative window runs over the BUCKETS-sized table — bounded by
+    * id-range / bucketSize, never by the corpus. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    require(ngram >= 1 && ngram <= 5, s"ngram must be in [1,5], got $ngram")
+    // n-gram "vocabulary" via a zip of n shifted array slices (per-row,
+    // no window): unigrams saturate fast on a narrow corpus; higher n
+    // keeps discriminating long after (the Heaps exponent shifts)
+    val withT = df.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("__t"))
+    val len = greatest(size(col("__t")) - (ngram - 1), lit(0))
+    val parts = (0 until ngram).map(i => slice(col("__t"), lit(i + 1), len))
+    val fields = (0 until ngram).map(i => col("__g").getField(i.toString))
+    val firstSeen = withT
+      .select(col("__id"), explode(arrays_zip(parts: _*)).as("__g"))
+      .filter(fields.map(_ =!= "").reduce(_ && _))
+      .select(col("__id"), concat_ws(" ", fields: _*).as("token"))
+      .groupBy(col("token")).agg(min(col("__id")).as("__first"))
+    firstSeen
+      .groupBy(expr(s"__first div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab", sum(col("new_tokens")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Top-k heavy-hitter tokens PER GROUP (e.g. per language — the
     * vocabulary-drift view of [[topTokens]]): exact counts, total
     * tie-break order (count desc, token asc) within each group.

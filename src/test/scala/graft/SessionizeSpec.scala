@@ -43,4 +43,30 @@ class SessionizeSpec extends SparkTestBase {
       .groupBy("user_id").agg(max("session_id").as("n_sessions"))
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("intervalCoverage: overlapping and touching intervals merge, " +
+      "gaps split segments, null keys drop, exact microseconds") {
+    import spark.implicits._
+    // u: [0,300)+[100,400)+[400,700) chain (touch merges) then a gap to
+    // [1000,1300); v: a single interval; one null-key row ignored
+    val rows = Seq(("u", 0L), ("u", 100L), ("u", 400L), ("u", 1000L),
+      ("v", 5L)).toDF("key", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .unionByName(Seq(("x", 7L)).toDF("key", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withColumn("key", lit(null: String)))
+    val got = Sessionize.intervalCoverage(rows, "key", "ts",
+        durationUs = 300000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "u" -> ((1000000000L, 2L)), // 700s + 300s covered, 2 segments
+      "v" -> ((300000000L, 1L))))
+    // partitioning-invariant
+    val re = Sessionize.intervalCoverage(rows.repartition(7), "key",
+        "ts", 300000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(re === got)
+  }
 }

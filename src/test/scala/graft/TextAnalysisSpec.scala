@@ -238,4 +238,20 @@ class TextAnalysisSpec extends SparkTestBase {
       topK = 3).collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(re.toSeq === got.toSeq)
   }
+
+  test("vocabGrowth: first-seen counts per id bucket with a cumulative " +
+      "vocabulary, unigrams and bigrams") {
+    val docs = Seq((0L, "a b"), (50L, "b c"), (150L, "d"),
+      (250L, "a d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", 100L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 3L, 3L), (1L, 1L, 4L), (2L, 1L, 5L)))
+    // bigrams: "a b"@0, "b c"@50 → bucket 0: 2; "a d","d e"@250 → b2: 2
+    val bg = TextAnalysis.vocabGrowth(docs, "doc_id", "text", 100L,
+        ngram = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bg.toSeq === Seq((0L, 2L, 2L), (2L, 2L, 4L)))
+  }
 }
