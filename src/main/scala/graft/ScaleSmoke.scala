@@ -164,7 +164,9 @@ object ScaleSmoke {
     "q204_autocorr", "t205_textrank", "q206_k_anonymity",
     "q207_cc_increment",
     // r10: gaps-and-islands coverage + Heaps-curve vocabulary growth
-    "q208_interval_coverage", "t209_vocab_growth")
+    "q208_interval_coverage", "t209_vocab_growth",
+    // r10: streaming CC maintenance (star-edge fold per batch)
+    "str210_stream_components")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

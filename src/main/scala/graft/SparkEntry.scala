@@ -2148,6 +2148,36 @@ object SparkEntry {
           col("n_segments"))
         .orderBy(col("user_id"))),
 
+    // Streaming connected-components maintenance: the q202 graph
+    // replays as three edge batches (order-key bands); each batch folds
+    // into the persisted labels via the star-edge increment — the final
+    // label table must equal the batch full-graph clustering, i.e. the
+    // same min-propagation oracle as q202/q207.
+    "str210_stream_components" -> ((s, d) => {
+      val root = tmpDir("graft_str210")
+      val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/cc", s"$root/ckpt")
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.ok").as("ok"), col("x.pk").as("src"),
+          col("y.pk").as("dst"))
+      pairs.filter(col("ok") % 40 === 0).select("src", "dst")
+        .coalesce(1).write.parquet(srcDir)
+      pairs.filter(col("ok") % 40 === 20).select("src", "dst")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamComponents(stream, outDir,
+          "src", "dst", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readComponents(s, outDir)
+        .orderBy(col("id"))
+    }),
+
     // Vocabulary-growth (Heaps-curve) profile over BIGRAMS (the unigram
     // vocabulary of the synthetic corpus saturates in bucket 0):
     // first-seen counts per 50-doc bucket plus the cumulative
@@ -3483,6 +3513,9 @@ object SparkEntry {
 
     // same full-graph labels: the star-edge fold is semantics-neutral
     "q207_cc_increment" -> ccOracleSql(12),
+
+    // streamed batches of the same graph → the same full-graph labels
+    "str210_stream_components" -> ccOracleSql(12),
 
     "q208_interval_coverage" ->
       """WITH iv AS (

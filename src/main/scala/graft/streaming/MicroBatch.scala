@@ -293,6 +293,46 @@ object MicroBatch {
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming connected-components maintenance: each micro-batch of
+    * (src, dst) edges folds into the persisted label table via
+    * [[graft.operators.Graph.connectedComponentsIncrement]] — the
+    * accumulated graph participates only through its NODES-SIZED star
+    * edges, so per-batch work is (nodes + batch edges), never the edge
+    * history; merges across batches and brand-new nodes are exact.
+    * Versioned like [[streamRollup]] (`version=batchId` snapshots
+    * selected by highest id strictly below the current batch), so a
+    * replayed batch overwrites its own version idempotently. */
+  def streamComponents(edgeStream: DataFrame, dir: String,
+      srcCol: String, dstCol: String,
+      cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = edgeStream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val next = latestRollupVersion(spark, dir,
+            beforeExclusive = Some(batchId))
+          .map(v => spark.read.parquet(s"$dir/version=$v"))
+          .filter(!_.isEmpty) match {
+          case Some(labels) => graft.operators.Graph
+            .connectedComponentsIncrement(labels, batch, srcCol, dstCol)
+          case None => graft.operators.Graph
+            .connectedComponents(batch, srcCol, dstCol)
+        }
+        next.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current label table of a [[streamComponents]] directory. */
+  def readComponents(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no component versions under $dir"))
+    spark.read.parquet(s"$dir/version=$v")
+  }
+
   /** The current state of a [[streamRollup]] directory: the latest
     * version's snapshot with dead (n ≤ 0) groups pruned. */
   def readRollup(spark: SparkSession, dir: String): DataFrame = {

@@ -590,6 +590,39 @@ class StreamingSpec extends SparkTestBase {
     assert(state() === Seq(("a", 2L, 16.0), ("b", 1L, 20.0)))
   }
 
+  test("streamComponents: batched edges reach the full-graph labels " +
+      "(cross-batch merge included); restart with no new input is a " +
+      "no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strcc")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/cc", s"$root/ckpt")
+    // batch 1: two separate components; batch 2: an edge merging them
+    // plus a brand-new pair
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      .coalesce(1).write.parquet(srcDir)
+    Seq((3L, 10L), (20L, 21L)).toDF("src", "dst")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamComponents(stream, outDir,
+          "src", "dst", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def state() = graft.streaming.MicroBatch.readComponents(spark, outDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L)
+    assert(state() === want)
+    run() // restart: checkpoint replays nothing, labels unchanged
+    assert(state() === want)
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
