@@ -165,8 +165,9 @@ object ScaleSmoke {
     "q207_cc_increment",
     // r10: gaps-and-islands coverage + Heaps-curve vocabulary growth
     "q208_interval_coverage", "t209_vocab_growth",
-    // r10: streaming CC maintenance (star-edge fold per batch)
-    "str210_stream_components")
+    // r10: streaming CC maintenance (star-edge fold per batch) and the
+    // distributed-rank RFM tiling
+    "str210_stream_components", "q211_rfm")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2148,6 +2148,14 @@ object SparkEntry {
           col("n_segments"))
         .orderBy(col("user_id"))),
 
+    // RFM value segmentation: per-user recency/frequency/monetary tiles
+    // from the DISTRIBUTED global rank (never a single-partition NTILE)
+    // with a pure-integer tile formula any engine reproduces exactly.
+    "q211_rfm" -> ((s, d) =>
+      operators.Retention.rfm(t(s, d, "events"), "user_id", "ts",
+          "value")
+        .orderBy(col("user_id"))),
+
     // Streaming connected-components maintenance: the q202 graph
     // replays as three edge batches (order-key bands); each batch folds
     // into the persisted labels via the star-edge increment — the final
@@ -3516,6 +3524,34 @@ object SparkEntry {
 
     // streamed batches of the same graph → the same full-graph labels
     "str210_stream_components" -> ccOracleSql(12),
+
+    "q211_rfm" ->
+      """WITH per AS (
+        | SELECT user_id, max(epoch_us(ts)) AS lastu,
+        |  count(*) AS frequency, sum(CAST(value AS DECIMAL(28,6))) AS m
+        | FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |base AS (
+        | SELECT user_id,
+        |  ((SELECT max(lastu) FROM per) - lastu) // 86400000000
+        |   AS recency_days,
+        |  frequency, CAST(m AS DOUBLE) AS monetary
+        | FROM per),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |r AS (SELECT user_id,
+        |  ((row_number() OVER (ORDER BY recency_days, user_id) - 1) * 4)
+        |   // (SELECT n FROM nn) + 1 AS r_score FROM base),
+        |f AS (SELECT user_id,
+        |  ((row_number() OVER (ORDER BY frequency DESC, user_id) - 1)
+        |   * 4) // (SELECT n FROM nn) + 1 AS f_score FROM base),
+        |mm AS (SELECT user_id,
+        |  ((row_number() OVER (ORDER BY monetary DESC, user_id) - 1)
+        |   * 4) // (SELECT n FROM nn) + 1 AS m_score FROM base)
+        |SELECT b.user_id, b.recency_days, b.frequency, b.monetary,
+        | r.r_score, f.f_score, mm.m_score,
+        | r.r_score * 100 + f.f_score * 10 + mm.m_score AS segment
+        |FROM base b JOIN r USING (user_id) JOIN f USING (user_id)
+        | JOIN mm USING (user_id)
+        |ORDER BY b.user_id""".stripMargin,
 
     "q208_interval_coverage" ->
       """WITH iv AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cohort retention analysis — the companion question to [[Funnel]]:
@@ -109,5 +109,51 @@ object Retention {
         (col("n_churned").cast("double") /
           col("n_at_risk").cast("double")).as("hazard"))
       .orderBy(col("age_days"))
+  }
+
+  /** RFM segmentation (the classic recency/frequency/monetary value
+    * tiling): per entity, days since last activity, event count, and
+    * exact-decimal spend, each tiled 1..`buckets` with score 1 = BEST
+    * (most recent / most frequent / highest spend). `segment` packs the
+    * three digits (r·100 + f·10 + m — "111" is the champion cell).
+    *
+    * Tiles are computed from [[Linkage.globalRank]]'s DISTRIBUTED rank
+    * (range repartition + prefix offsets) — never a single-partition
+    * NTILE window, which is the classic scale trap on a billions-of-
+    * users table. The tile formula `((rank−1)·b) div n + 1` is pure
+    * integer arithmetic over the rank, so any engine reproduces the
+    * exact cut; ties order by (metric, entity) — total, deterministic.
+    * Recency is exact integer microseconds against the corpus max (one
+    * broadcast scalar); monetary sums route through decimal.
+    *
+    * Scale: one corpus aggregate to the entity-sized table, then three
+    * globalRank passes and three entity-keyed joins over THAT table. */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, buckets: Int = 4): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val per = events.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(unix_micros(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("__m"))
+    val cmax = per.agg(max(col("__last")).as("__cm"))
+    val base = per.crossJoin(broadcast(cmax)) // one-row scalar join
+      .select(col("user_id"),
+        expr("(__cm - __last) div 86400000000").as("recency_days"),
+        col("frequency"), col("__m").cast("double").as("monetary"))
+      .localCheckpoint(eager = false) // three rank passes + final join
+    val n = base.count()
+    def tiled(out: String, key: Column): DataFrame =
+      Linkage.globalRank(base.select(col("user_id"), key.as("__k")),
+          "user_id", col("__k"))
+        .select(col("user_id"),
+          (expr(s"((grank - 1) * $buckets) div ${math.max(n, 1L)}") + 1)
+            .as(out))
+    base
+      .join(tiled("r_score", col("recency_days")), "user_id")
+      .join(tiled("f_score", -col("frequency")), "user_id")
+      .join(tiled("m_score", -col("monetary")), "user_id")
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 }

@@ -327,4 +327,35 @@ class FunnelSpec extends SparkTestBase {
     // lift = 2·4 / (3·3)
     assert(got.toSeq === Seq(("x", "y") -> (2L, 0.888889)))
   }
+
+  test("rfm: hand-computed tiles — score 1 is most recent / most " +
+      "frequent / highest spend; segment packs the digits; " +
+      "partitioning-invariant") {
+    // 4 users, buckets=4 → each tile holds exactly one user
+    // u1: day 0, 1 event,  10.0   (oldest, least frequent, lowest)
+    // u2: day 1, 2 events, 20.0
+    // u3: day 2, 3 events, 30.0
+    // u4: day 3, 4 events, 40.0   (newest, most frequent, highest)
+    val rows = for {
+      u <- 1 to 4; e <- 1 to u
+    } yield (u.toLong, (u - 1).toLong * 86400L, u * 10.0 / u)
+    val ev = rows.toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Retention.rfm(ev, "user_id", "ts", "value", buckets = 4)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // recency_days vs corpus max (day 3): u1→3 … u4→0
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, 4L, 4L, 4L, 444L),
+      (2L, 2L, 2L, 3L, 3L, 3L, 333L),
+      (3L, 1L, 3L, 2L, 2L, 2L, 222L),
+      (4L, 0L, 4L, 1L, 1L, 1L, 111L)))
+    val re = Retention.rfm(ev.repartition(7), "user_id", "ts", "value",
+        buckets = 4)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(re.toSeq === got.toSeq)
+  }
 }
