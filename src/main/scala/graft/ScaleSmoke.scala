@@ -165,9 +165,10 @@ object ScaleSmoke {
     "q207_cc_increment",
     // r10: gaps-and-islands coverage + Heaps-curve vocabulary growth
     "q208_interval_coverage", "t209_vocab_growth",
-    // r10: streaming CC maintenance (star-edge fold per batch) and the
-    // distributed-rank RFM tiling
-    "str210_stream_components", "q211_rfm")
+    // r10: streaming CC maintenance (star-edge fold per batch), the
+    // distributed-rank RFM tiling, and exact grouped quantiles by
+    // distributed selection
+    "str210_stream_components", "q211_rfm", "q212_exact_quantiles")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2148,6 +2148,17 @@ object SparkEntry {
           col("n_segments"))
         .orderBy(col("user_id"))),
 
+    // EXACT grouped quantiles by distributed selection (range
+    // repartition + per-group prefix offsets — never a per-group
+    // window): the exact complement to percentile_approx/KLL; rank
+    // targets use DOUBLE-forced constants so both engines run the same
+    // IEEE ceil.
+    "q212_exact_quantiles" -> ((s, d) =>
+      operators.Expectations.exactQuantiles(t(s, d, "lineitem"),
+          "l_returnflag", col("l_extendedprice"), Seq(0.5, 0.9, 0.99),
+          idCol = "l_orderkey")
+        .orderBy(col("l_returnflag"))),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -3524,6 +3535,23 @@ object SparkEntry {
 
     // streamed batches of the same graph → the same full-graph labels
     "str210_stream_components" -> ccOracleSql(12),
+
+    "q212_exact_quantiles" ->
+      """WITH r AS (
+        | SELECT l_returnflag AS g, l_extendedprice AS v,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice, l_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT g AS l_returnflag, max(n) AS n,
+        | max(CASE WHEN rn = greatest(1, CAST(ceil(
+        |  CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p50,
+        | max(CASE WHEN rn = greatest(1, CAST(ceil(
+        |  CAST(0.9 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p90,
+        | max(CASE WHEN rn = greatest(1, CAST(ceil(
+        |  CAST(0.99 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p99
+        |FROM r GROUP BY g
+        |ORDER BY g""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

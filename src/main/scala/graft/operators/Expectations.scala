@@ -270,6 +270,63 @@ object Expectations {
       .orderBy(col("bin"))
   }
 
+  /** EXACT grouped quantiles at scale — the exact complement to
+    * `percentile_approx` (q14) and the KLL sketches (t128): the lower
+    * discrete quantile (the element at 1-based rank
+    * `max(1, ceil(q·n))` in each group's value order), computed WITHOUT
+    * a per-group window — a single low-cardinality group would
+    * otherwise funnel its whole value set through one partition.
+    *
+    * Distributed-selection shape (the grouped form of
+    * [[Linkage.globalRank]]): ONE range repartition on
+    * (group, value, id) gives globally ordered buckets; per-bucket
+    * windows are segmented by group WITHIN each bucket (bounded by
+    * bucket size, never group size); global per-group ranks come from
+    * a (groups × buckets)-sized offset table, broadcast back. Rank
+    * targets are pure arithmetic on the group sizes, the selection is
+    * a filter + one final pivot-style aggregate.
+    *
+    * Ties: values order by (value, id) internally, but the SELECTED
+    * value at a rank is independent of how equal values are ordered,
+    * so the result needs no tie documentation. Returns one row per
+    * group: (groupCol, n, p<q·100> per requested q). */
+  def exactQuantiles(df: DataFrame, groupCol: String, value: Column,
+      qs: Seq[Double], idCol: String, buckets: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val base = df.select(col(groupCol).as("__g"), value.as("__v"),
+      col(idCol).as("__id"))
+    val ranged = base
+      .repartitionByRange(buckets, col("__g"), col("__v"), col("__id"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val wB = Window.partitionBy(col("__b"), col("__g"))
+      .orderBy(col("__v"), col("__id"))
+    val counts = ranged.groupBy(col("__b"), col("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__gn", sum(col("__n")).over(
+        Window.partitionBy(col("__g"))))
+      .select(col("__b"), col("__g"), col("__off"), col("__gn"))
+    val ranked = ranged
+      .withColumn("__r", row_number().over(wB))
+      .join(broadcast(offsets), Seq("__b", "__g"))
+      .withColumn("__rank", col("__off") + col("__r"))
+    val targets = qs.map(q =>
+      greatest(lit(1L), ceil(lit(q) * col("__gn")).cast("long")))
+    val hits = ranked
+      .filter(targets.map(col("__rank") === _).reduce(_ || _))
+    hits.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__gn")).as("n"),
+        qs.zip(targets).map { case (q, t) =>
+          max(when(col("__rank") === t, col("__v")))
+            .as(s"p${math.round(q * 100)}")
+        }: _*)
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
     * 2007, the public privacy-release criteria): every quasi-identifier
     * combination whose group has fewer than `k` members (re-

@@ -699,6 +699,27 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.getDouble(2) === -1.0 && got.getDouble(3) === 1.0)
   }
 
+  test("exactQuantiles: hand-computed lower discrete quantiles, " +
+      "duplicate values, a 1-row group, and bucket-count invariance") {
+    // group a: values 1..10 → p50 = 5 (rank ceil(.5*10)=5),
+    //   p90 = 9, p99 = 10 (rank ceil(9.9)=10)
+    // group b: 7,7,7 → every quantile 7; group c: single 42
+    val df = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
+      Seq(("b", 7.0, 1L), ("b", 7.0, 2L), ("b", 7.0, 3L),
+        ("c", 42.0, 9L))).toDF("g", "v", "id")
+    def run(buckets: Int) =
+      Expectations.exactQuantiles(df, "g", col("v"),
+          Seq(0.5, 0.9, 0.99), "id", buckets)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    val want = Seq(("a", 10L, 5.0, 9.0, 10.0), ("b", 3L, 7.0, 7.0, 7.0),
+      ("c", 1L, 42.0, 42.0, 42.0))
+    assert(run(64).toSeq === want)
+    assert(run(3).toSeq === want) // group split across range buckets
+    assert(run(1).toSeq === want)
+  }
+
   test("kAnonymity: exactly the under-k and under-l groups are " +
       "reported, passing groups are absent") {
     val df = Seq(
