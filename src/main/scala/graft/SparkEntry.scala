@@ -2159,6 +2159,16 @@ object SparkEntry {
           idCol = "l_orderkey")
         .orderBy(col("l_returnflag"))),
 
+    // Directional association rules over lineitem baskets: q189's
+    // capped pair expansion, both directions, exact long counts;
+    // confidence and lift are each ONE double division of integer
+    // operands — correctly rounded, so engine-exact with no rounding.
+    "q213_assoc_rules" -> ((s, d) =>
+      operators.Affinity.associationRules(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L,
+          minConfidence = 0.05)
+        .orderBy(col("antecedent"), col("consequent"))),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -3552,6 +3562,32 @@ object SparkEntry {
         |  CAST(0.99 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p99
         |FROM r GROUP BY g
         |ORDER BY g""".stripMargin,
+
+    "q213_assoc_rules" ->
+      """WITH posts AS (
+        | SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        | WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b FROM posts GROUP BY b HAVING count(*) <= 256),
+        |k AS (SELECT posts.b, posts.i FROM posts JOIN sz USING (b)),
+        |tot AS (SELECT count(DISTINCT b) AS n FROM k),
+        |f AS (SELECT i, count(*) AS ni FROM k GROUP BY i),
+        |pr AS (SELECT a.i AS x, b.i AS y, count(*) AS n_baskets
+        | FROM k a JOIN k b ON a.b = b.b AND a.i < b.i
+        | GROUP BY a.i, b.i HAVING count(*) >= 2),
+        |dir AS (SELECT x AS antecedent, y AS consequent, n_baskets
+        |  FROM pr
+        | UNION ALL
+        | SELECT y AS antecedent, x AS consequent, n_baskets FROM pr),
+        |sc AS (SELECT antecedent, consequent, n_baskets,
+        |  CAST(n_baskets AS DOUBLE) / CAST(fa.ni AS DOUBLE)
+        |   AS confidence,
+        |  CAST(n_baskets * (SELECT n FROM tot) AS DOUBLE) /
+        |   CAST(fa.ni * fc.ni AS DOUBLE) AS lift
+        | FROM dir JOIN f fa ON fa.i = dir.antecedent
+        |  JOIN f fc ON fc.i = dir.consequent)
+        |SELECT antecedent, consequent, n_baskets, confidence, lift
+        |FROM sc WHERE confidence >= 0.05
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

@@ -61,4 +61,68 @@ object Affinity {
           (col("__na").cast("double") * col("__nb").cast("double")), 6)
           .as("lift"))
   }
+
+  /** Directional association rules `antecedent → consequent` over the
+    * same capped basket postings as [[coOccurrence]]: each surviving
+    * undirected pair emits both directions with
+    * `confidence = n_ab / n_antecedent` (how often the consequent
+    * follows given the antecedent) and
+    * `lift = (n_ab · N) / (n_a · n_b)`. Rules below `minSupport`
+    * baskets or `minConfidence` are dropped.
+    *
+    * Numerics: every count is an exact long; `confidence` and `lift`
+    * are each ONE double division of exactly-computed integer operands
+    * (products stay in long range: counts are bounded by the basket
+    * count), so the emitted doubles are correctly-rounded and
+    * bit-identical in any IEEE engine — no rounding applied.
+    *
+    * Scale shape: identical to [[coOccurrence]] (basket-keyed pair
+    * join behind the `maxBasketSize` skew cap, frequencies joined on
+    * item, total-basket scalar broadcast); the direction union doubles
+    * only the already-support-filtered pair table, not the expansion. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, minConfidence: Double = 0.0,
+      maxBasketSize: Int = 256): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      s"minConfidence must be in [0,1], got $minConfidence")
+    val posts = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = posts.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("__b"))
+    val kept = posts.join(sized, Seq("__b"), "left_semi")
+      .localCheckpoint(eager = false) // three consumers below
+    val total = kept.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val itemFreq = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ni"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("__x"), col("b.__i").as("__y"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+    val directed = pairs
+      .select(col("__x").as("antecedent"), col("__y").as("consequent"),
+        col("n_baskets"))
+      .unionAll(pairs.select(col("__y").as("antecedent"),
+        col("__x").as("consequent"), col("n_baskets")))
+    directed
+      .join(itemFreq.select(col("__i").as("antecedent"),
+        col("__ni").as("__na")), Seq("antecedent"))
+      .join(itemFreq.select(col("__i").as("consequent"),
+        col("__ni").as("__nc")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .withColumn("confidence",
+        col("n_baskets").cast("double") / col("__na").cast("double"))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"), col("n_baskets"),
+        col("confidence"),
+        ((col("n_baskets") * col("__n")).cast("double") /
+          (col("__na") * col("__nc")).cast("double")).as("lift"))
+  }
 }

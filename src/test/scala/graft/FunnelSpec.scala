@@ -328,6 +328,27 @@ class FunnelSpec extends SparkTestBase {
     assert(got.toSeq === Seq(("x", "y") -> (2L, 0.888889)))
   }
 
+  test("associationRules: directional confidence on a hand basket set; " +
+      "minConfidence cuts asymmetrically; mega-basket still excluded") {
+    import graft.operators.Affinity
+    // same baskets as the coOccurrence test: {x,y} {x,y} {x,z} {y} + cap
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")) ++
+      (1 to 5).map(i => (9L, s"m$i"))
+    val df = rows.toDF("basket", "item")
+    val got = Affinity.associationRules(df, "basket", "item",
+        minSupport = 1L, minConfidence = 0.5, maxBasketSize = 4)
+      .orderBy("antecedent", "consequent")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // x→y 2/3 keeps, y→x 2/3 keeps, x→z 1/3 cut, z→x 1/1 keeps —
+    // the same pair survives in one direction and dies in the other
+    assert(got.toSeq === Seq(
+      ("x", "y", 2L, 2.0 / 3.0, 8.0 / 9.0),
+      ("y", "x", 2L, 2.0 / 3.0, 8.0 / 9.0),
+      ("z", "x", 1L, 1.0, 4.0 / 3.0)))
+  }
+
   test("rfm: hand-computed tiles — score 1 is most recent / most " +
       "frequent / highest spend; segment packs the digits; " +
       "partitioning-invariant") {
