@@ -2169,6 +2169,61 @@ object SparkEntry {
           minConfidence = 0.05)
         .orderBy(col("antecedent"), col("consequent"))),
 
+    // Item-to-item neighbor lists over lineitem baskets — the
+    // "also bought" recommender primitive: binary-incidence cosine
+    // (one sqrt + one division of exact counts, bit-identical IEEE)
+    // ranks each part's top-5 co-purchased neighbors.
+    "q214_item_similarity" -> ((s, d) =>
+      operators.Affinity.itemSimilarity(t(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", topK = 5, minSupport = 2L)
+        .orderBy(col("item"), col("rank"))),
+
+    // Lossless edit-distance-1 self-join by deletion neighborhoods
+    // (FastSS): id-typo style linkage over customer names — candidates
+    // from shared single-deletion variants, verified by exact
+    // levenshtein, equal by construction to the all-pairs filter the
+    // oracle runs.
+    "d215_edit_join" -> ((s, d) =>
+      operators.Linkage.editJoin(t(s, d, "customer"),
+          "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Weighted multi-source shortest paths (3-hop Bellman-Ford) over
+    // the co-purchase graph with exact integer weights — BFS's
+    // cost-aware sibling; the oracle unrolls the identical relax
+    // rounds as chained CTEs.
+    "q216_sssp" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey"))
+      operators.Graph.shortestPaths(e, "src", "dst", "w", seeds,
+          maxHops = 3, directed = false)
+        .orderBy(col("id"))
+    }),
+
+    // Per-priority revenue trend: OLS slope + r² of daily revenue
+    // (exact integer cents) against the centered day index — all
+    // sufficient stats exact decimals, slope ONE double division
+    // (assortativity's discipline applied per series).
+    "q217_trend" -> ((s, d) =>
+      operators.TimeSeries.linearTrend(t(s, d, "orders"),
+          "o_orderpriority", col("o_orderdate"),
+          round(col("o_totalprice") * 100, 0).cast("long"))
+        .orderBy(col("series"))),
+
+    // Benford first-digit forensic profile of price cents: exact
+    // integer digit extraction (no float log boundaries), χ² parts in
+    // fixed double expressions over exact counts.
+    "q218_benford" -> ((s, d) =>
+      operators.Expectations.benford(t(s, d, "lineitem"),
+          round(col("l_extendedprice") * 100, 0).cast("long"))
+        .orderBy(col("digit"))),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -3588,6 +3643,131 @@ object SparkEntry {
         |SELECT antecedent, consequent, n_baskets, confidence, lift
         |FROM sc WHERE confidence >= 0.05
         |ORDER BY antecedent, consequent""".stripMargin,
+
+    "q214_item_similarity" ->
+      """WITH posts AS (
+        | SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        | WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b FROM posts GROUP BY b HAVING count(*) <= 256),
+        |k AS (SELECT posts.b, posts.i FROM posts JOIN sz USING (b)),
+        |f AS (SELECT i, count(*) AS ni FROM k GROUP BY i),
+        |pr AS (SELECT a.i AS x, b.i AS y, count(*) AS n_shared
+        | FROM k a JOIN k b ON a.b = b.b AND a.i < b.i
+        | GROUP BY a.i, b.i HAVING count(*) >= 2),
+        |dir AS (SELECT x AS item, y AS neighbor, n_shared FROM pr
+        | UNION ALL
+        | SELECT y AS item, x AS neighbor, n_shared FROM pr),
+        |sc AS (SELECT item, neighbor, n_shared,
+        |  CAST(n_shared AS DOUBLE) / sqrt(CAST(fa.ni * fb.ni AS DOUBLE))
+        |   AS cosine,
+        |  CAST(n_shared AS DOUBLE) /
+        |   CAST(fa.ni + fb.ni - n_shared AS DOUBLE) AS jaccard
+        | FROM dir JOIN f fa ON fa.i = dir.item
+        |  JOIN f fb ON fb.i = dir.neighbor),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+        |  ORDER BY cosine DESC, neighbor) AS rank FROM sc)
+        |SELECT item, rank, neighbor, n_shared, cosine, jaccard
+        |FROM rk WHERE rank <= 5
+        |ORDER BY item, rank""".stripMargin,
+
+    "d215_edit_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        | ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q216_sssp" ->
+      """WITH u AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 5 = 0),
+        |e AS MATERIALIZED (
+        | SELECT a AS src, b AS dst, 1 + (a + b) % 7 AS w FROM u
+        | UNION ALL SELECT b, a, 1 + (a + b) % 7 FROM u),
+        |d0 AS MATERIALIZED (
+        | SELECT DISTINCT p_partkey AS id, CAST(0 AS BIGINT) AS dist
+        | FROM part WHERE p_partkey % 97 = 0),
+        |d1 AS MATERIALIZED (
+        | SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d0.dist + e.w FROM e JOIN d0 ON e.src = d0.id)
+        | GROUP BY id),
+        |d2 AS MATERIALIZED (
+        | SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d1.dist + e.w FROM e JOIN d1 ON e.src = d1.id)
+        | GROUP BY id),
+        |d3 AS MATERIALIZED (
+        | SELECT id, min(dist) AS dist FROM (
+        |  SELECT id, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d2.dist + e.w FROM e JOIN d2 ON e.src = d2.id)
+        | GROUP BY id)
+        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3
+        |ORDER BY id""".stripMargin,
+
+    "q217_trend" ->
+      """WITH dly AS (
+        | SELECT o_orderpriority AS series,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS y
+        | FROM orders GROUP BY series, d),
+        |f AS (SELECT series, min(d) AS first_day FROM dly
+        | GROUP BY series),
+        |p AS (SELECT dly.series, f.first_day,
+        |  CAST(datediff('day', f.first_day, dly.d) AS DECIMAL(19,0))
+        |   AS x, y
+        | FROM dly JOIN f ON f.series = dly.series),
+        |s AS (SELECT series, first_day,
+        |  CAST(count(*) AS DECIMAL(18,0)) AS n,
+        |  CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+        |  CAST(sum(y) AS DECIMAL(19,0)) AS sy,
+        |  CAST(sum(x*y) AS DECIMAL(19,0)) AS sxy,
+        |  CAST(sum(x*x) AS DECIMAL(19,0)) AS sxx,
+        |  CAST(sum(y*y) AS DECIMAL(38,0)) AS syy
+        | FROM p GROUP BY series, first_day)
+        |SELECT series, CAST(n AS BIGINT) AS n_days, first_day,
+        | CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) = 0 THEN NULL
+        |  ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+        |   / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope,
+        | CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) = 0 OR
+        |   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0 THEN NULL
+        |  ELSE CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        |   / (CAST(n*sxx - sx*sx AS DOUBLE) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+        |FROM s ORDER BY series""".stripMargin,
+
+    "q218_benford" ->
+      """WITH v AS (
+        | SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        | FROM lineitem),
+        |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |  AS digit, count(*) AS n
+        | FROM v WHERE c > 0 GROUP BY digit),
+        |digits AS (SELECT unnest(range(1, 10)) AS digit),
+        |j AS (SELECT digits.digit, coalesce(d.n, 0) AS n
+        | FROM digits LEFT JOIN d ON d.digit = digits.digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM j)
+        |SELECT digit, n,
+        | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        | ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected,
+        | (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |   (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) *
+        |  (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |   (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) /
+        |  (CAST(tot AS DOUBLE) *
+        |   (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |  AS chi2_part
+        |FROM j, t ORDER BY digit""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

@@ -62,6 +62,69 @@ object Affinity {
           .as("lift"))
   }
 
+  /** Item-to-item similarity neighbors — the classic "customers who
+    * bought X also bought Y" primitive: for every item, its `topK`
+    * most-similar other items by binary-incidence cosine
+    * `n_ab / √(n_a·n_b)`, with Jaccard `n_ab / (n_a + n_b − n_ab)`
+    * alongside. Pairs below `minSupport` shared baskets never rank.
+    *
+    * Numerics: all counts are exact longs (≪ 2⁵³, so their double
+    * images are exact); cosine is one correctly-rounded `sqrt` and one
+    * correctly-rounded division, Jaccard one division — both
+    * bit-identical in any IEEE-754 engine, so ranking on them (ties
+    * broken by neighbor id) is deterministic with no rounding.
+    *
+    * Scale shape: the pair expansion is [[coOccurrence]]'s capped
+    * basket-keyed self-join; directionalizing doubles only the
+    * support-filtered pair table. The top-k window partitions by item —
+    * at 100 TB that key is item-cardinality (fine), never basket-
+    * cardinality, and no partition exceeds the item's surviving
+    * neighbor count. */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+      topK: Int = 10, minSupport: Long = 2L,
+      maxBasketSize: Int = 256): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val posts = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = posts.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("__b"))
+    val kept = posts.join(sized, Seq("__b"), "left_semi")
+      .localCheckpoint(eager = false) // pair join + item frequencies
+    val itemFreq = kept.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ni"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("__x"), col("b.__i").as("__y"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSupport)
+    val directed = pairs
+      .select(col("__x").as("item"), col("__y").as("neighbor"),
+        col("n_shared"))
+      .unionAll(pairs.select(col("__y").as("item"),
+        col("__x").as("neighbor"), col("n_shared")))
+    val scored = directed
+      .join(itemFreq.select(col("__i").as("item"), col("__ni").as("__na")),
+        Seq("item"))
+      .join(itemFreq.select(col("__i").as("neighbor"),
+        col("__ni").as("__nb")), Seq("neighbor"))
+      .withColumn("cosine", col("n_shared").cast("double") /
+        sqrt((col("__na") * col("__nb")).cast("double")))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("rank"), col("neighbor"), col("n_shared"),
+        col("cosine"), col("jaccard"))
+  }
+
   /** Directional association rules `antecedent → consequent` over the
     * same capped basket postings as [[coOccurrence]]: each surviving
     * undirected pair emits both directions with

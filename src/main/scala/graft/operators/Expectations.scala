@@ -341,6 +341,47 @@ object Expectations {
     * threshold `l` is small — an approximation that under- or
     * over-counts near the cut is the one place a privacy gate cannot
     * afford it). */
+  /** Benford first-significant-digit profile — the forensic screen for
+    * fabricated or mis-joined numeric columns (real-world growth
+    * processes follow `P(d) = log₁₀(1 + 1/d)`; synthetic, capped, or
+    * duplicated data does not): per digit 1–9 the observed count,
+    * share, Benford expectation, and that digit's χ² contribution.
+    * Sum the `chi2_part` column and compare against χ²₈ critical
+    * values to alarm; large per-digit parts localize the distortion.
+    *
+    * `value` must be a POSITIVE integer-valued long (pre-scale decimals
+    * with `round(x·100).cast("long")`): the digit comes from the exact
+    * integer's decimal text, never from float `log₁₀` gymnastics whose
+    * boundary rounding differs across engines. Counts are exact longs;
+    * `share`, `expected`, `chi2_part` are fixed double expressions over
+    * them (one `ln` each — deterministic in practice across IEEE
+    * engines, the same contract as the PSI/collocation family).
+    *
+    * Scale: ONE digit-keyed aggregate (map-side combinable to ≤ 9
+    * partials per partition) + a broadcast one-row total. */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+    val counts = df
+      .select(value.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val full = digits.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val total = full.agg(sum(col("n")).as("__tot"))
+    val e = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val nD = col("n").cast("double")
+    val tD = col("__tot").cast("double")
+    full.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (nD / tD).as("share"),
+        e.as("expected"),
+        ((nD - tD * e) * (nD - tD * e) / (tD * e)).as("chi2_part"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, k: Long, l: Long = 1L): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")

@@ -563,6 +563,73 @@ object Graph {
     dist
   }
 
+  /** Multi-source WEIGHTED shortest paths — [[bfsHops]]'s cost-aware
+    * sibling: minimum total edge weight from any seed over paths of at
+    * most `maxHops` edges, by `maxHops` rounds of distributed
+    * Bellman-Ford relaxation (the classic frontier form: only nodes
+    * improved last round relax their out-edges). Non-negative integer
+    * weights keep every distance an exact long, so results are
+    * engine-exact with no float accumulation. Returns (id, dist);
+    * seeds are 0 whether or not they appear in the edge list,
+    * unreachable nodes are absent. Parallel edges collapse to their
+    * minimum weight; `directed = false` symmetrizes first.
+    *
+    * Per round: ONE edges⋈frontier join + a dst-keyed min aggregate
+    * (map-side combinable) + one improvement anti-semi pass against the
+    * nodes-sized settled table, which is checkpointed per round
+    * ([[Checkpointing]]: local by default, durable via `checkpointDir`
+    * or the session conf). Driver traffic is one improved-count scalar
+    * per round, so a converged graph stops paying for remaining hops —
+    * early exit is a no-op semantically because an unimproved round
+    * leaves the fixpoint unchanged. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, maxHops: Int,
+      directed: Boolean = true, checkpointDir: Option[String] = None)
+      : DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val ck = ckptFn(edges, checkpointDir)
+    val valid = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) >= 0)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("__w"))
+    val sym = if (directed) valid
+      else valid.union(valid.select(col("dst").as("src"),
+        col("src").as("dst"), col("__w")))
+    val e = sym.filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
+      .transform(ck(true))
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .transform(ck(true))
+    var frontier = dist
+    var hop = 0
+    var converged = false
+    while (hop < maxHops && !converged) {
+      hop += 1
+      val relaxed = e
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("__w")).as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      val improved = relaxed
+        .join(dist.select(col("id"), col("dist").as("__old")),
+          Seq("id"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("id"), col("dist"))
+        .transform(ck(true))
+      if (improved.count() == 0L) converged = true
+      else {
+        // min(old, improved) — improved rows are strictly smaller, so
+        // the union-min rewrites exactly the improved ids
+        dist = dist.union(improved)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          .transform(ck(true))
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   /** Community detection by synchronous label propagation (LPA): every
     * node starts as its own label; each round it adopts its neighbors'
     * most frequent label, ties broken by the SMALLEST label — a fully

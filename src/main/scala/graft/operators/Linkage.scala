@@ -35,6 +35,55 @@ object Linkage {
     * buckets-sized aggregate) — so the result is invariant to where the
     * range partitioner happens to cut, including empty and
     * smaller-than-neighborhood buckets. */
+  /** EXACT edit-distance-1 similarity self-join by deletion
+    * neighborhoods (the FastSS / SymSpell recipe, public since Bocek et
+    * al. 2007): two strings are within Levenshtein distance 1 iff they
+    * share a member of {s} ∪ {s minus one character} — a substitution
+    * shares the deletion at the edited position, an insert/delete pair
+    * shares the shorter string itself. The shared-variant test admits
+    * some distance-2 pairs (e.g. "ab"/"ba" both delete to "b"), so
+    * candidates verify with one exact `levenshtein` call; it admits
+    * NO false negatives, so the result is exactly all pairs at
+    * distance ≤ 1 — unlike the probabilistic LSH family, this join is
+    * lossless and needs no recall caveat.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}
+    * (dist 0 = exact duplicates; drop them upstream with
+    * [[graft.operators.Dedup]] if unwanted).
+    *
+    * 100 TB shape: each string emits |s|+1 postings (use this on
+    * identifier-like keys — names, codes, normalized titles — not
+    * documents), the candidate join is a variant-keyed shuffle, and the
+    * verify is one codegen'd levenshtein per candidate. A variant
+    * bucket's size is the count of strings one edit apart at that
+    * position — naturally small for key-like data; compose with a
+    * normalizer upstream for adversarial corpora. */
+  def editJoin(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__s"))
+    // {s} ∪ single-character deletions, tagged so dist-0 pairs are
+    // found only via the identity variant
+    val variants = base.select(col("__id"), col("__s"),
+      explode(concat(array(col("__s")),
+        expr("transform(sequence(1, length(__s))," +
+          " i -> concat(substring(__s, 1, i-1), substring(__s, i+1)))")))
+        .as("__v"))
+      .distinct()
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__s").as("__sa"), col("b.__s").as("__sb"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
       sortKey: Column, neighborhood: Int, buckets: Int = 64): DataFrame = {
     require(neighborhood >= 1,

@@ -286,4 +286,61 @@ object TimeSeries {
           col(s"__l$k").cast("double")), 6).as(s"acf$k"))
     withLags.groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-series linear trend: ordinary-least-squares slope (and fit
+    * strength r²) of the daily total of an INTEGER-valued metric
+    * against the day index — "is this series growing, and how fast?",
+    * the screen run before [[seasonalDecompose]] / [[Anomaly]] alarms.
+    * Returns (series, n_days, first_day, slope, r2); slope is metric
+    * units per day; r2 is NULL when either variance is zero (a
+    * single-day series or a constant metric).
+    *
+    * Numerics (the [[graft.operators.Graph.assortativity]] discipline):
+    * the day index is centered on each series' first day, so every
+    * sufficient statistic is an exact integer in DECIMAL(19/38,0) and
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` is ONE double division
+    * of exactly-computed operands — bit-identical in any IEEE engine,
+    * no rounding. r² reuses the same exact sums through double
+    * arithmetic in a fixed expression order (Σy² exceeds the 38-digit
+    * product budget, so its combination happens in doubles — still
+    * deterministic, documented). `value` must be integer-valued (counts,
+    * cents); pre-scale decimals like `(price·100).cast("long")`.
+    *
+    * Scale shape: one (series, day) aggregate over the events, a
+    * series-keyed min-day join, then a series-keyed sufficient-stats
+    * aggregate — all map-side combinable; nothing past the first
+    * aggregate is event-scale. */
+  def linearTrend(events: DataFrame, seriesCol: String, dayCol: Column,
+      value: Column): DataFrame = {
+    val d18 = "decimal(18,0)"
+    val d19 = "decimal(19,0)"
+    val dly = events
+      .groupBy(col(seriesCol).as("series"), dayCol.cast("date").as("__d"))
+      .agg(sum(value.cast(d19)).cast(d19).as("__y"))
+    val first = dly.groupBy(col("series"))
+      .agg(min(col("__d")).as("first_day"))
+    val pts = dly.join(first, Seq("series"))
+      .select(col("series"), col("first_day"),
+        datediff(col("__d"), col("first_day")).cast(d19).as("__x"),
+        col("__y"))
+    val s = pts.groupBy(col("series"), col("first_day")).agg(
+      count(lit(1)).cast(d18).as("__n"),
+      sum(col("__x")).cast(d19).as("__sx"),
+      sum(col("__y")).cast(d19).as("__sy"),
+      sum(col("__x") * col("__y")).cast(d19).as("__sxy"),
+      sum(col("__x") * col("__x")).cast(d19).as("__sxx"),
+      sum(col("__y") * col("__y")).cast("decimal(38,0)").as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val denY = col("__n").cast("double") * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    s.select(col("series"), col("__n").cast("bigint").as("n_days"),
+      col("first_day"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(num / den).as("slope"),
+      when(den === 0.0 || denY === 0.0, lit(null).cast("double"))
+        .otherwise(num * num / (den * denY)).as("r2"))
+  }
 }

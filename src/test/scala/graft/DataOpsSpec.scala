@@ -699,6 +699,48 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.getDouble(2) === -1.0 && got.getDouble(3) === 1.0)
   }
 
+  test("linearTrend: perfect line gets exact slope and r2 = 1; " +
+      "constant series r2 NULL; single-day series slope NULL; " +
+      "same-day events fold into the daily sum") {
+    val rows = Seq(
+      // series s: y = 10,20,30,40,50 over 5 days (day 1 split 4+6)
+      ("2024-01-01", "s", 4L), ("2024-01-01", "s", 6L),
+      ("2024-01-02", "s", 20L), ("2024-01-03", "s", 30L),
+      ("2024-01-04", "s", 40L), ("2024-01-05", "s", 50L),
+      // series c: constant
+      ("2024-01-01", "c", 7L), ("2024-01-02", "c", 7L),
+      ("2024-01-03", "c", 7L),
+      // series one: single day
+      ("2024-01-09", "one", 3L))
+      .toDF("ds", "series", "cents")
+    val got = TimeSeries.linearTrend(rows.toDF(), "series",
+        to_date(col("ds")), col("cents"))
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq === Seq(
+      ("c", 3L, Some(0.0), None),
+      ("one", 1L, None, None),
+      ("s", 5L, Some(10.0), Some(1.0))))
+  }
+
+  test("benford: exact digit extraction from integer text, all nine " +
+      "digits present with zero-fills, nonpositive values excluded") {
+    val df = Seq(10L, 199L, 25L, -5L, 0L).toDF("v")
+    val got = Expectations.benford(df, col("v")).orderBy("digit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length === 9)
+    assert(got(0)._1 === 1L && got(0)._2 === 2L &&
+      got(0)._3 === 2.0 / 3.0 &&
+      got(0)._4 === math.log(2.0) / math.log(10.0))
+    assert(got(1)._2 === 1L && got(2)._2 === 0L)
+    // zero-count digit: chi2_part = (0 - n·e)²/(n·e) = n·e
+    val e9 = math.log(1.0 + 1.0 / 9.0) / math.log(10.0)
+    assert(math.abs(got(8)._5 - 3.0 * e9) < 1e-12)
+  }
+
   test("exactQuantiles: hand-computed lower discrete quantiles, " +
       "duplicate values, a 1-row group, and bucket-count invariance") {
     // group a: values 1..10 → p50 = 5 (rank ceil(.5*10)=5),

@@ -349,6 +349,26 @@ class FunnelSpec extends SparkTestBase {
       ("z", "x", 1L, 1.0, 4.0 / 3.0)))
   }
 
+  test("itemSimilarity: hand-computed cosine/jaccard; equal-cosine tie " +
+      "breaks on neighbor id; topK cuts per item") {
+    import graft.operators.Affinity
+    // baskets {x,y} {x,y} {x,z} {y,z}: n_x=3 n_y=3 n_z=2,
+    // pairs (x,y)=2 (x,z)=1 (y,z)=1
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"), (4L, "z"))
+    val df = rows.toDF("basket", "item")
+    val got = Affinity.itemSimilarity(df, "basket", "item",
+        topK = 1, minSupport = 1L)
+      .orderBy("item")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // z's two neighbors tie at 1/sqrt(6) — neighbor-id tie-break keeps x
+    assert(got.toSeq === Seq(
+      ("x", 1, "y", 2L, 2.0 / 3.0, 0.5),
+      ("y", 1, "x", 2L, 2.0 / 3.0, 0.5),
+      ("z", 1, "x", 1L, 1.0 / math.sqrt(6.0), 0.25)))
+  }
+
   test("rfm: hand-computed tiles — score 1 is most recent / most " +
       "frequent / highest spend; segment packs the digits; " +
       "partitioning-invariant") {

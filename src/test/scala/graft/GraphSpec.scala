@@ -275,6 +275,23 @@ class GraphSpec extends SparkTestBase {
       directed = false)) === Map(3L -> 0, 2L -> 1, 4L -> 1))
   }
 
+  test("shortestPaths: cheap 2-hop beats expensive direct edge; " +
+      "maxHops bound restores the direct edge; undirected reverses; " +
+      "parallel edges collapse to their min") {
+    val e = Seq((1L, 2L, 1L), (1L, 2L, 9L), (2L, 3L, 1L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.shortestPaths(e, "src", "dst", "w", seeds,
+      maxHops = 3)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(m(Graph.shortestPaths(e, "src", "dst", "w", seeds,
+      maxHops = 1)) === Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    assert(m(Graph.shortestPaths(e, "src", "dst", "w",
+      Seq(3L).toDF("id"), maxHops = 3, directed = false))
+      === Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
   test("connectedComponents: path + pair + triangle get their " +
       "smallest-member labels; direction and self loops are ignored") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // path 1..5

@@ -151,6 +151,23 @@ class LinkageSpec extends SparkTestBase {
     assert(got.toSeq === Seq(31L)) // max trust, then smallest id
   }
 
+  test("editJoin: substitution/insert/delete/dup pairs kept with exact " +
+      "distance; shared-variant distance-2 pairs are verified away") {
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abcd"), (4L, "abc"),
+      (5L, "ab"), (6L, "ba"), (7L, "xyz")).toDF("id", "s")
+    val got = Linkage.editJoin(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // (5,6) "ab"/"ba" share deletion variants "a" and "b" but sit at
+    // distance 2 — the candidate the exact verify must kill
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 0L),
+      (1L, 5L, 1L), (2L, 3L, 1L), (2L, 4L, 1L), (2L, 5L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L)))
+    val re = Linkage.editJoin(df.repartition(5), "id", "s")
+      .collect().length
+    assert(re === 9)
+  }
+
   test("goldenRecords is partitioning-invariant") {
     val df = (0L until 300L).map(i =>
       (i, s"k${i % 37}", s"s${i % 5}")).toDF("doc_id", "key", "source")
