@@ -2224,6 +2224,85 @@ object SparkEntry {
           round(col("l_extendedprice") * 100, 0).cast("long"))
         .orderBy(col("digit"))),
 
+    // Link prediction over the co-purchase graph: Adamic–Adar and
+    // resource-allocation scores for non-adjacent distance-2 pairs —
+    // per-neighbor double divisions decimal-routed so the sum is
+    // order-free and engine-exact.
+    "q219_link_predict" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      operators.Graph.linkPredict(e, "src", "dst", minCommon = 3L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Lead–lag cross-correlation: does view volume lead purchase
+    // volume? Calendar-joined daily decimal sums, corr per lag 0–3 —
+    // q204's engine-exact discipline applied across two series.
+    "q220_xcorr" -> ((s, d) =>
+      operators.TimeSeries.crossCorrelation(t(s, d, "events"),
+          "event_type", "ts", col("value"), seriesX = "purchase",
+          seriesY = "view", maxLag = 3)
+        .orderBy(col("lag"))),
+
+    // EWMA control-chart smoothing of daily event value: exact decimal
+    // weight products/sums (α = 0.5 ⇒ every weight a finite decimal),
+    // one final double division — no float accumulation.
+    "q221_ewma" -> ((s, d) =>
+      operators.TimeSeries.ewma(t(s, d, "events"), "event_type", "ts",
+          col("value"), alpha = "0.5", window = 16)
+        .orderBy(col("series"), col("bucket"))),
+
+    // Cohen's κ between the recorded order status and a price-rule
+    // prediction — the labeled-data agreement gate; κ and both
+    // agreement rates are single double divisions of exact counts.
+    "q222_kappa" -> ((s, d) =>
+      operators.Experiment.cohenKappa(
+        t(s, d, "orders").withColumn("pred",
+          when(col("o_totalprice") < 100000, "F")
+            .when(col("o_totalprice") < 200000, "O")
+            .otherwise("P")),
+        "o_orderstatus", "pred")),
+
+    // Gini concentration of customer revenue (cents): distributed
+    // global rank (never a single-partition window) feeding the exact
+    // rank formula — one double division at the end.
+    "q223_gini" -> ((s, d) =>
+      operators.Skew.giniConcentration(
+        t(s, d, "orders").groupBy(col("o_custkey").as("cust"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents")),
+        "cust", col("cents"))),
+
+    // Streaming co-occurrence maintenance: basket-complete micro-batches
+    // fold additively into persisted pair counts / item frequencies /
+    // basket total; the read-side scoring must equal q189's batch
+    // operator on the union of all batches exactly.
+    "str224_stream_cooccur" -> ((s, d) => {
+      val root = tmpDir("graft_str224")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/cooc", s"$root/ckpt")
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      stageReplayBatches(s, Seq(
+        li.filter(col("basket") % 2 === 0),
+        li.filter(col("basket") % 2 === 1)), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamCoOccurrence(stream,
+          outDir, "basket", "item",
+          cfg = graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readCoOccurrence(s, outDir,
+          minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -3236,6 +3315,106 @@ object SparkEntry {
           col("v"), col("trend"), col("seasonal"), col("residual"))
         .orderBy(col("series"), col("day"))))
 
+  /** q189's oracle, shared with str224: streaming co-occurrence
+    * maintenance over basket-complete batches must reproduce the batch
+    * operator on the full postings exactly. */
+  private val copurchaseOracleSql: String =
+    """WITH posts AS (
+      | SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+      | WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |sz AS (SELECT b FROM posts GROUP BY b HAVING count(*) <= 256),
+      |k AS (SELECT posts.b, posts.i FROM posts JOIN sz USING (b)),
+      |tot AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM k),
+      |f AS (SELECT i, count(*) AS ni FROM k GROUP BY i),
+      |pr AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_baskets
+      | FROM k a JOIN k b ON a.b = b.b AND a.i < b.i
+      | GROUP BY a.i, b.i HAVING count(*) >= 2)
+      |SELECT item_a, item_b, n_baskets,
+      | round(CAST(n_baskets AS DOUBLE) * (SELECT n FROM tot) /
+      |  (CAST(fa.ni AS DOUBLE) * CAST(fb.ni AS DOUBLE)), 6) AS lift
+      |FROM pr JOIN f fa ON fa.i = pr.item_a
+      | JOIN f fb ON fb.i = pr.item_b
+      |ORDER BY item_a, item_b""".stripMargin
+
+  /** q219's oracle: the same precomputed 1/ln(deg) DECIMAL weight
+    * table the operator broadcasts (JVM StrictMath `log` and libm `ln`
+    * disagree by an ULP on some integers — ln 3 — so NEITHER side may
+    * compute the weight at runtime; both read the identical literal). */
+  private def linkPredictOracleSql(maxDegree: Int, minCommon: Int)
+      : String = {
+    val rows = (2 to maxDegree).map { d =>
+      val aa = java.math.BigDecimal
+        .valueOf(1.0 / math.log(d.toDouble))
+        .setScale(18, java.math.RoundingMode.HALF_EVEN).toPlainString
+      val ra = java.math.BigDecimal.ONE.divide(
+        java.math.BigDecimal.valueOf(d.toLong), 18,
+        java.math.RoundingMode.HALF_EVEN).toPlainString
+      s"($d, CAST('$aa' AS DECIMAL(28,18)), CAST('$ra' AS DECIMAL(28,18)))"
+    }.mkString(",\n   ")
+    s"""WITH u AS MATERIALIZED (
+       | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       | FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       | WHERE x.l_orderkey % 5 = 0),
+       |e AS MATERIALIZED (
+       | SELECT a, b FROM u UNION SELECT b, a FROM u),
+       |deg AS MATERIALIZED (
+       | SELECT a AS v, count(*) AS dv FROM e GROUP BY a),
+       |lnw(ld, law, lrw) AS (VALUES
+       |   $rows),
+       |star AS MATERIALIZED (
+       | SELECT e.a AS v, e.b AS n, deg.dv, lnw.law, lnw.lrw FROM e
+       | JOIN deg ON deg.v = e.a
+       | JOIN lnw ON lnw.ld = deg.dv
+       | WHERE deg.dv <= $maxDegree),
+       |w AS (SELECT x.n AS id_a, y.n AS id_b, x.law AS aa, x.lrw AS ra
+       | FROM star x JOIN star y ON x.v = y.v AND x.n < y.n),
+       |nadj AS (SELECT * FROM w WHERE NOT EXISTS (
+       | SELECT 1 FROM e WHERE e.a = w.id_a AND e.b = w.id_b))
+       |SELECT id_a, id_b, count(*) AS common_neighbors,
+       | CAST(CAST(sum(aa) AS VARCHAR) AS DOUBLE) AS adamic_adar,
+       | CAST(CAST(sum(ra) AS VARCHAR) AS DOUBLE) AS resource_alloc
+       |FROM nadj GROUP BY id_a, id_b
+       |HAVING count(*) >= $minCommon
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q221's oracle: the identical exact-decimal truncated-EWMA stack —
+    * weights computed with the same BigDecimal arithmetic as the
+    * operator, every cast mirrored, final division in DOUBLE. */
+  private def ewmaOracleSql(alphaStr: String, window: Int): String = {
+    val a = new java.math.BigDecimal(alphaStr)
+    val one = java.math.BigDecimal.ONE
+    val weights = (0 until window).map(j =>
+      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
+    val ws = weights.map(_.scale()).max
+    val num = (0 until window).map { j =>
+      s"coalesce(CAST(lag(v, $j) OVER w * CAST('${weights(j).toPlainString}'" +
+        s" AS DECIMAL(${ws + 1},$ws)) AS DECIMAL(38,${ws + 6}))," +
+        s" CAST(0 AS DECIMAL(38,${ws + 6})))"
+    }.mkString(" +\n  ")
+    val den = (0 until window).map { j =>
+      s"coalesce(CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN" +
+        s" CAST('${weights(j).toPlainString}' AS DECIMAL(38,$ws)) END," +
+        s" CAST(0 AS DECIMAL(38,$ws)))"
+    }.mkString(" +\n  ")
+    // the num/den decimals are HUGEINT-backed with scale > 0: DuckDB's
+    // direct decimal→double cast double-rounds there, the VARCHAR route
+    // is correctly rounded (matching Spark's Decimal.toDouble)
+    s"""WITH dly AS (
+       | SELECT event_type AS series,
+       |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+       |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+       | FROM events GROUP BY series, bucket)
+       |SELECT series, bucket, v,
+       | CAST(CAST($num
+       | AS VARCHAR) AS DOUBLE) /
+       | CAST(CAST($den
+       | AS VARCHAR) AS DOUBLE) AS ewma
+       |FROM dly WINDOW w AS (PARTITION BY series ORDER BY bucket)
+       |ORDER BY series, bucket""".stripMargin
+  }
+
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
     * SQL). Constants are forced to DOUBLE so both engines run the same
@@ -3769,6 +3948,74 @@ object SparkEntry {
         |  AS chi2_part
         |FROM j, t ORDER BY digit""".stripMargin,
 
+    "q219_link_predict" -> linkPredictOracleSql(256, minCommon = 3),
+
+    "q220_xcorr" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  sum(CAST(value AS DECIMAL(28,6))) AS v
+        | FROM events WHERE event_type IN ('view', 'purchase')
+        | GROUP BY series, bucket),
+        |x AS (SELECT bucket, CAST(v AS DOUBLE) AS xv FROM dly
+        | WHERE series = 'purchase'),
+        |y AS (SELECT bucket, CAST(v AS DOUBLE) AS yv FROM dly
+        | WHERE series = 'view'),
+        |l AS (SELECT unnest(range(0, 4)) AS lag),
+        |j AS (SELECT l.lag, x.xv, y.yv
+        | FROM x CROSS JOIN l
+        | JOIN y ON y.bucket + CAST(l.lag AS INTEGER) = x.bucket)
+        |SELECT 'purchase' AS series_x, 'view' AS series_y, lag,
+        | count(*) AS n_days, round(corr(xv, yv), 6) AS xcorr
+        |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "q221_ewma" -> ewmaOracleSql("0.5", 16),
+
+    "q222_kappa" ->
+      """WITH p AS (
+        | SELECT o_orderstatus AS a,
+        |  CASE WHEN o_totalprice < 100000 THEN 'F'
+        |   WHEN o_totalprice < 200000 THEN 'O' ELSE 'P' END AS b
+        | FROM orders WHERE o_orderstatus IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS cn FROM p GROUP BY a, b),
+        |rm AS (SELECT a, CAST(sum(cn) AS DECIMAL(19,0)) AS ra
+        | FROM cells GROUP BY a),
+        |cm AS (SELECT b, CAST(sum(cn) AS DECIMAL(19,0)) AS cb
+        | FROM cells GROUP BY b),
+        |sp AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS DECIMAL(38,0))
+        |  AS s FROM rm JOIN cm ON rm.a = cm.b),
+        |tt AS (SELECT CAST(sum(cn) AS DECIMAL(19,0)) AS nn,
+        |  CAST(sum(CASE WHEN a = b THEN cn ELSE 0 END)
+        |   AS DECIMAL(19,0)) AS d
+        | FROM cells)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        | CAST(d AS DOUBLE) / CAST(nn AS DOUBLE) AS observed_agreement,
+        | CAST(s AS DOUBLE) / CAST(nn * nn AS DOUBLE)
+        |  AS expected_agreement,
+        | CASE WHEN nn * nn = s THEN NULL
+        |  ELSE CAST(nn * d - s AS DOUBLE) / CAST(nn * nn - s AS DOUBLE)
+        |  END AS kappa
+        |FROM tt, sp""".stripMargin,
+
+    "q223_gini" ->
+      """WITH rev AS (
+        | SELECT o_custkey AS cust,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS y
+        | FROM orders GROUP BY cust),
+        |r AS (SELECT y, CAST(row_number() OVER (ORDER BY y, cust)
+        |  AS BIGINT) AS i FROM rev),
+        |s AS (SELECT CAST(count(*) AS DECIMAL(19,0)) AS n,
+        |  CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS t,
+        |  CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |   AS DECIMAL(38,0)) AS s2
+        | FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+        | CASE WHEN t <= 0 OR n < 2 THEN NULL
+        |  ELSE CAST(s2 + s2 - (n * t + t) AS DOUBLE)
+        |   / CAST(n * t AS DOUBLE) END AS gini
+        |FROM s""".stripMargin,
+
     "q211_rfm" ->
       """WITH per AS (
         | SELECT user_id, max(epoch_us(ts)) AS lastu,
@@ -3949,23 +4196,11 @@ object SparkEntry {
         |SELECT path, count(*) AS n FROM p WHERE e2 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 25""".stripMargin,
 
-    "q189_copurchase" ->
-      """WITH posts AS (
-        | SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
-        | WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |sz AS (SELECT b FROM posts GROUP BY b HAVING count(*) <= 256),
-        |k AS (SELECT posts.b, posts.i FROM posts JOIN sz USING (b)),
-        |tot AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM k),
-        |f AS (SELECT i, count(*) AS ni FROM k GROUP BY i),
-        |pr AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_baskets
-        | FROM k a JOIN k b ON a.b = b.b AND a.i < b.i
-        | GROUP BY a.i, b.i HAVING count(*) >= 2)
-        |SELECT item_a, item_b, n_baskets,
-        | round(CAST(n_baskets AS DOUBLE) * (SELECT n FROM tot) /
-        |  (CAST(fa.ni AS DOUBLE) * CAST(fb.ni AS DOUBLE)), 6) AS lift
-        |FROM pr JOIN f fa ON fa.i = pr.item_a
-        | JOIN f fb ON fb.i = pr.item_b
-        |ORDER BY item_a, item_b""".stripMargin,
+    "q189_copurchase" -> copurchaseOracleSql,
+
+    // additive streaming maintenance must equal the batch operator on
+    // the union of all basket-complete batches — the same oracle
+    "str224_stream_cooccur" -> copurchaseOracleSql,
 
     "q196_psi_drift" ->
       """WITH o AS (

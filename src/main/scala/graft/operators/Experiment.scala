@@ -28,6 +28,58 @@ object Experiment {
     * false; a variant with degenerate pooled variance (0% or 100%
     * everywhere) gets NULL z rather than ±∞. `zCrit` defaults to the
     * two-sided 5% critical value. */
+  /** Cohen's κ between two categorical labelings of the same rows —
+    * the inter-annotator (or model-vs-gold) agreement statistic every
+    * labeled-training-data pipeline gates on: observed agreement
+    * corrected for the agreement two independent raters would reach by
+    * chance from their own label marginals. κ = 1 perfect, 0 chance,
+    * < 0 worse than chance. Rows where either label is NULL are
+    * excluded (count them upstream — missingness is its own metric).
+    *
+    * Numerics: with Σd = matching rows and S = Σ_k row_k·col_k (the
+    * marginal product over categories), κ = (n·Σd − S)/(n² − S) —
+    * numerator and denominator are EXACT integers carried in
+    * DECIMAL(19/38,0), so κ, `observed_agreement` (Σd/n) and
+    * `expected_agreement` (S/n²) are each ONE double division of exact
+    * operands: engine-bit-identical, no rounding. κ is NULL when
+    * n² = S (both raters constant — chance agreement is total).
+    *
+    * Scale: one (labelA, labelB) count aggregate (map-side combinable
+    * to |A|·|B| partials), then category-sized marginal joins. */
+  def cohenKappa(df: DataFrame, labelACol: String, labelBCol: String)
+      : DataFrame = {
+    val d19 = "decimal(19,0)"
+    val cells = df
+      .filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
+      .groupBy(col(labelACol).as("__a"), col(labelBCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowM = cells.groupBy(col("__a"))
+      .agg(sum(col("__n")).cast(d19).as("__ra"))
+    val colM = cells.groupBy(col("__b"))
+      .agg(sum(col("__n")).cast(d19).as("__cb"))
+    // S = Σ_k row_k·col_k over the SHARED category axis (a category
+    // one rater never uses has marginal 0 on that side — inner join)
+    val s = rowM.join(colM, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0))
+        .cast("decimal(38,0)").as("__s"))
+    val agg = cells.agg(
+      sum(col("__n")).cast(d19).as("__nn"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .cast(d19).as("__d"))
+    agg.crossJoin(broadcast(s))
+      .select(col("__nn").cast("bigint").as("n"),
+        (col("__d").cast("double") / col("__nn").cast("double"))
+          .as("observed_agreement"),
+        (col("__s").cast("double") /
+          (col("__nn") * col("__nn")).cast("double"))
+          .as("expected_agreement"),
+        when(col("__nn") * col("__nn") === col("__s"),
+            lit(null).cast("double"))
+          .otherwise((col("__nn") * col("__d") - col("__s")).cast("double") /
+            (col("__nn") * col("__nn") - col("__s")).cast("double"))
+          .as("kappa"))
+  }
+
   def abTest(df: DataFrame, variantCol: String, convertedCol: String,
       control: String, zCrit: Double = 1.959964): DataFrame = {
     val stats = df

@@ -563,6 +563,85 @@ object Graph {
     dist
   }
 
+  /** Link prediction by common-neighborhood scoring: for every
+    * NON-adjacent pair at distance 2, the common-neighbor count plus
+    * the two classic weighted variants — Adamic–Adar `Σ 1/ln(deg v)`
+    * and resource allocation `Σ 1/deg v` over the shared neighbors v —
+    * the standard "who should be connected next" features for
+    * recommendation and knowledge-graph completion. Pairs with fewer
+    * than `minCommon` shared neighbors are dropped; direction is
+    * ignored.
+    *
+    * Numerics: degrees are bounded integers (≤ `maxDegree`), so the
+    * `1/ln(deg)` weights are PRECOMPUTED driver-side into a
+    * degree-indexed DECIMAL(28,18) broadcast table — no runtime
+    * transcendental at all, which matters twice: JVM `log` is
+    * StrictMath (fdlibm) and differs from libm by an ULP on some
+    * integers (ln 3 is one), so per-row `ln` would not be
+    * engine-portable; and a 255-row broadcast beats a transcendental
+    * per wedge. Contributions sum EXACTLY in decimal (double addition
+    * is order-dependent), one final cast back — scores are
+    * partitioning- and engine-invariant.
+    *
+    * Scale shape: the wedge join is center-keyed; centers with degree
+    * > `maxDegree` are excluded BEFORE the pair expansion (the
+    * capBuckets discipline — a hub center contributes ~1/ln(huge) per
+    * pair but deg² pairs, the classic quadratic blow-up; the cut is
+    * part of the semantics, log the drop rate at 100 TB). The
+    * adjacency anti-join and the final aggregate are pair-keyed. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 2L, maxDegree: Int = 256): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // degrees, wedges, adjacency
+    val deg = e.groupBy(col("a").as("v")).agg(count(lit(1)).as("__dv"))
+    val d18 = "decimal(28,18)"
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // both weights from driver-side BigDecimal — a runtime
+    // double→decimal cast is NOT engine-portable either (JVM rounds
+    // the double's shortest string, DuckDB its exact binary expansion)
+    val lnW = broadcast(
+      (2 to maxDegree).map { dd =>
+        val aa = java.math.BigDecimal
+          .valueOf(1.0 / math.log(dd.toDouble)).setScale(18)
+        val ra = java.math.BigDecimal.ONE.divide(
+          java.math.BigDecimal.valueOf(dd.toLong), 18,
+          java.math.RoundingMode.HALF_EVEN)
+        (dd.toLong, aa, ra)
+      }.toDF("__dv", "__waa", "__wra")
+        .select(col("__dv"), col("__waa").cast(d18),
+          col("__wra").cast(d18)))
+    val star = e.select(col("a").as("v"), col("b").as("u"))
+      .join(deg.filter(col("__dv") <= maxDegree), Seq("v"))
+      .join(lnW, Seq("__dv"))
+    val wedges = star.as("x")
+      .join(star.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("id_a"), col("y.u").as("id_b"),
+        col("x.__waa").as("__aa"), col("x.__wra").as("__ra"))
+    val adj = e.filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    // decimal→double via STRING: both JVM BigDecimal.doubleValue and
+    // DuckDB's direct cast DOUBLE-ROUND wide (>2⁵³ unscaled) decimals,
+    // each differently; string→double parsing is correctly rounded in
+    // both, so this is the portable exact cast
+    wedges
+      .join(adj, Seq("id_a", "id_b"), "left_anti")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__aa")).cast("string").cast("double").as("adamic_adar"),
+        sum(col("__ra")).cast("string").cast("double")
+          .as("resource_alloc"))
+      .filter(col("common_neighbors") >= minCommon)
+  }
+
   /** Multi-source WEIGHTED shortest paths — [[bfsHops]]'s cost-aware
     * sibling: minimum total edge weight from any seed over paths of at
     * most `maxHops` edges, by `maxHops` rounds of distributed

@@ -69,6 +69,47 @@ object Skew {
     * exact `percentile` over per-key counts is itself an aggregate over
     * the counts table; corpora whose DISTINCT-key count is itself huge
     * should swap it for `percentile_approx` — same plan otherwise. */
+  /** Gini concentration of an integer-valued metric across entities —
+    * "how concentrated is revenue / traffic / token volume?" (0 =
+    * perfectly even, →1 = one entity holds everything): the classic
+    * rank formula `G = (2·Σᵢ i·yᵢ − (n+1)·Σy) / (n·Σy)` over the
+    * ascending global order. The same number data teams read off a
+    * Lorenz curve, computed exactly.
+    *
+    * Numerics: ranks come from [[graft.operators.Linkage.globalRank]]
+    * (range-repartitioned — never a single-partition window), ties
+    * broken by id (any rank permutation within ties leaves G
+    * unchanged); every sum is an exact integer in DECIMAL(19/38,0) and
+    * G is ONE double division. NULL when total ≤ 0 or n < 2.
+    *
+    * Scale: the global rank is a range repartition + per-bucket
+    * windows; the sufficient stats are one map-side-combinable
+    * aggregate. `value` must be integer-valued (counts, cents). */
+  def giniConcentration(df: DataFrame, idCol: String, value: Column)
+      : DataFrame = {
+    val d19 = "decimal(19,0)"
+    val ranked = graft.operators.Linkage.globalRank(
+      df.select(col(idCol).as("__id"), value.cast("long").as("__y"))
+        .filter(col("__y").isNotNull),
+      "__id", col("__y"))
+    ranked.agg(
+        count(lit(1)).cast(d19).as("__n"),
+        sum(col("__y").cast(d19)).cast(d19).as("__t"),
+        sum(col("grank").cast(d19) * col("__y").cast(d19))
+          .cast("decimal(38,0)").as("__s"))
+      .select(col("__n").cast("bigint").as("n"),
+        col("__t").cast("bigint").as("total"),
+        when(col("__t") <= 0 || col("__n") < 2,
+            lit(null).cast("double"))
+          .otherwise(
+            // 2S − (n+1)T spelled addition-only: products of two
+            // 19-digit decimals stay inside the 38-digit budget
+            (col("__s") + col("__s") -
+              (col("__n") * col("__t") + col("__t"))).cast("double") /
+            (col("__n") * col("__t")).cast("double"))
+          .as("gini"))
+  }
+
   def keyProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
     // key-cardinality-sized, but COMPUTING it scans the corpus — both the
     // summary and the top-N consume it, so truncate the lineage (lazy:

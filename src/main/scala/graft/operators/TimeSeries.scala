@@ -287,6 +287,117 @@ object TimeSeries {
     withLags.groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exponentially-weighted moving average of each series' daily total
+    * — the smoothing behind "current level" dashboards and the EWMA
+    * control chart ([[Anomaly]]'s CUSUM sibling): per (series, day),
+    * `ewma = Σⱼ α(1−α)ʲ·x_{t−j} / Σⱼ α(1−α)ʲ` over the trailing
+    * `window` OBSERVED buckets (positional lags, [[autocorrelation]]'s
+    * convention), truncated and renormalized so early rows average
+    * their available history instead of decaying toward zero.
+    *
+    * Numerics: `alpha` is a decimal STRING (default "0.5") so every
+    * weight `α(1−α)ʲ` is an exact finite decimal computed driver-side
+    * with BigDecimal; each lag term is one exact decimal multiply, the
+    * two sums are exact decimal additions, and the final ratio is ONE
+    * double division of exact operands — bit-identical in any engine,
+    * no float accumulation anywhere. The weight scale grows as
+    * `scale(α)·window`, guarded to keep every product inside
+    * DECIMAL(38).
+    *
+    * Scale shape: one (series, day) aggregate over the events, then a
+    * fixed `window`-wide stack of `lag`s over the days-sized table —
+    * codegen'd, no per-row state, no UDF. */
+  def ewma(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, alpha: String = "0.5", window: Int = 16)
+      : DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"window must be in [1,64], got $window")
+    val a = new java.math.BigDecimal(alpha)
+    require(a.compareTo(java.math.BigDecimal.ZERO) > 0 &&
+      a.compareTo(java.math.BigDecimal.ONE) < 0,
+      s"alpha must be in (0,1), got $alpha")
+    val one = java.math.BigDecimal.ONE
+    // w_j = α(1−α)^j, exact decimals
+    val weights = (0 until window).map(j =>
+      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
+    val wScale = weights.map(_.scale()).max
+    require(wScale + 6 <= 30,
+      s"alpha=$alpha over window=$window needs decimal scale " +
+        s"$wScale — too fine for exact 38-digit arithmetic")
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    // Spark's decimal ADD wants +1 precision per operation and DROPS
+    // SCALE (rounding!) once a chain passes 38 — so terms start at the
+    // natural (34, s+6) and reduce as a BALANCED TREE: depth ⌈log₂ 64⌉
+    // = 6 additions peak at (38, s+6), still exact. (DuckDB's chained
+    // adds stay exact at width 38, so the oracle may stay sequential.)
+    def treeSum(cols: Seq[Column]): Column =
+      if (cols.sizeIs == 1) cols.head
+      else treeSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+    val tScale = wScale + 6
+    val zero = lit(java.math.BigDecimal.ZERO).cast(s"decimal(32,$tScale)")
+    val wZero = lit(java.math.BigDecimal.ZERO).cast(s"decimal(17,$wScale)")
+    val num = treeSum((0 until window).map { j =>
+      val term = lag(col("v"), j).over(w) *
+        lit(weights(j)).cast(s"decimal(${wScale + 1},$wScale)")
+      coalesce(term.cast(s"decimal(32,$tScale)"), zero)
+    })
+    val den = treeSum((0 until window).map { j =>
+      coalesce(when(lag(col("v"), j).over(w).isNotNull,
+        lit(weights(j)).cast(s"decimal(${wScale + 1},$wScale)"))
+        .cast(s"decimal(17,$wScale)"), wZero)
+    })
+    // decimal→double via STRING (correctly rounded in every engine;
+    // direct casts double-round wide decimals) — then ONE division
+    dly.select(col("series"), col("bucket"), col("v"),
+      (num.cast("string").cast("double") /
+        den.cast("string").cast("double")).as("ewma"))
+  }
+
+  /** Lead–lag cross-correlation between two named series: for each lag
+    * k in 0..`maxLag`, Pearson correlation of X's daily total against
+    * Y's total k CALENDAR days earlier — "do views lead purchases, and
+    * by how many days?", the screen behind attribution windows and
+    * leading-indicator alerts. Returns one row per lag:
+    * (series_x, series_y, lag, n_days, xcorr); a large |xcorr| at
+    * k > 0 means Y leads X by k days. Day alignment is by calendar
+    * join (a missing day is absent, not the previous row — unlike
+    * [[autocorrelation]]'s positional lag, gaps cannot misalign the
+    * series), and `corr` runs over identical decimal-exact daily
+    * sums in both engines ([[autocorrelation]]'s discipline).
+    *
+    * Scale: one (series, day) aggregate over the events; everything
+    * after is days×lags-sized. */
+  def crossCorrelation(events: DataFrame, seriesCol: String,
+      tsCol: String, value: Column, seriesX: String, seriesY: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 30,
+      s"maxLag must be in [0,30], got $maxLag")
+    val dly = events
+      .filter(col(seriesCol).isin(seriesX, seriesY))
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).as("__v"))
+    val x = dly.filter(col("series") === seriesX)
+      .select(col("bucket"), col("__v").as("__x"))
+    val y = dly.filter(col("series") === seriesY)
+      .select(col("bucket").as("__yb"), col("__v").as("__y"))
+    val lags = events.sparkSession.range(0, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, date_add(col("__yb"), col("lag")) === col("bucket"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("__x").cast("double"), col("__y").cast("double")),
+          6).as("xcorr"))
+      .select(lit(seriesX).as("series_x"), lit(seriesY).as("series_y"),
+        col("lag").cast("long").as("lag"), col("n_days"), col("xcorr"))
+  }
+
   /** Per-series linear trend: ordinary-least-squares slope (and fit
     * strength r²) of the daily total of an INTEGER-valued metric
     * against the day index — "is this series growing, and how fast?",

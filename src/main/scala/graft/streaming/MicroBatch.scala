@@ -325,6 +325,92 @@ object MicroBatch {
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming market-basket co-occurrence maintenance: each
+    * micro-batch of (basket, item) postings folds into persisted pair
+    * counts, item frequencies, and the basket total — all ADDITIVE
+    * under the contract that a basket arrives whole inside one batch
+    * (route by basket key upstream; a split basket would under-count
+    * its cross-batch pairs). The quadratic pair expansion runs per
+    * batch behind the same `maxBasketSize` whole-basket cap as
+    * [[graft.operators.Affinity.coOccurrence]], so the history is
+    * never re-expanded: per-batch cost is the batch's own pairs plus
+    * a pairs-sized merge. Versioned like [[streamRollup]]
+    * (`version=batchId` snapshots, replay-idempotent); read the
+    * current state with [[readCoOccurrence]], which must equal the
+    * batch operator on the union of all batches exactly. */
+  def streamCoOccurrence(postings: DataFrame, dir: String,
+      basketCol: String, itemCol: String, maxBasketSize: Int = 256,
+      cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = postings.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val posts = batch
+          .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+          .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+          .distinct()
+        val sized = posts.groupBy(col("__b"))
+          .agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize)
+          .select(col("__b"))
+        val kept = posts.join(sized, Seq("__b"), "left_semi")
+          .localCheckpoint(eager = false)
+        val pairsDelta = kept.as("a")
+          .join(kept.as("b"),
+            col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+          .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+          .agg(count(lit(1)).as("n_baskets"))
+        val freqDelta = kept.groupBy(col("__i").as("item"))
+          .agg(count(lit(1)).as("ni"))
+        val totDelta = kept.select(col("__b")).distinct()
+          .agg(count(lit(1)).as("n"))
+        val prior = latestRollupVersion(spark, dir,
+          beforeExclusive = Some(batchId))
+        def merged(delta: DataFrame, sub: String, keys: Seq[String],
+            cnt: String): DataFrame = prior match {
+          case None => delta
+          case Some(v) =>
+            val p = spark.read.parquet(s"$dir/version=$v/$sub")
+            p.unionByName(delta)
+              .groupBy(keys.map(col): _*)
+              .agg(sum(col(cnt)).as(cnt))
+        }
+        merged(pairsDelta, "pairs", Seq("item_a", "item_b"), "n_baskets")
+          .write.mode("overwrite").parquet(s"$dir/version=$batchId/pairs")
+        merged(freqDelta, "freq", Seq("item"), "ni")
+          .write.mode("overwrite").parquet(s"$dir/version=$batchId/freq")
+        merged(totDelta, "total", Seq.empty, "n")
+          .write.mode("overwrite").parquet(s"$dir/version=$batchId/total")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current co-occurrence state of a [[streamCoOccurrence]]
+    * directory, scored exactly like the batch operator: pairs at
+    * `minSupport`+ baskets with `lift = (n_ab · N)/(n_a · n_b)`. */
+  def readCoOccurrence(spark: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no co-occurrence versions under $dir"))
+    val pairs = spark.read.parquet(s"$dir/version=$v/pairs")
+      .filter(col("n_baskets") >= minSupport)
+    val freq = spark.read.parquet(s"$dir/version=$v/freq")
+    val total = spark.read.parquet(s"$dir/version=$v/total")
+    pairs
+      .join(freq.select(col("item").as("item_a"), col("ni").as("__na")),
+        Seq("item_a"))
+      .join(freq.select(col("item").as("item_b"), col("ni").as("__nb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        round(col("n_baskets").cast("double") * col("n").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** The current label table of a [[streamComponents]] directory. */
   def readComponents(spark: SparkSession, dir: String): DataFrame = {
     val v = latestRollupVersion(spark, dir, beforeExclusive = None)

@@ -699,6 +699,51 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.getDouble(2) === -1.0 && got.getDouble(3) === 1.0)
   }
 
+  test("giniConcentration: uniform values give 0, a single holder " +
+      "gives (n-1)/n, and the result is partitioning-invariant") {
+    import graft.operators.Skew
+    val even = (1L to 4L).map(i => (i, 5L)).toDF("id", "y")
+    val g1 = Skew.giniConcentration(even, "id", col("y")).head
+    assert(g1.getLong(0) === 4L && g1.getLong(1) === 20L &&
+      g1.getDouble(2) === 0.0)
+    val solo = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L)).toDF("id", "y")
+    assert(Skew.giniConcentration(solo, "id", col("y"))
+      .head.getDouble(2) === 0.75)
+    assert(Skew.giniConcentration(solo.repartition(7), "id", col("y"))
+      .head.getDouble(2) === 0.75)
+  }
+
+  test("ewma: truncated renormalized weights — first row is its own " +
+      "value, window cuts old history, exact ratios") {
+    val rows = Seq(("2024-01-01 06:00:00", "s", 2.0),
+      ("2024-01-02 06:00:00", "s", 4.0), ("2024-01-03 06:00:00", "s", 8.0))
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.ewma(ev, "event_type", "ts", col("value"),
+        alpha = "0.5", window = 2)
+      .orderBy("bucket").collect().map(_.getDouble(3))
+    // day1: .5·2/.5 = 2; day2: (.5·4+.25·2)/.75; day3 drops day1
+    assert(got.toSeq === Seq(2.0, 2.5 / 0.75, 5.0 / 0.75))
+  }
+
+  test("crossCorrelation: a series that is yesterday's other series " +
+      "scaled correlates perfectly at lag 1 and imperfectly at lag 0") {
+    val yv = Seq(1.0, 5.0, 2.0, 8.0, 3.0) // y on days 1..5
+    val rows =
+      yv.zipWithIndex.map { case (v, i) =>
+        (f"2024-01-${i + 1}%02d 12:00:00", "v", v) } ++
+      yv.zipWithIndex.map { case (v, i) => // x(d) = 2·y(d−1), days 2..6
+        (f"2024-01-${i + 2}%02d 12:00:00", "p", 2.0 * v) }
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.crossCorrelation(ev, "event_type", "ts",
+        col("value"), seriesX = "p", seriesY = "v", maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got(1) === ((1L, 5L, 1.0))) // perfect lead at k = 1
+    assert(got(0)._2 === 4L && got(0)._3 < 1.0)
+  }
+
   test("linearTrend: perfect line gets exact slope and r2 = 1; " +
       "constant series r2 NULL; single-day series slope NULL; " +
       "same-day events fold into the daily sum") {

@@ -349,6 +349,20 @@ class FunnelSpec extends SparkTestBase {
       ("z", "x", 1L, 1.0, 4.0 / 3.0)))
   }
 
+  test("cohenKappa: textbook 2x2 table gives kappa 0.4 exactly; " +
+      "constant raters yield NULL kappa with full observed agreement") {
+    import graft.operators.Experiment
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Experiment.cohenKappa(rows.toDF("a", "b"), "a", "b").head
+    // po = 35/50, pe = (30·25 + 20·25)/2500 = 0.5, κ = 0.2/0.5
+    assert(got.getLong(0) === 50L && got.getDouble(1) === 0.7 &&
+      got.getDouble(2) === 0.5 && got.getDouble(3) === 0.4)
+    val const = Experiment.cohenKappa(
+      Seq.fill(9)(("x", "x")).toDF("a", "b"), "a", "b").head
+    assert(const.getDouble(1) === 1.0 && const.isNullAt(3))
+  }
+
   test("itemSimilarity: hand-computed cosine/jaccard; equal-cosine tie " +
       "breaks on neighbor id; topK cuts per item") {
     import graft.operators.Affinity

@@ -275,6 +275,23 @@ class GraphSpec extends SparkTestBase {
       directed = false)) === Map(3L -> 0, 2L -> 1, 4L -> 1))
   }
 
+  test("linkPredict: star+chord — adjacent pairs excluded, scores are " +
+      "1/ln(deg) and 1/deg of the shared center; maxDegree drops hub " +
+      "centers") {
+    // center 1 ~ {2,3,4}, chord (2,3): only (2,4) and (3,4) are
+    // non-adjacent with a shared neighbor (center 1, degree 3)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.linkPredict(e, "src", "dst", minCommon = 1L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (2L, 4L, 1L, 1.0 / math.log(3.0), 1.0 / 3.0),
+      (3L, 4L, 1L, 1.0 / math.log(3.0), 1.0 / 3.0)))
+    assert(Graph.linkPredict(e, "src", "dst", minCommon = 1L,
+      maxDegree = 2).count() === 0L)
+  }
+
   test("shortestPaths: cheap 2-hop beats expensive direct edge; " +
       "maxHops bound restores the direct edge; undirected reverses; " +
       "parallel edges collapse to their min") {

@@ -623,6 +623,49 @@ class StreamingSpec extends SparkTestBase {
     assert(state() === want)
   }
 
+  test("streamCoOccurrence: basket-complete batches reproduce the " +
+      "batch operator exactly; restart with no new input is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strco")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/cooc", s"$root/ckpt")
+    // baskets {x,y,z} {x,y} | {x,y} {w,z} — whole baskets per batch
+    Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"))
+      .toDF("basket", "item").coalesce(1).write.parquet(srcDir)
+    Seq((3L, "x"), (3L, "y"), (4L, "w"), (4L, "z"))
+      .toDF("basket", "item").coalesce(1).write.mode("append")
+      .parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamCoOccurrence(stream,
+          outDir, "basket", "item",
+          cfg = graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def state() = graft.streaming.MicroBatch
+      .readCoOccurrence(spark, outDir, minSupport = 1L)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = graft.operators.Affinity.coOccurrence(
+        Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+          (3L, "x"), (3L, "y"), (4L, "w"), (4L, "z"))
+          .toDF("basket", "item"), "basket", "item", minSupport = 1L)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(state() === batch)
+    // (x,y) co-occurs in baskets from BOTH batches: 1,2 then 3
+    assert(state().exists(t => t._1 == "x" && t._2 == "y" && t._3 == 3L))
+    run() // restart: checkpoint replays nothing
+    assert(state() === batch)
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
