@@ -168,7 +168,18 @@ object ScaleSmoke {
     // r10: streaming CC maintenance (star-edge fold per batch), the
     // distributed-rank RFM tiling, and exact grouped quantiles by
     // distributed selection
-    "str210_stream_components", "q211_rfm", "q212_exact_quantiles")
+    "str210_stream_components", "q211_rfm", "q212_exact_quantiles",
+    // r10 late batch: the basket pair-expansion family (rules + item
+    // neighbors ride q189's capped self-join), the lossless deletion-
+    // neighborhood edit join (postings = Σ(|s|+1) rows), weighted
+    // Bellman-Ford rounds, and the wedge-join link predictor
+    "q213_assoc_rules", "q214_item_similarity", "d215_edit_join",
+    "q216_sssp", "q219_link_predict",
+    // r10 late batch: days-sized stats (trend/xcorr/EWMA stacks), the
+    // one-aggregate Benford/kappa reduces, the distributed-rank Gini,
+    // and streaming co-occurrence maintenance (additive pair rollup)
+    "q217_trend", "q218_benford", "q220_xcorr", "q221_ewma",
+    "q222_kappa", "q223_gini", "str224_stream_cooccur")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {
