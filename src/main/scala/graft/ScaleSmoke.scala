@@ -179,7 +179,10 @@ object ScaleSmoke {
     // one-aggregate Benford/kappa reduces, the distributed-rank Gini,
     // and streaming co-occurrence maintenance (additive pair rollup)
     "q217_trend", "q218_benford", "q220_xcorr", "q221_ewma",
-    "q222_kappa", "q223_gini", "str224_stream_cooccur")
+    "q222_kappa", "q223_gini", "str224_stream_cooccur",
+    // r10 late batch: the distinct-value cumulative machinery (range
+    // buckets + broadcast offsets) under the two exact rank statistics
+    "q225_ks_drift", "q226_rank_test")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2303,6 +2303,28 @@ object SparkEntry {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift: PSI's bin-free exact
+    // companion on the same week-split fixture — sup-CDF distance
+    // maximized over exact integers, one double division.
+    "q225_ks_drift" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_totalprice").as("price"),
+          floor(datediff(to_date(col("o_orderdate")), lit("1970-01-05"))
+            / 7).cast(LongType).as("wk"))
+      operators.Expectations.ksDrift(
+        ref = o.filter(col("wk") % 4 === 1),
+        cur = o.filter(col("wk") % 4 === 0),
+        value = col("price"))
+    }),
+
+    // Mann–Whitney rank-sum test: do urgent-priority orders carry
+    // stochastically larger totals? Midranks keep every statistic an
+    // exact integer; z is a fixed double expression over them.
+    "q226_rank_test" -> ((s, d) =>
+      operators.Experiment.rankSumTest(t(s, d, "orders"),
+        col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -4015,6 +4037,70 @@ object SparkEntry {
         |  ELSE CAST(s2 + s2 - (n * t + t) AS DOUBLE)
         |   / CAST(n * t AS DOUBLE) END AS gini
         |FROM s""".stripMargin,
+
+    "q225_ks_drift" ->
+      """WITH o AS (
+        | SELECT o_totalprice AS price,
+        |  CAST(floor(datediff('day', DATE '1970-01-05',
+        |   CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk
+        | FROM orders),
+        |r AS (SELECT price AS v FROM o WHERE wk % 4 = 1
+        | AND price IS NOT NULL AND NOT isnan(price)),
+        |c AS (SELECT price AS v FROM o WHERE wk % 4 = 0
+        | AND price IS NOT NULL AND NOT isnan(price)),
+        |rv AS (SELECT v, count(*) AS cr FROM r GROUP BY v),
+        |cv AS (SELECT v, count(*) AS cc FROM c GROUP BY v),
+        |j AS (SELECT coalesce(rv.v, cv.v) AS v,
+        |  coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+        | FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+        |k AS (SELECT
+        |  CAST(sum(cr) OVER (ORDER BY v) AS DECIMAL(19,0)) AS a,
+        |  CAST(sum(cc) OVER (ORDER BY v) AS DECIMAL(19,0)) AS b
+        | FROM j),
+        |t AS (SELECT CAST(sum(cr) AS DECIMAL(19,0)) AS nr,
+        |  CAST(sum(cc) AS DECIMAL(19,0)) AS nc FROM j)
+        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        | CAST(max(abs(a * nc - b * nr)) AS DOUBLE)
+        |  / CAST(nr * nc AS DOUBLE) AS ks
+        |FROM k, t GROUP BY nr, nc""".stripMargin,
+
+    "q226_rank_test" ->
+      """WITH o AS (
+        | SELECT o_totalprice AS v,
+        |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS ga
+        | FROM orders
+        | WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        |  AND o_orderpriority IS NOT NULL),
+        |bv AS (SELECT v, sum(CASE WHEN ga THEN 1 ELSE 0 END) AS na,
+        |  count(*) AS nt FROM o GROUP BY v),
+        |cc AS (SELECT na, nt,
+        |  CAST(coalesce(sum(nt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS DECIMAL(19,0)) AS cb
+        | FROM bv),
+        |s AS (SELECT
+        |  CAST(sum(na) AS DECIMAL(19,0)) AS sna,
+        |  CAST(sum(nt - na) AS DECIMAL(19,0)) AS snb,
+        |  CAST(sum(CAST(na AS DECIMAL(19,0)) *
+        |    CAST(cb + cb + CAST(nt AS DECIMAL(19,0)) + 1
+        |     AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS r2a,
+        |  CAST(sum(CAST(nt AS DECIMAL(12,0)) * CAST(nt AS DECIMAL(12,0))
+        |    * CAST(nt AS DECIMAL(12,0)) - CAST(nt AS DECIMAL(12,0)))
+        |   AS DECIMAL(19,0)) AS t3
+        | FROM cc),
+        |s2 AS (SELECT *, CAST(sna + snb AS DECIMAL(12,0)) AS n12 FROM s),
+        |s3 AS (SELECT *,
+        |  CAST((n12 + 1) * n12 AS DECIMAL(25,0)) * (n12 - 1) AS cubic,
+        |  r2a - (sna * sna + sna) AS u2, sna * snb AS p
+        | FROM s2)
+        |SELECT CAST(sna AS BIGINT) AS n_a, CAST(snb AS BIGINT) AS n_b,
+        | CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+        | CASE WHEN sna = 0 OR snb = 0 OR cubic - t3 = 0 THEN NULL
+        |  ELSE CAST(u2 - p AS DOUBLE) /
+        |   sqrt(CAST(p AS DOUBLE) * CAST(cubic - t3 AS DOUBLE) /
+        |    (3.0 * CAST(n12 AS DOUBLE) * CAST(n12 - 1 AS DOUBLE)))
+        |  END AS z
+        |FROM s3""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

@@ -220,6 +220,68 @@ object Expectations {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between a REFERENCE and a
+    * CURRENT distribution — [[populationStability]]'s bin-free exact
+    * companion (PSI depends on a binning choice; KS is the sup-distance
+    * between the empirical CDFs themselves): `D = max_v |F_ref(v) −
+    * F_cur(v)|`, the standard "did this column's distribution move"
+    * gate. Returns one row (n_ref, n_cur, ks). NULL/NaN values are
+    * excluded, matching PSI.
+    *
+    * Numerics: D = max |a·n_cur − b·n_ref| / (n_ref·n_cur) where a, b
+    * are cumulative counts at each pooled distinct value — the
+    * maximization runs over EXACT integers in DECIMAL(19/38,0) and the
+    * division is the single double op: engine-bit-identical.
+    *
+    * Scale shape: one (value)-keyed count aggregate collapses the data
+    * to distinct values, then the global cumulative sum runs
+    * DISTRIBUTED — range repartition by value, per-bucket running sums,
+    * bucket offsets from a buckets-sized broadcast ([[exactQuantiles]]'
+    * machinery) — never a single-partition window. */
+  def ksDrift(ref: DataFrame, cur: DataFrame, value: Column,
+      buckets: Int = 64): DataFrame = {
+    val d19 = "decimal(19,0)"
+    def side(df: DataFrame, tag: String) = df
+      .select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as(s"__c$tag"))
+    val byValue = side(ref, "r")
+      .join(side(cur, "c"), Seq("__v"), "full")
+      .select(col("__v"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val ranged = byValue
+      .repartitionByRange(buckets, col("__v"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = ranged.groupBy(col("__b"))
+      .agg(sum(col("__cr")).as("__tr"), sum(col("__cc")).as("__tc"))
+      .select(col("__b"),
+        coalesce(sum(col("__tr")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__or"),
+        coalesce(sum(col("__tc")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__oc"))
+    val totals = byValue.agg(
+      sum(col("__cr")).cast(d19).as("__nr"),
+      sum(col("__cc")).cast(d19).as("__nc"))
+    val cums = ranged.join(broadcast(offs), Seq("__b"))
+      .select(
+        (col("__or") + sum(col("__cr")).over(wB)).cast(d19).as("__a"),
+        (col("__oc") + sum(col("__cc")).over(wB)).cast(d19).as("__bb"))
+    cums.crossJoin(broadcast(totals))
+      .agg(max(col("__nr")).cast("bigint").as("n_ref"),
+        max(col("__nc")).cast("bigint").as("n_cur"),
+        max(abs(col("__a") * col("__nc") - col("__bb") * col("__nr")))
+          .as("__num"))
+      .select(col("n_ref"), col("n_cur"),
+        (col("__num").cast("double") /
+          (col("n_ref").cast(d19) * col("n_cur").cast(d19))
+            .cast("double")).as("ks"))
+  }
+
   /** Population Stability Index between a REFERENCE and a CURRENT
     * distribution of a score column — the standard drift gate an ML/
     * curation pipeline runs before trusting a refreshed corpus or a
@@ -327,20 +389,6 @@ object Expectations {
         }: _*)
   }
 
-  /** k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
-    * 2007, the public privacy-release criteria): every quasi-identifier
-    * combination whose group has fewer than `k` members (re-
-    * identification risk) or fewer than `l` distinct sensitive values
-    * (attribute-disclosure risk — everyone in the group shares the
-    * secret). The pre-release gate a training-data pipeline runs before
-    * shipping user-derived tables. Returns the VIOLATING groups:
-    * (quasiCols*, group_size, sensitive_distinct).
-    *
-    * Scale: one aggregate keyed by the quasi-identifier tuple with
-    * map-side combine; the distinct-count is exact (the violation
-    * threshold `l` is small — an approximation that under- or
-    * over-counts near the cut is the one place a privacy gate cannot
-    * afford it). */
   /** Benford first-significant-digit profile — the forensic screen for
     * fabricated or mis-joined numeric columns (real-world growth
     * processes follow `P(d) = log₁₀(1 + 1/d)`; synthetic, capped, or
@@ -382,6 +430,20 @@ object Expectations {
         ((nD - tD * e) * (nD - tD * e) / (tD * e)).as("chi2_part"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    * 2007, the public privacy-release criteria): every quasi-identifier
+    * combination whose group has fewer than `k` members (re-
+    * identification risk) or fewer than `l` distinct sensitive values
+    * (attribute-disclosure risk — everyone in the group shares the
+    * secret). The pre-release gate a training-data pipeline runs before
+    * shipping user-derived tables. Returns the VIOLATING groups:
+    * (quasiCols*, group_size, sensitive_distinct).
+    *
+    * Scale: one aggregate keyed by the quasi-identifier tuple with
+    * map-side combine; the distinct-count is exact (the violation
+    * threshold `l` is small — an approximation that under- or
+    * over-counts near the cut is the one place a privacy gate cannot
+    * afford it). */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, k: Long, l: Long = 1L): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B experiment analysis — the decision layer over [[Funnel]] /
@@ -78,6 +79,90 @@ object Experiment {
           .otherwise((col("__nn") * col("__d") - col("__s")).cast("double") /
             (col("__nn") * col("__nn") - col("__s")).cast("double"))
           .as("kappa"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between two groups of a
+    * numeric metric — the nonparametric A/B companion of [[abTest]]:
+    * where abTest compares conversion PROPORTIONS, this asks whether
+    * one group's VALUES stochastically dominate the other's, robust to
+    * outliers and any monotone transform (revenue, latency, scores).
+    * Returns one row (n_a, n_b, u_a, z): `u_a` counts (a, b) pairs
+    * where A wins (ties half), `z` is the tie-corrected normal
+    * approximation, positive when group A tends larger; NULL z when a
+    * group is empty or all values tie.
+    *
+    * Numerics: midranks make every statistic a half-integer, so the
+    * whole computation runs on EXACT integers — `2R_A = Σ_v
+    * n_A(v)·(2·cumBefore(v) + n_t(v) + 1)`, `2U_A = 2R_A −
+    * n_A(n_A+1)`, and the tie-corrected variance `4σ² = n_A·n_B·
+    * ((n+1)·n·(n−1) − Σ(t³−t)) / (3·n·(n−1))` — all in
+    * DECIMAL(19/38,0); `z = (2U_A − n_A·n_B)/√(4σ²)` is a fixed
+    * double expression over those exact operands.
+    *
+    * Scale shape: one value-keyed count aggregate collapses the rows to
+    * distinct values; the global exclusive cumulative count runs
+    * DISTRIBUTED (range repartition + per-bucket windows + broadcast
+    * bucket offsets — [[graft.operators.Expectations.exactQuantiles]]'
+    * machinery); the finale is one map-side-combinable aggregate. */
+  def rankSumTest(df: DataFrame, value: Column, groupA: Column,
+      buckets: Int = 64): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d12 = "decimal(12,0)"
+    val byValue = df
+      .select(value.cast("double").as("__v"), groupA.as("__ga"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__ga").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__ga"), 1L).otherwise(0L)).as("__na"),
+        count(lit(1)).as("__nt"))
+    val ranged = byValue
+      .repartitionByRange(buckets, col("__v"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val offs = ranged.groupBy(col("__b"))
+      .agg(sum(col("__nt")).as("__tt"))
+      .select(col("__b"),
+        coalesce(sum(col("__tt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"))
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = ranged.join(broadcast(offs), Seq("__b"))
+      .select(col("__na"), col("__nt"),
+        (col("__off") + coalesce(sum(col("__nt")).over(wB), lit(0L)))
+          .cast(d19).as("__cb"))
+    // every decimal PRODUCT keeps p1+p2 ≤ 38 (DuckDB's hard multiply
+    // budget): narrow casts before cubes, squares spelled a·a + a
+    val s = cums.agg(
+      sum(col("__na")).cast(d19).as("__sna"),
+      sum(col("__nt") - col("__na")).cast(d19).as("__snb"),
+      sum(col("__na").cast(d19) *
+          (col("__cb") + col("__cb") + col("__nt").cast(d19) + 1)
+            .cast(d19))
+        .cast("decimal(38,0)").as("__r2a"),
+      sum(col("__nt").cast(d12) * col("__nt").cast(d12) *
+          col("__nt").cast(d12) - col("__nt").cast(d12))
+        .cast(d19).as("__t3"))
+    val n12 = (col("__sna") + col("__snb")).cast(d12)
+    val cubic = ((n12 + 1) * n12).cast("decimal(25,0)") * (n12 - 1)
+    val u2 = col("__r2a") -
+      (col("__sna") * col("__sna") + col("__sna"))
+    val p = col("__sna") * col("__snb") // 19+19 = 38 ✓
+    s.select(
+      col("__sna").cast("bigint").as("n_a"),
+      col("__snb").cast("bigint").as("n_b"),
+      (u2.cast("double") / 2.0).as("u_a"),
+      when(col("__sna") === 0 || col("__snb") === 0 ||
+          (cubic - col("__t3")) === 0, lit(null).cast("double"))
+        .otherwise(
+          (u2 - p).cast("double") /
+          sqrt(
+            // 4σ² = p·(cubic − T)/(3n(n−1)): the full product needs
+            // ~50 decimal digits, so the exact factors cast to double
+            // separately — fixed expression order both engines
+            p.cast("double") * (cubic - col("__t3")).cast("double") /
+            (lit(3.0) * n12.cast("double") * (n12 - 1).cast("double"))))
+        .as("z"))
   }
 
   def abTest(df: DataFrame, variantCol: String, convertedCol: String,

@@ -699,6 +699,19 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.getDouble(2) === -1.0 && got.getDouble(3) === 1.0)
   }
 
+  test("ksDrift: hand CDFs give D = 0.5 exactly; identical samples " +
+      "give 0; bucket-count invariant") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    def run(b: Int) = Expectations.ksDrift(ref, cur, col("v"), b).head
+    val got = run(64)
+    assert(got.getLong(0) === 4L && got.getLong(1) === 4L &&
+      got.getDouble(2) === 0.5)
+    assert(run(2).getDouble(2) === 0.5 && run(1).getDouble(2) === 0.5)
+    assert(Expectations.ksDrift(ref, ref, col("v")).head
+      .getDouble(2) === 0.0)
+  }
+
   test("giniConcentration: uniform values give 0, a single holder " +
       "gives (n-1)/n, and the result is partitioning-invariant") {
     import graft.operators.Skew

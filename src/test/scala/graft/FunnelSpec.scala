@@ -349,6 +349,23 @@ class FunnelSpec extends SparkTestBase {
       ("z", "x", 1L, 1.0, 4.0 / 3.0)))
   }
 
+  test("rankSumTest: hand midranks with a 3-way tie — U counts wins " +
+      "plus half-ties, z matches the tie-corrected formula exactly") {
+    import graft.operators.Experiment
+    // A = {1,3,3}, B = {2,3,5}: U_A = 2 wins + 2 half-ties = 3,
+    // T = 3³−3 = 24, cubic = 7·6·5 = 210, 4σ² = 9·186/90
+    val df = Seq((1.0, true), (3.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (5.0, false)).toDF("v", "ga")
+    val got = Experiment.rankSumTest(df, col("v"), col("ga")).head
+    assert(got.getLong(0) === 3L && got.getLong(1) === 3L)
+    assert(got.getDouble(2) === 3.0)
+    assert(got.getDouble(3) === -3.0 / math.sqrt(9.0 * 186.0 / 90.0))
+    // all-tied values: variance 0 -> NULL z
+    val tied = Seq((7.0, true), (7.0, false)).toDF("v", "ga")
+    assert(Experiment.rankSumTest(tied, col("v"), col("ga"))
+      .head.isNullAt(3))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa 0.4 exactly; " +
       "constant raters yield NULL kappa with full observed agreement") {
     import graft.operators.Experiment
