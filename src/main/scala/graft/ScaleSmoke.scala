@@ -182,7 +182,9 @@ object ScaleSmoke {
     "q222_kappa", "q223_gini", "str224_stream_cooccur",
     // r10 late batch: the distinct-value cumulative machinery (range
     // buckets + broadcast offsets) under the two exact rank statistics
-    "q225_ks_drift", "q226_rank_test")
+    "q225_ks_drift", "q226_rank_test",
+    // r10 late batch: cells-sized χ² and the quartile+fence compose
+    "q227_chi2", "q228_boxplot")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

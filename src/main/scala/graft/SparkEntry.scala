@@ -2325,6 +2325,22 @@ object SparkEntry {
         col("o_totalprice"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
 
+    // χ² independence cells (status × priority): per-cell expected
+    // counts and χ² parts as fixed double expressions over exact
+    // marginals — the stratification / sample-ratio-mismatch screen.
+    "q227_chi2" -> ((s, d) =>
+      operators.Experiment.chiSquareCells(t(s, d, "orders"),
+          "o_orderstatus", "o_orderpriority")
+        .orderBy(col("a"), col("b"))),
+
+    // Tukey boxplot fences per priority over exact quartiles
+    // (distributed selection), outliers counted beyond k·IQR — the
+    // robust screen stddev fences can't match under float drift.
+    "q228_boxplot" -> ((s, d) =>
+      operators.Expectations.tukeyFences(t(s, d, "orders"),
+          "o_orderpriority", col("o_totalprice"), "o_orderkey")
+        .orderBy(col("o_orderpriority"))),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -4101,6 +4117,52 @@ object SparkEntry {
         |    (3.0 * CAST(n12 AS DOUBLE) * CAST(n12 - 1 AS DOUBLE)))
         |  END AS z
         |FROM s3""".stripMargin,
+
+    "q227_chi2" ->
+      """WITH cells AS (
+        | SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n
+        | FROM orders
+        | WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        | GROUP BY a, b),
+        |rm AS (SELECT a, CAST(sum(n) AS DECIMAL(19,0)) AS ra
+        | FROM cells GROUP BY a),
+        |cm AS (SELECT b, CAST(sum(n) AS DECIMAL(19,0)) AS cb
+        | FROM cells GROUP BY b),
+        |tt AS (SELECT CAST(sum(n) AS DECIMAL(19,0)) AS nn FROM cells)
+        |SELECT a, b, n,
+        | CAST(ra * cb AS DOUBLE) / CAST(nn AS DOUBLE) AS expected,
+        | (CAST(n AS DOUBLE) - CAST(ra * cb AS DOUBLE) / CAST(nn AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) - CAST(ra * cb AS DOUBLE) / CAST(nn AS DOUBLE))
+        |  / (CAST(ra * cb AS DOUBLE) / CAST(nn AS DOUBLE)) AS chi2_part
+        |FROM cells JOIN rm USING (a) JOIN cm USING (b), tt
+        |ORDER BY a, b""".stripMargin,
+
+    "q228_boxplot" ->
+      """WITH r AS (
+        | SELECT o_orderpriority AS g, o_totalprice AS v,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders),
+        |qs AS (SELECT g, max(n) AS n,
+        | max(CASE WHEN rn = greatest(1, CAST(ceil(
+        |  CAST(0.25 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p25,
+        | max(CASE WHEN rn = greatest(1, CAST(ceil(
+        |  CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p50,
+        | max(CASE WHEN rn = greatest(1, CAST(ceil(
+        |  CAST(0.75 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p75
+        | FROM r GROUP BY g),
+        |f AS (SELECT *, p25 - 1.5 * (p75 - p25) AS lo_fence,
+        |  p75 + 1.5 * (p75 - p25) AS hi_fence FROM qs)
+        |SELECT f.g AS o_orderpriority, f.n, p25, p50, p75,
+        | lo_fence, hi_fence,
+        | sum(CASE WHEN o.o_totalprice < lo_fence THEN 1 ELSE 0 END)
+        |  AS n_low,
+        | sum(CASE WHEN o.o_totalprice > hi_fence THEN 1 ELSE 0 END)
+        |  AS n_high
+        |FROM f JOIN orders o ON o.o_orderpriority = f.g
+        |GROUP BY f.g, f.n, p25, p50, p75, lo_fence, hi_fence
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

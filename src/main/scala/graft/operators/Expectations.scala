@@ -430,6 +430,40 @@ object Expectations {
         ((nD - tD * e) * (nD - tD * e) / (tD * e)).as("chi2_part"))
   }
 
+  /** Per-group Tukey boxplot fences over EXACT quartiles — the robust
+    * outlier screen dashboards and data-quality gates draw as box
+    * plots: p25/p50/p75 by [[exactQuantiles]]' distributed selection,
+    * fences at `p25 − k·IQR` / `p75 + k·IQR` (k = 1.5 classic), and
+    * the count of rows beyond each fence. Quartiles are order
+    * statistics (values FROM the data — exact doubles), fences one
+    * fixed double expression, outlier counts exact — fully
+    * engine-deterministic, unlike stddev-based fences whose mean/var
+    * accumulate float error.
+    *
+    * Scale: the quantile pass is [[exactQuantiles]]' range-repartition
+    * machinery; the outlier count is one groups-sized broadcast join
+    * back over the data + a map-side-combinable aggregate. */
+  def tukeyFences(df: DataFrame, groupCol: String, value: Column,
+      idCol: String, k: Double = 1.5, buckets: Int = 64): DataFrame = {
+    require(k > 0, s"fence multiplier k must be > 0, got $k")
+    val q = exactQuantiles(df, groupCol, value, Seq(0.25, 0.5, 0.75),
+        idCol, buckets)
+      .withColumn("lo_fence", col("p25") - lit(k) * (col("p75") - col("p25")))
+      .withColumn("hi_fence", col("p75") + lit(k) * (col("p75") - col("p25")))
+    val data = df.select(col(groupCol).as("__g"), value.as("__v"))
+    data.join(broadcast(q.withColumnRenamed(groupCol, "__g")), Seq("__g"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("p25")).as("p25"), max(col("p50")).as("p50"),
+        max(col("p75")).as("p75"),
+        max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("__v") < col("lo_fence"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("__v") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_high"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
     * 2007, the public privacy-release criteria): every quasi-identifier
     * combination whose group has fewer than `k` members (re-

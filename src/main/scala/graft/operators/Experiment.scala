@@ -29,6 +29,43 @@ object Experiment {
     * false; a variant with degenerate pooled variance (0% or 100%
     * everywhere) gets NULL z rather than ±∞. `zCrit` defaults to the
     * two-sided 5% critical value. */
+  /** χ² independence cells between two categorical columns — "is the
+    * label associated with the segment?" for stratification checks,
+    * label-leakage screens, and sample-ratio-mismatch audits: one row
+    * per observed (a, b) cell with the observed count, the
+    * independence expectation `row·col/n`, and the cell's χ²
+    * contribution `(o − e)²/e`. Sum `chi2_part` against χ² critical
+    * values at (|A|−1)(|B|−1) dof; large cells localize the
+    * association. Parts are emitted per cell rather than pre-summed:
+    * every part is a fixed double expression over exact integers
+    * (engine-bit-identical), while a cross-cell double SUM would be
+    * order-dependent — the [[graft.operators.Expectations]] MI/PSI
+    * convention.
+    *
+    * Scale: one (a, b) cells aggregate with map-side combine, then
+    * category-sized marginal joins + a broadcast total. */
+  def chiSquareCells(df: DataFrame, labelACol: String,
+      labelBCol: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val cells = df
+      .filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
+      .groupBy(col(labelACol).as("a"), col(labelBCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy(col("a"))
+      .agg(sum(col("n")).cast(d19).as("__ra"))
+    val colM = cells.groupBy(col("b"))
+      .agg(sum(col("n")).cast(d19).as("__cb"))
+    val total = cells.agg(sum(col("n")).cast(d19).as("__nn"))
+    val e = (col("__ra") * col("__cb")).cast("double") /
+      col("__nn").cast("double")
+    val oD = col("n").cast("double")
+    cells.join(rowM, Seq("a")).join(colM, Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n"),
+        e.as("expected"),
+        ((oD - e) * (oD - e) / e).as("chi2_part"))
+  }
+
   /** Cohen's κ between two categorical labelings of the same rows —
     * the inter-annotator (or model-vs-gold) agreement statistic every
     * labeled-training-data pipeline gates on: observed agreement

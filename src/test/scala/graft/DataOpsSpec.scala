@@ -699,6 +699,18 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.getDouble(2) === -1.0 && got.getDouble(3) === 1.0)
   }
 
+  test("tukeyFences: exact quartiles of 1..8 plus a planted outlier — " +
+      "fences at 1.5 IQR, only the outlier lands beyond") {
+    val df = ((1 to 8).map(i => ("a", i.toDouble, i.toLong)) :+
+      (("a", 100.0, 9L))).toDF("g", "v", "id")
+    val got = Expectations.tukeyFences(df, "g", col("v"), "id").head
+    // n=9: p25 = rank 3 -> 3, p50 = rank 5 -> 5, p75 = rank 7 -> 7
+    assert(got.getLong(1) === 9L && got.getDouble(2) === 3.0 &&
+      got.getDouble(3) === 5.0 && got.getDouble(4) === 7.0)
+    assert(got.getDouble(5) === -3.0 && got.getDouble(6) === 13.0)
+    assert(got.getLong(7) === 0L && got.getLong(8) === 1L)
+  }
+
   test("ksDrift: hand CDFs give D = 0.5 exactly; identical samples " +
       "give 0; bucket-count invariant") {
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

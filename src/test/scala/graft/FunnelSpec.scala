@@ -366,6 +366,20 @@ class FunnelSpec extends SparkTestBase {
       .head.isNullAt(3))
   }
 
+  test("chiSquareCells: 2x2 hand table — expected counts from " +
+      "marginals, chi2 parts sum to the textbook statistic") {
+    import graft.operators.Experiment
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Experiment.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("n", "n", 15L, 10.0, 2.5), ("n", "y", 5L, 10.0, 2.5),
+      ("y", "n", 10L, 15.0, 5.0 / 3.0), ("y", "y", 20L, 15.0, 5.0 / 3.0)))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa 0.4 exactly; " +
       "constant raters yield NULL kappa with full observed agreement") {
     import graft.operators.Experiment
