@@ -184,7 +184,9 @@ object ScaleSmoke {
     // buckets + broadcast offsets) under the two exact rank statistics
     "q225_ks_drift", "q226_rank_test",
     // r10 late batch: cells-sized χ² and the quartile+fence compose
-    "q227_chi2", "q228_boxplot")
+    "q227_chi2", "q228_boxplot",
+    // r10 late batch: streaming drift maintenance + read-side KS
+    "str229_stream_drift")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

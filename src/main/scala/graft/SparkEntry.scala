@@ -2341,6 +2341,39 @@ object SparkEntry {
           "o_orderpriority", col("o_totalprice"), "o_orderkey")
         .orderBy(col("o_orderpriority"))),
 
+    // Streaming drift monitor: the current week-slice streams in as
+    // micro-batches whose per-value counts fold additively; read-side
+    // KS against the frozen reference must equal q225's batch statistic
+    // on the union of all batches exactly.
+    "str229_stream_drift" -> ((s, d) => {
+      val root = tmpDir("graft_str229")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          col("o_totalprice").as("price"),
+          floor(datediff(to_date(col("o_orderdate")), lit("1970-01-05"))
+            / 7).cast(LongType).as("wk"))
+      val cur = o.filter(col("wk") % 4 === 0)
+      stageReplayBatches(s, Seq(
+        cur.filter(col("ok") % 2 === 0).select(col("price")),
+        cur.filter(col("ok") % 2 === 1).select(col("price"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+          outDir, "price", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val refCounts = o.filter(col("wk") % 4 === 1)
+        .select(col("price").cast("double").as("value"))
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("value")).agg(count(lit(1)).as("n"))
+      operators.Expectations.ksDriftFromCounts(refCounts,
+        graft.streaming.MicroBatch.readValueCounts(s, outDir))
+    }),
+
     // RFM value segmentation: per-user recency/frequency/monetary tiles
     // from the DISTRIBUTED global rank (never a single-partition NTILE)
     // with a pure-integer tile formula any engine reproduces exactly.
@@ -3353,6 +3386,35 @@ object SparkEntry {
           col("v"), col("trend"), col("seasonal"), col("residual"))
         .orderBy(col("series"), col("day"))))
 
+  /** q225's oracle, shared with str229: streaming per-value-count
+    * maintenance + read-side KS must equal batch KS on the union of
+    * all batches. */
+  private val ksDriftOracleSql: String =
+    """WITH o AS (
+      | SELECT o_totalprice AS price,
+      |  CAST(floor(datediff('day', DATE '1970-01-05',
+      |   CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk
+      | FROM orders),
+      |r AS (SELECT price AS v FROM o WHERE wk % 4 = 1
+      | AND price IS NOT NULL AND NOT isnan(price)),
+      |c AS (SELECT price AS v FROM o WHERE wk % 4 = 0
+      | AND price IS NOT NULL AND NOT isnan(price)),
+      |rv AS (SELECT v, count(*) AS cr FROM r GROUP BY v),
+      |cv AS (SELECT v, count(*) AS cc FROM c GROUP BY v),
+      |j AS (SELECT coalesce(rv.v, cv.v) AS v,
+      |  coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+      | FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+      |k AS (SELECT
+      |  CAST(sum(cr) OVER (ORDER BY v) AS DECIMAL(19,0)) AS a,
+      |  CAST(sum(cc) OVER (ORDER BY v) AS DECIMAL(19,0)) AS b
+      | FROM j),
+      |t AS (SELECT CAST(sum(cr) AS DECIMAL(19,0)) AS nr,
+      |  CAST(sum(cc) AS DECIMAL(19,0)) AS nc FROM j)
+      |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+      | CAST(max(abs(a * nc - b * nr)) AS DOUBLE)
+      |  / CAST(nr * nc AS DOUBLE) AS ks
+      |FROM k, t GROUP BY nr, nc""".stripMargin
+
   /** q189's oracle, shared with str224: streaming co-occurrence
     * maintenance over basket-complete batches must reproduce the batch
     * operator on the full postings exactly. */
@@ -4054,31 +4116,11 @@ object SparkEntry {
         |   / CAST(n * t AS DOUBLE) END AS gini
         |FROM s""".stripMargin,
 
-    "q225_ks_drift" ->
-      """WITH o AS (
-        | SELECT o_totalprice AS price,
-        |  CAST(floor(datediff('day', DATE '1970-01-05',
-        |   CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk
-        | FROM orders),
-        |r AS (SELECT price AS v FROM o WHERE wk % 4 = 1
-        | AND price IS NOT NULL AND NOT isnan(price)),
-        |c AS (SELECT price AS v FROM o WHERE wk % 4 = 0
-        | AND price IS NOT NULL AND NOT isnan(price)),
-        |rv AS (SELECT v, count(*) AS cr FROM r GROUP BY v),
-        |cv AS (SELECT v, count(*) AS cc FROM c GROUP BY v),
-        |j AS (SELECT coalesce(rv.v, cv.v) AS v,
-        |  coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
-        | FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
-        |k AS (SELECT
-        |  CAST(sum(cr) OVER (ORDER BY v) AS DECIMAL(19,0)) AS a,
-        |  CAST(sum(cc) OVER (ORDER BY v) AS DECIMAL(19,0)) AS b
-        | FROM j),
-        |t AS (SELECT CAST(sum(cr) AS DECIMAL(19,0)) AS nr,
-        |  CAST(sum(cc) AS DECIMAL(19,0)) AS nc FROM j)
-        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
-        | CAST(max(abs(a * nc - b * nr)) AS DOUBLE)
-        |  / CAST(nr * nc AS DOUBLE) AS ks
-        |FROM k, t GROUP BY nr, nc""".stripMargin,
+    "q225_ks_drift" -> ksDriftOracleSql,
+
+    // streamed per-value counts + read-side KS must equal the batch
+    // statistic on the union of all batches — the same oracle
+    "str229_stream_drift" -> ksDriftOracleSql,
 
     "q226_rank_test" ->
       """WITH o AS (

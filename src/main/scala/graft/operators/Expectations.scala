@@ -240,13 +240,28 @@ object Expectations {
     * machinery) — never a single-partition window. */
   def ksDrift(ref: DataFrame, cur: DataFrame, value: Column,
       buckets: Int = 64): DataFrame = {
+    def side(df: DataFrame) = df
+      .select(value.cast("double").as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    ksDriftFromCounts(side(ref), side(cur), buckets)
+  }
+
+  /** [[ksDrift]] over PRE-COUNTED (value, n) tables — the form
+    * streaming maintenance hands over
+    * ([[graft.streaming.MicroBatch.readValueCounts]]): hot values stay
+    * one row with a multiplicity instead of re-expanding to
+    * observation rows. Columns: first = value, second = count. */
+  def ksDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      buckets: Int = 64): DataFrame = {
     val d19 = "decimal(19,0)"
-    def side(df: DataFrame, tag: String) = df
-      .select(value.cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")))
-      .groupBy(col("__v")).agg(count(lit(1)).as(s"__c$tag"))
-    val byValue = side(ref, "r")
-      .join(side(cur, "c"), Seq("__v"), "full")
+    def norm(df: DataFrame, tag: String) = {
+      val Array(v, n) = df.columns.take(2)
+      df.select(col(v).cast("double").as("__v"),
+        col(n).cast("long").as(s"__c$tag"))
+    }
+    val byValue = norm(refCounts, "r")
+      .join(norm(curCounts, "c"), Seq("__v"), "full")
       .select(col("__v"), coalesce(col("__cr"), lit(0L)).as("__cr"),
         coalesce(col("__cc"), lit(0L)).as("__cc"))
     val ranged = byValue

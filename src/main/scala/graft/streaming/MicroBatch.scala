@@ -387,6 +387,55 @@ object MicroBatch {
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming distribution-drift maintenance: micro-batches of a
+    * numeric column fold ADDITIVELY into persisted per-value counts
+    * (versioned `version=batchId` snapshots like [[streamRollup]],
+    * replay-idempotent), so "has the live distribution drifted from
+    * the reference?" is answerable at any moment WITHOUT rescanning
+    * history. Read the current empirical distribution with
+    * [[readValueCounts]] and score it with
+    * [[graft.operators.Expectations.ksDrift]] against the frozen
+    * reference — the result must equal batch KS on the union of all
+    * batches exactly. Per-batch cost: one value-keyed count aggregate
+    * + a distinct-values-sized merge; NULL/NaN excluded (PSI/KS's
+    * convention). */
+  def streamValueCounts(stream: DataFrame, dir: String,
+      valueCol: String, cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .select(col(valueCol).cast("double").as("__v"))
+          .filter(col("__v").isNotNull && !isnan(col("__v")))
+          .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+        val merged = latestRollupVersion(spark, dir,
+            beforeExclusive = Some(batchId)) match {
+          case None => delta
+          case Some(v) =>
+            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
+              .groupBy(col("__v")).agg(sum(col("__n")).as("__n"))
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current per-value counts of a [[streamValueCounts]] directory
+    * as (value, n) — feed them to
+    * [[graft.operators.Expectations.ksDriftFromCounts]]; never
+    * re-expanded to rows (a hot value's multiplicity could be
+    * billions). */
+  def readValueCounts(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no value-count versions under $dir"))
+    spark.read.parquet(s"$dir/version=$v")
+      .select(col("__v").as("value"), col("__n").as("n"))
+  }
+
   /** The current co-occurrence state of a [[streamCoOccurrence]]
     * directory, scored exactly like the batch operator: pairs at
     * `minSupport`+ baskets with `lift = (n_ab · N)/(n_a · n_b)`. */

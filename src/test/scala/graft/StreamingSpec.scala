@@ -666,6 +666,44 @@ class StreamingSpec extends SparkTestBase {
     assert(state() === batch)
   }
 
+  test("streamValueCounts: batched values fold additively; read-side " +
+      "KS equals batch ksDrift on the union; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strvc")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/counts", s"$root/ckpt")
+    val b1 = Seq(3.0, 4.0, Double.NaN)
+    val b2 = Seq(5.0, 6.0, 3.0)
+    b1.toDF("price").coalesce(1).write.parquet(srcDir)
+    b2.toDF("price").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+          outDir, "price", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    def streamedKs() = {
+      val refCounts = ref.groupBy(col("v").as("value"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Expectations.ksDriftFromCounts(refCounts,
+          graft.streaming.MicroBatch.readValueCounts(spark, outDir))
+        .head
+    }
+    val batch = graft.operators.Expectations.ksDrift(ref,
+      (b1 ++ b2).toDF("v"), col("v")).head
+    assert(streamedKs() === batch)
+    assert(streamedKs().getLong(1) === 5L) // NaN excluded, 3.0 twice
+    run() // restart: checkpoint replays nothing
+    assert(streamedKs() === batch)
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
