@@ -2341,6 +2341,116 @@ object SparkEntry {
           "o_orderpriority", col("o_totalprice"), "o_orderkey")
         .orderBy(col("o_orderpriority"))),
 
+    // Functional-dependency audit: is o_orderkey a key, does custkey
+    // determine status, does orderdate determine priority? One
+    // determinant-keyed aggregate per declared pair, exact violation
+    // counts — the schema-discovery half Deequ's Uniqueness misses.
+    "q230_fd_profile" -> ((s, d) =>
+      operators.Expectations.fdProfile(t(s, d, "orders"), Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderdate", "o_orderpriority")))
+        .orderBy(col("determinant"))),
+
+    // Deterministic weight-biased sample: longer documents are
+    // proportionally likelier to win; the u/w priority is the portable
+    // hash divided by the weight (ONE IEEE division), so the draw —
+    // and the oracle — replay bit-identically in any engine.
+    "d231_weighted_sample" -> ((s, d) =>
+      Dedup.weightedPrioritySample(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "doc_id", col("n_chars"), k = 50)
+        .orderBy(col("priority"), col("doc_id"))),
+
+    // Brown's double exponential smoothing + one-step-ahead forecast of
+    // daily event value: both smoothed levels are exact-decimal
+    // convolutions with ONE double division each (q221's discipline),
+    // the forecast a fixed double expression over them.
+    "q232_double_smooth" -> ((s, d) =>
+      operators.TimeSeries.doubleSmoothing(t(s, d, "events"),
+          "event_type", "ts", col("value"), alpha = "0.5", window = 8)
+        .orderBy(col("series"), col("bucket"))),
+
+    // Landmark harmonic centrality over the co-purchase graph: one
+    // multi-source BFS (state keyed by node×landmark), per-hop 1/d
+    // weights decimal-routed so the harmonic sum is order-free —
+    // the 100 TB substitute for O(V·E) exact closeness.
+    "q233_harmonic" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 89 === 0)
+        .select(col("p_partkey"))
+      operators.Graph.harmonicCentrality(e, "src", "dst", seeds,
+          maxHops = 3, directed = false)
+        .orderBy(col("id"))
+    }),
+
+    // Exact pairwise vocabulary overlap between sources — the
+    // mixture-design diagnostic and t133's exact companion: distinct
+    // (source, token) postings joined on token (fan-out bounded by the
+    // source count), Jaccard ONE double division of exact integers.
+    "t234_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(t(s, d, "documents"), "source", "text")
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // Streaming FD monitor: order batches fold additively into
+    // (custkey, status) pair counts; the read-side audit must equal
+    // q230's batch fdProfile row on the union of all batches exactly —
+    // "did this load break the mapping?" without rescanning history.
+    "str235_stream_fd" -> ((s, d) => {
+      val root = tmpDir("graft_str235")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/fd", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey"),
+          col("o_orderstatus"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).drop("ok"),
+        o.filter(col("ok") % 2 === 1).drop("ok")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamPairCounts(stream,
+          outDir, "o_custkey", "o_orderstatus",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readFdProfile(s, outDir,
+        "o_custkey", "o_orderstatus")
+    }),
+
+    // Wald–Wolfowitz runs test per event series: too few above/below-
+    // median runs = regime drift, too many = oscillation — exact
+    // integer run counts over the exact-median split, z one fixed
+    // double expression.
+    "q236_runs_test" -> ((s, d) =>
+      operators.Experiment.runsTest(t(s, d, "events"), "event_type",
+          "ts", col("value"))
+        .orderBy(col("series"))),
+
+    // Spearman rank correlation (price vs order date): midranks from
+    // the DISTRIBUTED cumulative count (never a single-partition
+    // window), doubled so every sufficient statistic is an exact
+    // integer; ρ is one fixed double expression over them.
+    "q237_spearman" -> ((s, d) =>
+      operators.Experiment.spearman(t(s, d, "orders"),
+        col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")))),
+
+    // Theil–Sen robust trend per series: exact lower-median of all
+    // pairwise daily slopes (each ONE IEEE division) — q217's OLS
+    // sibling that one bad day cannot bend; pair tables are
+    // calendar-bounded, never event-scale.
+    "q238_theil_sen" -> ((s, d) =>
+      operators.TimeSeries.theilSen(t(s, d, "events"), "event_type",
+          "ts", col("value"))
+        .orderBy(col("series"))),
+
     // Streaming drift monitor: the current week-slice streams in as
     // micro-batches whose per-value counts fold additively; read-side
     // KS against the frozen reference must equal q225's batch statistic
@@ -3479,6 +3589,54 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q232's oracle: Brown's double smoothing unrolled with the SAME
+    * BigDecimal weight/convolution arithmetic as the operator — both
+    * smoothed levels exact-decimal sums with one DOUBLE division, the
+    * forecast the identical fixed double expression, warmup rows
+    * dropped by the same full-window row_number cut. */
+  private def doubleSmoothingOracleSql(alphaStr: String, window: Int)
+      : String = {
+    val a = new java.math.BigDecimal(alphaStr)
+    val one = java.math.BigDecimal.ONE
+    val w1 = (0 until window).map(j =>
+      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
+    val terms = 2 * window - 1
+    val w2 = (0 until terms).map { m =>
+      (math.max(0, m - window + 1) to math.min(m, window - 1))
+        .map(i => w1(i).multiply(w1(m - i)))
+        .reduce(_.add(_)).stripTrailingZeros()
+    }
+    def stack(weights: Seq[java.math.BigDecimal]): (String, String) = {
+      val ws = weights.map(_.scale()).max
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        s"CAST(lag(v, $j) OVER w * CAST('${wj.toPlainString}'" +
+          s" AS DECIMAL(${ws + 1},$ws)) AS DECIMAL(38,${ws + 6}))"
+      }.mkString(" +\n   ")
+      val total = weights.reduce(_.add(_)).stripTrailingZeros().toPlainString
+      (num, total)
+    }
+    val (num1, s1sum) = stack(w1)
+    val (num2, s2sum) = stack(w2)
+    val aLit = s"CAST(${a.toPlainString} AS DOUBLE)"
+    s"""WITH dly AS (
+       | SELECT event_type AS series,
+       |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+       |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+       | FROM events GROUP BY series, bucket),
+       |r AS (
+       | SELECT series, bucket, v, row_number() OVER w AS rn,
+       |  CAST(CAST($num1
+       |   AS VARCHAR) AS DOUBLE) / CAST('$s1sum' AS DOUBLE) AS s1,
+       |  CAST(CAST($num2
+       |   AS VARCHAR) AS DOUBLE) / CAST('$s2sum' AS DOUBLE) AS s2
+       | FROM dly WINDOW w AS (PARTITION BY series ORDER BY bucket))
+       |SELECT series, bucket, v, s1, s2,
+       | ((CAST(2.0 AS DOUBLE) * s1 - s2) +
+       |  ($aLit / (CAST(1.0 AS DOUBLE) - $aLit)) * (s1 - s2)) AS forecast
+       |FROM r WHERE rn >= $terms
+       |ORDER BY series, bucket""".stripMargin
+  }
+
   /** q221's oracle: the identical exact-decimal truncated-EWMA stack —
     * weights computed with the same BigDecimal arithmetic as the
     * operator, every cast mirrored, final division in DOUBLE. */
@@ -4205,6 +4363,216 @@ object SparkEntry {
         |FROM f JOIN orders o ON o.o_orderpriority = f.g
         |GROUP BY f.g, f.n, p25, p50, p75, lo_fence, hi_fence
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q230_fd_profile" -> Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderdate", "o_orderpriority")).map { case (det, dep) =>
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+         | count(*) AS n_det,
+         | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS violating_det,
+         | CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+         |  AS violation_rows,
+         | max(nd) AS max_fanout,
+         | sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+         |FROM (SELECT $det AS det, count(*) AS n,
+         |  count(DISTINCT $dep) AS nd FROM orders GROUP BY det)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY determinant"),
+
+    "d231_weighted_sample" ->
+      """SELECT doc_id, source, n_chars,
+        | CAST(((doc_id % 1000003) * 427799) % 1000003 AS DOUBLE) /
+        |  CAST(n_chars AS DOUBLE) AS priority
+        |FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY priority, doc_id
+        |LIMIT 50""".stripMargin,
+
+    "q232_double_smooth" -> doubleSmoothingOracleSql("0.5", 8),
+
+    "q233_harmonic" ->
+      """WITH u AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 5 = 0),
+        |e AS MATERIALIZED (
+        | SELECT a AS src, b AS dst FROM u
+        | UNION ALL SELECT b, a FROM u),
+        |d0 AS MATERIALIZED (
+        | SELECT DISTINCT p_partkey AS id, p_partkey AS seed,
+        |  CAST(0 AS INTEGER) AS hops
+        | FROM part WHERE p_partkey % 89 = 0),
+        |d1 AS MATERIALIZED (
+        | SELECT id, seed, min(hops) AS hops FROM (
+        |  SELECT id, seed, hops FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d0.seed, d0.hops + 1 FROM e JOIN d0 ON e.src = d0.id)
+        | GROUP BY id, seed),
+        |d2 AS MATERIALIZED (
+        | SELECT id, seed, min(hops) AS hops FROM (
+        |  SELECT id, seed, hops FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d1.seed, d1.hops + 1 FROM e JOIN d1 ON e.src = d1.id)
+        | GROUP BY id, seed),
+        |d3 AS MATERIALIZED (
+        | SELECT id, seed, min(hops) AS hops FROM (
+        |  SELECT id, seed, hops FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d2.seed, d2.hops + 1 FROM e JOIN d2 ON e.src = d2.id)
+        | GROUP BY id, seed),
+        |w(hops, inv) AS (VALUES
+        | (1, CAST('1.000000000000000000' AS DECIMAL(28,18))),
+        | (2, CAST('0.500000000000000000' AS DECIMAL(28,18))),
+        | (3, CAST('0.333333333333333333' AS DECIMAL(28,18))))
+        |SELECT id, count(*) AS reached,
+        | CAST(CAST(sum(inv) AS VARCHAR) AS DOUBLE) AS harmonic
+        |FROM d3 JOIN w USING (hops)
+        |WHERE seed <> id
+        |GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    "t234_source_overlap" ->
+      """WITH toks AS (
+        | SELECT DISTINCT g, token FROM (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        | WHERE token <> ''),
+        |sizes AS (SELECT g, count(*) AS n FROM toks GROUP BY g)
+        |SELECT a.g AS group_a, b.g AS group_b, sa.n AS n_a, sb.n AS n_b,
+        | count(*) AS intersection,
+        | CAST(count(*) AS DOUBLE) /
+        |  CAST(sa.n + sb.n - count(*) AS DOUBLE) AS jaccard
+        |FROM toks a
+        |JOIN toks b ON a.token = b.token AND a.g < b.g
+        |JOIN sizes sa ON sa.g = a.g
+        |JOIN sizes sb ON sb.g = b.g
+        |GROUP BY a.g, b.g, sa.n, sb.n
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    // streamed (det, dep) pair counts + the read-side audit must equal
+    // the batch fdProfile row on the union of all batches
+    "str235_stream_fd" ->
+      """SELECT 'o_custkey' AS determinant, 'o_orderstatus' AS dependent,
+        | count(*) AS n_det,
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS violating_det,
+        | CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+        |  AS violation_rows,
+        | max(nd) AS max_fanout,
+        | sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        |FROM (SELECT o_custkey AS det, count(*) AS n,
+        |  count(DISTINCT o_orderstatus) AS nd FROM orders
+        | GROUP BY det)""".stripMargin,
+
+    "q236_runs_test" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+        | FROM events GROUP BY series, bucket),
+        |med AS (SELECT series, v AS m FROM (
+        |  SELECT series, v,
+        |   row_number() OVER (PARTITION BY series ORDER BY v, bucket)
+        |    AS rn,
+        |   count(*) OVER (PARTITION BY series) AS n FROM dly)
+        | WHERE rn = greatest(1, CAST(ceil(
+        |  CAST(0.5 AS DOUBLE) * n) AS BIGINT))),
+        |seq AS (SELECT d.series, d.bucket, d.v > m AS s
+        | FROM dly d JOIN med USING (series) WHERE d.v <> m),
+        |runs AS (SELECT series,
+        |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN ps IS NULL OR ps <> s THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS runs
+        | FROM (SELECT series, s,
+        |   lag(s) OVER (PARTITION BY series ORDER BY bucket) AS ps
+        |  FROM seq)
+        | GROUP BY series),
+        |c AS (SELECT series, n_above, n_below, runs,
+        |  CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
+        | FROM runs),
+        |c2 AS (SELECT *,
+        |  CAST(2.0 AS DOUBLE) * n1 * n2 AS two, n1 + n2 AS nn FROM c)
+        |SELECT series, n_above, n_below, runs,
+        | CASE WHEN n_above = 0 OR n_below = 0 OR n_above + n_below < 2
+        |  THEN NULL
+        |  ELSE (CAST(runs AS DOUBLE) - (two / nn + CAST(1.0 AS DOUBLE)))
+        |   / sqrt(two * (two - nn)
+        |     / (nn * nn * (nn - CAST(1.0 AS DOUBLE)))) END AS z
+        |FROM c2
+        |ORDER BY series""".stripMargin,
+
+    "q237_spearman" ->
+      """WITH pts AS (
+        | SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |  CAST(datediff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+        | FROM orders
+        | WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        |  AND o_orderdate IS NOT NULL),
+        |gx AS (SELECT x AS v, count(*) AS c FROM pts GROUP BY v),
+        |rx AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + c + 1 AS r2 FROM gx),
+        |gy AS (SELECT y AS v, count(*) AS c FROM pts GROUP BY v),
+        |ry AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + c + 1 AS r2 FROM gy),
+        |j AS (SELECT rx.r2 AS xr, ry.r2 AS yr FROM pts
+        | JOIN rx ON pts.x = rx.v JOIN ry ON pts.y = ry.v),
+        |s AS (SELECT count(*) AS n,
+        | CAST(sum(CAST(xr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        | CAST(sum(CAST(yr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        | CAST(sum(CAST(CAST(xr AS DECIMAL(19,0)) *
+        |  CAST(xr AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |  AS DECIMAL(38,0)) AS sxx,
+        | CAST(sum(CAST(CAST(yr AS DECIMAL(19,0)) *
+        |  CAST(yr AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |  AS DECIMAL(38,0)) AS syy,
+        | CAST(sum(CAST(CAST(xr AS DECIMAL(19,0)) *
+        |  CAST(yr AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |  AS DECIMAL(38,0)) AS sxy
+        | FROM j),
+        |c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+        | FROM s),
+        |c2 AS (SELECT *, nd * sxxd - sxd * sxd AS vx,
+        |  nd * syyd - syd * syd AS vy FROM c)
+        |SELECT n,
+        | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
+        |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS rho
+        |FROM c2""".stripMargin,
+
+    "q238_theil_sen" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+        | FROM events GROUP BY series, bucket),
+        |days AS (SELECT series, count(*) AS n_days FROM dly
+        | GROUP BY series),
+        |pairs AS (SELECT i.series, i.bucket AS d1, j.bucket AS d2,
+        |  CAST(CAST(j.v - i.v AS VARCHAR) AS DOUBLE) /
+        |   CAST(j.bucket - i.bucket AS DOUBLE) AS slope
+        | FROM dly i JOIN dly j
+        |  ON i.series = j.series AND i.bucket < j.bucket),
+        |med AS (SELECT series, np AS n_pairs, slope FROM (
+        |  SELECT series, slope, d1, d2,
+        |   row_number() OVER (PARTITION BY series
+        |    ORDER BY slope, d1, d2) AS rn,
+        |   count(*) OVER (PARTITION BY series) AS np FROM pairs)
+        | WHERE rn = greatest(1, CAST(ceil(
+        |  CAST(0.5 AS DOUBLE) * np) AS BIGINT)))
+        |SELECT d.series, d.n_days,
+        | CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs, m.slope
+        |FROM days d LEFT JOIN med m USING (series)
+        |ORDER BY series""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

@@ -568,6 +568,35 @@ object Dedup {
     df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
   }
 
+  /** Deterministic weight-biased sample without replacement: each row
+    * gets priority `u / w` where `u` is the portable multiplicative
+    * hash of its NUMERIC id (so the draw replays identically across
+    * runs, partitionings, and engines) and `w > 0` its weight; the k
+    * SMALLEST priorities win, so doubling a row's weight halves its
+    * priority and (stochastically) doubles its selection odds. This is
+    * the Efraimidis–Spirakis one-pass reservoir shape with a linear
+    * (u/w) rather than exponential (u^(1/w)) priority transform — the
+    * transform is monotone in u for fixed w, and the linear form keeps
+    * the priority ONE IEEE division, bit-identical in every engine,
+    * where pow/ln are not. Ties (same priority) break on id.
+    *
+    * Scale: priority is a zero-shuffle codegen'd expression; the global
+    * bottom-k is `ORDER BY … LIMIT k` = TakeOrderedAndProject — each
+    * partition forwards at most k rows to a single k-sized merge, never
+    * a global sort. Weights come from any column (quality score, token
+    * count, domain boost); rows with NULL or non-positive weight are
+    * excluded (a zero-weight row must never win). */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = pmod(pmod(col(idCol), lit(1000003L)) * lit(427799L),
+      lit(1000003L)).cast("double")
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("priority", u / weight.cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Leakage-safe dataset split: every row of a GROUP (user, domain,
     * dup-cluster) lands on the same side, because the split is a pure
     * function of the group key — a row-level random split puts one

@@ -502,4 +502,46 @@ object Expectations {
         countDistinct(col(sensitiveCol)).as("sensitive_distinct"))
       .filter(col("group_size") < k || col("sensitive_distinct") < l)
   }
+
+  /** Functional-dependency audit: for each candidate (determinant →
+    * dependent) column pair, does every determinant value map to at
+    * most one dependent value? One row per pair:
+    * (determinant, dependent, n_det, violating_det, violation_rows,
+    * max_fanout, fd_holds) where `violating_det` counts determinant
+    * values with >1 distinct dependent, `violation_rows` the rows
+    * living under them, and `max_fanout` the worst determinant's
+    * distinct-dependent count. NULL dependents are ignored by the
+    * distinct count (both engines agree); NULL determinants group as
+    * one value, like GROUP BY does.
+    *
+    * The schema-discovery primitive behind "is this column a key?",
+    * "did the 1:1 dim mapping break this load?", and candidate-key
+    * mining. Deequ's `Uniqueness`/`UniqueValueRatio` cover the key
+    * half; the dependency half is the classic TANE-style single-pass
+    * check restricted to declared pairs.
+    *
+    * Scale: one aggregate per pair keyed by the determinant (map-side
+    * combined, only the two columns scanned), then a pair-sized
+    * reduction; nothing wider than the determinant's cardinality ever
+    * shuffles, and the per-pair passes are independent Spark jobs over
+    * a pruned scan. */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.select(col(det).as("__det"), col(dep).as("__dep"))
+        .groupBy(col("__det"))
+        .agg(count(lit(1)).as("__n"),
+          countDistinct(col("__dep")).as("__nd"))
+        .agg(
+          count(lit(1)).as("n_det"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("violating_det"),
+          sum(when(col("__nd") > 1, col("__n")).otherwise(0L))
+            .as("violation_rows"),
+          max(col("__nd")).as("max_fanout"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_det"),
+          col("violating_det"), col("violation_rows"), col("max_fanout"),
+          (col("violating_det") === 0L).as("fd_holds"))
+    }.reduce(_.union(_))
+  }
 }

@@ -230,4 +230,131 @@ object Experiment {
       .withColumn("significant", coalesce(abs(col("z")) > zCrit, lit(false)))
       .orderBy(col("variant"))
   }
+
+  /** Wald–Wolfowitz runs test per series: is the daily metric's
+    * above/below-median sequence RANDOM, or does it trend/oscillate?
+    * Too few runs = regime drift (the alert ordinary thresholds miss);
+    * too many = oscillation (a feedback loop fighting itself). Per
+    * series: daily exact-decimal sums, the exact lower median by the
+    * rank-selection rule (q228's convention — no interpolated
+    * percentile drift), ties AT the median dropped (the classic form),
+    * runs counted over the surviving day sequence. Returns
+    * (series, n_above, n_below, runs, z) with
+    * z = (R − μ)/σ, μ = 2·n₁n₂/N + 1, σ² = 2n₁n₂(2n₁n₂ − N)/(N²(N−1)) —
+    * every operand an exact integer cast to double separately, the
+    * combination one fixed expression (engine-bit-identical); z is
+    * NULL when either side is empty or N < 2 (σ = 0).
+    *
+    * Scale: one (series, day) aggregate over the events; ranking,
+    * median selection, and the run/lag window all act on the
+    * days-sized series table. */
+  def runsTest(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column): DataFrame = {
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+      .localCheckpoint(eager = false) // median selection + the sign pass
+    val wRank = Window.partitionBy(col("series"))
+      .orderBy(col("v"), col("bucket"))
+    val wAll = Window.partitionBy(col("series"))
+    val med = dly
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(lit(0.5) * col("__n")).cast("long")))
+      .select(col("series"), col("v").as("__med"))
+    val wSeq = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    dly
+      .join(broadcast(med), Seq("series"))
+      .filter(col("v") =!= col("__med"))
+      .withColumn("__sign", col("v") > col("__med"))
+      .withColumn("__new",
+        when(lag(col("__sign"), 1).over(wSeq).isNull ||
+          lag(col("__sign"), 1).over(wSeq) =!= col("__sign"), 1L)
+          .otherwise(0L))
+      .groupBy(col("series"))
+      .agg(sum(when(col("__sign"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__sign"), 0L).otherwise(1L)).as("n_below"),
+        sum(col("__new")).as("runs"))
+      .select(col("series"), col("n_above"), col("n_below"), col("runs"), {
+        val n1 = col("n_above").cast("double")
+        val n2 = col("n_below").cast("double")
+        val nn = n1 + n2
+        val two = lit(2.0d) * n1 * n2
+        when(col("n_above") === 0 || col("n_below") === 0 ||
+            col("n_above") + col("n_below") < 2, lit(null).cast("double"))
+          .otherwise((col("runs").cast("double") - (two / nn + lit(1.0d))) /
+            sqrt(two * (two - nn) / (nn * nn * (nn - lit(1.0d)))))
+          .as("z")
+      })
+  }
+
+  /** Spearman rank correlation between two numeric columns — the
+    * outlier-proof monotone-association screen ("does price rise with
+    * time at ALL", where Pearson chases magnitudes): ρ is Pearson over
+    * MIDRANKS, and midranks over a distributed cumulative count are
+    * exact half-integers, so doubling them makes every sufficient
+    * statistic an exact integer under any partitioning. Returns ONE row
+    * (n, rho); rho is NULL when either variable is constant.
+    *
+    * Midranks use [[rankSumTest]]'s distributed-rank shape — per-value
+    * counts range-repartitioned with bucket prefix offsets, never a
+    * single-partition window — once per variable, then the row table
+    * joins its two midranks back BY VALUE (two value-keyed shuffles).
+    * The five decimal sums are exact; the ρ combination casts each to
+    * double via STRING (correctly rounded everywhere) and evaluates in
+    * one fixed expression order. */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      buckets: Int = 64): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val pts = df
+      .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")) &&
+        col("__y").isNotNull && !isnan(col("__y")))
+      .localCheckpoint(eager = false) // two rank passes + the join-back
+    def midrank2(vcol: String): DataFrame = {
+      val byValue = pts.groupBy(col(vcol).as("__v"))
+        .agg(count(lit(1)).as("__nt"))
+      val ranged = byValue
+        .repartitionByRange(buckets, col("__v"))
+        .withColumn("__b", spark_partition_id())
+        .localCheckpoint(eager = false) // bucket ids must not re-randomize
+      val offs = ranged.groupBy(col("__b"))
+        .agg(sum(col("__nt")).as("__tt"))
+        .select(col("__b"),
+          coalesce(sum(col("__tt")).over(Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("__off"))
+      val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged.join(broadcast(offs), Seq("__b"))
+        .select(col("__v").as(vcol),
+          (lit(2L) * (col("__off") + coalesce(sum(col("__nt")).over(wB),
+            lit(0L))) + col("__nt") + 1L).as(s"${vcol}_r2"))
+    }
+    val s = pts
+      .join(midrank2("__x"), Seq("__x"))
+      .join(midrank2("__y"), Seq("__y"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x_r2").cast(d19)).cast("decimal(38,0)").as("__sx"),
+        sum(col("__y_r2").cast(d19)).cast("decimal(38,0)").as("__sy"),
+        sum((col("__x_r2").cast(d19) * col("__x_r2").cast(d19))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__sxx"),
+        sum((col("__y_r2").cast(d19) * col("__y_r2").cast(d19))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__syy"),
+        sum((col("__x_r2").cast(d19) * col("__y_r2").cast(d19))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__sxy"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val n = col("__n").cast("double")
+    val (sx, sy) = (dbl(col("__sx")), dbl(col("__sy")))
+    val (sxx, syy, sxy) = (dbl(col("__sxx")), dbl(col("__syy")),
+      dbl(col("__sxy")))
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    s.select(col("__n").as("n"),
+      when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+        .otherwise((n * sxy - sx * sy) / sqrt(vx * vy)).as("rho"))
+  }
 }

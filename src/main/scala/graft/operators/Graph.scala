@@ -563,6 +563,78 @@ object Graph {
     dist
   }
 
+  /** Landmark harmonic centrality: for a deterministic landmark set L,
+    * each node's score is Σ_{s ∈ L, s ≠ v, d(s,v) ≤ maxHops} 1/d(s,v) —
+    * the harmonic form handles disconnection natively (an unreached
+    * landmark contributes 0, where closeness's Σd diverges). Exact
+    * all-pairs closeness is O(V·E) and dead at 100 TB; the landmark
+    * estimator is the published scale substitute (Eppstein–Wang style):
+    * |L| BFS waves run TOGETHER as one multi-source frontier keyed by
+    * (node, landmark), so the iteration count stays maxHops, not
+    * |L|·maxHops. Returns (id, reached, harmonic): landmarks reached
+    * within the horizon and the harmonic sum over them.
+    *
+    * Exactness: BFS hop counts are exact integers; each 1/d weight is a
+    * driver-side BigDecimal division at fixed scale 18 broadcast-joined
+    * by hop ([[linkPredict]]'s decimal routing), so the per-node sum is
+    * order-free and the single decimal→double cast (via STRING) is
+    * correctly rounded in every engine.
+    *
+    * Scale: per hop ONE join frontier⋈edges + an anti-join against the
+    * seen set — state is (nodes × landmarks)-sized, bounded by the
+    * landmark budget, and checkpointed per round ([[ckptFn]]'s
+    * durability contract). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int, directed: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val ck = ckptFn(edges, checkpointDir)
+    val valid = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = if (directed) valid
+      else valid.union(valid.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val e = sym.filter(col("src") =!= col("dst")).distinct()
+      .transform(ck(true))
+    var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .select(col("id"), col("id").as("seed"), lit(0).as("hops"))
+      .transform(ck(true))
+    var frontier = dist.select(col("id"), col("seed"))
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      // unweighted BFS: the first hop a (node, landmark) pair appears at
+      // IS its shortest distance, so new pairs are exactly the relaxed
+      // pairs not yet seen — no min-merge needed
+      val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("seed")).distinct()
+        .join(dist.select(col("id"), col("seed")), Seq("id", "seed"),
+          "left_anti")
+        .withColumn("hops", lit(hop))
+        .transform(ck(true))
+      if (next.count() == 0L) exhausted = true
+      else {
+        dist = dist.union(next).transform(ck(true))
+        frontier = next.select(col("id"), col("seed"))
+      }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val inv = broadcast((1 to maxHops).map { h =>
+      (h, java.math.BigDecimal.ONE.divide(
+        java.math.BigDecimal.valueOf(h.toLong), 18,
+        java.math.RoundingMode.HALF_EVEN))
+    }.toDF("hops", "__inv")
+      .select(col("hops"), col("__inv").cast("decimal(28,18)")))
+    dist.filter(col("seed") =!= col("id"))
+      .join(inv, Seq("hops"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("reached"),
+        sum(col("__inv")).cast("string").cast("double").as("harmonic"))
+  }
+
   /** Link prediction by common-neighborhood scoring: for every
     * NON-adjacent pair at distance 2, the common-neighbor count plus
     * the two classic weighted variants — Adamic–Adar `Σ 1/ln(deg v)`

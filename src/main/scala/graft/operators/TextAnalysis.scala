@@ -694,4 +694,43 @@ object TextAnalysis {
       .select(col("id"), col("rank").cast(LongType).as("rank"),
         col("term"), col("score"))
   }
+
+  /** Exact pairwise vocabulary overlap between corpus slices ("how much
+    * does source A's vocabulary share with source B's?") — the
+    * source-mixture diagnostic behind dedup-across-sources decisions
+    * and the exact companion of the theta-sketch overlap (t133): below
+    * sketch capacity the two must agree, above it only this one is
+    * exact. One row per unordered group pair with a shared token:
+    * (group_a, group_b, n_a, n_b, intersection, jaccard) —
+    * |A|, |B|, |A∩B| exact integers, jaccard ONE double division.
+    *
+    * Scale: the distinct (group, token) table is vocabulary-sized (one
+    * corpus pass, map-side combined); the pair expansion joins that
+    * table against itself ON TOKEN, so each token fans out to at most
+    * G²/2 pairs where G = number of groups — bounded by the group
+    * count, never by corpus size. The groupBy output is G²-sized. */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .localCheckpoint(eager = false) // sizes + both sides of pair join
+    val sizes = toks.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    toks.as("a")
+      .join(toks.as("b"),
+        col("a.token") === col("b.token") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(broadcast(sizes.select(col("g").as("group_a"),
+        col("n").as("n_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("g").as("group_b"),
+        col("n").as("n_b"))), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("intersection"),
+        (col("intersection").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("intersection"))
+            .cast(DoubleType)).as("jaccard"))
+  }
 }

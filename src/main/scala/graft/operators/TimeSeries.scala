@@ -358,6 +358,93 @@ object TimeSeries {
         den.cast("string").cast("double")).as("ewma"))
   }
 
+  /** Brown's double exponential smoothing with a one-step forecast —
+    * the trend-aware upgrade of [[ewma]]: a single EWMA lags a trending
+    * series by a constant amount, smoothing the smoothed series a
+    * second time measures that lag, and `level + trend` projects one
+    * bucket ahead. Returns (series, bucket, v, s1, s2, forecast) for
+    * every bucket with a FULL double window (the first 2·window−2
+    * warmup rows are dropped, so both denominators are the constant
+    * total weight mass).
+    *
+    * Exactness: the second smoothing of the first is algebraically the
+    * convolution of the weight vectors, so BOTH levels are computed
+    * directly from the raw values — exact decimal weight products and
+    * balanced-tree sums, then ONE double division each ([[ewma]]'s
+    * discipline); the level/trend/forecast combination is a fixed
+    * double expression over those two doubles, bit-identical in any
+    * engine. Truncation to `window` lags is part of the operator's
+    * definition (mass (1−α)^window is dropped, not approximated).
+    *
+    * Scale shape: one (series, day) aggregate, then a fixed stack of
+    * 2·window−1 `lag`s over the days-sized table — codegen'd, no
+    * per-row state. */
+  def doubleSmoothing(events: DataFrame, seriesCol: String,
+      tsCol: String, value: Column, alpha: String = "0.5",
+      window: Int = 8): DataFrame = {
+    require(window >= 2 && window <= 32,
+      s"window must be in [2,32], got $window")
+    val a = new java.math.BigDecimal(alpha)
+    require(a.compareTo(java.math.BigDecimal.ZERO) > 0 &&
+      a.compareTo(java.math.BigDecimal.ONE) < 0,
+      s"alpha must be in (0,1), got $alpha")
+    val one = java.math.BigDecimal.ONE
+    // first-pass weights w_j = α(1−α)^j; the second smoothing of the
+    // first is the convolution c_m = Σ_{i+j=m} w_i w_j — both exact
+    // decimals, so BOTH smoothed levels stay "exact sum, ONE division"
+    val w1 = (0 until window).map(j =>
+      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
+    val terms = 2 * window - 1
+    val w2 = (0 until terms).map { m =>
+      (math.max(0, m - window + 1) to math.min(m, window - 1))
+        .map(i => w1(i).multiply(w1(m - i)))
+        .reduce(_.add(_)).stripTrailingZeros()
+    }
+    val ws1 = w1.map(_.scale()).max
+    val ws2 = w2.map(_.scale()).max
+    require(ws2 + 6 <= 30,
+      s"alpha=$alpha over window=$window needs decimal scale $ws2 — " +
+        "too fine for exact 38-digit arithmetic")
+    val s1sum = w1.reduce(_.add(_)).stripTrailingZeros()
+    val s2sum = w2.reduce(_.add(_)).stripTrailingZeros()
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    def treeSum(cols: Seq[Column]): Column =
+      if (cols.sizeIs == 1) cols.head
+      else treeSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+    def smooth(weights: Seq[java.math.BigDecimal], ws: Int): Column = {
+      val t = ws + 6
+      val num = treeSum(weights.zipWithIndex.map { case (wj, j) =>
+        (lag(col("v"), j).over(w) *
+          lit(wj).cast(s"decimal(${ws + 1},$ws)"))
+          .cast(s"decimal(32,$t)")
+      })
+      // full-window rows only (rn filter below), so the denominator is
+      // the CONSTANT total mass — decimal→double via STRING (correctly
+      // rounded in every engine), then ONE division
+      num.cast("string").cast("double") /
+        lit(weights.reduce(_.add(_)).stripTrailingZeros().toPlainString)
+          .cast("double")
+    }
+    val aD = lit(a.doubleValue())
+    val factor = aD / (lit(1.0d) - aD)
+    // Brown's estimates over the two smoothed levels — fixed double
+    // expressions of two cross-engine-exact doubles
+    val s1 = col("s1")
+    val s2 = col("s2")
+    dly
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("s1", smooth(w1, ws1))
+      .withColumn("s2", smooth(w2, ws2))
+      .filter(col("__rn") >= terms)
+      .select(col("series"), col("bucket"), col("v"), s1, s2,
+        ((lit(2.0d) * s1 - s2) + factor * (s1 - s2)).as("forecast"))
+  }
+
   /** Lead–lag cross-correlation between two named series: for each lag
     * k in 0..`maxLag`, Pearson correlation of X's daily total against
     * Y's total k CALENDAR days earlier — "do views lead purchases, and
@@ -453,5 +540,56 @@ object TimeSeries {
         .otherwise(num / den).as("slope"),
       when(den === 0.0 || denY === 0.0, lit(null).cast("double"))
         .otherwise(num * num / (den * denY)).as("r2"))
+  }
+
+  /** Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    * day-to-day slopes — [[linearTrend]]'s outlier-proof sibling (OLS
+    * chases one bad day; the median slope shrugs it off, breakdown
+    * point ~29%). Returns (series, n_days, n_pairs, slope) where
+    * `slope` is the exact LOWER median (q228's rank-selection rule, no
+    * interpolation) of (vⱼ − vᵢ)/(dⱼ − dᵢ) over all day pairs i < j;
+    * series with a single day have no pair and report NULL.
+    *
+    * Exactness: daily sums are exact decimals; each pairwise slope is
+    * ONE IEEE division (the decimal difference routed to double via
+    * STRING), and median-by-rank SELECTS one of those doubles rather
+    * than averaging — every engine picks the identical bit pattern.
+    *
+    * Scale: the pair self-join is per-series DAYS², calendar-bounded
+    * (a year of daily buckets is ~66k pairs per series, regardless of
+    * corpus size) — never event-scale; the rank window sorts pair
+    * tables per series. For multi-year spans, pre-bucket to weeks. */
+  def theilSen(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column): DataFrame = {
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val pairs = dly.as("i")
+      .join(dly.as("j"),
+        col("i.series") === col("j.series") &&
+          col("i.bucket") < col("j.bucket"))
+      .select(col("i.series").as("series"),
+        col("i.bucket").as("d1"), col("j.bucket").as("d2"),
+        ((col("j.v") - col("i.v")).cast("string").cast("double") /
+          datediff(col("j.bucket"), col("i.bucket")).cast("double"))
+          .as("__slope"))
+    val wRank = Window.partitionBy(col("series"))
+      .orderBy(col("__slope"), col("d1"), col("d2"))
+    val wAll = Window.partitionBy(col("series"))
+    val days = dly.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"))
+    val med = pairs
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__np", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(lit(0.5) * col("__np")).cast("long")))
+      .select(col("series"), col("__np").as("n_pairs"),
+        col("__slope").as("slope"))
+    days.join(med, Seq("series"), "left")
+      .select(col("series"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
 }

@@ -387,6 +387,69 @@ object MicroBatch {
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming functional-dependency monitor state: micro-batches fold
+    * ADDITIVELY into persisted counts keyed by the (determinant,
+    * dependent) VALUE pair (versioned `version=batchId` snapshots,
+    * replay-idempotent like [[streamRollup]]), so "did this load break
+    * the 1:1 mapping?" is answerable at any moment without rescanning
+    * history. Read the current audit with [[readFdProfile]] — it must
+    * equal [[graft.operators.Expectations.fdProfile]] on the union of
+    * all batches exactly (every statistic is an exact integer of the
+    * additive state). Per-batch cost: one pair-keyed count aggregate +
+    * a merge bounded by the pair-domain size, never by history. */
+  def streamPairCounts(stream: DataFrame, dir: String, detCol: String,
+      depCol: String, cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .select(col(detCol).as("__det"), col(depCol).as("__dep"))
+          .groupBy(col("__det"), col("__dep"))
+          .agg(count(lit(1)).as("__n"))
+        val merged = latestRollupVersion(spark, dir,
+            beforeExclusive = Some(batchId)) match {
+          case None => delta
+          case Some(v) =>
+            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
+              .groupBy(col("__det"), col("__dep"))
+              .agg(sum(col("__n")).as("__n"))
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current functional-dependency audit of a [[streamPairCounts]]
+    * directory, shaped exactly like
+    * [[graft.operators.Expectations.fdProfile]]'s row for the pair:
+    * the state rows ARE the distinct (det, dep) combos, so the
+    * distinct-dependent count per determinant is a row count over
+    * non-null dependents and the row total is the count sum — one
+    * determinant-keyed aggregate over domain-sized state. */
+  def readFdProfile(spark: SparkSession, dir: String,
+      determinant: String, dependent: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no pair-count versions under $dir"))
+    spark.read.parquet(s"$dir/version=$v")
+      .groupBy(col("__det"))
+      .agg(sum(col("__n")).as("__rows"),
+        sum(when(col("__dep").isNotNull, 1L).otherwise(0L)).as("__nd"))
+      .agg(
+        count(lit(1)).as("n_det"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("violating_det"),
+        sum(when(col("__nd") > 1, col("__rows")).otherwise(0L))
+          .as("violation_rows"),
+        max(col("__nd")).as("max_fanout"))
+      .select(lit(determinant).as("determinant"),
+        lit(dependent).as("dependent"), col("n_det"),
+        col("violating_det"), col("violation_rows"), col("max_fanout"),
+        (col("violating_det") === 0L).as("fd_holds"))
+  }
+
   /** Streaming distribution-drift maintenance: micro-batches of a
     * numeric column fold ADDITIVELY into persisted per-value counts
     * (versioned `version=batchId` snapshots like [[streamRollup]],

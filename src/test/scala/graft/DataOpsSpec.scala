@@ -848,4 +848,105 @@ class DataOpsSpec extends SparkTestBase {
         r.getLong(2), r.getLong(3))).toSet
     assert(got === Set((1, "x", 3L, 3L), (2, "y", 4L, 1L)))
   }
+
+  test("doubleSmoothing: constant series forecasts itself exactly; " +
+      "warmup rows are dropped; linear series forecasts ahead") {
+    val const = (1 to 20).map(i => (f"2024-01-$i%02d 06:00:00", "c", 7.0))
+    val cEv = const.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val cGot = TimeSeries.doubleSmoothing(cEv, "event_type", "ts",
+        col("value"), alpha = "0.5", window = 4)
+      .orderBy("bucket").collect()
+    // 2·window−2 = 6 warmup rows dropped
+    assert(cGot.length === 20 - 6)
+    // both levels and the forecast equal the constant exactly: every
+    // weighted mean of a constant is the constant
+    cGot.foreach { r =>
+      assert(r.getDouble(3) === 7.0 && r.getDouble(4) === 7.0 &&
+        r.getDouble(5) === 7.0, r.toString)
+    }
+    // linear series v_t = 10·t: Brown's recovers the trend; with the
+    // truncated window the forecast overshoots the plain level and
+    // lands near the next value
+    val lin = (1 to 20).map(i =>
+      (f"2024-01-$i%02d 06:00:00", "l", 10.0 * i))
+    val lEv = lin.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val lGot = TimeSeries.doubleSmoothing(lEv, "event_type", "ts",
+        col("value"), alpha = "0.5", window = 8)
+      .orderBy("bucket").collect()
+    val last = lGot.last
+    val nextVal = 10.0 * 21
+    assert(math.abs(last.getDouble(5) - nextVal) < 1.0,
+      s"forecast ${last.getDouble(5)} far from $nextVal")
+    // s1 lags the series, s2 lags s1 — strict order on a rising line
+    assert(last.getDouble(4) < last.getDouble(3) &&
+      last.getDouble(3) < 10.0 * 20)
+  }
+
+  test("fdProfile: a key pair holds, a violated pair counts its " +
+      "violating determinants, rows, and worst fan-out") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"),
+      (4L, "b", "z"), (5L, "b", "z"), (6L, "c", "x"))
+      .toDF("id", "det", "dep")
+    val got = Expectations.fdProfile(df,
+        Seq(("id", "det"), ("det", "dep")))
+      .orderBy("determinant").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // det→dep: 'b' maps to {y,z} — 1 violating det over 3 rows, fanout 2
+    assert(got.toSeq === Seq(
+      ("det", 3L, 1L, 3L, 2L, false),
+      ("id", 6L, 0L, 0L, 1L, true)))
+  }
+
+  test("weightedPrioritySample: replayable, weight-monotone, and " +
+      "excludes non-positive weights") {
+    val df = (1L to 100L).map(i =>
+      (i, if (i % 10 == 0) 0.0 else i.toDouble)).toDF("id", "w")
+    val got = Dedup.weightedPrioritySample(df, "id", col("w"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length === 20)
+    // zero-weight rows can never win
+    assert(got.forall(_._1 % 10 != 0))
+    // priorities are exactly u/w for the portable hash
+    got.foreach { case (id, p) =>
+      val u = (((id % 1000003L) * 427799L) % 1000003L).toDouble
+      assert(p === u / id.toDouble, s"id=$id")
+    }
+    // replay: same draw on a different partitioning
+    val again = Dedup.weightedPrioritySample(df.repartition(7), "id",
+      col("w"), 20).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // weight-monotone: a huge weight pulls its row into the sample
+    val all = Dedup.weightedPrioritySample(
+      df.union(Seq((9999L, 1e9)).toDF("id", "w")), "id", col("w"), 20)
+      .collect().map(_.getLong(0))
+    assert(all.contains(9999L), "huge weight must win a slot")
+  }
+
+  test("theilSen: one outlier day cannot bend the median slope; " +
+      "single-day series reports NULL; lower median on even pairs") {
+    // days 1..5: 1,2,3,4,100 — six of ten pairwise slopes are exactly 1
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) => (f"2024-02-${i + 1}%02d 12:00:00", "s", v) } ++
+      Seq(("2024-02-01 12:00:00", "one", 5.0))
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.theilSen(ev, "event_type", "ts", col("value"))
+      .orderBy("series").collect()
+    val one = got.head
+    assert(one.getString(0) === "one" && one.getLong(1) === 1L &&
+      one.getLong(2) === 0L && one.isNullAt(3))
+    val s = got.last
+    assert((s.getLong(1), s.getLong(2), s.getDouble(3)) ===
+      ((5L, 10L, 1.0)))
+    // OLS on the same series is dragged far above 1 — the robustness
+    // this operator exists for
+    val ols = TimeSeries.linearTrend(ev.filter(col("event_type") === "s"),
+        "event_type", col("ts"), col("value").cast("long"))
+      .head.getDouble(3)
+    assert(ols > 10.0, s"OLS should chase the outlier, got $ols")
+  }
 }

@@ -444,4 +444,53 @@ class FunnelSpec extends SparkTestBase {
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
     assert(re.toSeq === got.toSeq)
   }
+
+  test("runsTest: hand-computed alternating series — exact run count, " +
+      "median ties dropped, degenerate side yields NULL z") {
+    // days 1..8, values 5,1,6,2,7,3,8,4: median (lower, rank 4 of 8)
+    // is 4 → day 8 (v = 4) drops; remaining signs T F T F T F T →
+    // runs = 7, n_above = 4, n_below = 3
+    val vals = Seq(5.0, 1.0, 6.0, 2.0, 7.0, 3.0, 8.0, 4.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (f"2024-03-${i + 1}%02d 09:00:00", "a", v) } ++
+      Seq(("2024-03-01 09:00:00", "flat", 1.0),
+        ("2024-03-02 09:00:00", "flat", 2.0))
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = Experiment.runsTest(ev, "event_type", "ts", col("value"))
+      .orderBy("series").collect()
+    val a = got.head
+    assert((a.getString(0), a.getLong(1), a.getLong(2), a.getLong(3)) ===
+      (("a", 4L, 3L, 7L)))
+    // μ = 24/7 + 1, σ² = 24·17/(49·6): z = (7 − μ)/σ ≈ 2.1828
+    val mu = 24.0 / 7.0 + 1.0
+    val sd = math.sqrt(24.0 * 17.0 / (49.0 * 6.0))
+    assert(math.abs(a.getDouble(4) - (7.0 - mu) / sd) < 1e-12)
+    // 'flat': 2 days, median 1 → the 1 drops, only 'above' remains
+    val f = got.last
+    assert(f.getString(0) === "flat" && f.getLong(2) === 0L &&
+      f.isNullAt(4))
+  }
+
+  test("spearman: monotone maps to ±1 exactly, ties midrank, " +
+      "constant side NULL, partitioning-invariant") {
+    val cubic = (1 to 10).map(i => (i.toDouble, math.pow(i.toDouble, 3)))
+    assert(Experiment.spearman(cubic.toDF("x", "y"), col("x"), col("y"))
+      .head.getDouble(1) === 1.0)
+    val anti = (1 to 10).map(i => (i.toDouble, -i.toDouble))
+    assert(Experiment.spearman(anti.toDF("x", "y"), col("x"), col("y"))
+      .head.getDouble(1) === -1.0)
+    // ties: x = [1,1,2,2] (midranks 1.5,1.5,3.5,3.5) vs y = 1..4 →
+    // ρ = 2/√5 (hand-computed Pearson over midranks)
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0))
+      .toDF("x", "y")
+    assert(math.abs(Experiment.spearman(tied, col("x"), col("y"))
+      .head.getDouble(1) - 2.0 / math.sqrt(5.0)) < 1e-12)
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Experiment.spearman(const, col("x"), col("y")).head.isNullAt(1))
+    val re = Experiment.spearman(tied.repartition(5), col("x"), col("y"))
+      .head.getDouble(1)
+    assert(re === Experiment.spearman(tied, col("x"), col("y"))
+      .head.getDouble(1))
+  }
 }

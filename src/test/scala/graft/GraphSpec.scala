@@ -391,4 +391,31 @@ class GraphSpec extends SparkTestBase {
     assert(got === Map(1L -> 0, 4L -> 0, 99L -> 0, 2L -> 1, 5L -> 1,
       3L -> 2))
   }
+
+  test("harmonicCentrality: hand-computed path graph — horizon cuts, " +
+      "landmarks excluded from their own score, unreached nodes absent") {
+    // path 1—2—3—4—5, landmarks {1, 5}, horizon 3:
+    //   node 2: d(1)=1, d(5)=3 → 1 + 1/3;  node 3: 1/2 + 1/2 = 1
+    //   node 4: d(1)=3, d(5)=1 → 1/3 + 1
+    //   nodes 1 and 5: the other landmark is 4 hops away → absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graph.harmonicCentrality(path, "src", "dst", seeds,
+        maxHops = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val third = 1.0 / 3.0
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 4L))
+    assert(got.map(_._2).toSeq === Seq(2L, 2L, 2L))
+    assert(math.abs(got(0)._3 - (1.0 + third)) < 1e-12)
+    assert(got(1)._3 === 1.0)
+    assert(math.abs(got(2)._3 - (1.0 + third)) < 1e-12)
+    // partitioning-invariant replay
+    val again = Graph.harmonicCentrality(path.repartition(5), "src",
+        "dst", seeds, maxHops = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === again.toSeq)
+  }
 }

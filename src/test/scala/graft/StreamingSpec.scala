@@ -704,6 +704,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedKs() === batch)
   }
 
+  test("streamPairCounts: batched pairs fold additively; the read-side " +
+      "FD audit equals batch fdProfile on the union; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strfd")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/fd", s"$root/ckpt")
+    // k1 is clean in batch 1 and violated only by batch 2 — the monitor
+    // must see violations that SPAN batches, not just within one
+    val b1 = Seq(("k1", "a"), ("k2", "x"), ("k2", "x"), ("k3", null))
+    val b2 = Seq(("k1", "b"), ("k2", "x"), ("k3", "z"))
+    b1.toDF("det", "dep").coalesce(1).write.parquet(srcDir)
+    b2.toDF("det", "dep").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamPairCounts(stream,
+          outDir, "det", "dep", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def streamed() = graft.streaming.MicroBatch.readFdProfile(spark,
+      outDir, "det", "dep").head
+    val batch = graft.operators.Expectations.fdProfile(
+      (b1 ++ b2).toDF("det", "dep"), Seq(("det", "dep"))).head
+    assert(streamed() === batch)
+    // k1 → {a,b} is the only violation: 2 rows under it, fanout 2;
+    // k3's null dep never counts as a distinct value
+    assert((streamed().getLong(2), streamed().getLong(3),
+      streamed().getLong(4), streamed().getLong(5),
+      streamed().getBoolean(6)) === ((3L, 1L, 2L, 2L, false)))
+    run() // restart: checkpoint replays nothing
+    assert(streamed() === batch)
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

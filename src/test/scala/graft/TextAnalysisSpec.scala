@@ -254,4 +254,19 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(bg.toSeq === Seq((0L, 2L, 2L), (2L, 2L, 4L)))
   }
+
+  test("sourceOverlap: hand-computed pairwise vocabulary Jaccard; " +
+      "duplicate tokens collapse; disjoint pairs are absent") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a a b", "s1"), // s1 vocab {a,b,c}
+      (3L, "b c d", "s2"),                      // s2 vocab {b,c,d}
+      (4L, "x y", "s3"))                        // s3 vocab {x,y}
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceOverlap(docs, "source", "text")
+      .orderBy("group_a", "group_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only (s1, s2) share tokens: |{b,c}| = 2, union 4 → jaccard 0.5
+    assert(got.toSeq === Seq(("s1", "s2", 3L, 3L, 2L, 0.5)))
+  }
 }
