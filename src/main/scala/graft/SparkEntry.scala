@@ -2451,6 +2451,44 @@ object SparkEntry {
           "ts", col("value"))
         .orderBy(col("series"))),
 
+    // Mann–Kendall monotone-trend test per series — q238's significance
+    // half: S and the tie-corrected variance from exact integers over
+    // calendar-bounded day pairs, z one fixed continuity-corrected
+    // double expression.
+    "q239_mann_kendall" -> ((s, d) =>
+      operators.TimeSeries.mannKendall(t(s, d, "events"), "event_type",
+          "ts", col("value"))
+        .orderBy(col("series"))),
+
+    // Asymmetric containment near-dup: the quote/subset detector —
+    // |sh(a) ∩ sh(b)|/|sh(a)| over df-capped shingle postings, exact
+    // verify on candidates only. Value-pinned (shingling isn't SQL);
+    // DedupSpec pins the planted short-inside-long pair d40 misses.
+    "d240_containment" -> ((s, d) =>
+      Dedup.containmentJoin(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 4, threshold = 0.6, docFreqCap = 16)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("intersection"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Isotonic (PAVA) score calibration: best monotone score→P(label)
+    // map, exact cross-multiplied pooling over model-sized per-score
+    // stats. Value-pinned (the sequential pool isn't SQL);
+    // ClassifierSpec pins monotonicity, mass preservation, idempotence.
+    "t241_isotonic" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("score", floor(col("n_chars") / 25).cast("double"))
+        .withColumn("label",
+          when(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(427799L),
+            lit(1000003L)) % 997 < col("n_chars") / 4, 1.0d)
+            .otherwise(0.0d))
+      operators.Classifier.isotonicCalibrate(docs, "score", "label")
+        .select(col("score"), col("n"),
+          round(col("mean_label"), 6).as("mean_label"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy(col("score"))
+    }),
+
     // Streaming drift monitor: the current week-slice streams in as
     // micro-batches whose per-value counts fold additively; read-side
     // KS against the frozen reference must equal q225's batch statistic
@@ -3856,7 +3894,7 @@ object SparkEntry {
     "d101_neardup_increment", "d102_importance_sample",
     "d131_contamination_report", "d29_minhash_neardup",
     "d30_simhash_neardup", "d31_embed_neardup", "d40_ngram_neardup",
-    "d91_semantic_dedup", "d93_temperature_mix",
+    "d91_semantic_dedup", "d93_temperature_mix", "d240_containment",
     "d96_semantic_decontaminate", "m130_cdc_dedup", "m142_binary_neardup",
     "m197_phash_neardup",
     "p88_pipeline", "q104_foreign_bucket", "q38_approx",
@@ -3867,8 +3905,8 @@ object SparkEntry {
     "str148_stream_curate", "p182_media_pipeline",
     "t105_bpe_train", "t106_bpe_encode",
     "t108_lm_perplexity", "t109_quality_classifier", "t114_pack_sequences",
-    "t141_compression_signal", "t27_fingerprint", "t42_group_sketch",
-    "t80_hll_sketch")
+    "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
+    "t42_group_sketch", "t80_hll_sketch")
 
   private def pinnedOracles: Map[String, String] =
     pinnedOracleGates.map { name =>
@@ -4572,6 +4610,41 @@ object SparkEntry {
         |SELECT d.series, d.n_days,
         | CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs, m.slope
         |FROM days d LEFT JOIN med m USING (series)
+        |ORDER BY series""".stripMargin,
+
+    "q239_mann_kendall" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+        | FROM events GROUP BY series, bucket),
+        |s AS (SELECT i.series,
+        |  CAST(sum(CASE WHEN j.v > i.v THEN 1
+        |   WHEN j.v < i.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM dly i JOIN dly j
+        |  ON i.series = j.series AND i.bucket < j.bucket
+        | GROUP BY i.series),
+        |tg AS (SELECT series, v, count(*) AS t FROM dly
+        | GROUP BY series, v),
+        |ties AS (SELECT series, CAST(sum(t) AS BIGINT) AS n_days,
+        |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tieterm
+        | FROM tg GROUP BY series),
+        |c AS (SELECT t.series, t.n_days,
+        |  CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+        |  CAST(t.n_days AS DOUBLE) AS n,
+        |  CAST(coalesce(s.s_stat, 0) AS DOUBLE) AS ss,
+        |  CAST(t.tieterm AS DOUBLE) AS tt
+        | FROM ties t LEFT JOIN s ON s.series = t.series),
+        |c2 AS (SELECT *,
+        |  (n * (n - CAST(1.0 AS DOUBLE)) *
+        |   (CAST(2.0 AS DOUBLE) * n + CAST(5.0 AS DOUBLE)) - tt)
+        |   / CAST(18.0 AS DOUBLE) AS vars FROM c)
+        |SELECT series, n_days, s_stat,
+        | CASE WHEN vars <= 0.0 THEN NULL
+        |  WHEN ss > 0.0 THEN (ss - CAST(1.0 AS DOUBLE)) / sqrt(vars)
+        |  WHEN ss < 0.0 THEN (ss + CAST(1.0 AS DOUBLE)) / sqrt(vars)
+        |  ELSE 0.0 END AS z
+        |FROM c2
         |ORDER BY series""".stripMargin,
 
     "q211_rfm" ->

@@ -193,4 +193,76 @@ object Classifier {
       threshold: Double = 0.5): DataFrame =
     df.withColumn("score", scoreExpr(col(textCol), model))
       .withColumn("keep", col("score") >= threshold)
+
+  /** Isotonic calibration (pool-adjacent-violators): fit the best
+    * NON-DECREASING map score → P(label) — the standard fix for a
+    * quality classifier whose scores rank well but whose raw values
+    * are not probabilities (Platt's sigmoid assumes a shape; isotonic
+    * assumes only monotonicity). Returns one row per distinct score:
+    * (score, n, mean_label, calibrated), `calibrated` the fitted
+    * monotone step value.
+    *
+    * 100 TB shape: the sufficient statistics are per-DISTINCT-SCORE
+    * (count, label-sum) — ONE map-side-combined aggregate over the
+    * corpus; only that model-sized table (guarded by `maxPoints`, the
+    * [[Similarity]] fit discipline — quantize scores upstream if the
+    * domain is unbounded) reaches the driver, where PAVA runs in one
+    * left-to-right pass. The fitted blocks broadcast back as a range
+    * join, so scoring new data never shuffles.
+    *
+    * Exactness: block means compare by EXACT cross-multiplication of
+    * (label-sum, count) decimals during pooling — no float drift can
+    * mis-order a merge under any partitioning; each output mean is one
+    * double division at the end. DedupSpec-style laws are pinned in
+    * ClassifierSpec (monotone, mass-preserving, idempotent on monotone
+    * input). */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String,
+      labelCol: String, maxPoints: Int = 100000): DataFrame = {
+    import java.math.BigDecimal
+    val stats = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast(DoubleType).as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("__s"))
+      .filter(!isnan(col("score")))
+      .localCheckpoint(eager = false) // driver fit + the block join-back
+    val pts = stats.orderBy(col("score")).collect()
+    require(pts.length <= maxPoints,
+      s"${pts.length} distinct scores exceed maxPoints=$maxPoints — " +
+        "quantize scores upstream (the fit table must stay model-sized)")
+    // PAVA: merge each new point, then pool backwards while the last
+    // block's mean < its predecessor's. Means compare exactly via
+    // s1·n2 vs s2·n1 (decimal cross-multiplication).
+    final case class Block(lo: Double, hi: Double, s: BigDecimal, n: Long)
+    val blocks = mutable.ArrayBuffer.empty[Block]
+    pts.foreach { r =>
+      val (sc, n, s) = (r.getDouble(0), r.getLong(1),
+        r.getDecimal(2) match { case null => BigDecimal.ZERO; case d => d })
+      blocks += Block(sc, sc, s, n)
+      while (blocks.length >= 2 && {
+        val (p, q) = (blocks(blocks.length - 2), blocks.last)
+        // pool while mean(q) < mean(p):  q.s/q.n < p.s/p.n
+        q.s.multiply(BigDecimal.valueOf(p.n))
+          .compareTo(p.s.multiply(BigDecimal.valueOf(q.n))) < 0
+      }) {
+        val q = blocks.remove(blocks.length - 1)
+        val p = blocks.remove(blocks.length - 1)
+        blocks += Block(p.lo, q.hi, p.s.add(q.s), p.n + q.n)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = broadcast(blocks.toSeq.map { b =>
+      (b.lo, b.hi,
+        b.s.divide(BigDecimal.valueOf(b.n), 18,
+          java.math.RoundingMode.HALF_EVEN).doubleValue())
+    }.toDF("__lo", "__hi", "__cal"))
+    stats
+      .join(fit, col("score") >= col("__lo") && col("score") <= col("__hi"))
+      .select(col("score"), col("n"),
+        (col("__s").cast("string").cast("double") /
+          col("n").cast("double")).as("mean_label"),
+        col("__cal").as("calibrated"))
+  }
 }

@@ -503,6 +503,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC near-dup: containment |sh(a) ∩ sh(b)| / |sh(a)| — the
+    * quote/subset detector Jaccard misses. A short document pasted into
+    * a long one has containment ≈ 1 in the short→long direction while
+    * Jaccard (÷ by the UNION) stays tiny, so [[ngramJaccardNearDups]]
+    * never fires; this is the standard screen for embedded benchmark
+    * answers, boilerplate inclusions, and quote-heavy derivatives.
+    * Emits BOTH orientations of each candidate pair that clears
+    * `threshold`: (id_a, id_b, n_a, intersection, containment) meaning
+    * "`containment` of a's shingles also appear in b".
+    *
+    * Scale: same machinery as the Jaccard form — shingle-hash postings
+    * with the [[capBuckets]] document-frequency guard (a boilerplate
+    * shingle shared by a million docs is pruned, never pair-expanded),
+    * exact verification on candidate pairs only. The intersection is
+    * exact; containment is ONE double division. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      docFreqCap: Int = 32): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+      .localCheckpoint(eager = false) // postings + both verify joins
+    val posting = sh.select(col("id"), explode(col("sh")).as("gh"))
+    val prunedPosting = capBuckets(posting, Seq("gh"), docFreqCap)
+    val pairs = bucketPairs(prunedPosting, Seq("gh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val both = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    both
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("intersection"))
+      .withColumn("containment",
+        col("intersection").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Duplicate clusters from a pair list: connected components by min-label
     * propagation, so every member maps to its component's smallest id (the
     * canonical survivor). Each iteration is one join + agg over the

@@ -592,4 +592,57 @@ object TimeSeries {
       .select(col("series"), col("n_days"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
+
+  /** Mann–Kendall trend test per series — [[theilSen]]'s significance
+    * half (MK answers "IS there a monotone trend", Theil–Sen "how
+    * steep"): S = Σ_{i<j} sign(vⱼ − vᵢ) over all day pairs, variance
+    * tie-corrected
+    *
+    *   σ² = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+    *
+    * and z continuity-corrected ((S−1)/σ for S>0, (S+1)/σ for S<0,
+    * 0 at S=0). Every count and S is an exact integer under any
+    * partitioning (daily sums are exact decimals, sign is exact); z is
+    * one fixed double expression, NULL when σ² = 0 (all days tied).
+    * Returns (series, n_days, s_stat, z).
+    *
+    * Scale: [[theilSen]]'s contract — the pair join is per-series
+    * DAYS², calendar-bounded, never event-scale; the tie term is one
+    * aggregate over day-value groups. */
+  def mannKendall(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column): DataFrame = {
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+      .localCheckpoint(eager = false) // pair join sides + the tie pass
+    val s = dly.as("i")
+      .join(dly.as("j"),
+        col("i.series") === col("j.series") &&
+          col("i.bucket") < col("j.bucket"))
+      .groupBy(col("i.series").as("series"))
+      .agg(sum(when(col("j.v") > col("i.v"), 1L)
+        .when(col("j.v") < col("i.v"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = dly
+      .groupBy(col("series"), col("v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("series"))
+      .agg(sum(col("__t")).as("__n"),
+        sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
+          .as("__tieterm"))
+    ties.join(s, Seq("series"), "left")
+      .select(col("series"), col("__n").as("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"), {
+          val n = col("__n").cast("double")
+          val varS = (n * (n - lit(1.0d)) * (lit(2.0d) * n + lit(5.0d)) -
+            col("__tieterm").cast("double")) / lit(18.0d)
+          val sS = coalesce(col("s_stat"), lit(0L)).cast("double")
+          when(varS <= 0.0, lit(null).cast("double"))
+            .when(sS > 0.0, (sS - lit(1.0d)) / sqrt(varS))
+            .when(sS < 0.0, (sS + lit(1.0d)) / sqrt(varS))
+            .otherwise(lit(0.0d))
+            .as("z")
+        })
+  }
 }

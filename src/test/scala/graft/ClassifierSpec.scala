@@ -151,4 +151,38 @@ class ClassifierSpec extends SparkTestBase {
     assert(m1.weights.toSeq == m2.weights.toSeq && m1.bias == m2.bias,
       "hash-capped training is deterministic")
   }
+
+  test("isotonicCalibrate: PAVA pools the violating block, stays " +
+      "monotone, preserves label mass, and is idempotent on monotone " +
+      "input") {
+    import spark.implicits._
+    // scores 1..4 with empirical means 0, 1, 0, 1: PAVA pools
+    // scores 2 and 3 into a 0.5 block
+    val rows = Seq((1.0, 0.0), (1.0, 0.0), (2.0, 1.0), (2.0, 1.0),
+      (3.0, 0.0), (3.0, 0.0), (4.0, 1.0), (4.0, 1.0))
+    val got = Classifier.isotonicCalibrate(rows.toDF("score", "label"),
+        "score", "label")
+      .orderBy("score").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((1.0, 2L, 0.0, 0.0), (2.0, 2L, 1.0, 0.5),
+      (3.0, 2L, 0.0, 0.5), (4.0, 2L, 1.0, 1.0)))
+    // monotone + mass-preserving by construction of the expectation
+    val cal = got.map(_._4)
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b })
+    assert(got.map(t => t._2 * t._4).sum === rows.map(_._2).sum)
+    // idempotence: already-monotone means calibrate to themselves
+    val mono = Seq((1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (3.0, 1.0))
+    val m = Classifier.isotonicCalibrate(mono.toDF("score", "label"),
+        "score", "label")
+      .orderBy("score").collect()
+    m.foreach(r => assert(r.getDouble(3) === r.getDouble(2)))
+    // partitioning-invariant replay
+    val re = Classifier.isotonicCalibrate(
+        rows.toDF("score", "label").repartition(7), "score", "label")
+      .orderBy("score").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(re.toSeq === got.toSeq)
+  }
 }

@@ -949,4 +949,33 @@ class DataOpsSpec extends SparkTestBase {
       .head.getDouble(3)
     assert(ols > 10.0, s"OLS should chase the outlier, got $ols")
   }
+
+  test("mannKendall: hand-computed S and tie-corrected z; all-tied " +
+      "series yields NULL z; decreasing series continuity-corrects up") {
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.map { case (v, i) =>
+        (f"2024-04-${i + 1}%02d 08:00:00", "up", v) } ++
+      Seq(("2024-04-01 08:00:00", "tied", 3.0),
+        ("2024-04-02 08:00:00", "tied", 3.0),
+        ("2024-04-03 08:00:00", "tied", 3.0)) ++
+      Seq(("2024-04-01 08:00:00", "down", 5.0),
+        ("2024-04-02 08:00:00", "down", 3.0),
+        ("2024-04-03 08:00:00", "down", 1.0))
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.mannKendall(ev, "event_type", "ts", col("value"))
+      .orderBy("series").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getLong(1) === 5L && up.getLong(2) === 10L)
+    // varS = 5·4·15/18; z = (10 − 1)/√varS
+    assert(math.abs(up.getDouble(3) -
+      9.0 / math.sqrt(5.0 * 4.0 * 15.0 / 18.0)) < 1e-12)
+    val tied = got("tied")
+    assert(tied.getLong(2) === 0L && tied.isNullAt(3))
+    val down = got("down")
+    assert(down.getLong(2) === -3L)
+    assert(math.abs(down.getDouble(3) -
+      (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
+  }
 }

@@ -1067,4 +1067,31 @@ class DedupSpec extends SparkTestBase {
     assert(g2.toSeq == Seq(
       ("all", 0L, 2L, 3L), ("size", 1L, 1L, 1L), ("size", 2L, 1L, 2L)))
   }
+
+  test("containmentJoin: a short doc embedded in a long one scores " +
+      "containment 1.0 in the short->long direction only — the pair " +
+      "Jaccard misses") {
+    val long =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val short = "delta echo foxtrot golf hotel india juliet kilo"
+    val docs = Seq((1L, long), (2L, short),
+      (3L, "whiskey xray yankee zulu uniform victor whiskey xray"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.toSeq === Seq((2L, 1L, 1.0)),
+      s"expected only short->long at 1.0, got ${got.toSeq}")
+    // the symmetric Jaccard form never fires at any useful threshold:
+    // the union is dominated by the long doc's shingles
+    val jac = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5).count()
+    assert(jac === 0L)
+    // partitioning-invariant replay
+    val again = Dedup.containmentJoin(docs.repartition(5), "doc_id",
+        "text", shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
