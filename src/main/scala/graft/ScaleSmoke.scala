@@ -186,7 +186,15 @@ object ScaleSmoke {
     // r10 late batch: cells-sized χ² and the quartile+fence compose
     "q227_chi2", "q228_boxplot",
     // r10 late batch: streaming drift maintenance + read-side KS
-    "str229_stream_drift")
+    "str229_stream_drift",
+    // r10 wave 4: FD audit (batch + streaming pair-count maintenance),
+    // weighted top-k draw, multi-source landmark BFS, vocabulary
+    // pair-overlap, distributed midranks, calendar-bounded pair
+    // statistics, containment pair mining, PAVA fit + broadcast scoring
+    "q230_fd_profile", "str235_stream_fd", "d231_weighted_sample",
+    "q232_double_smooth", "q233_harmonic", "t234_source_overlap",
+    "q236_runs_test", "q237_spearman", "q238_theil_sen",
+    "q239_mann_kendall", "d240_containment", "t241_isotonic")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

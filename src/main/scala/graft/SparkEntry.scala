@@ -2489,6 +2489,32 @@ object SparkEntry {
         .orderBy(col("score"))
     }),
 
+    // Difference-in-differences incrementality: treated-group pre→post
+    // change minus the control's — shared time trends cancel. ONE
+    // corpus aggregate; four exact-decimal cell means, did a fixed
+    // double expression over them.
+    "q242_diff_in_diff" -> ((s, d) =>
+      operators.Experiment.diffInDiff(t(s, d, "orders"),
+        treated = col("o_custkey") % 2 === 0,
+        post = to_date(col("o_orderdate")) >= lit("1995-01-01"),
+        value = col("o_totalprice"))),
+
+    // t-closeness privacy audit (ordered EMD vs the global quantity
+    // distribution): the leak k-anonymity can't see — exact integer
+    // cum-diff numerators, ONE double division per group.
+    "q243_t_closeness" -> ((s, d) =>
+      operators.Expectations.tCloseness(t(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Exact Pearson correlation matrix in ONE corpus pass: all
+    // p(p+3)/2 sufficient statistics as exact decimals in a single
+    // aggregate, upper-triangle rows carved from that one row.
+    "q244_corr_matrix" -> ((s, d) =>
+      operators.Expectations.corrMatrix(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // Streaming drift monitor: the current week-slice streams in as
     // micro-batches whose per-value counts fold additively; read-side
     // KS against the frozen reference must equal q225's batch statistic
@@ -4646,6 +4672,132 @@ object SparkEntry {
         |  ELSE 0.0 END AS z
         |FROM c2
         |ORDER BY series""".stripMargin,
+
+    "q242_diff_in_diff" ->
+      """WITH f AS (
+        | SELECT o_custkey % 2 = 0 AS t,
+        |  CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AS p,
+        |  o_totalprice AS v
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |a AS (SELECT
+        | CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_treat_pre,
+        | CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_treat_post,
+        | CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_ctrl_pre,
+        | CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_ctrl_post,
+        | sum(CASE WHEN t AND NOT p THEN CAST(v AS DECIMAL(28,6)) END)
+        |  AS s_tp,
+        | sum(CASE WHEN t AND p THEN CAST(v AS DECIMAL(28,6)) END)
+        |  AS s_tq,
+        | sum(CASE WHEN NOT t AND NOT p THEN CAST(v AS DECIMAL(28,6)) END)
+        |  AS s_cp,
+        | sum(CASE WHEN NOT t AND p THEN CAST(v AS DECIMAL(28,6)) END)
+        |  AS s_cq
+        | FROM f),
+        |m AS (SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+        | CASE WHEN n_treat_pre = 0 THEN NULL ELSE
+        |  CAST(CAST(s_tp AS VARCHAR) AS DOUBLE) /
+        |   CAST(n_treat_pre AS DOUBLE) END AS m_treat_pre,
+        | CASE WHEN n_treat_post = 0 THEN NULL ELSE
+        |  CAST(CAST(s_tq AS VARCHAR) AS DOUBLE) /
+        |   CAST(n_treat_post AS DOUBLE) END AS m_treat_post,
+        | CASE WHEN n_ctrl_pre = 0 THEN NULL ELSE
+        |  CAST(CAST(s_cp AS VARCHAR) AS DOUBLE) /
+        |   CAST(n_ctrl_pre AS DOUBLE) END AS m_ctrl_pre,
+        | CASE WHEN n_ctrl_post = 0 THEN NULL ELSE
+        |  CAST(CAST(s_cq AS VARCHAR) AS DOUBLE) /
+        |   CAST(n_ctrl_post AS DOUBLE) END AS m_ctrl_post
+        | FROM a)
+        |SELECT *,
+        | ((m_treat_post - m_treat_pre) - (m_ctrl_post - m_ctrl_pre))
+        |  AS did
+        |FROM m""".stripMargin,
+
+    "q243_t_closeness" ->
+      """WITH r AS (
+        | SELECT l_returnflag AS q1, l_linestatus AS q2, l_quantity AS v
+        | FROM lineitem WHERE l_quantity IS NOT NULL),
+        |cells AS (SELECT q1, q2, v, count(*) AS c FROM r
+        | GROUP BY q1, q2, v),
+        |domain AS (SELECT DISTINCT v FROM cells),
+        |md AS (SELECT count(*) AS m FROM domain),
+        |groups AS (SELECT q1, q2, sum(c) AS ng FROM cells GROUP BY q1, q2),
+        |tot AS (SELECT sum(c) AS nn FROM cells),
+        |comp AS (SELECT g.q1, g.q2, g.ng, d.v, coalesce(c.c, 0) AS c
+        | FROM groups g CROSS JOIN domain d
+        | LEFT JOIN cells c ON c.q1 = g.q1 AND c.q2 = g.q2 AND c.v = d.v),
+        |gv AS (SELECT v, sum(c) AS cg FROM cells GROUP BY v),
+        |cum AS (SELECT comp.q1, comp.q2, comp.ng, comp.v,
+        |  sum(comp.c) OVER (PARTITION BY comp.q1, comp.q2
+        |   ORDER BY comp.v) AS cum_grp,
+        |  sum(gv.cg) OVER (PARTITION BY comp.q1, comp.q2
+        |   ORDER BY comp.v) AS cum_all,
+        |  (SELECT nn FROM tot) AS nn
+        | FROM comp JOIN gv USING (v)),
+        |nm AS (SELECT q1, q2, ng, nn,
+        |  CAST(sum(CAST(abs(CAST(cum_grp AS DECIMAL(19,0)) *
+        |   CAST(nn AS DECIMAL(19,0)) - CAST(cum_all AS DECIMAL(19,0)) *
+        |   CAST(ng AS DECIMAL(19,0))) AS DECIMAL(38,0)))
+        |   AS DECIMAL(38,0)) AS s
+        | FROM cum GROUP BY q1, q2, ng, nn)
+        |SELECT q1 AS l_returnflag, q2 AS l_linestatus,
+        | CAST(ng AS BIGINT) AS group_size,
+        | CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+        |  (CAST(ng AS DOUBLE) * CAST(nn AS DOUBLE) *
+        |   CAST((SELECT m FROM md) - 1 AS DOUBLE)) AS emd
+        |FROM nm
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q244_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums =
+        cs.map(c => s"CAST(sum(CAST($c AS DECIMAL(19,6)))" +
+          s" AS DECIMAL(38,6)) AS s_$c") ++
+        cs.map(c => s"CAST(sum(CAST(CAST($c AS DECIMAL(19,6)) *" +
+          s" CAST($c AS DECIMAL(19,6)) AS DECIMAL(38,12)))" +
+          s" AS DECIMAL(38,12)) AS ss_$c") ++
+        cs.combinations(2).map { case Seq(a, b) =>
+          s"CAST(sum(CAST(CAST($a AS DECIMAL(19,6)) *" +
+            s" CAST($b AS DECIMAL(19,6)) AS DECIMAL(38,12)))" +
+            s" AS DECIMAL(38,12)) AS sp_${a}__$b"
+        }.toSeq
+      val notNull = cs.map(c =>
+        s"$c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))")
+        .mkString(" AND ")
+      val triples = cs.combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           | CASE WHEN CAST(n AS DOUBLE) *
+           |   CAST(CAST(ss_$a AS VARCHAR) AS DOUBLE) -
+           |   CAST(CAST(s_$a AS VARCHAR) AS DOUBLE) *
+           |   CAST(CAST(s_$a AS VARCHAR) AS DOUBLE) = 0.0
+           |  OR CAST(n AS DOUBLE) *
+           |   CAST(CAST(ss_$b AS VARCHAR) AS DOUBLE) -
+           |   CAST(CAST(s_$b AS VARCHAR) AS DOUBLE) *
+           |   CAST(CAST(s_$b AS VARCHAR) AS DOUBLE) = 0.0 THEN NULL
+           |  ELSE (CAST(n AS DOUBLE) *
+           |    CAST(CAST(sp_${a}__$b AS VARCHAR) AS DOUBLE) -
+           |    CAST(CAST(s_$a AS VARCHAR) AS DOUBLE) *
+           |    CAST(CAST(s_$b AS VARCHAR) AS DOUBLE)) /
+           |   sqrt((CAST(n AS DOUBLE) *
+           |     CAST(CAST(ss_$a AS VARCHAR) AS DOUBLE) -
+           |     CAST(CAST(s_$a AS VARCHAR) AS DOUBLE) *
+           |     CAST(CAST(s_$a AS VARCHAR) AS DOUBLE)) *
+           |    (CAST(n AS DOUBLE) *
+           |     CAST(CAST(ss_$b AS VARCHAR) AS DOUBLE) -
+           |     CAST(CAST(s_$b AS VARCHAR) AS DOUBLE) *
+           |     CAST(CAST(s_$b AS VARCHAR) AS DOUBLE))) END AS corr
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f AS (SELECT * FROM lineitem WHERE $notNull),
+         |a AS (SELECT count(*) AS n,
+         | ${sums.mkString(",\n ")}
+         | FROM f)
+         |$triples
+         |ORDER BY col_a, col_b""".stripMargin
+    },
 
     "q211_rfm" ->
       """WITH per AS (

@@ -503,6 +503,77 @@ object Expectations {
       .filter(col("group_size") < k || col("sensitive_distinct") < l)
   }
 
+  /** t-closeness audit over an ORDERED sensitive attribute —
+    * [[kAnonymity]]'s distributional upgrade: a group can be k-anonymous
+    * and l-diverse yet still leak ("every member of this quasi-group has
+    * a quantity in the top decile"). Per quasi-group, the Earth Mover's
+    * Distance between the group's sensitive-value distribution and the
+    * GLOBAL one under the ordered-distance metric (Li, Li &
+    * Venkatasubramanian, ICDE 2007):
+    *
+    *   EMD = Σ_v |CumP_group(v) − CumP_global(v)| / (m − 1)
+    *
+    * over the m observed domain values. Returns one row per group:
+    * (quasi..., group_size, emd) — gate on `emd > t`.
+    *
+    * Exactness: each cumulative-probability difference is the rational
+    * (cum_g·N − cum_G·n_g)/(n_g·N), so the numerators sum as exact
+    * integers and ONE double division lands at the end — no float
+    * accumulation across the domain.
+    *
+    * Scale: one (group, value) count aggregate over the table, a
+    * broadcast domain-completion join (the cum-diff must advance even
+    * where the group has no mass), and a per-group window over
+    * group×domain-sized rows — never row-scale after the first
+    * aggregate. The ordered domain must be modest (it is a privacy
+    * attribute domain, not a corpus), guarded by `maxDomain`. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, maxDomain: Int = 10000): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val rows = df
+      .filter(col(sensitiveCol).isNotNull)
+      .select(struct(quasiCols.map(col): _*).as("__q"),
+        col(sensitiveCol).as("__v"))
+    val cells = rows.groupBy(col("__q"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // domain + totals + the completion
+    val domain = cells.select(col("__v")).distinct()
+    val m = domain.count()
+    require(m <= maxDomain && m >= 2,
+      s"sensitive domain has $m values — need 2..$maxDomain")
+    val groups = cells.groupBy(col("__q")).agg(sum(col("__c")).as("__ng"))
+    val total = cells.agg(sum(col("__c")).as("__nn"))
+    val completed = groups
+      .crossJoin(broadcast(domain))
+      .join(cells, Seq("__q", "__v"), "left")
+      .select(col("__q"), col("__ng"), col("__v"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val globalByV = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cg"))
+    val w = Window.partitionBy(col("__q")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    completed
+      .join(broadcast(globalByV), Seq("__v"))
+      .crossJoin(broadcast(total))
+      // names must differ by MORE than case: Spark resolves column
+      // names case-insensitively, so "__cumg"/"__cumG" would collide
+      .withColumn("__cum_grp", sum(col("__c")).over(w))
+      .withColumn("__cum_all", sum(col("__cg")).over(w))
+      // |cum_g·N − cum_G·n_g| — exact integers (decimal-capped)
+      .withColumn("__num",
+        abs(col("__cum_grp").cast("decimal(19,0)") *
+          col("__nn").cast("decimal(19,0)") -
+          col("__cum_all").cast("decimal(19,0)") *
+            col("__ng").cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .groupBy(col("__q"), col("__ng"), col("__nn"))
+      .agg(sum(col("__num")).cast("decimal(38,0)").as("__s"))
+      .select(
+        quasiCols.map(c => col("__q").getField(c).as(c)) ++
+          Seq(col("__ng").as("group_size"),
+          (col("__s").cast("string").cast("double") /
+            (col("__ng").cast("double") * col("__nn").cast("double") *
+              lit((m - 1).toDouble))).as("emd")): _*)
+  }
+
   /** Functional-dependency audit: for each candidate (determinant →
     * dependent) column pair, does every determinant value map to at
     * most one dependent value? One row per pair:
@@ -542,6 +613,58 @@ object Expectations {
           col("n_det"),
           col("violating_det"), col("violation_rows"), col("max_fanout"),
           (col("violating_det") === 0L).as("fd_holds"))
+    }.reduce(_.union(_))
+  }
+
+  /** Exact pairwise Pearson correlation matrix over numeric columns —
+    * the feature-redundancy screen of a profiling pass ("price and tax
+    * are 0.99-correlated; drop one"). ONE map-side-combined aggregate
+    * computes every sufficient statistic (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ) as exact
+    * decimals in a single corpus pass — p(p+3)/2 sums for p columns,
+    * NOT p² passes; the upper-triangle rows are then carved out of that
+    * single aggregate row. Each correlation casts its exact sums to
+    * double via STRING and evaluates one fixed expression; constant
+    * columns yield NULL. Rows with a NULL/NaN in ANY profiled column
+    * are excluded (listwise deletion — all pairs see the same n, so the
+    * matrix stays positive semi-definite).
+    *
+    * Values must fit `decimal(28,6)` per row (the [[graft.dsum]]
+    * exactness envelope); at 100 TB the aggregate is the only
+    * corpus-scale stage and it shuffles one row per map partition. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    // (18,6) inputs keep every product at (37,12) — inside 38 digits in
+    // BOTH engines with no silent scale adjustment, so squares and
+    // cross-products are exact (values must fit 12 integer digits)
+    val dIn = "decimal(18,6)"
+    val clean = df.filter(cols.map(c =>
+      col(c).isNotNull && !isnan(col(c).cast("double"))).reduce(_ && _))
+    val sums =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(col(c).cast(dIn)).cast("decimal(38,6)")
+          .as(s"__s_$c")) ++
+        cols.map(c => sum((col(c).cast(dIn) * col(c).cast(dIn))
+          .cast("decimal(38,12)")).cast("decimal(38,12)")
+          .as(s"__ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((col(a).cast(dIn) * col(b).cast(dIn))
+            .cast("decimal(38,12)")).cast("decimal(38,12)")
+            .as(s"__sp_${a}__$b")
+        }.toSeq
+    val agg = clean.agg(sums.head, sums.tail: _*)
+      .localCheckpoint(eager = false) // one row, carved p(p−1)/2 times
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    cols.combinations(2).map { case Seq(a, b) =>
+      val n = col("__n").cast("double")
+      val (sa, sb) = (dbl(col(s"__s_$a")), dbl(col(s"__s_$b")))
+      val (saa, sbb) = (dbl(col(s"__ss_$a")), dbl(col(s"__ss_$b")))
+      val sab = dbl(col(s"__sp_${a}__$b"))
+      val va = n * saa - sa * sa
+      val vb = n * sbb - sb * sb
+      agg.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        when(va === 0.0 || vb === 0.0, lit(null).cast("double"))
+          .otherwise((n * sab - sa * sb) / sqrt(va * vb)).as("corr"))
     }.reduce(_.union(_))
   }
 }

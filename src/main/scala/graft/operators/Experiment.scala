@@ -357,4 +357,47 @@ object Experiment {
       when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
         .otherwise((n * sxy - sx * sy) / sqrt(vx * vy)).as("rho"))
   }
+
+  /** Difference-in-differences: the incrementality estimate when you
+    * cannot randomize — compare the treated group's pre→post change
+    * against the control group's, so any shared time trend (seasonality,
+    * a site-wide launch) cancels:
+    *
+    *   did = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)
+    *
+    * Returns ONE row with the four cell counts and means plus `did`.
+    * Each mean is ONE double division of an exact-decimal cell sum
+    * ([[abTest]]'s discipline); `did` is a fixed double expression over
+    * the four means. Any empty cell yields NULL did (an estimate from a
+    * missing cell is a lie, not a zero).
+    *
+    * Scale: ONE map-side-combined aggregate over the events — the
+    * whole computation after it is arithmetic on a single row. */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      value: Column): DataFrame = {
+    def cell(t: Boolean, p: Boolean, suffix: String): Seq[Column] = {
+      val in = (if (t) treated else !treated) && (if (p) post else !post)
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(in, value.cast("decimal(28,6)"))).as(s"__s_$suffix"))
+    }
+    val aggs = cell(true, false, "treat_pre") ++
+      cell(true, true, "treat_post") ++
+      cell(false, false, "ctrl_pre") ++ cell(false, true, "ctrl_post")
+    def mean(suffix: String): Column =
+      when(col(s"n_$suffix") === 0L, lit(null).cast("double"))
+        .otherwise(col(s"__s_$suffix").cast("string").cast("double") /
+          col(s"n_$suffix").cast("double"))
+    df.filter(treated.isNotNull && post.isNotNull && value.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n_treat_pre"), col("n_treat_post"),
+        col("n_ctrl_pre"), col("n_ctrl_post"),
+        mean("treat_pre").as("m_treat_pre"),
+        mean("treat_post").as("m_treat_post"),
+        mean("ctrl_pre").as("m_ctrl_pre"),
+        mean("ctrl_post").as("m_ctrl_post"))
+      .select(col("*"),
+        ((col("m_treat_post") - col("m_treat_pre")) -
+          (col("m_ctrl_post") - col("m_ctrl_pre"))).as("did"))
+  }
 }

@@ -978,4 +978,35 @@ class DataOpsSpec extends SparkTestBase {
     assert(math.abs(down.getDouble(3) -
       (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
   }
+
+  test("tCloseness: perfectly-skewed groups score the hand-computed " +
+      "EMD; a group matching the global distribution scores 0") {
+    // global over v∈{1,2} is 50/50; A holds only 1s, B only 2s →
+    // EMD = 0.5 each; C mirrors the global mix → EMD = 0
+    val rows = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
+      ("C", 1L), ("C", 2L))
+    val got = Expectations.tCloseness(rows.toDF("g", "v"), Seq("g"), "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // global: 3 ones, 3 twos of 6. A: cum(1)=2/2 vs 3/6 → num
+    // |2·6 − 3·2| = 6; emd = 6/(2·6·1) = 0.5
+    assert(got.toSeq === Seq(("A", 2L, 0.5), ("B", 2L, 0.5),
+      ("C", 2L, 0.0)))
+  }
+
+  test("corrMatrix: exact linear pair hits ±1.0 bit-exactly, constant " +
+      "column is NULL, one aggregate feeds every pair") {
+    val rows = (1 to 8).map(i =>
+      (i.toDouble, 2.0 * i + 1.0, -i.toDouble, 42.0))
+      .toDF("x", "y", "w", "k")
+    val got = Expectations.corrMatrix(rows, Seq("x", "y", "w", "k"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("x", "y")) === Some(1.0))
+    assert(got(("x", "w")) === Some(-1.0))
+    assert(got(("y", "w")) === Some(-1.0))
+    assert(got(("x", "k")) === None && got(("w", "k")) === None)
+    assert(got.size === 6)
+  }
 }

@@ -493,4 +493,23 @@ class FunnelSpec extends SparkTestBase {
     assert(re === Experiment.spearman(tied, col("x"), col("y"))
       .head.getDouble(1))
   }
+
+  test("diffInDiff: hand-computed 2x2 — shared trend cancels; an " +
+      "empty cell nulls the estimate instead of faking a zero") {
+    // treat: 10 -> 20 (+10); ctrl: 5 -> 7 (+2) => did = 8
+    val rows = Seq(
+      (true, false, 10.0), (true, false, 10.0), (true, true, 20.0),
+      (false, false, 5.0), (false, true, 7.0), (false, true, 7.0))
+      .toDF("t", "p", "v")
+    val r = Experiment.diffInDiff(rows, col("t"), col("p"), col("v")).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) === 10.0 && r.getDouble(5) === 20.0 &&
+      r.getDouble(6) === 5.0 && r.getDouble(7) === 7.0)
+    assert(r.getDouble(8) === 8.0)
+    // no treated-post observations: did must be NULL
+    val gap = Experiment.diffInDiff(rows.filter(!(col("t") && col("p"))),
+      col("t"), col("p"), col("v")).head
+    assert(gap.isNullAt(5) && gap.isNullAt(8))
+  }
 }
