@@ -194,7 +194,11 @@ object ScaleSmoke {
     "q230_fd_profile", "str235_stream_fd", "d231_weighted_sample",
     "q232_double_smooth", "q233_harmonic", "t234_source_overlap",
     "q236_runs_test", "q237_spearman", "q238_theil_sen",
-    "q239_mann_kendall", "d240_containment", "t241_isotonic")
+    "q239_mann_kendall", "d240_containment", "t241_isotonic",
+    // r10 wave 5: single-aggregate statistics (DiD, corr matrix,
+    // entropy, HHI, Zipf), group×domain EMD, streaming moment IVM
+    "q242_diff_in_diff", "q243_t_closeness", "q244_corr_matrix",
+    "t245_zipf", "q246_hhi", "q247_entropy", "str248_stream_corr")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

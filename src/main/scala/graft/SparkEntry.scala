@@ -2515,6 +2515,55 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // Zipf's-law fit over the top-100 token frequencies: OLS of
+    // ln(freq) on ln(rank) with 9-rounded logs decimal-routed so the
+    // sums are order-free — the corpus-naturalness red flag.
+    "t245_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(t(s, d, "documents"), "text", k = 100)),
+
+    // Herfindahl concentration per priority market over customer
+    // revenue cents: exact integer firm totals, HHI one fixed double
+    // expression — q223 Gini's antitrust sibling.
+    "q246_hhi" -> ((s, d) =>
+      operators.Skew.hhi(t(s, d, "orders"), "o_orderpriority",
+          "o_custkey", round(col("o_totalprice") * 100, 0).cast("long"))
+        .orderBy(col("market"))),
+
+    // Per-column Shannon entropy profile: is the column informative,
+    // near-constant, or an id in disguise? Decimal-routed c·ln c sums,
+    // entropy one fixed double expression per column.
+    "q247_entropy" -> ((s, d) =>
+      operators.Expectations.entropyProfile(t(s, d, "orders"),
+          Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+        .orderBy(col("col_name"))),
+
+    // Streaming correlation maintenance: per-batch exact-decimal moment
+    // sums fold additively into one persisted row; read-side Pearson r
+    // must equal the batch corrMatrix on the union of all batches
+    // EXACTLY (decimal sums are associative; double sums are not).
+    "str248_stream_corr" -> ((s, d) => {
+      val root = tmpDir("graft_str248")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/moments", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_totalprice"),
+          col("o_custkey"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).drop("ok"),
+        o.filter(col("ok") % 2 === 1).drop("ok")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamMoments(stream,
+          outDir, "o_totalprice", "o_custkey",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readCorr(s, outDir,
+        "o_totalprice", "o_custkey")
+    }),
+
     // Streaming drift monitor: the current week-slice streams in as
     // micro-batches whose per-value counts fold additively; read-side
     // KS against the frozen reference must equal q225's batch statistic
@@ -4798,6 +4847,116 @@ object SparkEntry {
          |$triples
          |ORDER BY col_a, col_b""".stripMargin
     },
+
+    "t245_zipf" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM tok
+        | WHERE token <> '' GROUP BY token),
+        |top AS (SELECT n,
+        |  row_number() OVER (ORDER BY n DESC, token) AS rank
+        | FROM cnt ORDER BY n DESC, token LIMIT 100),
+        |pts AS (SELECT
+        |  CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(14,12)) AS x,
+        |  CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(14,12)) AS y
+        | FROM top),
+        |s AS (SELECT count(*) AS k,
+        | CAST(sum(x) AS DECIMAL(38,12)) AS sx,
+        | CAST(sum(y) AS DECIMAL(38,12)) AS sy,
+        | CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DECIMAL(38,24)) AS sxy,
+        | CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DECIMAL(38,24)) AS sxx,
+        | CAST(sum(CAST(y * y AS DECIMAL(38,24))) AS DECIMAL(38,24)) AS syy
+        | FROM pts),
+        |c AS (SELECT k, CAST(k AS DOUBLE) AS kd,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        | FROM s),
+        |c2 AS (SELECT *, kd * sxyd - sxd * syd AS num,
+        |  kd * sxxd - sxd * sxd AS den,
+        |  kd * syyd - syd * syd AS deny FROM c)
+        |SELECT k,
+        | CASE WHEN den = 0.0 THEN NULL ELSE num / den END AS slope,
+        | CASE WHEN den = 0.0 THEN NULL
+        |  ELSE (syd - (num / den) * sxd) / kd END AS intercept,
+        | CASE WHEN den = 0.0 OR deny = 0.0 THEN NULL
+        |  ELSE num * num / (den * deny) END AS r2
+        |FROM c2""".stripMargin,
+
+    "q246_hhi" ->
+      """WITH firms AS (
+        | SELECT o_orderpriority AS market, o_custkey AS f,
+        |  CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS s
+        | FROM orders
+        | WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        | GROUP BY market, f),
+        |m AS (SELECT market, count(*) AS n_firms,
+        |  CAST(sum(s) AS DECIMAL(38,0)) AS tot,
+        |  CAST(sum(CAST(s * s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+        | FROM firms GROUP BY market)
+        |SELECT market, n_firms, CAST(tot AS DECIMAL(19,0)) AS total,
+        | CASE WHEN tot = 0 THEN NULL ELSE
+        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+        |   (CAST(CAST(tot AS VARCHAR) AS DOUBLE) *
+        |    CAST(CAST(tot AS VARCHAR) AS DOUBLE)) END AS hhi
+        |FROM m
+        |ORDER BY market""".stripMargin,
+
+    "q247_entropy" -> Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, CAST(sum(c) AS BIGINT) AS n,
+           | count(*) AS n_distinct,
+           | round(ln(CAST(sum(c) AS DOUBLE)) -
+           |  CAST(CAST(CAST(sum(CAST(CAST(c AS DECIMAL(12,0)) *
+           |   CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(14,12))
+           |   AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS VARCHAR)
+           |   AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) AS entropy,
+           | CASE WHEN count(*) <= 1 THEN NULL ELSE
+           |  round(round(ln(CAST(sum(c) AS DOUBLE)) -
+           |   CAST(CAST(CAST(sum(CAST(CAST(c AS DECIMAL(12,0)) *
+           |    CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(14,12))
+           |    AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS VARCHAR)
+           |    AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) /
+           |   ln(CAST(count(*) AS DOUBLE)), 9) END AS normalized
+           |FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c
+           | FROM orders WHERE $c IS NOT NULL GROUP BY v)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // streamed exact-decimal moments + read-side Pearson must equal the
+    // batch correlation on the union of all batches
+    "str248_stream_corr" ->
+      """WITH f AS (
+        | SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |  CAST(o_custkey AS DOUBLE) AS y
+        | FROM orders
+        | WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        |  AND o_custkey IS NOT NULL),
+        |a AS (SELECT count(*) AS n,
+        | CAST(sum(CAST(x AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS sx,
+        | CAST(sum(CAST(y AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS sy,
+        | CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+        |  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
+        | CAST(sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS syy,
+        | CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy
+        | FROM f),
+        |c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |  CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+        | FROM a),
+        |c2 AS (SELECT *, nd * sxxd - sxd * sxd AS vx,
+        |  nd * syyd - syd * syd AS vy FROM c)
+        |SELECT 'o_totalprice' AS col_a, 'o_custkey' AS col_b, n,
+        | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
+        |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
+        |FROM c2""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

@@ -616,6 +616,58 @@ object Expectations {
     }.reduce(_.union(_))
   }
 
+  /** Per-column Shannon-entropy profile over categorical columns — the
+    * "is this column informative at all?" screen of schema profiling
+    * (entropy ≈ 0 → effectively constant; normalized entropy ≈ 1 →
+    * near-uniform, likely an id in disguise when distinct ≈ rows). One
+    * row per column: (column, n, n_distinct, entropy, normalized) with
+    * entropy = ln N − (Σ c·ln c)/N in nats and `normalized` = entropy /
+    * ln(n_distinct) (NULL for a constant column). NULLs are skipped (a
+    * null is missingness, not a category).
+    *
+    * Exactness: counts are exact; each ln is rounded to 9 decimals and
+    * cast to decimal — the [[graft.operators.TextAnalysis.zipfFit]]
+    * route — so the Σ c·ln c accumulation is an exact decimal sum under
+    * any partitioning, and the entropy combination is one fixed double
+    * expression.
+    *
+    * Scale: one value-keyed count aggregate per column (map-side
+    * combined, single-column scans), then a value-cardinality-sized
+    * reduction. */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    cols.map { c =>
+      df.select(col(c).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        // (12,0)·(14,12) → (27,12): inside 38 digits in both engines
+        // with no scale adjustment (counts per value must fit 12
+        // digits; ln(c) < 28 fits 2 integer digits)
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("__c")).as("__n"),
+          sum((col("__c").cast("decimal(12,0)") *
+            round(log(col("__c").cast("double")), 9)
+              .cast("decimal(14,12)")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)").as("__clnc"))
+        .select(lit(c).as("col_name"), col("__n").as("n"),
+          col("n_distinct"), {
+            // final doubles round to 9: Math.log is a <=1-ulp intrinsic
+            // on the JVM, not correctly rounded, so unrounded outputs
+            // can differ from libm engines in the last bit
+            val n = col("__n").cast("double")
+            val ent = log(n) - dbl(col("__clnc")) / n
+            round(ent, 9).as("entropy")
+          })
+        .select(col("col_name"), col("n"), col("n_distinct"),
+          col("entropy"),
+          when(col("n_distinct") <= 1, lit(null).cast("double"))
+            .otherwise(round(col("entropy") /
+              log(col("n_distinct").cast("double")), 9)).as("normalized"))
+    }.reduce(_.union(_))
+  }
+
   /** Exact pairwise Pearson correlation matrix over numeric columns —
     * the feature-redundancy screen of a profiling pass ("price and tax
     * are 0.99-correlated; drop one"). ONE map-side-combined aggregate

@@ -136,4 +136,37 @@ object Skew {
         col("p50_cnt"), col("p99_cnt"))
       .orderBy(col("rank"))
   }
+
+  /** Herfindahl–Hirschman concentration index per market —
+    * [[giniConcentration]]'s antitrust-flavored sibling, and the
+    * domain-mixture diagnostic for training corpora ("one crawl source
+    * owns 62% of this language"): HHI = Σ_firm share² ∈ (0, 1], 1 =
+    * monopoly, 1/n_firms = perfectly even. With exact integer firm
+    * totals s_f (route money through cents upstream),
+    * HHI = Σs_f² / (Σs_f)², both sums exact decimals and the quotient
+    * ONE fixed double expression — engine-bit-identical.
+    *
+    * Scale: one (market, firm) aggregate with map-side combine, one
+    * market-keyed reduction — nothing wider than firm cardinality
+    * shuffles. Returns (market, n_firms, total, hhi). */
+  def hhi(df: DataFrame, marketCol: String, firmCol: String,
+      value: Column): DataFrame = {
+    val firms = df
+      .filter(col(firmCol).isNotNull && value.isNotNull)
+      .groupBy(col(marketCol).as("market"), col(firmCol).as("__f"))
+      .agg(sum(value.cast("decimal(19,0)")).cast("decimal(19,0)")
+        .as("__s"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    firms
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("__s")).cast("decimal(38,0)").as("__tot"),
+        sum((col("__s") * col("__s")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sq"))
+      .select(col("market"), col("n_firms"),
+        col("__tot").cast("decimal(19,0)").as("total"),
+        when(col("__tot") === 0, lit(null).cast("double"))
+          .otherwise(dbl(col("__sq")) /
+            (dbl(col("__tot")) * dbl(col("__tot")))).as("hhi"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -693,6 +694,60 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank").cast(LongType).as("rank"),
         col("term"), col("score"))
+  }
+
+  /** Zipf's-law fit over the top-k token frequencies: OLS slope of
+    * ln(freq) against ln(rank) — natural text sits near −1; a corpus
+    * whose slope drifts toward 0 is template/boilerplate-heavy, one
+    * far below −1 is dominated by a tiny vocabulary (both are data-mix
+    * red flags a mean length can't see). Returns ONE row
+    * (k, slope, intercept, r2).
+    *
+    * Exactness route: ranks and counts are exact integers; each ln is
+    * rounded to 9 decimals and CAST to decimal(28,12) — the double is
+    * within ~1e-15 of the 9-decimal value, so both engines' double→
+    * decimal casts agree at scale 12 — making every OLS sum an exact
+    * decimal; slope/intercept/r² are fixed double expressions at the
+    * end. (libm ln agrees bit-for-bit across both engines on this
+    * platform — the t193 TF-IDF gate pins that.)
+    *
+    * Scale: exact counts are one corpus pass with map-side combine;
+    * top-k is TakeOrderedAndProject; everything after runs on k rows. */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 3, s"need k >= 3 points to fit, got $k")
+    // (14,12) points make the cross-products (29,24) — inside 38 digits
+    // in both engines with no scale adjustment (ln values < 100)
+    val d12 = "decimal(14,12)"
+    val top = topTokens(df, textCol, k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    val pts = top.select(
+      round(log(col("rank").cast(DoubleType)), 9).cast(d12).as("__x"),
+      round(log(col("n").cast(DoubleType)), 9).cast(d12).as("__y"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val s = pts.agg(count(lit(1)).as("__k"),
+      sum(col("__x")).cast("decimal(38,12)").as("__sx"),
+      sum(col("__y")).cast("decimal(38,12)").as("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,24)"))
+        .cast("decimal(38,24)").as("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,24)"))
+        .cast("decimal(38,24)").as("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,24)"))
+        .cast("decimal(38,24)").as("__syy"))
+    val n = col("__k").cast("double")
+    val (sx, sy) = (dbl(col("__sx")), dbl(col("__sy")))
+    val (sxy, sxx, syy) = (dbl(col("__sxy")), dbl(col("__sxx")),
+      dbl(col("__syy")))
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    s.select(col("__k").as("k"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(num / den).as("slope"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise((sy - (num / den) * sx) / n).as("intercept"),
+      when(den === 0.0 || denY === 0.0, lit(null).cast("double"))
+        .otherwise(num * num / (den * denY)).as("r2"))
   }
 
   /** Exact pairwise vocabulary overlap between corpus slices ("how much

@@ -450,6 +450,81 @@ object MicroBatch {
         (col("violating_det") === 0L).as("fd_holds"))
   }
 
+  /** Streaming correlation maintenance: each micro-batch's exact-decimal
+    * moment sums (n, Σx, Σy, Σx², Σy², Σxy) fold ADDITIVELY into one
+    * persisted row (versioned `version=batchId` snapshots,
+    * replay-idempotent like [[streamRollup]]) — live "is the metric
+    * still tracking the driver?" without rescanning history. Read the
+    * current Pearson r with [[readCorr]]; it must equal
+    * [[graft.operators.Expectations.corrMatrix]] on the union of all
+    * batches EXACTLY, because decimal sums are associative where double
+    * sums are not — the whole reason the state is decimal. Per-batch
+    * cost: one single-row aggregate + a one-row merge. Rows with a
+    * NULL/NaN on either side are excluded (listwise, the batch
+    * convention). */
+  def streamMoments(stream: DataFrame, dir: String, xCol: String,
+      yCol: String, cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val dIn = "decimal(18,6)"
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .select(col(xCol).cast("double").as("__x"),
+            col(yCol).cast("double").as("__y"))
+          .filter(col("__x").isNotNull && !isnan(col("__x")) &&
+            col("__y").isNotNull && !isnan(col("__y")))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("__x").cast(dIn)).cast("decimal(38,6)").as("__sx"),
+            sum(col("__y").cast(dIn)).cast("decimal(38,6)").as("__sy"),
+            sum((col("__x").cast(dIn) * col("__x").cast(dIn))
+              .cast("decimal(38,12)")).cast("decimal(38,12)").as("__sxx"),
+            sum((col("__y").cast(dIn) * col("__y").cast(dIn))
+              .cast("decimal(38,12)")).cast("decimal(38,12)").as("__syy"),
+            sum((col("__x").cast(dIn) * col("__y").cast(dIn))
+              .cast("decimal(38,12)")).cast("decimal(38,12)").as("__sxy"))
+        val merged = latestRollupVersion(spark, dir,
+            beforeExclusive = Some(batchId)) match {
+          case None => delta
+          case Some(v) =>
+            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
+              .agg(sum(col("__n")).cast("long").as("__n"),
+                sum(col("__sx")).cast("decimal(38,6)").as("__sx"),
+                sum(col("__sy")).cast("decimal(38,6)").as("__sy"),
+                sum(col("__sxx")).cast("decimal(38,12)").as("__sxx"),
+                sum(col("__syy")).cast("decimal(38,12)").as("__syy"),
+                sum(col("__sxy")).cast("decimal(38,12)").as("__sxy"))
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current Pearson r of a [[streamMoments]] directory, computed
+    * with [[graft.operators.Expectations.corrMatrix]]'s exact fixed
+    * expression: (col_a, col_b, n, corr). */
+  def readCorr(spark: SparkSession, dir: String, xName: String,
+      yName: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no moment versions under $dir"))
+    def dbl(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val s = spark.read.parquet(s"$dir/version=$v")
+    val n = col("__n").cast("double")
+    val (sx, sy) = (dbl(col("__sx")), dbl(col("__sy")))
+    val (sxx, syy, sxy) = (dbl(col("__sxx")), dbl(col("__syy")),
+      dbl(col("__sxy")))
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    s.select(lit(xName).as("col_a"), lit(yName).as("col_b"),
+      col("__n").as("n"),
+      when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+        .otherwise((n * sxy - sx * sy) / sqrt(vx * vy)).as("corr"))
+  }
+
   /** Streaming distribution-drift maintenance: micro-batches of a
     * numeric column fold ADDITIVELY into persisted per-value counts
     * (versioned `version=batchId` snapshots like [[streamRollup]],

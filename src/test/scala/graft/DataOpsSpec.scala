@@ -994,6 +994,38 @@ class DataOpsSpec extends SparkTestBase {
       ("C", 2L, 0.0)))
   }
 
+  test("hhi: monopoly scores exactly 1.0, an even n-way split scores " +
+      "exactly 1/n, null firms are excluded") {
+    val rows = Seq(
+      ("mono", "f1", 100L), ("mono", "f1", 50L),
+      ("even", "a", 10L), ("even", "b", 10L), ("even", "c", 10L),
+      ("even", "d", 10L),
+      ("even", null, 999L))
+      .toDF("market", "firm", "cents")
+    val got = Skew.hhi(rows, "market", "firm", col("cents"))
+      .orderBy("market").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq === Seq(("even", 4L, 0.25), ("mono", 1L, 1.0)))
+  }
+
+  test("entropyProfile: constant column scores ~0 with NULL normalized; " +
+      "uniform column hits ln(k) with normalized ~1; nulls are skipped") {
+    val rows = (1 to 40).map(i =>
+      ("const", s"u${i % 4}", if (i % 2 == 0) null else "x"))
+      .toDF("c1", "c2", "c3")
+    val got = Expectations.entropyProfile(rows, Seq("c1", "c2", "c3"))
+      .orderBy("col_name").collect()
+    val c1 = got(0)
+    assert(c1.getLong(1) === 40L && c1.getLong(2) === 1L &&
+      math.abs(c1.getDouble(3)) <= 1e-9 && c1.isNullAt(4))
+    val c2 = got(1)
+    assert(c2.getLong(2) === 4L &&
+      math.abs(c2.getDouble(3) - math.log(4.0)) < 1e-8 &&
+      math.abs(c2.getDouble(4) - 1.0) < 1e-8)
+    val c3 = got(2) // nulls skipped: 20 surviving 'x' rows, constant
+    assert(c3.getLong(1) === 20L && c3.getLong(2) === 1L)
+  }
+
   test("corrMatrix: exact linear pair hits ±1.0 bit-exactly, constant " +
       "column is NULL, one aggregate feeds every pair") {
     val rows = (1 to 8).map(i =>

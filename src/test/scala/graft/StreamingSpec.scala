@@ -741,6 +741,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed() === batch)
   }
 
+  test("streamMoments: additive decimal moments across batches equal " +
+      "batch corrMatrix to the BIT; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strmom")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/mom", s"$root/ckpt")
+    val b1 = Seq((1.0, 2.5), (2.0, 4.5), (3.0, 5.5))
+    val b2 = Seq((4.0, 9.5), (5.0, 10.0), (Double.NaN, 1.0))
+    b1.toDF("x", "y").coalesce(1).write.parquet(srcDir)
+    b2.toDF("x", "y").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamMoments(stream, outDir,
+          "x", "y", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def streamed() = graft.streaming.MicroBatch.readCorr(spark, outDir,
+      "x", "y").head
+    val batch = graft.operators.Expectations.corrMatrix(
+      (b1 ++ b2).toDF("x", "y"), Seq("x", "y")).head
+    assert(streamed().getLong(2) === 5L) // NaN row excluded
+    assert(streamed().getDouble(3) === batch.getDouble(3),
+      "streamed Pearson must equal the batch value bit-for-bit")
+    run() // restart: checkpoint replays nothing
+    assert(streamed().getDouble(3) === batch.getDouble(3))
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

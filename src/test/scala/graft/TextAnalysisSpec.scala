@@ -269,4 +269,23 @@ class TextAnalysisSpec extends SparkTestBase {
     // only (s1, s2) share tokens: |{b,c}| = 2, union 4 → jaccard 0.5
     assert(got.toSeq === Seq(("s1", "s2", 3L, 3L, 2L, 0.5)))
   }
+
+  test("zipfFit: a near-Zipf corpus fits slope ~ -1 with high r2; " +
+      "partitioning-invariant to the bit") {
+    // token wi appears floor(60/i) times, i = 1..10 — frequencies on
+    // (almost) the f = C/rank curve
+    val words = (1 to 10).flatMap(i => Seq.fill(60 / i)(s"w$i"))
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, "text", k = 10).head
+    assert(got.getLong(0) === 10L)
+    assert(got.getDouble(1) > -1.2 && got.getDouble(1) < -0.8,
+      s"slope ${got.getDouble(1)}")
+    assert(got.getDouble(3) > 0.95, s"r2 ${got.getDouble(3)}")
+    val again = TextAnalysis.zipfFit(docs.repartition(5), "text", k = 10)
+      .head
+    assert(again.getDouble(1) === got.getDouble(1) &&
+      again.getDouble(3) === got.getDouble(3))
+  }
 }
