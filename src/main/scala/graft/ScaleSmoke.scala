@@ -198,7 +198,10 @@ object ScaleSmoke {
     // r10 wave 5: single-aggregate statistics (DiD, corr matrix,
     // entropy, HHI, Zipf), group×domain EMD, streaming moment IVM
     "q242_diff_in_diff", "q243_t_closeness", "q244_corr_matrix",
-    "t245_zipf", "q246_hhi", "q247_entropy", "str248_stream_corr")
+    "t245_zipf", "q246_hhi", "q247_entropy", "str248_stream_corr",
+    // r10 wave 6: exact-decimal changepoint argmax, domain-sized
+    // weighted-median selection, streaming entropy read-side
+    "q249_changepoint", "q250_weighted_median", "str251_stream_entropy")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

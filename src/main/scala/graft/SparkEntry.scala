@@ -2537,6 +2537,48 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Single-changepoint localization: the day where the cumulative sum
+    // departs furthest from the no-change diagonal — exact-decimal
+    // statistic so the argmax is engine-reproducible by construction;
+    // q185's CUSUM answers "did it shift", this answers "where".
+    "q249_changepoint" -> ((s, d) =>
+      operators.Anomaly.changepoint(t(s, d, "events"), "event_type",
+          "ts", col("value"))
+        .orderBy(col("series"))),
+
+    // Weighted median by exact cumulative-weight selection: median
+    // quantity BY REVENUE — the typical value when rows carry unequal
+    // mass; lower-median rule, integer weights, zero interpolation.
+    "q250_weighted_median" -> ((s, d) =>
+      operators.Expectations.weightedMedian(t(s, d, "lineitem"),
+          "l_returnflag", col("l_quantity"),
+          round(col("l_extendedprice") * 100, 0).cast("long"))
+        .orderBy(col("group"))),
+
+    // Streaming entropy monitor: the same additive value-count state as
+    // str229 read through the entropy lens — distribution collapse
+    // (one value dominating) alarms before any mean moves; must equal
+    // the batch entropy of the union exactly.
+    "str251_stream_entropy" -> ((s, d) => {
+      val root = tmpDir("graft_str251")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_totalprice"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("o_totalprice")),
+        o.filter(col("ok") % 2 === 1).select(col("o_totalprice"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+          outDir, "o_totalprice", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readEntropy(s, outDir)
+    }),
+
     // Streaming correlation maintenance: per-batch exact-decimal moment
     // sums fold additively into one persisted row; read-side Pearson r
     // must equal the batch corrMatrix on the union of all batches
@@ -4957,6 +4999,78 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "q249_changepoint" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+        | FROM events GROUP BY series, bucket),
+        |cum AS (SELECT series, bucket,
+        |  row_number() OVER (PARTITION BY series ORDER BY bucket) AS t,
+        |  CAST(sum(v) OVER (PARTITION BY series ORDER BY bucket)
+        |   AS DECIMAL(26,6)) AS st,
+        |  count(*) OVER (PARTITION BY series) AS n,
+        |  CAST(sum(v) OVER (PARTITION BY series) AS DECIMAL(26,6)) AS sn
+        | FROM dly),
+        |cand AS (SELECT *,
+        |  CAST(abs(CAST(t AS DECIMAL(10,0)) * sn -
+        |   CAST(n AS DECIMAL(10,0)) * st) AS DECIMAL(38,6)) AS stat
+        | FROM cum WHERE n >= 2 AND t < n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY series
+        |  ORDER BY stat DESC, bucket) AS rk FROM cand),
+        |mm AS (SELECT series, CAST(n AS BIGINT) AS n_days,
+        |  bucket AS split_bucket,
+        |  CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(t AS DOUBLE)
+        |   AS mean_before,
+        |  CAST(CAST(CAST(sn - st AS DECIMAL(27,6)) AS VARCHAR) AS DOUBLE)
+        |   / CAST(n - t AS DOUBLE) AS mean_after
+        | FROM best WHERE rk = 1)
+        |SELECT series, n_days, split_bucket, mean_before, mean_after,
+        | mean_after - mean_before AS gap
+        |FROM mm
+        |ORDER BY series""".stripMargin,
+
+    "q250_weighted_median" ->
+      """WITH cells AS (
+        | SELECT l_returnflag AS grp, l_quantity AS v,
+        |  CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS w
+        | FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND CAST(round(l_extendedprice * 100, 0) AS BIGINT) > 0
+        | GROUP BY grp, v),
+        |cum AS (SELECT grp, v,
+        |  CAST(sum(w) OVER (PARTITION BY grp ORDER BY v)
+        |   AS DECIMAL(28,0)) AS cw,
+        |  CAST(sum(w) OVER (PARTITION BY grp) AS DECIMAL(28,0)) AS tot
+        | FROM cells),
+        |sel AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v)
+        |  AS rk FROM cum WHERE cw + cw >= tot)
+        |SELECT grp AS "group", CAST(tot AS DECIMAL(19,0)) AS total_weight,
+        | v AS weighted_median
+        |FROM sel WHERE rk = 1
+        |ORDER BY grp""".stripMargin,
+
+    // streamed value counts read through the entropy lens must equal
+    // the batch entropy of the union
+    "str251_stream_entropy" ->
+      """WITH vals AS (
+        | SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        | WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+        |cnt AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |   CAST(CAST(CAST(sum(CAST(CAST(c AS DECIMAL(12,0)) *
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(14,12))
+        |    AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS VARCHAR)
+        |    AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) AS entropy
+        | FROM cnt)
+        |SELECT n, n_distinct, entropy,
+        | CASE WHEN n_distinct <= 1 THEN NULL
+        |  ELSE round(entropy / ln(CAST(n_distinct AS DOUBLE)), 9)
+        | END AS normalized
+        |FROM a""".stripMargin,
 
     "q211_rfm" ->
       """WITH per AS (

@@ -203,4 +203,59 @@ object Anomaly {
           lit(false)))
       .drop("__z", "__rh", "__rl")
   }
+
+  /** Single-changepoint localization per series (binary segmentation's
+    * first split): the day t maximizing the CUSUM deviation
+    * |t·S_n − n·S_t| — the point where the cumulative sum departs
+    * furthest from the no-change diagonal — with before/after means and
+    * their gap. [[cusum]] ANSWERS "did the level shift?" online; this
+    * answers "WHERE did it shift?" offline (the retraining-cutoff /
+    * incident-start question). Recurse on the halves for multiple
+    * changepoints.
+    *
+    * Exactness: daily sums are exact decimals, so the statistic
+    * t·S_n − n·S_t is an exact decimal per candidate split — the argmax
+    * (ties → earliest day) is engine-reproducible by construction, not
+    * by float luck; the two means are ONE double division each and
+    * `gap` a fixed expression over them. Returns one row per series
+    * with ≥ 2 days: (series, n_days, split_bucket, mean_before,
+    * mean_after, gap); the split is the LAST day of the left segment.
+    *
+    * Scale: one (series, day) aggregate, then windows over the
+    * days-sized series table — candidates are days, never events. */
+  def changepoint(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column): DataFrame = {
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+    val wSeq = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("series"))
+    val cum = dly
+      .withColumn("__t", row_number().over(
+        Window.partitionBy(col("series")).orderBy(col("bucket"))))
+      .withColumn("__st", sum(col("v")).over(wSeq).cast("decimal(26,6)"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("v")).over(wAll).cast("decimal(26,6)"))
+      .filter(col("__n") >= 2 && col("__t") < col("__n"))
+      // t·S_n and n·S_t: (10,0)·(26,6) → (37,6), exact in both engines
+      .withColumn("__stat",
+        abs(col("__t").cast("decimal(10,0)") * col("__sn") -
+          col("__n").cast("decimal(10,0)") * col("__st"))
+          .cast("decimal(38,6)"))
+    val wBest = Window.partitionBy(col("series"))
+      .orderBy(col("__stat").desc, col("bucket"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    cum
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(col("series"), col("__n").as("n_days"),
+        col("bucket").as("split_bucket"),
+        (dbl(col("__st")) / col("__t").cast("double")).as("mean_before"),
+        (dbl((col("__sn") - col("__st")).cast("decimal(27,6)")) /
+          (col("__n") - col("__t")).cast("double")).as("mean_after"))
+      .withColumn("gap", col("mean_after") - col("mean_before"))
+  }
 }

@@ -503,6 +503,42 @@ object Expectations {
       .filter(col("group_size") < k || col("sensitive_distinct") < l)
   }
 
+  /** Weighted median per group by exact cumulative-weight selection —
+    * the right "typical value" when rows carry unequal mass ("median
+    * document length BY TOKEN COUNT", "median price by quantity"):
+    * the unweighted median of a corpus where one doc is 1000× another
+    * answers the wrong question. Returns the LOWER weighted median —
+    * the smallest value v with 2·W(≤v) ≥ W_total — one row per group:
+    * (group, total_weight, weighted_median). No interpolation, so the
+    * answer is a value that EXISTS and the selection is exact integer
+    * arithmetic (weights must be non-negative integers; scale
+    * fractional weights upstream). Zero-weight-only groups are absent.
+    *
+    * Scale: one (group, value) weight-sum aggregate (map-side
+    * combined), then a per-group window over DISTINCT-VALUE rows —
+    * domain-sized, never row-scale; the doubled comparison avoids
+    * both division and overflow-prone midpoints. */
+  def weightedMedian(df: DataFrame, groupCol: String, value: Column,
+      weight: Column): DataFrame = {
+    val cells = df
+      .filter(value.isNotNull && weight.isNotNull && weight > 0)
+      .groupBy(col(groupCol).as("group"), value.as("__v"))
+      .agg(sum(weight.cast("decimal(19,0)")).cast("decimal(19,0)")
+        .as("__w"))
+    val wSeq = Window.partitionBy(col("group")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("group"))
+    cells
+      .withColumn("__cum", sum(col("__w")).over(wSeq).cast("decimal(28,0)"))
+      .withColumn("__tot", sum(col("__w")).over(wAll).cast("decimal(28,0)"))
+      .filter(col("__cum") + col("__cum") >= col("__tot"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("group")).orderBy(col("__v"))))
+      .filter(col("__rk") === 1)
+      .select(col("group"), col("__tot").cast("decimal(19,0)")
+        .as("total_weight"), col("__v").as("weighted_median"))
+  }
+
   /** t-closeness audit over an ORDERED sensitive attribute —
     * [[kAnonymity]]'s distributional upgrade: a group can be k-anonymous
     * and l-diverse yet still leak ("every member of this quasi-group has

@@ -502,6 +502,33 @@ object MicroBatch {
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** The current Shannon entropy of a [[streamValueCounts]] directory —
+    * live "is the metric's distribution collapsing?" (entropy → 0 =
+    * one value dominating; a spike in card-testing fraud or a stuck
+    * sensor shows here before any mean moves). Same decimal-routed
+    * c·ln c accumulation and 9-rounded outputs as
+    * [[graft.operators.Expectations.entropyProfile]], so the streamed
+    * value equals the batch profile on the union of all batches
+    * exactly. One row: (n, n_distinct, entropy, normalized). */
+  def readEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val agg = readValueCounts(spark, dir)
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("n")).as("__n"),
+        sum((col("n").cast("decimal(12,0)") *
+          round(log(col("n").cast("double")), 9)
+            .cast("decimal(14,12)")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__clnc"))
+    val nD = col("__n").cast("double")
+    agg.select(col("__n").as("n"), col("n_distinct"),
+        round(log(nD) - dbl(col("__clnc")) / nD, 9).as("entropy"))
+      .select(col("n"), col("n_distinct"), col("entropy"),
+        when(col("n_distinct") <= 1, lit(null).cast("double"))
+          .otherwise(round(col("entropy") /
+            log(col("n_distinct").cast("double")), 9)).as("normalized"))
+  }
+
   /** The current Pearson r of a [[streamMoments]] directory, computed
     * with [[graft.operators.Expectations.corrMatrix]]'s exact fixed
     * expression: (col_a, col_b, n, corr). */

@@ -994,6 +994,40 @@ class DataOpsSpec extends SparkTestBase {
       ("C", 2L, 0.0)))
   }
 
+  test("changepoint: a clean level shift localizes to its last " +
+      "pre-shift day with exact segment means; a constant series " +
+      "tie-breaks to the earliest day with gap 0") {
+    val rows = (1 to 10).map(i =>
+      (f"2024-05-$i%02d 12:00:00", "shift",
+        if (i <= 5) 10.0 else 20.0)) ++
+      (1 to 4).map(i => (f"2024-05-$i%02d 12:00:00", "flat", 7.0))
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = Anomaly.changepoint(ev, "event_type", "ts", col("value"))
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDate(2).toString, r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("flat", 4L, "2024-05-01", 7.0, 7.0, 0.0),
+      ("shift", 10L, "2024-05-05", 10.0, 20.0, 10.0)))
+  }
+
+  test("weightedMedian: mass pulls the median to the heavy value; " +
+      "lower-median rule on an even split; zero weights excluded") {
+    val rows = Seq(
+      ("heavy", 1L, 1L), ("heavy", 2L, 1L), ("heavy", 3L, 10L),
+      ("even", 1L, 5L), ("even", 2L, 5L),
+      ("zeros", 1L, 0L))
+      .toDF("g", "v", "w")
+    val got = Expectations.weightedMedian(rows, "g", col("v"), col("w"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).longValueExact(),
+        r.getLong(2)))
+    // 'zeros' has only zero-weight rows → absent entirely
+    assert(got.toSeq === Seq(("even", 10L, 1L), ("heavy", 12L, 3L)))
+  }
+
   test("hhi: monopoly scores exactly 1.0, an even n-way split scores " +
       "exactly 1/n, null firms are excluded") {
     val rows = Seq(

@@ -774,6 +774,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed().getDouble(3) === batch.getDouble(3))
   }
 
+  test("readEntropy over streamed value counts equals the batch " +
+      "entropy profile of the union bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strent")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/vc", s"$root/ckpt")
+    val b1 = Seq(1.0, 1.0, 2.0)
+    val b2 = Seq(2.0, 3.0, 3.0, 3.0)
+    b1.toDF("m").coalesce(1).write.parquet(srcDir)
+    b2.toDF("m").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamValueCounts(stream, outDir,
+        "m", graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = graft.streaming.MicroBatch.readEntropy(spark, outDir)
+      .head
+    val batch = graft.operators.Expectations.entropyProfile(
+      (b1 ++ b2).toDF("m"), Seq("m")).head
+    assert(streamed.getLong(0) === batch.getLong(1) &&
+      streamed.getLong(1) === batch.getLong(2))
+    assert(streamed.getDouble(2) === batch.getDouble(3) &&
+      streamed.getDouble(3) === batch.getDouble(4))
+  }
+
   test("streaming funnel: time-split batches reproduce the batch chain " +
       "exactly, state advances across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
