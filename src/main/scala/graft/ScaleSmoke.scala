@@ -201,7 +201,9 @@ object ScaleSmoke {
     "t245_zipf", "q246_hhi", "q247_entropy", "str248_stream_corr",
     // r10 wave 6: exact-decimal changepoint argmax, domain-sized
     // weighted-median selection, streaming entropy read-side
-    "q249_changepoint", "q250_weighted_median", "str251_stream_entropy")
+    "q249_changepoint", "q250_weighted_median", "str251_stream_entropy",
+    // r10 wave 7: the codegen'd audio-energy kernel + HOF span trim
+    "m252_audio_energy", "m253_silence_trim")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2537,6 +2537,36 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Windowed audio-energy profile: payload bytes as stub PCM, one
+    // codegen'd kernel pass, EXACT integer squared-amplitude sums per
+    // window. Value-pinned (byte-level kernel isn't SQL); the
+    // TypeMappingSpec hand-PCM fixture is the semantic oracle.
+    "m252_audio_energy" -> ((s, d) =>
+      operators.Multimodal.audioEnergy(
+          t(s, d, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id"),
+              col("text").cast(BinaryType).as("payload")),
+          "doc_id", "payload", windowBytes = 64)
+        .orderBy(col("doc_id"), col("win"))),
+
+    // Silence trim: first/last active window by the INTEGER threshold
+    // compare (sum_sq >= t·n) + trimmed byte length — the audio lead-
+    // in/lead-out cutter. The fixture plants a doc_id%4-window quiet
+    // lead-in ('~' = amplitude 2) and makes every 7th payload all-quiet,
+    // so trims of every length AND the NULL-span row all occur.
+    "m253_silence_trim" -> ((s, d) =>
+      operators.Multimodal.silenceTrim(
+          t(s, d, "documents").filter(col("doc_id") < 200)
+            .select(col("doc_id"),
+              when(col("doc_id") % 7 === 0, repeat(lit("~"), 192))
+                .otherwise(concat(
+                  repeat(lit("~"), (col("doc_id") % 4).cast("int") * 64),
+                  col("text")))
+                .cast(BinaryType).as("payload")),
+          "doc_id", "payload", windowBytes = 64,
+          meanSqThreshold = 100L)
+        .orderBy(col("doc_id"))),
+
     // Single-changepoint localization: the day where the cumulative sum
     // departs furthest from the no-change diagonal — exact-decimal
     // statistic so the argmax is engine-reproducible by construction;
@@ -4013,7 +4043,7 @@ object SparkEntry {
     "d30_simhash_neardup", "d31_embed_neardup", "d40_ngram_neardup",
     "d91_semantic_dedup", "d93_temperature_mix", "d240_containment",
     "d96_semantic_decontaminate", "m130_cdc_dedup", "m142_binary_neardup",
-    "m197_phash_neardup",
+    "m197_phash_neardup", "m252_audio_energy", "m253_silence_trim",
     "p88_pipeline", "q104_foreign_bucket", "q38_approx",
     "s111_prototypicality", "s118_cluster_stats", "s119_diversity_sample",
     "s129_pca_ann", "s139_ann_persist", "s145_ann_batch", "s33_ann_lsh",

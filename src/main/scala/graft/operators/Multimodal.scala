@@ -227,4 +227,59 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("shared_bytes"),
         round(col("jaccard_bytes"), 4).as("jaccard_bytes"))
   }
+
+  /** Windowed energy profile of audio-like payloads: one row per
+    * (payload, window) with the EXACT integer squared-amplitude sum
+    * (bytes read as unsigned 8-bit PCM centered at 128 — the stub
+    * "decode"; a real codec's sample buffer slots into the same
+    * kernel). The loudness/activity timeline feeding [[silenceTrim]],
+    * clipping detection, and energy-based segment sampling.
+    *
+    * Scale: the kernel is one codegen'd pass over payload bytes inside
+    * the scan stage; the explode emits len/window rows per payload —
+    * the profile table is windows-sized, and nothing shuffles until
+    * the caller aggregates it. */
+  def audioEnergy(df: DataFrame, idCol: String, binCol: String,
+      windowBytes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graft.NativeFunctions
+    df.select(col(idCol).as("doc_id"),
+        explode(NativeFunctions.audioEnergyWindows(col(binCol),
+          windowBytes)).as("__w"))
+      .select(col("doc_id"), col("__w.win").as("win"),
+        col("__w.n").as("n_bytes"), col("__w.sum_sq").as("sum_sq"))
+  }
+
+  /** Silence trim: per payload, the first/last ACTIVE window (a window
+    * is active iff `sum_sq ≥ meanSqThreshold · n` — the integer form of
+    * "mean square amplitude above threshold", no float compare) and the
+    * trimmed byte length of the active span. The lead-in/lead-out
+    * cutter of an audio-curation pipeline; all-silent payloads report 0
+    * active windows and NULL span columns rather than disappearing.
+    *
+    * Scale: one kernel pass + array HOFs per row, zero shuffle — the
+    * span arithmetic runs on the windows array (len/window elements)
+    * inside codegen. */
+  def silenceTrim(df: DataFrame, idCol: String, binCol: String,
+      windowBytes: Int = 256, meanSqThreshold: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.graft.NativeFunctions
+    val wins = NativeFunctions.audioEnergyWindows(col(binCol), windowBytes)
+    df.select(col(idCol).as("doc_id"), wins.as("__wins"))
+      .withColumn("__active", filter(col("__wins"), w =>
+        w.getField("sum_sq") >= lit(meanSqThreshold) * w.getField("n")))
+      .withColumn("__aw", transform(col("__active"),
+        w => w.getField("win")))
+      .select(col("doc_id"),
+        size(col("__wins")).cast(LongType).as("n_windows"),
+        size(col("__active")).cast(LongType).as("active_windows"),
+        when(size(col("__active")) > 0, array_min(col("__aw")))
+          .cast(LongType).as("first_active"),
+        when(size(col("__active")) > 0, array_max(col("__aw")))
+          .cast(LongType).as("last_active"),
+        when(size(col("__active")) > 0,
+          (array_max(col("__aw")) - array_min(col("__aw")))
+            .cast(LongType) * windowBytes +
+            element_at(col("__wins"), array_max(col("__aw")) + 1)
+              .getField("n").cast(LongType))
+          .as("trimmed_bytes"))
+  }
 }

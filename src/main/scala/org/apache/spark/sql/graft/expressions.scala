@@ -982,6 +982,66 @@ case class DHash64(child: Expression)
   override def prettyName: String = "dhash64"
 }
 
+/** Windowed energy profile of an audio-like payload: the byte stream is
+  * read as unsigned 8-bit PCM centered at 128 (the STUB "decode" — swap
+  * for a real codec's sample buffer and nothing downstream changes),
+  * split into fixed windows, and each window reports its EXACT integer
+  * squared-amplitude sum — so silence detection compares integers
+  * (sum_sq vs threshold·n), never floats. */
+object AudioKernels {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** One struct(win, n, sum_sq) per `window`-byte window (last window
+    * may be short); empty payload → empty array. */
+  def energyWindows(bytes: Array[Byte], window: Int): GenericArrayData = {
+    val n = bytes.length
+    val wins = (n + window - 1) / window
+    val out = new Array[Any](wins)
+    var w = 0
+    while (w < wins) {
+      val lo = w * window
+      val hi = math.min(lo + window, n)
+      var s = 0L
+      var i = lo
+      while (i < hi) {
+        val a = (bytes(i) & 0xFF) - 128
+        s += a.toLong * a
+        i += 1
+      }
+      out(w) = new GenericInternalRow(Array[Any](w, hi - lo, s))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-window squared-amplitude sums of a binary payload
+  * ([[AudioKernels.energyWindows]]): array<struct<win,n,sum_sq>>.
+  * Null payload → null; codegen emits one static call per row. */
+case class AudioEnergyWindows(child: Expression, window: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    AudioKernels.energyWindows(input.asInstanceOf[Array[Byte]], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.AudioKernels.energyWindows($c, $window)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "audio_energy_windows"
+}
+
 /** Kernels for Z-order (Morton-curve) clustering keys. Kept as static
   * methods so codegen calls inline into every generated class. */
 object ZOrderKernels {
@@ -1451,6 +1511,12 @@ object NativeFunctions {
   /** 64-bit perceptual dHash of a binary payload ([[DHash64]]). */
   def dhash64(c: Column): Column =
     ExpressionUtils.column(DHash64(ExpressionUtils.expression(c)))
+
+  /** Per-window exact energy sums of a binary payload
+    * ([[AudioEnergyWindows]]). */
+  def audioEnergyWindows(c: Column, window: Int): Column =
+    ExpressionUtils.column(
+      AudioEnergyWindows(ExpressionUtils.expression(c), window))
 
   /** Content-defined chunk list of a binary payload ([[ContentChunks]]). */
   def contentChunks(c: Column, minSize: Int, avgBits: Int,

@@ -254,4 +254,36 @@ class TypeMappingSpec extends SparkTestBase {
     assert(rn.getAs[Long]("n_payloads") == 2L)
     assert(rn.getAs[Long]("total_bytes") == 4096L)
   }
+
+  test("audioEnergy: exact per-window squared-amplitude sums; partial " +
+      "last window keeps its true byte count") {
+    import spark.implicits._
+    // window 4: silent, a ±10 swing, and a 1-byte silent tail
+    val b = Array[Byte](128.toByte, 128.toByte, 128.toByte, 128.toByte,
+      138.toByte, 118.toByte, 128.toByte, 128.toByte, 128.toByte)
+    val got = Multimodal.audioEnergy(Seq((7L, b)).toDF("id", "payload"),
+        "id", "payload", windowBytes = 4)
+      .orderBy("win").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0, 4, 0L), (1, 4, 200L), (2, 1, 0L)))
+  }
+
+  test("silenceTrim: integer threshold picks the active span; " +
+      "all-silent payloads keep their row with NULL span") {
+    import spark.implicits._
+    val loud = Array[Byte](128.toByte, 128.toByte, 128.toByte, 128.toByte,
+      138.toByte, 118.toByte, 128.toByte, 128.toByte, 128.toByte)
+    val silent = Array.fill[Byte](6)(128.toByte)
+    val got = Multimodal.silenceTrim(
+        Seq((1L, loud), (2L, silent)).toDF("id", "payload"),
+        "id", "payload", windowBytes = 4, meanSqThreshold = 10L)
+      .orderBy("doc_id").collect()
+    val l = got(0)
+    // only window 1 clears 10·n = 40: span = that single window, and
+    // its trimmed length is the window's own 4 bytes
+    assert((l.getLong(1), l.getLong(2), l.getLong(3), l.getLong(4),
+      l.getLong(5)) === ((3L, 1L, 1L, 1L, 4L)))
+    val s = got(1)
+    assert(s.getLong(2) === 0L && s.isNullAt(3) && s.isNullAt(5))
+  }
 }
