@@ -203,7 +203,10 @@ object ScaleSmoke {
     // weighted-median selection, streaming entropy read-side
     "q249_changepoint", "q250_weighted_median", "str251_stream_entropy",
     // r10 wave 7: the codegen'd audio-energy kernel + HOF span trim
-    "m252_audio_energy", "m253_silence_trim")
+    "m252_audio_energy", "m253_silence_trim",
+    // r10 wave 8: burstiness reduction, replace-arithmetic code router,
+    // streaming concentration read-side
+    "q254_burstiness", "t255_code_detect", "str256_stream_hhi")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2537,6 +2537,50 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Burstiness profile: Fano factor + CV of daily arrivals per series
+    // from exact integer counts — steady feed vs scraper burst; one
+    // division (plus one IEEE sqrt) over exact operands.
+    "q254_burstiness" -> ((s, d) =>
+      operators.TimeSeries.burstiness(t(s, d, "events"), "event_type",
+          "ts")
+        .orderBy(col("series"))),
+
+    // Code-vs-prose router: exact code-character counts via plain
+    // replace() arithmetic (engine-portable to the bit), density ratio,
+    // conservative flag. Every 9th doc gets a planted code tail so both
+    // outcomes occur.
+    "t255_code_detect" -> ((s, d) =>
+      TextAnalysis.codeSignals(
+          t(s, d, "documents").withColumn("text2",
+            when(col("doc_id") % 9 === 0, concat(col("text"),
+              lit(" function f(x) { return x[i] <= y[i]; }")))
+              .otherwise(col("text"))),
+          "doc_id", "text2", minRatio = 0.01)
+        .orderBy(col("doc_id"))),
+
+    // Streaming concentration monitor: the additive value-count state
+    // read through the HHI lens — a stream collapsing onto one value
+    // spikes here first; equals the batch formula on the union exactly.
+    "str256_stream_hhi" -> ((s, d) => {
+      val root = tmpDir("graft_str256")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_totalprice"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("o_totalprice")),
+        o.filter(col("ok") % 2 === 1).select(col("o_totalprice"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+          outDir, "o_totalprice", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readConcentration(s, outDir)
+    }),
+
     // Windowed audio-energy profile: payload bytes as stub PCM, one
     // codegen'd kernel pass, EXACT integer squared-amplitude sums per
     // window. Value-pinned (byte-level kernel isn't SQL); the
@@ -5029,6 +5073,81 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "q254_burstiness" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket, count(*) AS n
+        | FROM events GROUP BY series, bucket),
+        |s AS (SELECT series, count(*) AS n_days,
+        |  CAST(sum(n) AS DECIMAL(19,0)) AS tot,
+        |  CAST(sum(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        |   AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+        | FROM dly GROUP BY series),
+        |c AS (SELECT series, n_days, tot,
+        |  CAST(CAST(CAST(n_days AS DECIMAL(6,0)) *
+        |   CAST(sq AS DECIMAL(32,0)) AS DECIMAL(38,0)) -
+        |   CAST(tot * tot AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS disp
+        | FROM s)
+        |SELECT series, n_days, CAST(tot AS BIGINT) AS total,
+        | CAST(CAST(tot AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |  AS mean,
+        | CAST(CAST(disp AS VARCHAR) AS DOUBLE) /
+        |  (CAST(n_days AS DOUBLE) * CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+        |  AS fano,
+        | sqrt(CAST(CAST(disp AS VARCHAR) AS DOUBLE)) /
+        |  CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS cv
+        |FROM c
+        |ORDER BY series""".stripMargin,
+
+    "t255_code_detect" -> {
+      val structural = Seq("{", "}", ";")
+      val operators = Seq("(", ")", "=", "<", ">", "[", "]")
+      def cnt(ch: String) = {
+        val q = ch.replace("'", "''")
+        s"(length(t2) - length(replace(t2, '$q', '')))"
+      }
+      val structSum = structural.map(cnt).mkString(" + ")
+      val symSum = (structural ++ operators).map(cnt).mkString(" + ")
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 9 = 0 THEN text ||
+         |   ' function f(x) { return x[i] <= y[i]; }' ELSE text END AS t2
+         | FROM documents),
+         |m AS (SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_chars,
+         |  CAST($structSum AS BIGINT) AS structural_chars,
+         |  CAST($symSum AS BIGINT) AS symbol_chars
+         | FROM d),
+         |r AS (SELECT *,
+         |  CASE WHEN n_chars = 0 THEN 0.0
+         |   ELSE CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |  END AS symbol_ratio FROM m)
+         |SELECT doc_id, n_chars, structural_chars, symbol_chars,
+         | symbol_ratio,
+         | symbol_ratio >= 0.01 AND structural_chars > 0 AS looks_code
+         |FROM r
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // streamed value counts read through the HHI lens must equal the
+    // batch concentration of the union
+    "str256_stream_hhi" ->
+      """WITH vals AS (
+        | SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        | WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)),
+        |cnt AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+        |a AS (SELECT count(*) AS n_distinct,
+        |  CAST(sum(c) AS DECIMAL(19,0)) AS tot,
+        |  CAST(sum(CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |   AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+        |  max(c) AS top FROM cnt)
+        |SELECT CAST(tot AS BIGINT) AS n, n_distinct,
+        | CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+        |  (CAST(CAST(tot AS VARCHAR) AS DOUBLE) *
+        |   CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi,
+        | CAST(top AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+        |  AS top_share
+        |FROM a""".stripMargin,
 
     "q249_changepoint" ->
       """WITH dly AS (

@@ -696,6 +696,41 @@ object TextAnalysis {
         col("term"), col("score"))
   }
 
+  /** Code-vs-prose signals per document — the router a mixed crawl
+    * needs before language-specific quality rules (prose thresholds
+    * reject good code and vice versa): exact counts of code-indicative
+    * characters (braces/semicolons/operators), their ratio, and a
+    * conservative `looks_code` flag (symbol density + at least one
+    * structural brace-or-semicolon). Pure length/replace arithmetic —
+    * zero shuffle, engine-portable to the bit (each count is
+    * `length(text) − length(replace(text, ch, ''))`, the expression an
+    * external SQL engine reproduces verbatim).
+    *
+    * Scale: map-only expressions inside the scan stage. */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String,
+      minRatio: Double = 0.03): DataFrame = {
+    val t = col(textCol)
+    // plain (non-regex) replace: the same `replace(text, ch, '')` call
+    // exists verbatim in external SQL engines
+    def cnt(ch: String): Column =
+      (length(t) - length(call_function("replace", t, lit(ch), lit(""))))
+        .cast("long")
+    val structural = Seq("{", "}", ";")
+    val operators = Seq("(", ")", "=", "<", ">", "[", "]")
+    val structCnt = structural.map(cnt).reduce(_ + _)
+    val symCnt = (structural ++ operators).map(cnt).reduce(_ + _)
+    df.select(col(idCol).as("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        structCnt.as("structural_chars"),
+        symCnt.as("symbol_chars"))
+      .withColumn("symbol_ratio",
+        when(col("n_chars") === 0L, lit(0.0d))
+          .otherwise(col("symbol_chars").cast(DoubleType) /
+            col("n_chars").cast(DoubleType)))
+      .withColumn("looks_code",
+        col("symbol_ratio") >= minRatio && col("structural_chars") > 0L)
+  }
+
   /** Zipf's-law fit over the top-k token frequencies: OLS slope of
     * ln(freq) against ln(rank) — natural text sits near −1; a corpus
     * whose slope drifts toward 0 is template/boilerplate-heavy, one

@@ -593,6 +593,48 @@ object TimeSeries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
 
+  /** Burstiness profile per series: Fano factor (variance/mean of daily
+    * event counts — 1 = Poisson, >1 = bursty/clumped arrivals, <1 =
+    * regular) and the coefficient of variation. The traffic-shape
+    * screen behind "is this source a steady feed or a scraper burst?"
+    * and capacity planning.
+    *
+    * With integer daily counts, d·Σn² − N² is an exact integer, so
+    *   fano = (d·Σn² − N²) / (d·N)   and   cv = √(d·Σn² − N²) / N
+    * are one division (plus one correctly-rounded IEEE sqrt for cv)
+    * over exact operands — engine-bit-identical, no float accumulation.
+    * Returns (series, n_days, total, mean, fano, cv); single-day series
+    * report fano/cv over their one observation (variance 0).
+    *
+    * Scale: one (series, day) count aggregate, then a series-keyed
+    * reduction — nothing after the first aggregate is event-scale. */
+  def burstiness(events: DataFrame, seriesCol: String, tsCol: String)
+      : DataFrame = {
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val s = dly.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).cast("decimal(19,0)").as("__tot"),
+        sum((col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__sq"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    // (6,0)·(32,0) = (38,0): the day·Σn² product stays inside 38 digits
+    // in BOTH engines (Spark would silently re-scale above 38, DuckDB
+    // refuses the bind)
+    val d = col("n_days").cast("decimal(6,0)")
+    val disp = (d * col("__sq").cast("decimal(32,0)")).cast("decimal(38,0)") -
+      (col("__tot") * col("__tot")).cast("decimal(38,0)")
+    s.select(col("series"), col("n_days"),
+        col("__tot").cast("bigint").as("total"),
+        (dbl(col("__tot")) / col("n_days").cast("double")).as("mean"),
+        (dbl(disp.cast("decimal(38,0)")) /
+          (col("n_days").cast("double") * dbl(col("__tot")))).as("fano"),
+        (sqrt(dbl(disp.cast("decimal(38,0)"))) / dbl(col("__tot")))
+          .as("cv"))
+  }
+
   /** Mann–Kendall trend test per series — [[theilSen]]'s significance
     * half (MK answers "IS there a monotone trend", Theil–Sen "how
     * steep"): S = Σ_{i<j} sign(vⱼ − vᵢ) over all day pairs, variance

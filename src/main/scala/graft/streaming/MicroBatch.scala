@@ -529,6 +529,29 @@ object MicroBatch {
             log(col("n_distinct").cast("double")), 9)).as("normalized"))
   }
 
+  /** The current concentration profile of a [[streamValueCounts]]
+    * directory — [[readEntropy]]'s sibling lens on the same additive
+    * state: HHI = Σc²/N² over exact integer counts (one fixed double
+    * expression) plus the single heaviest value's share. A traffic
+    * stream collapsing onto one value (stuck sensor, replay attack,
+    * fraud burst) spikes here first. One row:
+    * (n, n_distinct, hhi, top_share) — equals the batch formula on the
+    * union of all batches exactly. */
+  def readConcentration(spark: SparkSession, dir: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    readValueCounts(spark, dir)
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("n")).cast("decimal(19,0)").as("__tot"),
+        sum((col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("__sq"),
+        max(col("n")).as("__top"))
+      .select(col("__tot").cast("bigint").as("n"), col("n_distinct"),
+        (dbl(col("__sq")) / (dbl(col("__tot")) * dbl(col("__tot"))))
+          .as("hhi"),
+        (col("__top").cast("double") / dbl(col("__tot"))).as("top_share"))
+  }
+
   /** The current Pearson r of a [[streamMoments]] directory, computed
     * with [[graft.operators.Expectations.corrMatrix]]'s exact fixed
     * expression: (col_a, col_b, n, corr). */

@@ -979,6 +979,29 @@ class DataOpsSpec extends SparkTestBase {
       (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
   }
 
+  test("burstiness: constant daily counts score fano = cv = 0 exactly; " +
+      "a bursty series scores the hand Fano factor") {
+    // steady: 3/day for 4 days. bursty: 1,1,1,9 → mean 3,
+    // pop-var = (4·84 − 144)/16 = 12 → fano = 12/3 = 4, cv = 2/√3·...
+    val rows =
+      (1 to 4).flatMap(dd => Seq.fill(3)((f"2024-06-$dd%02d 10:00:00", "s"))) ++
+      (1 to 3).map(dd => (f"2024-06-$dd%02d 10:00:00", "b")) ++
+      Seq.fill(9)(("2024-06-04 10:00:00", "b"))
+    val ev = rows.toDF("tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.burstiness(ev, "event_type", "ts")
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val b = got(0)
+    assert((b._1, b._2, b._3, b._4) === (("b", 4L, 12L, 3.0)))
+    // disp = d·Σn² − N² = 4·84 − 144 = 192; fano = 192/(4·12) = 4
+    assert(b._5 === 4.0)
+    assert(math.abs(b._6 - math.sqrt(192.0) / 12.0) < 1e-15)
+    val s = got(1)
+    assert((s._1, s._4, s._5, s._6) === (("s", 3.0, 0.0, 0.0)))
+  }
+
   test("tCloseness: perfectly-skewed groups score the hand-computed " +
       "EMD; a group matching the global distribution scores 0") {
     // global over v∈{1,2} is 50/50; A holds only 1s, B only 2s →

@@ -774,6 +774,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed().getDouble(3) === batch.getDouble(3))
   }
 
+  test("readConcentration over streamed value counts: hand HHI and " +
+      "top share from additive exact counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strhhi")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/vc", s"$root/ckpt")
+    // union counts: 5.0 -> 3, 7.0 -> 1 => HHI = (9+1)/16, top = 3/4
+    Seq(5.0, 5.0).toDF("m").coalesce(1).write.parquet(srcDir)
+    Seq(5.0, 7.0).toDF("m").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamValueCounts(stream, outDir,
+        "m", graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val r = graft.streaming.MicroBatch.readConcentration(spark, outDir)
+      .head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert(r.getDouble(2) === 10.0 / 16.0 && r.getDouble(3) === 0.75)
+  }
+
   test("readEntropy over streamed value counts equals the batch " +
       "entropy profile of the union bit-for-bit") {
     import org.apache.spark.sql.functions._

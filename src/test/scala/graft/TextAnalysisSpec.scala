@@ -270,6 +270,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq === Seq(("s1", "s2", 3L, 3L, 2L, 0.5)))
   }
 
+  test("codeSignals: exact symbol counts route code from prose; empty " +
+      "text is safe; the structural guard blocks operator-only prose") {
+    val docs = Seq(
+      (1L, "plain english prose with no symbols at all"),
+      (2L, "if (x <= y) { return z[i]; }"),
+      (3L, "a = b and c = d but never braces"), // operators, no structure
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSignals(docs, "doc_id", "text",
+        minRatio = 0.05)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))
+    // doc2: structural {, }, ; = 3; plus ( ) < = [ ] → 9 symbols total
+    assert(got(0) === ((1L, 0L, 0L, false)))
+    assert(got(1) === ((2L, 3L, 9L, true)))
+    assert(got(2)._2 === 0L && !got(2)._4, "no braces/semicolons => prose")
+    assert(got(3) === ((4L, 0L, 0L, false)))
+  }
+
   test("zipfFit: a near-Zipf corpus fits slope ~ -1 with high r2; " +
       "partitioning-invariant to the bit") {
     // token wi appears floor(60/i) times, i = 1..10 — frequencies on
