@@ -206,7 +206,9 @@ object ScaleSmoke {
     "m252_audio_energy", "m253_silence_trim",
     // r10 wave 8: burstiness reduction, replace-arithmetic code router,
     // streaming concentration read-side
-    "q254_burstiness", "t255_code_detect", "str256_stream_hhi")
+    "q254_burstiness", "t255_code_detect", "str256_stream_hhi",
+    // r10 wave 9: erasure cascade audit, price-volume-mix decomposition
+    "q257_erasure_audit", "q258_price_volume_mix")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

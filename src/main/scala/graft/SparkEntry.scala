@@ -2537,6 +2537,36 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Right-to-erasure cascade audit: how many rows would this
+    // delete-request batch touch, per table, with the orders→lineitem
+    // cascade made explicit — exact counts, share one division.
+    "q257_erasure_audit" -> ((s, d) => {
+      val keys = t(s, d, "customer").filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      val orders = t(s, d, "orders")
+      val affectedOrders = orders
+        .join(broadcast(keys.withColumnRenamed("c_custkey", "__k")),
+          col("o_custkey") === col("__k"), "left_semi")
+        .select(col("o_orderkey"))
+      operators.Expectations.erasureAudit(Seq(
+          ("orders", orders, col("o_custkey"), keys),
+          ("lineitem", t(s, d, "lineitem"), col("l_orderkey"),
+            affectedOrders)))
+        .orderBy(col("table"))
+    }),
+
+    // Price–volume–mix revenue decomposition (1994 → 1995 per return
+    // flag): WHY revenue moved — price, volume, and joint effects as
+    // fixed double expressions over exact cents/quantity sums; the
+    // delta itself stays an exact decimal difference.
+    "q258_price_volume_mix" -> ((s, d) =>
+      operators.TimeSeries.priceVolumeMix(t(s, d, "lineitem"),
+          "l_returnflag", year(col("l_shipdate")).cast("string"),
+          "1994", "1995",
+          round(col("l_extendedprice") * 100, 0).cast("long"),
+          col("l_quantity"))
+        .orderBy(col("segment"))),
+
     // Burstiness profile: Fano factor + CV of daily arrivals per series
     // from exact integer counts — steady feed vs scraper burst; one
     // division (plus one IEEE sqrt) over exact operands.
@@ -5073,6 +5103,66 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "q257_erasure_audit" ->
+      """WITH ks AS (
+        | SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT 'orders' AS "table",
+        | (SELECT count(*) FROM orders) AS rows_total,
+        | (SELECT count(*) FROM orders
+        |   WHERE o_custkey IN (SELECT k FROM ks)) AS rows_affected,
+        | CASE WHEN (SELECT count(*) FROM orders) = 0 THEN 0.0
+        |  ELSE CAST((SELECT count(*) FROM orders
+        |    WHERE o_custkey IN (SELECT k FROM ks)) AS DOUBLE) /
+        |   CAST((SELECT count(*) FROM orders) AS DOUBLE) END AS share
+        |UNION ALL
+        |SELECT 'lineitem',
+        | (SELECT count(*) FROM lineitem),
+        | (SELECT count(*) FROM lineitem WHERE l_orderkey IN
+        |   (SELECT o_orderkey FROM orders
+        |    WHERE o_custkey IN (SELECT k FROM ks))),
+        | CASE WHEN (SELECT count(*) FROM lineitem) = 0 THEN 0.0
+        |  ELSE CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN
+        |    (SELECT o_orderkey FROM orders
+        |     WHERE o_custkey IN (SELECT k FROM ks))) AS DOUBLE) /
+        |   CAST((SELECT count(*) FROM lineitem) AS DOUBLE) END
+        |ORDER BY "table"""".stripMargin,
+
+    "q258_price_volume_mix" ->
+      """WITH cells AS (
+        | SELECT l_returnflag AS segment,
+        |  CAST(year(l_shipdate) AS VARCHAR) AS p,
+        |  CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rev,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(19,0))) AS DECIMAL(19,0))
+        |   AS qty
+        | FROM lineitem
+        | WHERE CAST(year(l_shipdate) AS VARCHAR) IN ('1994', '1995')
+        | GROUP BY segment, p),
+        |a AS (SELECT segment, rev AS rev_a, qty AS qty_a FROM cells
+        | WHERE p = '1994'),
+        |b AS (SELECT segment, rev AS rev_b, qty AS qty_b FROM cells
+        | WHERE p = '1995'),
+        |j AS (SELECT coalesce(a.segment, b.segment) AS segment,
+        |  rev_a, qty_a, rev_b, qty_b
+        | FROM a FULL OUTER JOIN b ON a.segment = b.segment),
+        |c AS (SELECT *,
+        |  rev_a IS NOT NULL AND rev_b IS NOT NULL AND qty_a > 0
+        |   AND qty_b > 0 AS ok,
+        |  CAST(CAST(rev_a AS VARCHAR) AS DOUBLE) AS ra,
+        |  CAST(CAST(qty_a AS VARCHAR) AS DOUBLE) AS qa,
+        |  CAST(CAST(rev_b AS VARCHAR) AS DOUBLE) AS rb,
+        |  CAST(CAST(qty_b AS VARCHAR) AS DOUBLE) AS qb
+        | FROM j)
+        |SELECT segment, rev_a, qty_a, rev_b, qty_b,
+        | CASE WHEN ok THEN CAST(CAST(CAST(rev_b - rev_a AS DECIMAL(20,0))
+        |  AS VARCHAR) AS DOUBLE) END AS delta,
+        | CASE WHEN ok THEN (rb / qb - ra / qa) * qa END AS price_effect,
+        | CASE WHEN ok THEN (qb - qa) * (ra / qa) END AS volume_effect,
+        | CASE WHEN ok THEN (rb / qb - ra / qa) * (qb - qa) END
+        |  AS mix_effect
+        |FROM c
+        |ORDER BY segment""".stripMargin,
 
     "q254_burstiness" ->
       """WITH dly AS (

@@ -503,6 +503,37 @@ object Expectations {
       .filter(col("group_size") < k || col("sensitive_distinct") < l)
   }
 
+  /** Right-to-erasure impact audit: for each (table, key) target, how
+    * many rows does this delete-request batch touch? The governance
+    * question before a GDPR/CCPA purge runs — and the cascade is
+    * explicit: each target carries ITS OWN key set, so the caller
+    * chains levels (customers → their orders → those orders' line
+    * items) with ordinary semi-joins and the report stays one row per
+    * table: (table, rows_total, rows_affected, share).
+    *
+    * Scale: per table one count + one semi-join count (the key set is
+    * a delete-request batch — broadcast-sized by nature; Spark plans
+    * the semi-join as a broadcast and the scan prunes to the key
+    * column). Exact integer counts, `share` ONE double division. */
+  def erasureAudit(targets: Seq[(String, DataFrame, Column, DataFrame)])
+      : DataFrame = {
+    require(targets.nonEmpty, "need at least one (table, df, key, keys)")
+    targets.map { case (name, df, key, keys) =>
+      val keyName = keys.columns.head
+      val affected = df.join(
+        broadcast(keys.select(col(keyName).as("__k")).distinct()),
+        key === col("__k"), "left_semi")
+      val total = df.agg(count(lit(1)).as("rows_total"))
+      val hit = affected.agg(count(lit(1)).as("rows_affected"))
+      total.crossJoin(hit) // two one-row frames
+        .select(lit(name).as("table"), col("rows_total"),
+          col("rows_affected"),
+          when(col("rows_total") === 0L, lit(0.0d))
+            .otherwise(col("rows_affected").cast("double") /
+              col("rows_total").cast("double")).as("share"))
+    }.reduce(_.union(_))
+  }
+
   /** Weighted median per group by exact cumulative-weight selection —
     * the right "typical value" when rows carry unequal mass ("median
     * document length BY TOKEN COUNT", "median price by quantity"):

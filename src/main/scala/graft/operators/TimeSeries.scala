@@ -593,6 +593,55 @@ object TimeSeries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
 
+  /** Price–volume–mix decomposition of a period-over-period revenue
+    * change per segment — the finance/commerce "WHY did revenue move"
+    * answer a plain delta hides: with average price pᵢ = revᵢ/qtyᵢ,
+    *
+    *   Δrev = (p₂−p₁)·q₁  +  (q₂−q₁)·p₁  +  (p₂−p₁)(q₂−q₁)
+    *           price          volume         joint/mix
+    *
+    * Returns one row per segment: both periods' exact revenue/quantity,
+    * the EXACT delta (decimal difference — never reconstructed from the
+    * effects), and the three effects as fixed double expressions over
+    * the exact sums (each average price ONE division). A segment
+    * missing either period reports NULL effects and a NULL delta — a
+    * decomposition against an absent baseline is a lie, not a zero.
+    *
+    * Scale: one (segment, period) aggregate with map-side combine;
+    * everything after runs on segment-cardinality rows. Pass revenue in
+    * integer cents ([[linearTrend]]'s discipline). */
+  def priceVolumeMix(df: DataFrame, segCol: String, period: Column,
+      periodA: String, periodB: String, revenueCents: Column,
+      qty: Column): DataFrame = {
+    val cells = df
+      .filter(period.isin(periodA, periodB))
+      .groupBy(col(segCol).as("segment"), period.cast("string").as("__p"))
+      .agg(sum(revenueCents.cast("decimal(19,0)")).cast("decimal(19,0)")
+        .as("__rev"),
+        sum(qty.cast("decimal(19,0)")).cast("decimal(19,0)").as("__qty"))
+    def side(p: String, tag: String): DataFrame = cells
+      .filter(col("__p") === p)
+      .select(col("segment"), col("__rev").as(s"rev_$tag"),
+        col("__qty").as(s"qty_$tag"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val j = side(periodA, "a").join(side(periodB, "b"), Seq("segment"),
+      "full_outer")
+    val ok = col("rev_a").isNotNull && col("rev_b").isNotNull &&
+      col("qty_a") > 0 && col("qty_b") > 0
+    val (ra, qa, rb, qb) =
+      (dbl(col("rev_a")), dbl(col("qty_a")), dbl(col("rev_b")),
+        dbl(col("qty_b")))
+    val pa = ra / qa
+    val pb = rb / qb
+    j.select(col("segment"), col("rev_a"), col("qty_a"), col("rev_b"),
+      col("qty_b"),
+      when(ok, dbl((col("rev_b") - col("rev_a")).cast("decimal(20,0)")))
+        .as("delta"),
+      when(ok, (pb - pa) * qa).as("price_effect"),
+      when(ok, (qb - qa) * pa).as("volume_effect"),
+      when(ok, (pb - pa) * (qb - qa)).as("mix_effect"))
+  }
+
   /** Burstiness profile per series: Fano factor (variance/mean of daily
     * event counts — 1 = Poisson, >1 = bursty/clumped arrivals, <1 =
     * regular) and the coefficient of variation. The traffic-shape

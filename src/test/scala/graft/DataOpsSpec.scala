@@ -979,6 +979,53 @@ class DataOpsSpec extends SparkTestBase {
       (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
   }
 
+  test("erasureAudit: per-table affected counts with an explicit " +
+      "cascade; empty tables report share 0") {
+    val keys = Seq(1L, 3L).toDF("k")
+    val parent = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("oid", "cust")
+    val affectedParents = parent.join(keys,
+      col("cust") === col("k"), "left_semi").select(col("oid"))
+    val child = Seq((10L, "a"), (10L, "b"), (12L, "c"), (13L, "d"))
+      .toDF("oid", "x")
+    val empty = spark.emptyDataFrame
+      .withColumn("cust", lit(0L)).filter(lit(false))
+    val got = Expectations.erasureAudit(Seq(
+        ("parent", parent, col("cust"), keys),
+        ("child", child, col("oid"), affectedParents),
+        ("empty", empty, col("cust"), keys)))
+      .orderBy("table").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // parent: custs 1,3 own orders 10,11,13 → 3/4; child rows under
+    // those orders: a,b,d → 3/4; empty table → 0 share, not a crash
+    assert(got.toSeq === Seq(("child", 4L, 3L, 0.75),
+      ("empty", 0L, 0L, 0.0), ("parent", 4L, 3L, 0.75)))
+  }
+
+  test("priceVolumeMix: pure-price and pure-volume moves decompose " +
+      "exactly; a segment missing the baseline reports NULLs") {
+    val rows = Seq(
+      // seg p: 10 units @ 200c -> 10 units @ 300c (price only)
+      ("p", "1994", 2000L, 10L), ("p", "1995", 3000L, 10L),
+      // seg v: 10 @ 200c -> 20 @ 200c (volume only)
+      ("v", "1994", 2000L, 10L), ("v", "1995", 4000L, 20L),
+      // seg m: no baseline period
+      ("m", "1995", 999L, 3L))
+      .toDF("seg", "p", "cents", "qty")
+    val got = TimeSeries.priceVolumeMix(rows, "seg", col("p"),
+        "1994", "1995", col("cents"), col("qty"))
+      .orderBy("segment").collect()
+    val m = got(0)
+    assert(m.getString(0) === "m" && m.isNullAt(5) && m.isNullAt(6))
+    val p = got(1)
+    assert((p.getDouble(5), p.getDouble(6), p.getDouble(7),
+      p.getDouble(8)) === ((1000.0, 1000.0, 0.0, 0.0)))
+    val v = got(2)
+    assert((v.getDouble(5), v.getDouble(6), v.getDouble(7),
+      v.getDouble(8)) === ((2000.0, 0.0, 2000.0, 0.0)))
+  }
+
   test("burstiness: constant daily counts score fano = cv = 0 exactly; " +
       "a bursty series scores the hand Fano factor") {
     // steady: 3/day for 4 days. bursty: 1,1,1,9 → mean 3,
