@@ -208,7 +208,9 @@ object ScaleSmoke {
     // streaming concentration read-side
     "q254_burstiness", "t255_code_detect", "str256_stream_hhi",
     // r10 wave 9: erasure cascade audit, price-volume-mix decomposition
-    "q257_erasure_audit", "q258_price_volume_mix")
+    "q257_erasure_audit", "q258_price_volume_mix",
+    // r10 wave 10: sequence completeness audit, exact-decimal peaks
+    "q259_sequence_audit", "q260_peaks")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2537,6 +2537,22 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Sequence completeness audit: missing vs duplicated keys per
+    // status from one exact aggregate — the CDC/ingest completeness
+    // check (a dropped batch = missing, an undeduped replay = dups).
+    "q259_sequence_audit" -> ((s, d) =>
+      operators.Expectations.sequenceAudit(t(s, d, "orders"),
+          "o_orderstatus", col("o_orderkey"))
+        .orderBy(col("group"))),
+
+    // Local-peak detection over exact daily totals: strict-left /
+    // tie-right window compares on exact decimals, so a plateau yields
+    // exactly one peak and no float drift can flip one.
+    "q260_peaks" -> ((s, d) =>
+      operators.TimeSeries.peaks(t(s, d, "events"), "event_type", "ts",
+          col("value"), window = 3)
+        .orderBy(col("series"), col("bucket"))),
+
     // Right-to-erasure cascade audit: how many rows would this
     // delete-request batch touch, per table, with the orders→lineitem
     // cascade made explicit — exact counts, share one division.
@@ -5103,6 +5119,42 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "q259_sequence_audit" ->
+      """WITH a AS (
+        | SELECT o_orderstatus AS g, count(*) AS n,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        | FROM orders WHERE o_orderkey IS NOT NULL
+        | GROUP BY g)
+        |SELECT g AS "group", n, n_distinct, min_key, max_key,
+        | max_key - min_key + 1 AS span,
+        | max_key - min_key + 1 - n_distinct AS missing,
+        | n - n_distinct AS duplicates,
+        | max_key - min_key + 1 - n_distinct = 0 AND n - n_distinct = 0
+        |  AS complete
+        |FROM a
+        |ORDER BY g""".stripMargin,
+
+    "q260_peaks" ->
+      """WITH dly AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
+        | FROM events GROUP BY series, bucket),
+        |w AS (SELECT series, bucket, v,
+        |  max(v) OVER (PARTITION BY series ORDER BY bucket
+        |   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS left_max,
+        |  max(v) OVER (PARTITION BY series ORDER BY bucket
+        |   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS right_max
+        | FROM dly)
+        |SELECT series, bucket, v, left_max, right_max
+        |FROM w
+        |WHERE (left_max IS NULL OR v > left_max)
+        | AND (right_max IS NULL OR v >= right_max)
+        | AND v >= CAST(0.0 AS DECIMAL(16,6))
+        |ORDER BY series, bucket""".stripMargin,
 
     "q257_erasure_audit" ->
       """WITH ks AS (

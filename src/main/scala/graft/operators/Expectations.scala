@@ -503,6 +503,38 @@ object Expectations {
       .filter(col("group_size") < k || col("sensitive_distinct") < l)
   }
 
+  /** Sequence completeness audit over an integer key per group — the
+    * CDC/ingest completeness check ("did every order in the range
+    * arrive, and did any arrive twice?"): with span = max−min+1,
+    * `missing = span − n_distinct` and `duplicates = n − n_distinct`
+    * are exact integers from ONE aggregate; `complete` iff both are 0.
+    * A replication pipeline that silently dropped a batch shows as
+    * missing; an at-least-once replay without dedup shows as
+    * duplicates. Returns one row per group:
+    * (group, n, n_distinct, min_key, max_key, span, missing,
+    * duplicates, complete).
+    *
+    * Scale: one group×key-distinct aggregate with map-side combine
+    * (count-distinct exact — a completeness gate cannot approximate),
+    * then a group-sized reduction. */
+  def sequenceAudit(df: DataFrame, groupCol: String, key: Column)
+      : DataFrame = {
+    df.filter(key.isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(key).as("n_distinct"),
+        min(key).cast("long").as("min_key"),
+        max(key).cast("long").as("max_key"))
+      .select(col("group"), col("n"), col("n_distinct"), col("min_key"),
+        col("max_key"),
+        (col("max_key") - col("min_key") + 1L).as("span"),
+        (col("max_key") - col("min_key") + 1L - col("n_distinct"))
+          .as("missing"),
+        (col("n") - col("n_distinct")).as("duplicates"))
+      .withColumn("complete",
+        col("missing") === 0L && col("duplicates") === 0L)
+  }
+
   /** Right-to-erasure impact audit: for each (table, key) target, how
     * many rows does this delete-request batch touch? The governance
     * question before a GDPR/CCPA purge runs — and the cascade is

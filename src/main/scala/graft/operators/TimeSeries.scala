@@ -593,6 +593,40 @@ object TimeSeries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
 
+  /** Local-peak detection over daily series — the "when did it spike"
+    * primitive behind campaign attribution and incident timelines: a
+    * bucket is a peak iff its exact-decimal daily total STRICTLY
+    * exceeds the trailing `window` buckets' max, is ≥ the leading
+    * `window` buckets' max (ties break toward the earlier bucket, so a
+    * plateau yields exactly one peak), and clears `minValue`. All
+    * compares run on exact decimals — no float drift can flip a peak.
+    * Returns only the peak rows: (series, bucket, v, left_max,
+    * right_max); windows are POSITIONAL over observed buckets (run
+    * [[resample]] first if calendar gaps must count as zeros).
+    *
+    * Scale: one (series, day) aggregate + two fixed row-frame windows
+    * over the days-sized table. */
+  def peaks(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, window: Int = 3, minValue: Double = 0.0)
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("v"))
+    val wSeq = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    val left = max(col("v")).over(wSeq.rowsBetween(-window, -1))
+    val right = max(col("v")).over(wSeq.rowsBetween(1, window))
+    dly
+      .withColumn("left_max", left)
+      .withColumn("right_max", right)
+      .filter(
+        (col("left_max").isNull || col("v") > col("left_max")) &&
+          (col("right_max").isNull || col("v") >= col("right_max")) &&
+          col("v") >= lit(minValue).cast("decimal(16,6)"))
+  }
+
   /** Price–volume–mix decomposition of a period-over-period revenue
     * change per segment — the finance/commerce "WHY did revenue move"
     * answer a plain delta hides: with average price pᵢ = revᵢ/qtyᵢ,

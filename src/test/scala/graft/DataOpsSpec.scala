@@ -979,6 +979,35 @@ class DataOpsSpec extends SparkTestBase {
       (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
   }
 
+  test("sequenceAudit: gaps count as missing, replays as duplicates, " +
+      "a dense unique range is complete") {
+    val rows = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 5L),
+      ("g2", 10L), ("g2", 10L), ("g2", 11L),
+      ("g3", 20L), ("g3", 21L))
+      .toDF("g", "k")
+    val got = Expectations.sequenceAudit(rows, "g", col("k"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(6), r.getLong(7),
+        r.getBoolean(8)))
+    assert(got.toSeq === Seq(("g1", 1L, 0L, false),
+      ("g2", 0L, 1L, false), ("g3", 0L, 0L, true)))
+  }
+
+  test("peaks: strict-left/tie-right compares give one peak per " +
+      "plateau; edges never self-peak against an empty side wrongly") {
+    val vals = Seq(1.0, 5.0, 2.0, 2.0, 2.0, 7.0, 7.0, 3.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (f"2024-07-${i + 1}%02d 10:00:00", "s", v) }
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.peaks(ev, "event_type", "ts", col("value"),
+        window = 2)
+      .orderBy("bucket").collect()
+      .map(r => r.getDate(1).toString)
+    // day 2 (5 beats both sides) and day 6 (first of the 7-plateau)
+    assert(got.toSeq === Seq("2024-07-02", "2024-07-06"))
+  }
+
   test("erasureAudit: per-table affected counts with an explicit " +
       "cascade; empty tables report share 0") {
     val keys = Seq(1L, 3L).toDF("k")
