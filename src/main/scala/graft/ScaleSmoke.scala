@@ -210,7 +210,9 @@ object ScaleSmoke {
     // r10 wave 9: erasure cascade audit, price-volume-mix decomposition
     "q257_erasure_audit", "q258_price_volume_mix",
     // r10 wave 10: sequence completeness audit, exact-decimal peaks
-    "q259_sequence_audit", "q260_peaks")
+    "q259_sequence_audit", "q260_peaks",
+    // r10 wave 11: shape-keyed template mining, streaming completeness
+    "d261_template_mine", "str262_stream_seq_audit")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2537,6 +2537,39 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Template mining by shape normalization: digit runs → '#', letter
+    // runs → 'w' — form letters and machine-generated spam share a
+    // skeleton even when every content token differs, the duplicate
+    // class shingle near-dup scores as "different". One shape-keyed
+    // count; the shuffle carries distinct shapes, not documents.
+    "d261_template_mine" -> ((s, d) =>
+      Dedup.templateMine(t(s, d, "documents"), "doc_id", "text",
+          minDocs = 3L)
+        .orderBy(col("shape_md5"))),
+
+    // Streaming sequence-completeness lens: the additive value-count
+    // state audited for missing/duplicated keys — a dropped batch or
+    // undeduped replay surfaces the moment it lands; must equal the
+    // batch audit on the union of all batches exactly.
+    "str262_stream_seq_audit" -> ((s, d) => {
+      val root = tmpDir("graft_str262")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders").select(col("o_orderkey"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1)), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+          outDir, "o_orderkey", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readSequenceAudit(s, outDir)
+    }),
+
     // Sequence completeness audit: missing vs duplicated keys per
     // status from one exact aggregate — the CDC/ingest completeness
     // check (a dropped batch = missing, an undeduped replay = dups).
@@ -5119,6 +5152,33 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "d261_template_mine" ->
+      """SELECT md5(shape) AS shape_md5, count(*) AS n_docs,
+        | min(doc_id) AS sample_doc_id
+        |FROM (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+        |   '[a-z]+', 'w', 'g') AS shape
+        | FROM documents WHERE text IS NOT NULL)
+        |GROUP BY shape
+        |HAVING count(*) >= 3
+        |ORDER BY shape_md5""".stripMargin,
+
+    // streamed key counts audited for completeness must equal the batch
+    // sequence audit on the union of all batches
+    "str262_stream_seq_audit" ->
+      """WITH a AS (
+        | SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        | FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT n, n_distinct, min_key, max_key,
+        | max_key - min_key + 1 AS span,
+        | max_key - min_key + 1 - n_distinct AS missing,
+        | n - n_distinct AS duplicates,
+        | max_key - min_key + 1 - n_distinct = 0 AND n - n_distinct = 0
+        |  AS complete
+        |FROM a""".stripMargin,
 
     "q259_sequence_audit" ->
       """WITH a AS (

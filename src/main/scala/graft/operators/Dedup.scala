@@ -543,6 +543,35 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Template mining by shape normalization: collapse every digit run
+    * to `#` and every letter run to `w` (after lowercasing), then count
+    * documents per SHAPE — form letters, scraped boilerplate, and
+    * machine-generated spam share a skeleton even when every token
+    * differs, which is exactly the duplicate class shingle-based
+    * near-dup scores as "different" (all the content words changed).
+    * Returns shapes with ≥ `minDocs` members:
+    * (shape_md5, n_docs, sample_doc_id) — the md5 bounds output width
+    * (shapes can be document-length) and is engine-portable.
+    *
+    * Scale: shape is a zero-shuffle regexp chain in the scan stage; the
+    * groupBy is ONE shape-keyed count with map-side combine — template
+    * clusters collapse in the combiner, so the shuffle carries distinct
+    * shapes, not documents. */
+  def templateMine(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 5L): DataFrame = {
+    val shape = regexp_replace(
+      regexp_replace(lower(col(textCol)), "[0-9]+", "#"),
+      "[a-z]+", "w")
+    docs
+      .filter(col(textCol).isNotNull)
+      .groupBy(shape.as("__shape"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("sample_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+      .select(md5(col("__shape")).as("shape_md5"), col("n_docs"),
+        col("sample_doc_id"))
+  }
+
   /** Duplicate clusters from a pair list: connected components by min-label
     * propagation, so every member maps to its component's smallest id (the
     * canonical survivor). Each iteration is one join + agg over the

@@ -529,6 +529,31 @@ object MicroBatch {
             log(col("n_distinct").cast("double")), 9)).as("normalized"))
   }
 
+  /** The current sequence-completeness audit of a [[streamValueCounts]]
+    * directory over an integer key — the live CDC completeness lens on
+    * the same additive state: missing = span − distinct and
+    * duplicates = n − distinct surface a dropped batch / undeduped
+    * replay the moment it lands, without rescanning history; equals
+    * [[graft.operators.Expectations.sequenceAudit]]'s single-group row
+    * on the union of all batches exactly (keys ride the state as
+    * doubles — exact for keys < 2⁵³). One row:
+    * (n, n_distinct, min_key, max_key, span, missing, duplicates,
+    * complete). */
+  def readSequenceAudit(spark: SparkSession, dir: String): DataFrame = {
+    readValueCounts(spark, dir)
+      .agg(sum(col("n")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        min(col("value")).cast("long").as("min_key"),
+        max(col("value")).cast("long").as("max_key"))
+      .select(col("n"), col("n_distinct"), col("min_key"), col("max_key"),
+        (col("max_key") - col("min_key") + 1L).as("span"),
+        (col("max_key") - col("min_key") + 1L - col("n_distinct"))
+          .as("missing"),
+        (col("n") - col("n_distinct")).as("duplicates"))
+      .withColumn("complete",
+        col("missing") === 0L && col("duplicates") === 0L)
+  }
+
   /** The current concentration profile of a [[streamValueCounts]]
     * directory — [[readEntropy]]'s sibling lens on the same additive
     * state: HHI = Σc²/N² over exact integer counts (one fixed double

@@ -1068,6 +1068,24 @@ class DedupSpec extends SparkTestBase {
       ("all", 0L, 2L, 3L), ("size", 1L, 1L, 1L), ("size", 2L, 1L, 2L)))
   }
 
+  test("templateMine: digit/word-substituted form letters share a " +
+      "shape; unique shapes fall under the threshold") {
+    val docs = Seq(
+      (1L, "Order 123 for alice ships May 4"),
+      (2L, "Order 456 for bob ships June 7"),   // same skeleton as 1
+      (3L, "Order 789 for carol ships July 9"), // same skeleton
+      (4L, "completely different text with no numbers at all here ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.templateMine(docs, "doc_id", "text", minDocs = 3L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((3L, 1L)),
+      "the three form letters collapse to one shape, doc 4 is unique")
+    // partitioning-invariant replay
+    val again = Dedup.templateMine(docs.repartition(5), "doc_id",
+      "text", minDocs = 3L).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("containmentJoin: a short doc embedded in a long one scores " +
       "containment 1.0 in the short->long direction only — the pair " +
       "Jaccard misses") {

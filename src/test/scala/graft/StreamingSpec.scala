@@ -797,6 +797,36 @@ class StreamingSpec extends SparkTestBase {
     assert(r.getDouble(2) === 10.0 / 16.0 && r.getDouble(3) === 0.75)
   }
 
+  test("readSequenceAudit over streamed key counts: a gap and a replay " +
+      "dup both surface; equals the batch audit on the union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strseq")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/vc", s"$root/ckpt")
+    // union keys: 1,2,2,4 → span 4, missing {3}, dup {2}
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(srcDir)
+    Seq(2L, 4L).toDF("k").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamValueCounts(stream, outDir,
+        "k", graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val r = graft.streaming.MicroBatch.readSequenceAudit(spark, outDir)
+      .head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)) ===
+      ((4L, 3L, 1L, 4L, 4L, 1L, 1L, false)))
+    // and bit-for-bit against the batch operator's single-group row
+    val batch = graft.operators.Expectations.sequenceAudit(
+      Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 4L)).toDF("g", "k"),
+      "g", col("k")).head
+    assert((r.getLong(5), r.getLong(6), r.getBoolean(7)) ===
+      ((batch.getLong(6), batch.getLong(7), batch.getBoolean(8))))
+  }
+
   test("readEntropy over streamed value counts equals the batch " +
       "entropy profile of the union bit-for-bit") {
     import org.apache.spark.sql.functions._
