@@ -212,7 +212,9 @@ object ScaleSmoke {
     // r10 wave 10: sequence completeness audit, exact-decimal peaks
     "q259_sequence_audit", "q260_peaks",
     // r10 wave 11: shape-keyed template mining, streaming completeness
-    "d261_template_mine", "str262_stream_seq_audit")
+    "d261_template_mine", "str262_stream_seq_audit",
+    // r10 wave 12: distributed-prefix ABC classification
+    "q263_abc_analysis")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2537,6 +2537,19 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // ABC/Pareto classification of customers by revenue: the actionable
+    // concentration report ("these N customers are 80% of revenue") —
+    // distributed prefix sums, integer cross-multiplied class cuts.
+    "q263_abc_analysis" -> ((s, d) => {
+      val custRev = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      operators.Skew.abcAnalysis(custRev, "o_custkey", col("cents"))
+        .orderBy(col("abc_class"))
+    }),
+
     // Template mining by shape normalization: digit runs → '#', letter
     // runs → 'w' — form letters and machine-generated spam share a
     // skeleton even when every content token differs, the duplicate
@@ -5152,6 +5165,34 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "q263_abc_analysis" ->
+      """WITH items AS (
+        | SELECT o_custkey AS id,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS DECIMAL(19,0)) AS v
+        | FROM orders WHERE o_custkey IS NOT NULL GROUP BY id),
+        |f AS (SELECT * FROM items WHERE v IS NOT NULL AND v >= 0),
+        |tot AS (SELECT CAST(sum(v) AS DECIMAL(28,0)) AS t FROM f),
+        |cum AS (SELECT id, v,
+        |  CAST(sum(v) OVER (ORDER BY v DESC, id) AS DECIMAL(28,0)) AS c
+        | FROM f),
+        |cls AS (SELECT v,
+        |  CASE WHEN CAST(c - v AS DECIMAL(28,0)) * 100 <
+        |    (SELECT t FROM tot) * 80 THEN 'A'
+        |   WHEN CAST(c - v AS DECIMAL(28,0)) * 100 <
+        |    (SELECT t FROM tot) * 95 THEN 'B'
+        |   ELSE 'C' END AS abc_class
+        | FROM cum)
+        |SELECT abc_class, count(*) AS n_items,
+        | CAST(sum(v) AS DECIMAL(19,0)) AS total_value,
+        | CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0
+        |  ELSE CAST(CAST(CAST(sum(v) AS DECIMAL(19,0)) AS VARCHAR)
+        |    AS DOUBLE) /
+        |   CAST(CAST((SELECT t FROM tot) AS VARCHAR) AS DOUBLE)
+        | END AS share
+        |FROM cls GROUP BY abc_class
+        |ORDER BY abc_class""".stripMargin,
 
     "d261_template_mine" ->
       """SELECT md5(shape) AS shape_md5, count(*) AS n_docs,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins/aggregations whose key distribution breaks the
@@ -149,6 +150,70 @@ object Skew {
     * Scale: one (market, firm) aggregate with map-side combine, one
     * market-keyed reduction — nothing wider than firm cardinality
     * shuffles. Returns (market, n_firms, total, hhi). */
+  /** ABC / Pareto classification: rank items by exact integer value
+    * descending, walk the cumulative share, and band them — A while the
+    * PRECEDING cumulative share is under `cutA`% (so the item that
+    * crosses the cut still lands in A, the standard rule), B under
+    * `cutB`%, C otherwise. The actionable form of [[giniConcentration]]:
+    * "these 900 customers are 80% of revenue" / "these 3 sources are
+    * 95% of tokens — prune the tail". Returns the class summary:
+    * (abc_class, n_items, total_value, share).
+    *
+    * Exactness: cumulative sums ride the distributed prefix machinery
+    * ([[graft.operators.Linkage.globalRank]]'s range-bucket + broadcast
+    * offsets shape — never a single-partition window over items), and
+    * the band test is the integer cross-multiplication
+    * 100·(cum − v) < cut·total — no float share ever decides a class.
+    * `share` is ONE double division per summary row.
+    *
+    * Scale: one range repartition of the items table, per-bucket
+    * windows, a buckets-sized offset broadcast, one 3-row reduction. */
+  def abcAnalysis(df: DataFrame, idCol: String, value: Column,
+      cutA: Int = 80, cutB: Int = 95, buckets: Int = 64): DataFrame = {
+    require(cutA >= 1 && cutA < cutB && cutB <= 100,
+      s"need 1 <= cutA < cutB <= 100, got ($cutA, $cutB)")
+    val items = df
+      .filter(value.isNotNull && value >= 0)
+      .select(col(idCol).as("__id"),
+        value.cast("decimal(19,0)").as("__v"))
+    val ranged = items
+      .repartitionByRange(buckets, col("__v").desc, col("__id"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val wB = Window.partitionBy(col("__b"))
+      .orderBy(col("__v").desc, col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranged.groupBy(col("__b"))
+      .agg(sum(col("__v")).cast("decimal(28,0)").as("__bs"))
+      .withColumn("__off",
+        coalesce(sum(col("__bs")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,0)")))
+      .select(col("__b"), col("__off").cast("decimal(28,0)"))
+    val total = items.agg(sum(col("__v")).cast("decimal(28,0)")
+      .as("__tot"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    ranged
+      .withColumn("__cum",
+        sum(col("__v")).over(wB).cast("decimal(28,0)"))
+      .join(broadcast(offsets), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("__before",
+        (col("__off") + col("__cum") - col("__v")).cast("decimal(28,0)"))
+      .withColumn("abc_class",
+        when(col("__before") * 100 < col("__tot") * cutA, "A")
+          .when(col("__before") * 100 < col("__tot") * cutB, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__v")).cast("decimal(19,0)").as("total_value"))
+      .crossJoin(broadcast(total))
+      .select(col("abc_class"), col("n_items"), col("total_value"),
+        when(col("__tot") === 0, lit(0.0d))
+          .otherwise(dbl(col("total_value")) / dbl(col("__tot")))
+          .as("share"))
+  }
+
   def hhi(df: DataFrame, marketCol: String, firmCol: String,
       value: Column): DataFrame = {
     val firms = df

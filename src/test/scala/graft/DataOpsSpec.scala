@@ -979,6 +979,31 @@ class DataOpsSpec extends SparkTestBase {
       (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
   }
 
+  test("abcAnalysis: the crossing item stays in A, exact integer cuts, " +
+      "partitioning-invariant") {
+    // values 80, 15, 5 of 100: item1 (before 0%) -> A, item2 (before
+    // 80%, NOT < 80) -> B, item3 (before 95%, NOT < 95) -> C
+    val items = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("id", "v")
+    val got = Skew.abcAnalysis(items, "id", col("v"))
+      .orderBy("abc_class").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDouble(3)))
+    assert(got.toSeq === Seq(("A", 1L, 80L, 0.8), ("B", 1L, 15L, 0.15),
+      ("C", 1L, 5L, 0.05)))
+    // a big item crossing the 80% line still lands in A
+    val cross = Seq((1L, 79L), (2L, 11L), (3L, 10L)).toDF("id", "v")
+    val g2 = Skew.abcAnalysis(cross, "id", col("v"))
+      .orderBy("abc_class").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // item2: before 79% < 80 -> A (it crosses); item3: before 90% -> B
+    assert(g2.toSeq === Seq(("A", 2L), ("B", 1L)))
+    val again = Skew.abcAnalysis(items.repartition(7), "id", col("v"))
+      .orderBy("abc_class").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDouble(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("sequenceAudit: gaps count as missing, replays as duplicates, " +
       "a dense unique range is complete") {
     val rows = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 5L),
