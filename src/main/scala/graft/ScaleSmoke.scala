@@ -214,7 +214,9 @@ object ScaleSmoke {
     // r10 wave 11: shape-keyed template mining, streaming completeness
     "d261_template_mine", "str262_stream_seq_audit",
     // r10 wave 12: distributed-prefix ABC classification
-    "q263_abc_analysis")
+    "q263_abc_analysis",
+    // r10 wave 13: block-bounded duplicate transactions, LSH-recall eval
+    "d264_dup_transactions", "d265_lsh_eval")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2537,6 +2537,30 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Duplicate-transaction screen: same part, same exact quantity,
+    // shipped within 3 days — the fraud/ops flavor of dedup where the
+    // match key is exact and only the date is fuzzy; pair expansion
+    // block-bounded by the capBuckets guard.
+    "d264_dup_transactions" -> ((s, d) =>
+      operators.Linkage.duplicateTransactions(
+          t(s, d, "lineitem").withColumn("__lid",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+          "__lid", col("l_partkey"), col("l_quantity"),
+          col("l_shipdate"), maxDays = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // LSH-recall evaluation harness on a bounded slice: exact n-gram
+    // ground truth vs the production MinHash banding — the
+    // bands/numHashes sizing report BEFORE a 100 TB run commits.
+    // Value-pinned (shingle kernels aren't SQL); DedupSpec pins the
+    // subset law (precision 1.0) and a forced-miss configuration.
+    "d265_lsh_eval" -> ((s, d) =>
+      Dedup.lshRecallReport(
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleK = 4, threshold = 0.35,
+        numHashes = 128, bands = 32)),
+
     // ABC/Pareto classification of customers by revenue: the actionable
     // concentration report ("these N customers are 80% of revenue") —
     // distributed prefix sums, integer cross-multiplied class cuts.
@@ -4178,6 +4202,7 @@ object SparkEntry {
     "d131_contamination_report", "d29_minhash_neardup",
     "d30_simhash_neardup", "d31_embed_neardup", "d40_ngram_neardup",
     "d91_semantic_dedup", "d93_temperature_mix", "d240_containment",
+    "d265_lsh_eval",
     "d96_semantic_decontaminate", "m130_cdc_dedup", "m142_binary_neardup",
     "m197_phash_neardup", "m252_audio_energy", "m253_silence_trim",
     "p88_pipeline", "q104_foreign_bucket", "q38_approx",
@@ -5165,6 +5190,25 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    "d264_dup_transactions" ->
+      """WITH t AS (
+        | SELECT l_orderkey * 10 + l_linenumber AS id,
+        |  l_partkey AS entity, CAST(l_quantity AS BIGINT) AS cents,
+        |  CAST(date_trunc('day', l_shipdate) AS DATE) AS d
+        | FROM lineitem
+        | WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+        |  AND l_shipdate IS NOT NULL),
+        |g AS (SELECT * FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY entity, cents) AS bsz
+        |  FROM t) WHERE bsz BETWEEN 2 AND 64)
+        |SELECT a.entity, a.cents, a.id AS id_a, b.id AS id_b,
+        | a.d AS day_a, b.d AS day_b,
+        | abs(datediff('day', a.d, b.d)) AS gap_days
+        |FROM g a JOIN g b
+        | ON a.entity = b.entity AND a.cents = b.cents AND a.id < b.id
+        |WHERE abs(datediff('day', a.d, b.d)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q263_abc_analysis" ->
       """WITH items AS (

@@ -543,6 +543,44 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** LSH-recall evaluation harness — the threshold-tuning report every
+    * production near-dup deployment needs: on an EVALUATION SLICE
+    * (bounded by the caller — the exact side enumerates all pairs that
+    * share any shingle, so corpus-scale input defeats the purpose), run
+    * the exact n-gram Jaccard join (docFreqCap lifted — complete ground
+    * truth) and the MinHash-banded join with the production parameters,
+    * and report ONE row: (exact_pairs, lsh_pairs, matched, recall,
+    * precision). `recall` is what banding trades away (both sides
+    * verify exact Jaccard on the same shingles, so precision is 1.0
+    * unless the configurations diverge — a non-1.0 precision is itself
+    * a finding). The numbers feed bands/numHashes sizing BEFORE a
+    * 100 TB run commits to them. */
+  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 4, threshold: Double = 0.35, numHashes: Int = 128,
+      bands: Int = 32, maxBucketSize: Int = 64): DataFrame = {
+    val slice = docs.localCheckpoint(eager = false) // both joins read it
+    val exact = ngramJaccardNearDups(slice, idCol, textCol, shingleK,
+        threshold, docFreqCap = Int.MaxValue)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false) // count + the match join
+    val lsh = minhashNearDups(slice, idCol, textCol, shingleK, numHashes,
+        bands, threshold, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false)
+    val ne = exact.agg(count(lit(1)).as("exact_pairs"))
+    val nl = lsh.agg(count(lit(1)).as("lsh_pairs"))
+    val nm = lsh.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("matched"))
+    ne.crossJoin(nl).crossJoin(nm) // three one-row frames
+      .select(col("exact_pairs"), col("lsh_pairs"), col("matched"),
+        when(col("exact_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(col("matched").cast(DoubleType) /
+            col("exact_pairs").cast(DoubleType)).as("recall"),
+        when(col("lsh_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(col("matched").cast(DoubleType) /
+            col("lsh_pairs").cast(DoubleType)).as("precision"))
+  }
+
   /** Template mining by shape normalization: collapse every digit run
     * to `#` and every letter run to `w` (after lowercasing), then count
     * documents per SHAPE — form letters, scraped boilerplate, and

@@ -306,4 +306,43 @@ object Linkage {
           struct((-col("__n")).as("n"), col(voteCol).as("v")))
           .as(s"top_$voteCol"))
   }
+
+  /** Duplicate-transaction detection — the FRAUD/ops flavor of dedup
+    * (double-charged cards, double-booked invoices, replayed postings):
+    * two transactions are suspect when the same entity posts the SAME
+    * exact amount within `maxDays`. Text near-dup machinery is the
+    * wrong tool here — the match key is (entity, exact cents) and the
+    * fuzziness lives only in the date. Returns one row per suspect
+    * pair (ordered by id): (entity, cents, id_a, id_b, day_a, day_b,
+    * gap_days).
+    *
+    * Scale: pairs expand ONLY inside (entity, cents) blocks — the
+    * [[graft.operators.Dedup.capBuckets]] guard drops degenerate blocks
+    * (a default amount shared by thousands would expand quadratically;
+    * a real screen reviews those separately) — so the join is
+    * block-bounded by construction, never corpus². Amounts must be
+    * exact integer cents. */
+  def duplicateTransactions(df: DataFrame, idCol: String, entity: Column,
+      amountCents: Column, ts: Column, maxDays: Int = 2,
+      maxGroup: Int = 64): DataFrame = {
+    require(maxDays >= 0, s"maxDays must be >= 0, got $maxDays")
+    val txns = df
+      .filter(entity.isNotNull && amountCents.isNotNull && ts.isNotNull)
+      .select(col(idCol).as("__id"), entity.as("entity"),
+        amountCents.cast("long").as("cents"),
+        date_trunc("day", ts).cast("date").as("__day"))
+    val pruned = graft.operators.Dedup.capBuckets(txns,
+      Seq("entity", "cents"), maxGroup)
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.entity") === col("b.entity") &&
+          col("a.cents") === col("b.cents") &&
+          col("a.__id") < col("b.__id"))
+      .filter(abs(datediff(col("b.__day"), col("a.__day"))) <= maxDays)
+      .select(col("a.entity").as("entity"), col("a.cents").as("cents"),
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__day").as("day_a"), col("b.__day").as("day_b"),
+        abs(datediff(col("b.__day"), col("a.__day"))).cast("long")
+          .as("gap_days"))
+  }
 }

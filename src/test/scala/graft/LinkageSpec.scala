@@ -178,4 +178,23 @@ class LinkageSpec extends SparkTestBase {
       .collect().toSeq
     assert(a === b)
   }
+
+  test("duplicateTransactions: same entity+amount within the window " +
+      "pairs up; date-distant, amount-different, and oversized groups " +
+      "do not") {
+    val rows = Seq(
+      (1L, "acct1", 1000L, "2024-01-01"), // pairs with 2 (gap 1)
+      (2L, "acct1", 1000L, "2024-01-02"),
+      (3L, "acct1", 1000L, "2024-01-09"), // too far from both
+      (4L, "acct1", 2000L, "2024-01-01"), // different amount
+      (5L, "acct2", 1000L, "2024-01-01")) ++ // different entity
+      // an oversized degenerate group (cap 4): must be dropped whole
+      (10L to 15L).map(i => (i, "bulk", 1L, "2024-01-01"))
+    val df = rows.toDF("id", "acct", "cents", "ds")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val got = Linkage.duplicateTransactions(df, "id", col("acct"),
+        col("cents"), col("ts"), maxDays = 2, maxGroup = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(6)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+  }
 }
