@@ -216,7 +216,9 @@ object ScaleSmoke {
     // r10 wave 12: distributed-prefix ABC classification
     "q263_abc_analysis",
     // r10 wave 13: block-bounded duplicate transactions, LSH-recall eval
-    "d264_dup_transactions", "d265_lsh_eval")
+    "d264_dup_transactions", "d265_lsh_eval",
+    // r10 wave 14: streaming per-key sum maintenance + top-k read
+    "str266_stream_top_contributors")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

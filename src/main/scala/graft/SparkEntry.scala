@@ -2537,6 +2537,32 @@ object SparkEntry {
           Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy(col("col_name"))),
 
+    // Streaming revenue leaderboard: per-key decimal sums fold
+    // additively per batch; the top-k read (TakeOrderedAndProject over
+    // key-domain state) must equal the batch leaderboard on the union
+    // of all batches exactly.
+    "str266_stream_top_contributors" -> ((s, d) => {
+      val root = tmpDir("graft_str266")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/sums", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_orderkey").as("ok"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).drop("ok"),
+        o.filter(col("ok") % 2 === 1).drop("ok")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamKeySums(stream, outDir,
+          "o_custkey", "cents", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readTopContributors(s, outDir, k = 20)
+    }),
+
     // Duplicate-transaction screen: same part, same exact quantity,
     // shipped within 3 days — the fraud/ops flavor of dedup where the
     // match key is exact and only the date is fuzzy; pair expansion
@@ -5190,6 +5216,26 @@ object SparkEntry {
         | CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
+
+    // streamed per-key decimal sums + top-k read must equal the batch
+    // leaderboard on the union of all batches
+    "str266_stream_top_contributors" ->
+      """WITH s AS (
+        | SELECT o_custkey AS key,
+        |  CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |   AS DECIMAL(19,0))) AS DECIMAL(28,0)) AS t,
+        |  count(*) AS n
+        | FROM orders
+        | WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        | GROUP BY key),
+        |tot AS (SELECT CAST(sum(t) AS DECIMAL(28,0)) AS g FROM s),
+        |top AS (SELECT key, CAST(t AS DECIMAL(19,0)) AS total, n
+        | FROM s ORDER BY t DESC, key LIMIT 20)
+        |SELECT key, total, n,
+        | CAST(CAST(total AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST((SELECT g FROM tot) AS VARCHAR) AS DOUBLE) AS share
+        |FROM top
+        |ORDER BY total DESC, key""".stripMargin,
 
     "d264_dup_transactions" ->
       """WITH t AS (

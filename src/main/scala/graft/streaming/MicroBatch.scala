@@ -529,6 +529,71 @@ object MicroBatch {
             log(col("n_distinct").cast("double")), 9)).as("normalized"))
   }
 
+  /** Streaming per-key revenue maintenance: micro-batches fold
+    * ADDITIVELY into persisted (key, total, n) state (versioned
+    * `version=batchId` snapshots, replay-idempotent) — the live
+    * leaderboard/aggregation state behind "top contributors right now"
+    * without rescanning history. Totals ride DECIMAL so the fold is
+    * exact under any batch split; read with [[readTopContributors]].
+    * Per-batch cost: one key-keyed aggregate + a key-domain-sized
+    * merge. */
+  def streamKeySums(stream: DataFrame, dir: String, keyCol: String,
+      valueCents: String, cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .filter(col(keyCol).isNotNull && col(valueCents).isNotNull)
+          .groupBy(col(keyCol).as("__k"))
+          .agg(sum(col(valueCents).cast("decimal(19,0)"))
+            .cast("decimal(28,0)").as("__s"),
+            count(lit(1)).as("__n"))
+        val merged = latestRollupVersion(spark, dir,
+            beforeExclusive = Some(batchId)) match {
+          case None => delta
+          case Some(v) =>
+            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
+              .groupBy(col("__k"))
+              .agg(sum(col("__s")).cast("decimal(28,0)").as("__s"),
+                sum(col("__n")).cast("long").as("__n"))
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** Top contributors from a [[streamKeySums]] directory: the k largest
+    * totals (exact decimals, ties to the smaller key), each with its
+    * share of the grand total — TakeOrderedAndProject over the
+    * key-domain-sized state, so the leaderboard read costs nothing like
+    * history. Must equal the batch top-k on the union of all batches
+    * exactly. */
+  def readTopContributors(spark: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no key-sum versions under $dir"))
+    def dbl(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val state = spark.read.parquet(s"$dir/version=$v")
+      .localCheckpoint(eager = false) // top-k + the grand total
+    val total = state.agg(sum(col("__s")).cast("decimal(28,0)")
+      .as("__tot"))
+    state
+      .orderBy(col("__s").desc, col("__k"))
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("__k").as("key"),
+        col("__s").cast("decimal(19,0)").as("total"),
+        col("__n").as("n"),
+        (dbl(col("__s").cast("decimal(19,0)")) / dbl(col("__tot")))
+          .as("share"))
+      .orderBy(col("total").desc, col("key"))
+  }
+
   /** The current sequence-completeness audit of a [[streamValueCounts]]
     * directory over an integer key — the live CDC completeness lens on
     * the same additive state: missing = span − distinct and

@@ -774,6 +774,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed().getDouble(3) === batch.getDouble(3))
   }
 
+  test("streamKeySums: additive per-key decimal totals; top-k read " +
+      "equals the hand leaderboard; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strks")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/ks", s"$root/ckpt")
+    // union: a -> 300 (2 rows), b -> 250 (1), c -> 50 (1); a's total
+    // SPANS the two batches, so the fold itself is what's tested
+    Seq(("a", 100L), ("b", 250L)).toDF("k", "cents")
+      .coalesce(1).write.parquet(srcDir)
+    Seq(("a", 200L), ("c", 50L)).toDF("k", "cents")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamKeySums(stream, outDir,
+          "k", "cents", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def top() = graft.streaming.MicroBatch
+      .readTopContributors(spark, outDir, k = 2)
+      .collect().map(r => (r.getString(0),
+        r.getDecimal(1).longValueExact(), r.getLong(2), r.getDouble(3)))
+    assert(top().toSeq === Seq(("a", 300L, 2L, 0.5),
+      ("b", 250L, 1L, 250.0 / 600.0)))
+    run() // restart: checkpoint replays nothing
+    assert(top().toSeq === Seq(("a", 300L, 2L, 0.5),
+      ("b", 250L, 1L, 250.0 / 600.0)))
+  }
+
   test("readConcentration over streamed value counts: hand HHI and " +
       "top share from additive exact counts") {
     import org.apache.spark.sql.functions._
