@@ -551,6 +551,10 @@ object Expectations {
       : DataFrame = {
     require(targets.nonEmpty, "need at least one (table, df, key, keys)")
     targets.map { case (name, df, key, keys) =>
+      require(keys.columns.length == 1,
+        s"target '$name': the delete-key frame must have exactly one " +
+          s"column, got ${keys.columns.mkString(", ")} — a silently " +
+          "ignored column would under-scope the purge")
       val keyName = keys.columns.head
       val affected = df.join(
         broadcast(keys.select(col(keyName).as("__k")).distinct()),
