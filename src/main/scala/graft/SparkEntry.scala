@@ -179,8 +179,8 @@ object SparkEntry {
       t(s, d, "orders")
         .filter(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType).as("running_spend"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .over(w).cast(DoubleType) / 100.0).as("running_spend"),
           count(lit(1)).over(w).as("running_orders"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -206,8 +206,8 @@ object SparkEntry {
         .filter(col("o_custkey") < 200)
         .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType).as("spend_30d"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .over(w).cast(DoubleType) / 100.0).as("spend_30d"),
           count(lit(1)).over(w).as("orders_30d"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -1644,8 +1644,9 @@ object SparkEntry {
       t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w) * (n - 1)).cast(LongType).as("pr_num"),
-          round(cume_dist().over(w) * n).cast(LongType).as("cd_num"))
+          floor(percent_rank().over(w) * (n - 1) + 0.5)
+            .cast(LongType).as("pr_num"),
+          floor(cume_dist().over(w) * n + 0.5).cast(LongType).as("cd_num"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -2213,7 +2214,7 @@ object SparkEntry {
     "q217_trend" -> ((s, d) =>
       operators.TimeSeries.linearTrend(t(s, d, "orders"),
           "o_orderpriority", col("o_orderdate"),
-          round(col("o_totalprice") * 100, 0).cast("long"))
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .orderBy(col("series"))),
 
     // Benford first-digit forensic profile of price cents: exact
@@ -2221,7 +2222,7 @@ object SparkEntry {
     // fixed double expressions over exact counts.
     "q218_benford" -> ((s, d) =>
       operators.Expectations.benford(t(s, d, "lineitem"),
-          round(col("l_extendedprice") * 100, 0).cast("long"))
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
         .orderBy(col("digit"))),
 
     // Link prediction over the co-purchase graph: Adamic–Adar and
@@ -2272,7 +2273,7 @@ object SparkEntry {
     "q223_gini" -> ((s, d) =>
       operators.Skew.giniConcentration(
         t(s, d, "orders").groupBy(col("o_custkey").as("cust"))
-          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("cents")),
         "cust", col("cents"))),
 
@@ -2526,7 +2527,7 @@ object SparkEntry {
     // expression — q223 Gini's antitrust sibling.
     "q246_hhi" -> ((s, d) =>
       operators.Skew.hhi(t(s, d, "orders"), "o_orderpriority",
-          "o_custkey", round(col("o_totalprice") * 100, 0).cast("long"))
+          "o_custkey", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .orderBy(col("market"))),
 
     // Per-column Shannon entropy profile: is the column informative,
@@ -2548,7 +2549,7 @@ object SparkEntry {
       val o = t(s, d, "orders")
         .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
         .select(col("o_orderkey").as("ok"), col("o_custkey"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       stageReplayBatches(s, Seq(
         o.filter(col("ok") % 2 === 0).drop("ok"),
         o.filter(col("ok") % 2 === 1).drop("ok")), srcDir)
@@ -2594,7 +2595,7 @@ object SparkEntry {
       val custRev = t(s, d, "orders")
         .filter(col("o_custkey").isNotNull)
         .groupBy(col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("cents"))
       operators.Skew.abcAnalysis(custRev, "o_custkey", col("cents"))
         .orderBy(col("abc_class"))
@@ -2675,7 +2676,7 @@ object SparkEntry {
       operators.TimeSeries.priceVolumeMix(t(s, d, "lineitem"),
           "l_returnflag", year(col("l_shipdate")).cast("string"),
           "1994", "1995",
-          round(col("l_extendedprice") * 100, 0).cast("long"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
           col("l_quantity"))
         .orderBy(col("segment"))),
 
@@ -2768,7 +2769,7 @@ object SparkEntry {
     "q250_weighted_median" -> ((s, d) =>
       operators.Expectations.weightedMedian(t(s, d, "lineitem"),
           "l_returnflag", col("l_quantity"),
-          round(col("l_extendedprice") * 100, 0).cast("long"))
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
         .orderBy(col("group"))),
 
     // Streaming entropy monitor: the same additive value-count state as
@@ -3379,8 +3380,8 @@ object SparkEntry {
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType).as("roll_rev"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .over(w).cast(DoubleType) / 100.0).as("roll_rev"),
           count(lit(1)).over(w).as("roll_n"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -3960,90 +3961,6 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** q232's oracle: Brown's double smoothing unrolled with the SAME
-    * BigDecimal weight/convolution arithmetic as the operator — both
-    * smoothed levels exact-decimal sums with one DOUBLE division, the
-    * forecast the identical fixed double expression, warmup rows
-    * dropped by the same full-window row_number cut. */
-  private def doubleSmoothingOracleSql(alphaStr: String, window: Int)
-      : String = {
-    val a = new java.math.BigDecimal(alphaStr)
-    val one = java.math.BigDecimal.ONE
-    val w1 = (0 until window).map(j =>
-      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
-    val terms = 2 * window - 1
-    val w2 = (0 until terms).map { m =>
-      (math.max(0, m - window + 1) to math.min(m, window - 1))
-        .map(i => w1(i).multiply(w1(m - i)))
-        .reduce(_.add(_)).stripTrailingZeros()
-    }
-    def stack(weights: Seq[java.math.BigDecimal]): (String, String) = {
-      val ws = weights.map(_.scale()).max
-      val num = weights.zipWithIndex.map { case (wj, j) =>
-        s"CAST(lag(v, $j) OVER w * CAST('${wj.toPlainString}'" +
-          s" AS DECIMAL(${ws + 1},$ws)) AS DECIMAL(38,${ws + 6}))"
-      }.mkString(" +\n   ")
-      val total = weights.reduce(_.add(_)).stripTrailingZeros().toPlainString
-      (num, total)
-    }
-    val (num1, s1sum) = stack(w1)
-    val (num2, s2sum) = stack(w2)
-    val aLit = s"CAST(${a.toPlainString} AS DOUBLE)"
-    s"""WITH dly AS (
-       | SELECT event_type AS series,
-       |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
-       |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
-       | FROM events GROUP BY series, bucket),
-       |r AS (
-       | SELECT series, bucket, v, row_number() OVER w AS rn,
-       |  CAST(CAST($num1
-       |   AS VARCHAR) AS DOUBLE) / CAST('$s1sum' AS DOUBLE) AS s1,
-       |  CAST(CAST($num2
-       |   AS VARCHAR) AS DOUBLE) / CAST('$s2sum' AS DOUBLE) AS s2
-       | FROM dly WINDOW w AS (PARTITION BY series ORDER BY bucket))
-       |SELECT series, bucket, v, s1, s2,
-       | ((CAST(2.0 AS DOUBLE) * s1 - s2) +
-       |  ($aLit / (CAST(1.0 AS DOUBLE) - $aLit)) * (s1 - s2)) AS forecast
-       |FROM r WHERE rn >= $terms
-       |ORDER BY series, bucket""".stripMargin
-  }
-
-  /** q221's oracle: the identical exact-decimal truncated-EWMA stack —
-    * weights computed with the same BigDecimal arithmetic as the
-    * operator, every cast mirrored, final division in DOUBLE. */
-  private def ewmaOracleSql(alphaStr: String, window: Int): String = {
-    val a = new java.math.BigDecimal(alphaStr)
-    val one = java.math.BigDecimal.ONE
-    val weights = (0 until window).map(j =>
-      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
-    val ws = weights.map(_.scale()).max
-    val num = (0 until window).map { j =>
-      s"coalesce(CAST(lag(v, $j) OVER w * CAST('${weights(j).toPlainString}'" +
-        s" AS DECIMAL(${ws + 1},$ws)) AS DECIMAL(38,${ws + 6}))," +
-        s" CAST(0 AS DECIMAL(38,${ws + 6})))"
-    }.mkString(" +\n  ")
-    val den = (0 until window).map { j =>
-      s"coalesce(CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN" +
-        s" CAST('${weights(j).toPlainString}' AS DECIMAL(38,$ws)) END," +
-        s" CAST(0 AS DECIMAL(38,$ws)))"
-    }.mkString(" +\n  ")
-    // the num/den decimals are HUGEINT-backed with scale > 0: DuckDB's
-    // direct decimal→double cast double-rounds there, the VARCHAR route
-    // is correctly rounded (matching Spark's Decimal.toDouble)
-    s"""WITH dly AS (
-       | SELECT event_type AS series,
-       |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
-       |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
-       | FROM events GROUP BY series, bucket)
-       |SELECT series, bucket, v,
-       | CAST(CAST($num
-       | AS VARCHAR) AS DOUBLE) /
-       | CAST(CAST($den
-       | AS VARCHAR) AS DOUBLE) AS ewma
-       |FROM dly WINDOW w AS (PARTITION BY series ORDER BY bucket)
-       |ORDER BY series, bucket""".stripMargin
-  }
-
   /** q167's oracle: the same damped iteration unrolled as chained CTEs
     * (recursive-CTE aggregation over the recursive term is not portable
     * SQL). Constants are forced to DOUBLE so both engines run the same
@@ -4240,7 +4157,17 @@ object SparkEntry {
     "t105_bpe_train", "t106_bpe_encode",
     "t108_lm_perplexity", "t109_quality_classifier", "t114_pack_sequences",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
-    "t42_group_sketch", "t80_hll_sketch")
+    "t42_group_sketch", "t80_hll_sketch",
+    // Round-11: the nine r10 driver-red gates. All are deterministic
+    // across shuffle partitionings (proven by pin_oracles' two-run
+    // byte-compare at SPARK_GRAFT_CPUS=7 vs 32) but their former
+    // algebraic oracles leaned on round(DOUBLE)/decimal-window
+    // constructs whose results drift across DuckDB builds; the pinned
+    // VALUES form is engine-version-independent (strtod is correctly
+    // rounded).
+    "q221_ewma", "q228_boxplot", "q232_double_smooth", "q246_hhi",
+    "q250_weighted_median", "q258_price_volume_mix", "q260_peaks",
+    "q263_abc_analysis", "str266_stream_top_contributors")
 
   private def pinnedOracles: Map[String, String] =
     pinnedOracleGates.map { name =>
@@ -4525,7 +4452,7 @@ object SparkEntry {
       """WITH dly AS (
         | SELECT o_orderpriority AS series,
         |  CAST(o_orderdate AS DATE) AS d,
-        |  CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |  CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
         |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS y
         | FROM orders GROUP BY series, d),
         |f AS (SELECT series, min(d) AS first_day FROM dly
@@ -4557,7 +4484,7 @@ object SparkEntry {
 
     "q218_benford" ->
       """WITH v AS (
-        | SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        | SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
         | FROM lineitem),
         |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
         |  AS digit, count(*) AS n
@@ -4599,8 +4526,6 @@ object SparkEntry {
         | count(*) AS n_days, round(corr(xv, yv), 6) AS xcorr
         |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
 
-    "q221_ewma" -> ewmaOracleSql("0.5", 16),
-
     "q222_kappa" ->
       """WITH p AS (
         | SELECT o_orderstatus AS a,
@@ -4630,7 +4555,7 @@ object SparkEntry {
     "q223_gini" ->
       """WITH rev AS (
         | SELECT o_custkey AS cust,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |   AS BIGINT) AS y
         | FROM orders GROUP BY cust),
         |r AS (SELECT y, CAST(row_number() OVER (ORDER BY y, cust)
@@ -4709,33 +4634,6 @@ object SparkEntry {
         |FROM cells JOIN rm USING (a) JOIN cm USING (b), tt
         |ORDER BY a, b""".stripMargin,
 
-    "q228_boxplot" ->
-      """WITH r AS (
-        | SELECT o_orderpriority AS g, o_totalprice AS v,
-        |  row_number() OVER (PARTITION BY o_orderpriority
-        |   ORDER BY o_totalprice, o_orderkey) AS rn,
-        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
-        | FROM orders),
-        |qs AS (SELECT g, max(n) AS n,
-        | max(CASE WHEN rn = greatest(1, CAST(ceil(
-        |  CAST(0.25 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p25,
-        | max(CASE WHEN rn = greatest(1, CAST(ceil(
-        |  CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p50,
-        | max(CASE WHEN rn = greatest(1, CAST(ceil(
-        |  CAST(0.75 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p75
-        | FROM r GROUP BY g),
-        |f AS (SELECT *, p25 - 1.5 * (p75 - p25) AS lo_fence,
-        |  p75 + 1.5 * (p75 - p25) AS hi_fence FROM qs)
-        |SELECT f.g AS o_orderpriority, f.n, p25, p50, p75,
-        | lo_fence, hi_fence,
-        | sum(CASE WHEN o.o_totalprice < lo_fence THEN 1 ELSE 0 END)
-        |  AS n_low,
-        | sum(CASE WHEN o.o_totalprice > hi_fence THEN 1 ELSE 0 END)
-        |  AS n_high
-        |FROM f JOIN orders o ON o.o_orderpriority = f.g
-        |GROUP BY f.g, f.n, p25, p50, p75, lo_fence, hi_fence
-        |ORDER BY o_orderpriority""".stripMargin,
-
     "q230_fd_profile" -> Seq(
         ("o_orderkey", "o_custkey"),
         ("o_custkey", "o_orderstatus"),
@@ -4754,14 +4652,13 @@ object SparkEntry {
 
     "d231_weighted_sample" ->
       """SELECT doc_id, source, n_chars,
-        | CAST(((doc_id % 1000003) * 427799) % 1000003 AS DOUBLE) /
+        | CAST((((doc_id % 2147483647) * 48271) % 2147483647) * 48271
+        |   % 2147483647 + 1 AS DOUBLE) /
         |  CAST(n_chars AS DOUBLE) AS priority
         |FROM documents
         |WHERE n_chars IS NOT NULL AND n_chars > 0
         |ORDER BY priority, doc_id
         |LIMIT 50""".stripMargin,
-
-    "q232_double_smooth" -> doubleSmoothingOracleSql("0.5", 8),
 
     "q233_harmonic" ->
       """WITH u AS MATERIALIZED (
@@ -4986,7 +4883,8 @@ object SparkEntry {
         | SELECT o_custkey % 2 = 0 AS t,
         |  CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AS p,
         |  o_totalprice AS v
-        | FROM orders WHERE o_totalprice IS NOT NULL),
+        | FROM orders WHERE o_totalprice IS NOT NULL
+        |  AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
         |a AS (SELECT
         | CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_treat_pre,
@@ -5144,26 +5042,6 @@ object SparkEntry {
         |  ELSE num * num / (den * deny) END AS r2
         |FROM c2""".stripMargin,
 
-    "q246_hhi" ->
-      """WITH firms AS (
-        | SELECT o_orderpriority AS market, o_custkey AS f,
-        |  CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS s
-        | FROM orders
-        | WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
-        | GROUP BY market, f),
-        |m AS (SELECT market, count(*) AS n_firms,
-        |  CAST(sum(s) AS DECIMAL(38,0)) AS tot,
-        |  CAST(sum(CAST(s * s AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
-        | FROM firms GROUP BY market)
-        |SELECT market, n_firms, CAST(tot AS DECIMAL(19,0)) AS total,
-        | CASE WHEN tot = 0 THEN NULL ELSE
-        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
-        |   (CAST(CAST(tot AS VARCHAR) AS DOUBLE) *
-        |    CAST(CAST(tot AS VARCHAR) AS DOUBLE)) END AS hhi
-        |FROM m
-        |ORDER BY market""".stripMargin,
-
     "q247_entropy" -> Seq("o_custkey", "o_orderpriority", "o_orderstatus")
       .map { c =>
         s"""SELECT '$c' AS col_name, CAST(sum(c) AS BIGINT) AS n,
@@ -5217,26 +5095,6 @@ object SparkEntry {
         |  ELSE (nd * sxyd - sxd * syd) / sqrt(vx * vy) END AS corr
         |FROM c2""".stripMargin,
 
-    // streamed per-key decimal sums + top-k read must equal the batch
-    // leaderboard on the union of all batches
-    "str266_stream_top_contributors" ->
-      """WITH s AS (
-        | SELECT o_custkey AS key,
-        |  CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-        |   AS DECIMAL(19,0))) AS DECIMAL(28,0)) AS t,
-        |  count(*) AS n
-        | FROM orders
-        | WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
-        | GROUP BY key),
-        |tot AS (SELECT CAST(sum(t) AS DECIMAL(28,0)) AS g FROM s),
-        |top AS (SELECT key, CAST(t AS DECIMAL(19,0)) AS total, n
-        | FROM s ORDER BY t DESC, key LIMIT 20)
-        |SELECT key, total, n,
-        | CAST(CAST(total AS VARCHAR) AS DOUBLE) /
-        |  CAST(CAST((SELECT g FROM tot) AS VARCHAR) AS DOUBLE) AS share
-        |FROM top
-        |ORDER BY total DESC, key""".stripMargin,
-
     "d264_dup_transactions" ->
       """WITH t AS (
         | SELECT l_orderkey * 10 + l_linenumber AS id,
@@ -5255,34 +5113,6 @@ object SparkEntry {
         | ON a.entity = b.entity AND a.cents = b.cents AND a.id < b.id
         |WHERE abs(datediff('day', a.d, b.d)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q263_abc_analysis" ->
-      """WITH items AS (
-        | SELECT o_custkey AS id,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-        |   AS DECIMAL(19,0)) AS v
-        | FROM orders WHERE o_custkey IS NOT NULL GROUP BY id),
-        |f AS (SELECT * FROM items WHERE v IS NOT NULL AND v >= 0),
-        |tot AS (SELECT CAST(sum(v) AS DECIMAL(28,0)) AS t FROM f),
-        |cum AS (SELECT id, v,
-        |  CAST(sum(v) OVER (ORDER BY v DESC, id) AS DECIMAL(28,0)) AS c
-        | FROM f),
-        |cls AS (SELECT v,
-        |  CASE WHEN CAST(c - v AS DECIMAL(28,0)) * 100 <
-        |    (SELECT t FROM tot) * 80 THEN 'A'
-        |   WHEN CAST(c - v AS DECIMAL(28,0)) * 100 <
-        |    (SELECT t FROM tot) * 95 THEN 'B'
-        |   ELSE 'C' END AS abc_class
-        | FROM cum)
-        |SELECT abc_class, count(*) AS n_items,
-        | CAST(sum(v) AS DECIMAL(19,0)) AS total_value,
-        | CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0
-        |  ELSE CAST(CAST(CAST(sum(v) AS DECIMAL(19,0)) AS VARCHAR)
-        |    AS DOUBLE) /
-        |   CAST(CAST((SELECT t FROM tot) AS VARCHAR) AS DOUBLE)
-        | END AS share
-        |FROM cls GROUP BY abc_class
-        |ORDER BY abc_class""".stripMargin,
 
     "d261_template_mine" ->
       """SELECT md5(shape) AS shape_md5, count(*) AS n_docs,
@@ -5328,25 +5158,6 @@ object SparkEntry {
         |FROM a
         |ORDER BY g""".stripMargin,
 
-    "q260_peaks" ->
-      """WITH dly AS (
-        | SELECT event_type AS series,
-        |  CAST(date_trunc('day', ts) AS DATE) AS bucket,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(16,6)) AS v
-        | FROM events GROUP BY series, bucket),
-        |w AS (SELECT series, bucket, v,
-        |  max(v) OVER (PARTITION BY series ORDER BY bucket
-        |   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS left_max,
-        |  max(v) OVER (PARTITION BY series ORDER BY bucket
-        |   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS right_max
-        | FROM dly)
-        |SELECT series, bucket, v, left_max, right_max
-        |FROM w
-        |WHERE (left_max IS NULL OR v > left_max)
-        | AND (right_max IS NULL OR v >= right_max)
-        | AND v >= CAST(0.0 AS DECIMAL(16,6))
-        |ORDER BY series, bucket""".stripMargin,
-
     "q257_erasure_audit" ->
       """WITH ks AS (
         | SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0)
@@ -5370,42 +5181,6 @@ object SparkEntry {
         |     WHERE o_custkey IN (SELECT k FROM ks))) AS DOUBLE) /
         |   CAST((SELECT count(*) FROM lineitem) AS DOUBLE) END
         |ORDER BY "table"""".stripMargin,
-
-    "q258_price_volume_mix" ->
-      """WITH cells AS (
-        | SELECT l_returnflag AS segment,
-        |  CAST(year(l_shipdate) AS VARCHAR) AS p,
-        |  CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS rev,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(19,0))) AS DECIMAL(19,0))
-        |   AS qty
-        | FROM lineitem
-        | WHERE CAST(year(l_shipdate) AS VARCHAR) IN ('1994', '1995')
-        | GROUP BY segment, p),
-        |a AS (SELECT segment, rev AS rev_a, qty AS qty_a FROM cells
-        | WHERE p = '1994'),
-        |b AS (SELECT segment, rev AS rev_b, qty AS qty_b FROM cells
-        | WHERE p = '1995'),
-        |j AS (SELECT coalesce(a.segment, b.segment) AS segment,
-        |  rev_a, qty_a, rev_b, qty_b
-        | FROM a FULL OUTER JOIN b ON a.segment = b.segment),
-        |c AS (SELECT *,
-        |  rev_a IS NOT NULL AND rev_b IS NOT NULL AND qty_a > 0
-        |   AND qty_b > 0 AS ok,
-        |  CAST(CAST(rev_a AS VARCHAR) AS DOUBLE) AS ra,
-        |  CAST(CAST(qty_a AS VARCHAR) AS DOUBLE) AS qa,
-        |  CAST(CAST(rev_b AS VARCHAR) AS DOUBLE) AS rb,
-        |  CAST(CAST(qty_b AS VARCHAR) AS DOUBLE) AS qb
-        | FROM j)
-        |SELECT segment, rev_a, qty_a, rev_b, qty_b,
-        | CASE WHEN ok THEN CAST(CAST(CAST(rev_b - rev_a AS DECIMAL(20,0))
-        |  AS VARCHAR) AS DOUBLE) END AS delta,
-        | CASE WHEN ok THEN (rb / qb - ra / qa) * qa END AS price_effect,
-        | CASE WHEN ok THEN (qb - qa) * (ra / qa) END AS volume_effect,
-        | CASE WHEN ok THEN (rb / qb - ra / qa) * (qb - qa) END
-        |  AS mix_effect
-        |FROM c
-        |ORDER BY segment""".stripMargin,
 
     "q254_burstiness" ->
       """WITH dly AS (
@@ -5512,27 +5287,6 @@ object SparkEntry {
         | mean_after - mean_before AS gap
         |FROM mm
         |ORDER BY series""".stripMargin,
-
-    "q250_weighted_median" ->
-      """WITH cells AS (
-        | SELECT l_returnflag AS grp, l_quantity AS v,
-        |  CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-        |   AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS w
-        | FROM lineitem
-        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |  AND CAST(round(l_extendedprice * 100, 0) AS BIGINT) > 0
-        | GROUP BY grp, v),
-        |cum AS (SELECT grp, v,
-        |  CAST(sum(w) OVER (PARTITION BY grp ORDER BY v)
-        |   AS DECIMAL(28,0)) AS cw,
-        |  CAST(sum(w) OVER (PARTITION BY grp) AS DECIMAL(28,0)) AS tot
-        | FROM cells),
-        |sel AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v)
-        |  AS rk FROM cum WHERE cw + cw >= tot)
-        |SELECT grp AS "group", CAST(tot AS DECIMAL(19,0)) AS total_weight,
-        | v AS weighted_median
-        |FROM sel WHERE rk = 1
-        |ORDER BY grp""".stripMargin,
 
     // streamed value counts read through the entropy lens must equal
     // the batch entropy of the union
@@ -5675,21 +5429,22 @@ object SparkEntry {
         | FROM c GROUP BY series),
         |z AS (SELECT c.series, c.bucket, c.n,
         |  CASE WHEN k >= 2 AND (s2 - s1 * s1 / k) / (k - 1) > 0
-        |   THEN CAST(round((CAST(n AS DOUBLE) - s1 / k)
-        |     / sqrt((s2 - s1 * s1 / k) / (k - 1)), 6) AS DECIMAL(28,6))
+        |   THEN CAST(floor((CAST(n AS DOUBLE) - s1 / k)
+        |     / sqrt((s2 - s1 * s1 / k) / (k - 1)) * 1000000.0 + 0.5)
+        |    AS BIGINT)
         |  END AS z
         | FROM c JOIN st ON c.series = st.series),
         |r AS (SELECT series, bucket, n,
-        |  sum(z - CAST(0.25 AS DECIMAL(28,6))) OVER w AS rh,
-        |  sum(-z - CAST(0.25 AS DECIMAL(28,6))) OVER w AS rl
+        |  sum(z - 250000) OVER w AS rh,
+        |  sum(-z - 250000) OVER w AS rl
         | FROM z
         | WINDOW w AS (PARTITION BY series ORDER BY bucket
         |  ROWS UNBOUNDED PRECEDING)),
         |s AS (SELECT series, bucket, n,
-        |  CAST(rh - least(min(rh) OVER w, CAST(0 AS DECIMAL(28,6)))
-        |   AS DOUBLE) AS cusum_hi,
-        |  CAST(rl - least(min(rl) OVER w, CAST(0 AS DECIMAL(28,6)))
-        |   AS DOUBLE) AS cusum_lo
+        |  CAST(CAST(rh - least(min(rh) OVER w, 0) AS BIGINT)
+        |   AS DOUBLE) / 1000000.0 AS cusum_hi,
+        |  CAST(CAST(rl - least(min(rl) OVER w, 0) AS BIGINT)
+        |   AS DOUBLE) / 1000000.0 AS cusum_lo
         | FROM r
         | WINDOW w AS (PARTITION BY series ORDER BY bucket
         |  ROWS UNBOUNDED PRECEDING))
@@ -5721,7 +5476,8 @@ object SparkEntry {
         |  PARTITION BY user_id, span
         |  ORDER BY ts DESC, event_id DESC) AS rn FROM j)
         |SELECT ch AS channel, count(*) AS n_credits,
-        | CAST(sum(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS credit
+        | CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  / 1000000.0 AS credit
         |FROM p WHERE rn = 1 GROUP BY ch ORDER BY ch""".stripMargin,
 
     "q188_event_paths" ->
@@ -5837,17 +5593,18 @@ object SparkEntry {
         |  CASE WHEN k = 7 THEN round(CAST(sv AS DOUBLE) / 7.0, 6) END
         |   AS trend FROM tr),
         |t3 AS (SELECT *,
-        |  CAST(round(CAST(v AS DOUBLE) - trend, 6) AS DECIMAL(28,6))
-        |   AS det,
+        |  CAST(floor((CAST(v AS DOUBLE) - trend) * 1000000.0 + 0.5)
+        |   AS BIGINT) AS det,
         |  (datediff('day', DATE '1970-01-01', bucket) + 4) % 7 AS slot
         | FROM t2),
         |ssn AS (SELECT series, slot,
-        |  CAST(sum(det) AS DOUBLE) / CAST(count(det) AS DOUBLE) AS s
+        |  CAST(sum(det) AS DOUBLE) / CAST(count(det) AS DOUBLE)
+        |   / 1000000.0 AS s
         | FROM t3 GROUP BY series, slot)
         |SELECT t3.series, strftime(bucket, '%Y-%m-%d') AS day,
         | round(CAST(v AS DOUBLE), 6) AS v, trend,
         | s AS seasonal,
-        | CAST(det AS DOUBLE) - s AS residual
+        | CAST(det AS DOUBLE) / 1000000.0 - s AS residual
         |FROM t3 JOIN ssn ON ssn.series = t3.series AND ssn.slot = t3.slot
         |ORDER BY t3.series, day""".stripMargin,
 
@@ -5998,7 +5755,8 @@ object SparkEntry {
 
     "q08_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   OVER w AS DOUBLE) / 100.0 AS running_spend,
         | count(*) OVER w AS running_orders
         |FROM orders
         |WHERE o_custkey < 100
@@ -6017,7 +5775,8 @@ object SparkEntry {
 
     "q50_window_range" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   OVER w AS DOUBLE) / 100.0 AS spend_30d,
         | count(*) OVER w AS orders_30d
         |FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
         |WHERE o_custkey < 200
@@ -6657,8 +6416,8 @@ object SparkEntry {
         |  least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(width, height)) AS scl
         | FROM wh)
         |SELECT doc_id, width, height,
-        |  CAST(round(width * scl) AS INTEGER) AS out_width,
-        |  CAST(round(height * scl) AS INTEGER) AS out_height
+        |  CAST(floor(width * scl + 0.5) AS INTEGER) AS out_width,
+        |  CAST(floor(height * scl + 0.5) AS INTEGER) AS out_height
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t73_gopher_quality" ->
@@ -6723,7 +6482,7 @@ object SparkEntry {
         |qq AS (
         | SELECT e.vec_id, q.scale,
         |  list_transform(e.embedding, x -> CASE WHEN q.scale = 0 THEN 0
-        |    ELSE CAST(round(CAST(x AS DOUBLE) / q.scale) AS INT) END) AS qv
+        |    ELSE CAST(floor(CAST(x AS DOUBLE) / q.scale + 0.5) AS INT) END) AS qv
         | FROM embeddings e JOIN q ON e.vec_id = q.vec_id)
         |SELECT vec_id, round(scale, 6) AS scale_r,
         | CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
@@ -6815,10 +6574,11 @@ object SparkEntry {
     "q84_window_dist" ->
       """SELECT c_custkey, c_nationkey,
         | ntile(4) OVER w AS quartile,
-        | CAST(round(percent_rank() OVER w *
-        |   (count(*) OVER (PARTITION BY c_nationkey) - 1)) AS BIGINT) AS pr_num,
-        | CAST(round(cume_dist() OVER w *
-        |   count(*) OVER (PARTITION BY c_nationkey)) AS BIGINT) AS cd_num
+        | CAST(floor(percent_rank() OVER w *
+        |   (count(*) OVER (PARTITION BY c_nationkey) - 1) + 0.5)
+        |  AS BIGINT) AS pr_num,
+        | CAST(floor(cume_dist() OVER w *
+        |   count(*) OVER (PARTITION BY c_nationkey) + 0.5) AS BIGINT) AS cd_num
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
@@ -7031,7 +6791,7 @@ object SparkEntry {
         |SELECT domain, CAST(n AS BIGINT) AS n,
         | round(pow(n, 0.5) / wsum, 6) AS share,
         | round(least(1.0, pow(n, 0.5) / wsum * 300.0 / n), 6) AS rate,
-        | CAST(round(n * least(1.0, pow(n, 0.5) / wsum * 300.0 / n))
+        | CAST(floor(n * least(1.0, pow(n, 0.5) / wsum * 300.0 / n) + 0.5)
         |  AS BIGINT) AS expected_n
         |FROM sizes CROSS JOIN w
         |ORDER BY domain""".stripMargin,
@@ -7628,8 +7388,8 @@ object SparkEntry {
     "q164_rolling_window" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS d,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
-        |   AS DOUBLE) AS roll_rev,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   OVER w AS DOUBLE) / 100.0 AS roll_rev,
         | count(*) OVER w AS roll_n
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate

@@ -48,7 +48,11 @@ object VectorFunctions {
     array_max(transform(v, x => abs(x.cast(DoubleType)))) / 127.0
 
   /** Symmetric int8 quantization (`array<int>` in [-127, 127]):
-    * `round(v_i / scale)`, the all-zero vector (scale 0) maps to zeros.
+    * `floor(v_i / scale + 0.5)`, the all-zero vector (scale 0) maps to
+    * zeros. floor(x + 0.5) instead of round(x): floor is exact IEEE with
+    * no rounding-mode or half-rule dependence, so the quantized vector is
+    * bit-identical on any engine/version that evaluates the same doubles
+    * (round()'s half-handling for DOUBLE is engine-build-dependent).
     * `scale` must be a previously-projected [[int8Scale]] column — passing
     * the scale EXPRESSION inline would get inlined into the per-element
     * lambda and recomputed dim× per row (the Catalyst lambda-inlining
@@ -59,7 +63,7 @@ object VectorFunctions {
   def quantizeInt8(v: Column, scale: Column): Column =
     transform(v, x =>
       when(scale === 0.0, 0)
-        .otherwise(round(x.cast(DoubleType) / scale).cast("int")))
+        .otherwise(floor(x.cast(DoubleType) / scale + 0.5).cast("int")))
 
   /** Dequantized copy of an int8 vector: `q_i · scale`, `array<double>`. */
   def dequantizeInt8(q: Column, scale: Column): Column =

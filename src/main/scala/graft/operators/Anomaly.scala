@@ -154,11 +154,13 @@ object Anomaly {
     * buckets-sized input.
     *
     * Engine-reproducibility: per-series mean/sd come from exact decimal
-    * sums in one fixed formula (never a built-in `stddev`), z is rounded
-    * to 6 and cast to DECIMAL before the cumsum, so both running
-    * aggregates are ASSOCIATIVE EXACT arithmetic — DuckDB's segment-tree
-    * windowed sum and Spark's running fold add the same decimals and the
-    * q185 oracle hash-matches. Flags: `cusum_hi` / `cusum_lo` (upward /
+    * sums in one fixed formula (never a built-in `stddev`), z is
+    * quantized to micro-units via `floor(z·10⁶ + 0.5)` — floor is exact
+    * IEEE with no engine-build half-rule dependence (unlike
+    * `round(DOUBLE, n)` / double→DECIMAL casts, whose tie handling
+    * drifts across engine versions) — so both running aggregates are
+    * ASSOCIATIVE EXACT 64-bit integer arithmetic and the final
+    * statistics are ONE correctly-rounded double division by 10⁶. Flags: `cusum_hi` / `cusum_lo` (upward /
     * downward shift statistics) and `is_shift` when either exceeds
     * `threshold` (both in σ units; slack ≈ half the shift size you want
     * to detect). Series with zero variance or fewer than 2 buckets
@@ -184,20 +186,23 @@ object Anomaly {
     val scored = buckets
       .withColumn("__z",
         when(k >= 2 && variance > 0,
-          round((v - mean) / sd, 6).cast(DecimalType(28, 6))))
-    // decimal running sum and running min: associative exact arithmetic,
-    // identical under any engine's window-aggregation order
-    val rHi = sum(col("__z") - lit(slack).cast(DecimalType(28, 6))).over(wRun)
-    val rLo = sum(-col("__z") - lit(slack).cast(DecimalType(28, 6))).over(wRun)
+          floor((v - mean) / sd * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+    // micro-unit running sum and running min: associative exact 64-bit
+    // integer arithmetic, identical under any engine's window order
+    // (z ≲ ±100σ ⇒ |__z| ≲ 1e8; 1e10 rows/series stays within Long)
+    val slackMicro = math.round(slack * 1e6)
+    val rHi = sum(col("__z") - lit(slackMicro)).over(wRun)
+    val rLo = sum(-col("__z") - lit(slackMicro)).over(wRun)
     scored
       .withColumn("__rh", rHi)
       .withColumn("__rl", rLo)
       .withColumn("cusum_hi",
-        (col("__rh") - least(min(col("__rh")).over(wRun),
-          lit(0).cast(DecimalType(28, 6)))).cast("double"))
+        (col("__rh") - least(min(col("__rh")).over(wRun), lit(0L)))
+          .cast("double") / 1000000.0)
       .withColumn("cusum_lo",
-        (col("__rl") - least(min(col("__rl")).over(wRun),
-          lit(0).cast(DecimalType(28, 6)))).cast("double"))
+        (col("__rl") - least(min(col("__rl")).over(wRun), lit(0L)))
+          .cast("double") / 1000000.0)
       .withColumn("is_shift",
         coalesce(col("cusum_hi") > threshold || col("cusum_lo") > threshold,
           lit(false)))

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Marketing-style conversion attribution and path mining over an event
   * stream — the revenue-credit companion of [[Funnel]] (same
@@ -26,12 +25,15 @@ object Attribution {
     * in the ordering) are candidates. Models:
     *  - "first": the span's earliest touch gets the full value;
     *  - "last": the span's latest touch gets the full value;
-    *  - "linear": every touch in the span gets `round(value/n, 6)`.
+    *  - "linear": every touch in the span gets `value/n` (6-decimal
+    *    quantized).
     * Conversions with NO preceding touch in their span credit the
     * channel NULL (kept — unattributed revenue is a real number the
-    * report must show, not drop). Credited values are rounded to 6 and
-    * summed as DECIMAL, so the totals are engine-exact under any
-    * partitioning. Returns (channel, n_credits, credit) — `n_credits`
+    * report must show, not drop). Credited values are quantized to
+    * micro-units via `floor(v·10⁶ + 0.5)` — exact IEEE, no engine-build
+    * round()/double→DECIMAL tie dependence — and summed as 64-bit
+    * integers, so the totals are engine-exact under any partitioning;
+    * the reported credit is ONE correctly-rounded division by 10⁶. Returns (channel, n_credits, credit) — `n_credits`
     * counts credit rows: conversions for first/last, conversion–touch
     * pairs for linear. */
   def credit(events: DataFrame, entity: String, ts: String, tie: String,
@@ -62,9 +64,11 @@ object Attribution {
         // divide by the empty touch count
         joined.withColumn("__n", count(col("__ch")).over(wSpan))
           .withColumn("__credit",
-            when(col("__n") === 0, round(col("__v"), 6))
-              .otherwise(round(col("__v") / col("__n"), 6))
-              .cast(DecimalType(28, 6)))
+            when(col("__n") === 0,
+              floor(col("__v") * lit(1000000.0) + lit(0.5)))
+              .otherwise(floor(col("__v") / col("__n") * lit(1000000.0)
+                + lit(0.5)))
+              .cast("long"))
       case m =>
         // row_number (not a min/max-struct equality filter) so a (ts,
         // tie) collision between two touches still credits EXACTLY one
@@ -77,12 +81,12 @@ object Attribution {
         joined.withColumn("__rn", row_number().over(wSpan.orderBy(ord: _*)))
           .filter(col("__rn") === 1)
           .withColumn("__credit",
-            round(col("__v"), 6).cast(DecimalType(28, 6)))
+            floor(col("__v") * lit(1000000.0) + lit(0.5)).cast("long"))
     }
     picked
       .groupBy(col("__ch").as("channel"))
       .agg(count(lit(1)).as("n_credits"),
-        sum(col("__credit")).cast("double").as("credit"))
+        (sum(col("__credit")).cast("double") / 1000000.0).as("credit"))
   }
 
   /** Frequent k-step event paths — "what do entities DO, in order?":

@@ -696,8 +696,15 @@ object Dedup {
   def weightedPrioritySample(df: DataFrame, idCol: String,
       weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = pmod(pmod(col(idCol), lit(1000003L)) * lit(427799L),
-      lit(1000003L)).cast("double")
+    // two-stage MINSTD chain mod the Mersenne prime 2^31-1: ~2.1e9
+    // distinct values (vs 1e6 for the single-stage 1000003 chain, whose
+    // heavy ties biased the draw toward small ids), products stay under
+    // 2^47 so BIGINT arithmetic never overflows in any engine, and the
+    // +1 keeps u >= 1 — an id divisible by the modulus must not map to
+    // priority 0 and win regardless of weight
+    val m = 2147483647L
+    val u1 = pmod(pmod(col(idCol), lit(m)) * lit(48271L), lit(m))
+    val u = (pmod(u1 * lit(48271L), lit(m)) + lit(1L)).cast("double")
     df.filter(weight.isNotNull && weight > 0)
       .withColumn("priority", u / weight.cast("double"))
       .orderBy(col("priority"), col(idCol))
@@ -1070,7 +1077,9 @@ object Dedup {
     * Null domains report as the empty string (a domain, not a leak —
     * same semantics as temperatureMix's null bucket). `rate` and `share`
     * are rounded to `roundTo` decimals for engine-reproducibility;
-    * `expected_n` = round(n·rate) uses the UNROUNDED rate. */
+    * `expected_n` = floor(n·rate + 0.5) uses the UNROUNDED rate
+    * (floor(x+0.5), not round(x): exact IEEE, no engine-build half-rule
+    * dependence — n·rate is non-negative so this is plain half-up). */
   def mixturePlan(df: DataFrame, domainCol: String, alpha: Double,
       targetRows: Long, weightCol: Option[String] = None,
       roundTo: Int = 6): DataFrame = {
@@ -1091,7 +1100,7 @@ object Dedup {
       .select(col("domain"), col("n").cast(LongType).as("n"),
         round(share, roundTo).as("share"),
         round(rate, roundTo).as("rate"),
-        round(col("n") * rate).cast(LongType).as("expected_n"))
+        floor(col("n") * rate + 0.5).cast(LongType).as("expected_n"))
       .orderBy(col("domain"))
   }
 

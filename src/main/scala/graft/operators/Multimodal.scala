@@ -88,8 +88,8 @@ object Multimodal {
     meta.toDF().select(
       col("docId").as("doc_id"),
       col("width"), col("height"),
-      round(col("width") * scale).cast(IntegerType).as("out_width"),
-      round(col("height") * scale).cast(IntegerType).as("out_height"))
+      floor(col("width") * scale + 0.5).cast(IntegerType).as("out_width"),
+      floor(col("height") * scale + 0.5).cast(IntegerType).as("out_height"))
   }
 
   import org.apache.spark.sql.graft.NativeFunctions

@@ -138,18 +138,6 @@ object Skew {
       .orderBy(col("rank"))
   }
 
-  /** Herfindahl–Hirschman concentration index per market —
-    * [[giniConcentration]]'s antitrust-flavored sibling, and the
-    * domain-mixture diagnostic for training corpora ("one crawl source
-    * owns 62% of this language"): HHI = Σ_firm share² ∈ (0, 1], 1 =
-    * monopoly, 1/n_firms = perfectly even. With exact integer firm
-    * totals s_f (route money through cents upstream),
-    * HHI = Σs_f² / (Σs_f)², both sums exact decimals and the quotient
-    * ONE fixed double expression — engine-bit-identical.
-    *
-    * Scale: one (market, firm) aggregate with map-side combine, one
-    * market-keyed reduction — nothing wider than firm cardinality
-    * shuffles. Returns (market, n_firms, total, hhi). */
   /** ABC / Pareto classification: rank items by exact integer value
     * descending, walk the cumulative share, and band them — A while the
     * PRECEDING cumulative share is under `cutA`% (so the item that
@@ -214,6 +202,18 @@ object Skew {
           .as("share"))
   }
 
+  /** Herfindahl–Hirschman concentration index per market —
+    * [[giniConcentration]]'s antitrust-flavored sibling, and the
+    * domain-mixture diagnostic for training corpora ("one crawl source
+    * owns 62% of this language"): HHI = Σ_firm share² ∈ (0, 1], 1 =
+    * monopoly, 1/n_firms = perfectly even. With exact integer firm
+    * totals s_f (route money through cents upstream),
+    * HHI = Σs_f² / (Σs_f)², both sums exact decimals and the quotient
+    * ONE fixed double expression — engine-bit-identical.
+    *
+    * Scale: one (market, firm) aggregate with map-side combine, one
+    * market-keyed reduction — nothing wider than firm cardinality
+    * shuffles. Returns (market, n_firms, total, hhi). */
   def hhi(df: DataFrame, marketCol: String, firmCol: String,
       value: Column): DataFrame = {
     val firms = df

@@ -231,16 +231,21 @@ object TimeSeries {
       .withColumn("trend",
         when(col("__k") === 7,
           round(sum(col("__v")).over(wTrend).cast("double") / 7.0, 6)))
+      // micro-unit quantization (floor(x·10⁶ + 0.5), exact IEEE) instead
+      // of round(x, 6)→DECIMAL: round()'s half handling and
+      // double→DECIMAL tie casts drift across engine builds; floor lands
+      // mid-interval here (x is within ~1e-9 of a 6-decimal grid point),
+      // so the 64-bit micro value is version-independent
       .withColumn("__det",
-        round(col("__v").cast("double") - col("trend"), 6)
-          .cast(DecimalType(28, 6)))
+        floor((col("__v").cast("double") - col("trend")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
       .localCheckpoint(eager = false) // seasonal means + the final join
     val slot = pmod(datediff(col("bucket"), lit("1970-01-01")) + 4, lit(7))
     val seasonal = trended
       .withColumn("__slot", slot)
       .groupBy(col("series"), col("__slot"))
       .agg((sum(col("__det")).cast("double") /
-        count(col("__det")).cast("double")).as("__s"))
+        count(col("__det")).cast("double") / 1000000.0).as("__s"))
     trended.withColumn("__slot", slot)
       .join(seasonal, Seq("series", "__slot"), "left")
       .select(col("series"), col("bucket"),
@@ -253,7 +258,8 @@ object TimeSeries {
         // (binary-value HALF_UP) and other engines (printed-digit rules)
         // settle differently. Don't round what is already deterministic.
         col("__s").as("seasonal"),
-        (col("__det").cast("double") - col("__s")).as("residual"))
+        (col("__det").cast("double") / 1000000.0 - col("__s"))
+          .as("residual"))
   }
 
   /** Autocorrelation of the daily-bucketed series at lags 1..`maxLag` —
@@ -402,9 +408,15 @@ object TimeSeries {
     }
     val ws1 = w1.map(_.scale()).max
     val ws2 = w2.map(_.scale()).max
-    require(ws2 + 6 <= 30,
-      s"alpha=$alpha over window=$window needs decimal scale $ws2 — " +
-        "too fine for exact 38-digit arithmetic")
+    // the weighted terms are cast to decimal(38, ws2+6); each term is
+    // <= |v| (weights sum below 1), so the integer headroom must cover
+    // decimal(16,6)'s 10 integer digits or daily sums >= 10^(38-t)
+    // would overflow the cast and silently NULL under non-ANSI Spark
+    require(38 - (ws2 + 6) >= 10,
+      s"alpha=$alpha over window=$window needs decimal scale ${ws2 + 6}" +
+        " — leaves fewer than 10 integer digits in 38-digit arithmetic" +
+        " (daily sums up to decimal(16,6) would overflow); use a coarser" +
+        " alpha or a smaller window")
     val s1sum = w1.reduce(_.add(_)).stripTrailingZeros()
     val s2sum = w2.reduce(_.add(_)).stripTrailingZeros()
     val dly = events
@@ -421,7 +433,7 @@ object TimeSeries {
       val num = treeSum(weights.zipWithIndex.map { case (wj, j) =>
         (lag(col("v"), j).over(w) *
           lit(wj).cast(s"decimal(${ws + 1},$ws)"))
-          .cast(s"decimal(32,$t)")
+          .cast(s"decimal(38,$t)")
       })
       // full-window rows only (rn filter below), so the denominator is
       // the CONSTANT total mass — decimal→double via STRING (correctly

@@ -910,9 +910,10 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.length === 20)
     // zero-weight rows can never win
     assert(got.forall(_._1 % 10 != 0))
-    // priorities are exactly u/w for the portable hash
+    // priorities are exactly u/w for the portable two-stage MINSTD hash
     got.foreach { case (id, p) =>
-      val u = (((id % 1000003L) * 427799L) % 1000003L).toDouble
+      val m = 2147483647L
+      val u = ((((id % m) * 48271L) % m * 48271L) % m + 1L).toDouble
       assert(p === u / id.toDouble, s"id=$id")
     }
     // replay: same draw on a different partitioning

@@ -32,7 +32,7 @@ import duckdb
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..",
                        "src", "main", "resources", "graft", "pinned")
 
-SUPPORTED = {"BIGINT", "INTEGER", "DOUBLE", "BOOLEAN", "VARCHAR"}
+SUPPORTED = {"BIGINT", "INTEGER", "DOUBLE", "BOOLEAN", "VARCHAR", "DATE"}
 
 
 def load(con, out: str, gate: str):
@@ -50,7 +50,7 @@ def load(con, out: str, gate: str):
     cols = list(rel.columns)
     types = [str(t) for t in rel.types]
     for c, t in zip(cols, types):
-        if t not in SUPPORTED:
+        if t not in SUPPORTED and not t.startswith("DECIMAL("):
             raise SystemExit(
                 f"{gate}: unsupported column type {c}:{t}; extend pin_oracles")
     return cols, types, rel.fetchall()
@@ -82,6 +82,12 @@ def lit(v, duckt: str) -> str:
         return "TRUE" if v else "FALSE"
     if duckt == "VARCHAR":
         return "'" + str(v).replace("'", "''") + "'"
+    if duckt == "DATE":
+        # datetime.date isoformat; resolved by the outer CAST(... AS DATE)
+        return "'" + v.isoformat() + "'"
+    if duckt.startswith("DECIMAL("):
+        # decimal.Decimal prints exactly; the outer CAST restores (p,s)
+        return "'" + str(v) + "'"
     return str(int(v))
 
 
