@@ -138,6 +138,11 @@ object ScaleSmoke {
     // completed stream exposes no executedPlan post-hoc.
     "str103_stream_neardup_ingest", "str112_stream_quality",
     "str127_stream_topn", "str148_stream_curate",
+    // r11: the remaining streaming gates, so EVERY str* pipeline has a
+    // 10x ratio + pinned exchange counts in the smoke artifact
+    "str39_stream_window", "str48_cdc_stream", "str82_stream_session",
+    "str90_stream_join", "str92_stream_dedup", "str156_stream_funnel",
+    "str266_stream_top_contributors",
     // r9: the composed media pipeline showcase
     "p182_media_pipeline",
     // r9: sketch-fold rolling distinct (corpus pass + buckets-sized

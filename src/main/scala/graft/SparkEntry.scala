@@ -3730,16 +3730,26 @@ object SparkEntry {
 
     // Last-touch revenue attribution: purchases credit the latest
     // preceding touch (click/view/signup) since the previous purchase;
-    // decimal-summed credits, one entity exchange + co-partitioned
-    // touch↔conversion join.
-    "q187_attribution" -> ((s, d) =>
-      operators.Attribution.credit(t(s, d, "events"), "user_id", "ts",
+    // micro-unit-summed credits, one entity exchange + co-partitioned
+    // touch↔conversion join. The input UNIONs an exact duplicate of a
+    // deterministic click slice, planting (ts, tie) COLLISIONS between
+    // identical touch rows: the operator's row_number pick must credit
+    // exactly ONE of each colliding pair (a tie-equality filter would
+    // keep both and double-count the conversion value) — and because
+    // the colliders are identical, whichever wins, the channel totals
+    // are engine-deterministic.
+    "q187_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val collided = ev.unionAll(ev.filter(
+        col("event_type") === "click" && col("user_id") % 50 === 0))
+      operators.Attribution.credit(collided, "user_id", "ts",
           "event_id",
           isTouch = col("event_type").isin("click", "view", "signup"),
           channel = col("event_type"),
           isConversion = col("event_type") === "purchase",
           value = col("value"), model = "last")
-        .orderBy(col("channel"))),
+        .orderBy(col("channel"))
+    }),
 
     // Frequent 3-step behavior paths: every length-3 window of each
     // user's ordered event stream, counted corpus-wide, top 25 by count
@@ -5454,12 +5464,17 @@ object SparkEntry {
         |FROM s ORDER BY series, day""".stripMargin,
 
     "q187_attribution" ->
-      """WITH ev AS (
+      """WITH base AS (
+        | SELECT * FROM events
+        | UNION ALL
+        | SELECT * FROM events
+        | WHERE event_type = 'click' AND user_id % 50 = 0),
+        |ev AS (
         | SELECT user_id, ts, event_id, event_type, value,
         |  CASE WHEN event_type IN ('click','view','signup')
         |   THEN 1 ELSE 0 END AS tch,
         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cnv
-        | FROM events
+        | FROM base
         | WHERE event_type IN ('click','view','signup','purchase')),
         |sp AS (SELECT *, coalesce(sum(cnv) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id

@@ -50,7 +50,15 @@ object Affinity {
       .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
-    pairs
+    // the support-filtered pair table is OUTPUT-scale (the rules a
+    // consumer keeps: ~3.5k rows at sf0.1 and sublinear in postings,
+    // since survival needs >= minSupport co-occurrences), while itemFreq
+    // is catalog-scale — broadcast the pairs side so the two frequency
+    // joins stream itemFreq with ZERO extra exchanges. AQE cannot see
+    // this on its own: the union/filter above the pair groupBy hides the
+    // post-filter size from the logical stats, so it was flipping these
+    // joins to keyed shuffles at sf1 (SCALE.md round-10 smoke).
+    broadcast(pairs)
       .join(itemFreq.select(col("__i").as("item_a"), col("__ni").as("__na")),
         Seq("item_a"))
       .join(itemFreq.select(col("__i").as("item_b"), col("__ni").as("__nb")),
@@ -108,7 +116,11 @@ object Affinity {
         col("n_shared"))
       .unionAll(pairs.select(col("__y").as("item"),
         col("__x").as("neighbor"), col("n_shared")))
-    val scored = directed
+    // directed = 2x the support-filtered pair table — output-scale (see
+    // coOccurrence's broadcast note); broadcasting it keeps both
+    // frequency joins shuffle-free at any SF where the kept neighbor
+    // set fits memory, which a consumer of top-k neighbors needs anyway
+    val scored = broadcast(directed)
       .join(itemFreq.select(col("__i").as("item"), col("__ni").as("__na")),
         Seq("item"))
       .join(itemFreq.select(col("__i").as("neighbor"),
@@ -174,7 +186,8 @@ object Affinity {
         col("n_baskets"))
       .unionAll(pairs.select(col("__y").as("antecedent"),
         col("__x").as("consequent"), col("n_baskets")))
-    directed
+    // output-scale rule table (see coOccurrence's broadcast note)
+    broadcast(directed)
       .join(itemFreq.select(col("__i").as("antecedent"),
         col("__ni").as("__na")), Seq("antecedent"))
       .join(itemFreq.select(col("__i").as("consequent"),

@@ -88,6 +88,41 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("bucket pruning: a point filter on the bucket column reads 1/n " +
+      "buckets") {
+    // the reference lets a reader request specific buckets
+    // (cupid-table-api/.../reader/PartitionSpecWithBucketFilter.java:36-47);
+    // Spark's bucket pruning is the delegated equivalent — pinned here so
+    // a layout/config regression (pruning silently off => full scan)
+    // fails loudly
+    val wh = Files.createTempDirectory("graft_bucket_prune").toString
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite")
+      .option("path", s"$wh/o_bp").bucketBy(8, "o_orderkey")
+      .saveAsTable("o_bucket_prune")
+    // DisableUnnecessaryBucketedScan only reasons about output
+    // partitioning (joins/aggs), not bucket-filter pruning, so for a
+    // filter-only query it flips the scan to "Bucketed: false" and the
+    // pruning with it — reading with autoBucketedScan off is how a
+    // point-lookup job keeps the 1/n-bucket scan
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val p = spark.table("o_bucket_prune")
+        .filter(col("o_orderkey") === 42L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        "point filter on the bucket column must prune to one bucket:\n" +
+          p.take(1500))
+    } finally {
+      spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+      spark.sql("DROP TABLE IF EXISTS o_bucket_prune")
+    }
+  }
+
   test("dynamic partition pruning fires for fact join with filtered dim") {
     // the reference hand-implements DPP (OdpsTableScanExec.scala:125-167);
     // here Catalyst injects the dynamicpruning subquery on the fact scan —
