@@ -223,7 +223,11 @@ object ScaleSmoke {
     // r10 wave 13: block-bounded duplicate transactions, LSH-recall eval
     "d264_dup_transactions", "d265_lsh_eval",
     // r10 wave 14: streaming per-key sum maintenance + top-k read
-    "str266_stream_top_contributors")
+    "str266_stream_top_contributors",
+    // r11 wave 1: survival curve, dose-response trend, community
+    // modularity, overdispersion screen, streaming exact-median IVM
+    "q267_kaplan_meier", "q268_ca_trend", "q269_modularity",
+    "q270_overdispersion", "str271_stream_median")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

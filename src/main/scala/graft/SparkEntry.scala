@@ -2588,6 +2588,85 @@ object SparkEntry {
         "doc_id", "text", shingleK = 4, threshold = 0.35,
         numHashes = 128, bands = 32)),
 
+    // Kaplan–Meier time-to-first-purchase per cohort: the event is a
+    // user's first purchase (duration = days from their first event);
+    // users who never purchase are right-CENSORED at their last
+    // observed day — the case where dropping or death-coding them both
+    // bias the curve and censoring does neither. Log-space
+    // micro-integer product keeps the curve engine-exact.
+    "q267_kaplan_meier" -> ((s, d) => {
+      val day = to_date(date_trunc("day", col("ts")))
+      val subjects = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(day).as("__first"), max(day).as("__last"),
+          min(when(col("event_type") === "purchase", day)).as("__conv"))
+        .select(concat(lit("c"), pmod(col("user_id"), lit(3)))
+            .as("cohort"),
+          when(col("__conv").isNotNull,
+            datediff(col("__conv"), col("__first")))
+            .otherwise(datediff(col("__last"), col("__first"))).as("dur"),
+          col("__conv").isNotNull.as("obs"))
+      operators.Survival.kaplanMeier(subjects, "cohort", "dur",
+          col("obs"))
+        .orderBy(col("group"), col("t"))
+    }),
+
+    // Cochran–Armitage dose-response trend: does the F-status rate
+    // rise with order-priority rank? Integer score sums, one fixed
+    // double z expression.
+    "q268_ca_trend" -> ((s, d) =>
+      operators.Experiment.cochranArmitage(t(s, d, "orders"),
+        dose = substring(col("o_orderpriority"), 1, 1).cast("int"),
+        response = col("o_orderstatus") === "F")),
+
+    // Modularity of the 3-round LPA communities on the co-purchase
+    // bipartite graph (q184's exact edges + labels): the one-division
+    // exact form (4m·E_in − Σdeg_c²)/(2m)².
+    "q269_modularity" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val labels = operators.Graph.labelPropagation(e, "src", "dst",
+        iterations = 3)
+      operators.Graph.modularity(e, "src", "dst", labels)
+    }),
+
+    // Poisson overdispersion screen over daily event counts: index of
+    // dispersion + χ² form per series, exact integer moment sums.
+    "q270_overdispersion" -> ((s, d) =>
+      operators.Anomaly.overdispersion(t(s, d, "events"),
+          "event_type", "ts")
+        .orderBy(col("series"))),
+
+    // Streaming exact-median maintenance: micro-batches fold into
+    // persisted (group, value, n) counts; the read-side lower weighted
+    // median must equal the batch selection on the union exactly.
+    "str271_stream_median" -> ((s, d) => {
+      val root = tmpDir("graft_str271")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val ev = t(s, d, "events")
+        .select(col("event_id").as("eid"), col("event_type"),
+          col("value"))
+      stageReplayBatches(s, Seq(
+        ev.filter(col("eid") % 3 === 0).drop("eid"),
+        ev.filter(col("eid") % 3 === 1).drop("eid"),
+        ev.filter(col("eid") % 3 === 2).drop("eid")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(stream,
+          outDir, "event_type", "value",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readGroupedMedian(s, outDir)
+        .orderBy(col("group"))
+    }),
+
     // ABC/Pareto classification of customers by revenue: the actionable
     // concentration report ("these N customers are 80% of revenue") —
     // distributed prefix sums, integer cross-multiplied class cuts.
@@ -4220,7 +4299,174 @@ object SparkEntry {
          |SELECT id, label FROM l$iterations ORDER BY id""".stripMargin
   }
 
+  /** q269's oracle: q184's exact LPA label CTEs (same edges, same
+    * argmax rule) extended with the one-division modularity form
+    * `(4m·E_in − Σ_c deg_c²)/(2m)²` — every sum an exact integer, the
+    * subtraction 37-digit-bounded, the division mirrored through the
+    * VARCHAR decimal→double route. */
+  private def modularityOracleSql(iterations: Int): String = {
+    val lpa = lpaOracleSql(iterations)
+    val ctePrefix = lpa.substring(0, lpa.lastIndexOf("\nSELECT id,"))
+    ctePrefix +
+      s""",
+         |und AS MATERIALIZED (
+         | SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         | FROM u WHERE a <> b),
+         |m AS (SELECT count(*) AS mm FROM und),
+         |deg AS (SELECT id, count(*) AS dg FROM (
+         |  SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         | GROUP BY id),
+         |intra AS (SELECT coalesce(sum(
+         |  CASE WHEN la.label = lb.label THEN 1 ELSE 0 END), 0) AS ein
+         | FROM und JOIN l$iterations la ON la.id = und.a
+         |  JOIN l$iterations lb ON lb.id = und.b),
+         |comm AS (SELECT l.label, sum(deg.dg) AS dc, count(*) AS nn
+         | FROM deg JOIN l$iterations l ON l.id = deg.id GROUP BY l.label),
+         |s AS (SELECT count(*) AS n_communities,
+         |  CAST(sum(nn) AS BIGINT) AS n_nodes,
+         |  sum(CAST(dc AS DECIMAL(19,0)) * CAST(dc AS DECIMAL(19,0)))
+         |   AS sumdc2
+         | FROM comm)
+         |SELECT n_nodes, CAST(mm AS BIGINT) AS n_edges, n_communities,
+         | CAST(ein AS BIGINT) AS intra_edges,
+         | CASE WHEN mm = 0 THEN NULL ELSE
+         |  CAST(CAST(CAST(CAST(4 * mm AS DECIMAL(19,0)) *
+         |    CAST(ein AS DECIMAL(19,0)) AS DECIMAL(37,0)) -
+         |    CAST(sumdc2 AS DECIMAL(37,0)) AS VARCHAR) AS DOUBLE) /
+         |  CAST(CAST(CAST(2 * mm AS DECIMAL(19,0)) *
+         |    CAST(2 * mm AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+         | END AS modularity
+         |FROM s CROSS JOIN m CROSS JOIN intra""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = pinnedOracles ++ Map(
+    "q269_modularity" -> modularityOracleSql(3),
+
+    "q267_kaplan_meier" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  min(CAST(date_trunc('day', ts) AS DATE)) AS fst,
+        |  max(CAST(date_trunc('day', ts) AS DATE)) AS lst,
+        |  min(CASE WHEN event_type = 'purchase'
+        |   THEN CAST(date_trunc('day', ts) AS DATE) END) AS conv
+        | FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |subj AS (
+        | SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS g,
+        |  CASE WHEN conv IS NOT NULL THEN datediff('day', fst, conv)
+        |   ELSE datediff('day', fst, lst) END AS dur,
+        |  conv IS NOT NULL AS obs
+        | FROM per),
+        |steps AS (
+        | SELECT g, CAST(dur AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        | FROM subj GROUP BY g, dur),
+        |r AS (SELECT *, sum(d + c) OVER (PARTITION BY g ORDER BY t
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        | FROM steps),
+        |l AS (SELECT *, CASE WHEN d = n_risk THEN 0
+        |  ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) /
+        |   CAST(n_risk AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+        |  END AS lnq FROM r),
+        |f AS (SELECT *,
+        |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER wc AS dead,
+        |  sum(lnq) OVER wc AS lsum FROM l
+        | WINDOW wc AS (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING))
+        |SELECT g AS "group", t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        | CASE WHEN dead = 1 THEN 0.0
+        |  ELSE round(exp(CAST(lsum AS DOUBLE) / 1000000000.0), 6)
+        | END AS survival
+        |FROM f ORDER BY "group", t""".stripMargin,
+
+    "q268_ca_trend" ->
+      """WITH pd AS (
+        | SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS w,
+        |  count(*) AS n,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+        | FROM orders
+        | WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        | GROUP BY 1),
+        |a AS (SELECT
+        |  CAST(sum(n) AS BIGINT) AS nt, CAST(sum(r) AS BIGINT) AS nr,
+        |  count(*) AS n_levels,
+        |  sum(CAST(w AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |   AS swn,
+        |  sum(CAST(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+        |    AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS swwn,
+        |  sum(CAST(w AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)))
+        |   AS swr
+        | FROM pd),
+        |b AS (SELECT nt AS n_total, nr AS n_resp, n_levels,
+        |  CAST(CAST(swr AS DECIMAL(19,0)) * CAST(nt AS DECIMAL(19,0))
+        |   AS DECIMAL(37,0)) -
+        |  CAST(CAST(swn AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0))
+        |   AS DECIMAL(37,0)) AS t,
+        |  CAST(CAST(nt AS DECIMAL(19,0)) * CAST(swwn AS DECIMAL(19,0))
+        |   AS DECIMAL(37,0)) -
+        |  CAST(CAST(swn AS DECIMAL(19,0)) * CAST(swn AS DECIMAL(19,0))
+        |   AS DECIMAL(37,0)) AS aa,
+        |  CAST(nr AS DECIMAL(19,0)) * CAST(nt - nr AS DECIMAL(19,0))
+        |   AS rr
+        | FROM a)
+        |SELECT n_total, n_resp, n_levels,
+        | CAST(CAST(t AS VARCHAR) AS DOUBLE) AS t_stat,
+        | CASE WHEN n_levels < 2 OR rr = 0 OR aa = 0 THEN NULL
+        |  ELSE CAST(CAST(t AS VARCHAR) AS DOUBLE) *
+        |   sqrt(CAST(CAST(n_total AS VARCHAR) AS DOUBLE)) /
+        |   sqrt(CAST(CAST(rr AS VARCHAR) AS DOUBLE) *
+        |    CAST(CAST(aa AS VARCHAR) AS DOUBLE))
+        | END AS z
+        |FROM b""".stripMargin,
+
+    "q270_overdispersion" ->
+      """WITH dc AS (
+        | SELECT event_type AS series,
+        |  CAST(date_trunc('day', ts) AS DATE) AS b, count(*) AS n
+        | FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1, 2),
+        |s AS (SELECT series, count(*) AS n_days,
+        |  CAST(sum(n) AS BIGINT) AS total,
+        |  sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |   AS s2
+        | FROM dc GROUP BY series)
+        |SELECT series, n_days, total,
+        | CAST(CAST(total AS VARCHAR) AS DOUBLE) /
+        |  CAST(n_days AS DOUBLE) AS mean,
+        | CASE WHEN n_days < 2 OR total = 0 THEN NULL ELSE
+        |  CAST(CAST(CAST(CAST(n_days AS DECIMAL(7,0)) *
+        |    CAST(s2 AS DECIMAL(30,0)) AS DECIMAL(37,0)) -
+        |    CAST(CAST(total AS DECIMAL(19,0)) *
+        |     CAST(total AS DECIMAL(19,0)) AS DECIMAL(37,0))
+        |   AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(n_days - 1 AS DECIMAL(19,0)) *
+        |    CAST(total AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+        | END AS dispersion,
+        | CASE WHEN n_days < 2 OR total = 0 THEN NULL ELSE
+        |  CAST(CAST(CAST(CAST(n_days AS DECIMAL(7,0)) *
+        |    CAST(s2 AS DECIMAL(30,0)) AS DECIMAL(37,0)) -
+        |    CAST(CAST(total AS DECIMAL(19,0)) *
+        |     CAST(total AS DECIMAL(19,0)) AS DECIMAL(37,0))
+        |   AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(total AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+        | END AS chi2
+        |FROM s ORDER BY series""".stripMargin,
+
+    "str271_stream_median" ->
+      """WITH vals AS (
+        | SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND NOT isnan(value)),
+        |cnt AS (SELECT g, v, count(*) AS n FROM vals GROUP BY g, v),
+        |cum AS (SELECT g, v, n,
+        |  sum(n) OVER (PARTITION BY g ORDER BY v
+        |   ROWS UNBOUNDED PRECEDING) AS cw,
+        |  sum(n) OVER (PARTITION BY g) AS tot
+        | FROM cnt),
+        |sel AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v)
+        |  AS rk FROM cum WHERE cw + cw >= tot)
+        |SELECT g AS "group", CAST(tot AS BIGINT) AS n, v AS median
+        |FROM sel WHERE rk = 1 ORDER BY "group"""".stripMargin,
     "q199_triangles" ->
       """WITH u AS MATERIALIZED (
         | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

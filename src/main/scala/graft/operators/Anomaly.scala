@@ -263,4 +263,54 @@ object Anomaly {
           (col("__n") - col("__t")).cast("double")).as("mean_after"))
       .withColumn("gap", col("mean_after") - col("mean_before"))
   }
+
+  /** Index-of-dispersion (variance-to-mean) screen per series over
+    * integer daily counts — the "is this Poisson?" diagnostic run
+    * BEFORE alert thresholds assume it: D ≈ 1 for Poisson arrivals,
+    * D ≫ 1 for bursty/overdispersed series (where a Poisson-σ alert
+    * threshold false-fires constantly), D < 1 for regularized ones.
+    * Also emits the χ² form `(k−1)·D` (compare to χ²_{k−1}).
+    *
+    * Exactness: counts are exact longs; with s1 = Σn, s2 = Σn²,
+    * `D = (k·s2 − s1²)/((k−1)·s1)` and `chi2 = (k·s2 − s1²)/s1` are
+    * each ONE double division of exact decimal-routed integers
+    * (19×19→38-digit products), so the screen is engine-bit-identical.
+    * Series with fewer than `minBuckets` days or zero total report
+    * NULL statistics.
+    *
+    * Scale: one (series, day) count aggregate with map-side combine,
+    * then a series-sized reduction — the corpus shuffles once. */
+  def overdispersion(events: DataFrame, seriesCol: String, tsCol: String,
+      minBuckets: Int = 2): DataFrame = {
+    require(minBuckets >= 2, s"minBuckets must be >= 2, got $minBuckets")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    events
+      .filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__n")).as("total"),
+        sum(d19(col("__n")) * d19(col("__n"))).as("__s2"))
+      .select(col("series"), col("n_days"), col("total"),
+        (dbl(col("total")) / col("n_days").cast("double")).as("mean"),
+        when(col("n_days") < minBuckets || col("total") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            dbl((col("n_days").cast("decimal(7,0)") *
+              col("__s2").cast("decimal(30,0)")).cast("decimal(37,0)") -
+              (d19(col("total")) * d19(col("total")))
+                .cast("decimal(37,0)")) /
+            (dbl(d19(col("n_days") - 1) * d19(col("total")))))
+          .as("dispersion"),
+        when(col("n_days") < minBuckets || col("total") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            dbl((col("n_days").cast("decimal(7,0)") *
+              col("__s2").cast("decimal(30,0)")).cast("decimal(37,0)") -
+              (d19(col("total")) * d19(col("total")))
+                .cast("decimal(37,0)")) / dbl(d19(col("total"))))
+          .as("chi2"))
+  }
 }

@@ -400,4 +400,61 @@ object Experiment {
         ((col("m_treat_post") - col("m_treat_pre")) -
           (col("m_ctrl_post") - col("m_ctrl_pre"))).as("did"))
   }
+
+  /** Cochran–Armitage trend test — "does the response RATE rise with
+    * an ordered dose?": the dose-response sibling of [[abReport]]'s
+    * two-proportion z (which cannot see ordering across 3+ groups).
+    * `dose` must be an integer score (the category's rank); `response`
+    * a boolean. The statistic uses the standard score form
+    * `T = Σ wᵢ(rᵢN − nᵢR)` with
+    * `Var(T) = R(N−R)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²)/N`, z = T/√Var — every
+    * sum is an EXACT integer (decimal-routed against overflow), and z
+    * is one fixed double expression over them, so the result is
+    * engine-bit-identical. Degenerate tables (R = 0, R = N, or a
+    * single dose level) report NULL z. Returns one row:
+    * (n_total, n_resp, n_levels, t_stat, z).
+    *
+    * Scale: one map-side-combined (dose) count aggregate — the corpus
+    * reduces to dose-cardinality rows before any arithmetic. */
+  def cochranArmitage(df: DataFrame, dose: Column, response: Column)
+      : DataFrame = {
+    val perDose = df
+      .filter(dose.isNotNull && response.isNotNull)
+      .groupBy(dose.cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"), sum(response.cast("long")).as("__r"))
+    // the 38-digit discipline: every product takes two DECIMAL(19,0)
+    // operands (→ 38 digits exactly — Spark would silently rescale past
+    // 38 and DuckDB would refuse the type altogether), so each factor
+    // is first bounded to 19 digits; sums fit 19 digits for any
+    // realistic (count ≤ 1e12, dose score ≤ 1e6) table
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    perDose.agg(
+        sum(col("__n")).as("__N"), sum(col("__r")).as("__R"),
+        count(lit(1)).as("n_levels"),
+        sum(d19(col("__w")) * d19(col("__n"))).as("__swn"),
+        sum(d19(d19(col("__w")) * d19(col("__w"))) * d19(col("__n")))
+          .as("__swwn"),
+        sum(d19(col("__w")) * d19(col("__r"))).as("__swr"))
+      .select(col("__N").as("n_total"), col("__R").as("n_resp"),
+        col("n_levels"),
+        // T = Σw·r·N − Σw·n·R, an exact decimal; subtraction operands
+        // bounded to 37 digits so the difference types at 38 in either
+        // engine (DuckDB refuses widths past 38 outright)
+        ((d19(col("__swr")) * d19(col("__N"))).cast("decimal(37,0)") -
+          (d19(col("__swn")) * d19(col("__R"))).cast("decimal(37,0)"))
+          .as("__t"),
+        // A = N·Σw²n − (Σwn)² (exact); Var = R(N−R)·A/N
+        ((d19(col("__N")) * d19(col("__swwn"))).cast("decimal(37,0)") -
+          (d19(col("__swn")) * d19(col("__swn"))).cast("decimal(37,0)"))
+          .as("__a"),
+        (d19(col("__R")) * d19(col("__N") - col("__R"))).as("__rr"))
+      .select(col("n_total"), col("n_resp"), col("n_levels"),
+        dbl(col("__t")).as("t_stat"),
+        // z = T·√N / √(R(N−R)·A): fixed expression of exact decimals
+        when(col("n_levels") < 2 || col("__rr") === 0 || col("__a") === 0,
+          lit(null).cast("double"))
+          .otherwise(dbl(col("__t")) * sqrt(dbl(col("n_total"))) /
+            sqrt(dbl(col("__rr")) * dbl(col("__a")))).as("z"))
+  }
 }

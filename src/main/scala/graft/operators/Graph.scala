@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -825,5 +825,67 @@ object Graph {
         .transform(ck(true))
     }
     labels
+  }
+
+  /** Newman modularity of a community assignment — the quality score
+    * for [[labelPropagation]] / [[connectedComponents]] output ("are
+    * these communities denser than chance?"): for an undirected simple
+    * graph with m edges, `Q = Σ_c (e_c/m − (deg_c/2m)²)`, which
+    * reduces to the ONE-division exact form
+    * `Q = (4m·E_in − Σ_c deg_c²) / (2m)²` — every term an exact
+    * integer (decimal-routed under the 19×19→38 digit discipline), so
+    * the score is engine-bit-identical, never a float accumulation
+    * over communities. Q ≈ 0 for random structure, > ~0.3 for real
+    * community structure, and negative when the labels ANTI-correlate
+    * with the topology.
+    *
+    * `labels` is (id, label) covering the graph's nodes (extra rows
+    * are ignored via the join). Returns one row:
+    * (n_nodes, n_edges, n_communities, intra_edges, modularity).
+    *
+    * Scale: one symmetrize+distinct of the edge list (the same shape
+    * every Graph operator pays), one degree aggregate, two label
+    * joins keyed on node id, then community-sized reductions. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // m + degrees + intra count
+    val lab = labels.select(col("id"), col("label"))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val m = und.agg(count(lit(1)).as("__m"))
+    val intra = und
+      .join(lab.select(col("id").as("a"), col("label").as("__la")), "a")
+      .join(lab.select(col("id").as("b"), col("label").as("__lb")), "b")
+      .agg(coalesce(sum((col("__la") === col("__lb")).cast("long")),
+        lit(0L)).as("__ein"))
+    val comm = deg.join(lab, "id")
+      .groupBy(col("label"))
+      .agg(sum(col("__deg")).as("__dc"), count(lit(1)).as("__nn"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("__nn")).as("n_nodes"),
+        sum(d19(col("__dc")) * d19(col("__dc"))).as("__sumdc2"))
+    comm.crossJoin(broadcast(m)).crossJoin(broadcast(intra))
+      .select(col("n_nodes"), col("__m").as("n_edges"),
+        col("n_communities"), col("__ein").as("intra_edges"),
+        when(col("__m") === 0, lit(null).cast("double"))
+          .otherwise(
+            // both subtraction operands bounded to 37 digits so the
+            // difference types at 38 in EITHER engine (DuckDB errors,
+            // rather than rescales, past 38); Σdeg_c² itself is a
+            // 38-digit sum, never re-bounded to 19
+            dbl((d19(lit(4L) * col("__m")) * d19(col("__ein")))
+              .cast("decimal(37,0)") -
+              col("__sumdc2").cast("decimal(37,0)")) /
+            dbl(d19(lit(2L) * col("__m")) * d19(lit(2L) * col("__m"))))
+          .as("modularity"))
   }
 }

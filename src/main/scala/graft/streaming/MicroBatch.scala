@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -699,6 +700,70 @@ object MicroBatch {
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** Streaming GROUPED value-count maintenance — [[streamValueCounts]]
+    * with a group key: micro-batches fold additively into persisted
+    * (group, value, n) counts (versioned `version=batchId` snapshots,
+    * replay-idempotent), which is sufficient state for ANY exact
+    * order-statistic read — median, quantiles, trimmed means — per
+    * group at any moment without rescanning history. Read with
+    * [[readGroupedMedian]]; the result must equal the batch statistic
+    * on the union of all batches exactly. Per-batch cost: one
+    * (group, value)-keyed count aggregate + a distinct-pairs-sized
+    * merge; NULL/NaN values excluded (the order-statistic convention). */
+  def streamGroupedValueCounts(stream: DataFrame, dir: String,
+      keyCol: String, valueCol: String, cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .select(col(keyCol).cast("string").as("__g"),
+            col(valueCol).cast("double").as("__v"))
+          .filter(col("__g").isNotNull &&
+            col("__v").isNotNull && !isnan(col("__v")))
+          .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__n"))
+        val merged = latestRollupVersion(spark, dir,
+            beforeExclusive = Some(batchId)) match {
+          case None => delta
+          case Some(v) =>
+            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
+              .groupBy(col("__g"), col("__v"))
+              .agg(sum(col("__n")).as("__n"))
+        }
+        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** Exact per-group median read over a [[streamGroupedValueCounts]]
+    * directory: the LOWER weighted median (first value whose doubled
+    * cumulative count reaches the group total — q250's selection rule
+    * with the maintained counts as weights). All selection arithmetic
+    * is exact 64-bit integers over the counts table; the reported
+    * median is a VALUE from the data, bit-exact. Never re-expands
+    * counts to rows, so a hot value with a billion occurrences costs
+    * one row. Returns (group, n, median). */
+  def readGroupedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no grouped value-count versions under $dir"))
+    val counts = spark.read.parquet(s"$dir/version=$v")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val wPick = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    counts
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .filter(col("__cum") + col("__cum") >= col("__tot"))
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .select(col("__g").as("group"), col("__tot").as("n"),
+        col("__v").as("median"))
   }
 
   /** The current per-value counts of a [[streamValueCounts]] directory

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Skew, TimeSeries}
+import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Experiment, Skew, Survival, TimeSeries}
 
 /** Table-versioning and data-quality operators: snapshot diff (the
   * inverse of CDC apply) and single-pass expectations reports. */
@@ -1199,5 +1199,66 @@ class DataOpsSpec extends SparkTestBase {
     assert(got(("y", "w")) === Some(-1.0))
     assert(got(("x", "k")) === None && got(("w", "k")) === None)
     assert(got.size === 6)
+  }
+
+  test("kaplanMeier: textbook 3-subject curve — death, censor, then " +
+      "terminal death drives survival to exactly zero; censor-only " +
+      "steps leave the curve flat") {
+    // durations: t=1 death, t=2 censored, t=3 death (last at risk)
+    val subj = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true))
+      .toDF("grp", "dur", "obs")
+    val got = Survival.kaplanMeier(subj, "grp", "dur", col("obs"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, 0L, 0.666667), // S = 2/3 (rounded to 6)
+      (2L, 2L, 0L, 1L, 0.666667), // censor step: curve flat
+      (3L, 1L, 1L, 0L, 0.0)))     // n = d: exact zero, not exp(-inf)
+    // partitioning-invariant
+    val again = Survival.kaplanMeier(subj.repartition(5), "grp", "dur",
+        col("obs")).orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("cochranArmitage: a monotone dose-response yields positive z; " +
+      "reversing the doses negates T; flat response z ~ 0; degenerate " +
+      "tables yield NULL z") {
+    def table(rows: (Int, Int, Int)*) = rows.toSeq.flatMap {
+      case (w, n, r) => Seq.fill(r)((w, true)) ++ Seq.fill(n - r)((w, false))
+    }.toDF("dose", "resp")
+    val up = table((0, 10, 1), (1, 10, 5), (2, 10, 9))
+    val g1 = Experiment.cochranArmitage(up, col("dose"), col("resp")).head
+    assert(g1.getLong(0) === 30L && g1.getLong(1) === 15L)
+    assert(g1.getDouble(4) > 3.0, s"monotone trend must score, got $g1")
+    val down = table((2, 10, 1), (1, 10, 5), (0, 10, 9))
+    val g2 = Experiment.cochranArmitage(down, col("dose"), col("resp")).head
+    assert(g2.getDouble(3) === -g1.getDouble(3), "reversal negates T")
+    val flat = table((0, 10, 5), (1, 10, 5), (2, 10, 5))
+    assert(math.abs(Experiment.cochranArmitage(flat, col("dose"),
+      col("resp")).head.getDouble(4)) < 1e-12)
+    val allResp = table((0, 10, 10), (1, 10, 10))
+    assert(Experiment.cochranArmitage(allResp, col("dose"), col("resp"))
+      .head.isNullAt(4), "R = N must yield NULL z")
+  }
+
+  test("overdispersion: constant daily counts give dispersion 0; a " +
+      "bursty series computes the exact (k·s2 − s1²)/((k−1)·s1) form") {
+    val ev = (1 to 4).flatMap(day => Seq.fill(5)(
+        (f"2024-03-$day%02d 10:00:00", "flat"))) ++
+      Seq.fill(2)(("2024-03-01 10:00:00", "bursty")) ++
+      Seq.fill(8)(("2024-03-02 10:00:00", "bursty"))
+    val df = ev.toDF("tss", "event_type")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"))
+    val got = Anomaly.overdispersion(df, "event_type", "ts")
+      .orderBy("series").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // bursty: k=2, s1=10, s2=4+64=68 → D=(2·68−100)/(1·10)=3.6
+    assert(got(0) === (("bursty", 2L, 10L, 5.0, 3.6)))
+    // flat: k=4, s1=20, s2=100 → D=(400−400)/(3·20)=0
+    assert(got(1) === (("flat", 4L, 20L, 5.0, 0.0)))
   }
 }

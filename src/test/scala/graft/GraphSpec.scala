@@ -418,4 +418,33 @@ class GraphSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === again.toSeq)
   }
+
+  test("modularity: two disjoint triangles under perfect labels score " +
+      "0.5; one community scores 0; a mixed labeling scores lower") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    def lab(pairs: (Long, Long)*) = pairs.toDF("id", "label")
+    val perfect = lab(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 2L, 6L -> 2L)
+    val got = Graph.modularity(tri, "src", "dst", perfect).head
+    assert(got.getLong(0) === 6L)    // n_nodes
+    assert(got.getLong(1) === 6L)    // n_edges
+    assert(got.getLong(2) === 2L)    // n_communities
+    assert(got.getLong(3) === 6L)    // intra_edges
+    // Q = (4·6·6 − (6² + 6²)) / (2·6)² = 72/144
+    assert(got.getDouble(4) === 0.5)
+    val one = lab((1L to 6L).map(_ -> 9L): _*)
+    assert(Graph.modularity(tri, "src", "dst", one)
+      .head.getDouble(4) === 0.0)
+    val mixed = lab(1L -> 1L, 2L -> 1L, 3L -> 2L,
+      4L -> 2L, 5L -> 2L, 6L -> 1L)
+    assert(Graph.modularity(tri, "src", "dst", mixed)
+      .head.getDouble(4) < 0.5)
+    // symmetrize+distinct: duplicate and reversed edges change nothing
+    val noisy = tri.unionAll(tri.select(col("dst").as("src"),
+      col("src").as("dst"))).unionAll(tri)
+    assert(Graph.modularity(noisy, "src", "dst", perfect)
+      .head.getDouble(4) === 0.5)
+  }
 }

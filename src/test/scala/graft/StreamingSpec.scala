@@ -968,6 +968,40 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(fin === Map(1L -> 1, 2L -> 2, 3L -> 3))
   }
+
+  test("streamGroupedValueCounts: grouped counts fold additively; the " +
+      "read-side median equals the batch selection on the union; " +
+      "restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strgm")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/counts", s"$root/ckpt")
+    val b1 = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0), ("b", Double.NaN))
+    val b2 = Seq(("a", 3.0), ("b", 5.0), ("b", 7.0))
+    b1.toDF("g", "v").coalesce(1).write.parquet(srcDir)
+    b2.toDF("g", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(stream,
+          outDir, "g", "v", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def state() = graft.streaming.MicroBatch
+      .readGroupedMedian(spark, outDir)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // a: {1, 9, 3} → median 3 (n = 3); b: {5, 5, 7} → lower weighted
+    // median 5 (the NaN row is excluded, never a count)
+    assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
+    run() // restart: checkpoint replays nothing, state unchanged
+    assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
+  }
 }
 
 object StreamingSpec {
