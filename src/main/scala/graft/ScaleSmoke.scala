@@ -227,7 +227,11 @@ object ScaleSmoke {
     // r11 wave 1: survival curve, dose-response trend, community
     // modularity, overdispersion screen, streaming exact-median IVM
     "q267_kaplan_meier", "q268_ca_trend", "q269_modularity",
-    "q270_overdispersion", "str271_stream_median")
+    "q270_overdispersion", "str271_stream_median",
+    // r11 wave 2: sequential containment, corpus dup-gram fraction,
+    // audience overlap, tile fan-out, streaming exact distinct
+    "q272_followed_by", "t273_dup_gram_fraction", "q274_audience_overlap",
+    "m275_tile_plan", "str276_stream_distinct")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

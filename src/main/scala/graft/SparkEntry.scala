@@ -2640,6 +2640,65 @@ object SparkEntry {
           "event_type", "ts")
         .orderBy(col("series"))),
 
+    // Gap-tolerant "A then later B" pair support: per-entity span
+    // arithmetic (min ts(a) < max ts(b)), never an event-level join.
+    "q272_followed_by" -> ((s, d) =>
+      operators.Attribution.followedBy(t(s, d, "events"), "user_id",
+          "ts", col("event_type"))
+        .orderBy(col("step_a"), col("step_b"))),
+
+    // Corpus-repeated n-gram fraction per document (RefinedWeb's
+    // dup-fraction quality signal): posting-style gram df, raw-gram
+    // keys so the oracle re-derives it (hashed = the 100 TB default).
+    "t273_dup_gram_fraction" -> ((s, d) =>
+      operators.TextAnalysis.dupGramFraction(t(s, d, "documents"),
+          "doc_id", "text", n = 8, minDf = 2L, hashed = false)
+        .orderBy(col("id"))),
+
+    // Audience overlap (distinct-user Jaccard) between event types:
+    // capped per-entity pair expansion, one division per coefficient.
+    "q274_audience_overlap" -> ((s, d) =>
+      operators.Affinity.audienceOverlap(t(s, d, "events"),
+          "event_type", "user_id")
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // Patch/tile fan-out plan over decoded image metadata: integer
+    // grid arithmetic, explode-declared fan-out, clamped rectangles.
+    "m275_tile_plan" -> ((s, d) => {
+      val meta = operators.Multimodal.decode(
+        operators.Multimodal.withPayload(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text"))
+      operators.Multimodal.tilePlan(meta, tile = 256)
+        .orderBy(col("doc_id"), col("tile_id"))
+    }),
+
+    // Streaming exact COUNT(DISTINCT) maintenance: the grouped
+    // value-count state rows ARE the distinct pairs — read-side
+    // counts must equal batch distinct on the union exactly.
+    "str276_stream_distinct" -> ((s, d) => {
+      val root = tmpDir("graft_str276")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val ev = t(s, d, "events")
+        .select(col("event_id").as("eid"), col("event_type"),
+          col("value"))
+      stageReplayBatches(s, Seq(
+        ev.filter(col("eid") % 2 === 0).drop("eid"),
+        ev.filter(col("eid") % 2 === 1).drop("eid")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(stream,
+          outDir, "event_type", "value",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readGroupedDistinct(s, outDir)
+        .orderBy(col("group"))
+    }),
+
     // Streaming exact-median maintenance: micro-batches fold into
     // persisted (group, value, n) counts; the read-side lower weighted
     // median must equal the batch selection on the union exactly.
@@ -4451,6 +4510,99 @@ object SparkEntry {
         |  CAST(CAST(CAST(total AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
         | END AS chi2
         |FROM s ORDER BY series""".stripMargin,
+
+    "q272_followed_by" ->
+      """WITH spans AS (
+        | SELECT user_id AS e, event_type AS s, min(ts) AS mn,
+        |  max(ts) AS mx
+        | FROM events
+        | WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  AND ts IS NOT NULL
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a.s AS step_a, b.s AS step_b, count(*) AS n_entities
+        | FROM spans a JOIN spans b
+        |  ON a.e = b.e AND a.s <> b.s AND a.mn < b.mx
+        | GROUP BY 1, 2),
+        |sizes AS (SELECT s AS step_a, count(*) AS n_entities_a
+        | FROM spans GROUP BY 1)
+        |SELECT step_a, step_b, n_entities, n_entities_a,
+        | CAST(n_entities AS DOUBLE) / CAST(n_entities_a AS DOUBLE)
+        |  AS share
+        |FROM pairs JOIN sizes USING (step_a)
+        |ORDER BY step_a, step_b""".stripMargin,
+
+    "t273_dup_gram_fraction" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (
+        | SELECT doc_id, array_to_string(list_slice(t, i+1, i+8), ' ')
+        |  AS gram
+        | FROM toks, unnest(range(0, greatest(len(t)-7, 0))) AS u(i)),
+        |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS df
+        | FROM occ GROUP BY gram),
+        |counted AS (
+        | SELECT o.doc_id, count(*) AS n_grams,
+        |  count(CASE WHEN f.df >= 2 THEN 1 END) AS dup_grams
+        | FROM occ o JOIN dfreq f USING (gram) GROUP BY o.doc_id)
+        |SELECT d.doc_id AS id,
+        | coalesce(c.n_grams, 0) AS n_grams,
+        | coalesce(c.dup_grams, 0) AS dup_grams,
+        | round(CAST(c.dup_grams AS DOUBLE) / c.n_grams, 5)
+        |  AS dup_fraction
+        |FROM (SELECT doc_id FROM documents) d
+        | LEFT JOIN counted c USING (doc_id)
+        |ORDER BY id""".stripMargin,
+
+    "q274_audience_overlap" ->
+      """WITH posts AS (
+        | SELECT DISTINCT event_type AS g, user_id AS e FROM events
+        | WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sized AS (SELECT e FROM posts GROUP BY e HAVING count(*) <= 256),
+        |kept AS (SELECT p.* FROM posts p SEMI JOIN sized s ON p.e = s.e),
+        |sizes AS (SELECT g, count(*) AS n FROM kept GROUP BY g),
+        |pairs AS (
+        | SELECT a.g AS group_a, b.g AS group_b, count(*) AS intersection
+        | FROM kept a JOIN kept b ON a.e = b.e AND a.g < b.g
+        | GROUP BY 1, 2)
+        |SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, intersection,
+        | CAST(intersection AS DOUBLE) /
+        |  CAST(sa.n + sb.n - intersection AS DOUBLE) AS jaccard,
+        | CAST(intersection AS DOUBLE) /
+        |  CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap
+        |FROM pairs
+        | JOIN sizes sa ON sa.g = pairs.group_a
+        | JOIN sizes sb ON sb.g = pairs.group_b
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    "m275_tile_plan" ->
+      """WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS len
+        | FROM documents WHERE doc_id < 300),
+        |wh AS (SELECT doc_id,
+        |  CAST(64 + (doc_id * 37 + len * 11) % 1024 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id * 59 + len * 7) % 1024 AS INTEGER) AS height
+        | FROM meta),
+        |g AS (SELECT doc_id, width, height,
+        |  CAST((width + 255) // 256 AS INTEGER) AS nx,
+        |  CAST((height + 255) // 256 AS INTEGER) AS ny FROM wh),
+        |tiles AS (SELECT doc_id, width, height, nx * ny AS n_tiles, nx,
+        |  unnest(range(0, nx * ny)) AS tile_id FROM g)
+        |SELECT doc_id, width, height, CAST(n_tiles AS INTEGER) AS n_tiles,
+        | CAST(tile_id AS INTEGER) AS tile_id,
+        | CAST((tile_id % nx) * 256 AS INTEGER) AS x0,
+        | CAST((tile_id // nx) * 256 AS INTEGER) AS y0,
+        | CAST(least((tile_id % nx) * 256 + 256, width) AS INTEGER) AS x1,
+        | CAST(least((tile_id // nx) * 256 + 256, height) AS INTEGER)
+        |  AS y1
+        |FROM tiles ORDER BY doc_id, tile_id""".stripMargin,
+
+    "str276_stream_distinct" ->
+      """SELECT event_type AS "group", count(*) AS n,
+        | count(DISTINCT value) AS n_distinct
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        | AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "str271_stream_median" ->
       """WITH vals AS (

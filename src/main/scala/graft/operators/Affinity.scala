@@ -137,6 +137,52 @@ object Affinity {
         col("cosine"), col("jaccard"))
   }
 
+  /** Audience overlap between groups — "how much do the click and the
+    * purchase audiences overlap?": for every group pair, the DISTINCT
+    * entity intersection with Jaccard and Szymkiewicz–Simpson overlap
+    * coefficients. The entity-similarity complement of
+    * [[itemSimilarity]] (items sharing baskets vs groups sharing
+    * members).
+    *
+    * Numerics: intersection/sizes are exact longs; jaccard and
+    * overlap are each ONE correctly-rounded double division.
+    *
+    * Scale shape: one distinct on (group, entity), a per-entity pair
+    * expansion bounded by `maxGroupsPerEntity` (the [[coOccurrence]]
+    * skew cap — an entity in every group is capped, never
+    * pair-exploded), group-sized joins after. */
+  def audienceOverlap(df: DataFrame, groupCol: String, entityCol: String,
+      maxGroupsPerEntity: Int = 256): DataFrame = {
+    val posts = df
+      .filter(col(groupCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(entityCol).as("__e"))
+      .distinct()
+    val sized = posts.groupBy(col("__e"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxGroupsPerEntity)
+      .select(col("__e"))
+    val kept = posts.join(sized, Seq("__e"), "left_semi")
+      .localCheckpoint(eager = false) // sizes + the pair join
+    val sizes = kept.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.__e") === col("b.__e") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("intersection"))
+    broadcast(pairs)
+      .join(sizes.select(col("__g").as("group_a"), col("__n").as("n_a")),
+        Seq("group_a"))
+      .join(sizes.select(col("__g").as("group_b"), col("__n").as("n_b")),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("intersection"),
+        (col("intersection").cast("double") /
+          (col("n_a") + col("n_b") - col("intersection")).cast("double"))
+          .as("jaccard"),
+        (col("intersection").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+  }
+
   /** Directional association rules `antecedent → consequent` over the
     * same capped basket postings as [[coOccurrence]]: each surviving
     * undirected pair emits both directions with

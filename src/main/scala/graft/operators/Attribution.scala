@@ -89,6 +89,43 @@ object Attribution {
         (sum(col("__credit")).cast("double") / 1000000.0).as("credit"))
   }
 
+  /** Temporal-containment pair support — "for users who do A, how many
+    * go on to do B?": for every ordered step pair (a, b), the number of
+    * entities with an a-event STRICTLY before some b-event, alongside
+    * the a-audience size and their ratio. [[eventPaths]] counts
+    * CONTIGUOUS k-step windows; this is the gap-tolerant companion (an
+    * intervening click does not break "signup → purchase"), i.e.
+    * length-2 sequential-pattern support with unlimited gap.
+    *
+    * The containment test collapses to span arithmetic: an entity has
+    * a-before-b iff `min ts(a) < max ts(b)` — so the corpus reduces to
+    * one (entity, step) min/max aggregate (map-side combinable) and a
+    * per-entity self-join bounded by the entity's DISTINCT step count
+    * (step cardinality, not event count — never quadratic in events).
+    * `share` is ONE double division of exact counts. */
+  def followedBy(events: DataFrame, entity: String, ts: String,
+      step: Column): DataFrame = {
+    val spans = events
+      .filter(step.isNotNull && col(entity).isNotNull &&
+        col(ts).isNotNull)
+      .groupBy(col(entity).as("__e"), step.as("__s"))
+      .agg(min(col(ts)).as("__mn"), max(col(ts)).as("__mx"))
+      .localCheckpoint(eager = false) // pair join + audience sizes
+    val pairs = spans.as("a")
+      .join(spans.as("b"),
+        col("a.__e") === col("b.__e") && col("a.__s") =!= col("b.__s") &&
+          col("a.__mn") < col("b.__mx"))
+      .groupBy(col("a.__s").as("step_a"), col("b.__s").as("step_b"))
+      .agg(count(lit(1)).as("n_entities")) // (entity, step) rows unique
+    val sizes = spans.groupBy(col("__s").as("step_a"))
+      .agg(count(lit(1)).as("n_entities_a"))
+    pairs.join(sizes, Seq("step_a"))
+      .select(col("step_a"), col("step_b"), col("n_entities"),
+        col("n_entities_a"),
+        (col("n_entities").cast("double") /
+          col("n_entities_a").cast("double")).as("share"))
+  }
+
   /** Frequent k-step event paths — "what do entities DO, in order?":
     * every length-`k` window of each entity's ordered event stream
     * becomes a `a>b>c` path string, counted corpus-wide; returns the

@@ -92,6 +92,36 @@ object Multimodal {
       floor(col("height") * scale + 0.5).cast(IntegerType).as("out_height"))
   }
 
+  /** Tile plan: one row per `tile×tile` grid cell of each image —
+    * the fan-out step a patch-based vision pipeline (ViT tiling,
+    * super-resolution shards, OCR blocks) runs before per-tile decode.
+    * Pure integer arithmetic on the metadata: `nx·ny` tiles with
+    * clamped pixel rectangles (`x1 = min(x0 + tile, width)`), emitted
+    * via an explode — the FAN-OUT is declared in the plan (Spark sizes
+    * splits after it), never materialized driver-side. Tile ids run
+    * row-major; a real kernel maps payload bytes per tile exactly like
+    * [[decode]]. */
+  def tilePlan(meta: Dataset[MediaMeta], tile: Int = 256): DataFrame = {
+    require(tile >= 1, s"tile must be >= 1, got $tile")
+    val nx = ((col("width") + tile - 1) / tile).cast(IntegerType)
+    val ny = ((col("height") + tile - 1) / tile).cast(IntegerType)
+    meta.toDF()
+      .select(col("docId").as("doc_id"), col("width"), col("height"),
+        nx.as("__nx"), ny.as("__ny"))
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("__nx") * col("__ny")).as("n_tiles"), col("__nx"),
+        explode(sequence(lit(0), col("__nx") * col("__ny") - 1))
+          .as("tile_id"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_tiles"),
+        col("tile_id"),
+        (pmod(col("tile_id"), col("__nx")) * tile).as("x0"),
+        ((col("tile_id") / col("__nx")).cast(IntegerType) * tile).as("y0"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_tiles"),
+        col("tile_id"), col("x0"), col("y0"),
+        least(col("x0") + tile, col("width")).as("x1"),
+        least(col("y0") + tile, col("height")).as("y1"))
+  }
+
   import org.apache.spark.sql.graft.NativeFunctions
 
   /** Content-defined chunk postings of a binary column: one row per

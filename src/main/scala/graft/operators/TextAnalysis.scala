@@ -653,6 +653,55 @@ object TextAnalysis {
           col("n_grams").cast(DoubleType), roundTo).as("novelty"))
   }
 
+  /** Per-document duplicated-n-gram fraction — the RefinedWeb/Gopher
+    * "fraction of the document made of corpus-repeated n-grams" quality
+    * signal that [[ngramNovelty]] cannot express (novelty scores
+    * against a SEPARATE base corpus; this scores repetition WITHIN the
+    * corpus itself — boilerplate, templates, and mass-duplicated
+    * passages light up even when no other single document matches
+    * wholesale). For each document: `n_grams` sliding word n-grams,
+    * `dup_grams` of them occurring in ≥ `minDf` DISTINCT documents,
+    * and their ratio (weighting by occurrence, the filter convention).
+    * Documents shorter than n tokens report 0 grams and NULL ratio.
+    *
+    * Scale shape: gram occurrences go POSTING-style (explode → one
+    * gram-keyed document-frequency aggregate over DISTINCT (gram, doc)
+    * — map-side combinable — then one join back on the gram key);
+    * `hashed = true` (default) keys the exchange by xxhash64 so the
+    * shuffle carries 8 B, not gram text — the [[ngramNovelty]]
+    * discipline. The corpus text is read once. */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Long = 2L, hashed: Boolean = true,
+      roundTo: Int = 5): DataFrame = {
+    require(n >= 2, s"dupGramFraction needs n >= 2, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val fields = (0 until n).map(j => col("__g").getField(s"g$j"))
+    val key: Column => Column =
+      if (hashed) (c: Column) => xxhash64(c) else identity
+    val occ = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(LanguageModel.ngrams(col("__toks"), n)).as("__g"))
+      .select(col("id"), key(concat_ws(" ", fields: _*)).as("__k"))
+      .localCheckpoint(eager = false) // df aggregate + the join back
+    val docFreq = occ.distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+    val counted = occ.join(docFreq, Seq("__k"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__df") >= minDf, 1)).as("dup_grams"))
+    docs.select(col(idCol).as("id"))
+      .join(counted, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        // explicit NULL for gram-less docs: double 0/0 would be NaN
+        when(col("n_grams").isNull, lit(null).cast(DoubleType))
+          .otherwise(round(col("dup_grams").cast(DoubleType) /
+            col("n_grams").cast(DoubleType), roundTo))
+          .as("dup_fraction"))
+  }
+
   /** Per-document TF-IDF keyword extraction — "what is this document
     * ABOUT": the top-`k` terms by `tf · (ln((N+1)/(df+1)) + 1)`
     * (smoothed idf, sklearn's convention — the +1s keep corpus-wide

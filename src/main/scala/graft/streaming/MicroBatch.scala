@@ -766,6 +766,22 @@ object MicroBatch {
         col("__v").as("median"))
   }
 
+  /** Exact per-group distinct-value count over a
+    * [[streamGroupedValueCounts]] directory — the streaming
+    * COUNT(DISTINCT) lens: state rows ARE the distinct (group, value)
+    * pairs, so the read is one group-keyed count plus the total row
+    * count, and must equal batch `count(distinct)` on the union of all
+    * batches exactly (no sketch, no approximation — the state is
+    * already value-granular). Returns (group, n, n_distinct). */
+  def readGroupedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no grouped value-count versions under $dir"))
+    spark.read.parquet(s"$dir/version=$v")
+      .groupBy(col("__g").as("group"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_distinct"))
+  }
+
   /** The current per-value counts of a [[streamValueCounts]] directory
     * as (value, n) — feed them to
     * [[graft.operators.Expectations.ksDriftFromCounts]]; never

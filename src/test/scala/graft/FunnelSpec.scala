@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Experiment, Funnel, Retention}
+import graft.operators.{Affinity, Attribution, Experiment, Funnel, Retention}
 
 /** Ordered-step funnel semantics (first-touch, strict order, optional
   * horizon) + the one-exchange plan shape. */
@@ -511,5 +511,49 @@ class FunnelSpec extends SparkTestBase {
     val gap = Experiment.diffInDiff(rows.filter(!(col("t") && col("p"))),
       col("t"), col("p"), col("v")).head
     assert(gap.isNullAt(5) && gap.isNullAt(8))
+  }
+
+  test("followedBy: strictly-before containment with unlimited gap; " +
+      "same-timestamp pairs never count; audience sizes and share") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: a then (gap) b — counts for (a,b); also b-then-a? no: b max
+      // is after a min only in the (a,b) direction
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-03 10:00:00", "b"),
+      // u2: b only — audience of b, no pair
+      (2L, "2024-01-02 10:00:00", "b"),
+      // u3: a and b at the SAME instant — strict < excludes both ways
+      (3L, "2024-01-05 10:00:00", "a"),
+      (3L, "2024-01-05 10:00:00", "b"))
+      .toDF("user_id", "tss", "event_type")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"),
+        col("event_type"))
+    val got = Attribution.followedBy(ev, "user_id", "ts",
+        col("event_type"))
+      .orderBy("step_a", "step_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("a", "b", 1L, 2L, 0.5)))
+  }
+
+  test("audienceOverlap: hand-computed Jaccard and overlap; an entity " +
+      "over the group cap is excluded from every pair") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", 1L), ("x", 2L), ("x", 3L),
+      ("y", 2L), ("y", 3L), ("y", 4L),
+      ("z", 9L)).toDF("grp", "ent")
+    val got = Affinity.audienceOverlap(df, "grp", "ent")
+      .orderBy("group_a", "group_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // x∩y = {2,3}: jaccard 2/4, overlap 2/3
+    assert(got.toSeq === Seq(("x", "y", 3L, 3L, 2L, 0.5, 2.0 / 3.0)))
+    // cap: entity 2 in both groups is dropped at cap 1 → intersection
+    // shrinks to {3}... entity 3 also in both — cap 1 drops BOTH
+    val capped = Affinity.audienceOverlap(df, "grp", "ent",
+      maxGroupsPerEntity = 1)
+    assert(capped.count() === 0L, "cap must drop every 2-group entity")
   }
 }

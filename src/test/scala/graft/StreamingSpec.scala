@@ -999,6 +999,12 @@ class StreamingSpec extends SparkTestBase {
     // a: {1, 9, 3} → median 3 (n = 3); b: {5, 5, 7} → lower weighted
     // median 5 (the NaN row is excluded, never a count)
     assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
+    // the distinct lens over the SAME state: b has {5, 7} (5 repeats)
+    val dist = graft.streaming.MicroBatch
+      .readGroupedDistinct(spark, outDir)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dist === Seq(("a", 3L, 3L), ("b", 3L, 2L)))
     run() // restart: checkpoint replays nothing, state unchanged
     assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
   }

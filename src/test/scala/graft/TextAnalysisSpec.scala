@@ -308,4 +308,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again.getDouble(1) === got.getDouble(1) &&
       again.getDouble(3) === got.getDouble(3))
   }
+
+  test("dupGramFraction: a shared 8-gram lights up in both documents; " +
+      "unique text scores 0; hashed and raw keys agree") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared + " one two"),
+      (2L, "x " + shared),
+      (3L, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      graft.operators.TextAnalysis.dupGramFraction(docs, "doc_id",
+          "text", n = 8, hashed = hashed)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+    val got = run(hashed = false)
+    // doc1: 3 grams, 1 shared → 1/3; doc2: 2 grams, 1 shared → 0.5;
+    // doc3: 3 grams, none repeated → 0
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, 0.33333), (2L, 2L, 1L, 0.5), (3L, 3L, 0L, 0.0)))
+    assert(run(hashed = true).toSeq === got.toSeq,
+      "xxhash64 keys must not change any count")
+  }
 }

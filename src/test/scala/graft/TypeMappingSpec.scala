@@ -286,4 +286,22 @@ class TypeMappingSpec extends SparkTestBase {
     val s = got(1)
     assert(s.getLong(2) === 0L && s.isNullAt(3) && s.isNullAt(5))
   }
+
+  test("tilePlan: 300x100 at tile 128 → 3x1 grid with the last tile " +
+      "clamped; a tile-aligned image gets unclamped full tiles") {
+    import spark.implicits._
+    val meta = Seq(
+      Multimodal.MediaMeta(1L, 10, "img", 300, 100, 1, 0L),
+      Multimodal.MediaMeta(2L, 10, "img", 256, 128, 1, 0L)).toDS()
+    val got = Multimodal.tilePlan(meta, tile = 128)
+      .orderBy("doc_id", "tile_id").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7), r.getInt(8)))
+    assert(got.toSeq === Seq(
+      (1L, 3, 0, 0, 0, 128, 100),   // y clamped to height 100
+      (1L, 3, 1, 128, 0, 256, 100),
+      (1L, 3, 2, 256, 0, 300, 100), // x clamped to width 300
+      (2L, 2, 0, 0, 0, 128, 128),
+      (2L, 2, 1, 128, 0, 256, 128)))
+  }
 }
