@@ -231,7 +231,11 @@ object ScaleSmoke {
     // r11 wave 2: sequential containment, corpus dup-gram fraction,
     // audience overlap, tile fan-out, streaming exact distinct
     "q272_followed_by", "t273_dup_gram_fraction", "q274_audience_overlap",
-    "m275_tile_plan", "str276_stream_distinct")
+    "m275_tile_plan", "str276_stream_distinct",
+    // r11 wave 3: power-law tail fit, reciprocity, window funnel
+    "q277_degree_powerlaw", "q278_reciprocity", "q279_window_funnel",
+    // r11 wave 4: scene cuts over frame signatures, Hamilton allocation
+    "m280_scene_cuts", "q281_allocation")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2673,6 +2673,70 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("tile_id"))
     }),
 
+    // Scene-cut detection over stub frame signatures: the per-frame
+    // dHash plan shape with a deterministic piecewise-constant stub
+    // signature (scene length varies per doc) — static-video screen.
+    "m280_scene_cuts" -> ((s, d) => {
+      val meta = operators.Multimodal.decode(
+        operators.Multimodal.withPayload(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text"))
+      val frames = operators.Multimodal
+        .frameSamplePlan(meta, everyMs = 1000L, maxFrames = 8)
+        .withColumn("sig", pmod(
+          (col("doc_id") * 1009L + call_function("div", col("ts_ms"),
+            lit(2000L) + pmod(col("doc_id"), lit(3L)) * 1000L)) * 48271L,
+          lit(2147483647L)))
+      operators.Multimodal.sceneCuts(frames, "doc_id", "frame_idx",
+          "sig")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Largest-remainder (Hamilton) allocation of a 100k sampling
+    // budget across languages by character mass: Σ allocation = total
+    // EXACTLY, pure 64-bit integer arithmetic.
+    "q281_allocation" -> ((s, d) =>
+      operators.Skew.largestRemainder(t(s, d, "documents"), "lang",
+          col("n_chars"), total = 100000L)
+        .orderBy(col("key"))),
+
+    // Power-law tail fit (Hill/MLE α) of the co-purchase degree
+    // distribution: nano-unit ln sums, one fixed double expression.
+    "q277_degree_powerlaw" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      operators.Graph.degreePowerLaw(e, "src", "dst", dmin = 3L)
+    }),
+
+    // Directed-edge reciprocity over the within-order part-follows
+    // graph (part i → part i+1 by linenumber): A precedes B in one
+    // order and B precedes A in another ⇒ a reciprocal pair.
+    "q278_reciprocity" -> ((s, d) => {
+      // l_linenumber is NOT unique per order in the synthetic data —
+      // the partkey tiebreak makes the lead ordering total
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val e = t(s, d, "lineitem")
+        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col("l_partkey").as("src"), col("__next").as("dst"))
+      operators.Graph.reciprocity(e, "src", "dst")
+    }),
+
+    // Window funnel: q149's view→click→purchase chain with the
+    // 3-day horizon ANCHORED AT STEP 1 — the `within` path of
+    // Funnel.reach, oracle-covered here (q149 gates the unbounded
+    // form).
+    "q279_window_funnel" -> ((s, d) =>
+      Funnel.report(t(s, d, "events"), "user_id", "ts", Seq(
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        within = Some(expr("INTERVAL 3 DAYS")))),
+
     // Streaming exact COUNT(DISTINCT) maintenance: the grouped
     // value-count state rows ARE the distinct pairs — read-side
     // counts must equal batch distinct on the union exactly.
@@ -4595,6 +4659,128 @@ object SparkEntry {
         | CAST(least((tile_id // nx) * 256 + 256, height) AS INTEGER)
         |  AS y1
         |FROM tiles ORDER BY doc_id, tile_id""".stripMargin,
+
+    "m280_scene_cuts" ->
+      """WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |  (doc_id * 131071 + octet_length(encode(text)) * 8191) % 1000003
+        |   AS h
+        | FROM documents WHERE doc_id < 300),
+        |vids AS (SELECT doc_id,
+        |  1 + (doc_id * 17 + len) % 300 AS n_frames,
+        |  (doc_id * 97 + len * 13) % 60000 AS duration_ms
+        | FROM meta WHERE h % 3 = 2),
+        |frames AS (SELECT doc_id,
+        |  CAST(ts_ms // 1000 AS INTEGER) AS frame_idx,
+        |  ((doc_id * 1009 + ts_ms // (2000 + (doc_id % 3) * 1000))
+        |    * 48271) % 2147483647 AS sig
+        | FROM (SELECT doc_id,
+        |   unnest(list_slice(generate_series(0, duration_ms, 1000), 1, 8))
+        |    AS ts_ms
+        |  FROM vids WHERE n_frames > 1)),
+        |cuts AS (SELECT doc_id, frame_idx, sig,
+        |  lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prv
+        | FROM frames)
+        |SELECT doc_id, count(*) AS n_frames,
+        | CAST(sum(CASE WHEN prv IS NOT NULL AND sig <> prv
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        | CAST(sum(CASE WHEN prv IS NOT NULL AND sig <> prv
+        |  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes,
+        | CAST(count(*) AS DOUBLE) /
+        |  CAST(sum(CASE WHEN prv IS NOT NULL AND sig <> prv
+        |   THEN 1 ELSE 0 END) + 1 AS DOUBLE) AS mean_scene_frames
+        |FROM cuts GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q281_allocation" ->
+      """WITH g AS (
+        | SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS w
+        | FROM documents
+        | WHERE n_chars IS NOT NULL AND n_chars >= 0
+        | GROUP BY lang HAVING sum(n_chars) > 0),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM g),
+        |b AS (SELECT key, w, (100000 * w) // tw AS base,
+        |  (100000 * w) % tw AS rem FROM g CROSS JOIN t),
+        |k AS (SELECT 100000 - sum(base) AS kk FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, key)
+        |  AS rk FROM b)
+        |SELECT key, w AS weight,
+        | CAST(base + CASE WHEN rk <= kk THEN 1 ELSE 0 END AS BIGINT)
+        |  AS allocation,
+        | CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share
+        |FROM r CROSS JOIN k CROSS JOIN t
+        |ORDER BY key""".stripMargin,
+
+    "q277_degree_powerlaw" ->
+      """WITH u AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_orderkey % 5 = 0),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |  SELECT a AS id FROM u UNION ALL SELECT b FROM u)
+        | GROUP BY id)
+        |SELECT count(*) AS n_nodes,
+        | CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_tail,
+        | CAST(3 AS BIGINT) AS dmin,
+        | max(d) AS max_degree,
+        | CASE WHEN sum(CASE WHEN d >= 3 THEN
+        |   CAST(floor(ln(CAST(d AS DOUBLE) / 3.0) * 1000000000.0 + 0.5)
+        |    AS BIGINT) ELSE 0 END) = 0 THEN NULL
+        |  ELSE 1.0 + CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) /
+        |   (CAST(sum(CASE WHEN d >= 3 THEN
+        |     CAST(floor(ln(CAST(d AS DOUBLE) / 3.0) * 1000000000.0 + 0.5)
+        |      AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000000.0)
+        | END AS alpha
+        |FROM deg""".stripMargin,
+
+    "q278_reciprocity" ->
+      """WITH seqd AS (
+        | SELECT l_orderkey, l_partkey,
+        |  lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey) AS nxt
+        | FROM lineitem),
+        |e AS (SELECT DISTINCT l_partkey AS a, nxt AS b FROM seqd
+        | WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+        |r AS (SELECT count(*) AS n_reciprocal FROM e x
+        | WHERE EXISTS (SELECT 1 FROM e y
+        |  WHERE y.a = x.b AND y.b = x.a)),
+        |n AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocal,
+        | n_reciprocal // 2 AS n_mutual_dyads,
+        | CASE WHEN n_edges = 0 THEN NULL
+        |  ELSE CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        | END AS reciprocity
+        |FROM n CROSS JOIN r""".stripMargin,
+
+    "q279_window_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        | FROM events e JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  AND e.ts <= s1.t1 + INTERVAL 3 DAY
+        | GROUP BY e.user_id),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  AND e.ts <= s2.t1 + INTERVAL 3 DAY
+        | GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |  (SELECT count(*) FROM s2) AS u2,
+        |  (SELECT count(*) FROM s3) AS u3)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, CAST(u1 AS BIGINT) AS users,
+        |  round(CAST(u1 AS DOUBLE) / u1, 6) AS conversion FROM c
+        | UNION ALL SELECT CAST(2 AS BIGINT), CAST(u2 AS BIGINT),
+        |  round(CAST(u2 AS DOUBLE) / u1, 6) FROM c
+        | UNION ALL SELECT CAST(3 AS BIGINT), CAST(u3 AS BIGINT),
+        |  round(CAST(u3 AS DOUBLE) / u1, 6) FROM c) f
+        |ORDER BY step""".stripMargin,
 
     "str276_stream_distinct" ->
       """SELECT event_type AS "group", count(*) AS n,

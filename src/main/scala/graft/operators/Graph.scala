@@ -888,4 +888,79 @@ object Graph {
             dbl(d19(lit(2L) * col("__m")) * d19(lit(2L) * col("__m"))))
           .as("modularity"))
   }
+
+  /** Directed-edge reciprocity — "when a follows b, does b follow a?":
+    * over the DISTINCT simple directed edges, the fraction with a
+    * reverse edge present, plus the mutual-dyad count. The classic
+    * social/link-graph health metric (crawl graphs: reciprocal links
+    * correlate with link farms; interaction graphs: with real
+    * relationships).
+    *
+    * Exactness: pure integer counts and ONE double division.
+    * Scale: one distinct on the edge list and one self-join keyed on
+    * the reversed pair — both edge-keyed shuffles, nothing wider. */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // count + both join sides
+    val recip = e.as("x")
+      .join(e.as("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(recip))
+      .select(col("n_edges"), col("n_reciprocal"),
+        (col("n_reciprocal") / 2).cast("long").as("n_mutual_dyads"),
+        when(col("n_edges") === 0, lit(null).cast("double"))
+          .otherwise(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double")).as("reciprocity"))
+  }
+
+  /** Power-law tail fit of the degree distribution — the Hill/MLE
+    * estimator `α = 1 + n_tail / Σ ln(dᵢ/dmin)` over nodes with degree
+    * ≥ `dmin` (Clauset–Shalizi–Newman's discrete approximation with
+    * dmin − 1/2 continuity correction omitted for the exact-integer
+    * form): the "is this graph scale-free, and how heavy is the tail?"
+    * diagnostic behind crawl-frontier sizing and hub-capping decisions.
+    * α ≈ 2–3 for web/social graphs; larger α = thinner tail.
+    *
+    * Engine-exactness: degrees are exact longs; each ln ratio is
+    * quantized to nano-units via `floor(ln(d/dmin)·10⁹ + 0.5)` (exact
+    * IEEE; absorbs the ≤1-ulp cross-engine ln difference) and summed
+    * as 64-bit integers — order-free — with α ONE fixed double
+    * expression over the exact sum. All-dmin tails (Σ = 0) report
+    * NULL α. Returns (n_nodes, n_tail, dmin, max_degree, alpha).
+    *
+    * Scale: one symmetrize+distinct, one degree aggregate, one
+    * map-side-combinable reduction. */
+  def degreePowerLaw(edges: DataFrame, srcCol: String, dstCol: String,
+      dmin: Long = 2L): DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1, got $dmin")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("__d") >= dmin, 1L).otherwise(0L)).as("n_tail"),
+        max(col("__d")).as("max_degree"),
+        sum(when(col("__d") >= dmin,
+          floor(log(col("__d").cast("double") / lit(dmin.toDouble)) *
+            lit(1000000000.0) + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("__lnsum"))
+      .select(col("n_nodes"), col("n_tail"), lit(dmin).as("dmin"),
+        col("max_degree"),
+        when(col("__lnsum") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) + col("n_tail").cast("double") /
+            (col("__lnsum").cast("double") / lit(1000000000.0)))
+          .as("alpha"))
+  }
 }

@@ -122,6 +122,36 @@ object Multimodal {
         least(col("y0") + tile, col("height")).as("y1"))
   }
 
+  /** Scene-cut detection over per-frame signatures: a cut is a frame
+    * whose signature differs from the previous frame's (per doc, in
+    * frame order); reports per doc (n_frames, n_cuts, n_scenes,
+    * mean_scene_frames). Generic over the signature column — a real
+    * pipeline feeds `dhash64(frame_bytes)` per sampled frame (the
+    * [[perceptualNearDups]] kernel applied per frame); the gate feeds
+    * a deterministic stub signature, exercising the same plan. Static
+    * videos (all frames one signature) report 0 cuts / 1 scene — the
+    * static-content screen.
+    *
+    * Scale: ONE doc-keyed window pass over the frames table + a
+    * map-side-combinable per-doc aggregate; mean_scene_frames is one
+    * double division of exact counts. */
+  def sceneCuts(frames: DataFrame, idCol: String, orderCol: String,
+      sigCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(orderCol))
+    frames
+      .withColumn("__prev", lag(col(sigCol), 1).over(w))
+      .withColumn("__cut",
+        (col("__prev").isNotNull &&
+          col(sigCol) =!= col("__prev")).cast("long"))
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("__cut")).as("n_cuts"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_scenes"),
+        (col("n_frames").cast(DoubleType) /
+          (col("n_cuts") + 1L).cast(DoubleType)).as("mean_scene_frames"))
+  }
+
   import org.apache.spark.sql.graft.NativeFunctions
 
   /** Content-defined chunk postings of a binary column: one row per

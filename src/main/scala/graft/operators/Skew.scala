@@ -234,4 +234,50 @@ object Skew {
           .otherwise(dbl(col("__sq")) /
             (dbl(col("__tot")) * dbl(col("__tot")))).as("hhi"))
   }
+
+  /** Largest-remainder (Hamilton) allocation: split an integer `total`
+    * across groups proportionally to a non-negative integer weight,
+    * EXACTLY — Σ allocation = total always, which naive per-group
+    * rounding cannot promise. The planning primitive behind sampling
+    * budgets ("allocate 1M documents across domains by token mass"),
+    * shard quotas, and ad/budget splits. Each group gets
+    * `floor(total·w/W)` plus one bonus unit for the `total − Σfloor`
+    * largest remainders (`total·w mod W`), ties to the smaller key so
+    * the plan replays identically anywhere.
+    *
+    * Exactness: pure 64-bit integer arithmetic throughout — the caller
+    * guarantees `total · max(weight) < 2⁶³` (pre-scale coarse weights
+    * at the extreme; a REQUIREMENT, not a silent wrap). `share` is one
+    * double division for the report.
+    *
+    * Scale: one weight aggregate to the groups-sized table, one 1-row
+    * total broadcast, one rank window over GROUPS (allocation targets
+    * are few by definition — the buckets-sized-window class). */
+  def largestRemainder(df: DataFrame, keyCol: String, weight: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val groups = df
+      .filter(weight.isNotNull && weight >= 0)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(weight.cast("long")).as("w"))
+      .filter(col("w") > 0)
+    // one scalar join carries W; floors and remainders are per-row
+    // 64-bit integral arithmetic (div = IntegralDivide, exact)
+    val wSum = groups.agg(sum(col("w")).as("__W"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("key"))
+    val based = groups.crossJoin(broadcast(wSum))
+      .withColumn("__base",
+        call_function("div", lit(total) * col("w"), col("__W")))
+      .withColumn("__rem", pmod(lit(total) * col("w"), col("__W")))
+    val leftover = based
+      .agg((lit(total) - sum(col("__base"))).as("__k"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(wRank))
+      .select(col("key"), col("w").as("weight"),
+        (col("__base") + when(col("__rk") <= col("__k"), 1L)
+          .otherwise(0L)).as("allocation"),
+        (col("w").cast("double") / col("__W").cast("double"))
+          .as("share"))
+  }
 }

@@ -1261,4 +1261,25 @@ class DataOpsSpec extends SparkTestBase {
     // flat: k=4, s1=20, s2=100 → D=(400−400)/(3·20)=0
     assert(got(1) === (("flat", 4L, 20L, 5.0, 0.0)))
   }
+
+  test("largestRemainder: allocations sum to the total exactly; bonus " +
+      "units go to the largest remainders with key ties; zero-weight " +
+      "groups are excluded") {
+    import spark.implicits._
+    // weights 1,1,1 over total 10 → bases 3,3,3, remainder 1 → the
+    // smallest key of the all-equal remainders gets the bonus
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("z", 0L))
+      .toDF("k", "w")
+    val got = Skew.largestRemainder(eq, "k", col("w"), total = 10L)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+    // skewed: 5,3,1 over 7 → exact shares 35/9, 21/9, 7/9 → bases
+    // 3,2,0, remainders 8/9, 3/9, 7/9 → bonuses to a then c
+    val sk = Seq(("a", 5L), ("b", 3L), ("c", 1L)).toDF("k", "w")
+    val got2 = Skew.largestRemainder(sk, "k", col("w"), total = 7L)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got2.toSeq === Seq(("a", 4L), ("b", 2L), ("c", 1L)))
+    assert(got2.map(_._2).sum === 7L)
+  }
 }

@@ -447,4 +447,37 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.modularity(noisy, "src", "dst", perfect)
       .head.getDouble(4) === 0.5)
   }
+
+  test("reciprocity: hand graph — one mutual dyad over four directed " +
+      "edges; self-loops and duplicates never count") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L),
+      (5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.reciprocity(e, "src", "dst").head
+    assert(got.getLong(0) === 4L)   // distinct non-loop edges
+    assert(got.getLong(1) === 2L)   // 1→2 and 2→1
+    assert(got.getLong(2) === 1L)   // one mutual dyad
+    assert(got.getDouble(3) === 0.5)
+  }
+
+  test("degreePowerLaw: a star counts one hub in the tail; " +
+      "all-at-dmin tails report NULL alpha; partitioning-invariant") {
+    import spark.implicits._
+    // star: hub 0 with 8 leaves → deg(hub)=8, deg(leaf)=1
+    val star = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val got = Graph.degreePowerLaw(star, "src", "dst", dmin = 2L).head
+    assert(got.getLong(0) === 9L && got.getLong(1) === 1L)
+    assert(got.getLong(3) === 8L)
+    // alpha = 1 + 1 / ln(8/2), via the nano-quantized sum
+    val expected = 1.0 + 1.0 / (math.floor(
+      math.log(8.0 / 2.0) * 1e9 + 0.5) / 1e9)
+    assert(got.getDouble(4) === expected)
+    // triangle: every degree = dmin → ln sum 0 → NULL alpha
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.degreePowerLaw(tri, "src", "dst", dmin = 2L)
+      .head.isNullAt(4))
+    val again = Graph.degreePowerLaw(star.repartition(5), "src", "dst",
+      dmin = 2L).head
+    assert(again.getDouble(4) === got.getDouble(4))
+  }
 }

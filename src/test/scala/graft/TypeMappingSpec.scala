@@ -304,4 +304,22 @@ class TypeMappingSpec extends SparkTestBase {
       (2L, 2, 0, 0, 0, 128, 128),
       (2L, 2, 1, 128, 0, 256, 128)))
   }
+
+  test("sceneCuts: piecewise signatures count boundaries; a static " +
+      "signature run is one scene; frame order, not input order") {
+    import spark.implicits._
+    val frames = Seq(
+      // doc 1: sigs 7,7,9,9,7 → cuts at idx 2 and 4 → 3 scenes
+      (1L, 0, 7L), (1L, 1, 7L), (1L, 2, 9L), (1L, 3, 9L), (1L, 4, 7L),
+      // doc 2: static
+      (2L, 0, 5L), (2L, 1, 5L), (2L, 2, 5L))
+      .toDF("doc_id", "frame_idx", "sig")
+    val got = Multimodal.sceneCuts(frames.repartition(4), "doc_id",
+        "frame_idx", "sig")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 2L, 3L, 5.0 / 3.0), (2L, 3L, 0L, 1L, 3.0)))
+  }
 }
