@@ -235,7 +235,11 @@ object ScaleSmoke {
     // r11 wave 3: power-law tail fit, reciprocity, window funnel
     "q277_degree_powerlaw", "q278_reciprocity", "q279_window_funnel",
     // r11 wave 4: scene cuts over frame signatures, Hamilton allocation
-    "m280_scene_cuts", "q281_allocation")
+    "m280_scene_cuts", "q281_allocation",
+    // r11 wave 5: lexical diversity, hapax rate, interval gaps,
+    // streaming Benford lens
+    "t282_lexical_diversity", "t283_hapax_rate", "q284_interval_gaps",
+    "str285_stream_benford")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2673,6 +2673,55 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("tile_id"))
     }),
 
+    // Per-document lexical diversity (TTR + Guiraud root TTR).
+    "t282_lexical_diversity" -> ((s, d) =>
+      operators.TextAnalysis.lexicalDiversity(
+          t(s, d, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text")
+        .orderBy(col("id"))),
+
+    // Per-source hapax-legomena rate: vocabulary-health screen.
+    "t283_hapax_rate" -> ((s, d) =>
+      operators.TextAnalysis.hapaxRate(t(s, d, "documents"),
+          "source", "text")
+        .orderBy(col("group"))),
+
+    // Outage report: gaps BETWEEN a user's merged activity segments
+    // (q208's complement) — exact integer microseconds.
+    "q284_interval_gaps" -> ((s, d) =>
+      operators.Sessionize.intervalGaps(t(s, d, "events"), "user_id",
+          "ts", durationUs = 300000000L)
+        .orderBy(col("key"))),
+
+    // Streaming Benford maintenance: first-digit counts of value
+    // cents fold additively; the read-side profile must equal the
+    // batch law scoring on the union exactly.
+    "str285_stream_benford" -> ((s, d) => {
+      val root = tmpDir("graft_str285")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val ev = t(s, d, "events")
+        .select(col("event_id").as("eid"), col("event_type"),
+          when(cents > 0,
+            substring(cents.cast("string"), 1, 1).cast("double"))
+            .as("digit"))
+      stageReplayBatches(s, Seq(
+        ev.filter(col("eid") % 2 === 0).drop("eid"),
+        ev.filter(col("eid") % 2 === 1).drop("eid")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(stream,
+          outDir, "event_type", "digit",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readGroupedBenford(s, outDir)
+        .orderBy(col("group"), col("digit"))
+    }),
+
     // Scene-cut detection over stub frame signatures: the per-frame
     // dHash plan shape with a deterministic piecewise-constant stub
     // signature (scene length varies per doc) — static-video screen.
@@ -4659,6 +4708,91 @@ object SparkEntry {
         | CAST(least((tile_id // nx) * 256 + 256, height) AS INTEGER)
         |  AS y1
         |FROM tiles ORDER BY doc_id, tile_id""".stripMargin,
+
+    "t282_lexical_diversity" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        | FROM documents WHERE doc_id < 1000),
+        |tf AS (SELECT doc_id, t, count(*) AS n FROM toks
+        | WHERE t <> '' GROUP BY doc_id, t)
+        |SELECT doc_id AS id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | count(*) AS n_types,
+        | CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ttr,
+        | CAST(count(*) AS DOUBLE) / sqrt(CAST(sum(n) AS DOUBLE))
+        |  AS root_ttr
+        |FROM tf GROUP BY doc_id
+        |ORDER BY id""".stripMargin,
+
+    "t283_hapax_rate" ->
+      """WITH toks AS (
+        | SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        | FROM documents WHERE source IS NOT NULL),
+        |tf AS (SELECT g, t, count(*) AS n FROM toks
+        | WHERE t <> '' GROUP BY g, t)
+        |SELECT g AS "group", CAST(sum(n) AS BIGINT) AS n_tokens,
+        | count(*) AS n_types,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_hapax,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS hapax_rate
+        |FROM tf GROUP BY g
+        |ORDER BY "group"""".stripMargin,
+
+    "q284_interval_gaps" ->
+      """WITH iv AS (
+        | SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + 300000000 AS e
+        | FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        | FROM iv),
+        |fl AS (SELECT user_id, s, e,
+        |  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+        | FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |  sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM fl),
+        |seg AS (SELECT user_id, island, min(s) AS ss, max(e) AS ee
+        | FROM isl GROUP BY user_id, island),
+        |gap AS (SELECT user_id, ss - lag(ee) OVER (
+        |  PARTITION BY user_id ORDER BY ss) AS g
+        | FROM seg)
+        |SELECT user_id AS key, count(g) AS n_gaps,
+        | CAST(coalesce(sum(g), 0) AS BIGINT) AS gap_us,
+        | max(g) AS max_gap_us
+        |FROM gap GROUP BY user_id
+        |ORDER BY key""".stripMargin,
+
+    "str285_stream_benford" ->
+      """WITH v AS (
+        | SELECT event_type AS g,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        | FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND NOT isnan(value)),
+        |d AS (SELECT g,
+        |  CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  count(*) AS n
+        | FROM v WHERE c > 0 GROUP BY g, digit),
+        |grid AS (SELECT g, digit
+        | FROM (SELECT DISTINCT g FROM d), unnest(range(1, 10)) AS u(digit)),
+        |j AS (SELECT grid.g, grid.digit, coalesce(d.n, 0) AS n
+        | FROM grid LEFT JOIN d ON d.g = grid.g AND d.digit = grid.digit),
+        |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY g)
+        |SELECT j.g AS "group", j.digit, j.n,
+        | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        | ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected,
+        | (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |   (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) *
+        |  (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |   (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) /
+        |  (CAST(tot AS DOUBLE) *
+        |   (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+        |  AS chi2_part
+        |FROM j JOIN t ON t.g = j.g
+        |ORDER BY "group", digit""".stripMargin,
 
     "m280_scene_cuts" ->
       """WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS len,

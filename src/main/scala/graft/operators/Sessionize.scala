@@ -66,6 +66,17 @@ object Sessionize {
     * sort, the island aggregate is map-side combinable, and per-key
     * state is the key's interval count — no global window anywhere. */
   def intervalCoverage(df: DataFrame, keyCol: String, tsCol: String,
+      durationUs: Long): DataFrame =
+    islands(df, keyCol, tsCol, durationUs)
+      .groupBy(col("key"))
+      .agg(sum((col("__ee") - col("__ss")).cast("decimal(28,0)"))
+          .cast("bigint").as("covered_us"),
+        count(lit(1)).as("n_segments"))
+
+  /** The merged maximal segments behind [[intervalCoverage]] /
+    * [[intervalGaps]]: (key, __isl, __ss, __ee) in exact integer
+    * microseconds. */
+  private def islands(df: DataFrame, keyCol: String, tsCol: String,
       durationUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(durationUs > 0, s"durationUs must be > 0, got $durationUs")
@@ -81,9 +92,30 @@ object Sessionize {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("key"), col("__isl"))
       .agg(min(col("__s")).as("__ss"), max(col("__e")).as("__ee"))
+  }
+
+  /** Uncovered gaps BETWEEN a key's merged segments — the outage/
+    * silence report that is [[intervalCoverage]]'s complement: per key,
+    * the number of gaps (segments − 1), total and maximum gap length.
+    * A sensor that covers 99% of wall-clock in one long stretch and
+    * one that drops out hourly have the same coverage; this tells them
+    * apart. Keys with a single segment report 0 gaps and NULL max.
+    *
+    * Exact integer microseconds throughout (no float anywhere); one
+    * extra segment-level lag window over [[islands]]' per-key segments
+    * — segment counts per key are interval-count-bounded, so the
+    * added window is cheap at any scale. */
+  def intervalGaps(df: DataFrame, keyCol: String, tsCol: String,
+      durationUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col("key")).orderBy(col("__ss"))
+    islands(df, keyCol, tsCol, durationUs)
+      .withColumn("__pe", lag(col("__ee"), 1).over(wk))
+      .withColumn("__gap",
+        when(col("__pe").isNotNull, col("__ss") - col("__pe")))
       .groupBy(col("key"))
-      .agg(sum((col("__ee") - col("__ss")).cast("decimal(28,0)"))
-          .cast("bigint").as("covered_us"),
-        count(lit(1)).as("n_segments"))
+      .agg(count(col("__gap")).as("n_gaps"),
+        coalesce(sum(col("__gap")), lit(0L)).as("gap_us"),
+        max(col("__gap")).as("max_gap_us"))
   }
 }

@@ -653,6 +653,58 @@ object TextAnalysis {
           col("n_grams").cast(DoubleType), roundTo).as("novelty"))
   }
 
+  /** Per-document lexical diversity: token count, type (distinct
+    * token) count, type-token ratio, and Guiraud's root TTR
+    * (`types/√tokens` — the length-corrected form; raw TTR decays
+    * mechanically with length, so filters comparing documents of
+    * different sizes should cut on root TTR). The "is this text
+    * varied or a word-loop?" quality feature next to the Gopher
+    * repetition rules.
+    *
+    * Scale: one (doc, term) posting aggregate with map-side combine,
+    * then a doc-keyed reduction; both ratios are single divisions of
+    * exact counts (√ is correctly rounded). */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("id"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("id"))
+      .agg(sum(col("__n")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("ttr"),
+        (col("n_types").cast(DoubleType) /
+          sqrt(col("n_tokens").cast(DoubleType))).as("root_ttr"))
+
+  /** Per-group hapax-legomena rate: vocabulary size, tokens, the count
+    * of terms occurring exactly once IN THAT GROUP, and their share of
+    * the vocabulary. A healthy natural-language source runs ~40–60%
+    * hapax (Zipf); machine-generated or template text collapses far
+    * below, OCR/mojibake noise runs far above — the vocabulary-health
+    * screen beside [[vocabularyGrowth]].
+    *
+    * Scale: one (group, term) count aggregate (map-side combined),
+    * one group-sized reduction, one division. */
+  def hapaxRate(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("group"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("group"))
+      .agg(sum(col("__n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("group"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_hapax").cast(DoubleType) /
+          col("n_types").cast(DoubleType)).as("hapax_rate"))
+
   /** Per-document duplicated-n-gram fraction — the RefinedWeb/Gopher
     * "fraction of the document made of corpus-repeated n-grams" quality
     * signal that [[ngramNovelty]] cannot express (novelty scores

@@ -766,6 +766,39 @@ object MicroBatch {
         col("__v").as("median"))
   }
 
+  /** Benford first-digit profile per group over a
+    * [[streamGroupedValueCounts]] directory whose maintained VALUE is a
+    * leading digit (1–9): the streaming form of
+    * [[graft.operators.Expectations.benford]] — counts fold additively
+    * per batch, and this read scores the CURRENT digit distribution
+    * against Benford's law (share, expected, χ² part per digit, the
+    * full 9-digit grid even for unseen digits) without rescanning
+    * history. The fraud/fabrication drift monitor as an IVM lens.
+    * Must equal the batch profile on the union of all batches. */
+  def readGroupedBenford(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no grouped value-count versions under $dir"))
+    val state = spark.read.parquet(s"$dir/version=$v")
+      .select(col("__g"), col("__v").cast("long").as("digit"),
+        col("__n"))
+    val digits = spark.range(1, 10).select(col("id").as("digit"))
+    val grid = state.select(col("__g")).distinct().crossJoin(digits)
+    val full = grid.join(state, Seq("__g", "digit"), "left")
+      .select(col("__g"), col("digit"),
+        coalesce(col("__n"), lit(0L)).as("n"))
+    val tot = state.groupBy(col("__g")).agg(sum(col("__n")).as("__tot"))
+    // the exact expression family of Expectations.benford, per group
+    val e = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val nD = col("n").cast("double")
+    val tD = col("__tot").cast("double")
+    full.join(broadcast(tot), Seq("__g"))
+      .select(col("__g").as("group"), col("digit"), col("n"),
+        (nD / tD).as("share"), e.as("expected"),
+        ((nD - tD * e) * (nD - tD * e) / (tD * e)).as("chi2_part"))
+  }
+
   /** Exact per-group distinct-value count over a
     * [[streamGroupedValueCounts]] directory — the streaming
     * COUNT(DISTINCT) lens: state rows ARE the distinct (group, value)

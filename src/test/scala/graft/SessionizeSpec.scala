@@ -69,4 +69,26 @@ class SessionizeSpec extends SparkTestBase {
         ((r.getLong(1), r.getLong(2)))).toMap
     assert(re === got)
   }
+
+  test("intervalGaps: two islands yield one gap of the exact silence; " +
+      "a single-segment key reports 0 gaps and NULL max") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    // 5-minute intervals: 10:00 and 10:02 merge; 10:20 is an island →
+    // gap = 10:20 − 10:07 = 13 min = 780e6 us
+    val ev = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:02:00"),
+      ("u1", "2024-01-01 10:20:00"),
+      ("u2", "2024-01-01 09:00:00"))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    val got = Sessionize.intervalGaps(ev, "user_id", "ts",
+        durationUs = 300000000L)
+      .orderBy("key").collect()
+    assert(got(0).getLong(1) === 1L)
+    assert(got(0).getLong(2) === 780000000L)
+    assert(got(0).getLong(3) === 780000000L)
+    assert(got(1).getLong(1) === 0L && got(1).getLong(2) === 0L &&
+      got(1).isNullAt(3))
+  }
 }

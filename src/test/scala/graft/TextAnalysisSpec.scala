@@ -332,4 +332,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(run(hashed = true).toSeq === got.toSeq,
       "xxhash64 keys must not change any count")
   }
+
+  test("lexicalDiversity and hapaxRate: hand counts — a word loop " +
+      "collapses TTR; hapax are group-local singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b a"),        // 9 tokens, 2 types
+      (2L, "v w x y")).toDF("doc_id", "text") // 4 tokens, 4 types
+    val ld = graft.operators.TextAnalysis
+      .lexicalDiversity(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(ld(0) === ((1L, 9L, 2L, 2.0 / 9.0, 2.0 / 3.0)))
+    assert(ld(1) === ((2L, 4L, 4L, 1.0, 2.0)))
+    val hx = graft.operators.TextAnalysis.hapaxRate(
+        Seq(("s1", "a a b c"), ("s1", "c d"), ("s2", "a"))
+          .toDF("source", "text"),
+        "source", "text")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // s1: tokens a,a,b,c,c,d → types {a,b,c,d}, hapax {b,d} → 0.5;
+    // s2's lone 'a' is a hapax IN s2 even though s1 repeats 'a'
+    assert(hx(0) === (("s1", 6L, 4L, 2L, 0.5)))
+    assert(hx(1) === (("s2", 1L, 1L, 1L, 1.0)))
+  }
 }
