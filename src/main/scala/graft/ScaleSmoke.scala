@@ -239,7 +239,9 @@ object ScaleSmoke {
     // r11 wave 5: lexical diversity, hapax rate, interval gaps,
     // streaming Benford lens
     "t282_lexical_diversity", "t283_hapax_rate", "q284_interval_gaps",
-    "str285_stream_benford")
+    "str285_stream_benford",
+    // r11 wave 6: JS divergence between source mixtures, Kish ESS
+    "t286_js_divergence", "q287_ess")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

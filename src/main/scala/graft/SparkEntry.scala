@@ -2673,6 +2673,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("tile_id"))
     }),
 
+    // Jensen–Shannon divergence between source unigram mixtures:
+    // pico-quantized shared-term contributions + exact disjoint-mass
+    // closed form — the frequency-aware redundancy screen.
+    "t286_js_divergence" -> ((s, d) =>
+      operators.TextAnalysis.jsDivergence(t(s, d, "documents"),
+          "source", "text")
+        .orderBy(col("source_a"), col("source_b"))),
+
+    // Kish effective sample size + design effect per language over
+    // character-mass weights: the weighted-sample health diagnostic.
+    "q287_ess" -> ((s, d) =>
+      operators.Skew.effectiveSampleSize(t(s, d, "documents"), "lang",
+          col("n_chars"))
+        .orderBy(col("group"))),
+
     // Per-document lexical diversity (TTR + Guiraud root TTR).
     "t282_lexical_diversity" -> ((s, d) =>
       operators.TextAnalysis.lexicalDiversity(
@@ -4708,6 +4723,53 @@ object SparkEntry {
         | CAST(least((tile_id // nx) * 256 + 256, height) AS INTEGER)
         |  AS y1
         |FROM tiles ORDER BY doc_id, tile_id""".stripMargin,
+
+    "t286_js_divergence" ->
+      """WITH posts AS (
+        | SELECT s, t, count(*) AS n FROM (
+        |  SELECT source AS s, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE source IS NOT NULL)
+        | WHERE t <> '' GROUP BY s, t),
+        |tot AS (SELECT s, CAST(sum(n) AS BIGINT) AS nn
+        | FROM posts GROUP BY s),
+        |pr AS (SELECT a.s AS sa, b.s AS sb, a.n AS an, b.n AS bn,
+        |  ta.nn AS na, tb.nn AS nb,
+        |  CAST(a.n AS DOUBLE) / CAST(ta.nn AS DOUBLE) AS p,
+        |  CAST(b.n AS DOUBLE) / CAST(tb.nn AS DOUBLE) AS q
+        | FROM posts a JOIN posts b ON a.t = b.t AND a.s < b.s
+        |  JOIN tot ta ON ta.s = a.s JOIN tot tb ON tb.s = b.s),
+        |c AS (SELECT sa, sb, count(*) AS n_shared_terms,
+        |  sum(CAST(floor(p * round(ln(p / ((p + q) / 2.0)), 9)
+        |   * 1000000000000.0 + 0.5) AS BIGINT)) AS sa9,
+        |  sum(CAST(floor(q * round(ln(q / ((p + q) / 2.0)), 9)
+        |   * 1000000000000.0 + 0.5) AS BIGINT)) AS sb9,
+        |  CAST(sum(an) AS BIGINT) AS sha, CAST(sum(bn) AS BIGINT) AS shb,
+        |  max(na) AS na, max(nb) AS nb
+        | FROM pr GROUP BY sa, sb)
+        |SELECT sa AS source_a, sb AS source_b, n_shared_terms,
+        | round(
+        |  0.5 * (CAST(sa9 AS DOUBLE) / 1000000000000.0 + ln(2.0) *
+        |   (1.0 - CAST(sha AS DOUBLE) / CAST(na AS DOUBLE))) +
+        |  0.5 * (CAST(sb9 AS DOUBLE) / 1000000000000.0 + ln(2.0) *
+        |   (1.0 - CAST(shb AS DOUBLE) / CAST(nb AS DOUBLE))), 9) AS js
+        |FROM c ORDER BY source_a, source_b""".stripMargin,
+
+    "q287_ess" ->
+      """WITH g AS (
+        | SELECT lang AS "group", count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sw,
+        |  sum(CAST(n_chars AS DECIMAL(19,0)) *
+        |   CAST(n_chars AS DECIMAL(19,0))) AS sww
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        | GROUP BY lang)
+        |SELECT "group", n, sw AS sum_weight,
+        | CAST(CAST(CAST(sw AS DECIMAL(19,0)) * CAST(sw AS DECIMAL(19,0))
+        |   AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(sww AS VARCHAR) AS DOUBLE) AS ess,
+        | CAST(n AS DOUBLE) * CAST(CAST(sww AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(sw AS DECIMAL(19,0)) * CAST(sw AS DECIMAL(19,0))
+        |   AS VARCHAR) AS DOUBLE) AS deff
+        |FROM g ORDER BY "group"""".stripMargin,
 
     "t282_lexical_diversity" ->
       """WITH toks AS (

@@ -280,4 +280,37 @@ object Skew {
         (col("w").cast("double") / col("__W").cast("double"))
           .as("share"))
   }
+
+  /** Effective sample size of a weighted sample per group —
+    * `ESS = (Σw)² / Σw²` (Kish), with the design effect `n/ESS`: the
+    * "my 1M importance-weighted rows are worth how many unweighted
+    * ones?" diagnostic behind every weighted draw
+    * ([[graft.operators.Dedup.weightedPrioritySample]], importance
+    * sampling, survey reweighting). ESS = n for uniform weights and
+    * collapses toward 1 as weight mass concentrates.
+    *
+    * Exactness: integer weights route through the 19×19→38-digit
+    * decimal product discipline (Σw, Σw² exact); ESS and deff are
+    * each ONE double expression over the exact sums. Rows with NULL
+    * or non-positive weight are excluded.
+    *
+    * Scale: one map-side-combined group aggregate — nothing wider
+    * than group cardinality shuffles. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weight: Column): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    df.filter(weight.isNotNull && weight > 0)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(weight.cast("long")).as("__sw"),
+        sum(d19(weight.cast("long")) * d19(weight.cast("long")))
+          .as("__sww"))
+      .select(col("group"), col("n"),
+        col("__sw").as("sum_weight"),
+        (dbl(d19(col("__sw")) * d19(col("__sw"))) / dbl(col("__sww")))
+          .as("ess"),
+        (col("n").cast("double") * dbl(col("__sww")) /
+          dbl(d19(col("__sw")) * d19(col("__sw")))).as("deff"))
+  }
 }

@@ -705,6 +705,72 @@ object TextAnalysis {
         (col("n_hapax").cast(DoubleType) /
           col("n_types").cast(DoubleType)).as("hapax_rate"))
 
+  /** Jensen–Shannon divergence between each pair of group unigram
+    * distributions — the frequency-aware corpus-similarity measure
+    * next to the Jaccard overlap report (Jaccard sees shared TYPES;
+    * JS sees how differently the groups USE them): symmetric, bounded
+    * in [0, ln 2], 0 = identical mixtures. The mixture-planning signal
+    * for "are these two crawls redundant sources?".
+    *
+    * Engine-exactness: the disjoint-support mass needs no per-term
+    * arithmetic at all — `Σ_{q=0} p·ln(p/(p/2)) = ln2·(1 − covA)`
+    * where `covA` is A's probability mass on the SHARED vocabulary
+    * (one exact integer ratio); each shared-term contribution routes
+    * `p·round(ln(p/m), 9)` (the repo's ulp-absorption discipline, so
+    * both engines multiply identical doubles) through
+    * `floor(x·10¹² + 0.5)` pico-unit integers whose sum is order-free.
+    * The reported js is one fixed double expression, rounded to 9.
+    *
+    * Pairs sharing NO terms never reach the join and are absent from
+    * the output — absence IS the maximal-divergence (ln 2) verdict;
+    * outer-join the group pair grid downstream if the report must
+    * render them explicitly.
+    *
+    * Scale: one (group, term) count aggregate, a term-keyed pair join
+    * bounded by group count per term (groups are few), group-pair
+    * reductions after. */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val posts = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__s"),
+        explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false) // totals + the pair join
+    val tot = posts.groupBy(col("__s")).agg(sum(col("__n")).as("__N"))
+    val ln2 = log(lit(2.0))
+    val pairs = posts.as("a")
+      .join(posts.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__s") < col("b.__s"))
+      .join(broadcast(tot).select(col("__s").as("__sa"),
+        col("__N").as("__NA")), col("a.__s") === col("__sa"))
+      .join(broadcast(tot).select(col("__s").as("__sb"),
+        col("__N").as("__NB")), col("b.__s") === col("__sb"))
+    val pE = col("a.__n").cast(DoubleType) / col("__NA").cast(DoubleType)
+    val qE = col("b.__n").cast(DoubleType) / col("__NB").cast(DoubleType)
+    val mE = (pE + qE) / lit(2.0)
+    def pico(x: Column): Column =
+      floor(x * lit(1000000000000.0) + lit(0.5)).cast("long")
+    val agg = pairs
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(pico(pE * round(log(pE / mE), 9))).as("__sa9"),
+        sum(pico(qE * round(log(qE / mE), 9))).as("__sb9"),
+        sum(col("a.__n")).as("__shA"), sum(col("b.__n")).as("__shB"),
+        first(col("__NA")).as("__NA"), first(col("__NB")).as("__NB"))
+    agg.select(col("source_a"), col("source_b"), col("n_shared_terms"),
+      round(
+        lit(0.5) * (col("__sa9").cast(DoubleType) / lit(1e12) +
+          ln2 * (lit(1.0) -
+            col("__shA").cast(DoubleType) / col("__NA").cast(DoubleType))) +
+        lit(0.5) * (col("__sb9").cast(DoubleType) / lit(1e12) +
+          ln2 * (lit(1.0) -
+            col("__shB").cast(DoubleType) / col("__NB").cast(DoubleType))),
+        9).as("js"))
+  }
+
   /** Per-document duplicated-n-gram fraction — the RefinedWeb/Gopher
     * "fraction of the document made of corpus-repeated n-grams" quality
     * signal that [[ngramNovelty]] cannot express (novelty scores

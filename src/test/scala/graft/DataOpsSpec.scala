@@ -1282,4 +1282,19 @@ class DataOpsSpec extends SparkTestBase {
     assert(got2.toSeq === Seq(("a", 4L), ("b", 2L), ("c", 1L)))
     assert(got2.map(_._2).sum === 7L)
   }
+
+  test("effectiveSampleSize: uniform weights give ESS = n, deff = 1; " +
+      "a dominating weight collapses ESS toward 1") {
+    import spark.implicits._
+    val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
+      ("k", 1L), ("k", 1000000L), ("z", 0L)).toDF("g", "w")
+    val got = Skew.effectiveSampleSize(df, "g", col("w"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // k: sw=1000001, sww=1+1e12 → ESS ≈ 1.000002
+    assert(got(0)._1 === "k" && got(0)._2 === 2L)
+    assert(got(0)._4 > 1.0 && got(0)._4 < 1.001)
+    assert(got(1) === (("u", 4L, 20L, 4.0, 1.0)))
+  }
 }

@@ -358,4 +358,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hx(0) === (("s1", 6L, 4L, 2L, 0.5)))
     assert(hx(1) === (("s2", 1L, 1L, 1L, 1.0)))
   }
+
+  test("jsDivergence: identical mixtures score 0; disjoint vocabularies " +
+      "score ln 2; an intermediate pair lands strictly between") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c"), ("s2", "a b c"),     // identical
+      ("s3", "x y z"),                      // disjoint from s1/s2
+      ("s4", "a b z")).toDF("source", "text") // partial overlap
+    val got = graft.operators.TextAnalysis
+      .jsDivergence(docs, "source", "text")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+      .toMap
+    val ln2 = math.log(2.0)
+    assert(got(("s1", "s2")) === 0.0)
+    // fully disjoint pairs share no terms, so they don't appear in the
+    // shared-term join at all — absence IS the ln2 verdict; present
+    // pairs with partial overlap land strictly inside (0, ln2)
+    assert(!got.contains(("s1", "s3")))
+    val mid = got(("s1", "s4"))
+    assert(mid > 0.0 && mid < ln2, s"expected 0 < js < ln2, got $mid")
+  }
 }
