@@ -241,7 +241,7 @@ object ScaleSmoke {
     "t282_lexical_diversity", "t283_hapax_rate", "q284_interval_gaps",
     "str285_stream_benford",
     // r11 wave 6: JS divergence between source mixtures, Kish ESS
-    "t286_js_divergence", "q287_ess")
+    "t286_js_divergence", "q287_ess", "q288_srm")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2673,6 +2673,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("tile_id"))
     }),
 
+    // Sample-ratio-mismatch check: observed user split vs a designed
+    // 3:1 ratio — the assignment-health gate before any A/B readout.
+    "q288_srm" -> ((s, d) =>
+      operators.Experiment.sampleRatioMismatch(
+        t(s, d, "events").select(col("user_id")).distinct(),
+        variant = when(col("user_id") % 4 === 0, "holdout")
+          .otherwise("treatment"),
+        expected = Seq("treatment" -> 3L, "holdout" -> 1L))
+        .orderBy(col("variant"))),
+
     // Jensen–Shannon divergence between source unigram mixtures:
     // pico-quantized shared-term contributions + exact disjoint-mass
     // closed form — the frequency-aware redundancy screen.
@@ -4723,6 +4733,30 @@ object SparkEntry {
         | CAST(least((tile_id // nx) * 256 + 256, height) AS INTEGER)
         |  AS y1
         |FROM tiles ORDER BY doc_id, tile_id""".stripMargin,
+
+    "q288_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT CASE WHEN user_id % 4 = 0 THEN 'holdout'
+        |   ELSE 'treatment' END AS variant, count(*) AS o
+        | FROM u WHERE user_id IS NOT NULL GROUP BY 1),
+        |design(variant, w) AS (VALUES ('treatment', 3), ('holdout', 1)),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS tn FROM c),
+        |j AS (SELECT d.variant, d.w, coalesce(c.o, 0) AS n
+        | FROM design d LEFT JOIN c ON c.variant = d.variant),
+        |b AS (SELECT variant, n,
+        |  CAST(CAST(CAST(tn AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+        |    AS VARCHAR) AS DOUBLE) / 4.0 AS expected_n,
+        |  CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(4 AS DECIMAL(19,0))
+        |     AS DECIMAL(37,0)) -
+        |    CAST(CAST(tn AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+        |     AS DECIMAL(37,0)) AS DECIMAL(19,0)) AS diff,
+        |  CAST(CAST(tn AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+        |   AS DECIMAL(19,0)) * CAST(4 AS DECIMAL(19,0)) AS den
+        | FROM j CROSS JOIN t)
+        |SELECT variant, n, expected_n,
+        | CAST(CAST(diff * diff AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(den AS VARCHAR) AS DOUBLE) AS chi2_part
+        |FROM b ORDER BY variant""".stripMargin,
 
     "t286_js_divergence" ->
       """WITH posts AS (

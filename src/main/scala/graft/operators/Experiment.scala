@@ -457,4 +457,60 @@ object Experiment {
           .otherwise(dbl(col("__t")) * sqrt(dbl(col("n_total"))) /
             sqrt(dbl(col("__rr")) * dbl(col("__a")))).as("z"))
   }
+
+  /** Sample-ratio-mismatch check — the "is the experiment assignment
+    * itself broken?" gate run BEFORE any [[abReport]] readout (a 50.4%
+    * /49.6% split at scale is not noise; it is a bucketing bug that
+    * invalidates every downstream metric): goodness-of-fit of observed
+    * variant counts against the DESIGNED integer ratio
+    * (`expected = Seq("A" -> 1, "B" -> 1)` for 50/50). Emits one row
+    * per designed variant with the observed count, expected count, and
+    * χ² contribution — sum against χ²_{k−1} (the q227 per-cell
+    * convention: parts are fixed double expressions over exact
+    * integers, never an order-dependent float sum). Variants observed
+    * but not designed are a finding the caller screens separately
+    * (they never match the designed rows).
+    *
+    * Exactness: with integer ratio weights w (Σw = W),
+    * `chi2_part = (o·W − N·w)² / (N·w·W)` — numerator and denominator
+    * exact decimal-routed integers (19×19→38 products), ONE double
+    * division per variant; `expected_n = N·w/W` one more.
+    *
+    * Scale: one map-side-combined variant count over the unit table —
+    * variant cardinality rows shuffle, nothing else. */
+  def sampleRatioMismatch(df: DataFrame, variant: Column,
+      expected: Seq[(String, Long)]): DataFrame = {
+    require(expected.nonEmpty && expected.forall(_._2 > 0),
+      "expected ratio weights must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "duplicate variant in expected ratio")
+    val w = expected.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = expected.toDF("variant", "__w")
+    val counts = df
+      .filter(variant.isNotNull)
+      .groupBy(variant.as("variant"))
+      .agg(count(lit(1)).as("__o"))
+    val total = counts.agg(sum(col("__o")).as("__N"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    design.join(counts, Seq("variant"), "left")
+      .select(col("variant"), col("__w"),
+        coalesce(col("__o"), lit(0L)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("__diff",
+        // both subtraction operands bounded to 37 digits (DuckDB
+        // refuses width 39), then the difference is re-bounded to 19
+        // (|o·W − N·w| <= N·W, far inside 19 digits for real tables)
+        ((d19(col("n")) * d19(lit(w))).cast("decimal(37,0)") -
+          (d19(col("__N")) * d19(col("__w"))).cast("decimal(37,0)"))
+          .cast("decimal(19,0)"))
+      .select(col("variant"), col("n"),
+        (dbl(d19(col("__N")) * d19(col("__w"))) / lit(w.toDouble))
+          .as("expected_n"),
+        (dbl(col("__diff") * col("__diff")) /
+          dbl((d19(col("__N")) * d19(col("__w"))).cast("decimal(19,0)")
+            * d19(lit(w)))).as("chi2_part"))
+  }
 }

@@ -1297,4 +1297,25 @@ class DataOpsSpec extends SparkTestBase {
     assert(got(0)._4 > 1.0 && got(0)._4 < 1.001)
     assert(got(1) === (("u", 4L, 20L, 4.0, 1.0)))
   }
+
+  test("sampleRatioMismatch: a perfect split scores 0 everywhere; a " +
+      "skewed split concentrates chi2; undesigned variants never match " +
+      "designed rows") {
+    import spark.implicits._
+    val perfect = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "b" else "a")).toDF("id", "v")
+    val got = Experiment.sampleRatioMismatch(perfect, col("v"),
+        Seq("a" -> 3L, "b" -> 1L))
+      .orderBy("variant").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(("a", 30L, 30.0, 0.0), ("b", 10L, 10.0, 0.0)))
+    // all 40 rows land on 'a': chi2 = (40-30)^2/30 + (0-10)^2/10
+    val skew = (1L to 40L).map(i => (i, "a")).toDF("id", "v")
+    val s2 = Experiment.sampleRatioMismatch(skew, col("v"),
+        Seq("a" -> 3L, "b" -> 1L))
+      .orderBy("variant").collect()
+    assert(math.abs(s2(0).getDouble(3) - 100.0 / 30.0) < 1e-12)
+    assert(s2(1).getLong(1) === 0L && s2(1).getDouble(3) === 10.0)
+  }
 }
