@@ -2251,9 +2251,16 @@ object SparkEntry {
     // EWMA control-chart smoothing of daily event value: exact decimal
     // weight products/sums (α = 0.5 ⇒ every weight a finite decimal),
     // one final double division — no float accumulation.
+    // Gate output stays inside the driver-proven pin type set
+    // {VARCHAR, BIGINT, DOUBLE, BOOLEAN}: DATE → ISO string, exact
+    // DECIMAL(16,6) → micro-integer BIGINT (r11 showed the driver's
+    // hash canonicalization rejects pinned DECIMAL/DATE literals).
     "q221_ewma" -> ((s, d) =>
       operators.TimeSeries.ewma(t(s, d, "events"), "event_type", "ts",
           col("value"), alpha = "0.5", window = 16)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+          (col("v") * 1000000).cast("long").as("v_micros"), col("ewma"))
         .orderBy(col("series"), col("bucket"))),
 
     // Cohen's κ between the recorded order status and a price-rule
@@ -2368,9 +2375,14 @@ object SparkEntry {
     // daily event value: both smoothed levels are exact-decimal
     // convolutions with ONE double division each (q221's discipline),
     // the forecast a fixed double expression over them.
+    // Pin-safe projection: ISO-string bucket, micro-BIGINT v (see q221).
     "q232_double_smooth" -> ((s, d) =>
       operators.TimeSeries.doubleSmoothing(t(s, d, "events"),
           "event_type", "ts", col("value"), alpha = "0.5", window = 8)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+          (col("v") * 1000000).cast("long").as("v_micros"),
+          col("s1"), col("s2"), col("forecast"))
         .orderBy(col("series"), col("bucket"))),
 
     // Landmark harmonic centrality over the co-purchase graph: one
@@ -2525,9 +2537,12 @@ object SparkEntry {
     // Herfindahl concentration per priority market over customer
     // revenue cents: exact integer firm totals, HHI one fixed double
     // expression — q223 Gini's antitrust sibling.
+    // Pin-safe projection: exact DECIMAL(19,0) cents total → BIGINT
+    // (cents sums fit 2^63 by 8 orders of magnitude at sf1).
     "q246_hhi" -> ((s, d) =>
       operators.Skew.hhi(t(s, d, "orders"), "o_orderpriority",
           "o_custkey", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .withColumn("total", col("total").cast("long"))
         .orderBy(col("market"))),
 
     // Per-column Shannon entropy profile: is the column informative,
@@ -2562,6 +2577,7 @@ object SparkEntry {
         .start()
       try q.processAllAvailable() finally q.stop()
       graft.streaming.MicroBatch.readTopContributors(s, outDir, k = 20)
+        .withColumn("total", col("total").cast("long"))
     }),
 
     // Duplicate-transaction screen: same part, same exact quantity,
@@ -2677,7 +2693,8 @@ object SparkEntry {
     // 3:1 ratio — the assignment-health gate before any A/B readout.
     "q288_srm" -> ((s, d) =>
       operators.Experiment.sampleRatioMismatch(
-        t(s, d, "events").select(col("user_id")).distinct(),
+        t(s, d, "events").select(col("user_id"))
+          .filter(col("user_id").isNotNull).distinct(),
         variant = when(col("user_id") % 4 === 0, "holdout")
           .otherwise("treatment"),
         expected = Seq("treatment" -> 3L, "holdout" -> 1L))
@@ -2874,6 +2891,7 @@ object SparkEntry {
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("cents"))
       operators.Skew.abcAnalysis(custRev, "o_custkey", col("cents"))
+        .withColumn("total_value", col("total_value").cast("long"))
         .orderBy(col("abc_class"))
     }),
 
@@ -2921,9 +2939,16 @@ object SparkEntry {
     // Local-peak detection over exact daily totals: strict-left /
     // tie-right window compares on exact decimals, so a plateau yields
     // exactly one peak and no float drift can flip one.
+    // Pin-safe projection: ISO-string bucket, micro-BIGINT exact
+    // decimals (see q221).
     "q260_peaks" -> ((s, d) =>
       operators.TimeSeries.peaks(t(s, d, "events"), "event_type", "ts",
           col("value"), window = 3)
+        .select(col("series"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("bucket"),
+          (col("v") * 1000000).cast("long").as("v_micros"),
+          (col("left_max") * 1000000).cast("long").as("left_max_micros"),
+          (col("right_max") * 1000000).cast("long").as("right_max_micros"))
         .orderBy(col("series"), col("bucket"))),
 
     // Right-to-erasure cascade audit: how many rows would this
@@ -2944,16 +2969,22 @@ object SparkEntry {
         .orderBy(col("table"))
     }),
 
-    // Price–volume–mix revenue decomposition (1994 → 1995 per return
-    // flag): WHY revenue moved — price, volume, and joint effects as
-    // fixed double expressions over exact cents/quantity sums; the
-    // delta itself stays an exact decimal difference.
+    // Price–volume–mix revenue decomposition (1995 → 1996 per return
+    // flag; both years populated at every SF so the PVM arithmetic is
+    // actually exercised): WHY revenue moved — price, volume, and
+    // joint effects as fixed double expressions over exact
+    // cents/quantity sums; the exact sums re-emitted as pin-safe
+    // BIGINTs on the gate surface.
     "q258_price_volume_mix" -> ((s, d) =>
       operators.TimeSeries.priceVolumeMix(t(s, d, "lineitem"),
           "l_returnflag", year(col("l_shipdate")).cast("string"),
-          "1994", "1995",
+          "1995", "1996",
           floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
           col("l_quantity"))
+        .withColumn("rev_a", col("rev_a").cast("long"))
+        .withColumn("qty_a", col("qty_a").cast("long"))
+        .withColumn("rev_b", col("rev_b").cast("long"))
+        .withColumn("qty_b", col("qty_b").cast("long"))
         .orderBy(col("segment"))),
 
     // Burstiness profile: Fano factor + CV of daily arrivals per series
@@ -3046,6 +3077,7 @@ object SparkEntry {
       operators.Expectations.weightedMedian(t(s, d, "lineitem"),
           "l_returnflag", col("l_quantity"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .withColumn("total_weight", col("total_weight").cast("long"))
         .orderBy(col("group"))),
 
     // Streaming entropy monitor: the same additive value-count state as

