@@ -24,10 +24,21 @@ object Affinity {
     * where N is the total basket count — > 1 means the pair co-occurs
     * more than independence predicts. Baskets larger than
     * `maxBasketSize` are excluded whole (skew guard, documented
-    * coverage cut — log the drop rate at scale). */
+    * coverage cut — log the drop rate at scale).
+    *
+    * `broadcastPairs` forces the support-filtered pair table onto the
+    * broadcast side of the frequency joins (see the plan note below) —
+    * correct when `minSupport` keeps the surviving pairs output-scale.
+    * A LOW minSupport over a dense catalog can leave a multi-GB pair
+    * table; pass `broadcastPairs = false` there to restore AQE's
+    * size-based join planning (slower shuffle, no forced broadcast /
+    * driver-OOM risk). */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
+      minSupport: Long = 2L, maxBasketSize: Int = 256,
+      broadcastPairs: Boolean = true): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    def maybeBroadcast(t: DataFrame) =
+      if (broadcastPairs) broadcast(t) else t
     val posts = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
@@ -58,7 +69,7 @@ object Affinity {
     // this on its own: the union/filter above the pair groupBy hides the
     // post-filter size from the logical stats, so it was flipping these
     // joins to keyed shuffles at sf1 (SCALE.md round-10 smoke).
-    broadcast(pairs)
+    maybeBroadcast(pairs)
       .join(itemFreq.select(col("__i").as("item_a"), col("__ni").as("__na")),
         Seq("item_a"))
       .join(itemFreq.select(col("__i").as("item_b"), col("__ni").as("__nb")),
@@ -90,9 +101,12 @@ object Affinity {
     * neighbor count. */
   def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
       topK: Int = 10, minSupport: Long = 2L,
-      maxBasketSize: Int = 256): DataFrame = {
+      maxBasketSize: Int = 256,
+      broadcastPairs: Boolean = true): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    def maybeBroadcast(t: DataFrame) =
+      if (broadcastPairs) broadcast(t) else t
     val posts = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
@@ -120,7 +134,9 @@ object Affinity {
     // coOccurrence's broadcast note); broadcasting it keeps both
     // frequency joins shuffle-free at any SF where the kept neighbor
     // set fits memory, which a consumer of top-k neighbors needs anyway
-    val scored = broadcast(directed)
+    // (broadcastPairs = false restores AQE planning for low-minSupport
+    // dense catalogs where the pair table is NOT output-scale)
+    val scored = maybeBroadcast(directed)
       .join(itemFreq.select(col("__i").as("item"), col("__ni").as("__na")),
         Seq("item"))
       .join(itemFreq.select(col("__i").as("neighbor"),
@@ -203,10 +219,13 @@ object Affinity {
     * only the already-support-filtered pair table, not the expansion. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, minConfidence: Double = 0.0,
-      maxBasketSize: Int = 256): DataFrame = {
+      maxBasketSize: Int = 256,
+      broadcastPairs: Boolean = true): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(minConfidence >= 0.0 && minConfidence <= 1.0,
       s"minConfidence must be in [0,1], got $minConfidence")
+    def maybeBroadcast(t: DataFrame) =
+      if (broadcastPairs) broadcast(t) else t
     val posts = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
@@ -232,8 +251,9 @@ object Affinity {
         col("n_baskets"))
       .unionAll(pairs.select(col("__y").as("antecedent"),
         col("__x").as("consequent"), col("n_baskets")))
-    // output-scale rule table (see coOccurrence's broadcast note)
-    broadcast(directed)
+    // output-scale rule table (see coOccurrence's broadcast note;
+    // broadcastPairs = false restores AQE planning for low minSupport)
+    maybeBroadcast(directed)
       .join(itemFreq.select(col("__i").as("antecedent"),
         col("__ni").as("__na")), Seq("antecedent"))
       .join(itemFreq.select(col("__i").as("consequent"),

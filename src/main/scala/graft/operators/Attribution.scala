@@ -31,9 +31,11 @@ object Attribution {
     * channel NULL (kept — unattributed revenue is a real number the
     * report must show, not drop). Credited values are quantized to
     * micro-units via `floor(v·10⁶ + 0.5)` — exact IEEE, no engine-build
-    * round()/double→DECIMAL tie dependence — and summed as 64-bit
-    * integers, so the totals are engine-exact under any partitioning;
-    * the reported credit is ONE correctly-rounded division by 10⁶. Returns (channel, n_credits, credit) — `n_credits`
+    * round()/double→DECIMAL tie dependence — and summed as
+    * DECIMAL(28,0) (headroom ~10²⁷ micro-units, so a channel total can
+    * exceed the ~9.2·10¹⁸ Long bound without wrap), so the totals are
+    * engine-exact under any partitioning; the reported credit is ONE
+    * correctly-rounded division by 10⁶. Returns (channel, n_credits, credit) — `n_credits`
     * counts credit rows: conversions for first/last, conversion–touch
     * pairs for linear. */
   def credit(events: DataFrame, entity: String, ts: String, tie: String,
@@ -86,7 +88,8 @@ object Attribution {
     picked
       .groupBy(col("__ch").as("channel"))
       .agg(count(lit(1)).as("n_credits"),
-        (sum(col("__credit")).cast("double") / 1000000.0).as("credit"))
+        (sum(col("__credit").cast("decimal(28,0)"))
+          .cast("string").cast("double") / 1000000.0).as("credit"))
   }
 
   /** Temporal-containment pair support — "for users who do A, how many

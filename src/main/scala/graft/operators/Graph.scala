@@ -952,15 +952,20 @@ object Graph {
         count(lit(1)).as("n_nodes"),
         sum(when(col("__d") >= dmin, 1L).otherwise(0L)).as("n_tail"),
         max(col("__d")).as("max_degree"),
+        // nano-quantized ln terms ride DECIMAL(28,0): each term is up
+        // to ~2e10 at web-scale degrees, so at ~1e9 tail nodes a Long
+        // sum would approach 2^63 and silently wrap — decimal keeps
+        // the crawl-scale sum exact with ~10^27 headroom
         sum(when(col("__d") >= dmin,
           floor(log(col("__d").cast("double") / lit(dmin.toDouble)) *
             lit(1000000000.0) + lit(0.5)).cast("long"))
-          .otherwise(0L)).as("__lnsum"))
+          .otherwise(0L).cast("decimal(28,0)")).as("__lnsum"))
       .select(col("n_nodes"), col("n_tail"), lit(dmin).as("dmin"),
         col("max_degree"),
         when(col("__lnsum") === 0, lit(null).cast("double"))
           .otherwise(lit(1.0) + col("n_tail").cast("double") /
-            (col("__lnsum").cast("double") / lit(1000000000.0)))
+            (col("__lnsum").cast("string").cast("double") /
+              lit(1000000000.0)))
           .as("alpha"))
   }
 }

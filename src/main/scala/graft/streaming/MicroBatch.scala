@@ -666,37 +666,144 @@ object MicroBatch {
         .otherwise((n * sxy - sx * sy) / sqrt(vx * vy)).as("corr"))
   }
 
+  /** Shared incremental fold for the value-count state family. The
+    * state directory is HASH-BUCKETED by value —
+    * `dir/bucket=<pmod(xxhash64(__v), buckets)>/version=<batchId>` —
+    * and a micro-batch rewrites ONLY the buckets its delta touches;
+    * untouched buckets keep their older version and readers resolve
+    * latest-per-bucket ([[currentCountState]]). That makes per-batch
+    * state I/O proportional to `(state/buckets)·touchedBuckets +
+    * delta`, not O(full state): with a continuous value domain at
+    * 100 TB the state is every distinct value ever seen, and the
+    * previous full-snapshot-per-batch design re-read and re-wrote all
+    * of it on every micro-batch. Publication is stage-then-rename
+    * (ONE Spark job writes all touched buckets partitioned by
+    * `__b`, then each partition dir is renamed into place — the
+    * Hadoop metadata-only commit primitive), and a replayed batch
+    * merges against versions `< batchId` per bucket and overwrites
+    * its own version, so the fold stays replay-idempotent.
+    *
+    * `maxStateRows` is the bounded-domain guard: exact value-granular
+    * state over an unbounded continuous domain is a misuse at scale
+    * (route those to the KLL/HLL sketch state, t128/t80); when the
+    * TOTAL distinct state-row count would exceed the bound the batch
+    * fails fast with a clear error instead of collapsing into
+    * ever-growing I/O. The untouched-bucket side of that total is a
+    * parquet metadata-only count (footer row counts, no data read).
+    *
+    * `batch` arrives pre-projected: a `__v` DOUBLE column (non-NULL,
+    * non-NaN) plus optional extra key columns (`__g`). */
+  private def foldBucketedValueCounts(batch: DataFrame, batchId: Long,
+      dir: String, keys: Seq[String], buckets: Int,
+      maxStateRows: Option[Long]): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = batch.sparkSession
+    val bucketOf = pmod(xxhash64(col("__v")), lit(buckets.toLong))
+    val delta = batch
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__b", bucketOf)
+      .persist()
+    var merged: DataFrame = null
+    try {
+      val touched = delta.select(col("__b")).distinct()
+        .collect().map(_.getLong(0)).sorted // ≤ buckets rows
+      if (touched.isEmpty) return // empty delta: state already current
+      val priorPaths = touched.toSeq.flatMap { b =>
+        latestRollupVersion(spark, s"$dir/bucket=$b",
+            beforeExclusive = Some(batchId))
+          .map(v => s"$dir/bucket=$b/version=$v")
+      }
+      merged =
+        if (priorPaths.isEmpty) delta
+        else spark.read.parquet(priorPaths: _*).withColumn("__b", bucketOf)
+          .unionByName(delta)
+          .groupBy((keys :+ "__b").map(col): _*)
+          .agg(sum(col("__n")).as("__n"))
+      maxStateRows.foreach { bound =>
+        merged.persist()
+        val untouchedPaths = bucketLatestPaths(spark, dir,
+            beforeExclusive = Some(batchId))
+          .filter { case (b, _) => !touched.contains(b) }.map(_._2)
+        val untouchedRows = if (untouchedPaths.isEmpty) 0L
+          else spark.read.parquet(untouchedPaths: _*).count() // footers only
+        val total = merged.count() + untouchedRows
+        if (total > bound) throw new IllegalStateException(
+          s"value-count state under $dir would reach $total distinct " +
+          s"rows (> maxStateRows=$bound): the value domain is not " +
+          "bounded — use sketch state (KLL quantiles / HLL distinct) " +
+          "for continuous domains instead of exact value counts")
+      }
+      val stage = s"$dir/.stage=$batchId"
+      merged.write.partitionBy("__b").mode("overwrite").parquet(stage)
+      touched.foreach { b =>
+        val parent = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
+        graft.sources.Fs.mkdirs(parent)
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$dir/bucket=$b/version=$batchId")
+        if (graft.sources.Fs.exists(dst)) graft.sources.Fs.delete(dst)
+        graft.sources.Fs.rename(
+          new org.apache.hadoop.fs.Path(s"$stage/__b=$b"), dst)
+      }
+      graft.sources.Fs.delete(new org.apache.hadoop.fs.Path(stage))
+    } finally {
+      delta.unpersist()
+      if (merged ne null) merged.unpersist()
+    }
+  }
+
+  /** Latest published (bucket, path) per state bucket under `dir`,
+    * optionally ignoring versions at/after `beforeExclusive`. */
+  private def bucketLatestPaths(spark: SparkSession, dir: String,
+      beforeExclusive: Option[Long]): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.sources.Fs.of(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .flatMap { st =>
+        val b = st.getPath.getName.stripPrefix("bucket=").toLong
+        latestRollupVersion(spark, st.getPath.toString, beforeExclusive)
+          .map(v => b -> s"${st.getPath.toString}/version=$v")
+      }
+  }
+
+  /** The current full value-count state of a bucketed fold directory:
+    * the union of every bucket's latest published version. */
+  private def currentCountState(spark: SparkSession, dir: String,
+      what: String): DataFrame = {
+    val paths = bucketLatestPaths(spark, dir, beforeExclusive = None)
+      .map(_._2)
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"no $what versions under $dir")
+    spark.read.parquet(paths: _*)
+  }
+
   /** Streaming distribution-drift maintenance: micro-batches of a
     * numeric column fold ADDITIVELY into persisted per-value counts
-    * (versioned `version=batchId` snapshots like [[streamRollup]],
-    * replay-idempotent), so "has the live distribution drifted from
-    * the reference?" is answerable at any moment WITHOUT rescanning
-    * history. Read the current empirical distribution with
-    * [[readValueCounts]] and score it with
-    * [[graft.operators.Expectations.ksDrift]] against the frozen
-    * reference — the result must equal batch KS on the union of all
-    * batches exactly. Per-batch cost: one value-keyed count aggregate
-    * + a distinct-values-sized merge; NULL/NaN excluded (PSI/KS's
-    * convention). */
+    * (hash-bucketed `bucket=b/version=batchId` snapshots — see
+    * [[foldBucketedValueCounts]] — replay-idempotent, per-batch I/O
+    * proportional to the delta's buckets, not the full state), so
+    * "has the live distribution drifted from the reference?" is
+    * answerable at any moment WITHOUT rescanning history. Read the
+    * current empirical distribution with [[readValueCounts]] and
+    * score it with [[graft.operators.Expectations.ksDrift]] against
+    * the frozen reference — the result must equal batch KS on the
+    * union of all batches exactly. Per-batch cost: one value-keyed
+    * count aggregate + a touched-buckets-sized merge; NULL/NaN
+    * excluded (PSI/KS's convention). `maxStateRows` fail-fasts a
+    * continuous-domain misuse (see [[foldBucketedValueCounts]]). */
   def streamValueCounts(stream: DataFrame, dir: String,
-      valueCol: String, cfg: IngestConfig = IngestConfig())
+      valueCol: String, cfg: IngestConfig = IngestConfig(),
+      buckets: Int = 32, maxStateRows: Option[Long] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val delta = batch
           .select(col(valueCol).cast("double").as("__v"))
           .filter(col("__v").isNotNull && !isnan(col("__v")))
-          .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
-        val merged = latestRollupVersion(spark, dir,
-            beforeExclusive = Some(batchId)) match {
-          case None => delta
-          case Some(v) =>
-            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
-              .groupBy(col("__v")).agg(sum(col("__n")).as("__n"))
-        }
-        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+        foldBucketedValueCounts(delta, batchId, dir, Seq("__v"),
+          buckets, maxStateRows)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -704,36 +811,31 @@ object MicroBatch {
 
   /** Streaming GROUPED value-count maintenance — [[streamValueCounts]]
     * with a group key: micro-batches fold additively into persisted
-    * (group, value, n) counts (versioned `version=batchId` snapshots,
-    * replay-idempotent), which is sufficient state for ANY exact
-    * order-statistic read — median, quantiles, trimmed means — per
-    * group at any moment without rescanning history. Read with
-    * [[readGroupedMedian]]; the result must equal the batch statistic
-    * on the union of all batches exactly. Per-batch cost: one
-    * (group, value)-keyed count aggregate + a distinct-pairs-sized
-    * merge; NULL/NaN values excluded (the order-statistic convention). */
+    * (group, value, n) counts (hash-bucketed `bucket=b/version=batchId`
+    * snapshots — see [[foldBucketedValueCounts]] — replay-idempotent,
+    * per-batch I/O proportional to the delta's buckets, not the full
+    * state), which is sufficient state for ANY exact order-statistic
+    * read — median, quantiles, trimmed means — per group at any moment
+    * without rescanning history. Read with [[readGroupedMedian]]; the
+    * result must equal the batch statistic on the union of all batches
+    * exactly. Per-batch cost: one (group, value)-keyed count aggregate
+    * + a touched-buckets-sized merge; NULL/NaN values excluded (the
+    * order-statistic convention). `maxStateRows` fail-fasts a
+    * continuous-domain misuse (see [[foldBucketedValueCounts]]). */
   def streamGroupedValueCounts(stream: DataFrame, dir: String,
-      keyCol: String, valueCol: String, cfg: IngestConfig = IngestConfig())
+      keyCol: String, valueCol: String, cfg: IngestConfig = IngestConfig(),
+      buckets: Int = 32, maxStateRows: Option[Long] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val delta = batch
           .select(col(keyCol).cast("string").as("__g"),
             col(valueCol).cast("double").as("__v"))
           .filter(col("__g").isNotNull &&
             col("__v").isNotNull && !isnan(col("__v")))
-          .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__n"))
-        val merged = latestRollupVersion(spark, dir,
-            beforeExclusive = Some(batchId)) match {
-          case None => delta
-          case Some(v) =>
-            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
-              .groupBy(col("__g"), col("__v"))
-              .agg(sum(col("__n")).as("__n"))
-        }
-        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+        foldBucketedValueCounts(delta, batchId, dir, Seq("__g", "__v"),
+          buckets, maxStateRows)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -748,10 +850,7 @@ object MicroBatch {
     * counts to rows, so a hot value with a billion occurrences costs
     * one row. Returns (group, n, median). */
   def readGroupedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no grouped value-count versions under $dir"))
-    val counts = spark.read.parquet(s"$dir/version=$v")
+    val counts = currentCountState(spark, dir, "grouped value-count")
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("__g"))
@@ -776,10 +875,7 @@ object MicroBatch {
     * history. The fraud/fabrication drift monitor as an IVM lens.
     * Must equal the batch profile on the union of all batches. */
   def readGroupedBenford(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no grouped value-count versions under $dir"))
-    val state = spark.read.parquet(s"$dir/version=$v")
+    val state = currentCountState(spark, dir, "grouped value-count")
       .select(col("__g"), col("__v").cast("long").as("digit"),
         col("__n"))
     val digits = spark.range(1, 10).select(col("id").as("digit"))
@@ -807,10 +903,7 @@ object MicroBatch {
     * batches exactly (no sketch, no approximation — the state is
     * already value-granular). Returns (group, n, n_distinct). */
   def readGroupedDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no grouped value-count versions under $dir"))
-    spark.read.parquet(s"$dir/version=$v")
+    currentCountState(spark, dir, "grouped value-count")
       .groupBy(col("__g").as("group"))
       .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_distinct"))
   }
@@ -821,10 +914,7 @@ object MicroBatch {
     * re-expanded to rows (a hot value's multiplicity could be
     * billions). */
   def readValueCounts(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no value-count versions under $dir"))
-    spark.read.parquet(s"$dir/version=$v")
+    currentCountState(spark, dir, "value-count")
       .select(col("__v").as("value"), col("__n").as("n"))
   }
 

@@ -1008,6 +1008,81 @@ class StreamingSpec extends SparkTestBase {
     run() // restart: checkpoint replays nothing, state unchanged
     assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
   }
+
+  test("bucketed value-count state: a micro-batch rewrites ONLY the " +
+      "buckets its delta touches (per-batch I/O ∝ delta, not state)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strbk")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/counts", s"$root/ckpt")
+    val buckets = 8
+    val b1 = Seq(10.0, 20.0, 30.0, 40.0)
+    val b2 = Seq(10.0) // touches exactly bucket(10.0)
+    b1.toDF("v").coalesce(1).write.parquet(srcDir)
+    b2.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+        outDir, "v", graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0),
+        buckets = buckets)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // expected (bucket -> versions) from the SAME hash the fold uses;
+    // computed per batch so hash collisions can't break the assertion
+    def touchedBy(vs: Seq[Double]): Set[Long] =
+      vs.toDF("v").select(pmod(xxhash64(col("v")), lit(buckets.toLong)))
+        .collect().map(_.getLong(0)).toSet
+    val (t1, t2) = (touchedBy(b1), touchedBy(b2))
+    val expected = (t1.map(_ -> Set(0L)) ++
+      t2.map(b => b -> (if (t1(b)) Set(0L, 1L) else Set(1L)))).toMap
+    val onDisk = new java.io.File(outDir).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map { d =>
+        d.getName.stripPrefix("bucket=").toLong ->
+          d.listFiles.toSeq.filter(_.getName.startsWith("version="))
+            .map(_.getName.stripPrefix("version=").toLong).toSet
+      }.toMap
+    assert(onDisk === expected) // batch 1 rewrote ONLY 10.0's bucket
+    assert(t2.size === 1 && expected.values.count(_.contains(1L)) === 1)
+    // and the merged read is still the exact union of both batches
+    val counts = graft.streaming.MicroBatch
+      .readValueCounts(spark, outDir)
+      .orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(counts === Seq(10.0 -> 2L, 20.0 -> 1L, 30.0 -> 1L, 40.0 -> 1L))
+  }
+
+  test("maxStateRows guard: exact value-count state over a domain " +
+      "larger than the bound fails fast with a clear misuse error") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strguard")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/counts", s"$root/ckpt")
+    Seq(("a", 1.0), ("a", 2.0), ("b", 3.0))
+      .toDF("g", "v").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamGroupedValueCounts(stream,
+        outDir, "g", "v", graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0),
+        maxStateRows = Some(2L))
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("maxStateRows")))
+    // nothing was published: the guard fired BEFORE the state swap
+    val published = new java.io.File(outDir).listFiles
+    assert(published == null || !published.exists(
+      _.getName.startsWith("bucket=")))
+  }
 }
 
 object StreamingSpec {
