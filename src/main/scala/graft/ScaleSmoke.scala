@@ -241,7 +241,18 @@ object ScaleSmoke {
     "t282_lexical_diversity", "t283_hapax_rate", "q284_interval_gaps",
     "str285_stream_benford",
     // r11 wave 6: JS divergence between source mixtures, Kish ESS
-    "t286_js_divergence", "q287_ess", "q288_srm")
+    "t286_js_divergence", "q287_ess", "q288_srm",
+    // r12 wave 1: classifier-eval family (distributed-midrank AUC,
+    // one-aggregate confusion/calibration/Brier) + ranked-list eval
+    "q289_roc_auc", "q290_confusion", "q291_calibration", "q292_ece",
+    "q293_brier", "q294_rank_eval",
+    // r12 wave 2: BH-FDR step-up (report-sized), CUPED (two exact
+    // aggregates), Theil index, Lorenz deciles (one prefix aggregate)
+    "q295_bh_fdr", "q296_cuped", "q297_theil", "q298_lorenz",
+    // r12 wave 3: bounded-bin streaming histogram + quantile read,
+    // lcm-keyed aspect bucketing over a global rank, readability scan
+    "str299_stream_histogram", "m300_aspect_buckets",
+    "t301_readability")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

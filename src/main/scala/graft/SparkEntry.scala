@@ -23,6 +23,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Deterministic classifier-eval fixture (q289–q293): the two-stage
+    * MINSTD chain over o_orderkey gives u ∈ [1, 2³¹−1];
+    * score = u/(2³¹−1) ∈ (0,1] (injective — the relative gap between
+    * consecutive u is ~4.7e-10 ≫ double eps, so grouping by score
+    * equals grouping by u in BOTH engines), and label compares ONE
+    * further chain step against u — deterministic, score-correlated,
+    * ~uniform, so AUC/calibration/Brier all take non-trivial values. */
+  private def clsEvalFixture(orders: DataFrame): DataFrame = {
+    val m = 2147483647L
+    val u = pmod(pmod(pmod(col("o_orderkey"), lit(m)) * 48271L, lit(m))
+      * 48271L, lit(m)) + 1L
+    orders.select(u.as("__u"))
+      .select((col("__u").cast("double") / 2147483647.0).as("score"),
+        (pmod(col("__u") * 48271L, lit(m)) < col("__u")).as("label"))
+  }
+
+  /** The DuckDB mirror of [[clsEvalFixture]], spliced into the q289–
+    * q293 oracles as two CTEs (`f`: the chain value u; `fx`: (v, y)).
+    * All operands positive, so `%` ≡ pmod in both engines. */
+  private val ClsEvalFixtureSql: String =
+    """f AS (SELECT ((((o_orderkey % 2147483647) * 48271)
+      |   % 2147483647) * 48271) % 2147483647 + 1 AS u FROM orders),
+      |fx AS (SELECT CAST(u AS DOUBLE) / 2147483647.0 AS v,
+      |  (u * 48271 % 2147483647) < u AS y FROM f)""".stripMargin
+
   /** Scratch dirs for gate entries that exercise write paths (streams,
     * compaction, format round-trips). Registered for recursive delete at JVM
     * exit so Verify/Bench runs leave no temp debris behind. */
@@ -2700,6 +2725,195 @@ object SparkEntry {
         expected = Seq("treatment" -> 3L, "holdout" -> 1L))
         .orderBy(col("variant"))),
 
+    // ---- classifier-evaluation family (q289–q293): a deterministic
+    // score/label fixture from the MINSTD chain over o_orderkey —
+    // u ∈ [1, 2^31−1], score = u/(2^31−1) ∈ (0,1], label = one more
+    // chain step compared against u (deterministic, score-correlated,
+    // ~uniform) — so every metric has a non-degenerate exact oracle.
+
+    // Exact ROC AUC via distributed midranks (Mann–Whitney identity):
+    // the quality-classifier tuning metric, engine-exact integers
+    // under the single final division.
+    "q289_roc_auc" -> ((s, d) =>
+      operators.Classifier.rocAuc(clsEvalFixture(t(s, d, "orders")),
+        col("score"), col("label"))),
+
+    // Confusion matrix + precision/recall/F1/accuracy at 0.5: exact
+    // cells, one division per rate (F1 in single-division form).
+    "q290_confusion" -> ((s, d) =>
+      operators.Classifier.confusionReport(
+        clsEvalFixture(t(s, d, "orders")), col("score"), col("label"),
+        threshold = 0.5)),
+
+    // Reliability-diagram bins: micro-integer score sums per decile
+    // bin, observed-vs-predicted gap as fixed double expressions.
+    "q291_calibration" -> ((s, d) =>
+      operators.Classifier.calibrationBins(
+          clsEvalFixture(t(s, d, "orders")), col("score"), col("label"),
+          bins = 10)
+        .orderBy(col("bin"))),
+
+    // Expected calibration error: per-bin n·|gap| pico-quantized and
+    // summed order-free; ONE final division.
+    "q292_ece" -> ((s, d) =>
+      operators.Classifier.expectedCalibrationError(
+        clsEvalFixture(t(s, d, "orders")), col("score"), col("label"),
+        bins = 10)),
+
+    // Brier score: per-row squared error pico-quantized, order-free
+    // exact sum, one division — the proper scoring rule.
+    "q293_brier" -> ((s, d) =>
+      operators.Classifier.brierScore(clsEvalFixture(t(s, d, "orders")),
+        col("score"), col("label"))),
+
+    // Ranking-quality evaluation (P@k / recall@k / MRR / nDCG@k) over
+    // a deterministic ranked-results + qrels fixture: 10 queries × the
+    // doc_id<200 corpus, ranked by a seeded hash, ~1/8 docs relevant.
+    // nDCG gains follow the 9-rounded-ln + nano-integer discipline.
+    "q294_rank_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val queries = s.range(1, 11).select(col("id").as("q"))
+      val pairs = queries.crossJoin(docs)
+        .withColumn("h", pmod(
+          (col("doc_id") * 1009L + col("q")) * 48271L,
+          lit(2147483647L)))
+      val results = pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q").as("query"), col("doc_id").as("doc"),
+          col("rank"))
+      val qrels = pairs
+        .filter(pmod(col("h") * 48271L, lit(2147483647L)) % 8 === 0)
+        .select(col("q").as("query"), col("doc_id").as("doc"))
+      operators.Retrieval.rankEval(results, qrels, k = 10)
+        .orderBy(col("query"))
+    }),
+
+    // Benjamini–Hochberg FDR over a deterministic 15-cell p-value
+    // report (priority × status, p from a pmod chain split into a
+    // clearly-small and a clearly-large population): the step-up rule
+    // decided by integer-free cross-multiplied comparisons.
+    "q295_bh_fdr" -> ((s, d) => {
+      val pInt = pmod(sum(pmod(col("o_orderkey"), lit(997L))),
+        lit(997L))
+      val report = t(s, d, "orders")
+        .groupBy(concat_ws("|", col("o_orderpriority"),
+          col("o_orderstatus")).as("key"))
+        .agg(pInt.as("__pi"))
+        .select(col("key"),
+          when(pmod(col("__pi"), lit(2L)) === 0,
+            pmod(col("__pi"), lit(10L)).cast("double") / 1000.0)
+            .otherwise(lit(0.5) +
+              pmod(col("__pi"), lit(100L)).cast("double") / 1000.0)
+            .as("p"))
+      operators.Experiment.benjaminiHochberg(report, "key", col("p"),
+          q = 0.25)
+        .orderBy(col("rank"))
+    }),
+
+    // CUPED variance reduction: o_totalprice adjusted by a correlated
+    // deterministic pre-period covariate (half the price + chain
+    // noise); exact micro-integer sums, θ and the adjustment fixed
+    // double expressions — the A/B sensitivity booster.
+    "q296_cuped" -> ((s, d) => {
+      val m = 2147483647L
+      val u = pmod(pmod(pmod(col("o_orderkey"), lit(m)) * 48271L,
+        lit(m)) * 48271L, lit(m)) + 1L
+      val base = t(s, d, "orders")
+        .withColumn("__variant",
+          when(pmod(col("o_orderkey"), lit(3L)) === 0, "a")
+            .when(pmod(col("o_orderkey"), lit(3L)) === 1, "b")
+            .otherwise("c"))
+        .withColumn("__cov",
+          col("o_totalprice").cast("double") / 2.0 +
+            pmod(u, lit(1000L)).cast("double"))
+      operators.Experiment.cuped(base,
+          col("o_totalprice").cast("double"), col("__cov"), "__variant")
+        .orderBy(col("variant"))
+    }),
+
+    // Theil T inequality of customer revenue per priority market —
+    // Gini's decomposable entropy-family sibling: exact cents shares,
+    // 9-rounded ln ratios, pico-integer order-free sums.
+    "q297_theil" -> ((s, d) => {
+      val custRev = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_orderpriority"), col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      operators.Skew.theilIndex(custRev, "o_orderpriority",
+          col("cents"))
+        .orderBy(col("group"))
+    }),
+
+    // Lorenz curve of customer revenue at deciles: distributed global
+    // rank, ALL prefix sums in one aggregate via integer
+    // cross-multiplied membership — the curve behind q223's Gini.
+    "q298_lorenz" -> ((s, d) => {
+      val custRev = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      operators.Skew.lorenzCurve(custRev, "o_custkey", col("cents"),
+          points = 10)
+        .orderBy(col("point"))
+    }),
+
+    // Streaming fixed-bin histogram: bounded-domain quantile state for
+    // continuous values (the route the maxStateRows guard points at) —
+    // batches fold additively into ≤ bins state rows; the quantile
+    // read must equal the batch histogram on the union exactly.
+    "str299_stream_histogram" -> ((s, d) => {
+      val root = tmpDir("graft_str299")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/hist", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast("double").as("price"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("price")),
+        o.filter(col("ok") % 2 === 1).select(col("price"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamHistogram(stream, outDir,
+          "price", lo = 0.0, hi = 600000.0, bins = 100,
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readHistogramQuantiles(s, outDir,
+        lo = 0.0, hi = 600000.0, bins = 100, qs = Seq(0.5, 0.9, 0.99))
+    }),
+
+    // Aspect-ratio bucketing + capacity batching of synthetic image
+    // dims: division-free closest-bucket argmin (lcm-scaled integer
+    // keys), global-rank batching — per-(bucket, batch) sizes.
+    "m300_aspect_buckets" -> ((s, d) => {
+      val dims = t(s, d, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          (lit(200L) + pmod(col("doc_id") * 37L, lit(1800L))).as("w"),
+          (lit(200L) + pmod(col("doc_id") * 53L, lit(1000L))).as("h"))
+      operators.Multimodal.aspectBuckets(dims, "doc_id", "w", "h",
+          buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)),
+          capacity = 32)
+        .groupBy(col("bucket_w"), col("bucket_h"), col("batch_idx"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket_w"), col("bucket_h"), col("batch_idx"))
+    }),
+
+    // Flesch reading-ease per document: engine-portable counting
+    // (replace()-arithmetic sentences, vowel-group syllables), exact
+    // integers under two divisions.
+    "t301_readability" -> ((s, d) =>
+      TextAnalysis.readability(
+          t(s, d, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Jensen–Shannon divergence between source unigram mixtures:
     // pico-quantized shared-term contributions + exact disjoint-mass
     // closed form — the frequency-aware redundancy screen.
@@ -4789,6 +5003,293 @@ object SparkEntry {
         | CAST(CAST(diff * diff AS VARCHAR) AS DOUBLE) /
         |  CAST(CAST(den AS VARCHAR) AS DOUBLE) AS chi2_part
         |FROM b ORDER BY variant""".stripMargin,
+
+    "q289_roc_auc" ->
+      s"""WITH $ClsEvalFixtureSql,
+        |by_v AS (SELECT v, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |  count(*) AS nt FROM fx GROUP BY v),
+        |c AS (SELECT np, nt, coalesce(sum(nt) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        | FROM by_v),
+        |a AS (SELECT sum(np) AS snp, sum(nt - np) AS snn,
+        |  sum(np * (2 * cb + nt + 1)) AS r2p FROM c)
+        |SELECT CAST(snp AS BIGINT) AS n_pos, CAST(snn AS BIGINT) AS n_neg,
+        | CASE WHEN snp = 0 OR snn = 0 THEN NULL
+        |  ELSE CAST(r2p - snp * snp - snp AS DOUBLE) /
+        |   (CAST(snp * snn AS DOUBLE) * 2.0) END AS auc,
+        | CASE WHEN snp = 0 OR snn = 0 THEN NULL
+        |  ELSE (CAST(r2p - snp * snp - snp AS DOUBLE) /
+        |   (CAST(snp * snn AS DOUBLE) * 2.0)) * 2.0 - 1.0 END AS gini
+        |FROM a""".stripMargin,
+
+    "q290_confusion" ->
+      s"""WITH $ClsEvalFixtureSql,
+        |c AS (SELECT
+        |  sum(CASE WHEN v >= 0.5 AND y THEN 1 ELSE 0 END) AS tp,
+        |  sum(CASE WHEN v >= 0.5 AND NOT y THEN 1 ELSE 0 END) AS fp,
+        |  sum(CASE WHEN v < 0.5 AND NOT y THEN 1 ELSE 0 END) AS tn,
+        |  sum(CASE WHEN v < 0.5 AND y THEN 1 ELSE 0 END) AS fn
+        | FROM fx)
+        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        | CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+        | CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE) /
+        |  CAST(tp + fp AS DOUBLE) END AS "precision",
+        | CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE) /
+        |  CAST(tp + fn AS DOUBLE) END AS recall,
+        | CASE WHEN tp + tp + fp + fn = 0 THEN NULL
+        |  ELSE CAST(tp + tp AS DOUBLE) /
+        |   CAST(tp + tp + fp + fn AS DOUBLE) END AS f1,
+        | CASE WHEN tp + fp + tn + fn = 0 THEN NULL
+        |  ELSE CAST(tp + tn AS DOUBLE) /
+        |   CAST(tp + fp + tn + fn AS DOUBLE) END AS accuracy
+        |FROM c""".stripMargin,
+
+    "q291_calibration" ->
+      s"""WITH $ClsEvalFixtureSql,
+        |b AS (SELECT least(CAST(floor(v * 10) AS BIGINT), 9) AS bin,
+        |  count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+        |  sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        | FROM fx GROUP BY 1),
+        |r AS (SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |   AS mean_pred,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+        | FROM b)
+        |SELECT bin, n, n_pos, mean_pred, frac_pos,
+        | abs(frac_pos - mean_pred) AS abs_gap
+        |FROM r ORDER BY bin""".stripMargin,
+
+    "q292_ece" ->
+      s"""WITH $ClsEvalFixtureSql,
+        |b AS (SELECT least(CAST(floor(v * 10) AS BIGINT), 9) AS bin,
+        |  count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+        |  sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        | FROM fx GROUP BY 1),
+        |r AS (SELECT n,
+        |  abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+        |   CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+        |   AS abs_gap
+        | FROM b)
+        |SELECT CAST(sum(n) AS BIGINT) AS n, count(*) AS n_bins,
+        | CAST(sum(CAST(floor(abs_gap * CAST(n AS DOUBLE) *
+        |    1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) /
+        |  (CAST(sum(n) AS DOUBLE) * 1000000000000.0) AS ece
+        |FROM r""".stripMargin,
+
+    "q293_brier" ->
+      s"""WITH $ClsEvalFixtureSql,
+        |dd AS (SELECT v - CASE WHEN y THEN 1.0 ELSE 0.0 END AS d
+        | FROM fx)
+        |SELECT count(*) AS n,
+        | CASE WHEN count(*) = 0 THEN NULL
+        |  ELSE CAST(sum(CAST(floor(d * d * 1000000000000.0 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) /
+        |   (CAST(count(*) AS DOUBLE) * 1000000000000.0) END AS brier
+        |FROM dd""".stripMargin,
+
+    "q294_rank_eval" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |qs AS (SELECT q FROM range(1, 11) t(q)),
+        |pairs AS (SELECT q, doc_id,
+        |  ((doc_id * 1009 + q) * 48271) % 2147483647 AS h
+        | FROM qs CROSS JOIN docs),
+        |results AS (SELECT * FROM (SELECT q, doc_id, row_number() OVER (
+        |   PARTITION BY q ORDER BY h, doc_id) AS r FROM pairs)
+        | WHERE r <= 10),
+        |qrels AS (SELECT q, doc_id FROM pairs
+        | WHERE (h * 48271 % 2147483647) % 8 = 0),
+        |gains AS (SELECT r, CAST(floor(round(1.0 /
+        |   (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)), 9) *
+        |   1000000000.0 + 0.5) AS BIGINT) AS g
+        | FROM range(1, 11) t(r)),
+        |nrel AS (SELECT q, count(*) AS n_rel FROM qrels GROUP BY q),
+        |hits AS (SELECT res.q, count(*) AS hits, min(res.r) AS first_r,
+        |  CAST(sum(g.g) AS BIGINT) AS dcg
+        | FROM results res JOIN qrels USING (q, doc_id)
+        | JOIN gains g ON g.r = res.r GROUP BY res.q),
+        |idcg AS (SELECT n.q, CAST(sum(g.g) AS BIGINT) AS idcg
+        | FROM nrel n JOIN gains g ON g.r <= least(n.n_rel, 10)
+        | GROUP BY n.q)
+        |SELECT n.q AS query, n.n_rel, coalesce(h.hits, 0) AS hits,
+        | CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0 AS p_at_k,
+        | CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+        |  AS recall_at_k,
+        | CASE WHEN h.first_r IS NULL THEN 0.0
+        |  ELSE 1.0 / CAST(h.first_r AS DOUBLE) END AS mrr,
+        | CASE WHEN h.dcg IS NULL THEN 0.0
+        |  ELSE CAST(h.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) END AS ndcg
+        |FROM nrel n JOIN idcg i ON i.q = n.q
+        |LEFT JOIN hits h ON h.q = n.q
+        |ORDER BY query""".stripMargin,
+
+    "q295_bh_fdr" ->
+      """WITH c AS (SELECT o_orderpriority || '|' || o_orderstatus
+        |  AS key, sum(o_orderkey % 997) % 997 AS pi
+        | FROM orders GROUP BY 1),
+        |pp AS (SELECT key, CASE WHEN pi % 2 = 0
+        |  THEN CAST(pi % 10 AS DOUBLE) / 1000.0
+        |  ELSE 0.5 + CAST(pi % 100 AS DOUBLE) / 1000.0 END AS p
+        | FROM c),
+        |m AS (SELECT count(*) AS mm FROM pp),
+        |r AS (SELECT key, p, row_number() OVER (ORDER BY p, key)
+        |  AS rnk, mm FROM pp CROSS JOIN m),
+        |f AS (SELECT *, p * CAST(mm AS DOUBLE) <=
+        |  0.25 * CAST(rnk AS DOUBLE) AS cand FROM r),
+        |k AS (SELECT max(CASE WHEN cand THEN rnk END) AS kmax FROM f)
+        |SELECT key, p, CAST(rnk AS BIGINT) AS "rank",
+        | 0.25 * CAST(rnk AS DOUBLE) / CAST(mm AS DOUBLE)
+        |  AS bh_threshold,
+        | coalesce(rnk <= kmax, false) AS rejected
+        |FROM f CROSS JOIN k ORDER BY "rank"""".stripMargin,
+
+    "q296_cuped" ->
+      """WITH uu AS (SELECT o_orderkey, o_totalprice,
+        |  ((((o_orderkey % 2147483647) * 48271) % 2147483647)
+        |   * 48271) % 2147483647 + 1 AS u FROM orders),
+        |b AS (SELECT CASE o_orderkey % 3 WHEN 0 THEN 'a'
+        |   WHEN 1 THEN 'b' ELSE 'c' END AS variant,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+        |   AS BIGINT) AS y,
+        |  CAST(floor((CAST(o_totalprice AS DOUBLE) / 2.0 +
+        |    CAST(u % 1000 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |   AS x
+        | FROM uu),
+        |pool AS (SELECT count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |   AS sxx,
+        |  sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |   AS sxy
+        | FROM b),
+        |pv AS (SELECT variant, count(*) AS nv,
+        |  CAST(sum(y) AS BIGINT) AS syv, CAST(sum(x) AS BIGINT) AS sxv
+        | FROM b GROUP BY variant),
+        |j AS (SELECT *,
+        |  CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) -
+        |   CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+        |   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS varx
+        | FROM pv CROSS JOIN pool),
+        |t AS (SELECT *, CASE WHEN varx = 0.0 THEN NULL
+        |  ELSE (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+        |      CAST(CAST(sy AS VARCHAR) AS DOUBLE)) / varx END AS theta,
+        |  CAST(CAST(syv AS VARCHAR) AS DOUBLE) /
+        |   (CAST(nv AS DOUBLE) * 1000000.0) AS mean_metric,
+        |  CAST(CAST(sxv AS VARCHAR) AS DOUBLE) /
+        |   (CAST(nv AS DOUBLE) * 1000000.0) AS mxv,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) /
+        |   (CAST(n AS DOUBLE) * 1000000.0) AS mxa
+        | FROM j)
+        |SELECT variant, nv AS n, mean_metric, theta,
+        | CASE WHEN theta IS NULL THEN mean_metric
+        |  ELSE mean_metric - theta * (mxv - mxa) END AS adjusted_mean
+        |FROM t ORDER BY variant""".stripMargin,
+
+    "q297_theil" ->
+      """WITH cr AS (SELECT o_orderpriority AS grp, o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS x
+        | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS t
+        | FROM cr WHERE x > 0 GROUP BY grp),
+        |c AS (SELECT cr.grp, st.n, st.t,
+        |  CAST(floor((CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |    round(ln((CAST(x AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |     CAST(n AS DOUBLE)), 9) * 1000000000000.0 + 0.5)
+        |   AS BIGINT) AS pq
+        | FROM cr JOIN st ON st.grp = cr.grp WHERE x > 0)
+        |SELECT grp AS "group", max(n) AS n, max(t) AS total,
+        | round(CAST(sum(pq) AS DOUBLE) / 1000000000000.0, 9) AS theil,
+        | CASE WHEN max(n) <= 1 THEN NULL
+        |  ELSE round((CAST(sum(pq) AS DOUBLE) / 1000000000000.0) /
+        |   round(ln(CAST(max(n) AS DOUBLE)), 9), 9) END AS theil_norm
+        |FROM c GROUP BY grp ORDER BY "group"""".stripMargin,
+
+    "q298_lorenz" ->
+      """WITH cr AS (SELECT o_custkey AS id,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS y
+        | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |r AS (SELECT id, y, row_number() OVER (ORDER BY y, id) AS g
+        | FROM cr WHERE y >= 0),
+        |s AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS t
+        | FROM cr WHERE y >= 0),
+        |pts AS (SELECT p FROM range(1, 11) t(p))
+        |SELECT p AS point, CAST(p AS DOUBLE) / 10.0 AS pop_share,
+        | CAST(sum(CASE WHEN g * 10 <= n * p THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS units,
+        | CAST(sum(CASE WHEN g * 10 <= n * p THEN y ELSE 0 END)
+        |  AS BIGINT) AS cum_value,
+        | CAST(CAST(CAST(sum(CASE WHEN g * 10 <= n * p THEN y ELSE 0
+        |   END) AS BIGINT) AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(t AS VARCHAR) AS DOUBLE) AS value_share
+        |FROM r CROSS JOIN s CROSS JOIN pts
+        |GROUP BY p, n, t ORDER BY point""".stripMargin,
+
+    "str299_stream_histogram" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT CAST(least(greatest(floor((v - 0.0) / 6000.0), 0),
+        |   99) AS BIGINT) AS bin, count(*) AS n FROM v GROUP BY 1),
+        |c AS (SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum FROM b),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM b),
+        |qs(quantile, qm) AS (VALUES (0.5, 500000), (0.9, 900000),
+        |  (0.99, 990000)),
+        |pick AS (SELECT quantile, min(bin) AS bin
+        | FROM c CROSS JOIN t JOIN qs ON
+        |  CAST(cum AS DECIMAL(19,0)) * CAST(1000000 AS DECIMAL(19,0))
+        |   >= CAST(qm AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0))
+        | GROUP BY quantile)
+        |SELECT CAST(p.quantile AS DOUBLE) AS quantile, p.bin,
+        | 0.0 + CAST(p.bin AS DOUBLE) * 6000.0 AS bin_lo,
+        | 0.0 + (CAST(p.bin AS DOUBLE) + 1.0) * 6000.0 AS bin_hi,
+        | c.cum AS cum, t.nn AS n
+        |FROM pick p JOIN c ON c.bin = p.bin CROSS JOIN t
+        |ORDER BY quantile""".stripMargin,
+
+    "m300_aspect_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |  200 + (doc_id * 37) % 1800 AS w,
+        |  200 + (doc_id * 53) % 1000 AS h
+        | FROM documents WHERE doc_id < 2000),
+        |bk(idx, bw, bh, m) AS (VALUES (0, 1, 1, 144), (1, 4, 3, 48),
+        |  (2, 3, 4, 36), (3, 16, 9, 16), (4, 9, 16, 9)),
+        |k AS (SELECT doc_id, idx, bw, bh,
+        |  abs(w * bh - bw * h) * m AS kk FROM d CROSS JOIN bk),
+        |a AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY kk, idx) AS rn FROM k)
+        | WHERE rn = 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY idx
+        |  ORDER BY doc_id) - 1 AS local0 FROM a)
+        |SELECT bw AS bucket_w, bh AS bucket_h,
+        | CAST((local0 - local0 % 32) / 32 AS BIGINT) AS batch_idx,
+        | count(*) AS n
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY bucket_w, bucket_h, batch_idx""".stripMargin,
+
+    "t301_readability" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> x <> '')) AS BIGINT) AS n_words,
+        |  greatest(
+        |   CAST((length(text) - length(replace(text, '.', ''))) +
+        |    (length(text) - length(replace(text, '!', ''))) +
+        |    (length(text) - length(replace(text, '?', '')))
+        |    AS BIGINT), 1) AS n_sentences,
+        |  regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS cv
+        | FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, n_words, n_sentences,
+        | CAST(length(cv) - length(replace(cv, 'V', '')) AS BIGINT)
+        |  AS n_syllables,
+        | CASE WHEN n_words = 0 THEN NULL
+        |  ELSE round(206.835 -
+        |   1.015 * (CAST(n_words AS DOUBLE) /
+        |    CAST(n_sentences AS DOUBLE)) -
+        |   84.6 * (CAST(length(cv) - length(replace(cv, 'V', ''))
+        |     AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) END AS flesch
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "t286_js_divergence" ->
       """WITH posts AS (

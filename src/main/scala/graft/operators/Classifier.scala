@@ -265,4 +265,177 @@ object Classifier {
           col("n").cast("double")).as("mean_label"),
         col("__cal").as("calibrated"))
   }
+
+  // ------------------------------------------------------------------
+  // Model evaluation — the metrics a quality-classifier gate is tuned
+  // by BEFORE it filters 100 TB. All exact-integer machinery: ranks,
+  // counts and quantized sums shuffle as integers/decimals; every
+  // reported metric is a fixed double expression over them, so the
+  // numbers are engine-exact under any partitioning.
+  // ------------------------------------------------------------------
+
+  /** Exact ROC AUC via the Mann–Whitney identity
+    * `AUC = U⁺/(n⁺·n⁻)` with midranks (ties averaged — the textbook
+    * trapezoidal ROC). Rank machinery follows
+    * [[Experiment.rankSumTest]]: scores collapse to per-value
+    * (n_pos, n_total) counts, a range repartition + per-bucket offsets
+    * yields DISTRIBUTED doubled midranks (never a single-partition
+    * window), and `2·R⁺ = Σ n_pos·(2·cumBefore + n_t + 1)` stays an
+    * exact decimal. One row: (n_pos, n_neg, auc, gini) where
+    * `gini = 2·AUC − 1` (the accuracy-ratio form, not concentration).
+    * AUC is ONE double division; NULL when a class is empty. */
+  def rocAuc(df: DataFrame, score: Column, label: Column,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d19 = "decimal(19,0)"
+    val byValue = df
+      .select(score.cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__y").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+        count(lit(1)).as("__nt"))
+    val ranged = byValue
+      .repartitionByRange(buckets, col("__v"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val offs = ranged.groupBy(col("__b"))
+      .agg(sum(col("__nt")).as("__tt"))
+      .select(col("__b"),
+        coalesce(sum(col("__tt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"))
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = ranged.join(broadcast(offs), Seq("__b"))
+      .select(col("__np"), col("__nt"),
+        (col("__off") + coalesce(sum(col("__nt")).over(wB), lit(0L)))
+          .cast(d19).as("__cb"))
+    val s = cums.agg(
+      sum(col("__np")).cast(d19).as("__snp"),
+      sum(col("__nt") - col("__np")).cast(d19).as("__snn"),
+      sum(col("__np").cast(d19) *
+          (col("__cb") + col("__cb") + col("__nt").cast(d19) + 1)
+            .cast(d19))
+        .cast("decimal(38,0)").as("__r2p"))
+    // 2U⁺ = 2R⁺ − n⁺(n⁺+1); AUC = 2U⁺ / (2·n⁺·n⁻)
+    val u2 = col("__r2p") - (col("__snp") * col("__snp") + col("__snp"))
+    val auc = when(col("__snp") === 0 || col("__snn") === 0,
+        lit(null).cast("double"))
+      .otherwise(u2.cast("double") /
+        ((col("__snp") * col("__snn")).cast("double") * 2.0))
+    s.select(col("__snp").cast("bigint").as("n_pos"),
+      col("__snn").cast("bigint").as("n_neg"),
+      auc.as("auc"), (auc * 2.0 - 1.0).as("gini"))
+  }
+
+  /** Confusion matrix + derived rates at a score threshold
+    * (`score >= threshold` predicts positive). All four cells are
+    * exact counts; precision/recall/accuracy are ONE division each and
+    * f1 uses the single-division `2tp/(2tp+fp+fn)` form (no composed
+    * p·r rounding). One row: (tp, fp, tn, fn, precision, recall, f1,
+    * accuracy); rate columns NULL on empty denominators. */
+  def confusionReport(df: DataFrame, score: Column, label: Column,
+      threshold: Double): DataFrame = {
+    val cells = df
+      .select(score.cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__y").isNotNull)
+      .agg(
+        sum(when(col("__v") >= threshold && col("__y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__v") >= threshold && !col("__y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__v") < threshold && !col("__y"), 1L)
+          .otherwise(0L)).as("tn"),
+        sum(when(col("__v") < threshold && col("__y"), 1L)
+          .otherwise(0L)).as("fn"))
+    def rate(num: Column, den: Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    cells.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      rate(col("tp"), col("tp") + col("fp")).as("precision"),
+      rate(col("tp"), col("tp") + col("fn")).as("recall"),
+      rate(col("tp") + col("tp"),
+        col("tp") + col("tp") + col("fp") + col("fn")).as("f1"),
+      rate(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"))
+  }
+
+  /** Reliability-diagram bins for a [0,1] score: rows land in
+    * `least(floor(score·bins), bins−1)`, and each bin reports its
+    * size, positives, mean predicted score and observed positive rate.
+    * Numerics: scores fold as exact `floor(score·10⁶ + 0.5)`
+    * micro-integers (order-free sums); mean_pred and frac_pos are ONE
+    * exact-integer division each, abs_gap their fixed-expression
+    * difference. Returns (bin, n, n_pos, mean_pred, frac_pos,
+    * abs_gap) — empty bins absent (join the range grid if a plot
+    * needs them). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val g = df
+      .select(score.cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__y").isNotNull)
+      .groupBy(least(floor(col("__v") * bins), lit(bins - 1L))
+        .cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(floor(col("__v") * 1000000.0 + 0.5).cast("long")
+          .cast("decimal(28,0)")).as("__sm"))
+    val meanPred = col("__sm").cast("double") /
+      (col("n").cast("double") * 1000000.0)
+    val fracPos = col("n_pos").cast("double") / col("n").cast("double")
+    g.select(col("bin"), col("n"), col("n_pos"),
+      meanPred.as("mean_pred"), fracPos.as("frac_pos"),
+      abs(fracPos - meanPred).as("abs_gap"))
+  }
+
+  /** Expected calibration error over [[calibrationBins]]:
+    * `ECE = Σ (n_b/N)·|frac_pos_b − mean_pred_b|`. Per-bin gaps are
+    * doubles (fixed expressions over exact sums), so each bin's
+    * contribution `n_b·gap_b` is pico-quantized
+    * (`floor(x·10¹² + 0.5)`) and summed as an exact integer — the sum
+    * over bins is order-free, and ECE is ONE final division. One row:
+    * (n, n_bins, ece). */
+  def expectedCalibrationError(df: DataFrame, score: Column,
+      label: Column, bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, score, label, bins)
+    b.agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        sum(floor(col("abs_gap") * col("n").cast("double") *
+            1000000000000.0 + 0.5).cast("long").cast("decimal(28,0)"))
+          .as("__q"))
+      .select(col("n"), col("n_bins"),
+        (col("__q").cast("double") /
+          (col("n").cast("double") * 1000000000000.0)).as("ece"))
+  }
+
+  /** Brier score — mean squared distance between a [0,1] score and the
+    * binary outcome; the proper scoring rule that punishes confident
+    * wrongness where accuracy can't. Per-row `(score − y)²` is a fixed
+    * double expression, pico-quantized (`floor(x·10¹² + 0.5)`) and
+    * summed as an exact integer so the corpus sum is order-free; the
+    * score is ONE final division. One row: (n, brier). */
+  def brierScore(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val sq = {
+      val d = col("__v") - when(col("__y"), 1.0).otherwise(0.0)
+      d * d
+    }
+    df.select(score.cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(sq * 1000000000000.0 + 0.5).cast("long")
+          .cast("decimal(28,0)")).as("__q"))
+      .select(col("n"),
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(col("__q").cast("double") /
+            (col("n").cast("double") * 1000000000000.0)).as("brier"))
+  }
 }

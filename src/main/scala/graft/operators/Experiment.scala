@@ -513,4 +513,105 @@ object Experiment {
           dbl((d19(col("__N")) * d19(col("__w"))).cast("decimal(19,0)")
             * d19(lit(w)))).as("chi2_part"))
   }
+
+  /** Benjamini–Hochberg FDR control over a p-value report — the
+    * multiple-testing step an experiment platform runs over MANY
+    * metric × variant tests before anyone reads a "significant" cell.
+    * Each test's p is ranked ascending; the largest rank k with
+    * `p(k) ≤ q·k/m` is found, and every test ranked ≤ k is rejected
+    * (the step-up rule — tests ABOVE a passing one are rejected even
+    * if their own inequality fails).
+    *
+    * Numerics: the acceptance test cross-multiplies to
+    * `p·m ≤ q·rank` — two one-product doubles compared, no division —
+    * so the decision is engine-exact; `bh_threshold = q·rank/m` is
+    * reported for display (one fixed double expression).
+    *
+    * Scale: the INPUT is a hypothesis report (one row per tested
+    * metric — thousands, not corpus rows), so the global rank window
+    * is report-sized by construction; the corpus-scale work happened
+    * upstream in the per-metric tests. Returns
+    * (key, p, rank, bh_threshold, rejected). */
+  def benjaminiHochberg(df: DataFrame, keyCol: String, p: Column,
+      q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val base = df
+      .select(col(keyCol).as("key"), p.cast("double").as("p"))
+      .filter(col("p").isNotNull && !isnan(col("p")))
+    val m = base.agg(count(lit(1)).as("__m"))
+    val ranked = base.crossJoin(broadcast(m))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p"), col("key")))
+          .cast("long"))
+      .withColumn("__cand",
+        col("p") * col("__m").cast("double") <=
+          lit(q) * col("rank").cast("double"))
+    val kmax = ranked.agg(max(when(col("__cand"), col("rank")))
+      .as("__kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("key"), col("p"), col("rank"),
+        (lit(q) * col("rank").cast("double") /
+          col("__m").cast("double")).as("bh_threshold"),
+        coalesce(col("rank") <= col("__kmax"), lit(false))
+          .as("rejected"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust each
+    * variant's metric mean with a pre-experiment covariate,
+    * `adj = ȳ_v − θ·(x̄_v − x̄)` with `θ = cov(y,x)/var(x)` pooled
+    * over all units — the industry-standard sensitivity boost that
+    * needs no model, only a pre-period measurement.
+    *
+    * Numerics: y and x fold as exact `floor(v·10⁶ + 0.5)`
+    * micro-integers; all five pooled sums (n, Σx, Σy, Σxx, Σxy) and
+    * the per-variant sums are exact decimals (19×19→38 products), and
+    * θ / the means / the adjustment are fixed double expressions over
+    * their string-routed casts — engine-exact under any partitioning.
+    * θ is NULL (and `adjusted_mean` falls back to the raw mean) when
+    * var(x) = 0.
+    *
+    * Scale: two aggregates over the unit table (one global, one
+    * variant-keyed, both map-side combinable) + a variants-sized
+    * broadcast join. Returns
+    * (variant, n, mean_metric, theta, adjusted_mean). */
+  def cuped(df: DataFrame, metric: Column, covariate: Column,
+      variantCol: String): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(variantCol).as("variant"),
+        floor(metric.cast("double") * 1000000.0 + 0.5).cast("long")
+          .as("__y"),
+        floor(covariate.cast("double") * 1000000.0 + 0.5).cast("long")
+          .as("__x"))
+      .filter(col("variant").isNotNull &&
+        col("__y").isNotNull && col("__x").isNotNull)
+      .localCheckpoint(eager = false) // pooled + per-variant consumers
+    val pooled = base.agg(
+      count(lit(1)).as("__n"),
+      sum(d19(col("__x"))).cast("decimal(28,0)").as("__sx"),
+      sum(d19(col("__y"))).cast("decimal(28,0)").as("__sy"),
+      sum((d19(col("__x")) * d19(col("__x"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__sxx"),
+      sum((d19(col("__x")) * d19(col("__y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__sxy"))
+    val perVariant = base.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(col("__y"))).cast("decimal(28,0)").as("__syv"),
+        sum(d19(col("__x"))).cast("decimal(28,0)").as("__sxv"))
+    val nD = col("__n").cast("double")
+    val varX = nD * dbl(col("__sxx")) - dbl(col("__sx")) * dbl(col("__sx"))
+    val theta = when(varX === 0.0, lit(null).cast("double"))
+      .otherwise((nD * dbl(col("__sxy")) -
+        dbl(col("__sx")) * dbl(col("__sy"))) / varX)
+    val meanY = dbl(col("__syv")) / (col("n").cast("double") * 1000000.0)
+    val meanXv = dbl(col("__sxv")) / (col("n").cast("double") * 1000000.0)
+    val meanXall = dbl(col("__sx")) / (nD * 1000000.0)
+    perVariant.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n"), meanY.as("mean_metric"),
+        theta.as("theta"),
+        when(theta.isNull, meanY)
+          .otherwise(meanY - theta * (meanXv - meanXall))
+          .as("adjusted_mean"))
+  }
 }

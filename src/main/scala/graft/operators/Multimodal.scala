@@ -342,4 +342,68 @@ object Multimodal {
               .getField("n").cast(LongType))
           .as("trimmed_bytes"))
   }
+
+  /** Aspect-ratio bucketing + capacity batching — the standard
+    * vision-training batching step (SDXL-style): every image is
+    * assigned to the CLOSEST target aspect bucket, then images within
+    * a bucket are packed into fixed-`capacity` batches so a batch
+    * never mixes shapes (mixed shapes force padding or per-image
+    * resizes).
+    *
+    * Exactness: "closest ratio" is decided WITHOUT division — bucket
+    * i beats j iff `|w·bhᵢ − bwᵢ·h| · bhⱼ < |w·bhⱼ − bwⱼ·h| · bhᵢ`
+    * (cross-multiplied; h > 0 cancels), realized by scaling every
+    * distance to the common denominator `lcm(bh)` so a single integer
+    * sort key `|w·bhᵢ − bwᵢ·h| · (L/bhᵢ)` ranks buckets exactly; ties
+    * break on bucket index. Batch numbering is pure integer
+    * arithmetic on a distributed global rank.
+    *
+    * Scale: the argmin is a per-row expression over a literal bucket
+    * list (no join); batching is ONE
+    * [[graft.operators.Linkage.globalRank]] pass sorted by
+    * (bucket, id) plus a buckets-sized offset join — never a
+    * single-partition window. Returns
+    * (id, width, height, bucket_w, bucket_h, batch_idx). */
+  def aspectBuckets(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String, buckets: Seq[(Int, Int)],
+      capacity: Int): DataFrame = {
+    require(buckets.nonEmpty, "need at least one aspect bucket")
+    require(buckets.forall { case (w, h) => w >= 1 && h >= 1 },
+      s"bucket dims must be >= 1, got $buckets")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmBh = buckets.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val base = df.select(col(idCol).as("__id"),
+        col(widthCol).cast("long").as("__w"),
+        col(heightCol).cast("long").as("__h"))
+      .filter(col("__w").isNotNull && col("__h").isNotNull &&
+        col("__w") > 0 && col("__h") > 0)
+    val keyed = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        (abs(col("__w") * bh - lit(bw.toLong) * col("__h")) *
+          lit(lcmBh / bh)).as("key"),
+        lit(i).as("idx"))
+    }
+    val assigned = base
+      .withColumn("__best", array_min(array(keyed: _*)))
+      .withColumn("__bidx", col("__best").getField("idx"))
+    val ranked = graft.operators.Linkage.globalRank(
+      assigned.select(col("__id"), col("__w"), col("__h"),
+        col("__bidx")),
+      "__id", col("__bidx"))
+    val offsets = ranked.groupBy(col("__bidx"))
+      .agg(min(col("grank")).as("__first"))
+    val bucketW = element_at(array(buckets.map(b => lit(b._1)): _*),
+      col("__bidx").cast(IntegerType) + 1)
+    val bucketH = element_at(array(buckets.map(b => lit(b._2)): _*),
+      col("__bidx").cast(IntegerType) + 1)
+    val local0 = col("grank") - col("__first")
+    ranked.join(broadcast(offsets), Seq("__bidx"))
+      .select(col("__id").as("id"), col("__w").as("width"),
+        col("__h").as("height"),
+        bucketW.cast(IntegerType).as("bucket_w"),
+        bucketH.cast(IntegerType).as("bucket_h"),
+        ((local0 - pmod(local0, lit(capacity.toLong))) / capacity)
+          .cast(LongType).as("batch_idx"))
+  }
 }

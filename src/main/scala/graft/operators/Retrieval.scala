@@ -201,6 +201,68 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Ranking-quality evaluation at cutoff `k` — precision/recall@k,
+    * MRR and binary nDCG@k per query, the report a retrieval stage
+    * (BM25 decontamination probe, ANN serving, fused rankings) is
+    * tuned by. Inputs: `results` as (query, doc, rank) with rank
+    * 1-based within each query, and `qrels` as (query, doc) rows
+    * naming the relevant documents (binary relevance).
+    *
+    * Numerics (engine-exact): hits/counts are exact integers;
+    * p@k, recall@k and MRR (`1/first_hit_rank`) are ONE double
+    * division each. nDCG's per-rank gain `1/log₂(r+1)` is ln-derived,
+    * so it follows the repo's log discipline — `round(·, 9)` on both
+    * engines, then nano-quantized (`floor(g·10⁹ + 0.5)`) so DCG and
+    * IDCG accumulate as order-free exact integers; nDCG is ONE final
+    * division of the two. IDCG joins a k-row gain grid against
+    * `min(k, n_rel)` — never a per-document expansion.
+    *
+    * Scale shape: one semi-join of results⋈qrels on (query, doc) —
+    * both sides are (query·k)- and qrel-sized, not corpus-sized —
+    * then query-keyed aggregates; the gain grid is k rows,
+    * broadcast. Queries with no qrels are absent (no ground truth =
+    * not evaluable); queries with qrels but no hits report zeros.
+    * Returns (query, n_rel, hits, p_at_k, recall_at_k, mrr, ndcg)
+    * — one row per query with ground truth. */
+  def rankEval(results: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query", docCol: String = "doc",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = results.sparkSession
+    val res = results.select(col(queryCol).as("__q"),
+        col(docCol).as("__d"), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+    val rel = qrels.select(col(queryCol).as("__q"), col(docCol).as("__d"))
+      .distinct()
+    // nano-quantized binary gain per rank, shared by DCG and IDCG
+    val gains = broadcast(spark.range(1, k + 1L).select(
+      col("id").as("__r"),
+      floor(round(lit(1.0) /
+          (log(col("id").cast("double") + 1.0) / log(lit(2.0))), 9) *
+        1000000000.0 + 0.5).cast("long").as("__g")))
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val hits = res.join(rel, Seq("__q", "__d"), "left_semi")
+      .join(gains, Seq("__r"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("hits"), min(col("__r")).as("__first"),
+        sum(col("__g")).as("__dcg"))
+    val idcg = nRel.join(gains, col("__r") <= least(col("n_rel"), lit(k.toLong)))
+      .groupBy(col("__q")).agg(sum(col("__g")).as("__idcg"))
+    nRel.join(idcg, Seq("__q")) // every n_rel >= 1 row has an idcg row
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as("query"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k.toDouble)
+          .as("p_at_k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall_at_k"),
+        when(col("__first").isNull, 0.0)
+          .otherwise(lit(1.0) / col("__first").cast("double")).as("mrr"),
+        when(col("__dcg").isNull, 0.0)
+          .otherwise(col("__dcg").cast("double") /
+            col("__idcg").cast("double")).as("ndcg"))
+  }
+
   /** Keyword-in-context snippets — the search-result companion of
     * [[bm25TopK]]: for every document containing ≥ 1 query term, the
     * 1-based token position of the FIRST occurrence of any query term

@@ -313,4 +313,102 @@ object Skew {
         (col("n").cast("double") * dbl(col("__sww")) /
           dbl(d19(col("__sw")) * d19(col("__sw")))).as("deff"))
   }
+
+  /** Theil T inequality index per group over positive integer values
+    * (pass cents/micro units): `T = Σᵢ (xᵢ/S)·ln(xᵢ·n/S)` — 0 for
+    * perfect equality, ln(n) for total concentration; the decomposable
+    * entropy-family complement of [[giniConcentration]] (Theil
+    * sub-indices add across partitions, Gini's don't).
+    *
+    * Numerics: S and n are exact; each unit's share and ratio are
+    * fixed double expressions over them; the ln follows the repo's
+    * log discipline (`round(ln, 9)` absorbs the ≤1-ulp engine
+    * difference) and each `share·ln9` term is pico-quantized
+    * (`floor(x·10¹² + 0.5)`) so the per-group sum is an order-free
+    * exact integer (|Σ| ≤ ln(n)·10¹² — Long-safe to n ~ 10^300).
+    * `theil` is the sum scaled back; `theil_norm = theil/ln9(n)`
+    * (both display-rounded to 9). Rows with value ≤ 0 are excluded
+    * (ln is undefined there — document the drop at scale).
+    *
+    * Scale: one group-keyed aggregate for (n, S), a group-sized
+    * broadcast join back, one more group-keyed aggregate. Returns
+    * (group, n, total, theil, theil_norm). */
+  def theilIndex(df: DataFrame, groupCol: String, value: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(groupCol).as("group"), value.cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__x") > 0)
+    val stats = base.groupBy(col("group"))
+      .agg(count(lit(1)).as("__n"),
+        sum(d19(col("__x"))).cast("decimal(28,0)").as("__t"))
+    val share = col("__x").cast("double") / dbl(col("__t"))
+    val ratio = share * col("__n").cast("double")
+    val pico = floor(share * round(log(ratio), 9) *
+      lit(1000000000000.0) + lit(0.5)).cast("long")
+    base.join(broadcast(stats), Seq("group"))
+      .groupBy(col("group"))
+      .agg(first(col("__n")).as("n"),
+        first(col("__t")).cast("bigint").as("total"),
+        sum(pico).as("__p"))
+      .select(col("group"), col("n"), col("total"),
+        round(col("__p").cast("double") / 1000000000000.0, 9)
+          .as("theil"),
+        when(col("n") <= 1, lit(null).cast("double"))
+          .otherwise(round((col("__p").cast("double") / 1000000000000.0)
+            / round(log(col("n").cast("double")), 9), 9))
+          .as("theil_norm"))
+  }
+
+  /** Lorenz curve at `points` evenly spaced population fractions —
+    * the curve behind [[giniConcentration]]'s scalar: for each
+    * i ∈ 1..points, the share of total value held by the BOTTOM
+    * ⌊i·n/points⌋ units in the (value, id) ascending total order.
+    * The inputs a fairness/concentration report plots directly.
+    *
+    * Numerics: membership of a unit in prefix i is the integer
+    * cross-multiplication `grank·points ≤ i·n` (no division, exact);
+    * prefix value sums are exact decimals; each share is ONE double
+    * division. Ties at a prefix boundary cannot perturb the sum —
+    * tied units carry equal values, so whichever lands inside
+    * contributes the same amount.
+    *
+    * Scale: one [[graft.operators.Linkage.globalRank]] pass
+    * (distributed range sort — never a single-partition window), then
+    * ONE aggregate computing all `points` conditional prefix sums
+    * (points is a literal ≤ 1000). Returns
+    * (point, pop_share, units, cum_value, value_share) ordered by
+    * point. */
+  def lorenzCurve(df: DataFrame, idCol: String, value: Column,
+      points: Int = 10): DataFrame = {
+    require(points >= 1 && points <= 1000,
+      s"points must be in [1,1000], got $points")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val ranked = graft.operators.Linkage.globalRank(
+      df.select(col(idCol).as("__id"), value.cast("long").as("__y"))
+        .filter(col("__y").isNotNull && col("__y") >= 0),
+      "__id", col("__y"))
+    val stats = ranked.agg(count(lit(1)).as("__n"),
+      sum(d19(col("__y"))).cast("decimal(28,0)").as("__t"))
+    val inPrefix = (i: Int) =>
+      col("grank") * points <= col("__n") * i
+    val aggCols = (1 to points).flatMap { i => Seq(
+      sum(when(inPrefix(i), 1L).otherwise(0L)).as(s"__u$i"),
+      sum(when(inPrefix(i), d19(col("__y"))).otherwise(d19(lit(0))))
+        .cast("decimal(28,0)").as(s"__c$i"))
+    }
+    val one = ranked.crossJoin(broadcast(stats))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .crossJoin(broadcast(stats))
+    val rows = (1 to points).map { i =>
+      one.select(lit(i.toLong).as("point"),
+        (lit(i.toDouble) / points.toDouble).as("pop_share"),
+        col(s"__u$i").as("units"),
+        col(s"__c$i").cast("bigint").as("cum_value"),
+        (dbl(col(s"__c$i")) / dbl(col("__t"))).as("value_share"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

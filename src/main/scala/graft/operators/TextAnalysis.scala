@@ -990,4 +990,53 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("intersection"))
             .cast(DoubleType)).as("jaccard"))
   }
+
+  /** Flesch reading-ease readability per document — the classic
+    * text-difficulty score (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words), a standard quality-mix signal next to the
+    * Gopher/C4 heuristics: training mixes are often balanced by
+    * readability band, and a corpus whose score collapses is
+    * boilerplate/code contaminated.
+    *
+    * Counting is deliberately engine-portable, not linguistically
+    * perfect: words = non-empty space-split tokens; sentences =
+    * occurrences of `.`/`!`/`?` via plain `replace()` length
+    * arithmetic (min 1 so the ratio exists); syllables = vowel GROUPS
+    * (`[aeiouy]+` runs in the lowercased text, each run ≈ one
+    * syllable — the standard heuristic) counted by collapsing runs to
+    * one marker with a global regexp_replace and differencing
+    * lengths. All three are exact integers; the score is a fixed
+    * double expression over them (two divisions), display-rounded to
+    * 6. Zero-word docs report NULL score.
+    *
+    * Scale: zero shuffle — one projection, embarrassingly parallel,
+    * all inside codegen. Returns (doc_id, n_words, n_sentences,
+    * n_syllables, flesch). */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    def cnt(ch: String): Column =
+      (length(t) - length(call_function("replace", t, lit(ch), lit(""))))
+        .cast("long")
+    val words = size(filter(split(t, " "), w => w =!= ""))
+      .cast("long")
+    val sentences = greatest(Seq(".", "!", "?").map(cnt).reduce(_ + _),
+      lit(1L))
+    // collapse every vowel run to one 'V' marker and count markers —
+    // uppercase 'V' cannot occur in the LOWERCASED text, so the
+    // marker never collides with content
+    val collapsed = regexp_replace(lower(t), "[aeiouy]+", "V")
+    val syllables = (length(collapsed) -
+      length(call_function("replace", collapsed, lit("V"),
+        lit("")))).cast("long")
+    df.select(col(idCol).as("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast(DoubleType) /
+              col("n_sentences").cast(DoubleType)) -
+            lit(84.6) * (col("n_syllables").cast(DoubleType) /
+              col("n_words").cast(DoubleType)), 6)))
+  }
 }

@@ -809,6 +809,84 @@ object MicroBatch {
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming fixed-bin histogram maintenance — the BOUNDED-domain
+    * quantile state for continuous values (the route the
+    * `maxStateRows` guard points continuous domains at): values map to
+    * `least(greatest(floor((v−lo)/w), 0), bins−1)` with
+    * `w = (hi−lo)/bins`, and the bin counts fold additively through
+    * the same bucketed state as [[streamValueCounts]] — state is AT
+    * MOST `bins` rows by construction, per-batch I/O is
+    * delta-proportional, replay is idempotent. Read quantile
+    * estimates (bin-resolution, exact cumulative counts) with
+    * [[readHistogramQuantiles]]. NULL/NaN excluded; out-of-range
+    * values clamp into the edge bins (count them upstream if
+    * clamping must be visible). */
+  def streamHistogram(stream: DataFrame, dir: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      cfg: IngestConfig = IngestConfig())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(bins >= 1 && bins <= 100000,
+      s"bins must be in [1, 100000], got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val width = (hi - lo) / bins
+        val delta = batch
+          .select(col(valueCol).cast("double").as("__raw"))
+          .filter(col("__raw").isNotNull && !isnan(col("__raw")))
+          .select(least(greatest(
+              floor((col("__raw") - lo) / width), lit(0L)),
+            lit(bins - 1L)).cast("double").as("__v"))
+        foldBucketedValueCounts(delta, batchId, dir, Seq("__v"),
+          buckets = 32, maxStateRows = Some(bins.toLong))
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** Quantile estimates over a [[streamHistogram]] directory: for each
+    * requested quantile q, the FIRST bin whose cumulative count
+    * reaches q·N (the lower-quantile rule at bin resolution), with its
+    * [bin_lo, bin_hi) edges and the exact cumulative/total counts.
+    * The membership test cross-multiplies exact integers
+    * (`cum·10⁶ ≥ round(q·10⁶)·N`) — no per-row division — and the
+    * cumulative window runs over the ≤ bins-row state (report-sized
+    * by construction). Must equal the batch histogram on the union of
+    * all batches exactly. Returns (quantile, bin, bin_lo, bin_hi,
+    * cum, n) ordered by quantile. */
+  def readHistogramQuantiles(spark: SparkSession, dir: String,
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val d19 = "decimal(19,0)"
+    val width = (hi - lo) / bins
+    val counts = currentCountState(spark, dir, "histogram")
+      .select(col("__v").cast("long").as("bin"), col("__n"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("__n")).over(wCum))
+      .crossJoin(broadcast(counts.agg(sum(col("__n")).as("n"))))
+    val grid = {
+      import spark.implicits._
+      qs.map(q => (q, math.floor(q * 1e6 + 0.5).toLong))
+        .toDF("quantile", "__qm")
+    }
+    cum.join(broadcast(grid),
+        col("cum").cast(d19) * lit(1000000L).cast(d19) >=
+          col("__qm").cast(d19) * col("n").cast(d19))
+      .groupBy(col("quantile"))
+      .agg(min(col("bin")).as("bin"), max(col("n")).as("n"))
+      .join(cum.select(col("bin"), col("cum")), Seq("bin"))
+      .select(col("quantile"), col("bin"),
+        (lit(lo) + col("bin").cast("double") * width).as("bin_lo"),
+        (lit(lo) + (col("bin").cast("double") + 1.0) * width)
+          .as("bin_hi"),
+        col("cum"), col("n"))
+      .orderBy(col("quantile"))
+  }
+
   /** Streaming GROUPED value-count maintenance — [[streamValueCounts]]
     * with a group key: micro-batches fold additively into persisted
     * (group, value, n) counts (hash-bucketed `bucket=b/version=batchId`

@@ -185,4 +185,78 @@ class ClassifierSpec extends SparkTestBase {
         r.getDouble(3)))
     assert(re.toSeq === got.toSeq)
   }
+
+  test("rocAuc: separable scores give AUC 1; ties add half-pairs; " +
+      "partitioning-invariant") {
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val g1 = Classifier.rocAuc(sep, $"s", $"y").head()
+    assert((g1.getLong(0), g1.getLong(1), g1.getDouble(2),
+      g1.getDouble(3)) === ((2L, 2L, 1.0, 1.0)))
+    // pos {2,3} vs neg {1,2}: U = 1 + 0.5 + 1 + 1 = 3.5 -> AUC 0.875
+    val tied = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("s", "y")
+    val g2 = Classifier.rocAuc(tied, $"s", $"y").head()
+    assert(g2.getDouble(2) === 0.875 && g2.getDouble(3) === 0.75)
+    val re = Classifier.rocAuc(tied.repartition(7), $"s", $"y").head()
+    assert(re.getDouble(2) === 0.875)
+    // single-class input: AUC undefined, not a crash
+    val one = Classifier.rocAuc(
+      Seq((1.0, true), (2.0, true)).toDF("s", "y"), $"s", $"y").head()
+    assert(one.isNullAt(2) && one.isNullAt(3))
+  }
+
+  test("confusionReport: exact cells and single-division rates") {
+    // at 0.5: tp=2 fp=1 tn=2 fn=1
+    val df = Seq((0.9, true), (0.8, true), (0.7, false), (0.2, true),
+      (0.1, false), (0.3, false)).toDF("s", "y")
+    val r = Classifier.confusionReport(df, $"s", $"y", 0.5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 1L)))
+    assert(r.getDouble(4) === 2.0 / 3.0)   // precision
+    assert(r.getDouble(5) === 2.0 / 3.0)   // recall
+    assert(r.getDouble(6) === 4.0 / 6.0)   // f1 = 2tp/(2tp+fp+fn)
+    assert(r.getDouble(7) === 4.0 / 6.0)   // accuracy
+  }
+
+  test("calibrationBins: decile binning, micro-exact mean_pred, " +
+      "score 1.0 clamps into the last bin") {
+    val df = Seq((0.05, false), (0.95, true), (0.95, false), (1.0, true))
+      .toDF("s", "y")
+    val bins = Classifier.calibrationBins(df, $"s", $"y", bins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getLong(0)).toSeq === Seq(0L, 9L))
+    val b9 = bins(1)
+    assert(b9.getLong(1) === 3L && b9.getLong(2) === 2L)
+    assert(b9.getDouble(3) === 2900000.0 / 3000000.0) // mean_pred
+    assert(b9.getDouble(4) === 2.0 / 3.0)             // frac_pos
+  }
+
+  test("expectedCalibrationError equals the bin-recomputed quantized " +
+      "sum; zero for a perfectly calibrated constant bin") {
+    val df = Seq((0.05, false), (0.95, true), (0.95, false), (1.0, true))
+      .toDF("s", "y")
+    val bins = Classifier.calibrationBins(df, $"s", $"y", bins = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(5)))
+    val want = bins.map { case (n, gap) =>
+      math.floor(gap * n.toDouble * 1e12 + 0.5).toLong }.sum /
+      (bins.map(_._1).sum.toDouble * 1e12)
+    val got = Classifier
+      .expectedCalibrationError(df, $"s", $"y", bins = 10).head()
+    assert(got.getDouble(2) === want)
+    // two rows at score 0.5, one positive: frac = mean_pred = 0.5
+    val cal = Seq((0.5, true), (0.5, false)).toDF("s", "y")
+    assert(Classifier.expectedCalibrationError(cal, $"s", $"y", 10)
+      .head().getDouble(2) === 0.0)
+  }
+
+  test("brierScore: 0 for perfect, 0.25 for coin-flip 0.5 scores") {
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("s", "y")
+    assert(Classifier.brierScore(perfect, $"s", $"y")
+      .head().getDouble(1) === 0.0)
+    val half = Seq((0.5, true), (0.5, false), (0.5, true))
+      .toDF("s", "y")
+    assert(Classifier.brierScore(half, $"s", $"y")
+      .head().getDouble(1) === 0.25)
+  }
 }

@@ -1318,4 +1318,92 @@ class DataOpsSpec extends SparkTestBase {
     assert(math.abs(s2(0).getDouble(3) - 100.0 / 30.0) < 1e-12)
     assert(s2(1).getLong(1) === 0L && s2(1).getDouble(3) === 10.0)
   }
+
+  test("benjaminiHochberg: step-up rule rejects below the max passing " +
+      "rank even when an intermediate test fails its own threshold") {
+    // m=4, q=0.25 -> thresholds k/16: p=(0.01, 0.11, 0.14, 0.8)
+    // rank2 (0.11 > 2/16) fails its own line, rank3 (0.14 < 3/16)
+    // passes -> kmax=3 rejects ranks 1..3 including rank2
+    val df = Seq(("a", 0.01), ("b", 0.11), ("c", 0.14), ("d", 0.8))
+      .toDF("key", "p")
+    val got = Experiment.benjaminiHochberg(df, "key", col("p"), q = 0.25)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(4)))
+    assert(got.toSeq === Seq(("a", 1L, true), ("b", 2L, true),
+      ("c", 3L, true), ("d", 4L, false)))
+    // nothing passes -> nothing rejected (kmax NULL path)
+    val none = Experiment.benjaminiHochberg(
+      Seq(("a", 0.9), ("b", 0.95)).toDF("key", "p"), "key", col("p"),
+      q = 0.05).collect()
+    assert(none.forall(!_.getBoolean(4)))
+  }
+
+  test("cuped: a covariate proportional to the metric removes the " +
+      "between-variant difference; zero-variance covariate is a no-op") {
+    // y = 2x exactly: theta = 2, adjusted means all equal the grand mean
+    val df = Seq(("a", 2.0, 1.0), ("a", 4.0, 2.0), ("b", 6.0, 3.0),
+      ("b", 8.0, 4.0)).toDF("variant", "y", "x")
+    val got = Experiment.cuped(df, col("y"), col("x"), "variant")
+      .orderBy("variant").collect()
+    assert(got.forall(r => math.abs(r.getDouble(3) - 2.0) < 1e-12))
+    assert(got.forall(r => math.abs(r.getDouble(4) - 5.0) < 1e-12))
+    assert(got(0).getDouble(2) === 3.0 && got(1).getDouble(2) === 7.0)
+    // constant covariate: theta NULL, adjusted falls back to the mean
+    val const = Experiment.cuped(
+      Seq(("a", 2.0, 1.0), ("b", 6.0, 1.0)).toDF("variant", "y", "x"),
+      col("y"), col("x"), "variant").orderBy("variant").collect()
+    assert(const.forall(_.isNullAt(3)))
+    assert(const(0).getDouble(4) === 2.0 && const(1).getDouble(4) === 6.0)
+    // partitioning invariance
+    val re = Experiment.cuped(df.repartition(7), col("y"), col("x"),
+      "variant").orderBy("variant").collect()
+    assert(re.map(_.getDouble(4)).toSeq === got.map(_.getDouble(4)).toSeq)
+  }
+
+  test("theilIndex: 0 for perfect equality, ln(n) for total " +
+      "concentration, partitioning-invariant") {
+    val even = Seq(("g", 1L, 50L), ("g", 2L, 50L), ("g", 3L, 50L),
+      ("g", 4L, 50L)).toDF("grp", "id", "v")
+    val g1 = Skew.theilIndex(even, "grp", col("v")).head
+    assert(g1.getDouble(3) === 0.0 && g1.getDouble(4) === 0.0)
+    // one unit holds everything except epsilon-free zeros are dropped:
+    // use {0-excluded} {1,1,1,97} style concentration instead
+    val conc = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 997L)).toDF("grp", "id", "v")
+    val g2 = Skew.theilIndex(conc, "grp", col("v")).head
+    assert(g2.getDouble(3) > 1.0 && g2.getDouble(3) < math.log(4.0))
+    assert(g2.getDouble(4) > 0.0 && g2.getDouble(4) < 1.0)
+    val re = Skew.theilIndex(conc.repartition(7), "grp", col("v")).head
+    assert(re.getDouble(3) === g2.getDouble(3))
+    // n = 1: theil 0, normalized NULL (ln 1 = 0)
+    val one = Skew.theilIndex(Seq(("g", 1L, 5L)).toDF("grp", "id", "v"),
+      "grp", col("v")).head
+    assert(one.getDouble(3) === 0.0 && one.isNullAt(4))
+  }
+
+  test("lorenzCurve: hand-checked deciles, boundary ties cannot " +
+      "perturb prefix sums, partitioning-invariant") {
+    // values 1..10 ascending: bottom k units hold k(k+1)/2 of 55
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    val got = Skew.lorenzCurve(df, "id", col("v"), points = 10)
+      .orderBy("point").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    (1 to 10).foreach { k =>
+      val (pt, units, cum, share) = got(k - 1)
+      assert(pt === k.toLong && units === k.toLong)
+      assert(cum === (k.toLong * (k + 1)) / 2)
+      assert(share === cum.toDouble / 55.0)
+    }
+    // tie at a boundary: {5,5} at ranks 2-3 with points=2 -> the
+    // bottom half takes one of the tied units, sum is unambiguous
+    val tied = Seq((1L, 1L), (2L, 5L), (3L, 5L), (4L, 9L))
+      .toDF("id", "v")
+    val half = Skew.lorenzCurve(tied, "id", col("v"), points = 2)
+      .orderBy("point").collect()
+    assert(half(0).getLong(3) === 6L && half(1).getLong(3) === 20L)
+    val re = Skew.lorenzCurve(tied.repartition(7), "id", col("v"),
+      points = 2).orderBy("point").collect()
+    assert(re.map(_.getLong(3)).toSeq === half.map(_.getLong(3)).toSeq)
+  }
 }

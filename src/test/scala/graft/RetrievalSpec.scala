@@ -166,4 +166,42 @@ class RetrievalSpec extends SparkTestBase {
     // fused: 1 -> 1/61, 3 -> 1/61, 2 -> 1/62; cut keeps (1, 3) by tie/id
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
+
+  test("rankEval: hand-checked P@k/recall/MRR/nDCG; no-qrel queries " +
+      "absent, no-hit queries report zeros") {
+    val results = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "a", 1), (2L, "b", 2)).toDF("query", "doc", "rank")
+    val qrels = Seq((1L, "b"), (1L, "d"), (2L, "z"), (3L, "zz"))
+      .toDF("query", "doc")
+    val got = Retrieval.rankEval(results, qrels, k = 3)
+      .orderBy("query").collect()
+    // query 3 has qrels but never appears in results -> zeros row;
+    // a query in results with NO qrels would be absent entirely
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val q1 = got(0)
+    def g(r: Int): Long = math.floor(BigDecimal(
+      1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9
+      + 0.5).toLong
+    assert(q1.getLong(1) === 2L && q1.getLong(2) === 1L) // n_rel, hits
+    assert(q1.getDouble(3) === 1.0 / 3.0)                // p@3
+    assert(q1.getDouble(4) === 0.5)                      // recall
+    assert(q1.getDouble(5) === 0.5)                      // mrr (rank 2)
+    assert(q1.getDouble(6) ===
+      g(2).toDouble / (g(1) + g(2)).toDouble)            // ndcg
+    val q2 = got(1) // qrels exist, none retrieved
+    assert(q2.getLong(2) === 0L && q2.getDouble(5) === 0.0 &&
+      q2.getDouble(6) === 0.0)
+    val q3 = got(2)
+    assert(q3.getLong(1) === 1L && q3.getDouble(3) === 0.0)
+  }
+
+  test("rankEval: ranks beyond k are ignored and qrel duplicates " +
+      "count once") {
+    val results = Seq((1L, "a", 1), (1L, "b", 5)).toDF("query", "doc", "rank")
+    val qrels = Seq((1L, "b"), (1L, "b")).toDF("query", "doc")
+    val got = Retrieval.rankEval(results, qrels, k = 3).head()
+    assert(got.getLong(1) === 1L)      // duplicate qrel distincted
+    assert(got.getLong(2) === 0L)      // b at rank 5 > k
+  }
 }

@@ -1083,6 +1083,38 @@ class StreamingSpec extends SparkTestBase {
     assert(published == null || !published.exists(
       _.getName.startsWith("bucket=")))
   }
+
+  test("streamHistogram: bin counts fold additively across batches; " +
+      "quantile read picks the first bin reaching q*N; out-of-range " +
+      "values clamp to edge bins") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strhist")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/hist", s"$root/ckpt")
+    // [0,10) in 10 bins; -5 clamps to bin 0, 99 clamps to bin 9
+    val b1 = Seq(0.5, 1.5, 2.5, -5.0)
+    val b2 = Seq(2.7, 8.5, 99.0)
+    b1.toDF("v").coalesce(1).write.parquet(srcDir)
+    b2.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamHistogram(stream, outDir,
+        "v", lo = 0.0, hi = 10.0, bins = 10,
+        graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.streaming.MicroBatch.readHistogramQuantiles(spark,
+        outDir, lo = 0.0, hi = 10.0, bins = 10, qs = Seq(0.5, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
+    // counts by bin: 0->2 (0.5, -5), 1->1, 2->2 (2.5, 2.7), 8->1,
+    // 9->1 (99). N=7: q=0.5 needs cum >= 3.5 -> bin 1 is cum 3? no:
+    // cum(0)=2, cum(1)=3 < 3.5, cum(2)=5 -> bin 2. q=1.0 -> bin 9.
+    assert(got.toSeq === Seq(
+      (0.5, 2L, 2.0, 3.0, 5L, 7L), (1.0, 9L, 9.0, 10.0, 7L, 7L)))
+  }
 }
 
 object StreamingSpec {

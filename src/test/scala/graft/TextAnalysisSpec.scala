@@ -380,4 +380,28 @@ class TextAnalysisSpec extends SparkTestBase {
     val mid = got(("s1", "s4"))
     assert(mid > 0.0 && mid < ln2, s"expected 0 < js < ln2, got $mid")
   }
+
+  test("readability: hand-counted words/sentences/vowel-group " +
+      "syllables and the Flesch formula; zero-word doc is NULL") {
+    val docs = Seq(
+      (1L, "the cat sat. it ran fast! did it win?"),
+      (2L, "")).toDF("id", "txt")
+    val got = TextAnalysis.readability(docs, "id", "txt")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    // words: 9 non-empty tokens; sentences: . ! ? = 3
+    assert(r1.getLong(1) === 9L && r1.getLong(2) === 3L)
+    // vowel groups: the(1) cat(1) sat.(1) it(1) ran(1) fast!(1)
+    // did(1) it(1) win?(1) = 9
+    assert(r1.getLong(3) === 9L)
+    val want = BigDecimal(206.835 - 1.015 * (9.0 / 3.0) -
+      84.6 * (9.0 / 9.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(4) === want)
+    assert(got(1).getLong(1) === 0L && got(1).isNullAt(4))
+    // 'y' counts as a vowel: "rhythm my" -> groups y, y = 2
+    val y = TextAnalysis.readability(
+      Seq((1L, "rhythm my")).toDF("id", "txt"), "id", "txt").head()
+    assert(y.getLong(3) === 2L)
+  }
 }

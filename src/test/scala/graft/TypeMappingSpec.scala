@@ -322,4 +322,43 @@ class TypeMappingSpec extends SparkTestBase {
     assert(got.toSeq === Seq(
       (1L, 5L, 2L, 3L, 5.0 / 3.0), (2L, 3L, 0L, 1L, 3.0)))
   }
+
+  test("aspectBuckets: division-free closest-ratio assignment, ties to " +
+      "the earlier bucket, capacity batching is rank-exact") {
+    import spark.implicits._
+    val buckets = Seq((1, 1), (4, 3), (16, 9))
+    // 800x600 -> exactly 4:3; 1920x1080 -> exactly 16:9; 500x500 -> 1:1;
+    // 750x600 (5:4 = 1.25) is 1/12 from 4:3 but 1/4 from 1:1 -> 4:3
+    // (700x600 would be an EXACT tie: |7/6-1| = |7/6-4/3| = 1/6)
+    val dims = Seq((1L, 800L, 600L), (2L, 1920L, 1080L),
+      (3L, 500L, 500L), (4L, 750L, 600L)).toDF("id", "w", "h")
+    val got = graft.operators.Multimodal.aspectBuckets(dims, "id", "w",
+        "h", buckets, capacity = 32)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq((1L, 4, 3), (2L, 16, 9), (3L, 1, 1),
+      (4L, 4, 3)))
+    // exact tie: r = 25/24 is the midpoint of 4/3 and 3/4 (distance
+    // 7/24 to each; keys |2500*3-4*2400|*4 = |2500*4-3*2400|*3 = 8400)
+    // -> the earlier bucket index wins
+    val tie = graft.operators.Multimodal.aspectBuckets(
+        Seq((9L, 2500L, 2400L)).toDF("id", "w", "h"),
+        "id", "w", "h", Seq((4, 3), (3, 4)), capacity = 8)
+      .head()
+    assert(tie.getInt(3) === 4 && tie.getInt(4) === 3)
+    // capacity batching: 70 same-bucket images at capacity 32 ->
+    // batches of 32/32/6, numbered by ascending id
+    val many = (1L to 70L).map(i => (i, 100L, 100L)).toDF("id", "w", "h")
+    val batched = graft.operators.Multimodal.aspectBuckets(many, "id",
+        "w", "h", Seq((1, 1)), capacity = 32)
+      .groupBy("batch_idx").count().orderBy("batch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(batched.toSeq === Seq((0L, 32L), (1L, 32L), (2L, 6L)))
+    // partitioning invariance
+    val re = graft.operators.Multimodal.aspectBuckets(
+        many.repartition(7), "id", "w", "h", Seq((1, 1)), capacity = 32)
+      .groupBy("batch_idx").count().orderBy("batch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.toSeq === batched.toSeq)
+  }
 }
