@@ -734,7 +734,13 @@ object MicroBatch {
           "for continuous domains instead of exact value counts")
       }
       val stage = s"$dir/.stage=$batchId"
-      merged.write.partitionBy("__b").mode("overwrite").parquet(stage)
+      // bucket-aligned repartition BEFORE partitionBy: without it every
+      // shuffle task writes a file per bucket it sees (up to
+      // tasks × buckets small files per batch — measured 2–3× slower
+      // replay at sf0.1 from file-count alone); with it each bucket's
+      // rows land in one task → ~one file per touched bucket
+      merged.repartition(col("__b"))
+        .write.partitionBy("__b").mode("overwrite").parquet(stage)
       touched.foreach { b =>
         val parent = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
         graft.sources.Fs.mkdirs(parent)
