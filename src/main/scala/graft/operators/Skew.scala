@@ -402,13 +402,19 @@ object Skew {
     val one = ranked.crossJoin(broadcast(stats))
       .agg(aggCols.head, aggCols.tail: _*)
       .crossJoin(broadcast(stats))
-    val rows = (1 to points).map { i =>
-      one.select(lit(i.toLong).as("point"),
-        (lit(i.toDouble) / points.toDouble).as("pop_share"),
-        col(s"__u$i").as("units"),
-        col(s"__c$i").cast("bigint").as("cum_value"),
-        (dbl(col(s"__c$i")) / dbl(col("__t"))).as("value_share"))
-    }
-    rows.reduce(_ unionByName _)
+    // fan the one aggregate row out to `points` rows via posexplode —
+    // a per-point union would paste `points` copies of the WHOLE
+    // aggregation plan (measured 130 exchanges at points = 10)
+    one.select(col("__t"), posexplode(arrays_zip(
+        array((1 to points).map(i => col(s"__u$i")): _*),
+        array((1 to points).map(i => col(s"__c$i")): _*)))
+        .as(Seq("__i", "__z")))
+      .select((col("__i") + 1).cast("long").as("point"),
+        ((col("__i") + 1).cast("double") / points.toDouble)
+          .as("pop_share"),
+        col("__z").getField("0").as("units"),
+        col("__z").getField("1").cast("bigint").as("cum_value"),
+        (dbl(col("__z").getField("1")) / dbl(col("__t")))
+          .as("value_share"))
   }
 }
