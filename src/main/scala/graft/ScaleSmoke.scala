@@ -252,7 +252,11 @@ object ScaleSmoke {
     // r12 wave 3: bounded-bin streaming histogram + quantile read,
     // lcm-keyed aspect bucketing over a global rank, readability scan
     "str299_stream_histogram", "m300_aspect_buckets",
-    "t301_readability")
+    "t301_readability",
+    // r12 wave 4: cohort LTV (calendar-sized cum window), one-pass
+    // schema drift profile, streaming PSI lens, power/MDE pre-readout
+    "q302_cohort_ltv", "q303_schema_drift", "str304_stream_psi",
+    "q305_power_mde")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2914,6 +2914,77 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Cohort LTV curve: exact cents revenue per (cohort, offset) with
+    // a calendar-sized cumulative window — "what is a week-N signup
+    // worth by week N+k?".
+    "q302_cohort_ltv" -> ((s, d) =>
+      operators.Retention.cohortLtv(
+          t(s, d, "events")
+            .filter(col("value").isNotNull && !isnan(col("value"))),
+          "user_id", "ts",
+          floor(col("value") * 100 + 0.5).cast("long"), "week")
+        .select(date_format(col("cohort"), "yyyy-MM-dd")
+            .as("cohort_week"),
+          col("offset"), col("payers"), col("revenue_cents"),
+          col("cum_revenue_cents"), col("cohort_size"), col("ltv"))
+        .orderBy(col("cohort_week"), col("offset"))),
+
+    // Schema/profile drift between two snapshots (even vs odd order
+    // keys): per column, exact row/null/distinct counts from ONE
+    // aggregate per side, fanned out via posexplode.
+    "q303_schema_drift" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      operators.Expectations.schemaDrift(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Streaming PSI drift lens: the live histogram state scored per
+    // bin against a frozen reference histogram (the even-key slice) —
+    // must equal the batch PSI of the union exactly.
+    "str304_stream_psi" -> ((s, d) => {
+      val root = tmpDir("graft_str304")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/hist", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast("double").as("price"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("price")),
+        o.filter(col("ok") % 2 === 1).select(col("price"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamHistogram(stream, outDir,
+          "price", lo = 0.0, hi = 600000.0, bins = 20,
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val width = 600000.0 / 20
+      val ref = o.filter(col("ok") % 2 === 0)
+        .filter(col("price").isNotNull && !isnan(col("price")))
+        .groupBy(least(greatest(floor((col("price") - 0.0) / width),
+            lit(0L)), lit(19L)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.MicroBatch.readHistogramPsi(s, outDir, ref)
+    }),
+
+    // Power / minimum-detectable-effect pre-readout: per variant vs
+    // control, the two-proportion MDE at the current sample sizes
+    // (literal normal quantiles, exact counts, one fixed expression).
+    "q305_power_mde" -> ((s, d) =>
+      operators.Experiment.powerMde(
+        t(s, d, "orders")
+          .withColumn("__variant",
+            when(pmod(col("o_orderkey"), lit(3L)) === 0, "control")
+              .when(pmod(col("o_orderkey"), lit(3L)) === 1, "t1")
+              .otherwise("t2")),
+        "__variant", col("o_orderstatus") === "F", control = "control")
+        .orderBy(col("variant"))),
+
     // Jensen–Shannon divergence between source unigram mixtures:
     // pico-quantized shared-term contributions + exact disjoint-mass
     // closed form — the frequency-aware redundancy screen.
@@ -5290,6 +5361,109 @@ object SparkEntry {
         |   84.6 * (CAST(length(cv) - length(replace(cv, 'V', ''))
         |     AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) END AS flesch
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q302_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, ts,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        | FROM ev GROUP BY user_id),
+        |r AS (SELECT ev.user_id, f.cohort,
+        |  CAST(floor(date_diff('day', f.cohort,
+        |    date_trunc('week', ev.ts)) / 7.0) AS BIGINT) AS off,
+        |  ev.cents
+        | FROM ev JOIN f ON ev.user_id = f.user_id),
+        |g AS (SELECT cohort, off, count(DISTINCT user_id) AS payers,
+        |  CAST(sum(cents) AS BIGINT) AS rev
+        | FROM r GROUP BY 1, 2),
+        |s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+        |c AS (SELECT g.*, CAST(sum(g.rev) OVER (PARTITION BY g.cohort
+        |   ORDER BY g.off ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |   CURRENT ROW) AS BIGINT) AS cum
+        | FROM g)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        | c.off AS "offset", CAST(c.payers AS BIGINT) AS payers,
+        | c.rev AS revenue_cents, c.cum AS cum_revenue_cents,
+        | CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        | CAST(CAST(c.cum AS VARCHAR) AS DOUBLE) /
+        |  (CAST(s.cohort_size AS DOUBLE) * 100.0) AS ltv
+        |FROM c JOIN s ON c.cohort = s.cohort
+        |ORDER BY cohort_week, "offset"""".stripMargin,
+
+    "q303_schema_drift" -> Seq("o_custkey", "o_orderstatus",
+        "o_orderpriority").map { c =>
+      s"""SELECT '$c' AS col_name,
+         | a.n AS n_a, a.nul AS nulls_a, a.d AS distinct_a,
+         | b.n AS n_b, b.nul AS nulls_b, b.d AS distinct_b,
+         | CASE WHEN a.n = 0 THEN NULL ELSE CAST(a.nul AS DOUBLE) /
+         |  CAST(a.n AS DOUBLE) END AS null_rate_a,
+         | CASE WHEN b.n = 0 THEN NULL ELSE CAST(b.nul AS DOUBLE) /
+         |  CAST(b.n AS DOUBLE) END AS null_rate_b,
+         | CASE WHEN a.d = 0 THEN NULL ELSE CAST(b.d AS DOUBLE) /
+         |  CAST(a.d AS DOUBLE) END AS distinct_ratio
+         |FROM (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS nul, count(DISTINCT $c) AS d
+         | FROM orders WHERE o_orderkey % 2 = 0) a
+         |CROSS JOIN (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS nul, count(DISTINCT $c) AS d
+         | FROM orders WHERE o_orderkey % 2 = 1) b""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "str304_stream_psi" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS price,
+        |  o_orderkey AS ok FROM orders WHERE o_totalprice IS NOT NULL),
+        |rn AS (SELECT CAST(least(greatest(floor((price - 0.0) /
+        |    30000.0), 0), 19) AS BIGINT) AS bin, count(*) AS ref_n
+        | FROM v WHERE ok % 2 = 0 GROUP BY 1),
+        |cn AS (SELECT CAST(least(greatest(floor((price - 0.0) /
+        |    30000.0), 0), 19) AS BIGINT) AS bin, count(*) AS cur_n
+        | FROM v GROUP BY 1),
+        |j AS (SELECT coalesce(rn.bin, cn.bin) AS bin,
+        |  coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+        | FROM rn FULL OUTER JOIN cn ON rn.bin = cn.bin),
+        |s AS (SELECT bin, ref_n, cur_n,
+        |  CAST(ref_n AS DOUBLE) / CAST(sum(ref_n) OVER () AS DOUBLE)
+        |   AS ref_share,
+        |  CAST(cur_n AS DOUBLE) / CAST(sum(cur_n) OVER () AS DOUBLE)
+        |   AS cur_share
+        | FROM j)
+        |SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+        | CAST(cur_n AS BIGINT) AS cur_n, ref_share, cur_share,
+        | CASE WHEN ref_n > 0 AND cur_n > 0
+        |  THEN (cur_share - ref_share) * ln(cur_share / ref_share)
+        | END AS psi_part
+        |FROM s ORDER BY bin""".stripMargin,
+
+    "q305_power_mde" ->
+      """WITH c AS (SELECT CASE o_orderkey % 3 WHEN 0 THEN 'control'
+        |   WHEN 1 THEN 't1' ELSE 't2' END AS variant,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS conv
+        | FROM orders GROUP BY 1),
+        |k AS (SELECT n AS n0, conv AS c0 FROM c
+        | WHERE variant = 'control')
+        |SELECT variant, CAST(n AS BIGINT) AS n, conv,
+        | CASE WHEN n = 0 THEN NULL
+        |  ELSE CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) END AS rate,
+        | CASE WHEN variant <> 'control' AND n0 > 0 AND n > 0
+        |   AND c0 > 0 AND c0 < n0
+        |  THEN 2.8015852181129683 * sqrt(
+        |   (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) *
+        |   (1.0 - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) *
+        |   (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))
+        | END AS mde_abs,
+        | CASE WHEN variant <> 'control' AND n0 > 0 AND n > 0
+        |   AND c0 > 0 AND c0 < n0
+        |  THEN (2.8015852181129683 * sqrt(
+        |   (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) *
+        |   (1.0 - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) *
+        |   (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))) /
+        |   (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        | END AS mde_rel
+        |FROM c CROSS JOIN k ORDER BY variant""".stripMargin,
 
     "t286_js_divergence" ->
       """WITH posts AS (

@@ -822,4 +822,56 @@ object Expectations {
           .otherwise((n * sab - sa * sb) / sqrt(va * vb)).as("corr"))
     }.reduce(_.union(_))
   }
+
+  /** Schema/profile drift between two snapshots of the same logical
+    * table — the data-ops "did yesterday's load change shape?" gate
+    * that row counts miss: per named column, both sides' row count,
+    * NULL count and exact distinct count, plus the derived null rates
+    * (one exact division each) and the distinct ratio (b/a, NULL when
+    * a has none). A column whose null rate jumps or whose distinct
+    * count collapses flags an upstream extraction bug before any
+    * value-level diff runs.
+    *
+    * Scale shape: ONE aggregate per side computing every column's
+    * three stats in a single corpus pass each (count-distincts expand
+    * internally, still map-side partial), one row out per side, fanned
+    * to per-column rows via posexplode of zipped literal arrays —
+    * never a per-column scan. Returns (col_name, n_a, nulls_a,
+    * distinct_a, n_b, nulls_b, distinct_b, null_rate_a, null_rate_b,
+    * distinct_ratio). */
+  def schemaDrift(a: DataFrame, b: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    def profile(df: DataFrame, tag: String): DataFrame = {
+      val aggs = cols.flatMap { c => Seq(
+        count(lit(1)).as(s"__n_${c}"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_${c}"),
+        countDistinct(col(c)).as(s"__d_${c}"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(posexplode(arrays_zip(
+            array(cols.map(c => lit(c)): _*),
+            array(cols.map(c => col(s"__n_${c}")): _*),
+            array(cols.map(c => col(s"__nul_${c}")): _*),
+            array(cols.map(c => col(s"__d_${c}")): _*)))
+          .as(Seq("__i", "__z")))
+        .select(col("__z").getField("0").as("col_name"),
+          col("__z").getField("1").as(s"n_$tag"),
+          col("__z").getField("2").as(s"nulls_$tag"),
+          col("__z").getField("3").as(s"distinct_$tag"))
+    }
+    profile(a, "a").join(profile(b, "b"), Seq("col_name"))
+      .select(col("col_name"), col("n_a"), col("nulls_a"),
+        col("distinct_a"), col("n_b"), col("nulls_b"),
+        col("distinct_b"),
+        when(col("n_a") === 0, lit(null).cast("double"))
+          .otherwise(col("nulls_a").cast("double") /
+            col("n_a").cast("double")).as("null_rate_a"),
+        when(col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(col("nulls_b").cast("double") /
+            col("n_b").cast("double")).as("null_rate_b"),
+        when(col("distinct_a") === 0, lit(null).cast("double"))
+          .otherwise(col("distinct_b").cast("double") /
+            col("distinct_a").cast("double")).as("distinct_ratio"))
+  }
 }

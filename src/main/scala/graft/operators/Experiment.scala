@@ -614,4 +614,53 @@ object Experiment {
           .otherwise(meanY - theta * (meanXv - meanXall))
           .as("adjusted_mean"))
   }
+
+  /** Minimum detectable effect at the CURRENT sample sizes — the
+    * "is this experiment even powered for the lift we care about?"
+    * pre-readout check: for every treatment variant vs the named
+    * control, the absolute and relative MDE of a two-proportion test
+    * at the given α (two-sided) and power, using the standard
+    * `MDE = (z_{α/2} + z_β) · √(p₀(1−p₀)(1/n₀ + 1/nᵥ))` normal
+    * approximation around the control rate.
+    *
+    * z constants are LITERALS for the supported (α, power) grid
+    * (hard-coding the two normal quantiles keeps the expression a
+    * pure function of exact counts — no special-function library to
+    * diverge across engines): α ∈ {0.05, 0.01}, power ∈ {0.8, 0.9}.
+    * Counts are exact; p₀, the two reciprocals, the product chain and
+    * the sqrt are one fixed double expression. `mde_rel` = abs/p₀.
+    * NULL when a size is 0 or p₀ ∈ {0, 1} (no variance to power).
+    *
+    * Scale: one unit-table aggregate (variant-cardinality output) + a
+    * 1-row control broadcast. Returns (variant, n, conv, rate,
+    * mde_abs, mde_rel); the control row carries NULL MDEs. */
+  def powerMde(df: DataFrame, variantCol: String, converted: Column,
+      control: String, alpha: Double = 0.05, power: Double = 0.8)
+      : DataFrame = {
+    val zA = Map(0.05 -> 1.959963984540054, 0.01 -> 2.5758293035489004)
+    val zB = Map(0.8 -> 0.8416212335729143, 0.9 -> 1.2815515655446004)
+    require(zA.contains(alpha), s"alpha must be one of ${zA.keys}")
+    require(zB.contains(power), s"power must be one of ${zB.keys}")
+    val zSum = zA(alpha) + zB(power)
+    val counts = df
+      .filter(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(converted, 1L).otherwise(0L)).as("conv"))
+    val ctrl = counts.filter(col("variant") === control)
+      .select(col("n").as("__n0"), col("conv").as("__c0"))
+    val p0 = col("__c0").cast("double") / col("__n0").cast("double")
+    val mdeAbs = lit(zSum) * sqrt(p0 * (lit(1.0) - p0) *
+      (lit(1.0) / col("__n0").cast("double") +
+        lit(1.0) / col("n").cast("double")))
+    val valid = col("variant") =!= control && col("__n0") > 0 &&
+      col("n") > 0 && col("__c0") > 0 && col("__c0") < col("__n0")
+    counts.crossJoin(broadcast(ctrl))
+      .select(col("variant"), col("n"), col("conv"),
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(col("conv").cast("double") /
+            col("n").cast("double")).as("rate"),
+        when(valid, mdeAbs).as("mde_abs"),
+        when(valid, mdeAbs / p0).as("mde_rel"))
+  }
 }

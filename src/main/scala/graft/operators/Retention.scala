@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention analysis — the companion question to [[Funnel]]:
@@ -155,5 +156,60 @@ object Retention {
       .join(tiled("m_score", -col("monetary")), "user_id")
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
+  /** Cohort LTV curve — [[cohorts]]' revenue companion: for every
+    * (first-activity cohort, periods-since offset), the paying
+    * members, that period's revenue, the CUMULATIVE revenue of the
+    * cohort through the offset, and LTV-per-member — the "how much is
+    * a January signup worth by month 6?" table a growth team plots.
+    *
+    * `valueCents` is the integer revenue column (cents/micros — the
+    * house quantization): per-cell and cumulative sums stay exact
+    * decimals; `ltv` is ONE double division of exact operands
+    * (cum_cents / (cohort_size · 100)). The cumulative window runs
+    * per cohort over OFFSETS — calendar-sized, never event-sized.
+    *
+    * Scale shape: one entity-keyed first-activity aggregate (shared
+    * lineage, lazy checkpoint), one (cohort, offset) revenue
+    * aggregate, a calendar-sized broadcast of cohort sizes, one
+    * calendar-sized cumulative window. Returns (cohort, offset,
+    * payers, revenue_cents, cum_revenue_cents, cohort_size, ltv). */
+  def cohortLtv(events: DataFrame, entity: String, ts: String,
+      valueCents: Column, period: String = "week"): DataFrame = {
+    val perDay = Map("day" -> 1L, "week" -> 7L)
+    require(perDay.contains(period),
+      s"period must be day/week, got $period")
+    val firsts = events
+      .groupBy(col(entity))
+      .agg(min(date_trunc(period, col(ts))).as("cohort"))
+      .localCheckpoint(eager = false)
+    val rev = events
+      .select(col(entity), date_trunc(period, col(ts)).as("p"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val offset = floor(datediff(col("p"), col("cohort")) /
+      lit(perDay(period).toDouble)).cast("long")
+    val grid = rev.join(firsts, entity)
+      .select(col(entity), col("cohort"), offset.as("offset"),
+        col("__v"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col(entity)).as("payers"),
+        sum(col("__v").cast("decimal(19,0)")).cast("decimal(28,0)")
+          .as("__rev"))
+    val sizes = firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(sizes), "cohort")
+      .withColumn("__cum",
+        sum(col("__rev")).over(wCum).cast("decimal(28,0)"))
+      .select(col("cohort"), col("offset"), col("payers"),
+        col("__rev").cast("bigint").as("revenue_cents"),
+        col("__cum").cast("bigint").as("cum_revenue_cents"),
+        col("cohort_size"),
+        (col("__cum").cast("string").cast("double") /
+          (col("cohort_size").cast("double") * 100.0)).as("ltv"))
+      .orderBy(col("cohort"), col("offset"))
   }
 }

@@ -893,6 +893,40 @@ object MicroBatch {
       .orderBy(col("quantile"))
   }
 
+  /** PSI drift lens over a [[streamHistogram]] directory: the live bin
+    * distribution scored against a FROZEN reference histogram (any
+    * (bin, n) DataFrame — typically the batch histogram of a blessed
+    * baseline window) with
+    * [[graft.operators.Expectations.populationStability]]'s exact
+    * per-bin convention — shares are single divisions of exact
+    * counts, `psi_part = (cur−ref)·ln(cur/ref)` is a fixed double
+    * expression per bin (emitted per bin, never double-summed —
+    * cross-bin double sums are order-dependent), NULL where either
+    * side is empty. Bins absent on one side count 0. The join and the
+    * share windows run over ≤ bins rows — report-sized. Must equal
+    * the batch PSI of the union of all batches exactly. Returns
+    * (bin, ref_n, cur_n, ref_share, cur_share, psi_part). */
+  def readHistogramPsi(spark: SparkSession, dir: String,
+      refCounts: DataFrame): DataFrame = {
+    val cur = currentCountState(spark, dir, "histogram")
+      .select(col("__v").cast("long").as("bin"), col("__n").as("cur_n"))
+    val Array(bc, nc) = refCounts.columns.take(2)
+    val ref = refCounts.select(col(bc).cast("long").as("bin"),
+      col(nc).cast("long").as("ref_n"))
+    val wAll = Window.partitionBy()
+    ref.join(cur, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .withColumn("ref_share", col("ref_n").cast("double") /
+        sum(col("ref_n")).over(wAll).cast("double"))
+      .withColumn("cur_share", col("cur_n").cast("double") /
+        sum(col("cur_n")).over(wAll).cast("double"))
+      .withColumn("psi_part",
+        when(col("ref_n") > 0 && col("cur_n") > 0,
+          (col("cur_share") - col("ref_share")) *
+            log(col("cur_share") / col("ref_share"))))
+      .orderBy(col("bin"))
+  }
+
   /** Streaming GROUPED value-count maintenance — [[streamValueCounts]]
     * with a group key: micro-batches fold additively into persisted
     * (group, value, n) counts (hash-bucketed `bucket=b/version=batchId`

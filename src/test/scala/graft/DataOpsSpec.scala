@@ -1406,4 +1406,22 @@ class DataOpsSpec extends SparkTestBase {
       points = 2).orderBy("point").collect()
     assert(re.map(_.getLong(3)).toSeq === half.map(_.getLong(3)).toSeq)
   }
+
+  test("schemaDrift: per-column exact counts from one aggregate per " +
+      "side; null-rate and distinct-ratio flag the drifted column") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, Some("z")))
+      .toDF("id", "s")
+    val b = Seq((1L, Some("x")), (2L, None: Option[String]),
+      (3L, Some("x")), (4L, None: Option[String])).toDF("id", "s")
+    val got = Expectations.schemaDrift(a, b, Seq("id", "s"))
+      .orderBy("col_name").collect()
+    val id = got(0)
+    assert((id.getLong(1), id.getLong(2), id.getLong(3)) === ((3L, 0L, 3L)))
+    assert((id.getLong(4), id.getLong(5), id.getLong(6)) === ((4L, 0L, 4L)))
+    assert(id.getDouble(9) === 4.0 / 3.0)  // distinct_ratio
+    val s = got(1)
+    assert(s.getDouble(7) === 0.0 && s.getDouble(8) === 0.5)
+    assert(s.getLong(6) === 1L)            // distinct collapsed to {x}
+    assert(s.getDouble(9) === 1.0 / 3.0)
+  }
 }

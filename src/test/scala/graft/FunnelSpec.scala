@@ -556,4 +556,55 @@ class FunnelSpec extends SparkTestBase {
       maxGroupsPerEntity = 1)
     assert(capped.count() === 0L, "cap must drop every 2-group entity")
   }
+
+  test("cohortLtv: exact cents per cell, cumulative per cohort, LTV " +
+      "divides by cohort size not payers") {
+    def at(day: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        day * 86400000L + 12 * 3600000L)   // 2024-01-01 is a Monday
+    // u1: 10.00 in W0, 5.00 in W1; u2: 2.50 in W0 (same cohort);
+    // u3 cohort W1: 1.00
+    val df = Seq(
+      (1L, at(0), 1000L), (1L, at(8), 500L),
+      (2L, at(3), 250L),
+      (3L, at(9), 100L)).toDF("u", "ts", "cents")
+    val got = graft.operators.Retention.cohortLtv(df, "u", "ts",
+        col("cents"), "week")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 1250L, 1250L, 2L, 6.25),
+      ("2024-01-01", 1L, 1L, 500L, 1750L, 2L, 8.75),
+      ("2024-01-08", 0L, 1L, 100L, 100L, 1L, 1.0)))
+    // partitioning invariance
+    val re = graft.operators.Retention.cohortLtv(df.repartition(7),
+        "u", "ts", col("cents"), "week")
+      .collect().map(_.getLong(4))
+    assert(re.toSeq === got.map(_._5).toSeq)
+  }
+
+  test("powerMde: hand-checked two-proportion MDE; control and " +
+      "degenerate rates carry NULL") {
+    // control: 100 units, 25 conv (p0 = .25); t1: 400 units
+    val rows = (1 to 100).map(i => ("control", i <= 25)) ++
+      (1 to 400).map(i => ("t1", i <= 90)) ++
+      Seq(("t2", false)) // n = 1, valid (p0 from control)
+    val got = graft.operators.Experiment.powerMde(
+        rows.toDF("v", "c"), "v", col("c"), control = "control")
+      .orderBy("variant").collect()
+    val z = 1.959963984540054 + 0.8416212335729143
+    val p0 = 0.25
+    val want = z * math.sqrt(p0 * (1.0 - p0) * (1.0 / 100 + 1.0 / 400))
+    assert(got(0).getString(0) === "control" && got(0).isNullAt(4))
+    assert(got(1).getDouble(4) === want)
+    assert(got(1).getDouble(5) === want / p0)
+    assert(!got(2).isNullAt(4)) // tiny arm still powered-checkable
+    // degenerate control (all converted): NULL MDEs everywhere
+    val degen = graft.operators.Experiment.powerMde(
+        Seq(("control", true), ("t1", false)).toDF("v", "c"),
+        "v", col("c"), control = "control")
+      .orderBy("variant").collect()
+    assert(degen.forall(_.isNullAt(4)))
+  }
 }

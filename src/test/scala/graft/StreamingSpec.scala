@@ -1115,6 +1115,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq === Seq(
       (0.5, 2L, 2.0, 3.0, 5L, 7L), (1.0, 9L, 9.0, 10.0, 7L, 7L)))
   }
+
+  test("readHistogramPsi: live state scored against a frozen reference " +
+      "equals the batch PSI; one-sided bins carry NULL psi_part") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strpsi")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/hist", s"$root/ckpt")
+    val b1 = Seq(1.0, 1.5, 5.0)   // bins 0,0,2 of [0,10)x5
+    val b2 = Seq(1.2, 9.0)        // bins 0,4
+    b1.toDF("v").coalesce(1).write.parquet(srcDir)
+    b2.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.MicroBatch.streamHistogram(stream, outDir,
+        "v", lo = 0.0, hi = 10.0, bins = 5,
+        graft.streaming.MicroBatch.IngestConfig(
+          checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ref = Seq((0L, 2L), (2L, 1L)).toDF("bin", "n") // batch-1 bins
+    val got = graft.streaming.MicroBatch
+      .readHistogramPsi(spark, outDir, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // live: bin0=3, bin2=1, bin4=1 (N=5); ref: bin0=2, bin2=1 (N=3)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((0L, 2L, 3L), (2L, 1L, 1L), (4L, 0L, 1L)))
+    val psi0 = (3.0 / 5 - 2.0 / 3) * math.log((3.0 / 5) / (2.0 / 3))
+    assert(got(0)._4 === Some(psi0))
+    assert(got(2)._4 === None) // bin absent from the reference
+  }
 }
 
 object StreamingSpec {
