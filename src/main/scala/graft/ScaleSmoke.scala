@@ -256,7 +256,10 @@ object ScaleSmoke {
     // r12 wave 4: cohort LTV (calendar-sized cum window), one-pass
     // schema drift profile, streaming PSI lens, power/MDE pre-readout
     "q302_cohort_ltv", "q303_schema_drift", "str304_stream_psi",
-    "q305_power_mde")
+    "q305_power_mde",
+    // r12 wave 5: portable-session corpus stats, anti-join RI audit,
+    // grid-binned PR threshold sweep
+    "q306_session_stats", "q307_ref_integrity", "q308_pr_curve")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

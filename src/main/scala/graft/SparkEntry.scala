@@ -2985,6 +2985,30 @@ object SparkEntry {
         "__variant", col("o_orderstatus") === "F", control = "control")
         .orderBy(col("variant"))),
 
+    // Corpus session-quality summary: portable gap sessions (q49's
+    // formulation), exact micro-second durations, one global reduce —
+    // bounce rate and dwell the engagement report needs.
+    "q306_session_stats" -> ((s, d) =>
+      operators.Sessionize.sessionStats(t(s, d, "events"), "ts",
+        "user_id", "event_id", gapSeconds = 1800L)),
+
+    // Referential-integrity audit with planted orphans (parents with
+    // key % 7 = 0 removed): exact orphan rows/keys via one anti-join
+    // against distinct parent keys.
+    "q307_ref_integrity" -> ((s, d) =>
+      operators.Expectations.referentialIntegrity(
+        t(s, d, "lineitem"), col("l_orderkey"),
+        t(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        col("o_orderkey"))),
+
+    // Precision–recall threshold sweep on the shared classifier-eval
+    // fixture: grid-bin once, every threshold an exact reverse
+    // cumulative — the imbalanced-label tuning table.
+    "q308_pr_curve" -> ((s, d) =>
+      operators.Classifier.prCurve(clsEvalFixture(t(s, d, "orders")),
+          col("score"), col("label"), points = 20)
+        .orderBy(col("threshold"))),
+
     // Jensen–Shannon divergence between source unigram mixtures:
     // pico-quantized shared-term contributions + exact disjoint-mass
     // closed form — the frequency-aware redundancy screen.
@@ -5464,6 +5488,83 @@ object SparkEntry {
         |   (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
         | END AS mde_rel
         |FROM c CROSS JOIN k ORDER BY variant""".stripMargin,
+
+    "q306_session_stats" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |  THEN 1 ELSE 0 END AS new_s
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged),
+        |per AS (SELECT user_id, sid, count(*) AS n,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS durus
+        | FROM sess GROUP BY user_id, sid)
+        |SELECT count(*) AS n_sessions,
+        | count(DISTINCT user_id) AS n_entities,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS bounce_sessions,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS bounce_rate,
+        | CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS mean_events,
+        | CAST(CAST(CAST(sum(durus) AS BIGINT) AS VARCHAR) AS DOUBLE) /
+        |  (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_duration_secs
+        |FROM per""".stripMargin,
+
+    "q307_ref_integrity" ->
+      """WITH c AS (SELECT l_orderkey AS k FROM lineitem),
+        |t AS (SELECT count(*) AS child_rows,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS null_key_rows FROM c),
+        |p AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+        | WHERE o_orderkey % 7 <> 0 AND o_orderkey IS NOT NULL),
+        |o AS (SELECT count(*) AS orphan_rows,
+        |  count(DISTINCT k) AS orphan_keys
+        | FROM c WHERE k IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM p WHERE p.pk = c.k))
+        |SELECT t.child_rows, t.null_key_rows, o.orphan_rows,
+        | o.orphan_keys,
+        | CASE WHEN t.child_rows = 0 THEN NULL
+        |  ELSE CAST(o.orphan_rows AS DOUBLE) /
+        |   CAST(t.child_rows AS DOUBLE) END AS orphan_rate
+        |FROM t CROSS JOIN o""".stripMargin,
+
+    "q308_pr_curve" ->
+      s"""WITH $ClsEvalFixtureSql,
+        |b AS (SELECT least(CAST(floor(v * 20) AS BIGINT), 19) AS bin,
+        |  count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+        | FROM fx GROUP BY 1),
+        |g AS (SELECT i AS bin FROM range(0, 20) t(i)),
+        |j AS (SELECT g.bin, coalesce(b.n, 0) AS n,
+        |  coalesce(b.pos, 0) AS pos
+        | FROM g LEFT JOIN b ON b.bin = g.bin),
+        |c AS (SELECT bin,
+        |  CAST(sum(pos) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |  CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,
+        |  CAST(sum(pos) OVER () AS BIGINT) AS totpos
+        | FROM j)
+        |SELECT CAST(bin AS DOUBLE) / 20.0 AS threshold, tp,
+        | cumn - tp AS fp, totpos - tp AS fn,
+        | CASE WHEN cumn = 0 THEN NULL
+        |  ELSE CAST(tp AS DOUBLE) / CAST(cumn AS DOUBLE)
+        | END AS "precision",
+        | CASE WHEN totpos = 0 THEN NULL
+        |  ELSE CAST(tp AS DOUBLE) / CAST(totpos AS DOUBLE)
+        | END AS recall,
+        | CASE WHEN tp + tp + (cumn - tp) + (totpos - tp) = 0 THEN NULL
+        |  ELSE CAST(tp + tp AS DOUBLE) /
+        |   CAST(tp + tp + (cumn - tp) + (totpos - tp) AS DOUBLE)
+        | END AS f1
+        |FROM c ORDER BY threshold""".stripMargin,
 
     "t286_js_divergence" ->
       """WITH posts AS (

@@ -438,4 +438,60 @@ object Classifier {
           .otherwise(col("__q").cast("double") /
             (col("n").cast("double") * 1000000000000.0)).as("brier"))
   }
+
+  /** Precision–recall curve at `points` score-grid thresholds — the
+    * threshold-sweep report an imbalanced-label gate is tuned by
+    * (where [[rocAuc]]'s ranking view hides the base rate): for every
+    * threshold i/points, the exact confusion counts of the rule
+    * `score ≥ i/points` and the derived precision/recall/F1.
+    *
+    * Exactness without per-threshold float compares: scores land in
+    * `least(floor(score·points), points−1)` grid bins ONCE, then
+    * every threshold's TP/FP is a reverse-cumulative integer sum over
+    * the ≤ points-row bin table (`score ≥ i/points ⟺ bin ≥ i` — the
+    * bin edges ARE the thresholds, so no division ever meets a row).
+    * precision/recall are one division each, F1 the single-division
+    * `2tp/(2tp+fp+fn)` form. Thresholds with no predicted positives
+    * report NULL precision. Returns (threshold, tp, fp, fn,
+    * precision, recall, f1) for i = 0..points−1, ordered ascending.
+    *
+    * Scale: ONE corpus aggregate to the bin table; everything after
+    * runs on ≤ points rows (the cumulative window included). */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+      points: Int = 20): DataFrame = {
+    require(points >= 2 && points <= 10000,
+      s"points must be in [2, 10000], got $points")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val bins = df
+      .select(score.cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__y").isNotNull)
+      .groupBy(least(floor(col("__v") * points), lit(points - 1L))
+        .cast("bigint").as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val grid = spark.range(0, points).select(col("id").as("__b"))
+      .join(bins, Seq("__b"), "left")
+      .na.fill(0L, Seq("__n", "__pos"))
+    val wRev = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val tp = sum(col("__pos")).over(wRev)
+    val fp = sum(col("__n")).over(wRev) - tp
+    val fn = sum(col("__pos")).over(wAll) - tp
+    def rate(num: Column, den: Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    grid.select(
+        (col("__b").cast("double") / points.toDouble).as("threshold"),
+        tp.as("tp"), fp.as("fp"), fn.as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        rate(col("tp"), col("tp") + col("fp")).as("precision"),
+        rate(col("tp"), col("tp") + col("fn")).as("recall"),
+        rate(col("tp") + col("tp"),
+          col("tp") + col("tp") + col("fp") + col("fn")).as("f1"))
+      .orderBy(col("threshold"))
+  }
 }

@@ -874,4 +874,37 @@ object Expectations {
           .otherwise(col("distinct_b").cast("double") /
             col("distinct_a").cast("double")).as("distinct_ratio"))
   }
+
+  /** Referential-integrity audit — "does every child row's foreign key
+    * resolve to a parent?": exact child row count, NULL-key rows
+    * (excluded from orphan matching — NULL FK is its own signal),
+    * orphan rows and distinct orphan keys from one anti-join against
+    * the distinct parent keys, and the orphan rate (ONE division). The
+    * load-order/partial-load bug detector a row-count diff misses.
+    *
+    * Scale: one distinct on the parent key (key-domain-sized), one
+    * LEFT ANTI equi-join (AQE broadcasts small parents, shuffles
+    * otherwise), three one-row aggregates. One row:
+    * (child_rows, null_key_rows, orphan_rows, orphan_keys,
+    * orphan_rate). */
+  def referentialIntegrity(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val c = child.select(childKey.as("__k"))
+      .localCheckpoint(eager = false) // totals + the anti-join
+    val totals = c.agg(count(lit(1)).as("child_rows"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L))
+        .as("null_key_rows"))
+    val orphans = c.filter(col("__k").isNotNull)
+      .join(parent.select(parentKey.as("__p"))
+        .filter(col("__p").isNotNull).distinct(),
+        col("__k") === col("__p"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"),
+        countDistinct(col("__k")).as("orphan_keys"))
+    totals.crossJoin(broadcast(orphans))
+      .select(col("child_rows"), col("null_key_rows"),
+        col("orphan_rows"), col("orphan_keys"),
+        when(col("child_rows") === 0, lit(null).cast("double"))
+          .otherwise(col("orphan_rows").cast("double") /
+            col("child_rows").cast("double")).as("orphan_rate"))
+  }
 }

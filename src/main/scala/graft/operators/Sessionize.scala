@@ -118,4 +118,48 @@ object Sessionize {
         coalesce(sum(col("__gap")), lit(0L)).as("gap_us"),
         max(col("__gap")).as("max_gap_us"))
   }
+
+  /** Corpus session-quality summary over [[sessionIds]]' portable gap
+    * sessions: total sessions, distinct entities, BOUNCE sessions
+    * (single event — the engagement red flag), events per session and
+    * mean session duration. One row:
+    * (n_sessions, n_entities, n_events, bounce_sessions, bounce_rate,
+    * mean_events, mean_duration_secs).
+    *
+    * Numerics: counts and per-session microsecond durations
+    * (`unix_micros(max) − unix_micros(min)`, exact integers) fold
+    * exactly; every reported mean/rate is ONE double division of
+    * exact operands — engine-exact. Duration sums ride DECIMAL(28,0)
+    * (headroom ~10²² µs ≈ 300 My of summed session time).
+    *
+    * Scale: [[sessionIds]]' single key-partitioned window pass, one
+    * (key, session) aggregate (map-side combinable), one global
+    * reduce. */
+  def sessionStats(df: DataFrame, ts: String, key: String,
+      tieBreak: String, gapSeconds: Long): DataFrame = {
+    val sid = sessionIds(
+      df.filter(col(key).isNotNull && col(ts).isNotNull),
+      ts, key, tieBreak, gapSeconds)
+    val per = sid.groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("__n"),
+        (unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
+          .as("__durus"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    per.agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col(key)).as("n_entities"),
+        sum(col("__n")).as("n_events"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L))
+          .as("bounce_sessions"),
+        sum(col("__durus").cast("decimal(19,0)")).cast("decimal(28,0)")
+          .as("__dur"))
+      .select(col("n_sessions"), col("n_entities"), col("n_events"),
+        col("bounce_sessions"),
+        (col("bounce_sessions").cast("double") /
+          col("n_sessions").cast("double")).as("bounce_rate"),
+        (col("n_events").cast("double") /
+          col("n_sessions").cast("double")).as("mean_events"),
+        (dbl(col("__dur")) /
+          (col("n_sessions").cast("double") * 1000000.0))
+          .as("mean_duration_secs"))
+  }
 }

@@ -259,4 +259,28 @@ class ClassifierSpec extends SparkTestBase {
     assert(Classifier.brierScore(half, $"s", $"y")
       .head().getDouble(1) === 0.25)
   }
+
+  test("prCurve: thresholds are the grid edges, reverse-cumulative " +
+      "exact counts, empty bins still get a row") {
+    // scores: .05(neg) .55(pos) .55(neg) .95(pos) with points = 2:
+    // bin 0 = {.05}, bin 1 = {.55, .55, .95}
+    val df = Seq((0.05, false), (0.55, true), (0.55, false),
+      (0.95, true)).toDF("s", "y")
+    val got = Classifier.prCurve(df, $"s", $"y", points = 2)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(5)))
+    // t=0.0: everything predicted positive -> tp 2 fp 2 fn 0, rec 1
+    // t=0.5: bin >= 1 -> tp 2 fp 1 fn 0, recall 1
+    assert(got.toSeq === Seq((0.0, 2L, 2L, 0L, 1.0),
+      (0.5, 2L, 1L, 0L, 1.0)))
+    // all-negative grid bin keeps precision NULL when no positives
+    // are predicted: scores below every nonzero threshold
+    val low = Seq((0.01, true)).toDF("s", "y")
+    val rows = Classifier.prCurve(low, $"s", $"y", points = 4)
+      .orderBy("threshold").collect()
+    assert(rows.length === 4)
+    assert(rows(3).isNullAt(4))    // no predicted positives at 0.75
+    assert(rows(3).getDouble(6) === 0.0) // f1 = 0 (fn > 0)
+  }
 }

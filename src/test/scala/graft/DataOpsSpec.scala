@@ -1424,4 +1424,21 @@ class DataOpsSpec extends SparkTestBase {
     assert(s.getLong(6) === 1L)            // distinct collapsed to {x}
     assert(s.getDouble(9) === 1.0 / 3.0)
   }
+
+  test("referentialIntegrity: orphans counted exactly, NULL keys " +
+      "reported separately, clean child audits zero") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L),
+      None).toDF("fk")
+    val got = Expectations.referentialIntegrity(child, col("fk"),
+      parent, col("pk")).head()
+    assert(got.getLong(0) === 6L)  // child rows
+    assert(got.getLong(1) === 1L)  // null keys
+    assert(got.getLong(2) === 3L)  // orphan rows (9,9,8)
+    assert(got.getLong(3) === 2L)  // orphan keys {9,8}
+    assert(got.getDouble(4) === 3.0 / 6.0)
+    val clean = Expectations.referentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), col("fk"), parent, col("pk")).head()
+    assert(clean.getLong(2) === 0L && clean.getDouble(4) === 0.0)
+  }
 }

@@ -91,4 +91,30 @@ class SessionizeSpec extends SparkTestBase {
     assert(got(1).getLong(1) === 0L && got(1).getLong(2) === 0L &&
       got(1).isNullAt(3))
   }
+
+  test("sessionStats: bounces, per-session events and exact mean " +
+      "duration over the portable gap sessions") {
+    import java.sql.Timestamp
+    def at(min: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        min * 60000L)
+    // u1: events at 0, 10 (one session, 600 s), then 120 -> new
+    // session (bounce); u2: single event (bounce)
+    val df = Seq(
+      (1L, at(0), 1L), (1L, at(10), 2L), (1L, at(120), 3L),
+      (2L, at(5), 4L)).toDF("u", "ts", "eid")
+    val got = graft.operators.Sessionize.sessionStats(df, "ts", "u",
+      "eid", gapSeconds = 1800L).head()
+    assert(got.getLong(0) === 3L)               // sessions
+    assert(got.getLong(1) === 2L)               // entities
+    assert(got.getLong(2) === 4L)               // events
+    assert(got.getLong(3) === 2L)               // bounces
+    assert(got.getDouble(4) === 2.0 / 3.0)      // bounce rate
+    assert(got.getDouble(5) === 4.0 / 3.0)      // mean events
+    assert(got.getDouble(6) === 600.0 / 3.0)    // mean duration secs
+    // partitioning invariance
+    val re = graft.operators.Sessionize.sessionStats(df.repartition(5),
+      "ts", "u", "eid", gapSeconds = 1800L).head()
+    assert(re.getDouble(6) === got.getDouble(6))
+  }
 }
