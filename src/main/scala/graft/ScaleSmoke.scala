@@ -259,7 +259,10 @@ object ScaleSmoke {
     "q305_power_mde",
     // r12 wave 5: portable-session corpus stats, anti-join RI audit,
     // grid-binned PR threshold sweep
-    "q306_session_stats", "q307_ref_integrity", "q308_pr_curve")
+    "q306_session_stats", "q307_ref_integrity", "q308_pr_curve",
+    // r12 wave 6: category-set drift (distinct full-outer) and the
+    // Palma two-tail concentration cut
+    "q309_category_drift", "q310_palma")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -3009,6 +3009,31 @@ object SparkEntry {
           col("score"), col("label"), points = 20)
         .orderBy(col("threshold"))),
 
+    // Category-set drift between snapshot halves, with a planted
+    // rename (priority '1-URGENT' rewritten in the b-side) so new and
+    // lost categories are both non-zero.
+    "q309_category_drift" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      operators.Expectations.categoryDrift(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderpriority",
+            when(col("o_orderpriority") === "1-URGENT", "1-TOP")
+              .otherwise(col("o_orderpriority"))),
+        "o_orderpriority")
+    }),
+
+    // Palma ratio of customer revenue: two Lorenz tail cuts via
+    // integer cross-multiplied rank membership, one aggregate.
+    "q310_palma" -> ((s, d) => {
+      val custRev = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      operators.Skew.palmaRatio(custRev, "o_custkey", col("cents"))
+    }),
+
     // Jensen–Shannon divergence between source unigram mixtures:
     // pico-quantized shared-term contributions + exact disjoint-mass
     // closed form — the frequency-aware redundancy screen.
@@ -5565,6 +5590,58 @@ object SparkEntry {
         |   CAST(tp + tp + (cumn - tp) + (totpos - tp) AS DOUBLE)
         | END AS f1
         |FROM c ORDER BY threshold""".stripMargin,
+
+    "q309_category_drift" ->
+      """WITH da AS (SELECT DISTINCT o_orderpriority AS v FROM orders
+        | WHERE o_orderkey % 2 = 0 AND o_orderpriority IS NOT NULL),
+        |db AS (SELECT DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN '1-TOP' ELSE o_orderpriority END AS v FROM orders
+        | WHERE o_orderkey % 2 = 1 AND o_orderpriority IS NOT NULL),
+        |j AS (SELECT da.v AS va, db.v AS vb
+        | FROM da FULL OUTER JOIN db ON da.v = db.v)
+        |SELECT
+        | CAST(sum(CASE WHEN va IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS distinct_a,
+        | CAST(sum(CASE WHEN vb IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS distinct_b,
+        | CAST(sum(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+        | CAST(sum(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS new_in_b,
+        | CAST(sum(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS lost_from_a,
+        | CAST(sum(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(sum(CASE WHEN va IS NOT NULL THEN 1 ELSE 0 END) +
+        |   sum(CASE WHEN vb IS NOT NULL THEN 1 ELSE 0 END) -
+        |   sum(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS jaccard
+        |FROM j""".stripMargin,
+
+    "q310_palma" ->
+      """WITH cr AS (SELECT o_custkey AS id,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS y
+        | FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |r AS (SELECT id, y, row_number() OVER (ORDER BY y, id) AS g
+        | FROM cr WHERE y >= 0),
+        |s AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS t
+        | FROM cr WHERE y >= 0),
+        |a AS (SELECT max(n) AS n, max(t) AS total,
+        |  CAST(sum(CASE WHEN g * 10 <= n * 4 THEN y ELSE 0 END)
+        |   AS BIGINT) AS b40,
+        |  CAST(sum(CASE WHEN g * 10 > n * 9 THEN y ELSE 0 END)
+        |   AS BIGINT) AS t10
+        | FROM r CROSS JOIN s)
+        |SELECT n, total, b40 AS bottom40_value, t10 AS top10_value,
+        | CAST(CAST(b40 AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(total AS VARCHAR) AS DOUBLE) AS bottom40_share,
+        | CAST(CAST(t10 AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(total AS VARCHAR) AS DOUBLE) AS top10_share,
+        | CASE WHEN b40 = 0 THEN NULL
+        |  ELSE CAST(CAST(t10 AS VARCHAR) AS DOUBLE) /
+        |   CAST(CAST(b40 AS VARCHAR) AS DOUBLE) END AS palma
+        |FROM a""".stripMargin,
 
     "t286_js_divergence" ->
       """WITH posts AS (

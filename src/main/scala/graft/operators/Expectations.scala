@@ -907,4 +907,37 @@ object Expectations {
           .otherwise(col("orphan_rows").cast("double") /
             col("child_rows").cast("double")).as("orphan_rate"))
   }
+
+  /** Category-set drift between two snapshots of a categorical column
+    * — [[schemaDrift]]'s value-level companion: which categories are
+    * NEW in b, which VANISHED from a, how large the shared core is,
+    * and the set Jaccard. A renamed enum value or a dropped upstream
+    * partition shows here while row counts and null rates stay flat.
+    * One row: (distinct_a, distinct_b, shared, new_in_b, lost_from_a,
+    * jaccard).
+    *
+    * Scale: one distinct per side (category-domain-sized), one
+    * full-outer join of the two category sets, one reduce. */
+  def categoryDrift(a: DataFrame, b: DataFrame, column: String)
+      : DataFrame = {
+    val da = a.select(col(column).as("__v")).filter(col("__v").isNotNull)
+      .distinct().withColumn("__ina", lit(1L))
+    val db = b.select(col(column).as("__v")).filter(col("__v").isNotNull)
+      .distinct().withColumn("__inb", lit(1L))
+    da.join(db, Seq("__v"), "full_outer")
+      .agg(sum(coalesce(col("__ina"), lit(0L))).as("distinct_a"),
+        sum(coalesce(col("__inb"), lit(0L))).as("distinct_b"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("shared"),
+        sum(when(col("__ina").isNull, 1L).otherwise(0L)).as("new_in_b"),
+        sum(when(col("__inb").isNull, 1L).otherwise(0L))
+          .as("lost_from_a"))
+      .select(col("distinct_a"), col("distinct_b"), col("shared"),
+        col("new_in_b"), col("lost_from_a"),
+        when(col("distinct_a") + col("distinct_b") - col("shared") === 0,
+            lit(null).cast("double"))
+          .otherwise(col("shared").cast("double") /
+            (col("distinct_a") + col("distinct_b") - col("shared"))
+              .cast("double")).as("jaccard"))
+  }
 }

@@ -405,6 +405,7 @@ object Skew {
     // fan the one aggregate row out to `points` rows via posexplode —
     // a per-point union would paste `points` copies of the WHOLE
     // aggregation plan (measured 130 exchanges at points = 10)
+    // (see also palmaRatio, which reads two fixed prefix cuts)
     one.select(col("__t"), posexplode(arrays_zip(
         array((1 to points).map(i => col(s"__u$i")): _*),
         array((1 to points).map(i => col(s"__c$i")): _*)))
@@ -416,5 +417,47 @@ object Skew {
         col("__z").getField("1").cast("bigint").as("cum_value"),
         (dbl(col("__z").getField("1")) / dbl(col("__t")))
           .as("value_share"))
+  }
+
+  /** Palma ratio — top-10% share over bottom-40% share, the
+    * inequality headline that reads the two Lorenz tails directly
+    * (more interpretable than Gini when the middle is stable, the
+    * development-economics standard): units rank ascending by
+    * (value, id); bottom-40% = ranks with `grank·10 ≤ 4·n`, top-10% =
+    * ranks with `grank·10 > 9·n` (integer cross-multiplication — no
+    * division touches a row). Both masses are exact decimals; the
+    * shares and the ratio are fixed double expressions. `palma` is
+    * NULL when the bottom mass is 0 (the ratio diverges). One row:
+    * (n, total, bottom40_value, top10_value, bottom40_share,
+    * top10_share, palma).
+    *
+    * Scale: one [[graft.operators.Linkage.globalRank]] pass + ONE
+    * aggregate with two conditional sums. */
+  def palmaRatio(df: DataFrame, idCol: String, value: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val ranked = graft.operators.Linkage.globalRank(
+      df.select(col(idCol).as("__id"), value.cast("long").as("__y"))
+        .filter(col("__y").isNotNull && col("__y") >= 0),
+      "__id", col("__y"))
+    val stats = ranked.agg(count(lit(1)).as("__n"),
+      sum(d19(col("__y"))).cast("decimal(28,0)").as("__t"))
+    ranked.crossJoin(broadcast(stats))
+      .agg(first(col("__n")).as("n"),
+        first(col("__t")).cast("bigint").as("total"),
+        sum(when(col("grank") * 10 <= col("__n") * 4, d19(col("__y")))
+          .otherwise(d19(lit(0)))).cast("decimal(28,0)").as("__b40"),
+        sum(when(col("grank") * 10 > col("__n") * 9, d19(col("__y")))
+          .otherwise(d19(lit(0)))).cast("decimal(28,0)").as("__t10"),
+        first(col("__t")).as("__tt"))
+      .select(col("n"), col("total"),
+        col("__b40").cast("bigint").as("bottom40_value"),
+        col("__t10").cast("bigint").as("top10_value"),
+        (dbl(col("__b40")) / dbl(col("__tt"))).as("bottom40_share"),
+        (dbl(col("__t10")) / dbl(col("__tt"))).as("top10_share"),
+        when(col("__b40") === 0, lit(null).cast("double"))
+          .otherwise(dbl(col("__t10")) / dbl(col("__b40")))
+          .as("palma"))
   }
 }

@@ -1441,4 +1441,37 @@ class DataOpsSpec extends SparkTestBase {
       Seq(1L, 2L).toDF("fk"), col("fk"), parent, col("pk")).head()
     assert(clean.getLong(2) === 0L && clean.getDouble(4) === 0.0)
   }
+
+  test("categoryDrift: new, lost and shared categories exact; jaccard " +
+      "over the union") {
+    val a = Seq("x", "x", "y", "z").toDF("c")
+    val b = Seq("x", "y", "w").toDF("c")
+    val got = Expectations.categoryDrift(a, b, "c").head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) === ((3L, 3L, 2L, 1L, 1L)))
+    assert(got.getDouble(5) === 2.0 / 4.0)
+    // identical snapshots: jaccard 1, nothing new or lost
+    val same = Expectations.categoryDrift(a, a, "c").head()
+    assert(same.getLong(3) === 0L && same.getLong(4) === 0L &&
+      same.getDouble(5) === 1.0)
+  }
+
+  test("palmaRatio: hand-built tails, bottom-40 zero mass gives NULL, " +
+      "partitioning-invariant") {
+    // 10 units 1..10 ascending: bottom-40% = ranks 1..4 (1+2+3+4=10),
+    // top-10% = rank 10 (10); total 55 -> palma 1.0
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    val got = Skew.palmaRatio(df, "id", col("v")).head()
+    assert(got.getLong(0) === 10L && got.getLong(1) === 55L)
+    assert(got.getLong(2) === 10L && got.getLong(3) === 10L)
+    assert(got.getDouble(6) === 1.0)
+    val re = Skew.palmaRatio(df.repartition(7), "id", col("v")).head()
+    assert(re.getDouble(6) === 1.0)
+    // bottom 40% all zeros -> palma NULL, shares still defined
+    val zeros = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 5L), (9L, 5L), (10L, 5L))
+      .toDF("id", "v")
+    val z = Skew.palmaRatio(zeros, "id", col("v")).head()
+    assert(z.isNullAt(6) && z.getDouble(4) === 0.0)
+  }
 }
