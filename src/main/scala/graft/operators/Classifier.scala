@@ -365,7 +365,8 @@ object Classifier {
   }
 
   /** Reliability-diagram bins for a [0,1] score: rows land in
-    * `least(floor(score·bins), bins−1)`, and each bin reports its
+    * `least(greatest(floor(score·bins), 0), bins−1)` — out-of-domain
+    * scores clamp into the edge bins — and each bin reports its
     * size, positives, mean predicted score and observed positive rate.
     * Numerics: scores fold as exact `floor(score·10⁶ + 0.5)`
     * micro-integers (order-free sums); mean_pred and frac_pos are ONE
@@ -381,7 +382,12 @@ object Classifier {
         label.cast("boolean").as("__y"))
       .filter(col("__v").isNotNull && !isnan(col("__v")) &&
         col("__y").isNotNull)
-      .groupBy(least(floor(col("__v") * bins), lit(bins - 1L))
+      // out-of-domain scores clamp into the EDGE bins (scores < 0 to
+      // bin 0, ≥ 1 to bins−1) — same convention as streamHistogram and
+      // prCurve, so a mis-scaled scorer is visible in edge-bin mass
+      // instead of emitting negative bins or silently dropping rows
+      .groupBy(least(greatest(floor(col("__v") * bins), lit(0L)),
+          lit(bins - 1L))
         .cast("bigint").as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
@@ -446,7 +452,8 @@ object Classifier {
     * `score ≥ i/points` and the derived precision/recall/F1.
     *
     * Exactness without per-threshold float compares: scores land in
-    * `least(floor(score·points), points−1)` grid bins ONCE, then
+    * `least(greatest(floor(score·points), 0), points−1)` grid bins
+    * ONCE (out-of-domain scores clamp into the edge bins), then
     * every threshold's TP/FP is a reverse-cumulative integer sum over
     * the ≤ points-row bin table (`score ≥ i/points ⟺ bin ≥ i` — the
     * bin edges ARE the thresholds, so no division ever meets a row).
@@ -468,7 +475,11 @@ object Classifier {
         label.cast("boolean").as("__y"))
       .filter(col("__v").isNotNull && !isnan(col("__v")) &&
         col("__y").isNotNull)
-      .groupBy(least(floor(col("__v") * points), lit(points - 1L))
+      // clamp below as well as above: a score < 0 lands in bin 0 (it is
+      // below every threshold, so it counts against recall denominators
+      // exactly like a 0.0 score) instead of vanishing from the sweep
+      .groupBy(least(greatest(floor(col("__v") * points), lit(0L)),
+          lit(points - 1L))
         .cast("bigint").as("__b"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))

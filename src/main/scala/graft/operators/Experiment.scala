@@ -580,12 +580,20 @@ object Experiment {
     def dbl(c: Column): Column = c.cast("string").cast("double")
     val base = df
       .select(col(variantCol).as("variant"),
-        floor(metric.cast("double") * 1000000.0 + 0.5).cast("long")
-          .as("__y"),
-        floor(covariate.cast("double") * 1000000.0 + 0.5).cast("long")
-          .as("__x"))
+        metric.cast("double").as("__ym"),
+        covariate.cast("double").as("__xm"))
+      // NaN/Inf must be excluded BEFORE quantizing: a non-ANSI
+      // CAST(NaN AS LONG) is 0 and CAST(Inf) saturates, which would
+      // silently corrupt theta — same exclusion convention as the
+      // Classifier/Expectations eval family
       .filter(col("variant").isNotNull &&
-        col("__y").isNotNull && col("__x").isNotNull)
+        col("__ym").isNotNull && !isnan(col("__ym")) &&
+        col("__xm").isNotNull && !isnan(col("__xm")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity) &&
+        abs(col("__xm")) < lit(Double.PositiveInfinity))
+      .select(col("variant"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"),
+        floor(col("__xm") * 1000000.0 + 0.5).cast("long").as("__x"))
       .localCheckpoint(eager = false) // pooled + per-variant consumers
     val pooled = base.agg(
       count(lit(1)).as("__n"),
@@ -647,8 +655,19 @@ object Experiment {
       .groupBy(col(variantCol).as("variant"))
       .agg(count(lit(1)).as("n"),
         sum(when(converted, 1L).otherwise(0L)).as("conv"))
-    val ctrl = counts.filter(col("variant") === control)
-      .select(col("n").as("__n0"), col("conv").as("__c0"))
+    // The control row is built with an ALWAYS-1-row aggregate (not a
+    // filter): a typo'd control name then surfaces as a raise_error the
+    // first time a row evaluates, instead of an empty crossJoin reading
+    // as "no data". The error expression rides __n0 itself so column
+    // pruning cannot drop it.
+    val ctrl = counts.agg(
+        max(when(col("variant") === control, col("n"))).as("__n0r"),
+        max(when(col("variant") === control, col("conv"))).as("__c0"))
+      .select(
+        when(col("__n0r").isNull, raise_error(lit(
+            s"powerMde: control variant '$control' matches no rows")))
+          .otherwise(col("__n0r")).as("__n0"),
+        col("__c0"))
     val p0 = col("__c0").cast("double") / col("__n0").cast("double")
     val mdeAbs = lit(zSum) * sqrt(p0 * (lit(1.0) - p0) *
       (lit(1.0) / col("__n0").cast("double") +

@@ -283,4 +283,23 @@ class ClassifierSpec extends SparkTestBase {
     assert(rows(3).isNullAt(4))    // no predicted positives at 0.75
     assert(rows(3).getDouble(6) === 0.0) // f1 = 0 (fn > 0)
   }
+
+  test("out-of-domain scores clamp into edge bins (prCurve keeps the " +
+      "rows, calibrationBins emits no negative bin)") {
+    // a score of -0.3 behaves exactly like 0.0; 1.7 like 1.0
+    val oob = Seq((-0.3, false), (0.55, true), (1.7, true))
+      .toDF("s", "y")
+    val pr = Classifier.prCurve(oob, $"s", $"y", points = 2)
+      .orderBy("threshold").collect()
+    // t=0.0: all 3 predicted positive (the -0.3 row is NOT dropped)
+    assert(pr(0).getLong(1) === 2L && pr(0).getLong(2) === 1L)
+    // t=0.5: bin>=1 = {0.55, 1.7} -> tp 2 fp 0
+    assert(pr(1).getLong(1) === 2L && pr(1).getLong(2) === 0L)
+    // recall denominator includes every positive
+    assert(pr(1).getDouble(5) === 1.0)
+    val cal = Classifier.calibrationBins(oob, $"s", $"y", bins = 10)
+      .orderBy("bin").collect()
+    assert(cal.map(_.getLong(0)).toSeq === Seq(0L, 5L, 9L))
+    assert(cal.forall(_.getLong(0) >= 0L))
+  }
 }

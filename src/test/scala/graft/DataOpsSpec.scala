@@ -1358,6 +1358,35 @@ class DataOpsSpec extends SparkTestBase {
     val re = Experiment.cuped(df.repartition(7), col("y"), col("x"),
       "variant").orderBy("variant").collect()
     assert(re.map(_.getDouble(4)).toSeq === got.map(_.getDouble(4)).toSeq)
+    // NaN/Inf rows are excluded, not quantized to 0 / saturation: the
+    // result over {clean rows + NaN metric + Inf covariate} equals the
+    // result over the clean rows alone
+    val dirty = df.unionByName(Seq(("a", Double.NaN, 1.0),
+      ("b", 3.0, Double.PositiveInfinity)).toDF("variant", "y", "x"))
+    val cleaned = Experiment.cuped(dirty, col("y"), col("x"), "variant")
+      .orderBy("variant").collect()
+    assert(cleaned.map(_.getLong(1)).toSeq === got.map(_.getLong(1)).toSeq)
+    assert(cleaned.map(_.getDouble(4)).toSeq ===
+      got.map(_.getDouble(4)).toSeq)
+  }
+
+  test("powerMde: a typo'd control name raises instead of returning " +
+      "an empty frame") {
+    val df = Seq(("control", true), ("control", false),
+      ("treat", true), ("treat", true)).toDF("variant", "converted")
+    // the happy path still returns every variant
+    val ok = Experiment.powerMde(df, "variant", col("converted"),
+      control = "control").orderBy("variant").collect()
+    assert(ok.length === 2)
+    assert(ok(0).isNullAt(4)) // control row carries NULL MDEs
+    assert(!ok(1).isNullAt(4))
+    val err = intercept[Exception] {
+      Experiment.powerMde(df, "variant", col("converted"),
+        control = "contorl").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(err).contains("contorl"))
   }
 
   test("theilIndex: 0 for perfect equality, ln(n) for total " +
