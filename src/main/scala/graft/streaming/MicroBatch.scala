@@ -666,141 +666,214 @@ object MicroBatch {
         .otherwise((n * sxy - sx * sy) / sqrt(vx * vy)).as("corr"))
   }
 
-  /** Shared incremental fold for the value-count state family. The
-    * state directory is HASH-BUCKETED by value —
-    * `dir/bucket=<pmod(xxhash64(__v), buckets)>/version=<batchId>` —
-    * and a micro-batch rewrites ONLY the buckets its delta touches;
-    * untouched buckets keep their older version and readers resolve
-    * latest-per-bucket ([[currentCountState]]). That makes per-batch
-    * state I/O proportional to `(state/buckets)·touchedBuckets +
-    * delta`, not O(full state): with a continuous value domain at
-    * 100 TB the state is every distinct value ever seen, and the
-    * previous full-snapshot-per-batch design re-read and re-wrote all
-    * of it on every micro-batch. Publication is stage-then-rename
-    * (ONE Spark job writes all touched buckets partitioned by
-    * `__b`, then each partition dir is renamed into place — the
-    * Hadoop metadata-only commit primitive), and a replayed batch
-    * merges against versions `< batchId` per bucket and overwrites
-    * its own version, so the fold stays replay-idempotent.
+  /** Shared incremental fold for the value-count state family — an
+    * LSM-shaped segment log. Each micro-batch appends ONE delta
+    * segment (`dir/seg=<batchId>`: the batch's pre-aggregated
+    * (keys → count) rows) and commits by writing ONE small manifest
+    * object (`dir/_manifests/m<batchId>.json`: the list of live
+    * segment ids, written AFTER the segment data is complete).
+    * Readers resolve state ONLY through the latest manifest and merge
+    * the listed segments with a count-sum ([[currentCountState]]) —
+    * they never list data paths. Per-batch state I/O on the hot path
+    * is therefore O(delta): nothing pre-existing is read, rewritten,
+    * or renamed. (The r12 design hash-bucketed the state and rewrote
+    * the touched buckets per batch; for a hash-distributed value
+    * domain EVERY batch touches every bucket, so it degraded to a
+    * full-state rewrite per batch — the 2–3× lens regression the r12
+    * verdict flagged. The segment log writes the delta regardless of
+    * how the domain hashes.)
+    *
+    * Every `compactEvery` appended segments the fold COMPACTS: the
+    * merged (prior segments ∪ delta) state writes as ONE new segment
+    * and the manifest shrinks to that single id — amortized
+    * O(state/compactEvery) per batch, and reads stay at most
+    * `compactEvery` segments wide. Object-store semantics: segment
+    * data lands at immutable final paths (never renamed into place)
+    * and the commit point is a single manifest PUT — atomic on
+    * S3-class stores, where directory rename is a non-atomic O(bytes)
+    * copy (SCALE.md "commit-protocol semantics by filesystem").
+    *
+    * Replay-idempotence: a replayed batch resolves the latest
+    * manifest with id `< batchId`, overwrites its OWN segment and
+    * manifest, and a prior crash's orphaned segment (written, never
+    * referenced — the crash preceded the manifest PUT) is simply
+    * overwritten. After a successful commit, manifests older than the
+    * replay horizon (the immediately prior manifest) and segments
+    * referenced by neither surviving manifest are deleted, bounding
+    * storage at ~2× live state. Readers racing that GC can retry —
+    * this is a monitoring-lens store, not a serving store.
     *
     * `maxStateRows` is the bounded-domain guard: exact value-granular
     * state over an unbounded continuous domain is a misuse at scale
-    * (route those to the KLL/HLL sketch state, t128/t80); when the
-    * TOTAL distinct state-row count would exceed the bound the batch
-    * fails fast with a clear error instead of collapsing into
-    * ever-growing I/O. The untouched-bucket side of that total is a
-    * parquet metadata-only count (footer row counts, no data read).
+    * (route those to [[streamHistogram]] or the KLL/HLL sketch state,
+    * t128/t80). The common-path check is footer-only (Σ segment
+    * parquet row counts + delta rows — an UPPER bound on distinct
+    * state rows, parquet metadata, no data read); only when that
+    * bound is crossed does the fold pay an exact merged count
+    * (compacting in the same pass, since the merge is in hand), and
+    * it fails BEFORE any write, so a rejected batch publishes
+    * nothing.
     *
     * `batch` arrives pre-projected: a `__v` DOUBLE column (non-NULL,
     * non-NaN) plus optional extra key columns (`__g`). */
-  private def foldBucketedValueCounts(batch: DataFrame, batchId: Long,
-      dir: String, keys: Seq[String], buckets: Int,
+  private def foldCountSegments(batch: DataFrame, batchId: Long,
+      dir: String, keys: Seq[String], compactEvery: Int,
       maxStateRows: Option[Long]): Unit = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(compactEvery > 0,
+      s"compactEvery must be positive, got $compactEvery")
     val spark = batch.sparkSession
-    val bucketOf = pmod(xxhash64(col("__v")), lit(buckets.toLong))
     val delta = batch
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .withColumn("__b", bucketOf)
       .persist()
     var merged: DataFrame = null
     try {
-      val touched = delta.select(col("__b")).distinct()
-        .collect().map(_.getLong(0)).sorted // ≤ buckets rows
-      if (touched.isEmpty) return // empty delta: state already current
-      val priorPaths = touched.toSeq.flatMap { b =>
-        latestRollupVersion(spark, s"$dir/bucket=$b",
-            beforeExclusive = Some(batchId))
-          .map(v => s"$dir/bucket=$b/version=$v")
-      }
-      merged =
-        if (priorPaths.isEmpty) delta
-        else spark.read.parquet(priorPaths: _*).withColumn("__b", bucketOf)
-          .unionByName(delta)
-          .groupBy((keys :+ "__b").map(col): _*)
-          .agg(sum(col("__n")).as("__n"))
+      val deltaRows = delta.count()
+      if (deltaRows == 0L) return // empty delta: state already current
+      val prior = latestCountManifest(dir, beforeExclusive = Some(batchId))
+      val priorSegs = prior.map(_._2).getOrElse(Seq.empty)
+      def segPath(id: Long) = s"$dir/seg=$id"
+      // footer-only row total of the prior segments (parquet metadata)
+      lazy val priorFooterRows: Long =
+        if (priorSegs.isEmpty) 0L
+        else spark.read.parquet(priorSegs.map(segPath): _*).count()
+      var compact = priorSegs.size + 1 >= compactEvery
       maxStateRows.foreach { bound =>
-        merged.persist()
-        val untouchedPaths = bucketLatestPaths(spark, dir,
-            beforeExclusive = Some(batchId))
-          .filter { case (b, _) => !touched.contains(b) }.map(_._2)
-        val untouchedRows = if (untouchedPaths.isEmpty) 0L
-          else spark.read.parquet(untouchedPaths: _*).count() // footers only
-        val total = merged.count() + untouchedRows
-        if (total > bound) throw new IllegalStateException(
-          s"value-count state under $dir would reach $total distinct " +
-          s"rows (> maxStateRows=$bound): the value domain is not " +
-          "bounded — use sketch state (KLL quantiles / HLL distinct) " +
-          "for continuous domains instead of exact value counts")
+        if (!compact && priorFooterRows + deltaRows > bound)
+          compact = true // upper bound crossed: get the exact count
       }
-      val stage = s"$dir/.stage=$batchId"
-      // bucket-aligned repartition BEFORE partitionBy: without it every
-      // shuffle task writes a file per bucket it sees (up to
-      // tasks × buckets small files per batch — measured 2–3× slower
-      // replay at sf0.1 from file-count alone); with it each bucket's
-      // rows land in one task → ~one file per touched bucket
-      merged.repartition(col("__b"))
-        .write.partitionBy("__b").mode("overwrite").parquet(stage)
-      touched.foreach { b =>
-        val parent = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
-        graft.sources.Fs.mkdirs(parent)
-        val dst = new org.apache.hadoop.fs.Path(
-          s"$dir/bucket=$b/version=$batchId")
-        if (graft.sources.Fs.exists(dst)) graft.sources.Fs.delete(dst)
-        graft.sources.Fs.rename(
-          new org.apache.hadoop.fs.Path(s"$stage/__b=$b"), dst)
+      if (compact && priorSegs.nonEmpty) {
+        merged = spark.read.parquet(priorSegs.map(segPath): _*)
+          .unionByName(delta)
+          .groupBy(keys.map(col): _*).agg(sum(col("__n")).as("__n"))
+          .persist()
       }
-      graft.sources.Fs.delete(new org.apache.hadoop.fs.Path(stage))
+      val outRows = maxStateRows match {
+        case Some(bound) =>
+          val exact = if (merged ne null) merged.count() else deltaRows
+          if (exact > bound) throw new IllegalStateException(
+            s"value-count state under $dir would reach $exact distinct " +
+            s"rows (> maxStateRows=$bound): the value domain is not " +
+            "bounded — use streamHistogram (bounded bins) or sketch " +
+            "state (KLL quantiles / HLL distinct) for continuous " +
+            "domains instead of exact value counts")
+          exact
+        case None =>
+          if (merged ne null) priorFooterRows + deltaRows // upper bound
+          else deltaRows
+      }
+      // segment file sizing from the (upper-bound) row count: counts
+      // rows are ~tens of bytes, target ~4M rows/file, cap the fan-out
+      val files = math.max(1L, math.min(256L,
+        (outRows + 3999999L) / 4000000L)).toInt
+      val out = if (merged ne null) merged else delta
+      out.repartition(files).write.mode("overwrite").parquet(segPath(batchId))
+      val newSegs = if (merged ne null) Seq(batchId)
+        else priorSegs :+ batchId
+      writeCountManifest(dir, batchId, newSegs) // the commit point
+      // GC past the replay horizon: keep the prior manifest (a replay
+      // of THIS batch resolves it) and the one just committed; drop
+      // older manifests and any segment neither survivor references
+      val keepManifests = prior.map(_._1).toSet + batchId
+      val keepSegs = priorSegs.toSet ++ newSegs
+      val mDir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+      val fs = graft.sources.Fs.of(mDir)
+      fs.listStatus(mDir).foreach { st =>
+        st.getPath.getName match {
+          case CountManifestRe(id) if !keepManifests.contains(id.toLong) =>
+            graft.sources.Fs.delete(st.getPath)
+          case _ =>
+        }
+      }
+      val root = new org.apache.hadoop.fs.Path(dir)
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("seg=") &&
+            !keepSegs.contains(n.stripPrefix("seg=").toLong))
+          graft.sources.Fs.delete(st.getPath)
+      }
     } finally {
       delta.unpersist()
       if (merged ne null) merged.unpersist()
     }
   }
 
-  /** Latest published (bucket, path) per state bucket under `dir`,
-    * optionally ignoring versions at/after `beforeExclusive`. */
-  private def bucketLatestPaths(spark: SparkSession, dir: String,
-      beforeExclusive: Option[Long]): Seq[(Long, String)] = {
+  private val CountManifestRe = "m(\\d+)\\.json".r
+
+  /** Latest committed (manifestId, segmentIds) under `dir`, optionally
+    * ignoring manifests at/after `beforeExclusive` (replay reads the
+    * pre-batch state). Fails loudly on an r12 bucketed-layout
+    * directory instead of silently reading nothing. */
+  private def latestCountManifest(dir: String,
+      beforeExclusive: Option[Long]): Option[(Long, Seq[Long])] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = graft.sources.Fs.of(root)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
-      .flatMap { st =>
-        val b = st.getPath.getName.stripPrefix("bucket=").toLong
-        latestRollupVersion(spark, st.getPath.toString, beforeExclusive)
-          .map(v => b -> s"${st.getPath.toString}/version=$v")
-      }
+    if (fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("bucket=")))
+      throw new IllegalStateException(
+        s"$dir holds pre-r13 bucketed value-count state (bucket=*/" +
+        "version=*); the segment-log layout cannot resume it — " +
+        "recompute the state into a fresh directory")
+    val mDir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+    if (!fs.exists(mDir)) return None
+    val ids = fs.listStatus(mDir).toSeq.map(_.getPath.getName).collect {
+      case CountManifestRe(id) => id.toLong
+    }.filter(id => beforeExclusive.forall(id < _))
+    if (ids.isEmpty) None
+    else {
+      val id = ids.max
+      val txt = graft.sources.Fs.readString(
+        new org.apache.hadoop.fs.Path(mDir, s"m$id.json"))
+      val segs = "\"segments\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+          throw new IllegalStateException(
+            s"malformed count-state manifest $dir/_manifests/m$id.json"))
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      Some(id -> segs)
+    }
   }
 
-  /** The current full value-count state of a bucketed fold directory:
-    * the union of every bucket's latest published version. */
+  private def writeCountManifest(dir: String, batchId: Long,
+      segments: Seq[Long]): Unit = {
+    graft.sources.Fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
+    graft.sources.Fs.writeString(
+      new org.apache.hadoop.fs.Path(s"$dir/_manifests/m$batchId.json"),
+      s"""{"batchId":$batchId,"segments":[${segments.mkString(",")}]}""")
+  }
+
+  /** The current full value-count state of a segment-log fold
+    * directory: the latest manifest's segments merged with a
+    * count-sum (a single committed segment — post-compaction or the
+    * first batch — is already key-unique and skips the merge). */
   private def currentCountState(spark: SparkSession, dir: String,
       what: String): DataFrame = {
-    val paths = bucketLatestPaths(spark, dir, beforeExclusive = None)
-      .map(_._2)
-    if (paths.isEmpty) throw new IllegalStateException(
-      s"no $what versions under $dir")
-    spark.read.parquet(paths: _*)
+    val (_, segs) = latestCountManifest(dir, beforeExclusive = None)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed $what state under $dir"))
+    val df = spark.read.parquet(segs.map(id => s"$dir/seg=$id"): _*)
+    if (segs.size == 1) df
+    else {
+      val keys = df.columns.filterNot(_ == "__n").toSeq
+      df.groupBy(keys.map(col): _*).agg(sum(col("__n")).as("__n"))
+    }
   }
 
   /** Streaming distribution-drift maintenance: micro-batches of a
     * numeric column fold ADDITIVELY into persisted per-value counts
-    * (hash-bucketed `bucket=b/version=batchId` snapshots — see
-    * [[foldBucketedValueCounts]] — replay-idempotent, per-batch I/O
-    * proportional to the delta's buckets, not the full state), so
-    * "has the live distribution drifted from the reference?" is
-    * answerable at any moment WITHOUT rescanning history. Read the
-    * current empirical distribution with [[readValueCounts]] and
-    * score it with [[graft.operators.Expectations.ksDrift]] against
-    * the frozen reference — the result must equal batch KS on the
-    * union of all batches exactly. Per-batch cost: one value-keyed
-    * count aggregate + a touched-buckets-sized merge; NULL/NaN
-    * excluded (PSI/KS's convention). `maxStateRows` fail-fasts a
-    * continuous-domain misuse (see [[foldBucketedValueCounts]]). */
+    * (a manifest-committed segment log — see [[foldCountSegments]] —
+    * replay-idempotent, per-batch I/O O(delta), compacted every
+    * `compactEvery` batches), so "has the live distribution drifted
+    * from the reference?" is answerable at any moment WITHOUT
+    * rescanning history. Read the current empirical distribution with
+    * [[readValueCounts]] and score it with
+    * [[graft.operators.Expectations.ksDrift]] against the frozen
+    * reference — the result must equal batch KS on the union of all
+    * batches exactly. Per-batch cost: one value-keyed count aggregate
+    * + one delta-segment write + one manifest PUT; NULL/NaN excluded
+    * (PSI/KS's convention). `maxStateRows` fail-fasts a
+    * continuous-domain misuse (see [[foldCountSegments]]). */
   def streamValueCounts(stream: DataFrame, dir: String,
       valueCol: String, cfg: IngestConfig = IngestConfig(),
-      buckets: Int = 32, maxStateRows: Option[Long] = None)
+      compactEvery: Int = 8, maxStateRows: Option[Long] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .trigger(cfg.trigger)
@@ -808,8 +881,8 @@ object MicroBatch {
         val delta = batch
           .select(col(valueCol).cast("double").as("__v"))
           .filter(col("__v").isNotNull && !isnan(col("__v")))
-        foldBucketedValueCounts(delta, batchId, dir, Seq("__v"),
-          buckets, maxStateRows)
+        foldCountSegments(delta, batchId, dir, Seq("__v"),
+          compactEvery, maxStateRows)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -820,13 +893,17 @@ object MicroBatch {
     * `maxStateRows` guard points continuous domains at): values map to
     * `least(greatest(floor((v−lo)/w), 0), bins−1)` with
     * `w = (hi−lo)/bins`, and the bin counts fold additively through
-    * the same bucketed state as [[streamValueCounts]] — state is AT
-    * MOST `bins` rows by construction, per-batch I/O is
+    * the same segment-log state as [[streamValueCounts]] — state is
+    * AT MOST `bins` rows by construction, per-batch I/O is
     * delta-proportional, replay is idempotent. Read quantile
     * estimates (bin-resolution, exact cumulative counts) with
     * [[readHistogramQuantiles]]. NULL/NaN excluded; out-of-range
-    * values clamp into the edge bins (count them upstream if
-    * clamping must be visible). */
+    * values clamp into the edge bins AND are tallied separately (a
+    * clamp-tag key column `__c` ∈ {-1, 0, 1} rides the state, ≤
+    * bins+2 rows total), so a mis-guessed [lo, hi) is VISIBLE through
+    * [[readHistogramClamps]] instead of silently piling mass into the
+    * edge bins. Fit the range from a seed sample with
+    * [[fitHistogramRange]]. */
   def streamHistogram(stream: DataFrame, dir: String, valueCol: String,
       lo: Double, hi: Double, bins: Int,
       cfg: IngestConfig = IngestConfig())
@@ -838,18 +915,66 @@ object MicroBatch {
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val width = (hi - lo) / bins
+        val rawBin = floor((col("__raw") - lo) / width)
         val delta = batch
           .select(col(valueCol).cast("double").as("__raw"))
           .filter(col("__raw").isNotNull && !isnan(col("__raw")))
-          .select(least(greatest(
-              floor((col("__raw") - lo) / width), lit(0L)),
-            lit(bins - 1L)).cast("double").as("__v"))
-        foldBucketedValueCounts(delta, batchId, dir, Seq("__v"),
-          buckets = 32, maxStateRows = Some(bins.toLong))
+          .select(
+            least(greatest(rawBin, lit(0L)), lit(bins - 1L))
+              .cast("double").as("__v"),
+            when(rawBin < 0L, lit(-1)).when(rawBin > bins - 1L, lit(1))
+              .otherwise(lit(0)).as("__c"))
+        foldCountSegments(delta, batchId, dir, Seq("__v", "__c"),
+          compactEvery = 8, maxStateRows = Some(bins.toLong + 2L))
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
+
+  /** Fit a [[streamHistogram]] [lo, hi) range from a SEED SAMPLE (one
+    * batch-mode aggregate): the central `coverage` mass's
+    * percentile-approx bounds, padded by `pad`·spread on each side —
+    * the cold-start helper that replaces a guessed range. A degenerate
+    * sample (constant column) pads by max(1, |v|·pad) so hi > lo
+    * always holds. Out-of-range live values still clamp (and are
+    * counted — [[readHistogramClamps]]); this only makes the initial
+    * guess principled. */
+  def fitHistogramRange(sample: DataFrame, valueCol: String,
+      coverage: Double = 0.99, pad: Double = 0.10): (Double, Double) = {
+    require(coverage > 0.0 && coverage <= 1.0,
+      s"coverage must be in (0, 1], got $coverage")
+    require(pad >= 0.0, s"pad must be non-negative, got $pad")
+    val tail = (1.0 - coverage) / 2.0
+    val v = col(valueCol).cast("double")
+    val row = sample.filter(v.isNotNull && !isnan(v))
+      .agg(percentile_approx(v,
+          array(lit(tail), lit(1.0 - tail)), lit(10000)).as("p"))
+      .head
+    if (row.isNullAt(0)) throw new IllegalArgumentException(
+      s"fitHistogramRange: the seed sample has no non-NULL/NaN " +
+      s"'$valueCol' values")
+    val ps = row.getSeq[Double](0)
+    val (pl, ph) = (ps.head, ps.last)
+    val spread = ph - pl
+    val padAbs =
+      if (spread > 0.0) spread * pad
+      else math.max(1.0, math.abs(pl) * math.max(pad, 0.01))
+    (pl - padAbs, ph + padAbs)
+  }
+
+  /** Clamped-mass counters of a [[streamHistogram]] directory: how
+    * many folded values fell below lo / at-or-above hi (they were
+    * clamped into the edge bins for the quantile view). Non-zero
+    * counts are the misconfigured-range alarm. Returns ONE row
+    * (n_below, n_above, n_total). */
+  def readHistogramClamps(spark: SparkSession, dir: String): DataFrame =
+    currentCountState(spark, dir, "histogram")
+      .agg(
+        sum(when(col("__c") === -1, col("__n")).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("__c") === 1, col("__n")).otherwise(0L))
+          .as("n_above"),
+        sum(col("__n")).as("n_total"))
 
   /** Quantile estimates over a [[streamHistogram]] directory: for each
     * requested quantile q, the FIRST bin whose cumulative count
@@ -867,8 +992,11 @@ object MicroBatch {
       s"quantiles must be in (0,1], got $qs")
     val d19 = "decimal(19,0)"
     val width = (hi - lo) / bins
+    // merge the clamp tags: clamped mass counts in its edge bin here
+    // (readHistogramClamps surfaces it separately)
     val counts = currentCountState(spark, dir, "histogram")
-      .select(col("__v").cast("long").as("bin"), col("__n"))
+      .groupBy(col("__v").cast("long").as("bin"))
+      .agg(sum(col("__n")).as("__n"))
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts
@@ -909,7 +1037,8 @@ object MicroBatch {
   def readHistogramPsi(spark: SparkSession, dir: String,
       refCounts: DataFrame): DataFrame = {
     val cur = currentCountState(spark, dir, "histogram")
-      .select(col("__v").cast("long").as("bin"), col("__n").as("cur_n"))
+      .groupBy(col("__v").cast("long").as("bin")) // merge clamp tags
+      .agg(sum(col("__n")).as("cur_n"))
     val Array(bc, nc) = refCounts.columns.take(2)
     val ref = refCounts.select(col(bc).cast("long").as("bin"),
       col(nc).cast("long").as("ref_n"))
@@ -929,20 +1058,21 @@ object MicroBatch {
 
   /** Streaming GROUPED value-count maintenance — [[streamValueCounts]]
     * with a group key: micro-batches fold additively into persisted
-    * (group, value, n) counts (hash-bucketed `bucket=b/version=batchId`
-    * snapshots — see [[foldBucketedValueCounts]] — replay-idempotent,
-    * per-batch I/O proportional to the delta's buckets, not the full
-    * state), which is sufficient state for ANY exact order-statistic
-    * read — median, quantiles, trimmed means — per group at any moment
-    * without rescanning history. Read with [[readGroupedMedian]]; the
-    * result must equal the batch statistic on the union of all batches
+    * (group, value, n) counts (a manifest-committed segment log — see
+    * [[foldCountSegments]] — replay-idempotent, per-batch I/O
+    * O(delta), compacted every `compactEvery` batches), which is
+    * sufficient state for ANY exact order-statistic read — median,
+    * quantiles, trimmed means — per group at any moment without
+    * rescanning history. Read with [[readGroupedMedian]]; the result
+    * must equal the batch statistic on the union of all batches
     * exactly. Per-batch cost: one (group, value)-keyed count aggregate
-    * + a touched-buckets-sized merge; NULL/NaN values excluded (the
-    * order-statistic convention). `maxStateRows` fail-fasts a
-    * continuous-domain misuse (see [[foldBucketedValueCounts]]). */
+    * + one delta-segment write + one manifest PUT; NULL/NaN values
+    * excluded (the order-statistic convention). `maxStateRows`
+    * fail-fasts a continuous-domain misuse (see
+    * [[foldCountSegments]]). */
   def streamGroupedValueCounts(stream: DataFrame, dir: String,
       keyCol: String, valueCol: String, cfg: IngestConfig = IngestConfig(),
-      buckets: Int = 32, maxStateRows: Option[Long] = None)
+      compactEvery: Int = 8, maxStateRows: Option[Long] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .trigger(cfg.trigger)
@@ -952,8 +1082,8 @@ object MicroBatch {
             col(valueCol).cast("double").as("__v"))
           .filter(col("__g").isNotNull &&
             col("__v").isNotNull && !isnan(col("__v")))
-        foldBucketedValueCounts(delta, batchId, dir, Seq("__g", "__v"),
-          buckets, maxStateRows)
+        foldCountSegments(delta, batchId, dir, Seq("__g", "__v"),
+          compactEvery, maxStateRows)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w

@@ -1009,50 +1009,68 @@ class StreamingSpec extends SparkTestBase {
     assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
   }
 
-  test("bucketed value-count state: a micro-batch rewrites ONLY the " +
-      "buckets its delta touches (per-batch I/O ∝ delta, not state)") {
-    import org.apache.spark.sql.functions._
+  test("segment-log value-count state: each micro-batch appends ONE " +
+      "delta segment committed by ONE manifest; compaction collapses " +
+      "to a single segment and GCs past the replay horizon") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_strbk")
     val (srcDir, outDir, ckpt) =
       (s"$root/src", s"$root/counts", s"$root/ckpt")
-    val buckets = 8
     val b1 = Seq(10.0, 20.0, 30.0, 40.0)
-    val b2 = Seq(10.0) // touches exactly bucket(10.0)
+    val b2 = Seq(10.0)
+    val b3 = Seq(20.0, 50.0)
     b1.toDF("v").coalesce(1).write.parquet(srcDir)
     b2.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
+    b3.toDF("v").coalesce(1).write.mode("append").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = graft.streaming.MicroBatch.streamValueCounts(stream,
-        outDir, "v", graft.streaming.MicroBatch.IngestConfig(
-          checkpointDir = ckpt, triggerMillis = 0),
-        buckets = buckets)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // expected (bucket -> versions) from the SAME hash the fold uses;
-    // computed per batch so hash collisions can't break the assertion
-    def touchedBy(vs: Seq[Double]): Set[Long] =
-      vs.toDF("v").select(pmod(xxhash64(col("v")), lit(buckets.toLong)))
-        .collect().map(_.getLong(0)).toSet
-    val (t1, t2) = (touchedBy(b1), touchedBy(b2))
-    val expected = (t1.map(_ -> Set(0L)) ++
-      t2.map(b => b -> (if (t1(b)) Set(0L, 1L) else Set(1L)))).toMap
-    val onDisk = new java.io.File(outDir).listFiles.toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map { d =>
-        d.getName.stripPrefix("bucket=").toLong ->
-          d.listFiles.toSeq.filter(_.getName.startsWith("version="))
-            .map(_.getName.stripPrefix("version=").toLong).toSet
-      }.toMap
-    assert(onDisk === expected) // batch 1 rewrote ONLY 10.0's bucket
-    assert(t2.size === 1 && expected.values.count(_.contains(1L)) === 1)
-    // and the merged read is still the exact union of both batches
+    def segsOnDisk = new java.io.File(outDir).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName.stripPrefix("seg=").toLong).sorted
+    def manifests = new java.io.File(s"$outDir/_manifests").listFiles
+      .toSeq.map(_.getName).filterNot(_.startsWith(".")).sorted
+    def run(compactEvery: Int): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamValueCounts(stream,
+          outDir, "v", graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0),
+          compactEvery = compactEvery)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(compactEvery = 3)
+    // batches 0,1 appended delta segments; batch 2 hit the width-3
+    // threshold and compacted: ONE live segment, manifest m2 lists it,
+    // and GC kept only the replay-horizon manifest (m1) plus m2 and
+    // the segments they reference
+    assert(manifests === Seq("m1.json", "m2.json"))
+    val m2 = scala.io.Source.fromFile(
+      s"$outDir/_manifests/m2.json").mkString
+    assert(m2.contains("\"segments\":[2]"))
+    assert(segsOnDisk === Seq(0L, 1L, 2L)) // 0,1 still cited by m1
+    // the merged read is the exact union of all three batches
     val counts = graft.streaming.MicroBatch
       .readValueCounts(spark, outDir)
       .orderBy("value").collect()
       .map(r => (r.getDouble(0), r.getLong(1))).toSeq
-    assert(counts === Seq(10.0 -> 2L, 20.0 -> 1L, 30.0 -> 1L, 40.0 -> 1L))
+    assert(counts === Seq(10.0 -> 2L, 20.0 -> 2L, 30.0 -> 1L,
+      40.0 -> 1L, 50.0 -> 1L))
+    run(compactEvery = 3) // restart: checkpoint replays nothing
+    assert(counts === graft.streaming.MicroBatch
+      .readValueCounts(spark, outDir).orderBy("value").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq)
+  }
+
+  test("segment-log state refuses a pre-r13 bucketed layout loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stroldbk")
+    val outDir = s"$root/counts"
+    Seq((1.0, 2L)).toDF("__v", "__n").write
+      .parquet(s"$outDir/bucket=0/version=0")
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.MicroBatch.readValueCounts(spark, outDir).collect()
+    }
+    assert(ex.getMessage.contains("bucketed value-count state"))
   }
 
   test("maxStateRows guard: exact value-count state over a domain " +
@@ -1078,10 +1096,11 @@ class StreamingSpec extends SparkTestBase {
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
       c.getMessage.contains("maxStateRows")))
-    // nothing was published: the guard fired BEFORE the state swap
+    // nothing was published: the guard fired BEFORE the segment write
+    // and the manifest commit
     val published = new java.io.File(outDir).listFiles
-    assert(published == null || !published.exists(
-      _.getName.startsWith("bucket=")))
+    assert(published == null || !published.exists(f =>
+      f.getName.startsWith("seg=") || f.getName == "_manifests"))
   }
 
   test("streamHistogram: bin counts fold additively across batches; " +
@@ -1114,6 +1133,36 @@ class StreamingSpec extends SparkTestBase {
     // cum(0)=2, cum(1)=3 < 3.5, cum(2)=5 -> bin 2. q=1.0 -> bin 9.
     assert(got.toSeq === Seq(
       (0.5, 2L, 2.0, 3.0, 5L, 7L), (1.0, 9L, 9.0, 10.0, 7L, 7L)))
+    // the clamped mass is VISIBLE, not silently folded away: -5.0
+    // below lo, 99.0 at/above hi
+    val clamps = graft.streaming.MicroBatch
+      .readHistogramClamps(spark, outDir).head
+    assert((clamps.getLong(0), clamps.getLong(1), clamps.getLong(2)) ===
+      ((1L, 1L, 7L)))
+  }
+
+  test("fitHistogramRange: central-coverage percentile bounds padded " +
+      "by the spread; a constant column still yields hi > lo; an " +
+      "empty sample raises") {
+    import spark.implicits._
+    val (lo, hi) = graft.streaming.MicroBatch.fitHistogramRange(
+      (1 to 1000).map(_.toDouble).toDF("v"), "v",
+      coverage = 1.0, pad = 0.10)
+    // full coverage: [1,1000] padded by 0.1·999 on each side
+    assert(lo < 1.0 && lo > 1.0 - 2 * 99.9)
+    assert(hi > 1000.0 && hi < 1000.0 + 2 * 99.9)
+    // trimming coverage tightens the fitted range against outliers
+    val (lo2, hi2) = graft.streaming.MicroBatch.fitHistogramRange(
+      ((1 to 1000).map(_.toDouble) ++ Seq(1e9)).toDF("v"), "v",
+      coverage = 0.98, pad = 0.10)
+    assert(hi2 < 2000.0) // the 1e9 outlier is outside the 99th pct
+    val (c1, c2) = graft.streaming.MicroBatch.fitHistogramRange(
+      Seq(5.0, 5.0, 5.0).toDF("v"), "v")
+    assert(c2 > c1 && c1 < 5.0 && c2 > 5.0)
+    intercept[IllegalArgumentException] {
+      graft.streaming.MicroBatch.fitHistogramRange(
+        Seq(Double.NaN).toDF("v"), "v")
+    }
   }
 
   test("readHistogramPsi: live state scored against a frozen reference " +
