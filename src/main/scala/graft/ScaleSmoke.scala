@@ -262,7 +262,13 @@ object ScaleSmoke {
     "q306_session_stats", "q307_ref_integrity", "q308_pr_curve",
     // r12 wave 6: category-set drift (distinct full-outer) and the
     // Palma two-tail concentration cut
-    "q309_category_drift", "q310_palma")
+    "q309_category_drift", "q310_palma",
+    // r13 wave 1: tokenizer fertility (zero-shuffle encode + one
+    // keyed aggregate), Welch t-test, Poisson-bootstrap CI (map-side
+    // rows×reps combine), Kaplan–Meier, CUSUM prefix-extremum,
+    // Atkinson index
+    "t311_tokenizer_fertility", "q312_welch_ttest", "q313_bootstrap_ci",
+    "q314_kaplan_meier", "q315_cusum", "q316_atkinson")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -2914,6 +2914,76 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Tokenizer fertility report: per-language tokens-per-word and
+    // chars-per-token for the fitted BPE model — exact integer counts
+    // from one language-keyed aggregate over the zero-shuffle encode,
+    // ratios one division each. Model-dependent → pinned oracle.
+    "t311_tokenizer_fertility" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // deliberately FEW merges: the synthetic corpus has a ~31-word
+      // vocabulary, so a t105-sized model collapses every word to one
+      // token and the report reads 1.0 everywhere — 12 merges leave
+      // the per-language frequency differences visible, which is what
+      // the fertility comparison exists to show
+      val model = operators.Tokenizer
+        .bpeTrain(docs, "text", numMerges = 12, maxWords = 1000)
+      operators.Tokenizer.fertilityReport(docs, "lang", "text", model)
+        .orderBy(col("lang"))
+    }),
+
+    // Welch unequal-variance t-test of order value per status vs the
+    // 'F' control: one variant-keyed aggregate of exact decimal moment
+    // sums + a 1-row control broadcast; p-value via the A&S erfc
+    // polynomial (exp → pinned oracle).
+    "q312_welch_ttest" -> ((s, d) =>
+      operators.Experiment.welchTTest(t(s, d, "orders"),
+          "o_orderstatus", col("o_totalprice"), control = "F")
+        .orderBy(col("variant"))),
+
+    // Percentile-bootstrap CI of mean order value per status with
+    // DETERMINISTIC Poisson(1) resampling (hash-seeded weights, exact
+    // integer replicate sums, order-statistic percentiles).
+    "q313_bootstrap_ci" -> ((s, d) =>
+      operators.Experiment.bootstrapCI(t(s, d, "orders"),
+          "o_orderstatus", "o_orderkey", col("o_totalprice"),
+          reps = 100, alpha = 0.05, seed = 7L)
+        .orderBy(col("group"))),
+
+    // Kaplan–Meier survival per status over orderkey-derived durations
+    // with every third subject right-censored: per-time aggregate +
+    // reverse-cumulative risk window + pico-quantized ln-product.
+    "q314_kaplan_meier" -> ((s, d) =>
+      operators.Retention.kaplanMeier(
+          t(s, d, "orders").select(col("o_orderstatus"),
+            pmod(col("o_orderkey"), lit(30L)).as("dur"),
+            (pmod(col("o_orderkey"), lit(3L)) =!= 0L).as("ev")),
+          "o_orderstatus", col("dur"), col("ev"))),
+
+    // CUSUM changepoint detection over two low-volume user event
+    // streams: the sequential recursion computed exactly via the
+    // prefix-extremum identity (two cumulative windows, no loop).
+    "q315_cusum" -> ((s, d) =>
+      operators.TimeSeries.cusum(
+          t(s, d, "events").filter(col("user_id") < 2),
+          "event_type", "ts", col("value"),
+          target = 60.0, slack = 10.0, threshold = 200.0)
+        .select(col("series"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("ts"),
+          col("value"), col("cusum_pos"), col("cusum_neg"),
+          col("alarm"))),
+
+    // Atkinson ε=1 inequality of order value (cents) per status — the
+    // welfare member of the Theil/Palma/Lorenz family; one map-side
+    // combined aggregate.
+    "q316_atkinson" -> ((s, d) =>
+      operators.Skew.atkinsonIndex(
+          t(s, d, "orders").select(col("o_orderstatus"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("cents")),
+          "o_orderstatus", col("cents"))
+        .orderBy(col("group"))),
+
     // Cohort LTV curve: exact cents revenue per (cohort, offset) with
     // a calendar-sized cumulative window — "what is a week-N signup
     // worth by week N+k?".
@@ -4808,6 +4878,8 @@ object SparkEntry {
     "str148_stream_curate", "p182_media_pipeline",
     "t105_bpe_train", "t106_bpe_encode",
     "t108_lm_perplexity", "t109_quality_classifier", "t114_pack_sequences",
+    "t311_tokenizer_fertility", "q312_welch_ttest", "q313_bootstrap_ci",
+    "q314_kaplan_meier", "q315_cusum", "q316_atkinson",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

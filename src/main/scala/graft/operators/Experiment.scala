@@ -682,4 +682,174 @@ object Experiment {
         when(valid, mdeAbs).as("mde_abs"),
         when(valid, mdeAbs / p0).as("mde_rel"))
   }
+
+  /** Welch's unequal-variance t-test of every treatment variant's
+    * metric mean against the named control — the readout that pairs
+    * with [[sampleRatioMismatch]] (assignment health) and
+    * [[benjaminiHochberg]] (multiplicity): per variant, the mean
+    * difference's t statistic, the Welch–Satterthwaite degrees of
+    * freedom, and a two-sided p-value.
+    *
+    * The p-value uses the NORMAL approximation with erf evaluated by
+    * the Abramowitz–Stegun 7.1.26 rational polynomial — a fixed
+    * double expression (no special-function library to diverge across
+    * engines); at the sample sizes experiments read out at
+    * (thousands+), normal and t CDFs agree far inside any decision
+    * margin, and t_stat/welch_df are emitted for anyone who wants a
+    * library-grade tail. Numerics: the metric folds as exact
+    * `floor(v·10⁶+0.5)` micro-integers (NaN/Inf excluded up front —
+    * the eval-family convention); per-variant (n, Σy, Σy²) are exact
+    * decimals; means/variances/t/df/p are fixed double expressions.
+    * Stats are NULL for the control row, n < 2 sides, or zero pooled
+    * standard error. A typo'd control name raises in-plan (the
+    * [[powerMde]] guard pattern).
+    *
+    * Scale: ONE variant-keyed aggregate (map-side combined) + a 1-row
+    * control broadcast — no unit-table join, no second pass. Returns
+    * (variant, n, mean, variance, t_stat, welch_df, p_value). */
+  def welchTTest(df: DataFrame, variantCol: String, metric: Column,
+      control: String): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(variantCol).as("variant"),
+        metric.cast("double").as("__ym"))
+      .filter(col("variant").isNotNull && col("__ym").isNotNull &&
+        !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity))
+      .select(col("variant"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"))
+    val per = base.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(col("__y"))).cast("decimal(28,0)").as("__sy"),
+        sum((d19(col("__y")) * d19(col("__y"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__syy"))
+    val ctrl = per.agg(
+        max(when(col("variant") === control, col("n"))).as("__n0r"),
+        max(when(col("variant") === control, col("__sy"))).as("__sy0"),
+        max(when(col("variant") === control, col("__syy"))).as("__syy0"))
+      .select(
+        when(col("__n0r").isNull, raise_error(lit(
+            s"welchTTest: control variant '$control' matches no rows")))
+          .otherwise(col("__n0r")).as("__n0"),
+        col("__sy0"), col("__syy0"))
+    def meanOf(n: Column, sy: Column): Column =
+      dbl(sy) / (n.cast("double") * 1000000.0)
+    // sample variance in metric units: (n·Σyy − Σy·Σy)/(n·(n−1))/10¹²
+    def varOf(n: Column, sy: Column, syy: Column): Column = {
+      val nD = n.cast("double")
+      (nD * dbl(syy) - dbl(sy) * dbl(sy)) /
+        (nD * (nD - 1.0) * 1.0e12)
+    }
+    val mV = meanOf(col("n"), col("__sy"))
+    val m0 = meanOf(col("__n0"), col("__sy0"))
+    val seV = varOf(col("n"), col("__sy"), col("__syy")) /
+      col("n").cast("double")
+    val se0 = varOf(col("__n0"), col("__sy0"), col("__syy0")) /
+      col("__n0").cast("double")
+    val se2 = seV + se0
+    val tStat = (mV - m0) / sqrt(se2)
+    val welchDf = (se2 * se2) /
+      (seV * seV / (col("n").cast("double") - 1.0) +
+        se0 * se0 / (col("__n0").cast("double") - 1.0))
+    // two-sided normal p = erfc(|t|/√2), A&S 7.1.26:
+    // erfc(z) ≈ (a₁u + a₂u² + a₃u³ + a₄u⁴ + a₅u⁵)·e^(−z²),
+    // u = 1/(1 + 0.3275911·z) — |ε| < 1.5e−7, plenty for a p-value
+    val z = abs(tStat) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val p = poly * exp(-z * z)
+    val valid = col("variant") =!= control && col("n") > 1 &&
+      col("__n0") > 1 && se2 > 0.0
+    per.crossJoin(broadcast(ctrl))
+      .select(col("variant"), col("n"), mV.as("mean"),
+        when(col("n") > 1,
+          varOf(col("n"), col("__sy"), col("__syy"))).as("variance"),
+        when(valid, tStat).as("t_stat"),
+        when(valid, welchDf).as("welch_df"),
+        when(valid, p).as("p_value"))
+  }
+
+  /** Percentile-bootstrap confidence interval of a metric mean per
+    * group, with DETERMINISTIC Poisson resampling — the
+    * distribution-free CI for metrics too skewed for the normal
+    * approximation (revenue, latency): each of `reps` replicates
+    * weights every row by a Poisson(1) draw derived from
+    * `xxhash64(id, rep, seed)` (the Poisson bootstrap — the
+    * distributed form of multinomial resampling, needing no global n
+    * or per-replicate pass), replicate means are Σw·y/Σw, and the CI
+    * is the order-statistic percentile over the `reps` replicate
+    * means.
+    *
+    * Determinism: the Poisson draw inverts a fixed literal CDF table
+    * on a hash-derived uniform (no RNG state), weights and Σw·y are
+    * exact integers/decimals, each replicate mean is one division,
+    * and the percentile over ≤ `reps` values is exact at the chosen
+    * accuracy — identical output at any partitioning, any run.
+    *
+    * Scale: the rows×reps expansion happens INSIDE the map stage
+    * (per-row `explode(sequence(...))`) and combines to (group, rep)
+    * partial sums before the exchange — shuffled rows are
+    * groups·reps, never rows·reps; `reps` is capped at 1000. The
+    * point estimate is one more group-keyed aggregate joined back
+    * (groups-sized broadcast). Returns (group, n, mean, ci_lo,
+    * ci_hi, n_reps). */
+  def bootstrapCI(df: DataFrame, groupCol: String, idCol: String,
+      metric: Column, reps: Int = 200, alpha: Double = 0.05,
+      seed: Long = 42L): DataFrame = {
+    require(reps >= 10 && reps <= 1000,
+      s"reps must be in [10, 1000], got $reps")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0,1), got $alpha")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(groupCol).as("group"), col(idCol).as("__id"),
+        metric.cast("double").as("__ym"))
+      .filter(col("group").isNotNull && col("__ym").isNotNull &&
+        !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity))
+      .select(col("group"), col("__id"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"))
+      .localCheckpoint(eager = false) // replicate + point consumers
+    // Poisson(1) by inverse CDF on a hash uniform: P(K ≤ k) literals
+    val cdf = Seq(0.3678794411714423, 0.7357588823428846,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+      0.9999988559773857, 0.9999998874797402, 0.9999999899522336)
+    val u = (pmod(xxhash64(col("__id").cast("string"), col("__r"),
+        lit(seed)), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val wgt = cdf.zipWithIndex.foldRight(lit(cdf.size.toLong)) {
+      case ((c, k), rest) => when(u < c, lit(k.toLong)).otherwise(rest)
+    }
+    val repMeans = base
+      .select(col("group"), col("__id"), col("__y"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("__r"))
+      .withColumn("__w", wgt)
+      .groupBy(col("group"), col("__r"))
+      .agg(sum(col("__w")).as("__n"),
+        sum(d19(col("__w") * col("__y"))).cast("decimal(28,0)")
+          .as("__s"))
+      .filter(col("__n") > 0)
+      .select(col("group"),
+        (dbl(col("__s")) / (col("__n").cast("double") * 1000000.0))
+          .as("__m"))
+    val ci = repMeans.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_reps"),
+        percentile_approx(col("__m"),
+          array(lit(alpha / 2.0), lit(1.0 - alpha / 2.0)),
+          lit(1000000)).as("__ci"))
+    val point = base.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(col("__y"))).cast("decimal(28,0)").as("__sy"))
+    point.join(broadcast(ci), Seq("group"), "left")
+      .select(col("group"), col("n"),
+        (dbl(col("__sy")) / (col("n").cast("double") * 1000000.0))
+          .as("mean"),
+        col("__ci").getItem(0).as("ci_lo"),
+        col("__ci").getItem(1).as("ci_hi"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"))
+  }
 }

@@ -212,4 +212,59 @@ object Retention {
           (col("cohort_size").cast("double") * 100.0)).as("ltv"))
       .orderBy(col("cohort"), col("offset"))
   }
+
+  /** Kaplan–Meier survival curve per group — the censoring-correct
+    * retention/time-to-event estimator (plain "fraction still active
+    * at t" is biased the moment observation windows differ): one row
+    * per subject with `duration` (time to event OR to censoring) and
+    * `event` (true = the event happened; false = right-censored), and
+    * at each distinct event time t with `n` at risk and `d` events,
+    * `S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`.
+    *
+    * Distributed shape: subjects collapse to per-(group, duration)
+    * (events, censored) counts in ONE map-side-combined aggregate; the
+    * at-risk count is a reverse-cumulative window and the product a
+    * forward-cumulative window, both over the per-time table
+    * (time-cardinality — report-sized relative to subjects). Numerics:
+    * the product folds as pico-quantized `round(ln(1−d/n), 9)` integer
+    * sums (order-free — the Theil/degree-power-law convention); a time
+    * where d = n (everyone remaining fails) sets survival exactly 0
+    * from then on rather than feeding ln(0). Only event times emit
+    * rows (censor-only times adjust n but add no step — the standard
+    * presentation). Returns (group, t, n_risk, n_event, n_censored,
+    * survival) ordered by (group, t). */
+  def kaplanMeier(df: DataFrame, groupCol: String, duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("group"),
+        duration.cast("long").as("t"),
+        event.cast("boolean").as("__e"))
+      .filter(col("group").isNotNull && col("t").isNotNull &&
+        col("t") >= 0 && col("__e").isNotNull)
+    val perT = base.groupBy(col("group"), col("t"))
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(!col("__e"), 1L).otherwise(0L)).as("n_censored"))
+    // at risk at t = subjects with duration ≥ t: reverse cumulative
+    val wRisk = Window.partitionBy(col("group")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.partitionBy(col("group")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = perT.withColumn("n_risk",
+      sum(col("n_event") + col("n_censored")).over(wRisk))
+    val frac = col("n_event").cast("double") / col("n_risk").cast("double")
+    val term = when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+      floor(round(log(lit(1.0) - frac), 9) * lit(1000000000000.0) +
+        lit(0.5)).cast("long")).otherwise(lit(0L))
+    risked
+      .withColumn("__lnS", sum(term).over(wCum))
+      .withColumn("__dead",
+        max(when(col("n_event") === col("n_risk"), 1).otherwise(0))
+          .over(wCum))
+      .filter(col("n_event") > 0) // event times only
+      .select(col("group"), col("t"), col("n_risk"), col("n_event"),
+        col("n_censored"),
+        when(col("__dead") > 0, lit(0.0))
+          .otherwise(round(exp(col("__lnS").cast("double") /
+            1000000000000.0), 9)).as("survival"))
+      .orderBy(col("group"), col("t"))
+  }
 }

@@ -460,4 +460,43 @@ object Skew {
           .otherwise(dbl(col("__t10")) / dbl(col("__b40")))
           .as("palma"))
   }
+
+  /** Atkinson inequality index per group at ε = 1 — the
+    * welfare-theoretic member of the family ([[theilIndex]] is the
+    * entropy member, [[palmaRatio]] the tails member): `A = 1 −
+    * geomean(x)/mean(x)`, the fraction of total income a society
+    * could give up and stay equally well off under log utility.
+    * 0 = perfect equality, → 1 as concentration grows.
+    *
+    * Numerics: values are positive integers (ln needs x > 0 — zero/
+    * negative rows are excluded, same convention as Theil); per-row
+    * `round(ln x, 9)` pico-quantizes and sums as exact decimals
+    * (order-free — a long sum would overflow past ~2·10⁵ rows at
+    * pico scale, so the sum rides decimal(28,0) like every other
+    * big-sum in the family); mean, geomean and the index are fixed
+    * double expressions, display-rounded to 9.
+    *
+    * Scale: ONE group-keyed map-side-combined aggregate — no join, no
+    * window. Returns (group, n, total, mean, geomean, atkinson). */
+  def atkinsonIndex(df: DataFrame, groupCol: String, value: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val pico = floor(round(log(col("__x").cast("double")), 9) *
+      lit(1000000000000.0) + lit(0.5)).cast("long")
+    val nD = col("n").cast("double")
+    val mean = dbl(col("__t")) / nD
+    val geo = exp(dbl(col("__ln")) / (nD * 1000000000000.0))
+    df.select(col(groupCol).as("group"), value.cast("long").as("__x"))
+      .filter(col("group").isNotNull && col("__x").isNotNull &&
+        col("__x") > 0)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(col("__x"))).cast("decimal(28,0)").as("__t"),
+        sum(d19(pico)).cast("decimal(28,0)").as("__ln"))
+      .select(col("group"), col("n"),
+        col("__t").cast("bigint").as("total"),
+        round(mean, 9).as("mean"), round(geo, 9).as("geomean"),
+        round(lit(1.0) - geo / mean, 9).as("atkinson"))
+  }
 }

@@ -782,4 +782,59 @@ object TimeSeries {
             .as("z")
         })
   }
+
+  /** Two-sided CUSUM drift detection per series — the classic
+    * change-point alarm: `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack))`
+    * flags a sustained upward shift when it exceeds `threshold`
+    * (symmetrically S⁻ for downward). The "mean moved and stayed
+    * moved" monitor that a point-outlier z-score misses.
+    *
+    * The recursion looks sequential but is windowable exactly via the
+    * prefix-extremum identity: with `Pₜ = Σᵢ≤ₜ (xᵢ − target − slack)`,
+    * `S⁺ₜ = Pₜ − min_{j ≤ t} Pⱼ` — one cumulative sum + one cumulative
+    * min per side, NO driver loop, no sequential scan. All arithmetic
+    * is exact: x quantizes to `floor(v·10⁶+0.5)` micro-integers
+    * (NaN/Inf excluded), prefix sums ride decimal(28,0), and the two
+    * CUSUM statistics re-emerge as micro-scaled doubles via one
+    * division each. Rows order per series by (ts, value) so ties are
+    * deterministic.
+    *
+    * Scale: two cumulative windows per series partition — state-free,
+    * one shuffle by series. Returns (series, ts, value, cusum_pos,
+    * cusum_neg, alarm) ordered by (series, ts). */
+  def cusum(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, target: Double, slack: Double = 0.0,
+      threshold: Double): DataFrame = {
+    require(slack >= 0.0, s"slack must be non-negative, got $slack")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    def d28(c: Column): Column = c.cast("decimal(28,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val kUp = math.floor((target + slack) * 1e6 + 0.5).toLong
+    val kDn = math.floor((target - slack) * 1e6 + 0.5).toLong
+    val base = events
+      .select(col(seriesCol).as("series"), col(tsCol).as("ts"),
+        value.cast("double").as("__v"))
+      .filter(col("series").isNotNull && col("ts").isNotNull &&
+        col("__v").isNotNull && !isnan(col("__v")) &&
+        abs(col("__v")) < lit(Double.PositiveInfinity))
+      .select(col("series"), col("ts"), col("__v"),
+        floor(col("__v") * 1000000.0 + 0.5).cast("long").as("__y"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("ts"), col("__y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pUp = sum(d28(col("__y") - lit(kUp))).over(w)
+    val pDn = sum(d28(col("__y") - lit(kDn))).over(w)
+    val sPos = dbl(col("__pu") - col("__mu")) / 1e6
+    val sNeg = dbl(col("__md") - col("__pd")) / 1e6
+    base
+      .withColumn("__pu", pUp)
+      .withColumn("__pd", pDn)
+      // prefix extrema INCLUDE an implicit S₀ = 0 start: min(P, 0)
+      .withColumn("__mu", least(min(col("__pu")).over(w), d28(lit(0))))
+      .withColumn("__md", greatest(max(col("__pd")).over(w), d28(lit(0))))
+      .select(col("series"), col("ts"), col("__v").as("value"),
+        sPos.as("cusum_pos"), sNeg.as("cusum_neg"),
+        (sPos > threshold || sNeg > threshold).as("alarm"))
+      .orderBy(col("series"), col("ts"))
+  }
 }

@@ -324,4 +324,44 @@ object Tokenizer {
       }
     }
   }
+
+  /** Per-language fertility / compression report for a FITTED BPE
+    * model — the sizing table a pretraining team builds before
+    * committing a vocabulary (the multilingual-fertility comparison of
+    * the public tokenizer literature): tokens-per-word ("fertility")
+    * and chars-per-token (compression rate) per language, from exact
+    * integer counts.
+    *
+    * Shape: the encode is the [[bpeEncodeUdf]] zero-shuffle cached
+    * path; everything else is ONE language-keyed aggregate (map-side
+    * combined) — no joins, no second pass. Word and char counts mirror
+    * the encoder's own segmentation exactly (split on single space,
+    * empty symbols dropped; chars count the characters the encoder
+    * consumed, not the separating whitespace), so the ratios are
+    * properties of the MODEL, not of spacing. Each ratio is ONE double
+    * division, NULL on an empty denominator. NULL text/lang rows are
+    * excluded. Returns (lang, n_docs, n_words, n_chars, n_tokens,
+    * tokens_per_word, chars_per_token) — deterministic, pinnable. */
+  def fertilityReport(df: DataFrame, langCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val enc = bpeEncodeUdf(df.sparkSession, model)
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    df.filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        size(words).cast("long").as("__w"),
+        coalesce(aggregate(words, lit(0L),
+          (acc, w) => acc + length(w).cast("long")), lit(0L)).as("__c"),
+        size(enc(col(textCol))).cast("long").as("__t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__c")).as("n_chars"),
+        sum(col("__t")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        when(col("n_words") > 0, col("n_tokens").cast("double") /
+          col("n_words").cast("double")).as("tokens_per_word"),
+        when(col("n_tokens") > 0, col("n_chars").cast("double") /
+          col("n_tokens").cast("double")).as("chars_per_token"))
+  }
 }

@@ -1503,4 +1503,91 @@ class DataOpsSpec extends SparkTestBase {
     val z = Skew.palmaRatio(zeros, "id", col("v")).head()
     assert(z.isNullAt(6) && z.getDouble(4) === 0.0)
   }
+
+  test("atkinsonIndex: equality gives 0; hand two-value case gives " +
+      "1 - geomean/mean; partitioning-invariant") {
+    val df = Seq(("eq", 7L), ("eq", 7L), ("eq", 7L),
+      ("sk", 1L), ("sk", 4L), ("sk", 0L)).toDF("g", "v") // 0 excluded
+    val got = Skew.atkinsonIndex(df, "g", col("v"))
+      .orderBy("group").collect()
+    assert(got(0).getString(0) === "eq" && got(0).getDouble(5) === 0.0)
+    // sk: mean 2.5, geomean 2 -> A = 0.2
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 5L)
+    assert(got(1).getDouble(3) === 2.5 && got(1).getDouble(4) === 2.0)
+    assert(got(1).getDouble(5) === 0.2)
+    val re = Skew.atkinsonIndex(df.repartition(7), "g", col("v"))
+      .orderBy("group").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
+  test("welchTTest: hand two-variant case matches the closed form; " +
+      "control row carries NULLs; typo'd control raises") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("control", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("treat", _))).toDF("variant", "y")
+    val got = Experiment.welchTTest(df, "variant", col("y"), "control")
+      .orderBy("variant").collect()
+    assert(got(0).getString(0) === "control" && got(0).isNullAt(4))
+    assert(got(0).getDouble(2) === 2.5)
+    assert(math.abs(got(0).getDouble(3) - 5.0 / 3.0) < 1e-12)
+    // equal variances 5/3, n=4 each: se² = 5/6, t = 2/√(5/6), df = 6
+    val t = got(1).getDouble(4)
+    assert(math.abs(t - 2.0 / math.sqrt(5.0 / 6.0)) < 1e-12)
+    assert(math.abs(got(1).getDouble(5) - 6.0) < 1e-9)
+    // two-sided normal p = erfc(t/√2) ≈ 0.02846 (A&S poly, |ε|<1.5e-7)
+    assert(math.abs(got(1).getDouble(6) - 0.028458) < 1e-4)
+    val err = intercept[Exception] {
+      Experiment.welchTTest(df, "variant", col("y"), "contorl").collect()
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + chain(x.getCause)
+    assert(chain(err).contains("contorl"))
+    // partitioning-invariance: exact integer sums
+    val re = Experiment.welchTTest(df.repartition(7), "variant",
+      col("y"), "control").orderBy("variant").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
+  test("bootstrapCI: deterministic across runs and partitionings; the " +
+      "interval brackets the mean; empty-weight replicates dropped") {
+    val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "id", "y")
+    val got = Experiment.bootstrapCI(df, "g", "id", col("y"),
+      reps = 100, alpha = 0.05, seed = 7L).head()
+    assert(got.getLong(1) === 100L && got.getDouble(2) === 50.5)
+    val (lo, hi) = (got.getDouble(3), got.getDouble(4))
+    assert(lo < 50.5 && hi > 50.5)
+    assert(lo > 35.0 && hi < 66.0) // sd(mean) ≈ 2.9 — sane percentiles
+    assert(got.getLong(5) === 100L)
+    val re = Experiment.bootstrapCI(df.repartition(13), "g", "id",
+      col("y"), reps = 100, alpha = 0.05, seed = 7L).head()
+    assert(re.toSeq === got.toSeq)
+  }
+
+  test("cusum: prefix-extremum identity reproduces the recursive " +
+      "CUSUM; sustained up and down shifts alarm, spikes do not") {
+    val up = Seq(1.0, 1.0, 6.0, 6.0, 1.0).zipWithIndex
+      .map { case (v, i) => ("up", i.toLong, v) }
+    val dn = Seq(1.0, 1.0, -4.0, -4.0, 1.0).zipWithIndex
+      .map { case (v, i) => ("dn", i.toLong, v) }
+    val df = (up ++ dn).toDF("s", "ts", "v")
+    val got = TimeSeries.cusum(df, "s", "ts", col("v"),
+        target = 1.0, slack = 0.0, threshold = 8.0)
+      .orderBy("s", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // recursive S⁺ for up: 0,0,5,10,10; S⁻ stays 0
+    assert(got.filter(_._1 == "up").map(t => (t._3, t._4, t._5)).toSeq ===
+      Seq((0.0, 0.0, false), (0.0, 0.0, false), (5.0, 0.0, false),
+        (10.0, 0.0, true), (10.0, 0.0, true)))
+    // symmetric downward shift lands in cusum_neg
+    assert(got.filter(_._1 == "dn").map(t => (t._3, t._4, t._5)).toSeq ===
+      Seq((0.0, 0.0, false), (0.0, 0.0, false), (0.0, 5.0, false),
+        (0.0, 10.0, true), (0.0, 10.0, true)))
+    val re = TimeSeries.cusum(df.repartition(7), "s", "ts", col("v"),
+        target = 1.0, slack = 0.0, threshold = 8.0)
+      .orderBy("s", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(re.toSeq === got.toSeq)
+  }
 }

@@ -607,4 +607,29 @@ class FunnelSpec extends SparkTestBase {
       .orderBy("variant").collect()
     assert(degen.forall(_.isNullAt(4)))
   }
+
+  test("kaplanMeier: censoring shrinks the risk set without adding a " +
+      "step; d = n ends the curve at exactly 0; partitioning-invariant") {
+    // subjects: event@1, censor@2, event@3 ×2, censor@4, event@5
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+        (4L, false), (5L, true)).zipWithIndex
+      .map { case ((t, e), i) => ("g", i.toLong, t, e) }
+      .toDF("g", "id", "dur", "ev")
+    val got = graft.operators.Retention.kaplanMeier(df, "g",
+        col("dur"), col("ev"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // t=1: 6 at risk, 1 event  -> S = 5/6
+    // t=2: censor only         -> no row, risk drops to 4
+    // t=3: 4 at risk, 2 events -> S = 5/6 · 1/2
+    // t=5: 1 at risk, 1 event  -> S = 0 exactly (never ln(0))
+    assert(got.toSeq === Seq(
+      (1L, 6L, 1L, 0L, 0.833333333),
+      (3L, 4L, 2L, 0L, 0.416666666),
+      (5L, 1L, 1L, 0L, 0.0)))
+    val re = graft.operators.Retention.kaplanMeier(df.repartition(7),
+        "g", col("dur"), col("ev"))
+      .collect().map(r => r.getDouble(5))
+    assert(re.toSeq === got.map(_._5).toSeq)
+  }
 }

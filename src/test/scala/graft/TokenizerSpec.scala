@@ -177,4 +177,34 @@ class TokenizerSpec extends SparkTestBase {
     assert(e1 == Seq("newest" + EndOfWord))
     assert(e2 != e1, "m2 never merged the full word — must re-encode")
   }
+
+  test("fertilityReport: planted two-language corpus — the merged " +
+      "language hits fertility 1.0, the unmerged one stays at " +
+      "chars-per-word; counts are exact integers") {
+    // model learns only "lo", "low", "low</w>" (3 merges over a corpus
+    // where low dominates): language 'aa' is pure "low" → 1 token/word;
+    // language 'bb' is "zq" words the model never merges → 3 tokens/word
+    // (z, q, </w>)
+    val model = Tokenizer.bpeTrainFromCounts(Seq("low" -> 100L), 3)
+    val df = Seq(
+      ("aa", "low low low"), // 3 words, 9 chars, 3 tokens
+      ("aa", "low"),         // 1 word, 3 chars, 1 token
+      ("bb", "zq zq"),       // 2 words, 4 chars, 6 tokens
+      ("bb", null),          // excluded
+      (null, "low")          // excluded
+    ).toDF("lang", "text")
+    val got = Tokenizer.fertilityReport(df, "lang", "text", model)
+      .orderBy("lang").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ===
+      Seq(("aa", 2L, 4L, 12L, 4L), ("bb", 1L, 2L, 4L, 6L)))
+    assert(got(0).getDouble(5) === 1.0)       // aa fertility
+    assert(got(0).getDouble(6) === 3.0)       // aa chars/token
+    assert(got(1).getDouble(5) === 3.0)       // bb fertility
+    assert(got(1).getDouble(6) === 4.0 / 6.0) // bb chars/token
+    // partitioning-invariance: exact sums, one division
+    val re = Tokenizer.fertilityReport(df.repartition(7), "lang",
+      "text", model).orderBy("lang").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
 }
