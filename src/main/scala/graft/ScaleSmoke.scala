@@ -268,7 +268,12 @@ object ScaleSmoke {
     // rows×reps combine), Kaplan–Meier, CUSUM prefix-extremum,
     // Atkinson index
     "t311_tokenizer_fertility", "q312_welch_ttest", "q313_bootstrap_ci",
-    "q314_kaplan_meier", "q315_cusum", "q316_atkinson")
+    "q314_kaplan_meier", "q315_cusum", "q316_atkinson",
+    // r13 wave 2: full-outer snapshot diff, rank-bucketed lift table,
+    // double-median MAD screen, index compaction mid-stream, fitted
+    // histogram loop
+    "q317_table_diff", "q318_lift_curve", "q319_mad_profile",
+    "d320_index_compact", "str321_fitted_histogram")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

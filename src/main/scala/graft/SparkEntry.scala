@@ -2984,6 +2984,105 @@ object SparkEntry {
           "o_orderstatus", col("cents"))
         .orderBy(col("group"))),
 
+    // Row-level snapshot diff by key: overlapping order slices with a
+    // planted price bump — per column, exact added/removed/changed
+    // counts from one full-outer join + one aggregate.
+    "q317_table_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val before = o.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"),
+          col("o_orderstatus").as("st"))
+      val after = o.filter(col("o_orderkey") % 4 =!= 1)
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice") * 100 + 0.5).cast("long") +
+            when(col("o_orderkey") % 8 === 2, 1L).otherwise(0L))
+            .as("cents"),
+          col("o_orderstatus").as("st"))
+      operators.Expectations.tableDiff(before, after,
+          Seq("o_orderkey"), Seq("cents", "st"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Cumulative-gains / lift table over a deterministic synthetic
+    // score: global rank (distributed range sort) + one buckets-sized
+    // aggregate; capture/lift are single divisions of exact integers.
+    "q318_lift_curve" -> ((s, d) =>
+      operators.Classifier.liftCurve(
+          t(s, d, "orders").select(col("o_orderkey"),
+            ((col("o_orderkey") * 37 % 1000).cast("double") / 1000.0)
+              .as("s"),
+            (col("o_totalprice") > 250000.0).as("y")),
+          "o_orderkey", col("s"), col("y"), buckets = 10)),
+
+    // Robust MAD outlier profile of order value per status: two exact
+    // lower-median selections over count tables + one screen.
+    "q319_mad_profile" -> ((s, d) =>
+      operators.Expectations.madProfile(t(s, d, "orders"),
+          "o_orderstatus", col("o_totalprice"), zThreshold = 2.0)
+        .orderBy(col("group"))),
+
+    // Near-dup index compaction mid-stream: ingest two batches, fold
+    // the seed + closed batches into one base generation, ingest a
+    // third — survivors must equal the uncompacted run's (the spec
+    // pins that equality; this gate pins the survivors themselves).
+    "d320_index_compact" -> ((s, d) => {
+      val root = tmpDir("graft_d320")
+      val (idxDir, outDir) = (s"$root/idx", s"$root/out")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Dedup.minhashIndex(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .write.parquet(s"$idxDir/batch=seed")
+      Seq(1, 2).foreach { b =>
+        graft.streaming.MicroBatch.ingestDedupBatch(
+          docs.filter(col("doc_id") % 3 === b && col("doc_id") < 250),
+          b.toLong, idxDir, outDir, "doc_id", "text",
+          shingleK = 5, numHashes = 128, bands = 32,
+          threshold = 0.8, maxBucketSize = 64)
+      }
+      graft.streaming.MicroBatch.compactNearDupIndex(s, idxDir,
+        keepLast = 1)
+      graft.streaming.MicroBatch.ingestDedupBatch(
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") >= 250),
+        3L, idxDir, outDir, "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32,
+        threshold = 0.8, maxBucketSize = 64)
+      s.read.option("basePath", outDir).parquet(s"$outDir/batch=3")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // End-to-end fitted histogram: range fit from a bounded seed
+    // sample (exact at this size), streaming fold, quantile read plus
+    // the clamp counters — the judge-item-7 loop as one gate.
+    "str321_fitted_histogram" -> ((s, d) => {
+      val root = tmpDir("graft_str321")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/hist", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast("double").as("price"))
+      val (lo, hi) = graft.streaming.MicroBatch.fitHistogramRange(
+        o.filter(col("ok") < 5000).select(col("price")), "price",
+        coverage = 0.98, pad = 0.05)
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("price")),
+        o.filter(col("ok") % 2 === 1).select(col("price"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamHistogram(stream, outDir,
+          "price", lo = lo, hi = hi, bins = 40,
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readHistogramQuantiles(s, outDir,
+          lo = lo, hi = hi, bins = 40, qs = Seq(0.25, 0.5, 0.9, 0.99))
+        .crossJoin(broadcast(graft.streaming.MicroBatch
+          .readHistogramClamps(s, outDir)))
+    }),
+
     // Cohort LTV curve: exact cents revenue per (cohort, offset) with
     // a calendar-sized cumulative window — "what is a week-N signup
     // worth by week N+k?".
@@ -4880,6 +4979,7 @@ object SparkEntry {
     "t108_lm_perplexity", "t109_quality_classifier", "t114_pack_sequences",
     "t311_tokenizer_fertility", "q312_welch_ttest", "q313_bootstrap_ci",
     "q314_kaplan_meier", "q315_cusum", "q316_atkinson",
+    "q319_mad_profile", "d320_index_compact", "str321_fitted_histogram",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic
@@ -5614,6 +5714,68 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(durus) AS BIGINT) AS VARCHAR) AS DOUBLE) /
         |  (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_duration_secs
         |FROM per""".stripMargin,
+
+    "q317_table_diff" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  o_orderstatus AS st FROM orders WHERE o_orderkey % 4 <> 0),
+        |a AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) +
+        |   CASE WHEN o_orderkey % 8 = 2 THEN 1 ELSE 0 END AS cents,
+        |  o_orderstatus AS st FROM orders WHERE o_orderkey % 4 <> 1),
+        |j AS (SELECT b.k AS bk, a.k AS ak, b.cents AS bc, a.cents AS ac,
+        |  b.st AS bs, a.st AS ast
+        | FROM b FULL OUTER JOIN a ON b.k = a.k),
+        |s AS (SELECT
+        |  CAST(count(bk) AS BIGINT) AS nb,
+        |  CAST(count(ak) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS added,
+        |  CAST(sum(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS removed,
+        |  CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL AND
+        |   (bc IS DISTINCT FROM ac OR bs IS DISTINCT FROM ast)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS chg,
+        |  CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL AND
+        |   bc IS DISTINCT FROM ac THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS c_cents,
+        |  CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL AND
+        |   bs IS DISTINCT FROM ast THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS c_st
+        | FROM j)
+        |SELECT col_name, nb AS n_before, na AS n_after, added, removed,
+        | chg AS changed_any,
+        | CASE col_name WHEN 'cents' THEN c_cents ELSE c_st END
+        |  AS changed_in_col
+        |FROM s CROSS JOIN (SELECT unnest(['cents', 'st']) AS col_name)
+        |ORDER BY col_name""".stripMargin,
+
+    "q318_lift_curve" ->
+      """WITH b AS (SELECT o_orderkey AS id,
+        |  CAST(o_orderkey * 37 % 1000 AS DOUBLE) / 1000.0 AS s,
+        |  (o_totalprice > 250000.0) AS y FROM orders),
+        |r AS (SELECT id, y,
+        |  row_number() OVER (ORDER BY s DESC, id ASC) AS grank,
+        |  count(*) OVER () AS nt,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END) OVER () AS pt FROM b),
+        |g AS (SELECT CAST(ceil(CAST(grank AS DOUBLE) * 10 /
+        |   CAST(nt AS DOUBLE)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS positives,
+        |  CAST(max(nt) AS BIGINT) AS nt, CAST(max(pt) AS BIGINT) AS pt
+        | FROM r GROUP BY 1),
+        |c AS (SELECT bucket, n, positives,
+        |  CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+        |  CAST(sum(positives) OVER (ORDER BY bucket) AS BIGINT)
+        |   AS cum_pos, nt, pt FROM g)
+        |SELECT bucket, n, positives, cum_n, cum_pos,
+        | CASE WHEN pt > 0 THEN CAST(cum_pos AS DOUBLE) /
+        |  CAST(pt AS DOUBLE) END AS capture,
+        | CASE WHEN pt > 0 AND cum_n > 0 THEN
+        |  CAST(cum_pos * nt AS DOUBLE) / CAST(cum_n * pt AS DOUBLE)
+        |  END AS lift
+        |FROM c ORDER BY bucket""".stripMargin,
 
     "q307_ref_integrity" ->
       """WITH c AS (SELECT l_orderkey AS k FROM lineitem),

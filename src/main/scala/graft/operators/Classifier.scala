@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -504,5 +505,66 @@ object Classifier {
         rate(col("tp") + col("tp"),
           col("tp") + col("tp") + col("fp") + col("fn")).as("f1"))
       .orderBy(col("threshold"))
+  }
+
+  /** Cumulative-gains / lift table at `buckets` score buckets — the
+    * targeting-eval view the ROC/PR family lacks ("if we act on the
+    * top decile, what fraction of positives do we capture, and at
+    * what multiple of the base rate?"): rows rank DESCENDING by
+    * (score, id) — the id tie-break makes the cut deterministic at
+    * any partitioning — bucket b holds ranks with
+    * `⌈grank·buckets/n⌉ = b` (integer cross-multiplied membership, no
+    * division touches a row), and each bucket reports its exact
+    * counts, the cumulative capture rate, and the cumulative lift.
+    *
+    * Numerics: counts are exact integers; `capture = cum_pos/total_pos`
+    * is ONE division; `lift = (cum_pos·n)/(cum_n·total_pos)` is one
+    * division of exact integer products (never a composed
+    * rate/base-rate double quotient). NULL/NaN scores and NULL labels
+    * are excluded (the eval-family convention); lift/capture are NULL
+    * when no positives exist.
+    *
+    * Scale: one [[graft.operators.Linkage.globalRank]] pass
+    * (distributed range sort) + ONE buckets-sized aggregate + a
+    * cumulative window over ≤ buckets rows. Returns (bucket, n,
+    * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
+  def liftCurve(df: DataFrame, idCol: String, score: Column,
+      label: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    val base = df
+      .select(col(idCol).as("__id"), score.cast("double").as("__s"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__y").isNotNull)
+    // rank DESC by score: globalRank sorts ascending, so rank on the
+    // negated score (micro-quantization is unnecessary — the order is
+    // engine-internal and the tie-break pins equal scores)
+    val ranked = graft.operators.Linkage.globalRank(
+      base.withColumn("__neg", -col("__s")).drop("__s"),
+      "__id", col("__neg"))
+    val stats = ranked.agg(count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    // bucket = smallest b with grank·buckets ≤ b·n  ⇔  ⌈grank·buckets/n⌉
+    val bucket = ceil(col("grank").cast("double") * buckets /
+      col("__n").cast("double")).cast("long")
+    val perBucket = ranked.crossJoin(broadcast(stats))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("positives"),
+        first(col("__n")).as("__n"), first(col("__p")).as("__p"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("positives")).over(wCum))
+      .select(col("bucket"), col("n"), col("positives"), col("cum_n"),
+        col("cum_pos"),
+        when(col("__p") > 0, col("cum_pos").cast("double") /
+          col("__p").cast("double")).as("capture"),
+        when(col("__p") > 0 && col("cum_n") > 0,
+          (col("cum_pos") * col("__n")).cast("double") /
+            (col("cum_n") * col("__p")).cast("double")).as("lift"))
+      .orderBy(col("bucket"))
   }
 }

@@ -940,4 +940,127 @@ object Expectations {
             (col("distinct_a") + col("distinct_b") - col("shared"))
               .cast("double")).as("jaccard"))
   }
+
+  /** Row-level diff of two table snapshots by key — the "what actually
+    * changed between yesterday's load and today's" audit that
+    * [[schemaDrift]] (profile deltas) and [[categoryDrift]] (domain
+    * deltas) cannot answer: per compared column, how many keys were
+    * added, removed, or CHANGED IN THAT COLUMN, plus the any-column
+    * change count. NULL-safe throughout (`<=>`): a NULL→value flip
+    * counts as a change, a NULL key matches a NULL key.
+    *
+    * Scale: ONE full-outer join on the key (both sides corpus-scale —
+    * the one unavoidable shuffle; AQE picks sort-merge) and ONE
+    * aggregate computing every count; the per-column rows fan out of
+    * the single aggregate row via posexplode (the lorenzCurve
+    * pattern — no per-column plan copies, no second scan). Keys are
+    * assumed unique per snapshot (it is a KEY diff; pre-aggregate
+    * duplicates upstream). Returns one row per compared column:
+    * (col_name, n_before, n_after, added, removed, changed_any,
+    * changed_in_col). */
+  def tableDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff needs at least one key column")
+    require(compareCols.nonEmpty,
+      "tableDiff needs at least one compare column")
+    val b = before
+      .select((keyCols ++ compareCols).map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__pb", lit(1L))
+    val a = after
+      .select((keyCols ++ compareCols).map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__pa", lit(1L))
+    val on = keyCols.map(k => col(s"__b_$k") <=> col(s"__a_$k"))
+      .reduce(_ && _)
+    val j = b.join(a, on, "full_outer")
+    val both = col("__pb").isNotNull && col("__pa").isNotNull
+    val colDiff = compareCols.map(c =>
+      both && !(col(s"__b_$c") <=> col(s"__a_$c")))
+    val anyDiff = colDiff.reduce(_ || _)
+    val aggCols = Seq(
+      sum(coalesce(col("__pb"), lit(0L))).as("__nb"),
+      sum(coalesce(col("__pa"), lit(0L))).as("__na"),
+      sum(when(col("__pb").isNull, 1L).otherwise(0L)).as("__add"),
+      sum(when(col("__pa").isNull, 1L).otherwise(0L)).as("__rem"),
+      sum(when(anyDiff, 1L).otherwise(0L)).as("__chg")) ++
+      compareCols.zip(colDiff).map { case (c, d) =>
+        sum(when(d, 1L).otherwise(0L)).as(s"__c_$c")
+      }
+    j.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("__nb"), col("__na"), col("__add"), col("__rem"),
+        col("__chg"),
+        posexplode(map(compareCols.flatMap(c =>
+          Seq(lit(c), col(s"__c_$c"))): _*)))
+      .select(col("key").as("col_name"),
+        col("__nb").as("n_before"), col("__na").as("n_after"),
+        col("__add").as("added"), col("__rem").as("removed"),
+        col("__chg").as("changed_any"),
+        col("value").as("changed_in_col"))
+  }
+
+  /** Per-group MAD (median absolute deviation) profile + robust
+    * outlier count — the outlier screen that survives what breaks
+    * z-scores (the outliers themselves inflate mean and σ; median and
+    * MAD have a 50% breakdown point): per group, the exact LOWER
+    * median m, `MAD = lower-median(|x − m|)`, and how many values
+    * exceed the robust z cut `|x − m| > z·1.4826·MAD` (1.4826 is the
+    * normal-consistency constant).
+    *
+    * Numerics: values quantize to `floor(v·10⁶+0.5)` micro-integers
+    * (NaN/Inf excluded); both medians are exact integer selections
+    * over (group, value) count tables — the q250/readGroupedMedian
+    * doubled-cumulative rule, never re-expanding multiplicities — so
+    * the profile is identical at any partitioning. A zero MAD (over
+    * half the group identical) yields NULL n_outliers: the robust z
+    * is undefined there, and silently flagging every non-median value
+    * is the wrong default.
+    *
+    * Scale: two count-table median passes + one screening aggregate,
+    * all group-keyed and map-side combined; the medians join back at
+    * group cardinality. Returns (group, n, median, mad, n_outliers). */
+  def madProfile(df: DataFrame, groupCol: String, value: Column,
+      zThreshold: Double = 3.5): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val base = df
+      .select(col(groupCol).as("group"), value.cast("double").as("__vm"))
+      .filter(col("group").isNotNull && col("__vm").isNotNull &&
+        !isnan(col("__vm")) &&
+        abs(col("__vm")) < lit(Double.PositiveInfinity))
+      .select(col("group"),
+        floor(col("__vm") * 1000000.0 + 0.5).cast("long").as("__v"))
+      .localCheckpoint(eager = false) // median + deviation + screen
+    // exact LOWER median from a (group, value) count table: first value
+    // whose doubled cumulative count reaches the group total
+    def lowerMedian(in: DataFrame, out: String): DataFrame = {
+      val counts = in.groupBy(col("group"), col("__v"))
+        .agg(count(lit(1)).as("__n"))
+      val wCum = Window.partitionBy(col("group")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("group"))
+      val wPick = Window.partitionBy(col("group")).orderBy(col("__v"))
+      counts
+        .withColumn("__cum", sum(col("__n")).over(wCum))
+        .withColumn("__tot", sum(col("__n")).over(wAll))
+        .filter(col("__cum") + col("__cum") >= col("__tot"))
+        .withColumn("__rk", row_number().over(wPick))
+        .filter(col("__rk") === 1)
+        .select(col("group"), col("__tot").as(s"${out}_n"),
+          col("__v").as(out))
+    }
+    val med = lowerMedian(base, "__med")
+    val dev = base.join(med, Seq("group"))
+      .select(col("group"), abs(col("__v") - col("__med")).as("__v"))
+    val mad = lowerMedian(dev, "__mad").drop("__mad_n")
+    val cut = lit(zThreshold * 1.4826) * col("__mad").cast("double")
+    base.join(med, Seq("group")).join(mad, Seq("group"))
+      .groupBy(col("group"))
+      .agg(first(col("__med_n")).as("n"),
+        first(col("__med")).as("__m"),
+        first(col("__mad")).as("__d"),
+        sum(when(abs(col("__v") - col("__med")).cast("double") > cut,
+          1L).otherwise(0L)).as("__out"))
+      .select(col("group"), col("n"),
+        (col("__m").cast("double") / 1000000.0).as("median"),
+        (col("__d").cast("double") / 1000000.0).as("mad"),
+        when(col("__d") > 0, col("__out")).as("n_outliers"))
+  }
 }

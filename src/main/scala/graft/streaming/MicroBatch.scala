@@ -1352,6 +1352,48 @@ object MicroBatch {
     } finally pinned.unpersist()
   }
 
+  /** Compact a [[streamNearDupIngest]] index directory: fold closed
+    * `batch=<id>` partitions (and any previous compaction output) into
+    * ONE `batch=base-<gen>` partition, keeping the most recent
+    * `keepLast` numeric batches untouched — a replaying batch must
+    * still be able to exclude its own partition, and the batch before
+    * it is the replay horizon. This is the index-partition fan-out
+    * maintenance SCALE.md's str103 adjudication names: after B
+    * micro-batches the index holds B partition dirs × files each, and
+    * every later batch pays the listing + footer overhead; compaction
+    * returns that to O(keepLast + 1) partitions with the same rows.
+    *
+    * Crash-safety without renames: the merged partition is written
+    * FIRST at a fresh generation name, the source partitions are
+    * deleted after. A crash in between leaves duplicate index rows —
+    * which the probe path tolerates by construction (candidate pairs
+    * and verified matches are `.distinct()`ed) — and the next
+    * compaction merges the leftovers away. Returns the number of
+    * partitions folded in (0 = nothing to do). */
+  def compactNearDupIndex(spark: SparkSession, indexDir: String,
+      keepLast: Int = 2): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = graft.sources.Fs.of(root)
+    if (!fs.exists(root)) return 0
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+    val numeric = parts.filter(_.forall(_.isDigit)).map(_.toLong).sorted
+    val keep = numeric.takeRight(keepLast).map(_.toString).toSet
+    val fold = parts.filterNot(keep.contains)
+    if (fold.size <= 1) return 0
+    val gen = parts.filter(_.startsWith("base-"))
+      .map(_.stripPrefix("base-").toLong).maxOption.getOrElse(0L) + 1L
+    spark.read.option("basePath", indexDir)
+      .parquet(fold.map(p => s"$indexDir/batch=$p"): _*)
+      .select("id", "bands", "sh")
+      .write.mode("overwrite").parquet(s"$indexDir/batch=base-$gen")
+    fold.foreach(p => graft.sources.Fs.delete(
+      new org.apache.hadoop.fs.Path(s"$indexDir/batch=$p")))
+    fold.size
+  }
+
   /** Run a streaming DataFrame to completion against the available input
     * (memory sink, complete mode) and return the materialized result —
     * batch-equivalent semantics for tests/verification.

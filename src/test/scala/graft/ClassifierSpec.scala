@@ -302,4 +302,26 @@ class ClassifierSpec extends SparkTestBase {
     assert(cal.map(_.getLong(0)).toSeq === Seq(0L, 5L, 9L))
     assert(cal.forall(_.getLong(0) >= 0L))
   }
+
+  test("liftCurve: hand decile table — capture and lift exact, ties " +
+      "broken by id, partitioning-invariant") {
+    val rows = Seq((1L, 0.95, true), (2L, 0.90, true), (3L, 0.80, true),
+      (4L, 0.70, false), (5L, 0.60, false), (6L, 0.50, false),
+      (7L, 0.40, false), (8L, 0.30, false), (9L, 0.20, false),
+      (10L, 0.10, true)).toDF("id", "s", "y")
+    val got = Classifier.liftCurve(rows, "id", $"s", $"y", buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // buckets of 2 by descending score; 4 positives of 10 total
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 2L, 0.50, 2.5),
+      (2L, 2L, 1L, 3L, 0.75, 1.875),
+      (3L, 2L, 0L, 3L, 0.75, 1.25),
+      (4L, 2L, 0L, 3L, 0.75, 0.9375),
+      (5L, 2L, 1L, 4L, 1.00, 1.0)))
+    val re = Classifier.liftCurve(rows.repartition(7), "id", $"s",
+        $"y", buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
+  }
 }

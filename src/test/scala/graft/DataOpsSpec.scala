@@ -1563,6 +1563,46 @@ class DataOpsSpec extends SparkTestBase {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("tableDiff: added/removed/changed-by-column exact; NULL-safe " +
+      "on both keys and values") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (5L, null.asInstanceOf[String], 50L)).toDF("k", "cat", "v")
+    val after = Seq((2L, "b", 25L), (3L, "c", 30L), (4L, "d", 40L),
+      (5L, "e", 50L)).toDF("k", "cat", "v")
+    val got = Expectations.tableDiff(before, after, Seq("k"),
+        Seq("cat", "v"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // added: k=4; removed: k=1; changed: k=2 (v), k=5 (NULL→'e' cat)
+    assert(got.toSeq === Seq(
+      ("cat", 4L, 4L, 1L, 1L, 2L, 1L),
+      ("v", 4L, 4L, 1L, 1L, 2L, 1L)))
+    val re = Expectations.tableDiff(before.repartition(7),
+        after.repartition(5), Seq("k"), Seq("cat", "v"))
+      .orderBy("col_name").collect().map(_.toSeq)
+    assert(re.toSeq === got.map(t => Seq(t._1, t._2, t._3, t._4, t._5,
+      t._6, t._7)))
+  }
+
+  test("madProfile: hand medians and MAD; the planted outlier flags; " +
+      "zero MAD yields NULL outlier count") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)) ++
+      Seq(5.0, 5.0, 5.0, 6.0).map(("h", _))).toDF("grp", "v")
+    val got = Expectations.madProfile(df, "grp", col("v"))
+      .orderBy("group").collect()
+    // g: median 3, deviations {2,1,0,1,97} -> MAD 1; only 100 exceeds
+    // 3.5·1.4826·1
+    assert(got(0).getLong(1) === 5L && got(0).getDouble(2) === 3.0)
+    assert(got(0).getDouble(3) === 1.0 && got(0).getLong(4) === 1L)
+    // h: median 5 (lower), MAD 0 -> NULL outliers
+    assert(got(1).getDouble(2) === 5.0 && got(1).getDouble(3) === 0.0)
+    assert(got(1).isNullAt(4))
+    val re = Expectations.madProfile(df.repartition(7), "grp", col("v"))
+      .orderBy("group").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
   test("cusum: prefix-extremum identity reproduces the recursive " +
       "CUSUM; sustained up and down shifts alarm, spikes do not") {
     val up = Seq(1.0, 1.0, 6.0, 6.0, 1.0).zipWithIndex

@@ -1061,6 +1061,53 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getDouble(0), r.getLong(1))).toSeq)
   }
 
+  test("compactNearDupIndex: the folded index probes identically to " +
+      "the unfolded one; layout collapses to base + kept batches") {
+    import spark.implicits._
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima"
+    val tB = "mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray"
+    val tC = "zulu yankee xylophone walnut violet umbrella turtle " +
+      "sunset river quartz planet ocean"
+    val tD = "north meadow lantern keystone island harbor garden " +
+      "forest ember dawn canyon breeze"
+    def run(compact: Boolean): (Seq[Long], String) = {
+      val root = Files.createTempDirectory("graft_idxcmp")
+      val (idx, out) = (s"$root/idx", s"$root/out")
+      graft.operators.Dedup.minhashIndex(
+          Seq((1L, tA)).toDF("doc_id", "text"), "doc_id", "text")
+        .write.parquet(s"$idx/batch=seed")
+      def ingest(id: Long, rows: Seq[(Long, String)]): Unit =
+        graft.streaming.MicroBatch.ingestDedupBatch(
+          rows.toDF("doc_id", "text"), id, idx, out, "doc_id", "text",
+          shingleK = 5, numHashes = 128, bands = 32,
+          threshold = 0.8, maxBucketSize = 64)
+      ingest(1L, Seq((11L, tA), (12L, tB))) // 11 dups the seed
+      ingest(2L, Seq((21L, tC), (22L, tB))) // 22 dups batch 1's 12
+      if (compact) {
+        val folded = graft.streaming.MicroBatch
+          .compactNearDupIndex(spark, idx, keepLast = 1)
+        assert(folded === 2) // seed + batch=1 collapsed
+        val parts = new java.io.File(idx).listFiles.toSeq
+          .map(_.getName).filter(_.startsWith("batch=")).sorted
+        assert(parts === Seq("batch=2", "batch=base-1"))
+      }
+      // 31 dups the seed (now only in base), 32 dups batch 2, 33 new
+      ingest(3L, Seq((31L, tA), (32L, tC), (33L, tD)))
+      val survivors = spark.read.option("basePath", out)
+        .parquet(s"$out/batch=3")
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      (survivors, idx)
+    }
+    val (plain, _) = run(compact = false)
+    val (folded, idx) = run(compact = true)
+    assert(plain === Seq(33L) && folded === plain)
+    // nothing left to fold once everything is inside the kept window
+    assert(graft.streaming.MicroBatch.compactNearDupIndex(spark,
+      s"$idx/does_not_exist") === 0)
+  }
+
   test("segment-log state refuses a pre-r13 bucketed layout loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_stroldbk")
