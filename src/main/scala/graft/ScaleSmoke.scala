@@ -273,7 +273,11 @@ object ScaleSmoke {
     // double-median MAD screen, index compaction mid-stream, fitted
     // histogram loop
     "q317_table_diff", "q318_lift_curve", "q319_mad_profile",
-    "d320_index_compact", "str321_fitted_histogram")
+    "d320_index_compact", "str321_fitted_histogram",
+    // r13 wave 3: log-rank survival compare, Markov path transitions,
+    // RAKE keyphrases, forecast accuracy
+    "q322_log_rank", "q323_path_transitions", "t324_keyphrases",
+    "q325_forecast_accuracy")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -3052,6 +3052,38 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // RAKE keyphrase extraction: stopword-split candidate phrases,
+    // degree/frequency word scores, pico-quantized phrase score sums,
+    // TakeOrderedAndProject top-k.
+    "t324_keyphrases" -> ((s, d) =>
+      operators.TextAnalysis.keyphrases(
+        t(s, d, "documents"), "text", topK = 50)),
+
+    // Forecast accuracy (MAE/RMSE/MASE) of a deterministic synthetic
+    // forecast per event type: exact micro-integer error sums, lag-1
+    // naive baseline via one per-series window.
+    "q325_forecast_accuracy" -> ((s, d) =>
+      operators.TimeSeries.forecastAccuracy(t(s, d, "events"),
+        "event_type", "ts", col("value"),
+        col("value") * 0.9 + 5.0)),
+
+    // Two-group log-rank test over the q314 durations: are the 'O'
+    // and 'F' survival curves the same? Hypergeometric per-time terms
+    // pico-quantized, chi-square p via the A&S erfc polynomial.
+    "q322_log_rank" -> ((s, d) =>
+      operators.Retention.logRankTest(
+          t(s, d, "orders").select(col("o_orderstatus"),
+            pmod(col("o_orderkey"), lit(30L)).as("dur"),
+            (pmod(col("o_orderkey"), lit(3L)) =!= 0L).as("ev")),
+          "o_orderstatus", col("dur"), col("ev"), "O", "F")),
+
+    // First-order Markov transition matrix of user event paths with
+    // __start/__end pseudo-states: one per-key window pass + one
+    // (from, to) count; probabilities one division of exact counts.
+    "q323_path_transitions" -> ((s, d) =>
+      operators.Sessionize.pathTransitions(t(s, d, "events"),
+        "user_id", "ts", "event_type")),
+
     // End-to-end fitted histogram: range fit from a bounded seed
     // sample (exact at this size), streaming fold, quantile read plus
     // the clamp counters — the judge-item-7 loop as one gate.
@@ -4980,6 +5012,7 @@ object SparkEntry {
     "t311_tokenizer_fertility", "q312_welch_ttest", "q313_bootstrap_ci",
     "q314_kaplan_meier", "q315_cusum", "q316_atkinson",
     "q319_mad_profile", "d320_index_compact", "str321_fitted_histogram",
+    "q322_log_rank", "t324_keyphrases",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic
@@ -5714,6 +5747,54 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(durus) AS BIGINT) AS VARCHAR) AS DOUBLE) /
         |  (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_duration_secs
         |FROM per""".stripMargin,
+
+    "q325_forecast_accuracy" ->
+      """WITH b AS (SELECT event_type AS series, ts,
+        |  CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS a,
+        |  CAST(floor(("value" * 0.9 + 5.0) * 1000000 + 0.5) AS BIGINT)
+        |   AS f
+        | FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  AND "value" IS NOT NULL AND NOT isnan("value")),
+        |w AS (SELECT series, a, f,
+        |  lag(a) OVER (PARTITION BY series ORDER BY ts, a, f) AS prev
+        | FROM b),
+        |s AS (SELECT series,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(abs(a - f)) AS ae,
+        |  sum(CAST(a - f AS HUGEINT) * CAST(a - f AS HUGEINT)) AS se,
+        |  sum(CASE WHEN prev IS NOT NULL THEN abs(a - prev)
+        |   ELSE 0 END) AS ne,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS nn
+        | FROM w GROUP BY 1)
+        |SELECT series, n,
+        | CAST(ae AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mae,
+        | sqrt(CAST(se AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+        |  AS rmse,
+        | CASE WHEN nn > 0 AND ne > 0 THEN
+        |  (CAST(ae AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |   (CAST(ne AS DOUBLE) / CAST(nn AS DOUBLE)) END AS mase
+        |FROM s ORDER BY series""".stripMargin,
+
+    "q323_path_transitions" ->
+      """WITH b AS (SELECT user_id AS k, ts, event_type AS s
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL),
+        |w AS (SELECT k, s,
+        |  lag(s) OVER (PARTITION BY k ORDER BY ts, s) AS prev,
+        |  lead(s) OVER (PARTITION BY k ORDER BY ts, s) AS next
+        | FROM b),
+        |t AS (SELECT coalesce(prev, '__start') AS "from", s AS "to"
+        |  FROM w
+        | UNION ALL
+        | SELECT s, '__end' FROM w WHERE next IS NULL),
+        |c AS (SELECT "from", "to", CAST(count(*) AS BIGINT) AS n
+        | FROM t GROUP BY 1, 2)
+        |SELECT "from", "to", n,
+        | CAST(n AS DOUBLE) /
+        |  CAST(sum(n) OVER (PARTITION BY "from") AS DOUBLE) AS prob
+        |FROM c ORDER BY 1, 2""".stripMargin,
 
     "q317_table_diff" ->
       """WITH b AS (SELECT o_orderkey AS k,

@@ -267,4 +267,80 @@ object Retention {
             1000000000000.0), 9)).as("survival"))
       .orderBy(col("group"), col("t"))
   }
+
+  /** Two-group log-rank test — "are these two [[kaplanMeier]] curves
+    * the same?", the censoring-correct A/B readout for time-to-event
+    * metrics (churn, time-to-first-purchase): at each pooled event
+    * time with `n` at risk (`n_a` in group a) and `d` events (`d_a`
+    * in a), the expected a-events are `e_a = n_a·d/n` under the null
+    * and the hypergeometric variance is
+    * `v = d·n_a·n_b·(n−d) / (n²·(n−1))`; the statistic
+    * `(Σ(d_a − e_a))² / Σv` is χ²(1), and the p-value comes from
+    * `erfc(√(χ²/2))` via the same A&S polynomial as
+    * [[graft.operators.Experiment.welchTTest]].
+    *
+    * Shape: ONE (time)-keyed aggregate with conditional per-group
+    * sums, reverse-cumulative risk windows over the per-time table
+    * (report-sized relative to subjects), and one final 1-row
+    * aggregate; per-time (d_a − e_a) and v contributions
+    * pico-quantize (`round(·, 9)·10¹²`) and sum as exact integers —
+    * order-free. Subjects outside the two named groups are excluded;
+    * both groups are require()d non-empty. Returns ONE row: (n_a,
+    * n_b, events_a, events_b, expected_a, chi2, p_value). */
+  def logRankTest(df: DataFrame, groupCol: String, duration: Column,
+      event: Column, groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "logRankTest needs two distinct groups")
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        duration.cast("long").as("t"),
+        event.cast("boolean").as("__e"))
+      .filter(col("g").isin(groupA, groupB) && col("t").isNotNull &&
+        col("t") >= 0 && col("__e").isNotNull)
+    val isA = col("g") === groupA
+    val perT = base.groupBy(col("t"))
+      .agg(sum(when(isA && col("__e"), 1L).otherwise(0L)).as("__da"),
+        sum(when(isA, 1L).otherwise(0L)).as("__ta"),
+        sum(when(!isA && col("__e"), 1L).otherwise(0L)).as("__db"),
+        sum(when(!isA, 1L).otherwise(0L)).as("__tb"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = perT
+      .withColumn("__na", sum(col("__ta")).over(wRisk))
+      .withColumn("__nb", sum(col("__tb")).over(wRisk))
+      .filter(col("__da") + col("__db") > 0)
+    val (na, nb) = (col("__na").cast("double"), col("__nb").cast("double"))
+    val d = (col("__da") + col("__db")).cast("double")
+    val n = na + nb
+    val eA = na * d / n
+    val v = when(n > 1.0,
+      d * na * nb * (n - d) / (n * n * (n - 1.0))).otherwise(lit(0.0))
+    def pico(c: Column): Column =
+      floor(round(c, 9) * lit(1000000000000.0) + 0.5).cast("long")
+    val sums = risked.agg(
+      sum(pico(col("__da").cast("double") - eA)).as("__s"),
+      sum(pico(v)).as("__v"),
+      sum(col("__da")).as("events_a"), sum(col("__db")).as("events_b"),
+      sum(pico(eA)).as("__ea"))
+    val totals = base.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"))
+    val chi2 = {
+      val s = col("__s").cast("double") / 1.0e12
+      val vv = col("__v").cast("double") / 1.0e12
+      when(col("__v") > 0, s * s / vv)
+    }
+    // p = P(χ²₁ > x) = erfc(√(x/2)) — A&S 7.1.26, |ε| < 1.5e-7
+    val z = sqrt(chi2 / 2.0)
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    totals.crossJoin(broadcast(sums))
+      .select(
+        when(col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+            s"logRankTest: group '$groupA' or '$groupB' matches no " +
+            "rows"))).otherwise(col("n_a")).as("n_a"),
+        col("n_b"), col("events_a"), col("events_b"),
+        round(col("__ea").cast("double") / 1.0e12, 9).as("expected_a"),
+        chi2.as("chi2"), (poly * exp(-z * z)).as("p_value"))
+  }
 }

@@ -162,4 +162,45 @@ object Sessionize {
           (col("n_sessions").cast("double") * 1000000.0))
           .as("mean_duration_secs"))
   }
+
+  /** First-order path transition matrix — the Markov view of user
+    * journeys ("after a view, what happens next, and how often?"):
+    * per key, events order by (ts, state) and each consecutive pair
+    * emits a (from, to) transition; every key's first event arrives
+    * from the `__start` pseudo-state and its last departs to `__end`,
+    * so walk entry and exit probabilities read from the same table.
+    * `prob = n / Σ n over from` is ONE division of exact counts.
+    *
+    * Determinism: ties at one timestamp order by state (then the pair
+    * is state-identical and order-free); exact integer counts make
+    * the table identical at any partitioning. Scale: one per-key
+    * window pass (lag/lead) + one (from, to)-keyed count — the output
+    * is |states|²-sized, report-shaped. Returns (from, to, n, prob)
+    * ordered by (from, to). */
+  def pathTransitions(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(stateCol).cast("string").as("__s"))
+      .filter(col("__k").isNotNull && col("__ts").isNotNull &&
+        col("__s").isNotNull)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__s"))
+    val steps = base
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+    val inner = steps.select(
+      coalesce(col("__prev"), lit("__start")).as("from"),
+      col("__s").as("to"))
+    val exits = steps.filter(col("__next").isNull)
+      .select(col("__s").as("from"), lit("__end").as("to"))
+    val counts = inner.unionByName(exits)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from"))
+    counts
+      .select(col("from"), col("to"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(wFrom).cast("double")).as("prob"))
+      .orderBy(col("from"), col("to"))
+  }
 }

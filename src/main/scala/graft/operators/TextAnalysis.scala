@@ -1039,4 +1039,69 @@ object TextAnalysis {
             lit(84.6) * (col("n_syllables").cast(DoubleType) /
               col("n_words").cast(DoubleType)), 6)))
   }
+
+  /** RAKE keyphrase extraction over a corpus (Rose et al. 2010's
+    * Rapid Automatic Keyword Extraction, the classic unsupervised
+    * baseline): candidate phrases are maximal stopword-free token
+    * runs; each word scores `degree/frequency` (degree = Σ lengths of
+    * the phrases it appears in, frequency = its occurrences — both
+    * weighted by phrase multiplicity); a phrase scores the sum of its
+    * words' scores. Returns the corpus top-k (phrase, n, n_words,
+    * score).
+    *
+    * Shape: phrases collapse to (phrase, n) FIRST (one count
+    * aggregate — all later passes run at distinct-phrase scale, not
+    * occurrence scale); word stats are one posting-style
+    * explode + sum; phrase scores re-join word scores and sum
+    * pico-quantized integers (order-free — a raw double sum over
+    * words would be partitioning-dependent). Top-k is
+    * orderBy + limit (TakeOrderedAndProject — never a global sort
+    * materialization). Multi-token phrases cap at `maxPhraseLen`
+    * (RAKE's convention; unbounded runs are boilerplate, not
+    * keyphrases). */
+  def keyphrases(df: DataFrame, textCol: String, topK: Int = 50,
+      maxPhraseLen: Int = 4): DataFrame = {
+    require(topK >= 1 && topK <= 10000,
+      s"topK must be in [1, 10000], got $topK")
+    require(maxPhraseLen >= 1 && maxPhraseLen <= 10,
+      s"maxPhraseLen must be in [1, 10], got $maxPhraseLen")
+    val toks = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    // stopwords become phrase delimiters; consecutive content words
+    // re-join into candidate phrases
+    val tagged = transform(toks, w =>
+      when(w.isInCollection(StopWords), lit("\u0001")).otherwise(w))
+    val phrases = filter(
+      transform(split(concat_ws(" ", tagged), "\u0001"), p => trim(p)),
+      p => p =!= "")
+    val phraseTable = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(phrases).as("phrase"))
+      .filter(size(split(col("phrase"), " ")) <= maxPhraseLen)
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      .withColumn("__words", split(col("phrase"), " "))
+      .withColumn("__len", size(col("__words")))
+      .localCheckpoint(eager = false) // word stats + score join
+    val wordStats = phraseTable
+      .select(explode(col("__words")).as("__w"), col("n"), col("__len"))
+      .groupBy(col("__w"))
+      .agg(sum(col("n") * col("__len")).as("__deg"),
+        sum(col("n")).as("__freq"))
+      .select(col("__w"),
+        // pico-quantized word score: phrase scores sum these as exact
+        // integers, so the total is order-free
+        floor((col("__deg").cast("double") / col("__freq").cast("double"))
+          * lit(1000000000000.0) + 0.5).cast("long").as("__ws"))
+    phraseTable
+      .select(col("phrase"), col("n"), col("__len"),
+        explode(col("__words")).as("__w"))
+      .join(wordStats, Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(first(col("n")).as("n"), first(col("__len")).as("n_words"),
+        sum(col("__ws")).as("__s"))
+      .select(col("phrase"), col("n"), col("n_words"),
+        round(col("__s").cast("double") / 1000000000000.0, 9)
+          .as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
 }

@@ -837,4 +837,61 @@ object TimeSeries {
         (sPos > threshold || sNeg > threshold).as("alarm"))
       .orderBy(col("series"), col("ts"))
   }
+
+  /** Forecast accuracy per series — MAE, RMSE and MASE over aligned
+    * (actual, forecast) rows. MASE (Hyndman's mean absolute SCALED
+    * error) divides the forecast MAE by the in-sample naive
+    * (lag-1) MAE, so it is unit-free, comparable across series, and
+    * defined when actuals touch zero (unlike MAPE): < 1 beats the
+    * naive forecast, > 1 loses to it.
+    *
+    * Numerics: actual/forecast quantize to `floor(v·10⁶+0.5)`
+    * micro-integers (NaN/Inf rows excluded); absolute errors and the
+    * lag-1 naive errors sum as exact decimals; squared errors ride
+    * decimal(38,0); each reported metric is a fixed double expression
+    * (one division, plus one sqrt for RMSE). The naive error needs
+    * the previous ACTUAL — one per-series lag window ordered by
+    * (ts, actual, forecast), the only wide operation. MASE is NULL
+    * for a one-row series or a constant actual (naive MAE = 0).
+    * Returns (series, n, mae, rmse, mase) ordered by series. */
+  def forecastAccuracy(events: DataFrame, seriesCol: String,
+      tsCol: String, actual: Column, forecast: Column): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = events
+      .select(col(seriesCol).as("series"), col(tsCol).as("__ts"),
+        actual.cast("double").as("__am"),
+        forecast.cast("double").as("__fm"))
+      .filter(col("series").isNotNull && col("__ts").isNotNull &&
+        col("__am").isNotNull && !isnan(col("__am")) &&
+        abs(col("__am")) < lit(Double.PositiveInfinity) &&
+        col("__fm").isNotNull && !isnan(col("__fm")) &&
+        abs(col("__fm")) < lit(Double.PositiveInfinity))
+      .select(col("series"), col("__ts"),
+        floor(col("__am") * 1000000.0 + 0.5).cast("long").as("__a"),
+        floor(col("__fm") * 1000000.0 + 0.5).cast("long").as("__f"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("__ts"), col("__a"), col("__f"))
+    val err = abs(col("__a") - col("__f"))
+    val lagged = base.withColumn("__prev", lag(col("__a"), 1).over(w))
+    lagged.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(err)).cast("decimal(28,0)").as("__ae"),
+        sum((d19(err) * d19(err)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__se"),
+        sum(when(col("__prev").isNotNull,
+          d19(abs(col("__a") - col("__prev")))).otherwise(d19(lit(0))))
+          .cast("decimal(28,0)").as("__ne"),
+        sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).as("__nn"))
+      .select(col("series"), col("n"),
+        (dbl(col("__ae")) / (col("n").cast("double") * 1000000.0))
+          .as("mae"),
+        (sqrt(dbl(col("__se")) / col("n").cast("double")) / 1000000.0)
+          .as("rmse"),
+        when(col("__nn") > 0 && col("__ne") > 0,
+          (dbl(col("__ae")) / col("n").cast("double")) /
+            (dbl(col("__ne")) / col("__nn").cast("double")))
+          .as("mase"))
+      .orderBy(col("series"))
+  }
 }

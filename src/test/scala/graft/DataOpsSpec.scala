@@ -1563,6 +1563,26 @@ class DataOpsSpec extends SparkTestBase {
     assert(re.toSeq === got.toSeq)
   }
 
+  test("forecastAccuracy: hand MAE/RMSE/MASE; constant actuals give " +
+      "NULL MASE; partitioning-invariant") {
+    val df = (Seq((1L, 10.0, 11.0), (2L, 12.0, 11.0), (3L, 14.0, 15.0),
+        (4L, 16.0, 15.0)).map { case (t, a, f) => ("s", t, a, f) } ++
+      Seq((1L, 5.0, 6.0), (2L, 5.0, 6.0))
+        .map { case (t, a, f) => ("c", t, a, f) })
+      .toDF("g", "ts", "a", "f")
+    val got = TimeSeries.forecastAccuracy(df, "g", "ts", col("a"),
+      col("f")).collect()
+    // c: constant actuals -> naive MAE 0 -> MASE NULL
+    assert(got(0).getString(0) === "c" && got(0).getDouble(2) === 1.0)
+    assert(got(0).isNullAt(4))
+    // s: MAE 1, RMSE 1, naive MAE 2 -> MASE 0.5
+    assert(got(1).getDouble(2) === 1.0 && got(1).getDouble(3) === 1.0)
+    assert(got(1).getDouble(4) === 0.5)
+    val re = TimeSeries.forecastAccuracy(df.repartition(7), "g", "ts",
+      col("a"), col("f")).collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
   test("tableDiff: added/removed/changed-by-column exact; NULL-safe " +
       "on both keys and values") {
     val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),

@@ -632,4 +632,31 @@ class FunnelSpec extends SparkTestBase {
       .collect().map(r => r.getDouble(5))
     assert(re.toSeq === got.map(_._5).toSeq)
   }
+
+  test("logRankTest: hand hypergeometric case; empty group raises; " +
+      "partitioning-invariant") {
+    val df = Seq(("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+      ("b", 2L, true), ("b", 4L, true), ("b", 5L, false),
+      ("z", 9L, true)) // outside the named pair: excluded
+      .toDF("g", "dur", "ev")
+    val got = graft.operators.Retention.logRankTest(df, "g",
+      col("dur"), col("ev"), "a", "b").head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((3L, 3L, 2L, 2L)))
+    // t=1: eA=.5 v=.25; t=2: eA=.8 v=.36; t=4: eA=0 v=0
+    assert(got.getDouble(4) === 1.3)
+    assert(math.abs(got.getDouble(5) - 0.49 / 0.61) < 1e-9)
+    // chi2 = .8033 -> p = erfc(sqrt(chi2/2)) ~ .3701
+    assert(math.abs(got.getDouble(6) - 0.3701) < 1e-3)
+    val err = intercept[Exception] {
+      graft.operators.Retention.logRankTest(df, "g", col("dur"),
+        col("ev"), "a", "missing").collect()
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + chain(x.getCause)
+    assert(chain(err).contains("missing"))
+    val re = graft.operators.Retention.logRankTest(df.repartition(7),
+      "g", col("dur"), col("ev"), "a", "b").head()
+    assert(re.toSeq === got.toSeq)
+  }
 }

@@ -117,4 +117,24 @@ class SessionizeSpec extends SparkTestBase {
       "ts", "u", "eid", gapSeconds = 1800L).head()
     assert(re.getDouble(6) === got.getDouble(6))
   }
+
+  test("pathTransitions: start/end pseudo-states, exact counts, row " +
+      "probabilities sum to 1 per source; partitioning-invariant") {
+    val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
+      ("u2", 1L, "b")).toDF("u", "ts", "s")
+    val got = Sessionize.pathTransitions(df, "u", "ts", "s")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("__start", "a", 1L, 0.5), ("__start", "b", 1L, 0.5),
+      ("a", "__end", 1L, 0.5), ("a", "b", 1L, 0.5),
+      ("b", "__end", 1L, 0.5), ("b", "a", 1L, 0.5)))
+    // probabilities sum to 1 within every source state
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+    val re = Sessionize.pathTransitions(df.repartition(7), "u", "ts",
+      "s").collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(re.toSeq === got.toSeq)
+  }
 }

@@ -404,4 +404,22 @@ class TextAnalysisSpec extends SparkTestBase {
       Seq((1L, "rhythm my")).toDF("id", "txt"), "id", "txt").head()
     assert(y.getLong(3) === 2L)
   }
+
+  test("keyphrases: RAKE degree/frequency hand case — stopwords split " +
+      "phrases, multiplicity weights word stats, ties break on phrase") {
+    val df = Seq(
+      (1L, "deep learning of the deep learning"),
+      (2L, "learning rate and deep learning")).toDF("id", "txt")
+    val got = TextAnalysis.keyphrases(df, "txt", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getDouble(3)))
+    // phrases: "deep learning" ×3, "learning rate" ×1
+    // deep: deg 6 freq 3 → 2; learning: deg 8 freq 4 → 2; rate: 2/1 → 2
+    // both phrases score 4.0 → tie breaks on phrase text
+    assert(got.toSeq === Seq(
+      ("deep learning", 3L, 2, 4.0), ("learning rate", 1L, 2, 4.0)))
+    val re = TextAnalysis.keyphrases(df.repartition(5), "txt", 10)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
+  }
 }
