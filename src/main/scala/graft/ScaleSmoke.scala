@@ -277,7 +277,10 @@ object ScaleSmoke {
     // r13 wave 3: log-rank survival compare, Markov path transitions,
     // RAKE keyphrases, forecast accuracy
     "q322_log_rank", "q323_path_transitions", "t324_keyphrases",
-    "q325_forecast_accuracy")
+    "q325_forecast_accuracy",
+    // r13 wave 5: exact streaming quantile lens, Cohen's kappa,
+    // letterbox pad plan
+    "str326_stream_quantiles", "q327_cohen_kappa", "m328_pad_plan")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

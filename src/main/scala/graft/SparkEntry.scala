@@ -3052,6 +3052,61 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Exact streaming quantile lens: any quantile set read from the
+    // same grouped value-count segment state as the median/distinct
+    // lenses — integer cross-multiplied selection, no division per row.
+    "str326_stream_quantiles" -> ((s, d) => {
+      val root = tmpDir("graft_str326")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders").select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast("double").as("v"),
+        col("o_orderkey").as("ok"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("g"), col("v")),
+        o.filter(col("ok") % 2 === 1).select(col("g"), col("v"))),
+        srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(
+          stream, outDir, "g", "v",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readGroupedQuantiles(s, outDir,
+        Seq(0.25, 0.5, 0.9, 0.99))
+    }),
+
+    // Cohen's kappa between the real status and a deterministically
+    // perturbed rater: chance-corrected agreement as ONE division of
+    // exact integer products.
+    "q327_cohen_kappa" -> ((s, d) =>
+      operators.Classifier.cohenKappa(
+        t(s, d, "orders").select(col("o_orderstatus").as("a"),
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("b")),
+        col("a"), col("b"))),
+
+    // Letterbox pad plan chained onto the m300 aspect buckets: exact
+    // integer resize/pad geometry per image, zero shuffle added.
+    "m328_pad_plan" -> ((s, d) => {
+      val dims = t(s, d, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          (lit(200L) + pmod(col("doc_id") * 37L, lit(1800L))).as("w"),
+          (lit(200L) + pmod(col("doc_id") * 53L, lit(1000L))).as("h"))
+      operators.Multimodal.padPlan(
+          operators.Multimodal.aspectBuckets(dims, "doc_id", "w", "h",
+            buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)),
+            capacity = 32))
+        .select(col("id"), col("width"), col("height"),
+          col("bucket_w"), col("bucket_h"), col("resize_w"),
+          col("resize_h"), col("pad_left"), col("pad_right"),
+          col("pad_top"), col("pad_bottom"))
+        .orderBy(col("id"))
+    }),
+
     // RAKE keyphrase extraction: stopword-split candidate phrases,
     // degree/frequency word scores, pico-quantized phrase score sums,
     // TakeOrderedAndProject top-k.
@@ -5012,7 +5067,8 @@ object SparkEntry {
     "t311_tokenizer_fertility", "q312_welch_ttest", "q313_bootstrap_ci",
     "q314_kaplan_meier", "q315_cusum", "q316_atkinson",
     "q319_mad_profile", "d320_index_compact", "str321_fitted_histogram",
-    "q322_log_rank", "t324_keyphrases",
+    "q322_log_rank", "t324_keyphrases", "str326_stream_quantiles",
+    "m328_pad_plan",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic
@@ -5747,6 +5803,34 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(durus) AS BIGINT) AS VARCHAR) AS DOUBLE) /
         |  (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_duration_secs
         |FROM per""".stripMargin,
+
+    "q327_cohen_kappa" ->
+      """WITH b AS (SELECT o_orderstatus AS a,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+        |   ELSE o_orderstatus END AS b FROM orders),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS agree FROM b),
+        |m AS (SELECT k,
+        |  CAST(sum(CASE WHEN r = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS na,
+        |  CAST(sum(CASE WHEN r = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS nb
+        | FROM (SELECT a AS k, 'a' AS r FROM b
+        |  UNION ALL SELECT b, 'b' FROM b) GROUP BY k),
+        |pe AS (SELECT sum(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT))
+        |  AS p FROM m)
+        |SELECT n, agree,
+        | CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        | CAST(p AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |  AS p_e,
+        | CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - p = 0
+        |  THEN NULL
+        |  ELSE CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT) - p
+        |    AS DOUBLE) /
+        |   CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - p AS DOUBLE)
+        |  END AS kappa
+        |FROM ag CROSS JOIN pe""".stripMargin,
 
     "q325_forecast_accuracy" ->
       """WITH b AS (SELECT event_type AS series, ts,

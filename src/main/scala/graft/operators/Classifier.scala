@@ -528,6 +528,54 @@ object Classifier {
     * (distributed range sort) + ONE buckets-sized aggregate + a
     * cumulative window over ≤ buckets rows. Returns (bucket, n,
     * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
+  /** Cohen's kappa — inter-annotator agreement corrected for chance,
+    * the labeling-QA gate a training-data pipeline runs before
+    * trusting human (or model-as-judge) labels: with observed
+    * agreement `p_o` and chance agreement `p_e = Σ_k p_A(k)·p_B(k)`,
+    * `κ = (p_o − p_e)/(1 − p_e)`. Computed as ONE division of exact
+    * integer products — `κ = (n·Σagree − Σ_k nA_k·nB_k) /
+    * (n² − Σ_k nA_k·nB_k)` — so the result is engine-exact. NULL when
+    * the denominator is 0 (both raters constant and identical —
+    * kappa undefined). Rows where either label is NULL are excluded.
+    *
+    * Scale: one agreement aggregate + one per-label marginal
+    * aggregate (both map-side combined; the marginal table is
+    * label-cardinality); no row-level join. Returns ONE row:
+    * (n, agree, p_o, p_e, kappa). */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df.select(raterA.cast("string").as("__a"),
+        raterB.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(eager = false) // agreement + marginal consumers
+    val agree = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L))
+        .as("agree"))
+    val marg = base.select(explode(array(
+        struct(lit("a").as("r"), col("__a").as("k")),
+        struct(lit("b").as("r"), col("__b").as("k"))))
+        .as("__m"))
+      .groupBy(col("__m.k"))
+      .agg(sum(when(col("__m.r") === "a", 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__m.r") === "b", 1L).otherwise(0L)).as("__nb"))
+      .agg(sum((d19(col("__na")) * d19(col("__nb")))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("__pe"))
+    agree.crossJoin(broadcast(marg))
+      .select(col("n"), col("agree"),
+        (col("agree").cast("double") / col("n").cast("double"))
+          .as("p_o"),
+        (dbl(col("__pe")) /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("p_e"), {
+          val num = d19(col("n")) * d19(col("agree")) - col("__pe")
+          val den = d19(col("n")) * d19(col("n")) - col("__pe")
+          when(den === 0, lit(null).cast("double"))
+            .otherwise(dbl(num) / dbl(den)).as("kappa")
+        })
+  }
+
   def liftCurve(df: DataFrame, idCol: String, score: Column,
       label: Column, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,

@@ -406,4 +406,43 @@ object Multimodal {
         ((local0 - pmod(local0, lit(capacity.toLong))) / capacity)
           .cast(LongType).as("batch_idx"))
   }
+
+  /** Letterbox resize/pad geometry for bucketed images — the
+    * per-image plan that turns an [[aspectBuckets]] assignment into
+    * concrete preprocessing parameters: aspect-preserving scale
+    * `min(bucket_w/w, bucket_h/h)`, the resized dims (floored, never
+    * exceeding the bucket), and centered pads
+    * (`pad_left = ⌊(bucket_w − resize_w)/2⌋`, remainder to the
+    * right/bottom — the asymmetric pixel goes to the same side every
+    * time, so the plan is reproducible).
+    *
+    * Division-free dims: `resize_w = ⌊w·bucket_h/h⌋` when height
+    * binds (integer cross-multiplication picks the binding side), so
+    * the plan is exact integer arithmetic end to end — no float scale
+    * whose rounding could disagree between planner and executor.
+    * Pure per-row projection: zero shuffle, embarrassingly parallel,
+    * composes directly onto the aspectBuckets output columns. Returns
+    * the input plus (resize_w, resize_h, pad_left, pad_right,
+    * pad_top, pad_bottom). */
+  def padPlan(df: DataFrame, widthCol: String = "width",
+      heightCol: String = "height", bucketWCol: String = "bucket_w",
+      bucketHCol: String = "bucket_h"): DataFrame = {
+    val (w, h) = (col(widthCol).cast(LongType), col(heightCol).cast(LongType))
+    val (bw, bh) = (col(bucketWCol).cast(LongType),
+      col(bucketHCol).cast(LongType))
+    // width binds when bw/w <= bh/h  ⇔  bw·h <= bh·w (integer compare)
+    val widthBinds = bw * h <= bh * w
+    val rw = when(widthBinds, bw).otherwise(floor(w * bh / h)
+      .cast(LongType))
+    val rh = when(widthBinds, floor(h * bw / w).cast(LongType))
+      .otherwise(bh)
+    val (padW, padH) = (bw - rw, bh - rh)
+    df
+      .withColumn("resize_w", rw)
+      .withColumn("resize_h", rh)
+      .withColumn("pad_left", floor(padW / 2).cast(LongType))
+      .withColumn("pad_right", padW - floor(padW / 2).cast(LongType))
+      .withColumn("pad_top", floor(padH / 2).cast(LongType))
+      .withColumn("pad_bottom", padH - floor(padH / 2).cast(LongType))
+  }
 }

@@ -1113,6 +1113,44 @@ object MicroBatch {
         col("__v").as("median"))
   }
 
+  /** Exact per-group QUANTILE read over a [[streamGroupedValueCounts]]
+    * directory — [[readGroupedMedian]] generalized to any quantile
+    * set: for each requested q, the FIRST value whose cumulative count
+    * reaches q·N (the lower-quantile rule, integer cross-multiplied —
+    * `cum·10⁶ ≥ round(q·10⁶)·N` — so no division meets a row; q = 0.5
+    * reproduces the median exactly). The reported quantile is a VALUE
+    * from the data, bit-exact, and a hot value with a billion
+    * occurrences still costs one state row. The window runs over the
+    * (group, value) count table; the quantile grid (≤ a handful of
+    * rows) broadcasts. Returns (group, quantile, n, value) ordered by
+    * (group, quantile). */
+  def readGroupedQuantiles(spark: SparkSession, dir: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val d19 = "decimal(19,0)"
+    val counts = currentCountState(spark, dir, "grouped value-count")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val grid = {
+      import spark.implicits._
+      qs.map(q => (q, math.floor(q * 1e6 + 0.5).toLong))
+        .toDF("quantile", "__qm")
+    }
+    val cum = counts
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+    cum.join(broadcast(grid),
+        col("__cum").cast(d19) * lit(1000000L).cast(d19) >=
+          col("__qm").cast(d19) * col("__tot").cast(d19))
+      .groupBy(col("__g"), col("quantile"))
+      .agg(min(col("__v")).as("value"), max(col("__tot")).as("n"))
+      .select(col("__g").as("group"), col("quantile"), col("n"),
+        col("value"))
+      .orderBy(col("group"), col("quantile"))
+  }
+
   /** Benford first-digit profile per group over a
     * [[streamGroupedValueCounts]] directory whose maintained VALUE is a
     * leading digit (1–9): the streaming form of

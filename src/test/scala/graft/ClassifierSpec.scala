@@ -303,6 +303,29 @@ class ClassifierSpec extends SparkTestBase {
     assert(cal.forall(_.getLong(0) >= 0L))
   }
 
+  test("cohenKappa: textbook 2x2 agreement; perfect agreement gives " +
+      "1; constant identical raters give NULL") {
+    val rows = Seq.fill(20)(("yes", "yes")) ++
+      Seq.fill(10)(("no", "no")) ++ Seq.fill(15)(("yes", "no")) ++
+      Seq.fill(5)(("no", "yes"))
+    val got = Classifier.cohenKappa(rows.toDF("a", "b"), $"a", $"b")
+      .head()
+    // p_o = .6; marginals A(35,15) B(25,25) -> p_e = .5 -> kappa = .2
+    assert(got.getLong(0) === 50L && got.getLong(1) === 30L)
+    assert(got.getDouble(2) === 0.6 && got.getDouble(3) === 0.5)
+    assert(math.abs(got.getDouble(4) - 0.2) < 1e-15)
+    val perfect = Classifier.cohenKappa(
+      Seq(("x", "x"), ("y", "y")).toDF("a", "b"), $"a", $"b").head()
+    assert(perfect.getDouble(4) === 1.0)
+    // both raters constant and identical: denominator 0 -> NULL
+    val const = Classifier.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), $"a", $"b").head()
+    assert(const.isNullAt(4))
+    val re = Classifier.cohenKappa(rows.toDF("a", "b")
+      .repartition(7), $"a", $"b").head()
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("liftCurve: hand decile table — capture and lift exact, ties " +
       "broken by id, partitioning-invariant") {
     val rows = Seq((1L, 0.95, true), (2L, 0.90, true), (3L, 0.80, true),

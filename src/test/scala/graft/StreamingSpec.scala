@@ -1007,6 +1007,18 @@ class StreamingSpec extends SparkTestBase {
     assert(dist === Seq(("a", 3L, 3L), ("b", 3L, 2L)))
     run() // restart: checkpoint replays nothing, state unchanged
     assert(state() === Seq(("a", 3L, 3.0), ("b", 3L, 5.0)))
+    // the generic quantile lens over the SAME state: q=0.5 reproduces
+    // the median exactly; q=1.0 is the max; fractional cuts use the
+    // lower-quantile rule (a: {1,3,9} p25 -> 1; b: {5,5,7} p90 -> 7)
+    val qs = graft.streaming.MicroBatch
+      .readGroupedQuantiles(spark, outDir, Seq(0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(3))).toSeq
+    assert(qs === Seq(
+      ("a", 0.25, 1.0), ("a", 0.5, 3.0), ("a", 0.9, 9.0),
+      ("a", 1.0, 9.0),
+      ("b", 0.25, 5.0), ("b", 0.5, 5.0), ("b", 0.9, 7.0),
+      ("b", 1.0, 7.0)))
   }
 
   test("segment-log value-count state: each micro-batch appends ONE " +

@@ -361,4 +361,22 @@ class TypeMappingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(re.toSeq === batched.toSeq)
   }
+
+  test("padPlan: integer letterbox geometry — binding side exact, " +
+      "centered pads, odd pixel goes right/bottom") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 800L, 450L, 400, 300),  // width binds: 400x225, pad top/bot
+      (2L, 100L, 300L, 400, 300),  // height binds: 100x300, pad l/r
+      (3L, 400L, 300L, 400, 300))  // exact fit: zero pads
+      .toDF("id", "width", "height", "bucket_w", "bucket_h")
+    val got = graft.operators.Multimodal.padPlan(df)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+    assert(got.toSeq === Seq(
+      (1L, 400L, 225L, 0L, 0L, 37L, 38L),
+      (2L, 100L, 300L, 150L, 150L, 0L, 0L),
+      (3L, 400L, 300L, 0L, 0L, 0L, 0L)))
+  }
 }
