@@ -280,7 +280,9 @@ object ScaleSmoke {
     "q325_forecast_accuracy",
     // r13 wave 5: exact streaming quantile lens, Cohen's kappa,
     // letterbox pad plan
-    "str326_stream_quantiles", "q327_cohen_kappa", "m328_pad_plan")
+    "str326_stream_quantiles", "q327_cohen_kappa", "m328_pad_plan",
+    // r13 wave 6: Matthews correlation report, chi-square independence
+    "q329_mcc", "q330_chi2_independence")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -3107,6 +3107,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Matthews correlation + balanced rates over the q318 synthetic
+    // scorer: the class-imbalance-honest single-number summary from
+    // one map-side-combined aggregate.
+    "q329_mcc" -> ((s, d) =>
+      operators.Classifier.mccReport(
+        t(s, d, "orders").select(
+          ((col("o_orderkey") * 37 % 1000).cast("double") / 1000.0)
+            .as("s"),
+          (col("o_totalprice") > 250000.0).as("y")),
+        col("s"), col("y"), threshold = 0.5)),
+
+    // Chi-square independence of status x priority: exact contingency
+    // and marginal counts, pico-quantized cell contributions,
+    // Wilson-Hilferty p.
+    "q330_chi2_independence" -> ((s, d) =>
+      operators.Expectations.chiSquareIndependence(t(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"))),
+
     // RAKE keyphrase extraction: stopword-split candidate phrases,
     // degree/frequency word scores, pico-quantized phrase score sums,
     // TakeOrderedAndProject top-k.
@@ -5068,7 +5086,7 @@ object SparkEntry {
     "q314_kaplan_meier", "q315_cusum", "q316_atkinson",
     "q319_mad_profile", "d320_index_compact", "str321_fitted_histogram",
     "q322_log_rank", "t324_keyphrases", "str326_stream_quantiles",
-    "m328_pad_plan",
+    "m328_pad_plan", "q329_mcc", "q330_chi2_independence",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

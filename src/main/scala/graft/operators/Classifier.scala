@@ -528,6 +528,51 @@ object Classifier {
     * (distributed range sort) + ONE buckets-sized aggregate + a
     * cumulative window over ≤ buckets rows. Returns (bucket, n,
     * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
+  /** Matthews correlation + the balanced-rates family over the same
+    * ONE-aggregate confusion cells as [[confusionReport]] (kept
+    * separate so that gate's pinned schema stays frozen): at
+    * `score ≥ threshold`,
+    * `MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn))` — the
+    * single-number summary that stays honest under class imbalance
+    * (accuracy and F1 both inflate there), plus balanced accuracy
+    * `(TPR+TNR)/2` and Youden's J `TPR+TNR−1`. Numerics: cells are
+    * exact integers; the MCC numerator rides decimal(38,0)
+    * (tp·tn ≤ n² ≤ 10³⁸ at 10¹⁹ rows); the denominator is a double
+    * sqrt of four exact-integer factors (each ≤ n — exact in double
+    * to 2⁵³). MCC is NULL when any marginal is 0 (undefined), the
+    * rates NULL on empty classes. ONE map-side-combined aggregate,
+    * zero joins. Returns (threshold, tp, fp, tn, fn, mcc,
+    * balanced_accuracy, youden_j). */
+  def mccReport(df: DataFrame, score: Column, label: Column,
+      threshold: Double = 0.5): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df.select(score.cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__y").isNotNull)
+    val pred = col("__v") >= threshold
+    val cells = base.agg(
+      sum(when(pred && col("__y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !col("__y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && !col("__y"), 1L).otherwise(0L)).as("tn"),
+      sum(when(!pred && col("__y"), 1L).otherwise(0L)).as("fn"))
+    val (tp, fp, tn, fn) = (col("tp"), col("fp"), col("tn"), col("fn"))
+    val num = (d19(tp) * d19(tn)).cast("decimal(38,0)") -
+      (d19(fp) * d19(fn)).cast("decimal(38,0)")
+    val margins = Seq(tp + fp, tp + fn, tn + fp, tn + fn)
+    val den = margins.map(m => sqrt(m.cast("double"))).reduce(_ * _)
+    val tpr = when(tp + fn > 0,
+      tp.cast("double") / (tp + fn).cast("double"))
+    val tnr = when(tn + fp > 0,
+      tn.cast("double") / (tn + fp).cast("double"))
+    cells.select(lit(threshold).as("threshold"), tp, fp, tn, fn,
+      when(margins.map(_ > 0).reduce(_ && _), dbl(num) / den)
+        .as("mcc"),
+      ((tpr + tnr) / 2.0).as("balanced_accuracy"),
+      (tpr + tnr - 1.0).as("youden_j"))
+  }
+
   /** Cohen's kappa — inter-annotator agreement corrected for chance,
     * the labeling-QA gate a training-data pipeline runs before
     * trusting human (or model-as-judge) labels: with observed

@@ -997,6 +997,72 @@ object Expectations {
         col("value").as("changed_in_col"))
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * "does the label distribution actually depend on the source?", the
+    * contingency-table sibling of
+    * [[graft.operators.Experiment.sampleRatioMismatch]] (which tests
+    * counts against a DESIGNED ratio, not against independence):
+    * `χ² = Σ_cells (o − n·pᵣ·p_c)²/(n·pᵣ·p_c)` over the r×c table,
+    * dof = (r−1)(c−1), with the p-value from the Wilson–Hilferty
+    * cube-root normal approximation (closed form — no incomplete
+    * gamma; |error| < 1e-3 for dof ≥ 1, and χ²/dof are emitted exact
+    * for anyone who wants a library-grade tail).
+    *
+    * Numerics: observed counts and both marginals are exact integers
+    * from ONE aggregate each (cells, rows, cols — the contingency
+    * table is category²-sized, report-shaped); each cell's χ²
+    * contribution `(n·o − rᵢ·c_j)²/(n·rᵢ·c_j)` is a fixed double
+    * expression of exact integer products, pico-quantized and summed
+    * order-free. NULL-category rows are excluded. Returns ONE row:
+    * (n, rows, cols, dof, chi2, p_value). */
+  def chiSquareIndependence(df: DataFrame, colA: Column, colB: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df.select(colA.cast("string").as("__a"),
+        colB.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(eager = false) // cells + two marginals
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("__ra"))
+    val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("__cb"))
+    val tot = base.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__a")).as("rows"),
+      countDistinct(col("__b")).as("cols"))
+    // (n·o − r·c)² / (n·r·c): exact integer products on decimal(38),
+    // one double division per cell, pico-quantized order-free sum
+    val nO = (d19(col("__n")) * d19(col("__o"))).cast("decimal(38,0)")
+    val rc = (d19(col("__ra")) * d19(col("__cb"))).cast("decimal(38,0)")
+    val diff = dbl(nO - rc)
+    val part = diff * diff /
+      (col("__n").cast("double") * dbl(rc))
+    val chi2sum = cells
+      .join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(floor(round(part, 9) * lit(1000000000000.0) + 0.5)
+        .cast("decimal(28,0)")).cast("decimal(28,0)").as("__x"))
+    val dof = (col("rows") - 1) * (col("cols") - 1)
+    val x = col("__x").cast("string").cast("double") / 1.0e12
+    val k = dof.cast("double")
+    // Wilson–Hilferty: (χ²/k)^⅓ ~ N(1 − 2/(9k), 2/(9k))
+    val z = (cbrt(x / k) - (lit(1.0) - lit(2.0) / (lit(9.0) * k))) /
+      sqrt(lit(2.0) / (lit(9.0) * k))
+    // one-sided upper tail via the A&S erfc polynomial on |z|
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val p = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    tot.crossJoin(broadcast(chi2sum))
+      .select(col("__n").as("n"), col("rows"), col("cols"),
+        dof.cast("long").as("dof"),
+        round(x, 9).as("chi2"),
+        when(dof > 0, p).as("p_value"))
+  }
+
   /** Per-group MAD (median absolute deviation) profile + robust
     * outlier count — the outlier screen that survives what breaks
     * z-scores (the outliers themselves inflate mean and σ; median and

@@ -303,6 +303,24 @@ class ClassifierSpec extends SparkTestBase {
     assert(cal.forall(_.getLong(0) >= 0L))
   }
 
+  test("mccReport: hand confusion cells — MCC, balanced accuracy and " +
+      "Youden's J exact; zero marginal gives NULL MCC") {
+    val rows = Seq((0.9, true), (0.8, true), (0.7, true), (0.6, true),
+      (0.55, false), (0.4, false), (0.3, false), (0.2, false),
+      (0.1, true), (0.05, true)).toDF("s", "y")
+    val got = Classifier.mccReport(rows, $"s", $"y").head()
+    // tp=4 fp=1 tn=3 fn=2: MCC = 10/sqrt(600)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((4L, 1L, 3L, 2L)))
+    assert(math.abs(got.getDouble(5) - 10.0 / math.sqrt(600.0)) < 1e-15)
+    assert(math.abs(got.getDouble(6) - (4.0 / 6 + 3.0 / 4) / 2) < 1e-15)
+    assert(math.abs(got.getDouble(7) - (4.0 / 6 + 3.0 / 4 - 1)) < 1e-15)
+    // all-positive labels: tn+fp margin = 0 -> MCC NULL
+    val onesided = Classifier.mccReport(
+      Seq((0.9, true), (0.1, true)).toDF("s", "y"), $"s", $"y").head()
+    assert(onesided.isNullAt(5))
+  }
+
   test("cohenKappa: textbook 2x2 agreement; perfect agreement gives " +
       "1; constant identical raters give NULL") {
     val rows = Seq.fill(20)(("yes", "yes")) ++

@@ -1605,6 +1605,28 @@ class DataOpsSpec extends SparkTestBase {
       t._6, t._7)))
   }
 
+  test("chiSquareIndependence: hand 2x2 gives chi2 = 20; perfectly " +
+      "independent table gives 0; partitioning-invariant") {
+    val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("u", "v")
+    val got = Expectations.chiSquareIndependence(dep, col("u"),
+      col("v")).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((80L, 2L, 2L, 1L)))
+    assert(got.getDouble(4) === 20.0)
+    assert(got.getDouble(5) < 1e-3) // strongly dependent
+    val ind = (Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(20)(("b", "y")))
+      .toDF("u", "v")
+    val z = Expectations.chiSquareIndependence(ind, col("u"), col("v"))
+      .head()
+    assert(z.getDouble(4) === 0.0)
+    val re = Expectations.chiSquareIndependence(dep.repartition(7),
+      col("u"), col("v")).head()
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("madProfile: hand medians and MAD; the planted outlier flags; " +
       "zero MAD yields NULL outlier count") {
     val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)) ++
