@@ -282,7 +282,7 @@ object ScaleSmoke {
     // letterbox pad plan
     "str326_stream_quantiles", "q327_cohen_kappa", "m328_pad_plan",
     // r13 wave 6: Matthews correlation report, chi-square independence
-    "q329_mcc", "q330_chi2_independence")
+    "q329_mcc", "q330_chi2_independence", "q331_freshness")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

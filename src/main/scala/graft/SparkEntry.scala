@@ -3107,6 +3107,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Data-freshness report per event stream against a FIXED as-of
+    // instant: exact integer-microsecond lags, one max aggregate.
+    "q331_freshness" -> ((s, d) =>
+      operators.Expectations.freshness(t(s, d, "events"),
+          "event_type", col("ts"), asOf = "2024-02-01 00:00:00",
+          maxLagSeconds = 88000L)
+        .select(col("group"), col("n"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("last_ts"),
+          col("lag_seconds"), col("stale"))),
+
     // Matthews correlation + balanced rates over the q318 synthetic
     // scorer: the class-imbalance-honest single-number summary from
     // one map-side-combined aggregate.
@@ -5821,6 +5832,20 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(durus) AS BIGINT) AS VARCHAR) AS DOUBLE) /
         |  (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_duration_secs
         |FROM per""".stripMargin,
+
+    "q331_freshness" ->
+      """WITH g AS (SELECT event_type AS grp,
+        |  CAST(count(*) AS BIGINT) AS n, max(ts) AS mts
+        | FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |l AS (SELECT grp, n,
+        |  strftime(mts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        |  CAST(floor(CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00') -
+        |    epoch_us(mts) AS DOUBLE) / 1000000.0) AS BIGINT)
+        |   AS lag_seconds
+        | FROM g)
+        |SELECT grp AS "group", n, last_ts, lag_seconds,
+        | (lag_seconds IS NULL OR lag_seconds > 88000) AS stale
+        |FROM l ORDER BY 1""".stripMargin,
 
     "q327_cohen_kappa" ->
       """WITH b AS (SELECT o_orderstatus AS a,

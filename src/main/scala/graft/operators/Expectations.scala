@@ -997,6 +997,41 @@ object Expectations {
         col("value").as("changed_in_col"))
   }
 
+  /** Data-freshness report per group — the "is this feed still
+    * arriving?" monitor every ingestion DAG needs beside its
+    * correctness checks: per group, the newest event time, the lag
+    * against an explicit `asOf` instant (a PARAMETER, never wall
+    * clock — the report is reproducible and testable), and a
+    * staleness flag at `maxLagSeconds`. Groups are reported even when
+    * their newest row is NULL-timestamped (all-NULL group → NULL lag,
+    * stale = true: a feed whose timestamps vanished is the worst kind
+    * of stale).
+    *
+    * Numerics: lag is exact integer microseconds
+    * (`unix_micros(asOf) − unix_micros(max ts)`) divided once to
+    * seconds. Scale: ONE group-keyed map-side-combined max aggregate —
+    * no window, no join. Returns (group, n, last_ts, lag_seconds,
+    * stale) ordered by group. */
+  def freshness(df: DataFrame, groupCol: String, tsCol: Column,
+      asOf: String, maxLagSeconds: Long): DataFrame = {
+    require(maxLagSeconds >= 0,
+      s"maxLagSeconds must be non-negative, got $maxLagSeconds")
+    val asOfTs = to_timestamp(lit(asOf))
+    df.select(col(groupCol).as("group"), tsCol.as("__ts"))
+      .filter(col("group").isNotNull)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), max(col("__ts")).as("last_ts"))
+      .select(col("group"), col("n"), col("last_ts"),
+        // floor, not cast-truncate: CAST(double AS BIGINT) rounds in
+        // some engines and truncates in others — floor is unambiguous
+        floor((unix_micros(asOfTs) - unix_micros(col("last_ts")))
+          .cast("double") / 1000000.0).cast("long").as("lag_seconds"))
+      .withColumn("stale",
+        col("lag_seconds").isNull ||
+          col("lag_seconds") > maxLagSeconds)
+      .orderBy(col("group"))
+  }
+
   /** Chi-square test of independence between two categorical columns —
     * "does the label distribution actually depend on the source?", the
     * contingency-table sibling of

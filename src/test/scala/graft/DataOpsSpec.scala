@@ -1605,6 +1605,25 @@ class DataOpsSpec extends SparkTestBase {
       t._6, t._7)))
   }
 
+  test("freshness: exact lag against a fixed as-of; all-NULL group " +
+      "is stale with NULL lag; fresh group passes") {
+    val df = Seq(
+      ("live", java.sql.Timestamp.valueOf("2024-01-01 11:59:30")),
+      ("live", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("old", java.sql.Timestamp.valueOf("2024-01-01 09:00:00")),
+      ("dead", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("g", "ts")
+    val got = Expectations.freshness(df, "g", col("ts"),
+        asOf = "2024-01-01 12:00:00", maxLagSeconds = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("dead", 1L, None, true),
+      ("live", 2L, Some(30L), false),
+      ("old", 1L, Some(10800L), true)))
+  }
+
   test("chiSquareIndependence: hand 2x2 gives chi2 = 20; perfectly " +
       "independent table gives 0; partitioning-invariant") {
     val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
