@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   * verdicts already use, now produced by one invocation.
   */
 object Bench {
+  /** Final-line driver contract: the full artifact line can run tens of
+    * kilobytes (328 queries; MIN-of-N carries every raw run), and the
+    * driver reconstructs its summary from a TRUNCATED captured log tail
+    * — r13's `BENCH_r13.json` parsed as null because the tail cut the
+    * line. So every exit path ALSO prints a compact `BENCH_JSON: {...}`
+    * line (headline fields only, no `runs_raw`) as the LAST stdout
+    * line; the full artifact stays in bench_out/latest.json. */
+  private def printBenchJson(compactLine: String): Unit =
+    println("BENCH_JSON: " + compactLine)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,6 +111,12 @@ object Bench {
         (line + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
+    // child shard/min-run processes must not emit the driver-contract
+    // line — only the top-level process's merged artifact is canonical
+    // (a failure-path fallback child re-enables it via the env flag,
+    // since its output IS the top-level stdout there)
+    if (!isChild || sys.env.contains("SPARK_GRAFT_EMIT_BENCH_JSON"))
+      printBenchJson(line)
     spark.stop()
   }
 
@@ -156,6 +172,7 @@ object Bench {
         Seq("-cp", sys.props("java.class.path"), "graft.Bench")): _*)
       pb.environment().remove("GRAFT_BENCH_RUNS")
       pb.environment().put("SPARK_GRAFT_SHARD_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_EMIT_BENCH_JSON", "1")
       pb.inheritIO()
       sys.exit(pb.start().waitFor())
     }
@@ -167,9 +184,10 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${mins.map(_._2).sum},""" +
+    val compact = s"""{"metric":"total","value":${mins.map(_._2).sum},""" +
       s""""unit":"sec","queries":$qs,"sf":"$sfDir","runs":${raw.size},""" +
-      s""""basis":"min","runs_raw":$rawJson}"""
+      s""""basis":"min"}"""
+    val line = compact.dropRight(1) + s""","runs_raw":$rawJson}"""
     println(line)
     val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
     Files.createDirectories(dir)
@@ -177,6 +195,7 @@ object Bench {
     Files.write(dir.resolve(name),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    printBenchJson(compact)
   }
 
   /** Fork one child JVM per shard (sequentially — parallel children
@@ -227,6 +246,7 @@ object Bench {
       val pb = new ProcessBuilder(((javaBin +: jvmArgs) ++
         Seq("-cp", sys.props("java.class.path"), "graft.Bench")): _*)
       pb.environment().put("SPARK_GRAFT_SHARD_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_EMIT_BENCH_JSON", "1")
       pb.environment().remove("SPARK_GRAFT_ONLY")
       pb.inheritIO()
       sys.exit(pb.start().waitFor())
@@ -241,5 +261,6 @@ object Bench {
     Files.write(dir.resolve("latest.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    printBenchJson(line)
   }
 }

@@ -282,7 +282,10 @@ object ScaleSmoke {
     // letterbox pad plan
     "str326_stream_quantiles", "q327_cohen_kappa", "m328_pad_plan",
     // r13 wave 6: Matthews correlation report, chi-square independence
-    "q329_mcc", "q330_chi2_independence", "q331_freshness")
+    "q329_mcc", "q330_chi2_independence", "q331_freshness",
+    // r14: batch drop ledger (full pipeline + audit write),
+    // manifest-pointer commit (write/overwrite/append/compact/vacuum)
+    "p332_drop_ledger", "q333_manifest_commit")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

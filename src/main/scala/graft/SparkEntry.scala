@@ -1309,6 +1309,76 @@ object SparkEntry {
         "after_near_dedup", "total_tokens")
     }),
 
+    // Per-document drop ledger (the batch pipeline's reasoned DLQ —
+    // str148's batch counterpart): a planted corpus exercises one
+    // loser per reason family — URL blocklist + URL dup, hash
+    // sampling, token/quality/gopher screens, decontamination, exact
+    // and near dedup — and the gate reports the (stage, reason)
+    // histogram with per-group id extrema, plus the planted losers'
+    // own ledger rows. Value-pinned (the near-dup stage isn't SQL);
+    // PipelineSpec pins the exactly-once and output-XOR-ledger
+    // partition laws and the results-unchanged-by-ledger law.
+    "p332_drop_ledger" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter(col("doc_id") < 400)
+        .withColumn("url", concat(lit("https://src"),
+          pmod(col("doc_id"), lit(7L)), lit(".example/p/"), col("doc_id")))
+      // donors from residues the url blocklist (doc_id % 7 == 3 →
+      // src3.example) does NOT hit, so the dedup plantings survive to
+      // their intended stages
+      val donor4 = docs.filter(col("doc_id") === 4L).head
+        .getAs[String]("text")
+      val donor5 = docs.filter(col("doc_id") === 5L).head
+        .getAs[String]("text")
+      val near5 = donor5.split(" ").dropRight(1).mkString(" ") + " zzz"
+      val longWords = Seq.fill(24)("pneumonoultramicroscopic")
+        .mkString(" ")
+      val planted = docs.unionByName(Seq(
+        (900001L, donor4, "xx", "srcdup", "https://p.example/a"),
+        (900002L, near5, "xx", "srcnear", "https://p.example/b"),
+        (900003L, "tiny", "xx", "srctiny", "https://p.example/c"),
+        (900004L, ("! ? " * 8).trim, "xx", "srcpunct",
+          "https://p.example/d"),
+        // 900005 loses to the 0.9 hash sample before any screen — the
+        // point of a planted sampled_out row; 900007 survives sampling
+        // and reaches the gopher screen
+        (900005L, longWords, "xx", "srcsampled", "https://p.example/e"),
+        (900007L, longWords, "xx", "srclong", "https://p.example/g"),
+        (900006L, donor4, "xx", "srcurl", "https://src0.example/p/14"))
+        .toDF("doc_id", "text", "lang", "source", "url")
+        .withColumn("n_chars", length(col("text"))))
+      val benchmark = docs.filter(col("doc_id") === 7L)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      val out = tmpDir("graft_p332").toString
+      val led = tmpDir("graft_p332_led").toString + "/ledger"
+      pipelines.TrainingDataPipeline.run(s, planted, out,
+        pipelines.TrainingDataPipeline.Config(minQuality = 0.6,
+          minTokens = 3, nearDupThreshold = 0.6,
+          sampleFraction = Some(0.9),
+          gopherRules = Some(pipelines.TrainingDataPipeline.GopherRules(
+            minWords = 2, maxWords = 100000, minMeanLen = 0.0,
+            maxMeanLen = 12.0, minStopRatio = 0.0, maxRepetition = 1.0)),
+          urlDedupCol = Some("url"),
+          blockedDomains = Some(Seq("src3.example"))),
+        benchmark = Some(benchmark),
+        dropLedger = Some(pipelines.TrainingDataPipeline.DropLedger(led)))
+      val ledger = s.read.parquet(led)
+      val hist = ledger.groupBy(col("stage"), col("reason"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .select(col("stage"), col("reason"), col("n"),
+          col("min_id").cast(LongType).as("min_id"),
+          col("max_id").cast(LongType).as("max_id"))
+      val plantedRows = ledger
+        .filter(col("doc_id") >= 900000L || col("doc_id") === 7L)
+        .select(lit("planted").as("stage"),
+          concat(col("stage"), lit(":"), col("reason")).as("reason"),
+          lit(1L).as("n"), col("doc_id").cast(LongType).as("min_id"),
+          col("doc_id").cast(LongType).as("max_id"))
+      hist.unionByName(plantedRows)
+        .orderBy(col("stage"), col("reason"), col("min_id"))
+    }),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER analogue): cluster
     // events on the Morton curve over (user_id, value), write, read back
     // with a predicate on BOTH dims. Results are layout-invariant — the
@@ -1717,6 +1787,37 @@ object SparkEntry {
     // small-file compaction: a deliberately fragmented copy of orders is
     // compacted in place (per-partition staged rewrite), then read back —
     // the aggregate must be indistinguishable from the uncompacted source
+    // Manifest-pointer commit mode (r14): the object-store-atomic
+    // batch write path — immutable data generations, one small-object
+    // pointer PUT as the whole-write commit, dynamic overwrite +
+    // append semantics, a fold-and-flip compaction and a
+    // pointer-scoped vacuum — read back through the pointer and
+    // aggregated. The oracle recomputes the final logical state
+    // (untouched partitions from gen 0, the overwritten partition
+    // replaced, the appended slice added) in plain SQL.
+    "q333_manifest_commit" -> ((s, d) => {
+      import graft.sources.{ManifestCommit, PartitionedWrite}
+      val root = tmpDir("graft_q333").toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderstatus").as("st"),
+        col("o_orderkey").as("ok"),
+        floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+      PartitionedWrite.writePartitioned(o, root, Seq("st"),
+        commitMode = "manifest")
+      PartitionedWrite.writePartitioned(
+        o.filter(col("st") === "F" && col("ok") % 2 === 0), root,
+        Seq("st"), commitMode = "manifest")
+      PartitionedWrite.writePartitioned(
+        o.filter(col("st") === "O" && col("ok") % 5 === 0), root,
+        Seq("st"), overwrite = false, commitMode = "manifest")
+      ManifestCommit.compact(s, root, Seq("st"))
+      ManifestCommit.vacuum(root)
+      ManifestCommit.read(s, root)
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast(LongType).as("cents"))
+        .orderBy(col("st"))
+    }),
+
     "q87_compact" -> ((s, d) => {
       val dir = tmpDir("graft_q87")
         .toString + "/orders"
@@ -3096,9 +3197,14 @@ object SparkEntry {
         .select(col("doc_id"),
           (lit(200L) + pmod(col("doc_id") * 37L, lit(1800L))).as("w"),
           (lit(200L) + pmod(col("doc_id") * 53L, lit(1000L))).as("h"))
+      // PIXEL-sized buckets (aspect assignment is scale-invariant, so
+      // they bucket identically to bare ratios) — padPlan then
+      // exercises realistic letterbox geometry instead of degenerate
+      // 1-4 px targets
       operators.Multimodal.padPlan(
           operators.Multimodal.aspectBuckets(dims, "doc_id", "w", "h",
-            buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)),
+            buckets = Seq((1024, 1024), (1152, 896), (896, 1152),
+              (1280, 720), (720, 1280)),
             capacity = 32))
         .select(col("id"), col("width"), col("height"),
           col("bucket_w"), col("bucket_h"), col("resize_w"),
@@ -5098,6 +5204,7 @@ object SparkEntry {
     "q319_mad_profile", "d320_index_compact", "str321_fitted_histogram",
     "q322_log_rank", "t324_keyphrases", "str326_stream_quantiles",
     "m328_pad_plan", "q329_mcc", "q330_chi2_independence",
+    "p332_drop_ledger",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic
@@ -8701,6 +8808,20 @@ object SparkEntry {
         | UNION ALL SELECT l_returnflag, 'price', price FROM agg
         | UNION ALL SELECT l_returnflag, 'disc', disc FROM agg)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q333_manifest_commit" ->
+      """WITH o AS (
+        | SELECT o_orderstatus AS st, o_orderkey AS ok,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        | FROM orders),
+        |final AS (
+        | SELECT * FROM o WHERE st <> 'F'
+        | UNION ALL SELECT * FROM o WHERE st = 'F' AND ok % 2 = 0
+        | UNION ALL SELECT * FROM o WHERE st = 'O' AND ok % 5 = 0)
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM final
+        |GROUP BY st
+        |ORDER BY st""".stripMargin,
 
     "q87_compact" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,

@@ -222,6 +222,39 @@ object Cdc {
       pruneEmpty: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val dec = DecimalType(28, 6)
+    val delta = aggDelta(imagedLog, groupCol, valueCol, opCol)
+      .withColumnRenamed(groupCol, "__g")
+    prior
+      .select(col(groupCol).as("__g"), col(nCol).as("__n"),
+        col(sumCol).cast(dec).as("__s"))
+      .join(delta, Seq("__g"), "full_outer")
+      .select(col("__g").as(groupCol),
+        (coalesce(col("__n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col("__s"), lit(0).cast(dec)) +
+          coalesce(col("__dv"), lit(0).cast(dec)))
+          .cast(DoubleType).as(sumCol))
+      .filter(if (pruneEmpty) col(nCol) > 0 else lit(true))
+  }
+
+  /** The changed-groups-sized ADDITIVE delta of one imaged CDC log slice:
+    * (groupCol, __dn, __dv), where `__dn` is the row-count change and
+    * `__dv` the exact DECIMAL(28,6) value-sum change (the [[graft.dsum]]
+    * rounding discipline — each op contributes −before / +after). Deltas
+    * form a commutative monoid, so any once-each merge order converges
+    * exactly — which is what lets
+    * [[graft.streaming.MicroBatch.streamRollup]] append them as LSM
+    * segments and merge at read time instead of rewriting the standing
+    * state per batch. [[incrementalAgg]] is the one-step fold of this
+    * delta into a prior rollup. `__dv` is NULL for a group whose ops all
+    * carry NULL values (sum-over-nothing), matching aggregate
+    * convention. */
+  def aggDelta(imagedLog: DataFrame, groupCol: String, valueCol: String,
+      opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(groupCol != "__dn" && groupCol != "__dv",
+      s"groupCol $groupCol collides with the delta's reserved columns")
+    val dec = DecimalType(28, 6)
     val contrib = imagedLog.select(explode(array(
         when(col(opCol) =!= OpInsert, struct(
           col(s"before_image.$groupCol").as("__g"),
@@ -235,19 +268,10 @@ object Cdc {
       .filter(col("__c").isNotNull)
       .select(col("__c.__g").as("__g"), col("__c.__dn").as("__dn"),
         col("__c.__dv").as("__dv"))
-    val delta = contrib.groupBy(col("__g"))
-      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
-    prior
-      .select(col(groupCol).as("__g"), col(nCol).as("__n"),
-        col(sumCol).cast(dec).as("__s"))
-      .join(delta, Seq("__g"), "full_outer")
-      .select(col("__g").as(groupCol),
-        (coalesce(col("__n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
-          .as(nCol),
-        (coalesce(col("__s"), lit(0).cast(dec)) +
-          coalesce(col("__dv"), lit(0).cast(dec)))
-          .cast(DoubleType).as(sumCol))
-      .filter(if (pruneEmpty) col(nCol) > 0 else lit(true))
+    contrib.groupBy(col("__g"))
+      .agg(sum(col("__dn")).as("__dn"),
+        sum(col("__dv")).cast(dec).as("__dv"))
+      .withColumnRenamed("__g", groupCol)
   }
 
   /** SCD Type-2 dimension history from an op log: one VALIDITY-INTERVAL

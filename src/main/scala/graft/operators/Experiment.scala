@@ -830,8 +830,11 @@ object Experiment {
       .withColumn("__w", wgt)
       .groupBy(col("group"), col("__r"))
       .agg(sum(col("__w")).as("__n"),
-        sum(d19(col("__w") * col("__y"))).cast("decimal(28,0)")
-          .as("__s"))
+        // multiply in DECIMAL (the welchTTest convention): a LONG
+        // product w·y wraps silently (non-ANSI) once |metric| passes
+        // ~8.4e11 micro-units; decimal(19,0)·decimal(19,0) widens
+        sum((d19(col("__w")) * d19(col("__y"))).cast("decimal(28,0)"))
+          .cast("decimal(28,0)").as("__s"))
       .filter(col("__n") > 0)
       .select(col("group"),
         (dbl(col("__s")) / (col("__n").cast("double") * 1000000.0))

@@ -432,10 +432,13 @@ object Multimodal {
       col(bucketHCol).cast(LongType))
     // width binds when bw/w <= bh/h  ⇔  bw·h <= bh·w (integer compare)
     val widthBinds = bw * h <= bh * w
-    val rw = when(widthBinds, bw).otherwise(floor(w * bh / h)
-      .cast(LongType))
-    val rh = when(widthBinds, floor(h * bw / w).cast(LongType))
-      .otherwise(bh)
+    // lower clamp at 1px (standard letterbox convention): an extreme
+    // aspect relative to the bucket would otherwise floor the
+    // non-binding dim to 0 — an invalid preprocessing plan
+    val rw = greatest(lit(1L), when(widthBinds, bw)
+      .otherwise(floor(w * bh / h).cast(LongType)))
+    val rh = greatest(lit(1L), when(widthBinds,
+      floor(h * bw / w).cast(LongType)).otherwise(bh))
     val (padW, padH) = (bw - rw, bh - rh)
     df
       .withColumn("resize_w", rw)

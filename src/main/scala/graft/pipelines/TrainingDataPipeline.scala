@@ -119,6 +119,37 @@ object TrainingDataPipeline {
       seqsPerBin: Int = 64,
       padId: Int = 0)
 
+  /** Drop-ledger request for [[run]] — the batch counterpart of
+    * `streamCurate`'s reasoned DLQ: `dir` receives ONE parquet row per
+    * dropped input document, `(doc_id, stage, reason)`, where `stage`
+    * is the FIRST pipeline stage that discarded it (stages screen
+    * strictly narrowing survivor sets, so first-failing is by
+    * construction — a doc appears at most once) and `reason` the
+    * finest-grained cause (the quality stage splits into
+    * tokens/quality/gopher/compression; elsewhere reason = stage).
+    * This answers the first question every curation audit asks — "why
+    * did doc X disappear?" — which the aggregate `observe()` Report
+    * cannot.
+    *
+    * `sampleMod` keeps the ledger bounded on a 100 TB run: only docs
+    * with `xxhash64(doc_id) % sampleMod == 0` are recorded (1 = full
+    * ledger; the hash is the same deterministic family as
+    * [[Dedup.hashSample]], so the sample is reproducible and unbiased
+    * per stage).
+    *
+    * Cost model (opt-in): the ledger is ONE extra write action.
+    * Per-row screen reasons ride the SAME predicate expressions the
+    * quality gate evaluates ([[qualityScreenReason]] — the screens
+    * are never re-derived); the exact/near-dup stages contribute
+    * their ALREADY-COMPUTED id-sized loser sets (lazily
+    * local-checkpointed, so the dedup shuffles never re-run for the
+    * audit); the remaining enabled stages contribute id-projection
+    * anti-joins whose column pruning keeps the re-read to the id/key
+    * columns. No corpus-sized persist anywhere. */
+  final case class DropLedger(dir: String, sampleMod: Long = 1L) {
+    require(sampleMod >= 1L, s"sampleMod must be >= 1, got $sampleMod")
+  }
+
   /** Rule-gate thresholds for [[TextAnalysis.gopherKeep]]. */
   final case class GopherRules(
       minWords: Int = 50, maxWords: Int = 100000,
@@ -152,18 +183,32 @@ object TrainingDataPipeline {
         .cast(LongType).as("n_tokens"))
   }
 
-  /** Quality gate: per-row predicate, fully pushed into the scan stage;
-    * with `gopherRules` the rule-based screen runs in the same stage. */
-  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame = {
-    val base = annotated.filter(col("quality") >= cfg.minQuality &&
-      col("n_tokens") >= cfg.minTokens)
-    val ruled = cfg.gopherRules.fold(base)(g => base.filter(
-      TextAnalysis.gopherKeep(
+  /** FIRST-failing per-row quality-screen reason (NULL = passes every
+    * screen), shared by [[qualityFilter]] and the drop ledger so the
+    * keep set and the audit can never diverge. NULL-valued keep
+    * predicates FAIL their screen (a row whose signal is unscoreable is
+    * dropped, exactly as the bare filter chain dropped it under ternary
+    * logic) — the same convention as `streamCurate`'s DLQ reasons. */
+  def qualityScreenReason(cfg: Config): org.apache.spark.sql.Column = {
+    def fail(keep: org.apache.spark.sql.Column, r: String) =
+      when(!coalesce(keep, lit(false)), lit(r))
+    val rs = Seq(
+      fail(col("n_tokens") >= cfg.minTokens, "tokens"),
+      fail(col("quality") >= cfg.minQuality, "quality")) ++
+      cfg.gopherRules.map(g => fail(TextAnalysis.gopherKeep(
         col("text"), g.minWords, g.maxWords, g.minMeanLen, g.maxMeanLen,
-        g.minStopRatio, g.maxRepetition)))
-    cfg.compressionBand.fold(ruled) { case (lo, hi) =>
-      ruled.filter(TextAnalysis.compressionKeep(col("text"), lo, hi)) }
+        g.minStopRatio, g.maxRepetition), "gopher")).toSeq ++
+      cfg.compressionBand.map { case (lo, hi) =>
+        fail(TextAnalysis.compressionKeep(col("text"), lo, hi),
+          "compression") }.toSeq
+    coalesce((rs :+ lit(null).cast("string")): _*)
   }
+
+  /** Quality gate: per-row predicate, fully pushed into the scan stage;
+    * with `gopherRules` the rule-based screen runs in the same stage.
+    * Keeps exactly the rows whose [[qualityScreenReason]] is NULL. */
+  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated.filter(qualityScreenReason(cfg).isNull)
 
   /** Exact dedup: keep the min-id survivor per identical text. Hash-first
     * ([[Dedup.exactLosers]]): the corpus-wide shuffle carries only
@@ -226,27 +271,50 @@ object TrainingDataPipeline {
     * and rows below the threshold are dropped — train it on a labeled
     * sample beforehand. Both stages' losses land between the
     * `afterQuality` and `afterExactDedup` observations, like
-    * decontamination's. */
+    * decontamination's.
+    *
+    * Optional per-document drop ledger (`dropLedger`): write one
+    * (doc_id, stage, reason) row per dropped document — the batch
+    * counterpart of `streamCurate`'s reasoned DLQ; see
+    * [[DropLedger]] for the contract and cost model. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Config = Config(), benchmark: Option[DataFrame] = None,
       dsirTarget: Option[(DataFrame, Double)] = None,
       perplexityRef: Option[(DataFrame, Double)] = None,
       qualityModel: Option[(graft.operators.Classifier.LinearModel, Double)] = None,
-      sequenceOutput: Option[SequencePack] = None): Report = {
+      sequenceOutput: Option[SequencePack] = None,
+      dropLedger: Option[DropLedger] = None): Report = {
     import org.apache.spark.sql.Observation
     val (obsIn, obsQ, obsE, obsD) =
       (Observation(), Observation(), Observation(), Observation())
+    // Drop-ledger plumbing (see [[DropLedger]]): each screening stage
+    // contributes its losers as (doc_id, stage, reason) rows; the
+    // union writes once, AFTER the shard write (so every observe()
+    // metric is settled by the main action, and the ledger's extra
+    // executions of observed subtrees are ignored by Observation).
+    val ledgerBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ledgerIds(stage: String, before: DataFrame, after: DataFrame): Unit =
+      dropLedger.foreach { _ =>
+        ledgerBuf += before.select(col("doc_id"))
+          .join(after.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(stage).as("stage"),
+            lit(stage).as("reason"))
+      }
     // URL hygiene first: blocklist + URL-level dedup read only the URL
     // column — no text signal is paid for a page that loses here
     val urlScreened = cfg.urlDedupCol.map { u =>
       val blocked = cfg.blockedDomains.filter(_.nonEmpty).map { doms =>
         import spark.implicits._
-        graft.operators.UrlOps.domainFilter(docs, u,
+        val b = graft.operators.UrlOps.domainFilter(docs, u,
           doms.toDF("domain"), "domain", "deny")
+        ledgerIds("url_blocked", docs, b)
+        b
       }.getOrElse(docs)
       val keep = graft.operators.UrlOps.urlDedup(blocked, "doc_id", u)
         .select(col("keep_doc_id").as("doc_id"))
-      blocked.join(keep, Seq("doc_id"), "left_semi")
+      val out = blocked.join(keep, Seq("doc_id"), "left_semi")
+      ledgerIds("url_dup", blocked, out)
+      out
     }.getOrElse {
       require(cfg.blockedDomains.isEmpty,
         "blockedDomains needs urlDedupCol to name the URL column")
@@ -257,13 +325,20 @@ object TrainingDataPipeline {
         urlScreened.withColumn("text", TextAnalysis.htmlToText(col("text")))
       else urlScreened
     val pre = cfg.c4LineFilter.map { case (minWords, minLines) =>
-      TextAnalysis.c4Clean(extracted, "doc_id", "text", minWords, minLines)
+      val c = TextAnalysis
+        .c4Clean(extracted, "doc_id", "text", minWords, minLines)
         .withColumnRenamed("id", "doc_id")
         .drop("kept_lines", "total_lines")
+      ledgerIds("c4_lines", extracted, c)
+      c
     }.getOrElse(extracted)
     val annotated = annotate(pre, cfg).observe(obsIn, count(lit(1)).as("n"))
     val sampled = cfg.sampleFraction
-      .map(f => Dedup.hashSample(annotated, "doc_id", f))
+      .map { f =>
+        val s0 = Dedup.hashSample(annotated, "doc_id", f)
+        ledgerIds("sampled_out", annotated, s0)
+        s0
+      }
       .getOrElse(annotated)
     require(cfg.mixingRates.isEmpty || cfg.temperatureMixing.isEmpty,
       "set mixingRates (hand-set) or temperatureMixing (derived), not both")
@@ -274,21 +349,37 @@ object TrainingDataPipeline {
         Dedup.temperatureMix(sampled, "doc_id", domain, alpha, target,
           cfg.temperatureMixWeightCol) })
       .getOrElse(sampled)
+    if (cfg.mixingRates.isDefined || cfg.temperatureMixing.isDefined)
+      ledgerIds("mixed_out", sampled, mixed)
+    // per-row screens: the ledger re-uses the gate's OWN predicate
+    // expressions (first failing screen), never a re-derivation
+    dropLedger.foreach { _ =>
+      ledgerBuf += mixed
+        .select(col("doc_id"), lit("quality_screen").as("stage"),
+          qualityScreenReason(cfg).as("reason"))
+        .filter(col("reason").isNotNull)
+    }
     val qualityGated = qualityFilter(mixed, cfg)
     // the calibrated gate is part of the quality stage: afterQuality
     // reports what survives BOTH the global screens and the per-source cut
-    val quality = cfg.calibratedQuality
+    val calibrated = cfg.calibratedQuality
       .map { case (group, frac) =>
-        TextAnalysis.calibratedKeep(qualityGated, "quality", group, frac) }
+        val c = TextAnalysis.calibratedKeep(qualityGated, "quality",
+          group, frac)
+        ledgerIds("calibrated", qualityGated, c)
+        c
+      }
       .getOrElse(qualityGated)
-      .observe(obsQ, count(lit(1)).as("n"))
+    val quality = calibrated.observe(obsQ, count(lit(1)).as("n"))
     val selected = dsirTarget
       .map { case (t0, frac) =>
         val tgt = if (cfg.redactPii)
           t0.withColumn("text", TextAnalysis.redactPii(col("text")))
         else t0
-        Dedup.importanceResample(quality, "doc_id", "text",
+        val sel = Dedup.importanceResample(quality, "doc_id", "text",
           tgt.select("text"), frac).drop("score")
+        ledgerIds("dsir", quality, sel)
+        sel
       }
       .getOrElse(quality)
     // the LM reference must see the same redaction as the corpus — a
@@ -299,15 +390,20 @@ object TrainingDataPipeline {
         val ref = if (cfg.redactPii)
           r0.withColumn("text", TextAnalysis.redactPii(col("text")))
         else r0
-        graft.operators.LanguageModel.perplexityFilter(
+        val f = graft.operators.LanguageModel.perplexityFilter(
           selected, ref, "doc_id", "text", keepQuantile = quantile)
           .drop("perplexity")
+        ledgerIds("perplexity", selected, f)
+        f
       }
       .getOrElse(selected)
     val gated = qualityModel
       .map { case (model, threshold) =>
-        graft.operators.Classifier.classify(fluent, "text", model, threshold)
+        val g = graft.operators.Classifier
+          .classify(fluent, "text", model, threshold)
           .filter(col("keep")).drop("score", "keep")
+        ledgerIds("classifier", fluent, g)
+        g
       }
       .getOrElse(fluent)
     // the benchmark must see the same redaction as the corpus, or a
@@ -318,12 +414,36 @@ object TrainingDataPipeline {
         val b = if (cfg.redactPii)
           b0.withColumn("text", TextAnalysis.redactPii(col("text")))
         else b0
-        Dedup.decontaminate(gated, b, "doc_id", "text", cfg.shingleK)
+        val c = Dedup.decontaminate(gated, b, "doc_id", "text",
+          cfg.shingleK)
+        ledgerIds("contaminated", gated, c)
+        c
       }
       .getOrElse(gated)
-    val exact = dropExactDups(clean)
+    // dedup stages share their ALREADY-COMPUTED loser-id sets with the
+    // ledger (lazily local-checkpointed, ids only) — the dedup
+    // shuffles/minhash kernels never re-run for the audit
+    val exactLosersDf = dropLedger.map { _ =>
+      Dedup.exactLosers(clean, "doc_id", Seq("text"))
+        .select(col("doc_id")).localCheckpoint(eager = false)
+    }
+    val exact = exactLosersDf
+      .map(l => clean.join(l, Seq("doc_id"), "left_anti"))
+      .getOrElse(dropExactDups(clean))
       .observe(obsE, count(lit(1)).as("n"))
-    val nearDeduped = dropNearDups(exact, cfg)
+    exactLosersDf.foreach(l => ledgerBuf += l.select(col("doc_id"),
+      lit("exact_dup").as("stage"), lit("exact_dup").as("reason")))
+    val nearLosersDf = dropLedger.map { _ =>
+      Dedup.dupClusters(Dedup.minhashNearDups(exact, "doc_id", "text",
+          shingleK = cfg.shingleK, threshold = cfg.nearDupThreshold))
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id")).localCheckpoint(eager = false)
+    }
+    val nearDeduped = nearLosersDf
+      .map(l => exact.join(l, Seq("doc_id"), "left_anti"))
+      .getOrElse(dropNearDups(exact, cfg))
+    nearLosersDf.foreach(l => ledgerBuf += l.select(col("doc_id"),
+      lit("near_dup").as("stage"), lit("near_dup").as("reason")))
     // corpus rewrites: boilerplate lines first (line-granular), then
     // repeated spans; token totals recomputed after each rewrite
     val lineDeduped = cfg.lineDedupDocFreq
@@ -350,7 +470,7 @@ object TrainingDataPipeline {
       .getOrElse(lineDeduped)
     // strongest rewrite rung last: spans duplicated ANYWHERE keep only
     // their first occurrence; docs cut to nothing drop out
-    val deduped = cfg.substringDedupK
+    val rewritten = cfg.substringDedupK
       .map { k =>
         Dedup.substringDedup(spanDeduped, "doc_id", "text", k,
             carryCols = Seq("source", "lang", "quality"))
@@ -362,12 +482,31 @@ object TrainingDataPipeline {
           .drop("n_removed")
       }
       .getOrElse(spanDeduped)
+    // only the corpus rewrites can delete a document here (cut to
+    // nothing) — skip the anti-join entirely when none is configured
+    if (cfg.lineDedupDocFreq.isDefined || cfg.spanDedupTokens.isDefined ||
+        cfg.substringDedupK.isDefined)
+      ledgerIds("rewritten_empty", nearDeduped, rewritten)
+    val deduped = rewritten
       .observe(obsD,
         count(lit(1)).as("n"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("tok"))
 
     PartitionedWrite.writePartitioned(
       deduped, outDir, Seq(cfg.outputPartitionCol))
+
+    // the ledger writes AFTER the main action: observe() metrics are
+    // settled, the dedup loser checkpoints are materialized, and a
+    // pipeline failure never leaves a ledger for an unwritten corpus
+    dropLedger.foreach { dl =>
+      val all = ledgerBuf.reduce(_ unionByName _)
+      val rows =
+        if (dl.sampleMod > 1L)
+          all.filter(pmod(xxhash64(lit("graft_ledger"),
+            col("doc_id").cast("string")), lit(dl.sampleMod)) === 0L)
+        else all
+      rows.write.mode("overwrite").parquet(dl.dir)
+    }
 
     // Sequence emission reads BACK the just-written shards — referencing
     // the live `deduped` plan again would re-run the entire curation

@@ -251,45 +251,33 @@ object MicroBatch {
     * [[graft.operators.Cdc.incrementalAgg]]: a stream of IMAGED CDC ops
     * ([[graft.operators.Cdc.snapshotDiffImaged]]'s schema — the OGG
     * dest/destOld shape) folds into a standing per-group (n, sum)
-    * rollup, one versioned snapshot per micro-batch:
-    *
-    *  - batch `b` reads the LATEST snapshot with version < b, applies
-    *    its delta, and overwrites `dir/version=b` — a replayed batch
-    *    recomputes from the SAME prior and overwrites the SAME dir, so
-    *    crash-and-replay is exactly idempotent with no commit protocol
-    *    beyond the directory swap;
-    *  - deltas form a commutative monoid, so the maintenance never
-    *    depends on batch arrival order; intermediate snapshots may hold
-    *    groups at n ≤ 0 (a delete arriving before its insert) —
-    *    [[readRollup]] prunes them at read time, `pruneEmpty = false`
-    *    keeps their mass until the matching ops land.
-    *
-    * At 100 TB the rollup is groups-sized — the whole point: the base
-    * table is never rescanned, each batch costs one changed-groups-sized
-    * merge. Old versions are bounded by the checkpointed batch count;
-    * vacuum them like any staging dir ([[graft.sources.Maintenance]]). */
+    * rollup through the manifest-committed LSM segment log
+    * ([[foldSegments]]): each micro-batch appends ONE
+    * changed-groups-sized delta segment
+    * ([[graft.operators.Cdc.aggDelta]] — exact decimal value sums, so
+    * segment merges commute) and commits with ONE manifest PUT; every
+    * `compactEvery` appended segments the log collapses to a single
+    * groups-sized segment. Per-batch hot-path I/O is O(changed groups):
+    * the standing state is never read, rewritten, or renamed (the
+    * pre-r14 versioned-snapshot substrate rewrote ALL groups every
+    * batch — at 100 TB a billion-group rollup paid a billion-row
+    * rewrite for a changed-groups-sized delta — and resolved snapshots
+    * by directory listing, which object stores render
+    * partial-snapshot-visible mid-publish). Replay-idempotent: a
+    * replayed batch resolves the manifest with id < batchId and
+    * overwrites its own segment and manifest. Intermediate state may
+    * hold groups at n ≤ 0 (a delete arriving before its insert, in any
+    * segment or their merge) — [[readRollup]] prunes them at read
+    * time. */
   def streamRollup(opsStream: DataFrame, dir: String, groupCol: String,
-      valueCol: String,
-      cfg: IngestConfig = IngestConfig()): DataStreamWriter[org.apache.spark.sql.Row] = {
+      valueCol: String, cfg: IngestConfig = IngestConfig(),
+      compactEvery: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = opsStream.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prior = latestRollupVersion(spark, dir, beforeExclusive = Some(batchId))
-          .map(v => spark.read.parquet(s"$dir/version=$v"))
-          .getOrElse {
-            import org.apache.spark.sql.types._
-            val gT = batch.schema(s"after_image").dataType
-              .asInstanceOf[StructType](groupCol).dataType
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField(groupCol, gT),
-                StructField("n", LongType), StructField("sum_v", DoubleType))))
-          }
-        graft.operators.Cdc
-          .incrementalAgg(prior, batch, groupCol, valueCol,
-            pruneEmpty = false)
-          .write.mode("overwrite").parquet(s"$dir/version=$batchId")
+        val delta = graft.operators.Cdc.aggDelta(batch, groupCol, valueCol)
+        foldSegments(Seq(SegPart("", Seq(groupCol), RollupSums) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
       }
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
   }
@@ -300,9 +288,18 @@ object MicroBatch {
     * accumulated graph participates only through its NODES-SIZED star
     * edges, so per-batch work is (nodes + batch edges), never the edge
     * history; merges across batches and brand-new nodes are exact.
-    * Versioned like [[streamRollup]] (`version=batchId` snapshots
-    * selected by highest id strictly below the current batch), so a
-    * replayed batch overwrites its own version idempotently. */
+    *
+    * Commit protocol: min-label contraction is NOT additive, so the
+    * label table is legitimately full-state per batch (no LSM delta
+    * exists for it) — but the PUBLISH rides the same one-PUT manifest
+    * as [[foldSegments]]: the new labels land at the immutable
+    * `seg=<batchId>` path, the manifest PUT after the data is the
+    * commit point, and readers resolve ONLY through the manifest —
+    * never by directory listing, which object stores render
+    * partial-snapshot-visible mid-publish. A replayed batch resolves
+    * the manifest with id < batchId and overwrites its own segment and
+    * manifest idempotently; GC keeps the replay-horizon manifest plus
+    * the current one (~2× live state). */
   def streamComponents(edgeStream: DataFrame, dir: String,
       srcCol: String, dstCol: String,
       cfg: IngestConfig = IngestConfig())
@@ -311,16 +308,21 @@ object MicroBatch {
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val next = latestRollupVersion(spark, dir,
-            beforeExclusive = Some(batchId))
-          .map(v => spark.read.parquet(s"$dir/version=$v"))
+        val prior = latestSegManifest(dir, beforeExclusive = Some(batchId))
+        val next = prior
+          .map { case (_, segs) =>
+            spark.read.parquet(s"$dir/seg=${segs.head}") }
           .filter(!_.isEmpty) match {
           case Some(labels) => graft.operators.Graph
             .connectedComponentsIncrement(labels, batch, srcCol, dstCol)
           case None => graft.operators.Graph
             .connectedComponents(batch, srcCol, dstCol)
         }
-        next.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+        next.write.mode("overwrite").parquet(s"$dir/seg=$batchId")
+        writeSegManifest(dir, batchId, Seq(batchId)) // the commit point
+        gcSegments(dir,
+          keepManifests = prior.map(_._1).toSet + batchId,
+          keepSegs = prior.map(_._2).getOrElse(Seq.empty).toSet + batchId)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -334,19 +336,25 @@ object MicroBatch {
     * its cross-batch pairs). The quadratic pair expansion runs per
     * batch behind the same `maxBasketSize` whole-basket cap as
     * [[graft.operators.Affinity.coOccurrence]], so the history is
-    * never re-expanded: per-batch cost is the batch's own pairs plus
-    * a pairs-sized merge. Versioned like [[streamRollup]]
-    * (`version=batchId` snapshots, replay-idempotent); read the
-    * current state with [[readCoOccurrence]], which must equal the
-    * batch operator on the union of all batches exactly. */
+    * never re-expanded: per-batch hot-path cost is the batch's OWN
+    * pairs only — the three sub-states (pair counts, item
+    * frequencies, basket total) append as delta segments of ONE
+    * manifest-committed LSM segment log ([[foldSegments]]; the three
+    * parts live under `seg=<id>/pairs|freq|total` and move atomically
+    * under the single manifest PUT), compacted to one segment every
+    * `compactEvery` batches. The pre-r14 substrate merged and rewrote
+    * the FULL pairs state every batch — O(pair-domain) I/O per
+    * micro-batch — and resolved snapshots by listing; both holes are
+    * closed. Replay-idempotent; read the current state with
+    * [[readCoOccurrence]], which must equal the batch operator on the
+    * union of all batches exactly. */
   def streamCoOccurrence(postings: DataFrame, dir: String,
       basketCol: String, itemCol: String, maxBasketSize: Int = 256,
-      cfg: IngestConfig = IngestConfig())
+      cfg: IngestConfig = IngestConfig(), compactEvery: Int = 8)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = postings.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val posts = batch
           .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
           .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
@@ -364,25 +372,16 @@ object MicroBatch {
           .agg(count(lit(1)).as("n_baskets"))
         val freqDelta = kept.groupBy(col("__i").as("item"))
           .agg(count(lit(1)).as("ni"))
+        // an empty batch's global count row is n=0 — filtered so an
+        // all-empty delta skips the fold (state already current)
         val totDelta = kept.select(col("__b")).distinct()
-          .agg(count(lit(1)).as("n"))
-        val prior = latestRollupVersion(spark, dir,
-          beforeExclusive = Some(batchId))
-        def merged(delta: DataFrame, sub: String, keys: Seq[String],
-            cnt: String): DataFrame = prior match {
-          case None => delta
-          case Some(v) =>
-            val p = spark.read.parquet(s"$dir/version=$v/$sub")
-            p.unionByName(delta)
-              .groupBy(keys.map(col): _*)
-              .agg(sum(col(cnt)).as(cnt))
-        }
-        merged(pairsDelta, "pairs", Seq("item_a", "item_b"), "n_baskets")
-          .write.mode("overwrite").parquet(s"$dir/version=$batchId/pairs")
-        merged(freqDelta, "freq", Seq("item"), "ni")
-          .write.mode("overwrite").parquet(s"$dir/version=$batchId/freq")
-        merged(totDelta, "total", Seq.empty, "n")
-          .write.mode("overwrite").parquet(s"$dir/version=$batchId/total")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 0)
+        foldSegments(Seq(
+            SegPart("pairs", Seq("item_a", "item_b"),
+              Seq("n_baskets" -> "bigint")) -> pairsDelta,
+            SegPart("freq", Seq("item"), Seq("ni" -> "bigint")) -> freqDelta,
+            SegPart("total", Seq.empty, Seq("n" -> "bigint")) -> totDelta),
+          batchId, dir, compactEvery, maxStateRows = None)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -390,34 +389,29 @@ object MicroBatch {
 
   /** Streaming functional-dependency monitor state: micro-batches fold
     * ADDITIVELY into persisted counts keyed by the (determinant,
-    * dependent) VALUE pair (versioned `version=batchId` snapshots,
-    * replay-idempotent like [[streamRollup]]), so "did this load break
-    * the 1:1 mapping?" is answerable at any moment without rescanning
-    * history. Read the current audit with [[readFdProfile]] — it must
-    * equal [[graft.operators.Expectations.fdProfile]] on the union of
-    * all batches exactly (every statistic is an exact integer of the
+    * dependent) VALUE pair through the manifest-committed LSM segment
+    * log ([[foldCountSegments]] — one delta segment + one manifest PUT
+    * per batch, replay-idempotent, compacted every `compactEvery`
+    * batches), so "did this load break the 1:1 mapping?" is answerable
+    * at any moment without rescanning history — and without the
+    * pre-r14 full pair-domain rewrite per micro-batch. Read the
+    * current audit with [[readFdProfile]] — it must equal
+    * [[graft.operators.Expectations.fdProfile]] on the union of all
+    * batches exactly (every statistic is an exact integer of the
     * additive state). Per-batch cost: one pair-keyed count aggregate +
-    * a merge bounded by the pair-domain size, never by history. */
+    * one delta-segment write, O(batch's own pairs). `maxStateRows`
+    * fail-fasts an unbounded-domain misuse (see
+    * [[foldSegments]]). */
   def streamPairCounts(stream: DataFrame, dir: String, detCol: String,
-      depCol: String, cfg: IngestConfig = IngestConfig())
+      depCol: String, cfg: IngestConfig = IngestConfig(),
+      compactEvery: Int = 8, maxStateRows: Option[Long] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val delta = batch
-          .select(col(detCol).as("__det"), col(depCol).as("__dep"))
-          .groupBy(col("__det"), col("__dep"))
-          .agg(count(lit(1)).as("__n"))
-        val merged = latestRollupVersion(spark, dir,
-            beforeExclusive = Some(batchId)) match {
-          case None => delta
-          case Some(v) =>
-            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
-              .groupBy(col("__det"), col("__dep"))
-              .agg(sum(col("__n")).as("__n"))
-        }
-        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+        foldCountSegments(batch
+            .select(col(detCol).as("__det"), col(depCol).as("__dep")),
+          batchId, dir, Seq("__det", "__dep"), compactEvery, maxStateRows)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -432,10 +426,7 @@ object MicroBatch {
     * determinant-keyed aggregate over domain-sized state. */
   def readFdProfile(spark: SparkSession, dir: String,
       determinant: String, dependent: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no pair-count versions under $dir"))
-    spark.read.parquet(s"$dir/version=$v")
+    currentCountState(spark, dir, "pair-count")
       .groupBy(col("__det"))
       .agg(sum(col("__n")).as("__rows"),
         sum(when(col("__dep").isNotNull, 1L).otherwise(0L)).as("__nd"))
@@ -452,25 +443,27 @@ object MicroBatch {
   }
 
   /** Streaming correlation maintenance: each micro-batch's exact-decimal
-    * moment sums (n, Σx, Σy, Σx², Σy², Σxy) fold ADDITIVELY into one
-    * persisted row (versioned `version=batchId` snapshots,
-    * replay-idempotent like [[streamRollup]]) — live "is the metric
-    * still tracking the driver?" without rescanning history. Read the
-    * current Pearson r with [[readCorr]]; it must equal
+    * moment sums (n, Σx, Σy, Σx², Σy², Σxy) fold ADDITIVELY into the
+    * manifest-committed LSM segment log ([[foldSegments]] with NO key
+    * columns — each segment is one global moment row, merged by decimal
+    * sums at read/compaction; one manifest PUT per batch,
+    * replay-idempotent) — live "is the metric still tracking the
+    * driver?" without rescanning history. Read the current Pearson r
+    * with [[readCorr]]; it must equal
     * [[graft.operators.Expectations.corrMatrix]] on the union of all
-    * batches EXACTLY, because decimal sums are associative where double
-    * sums are not — the whole reason the state is decimal. Per-batch
-    * cost: one single-row aggregate + a one-row merge. Rows with a
-    * NULL/NaN on either side are excluded (listwise, the batch
-    * convention). */
+    * batches EXACTLY, because decimal sums are associative in ANY
+    * segment-merge order where double sums are not — the whole reason
+    * the state is decimal. Per-batch cost: one single-row aggregate +
+    * a one-row segment write. Rows with a NULL/NaN on either side are
+    * excluded (listwise, the batch convention). */
   def streamMoments(stream: DataFrame, dir: String, xCol: String,
-      yCol: String, cfg: IngestConfig = IngestConfig())
+      yCol: String, cfg: IngestConfig = IngestConfig(),
+      compactEvery: Int = 8)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val dIn = "decimal(18,6)"
     val w = stream.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val delta = batch
           .select(col(xCol).cast("double").as("__x"),
             col(yCol).cast("double").as("__y"))
@@ -485,19 +478,11 @@ object MicroBatch {
               .cast("decimal(38,12)")).cast("decimal(38,12)").as("__syy"),
             sum((col("__x").cast(dIn) * col("__y").cast(dIn))
               .cast("decimal(38,12)")).cast("decimal(38,12)").as("__sxy"))
-        val merged = latestRollupVersion(spark, dir,
-            beforeExclusive = Some(batchId)) match {
-          case None => delta
-          case Some(v) =>
-            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
-              .agg(sum(col("__n")).cast("long").as("__n"),
-                sum(col("__sx")).cast("decimal(38,6)").as("__sx"),
-                sum(col("__sy")).cast("decimal(38,6)").as("__sy"),
-                sum(col("__sxx")).cast("decimal(38,12)").as("__sxx"),
-                sum(col("__syy")).cast("decimal(38,12)").as("__syy"),
-                sum(col("__sxy")).cast("decimal(38,12)").as("__sxy"))
-        }
-        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+          // an empty batch's global aggregate is an n=0 row — filtered
+          // so the fold's empty-delta short-circuit applies
+          .filter(col("__n") > 0)
+        foldSegments(Seq(SegPart("", Seq.empty, MomentSums) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -531,36 +516,32 @@ object MicroBatch {
   }
 
   /** Streaming per-key revenue maintenance: micro-batches fold
-    * ADDITIVELY into persisted (key, total, n) state (versioned
-    * `version=batchId` snapshots, replay-idempotent) — the live
-    * leaderboard/aggregation state behind "top contributors right now"
-    * without rescanning history. Totals ride DECIMAL so the fold is
-    * exact under any batch split; read with [[readTopContributors]].
-    * Per-batch cost: one key-keyed aggregate + a key-domain-sized
-    * merge. */
+    * ADDITIVELY into persisted (key, total, n) state through the
+    * manifest-committed LSM segment log ([[foldSegments]] — one
+    * touched-keys-sized delta segment + one manifest PUT per batch,
+    * replay-idempotent, compacted every `compactEvery` batches) — the
+    * live leaderboard/aggregation state behind "top contributors right
+    * now" without rescanning history, and without the pre-r14 full
+    * key-domain rewrite per micro-batch (at 100 TB a billion-key
+    * leaderboard paid a billion-row rewrite for a touched-keys delta).
+    * Totals ride DECIMAL so the fold is exact under any batch split
+    * AND any segment-merge order; read with
+    * [[readTopContributors]]. */
   def streamKeySums(stream: DataFrame, dir: String, keyCol: String,
-      valueCents: String, cfg: IngestConfig = IngestConfig())
+      valueCents: String, cfg: IngestConfig = IngestConfig(),
+      compactEvery: Int = 8)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val w = stream.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val delta = batch
           .filter(col(keyCol).isNotNull && col(valueCents).isNotNull)
           .groupBy(col(keyCol).as("__k"))
           .agg(sum(col(valueCents).cast("decimal(19,0)"))
             .cast("decimal(28,0)").as("__s"),
             count(lit(1)).as("__n"))
-        val merged = latestRollupVersion(spark, dir,
-            beforeExclusive = Some(batchId)) match {
-          case None => delta
-          case Some(v) =>
-            spark.read.parquet(s"$dir/version=$v").unionByName(delta)
-              .groupBy(col("__k"))
-              .agg(sum(col("__s")).cast("decimal(28,0)").as("__s"),
-                sum(col("__n")).cast("long").as("__n"))
-        }
-        merged.write.mode("overwrite").parquet(s"$dir/version=$batchId")
+        foldSegments(Seq(SegPart("", Seq("__k"), KeySumSums) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
       }
     if (cfg.checkpointDir.nonEmpty)
       w.option("checkpointLocation", cfg.checkpointDir) else w
@@ -574,12 +555,9 @@ object MicroBatch {
     * exactly. */
   def readTopContributors(spark: SparkSession, dir: String, k: Int)
       : DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no key-sum versions under $dir"))
     def dbl(c: org.apache.spark.sql.Column) =
       c.cast("string").cast("double")
-    val state = spark.read.parquet(s"$dir/version=$v")
+    val state = currentSegState(spark, dir, "", KeySumSums, "key-sum")
       .localCheckpoint(eager = false) // top-k + the grand total
     val total = state.agg(sum(col("__s")).cast("decimal(28,0)")
       .as("__tot"))
@@ -648,12 +626,9 @@ object MicroBatch {
     * expression: (col_a, col_b, n, corr). */
   def readCorr(spark: SparkSession, dir: String, xName: String,
       yName: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no moment versions under $dir"))
     def dbl(c: org.apache.spark.sql.Column) =
       c.cast("string").cast("double")
-    val s = spark.read.parquet(s"$dir/version=$v")
+    val s = currentSegState(spark, dir, "", MomentSums, "moment")
     val n = col("__n").cast("double")
     val (sx, sy) = (dbl(col("__sx")), dbl(col("__sy")))
     val (sxx, syy, sxy) = (dbl(col("__sxx")), dbl(col("__syy")),
@@ -666,22 +641,56 @@ object MicroBatch {
         .otherwise((n * sxy - sx * sy) / sqrt(vx * vy)).as("corr"))
   }
 
-  /** Shared incremental fold for the value-count state family — an
+  /** One sub-table of a segment-log state ([[foldSegments]]): `sub`
+    * names the sub-directory under each segment ("" = the single-part
+    * layout, rows directly at `seg=<id>`); `keys` are the grouping
+    * columns (empty = one global row per segment); `sums` are the
+    * additive (column, SQL type) pairs — merged with `sum()` and cast
+    * back to the declared type so segment schemas stay identical
+    * across compaction generations. A part's delta DataFrame carries
+    * exactly `keys ++ sums.map(_._1)`. */
+  private final case class SegPart(sub: String, keys: Seq[String],
+      sums: Seq[(String, String)])
+
+  /** Additive-merge column set per state family (the `sums` of each
+    * [[SegPart]]): counts, CDC rollup deltas, decimal moment sums,
+    * per-key decimal totals. */
+  private val RollupSums = Seq("__dn" -> "bigint",
+    "__dv" -> "decimal(28,6)")
+  private val MomentSums = Seq("__n" -> "bigint",
+    "__sx" -> "decimal(38,6)", "__sy" -> "decimal(38,6)",
+    "__sxx" -> "decimal(38,12)", "__syy" -> "decimal(38,12)",
+    "__sxy" -> "decimal(38,12)")
+  private val KeySumSums = Seq("__s" -> "decimal(28,0)",
+    "__n" -> "bigint")
+
+  private def sumExprs(sums: Seq[(String, String)]): Seq[Column] =
+    sums.map { case (c, t) => sum(col(c)).cast(t).as(c) }
+
+  private def segPath(dir: String, id: Long, sub: String): String =
+    if (sub.isEmpty) s"$dir/seg=$id" else s"$dir/seg=$id/$sub"
+
+  /** Shared incremental fold for EVERY additive streaming state — an
     * LSM-shaped segment log. Each micro-batch appends ONE delta
     * segment (`dir/seg=<batchId>`: the batch's pre-aggregated
-    * (keys → count) rows) and commits by writing ONE small manifest
-    * object (`dir/_manifests/m<batchId>.json`: the list of live
-    * segment ids, written AFTER the segment data is complete).
-    * Readers resolve state ONLY through the latest manifest and merge
-    * the listed segments with a count-sum ([[currentCountState]]) —
-    * they never list data paths. Per-batch state I/O on the hot path
-    * is therefore O(delta): nothing pre-existing is read, rewritten,
-    * or renamed. (The r12 design hash-bucketed the state and rewrote
-    * the touched buckets per batch; for a hash-distributed value
-    * domain EVERY batch touches every bucket, so it degraded to a
-    * full-state rewrite per batch — the 2–3× lens regression the r12
-    * verdict flagged. The segment log writes the delta regardless of
-    * how the domain hashes.)
+    * additive rows — per [[SegPart]] sub-directories for multi-part
+    * states like co-occurrence, which move atomically because the
+    * parts share the single manifest) and commits by writing ONE
+    * small manifest object (`dir/_manifests/m<batchId>.json`: the
+    * list of live segment ids, written AFTER the segment data is
+    * complete). Readers resolve state ONLY through the latest
+    * manifest and merge the listed segments with the part's sum
+    * columns ([[currentSegState]]) — they never list data paths.
+    * Per-batch state I/O on the hot path is therefore O(delta):
+    * nothing pre-existing is read, rewritten, or renamed. (The r12
+    * design hash-bucketed the state and rewrote the touched buckets
+    * per batch; for a hash-distributed value domain EVERY batch
+    * touches every bucket, so it degraded to a full-state rewrite per
+    * batch — the 2–3× lens regression the r12 verdict flagged. The
+    * pre-r14 versioned-snapshot states made the same mistake
+    * structurally: full-state merge + rewrite every batch, resolved
+    * by listing. The segment log writes the delta regardless of how
+    * the domain hashes.)
     *
     * Every `compactEvery` appended segments the fold COMPACTS: the
     * merged (prior segments ∪ delta) state writes as ONE new segment
@@ -712,88 +721,115 @@ object MicroBatch {
     * bound is crossed does the fold pay an exact merged count
     * (compacting in the same pass, since the merge is in hand), and
     * it fails BEFORE any write, so a rejected batch publishes
-    * nothing.
-    *
-    * `batch` arrives pre-projected: a `__v` DOUBLE column (non-NULL,
-    * non-NaN) plus optional extra key columns (`__g`). */
-  private def foldCountSegments(batch: DataFrame, batchId: Long,
-      dir: String, keys: Seq[String], compactEvery: Int,
+    * nothing. */
+  private def foldSegments(parts: Seq[(SegPart, DataFrame)],
+      batchId: Long, dir: String, compactEvery: Int,
       maxStateRows: Option[Long]): Unit = {
     require(compactEvery > 0,
       s"compactEvery must be positive, got $compactEvery")
-    val spark = batch.sparkSession
-    val delta = batch
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .persist()
-    var merged: DataFrame = null
+    require(parts.nonEmpty, "foldSegments needs at least one part")
+    val spark = parts.head._2.sparkSession
+    val deltas = parts.map { case (p, df) => p -> df.persist() }
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](
+      deltas.map(_._2): _*)
     try {
-      val deltaRows = delta.count()
-      if (deltaRows == 0L) return // empty delta: state already current
-      val prior = latestCountManifest(dir, beforeExclusive = Some(batchId))
+      val deltaRows = deltas.map(_._2.count())
+      if (deltaRows.sum == 0L) return // empty delta: state already current
+      val prior = latestSegManifest(dir, beforeExclusive = Some(batchId))
       val priorSegs = prior.map(_._2).getOrElse(Seq.empty)
-      def segPath(id: Long) = s"$dir/seg=$id"
-      // footer-only row total of the prior segments (parquet metadata)
-      lazy val priorFooterRows: Long =
-        if (priorSegs.isEmpty) 0L
-        else spark.read.parquet(priorSegs.map(segPath): _*).count()
+      // footer-only row totals of the prior segments, per part
+      // (parquet metadata, no data read)
+      lazy val priorFooterRows: Seq[Long] =
+        if (priorSegs.isEmpty) deltas.map(_ => 0L)
+        else deltas.map { case (p, _) =>
+          spark.read
+            .parquet(priorSegs.map(id => segPath(dir, id, p.sub)): _*)
+            .count()
+        }
       var compact = priorSegs.size + 1 >= compactEvery
       maxStateRows.foreach { bound =>
-        if (!compact && priorFooterRows + deltaRows > bound)
+        if (!compact && priorFooterRows.sum + deltaRows.sum > bound)
           compact = true // upper bound crossed: get the exact count
       }
-      if (compact && priorSegs.nonEmpty) {
-        merged = spark.read.parquet(priorSegs.map(segPath): _*)
-          .unionByName(delta)
-          .groupBy(keys.map(col): _*).agg(sum(col("__n")).as("__n"))
-          .persist()
-      }
-      val outRows = maxStateRows match {
+      val merged: Option[Seq[DataFrame]] =
+        if (compact && priorSegs.nonEmpty)
+          Some(deltas.map { case (p, d) =>
+            val m = spark.read
+              .parquet(priorSegs.map(id => segPath(dir, id, p.sub)): _*)
+              .unionByName(d)
+              .groupBy(p.keys.map(col): _*)
+              .agg(sumExprs(p.sums).head, sumExprs(p.sums).tail: _*)
+              .persist()
+            persisted += m
+            m
+          })
+        else None
+      val outRows: Seq[Long] = maxStateRows match {
         case Some(bound) =>
-          val exact = if (merged ne null) merged.count() else deltaRows
-          if (exact > bound) throw new IllegalStateException(
-            s"value-count state under $dir would reach $exact distinct " +
-            s"rows (> maxStateRows=$bound): the value domain is not " +
-            "bounded — use streamHistogram (bounded bins) or sketch " +
-            "state (KLL quantiles / HLL distinct) for continuous " +
-            "domains instead of exact value counts")
+          val exact = merged.map(_.map(_.count())).getOrElse(deltaRows)
+          if (exact.sum > bound) throw new IllegalStateException(
+            s"value-count state under $dir would reach ${exact.sum} " +
+            s"distinct rows (> maxStateRows=$bound): the value domain " +
+            "is not bounded — use streamHistogram (bounded bins) or " +
+            "sketch state (KLL quantiles / HLL distinct) for " +
+            "continuous domains instead of exact value counts")
           exact
         case None =>
-          if (merged ne null) priorFooterRows + deltaRows // upper bound
+          if (merged.isDefined) // upper bound
+            priorFooterRows.zip(deltaRows).map { case (a, b) => a + b }
           else deltaRows
       }
-      // segment file sizing from the (upper-bound) row count: counts
-      // rows are ~tens of bytes, target ~4M rows/file, cap the fan-out
-      val files = math.max(1L, math.min(256L,
-        (outRows + 3999999L) / 4000000L)).toInt
-      val out = if (merged ne null) merged else delta
-      out.repartition(files).write.mode("overwrite").parquet(segPath(batchId))
-      val newSegs = if (merged ne null) Seq(batchId)
+      deltas.zip(outRows).zipWithIndex.foreach {
+        case (((p, d), rows), i) =>
+          // segment file sizing from the (upper-bound) row count: state
+          // rows are ~tens of bytes, target ~4M rows/file, cap fan-out
+          val files = math.max(1L, math.min(256L,
+            (rows + 3999999L) / 4000000L)).toInt
+          merged.map(_(i)).getOrElse(d)
+            .repartition(files).write.mode("overwrite")
+            .parquet(segPath(dir, batchId, p.sub))
+      }
+      val newSegs = if (merged.isDefined) Seq(batchId)
         else priorSegs :+ batchId
-      writeCountManifest(dir, batchId, newSegs) // the commit point
-      // GC past the replay horizon: keep the prior manifest (a replay
-      // of THIS batch resolves it) and the one just committed; drop
-      // older manifests and any segment neither survivor references
-      val keepManifests = prior.map(_._1).toSet + batchId
-      val keepSegs = priorSegs.toSet ++ newSegs
-      val mDir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
-      val fs = graft.sources.Fs.of(mDir)
-      fs.listStatus(mDir).foreach { st =>
-        st.getPath.getName match {
-          case CountManifestRe(id) if !keepManifests.contains(id.toLong) =>
-            graft.sources.Fs.delete(st.getPath)
-          case _ =>
-        }
-      }
-      val root = new org.apache.hadoop.fs.Path(dir)
-      fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("seg=") &&
-            !keepSegs.contains(n.stripPrefix("seg=").toLong))
+      writeSegManifest(dir, batchId, newSegs) // the commit point
+      gcSegments(dir,
+        keepManifests = prior.map(_._1).toSet + batchId,
+        keepSegs = priorSegs.toSet ++ newSegs)
+    } finally persisted.foreach(_.unpersist())
+  }
+
+  /** The value-count special case of [[foldSegments]]: aggregate the
+    * projected batch to (keys → count) and fold it as a single-part
+    * segment — the r13 layout, unchanged on disk. */
+  private def foldCountSegments(batch: DataFrame, batchId: Long,
+      dir: String, keys: Seq[String], compactEvery: Int,
+      maxStateRows: Option[Long]): Unit =
+    foldSegments(Seq(SegPart("", keys, Seq("__n" -> "bigint")) ->
+        batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))),
+      batchId, dir, compactEvery, maxStateRows)
+
+  /** GC past the replay horizon: keep the prior manifest (a replay of
+    * the current batch resolves it) and the one just committed; drop
+    * older manifests and any segment neither survivor references —
+    * bounding storage at ~2× live state. Readers racing this can
+    * retry (monitoring-lens store, not a serving store). */
+  private def gcSegments(dir: String, keepManifests: Set[Long],
+      keepSegs: Set[Long]): Unit = {
+    val mDir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+    val fs = graft.sources.Fs.of(mDir)
+    fs.listStatus(mDir).foreach { st =>
+      st.getPath.getName match {
+        case CountManifestRe(id) if !keepManifests.contains(id.toLong) =>
           graft.sources.Fs.delete(st.getPath)
+        case _ =>
       }
-    } finally {
-      delta.unpersist()
-      if (merged ne null) merged.unpersist()
+    }
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("seg=") &&
+          !keepSegs.contains(n.stripPrefix("seg=").toLong))
+        graft.sources.Fs.delete(st.getPath)
     }
   }
 
@@ -801,9 +837,10 @@ object MicroBatch {
 
   /** Latest committed (manifestId, segmentIds) under `dir`, optionally
     * ignoring manifests at/after `beforeExclusive` (replay reads the
-    * pre-batch state). Fails loudly on an r12 bucketed-layout
-    * directory instead of silently reading nothing. */
-  private def latestCountManifest(dir: String,
+    * pre-batch state). Fails loudly on a pre-segment-log layout (r12
+    * bucketed state, pre-r14 versioned snapshots) instead of silently
+    * reading nothing. */
+  private def latestSegManifest(dir: String,
       beforeExclusive: Option[Long]): Option[(Long, Seq[Long])] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = graft.sources.Fs.of(root)
@@ -812,6 +849,12 @@ object MicroBatch {
       throw new IllegalStateException(
         s"$dir holds pre-r13 bucketed value-count state (bucket=*/" +
         "version=*); the segment-log layout cannot resume it — " +
+        "recompute the state into a fresh directory")
+    if (fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("version=")))
+      throw new IllegalStateException(
+        s"$dir holds pre-r14 versioned-snapshot streaming state " +
+        "(version=*); the segment-log layout cannot resume it — " +
         "recompute the state into a fresh directory")
     val mDir = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
     if (!fs.exists(mDir)) return None
@@ -832,7 +875,7 @@ object MicroBatch {
     }
   }
 
-  private def writeCountManifest(dir: String, batchId: Long,
+  private def writeSegManifest(dir: String, batchId: Long,
       segments: Seq[Long]): Unit = {
     graft.sources.Fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
     graft.sources.Fs.writeString(
@@ -840,22 +883,31 @@ object MicroBatch {
       s"""{"batchId":$batchId,"segments":[${segments.mkString(",")}]}""")
   }
 
-  /** The current full value-count state of a segment-log fold
-    * directory: the latest manifest's segments merged with a
-    * count-sum (a single committed segment — post-compaction or the
-    * first batch — is already key-unique and skips the merge). */
-  private def currentCountState(spark: SparkSession, dir: String,
-      what: String): DataFrame = {
-    val (_, segs) = latestCountManifest(dir, beforeExclusive = None)
+  /** The current full state of one part of a segment-log fold
+    * directory: the latest manifest's segments merged with the part's
+    * sum columns (a single committed segment — post-compaction or the
+    * first batch — is already key-unique and skips the merge). Keys
+    * are inferred as every column not in `sums`, so readers need not
+    * know caller-chosen key names (e.g. the rollup's group column). */
+  private def currentSegState(spark: SparkSession, dir: String,
+      sub: String, sums: Seq[(String, String)], what: String): DataFrame = {
+    val (_, segs) = latestSegManifest(dir, beforeExclusive = None)
       .getOrElse(throw new IllegalStateException(
         s"no committed $what state under $dir"))
-    val df = spark.read.parquet(segs.map(id => s"$dir/seg=$id"): _*)
+    val df = spark.read.parquet(segs.map(id => segPath(dir, id, sub)): _*)
     if (segs.size == 1) df
     else {
-      val keys = df.columns.filterNot(_ == "__n").toSeq
-      df.groupBy(keys.map(col): _*).agg(sum(col("__n")).as("__n"))
+      val sumCols = sums.map(_._1).toSet
+      val keys = df.columns.filterNot(sumCols).toSeq
+      df.groupBy(keys.map(col): _*)
+        .agg(sumExprs(sums).head, sumExprs(sums).tail: _*)
     }
   }
+
+  /** [[currentSegState]] for the single-part value-count family. */
+  private def currentCountState(spark: SparkSession, dir: String,
+      what: String): DataFrame =
+    currentSegState(spark, dir, "", Seq("__n" -> "bigint"), what)
 
   /** Streaming distribution-drift maintenance: micro-batches of a
     * numeric column fold ADDITIVELY into persisted per-value counts
@@ -1209,13 +1261,13 @@ object MicroBatch {
     * `minSupport`+ baskets with `lift = (n_ab · N)/(n_a · n_b)`. */
   def readCoOccurrence(spark: SparkSession, dir: String,
       minSupport: Long = 2L): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no co-occurrence versions under $dir"))
-    val pairs = spark.read.parquet(s"$dir/version=$v/pairs")
+    val pairs = currentSegState(spark, dir, "pairs",
+        Seq("n_baskets" -> "bigint"), "co-occurrence")
       .filter(col("n_baskets") >= minSupport)
-    val freq = spark.read.parquet(s"$dir/version=$v/freq")
-    val total = spark.read.parquet(s"$dir/version=$v/total")
+    val freq = currentSegState(spark, dir, "freq",
+      Seq("ni" -> "bigint"), "co-occurrence")
+    val total = currentSegState(spark, dir, "total",
+      Seq("n" -> "bigint"), "co-occurrence")
     pairs
       .join(freq.select(col("item").as("item_a"), col("ni").as("__na")),
         Seq("item_a"))
@@ -1228,33 +1280,26 @@ object MicroBatch {
           .as("lift"))
   }
 
-  /** The current label table of a [[streamComponents]] directory. */
+  /** The current label table of a [[streamComponents]] directory —
+    * resolved through the committed manifest (one small-object read),
+    * never by listing. */
   def readComponents(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
+    val (_, segs) = latestSegManifest(dir, beforeExclusive = None)
       .getOrElse(throw new IllegalStateException(
-        s"no component versions under $dir"))
-    spark.read.parquet(s"$dir/version=$v")
+        s"no committed component state under $dir"))
+    spark.read.parquet(s"$dir/seg=${segs.head}")
   }
 
-  /** The current state of a [[streamRollup]] directory: the latest
-    * version's snapshot with dead (n ≤ 0) groups pruned. */
+  /** The current state of a [[streamRollup]] segment-log directory:
+    * the live segments' additive (Δn, Δsum) deltas merged per group,
+    * dead (n ≤ 0) groups pruned, and the exact decimal sum surfaced as
+    * the double `sum_v` the batch rollup carries. */
   def readRollup(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestRollupVersion(spark, dir, beforeExclusive = None)
-      .getOrElse(throw new IllegalStateException(
-        s"no rollup versions under $dir"))
-    spark.read.parquet(s"$dir/version=$v").filter(col("n") > 0)
-  }
-
-  private def latestRollupVersion(spark: SparkSession, dir: String,
-      beforeExclusive: Option[Long]): Option[Long] = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = graft.sources.Fs.of(root)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("version="))
-      .map(_.getPath.getName.stripPrefix("version=").toLong)
-      .filter(v => beforeExclusive.forall(v < _))
-      .sorted.lastOption
+    val st = currentSegState(spark, dir, "", RollupSums, "rollup")
+    val g = st.columns.filterNot(Set("__dn", "__dv")).head
+    st.select(col(g), col("__dn").as("n"),
+        col("__dv").cast("double").as("sum_v"))
+      .filter(col("n") > 0)
   }
 
   /** Watermarked stream-stream INNER interval join: left rows pair with
@@ -1309,7 +1354,8 @@ object MicroBatch {
   def streamNearDupIngest(stream: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, maxBucketSize: Int = 64): StreamingQuery = {
+      threshold: Double = 0.8, maxBucketSize: Int = 64,
+      compactEvery: Int = 16): StreamingQuery = {
     // Survivors land under batch=<id> partitions; a data column named
     // `batch` would collide with the discovered partition column AFTER
     // batches have already been written — fail at wiring time instead.
@@ -1321,9 +1367,26 @@ object MicroBatch {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestDedupBatch(batch, batchId, indexDir, outDir, idCol, textCol,
           shingleK, numHashes, bands, threshold, maxBucketSize)
+        maybeCompactIndex(batch.sparkSession, indexDir, batchId,
+          compactEvery)
       }
       .start()
   }
+
+  /** Auto-compaction cadence for the streaming near-dup index: fold
+    * closed partitions every `compactEvery` batches (0/negative =
+    * disabled). keepLast = 2 always — the replaying batch's own
+    * partition plus its replay horizon must survive the fold
+    * ([[compactNearDupIndex]]'s contract); the compaction runs AFTER
+    * the batch's own index write, so a crash before the checkpoint
+    * commit replays against an index whose rows are identical, merely
+    * re-partitioned. */
+  private def maybeCompactIndex(spark: SparkSession, indexDir: String,
+      batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactNearDupIndex(spark, indexDir, keepLast = 2)
+      ()
+    }
 
   /** One [[streamNearDupIngest]] micro-batch, exposed for direct replay
     * testing: dedup `batch` against every index partition EXCEPT its own
@@ -1406,8 +1469,15 @@ object MicroBatch {
     * deleted after. A crash in between leaves duplicate index rows —
     * which the probe path tolerates by construction (candidate pairs
     * and verified matches are `.distinct()`ed) — and the next
-    * compaction merges the leftovers away. Returns the number of
-    * partitions folded in (0 = nothing to do). */
+    * compaction's id-keyed dedup on the fold read merges the
+    * leftovers away, so the crash window never inflates the base
+    * permanently. Returns the number of partitions folded in
+    * (0 = nothing to do).
+    *
+    * [[streamNearDupIngest]] / [[streamCurate]] call this
+    * automatically every `compactEvery` batches — production fan-out
+    * stays bounded without an operator remembering the maintenance
+    * call. */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
       keepLast: Int = 2): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -1426,6 +1496,11 @@ object MicroBatch {
     spark.read.option("basePath", indexDir)
       .parquet(fold.map(p => s"$indexDir/batch=$p"): _*)
       .select("id", "bands", "sh")
+      // id-keyed dedup: a crash between a previous fold's write and
+      // its source deletes leaves the folded rows in BOTH the old
+      // generation and its sources — without this they would persist
+      // through every later fold and inflate the index forever
+      .dropDuplicates("id")
       .write.mode("overwrite").parquet(s"$indexDir/batch=base-$gen")
     fold.foreach(p => graft.sources.Fs.delete(
       new org.apache.hadoop.fs.Path(s"$indexDir/batch=$p")))
@@ -1473,7 +1548,10 @@ object MicroBatch {
       compressionBand: Option[(Double, Double)] = None,
       classifier: Option[(graft.operators.Classifier.LinearModel, Double)] = None,
       shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, maxBucketSize: Int = 64)
+      threshold: Double = 0.8, maxBucketSize: Int = 64,
+      /** Auto-compact the near-dup index every this many batches
+        * ([[compactNearDupIndex]]); 0/negative = manual only. */
+      compactEvery: Int = 16)
 
   /** Streaming curation — the ingest-time composition of the batch
     * curation pipeline: each micro-batch runs (optional HTML extraction
@@ -1542,6 +1620,7 @@ object MicroBatch {
         ingestDedupBatch(kept, batchId, indexDir, outDir, idCol, textCol,
           cfg.shingleK, cfg.numHashes, cfg.bands, cfg.threshold,
           cfg.maxBucketSize)
+        maybeCompactIndex(spark, indexDir, batchId, cfg.compactEvery)
       }
       .start()
   }

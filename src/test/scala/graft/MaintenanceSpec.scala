@@ -295,6 +295,86 @@ class MaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 1, "data must be untouched")
   }
 
+  test("manifest-pointer commit: immutable generations, one-PUT " +
+      "publish, dynamic overwrite + append + truncate semantics match " +
+      "the rename writer's") {
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfc").toString + "/t"
+    def state() = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // gen 0: two partitions
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), root, Seq("k"))
+    assert(state() === Seq(("a", 1L), ("b", 2L)))
+    // gen 1: dynamic overwrite touches only k=a; k=b still read from g=0
+    ManifestCommit.writePartitioned(
+      Seq(("a", 10L)).toDF("k", "v"), root, Seq("k"))
+    assert(state() === Seq(("a", 10L), ("b", 2L)))
+    val (_, map1) = ManifestCommit.latestPointer(root).get
+    assert(map1 === Map("k=a" -> Seq(1L), "k=b" -> Seq(0L)))
+    // append mode: k=a accumulates a second generation
+    ManifestCommit.writePartitioned(
+      Seq(("a", 11L)).toDF("k", "v"), root, Seq("k"), overwrite = false)
+    assert(state() === Seq(("a", 10L), ("a", 11L), ("b", 2L)))
+    // full truncate: only the new write survives
+    ManifestCommit.writePartitioned(
+      Seq(("c", 3L)).toDF("k", "v"), root, Seq("k"),
+      truncateSpec = Some(Nil))
+    assert(state() === Seq(("c", 3L)))
+    // data paths were never renamed: every generation dir still exists
+    (0L to 3L).foreach(g => assert(Fs.exists(
+      new HPath(s"$root/_gen/g=$g")), s"generation $g must be immutable"))
+  }
+
+  test("manifest-pointer crash window: an unpublished generation is " +
+      "invisible to readers and vacuum reclaims it; compact folds " +
+      "generations with a pointer flip only") {
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfc2").toString + "/t"
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("a", 10L)).toDF("k", "v"), root, Seq("k"))
+    // simulate a crash BEFORE the pointer PUT: a stray generation dir
+    Seq(("z", 99L)).toDF("k", "v").write.partitionBy("k")
+      .parquet(s"$root/_gen/g=7")
+    def state() = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(state() === Seq(("a", 10L), ("b", 2L)),
+      "an uncommitted generation must never be visible")
+    // vacuum: g=7 (unreferenced) goes; g=0 partially live (k=b) stays
+    val deleted = ManifestCommit.vacuum(root)
+    assert(deleted.exists(_.endsWith("g=7")))
+    assert(Fs.exists(new HPath(s"$root/_gen/g=0")))
+    assert(state() === Seq(("a", 10L), ("b", 2L)))
+    // compact: one generation, same rows, old pointer's gens reclaimable
+    ManifestCommit.compact(spark, root, Seq("k"))
+    assert(state() === Seq(("a", 10L), ("b", 2L)))
+    val (_, map) = ManifestCommit.latestPointer(root).get
+    assert(map.values.flatten.toSet.size === 1, "compacted to one gen")
+    ManifestCommit.vacuum(root)
+    assert(!Fs.exists(new HPath(s"$root/_gen/g=0")) &&
+      !Fs.exists(new HPath(s"$root/_gen/g=1")))
+    assert(state() === Seq(("a", 10L), ("b", 2L)))
+  }
+
+  test("manifest-pointer partition values with special characters " +
+      "round-trip (escaped segments never collide with the TAB format)") {
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfc3").toString + "/t"
+    val odd = Seq(("sp ace", 1L), ("a=b", 2L), ("a%2Fb", 3L), ("t\tb", 4L))
+    ManifestCommit.writePartitioned(odd.toDF("k", "v"), root, Seq("k"))
+    val got = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got === odd.sorted)
+  }
+
   test("catalog compactTable refreshes scoped stats; clustered tables rejected") {
     import graft.catalog.{CatalogFunctions, TableStatistics}
     val wh = Files.createTempDirectory("graft_wh_maint").toString

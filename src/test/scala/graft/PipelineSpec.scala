@@ -84,6 +84,71 @@ class PipelineSpec extends SparkTestBase {
       out.agg(sum("n_tokens")).head().getLong(0))
   }
 
+  test("drop ledger: every dropped doc appears exactly once with its " +
+      "first-failing stage; output XOR ledger partitions the input; " +
+      "results unchanged by the ledger") {
+    val docs = Tables.documents(spark, sf)
+    val donor = docs.filter($"doc_id" === 3).head().getAs[String]("text")
+    val near = donor.split(" ").dropRight(1).mkString(" ") + " zzz"
+    val planted = docs.unionByName(Seq(
+      (900001L, donor, "xx", "srcdup", donor.length.toLong), // exact dup
+      (900002L, near, "xx", "srcnear", near.length.toLong),  // near dup
+      (900003L, "tiny", "xx", "srctiny", 4L),                // < minTokens
+      (900004L, ("! ? " * 8).trim, "xx", "srcpunct", 31L)    // junk quality
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // benchmark twin → doc 7 decontaminated
+    val benchmark = docs.filter($"doc_id" === 7L)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    // qualityScore's floor is 0.55 (length-band x stopword factors), so
+    // 0.6 is the lowest cut that can fire; the planted short
+    // stopword-free junk scores 0.55 and real docs score >= 0.8
+    val cfg = TrainingDataPipeline.Config(minQuality = 0.6,
+      minTokens = 3, nearDupThreshold = 0.6)
+    val outPlain = Files.createTempDirectory("graft_led_plain").toString
+    val rPlain = TrainingDataPipeline.run(spark, planted, outPlain, cfg,
+      benchmark = Some(benchmark))
+    val outDir = Files.createTempDirectory("graft_led_out").toString
+    val ledDir = Files.createTempDirectory("graft_led").toString + "/led"
+    val r = TrainingDataPipeline.run(spark, planted, outDir, cfg,
+      benchmark = Some(benchmark),
+      dropLedger = Some(TrainingDataPipeline.DropLedger(ledDir)))
+    // the ledger must not change WHAT survives
+    assert(r == rPlain)
+    val ledger = spark.read.parquet(ledDir)
+    val out = spark.read.parquet(outDir)
+    // planted losers carry their first-failing stage and fine reason
+    val byId = ledger.collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[String]("stage"), row.getAs[String]("reason"))).toMap
+    assert(byId(900001L) == (("exact_dup", "exact_dup")))
+    assert(byId(900002L) == (("near_dup", "near_dup")))
+    assert(byId(900003L) == (("quality_screen", "tokens")))
+    assert(byId(900004L) == (("quality_screen", "quality")))
+    assert(byId(7L) == (("contaminated", "contaminated")))
+    // exactly-once: no doc has two ledger rows
+    assert(ledger.count() == ledger.select("doc_id").distinct().count())
+    // completeness: output ids ∪ ledger ids = input ids, disjoint
+    val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ledIds = ledger.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inIds = planted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((outIds & ledIds).isEmpty)
+    assert((outIds | ledIds) == inIds)
+    assert(ledger.count() == r.input - r.afterNearDedup)
+    // no corpus-scale persists for the audit either
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // sampled ledger: deterministic hash subset of the full ledger
+    val outS = Files.createTempDirectory("graft_led_souts").toString
+    val ledS = Files.createTempDirectory("graft_led_s").toString + "/led"
+    TrainingDataPipeline.run(spark, planted, outS, cfg,
+      benchmark = Some(benchmark),
+      dropLedger = Some(TrainingDataPipeline.DropLedger(ledS,
+        sampleMod = 2L)))
+    val sampledIds = spark.read.parquet(ledS)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampledIds.subsetOf(ledIds))
+    assert(sampledIds.size < ledIds.size)
+  }
+
   test("full-config run: mixing, gopher rules, decontamination, span dedup") {
     val docs = Tables.documents(spark, sf)
     // benchmark = a couple of corpus docs verbatim → must be decontaminated

@@ -1073,6 +1073,167 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getDouble(0), r.getLong(1))).toSeq)
   }
 
+  test("streamRollup rides the segment log: one delta segment per " +
+      "batch, ONE manifest commit, compaction collapses to a single " +
+      "segment and GC keeps the replay horizon") {
+    import graft.operators.Cdc
+    val root = java.nio.file.Files.createTempDirectory("graft_strrolllsm")
+    val (srcDir, rollDir, ckpt) =
+      (s"$root/src", s"$root/roll", s"$root/ckpt")
+    val v1 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 11.0), (2L, "b", 20.0), (5L, "a", 5.0))
+      .toDF("k", "g", "v")
+    val v3 = Seq((1L, "a", 11.0), (5L, "c", 7.0)).toDF("k", "g", "v")
+    Cdc.snapshotDiffImaged(v1.limit(0), v1, Seq("k"))
+      .coalesce(1).write.parquet(srcDir)
+    Cdc.snapshotDiffImaged(v1, v2, Seq("k"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Cdc.snapshotDiffImaged(v2, v3, Seq("k"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MicroBatch.streamRollup(stream, rollDir, "g", "v",
+        MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0),
+        compactEvery = 3)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batches 0,1 appended delta segments; batch 2 hit the width-3
+    // threshold and compacted to one segment; GC kept the replay
+    // horizon (m1 + its segments 0,1) plus the current m2/seg=2
+    def names(p: String) = new java.io.File(p).listFiles.toSeq
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(names(s"$rollDir/_manifests") === Seq("m1.json", "m2.json"))
+    assert(scala.io.Source.fromFile(s"$rollDir/_manifests/m2.json")
+      .mkString.contains("\"segments\":[2]"))
+    assert(names(rollDir).filter(_.startsWith("seg=")) ===
+      Seq("seg=0", "seg=1", "seg=2"))
+    // the merged read equals the from-scratch aggregate over v3
+    val got = MicroBatch.readRollup(spark, rollDir)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(("a", 1L, 11.0), ("c", 1L, 7.0)))
+  }
+
+  test("segment-log state refuses a pre-r14 versioned-snapshot " +
+      "layout loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stroldver")
+    val dir = s"$root/roll"
+    Seq(("a", 2L, 16.0)).toDF("g", "n", "sum_v")
+      .write.parquet(s"$dir/version=1")
+    val ex = intercept[IllegalStateException] {
+      MicroBatch.readRollup(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("pre-r14 versioned-snapshot"))
+  }
+
+  test("streamComponents publishes through the one-PUT manifest: " +
+      "readers resolve seg=<id> via _manifests (never by listing), " +
+      "GC keeps the replay horizon") {
+    val root = java.nio.file.Files.createTempDirectory("graft_strccm")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/cc", s"$root/ckpt")
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .coalesce(1).write.parquet(srcDir)
+    Seq((3L, 10L), (20L, 21L)).toDF("src", "dst")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((21L, 22L)).toDF("src", "dst")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MicroBatch.streamComponents(stream, outDir, "src", "dst",
+        MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def names(p: String) = new java.io.File(p).listFiles.toSeq
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    // full-state per batch: each manifest references ONLY its own
+    // segment; GC keeps the replay-horizon pair, drops seg=0/m0
+    assert(names(s"$outDir/_manifests") === Seq("m1.json", "m2.json"))
+    assert(names(outDir).filter(_.startsWith("seg=")) ===
+      Seq("seg=1", "seg=2"))
+    assert(names(outDir).forall(!_.startsWith("version=")))
+    val labels = MicroBatch.readComponents(spark, outDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("compactNearDupIndex crash window: rows left in BOTH a fold's " +
+      "output and its undeleted sources merge away on the next " +
+      "compaction (id-keyed dedup)") {
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima"
+    val tB = "mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray"
+    val root = Files.createTempDirectory("graft_idxcrash")
+    val idx = s"$root/idx"
+    graft.operators.Dedup.minhashIndex(
+        Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$idx/batch=seed")
+    // first fold: seed -> base-1 (keepLast needs >=2 partitions to act,
+    // so stage a numeric batch too)
+    graft.operators.Dedup.minhashIndex(
+        Seq((3L, tA + " extra")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$idx/batch=0")
+    graft.operators.Dedup.minhashIndex(
+        Seq((4L, tB + " extra")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$idx/batch=1")
+    assert(MicroBatch.compactNearDupIndex(spark, idx, keepLast = 1) === 2)
+    // simulate the crash: the fold's SOURCE rows reappear alongside
+    // base-1 (as if the post-write source delete never ran)
+    spark.read.parquet(s"$idx/batch=base-1").where(col("id") <= 2)
+      .write.parquet(s"$idx/batch=0")
+    assert(MicroBatch.compactNearDupIndex(spark, idx, keepLast = 1) === 2)
+    val base2 = spark.read.parquet(s"$idx/batch=base-2")
+    assert(base2.count() === base2.select("id").distinct().count(),
+      "crash-window duplicate index rows must merge away, not persist")
+    assert(base2.count() === 3L) // ids 1,2,3 (batch=1 kept aside)
+  }
+
+  test("streamNearDupIngest auto-compacts the index every " +
+      "compactEvery batches (bounded partition fan-out, identical " +
+      "survivors)") {
+    val texts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      "kilo lima mike november oscar papa quebec romeo sierra tango",
+      "uniform victor whiskey xray yankee zulu apple banana cherry date",
+      "east fig grape honey iris jade kiwi lemon mango nectarine")
+    def run(compactEvery: Int): (Seq[Long], Seq[String]) = {
+      val root = Files.createTempDirectory("graft_autocmp")
+      val (srcDir, idx, out, ckpt) =
+        (s"$root/src", s"$root/idx", s"$root/out", s"$root/ckpt")
+      graft.operators.Dedup.minhashIndex(
+          Seq((0L, texts(0))).toDF("doc_id", "text"), "doc_id", "text")
+        .write.parquet(s"$idx/batch=seed")
+      texts.zipWithIndex.foreach { case (t, i) =>
+        Seq((i + 10L, t)).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamNearDupIngest(stream, idx, out, ckpt,
+        "doc_id", "text", compactEvery = compactEvery)
+      try q.processAllAvailable() finally q.stop()
+      val survivors = spark.read.option("basePath", out).parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val parts = new java.io.File(idx).listFiles.toSeq
+        .map(_.getName).filter(_.startsWith("batch=")).sorted
+      (survivors, parts)
+    }
+    val (plainSurv, plainParts) = run(compactEvery = 0)
+    val (autoSurv, autoParts) = run(compactEvery = 2)
+    assert(autoSurv === plainSurv) // 10 dups the seed; rest survive
+    assert(autoSurv === Seq(11L, 12L, 13L))
+    // manual-off keeps every batch partition; auto bounds the fan-out
+    assert(plainParts ===
+      Seq("batch=0", "batch=1", "batch=2", "batch=3", "batch=seed"))
+    assert(autoParts ===
+      Seq("batch=1", "batch=2", "batch=3", "batch=base-1"))
+  }
+
   test("compactNearDupIndex: the folded index probes identically to " +
       "the unfolded one; layout collapses to base + kept batches") {
     import spark.implicits._
