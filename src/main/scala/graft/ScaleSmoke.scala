@@ -284,8 +284,11 @@ object ScaleSmoke {
     // r13 wave 6: Matthews correlation report, chi-square independence
     "q329_mcc", "q330_chi2_independence", "q331_freshness",
     // r14: batch drop ledger (full pipeline + audit write),
-    // manifest-pointer commit (write/overwrite/append/compact/vacuum)
-    "p332_drop_ledger", "q333_manifest_commit")
+    // manifest-pointer commit (write/overwrite/append/compact/vacuum),
+    // streaming HLL distinct state, streaming freshness state
+    "p332_drop_ledger", "q333_manifest_commit",
+    "str334_stream_distinct_sketch", "str335_stream_freshness",
+    "str336_stream_upsert_manifest")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

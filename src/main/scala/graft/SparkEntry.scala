@@ -2706,6 +2706,104 @@ object SparkEntry {
         .withColumn("total", col("total").cast("long"))
     }),
 
+    // Streaming approximate-distinct state (r14): per-priority HLL
+    // sketches fold by register-max union through the LSM segment log
+    // — the bounded-size route the maxStateRows guard prescribes for
+    // unbounded domains; the read must equal the batch sketch of the
+    // union of all batches exactly. Value-pinned (HLL registers aren't
+    // SQL; the estimate is partitioning-independent).
+    "str334_stream_distinct_sketch" -> ((s, d) => {
+      val root = tmpDir("graft_str334")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/hll", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_orderpriority"),
+          col("o_custkey"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).drop("ok"),
+        o.filter(col("ok") % 2 === 1).drop("ok")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamDistinctSketch(stream,
+          outDir, "o_custkey", groupCol = Some("o_orderpriority"),
+          lgK = 12, graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readDistinctSketch(s, outDir)
+    }),
+
+    // Streaming freshness state (r14): per-group max event time folds
+    // by MAX merge (extremum monoid) through the LSM segment log; the
+    // read-side report must equal q331's batch freshness on the union
+    // of all batches exactly.
+    "str335_stream_freshness" -> ((s, d) => {
+      val root = tmpDir("graft_str335")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/fresh", s"$root/ckpt")
+      val ev = t(s, d, "events")
+        .select(col("event_id").as("eid"), col("event_type"), col("ts"))
+      stageReplayBatches(s, Seq(
+        ev.filter(col("eid") % 2 === 0).drop("eid"),
+        ev.filter(col("eid") % 2 === 1).drop("eid")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamFreshness(stream,
+          outDir, "event_type", "ts",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readFreshness(s, outDir,
+          asOf = "2024-02-01 00:00:00", maxLagSeconds = 88000L)
+        .select(col("group"), col("n"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("last_ts"),
+          col("lag_seconds"), col("stale"))
+    }),
+
+    // Manifest-committed streaming upsert sink (r14): update-mode
+    // hourly counts merge into a keyed snapshot whose touched
+    // partitions publish via ONE pointer PUT per batch (with in-stream
+    // generation compaction) — the object-store-atomic form of the
+    // upsert sink; the final snapshot must equal the batch hourly
+    // aggregate of all events.
+    "str336_stream_upsert_manifest" -> ((s, d) => {
+      val root = tmpDir("graft_str336")
+      val (srcDir, snapDir, ckpt) =
+        (s"$root/src", s"$root/snap", s"$root/ckpt")
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id").as("eid"), col("event_type"), col("ts"))
+      stageReplayBatches(s, Seq(
+        ev.filter(col("eid") % 2 === 0).drop("eid"),
+        ev.filter(col("eid") % 2 === 1).drop("eid")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      // partition by DAY (bounded by the 512 dynamic-partition limit),
+      // key by (hour, type): hourly granularity, ~30 touched partitions
+      val counts = graft.streaming.MicroBatch.windowedCounts(
+          stream, "ts", "87600 hours", "1 hour", Seq(col("event_type")))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("dy"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hr"),
+          col("event_type"), col("n"))
+      val q = graft.streaming.MicroBatch.streamUpsertManifest(counts,
+          snapDir, "dy", Seq("hr", "event_type"),
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0),
+          compactEvery = 2)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.ManifestCommit.read(s, snapDir)
+        .select(col("dy").cast(StringType).as("dy"), col("hr"),
+          col("event_type"), col("n"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
     // Duplicate-transaction screen: same part, same exact quantity,
     // shipped within 3 days — the fraud/ops flavor of dedup where the
     // match key is exact and only the date is fuzzy; pair expansion
@@ -5204,7 +5302,7 @@ object SparkEntry {
     "q319_mad_profile", "d320_index_compact", "str321_fitted_histogram",
     "q322_log_rank", "t324_keyphrases", "str326_stream_quantiles",
     "m328_pad_plan", "q329_mcc", "q330_chi2_independence",
-    "p332_drop_ledger",
+    "p332_drop_ledger", "str334_stream_distinct_sketch",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic
@@ -5939,6 +6037,33 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(durus) AS BIGINT) AS VARCHAR) AS DOUBLE) /
         |  (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_duration_secs
         |FROM per""".stripMargin,
+
+    // the manifest-upsert snapshot's final state IS the batch hourly
+    // aggregate — the merge-across-batches is what the gate tests
+    "str336_stream_upsert_manifest" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d') AS dy,
+        | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hr,
+        | event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY hr, event_type""".stripMargin,
+
+    // str335's oracle is q331's exactly: the streamed MAX-merge state
+    // over the union of all batches IS the batch freshness input
+    "str335_stream_freshness" ->
+      """WITH g AS (SELECT event_type AS grp,
+        |  CAST(count(*) AS BIGINT) AS n, max(ts) AS mts
+        | FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |l AS (SELECT grp, n,
+        |  strftime(mts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        |  CAST(floor(CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00') -
+        |    epoch_us(mts) AS DOUBLE) / 1000000.0) AS BIGINT)
+        |   AS lag_seconds
+        | FROM g)
+        |SELECT grp AS "group", n, last_ts, lag_seconds,
+        | (lag_seconds IS NULL OR lag_seconds > 88000) AS stale
+        |FROM l ORDER BY 1""".stripMargin,
 
     "q331_freshness" ->
       """WITH g AS (SELECT event_type AS grp,

@@ -1018,11 +1018,16 @@ object Expectations {
       s"maxLagSeconds must be non-negative, got $maxLagSeconds")
     val asOfTs = to_timestamp(lit(asOf))
     // Eager parameter validation (one 1-row local evaluation, exactly
-    // to_timestamp's semantics): an unparseable asOf would otherwise
-    // NULL every group's lag and flag every feed stale — an invalid
-    // PARAMETER indistinguishable from "every feed is dead", in the
-    // function whose whole point is a reproducible explicit instant.
-    require(!df.sparkSession.range(1).select(asOfTs).head.isNullAt(0),
+    // to_timestamp's semantics — ANSI throws, non-ANSI NULLs; both
+    // collapse to one clear parameter error here): an unparseable asOf
+    // would otherwise NULL every group's lag and flag every feed stale
+    // — an invalid PARAMETER indistinguishable from "every feed is
+    // dead", in the function whose whole point is a reproducible
+    // explicit instant.
+    val asOfOk =
+      try !df.sparkSession.range(1).select(asOfTs).head.isNullAt(0)
+      catch { case _: Exception => false }
+    require(asOfOk,
       s"freshness: unparseable asOf instant '$asOf' — use an ISO " +
         "timestamp like '2024-01-01 00:00:00'")
     df.select(col(groupCol).as("group"), tsCol.as("__ts"))

@@ -247,6 +247,72 @@ object MicroBatch {
     if (cfg.checkpointDir.nonEmpty) w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** [[upsertSnapshot]] with the manifest-pointer commit
+    * ([[graft.sources.ManifestCommit]]) — the object-store-atomic form
+    * the SCALE.md commit matrix prescribes for the keyed upsert sink:
+    * the merged touched partitions land in a fresh IMMUTABLE
+    * generation and ONE pointer PUT publishes them simultaneously
+    * (dynamic-overwrite pointer semantics: untouched partitions keep
+    * their old generation entries and are never read or written).
+    * Replay-idempotent because the keyed merge itself is: a replayed
+    * batch re-merges against a state that already absorbed it — batch
+    * rows win again and the snapshot converges; the orphaned previous
+    * attempt's generation is unreferenced and vacuumed. Read the
+    * snapshot with [[graft.sources.ManifestCommit.read]]. */
+  def upsertSnapshotManifest(batch: DataFrame, dir: String,
+      partitionCol: String, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsertSnapshotManifest needs at least one key column")
+    require(!keyCols.contains(partitionCol),
+      "partitionCol is implicitly part of the key; keyCols must not repeat it")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val touched = batch.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)) // O(partitions per batch) scalars
+    val prior = graft.sources.ManifestCommit.latestPointer(dir) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      case Some(_) =>
+        // pin the batch's own types (partition discovery re-infers the
+        // partition column from dir names)
+        val cols = batch.schema.fields
+          .map(f => col(f.name).cast(f.dataType).as(f.name))
+        graft.sources.ManifestCommit.read(spark, dir)
+          .select(cols.toSeq: _*)
+          .filter(col(partitionCol).isin(touched: _*)) // pointer-pruned
+          .join(batch.select((partitionCol +: keyCols).map(col): _*),
+            partitionCol +: keyCols, "left_anti")
+    }
+    graft.sources.ManifestCommit.writePartitioned(
+      batch.unionByName(prior), dir, Seq(partitionCol))
+    ()
+  }
+
+  /** Streaming wiring for [[upsertSnapshotManifest]] — [[streamUpsert]]
+    * with the one-PUT pointer commit; every `compactEvery` batches the
+    * accumulated generations fold into one
+    * ([[graft.sources.ManifestCommit.compact]] — a pointer flip, zero
+    * data movement at retire) and unreferenced generations vacuum, so
+    * pointer width and storage stay bounded without operator memory. */
+  def streamUpsertManifest(agg: DataFrame, dir: String,
+      partitionCol: String, keyCols: Seq[String],
+      cfg: IngestConfig = IngestConfig(), compactEvery: Int = 16)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = agg.writeStream
+      .outputMode("update")
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertSnapshotManifest(batch, dir, partitionCol, keyCols)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          graft.sources.ManifestCommit.compact(batch.sparkSession, dir,
+            Seq(partitionCol))
+          graft.sources.ManifestCommit.vacuum(dir)
+          ()
+        }
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
   /** Streaming incremental-rollup maintenance — the ingest-time form of
     * [[graft.operators.Cdc.incrementalAgg]]: a stream of IMAGED CDC ops
     * ([[graft.operators.Cdc.snapshotDiffImaged]]'s schema — the OGG
@@ -547,6 +613,122 @@ object MicroBatch {
       w.option("checkpointLocation", cfg.checkpointDir) else w
   }
 
+  /** Streaming approximate-distinct maintenance — the SKETCH state the
+    * `maxStateRows` guard routes unbounded domains to
+    * ([[foldSegments]]'s misuse error names it): per micro-batch, ONE
+    * (group, HLL sketch, row count) delta row per touched group folds
+    * through the manifest-committed LSM segment log; sketches merge by
+    * register-max union (`hll_union_agg` — commutative/associative,
+    * order-free like every merge here, and partitioning-independent),
+    * so the read equals the batch sketch of the union of all batches
+    * exactly. State is groups × 2^lgK bytes REGARDLESS of value
+    * cardinality — the whole point vs exact value counts: a
+    * billion-distinct-URL stream holds 4 KB/group at lgK=12 (±~1.6%
+    * standard error). NULL values are excluded (distinct-count
+    * convention); `groupCol = None` maintains one global sketch. Read
+    * with [[readDistinctSketch]]. */
+  def streamDistinctSketch(stream: DataFrame, dir: String,
+      valueCol: String, groupCol: Option[String] = None, lgK: Int = 12,
+      cfg: IngestConfig = IngestConfig(), compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = groupCol match {
+          case Some(g) => batch
+            .select(col(g).cast("string").as("__g"),
+              col(valueCol).as("__v"))
+            .filter(col("__g").isNotNull)
+          case None => batch
+            .select(lit("").as("__g"), col(valueCol).as("__v"))
+        }
+        val delta = keyed.filter(col("__v").isNotNull)
+          .groupBy(col("__g"))
+          .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__sk"),
+            count(lit(1)).as("__n"))
+        foldSegments(Seq(SegPart("", Seq("__g"),
+            Seq("__sk" -> "hll", "__n" -> "bigint")) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current per-group approximate distinct count of a
+    * [[streamDistinctSketch]] directory: (group, n, n_distinct_est) —
+    * the union-merged sketch estimated once at read time. Must equal
+    * the batch `hll_sketch_estimate(hll_sketch_agg(...))` of the union
+    * of all batches exactly (register-max union is exact over the
+    * sketch space; only the ESTIMATE is approximate over the data). */
+  def readDistinctSketch(spark: SparkSession, dir: String): DataFrame =
+    currentSegState(spark, dir, "",
+        Seq("__sk" -> "hll", "__n" -> "bigint"), "distinct-sketch")
+      .select(col("__g").as("group"), col("__n").as("n"),
+        hll_sketch_estimate(col("__sk")).as("n_distinct_est"))
+      .orderBy(col("group"))
+
+  /** Streaming data-freshness maintenance — the IVM lens over
+    * [[graft.operators.Expectations.freshness]]: per micro-batch, one
+    * (group, max event-time micros, row count) delta row per touched
+    * group folds through the segment log with a MAX merge (extremum
+    * monoid — order-free), so "is this feed still arriving?" is
+    * answerable at any moment without rescanning history; per-batch
+    * I/O is touched-groups-sized. Groups whose rows so far are all
+    * NULL-timestamped carry a NULL max (and report stale — the worst
+    * kind of stale, matching the batch operator). Read with
+    * [[readFreshness]]; it must equal the batch report on the union
+    * of all batches exactly. */
+  def streamFreshness(stream: DataFrame, dir: String, groupCol: String,
+      tsCol: String, cfg: IngestConfig = IngestConfig(),
+      compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .filter(col(groupCol).isNotNull)
+          .groupBy(col(groupCol).as("__g"))
+          .agg(max(unix_micros(col(tsCol))).as("__mx"),
+            count(lit(1)).as("__n"))
+        foldSegments(Seq(SegPart("", Seq("__g"),
+            Seq("__mx" -> "max bigint", "__n" -> "bigint")) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current freshness report of a [[streamFreshness]] directory,
+    * shaped exactly like [[graft.operators.Expectations.freshness]]:
+    * (group, n, last_ts, lag_seconds, stale) against an EXPLICIT
+    * `asOf` instant (validated eagerly, like the batch operator) —
+    * exact integer-microsecond lag, one division to seconds. */
+  def readFreshness(spark: SparkSession, dir: String, asOf: String,
+      maxLagSeconds: Long): DataFrame = {
+    require(maxLagSeconds >= 0,
+      s"maxLagSeconds must be non-negative, got $maxLagSeconds")
+    val asOfTs = to_timestamp(lit(asOf))
+    // eager validation, exactly to_timestamp's semantics (ANSI throws,
+    // non-ANSI NULLs — both collapse to one clear parameter error here)
+    val asOfOk =
+      try !spark.range(1).select(asOfTs).head.isNullAt(0)
+      catch { case _: Exception => false }
+    require(asOfOk,
+      s"readFreshness: unparseable asOf instant '$asOf' — use an ISO " +
+        "timestamp like '2024-01-01 00:00:00'")
+    currentSegState(spark, dir, "",
+        Seq("__mx" -> "max bigint", "__n" -> "bigint"), "freshness")
+      .select(col("__g").as("group"), col("__n").as("n"),
+        timestamp_micros(col("__mx")).as("last_ts"),
+        floor((unix_micros(asOfTs) - col("__mx"))
+          .cast("double") / 1000000.0).cast("long").as("lag_seconds"))
+      .withColumn("stale",
+        col("lag_seconds").isNull ||
+          col("lag_seconds") > maxLagSeconds)
+      .orderBy(col("group"))
+  }
+
   /** Top contributors from a [[streamKeySums]] directory: the k largest
     * totals (exact decimals, ties to the smaller key), each with its
     * share of the grand total — TakeOrderedAndProject over the
@@ -664,8 +846,22 @@ object MicroBatch {
   private val KeySumSums = Seq("__s" -> "decimal(28,0)",
     "__n" -> "bigint")
 
+  /** Merge expressions for a [[SegPart]]'s value columns. The spec is
+    * `(column, merge)` where merge is `"hll"` (HLL sketch register-max
+    * union — commutative/associative like every merge here),
+    * `"min <type>"` / `"max <type>"` (extremum monoids — per-key
+    * first/last/extremum states), or a bare SQL type (additive sum,
+    * cast back so segment schemas stay identical across
+    * generations). */
   private def sumExprs(sums: Seq[(String, String)]): Seq[Column] =
-    sums.map { case (c, t) => sum(col(c)).cast(t).as(c) }
+    sums.map {
+      case (c, "hll") => hll_union_agg(col(c)).as(c)
+      case (c, m) if m.startsWith("min ") =>
+        min(col(c)).cast(m.stripPrefix("min ")).as(c)
+      case (c, m) if m.startsWith("max ") =>
+        max(col(c)).cast(m.stripPrefix("max ")).as(c)
+      case (c, t) => sum(col(c)).cast(t).as(c)
+    }
 
   private def segPath(dir: String, id: Long, sub: String): String =
     if (sub.isEmpty) s"$dir/seg=$id" else s"$dir/seg=$id/$sub"

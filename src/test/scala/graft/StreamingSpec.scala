@@ -555,6 +555,76 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 00:00", "view", 1L), ("2024-01-01 01:00", "view", 1L)))
   }
 
+  test("upsertSnapshotManifest: batch rows win through the pointer " +
+      "commit; untouched partitions keep their old generations; replay " +
+      "converges; vacuum reclaims orphans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsertm").toString + "/snap"
+    def up(rows: Seq[(String, String, Long)]): Unit =
+      graft.streaming.MicroBatch.upsertSnapshotManifest(
+        rows.toDF("part", "k", "n"), dir, "part", Seq("k"))
+    up(Seq(("p1", "a", 1L), ("p1", "b", 2L), ("p2", "c", 3L)))
+    up(Seq(("p1", "a", 10L), ("p1", "d", 4L))) // touches p1 only
+    def got() = ManifestCommit.read(spark, dir)
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("k"),
+        r.getAs[Long]("n"))).toSet
+    assert(got() == Set(("p1", "a", 10L), ("p1", "b", 2L),
+      ("p1", "d", 4L), ("p2", "c", 3L)))
+    // untouched p2 is still served from generation 0 (never rewritten)
+    val (_, map) = ManifestCommit.latestPointer(dir).get
+    assert(map("part=p2") === Seq(0L))
+    assert(map("part=p1") === Seq(1L))
+    // replay: re-applying the same batch converges (new generation,
+    // same logical state); the superseded generation vacuums away
+    up(Seq(("p1", "a", 10L), ("p1", "d", 4L)))
+    assert(got() == Set(("p1", "a", 10L), ("p1", "b", 2L),
+      ("p1", "d", 4L), ("p2", "c", 3L)))
+    val deleted = ManifestCommit.vacuum(dir)
+    assert(deleted.exists(_.endsWith("g=1"))) // p1's superseded gen
+    assert(got().size == 4)
+    // empty batch is a no-op, not a truncate
+    up(Seq.empty)
+    assert(got().size == 4)
+  }
+
+  test("streamUpsertManifest merges update-mode windowed counts across " +
+      "micro-batches through the pointer commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strupm")
+    val (srcDir, snapDir, ckpt) =
+      (s"$root/src", s"$root/snap", s"$root/ckpt")
+    Seq(("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
+        ("2024-01-01 00:30:00", "view"))
+      .toDF("t", "event_type").withColumn("ts", to_timestamp(col("t")))
+      .select("ts", "event_type").repartition(1).write.parquet(srcDir)
+    Seq(("2024-01-01 00:40:00", "click"), ("2024-01-01 01:05:00", "view"))
+      .toDF("t", "event_type").withColumn("ts", to_timestamp(col("t")))
+      .select("ts", "event_type").repartition(1).write.mode("append")
+      .parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val counts = graft.streaming.MicroBatch.windowedCounts(
+        stream, "ts", "100 hours", "1 hour", Seq(col("event_type")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hr"),
+        col("event_type"), col("n"))
+    val q = graft.streaming.MicroBatch.streamUpsertManifest(counts,
+        snapDir, "hr", Seq("event_type"),
+        graft.streaming.MicroBatch.IngestConfig(checkpointDir = ckpt),
+        compactEvery = 1) // exercise the in-stream compaction too
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.sources.ManifestCommit.read(spark, snapDir)
+      .collect().map(r => (r.getAs[String]("hr"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(got == Set(("2024-01-01 00:00", "click", 3L),
+      ("2024-01-01 00:00", "view", 1L), ("2024-01-01 01:00", "view", 1L)))
+  }
+
   test("streamRollup: versioned snapshots reach the recompute state; " +
       "restart with no new input is a no-op") {
     import org.apache.spark.sql.functions._
@@ -806,6 +876,100 @@ class StreamingSpec extends SparkTestBase {
     run() // restart: checkpoint replays nothing
     assert(top().toSeq === Seq(("a", 300L, 2L, 0.5),
       ("b", 250L, 1L, 250.0 / 600.0)))
+  }
+
+  test("streamDistinctSketch: register-max union across batches equals " +
+      "the batch sketch of the union exactly; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_strhll")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/hll", s"$root/ckpt")
+    // values overlap ACROSS batches — the union must not double-count
+    val b1 = Seq(("a", Some(1L)), ("a", Some(2L)), ("b", Some(10L)),
+      ("a", Option.empty[Long]))
+    val b2 = Seq(("a", Some(2L)), ("a", Some(3L)), ("b", Some(10L)),
+      ("b", Some(11L)))
+    b1.toDF("g", "v").coalesce(1).write.parquet(srcDir)
+    b2.toDF("g", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamDistinctSketch(stream, outDir, "v",
+          groupCol = Some("g"), lgK = 12,
+          MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def got() = MicroBatch.readDistinctSketch(spark, outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val batch = (b1 ++ b2).toDF("g", "v")
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("est"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got() === batch)
+    // small-cardinality HLL estimates are exact: a holds 4 non-null
+    // rows over 3 distinct values, b 3 rows over 2
+    assert(got() === Seq(("a", 4L, 3L), ("b", 3L, 2L)))
+    run() // restart: checkpoint replays nothing
+    assert(got() === batch)
+  }
+
+  test("streamFreshness: MAX-merged event times across batches equal " +
+      "the batch freshness report on the union; all-NULL-ts group " +
+      "reports stale; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_strfresh")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/fresh", s"$root/ckpt")
+    def ts(s: String) =
+      if (s == null) null else java.sql.Timestamp.valueOf(s)
+    // feed "a" goes newest in batch 1; "b" newest in batch 2 (the MAX
+    // must span batches); "c" has only NULL timestamps
+    val b1 = Seq(("a", ts("2024-01-31 23:00:00")), ("b", ts("2024-01-30 00:00:00")),
+      ("c", ts(null)))
+    val b2 = Seq(("a", ts("2024-01-20 00:00:00")), ("b", ts("2024-01-31 00:00:00")))
+    b1.toDF("g", "ts").coalesce(1).write.parquet(srcDir)
+    b2.toDF("g", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamFreshness(stream, outDir, "g", "ts",
+          MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def got() = MicroBatch.readFreshness(spark, outDir,
+        asOf = "2024-02-01 00:00:00", maxLagSeconds = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getAs[java.sql.Timestamp]("last_ts")).map(_.toString),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).toSeq
+    val batch = graft.operators.Expectations.freshness(
+        (b1 ++ b2).toDF("g", "ts"), "g", col("ts"),
+        asOf = "2024-02-01 00:00:00", maxLagSeconds = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getAs[java.sql.Timestamp]("last_ts")).map(_.toString),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).toSeq
+    assert(got() === batch)
+    // a: 1h lag (fresh at 100000s); b: 24h lag (fresh); c: NULL, stale
+    assert(got().map(t => (t._1, t._4, t._5)) === Seq(
+      ("a", Some(3600L), false), ("b", Some(86400L), false),
+      ("c", None, true)))
+    // an unparseable asOf fails eagerly, like the batch operator
+    intercept[IllegalArgumentException] {
+      MicroBatch.readFreshness(spark, outDir, "not-a-time", 1L)
+    }
+    run() // restart: checkpoint replays nothing
+    assert(got() === batch)
   }
 
   test("readConcentration over streamed value counts: hand HHI and " +
