@@ -288,7 +288,7 @@ object ScaleSmoke {
     // streaming HLL distinct state, streaming freshness state
     "p332_drop_ledger", "q333_manifest_commit",
     "str334_stream_distinct_sketch", "str335_stream_freshness",
-    "str336_stream_upsert_manifest")
+    "str336_stream_upsert_manifest", "str337_stream_jsd")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -3461,6 +3461,42 @@ object SparkEntry {
       graft.streaming.MicroBatch.readHistogramPsi(s, outDir, ref)
     }),
 
+    // Jensen-Shannon drift lens (r14) over the SAME histogram state
+    // shape as str304: finite on one-sided bins (where PSI's part is
+    // NULL), total capped at ln 2 — the alarm-threshold lens.
+    // Value-pinned: JDK Math.log and libm ln disagree by 1 ulp on
+    // some share ratios, so the algebraic form hash-fails.
+    "str337_stream_jsd" -> ((s, d) => {
+      val root = tmpDir("graft_str337")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/hist", s"$root/ckpt")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast("double").as("price"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("price")),
+        o.filter(col("ok") % 2 === 1).select(col("price"))), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamHistogram(stream, outDir,
+          "price", lo = 0.0, hi = 600000.0, bins = 20,
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val width = 600000.0 / 20
+      // reference deliberately EXCLUDES the top price band so the live
+      // state has bins the reference lacks — the one-sided case JSD
+      // exists for
+      val ref = o.filter(col("ok") % 2 === 0 && col("price") < 450000.0)
+        .filter(col("price").isNotNull && !isnan(col("price")))
+        .groupBy(least(greatest(floor((col("price") - 0.0) / width),
+            lit(0L)), lit(19L)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.MicroBatch.readHistogramJsd(s, outDir, ref)
+    }),
+
     // Power / minimum-detectable-effect pre-readout: per variant vs
     // control, the two-proportion MDE at the current sample sizes
     // (literal normal quantiles, exact counts, one fixed expression).
@@ -5303,6 +5339,9 @@ object SparkEntry {
     "q322_log_rank", "t324_keyphrases", "str326_stream_quantiles",
     "m328_pad_plan", "q329_mcc", "q330_chi2_independence",
     "p332_drop_ledger", "str334_stream_distinct_sketch",
+    // str337's jsd_part: JDK Math.log and libm ln disagree by 1 ulp on
+    // some share ratios, so the algebraic form hash-fails — pinned
+    "str337_stream_jsd",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

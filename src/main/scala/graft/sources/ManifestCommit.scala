@@ -74,7 +74,24 @@ object ManifestCommit {
     val body = (Header +: map.toSeq.sortBy(_._1).map { case (rel, gens) =>
       (rel +: gens.map(_.toString)).mkString("\t")
     }).mkString("\n")
-    Fs.writeString(new HPath(s"$path/_pointer/p$gen.txt"), body)
+    // no-overwrite CREATE = the atomic claim on generation `gen` (the
+    // Checkpoints generation-mark discipline; maps onto a conditional
+    // PUT on object stores): two writers racing the same table fail
+    // LOUDLY on the second commit instead of silently clobbering the
+    // first one's pointer
+    val p = new HPath(s"$path/_pointer/p$gen.txt")
+    val out =
+      try Fs.of(p).create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"concurrent writer detected: pointer p$gen.txt already " +
+            s"committed under $path/_pointer — manifest-pointer tables " +
+            "are single-writer (re-resolve the latest pointer and retry)",
+            e)
+      }
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** [[PartitionedWrite.writePartitioned]] with the manifest-pointer
@@ -92,6 +109,10 @@ object ManifestCommit {
     val prior = latestPointer(path)
     val gen = prior.map(_._1 + 1L).getOrElse(0L)
     val dest = genDir(path, gen)
+    // a dir at the NEXT generation id can only be a crashed attempt's
+    // orphan (a committed write would have advanced the pointer) —
+    // clear it, or the append below would double its rows on retry
+    if (Fs.exists(new HPath(dest))) Fs.deleteRetried(new HPath(dest))
     (if (preClustered) df
      else PartitionedWrite.clusterForWrite(df, partitionCols, sortCols))
       .write.mode("append")
@@ -173,6 +194,8 @@ object ManifestCommit {
     val data = read(spark, path)
     val gen = latestPointer(path).get._1 + 1L
     val dest = genDir(path, gen)
+    // crashed-attempt orphan at the next id: clear before the append
+    if (Fs.exists(new HPath(dest))) Fs.deleteRetried(new HPath(dest))
     data.repartition(partitionCols.map(col): _*)
       .write.mode("append").partitionBy(partitionCols: _*).parquet(dest)
     def leaves(p: HPath, depth: Int): Seq[HPath] =

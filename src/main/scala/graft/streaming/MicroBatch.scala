@@ -1304,6 +1304,44 @@ object MicroBatch {
       .orderBy(col("bin"))
   }
 
+  /** Jensen–Shannon drift lens over a [[streamHistogram]] directory —
+    * the bounded symmetric companion of [[readHistogramPsi]]: PSI's
+    * per-bin part is undefined (NULL) wherever a bin is one-sided,
+    * and its magnitude is unbounded; JSD is finite everywhere and the
+    * total is capped at ln 2, which makes it the alarm-threshold-
+    * friendly lens when new bins appear or old ones empty out. House
+    * per-bin convention: shares are single divisions of exact counts,
+    * each bin emits `jsd_part = (p·ln(p/m) + q·ln(q/m))/2` with
+    * `m = (p+q)/2` as one fixed double expression (a one-sided bin's
+    * missing side contributes exactly 0), parts are emitted per bin
+    * and never double-summed (cross-bin double sums are
+    * order-dependent). Bins absent on one side count 0. Returns
+    * (bin, ref_n, cur_n, ref_share, cur_share, jsd_part) ordered by
+    * bin. */
+  def readHistogramJsd(spark: SparkSession, dir: String,
+      refCounts: DataFrame): DataFrame = {
+    val cur = currentCountState(spark, dir, "histogram")
+      .groupBy(col("__v").cast("long").as("bin")) // merge clamp tags
+      .agg(sum(col("__n")).as("cur_n"))
+    val Array(bc, nc) = refCounts.columns.take(2)
+    val ref = refCounts.select(col(bc).cast("long").as("bin"),
+      col(nc).cast("long").as("ref_n"))
+    val wAll = Window.partitionBy()
+    val shares = ref.join(cur, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .withColumn("ref_share", col("ref_n").cast("double") /
+        sum(col("ref_n")).over(wAll).cast("double"))
+      .withColumn("cur_share", col("cur_n").cast("double") /
+        sum(col("cur_n")).over(wAll).cast("double"))
+    val m = (col("ref_share") + col("cur_share")) / lit(2.0)
+    def side(p: Column): Column =
+      when(p > 0.0, p * log(p / m)).otherwise(lit(0.0))
+    shares
+      .withColumn("jsd_part",
+        (side(col("ref_share")) + side(col("cur_share"))) / lit(2.0))
+      .orderBy(col("bin"))
+  }
+
   /** Streaming GROUPED value-count maintenance — [[streamValueCounts]]
     * with a group key: micro-batches fold additively into persisted
     * (group, value, n) counts (a manifest-committed segment log — see

@@ -1549,6 +1549,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("readHistogramJsd: finite on one-sided bins where PSI is NULL; " +
+      "per-bin parts sum to the hand JSD; symmetric under ref/cur swap") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_strjsd")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/hist", s"$root/ckpt")
+    // live values land in bins 0,1,2 of [0,30); the reference only
+    // knows bins 0,1 — bin 2 is one-sided
+    Seq(5.0, 15.0, 25.0, 25.0).toDF("v").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MicroBatch.streamHistogram(stream, outDir, "v",
+        lo = 0.0, hi = 30.0, bins = 3,
+        MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ref = Seq((0L, 2L), (1L, 2L)).toDF("bin", "n")
+    val rows = MicroBatch.readHistogramJsd(spark, outDir, ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    // every part finite (incl. the one-sided bin 2, where PSI is NULL)
+    assert(rows.length === 3 && rows.forall(!_._4.isNaN))
+    val psiRows = MicroBatch.readHistogramPsi(spark, outDir, ref).collect()
+    assert(psiRows.exists(r => r.getLong(0) == 2L && r.isNullAt(5)),
+      "PSI's one-sided part is NULL — the gap JSD exists to close")
+    // hand JSD: ref = (1/2, 1/2, 0), cur = (1/4, 1/4, 1/2)
+    def part(p: Double, qq: Double) = {
+      val m = (p + qq) / 2.0
+      (if (p > 0) p * math.log(p / m) else 0.0) / 2.0 +
+        (if (qq > 0) qq * math.log(qq / m) else 0.0) / 2.0
+    }
+    val hand = Seq(part(0.5, 0.25), part(0.5, 0.25), part(0.0, 0.5))
+    rows.map(_._4).zip(hand).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+    }
+    val total = rows.map(_._4).sum
+    assert(total > 0.0 && total <= math.log(2.0) + 1e-12,
+      "JSD is capped at ln 2")
+  }
+
   test("readHistogramPsi: live state scored against a frozen reference " +
       "equals the batch PSI; one-sided bins carry NULL psi_part") {
     import spark.implicits._
