@@ -288,7 +288,20 @@ object ScaleSmoke {
     // streaming HLL distinct state, streaming freshness state
     "p332_drop_ledger", "q333_manifest_commit",
     "str334_stream_distinct_sketch", "str335_stream_freshness",
-    "str336_stream_upsert_manifest", "str337_stream_jsd")
+    "str336_stream_upsert_manifest", "str337_stream_jsd",
+    // r14 wave 2: k-group rank test, G-test, post-stratification,
+    // LLR collocations, encoding-anomaly + lexicon screens, PACF,
+    // seasonal strength, manifest time-travel/fsck, streaming SPRT
+    "q338_kruskal_wallis", "q339_g_test", "q340_post_strat",
+    "t341_llr_collocations", "t342_mojibake", "t343_lexicon_screen",
+    "q344_pacf", "q345_seasonal_strength", "q346_time_travel",
+    "q347_manifest_fsck", "str348_stream_sprt",
+    // r14 wave 3: conformal guarantee layer, UCB bandit readout,
+    // join-explosion pre-flight, leave-one-out target encoding
+    "q349_conformal", "q350_ucb", "q351_join_explosion",
+    "q352_target_encode",
+    // r14 wave 4: two more lenses on the grouped value-count state
+    "str353_stream_tukey", "str354_stream_conformal")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

@@ -3497,6 +3497,243 @@ object SparkEntry {
       graft.streaming.MicroBatch.readHistogramJsd(s, outDir, ref)
     }),
 
+    // Kruskal-Wallis H across the five priority tiers: exact midrank
+    // sums via the distributed cumulative-count machinery,
+    // milli-quantized cross-group reduction, Wilson-Hilferty p.
+    "q338_kruskal_wallis" -> ((s, d) =>
+      operators.Experiment.kruskalWallis(t(s, d, "orders"),
+        col("o_totalprice"), col("o_orderpriority"))),
+
+    // G-test of independence (status x priority): the LLR twin of the
+    // q330 chi-square over the same contingency table — exact counts,
+    // pico-quantized cell terms, Wilson-Hilferty p.
+    "q339_g_test" -> ((s, d) =>
+      operators.Expectations.gTestIndependence(t(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"))),
+
+    // Post-stratification estimator: status-variant means reweighted
+    // to the pooled priority mix — exact micro-integer moment sums,
+    // pico-quantized per-stratum terms.
+    "q340_post_strat" -> ((s, d) =>
+      operators.Experiment.postStratify(t(s, d, "orders"),
+        "o_orderstatus", col("o_totalprice"), "o_orderpriority")),
+
+    // Dunning LLR collocations: positive-association bigrams ranked by
+    // the 2x2 G-statistic over positional bigram marginals — exact
+    // integer cells, fixed four-term double expression.
+    "t341_llr_collocations" -> ((s, d) =>
+      operators.LanguageModel.dunningCollocations(
+        t(s, d, "documents"), "text", minCount = 3, topK = 50)),
+
+    // Mojibake / encoding-anomaly corpus profile over a PLANTED
+    // corruption set (every seventh doc gets U+FFFD + C1 + Latin-1
+    // artifacts appended, spelled as escapes): the profile must count
+    // exactly those.
+    "t342_mojibake" -> ((s, d) => {
+      val artifacts = " \uFFFD \u00C3\u00A9t\u00C3\u00A9 " +
+        "caf\u00C3\u00A9 \u00E2\u0080\u0099 \u0085 "
+      val planted = t(s, d, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(artifacts)))
+            .otherwise(col("text")))
+      TextAnalysis.mojibakeProfile(planted, "doc_id", "text",
+        per1000Threshold = 1.0)
+    }),
+
+    // Taxonomy lexicon screen: per-doc, per-category hit counts via a
+    // broadcast lexicon join over lowercase alpha tokens (every 17th
+    // doc — bounded report, three categories of corpus vocabulary).
+    "t343_lexicon_screen" -> ((s, d) =>
+      TextAnalysis.lexiconScreen(
+        t(s, d, "documents").filter(col("doc_id") % 17 === 0),
+        "doc_id", "text",
+        Map(
+          "perf" -> Seq("slow", "fast"),
+          "storage" -> Seq("table", "column", "row"),
+          "compute" -> Seq("scan", "join", "sort", "filter")))),
+
+    // Partial autocorrelation via Durbin-Levinson over the exact-
+    // decimal ACF table (report-sized driver recursion).
+    "q344_pacf" -> ((s, d) =>
+      operators.TimeSeries.pacf(t(s, d, "events"), "event_type", "ts",
+        col("value"), maxLag = 5)),
+
+    // Seasonal / trend strength over the weekly decomposition: pico-
+    // quantized component moment sums, fixed variance expressions.
+    "q345_seasonal_strength" -> ((s, d) =>
+      operators.TimeSeries.seasonalStrength(t(s, d, "events"),
+        "event_type", "ts", col("value"))),
+
+    // Manifest time travel + rollback: three commits build three
+    // snapshots; the gate reads the CURRENT state, the state AS OF
+    // pointer 1, and the state after rolling back to pointer 0 — all
+    // three reconstructed independently by the oracle from the same
+    // orders slices. Counts + exact key sums identify the states.
+    "q346_time_travel" -> ((s, d) => {
+      import graft.sources.ManifestCommit
+      val root = tmpDir("graft_q346").toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+        pmod(col("o_orderkey"), lit(4L)).cast(StringType).as("pt"))
+      ManifestCommit.writePartitioned(
+        o.filter(col("ok") % 3 === 0), root, Seq("pt"))
+      ManifestCommit.writePartitioned(
+        o.filter(col("ok") % 3 === 1), root, Seq("pt"),
+        overwrite = false)
+      ManifestCommit.writePartitioned(
+        o.filter(col("ok") % 3 === 2 && pmod(col("ok"), lit(4L)) === 2),
+        root, Seq("pt"))
+      def state(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("pt").cast(StringType).as("pt"))
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("sum_ok"))
+          .withColumn("tag", lit(tag))
+      val current = state(ManifestCommit.read(s, root), "current")
+      val asOf1 = state(ManifestCommit.readAt(s, root, 1L), "p1")
+      ManifestCommit.rollback(root, 0L)
+      val rolled = state(ManifestCommit.read(s, root), "rolled_back")
+      current.unionByName(asOf1).unionByName(rolled)
+        .select(col("tag"), col("pt"), col("n"), col("sum_ok"))
+        .orderBy(col("tag"), col("pt"))
+    }),
+
+    // Manifest fsck over a table with real history, a vacuumed horizon
+    // and a planted crash orphan: retained pointers parse, every cited
+    // generation present, the orphan surfaced as vacuum-reclaimable.
+    "q347_manifest_fsck" -> ((s, d) => {
+      import graft.sources.ManifestCommit
+      val root = tmpDir("graft_q347").toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+        col("o_orderstatus").as("st"))
+      ManifestCommit.writePartitioned(o, root, Seq("st"))
+      ManifestCommit.writePartitioned(
+        o.filter(col("ok") % 2 === 0), root, Seq("st"))
+      ManifestCommit.writePartitioned(
+        o.filter(col("ok") % 5 === 0), root, Seq("st"),
+        overwrite = false)
+      ManifestCommit.vacuum(root, keepPointers = 2)
+      // a crashed attempt's debris: data landed, pointer never did
+      s.range(1).write.parquet(s"$root/_gen/g=99")
+      ManifestCommit.fsck(s, root)
+    }),
+
+    // Streaming SPRT state (IVM): per-type (successes, trials) fold
+    // additively through the LSM segment log; the read-side Wald
+    // decision equals the batch SPRT on the union of all batches.
+    "str348_stream_sprt" -> ((s, d) => {
+      val root = tmpDir("graft_str348")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/sprt", s"$root/ckpt")
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id").as("eid"), col("event_type"),
+          (col("value") > 40.0).as("hit"))
+      stageReplayBatches(s, Seq(
+        ev.filter(col("eid") % 3 === 0).drop("eid"),
+        ev.filter(col("eid") % 3 === 1).drop("eid"),
+        ev.filter(col("eid") % 3 === 2).drop("eid")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamSprt(stream, outDir,
+          "event_type", "hit",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // p0/p1 bracket the observed ~0.44-0.46 rates so the Wald walk
+      // lands on DIFFERENT decisions per group (the interesting case)
+      graft.streaming.MicroBatch.readSprt(s, outDir,
+        p0 = 0.44, p1 = 0.46, alpha = 0.05, beta = 0.2)
+    }),
+
+    // Split-conformal threshold + coverage: exact ceil((n+1)(1-a))-th
+    // calibration order statistic via the distributed global rank,
+    // realized eval coverage against it.
+    "q349_conformal" -> ((s, d) =>
+      operators.Classifier.conformalThreshold(
+        t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_totalprice"), (col("o_orderkey") % 5 === 0).as("cal")),
+        col("o_totalprice"), col("cal"), "ok", alpha = 0.1)),
+
+    // UCB1 arm allocation over priority arms with conversion rewards:
+    // exact micro-integer means, fixed-expression bounds, argmax with
+    // a total tie-break.
+    "q350_ucb" -> ((s, d) =>
+      operators.Experiment.ucbAllocation(t(s, d, "orders"),
+        "o_orderpriority",
+        (col("o_orderstatus") === "F").cast("double"))),
+
+    // Join-explosion audit of the l_partkey self-join: exact output
+    // cardinality and hottest keys from the two count tables alone.
+    "q351_join_explosion" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      operators.Skew.joinExplosionAudit(li, li,
+        col("l_partkey"), col("l_partkey"), topK = 25)
+    }),
+
+    // Leave-one-out smoothed target encoding of priority against
+    // order value: category stats over the FULL table, one fixed
+    // double expression per row, sampled output for the gate.
+    "q352_target_encode" -> ((s, d) =>
+      operators.Classifier.targetEncodeLoo(t(s, d, "orders"),
+          "o_orderpriority", col("o_totalprice"), "o_orderkey",
+          smoothing = 10.0)
+        .filter(col("id") % 37 === 0)
+        .orderBy(col("id"))),
+
+    // Streaming Tukey fences: exact quartiles + outlier counts as
+    // selections/sums over the maintained grouped value-count state.
+    "str353_stream_tukey" -> ((s, d) => {
+      val root = tmpDir("graft_str353")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders").select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast("double").as("v"),
+        col("o_orderkey").as("ok"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 2 === 0).select(col("g"), col("v")),
+        o.filter(col("ok") % 2 === 1).select(col("g"), col("v"))),
+        srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(
+          stream, outDir, "g", "v",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readTukeyFences(s, outDir)
+    }),
+
+    // Streaming split-conformal threshold: the exact
+    // ceil((n+1)(1-a))-th smallest maintained nonconformity per group,
+    // current after every batch.
+    "str354_stream_conformal" -> ((s, d) => {
+      val root = tmpDir("graft_str354")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/counts", s"$root/ckpt")
+      val o = t(s, d, "orders").select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast("double").as("v"),
+        col("o_orderkey").as("ok"))
+      stageReplayBatches(s, Seq(
+        o.filter(col("ok") % 3 === 0).select(col("g"), col("v")),
+        o.filter(col("ok") % 3 === 1).select(col("g"), col("v")),
+        o.filter(col("ok") % 3 === 2).select(col("g"), col("v"))),
+        srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGroupedValueCounts(
+          stream, outDir, "g", "v",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readConformalThreshold(s, outDir,
+        alpha = 0.05)
+    }),
+
     // Power / minimum-detectable-effect pre-readout: per variant vs
     // control, the two-proportion MDE at the current sample sizes
     // (literal normal quantiles, exact counts, one fixed expression).
@@ -5342,6 +5579,14 @@ object SparkEntry {
     // str337's jsd_part: JDK Math.log and libm ln disagree by 1 ulp on
     // some share ratios, so the algebraic form hash-fails — pinned
     "str337_stream_jsd",
+    // r14 wave 2: every gate below carries a transcendental (cbrt/exp
+    // ln) or a quantized cross-row double sum that round() semantics
+    // drift on across engines — pinned with the two-partitioning proof
+    "q338_kruskal_wallis", "q339_g_test", "q340_post_strat",
+    "t341_llr_collocations", "t342_mojibake", "t343_lexicon_screen",
+    "q344_pacf", "q345_seasonal_strength", "q347_manifest_fsck",
+    "str348_stream_sprt", "q349_conformal", "q350_ucb",
+    "str353_stream_tukey", "str354_stream_conformal",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic
@@ -8986,6 +9231,80 @@ object SparkEntry {
         |FROM final
         |GROUP BY st
         |ORDER BY st""".stripMargin,
+
+    "q346_time_travel" ->
+      """WITH o AS (
+        | SELECT o_orderkey AS ok,
+        |  CAST(o_orderkey % 4 AS VARCHAR) AS pt
+        | FROM orders),
+        |cur AS (
+        | SELECT 'current' AS tag, pt, count(*) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok
+        | FROM o
+        | WHERE (pt = '2' AND ok % 3 = 2 AND ok % 4 = 2)
+        |  OR (pt <> '2' AND ok % 3 IN (0, 1))
+        | GROUP BY pt),
+        |p1 AS (
+        | SELECT 'p1' AS tag, pt, count(*) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok
+        | FROM o WHERE ok % 3 IN (0, 1) GROUP BY pt),
+        |rb AS (
+        | SELECT 'rolled_back' AS tag, pt, count(*) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok
+        | FROM o WHERE ok % 3 = 0 GROUP BY pt)
+        |SELECT tag, pt, n, sum_ok
+        |FROM (SELECT * FROM cur UNION ALL SELECT * FROM p1
+        |      UNION ALL SELECT * FROM rb)
+        |ORDER BY tag, pt""".stripMargin,
+
+    "q351_join_explosion" ->
+      """WITH ca AS (
+        | SELECT CAST(l_partkey AS VARCHAR) AS key,
+        |  count(*) AS left_rows
+        | FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |cb AS (
+        | SELECT CAST(l_partkey AS VARCHAR) AS key,
+        |  count(*) AS right_rows
+        | FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |c AS (
+        | SELECT ca.key, left_rows, right_rows,
+        |  CAST(CAST(left_rows AS DECIMAL(19,0)) *
+        |   CAST(right_rows AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS o
+        | FROM ca JOIN cb ON ca.key = cb.key),
+        |t AS (SELECT CAST(coalesce(sum(o), 0) AS DECIMAL(38,0)) AS tot
+        | FROM c)
+        |SELECT key, left_rows, right_rows,
+        | CAST(CAST(o AS DECIMAL(19,0)) AS BIGINT) AS out_rows,
+        | CAST(CAST(tot AS DECIMAL(19,0)) AS BIGINT) AS total_out_rows,
+        | CAST(o AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM c, t
+        |ORDER BY out_rows DESC, key
+        |LIMIT 25""".stripMargin,
+
+    "q352_target_encode" ->
+      """WITH b AS (
+        | SELECT o_orderkey AS id, o_orderpriority AS category,
+        |  CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS y
+        | FROM orders
+        | WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |  AND NOT isnan(o_totalprice)),
+        |pc AS (
+        | SELECT category, count(*) AS n_category,
+        |  CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(28,0)) AS sc
+        | FROM b GROUP BY category),
+        |tt AS (
+        | SELECT CAST(sum(n_category) AS DECIMAL(19,0)) AS n,
+        |  CAST(sum(sc) AS DECIMAL(38,0)) AS s
+        | FROM pc)
+        |SELECT id, category, n_category,
+        | CASE WHEN CAST(n_category - 1 AS DOUBLE) + 10.0 > 0.0 THEN
+        |  (CAST(sc AS DOUBLE) - CAST(y AS DOUBLE) +
+        |   10.0 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |  ((CAST(n_category - 1 AS DOUBLE) + 10.0) * 1000000.0)
+        | END AS encoded
+        |FROM b JOIN pc USING (category), tt
+        |WHERE id % 37 = 0
+        |ORDER BY id""".stripMargin,
 
     "q87_compact" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,

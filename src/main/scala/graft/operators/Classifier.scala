@@ -621,6 +621,117 @@ object Classifier {
     * (distributed range sort) + ONE buckets-sized aggregate + a
     * cumulative window over ≤ buckets rows. Returns (bucket, n,
     * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
+  /** Split-conformal threshold + coverage audit — the
+    * distribution-free guarantee layer over any scorer ([[classify]],
+    * the LM perplexity filter, an external model): given per-row
+    * nonconformity scores and a calibration-set flag, the threshold is
+    * the EXACT ⌈(n+1)(1−α)⌉-th smallest calibration score (Vovk's
+    * split-conformal quantile — guarantees ≥ 1−α coverage on
+    * exchangeable eval rows), and the audit reports the realized eval
+    * coverage against it. Returns ONE row: (n_calib, n_eval, rank,
+    * threshold, coverage, target). When ⌈(n+1)(1−α)⌉ > n the finite
+    * calibration set cannot certify 1−α (threshold/coverage NULL —
+    * lower α or calibrate on more rows; no silent clamp).
+    *
+    * Numerics: the threshold is a SELECTED data value (no
+    * interpolation — deterministic at any partitioning, ties broken by
+    * `idCol`); coverage is one exact-count division.
+    *
+    * Scale: one [[graft.operators.Linkage.globalRank]] pass over the
+    * CALIBRATION rows (distributed range-bucket rank, never a
+    * single-partition sort), one filtered-count aggregate over the
+    * eval rows, a 1-row broadcast join. */
+  def conformalThreshold(df: DataFrame, nonconformity: Column,
+      calib: Column, idCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0,1), got $alpha")
+    val base = df
+      .select(col(idCol).as("__id"),
+        nonconformity.cast("double").as("__v"),
+        calib.cast("boolean").as("__c"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__c").isNotNull)
+      .localCheckpoint(eager = false) // calib rank + eval coverage
+    val cal = base.filter(col("__c")).select(col("__id"), col("__v"))
+    val nCal = cal.agg(count(lit(1)).as("n_calib"))
+      .select(col("n_calib"),
+        ceil((col("n_calib").cast("double") + 1.0) * lit(1.0 - alpha))
+          .cast("long").as("rank"))
+    val ranked = graft.operators.Linkage.globalRank(cal, "__id",
+      col("__v"))
+    val thr = ranked.join(broadcast(nCal), col("grank") === col("rank"))
+      .select(col("__v").as("threshold"))
+    val ev = base.filter(!col("__c"))
+    val cov = ev.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("__ne"),
+        sum(when(col("__v") <= col("threshold"), 1L).otherwise(0L))
+          .as("__cov"),
+        max(col("threshold")).as("threshold"))
+    val evTotal = ev.agg(count(lit(1)).as("n_eval"))
+    nCal.crossJoin(broadcast(evTotal))
+      .join(broadcast(cov), col("n_eval") === col("__ne"), "left")
+      .select(col("n_calib"), col("n_eval"), col("rank"),
+        when(col("rank") <= col("n_calib"), col("threshold"))
+          .as("threshold"),
+        when(col("rank") <= col("n_calib") && col("n_eval") > 0,
+          col("__cov").cast("double") / col("n_eval").cast("double"))
+          .as("coverage"),
+        lit(1.0 - alpha).as("target"))
+  }
+
+  /** Leave-one-out smoothed target encoding — the classic
+    * high-cardinality categorical feature for downstream quality
+    * models: each row's category is replaced by the smoothed mean
+    * target of OTHER rows in that category,
+    * `enc = (S_c − y + m·ȳ)/(n_c − 1 + m)` (leaving the row itself out
+    * kills the single-row leakage that makes naive target encoding
+    * overfit; `m` shrinks rare categories toward the global mean).
+    * Returns (id, category, n_category, encoded); encoded is NULL when
+    * `n_c − 1 + m = 0` (a singleton category with no smoothing — no
+    * leak-free estimate exists).
+    *
+    * Numerics: targets fold as exact `floor(y·10⁶+0.5)` micro-integers
+    * ([[graft.operators.Experiment.welchTTest]]'s convention) with
+    * exact decimal (n, Σ) per category and global; the encode is ONE
+    * fixed double expression over exact operands — engine-identical.
+    *
+    * Scale: one category-keyed aggregate (map-side combined,
+    * category-cardinality output) broadcast back onto the rows + a
+    * 1-row global broadcast — the corpus is touched once and never
+    * shuffled. */
+  def targetEncodeLoo(df: DataFrame, categoryCol: String,
+      target: Column, idCol: String, smoothing: Double = 20.0)
+      : DataFrame = {
+    require(smoothing >= 0.0,
+      s"smoothing must be non-negative, got $smoothing")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(idCol).as("id"),
+        col(categoryCol).cast("string").as("category"),
+        target.cast("double").as("__ym"))
+      .filter(col("category").isNotNull && col("__ym").isNotNull &&
+        !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity))
+      .select(col("id"), col("category"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"))
+    val perC = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_category"),
+        sum(col("__y").cast("decimal(19,0)")).cast("decimal(28,0)")
+          .as("__sc"))
+      .localCheckpoint(eager = false) // global total + the row join
+    val tot = perC.agg(sum(col("n_category")).cast("decimal(19,0)")
+        .as("__n"),
+      sum(col("__sc")).cast("decimal(38,0)").as("__s"))
+    val denom = (col("n_category") - 1).cast("double") + lit(smoothing)
+    val enc = (dbl(col("__sc")) - col("__y").cast("double") +
+      lit(smoothing) * dbl(col("__s")) / dbl(col("__n"))) /
+      (denom * 1000000.0)
+    base.join(broadcast(perC), Seq("category"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("category"), col("n_category"),
+        when(denom > 0.0, enc).as("encoded"))
+  }
+
   def liftCurve(df: DataFrame, idCol: String, score: Column,
       label: Column, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,

@@ -1111,6 +1111,65 @@ object Expectations {
         when(dof > 0, p).as("p_value"))
   }
 
+  /** G-test (log-likelihood-ratio) of independence between two
+    * categorical columns — [[chiSquareIndependence]]'s
+    * information-theoretic twin: `G = 2·Σ_cells o·ln(o·n/(rᵢ·c_j))`
+    * over the OBSERVED cells (an absent cell contributes 0 — the
+    * 0·ln 0 limit), referred to the same χ²((r−1)(c−1)) tail. G is
+    * additive across partitions of the table (χ² is not) and is the
+    * statistic behind Dunning's collocation LLR, so the same numbers
+    * screen both contingency audits and term associations. p-value via
+    * Wilson–Hilferty on the A&S erfc polynomial, exactly the χ² block.
+    *
+    * Numerics: counts and marginals are exact integers; each cell's
+    * term `2·o·(ln(n·o) − ln(rᵢ·c_j))` is a fixed double expression of
+    * exact integer products (both ln arguments are exactly
+    * representable products ≤ 10³⁸ cast to double the same way in any
+    * engine), pico-quantized and summed order-free. Returns ONE row:
+    * (n, rows, cols, dof, g_stat, p_value). */
+  def gTestIndependence(df: DataFrame, colA: Column, colB: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df.select(colA.cast("string").as("__a"),
+        colB.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(eager = false) // cells + two marginals
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("__ra"))
+    val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("__cb"))
+    val tot = base.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__a")).as("rows"),
+      countDistinct(col("__b")).as("cols"))
+    val nO = (d19(col("__n")) * d19(col("__o"))).cast("decimal(38,0)")
+    val rc = (d19(col("__ra")) * d19(col("__cb"))).cast("decimal(38,0)")
+    val part = lit(2.0) * col("__o").cast("double") *
+      (log(dbl(nO)) - log(dbl(rc)))
+    val gSum = cells
+      .join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(floor(round(part, 9) * lit(1000000000000.0) + 0.5)
+        .cast("decimal(28,0)")).cast("decimal(28,0)").as("__x"))
+    val dof = (col("rows") - 1) * (col("cols") - 1)
+    val x = col("__x").cast("string").cast("double") / 1.0e12
+    val k = dof.cast("double")
+    val z = (cbrt(x / k) - (lit(1.0) - lit(2.0) / (lit(9.0) * k))) /
+      sqrt(lit(2.0) / (lit(9.0) * k))
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val p = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    tot.crossJoin(broadcast(gSum))
+      .select(col("__n").as("n"), col("rows"), col("cols"),
+        dof.cast("long").as("dof"),
+        round(x, 9).as("g_stat"),
+        when(dof > 0, p).as("p_value"))
+  }
+
   /** Per-group MAD (median absolute deviation) profile + robust
     * outlier count — the outlier screen that survives what breaks
     * z-scores (the outliers themselves inflate mean and σ; median and

@@ -202,6 +202,240 @@ object Experiment {
         .as("z"))
   }
 
+  /** Kruskal–Wallis H test — the k-group generalization of
+    * [[rankSumTest]]: "does at least one group's metric distribution
+    * sit higher than the others?" across ANY number of variants
+    * (priority tiers, device classes, arms of a multi-cell test),
+    * robust to outliers and monotone transforms exactly like the
+    * two-group rank-sum. Returns one row: (k, n, h, h_tie_corrected,
+    * dof, p_value) — `h` is the raw statistic, `h_tie_corrected`
+    * divides by the tie correction `1 − Σ(t³−t)/(n³−n)`, and the
+    * p-value is the χ²(k−1) upper tail via the Wilson–Hilferty
+    * cube-root normal approximation on the A&S erfc polynomial (the
+    * [[graft.operators.Expectations.chiSquareIndependence]]
+    * convention). NULL h/p when k < 2 or all values tie.
+    *
+    * Numerics: midranks keep every per-group rank sum a half-integer,
+    * so `2R_g = Σ_v n_g(v)·(2·cumBefore(v) + n_t(v) + 1)` folds in
+    * EXACT decimals; the cross-group reduction `Σ_g (2R_g)²/(4n_g)`
+    * is one double division per group, milli-quantized and summed
+    * order-free (the χ² parts convention — parts here are O(n³), so
+    * the quantum is 10⁻³, not pico); H and the tail are fixed double
+    * expressions over those exact operands.
+    *
+    * Scale shape: one (value, group) count aggregate, one value-level
+    * rollup, the DISTRIBUTED exclusive cumulative count
+    * ([[rankSumTest]]'s range-bucket machinery), a values-sized join
+    * back, and a k-row finale. */
+  def kruskalWallis(df: DataFrame, value: Column, group: Column,
+      buckets: Int = 64): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d12 = "decimal(12,0)"
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(value.cast("double").as("__v"),
+        group.cast("string").as("__g"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__g").isNotNull)
+    val byVG = base.groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__ng"))
+      .localCheckpoint(eager = false) // value rollup + rank join back
+    val byV = byVG.groupBy(col("__v"))
+      .agg(sum(col("__ng")).as("__nt"))
+    val ranged = byV
+      .repartitionByRange(buckets, col("__v"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val offs = ranged.groupBy(col("__b"))
+      .agg(sum(col("__nt")).as("__tt"))
+      .select(col("__b"),
+        coalesce(sum(col("__tt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"))
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = ranged.join(broadcast(offs), Seq("__b"))
+      .select(col("__v"), col("__nt"),
+        (col("__off") + coalesce(sum(col("__nt")).over(wB), lit(0L)))
+          .cast(d19).as("__cb"))
+      .localCheckpoint(eager = false) // group join + tie totals
+    // per group: exact n_g and 2R_g (cb + cb + nt + 1 stays in d19 —
+    // ranks are ≤ n; the product against n_g needs the wide cast)
+    val perG = byVG.join(cums, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__ng")).cast(d19).as("__n_g"),
+        sum((col("__ng").cast(d19) *
+            (col("__cb") + col("__cb") + col("__nt").cast(d19) + 1)
+              .cast(d19)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__r2"))
+    val ties = cums.agg(
+      sum(col("__nt")).cast(d12).as("__n"),
+      sum(col("__nt").cast(d12) * col("__nt").cast(d12) *
+          col("__nt").cast(d12) - col("__nt").cast(d12))
+        .cast(d19).as("__t3"))
+    // Σ_g (2R_g)²/(4n_g): one double division per group, quantized at
+    // 10⁻³ (parts reach ~n³/4 — pico would overflow decimal(38)) and
+    // summed order-free
+    val part = dbl(col("__r2")) * dbl(col("__r2")) /
+      (lit(4.0) * dbl(col("__n_g")))
+    val s = perG.agg(
+      count(lit(1)).as("k"),
+      sum(floor(part * lit(1000.0) + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__q"))
+    val out = s.crossJoin(broadcast(ties))
+    val nD = dbl(col("__n"))
+    val cubic = (((col("__n") + 1) * col("__n")).cast("decimal(25,0)") *
+      (col("__n") - 1)).cast("decimal(38,0)")
+    val h = lit(12.0) / (nD * (nD + 1.0)) *
+      (dbl(col("__q")) / 1000.0) - lit(3.0) * (nD + 1.0)
+    val tieC = lit(1.0) - dbl(col("__t3")) / dbl(cubic)
+    val hAdj = h / tieC
+    val kD = (col("k") - 1).cast("double")
+    // Wilson–Hilferty + A&S erfc upper tail at dof = k−1 (the
+    // chiSquareIndependence block, token for token)
+    val z = (cbrt(hAdj / kD) - (lit(1.0) - lit(2.0) / (lit(9.0) * kD))) /
+      sqrt(lit(2.0) / (lit(9.0) * kD))
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val p = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    val valid = col("k") > 1 && col("__n") > 1 && cubic =!= col("__t3")
+    out.select(col("k"),
+      col("__n").cast("bigint").as("n"),
+      when(valid, h).as("h"),
+      when(valid, hAdj).as("h_tie_corrected"),
+      (col("k") - 1).cast("long").as("dof"),
+      when(valid, p).as("p_value"))
+  }
+
+  /** Post-stratification estimator per variant — the design-based
+    * variance-reduction sibling of [[cuped]]: reweight each variant's
+    * stratum means to the POOLED stratum mix `W_s = n_s/n`, so a
+    * variant that landed stratum-skewed (mobile-heavy, one region
+    * over-sampled) is corrected to the population composition before
+    * variants are compared. Returns one row per variant: (variant, n,
+    * strata_total, strata_covered, raw_mean, ps_mean, ps_se) —
+    * `ps_mean = Σ_s W_s·ȳ_vs` (NULL unless the variant covers every
+    * pooled stratum — a missing cell has no unbiased fill-in) and
+    * `ps_se = √(Σ_s W_s²·s²_vs/n_vs)` (NULL unless every covered
+    * stratum has n_vs ≥ 2).
+    *
+    * Numerics: the metric folds as exact `floor(v·10⁶+0.5)`
+    * micro-integers with exact (n, Σy, Σy²) per (variant, stratum)
+    * ([[welchTTest]]'s convention); each stratum's mean/variance term
+    * is a fixed double expression over exact integers, pico-quantized
+    * and summed order-free across strata (the χ² parts convention).
+    *
+    * Scale: ONE (variant, stratum) aggregate (map-side combined), a
+    * strata-sized broadcast join for the pooled weights, and a
+    * variant-keyed finale — no unit-table second pass. */
+  def postStratify(df: DataFrame, variantCol: String, metric: Column,
+      stratumCol: String): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(variantCol).as("variant"),
+        col(stratumCol).cast("string").as("__s"),
+        metric.cast("double").as("__ym"))
+      .filter(col("variant").isNotNull && col("__s").isNotNull &&
+        col("__ym").isNotNull && !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity))
+      .select(col("variant"), col("__s"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"))
+    val perVS = base.groupBy(col("variant"), col("__s"))
+      .agg(count(lit(1)).as("__nvs"),
+        sum(d19(col("__y"))).cast("decimal(28,0)").as("__sy"),
+        sum((d19(col("__y")) * d19(col("__y"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__syy"))
+      .localCheckpoint(eager = false) // pooled weights + variant finale
+    val perS = perVS.groupBy(col("__s"))
+      .agg(sum(col("__nvs")).cast("decimal(19,0)").as("__ns"))
+    val tot = perS.agg(sum(col("__ns")).cast("decimal(19,0)").as("__n"),
+      count(lit(1)).as("strata_total"))
+    val nvsD = col("__nvs").cast("double")
+    // W_s·ȳ_vs  = (n_s·Σy_vs) / (n·n_vs·10⁶): exact operands, one
+    // fixed double expression, pico-quantized for the order-free sum
+    val meanPart = dbl(col("__ns")) * dbl(col("__sy")) /
+      (dbl(col("__n")) * nvsD * 1000000.0)
+    // W_s²·s²_vs/n_vs with s²_vs = (n_vs·Σyy − Σy²)/(n_vs(n_vs−1))/10¹²
+    val varVs = (nvsD * dbl(col("__syy")) - dbl(col("__sy")) * dbl(col("__sy"))) /
+      (nvsD * (nvsD - 1.0) * 1.0e12)
+    val varPart = dbl(col("__ns")) * dbl(col("__ns")) * varVs /
+      (dbl(col("__n")) * dbl(col("__n")) * nvsD)
+    val perV = perVS.join(broadcast(perS), Seq("__s"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("variant"))
+      .agg(sum(col("__nvs")).as("n"),
+        max(col("strata_total")).as("strata_total"),
+        max(col("__n")).as("__nn"),
+        count(lit(1)).as("strata_covered"),
+        sum(when(col("__nvs") > 1, 1L).otherwise(0L)).as("__var_ok"),
+        sum(col("__sy")).cast("decimal(28,0)").as("__syv"),
+        sum(floor(round(meanPart, 9) * lit(1000000000000.0) + 0.5)
+          .cast("decimal(28,0)")).cast("decimal(28,0)").as("__mq"),
+        sum(when(col("__nvs") > 1,
+            floor(round(varPart, 9) * lit(1000000000000.0) + 0.5)
+              .cast("decimal(28,0)")))
+          .cast("decimal(28,0)").as("__vq"))
+    perV.select(col("variant"), col("n"), col("strata_total"),
+      col("strata_covered"),
+      (dbl(col("__syv")) / (col("n").cast("double") * 1000000.0))
+        .as("raw_mean"),
+      when(col("strata_covered") === col("strata_total"),
+        dbl(col("__mq")) / 1.0e12).as("ps_mean"),
+      when(col("strata_covered") === col("strata_total") &&
+          col("__var_ok") === col("strata_covered"),
+        sqrt(dbl(col("__vq")) / 1.0e12)).as("ps_se"))
+  }
+
+  /** UCB1 arm-allocation report — the bandit read-out over logged
+    * (arm, reward) rows: per arm the exact mean reward and the
+    * upper confidence bound `mean + c·√(ln N / n)` (Auer et al. 2002;
+    * `c = √2` is classic UCB1), with the next-pull arm flagged
+    * (largest ucb, ties to the smaller arm label). The always-explore
+    * companion of [[abTest]]: where the z-test asks "is B better?",
+    * UCB says "which arm do we pull NEXT given everything so far" —
+    * the allocation loop a streaming experiment runs between
+    * readouts. Returns (arm, n, mean, ucb, chosen); an arm needs
+    * n ≥ 1 by construction (it appears only if pulled).
+    *
+    * Numerics: rewards fold as exact micro-integers with exact
+    * decimal (n, Σ) per arm ([[welchTTest]]'s convention); mean and
+    * ucb are fixed double expressions; the argmax is a window rank
+    * over the arms-sized table with a total tie-break.
+    *
+    * Scale: ONE arm-keyed aggregate (map-side combined) + a 1-row
+    * total broadcast + a window over the arms-sized result. */
+  def ucbAllocation(df: DataFrame, armCol: String, reward: Column,
+      c: Double = math.sqrt(2.0)): DataFrame = {
+    require(c > 0.0, s"exploration constant must be positive, got $c")
+    def d19(c0: Column): Column = c0.cast("decimal(19,0)")
+    def dbl(c0: Column): Column = c0.cast("string").cast("double")
+    val base = df
+      .select(col(armCol).cast("string").as("arm"),
+        reward.cast("double").as("__ym"))
+      .filter(col("arm").isNotNull && col("__ym").isNotNull &&
+        !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity))
+      .select(col("arm"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"))
+    val per = base.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(col("__y"))).cast("decimal(28,0)").as("__s"))
+    val tot = per.agg(sum(col("n")).as("__nn"))
+    val mean = dbl(col("__s")) / (col("n").cast("double") * 1000000.0)
+    val ucb = mean + lit(c) *
+      sqrt(log(col("__nn").cast("double")) / col("n").cast("double"))
+    val w = Window.orderBy(col("ucb").desc, col("arm"))
+    per.crossJoin(broadcast(tot))
+      .select(col("arm"), col("n"), mean.as("mean"), ucb.as("ucb"))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .orderBy(col("arm"))
+  }
+
   def abTest(df: DataFrame, variantCol: String, convertedCol: String,
       control: String, zCrit: Double = 1.959964): DataFrame = {
     val stats = df

@@ -118,6 +118,67 @@ object LanguageModel {
       .limit(topK)
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    * small-count-safe companion of [[collocations]]: PMI explodes on
+    * rare pairs (hence its `minCount` crutch), while the LLR is the
+    * G-test of the 2×2 bigram contingency table and stays calibrated
+    * at ANY count, so it ranks "strongly associated AND well-attested"
+    * pairs first — the standard collocation score in corpus
+    * linguistics. Marginals are POSITIONAL bigram counts (bigrams
+    * starting with w1 / ending with w2) so the table is exactly the
+    * bigram event space: k11 = c(w1 w2), k12 = c(w1 ·) − k11,
+    * k21 = c(· w2) − k11, k22 = N − c(w1 ·) − c(· w2) + k11, and
+    * `llr = 2·Σ_ij k_ij·ln(k_ij·N/(R_i·C_j))` over the non-zero
+    * cells. Only positively associated pairs (k11·N > R₁·C₁) are
+    * collocation candidates; the rest are repulsions and are dropped.
+    * Returns (w1, w2, c_ab, llr) — top `topK` by (llr desc, w1, w2).
+    *
+    * Numerics: all eight operands are exact integers; each cell's term
+    * is a fixed double expression (ln of exactly-representable integer
+    * products), the four-term sum is a single fixed expression — no
+    * cross-row double aggregation anywhere — rounded once to 6 places.
+    *
+    * Scale: the bigram table is model-sized (Zipf); both positional
+    * marginals are rollups OF that table (no second corpus pass);
+    * the finale is TakeOrderedAndProject. */
+  def dunningCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 1, topK: Int = 100): DataFrame = {
+    val d19 = "decimal(19,0)"
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val bi = ngramCounts(df, textCol, 2).withColumnRenamed("n", "c_ab")
+      .localCheckpoint(eager = false) // marginals + total + scoring
+    val rowM = bi.groupBy(col("ctx")).agg(sum(col("c_ab")).as("__r1"))
+    val colM = bi.groupBy(col("word")).agg(sum(col("c_ab")).as("__c1"))
+    val tot = bi.agg(sum(col("c_ab")).cast(d19).as("__nn"))
+    val k11 = col("c_ab").cast(d19)
+    val r1 = col("__r1").cast(d19)
+    val c1 = col("__c1").cast(d19)
+    val nn = col("__nn")
+    val k12 = r1 - k11
+    val k21 = c1 - k11
+    val k22 = nn - r1 - c1 + k11
+    val r2 = nn - r1
+    val c2 = nn - c1
+    // k·(ln(k·N) − ln(R·C)): every ln argument is an exact integer
+    // product ≤ 10³⁸ cast to double identically in any engine; a zero
+    // cell contributes 0 (the k·ln k limit)
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k > 0, dbl(k) *
+        (log(dbl((k * nn).cast("decimal(38,0)"))) -
+          log(dbl((r * c).cast("decimal(38,0)"))))).otherwise(lit(0.0))
+    val llr = lit(2.0) * (term(k11, r1, c1) + term(k12, r1, c2) +
+      term(k21, r2, c1) + term(k22, r2, c2))
+    bi.filter(col("c_ab") >= minCount)
+      .join(rowM, Seq("ctx")).join(colM, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .filter(dbl((k11 * nn).cast("decimal(38,0)")) >
+        dbl((r1 * c1).cast("decimal(38,0)"))) // positive association only
+      .select(col("ctx").as("w1"), col("word").as("w2"), col("c_ab"),
+        round(llr, 6).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Fit an add-α n-gram LM on a corpus. One count shuffle over the
     * corpus; the returned model tables share a single materialized count
     * (lazy localCheckpoint) so deriving both does not re-scan the corpus.

@@ -478,6 +478,49 @@ object Skew {
     *
     * Scale: ONE group-keyed map-side-combined aggregate — no join, no
     * window. Returns (group, n, total, mean, geomean, atkinson). */
+  /** Join-explosion audit — the pre-flight check before an equi-join
+    * at scale: exact output cardinality `Σ_k n_left(k)·n_right(k)` and
+    * the top-k hottest keys by contribution, computed from the two
+    * KEY-CARDINALITY count tables (the corpus rows are touched once
+    * each for counting and never joined). The 100 TB question this
+    * answers: "is this join 10× input or 10⁶× input, and which keys
+    * make it so?" — the decision input for [[saltedJoin]] / broadcast
+    * / pre-aggregation, made of exact numbers instead of optimizer
+    * estimates. Returns the top `topK` keys by (out_rows desc, key):
+    * (key, left_rows, right_rows, out_rows, total_out_rows, share);
+    * NULL keys are excluded (they never match in an equi-join).
+    *
+    * Scale: two count aggregates (map-side combined), one
+    * key-cardinality join, a 1-row total broadcast,
+    * TakeOrderedAndProject. */
+  def joinExplosionAudit(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val ca = left.select(leftKey.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("left_rows"))
+    val cb = right.select(rightKey.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("right_rows"))
+    val contrib = ca.join(cb, Seq("key"))
+      .select(col("key"), col("left_rows"), col("right_rows"),
+        (col("left_rows").cast("decimal(19,0)") *
+          col("right_rows").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__out"))
+      .localCheckpoint(eager = false) // total + top-k
+    val tot = contrib.agg(coalesce(sum(col("__out")),
+      lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("__tot"))
+    contrib.crossJoin(broadcast(tot))
+      .select(col("key"), col("left_rows"), col("right_rows"),
+        col("__out").cast("decimal(19,0)").cast("bigint").as("out_rows"),
+        col("__tot").cast("decimal(19,0)").cast("bigint")
+          .as("total_out_rows"),
+        (dbl(col("__out")) / dbl(col("__tot"))).as("share"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   def atkinsonIndex(df: DataFrame, groupCol: String, value: Column)
       : DataFrame = {
     def d19(c: Column): Column = c.cast("decimal(19,0)")

@@ -898,6 +898,128 @@ object TextAnalysis {
         col("symbol_ratio") >= minRatio && col("structural_chars") > 0L)
   }
 
+  /** Per-document encoding-anomaly (mojibake) signals — the corruption
+    * screen [[scriptProfile]] can't see because mojibake IS valid
+    * Unicode: U+FFFD replacement characters (a decoder already gave
+    * up), C1 control characters U+0080–U+009F (Latin-1 bytes read as
+    * code points — never legitimate in text), and the classic
+    * UTF-8-read-as-Latin-1 digraphs ("Ã©" for é, "â€™" for ’, ...)
+    * counted from a FIXED literal artifact table (deterministic and
+    * auditable, unlike a heuristic byte model). Returns one row per
+    * document: (doc_id, n_chars, replacement_chars, c1_controls,
+    * latin1_digraphs, artifacts_per_1000) — all pure column
+    * expressions, zero shuffle.
+    *
+    * Reference anchor: the charset-sensitive text decode paths of
+    * `flume-plugin/.../DelimitedTextSerializer.java:63-92` — this is
+    * the audit for when that decode step picked the wrong charset. */
+  def mojibakeSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    def occurrences(s: String): Column =
+      ((length(t) - length(call_function("replace", t, lit(s), lit("")))) /
+        lit(s.length)).cast("long")
+    // the high-frequency Latin-1/Windows-1252 mis-decode artifacts,
+    // spelled as \\u escapes (several contain INVISIBLE C1 code
+    // points): accented Latin letters (U+00C3 + continuation) and the
+    // U+00E2-prefixed punctuation family from U+2018..U+2026
+    val digraphs = Seq(
+      "\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00A1", // e-acute/grave, a-acute
+      "\u00C3\u00B3", "\u00C3\u00BA", "\u00C3\u00B1", // o/u-acute, n-tilde
+      "\u00C3\u00A4", "\u00C3\u00B6", "\u00C3\u00BC", // a/o/u-umlaut
+      "\u00C3\u00A7",                                     // c-cedilla
+      "\u00E2\u0080\u0099", "\u00E2\u0080\u0098",     // curly quotes
+      "\u00E2\u0080\u009C", "\u00E2\u0080\u009D",     // curly dquotes
+      "\u00E2\u0080\u0093", "\u00E2\u0080\u0094",     // en/em dash
+      "\u00E2\u0080\u00A6",                              // ellipsis
+      "\u00C2\u00A0", "\u00C2\u00AB", "\u00C2\u00BB") // nbsp, guillemets
+    val repl = occurrences("\uFFFD")
+    val c1 = (length(t) -
+      length(regexp_replace(t, "[\u0080-\u009F]", ""))).cast("long")
+    // digraph occurrences overlap the C1 count (the U+00E2 family
+    // carries a C1 code point inside): both are emitted raw, and the
+    // per-1000 score sums all three counters -- an UPPER bound on
+    // corrupted spans, the right polarity for a corruption screen
+    val digraphCnt = digraphs.map(occurrences).reduce(_ + _)
+    df.select(col(idCol).as("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        repl.as("replacement_chars"),
+        c1.as("c1_controls"),
+        digraphCnt.as("latin1_digraphs"))
+      .withColumn("artifacts_per_1000",
+        when(col("n_chars") === 0L, lit(0.0d))
+          .otherwise((col("replacement_chars") + col("c1_controls") +
+            col("latin1_digraphs")).cast(DoubleType) * 1000.0 /
+            col("n_chars").cast(DoubleType)))
+  }
+
+  /** Corpus encoding-anomaly rollup over [[mojibakeSignals]]: ONE row
+    * (docs, flagged_docs, replacement_total, c1_total, latin1_total,
+    * flagged_rate) — a document is flagged when its artifact density
+    * exceeds `per1000Threshold` per 1000 characters. The report a
+    * 100 TB ingest gates on before paying a re-decode pass; exact
+    * integer totals, two double divisions at the end. */
+  def mojibakeProfile(df: DataFrame, idCol: String, textCol: String,
+      per1000Threshold: Double = 1.0): DataFrame = {
+    mojibakeSignals(df, idCol, textCol)
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("artifacts_per_1000") > per1000Threshold, 1L)
+          .otherwise(0L)).as("flagged_docs"),
+        sum(col("replacement_chars")).as("replacement_total"),
+        sum(col("c1_controls")).as("c1_total"),
+        sum(col("latin1_digraphs")).as("latin1_total"))
+      .withColumn("flagged_rate",
+        when(col("docs") === 0L, lit(0.0d))
+          .otherwise(col("flagged_docs").cast(DoubleType) /
+            col("docs").cast(DoubleType)))
+  }
+
+  /** Taxonomy lexicon screen — per-document, per-category hit counts
+    * against broadcast category word lists (safety lexicons, domain
+    * routers, topic taggers): the screen that decides "route doc X to
+    * the medical-review queue" before any model runs. Tokenization is
+    * lowercase alphabetic runs (`[^a-z]+` splits after lower-casing),
+    * so lexicon entries must be lowercase single words. Returns one
+    * row per (doc, category) WITH at least one hit: (doc_id, category,
+    * hits, distinct_terms, n_tokens, hit_rate) — absent categories are
+    * zero by construction and are not materialized (the output is
+    * hits-sized, not docs×categories).
+    *
+    * Scale: the token explode stays map-side (the lexicon join is a
+    * BROADCAST inner join that drops every non-hit token before any
+    * exchange); per-doc token totals ride a separate doc-keyed
+    * aggregate of the same cached explode. */
+  def lexiconScreen(df: DataFrame, idCol: String, textCol: String,
+      lexicon: Map[String, Seq[String]]): DataFrame = {
+    require(lexicon.nonEmpty, "lexiconScreen needs at least one category")
+    lexicon.foreach { case (cat, words) =>
+      require(words.nonEmpty, s"lexicon category '$cat' is empty")
+      words.foreach(w => require(w.matches("[a-z]+"),
+        s"lexicon entries must be lowercase single words, got '$w' in '$cat'"))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = lexicon.toSeq.sortBy(_._1)
+      .flatMap { case (cat, ws) => ws.distinct.map(w => (w, cat)) }
+      .toDF("__w", "category")
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "")).as("__w"))
+      .localCheckpoint(eager = false) // hits join + per-doc totals
+    val totals = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    toks.join(broadcast(lex), Seq("__w"))
+      .groupBy(col("doc_id"), col("category"))
+      .agg(count(lit(1)).as("hits"),
+        countDistinct(col("__w")).as("distinct_terms"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("category"), col("hits"),
+        col("distinct_terms"), col("n_tokens"),
+        (col("hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("hit_rate"))
+      .orderBy(col("doc_id"), col("category"))
+  }
+
   /** Zipf's-law fit over the top-k token frequencies: OLS slope of
     * ln(freq) against ln(rank) — natural text sits near −1; a corpus
     * whose slope drifts toward 0 is template/boilerplate-heavy, one

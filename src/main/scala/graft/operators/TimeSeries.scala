@@ -293,6 +293,132 @@ object TimeSeries {
     withLags.groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Partial autocorrelation (PACF) at lags 1..`maxLag` per series —
+    * the AR-order diagnostic [[autocorrelation]] can't answer alone:
+    * ACF of an AR(1) decays over MANY lags, PACF cuts off exactly at
+    * the true order (the lag-m coefficient with lags 1..m−1 partialed
+    * out), so "how many lag features does this series actually need?"
+    * reads directly off where PACF dies. Computed by the
+    * Durbin–Levinson recursion over the EXACT-decimal-backed ACF of
+    * [[autocorrelation]] — the recursion runs driver-side on the
+    * report-sized (series × maxLag) ACF table (the model-fit collect
+    * class, like the BPE merge fit: series cardinality is small by
+    * construction, never corpus rows). Returns (series, lag, acf,
+    * pacf); pacf is NULL from the first lag whose ACF is undefined
+    * (too few days, zero variance) or whose innovation variance hits
+    * zero (perfectly predictable series).
+    *
+    * Determinism: the ACF inputs are 6-decimal-rounded doubles over
+    * exact decimal daily sums (autocorrelation's contract); the
+    * recursion is fixed-order double arithmetic on the driver —
+    * identical at any partitioning. */
+  def pacf(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30,
+      s"maxLag must be in [1,30], got $maxLag")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val acfRows = autocorrelation(events, seriesCol, tsCol, value, maxLag)
+      .select(col("series").cast("string") +:
+        (1 to maxLag).map(k => col(s"acf$k")): _*)
+      .collect() // report-sized: series-cardinality rows
+    val out = acfRows.toSeq.flatMap { row =>
+      val series = row.getString(0)
+      val r = (1 to maxLag).map(k =>
+        if (row.isNullAt(k)) None else Some(row.getDouble(k)))
+      // Durbin–Levinson: phi(m,m) = (r_m − Σ phi(m−1,j)·r_{m−j}) / v_{m−1}
+      var phi = Array.empty[Double]
+      var v = 1.0
+      var dead = false
+      (1 to maxLag).map { m =>
+        val pacfM: Option[Double] =
+          if (dead || r.take(m).exists(_.isEmpty) || v <= 0.0) {
+            dead = true; None
+          } else {
+            val rm = r(m - 1).get
+            val num = rm - phi.zipWithIndex.map { case (p, j) =>
+              p * r(m - 2 - j).get }.sum
+            val pm = num / v
+            val next = new Array[Double](m)
+            var j = 0
+            while (j < m - 1) {
+              next(j) = phi(j) - pm * phi(m - 2 - j); j += 1
+            }
+            next(m - 1) = pm
+            phi = next
+            v = v * (1.0 - pm * pm)
+            Some(pm)
+          }
+        (series, m, r(m - 1), pacfM)
+      }
+    }
+    out.toDF("series", "lag", "acf", "pacf")
+      .orderBy(col("series"), col("lag"))
+  }
+
+  /** Seasonal / trend strength (Hyndman's STL strength measures) over
+    * [[seasonalDecompose]]'s components — ONE number per series
+    * answering "is the weekly pattern real, and how much of the
+    * signal is trend vs season vs noise?" before anyone fits a
+    * seasonal model: `seasonal_strength = max(0, 1 −
+    * Var(residual)/Var(seasonal + residual))` and `trend_strength =
+    * max(0, 1 − Var(residual)/Var(trend + residual))`, both in [0,1],
+    * over the full-trend-window days only (where the decomposition
+    * defines all three components). Returns (series, n_days,
+    * var_residual, var_detrended, var_deseasonalized,
+    * seasonal_strength, trend_strength); strengths NULL when the
+    * comparison variance is 0 (constant series).
+    *
+    * Numerics: each row's component value is the decomposition's
+    * engine-deterministic double, MICRO-quantized per row (x·10⁶ stays
+    * under 2⁵³ for daily sums — pico would not) and folded as exact
+    * decimal (Σx, Σx²) with DECIMAL squares; each variance is one
+    * fixed double expression `(n·Σx² − (Σx)²)/(n²·10¹²)` over those
+    * exact sums ([[graft.operators.Experiment.welchTTest]]'s moment
+    * discipline).
+    *
+    * Scale: the decomposition's one corpus shuffle, then a
+    * series-keyed aggregate — nothing new touches the corpus. */
+  def seasonalStrength(events: DataFrame, seriesCol: String,
+      tsCol: String, value: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    // micro-quantize the component value ONCE (x·10⁶ < 2⁵³ — exact
+    // IEEE), then square in DECIMAL so both moment sums are exact
+    def q(c: Column): Column =
+      floor(c * lit(1000000.0) + 0.5).cast("decimal(19,0)")
+    val dec = seasonalDecompose(events, seriesCol, tsCol, value)
+      .filter(col("trend").isNotNull && col("seasonal").isNotNull &&
+        col("residual").isNotNull)
+      .select(col("series"),
+        q(col("residual")).as("__r"),
+        q(col("seasonal") + col("residual")).as("__d"), // v − trend
+        q(col("trend") + col("residual")).as("__e"))    // v − seasonal
+    def sq(c: Column): Column = (c * c).cast("decimal(38,0)")
+    val s = dec.groupBy(col("series")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__r")).cast("decimal(28,0)").as("__sr"),
+      sum(sq(col("__r"))).cast("decimal(38,0)").as("__srr"),
+      sum(col("__d")).cast("decimal(28,0)").as("__sd"),
+      sum(sq(col("__d"))).cast("decimal(38,0)").as("__sdd"),
+      sum(col("__e")).cast("decimal(28,0)").as("__se"),
+      sum(sq(col("__e"))).cast("decimal(38,0)").as("__see"))
+    val nD = col("n_days").cast("double")
+    def popVar(sx: Column, sxx: Column): Column =
+      (nD * dbl(sxx) - dbl(sx) * dbl(sx)) / (nD * nD * 1.0e12)
+    val varR = popVar(col("__sr"), col("__srr"))
+    val varD = popVar(col("__sd"), col("__sdd"))
+    val varE = popVar(col("__se"), col("__see"))
+    def strength(comparison: Column): Column =
+      when(comparison > 0.0,
+        greatest(lit(0.0), lit(1.0) - varR / comparison))
+    s.select(col("series"), col("n_days"),
+      varR.as("var_residual"),
+      varD.as("var_detrended"),
+      varE.as("var_deseasonalized"),
+      strength(varD).as("seasonal_strength"),
+      strength(varE).as("trend_strength"))
+  }
+
   /** Exponentially-weighted moving average of each series' daily total
     * — the smoothing behind "current level" dashboards and the EWMA
     * control chart ([[Anomaly]]'s CUSUM sibling): per (series, day),

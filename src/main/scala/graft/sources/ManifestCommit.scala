@@ -48,24 +48,39 @@ object ManifestCommit {
 
   private def genDir(path: String, gen: Long) = s"$path/_gen/g=$gen"
 
-  /** Latest committed (gen, partitionRel → generation list) under
-    * `path`; None before the first commit. */
-  def latestPointer(path: String): Option[(Long, Map[String, Seq[Long]])] = {
+  /** All committed pointer ids under `path`, ascending (vacuumed ones
+    * are gone — retention bounds how far back time travel reaches). */
+  def pointerIds(path: String): Seq[Long] = {
     val pDir = new HPath(s"$path/_pointer")
-    if (!Fs.exists(pDir)) return None
-    val ids = Fs.of(pDir).listStatus(pDir).toSeq.map(_.getPath.getName)
-      .collect { case PointerRe(id) => id.toLong }
-    if (ids.isEmpty) return None
-    val id = ids.max
-    val lines = Fs.readString(new HPath(pDir, s"p$id.txt")).split('\n')
-      .toSeq.filter(_.nonEmpty)
+    if (!Fs.exists(pDir)) return Seq.empty
+    Fs.of(pDir).listStatus(pDir).toSeq.map(_.getPath.getName)
+      .collect { case PointerRe(id) => id.toLong }.sorted
+  }
+
+  private def parsePointer(path: String, id: Long)
+      : Map[String, Seq[Long]] = {
+    val lines = Fs.readString(new HPath(s"$path/_pointer", s"p$id.txt"))
+      .split('\n').toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains(Header),
       s"malformed pointer $path/_pointer/p$id.txt")
-    val map = lines.tail.map { ln =>
+    lines.tail.map { ln =>
       val parts = ln.split('\t').toSeq
       parts.head -> parts.tail.map(_.toLong)
     }.toMap
-    Some(id -> map)
+  }
+
+  /** The committed (partitionRel → generation list) map of pointer
+    * `id`; None if that pointer never existed or was vacuumed. */
+  def pointerAt(path: String, id: Long): Option[Map[String, Seq[Long]]] =
+    if (pointerIds(path).contains(id)) Some(parsePointer(path, id))
+    else None
+
+  /** Latest committed (gen, partitionRel → generation list) under
+    * `path`; None before the first commit. */
+  def latestPointer(path: String): Option[(Long, Map[String, Seq[Long]])] = {
+    val ids = pointerIds(path)
+    if (ids.isEmpty) None
+    else Some(ids.max -> parsePointer(path, ids.max))
   }
 
   private def writePointer(path: String, gen: Long,
@@ -157,6 +172,11 @@ object ManifestCommit {
     val (_, map) = latestPointer(path).getOrElse(
       throw new IllegalStateException(
         s"no committed manifest-pointer state under $path"))
+    readMap(spark, path, map)
+  }
+
+  private def readMap(spark: SparkSession, path: String,
+      map: Map[String, Seq[Long]]): DataFrame = {
     val byGen = map.toSeq
       .flatMap { case (rel, gens) => gens.map(g => g -> rel) }
       .groupBy(_._1)
@@ -166,6 +186,102 @@ object ManifestCommit {
         .parquet(rels.map { case (_, rel) => s"${genDir(path, g)}/$rel" }
           .distinct: _*)
     }.reduce(_ unionByName _)
+  }
+
+  /** TIME TRAVEL: the table exactly as pointer `pointerId` committed
+    * it — immutable generations make every retained pointer a free,
+    * consistent snapshot (the plain-parquet form of table-format
+    * `VERSION AS OF`). Fails loudly when the pointer was vacuumed or
+    * any generation it cites is gone ([[vacuum]]'s `keepPointers` is
+    * the time-travel retention knob). */
+  def readAt(spark: SparkSession, path: String, pointerId: Long)
+      : DataFrame = {
+    val map = pointerAt(path, pointerId).getOrElse(
+      throw new IllegalStateException(
+        s"pointer p$pointerId.txt does not exist under $path/_pointer " +
+        "— never committed, or vacuumed past the retention window"))
+    val missing = map.values.flatten.toSeq.distinct.sorted
+      .filterNot(g => Fs.exists(new HPath(genDir(path, g))))
+    require(missing.isEmpty,
+      s"pointer p$pointerId cites vacuumed generation(s) " +
+      s"${missing.map("g=" + _).mkString(", ")} under $path — raise " +
+      "vacuum keepPointers to retain deeper time travel")
+    readMap(spark, path, map)
+  }
+
+  /** The commit history: one row per retained pointer —
+    * (pointer_id, partitions, generations, is_latest), ascending.
+    * Pointer-file metadata only; no data is read. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val ids = pointerIds(path)
+    val latest = if (ids.isEmpty) -1L else ids.max
+    ids.map { id =>
+      val map = parsePointer(path, id)
+      (id, map.size.toLong,
+        map.values.flatten.toSeq.distinct.size.toLong, id == latest)
+    }.toDF("pointer_id", "partitions", "generations", "is_latest")
+  }
+
+  /** ROLLBACK: re-commit the partition map of retained pointer
+    * `toPointerId` as the NEW latest pointer — one small PUT, zero
+    * data movement (the cited generations are immutable and still on
+    * disk; verified before the claim, so a rollback past the vacuum
+    * horizon fails instead of publishing dangling references).
+    * Returns the new pointer id. */
+  def rollback(path: String, toPointerId: Long): Long = {
+    val map = pointerAt(path, toPointerId).getOrElse(
+      throw new IllegalStateException(
+        s"cannot roll back to pointer p$toPointerId under $path — " +
+        "never committed, or vacuumed past the retention window"))
+    val missing = map.values.flatten.toSeq.distinct.sorted
+      .filterNot(g => Fs.exists(new HPath(genDir(path, g))))
+    require(missing.isEmpty,
+      s"rollback target p$toPointerId cites vacuumed generation(s) " +
+      s"${missing.map("g=" + _).mkString(", ")} under $path")
+    val next = latestPointer(path).get._1 + 1L
+    writePointer(path, next, map)
+    next
+  }
+
+  /** Manifest fsck — the consistency audit a maintenance owner runs
+    * before trusting vacuum/rollback on a table: one row per finding,
+    * (check, subject, ok, detail), deterministic relative names only.
+    * Checks: every retained pointer parses; every generation a
+    * retained pointer cites exists on disk (`ok = false` = dangling —
+    * a reader WILL fail); every on-disk generation is cited by some
+    * retained pointer (unreferenced = healthy crash debris; vacuum
+    * reclaims it). */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val ids = pointerIds(path)
+    val pointers = ids.map { id =>
+      val parsed = scala.util.Try(parsePointer(path, id))
+      (id, parsed)
+    }
+    val pointerRows = pointers.map { case (id, parsed) =>
+      ("pointer", s"p$id", parsed.isSuccess,
+        parsed.fold(e => e.getMessage.take(80),
+          m => s"${m.size} partitions"))
+    }
+    val cited = pointers.flatMap(_._2.toOption).flatMap(_.values.flatten)
+      .distinct.sorted
+    val citedRows = cited.map { g =>
+      val ok = Fs.exists(new HPath(genDir(path, g)))
+      ("generation", s"g=$g", ok,
+        if (ok) "cited, present" else "DANGLING: cited but missing")
+    }
+    val genRoot = new HPath(s"$path/_gen")
+    val onDisk = if (!Fs.exists(genRoot)) Seq.empty[Long]
+      else Fs.listDirs(genRoot).map(_.getName)
+        .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong).sorted
+    val orphanRows = onDisk.filterNot(cited.contains).map { g =>
+      ("orphan_generation", s"g=$g", true,
+        "unreferenced by any retained pointer (vacuum reclaims)")
+    }
+    (pointerRows ++ citedRows ++ orphanRows)
+      .toDF("check", "subject", "ok", "detail")
+      .orderBy(col("check"), col("subject"))
   }
 
   /** `max_pt` for a manifest-pointer table: the latest partition VALUE

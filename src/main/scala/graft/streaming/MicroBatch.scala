@@ -729,6 +729,76 @@ object MicroBatch {
       .orderBy(col("group"))
   }
 
+  /** Streaming sequential-probability-ratio-test (SPRT) maintenance —
+    * the always-valid sequential monitor over a Bernoulli stream
+    * (conversion, error rate, guardrail breach): per micro-batch, one
+    * (group, successes, trials) delta row per touched group folds
+    * ADDITIVELY through the manifest-committed LSM segment log, so the
+    * test statistic is current after every batch WITHOUT rescanning
+    * history and the decision can fire mid-experiment (Wald's SPRT
+    * keeps α/β at the stated levels under optional stopping — the
+    * peeking problem fixed-horizon tests have). `successCol` is any
+    * boolean column; NULL groups/flags are excluded. Read with
+    * [[readSprt]]. */
+  def streamSprt(stream: DataFrame, dir: String, groupCol: String,
+      successCol: String, cfg: IngestConfig = IngestConfig(),
+      compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .filter(col(groupCol).isNotNull &&
+            col(successCol).isNotNull)
+          .groupBy(col(groupCol).cast("string").as("__g"))
+          .agg(sum(when(col(successCol).cast("boolean"), 1L)
+            .otherwise(0L)).as("__s"),
+            count(lit(1)).as("__t"))
+        foldSegments(Seq(SegPart("", Seq("__g"),
+            Seq("__s" -> "bigint", "__t" -> "bigint")) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current Wald SPRT decision of a [[streamSprt]] directory —
+    * H₀: rate = `p0` vs H₁: rate = `p1`, error levels `alpha` (false
+    * accept of H₁) and `beta` (false accept of H₀): per group,
+    * `llr = s·ln(p1/p0) + (t−s)·ln((1−p1)/(1−p0))` over the EXACT
+    * (successes, trials) state, decided against Wald's boundaries
+    * `ln((1−β)/α)` / `ln(β/(1−α))`. Returns (group, trials,
+    * successes, rate, llr, decision) with decision ∈
+    * {"accept_h1", "accept_h0", "continue"}. All four ln constants
+    * are driver-computed literals, so the per-group statistic is one
+    * fixed double expression over exact integers — deterministic at
+    * any partitioning; equals the batch SPRT on the union of all
+    * batches exactly. */
+  def readSprt(spark: SparkSession, dir: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need 0 < p0, p1 < 1 and p0 != p1, got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need 0 < alpha, beta < 1, got alpha=$alpha beta=$beta")
+    val cWin = math.log(p1 / p0)           // per-success increment
+    val cLoss = math.log((1.0 - p1) / (1.0 - p0)) // per-failure increment
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val llr = col("__s").cast("double") * lit(cWin) +
+      (col("__t") - col("__s")).cast("double") * lit(cLoss)
+    currentSegState(spark, dir, "",
+        Seq("__s" -> "bigint", "__t" -> "bigint"), "sprt")
+      .select(col("__g").as("group"), col("__t").as("trials"),
+        col("__s").as("successes"),
+        (col("__s").cast("double") / col("__t").cast("double"))
+          .as("rate"),
+        llr.as("llr"),
+        when(llr >= upper, "accept_h1")
+          .when(llr <= lower, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("group"))
+  }
+
   /** Top contributors from a [[streamKeySums]] directory: the k largest
     * totals (exact decimals, ties to the smaller key), each with its
     * share of the grand total — TakeOrderedAndProject over the
@@ -1435,6 +1505,82 @@ object MicroBatch {
       .select(col("__g").as("group"), col("quantile"), col("n"),
         col("value"))
       .orderBy(col("group"), col("quantile"))
+  }
+
+  /** Tukey boxplot fences per group over a
+    * [[streamGroupedValueCounts]] directory — the streaming form of
+    * [[graft.operators.Expectations.tukeyFences]]: exact quartiles
+    * SELECTED from the maintained count table (the q228 rank rule —
+    * smallest value whose cumulative count reaches ⌈q·n⌉), fences at
+    * `k·IQR`, and the outlier counts as conditional SUMS over the same
+    * state (a hot value with 10⁹ occurrences is one state row). The
+    * live outlier monitor without rescanning history; equals the batch
+    * fences on the union of all batches exactly. Returns one row per
+    * group: (group, n, p25, p50, p75, lo_fence, hi_fence, n_low,
+    * n_high). */
+  def readTukeyFences(spark: SparkSession, dir: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, s"fence multiplier k must be > 0, got $k")
+    val q = readGroupedQuantiles(spark, dir, Seq(0.25, 0.5, 0.75))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("quantile") === 0.25, col("value"))).as("p25"),
+        max(when(col("quantile") === 0.5, col("value"))).as("p50"),
+        max(when(col("quantile") === 0.75, col("value"))).as("p75"))
+      .withColumn("lo_fence",
+        col("p25") - lit(k) * (col("p75") - col("p25")))
+      .withColumn("hi_fence",
+        col("p75") + lit(k) * (col("p75") - col("p25")))
+    val counts = currentCountState(spark, dir, "grouped value-count")
+    counts.join(broadcast(q), counts("__g") === q("group"))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"),
+        max(col("p25")).as("p25"), max(col("p50")).as("p50"),
+        max(col("p75")).as("p75"),
+        max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("__v") < col("lo_fence"), col("__n"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > col("hi_fence"), col("__n"))
+          .otherwise(0L)).as("n_high"))
+      .orderBy(col("group"))
+  }
+
+  /** Split-conformal threshold per group over a
+    * [[streamGroupedValueCounts]] directory of NONCONFORMITY scores —
+    * the streaming maintenance of
+    * [[graft.operators.Classifier.conformalThreshold]]'s calibration
+    * side: the threshold is the exact ⌈(n+1)(1−α)⌉-th smallest
+    * maintained score, selected from the count table (smallest value
+    * whose cumulative count reaches the rank), current after every
+    * micro-batch so the SERVING side always applies a guarantee
+    * computed on everything calibrated so far. NULL threshold when the
+    * finite calibration stream cannot certify 1−α (rank > n) — no
+    * silent clamp, matching the batch operator. Returns one row per
+    * group: (group, n, rank, threshold). */
+  def readConformalThreshold(spark: SparkSession, dir: String,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0,1), got $alpha")
+    val counts = currentCountState(spark, dir, "grouped value-count")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+    def rankOf(n: Column): Column =
+      ceil((n.cast("double") + 1.0) * lit(1.0 - alpha)).cast("long")
+    val sel = cum
+      .filter(col("__cum") >= rankOf(col("__tot")) &&
+        rankOf(col("__tot")) <= col("__tot"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as("threshold"))
+    cum.groupBy(col("__g")).agg(max(col("__tot")).as("n"))
+      .join(sel, Seq("__g"), "left")
+      .select(col("__g").as("group"), col("n"), rankOf(col("n")).as("rank"),
+        col("threshold"))
+      .orderBy(col("group"))
   }
 
   /** Benford first-digit profile per group over a

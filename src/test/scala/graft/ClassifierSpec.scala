@@ -365,4 +365,55 @@ class ClassifierSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(4)))
     assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
   }
+
+  test("conformalThreshold: exact ceil((n+1)(1-a)) order statistic; " +
+      "uncertifiable alpha yields NULL; coverage is the eval fraction") {
+    // 9 calibration rows 1..9, alpha=0.1: rank = ceil(10·0.9) = 9 → 9.0
+    val cal = (1 to 9).map(i => (i.toLong, i.toDouble, true))
+    val ev = Seq((101L, 5.0, false), (102L, 9.5, false),
+      (103L, 2.0, false), (104L, 12.0, false))
+    val df = (cal ++ ev).toDF("id", "v", "c")
+    val got = Classifier.conformalThreshold(
+      df, $"v", $"c", "id", alpha = 0.1).head
+    assert(got.getLong(0) === 9L && got.getLong(1) === 4L)
+    assert(got.getLong(2) === 9L && got.getDouble(3) === 9.0)
+    assert(got.getDouble(4) === 0.5) // 5.0, 2.0 covered; 9.5, 12 not
+    assert(got.getDouble(5) === 0.9)
+    // alpha too strict for 9 rows: rank 10 > 9 → NULL, no silent clamp
+    val strict = Classifier.conformalThreshold(
+      df, $"v", $"c", "id", alpha = 0.01).head
+    assert(strict.getLong(2) === 10L && strict.isNullAt(3) &&
+      strict.isNullAt(4))
+    // partitioning-invariance (distributed rank, not a lucky sort)
+    val re = Classifier.conformalThreshold(
+      df.repartition(7), $"v", $"c", "id", alpha = 0.1).head
+    assert(re.toSeq === got.toSeq)
+  }
+
+  test("targetEncodeLoo: hand smoothed leave-one-out values; " +
+      "singleton category with zero smoothing gets NULL") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 3.0), (3L, "b", 10.0))
+      .toDF("id", "cat", "y")
+    // enc = (S_c − y + m·S/N)/((n_c−1+m)·1e6) in exact micro units
+    val got = Classifier.targetEncodeLoo(
+        df, "cat", $"y", "id", smoothing = 1.0)
+      .orderBy("id").collect()
+    val prior = 14.0 * 1e6 / 3.0
+    assert(math.abs(got(0).getDouble(3) -
+      (3.0e6 + prior) / (1.0 + 1.0) / 1e6) < 1e-12)
+    assert(math.abs(got(1).getDouble(3) -
+      (1.0e6 + prior) / (1.0 + 1.0) / 1e6) < 1e-12)
+    assert(math.abs(got(2).getDouble(3) -
+      (0.0 + prior) / (0.0 + 1.0) / 1e6) < 1e-12)
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 2L, 1L))
+    // singleton + m=0: no leak-free estimate exists
+    val bare = Classifier.targetEncodeLoo(
+        df, "cat", $"y", "id", smoothing = 0.0)
+      .filter($"id" === 3L).head
+    assert(bare.isNullAt(3))
+    val re = Classifier.targetEncodeLoo(
+        df.repartition(5), "cat", $"y", "id", smoothing = 1.0)
+      .orderBy("id").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
 }

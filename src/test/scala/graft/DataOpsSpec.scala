@@ -1547,6 +1547,116 @@ class DataOpsSpec extends SparkTestBase {
     assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
 
+  test("ucbAllocation: exact means, closed-form bounds, argmax with " +
+      "total tie-break; an under-pulled arm can win on exploration") {
+    // arm a: 8 pulls, mean 0.5; arm b: 2 pulls, mean 0.5 → same mean,
+    // b's bonus is larger → b chosen
+    val df = ((1 to 8).map(i => ("a", if (i <= 4) 1.0 else 0.0)) ++
+      Seq(("b", 1.0), ("b", 0.0))).toDF("arm", "r")
+    val got = Experiment.ucbAllocation(df, "arm", col("r"))
+      .orderBy("arm").collect()
+    val c = math.sqrt(2.0)
+    assert(got(0).getString(0) === "a" && got(0).getLong(1) === 8L)
+    assert(got(0).getDouble(2) === 0.5 && got(1).getDouble(2) === 0.5)
+    assert(math.abs(got(0).getDouble(3) -
+      (0.5 + c * math.sqrt(math.log(10.0) / 8.0))) < 1e-12)
+    assert(math.abs(got(1).getDouble(3) -
+      (0.5 + c * math.sqrt(math.log(10.0) / 2.0))) < 1e-12)
+    assert(!got(0).getBoolean(4) && got(1).getBoolean(4))
+    // exact tie (same n, same mean): smaller arm label wins
+    val tie = Seq(("x", 1.0), ("x", 0.0), ("y", 0.0), ("y", 1.0))
+      .toDF("arm", "r")
+    val t = Experiment.ucbAllocation(tie, "arm", col("r"))
+      .orderBy("arm").collect()
+    assert(t(0).getBoolean(4) && !t(1).getBoolean(4))
+    val re = Experiment.ucbAllocation(df.repartition(7), "arm",
+      col("r")).orderBy("arm").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
+  test("postStratify: balanced strata reproduce the raw mean; the " +
+      "closed-form se; a variant missing a stratum gets NULL ps_mean") {
+    val df = Seq(
+      ("A", "s1", 1.0), ("A", "s1", 3.0), ("A", "s2", 5.0), ("A", "s2", 7.0),
+      ("B", "s1", 2.0), ("B", "s1", 4.0), ("B", "s2", 6.0), ("B", "s2", 8.0))
+      .toDF("variant", "s", "y")
+    val got = Experiment.postStratify(df, "variant", col("y"), "s")
+      .orderBy("variant").collect()
+    // pooled W = (4/8, 4/8); A: means (2, 6) → ps_mean 4 = raw_mean
+    assert(got(0).getString(0) === "A" && got(0).getLong(1) === 4L)
+    assert(got(0).getLong(2) === 2L && got(0).getLong(3) === 2L)
+    assert(got(0).getDouble(4) === 4.0)
+    assert(math.abs(got(0).getDouble(5) - 4.0) < 1e-9)
+    // se = √(W²·s²/n per stratum) = √(0.25·2/2 + 0.25·2/2) = √0.5
+    assert(math.abs(got(0).getDouble(6) - math.sqrt(0.5)) < 1e-9)
+    // a variant covering one stratum only: NULL ps_mean/ps_se
+    val skew = df.union(Seq(("C", "s1", 9.0), ("C", "s1", 11.0))
+      .toDF("variant", "s", "y"))
+    val c = Experiment.postStratify(skew, "variant", col("y"), "s")
+      .filter(col("variant") === "C").head
+    assert(c.getLong(3) === 1L && c.isNullAt(5) && c.isNullAt(6))
+    // partitioning-invariance
+    val re = Experiment.postStratify(df.repartition(7), "variant",
+      col("y"), "s").orderBy("variant").collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
+  test("pacf: alternating series gives pacf1 = acf1 = -1 and NULL " +
+      "beyond (innovation variance exhausted); AR-like decay case") {
+    val rows = (0 until 10).flatMap { day =>
+      val v = if (day % 2 == 0) 0.5 else 1.5
+      Seq((f"2024-01-${day + 1}%02d 03:00:00", "s", v),
+        (f"2024-01-${day + 1}%02d 17:00:00", "s", v))
+    }
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.pacf(ev, "event_type", "ts", col("value"),
+      maxLag = 3).orderBy("lag").collect()
+    assert(got.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    assert(got(0).getDouble(2) === -1.0 && got(0).getDouble(3) === -1.0)
+    // v₁ = 1 − (−1)² = 0: lags 2+ are undefined, not fabricated
+    assert(got(1).isNullAt(3) && got(2).isNullAt(3))
+    // Durbin-Levinson hand case at lag 2 on a decaying ACF: a series
+    // with acf1 = r; pacf2 = (r2 − r1²)/(1 − r1²)
+    val rows2 = (0 until 12).flatMap { day =>
+      val v = Seq(1.0, 2.0, 4.0, 3.0)(day % 4)
+      Seq((f"2024-02-${day + 1}%02d 03:00:00", "s", v))
+    }
+    val ev2 = rows2.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val g2 = TimeSeries.pacf(ev2, "event_type", "ts", col("value"),
+      maxLag = 2).orderBy("lag").collect()
+    val (r1, r2) = (g2(0).getDouble(2), g2(1).getDouble(2))
+    assert(g2(0).getDouble(3) === r1)
+    assert(math.abs(g2(1).getDouble(3) -
+      (r2 - r1 * r1) / (1.0 - r1 * r1)) < 1e-12)
+  }
+
+  test("seasonalStrength: a pure weekly pattern scores ~1 seasonal " +
+      "strength with ~0 residual variance; constant series NULL") {
+    // 35 days, value depends only on day-of-week: after the 7-day
+    // centered trend (constant) the seasonal means absorb everything
+    val rows = (0 until 35).map { day =>
+      val v = Seq(10.0, 20.0, 15.0, 30.0, 25.0, 5.0, 40.0)(day % 7)
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(day).toString +
+        " 12:00:00", "s", v)
+    }
+    val ev = rows.toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.seasonalStrength(ev, "event_type", "ts",
+      col("value")).head
+    assert(got.getLong(1) === 29L) // 35 − 6 warmup/tail days
+    assert(got.getDouble(2) < 1e-6)               // var_residual ~ 0
+    assert(got.getDouble(5) > 0.999)              // seasonal_strength
+    // constant series: all variances 0 → strengths NULL
+    val const = rows.map { case (t, s, _) => (t, s, 7.0) }
+      .toDF("tss", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val c = TimeSeries.seasonalStrength(const, "event_type", "ts",
+      col("value")).head
+    assert(c.isNullAt(5) && c.isNullAt(6))
+  }
+
   test("bootstrapCI: deterministic across runs and partitionings; the " +
       "interval brackets the mean; empty-weight replicates dropped") {
     val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble))

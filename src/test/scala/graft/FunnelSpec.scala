@@ -380,6 +380,49 @@ class FunnelSpec extends SparkTestBase {
       ("y", "n", 10L, 15.0, 5.0 / 3.0), ("y", "y", 20L, 15.0, 5.0 / 3.0)))
   }
 
+  test("kruskalWallis: three tie-free groups match the closed form; " +
+      "all-tied values yield NULL h; partitioning-invariant") {
+    // A={1,2}, B={3,4}, C={5,6}: ranks 1..6, R = 3/7/11,
+    // H = 12/(6·7) · (9+49+121)/2 − 3·7 = 2/7 · 89.5 − 21
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"),
+      (5.0, "c"), (6.0, "c")).toDF("v", "g")
+    val got = Experiment.kruskalWallis(df, col("v"), col("g")).head
+    assert(got.getLong(0) === 3L && got.getLong(1) === 6L)
+    val h = 12.0 / (6.0 * 7.0) * 89.5 - 3.0 * 7.0
+    assert(math.abs(got.getDouble(2) - h) < 1e-9)
+    assert(got.getDouble(2) === got.getDouble(3)) // no ties
+    assert(got.getLong(4) === 2L)
+    assert(got.getDouble(5) > 0.0 && got.getDouble(5) < 1.0)
+    val re = Experiment.kruskalWallis(df.repartition(7), col("v"),
+      col("g")).head
+    assert(re.toSeq === got.toSeq)
+    // every value tied: cubic == T, NULL h and p
+    val tied = Seq((7.0, "a"), (7.0, "b"), (7.0, "c")).toDF("v", "g")
+    val t = Experiment.kruskalWallis(tied, col("v"), col("g")).head
+    assert(t.isNullAt(2) && t.isNullAt(3) && t.isNullAt(5))
+  }
+
+  test("gTestIndependence: 2x2 hand table matches the four-term LLR " +
+      "closed form; dof and n from the marginals") {
+    import graft.operators.Expectations
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Expectations.gTestIndependence(rows.toDF("a", "b"),
+      col("a"), col("b")).head
+    assert(got.getLong(0) === 50L && got.getLong(1) === 2L &&
+      got.getLong(2) === 2L && got.getLong(3) === 1L)
+    // G = 2·Σ o·ln(o·n/(r·c)) over the four observed cells
+    val g = 2.0 * (20.0 * math.log(20.0 * 50 / (30.0 * 25)) +
+      10.0 * math.log(10.0 * 50 / (30.0 * 25)) +
+      5.0 * math.log(5.0 * 50 / (20.0 * 25)) +
+      15.0 * math.log(15.0 * 50 / (20.0 * 25)))
+    assert(math.abs(got.getDouble(4) - g) < 1e-6) // pico-quantized
+    assert(got.getDouble(5) > 0.0 && got.getDouble(5) < 1.0)
+    val re = Expectations.gTestIndependence(
+      rows.toDF("a", "b").repartition(7), col("a"), col("b")).head
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa 0.4 exactly; " +
       "constant raters yield NULL kappa with full observed agreement") {
     import graft.operators.Experiment

@@ -168,4 +168,30 @@ class LanguageModelSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
     assert(cut.toSeq === Seq(("x", "y", all(0)._4)))
   }
+
+  test("dunningCollocations: hand 2x2 LLR over positional marginals; " +
+      "repulsion pairs dropped; partitioning-invariant") {
+    // bigrams of "a b a b c d": (a,b)x2 (b,a)x1 (b,c)x1 (c,d)x1, N = 5
+    val df = Seq((1L, "a b a b c d")).toDF("id", "text")
+    val got = LanguageModel.dunningCollocations(df, "text")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // (a,b): k11=2 r1=2 c1=2 -> k12=k21=0, k22=3;
+    // llr = 2·(2·ln(2·5/(2·2)) + 3·ln(3·5/(3·3)))
+    val llrAB = BigDecimal(2.0 * (2.0 * math.log(10.0 / 4) +
+        3.0 * math.log(15.0 / 9)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.exists(t => t._1 == "a" && t._2 == "b" &&
+      t._3 == 2L && t._4 === llrAB))
+    // (b,a): k11=1, r1(b·)=2, c1(·a)=1 -> k11·N = 5 > r·c = 2: kept;
+    // every returned pair must satisfy the positive-association gate
+    assert(got.nonEmpty)
+    // ranked by llr desc with (w1, w2) tie-break
+    assert(got.map(_._4).toSeq === got.map(_._4).sorted(
+      Ordering[Double].reverse))
+    val re = LanguageModel.dunningCollocations(df.repartition(5), "text")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(re.toSeq === got.toSeq)
+  }
 }

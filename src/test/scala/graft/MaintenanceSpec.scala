@@ -362,6 +362,102 @@ class MaintenanceSpec extends SparkTestBase {
     assert(state() === Seq(("a", 10L), ("b", 2L)))
   }
 
+  test("manifest time travel: readAt reproduces each committed " +
+      "snapshot; vacuumed pointers refuse; history lists the chain") {
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mftt").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("a", 10L)).toDF("k", "v"), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("b", 20L)).toDF("k", "v"), root, Seq("k"),
+      overwrite = false)
+    // three live snapshots, each reproducible
+    assert(rows(ManifestCommit.readAt(spark, root, 0L)) ===
+      Seq(("a", 1L), ("b", 2L)))
+    assert(rows(ManifestCommit.readAt(spark, root, 1L)) ===
+      Seq(("a", 10L), ("b", 2L)))
+    assert(rows(ManifestCommit.readAt(spark, root, 2L)) ===
+      Seq(("a", 10L), ("b", 2L), ("b", 20L)))
+    assert(rows(ManifestCommit.readAt(spark, root, 2L)) ===
+      rows(ManifestCommit.read(spark, root)))
+    // history: ascending chain, latest flagged
+    val h = ManifestCommit.history(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(h.toSeq === Seq((0L, 2L, false), (1L, 2L, false),
+      (2L, 2L, true)))
+    // a never-committed pointer refuses
+    intercept[IllegalStateException] {
+      ManifestCommit.readAt(spark, root, 9L)
+    }
+    // vacuum to the latest pointer only: time travel past it refuses
+    ManifestCommit.vacuum(root, keepPointers = 1)
+    intercept[IllegalStateException] {
+      ManifestCommit.readAt(spark, root, 0L)
+    }
+    assert(rows(ManifestCommit.read(spark, root)) ===
+      Seq(("a", 10L), ("b", 2L), ("b", 20L)))
+  }
+
+  test("manifest rollback: one-PUT re-commit of an old snapshot; " +
+      "writes continue past it; rollback to vacuumed state refuses") {
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfrb").toString + "/t"
+    def state() = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("a", 10L), ("b", 20L)).toDF("k", "v"), root, Seq("k"))
+    assert(state() === Seq(("a", 10L), ("b", 20L)))
+    val newId = ManifestCommit.rollback(root, 0L)
+    assert(newId === 2L)
+    assert(state() === Seq(("a", 1L), ("b", 2L)))
+    // the rolled-back state is itself a pointer: writes continue
+    ManifestCommit.writePartitioned(
+      Seq(("a", 100L)).toDF("k", "v"), root, Seq("k"))
+    assert(state() === Seq(("a", 100L), ("b", 2L)))
+    // fsck on a healthy chain: every row ok
+    val f = ManifestCommit.fsck(spark, root).collect()
+    assert(f.nonEmpty && f.forall(_.getBoolean(2)))
+    // vacuum everything but the tip, then rollback into the hole
+    ManifestCommit.vacuum(root, keepPointers = 1)
+    intercept[IllegalStateException] {
+      ManifestCommit.rollback(root, 0L)
+    }
+  }
+
+  test("manifest fsck: dangling cited generation flagged not-ok; " +
+      "crash orphan reported as reclaimable") {
+    import spark.implicits._
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mffs").toString + "/t"
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L)).toDF("k", "v"), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("b", 2L)).toDF("k", "v"), root, Seq("k"), overwrite = false)
+    // orphan: data landed, pointer never did
+    Seq(("z", 9L)).toDF("k", "v").write.partitionBy("k")
+      .parquet(s"$root/_gen/g=5")
+    // dangling: a cited generation goes missing out-of-band
+    Fs.deleteRetried(new HPath(s"$root/_gen/g=0"))
+    val f = ManifestCommit.fsck(spark, root)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2))).toSeq
+    assert(f.contains(("generation", "g=0", false)))
+    assert(f.contains(("generation", "g=1", true)))
+    assert(f.contains(("orphan_generation", "g=5", true)))
+    assert(f.contains(("pointer", "p0", true)))
+    assert(f.contains(("pointer", "p1", true)))
+  }
+
   test("manifest-pointer partition values with special characters " +
       "round-trip (escaped segments never collide with the TAB format)") {
     import spark.implicits._

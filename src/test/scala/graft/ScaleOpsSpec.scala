@@ -155,4 +155,28 @@ class ScaleOpsSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ivf.intersect(brute).size >= 5, s"recall too low: $ivf vs $brute")
   }
+
+  test("joinExplosionAudit: exact per-key and total output counts " +
+      "equal the realized join size; NULL keys excluded; top-k order") {
+    val l = Seq("a", "a", "a", "b", "b", "c", null)
+      .map(k => (Option(k), 1)).toDF("k", "x")
+    val r = Seq("a", "a", "b", "d", null)
+      .map(k => (Option(k), 1)).toDF("k", "x")
+    val got = Skew.joinExplosionAudit(l, r, col("k"), col("k"), topK = 10)
+      .collect().map(row => (row.getString(0), row.getLong(1),
+        row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getDouble(5)))
+    // a: 3·2 = 6, b: 2·1 = 2; c and d never match; NULLs never match
+    assert(got.toSeq === Seq(
+      ("a", 3L, 2L, 6L, 8L, 6.0 / 8.0),
+      ("b", 2L, 1L, 2L, 8L, 2.0 / 8.0)))
+    // the prediction equals the realized inner-join row count
+    val realized = l.filter(col("k").isNotNull)
+      .join(r.filter(col("k").isNotNull), Seq("k")).count()
+    assert(realized === got.head._5)
+    val re = Skew.joinExplosionAudit(l.repartition(5), r.repartition(3),
+        col("k"), col("k"), topK = 10)
+      .collect().map(row => (row.getString(0), row.getLong(3)))
+    assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
+  }
 }

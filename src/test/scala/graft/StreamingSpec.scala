@@ -972,6 +972,104 @@ class StreamingSpec extends SparkTestBase {
     assert(got() === batch)
   }
 
+  test("readTukeyFences / readConformalThreshold over streamed " +
+      "grouped counts: batch-exact quartiles, fences, outliers, and " +
+      "the (n+1) conformal rank") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_strtukey")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/counts", s"$root/ckpt")
+    // group a: values 1..8 plus a planted 100 outlier (the q228
+    // fixture); split across two batches
+    val all = ((1 to 8).map(i => ("a", i.toDouble)) :+ ("a", 100.0))
+    val (b1, b2) = all.splitAt(5)
+    b1.toDF("g", "v").coalesce(1).write.parquet(srcDir)
+    b2.toDF("g", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MicroBatch.streamGroupedValueCounts(stream, outDir, "g", "v",
+        MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batch fences on the union (rank rule: ceil(q·9) → 3rd, 5th, 7th)
+    val batch = graft.operators.Expectations.tukeyFences(
+      all.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id"), "g", col("v"), "id").head
+    val got = MicroBatch.readTukeyFences(spark, outDir).head
+    assert(got.getLong(1) === 9L)
+    assert(got.getDouble(2) === batch.getDouble(2) &&
+      got.getDouble(3) === batch.getDouble(3) &&
+      got.getDouble(4) === batch.getDouble(4))
+    assert(got.getDouble(5) === batch.getDouble(5) &&
+      got.getDouble(6) === batch.getDouble(6))
+    assert(got.getLong(7) === batch.getLong(7) &&
+      got.getLong(8) === batch.getLong(8))
+    assert(got.getLong(8) === 1L) // exactly the planted outlier
+    // conformal: n=9, alpha=0.1 → rank ceil(10·0.9)=9 → 9th smallest
+    // = 100.0; alpha=0.05 → rank 10 > 9 → NULL
+    val c1 = MicroBatch.readConformalThreshold(spark, outDir, 0.1).head
+    assert(c1.getLong(1) === 9L && c1.getLong(2) === 9L &&
+      c1.getDouble(3) === 100.0)
+    val c2 = MicroBatch.readConformalThreshold(spark, outDir, 0.05).head
+    assert(c2.getLong(2) === 10L && c2.isNullAt(3))
+  }
+
+  test("streamSprt: additive (successes, trials) across batches; Wald " +
+      "boundaries decide per group; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_strsprt")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/sprt", s"$root/ckpt")
+    // group a: 15/20 hits (strong H1); b: 2/20 (strong H0);
+    // c: 5/10 (in the continuation band for p0=0.3 vs p1=0.7)
+    val b1 = (1 to 10).map(i => ("a", i <= 8)) ++
+      (1 to 10).map(i => ("b", i <= 1)) ++
+      (1 to 5).map(i => ("c", i <= 2))
+    val b2 = (1 to 10).map(i => ("a", i <= 7)) ++
+      (1 to 10).map(i => ("b", i <= 1)) ++
+      (1 to 5).map(i => ("c", i <= 3))
+    b1.toDF("g", "hit").coalesce(1).write.parquet(srcDir)
+    b2.toDF("g", "hit").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamSprt(stream, outDir, "g", "hit",
+          MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def got() = MicroBatch.readSprt(spark, outDir, p0 = 0.3, p1 = 0.7,
+        alpha = 0.05, beta = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getString(5))).toSeq
+    // exact closed form, spelled EXACTLY like the implementation:
+    // 1.0 − 0.7 is 0.30000000000000004 in IEEE, so ln((1−p1)/(1−p0))
+    // differs from ln(0.3/0.7) by an ulp — mirror the impl's form
+    def llr(s: Long, t: Long): Double =
+      s * math.log(0.7 / 0.3) +
+        (t - s) * math.log((1.0 - 0.7) / (1.0 - 0.3))
+    val upper = math.log(0.8 / 0.05) // ln((1−β)/α) ≈ 2.77
+    val lower = math.log(0.2 / 0.95) // ≈ −1.56
+    assert(got() === Seq(
+      ("a", 20L, 15L, llr(15, 20), "accept_h1"),
+      ("b", 20L, 2L, llr(2, 20), "accept_h0"),
+      ("c", 10L, 5L, llr(5, 10), "continue")))
+    assert(llr(15, 20) >= upper && llr(2, 20) <= lower &&
+      llr(5, 10) > lower && llr(5, 10) < upper)
+    run() // restart: checkpoint replays nothing
+    assert(got().map(_._2).sum === 50L)
+    // parameter guards
+    intercept[IllegalArgumentException] {
+      MicroBatch.readSprt(spark, outDir, p0 = 0.5, p1 = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      MicroBatch.readSprt(spark, outDir, p0 = 0.3, p1 = 0.7, alpha = 0.0)
+    }
+  }
+
   test("readConcentration over streamed value counts: hand HHI and " +
       "top share from additive exact counts") {
     import org.apache.spark.sql.functions._

@@ -422,4 +422,50 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDouble(3)))
     assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
   }
+
+  test("mojibakeSignals: counts U+FFFD, C1 controls, and Latin-1 " +
+      "digraphs exactly; clean text scores zero; profile rolls up") {
+    val corrupt = "caf\u00C3\u00A9 x \uFFFD y " + // 1 digraph + 1 repl
+      "\u00E2\u0080\u0099 z \u0085 " // 1 digraph (C1 inside) + bare NEL
+    val df = Seq((1L, corrupt), (2L, "a clean plain sentence"))
+      .toDF("id", "txt")
+    val got = TextAnalysis.mojibakeSignals(df, "id", "txt")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(2) === 1L) // replacement_chars
+    // C1 controls: U+0080 and U+0099 inside the curly-quote digraph,
+    // plus the bare NEL U+0085
+    assert(got(0).getLong(3) === 3L)
+    assert(got(0).getLong(4) === 2L) // digraphs
+    assert(got(0).getDouble(5) > 0.0)
+    assert(got(1).getLong(2) === 0L && got(1).getLong(3) === 0L &&
+      got(1).getLong(4) === 0L && got(1).getDouble(5) === 0.0)
+    val prof = TextAnalysis.mojibakeProfile(df, "id", "txt",
+      per1000Threshold = 1.0).head
+    assert(prof.getLong(0) === 2L && prof.getLong(1) === 1L &&
+      prof.getLong(2) === 1L && prof.getLong(3) === 3L &&
+      prof.getLong(4) === 2L && prof.getDouble(5) === 0.5)
+  }
+
+  test("lexiconScreen: per-doc category hits over lowercase alpha " +
+      "tokens; zero-hit pairs absent; malformed lexicon refused") {
+    val df = Seq(
+      (1L, "Fast cars go fast; slow cars do not."),
+      (2L, "nothing relevant here")).toDF("id", "txt")
+    val got = TextAnalysis.lexiconScreen(df, "id", "txt",
+        Map("speed" -> Seq("fast", "slow"), "vehicle" -> Seq("cars")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // doc 1: tokens = 8 alpha runs; speed hits fast,fast,slow = 3 over
+    // 2 distinct terms; vehicle hits cars,cars = 2 over 1
+    assert(got.toSeq === Seq(
+      (1L, "speed", 3L, 2L, 8L, 3.0 / 8.0),
+      (1L, "vehicle", 2L, 1L, 8L, 2.0 / 8.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lexiconScreen(df, "id", "txt",
+        Map("bad" -> Seq("Two Words")))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lexiconScreen(df, "id", "txt", Map.empty)
+    }
+  }
 }
