@@ -301,7 +301,10 @@ object ScaleSmoke {
     "q349_conformal", "q350_ucb", "q351_join_explosion",
     "q352_target_encode",
     // r14 wave 4: two more lenses on the grouped value-count state
-    "str353_stream_tukey", "str354_stream_conformal")
+    "str353_stream_tukey", "str354_stream_conformal",
+    // r14 wave 5: paired model comparison, multi-rater agreement,
+    // pairwise-preference ranking
+    "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

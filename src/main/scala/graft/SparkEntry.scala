@@ -3681,6 +3681,44 @@ object SparkEntry {
         .filter(col("id") % 37 === 0)
         .orderBy(col("id"))),
 
+    // McNemar's paired test between two screening heuristics on the
+    // SAME orders: four exact cells, continuity-corrected chi2, the
+    // dof-1 tail as a direct erfc.
+    "q355_mcnemar" -> ((s, d) =>
+      operators.Classifier.mcNemar(t(s, d, "orders"),
+        col("o_orderstatus") === "F",
+        col("o_orderdate") < to_timestamp(lit("1995-06-01")))),
+
+    // Fleiss' kappa over three deterministic pseudo-raters per order:
+    // exact integer agreement sums, pico-quantized chance terms,
+    // in-plan constant-rater guard.
+    "q356_fleiss_kappa" -> ((s, d) => {
+      val rated = t(s, d, "orders")
+        .select(col("o_orderkey").as("item"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("r"),
+          col("o_totalprice"))
+        .select(col("item"),
+          pmod(col("item") * col("r") +
+            floor(col("o_totalprice") / 50000.0).cast("long"), lit(4L))
+            .as("rating"))
+      operators.Classifier.fleissKappa(rated, "item", "rating")
+    }),
+
+    // Bradley-Terry scores over deterministic pairwise battles among
+    // the five priorities: one pair-count aggregate, driver MM fit,
+    // fixed iteration order.
+    "q357_bradley_terry" -> ((s, d) => {
+      val prios = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW"))
+      val games = t(s, d, "orders").select(
+        element_at(prios, (pmod(col("o_orderkey"), lit(5L)) + 1)
+          .cast("int")).as("w"),
+        element_at(prios, (pmod(col("o_orderkey") * 3 +
+            floor(col("o_totalprice") / 10000.0).cast("long"), lit(5L)) + 1)
+          .cast("int")).as("l"))
+      operators.Experiment.bradleyTerry(games, "w", "l")
+    }),
+
     // Streaming Tukey fences: exact quartiles + outlier counts as
     // selections/sums over the maintained grouped value-count state.
     "str353_stream_tukey" -> ((s, d) => {
@@ -5587,6 +5625,7 @@ object SparkEntry {
     "q344_pacf", "q345_seasonal_strength", "q347_manifest_fsck",
     "str348_stream_sprt", "q349_conformal", "q350_ucb",
     "str353_stream_tukey", "str354_stream_conformal",
+    "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

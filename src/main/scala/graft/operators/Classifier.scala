@@ -621,6 +621,126 @@ object Classifier {
     * (distributed range sort) + ONE buckets-sized aggregate + a
     * cumulative window over ≤ buckets rows. Returns (bucket, n,
     * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
+  /** McNemar's test — the PAIRED model-vs-model comparison the
+    * unpaired tests get wrong: on the SAME examples, only the
+    * discordant pairs carry information (A right / B wrong vs A wrong
+    * / B right), and `χ² = (|b − c| − 1)²/(b + c)` (Edwards continuity
+    * correction; `continuity = false` for the raw form) against
+    * χ²₁ — the readout for "is the new quality classifier actually
+    * better, example for example?". Returns ONE row: (n, both_right,
+    * both_wrong, a_only, b_only, chi2, p_value); NULL chi2/p when
+    * there are no discordant pairs (the models never disagree —
+    * nothing to test).
+    *
+    * Numerics: four exact integer cells from ONE aggregate; χ² is one
+    * fixed double expression; the χ²₁ tail is EXACTLY the two-sided
+    * normal tail at z = √χ², so the p-value uses the A&S erfc
+    * polynomial directly (no Wilson–Hilferty needed at dof 1).
+    *
+    * Scale: one map-side-combined aggregate over the paired rows —
+    * nothing else. */
+  def mcNemar(df: DataFrame, aCorrect: Column, bCorrect: Column,
+      continuity: Boolean = true): DataFrame = {
+    val base = df.select(aCorrect.cast("boolean").as("__a"),
+        bCorrect.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+        .as("both_right"),
+      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
+        .as("both_wrong"),
+      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L))
+        .as("a_only"),
+      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L))
+        .as("b_only"))
+    val disc = (col("a_only") + col("b_only")).cast("double")
+    val diff = abs(col("a_only") - col("b_only")).cast("double")
+    val adj = if (continuity) greatest(diff - 1.0, lit(0.0)) else diff
+    val chi2 = adj * adj / disc
+    // dof-1 tail = two-sided normal at z = √χ²: erfc(z/√2), A&S 7.1.26
+    val z = sqrt(chi2) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val p = poly * exp(-z * z)
+    agg.select(col("n"), col("both_right"), col("both_wrong"),
+      col("a_only"), col("b_only"),
+      when(disc > 0.0, chi2).as("chi2"),
+      when(disc > 0.0, p).as("p_value"))
+  }
+
+  /** Fleiss' kappa — [[cohenKappa]] generalized to ANY fixed number of
+    * raters per item (the multi-annotator agreement statistic a
+    * labeling pipeline with 3+ redundant judgments gates on): with
+    * n_ic = raters assigning item i to category c and a CONSTANT n
+    * raters per item, `P̄ = Σ_i(Σ_c n_ic² − n) / (N·n·(n−1))`,
+    * `P̄_e = Σ_c (Σ_i n_ic / (N·n))²`, `κ = (P̄ − P̄_e)/(1 − P̄_e)`.
+    * Input is one row per (item, single rating); a non-constant rater
+    * count raises IN-PLAN (the [[graft.operators.Experiment.powerMde]]
+    * guard pattern — Fleiss' formula is undefined otherwise). Returns
+    * ONE row: (items, raters, p_bar, p_e, kappa); κ NULL when
+    * P̄_e = 1 (every rating in one category — chance agreement total).
+    *
+    * Numerics: `Σ_i(Σ_c n_ic² − n)` and the category marginals are
+    * EXACT integers (two aggregates); P̄ and each marginal share are
+    * single divisions of exact operands; P̄_e is a category-sized sum
+    * of squared shares, pico-quantized order-free (the χ² parts
+    * convention).
+    *
+    * Scale: one (item, category) count aggregate, one item-level
+    * rollup, one category-level rollup — all map-side combinable;
+    * finale on report-sized tables. */
+  def fleissKappa(df: DataFrame, itemCol: String, ratingCol: String)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val cells = df
+      .select(col(itemCol).as("__i"),
+        col(ratingCol).cast("string").as("__c"))
+      .filter(col("__i").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false) // item + category rollups
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"),
+        sum((d19(col("__n")) * d19(col("__n"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sq"))
+    val itemAgg = items.agg(count(lit(1)).as("items"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
+      sum(col("__sq")).cast("decimal(38,0)").as("__s1raw"))
+    val cats = cells.groupBy(col("__c"))
+      .agg(sum(col("__n")).cast("decimal(19,0)").as("__mc"))
+    // P̄e parts need N·n — join the 1-row item aggregate onto the
+    // category marginals, square the share, quantize order-free
+    val withTot = cats.crossJoin(broadcast(
+      itemAgg.select(col("items"), col("__nmin"), col("__nmax"),
+        col("__s1raw"))))
+    val share = dbl(col("__mc")) /
+      (col("items").cast("double") * col("__nmin").cast("double"))
+    val peSum = withTot.agg(
+      max(col("items")).as("items"),
+      max(col("__nmin")).as("__n"),
+      max(col("__nmax")).as("__nmax2"),
+      max(col("__s1raw")).as("__s1"),
+      sum(floor(round(share * share, 9) * lit(1000000000000.0) + 0.5)
+        .cast("decimal(28,0)")).cast("decimal(28,0)").as("__peq"))
+    val nD = col("__n").cast("double")
+    val nI = col("items").cast("double")
+    // P̄ = (Σ_i Σ_c n_ic² − N·n) / (N·n·(n−1)) — exact integer operands
+    val pBar = (dbl(col("__s1")) - nI * nD) / (nI * nD * (nD - 1.0))
+    val pE = dbl(col("__peq")) / 1.0e12
+    peSum
+      .select(col("items"),
+        when(col("__n") =!= col("__nmax2"),
+          raise_error(lit("fleissKappa: rater count varies across " +
+            "items — Fleiss' formula requires a constant rater count"))
+            .cast("bigint"))
+          .otherwise(col("__n")).as("raters"),
+        pBar.as("p_bar"), pE.as("p_e"),
+        when(pE < 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
+  }
+
   /** Split-conformal threshold + coverage audit — the
     * distribution-free guarantee layer over any scorer ([[classify]],
     * the LM perplexity filter, an external model): given per-row

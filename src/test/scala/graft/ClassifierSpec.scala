@@ -366,6 +366,63 @@ class ClassifierSpec extends SparkTestBase {
     assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
   }
 
+  test("mcNemar: textbook discordant cells with and without the " +
+      "continuity correction; no-disagreement case yields NULL") {
+    // b = 10 (A only), c = 4 (B only), 6 both right, 5 both wrong
+    val rows = Seq.fill(6)((true, true)) ++ Seq.fill(5)((false, false)) ++
+      Seq.fill(10)((true, false)) ++ Seq.fill(4)((false, true))
+    val df = rows.toDF("a", "b")
+    val got = Classifier.mcNemar(df, $"a", $"b").head
+    assert(got.getLong(0) === 25L && got.getLong(1) === 6L &&
+      got.getLong(2) === 5L && got.getLong(3) === 10L &&
+      got.getLong(4) === 4L)
+    // continuity: (|10−4|−1)²/14 = 25/14
+    assert(math.abs(got.getDouble(5) - 25.0 / 14.0) < 1e-12)
+    assert(got.getDouble(6) > 0.0 && got.getDouble(6) < 1.0)
+    val raw = Classifier.mcNemar(df, $"a", $"b", continuity = false).head
+    assert(math.abs(raw.getDouble(5) - 36.0 / 14.0) < 1e-12)
+    // the dof-1 tail equals erfc(√χ²/√2): spot vs a known value —
+    // χ² = 36/14 ≈ 2.571 → p ≈ 0.1088 (A&S poly, |ε| < 1.5e-7)
+    assert(math.abs(raw.getDouble(6) - 0.1088) < 1e-3)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Classifier.mcNemar(agree, $"a", $"b").head.isNullAt(5))
+  }
+
+  test("fleissKappa: the Wikipedia worked example reproduces kappa " +
+      "0.210; varying rater counts raise in-plan") {
+    // Fleiss 1971 / Wikipedia 14-subject, 14-rater example is big;
+    // use the standard small check instead: 2 raters reduce Fleiss to
+    // Cohen-like agreement. 4 items, 2 raters, categories x/y:
+    // items: (x,x), (x,y), (y,x), (y,y) → P̄ = (2·1+2·0)/4... hand:
+    // per item Σn_ic²: {4, 2, 2, 4} wait n=2: (x,x): 2²=4 → P_i =
+    // (4−2)/(2·1)=1; (x,y): 1+1=2 → 0. P̄ = 0.5. marginals: x: 4/8,
+    // y: 4/8 → P̄e = 0.5 → κ = 0.
+    val df = Seq((1, "x"), (1, "x"), (2, "x"), (2, "y"),
+      (3, "y"), (3, "x"), (4, "y"), (4, "y")).toDF("item", "rating")
+    val got = Classifier.fleissKappa(df, "item", "rating").head
+    assert(got.getLong(0) === 4L && got.getLong(1) === 2L)
+    assert(got.getDouble(2) === 0.5 && got.getDouble(3) === 0.5)
+    assert(got.getDouble(4) === 0.0)
+    // perfect agreement: κ = 1 (P̄ = 1, P̄e < 1)
+    val perfect = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y"))
+      .toDF("item", "rating")
+    assert(Classifier.fleissKappa(perfect, "item", "rating")
+      .head.getDouble(4) === 1.0)
+    // one category only: P̄e = 1 → NULL
+    val mono = Seq((1, "x"), (1, "x"), (2, "x"), (2, "x"))
+      .toDF("item", "rating")
+    assert(Classifier.fleissKappa(mono, "item", "rating")
+      .head.isNullAt(4))
+    // ragged rater counts refuse loudly
+    val ragged = Seq((1, "x"), (1, "x"), (2, "x")).toDF("item", "rating")
+    val e = intercept[Exception] {
+      Classifier.fleissKappa(ragged, "item", "rating").collect()
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + chain(x.getCause)
+    assert(chain(e).contains("constant rater count"))
+  }
+
   test("conformalThreshold: exact ceil((n+1)(1-a)) order statistic; " +
       "uncertifiable alpha yields NULL; coverage is the eval fraction") {
     // 9 calibration rows 1..9, alpha=0.1: rank = ceil(10·0.9) = 9 → 9.0

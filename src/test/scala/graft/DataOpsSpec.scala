@@ -1547,6 +1547,33 @@ class DataOpsSpec extends SparkTestBase {
     assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
 
+  test("bradleyTerry: two-player MLE matches the closed form " +
+      "w/(w+l); zero-win variant hits the boundary; deterministic") {
+    // a beats b 3 times, b beats a once: p_a/p_b = 3 → normalized to
+    // mean 1: p_a = 1.5, p_b = 0.5
+    val df = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a"))).toDF("w", "l")
+    val got = Experiment.bradleyTerry(df, "w", "l").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 4L)
+    assert(math.abs(got(0).getDouble(3) - 1.5) < 1e-9)
+    assert(math.abs(got(1).getDouble(3) - 0.5) < 1e-9)
+    assert(got.map(_.getLong(4)).toSeq === Seq(1L, 2L))
+    // a variant that never wins converges to the 0 boundary
+    val shut = (Seq.fill(2)(("a", "c")) ++ Seq.fill(2)(("b", "c")) ++
+      Seq(("a", "b"), ("b", "a"))).toDF("w", "l")
+    val s = Experiment.bradleyTerry(shut, "w", "l").collect()
+    assert(s.find(_.getString(0) == "c").get.getDouble(3) === 0.0)
+    assert(s.find(_.getString(0) == "c").get.getLong(4) === 3L)
+    // partitioning-invariance: the fit runs on exact collected counts
+    val re = Experiment.bradleyTerry(df.repartition(7), "w", "l")
+      .collect()
+    assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+    // self-games and NULLs are excluded, not fitted
+    val noisy = df.union(Seq(("a", "a"), (null, "b")).toDF("w", "l"))
+    val n2 = Experiment.bradleyTerry(noisy, "w", "l").collect()
+    assert(n2.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
   test("ucbAllocation: exact means, closed-form bounds, argmax with " +
       "total tie-break; an under-pulled arm can win on exploration") {
     // arm a: 8 pulls, mean 0.5; arm b: 2 pulls, mean 0.5 → same mean,
