@@ -304,7 +304,9 @@ object ScaleSmoke {
     "str353_stream_tukey", "str354_stream_conformal",
     // r14 wave 5: paired model comparison, multi-rater agreement,
     // pairwise-preference ranking
-    "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry")
+    "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry",
+    // r14 wave 6: stratified association, effect sizes, live BT board
+    "q358_cmh", "q359_contingency_effects", "str360_stream_bt")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

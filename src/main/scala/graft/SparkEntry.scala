@@ -3681,6 +3681,54 @@ object SparkEntry {
         .filter(col("id") % 37 === 0)
         .orderBy(col("id"))),
 
+    // Cochran-Mantel-Haenszel stratified association: per-priority
+    // 2x2 cells, pico-quantized E/V/OR terms, dof-1 erfc tail, MH
+    // common odds ratio.
+    "q358_cmh" -> ((s, d) =>
+      operators.Experiment.cmhTest(t(s, d, "orders"),
+        "o_orderpriority",
+        exposed = col("o_orderkey") % 2 === 0,
+        outcome = col("o_orderstatus") === "F")),
+
+    // Contingency effect sizes (status x segment 2x2): the q330 chi2
+    // machinery plus Cramer's V and the Woolf odds-ratio interval.
+    "q359_contingency_effects" -> ((s, d) =>
+      operators.Experiment.contingencyEffects(
+        t(s, d, "orders").filter(col("o_orderstatus") =!= "P"),
+        col("o_orderstatus"),
+        when(col("o_totalprice") > 150000.0, "hi").otherwise("lo"))),
+
+    // Streaming Bradley-Terry leaderboard: pairwise preferences fold
+    // additively through the segment log; the read runs the SAME MM
+    // fit as q357 and must equal the batch ranking on the union.
+    "str360_stream_bt" -> ((s, d) => {
+      val root = tmpDir("graft_str360")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/bt", s"$root/ckpt")
+      val prios = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW"))
+      val games = t(s, d, "orders").select(
+        col("o_orderkey").as("ok"),
+        element_at(prios, (pmod(col("o_orderkey"), lit(5L)) + 1)
+          .cast("int")).as("w"),
+        element_at(prios, (pmod(col("o_orderkey") * 3 +
+            floor(col("o_totalprice") / 10000.0).cast("long"), lit(5L)) + 1)
+          .cast("int")).as("l"))
+      stageReplayBatches(s, Seq(
+        games.filter(col("ok") % 2 === 0).drop("ok"),
+        games.filter(col("ok") % 2 === 1).drop("ok")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamPreferences(stream,
+          outDir, "w", "l",
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readBradleyTerry(s, outDir)
+    }),
+
     // McNemar's paired test between two screening heuristics on the
     // SAME orders: four exact cells, continuity-corrected chi2, the
     // dof-1 tail as a direct erfc.
@@ -5626,6 +5674,7 @@ object SparkEntry {
     "str348_stream_sprt", "q349_conformal", "q350_ucb",
     "str353_stream_tukey", "str354_stream_conformal",
     "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry",
+    "q358_cmh", "q359_contingency_effects", "str360_stream_bt",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

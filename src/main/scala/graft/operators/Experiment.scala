@@ -391,6 +391,159 @@ object Experiment {
         sqrt(dbl(col("__vq")) / 1.0e12)).as("ps_se"))
   }
 
+  /** Cochran–Mantel–Haenszel test — the stratified 2×2 association
+    * test that is SAFE under Simpson's paradox (a marginal 2×2 χ² can
+    * reverse sign when strata mix shifts; CMH conditions on each
+    * stratum): per stratum, `E_i = r1·c1/n`, `V_i = r1·r2·c1·c2 /
+    * (n²(n−1))`, and `CMH = (|Σa − ΣE| − ½)²/ΣV` (continuity-corrected;
+    * `continuity = false` for the raw form) against χ²₁, plus the
+    * Mantel–Haenszel common odds ratio `Σ(a·d/n)/Σ(b·c/n)`. The
+    * multi-site experiment / segmented-funnel readout. Returns ONE
+    * row: (strata, n, sum_a, sum_e, var_sum, cmh_chi2, p_value,
+    * mh_odds_ratio); single-row strata (n ≤ 1) are excluded (V
+    * undefined); NULL statistics when ΣV = 0.
+    *
+    * Numerics: the four cells per stratum are exact integers from ONE
+    * aggregate; E, V, and the OR terms are fixed double expressions
+    * per stratum, pico-quantized and summed order-free (the χ² parts
+    * convention); the dof-1 tail is the direct erfc at √χ².
+    *
+    * Scale: one (stratum)-keyed aggregate with map-side combine +
+    * a 1-row finale — strata-sized intermediates only. */
+  def cmhTest(df: DataFrame, stratumCol: String, exposed: Column,
+      outcome: Column, continuity: Boolean = true): DataFrame = {
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    def q(c: Column): Column =
+      floor(round(c, 9) * lit(1000000000000.0) + 0.5)
+        .cast("decimal(28,0)")
+    val base = df.select(col(stratumCol).cast("string").as("__s"),
+        exposed.cast("boolean").as("__e"),
+        outcome.cast("boolean").as("__o"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+    val cells = base.groupBy(col("__s")).agg(
+      sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("__b"),
+      sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("__c"),
+      sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("__d"))
+      .filter(col("__a") + col("__b") + col("__c") + col("__d") > 1L)
+    val nI = (col("__a") + col("__b") + col("__c") + col("__d"))
+      .cast("double")
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val r2 = (col("__c") + col("__d")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val c2 = (col("__b") + col("__d")).cast("double")
+    val e = r1 * c1 / nI
+    val v = r1 * r2 * c1 * c2 / (nI * nI * (nI - 1.0))
+    val orNum = col("__a").cast("double") * col("__d").cast("double") / nI
+    val orDen = col("__b").cast("double") * col("__c").cast("double") / nI
+    val s = cells.agg(count(lit(1)).as("strata"),
+      sum(col("__a") + col("__b") + col("__c") + col("__d")).as("n"),
+      sum(col("__a")).as("sum_a"),
+      sum(q(e)).cast("decimal(28,0)").as("__eq"),
+      sum(q(v)).cast("decimal(28,0)").as("__vq"),
+      sum(q(orNum)).cast("decimal(28,0)").as("__onq"),
+      sum(q(orDen)).cast("decimal(28,0)").as("__odq"))
+    val sumE = dbl(col("__eq")) / 1.0e12
+    val varS = dbl(col("__vq")) / 1.0e12
+    val diff = abs(col("sum_a").cast("double") - sumE)
+    val adj = if (continuity) greatest(diff - 0.5, lit(0.0)) else diff
+    val chi2 = adj * adj / varS
+    val z = sqrt(chi2) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val p = poly * exp(-z * z)
+    s.select(col("strata"), col("n"), col("sum_a"),
+      sumE.as("sum_e"), varS.as("var_sum"),
+      when(varS > 0.0, chi2).as("cmh_chi2"),
+      when(varS > 0.0, p).as("p_value"),
+      when(dbl(col("__odq")) > 0.0,
+        dbl(col("__onq")) / dbl(col("__odq"))).as("mh_odds_ratio"))
+  }
+
+  /** Contingency effect sizes — the "how strong", where
+    * [[graft.operators.Expectations.chiSquareIndependence]] answers
+    * "how unlikely": Cramér's V (`√(χ²/(n·min(r−1, c−1)))`, the
+    * size-free association strength comparable across tables), and
+    * for 2×2 tables the odds ratio with its Woolf log-interval
+    * `ln OR ± z·√(1/a+1/b+1/c+1/d)`. Returns ONE row: (n, rows, cols,
+    * chi2, cramers_v, odds_ratio, or_ci_lo, or_ci_hi) — OR columns
+    * NULL for non-2×2 tables or any empty cell (Woolf's SE is
+    * undefined there).
+    *
+    * Numerics: the χ² sum is EXACTLY the q330 machinery (same cells,
+    * same pico-quantized parts); OR and its interval are fixed double
+    * expressions over the four exact cells.
+    *
+    * Scale: the q330 aggregates + a 4-value conditional aggregate over
+    * the report-sized cell table. */
+  def contingencyEffects(df: DataFrame, colA: Column, colB: Column,
+      zCrit: Double = 1.959964): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df.select(colA.cast("string").as("__a"),
+        colB.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(eager = false) // cells + marginals
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(eager = false) // chi2 parts + the 2x2 pick
+    val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("__ra"))
+    val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("__cb"))
+    val tot = base.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__a")).as("rows"),
+      countDistinct(col("__b")).as("cols"))
+    val nO = (d19(col("__n")) * d19(col("__o"))).cast("decimal(38,0)")
+    val rc = (d19(col("__ra")) * d19(col("__cb"))).cast("decimal(38,0)")
+    val diff = dbl(nO - rc)
+    val part = diff * diff /
+      (col("__n").cast("double") * dbl(rc))
+    val chi2sum = cells
+      .join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(floor(round(part, 9) * lit(1000000000000.0) + 0.5)
+        .cast("decimal(28,0)")).cast("decimal(28,0)").as("__x"))
+    val x = col("__x").cast("string").cast("double") / 1.0e12
+    val nD = col("__n").cast("double")
+    val minDim = least(col("rows"), col("cols")) - 1
+    val v = sqrt(x / (nD * minDim.cast("double")))
+    // 2x2 odds ratio: pivot the four cells with deterministic labels
+    val pivoted = cells
+      .withColumn("__ra2", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__a"))))
+      .withColumn("__cb2", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__b"))))
+      .agg(
+        sum(when(col("__ra2") === 1 && col("__cb2") === 1, col("__o"))
+          .otherwise(0L)).as("__ca"),
+        sum(when(col("__ra2") === 1 && col("__cb2") === 2, col("__o"))
+          .otherwise(0L)).as("__cbb"),
+        sum(when(col("__ra2") === 2 && col("__cb2") === 1, col("__o"))
+          .otherwise(0L)).as("__cc"),
+        sum(when(col("__ra2") === 2 && col("__cb2") === 2, col("__o"))
+          .otherwise(0L)).as("__cd"))
+    val is2x2 = col("rows") === 2 && col("cols") === 2
+    val allPos = col("__ca") > 0 && col("__cbb") > 0 &&
+      col("__cc") > 0 && col("__cd") > 0
+    val orV = col("__ca").cast("double") * col("__cd").cast("double") /
+      (col("__cbb").cast("double") * col("__cc").cast("double"))
+    val se = sqrt(lit(1.0) / col("__ca").cast("double") +
+      lit(1.0) / col("__cbb").cast("double") +
+      lit(1.0) / col("__cc").cast("double") +
+      lit(1.0) / col("__cd").cast("double"))
+    tot.crossJoin(broadcast(chi2sum)).crossJoin(broadcast(pivoted))
+      .select(col("__n").as("n"), col("rows"), col("cols"),
+        round(x, 9).as("chi2"),
+        when(minDim > 0, v).as("cramers_v"),
+        when(is2x2 && allPos, orV).as("odds_ratio"),
+        when(is2x2 && allPos, exp(log(orV) - lit(zCrit) * se))
+          .as("or_ci_lo"),
+        when(is2x2 && allPos, exp(log(orV) + lit(zCrit) * se))
+          .as("or_ci_hi"))
+  }
+
   /** Bradley–Terry preference scores — the model-ranking fit over
     * pairwise preference data (human A/B judgments, LLM-judge
     * battles): MLE of `P(i beats j) = p_i/(p_i + p_j)` by the
@@ -423,6 +576,17 @@ object Experiment {
       .groupBy(col("__w"), col("__l"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    btFitToDf(spark, pairs.toSeq, iterations, maxVariants)
+  }
+
+  /** The shared MM fit over a collected (winner, loser, count) matrix
+    * — used by [[bradleyTerry]] and the streaming read lens
+    * (`MicroBatch.readBradleyTerry`), so batch and stream rank
+    * identically by construction. */
+  private[graft] def btFitToDf(spark: org.apache.spark.sql.SparkSession,
+      pairs: Seq[(String, String, Long)], iterations: Int,
+      maxVariants: Int): DataFrame = {
+    import spark.implicits._
     val variants = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     require(variants.length <= maxVariants,
       s"${variants.length} variants exceed maxVariants=$maxVariants — " +

@@ -799,6 +799,53 @@ object MicroBatch {
       .orderBy(col("group"))
   }
 
+  /** Streaming pairwise-preference maintenance — the judgment-stream
+    * state behind a live model leaderboard: per micro-batch, one
+    * (winner, loser, count) delta row per touched pair folds
+    * ADDITIVELY through the manifest-committed LSM segment log, so
+    * the preference matrix is current after every batch of judge
+    * calls with O(touched pairs) I/O. Self-games and NULLs are
+    * excluded ([[graft.operators.Experiment.bradleyTerry]]'s
+    * contract). Read with [[readBradleyTerry]]. */
+  def streamPreferences(stream: DataFrame, dir: String,
+      winnerCol: String, loserCol: String,
+      cfg: IngestConfig = IngestConfig(), compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .select(col(winnerCol).cast("string").as("__w"),
+            col(loserCol).cast("string").as("__l"))
+          .filter(col("__w").isNotNull && col("__l").isNotNull &&
+            col("__w") =!= col("__l"))
+          .groupBy(col("__w"), col("__l"))
+          .agg(count(lit(1)).as("__n"))
+        foldSegments(Seq(SegPart("", Seq("__w", "__l"),
+            Seq("__n" -> "bigint")) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current Bradley–Terry ranking of a [[streamPreferences]]
+    * directory: the maintained (winner, loser, count) matrix loads
+    * (model-sized — `maxVariants`-capped like the batch fit) and runs
+    * EXACTLY [[graft.operators.Experiment.bradleyTerry]]'s MM
+    * iteration, so the live leaderboard equals the batch fit on the
+    * union of all judgments by construction (the fit is shared
+    * code). Returns (variant, wins, games, bt_score, rank). */
+  def readBradleyTerry(spark: SparkSession, dir: String,
+      iterations: Int = 100, maxVariants: Int = 500): DataFrame = {
+    val pairs = currentSegState(spark, dir, "",
+        Seq("__n" -> "bigint"), "preference")
+      .collect().map(r => (r.getAs[String]("__w"),
+        r.getAs[String]("__l"), r.getAs[Long]("__n")))
+    graft.operators.Experiment.btFitToDf(spark, pairs.toSeq,
+      iterations, maxVariants)
+  }
+
   /** Top contributors from a [[streamKeySums]] directory: the k largest
     * totals (exact decimals, ties to the smaller key), each with its
     * share of the grand total — TakeOrderedAndProject over the

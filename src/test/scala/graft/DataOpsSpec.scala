@@ -1547,6 +1547,61 @@ class DataOpsSpec extends SparkTestBase {
     assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
 
+  test("cmhTest: single-stratum case reduces to the plain MH " +
+      "statistic; single-row strata excluded; OR from the cells") {
+    // one stratum: a=20 b=10 c=5 d=15 (the chi2 fixture)
+    val rows = Seq.fill(20)(("s1", true, true)) ++
+      Seq.fill(10)(("s1", true, false)) ++
+      Seq.fill(5)(("s1", false, true)) ++
+      Seq.fill(15)(("s1", false, false))
+    val df = rows.toDF("s", "e", "o")
+    val got = Experiment.cmhTest(df, "s", col("e"), col("o"),
+      continuity = false).head
+    assert(got.getLong(0) === 1L && got.getLong(1) === 50L &&
+      got.getLong(2) === 20L)
+    // E = 30·25/50 = 15, V = 30·20·25·25/(2500·49)
+    assert(math.abs(got.getDouble(3) - 15.0) < 1e-9)
+    val v = 30.0 * 20.0 * 25.0 * 25.0 / (2500.0 * 49.0)
+    assert(math.abs(got.getDouble(4) - v) < 1e-9)
+    assert(math.abs(got.getDouble(5) - 25.0 / v) < 1e-6)
+    // MH OR for one stratum = ad/bc = 300/50 = 6
+    assert(math.abs(got.getDouble(7) - 6.0) < 1e-9)
+    // a second single-row stratum changes nothing
+    val withTiny = df.union(Seq(("s2", true, true)).toDF("s", "e", "o"))
+    val g2 = Experiment.cmhTest(withTiny, "s", col("e"), col("o"),
+      continuity = false).head
+    assert(g2.getLong(0) === 1L && g2.getLong(1) === 50L)
+    // partitioning-invariance
+    val re = Experiment.cmhTest(df.repartition(7), "s", col("e"),
+      col("o"), continuity = false).head
+    assert(re.toSeq === got.toSeq)
+  }
+
+  test("contingencyEffects: 2x2 fixture gives the q330 chi2, " +
+      "Cramer's V = sqrt(chi2/n), and the hand odds ratio + Woolf CI") {
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Experiment.contingencyEffects(rows.toDF("a", "b"),
+      col("a"), col("b")).head
+    assert(got.getLong(0) === 50L)
+    // chi2 = 50/6 (hand: parts 2.5+2.5+5/3+5/3)
+    assert(math.abs(got.getDouble(3) - 50.0 / 6.0) < 1e-6)
+    assert(math.abs(got.getDouble(4) -
+      math.sqrt(got.getDouble(3) / 50.0)) < 1e-12)
+    // sorted labels: rows n<y, cols n<y → a=(n,n)=15 b=(n,y)=5
+    // c=(y,n)=10 d=(y,y)=20 → OR = 15·20/(5·10) = 6
+    assert(math.abs(got.getDouble(5) - 6.0) < 1e-12)
+    val se = math.sqrt(1.0 / 15 + 1.0 / 5 + 1.0 / 10 + 1.0 / 20)
+    assert(math.abs(got.getDouble(6) -
+      math.exp(math.log(6.0) - 1.959964 * se)) < 1e-9)
+    assert(math.abs(got.getDouble(7) -
+      math.exp(math.log(6.0) + 1.959964 * se)) < 1e-9)
+    // a 3-category column: V uses min(r,c)−1, OR is NULL
+    val tri = (rows ++ Seq.fill(4)(("m", "y"))).toDF("a", "b")
+    val t3 = Experiment.contingencyEffects(tri, col("a"), col("b")).head
+    assert(t3.getLong(1) === 3L && t3.isNullAt(5) && !t3.isNullAt(4))
+  }
+
   test("bradleyTerry: two-player MLE matches the closed form " +
       "w/(w+l); zero-win variant hits the boundary; deterministic") {
     // a beats b 3 times, b beats a once: p_a/p_b = 3 → normalized to

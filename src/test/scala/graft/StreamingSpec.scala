@@ -972,6 +972,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got() === batch)
   }
 
+  test("streamPreferences + readBradleyTerry: the live board equals " +
+      "the batch fit on the union; restart is a no-op") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_strbt")
+    val (srcDir, outDir, ckpt) =
+      (s"$root/src", s"$root/bt", s"$root/ckpt")
+    val b1 = Seq.fill(3)(("a", "b")) ++ Seq(("b", "c"), ("a", "a"))
+    val b2 = Seq(("b", "a"), ("c", "b"), ("a", "c"))
+    b1.toDF("w", "l").coalesce(1).write.parquet(srcDir)
+    b2.toDF("w", "l").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamPreferences(stream, outDir, "w", "l",
+          MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def got() = MicroBatch.readBradleyTerry(spark, outDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Experiment.bradleyTerry(
+        (b1 ++ b2).toDF("w", "l"), "w", "l")
+      .collect().map(_.toSeq).toSeq
+    assert(got() === batch)
+    run() // restart: checkpoint replays nothing
+    assert(got() === batch)
+  }
+
   test("readTukeyFences / readConformalThreshold over streamed " +
       "grouped counts: batch-exact quartiles, fences, outliers, and " +
       "the (n+1) conformal rank") {
