@@ -25,14 +25,34 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Final-line driver contract: the full artifact line can run tens of
-    * kilobytes (328 queries; MIN-of-N carries every raw run), and the
+    * kilobytes (357 queries; MIN-of-N carries every raw run), and the
     * driver reconstructs its summary from a TRUNCATED captured log tail
-    * — r13's `BENCH_r13.json` parsed as null because the tail cut the
-    * line. So every exit path ALSO prints a compact `BENCH_JSON: {...}`
-    * line (headline fields only, no `runs_raw`) as the LAST stdout
-    * line; the full artifact stays in bench_out/latest.json. */
-  private def printBenchJson(compactLine: String): Unit =
+    * of ~2000 chars — even the `BENCH_JSON:` compact line (full query
+    * map, no `runs_raw`) is ~15 KB and never survives that window. So
+    * every exit path prints, as the very LAST stdout line, a summary
+    * SHORT enough to fit the tail window whole: total seconds, gate
+    * count, MIN basis, and where the full artifact lives. */
+  private def printBenchJson(compactLine: String): Unit = {
     println("BENCH_JSON: " + compactLine)
+    printBenchSummary(compactLine)
+  }
+
+  /** `BENCH_SUMMARY: {...}` — the ~120-byte driver-parseable digest of a
+    * headline artifact line (total/value, query count, basis, sf). */
+  private def printBenchSummary(line: String): Unit = {
+    val total = "\"value\":([0-9.Ee+-]+)".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse("null")
+    val gates = parseQueries(line).size
+    val basis = "\"basis\":\"([a-z0-9]+)\"".r.findFirstMatchIn(line)
+      .map(m => "\"" + m.group(1) + "\"").getOrElse("\"single\"")
+    val runs = "\"runs\":(\\d+)".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse("1")
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse("")
+    println("BENCH_SUMMARY: " + s"""{"metric":"total","value":$total,""" +
+      s""""unit":"sec","gates":$gates,"basis":$basis,"runs":$runs,""" +
+      s""""sf":"$sf","artifact":"bench_out/latest.json"}""")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

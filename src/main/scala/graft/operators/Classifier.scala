@@ -600,27 +600,6 @@ object Classifier {
         })
   }
 
-  /** Cumulative-gains / lift table at `buckets` score buckets — the
-    * targeting-eval view the ROC/PR family lacks ("if we act on the
-    * top decile, what fraction of positives do we capture, and at
-    * what multiple of the base rate?"): rows rank DESCENDING by
-    * (score, id) — the id tie-break makes the cut deterministic at
-    * any partitioning — bucket b holds ranks with
-    * `⌈grank·buckets/n⌉ = b` (integer cross-multiplied membership, no
-    * division touches a row), and each bucket reports its exact
-    * counts, the cumulative capture rate, and the cumulative lift.
-    *
-    * Numerics: counts are exact integers; `capture = cum_pos/total_pos`
-    * is ONE division; `lift = (cum_pos·n)/(cum_n·total_pos)` is one
-    * division of exact integer products (never a composed
-    * rate/base-rate double quotient). NULL/NaN scores and NULL labels
-    * are excluded (the eval-family convention); lift/capture are NULL
-    * when no positives exist.
-    *
-    * Scale: one [[graft.operators.Linkage.globalRank]] pass
-    * (distributed range sort) + ONE buckets-sized aggregate + a
-    * cumulative window over ≤ buckets rows. Returns (bucket, n,
-    * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
   /** McNemar's test — the PAIRED model-vs-model comparison the
     * unpaired tests get wrong: on the SAME examples, only the
     * discordant pairs carry information (A right / B wrong vs A wrong
@@ -852,6 +831,27 @@ object Classifier {
         when(denom > 0.0, enc).as("encoded"))
   }
 
+  /** Cumulative-gains / lift table at `buckets` score buckets — the
+    * targeting-eval view the ROC/PR family lacks ("if we act on the
+    * top decile, what fraction of positives do we capture, and at
+    * what multiple of the base rate?"): rows rank DESCENDING by
+    * (score, id) — the id tie-break makes the cut deterministic at
+    * any partitioning — bucket b holds ranks with
+    * `⌈grank·buckets/n⌉ = b` (integer cross-multiplied membership, no
+    * division touches a row), and each bucket reports its exact
+    * counts, the cumulative capture rate, and the cumulative lift.
+    *
+    * Numerics: counts are exact integers; `capture = cum_pos/total_pos`
+    * is ONE division; `lift = (cum_pos·n)/(cum_n·total_pos)` is one
+    * division of exact integer products (never a composed
+    * rate/base-rate double quotient). NULL/NaN scores and NULL labels
+    * are excluded (the eval-family convention); lift/capture are NULL
+    * when no positives exist.
+    *
+    * Scale: one [[graft.operators.Linkage.globalRank]] pass
+    * (distributed range sort) + ONE buckets-sized aggregate + a
+    * cumulative window over ≤ buckets rows. Returns (bucket, n,
+    * positives, cum_n, cum_pos, capture, lift) ordered by bucket. */
   def liftCurve(df: DataFrame, idCol: String, score: Column,
       label: Column, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,

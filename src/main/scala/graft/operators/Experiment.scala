@@ -268,11 +268,14 @@ object Experiment {
             (col("__cb") + col("__cb") + col("__nt").cast(d19) + 1)
               .cast(d19)).cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("__r2"))
+    // __t3 sized like the adjacent `cubic` (38,0): a d19 cap would NULL
+    // the tie sum (ANSI: error) past n ~ 2.15M heavily-tied rows while
+    // h stayed populated — silently dropping the correction at scale
     val ties = cums.agg(
       sum(col("__nt")).cast(d12).as("__n"),
       sum(col("__nt").cast(d12) * col("__nt").cast(d12) *
           col("__nt").cast(d12) - col("__nt").cast(d12))
-        .cast(d19).as("__t3"))
+        .cast("decimal(38,0)").as("__t3"))
     // Σ_g (2R_g)²/(4n_g): one double division per group, quantized at
     // 10⁻³ (parts reach ~n³/4 — pico would overflow decimal(38)) and
     // summed order-free
@@ -473,9 +476,13 @@ object Experiment {
     * NULL for non-2×2 tables or any empty cell (Woolf's SE is
     * undefined there).
     *
-    * Numerics: the χ² sum is EXACTLY the q330 machinery (same cells,
-    * same pico-quantized parts); OR and its interval are fixed double
-    * expressions over the four exact cells.
+    * Numerics: the χ² sum is the q330 machinery (same cells, same
+    * pico-quantized parts) PLUS the structurally-zero-cell complement
+    * `(n² − Σ_obs r_i·c_j)/n` — every absent cell contributes its full
+    * expected count to Pearson's χ², computed EXACTLY from the integer
+    * marginals (0.0 to the bit when no cell is empty), so V stays
+    * comparable across tables with different sparsity; OR and its
+    * interval are fixed double expressions over the four exact cells.
     *
     * Scale: the q330 aggregates + a 4-value conditional aggregate over
     * the report-sized cell table. */
@@ -504,9 +511,23 @@ object Experiment {
       .join(ra, Seq("__a")).join(cb, Seq("__b"))
       .crossJoin(broadcast(tot))
       .agg(sum(floor(round(part, 9) * lit(1000000000000.0) + 0.5)
-        .cast("decimal(28,0)")).cast("decimal(28,0)").as("__x"))
-    val x = col("__x").cast("string").cast("double") / 1.0e12
+        .cast("decimal(28,0)")).cast("decimal(28,0)").as("__x"),
+        // Σ r_i·c_j over OBSERVED cells, exact decimal — backs the
+        // structurally-zero-cell complement below
+        sum(rc).cast("decimal(38,0)").as("__rc"))
     val nD = col("__n").cast("double")
+    // Structurally-zero cells contribute (0−E)²/E = E = r_i·c_j/n to
+    // Pearson's χ² and MUST be counted (unlike the G-test, where a zero
+    // cell's O·ln(O/E) term is exactly 0): Σ_all r_i·c_j = n², so the
+    // missing mass is (n² − Σ_observed r_i·c_j)/n — EXACT integer
+    // decimals up to the single final division, and exactly 0.0 when
+    // every cell is populated (the quantized observed sum is untouched).
+    // Without it, χ² and Cramér's V bias low on any table with empty
+    // cells — breaking V's "comparable across tables" contract.
+    val missingMass =
+      dbl((d19(col("__n")) * d19(col("__n"))).cast("decimal(38,0)") -
+        col("__rc")) / nD
+    val x = col("__x").cast("string").cast("double") / 1.0e12 + missingMass
     val minDim = least(col("rows"), col("cols")) - 1
     val v = sqrt(x / (nD * minDim.cast("double")))
     // 2x2 odds ratio: pivot the four cells with deterministic labels
@@ -550,7 +571,9 @@ object Experiment {
     * classic MM iteration (Hunter 2004) `p_i ← W_i / Σ_j n_ij/(p_i +
     * p_j)`, run to `iterations` fixed steps on the DRIVER over the
     * variant-pair count matrix (the model-fit collect class: variants
-    * are few by definition — capped at `maxVariants`). Scores are
+    * are few by definition — capped at `maxVariants`, enforced IN-PLAN
+    * before the collect so an over-cap corpus never materializes its
+    * pair matrix on the driver). Scores are
     * normalized to mean 1 each step (the standard identifiability
     * fix), variants iterated in sorted order so the double arithmetic
     * is one fixed sequence — identical at any partitioning. Returns
@@ -567,16 +590,43 @@ object Experiment {
     require(iterations >= 1 && iterations <= 10000,
       s"iterations must be in [1, 10000], got $iterations")
     val spark = df.sparkSession
-    import spark.implicits._
-    val pairs = df
+    val agg = df
       .select(col(winnerCol).cast("string").as("__w"),
         col(loserCol).cast("string").as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
       .groupBy(col("__w"), col("__l"))
       .agg(count(lit(1)).as("__n"))
+    btFitToDf(spark, guardedPairCollect(agg, maxVariants),
+      iterations, maxVariants)
+  }
+
+  /** Collect a (`__w`, `__l`, `__n` bigint) pair-count aggregate with the
+    * `maxVariants` cardinality guard enforced IN-PLAN, BEFORE any row
+    * reaches the driver: the distinct-variant count rides the same
+    * cached aggregate as a broadcast 1-row guard (the `powerMde`
+    * `raise_error` pattern), and the broadcast build — which fails the
+    * job when the cap is exceeded — must complete before the result
+    * tasks that feed the collect ever run. Feeding a per-item id column
+    * by mistake therefore fails with the contract message instead of
+    * materializing up to V² pair rows on the driver. Shared by
+    * [[bradleyTerry]] and the streaming leaderboard read
+    * (`MicroBatch.readBradleyTerry`). */
+  private[graft] def guardedPairCollect(pairAgg: DataFrame,
+      maxVariants: Int): Seq[(String, String, Long)] = {
+    val cached = pairAgg.localCheckpoint(eager = false) // guard + collect
+    val kGuard = cached
+      .select(explode(array(col("__w"), col("__l"))).as("__v"))
+      .agg(countDistinct(col("__v")).as("__k"))
+      .select(when(col("__k") > maxVariants,
+          raise_error(concat(col("__k").cast("string"),
+            lit(s" variants exceed maxVariants=$maxVariants — " +
+              "Bradley-Terry is a model-ranking fit, not a per-item " +
+              "scorer"))).cast("bigint"))
+        .otherwise(col("__k")).as("__k"))
+    cached.crossJoin(broadcast(kGuard))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    btFitToDf(spark, pairs.toSeq, iterations, maxVariants)
+      .toSeq
   }
 
   /** The shared MM fit over a collected (winner, loser, count) matrix

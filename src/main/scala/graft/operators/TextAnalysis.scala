@@ -985,10 +985,14 @@ object TextAnalysis {
     * zero by construction and are not materialized (the output is
     * hits-sized, not docs×categories).
     *
-    * Scale: the token explode stays map-side (the lexicon join is a
+    * Scale: the token explode stays map-side — the lexicon join is a
     * BROADCAST inner join that drops every non-hit token before any
-    * exchange); per-doc token totals ride a separate doc-keyed
-    * aggregate of the same cached explode. */
+    * exchange, so shuffle volume is hits-only. The per-doc token total
+    * is `size()` of the filtered split array, computed per ROW before
+    * the explode and carried on the (hits-only) surviving rows into the
+    * same aggregate — no second corpus pass, and NOTHING corpus-sized
+    * is cached (an earlier cut localCheckpointed the full exploded
+    * token set, which at 100 TB would have been the dominant cost). */
   def lexiconScreen(df: DataFrame, idCol: String, textCol: String,
       lexicon: Map[String, Seq[String]]): DataFrame = {
     require(lexicon.nonEmpty, "lexiconScreen needs at least one category")
@@ -1002,17 +1006,20 @@ object TextAnalysis {
     val lex = lexicon.toSeq.sortBy(_._1)
       .flatMap { case (cat, ws) => ws.distinct.map(w => (w, cat)) }
       .toDF("__w", "category")
-    val toks = df.select(col(idCol).as("doc_id"),
-        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
-          t => t =!= "")).as("__w"))
-      .localCheckpoint(eager = false) // hits join + per-doc totals
-    val totals = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"))
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= "").as("__ts"))
+      .select(col("doc_id"),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        explode(col("__ts")).as("__w"))
     toks.join(broadcast(lex), Seq("__w"))
       .groupBy(col("doc_id"), col("category"))
       .agg(count(lit(1)).as("hits"),
-        countDistinct(col("__w")).as("distinct_terms"))
-      .join(totals, Seq("doc_id"))
+        countDistinct(col("__w")).as("distinct_terms"),
+        // constant per doc by construction; max() folds it through the
+        // aggregate without a totals join
+        max(col("n_tokens")).as("n_tokens"))
       .select(col("doc_id"), col("category"), col("hits"),
         col("distinct_terms"), col("n_tokens"),
         (col("hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))

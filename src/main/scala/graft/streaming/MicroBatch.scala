@@ -838,11 +838,15 @@ object MicroBatch {
     * code). Returns (variant, wins, games, bt_score, rank). */
   def readBradleyTerry(spark: SparkSession, dir: String,
       iterations: Int = 100, maxVariants: Int = 500): DataFrame = {
-    val pairs = currentSegState(spark, dir, "",
-        Seq("__n" -> "bigint"), "preference")
-      .collect().map(r => (r.getAs[String]("__w"),
-        r.getAs[String]("__l"), r.getAs[Long]("__n")))
-    graft.operators.Experiment.btFitToDf(spark, pairs.toSeq,
+    // in-plan cardinality guard before the driver load — a state dir
+    // accidentally keyed by per-item ids fails the fit's contract
+    // BEFORE up to V² pair rows reach the driver (shared guard with
+    // the batch fit, so batch and stream refuse identically)
+    val pairs = graft.operators.Experiment.guardedPairCollect(
+      currentSegState(spark, dir, "", Seq("__n" -> "bigint"),
+        "preference").select(col("__w"), col("__l"), col("__n")),
+      maxVariants)
+    graft.operators.Experiment.btFitToDf(spark, pairs,
       iterations, maxVariants)
   }
 

@@ -1596,10 +1596,24 @@ class DataOpsSpec extends SparkTestBase {
       math.exp(math.log(6.0) - 1.959964 * se)) < 1e-9)
     assert(math.abs(got.getDouble(7) -
       math.exp(math.log(6.0) + 1.959964 * se)) < 1e-9)
-    // a 3-category column: V uses min(r,c)−1, OR is NULL
+    // a 3-category column with a structurally-ZERO (m,n) cell: chi2
+    // must carry the absent cell's full expected count E = r·c/n (the
+    // exact complement), matching the all-cells hand sum — not the
+    // observed-cells-only sum that biases V low on sparse tables
     val tri = (rows ++ Seq.fill(4)(("m", "y"))).toDF("a", "b")
     val t3 = Experiment.contingencyEffects(tri, col("a"), col("b")).head
     assert(t3.getLong(1) === 3L && t3.isNullAt(5) && !t3.isNullAt(4))
+    val o = Map(("y", "y") -> 20.0, ("y", "n") -> 10.0, ("n", "y") -> 5.0,
+      ("n", "n") -> 15.0, ("m", "y") -> 4.0, ("m", "n") -> 0.0)
+    val ra = Map("y" -> 30.0, "n" -> 20.0, "m" -> 4.0)
+    val cb = Map("y" -> 29.0, "n" -> 25.0)
+    val full = (for { (a, r) <- ra.toSeq; (b, c) <- cb.toSeq } yield {
+      val e0 = r * c / 54.0; val d = o((a, b)) - e0; d * d / e0
+    }).sum
+    assert(math.abs(t3.getDouble(3) - full) < 1e-6)
+    // chi2 output is round(x, 9); V is computed from the unrounded x
+    assert(math.abs(t3.getDouble(4) -
+      math.sqrt(t3.getDouble(3) / 54.0)) < 1e-9)
   }
 
   test("bradleyTerry: two-player MLE matches the closed form " +
@@ -1627,6 +1641,21 @@ class DataOpsSpec extends SparkTestBase {
     val noisy = df.union(Seq(("a", "a"), (null, "b")).toDF("w", "l"))
     val n2 = Experiment.bradleyTerry(noisy, "w", "l").collect()
     assert(n2.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
+  test("bradleyTerry: maxVariants fires IN-PLAN (raise_error), before " +
+      "any pair row reaches the driver") {
+    // 40 variants in a cycle — feeding ids as variants must refuse via
+    // the in-plan guard (SparkException from raise_error), NOT the
+    // post-collect require (IllegalArgumentException)
+    val big = (1 to 40).map(i => (s"v$i", s"v${i % 40 + 1}")).toDF("w", "l")
+    val e = intercept[Exception] {
+      Experiment.bradleyTerry(big, "w", "l", maxVariants = 10)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(!e.isInstanceOf[IllegalArgumentException])
+    assert(chain(e).exists(_.contains("exceed maxVariants=10")))
   }
 
   test("ucbAllocation: exact means, closed-form bounds, argmax with " +

@@ -1000,6 +1000,16 @@ class StreamingSpec extends SparkTestBase {
     assert(got() === batch)
     run() // restart: checkpoint replays nothing
     assert(got() === batch)
+    // the maxVariants cap fires IN-PLAN (raise_error, not the driver
+    // require): an over-cap state dir refuses before its pair matrix
+    // is collected — same guard, same message as the batch fit
+    val e = intercept[Exception] {
+      MicroBatch.readBradleyTerry(spark, outDir, maxVariants = 2)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(!e.isInstanceOf[IllegalArgumentException])
+    assert(chain(e).exists(_.contains("exceed maxVariants=2")))
   }
 
   test("readTukeyFences / readConformalThreshold over streamed " +
