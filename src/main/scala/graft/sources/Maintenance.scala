@@ -93,6 +93,18 @@ object Maintenance {
       partitionCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
       swapRecoveryMinAgeMs: Long = SwapRecoveryMinAgeMs): Seq[String] = {
+    // Manifest-pointer tables commit maintenance the way they commit
+    // writes: generation write + ONE pointer flip — never the rename
+    // adopt/retire swap below, which on object stores is rename-as-copy
+    // with a reader-visible window and would bypass the table's own
+    // pointer (readers resolve through it, so renamed-in files would be
+    // invisible and retired files dangling).
+    if (ManifestCommit.isManifestTable(path)) {
+      val rewritten = ManifestCommit.compactFragmented(
+        spark, path, partitionCols, targetFileBytes)
+      if (rewritten.nonEmpty) spark.catalog.refreshByPath(path)
+      return rewritten
+    }
     recoverInterruptedSwap(new HPath(path), swapRecoveryMinAgeMs)
     if (partitionCols.isEmpty) return compactUnpartitioned(
       spark, path, targetFileBytes)
@@ -229,6 +241,14 @@ object Maintenance {
       bits: Int = 8,
       swapRecoveryMinAgeMs: Long = SwapRecoveryMinAgeMs): Seq[String] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // manifest-pointer tables: layout rewrite under the pointer commit
+    // (see compactPartitions — same hazard, same routing)
+    if (ManifestCommit.isManifestTable(path)) {
+      val rewritten = ManifestCommit.zorderRewrite(
+        spark, path, partitionCols, zorderCols, targetFileBytes, bits)
+      if (rewritten.nonEmpty) spark.catalog.refreshByPath(path)
+      return rewritten
+    }
     val root = new HPath(path)
     recoverInterruptedSwap(root, swapRecoveryMinAgeMs)
     def targetFor(bytes: Long) =

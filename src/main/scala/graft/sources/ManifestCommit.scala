@@ -36,10 +36,19 @@ import org.apache.spark.sql.functions._
   * `OdpsBatchWrite.scala:42-95`, strengthened from per-partition to
   * whole-write atomicity.
   *
-  * Concurrency contract: single writer per table (the reference's
-  * session model); readers are lock-free and always see a complete
-  * pointer. [[vacuum]] needs the same single-maintenance-owner rule as
-  * `Maintenance`.
+  * Concurrency contract: optimistic, CAS-style. A writer (1) CLAIMS an
+  * exclusive generation id with one create-no-overwrite of
+  * `_gen/g=<n>/_claim` — two racers can never write into the same
+  * generation dir; (2) lands its data there; (3) commits by
+  * create-no-overwrite of the next pointer file. A lost pointer race
+  * re-resolves the latest pointer and, when the concurrent commit
+  * touched NONE of this writer's partitions, REBASES its
+  * partition→generation updates onto it and retries (bounded);
+  * overlapping writes fail loudly — last-write-wins clobbering is
+  * never silent. Readers are lock-free and always see a complete
+  * pointer. [[vacuum]] keeps the single-maintenance-owner rule as
+  * `Maintenance` (an unreferenced generation may be a live writer's
+  * in-flight claim — `minUnreferencedAgeMs` is the grace knob).
   */
 object ManifestCommit {
 
@@ -47,6 +56,98 @@ object ManifestCommit {
   private val Header = "graft-pointer v1"
 
   private def genDir(path: String, gen: Long) = s"$path/_gen/g=$gen"
+
+  /** Test seam: invoked at commit-protocol step boundaries
+    * ("generation-written" after data lands, before the pointer CAS)
+    * so crash-injection and concurrent-writer tests can interleave.
+    * Production no-op. */
+  private[graft] var onCommitStep: String => Unit = _ => ()
+
+  /** True when `path` carries at least one committed manifest pointer —
+    * the routing predicate [[Maintenance]] uses to send rewrites
+    * through the pointer commit instead of rename swaps. */
+  def isManifestTable(path: String): Boolean = pointerIds(path).nonEmpty
+
+  private final class PointerClaimLost(val id: Long, cause: Throwable)
+    extends Exception(s"pointer p$id.txt already committed", cause)
+
+  /** First candidate id for a fresh generation claim: one `_gen`
+    * listing, max on-disk id + 1 — crash debris and live concurrent
+    * claims are never reused, only skipped past. */
+  private def nextGenStart(path: String): Long = {
+    val genRoot = new HPath(s"$path/_gen")
+    val onDisk = if (!Fs.exists(genRoot)) Seq.empty[Long]
+      else Fs.listDirs(genRoot).map(_.getName).filter(_.startsWith("g="))
+        .map(_.stripPrefix("g=").toLong)
+    (onDisk :+ -1L).max + 1
+  }
+
+  /** Atomically claim an exclusive generation id: the FIRST id ≥ `from`
+    * whose dir does not exist and whose `_claim` file this writer
+    * creates (create-no-overwrite = the atomic arbiter; maps onto a
+    * conditional PUT on object stores). The claimed dir is OURS — no
+    * concurrent writer can land data in it, so the
+    * append-into-stale-debris double-row hazard of id reuse cannot
+    * occur. Crash after a claim leaves an unreferenced generation;
+    * [[vacuum]] reclaims it. */
+  private[graft] def claimGeneration(path: String, from: Long): Long = {
+    var g = math.max(from, 0L)
+    while (true) {
+      val dir = new HPath(genDir(path, g))
+      if (!Fs.exists(dir)) {
+        Fs.mkdirs(dir)
+        val claim = new HPath(dir, "_claim")
+        try {
+          Fs.of(claim).create(claim, false).close()
+          return g
+        } catch { case _: java.io.IOException => /* lost the race */ }
+      }
+      g += 1
+    }
+    -1L // unreachable
+  }
+
+  /** The CAS pointer commit: resolve the latest pointer, verify no
+    * concurrent commit since `base` touched a partition this write
+    * `touches`, apply `update` to the latest map, and claim the next
+    * pointer id with one create-no-overwrite. A lost claim (another
+    * writer committed first) re-resolves and retries up to
+    * `maxRetries` times — non-overlapping writers each get a clean
+    * re-based commit; overlapping ones fail loudly instead of
+    * clobbering. Returns the committed pointer id. */
+  private def casCommit(path: String, base: Map[String, Seq[Long]],
+      touches: String => Boolean,
+      update: Map[String, Seq[Long]] => Map[String, Seq[Long]],
+      maxRetries: Int): Long = {
+    var attempt = 0
+    while (true) {
+      val latest = latestPointer(path)
+      val latestMap = latest.map(_._2).getOrElse(Map.empty[String, Seq[Long]])
+      if (latestMap != base) {
+        val changed = (latestMap.keySet ++ base.keySet)
+          .filter(rel => latestMap.get(rel) != base.get(rel))
+        val overlap = changed.filter(touches)
+        if (overlap.nonEmpty) throw new IllegalStateException(
+          s"concurrent overlapping write under $path: partition(s) " +
+            s"${overlap.toSeq.sorted.take(5).mkString(", ")} changed " +
+            "since this write planned against pointer state — refusing " +
+            "to clobber; re-run against the current table state")
+      }
+      val id = latest.map(_._1 + 1L).getOrElse(0L)
+      try {
+        writePointer(path, id, update(latestMap))
+        return id
+      } catch {
+        case lost: PointerClaimLost =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"pointer commit under $path lost $attempt CAS races " +
+              s"(maxRetries=$maxRetries) — contention too high for " +
+              "optimistic commit; coordinate writers externally", lost)
+      }
+    }
+    -1L // unreachable
+  }
 
   /** All committed pointer ids under `path`, ascending (vacuumed ones
     * are gone — retention bounds how far back time travel reaches). */
@@ -83,83 +184,86 @@ object ManifestCommit {
     else Some(ids.max -> parsePointer(path, ids.max))
   }
 
-  private def writePointer(path: String, gen: Long,
+  private def writePointer(path: String, id: Long,
       map: Map[String, Seq[Long]]): Unit = {
     Fs.mkdirs(new HPath(s"$path/_pointer"))
     val body = (Header +: map.toSeq.sortBy(_._1).map { case (rel, gens) =>
       (rel +: gens.map(_.toString)).mkString("\t")
     }).mkString("\n")
-    // no-overwrite CREATE = the atomic claim on generation `gen` (the
+    // no-overwrite CREATE = the atomic claim on pointer id `id` (the
     // Checkpoints generation-mark discipline; maps onto a conditional
-    // PUT on object stores): two writers racing the same table fail
-    // LOUDLY on the second commit instead of silently clobbering the
-    // first one's pointer
-    val p = new HPath(s"$path/_pointer/p$gen.txt")
+    // PUT on object stores): two writers racing the same table NEVER
+    // silently clobber — the loser gets [[PointerClaimLost]], which
+    // [[casCommit]] turns into a re-based retry or a loud refusal
+    val p = new HPath(s"$path/_pointer/p$id.txt")
     val out =
       try Fs.of(p).create(p, false)
       catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"concurrent writer detected: pointer p$gen.txt already " +
-            s"committed under $path/_pointer — manifest-pointer tables " +
-            "are single-writer (re-resolve the latest pointer and retry)",
-            e)
+        case e: java.io.IOException => throw new PointerClaimLost(id, e)
       }
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
+  /** Relative partition leaf paths of an (unpublished) generation dir —
+    * its own listing, which is not a reader protocol. */
+  private def stagedRels(dest: String, depth: Int): Seq[String] = {
+    def leaves(p: HPath, d: Int): Seq[HPath] =
+      if (d == depth) Seq(p)
+      else Fs.listDirs(p).filter(_.getName.contains("="))
+        .flatMap(leaves(_, d + 1))
+    val destQ = Fs.of(new HPath(dest)).makeQualified(new HPath(dest))
+    leaves(destQ, 0)
+      .map(_.toString.stripPrefix(destQ.toString).stripPrefix("/"))
+  }
+
   /** [[PartitionedWrite.writePartitioned]] with the manifest-pointer
-    * commit: write the (clustered) data into the next immutable
-    * generation, then flip the pointer with one small PUT. Returns the
-    * touched partition rel-paths, like the rename-based writer. */
+    * commit: claim an exclusive immutable generation, land the
+    * (clustered) data there, then flip the pointer with one small PUT
+    * ([[casCommit]] — a non-overlapping concurrent commit is rebased
+    * over, an overlapping one refuses). Returns the touched partition
+    * rel-paths, like the rename-based writer. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String] = Nil,
       overwrite: Boolean = true,
       limit: Int = PartitionedWrite.DefaultDynamicPartitionLimit,
       truncateSpec: Option[Seq[(String, String)]] = None,
-      preClustered: Boolean = false): Seq[String] = {
+      preClustered: Boolean = false,
+      maxCommitRetries: Int = 5): Seq[String] = {
     require(partitionCols.nonEmpty,
       "manifest commit needs at least one partition column")
-    val prior = latestPointer(path)
-    val gen = prior.map(_._1 + 1L).getOrElse(0L)
+    val base = latestPointer(path).map(_._2).getOrElse(Map.empty[String, Seq[Long]])
+    val gen = claimGeneration(path, nextGenStart(path))
     val dest = genDir(path, gen)
-    // a dir at the NEXT generation id can only be a crashed attempt's
-    // orphan (a committed write would have advanced the pointer) —
-    // clear it, or the append below would double its rows on retry
-    if (Fs.exists(new HPath(dest))) Fs.deleteRetried(new HPath(dest))
     (if (preClustered) df
      else PartitionedWrite.clusterForWrite(df, partitionCols, sortCols))
       .write.mode("append")
       .partitionBy(partitionCols: _*)
       .parquet(dest)
-    // staged partitions from the fresh generation's own listing (the
-    // generation is unpublished — listing it is not a reader protocol)
-    def leaves(p: HPath, depth: Int): Seq[HPath] =
-      if (depth == partitionCols.length) Seq(p)
-      else Fs.listDirs(p).filter(_.getName.contains("="))
-        .flatMap(leaves(_, depth + 1))
-    val destQ = Fs.of(new HPath(dest)).makeQualified(new HPath(dest))
-    val staged = leaves(destQ, 0)
-      .map(_.toString.stripPrefix(destQ.toString).stripPrefix("/"))
+    val staged = stagedRels(dest, partitionCols.length)
     require(staged.size <= limit,
       s"dynamic partition count ${staged.size} exceeds limit $limit " +
         s"(cols=${partitionCols.mkString(",")})")
-    val base0 = prior.map(_._2).getOrElse(Map.empty)
-    val base = truncateSpec match {
-      case None => base0
-      case Some(Nil) => Map.empty[String, Seq[Long]]
-      case Some(spec) =>
-        val prefix = spec.map { case (c, v) =>
-          PartitionedWrite.partSegment(c, v) }.mkString("/")
-        base0.filterNot { case (rel, _) =>
-          rel == prefix || rel.startsWith(prefix + "/") }
+    onCommitStep("generation-written")
+    val truncatePrefix: Option[String] = truncateSpec.map {
+      case Nil => ""
+      case spec => spec.map { case (c, v) =>
+        PartitionedWrite.partSegment(c, v) }.mkString("/")
     }
-    val next = staged.foldLeft(base) { (m, rel) =>
-      if (overwrite) m.updated(rel, Seq(gen))
-      else m.updated(rel, m.getOrElse(rel, Seq.empty) :+ gen)
+    def inTruncateScope(rel: String): Boolean = truncatePrefix.exists(p =>
+      p.isEmpty || rel == p || rel.startsWith(p + "/"))
+    def applyTo(m0: Map[String, Seq[Long]]): Map[String, Seq[Long]] = {
+      val m1 = if (truncatePrefix.isEmpty) m0
+        else m0.filterNot { case (rel, _) => inTruncateScope(rel) }
+      staged.foldLeft(m1) { (m, rel) =>
+        if (overwrite) m.updated(rel, Seq(gen))
+        else m.updated(rel, m.getOrElse(rel, Seq.empty) :+ gen)
+      }
     }
-    writePointer(path, gen, next) // the commit point
+    val stagedSet = staged.toSet
+    casCommit(path, base,
+      rel => stagedSet.contains(rel) || inTruncateScope(rel),
+      applyTo, maxCommitRetries)
     staged
   }
 
@@ -240,7 +344,16 @@ object ManifestCommit {
       s"rollback target p$toPointerId cites vacuumed generation(s) " +
       s"${missing.map("g=" + _).mkString(", ")} under $path")
     val next = latestPointer(path).get._1 + 1L
-    writePointer(path, next, map)
+    // deliberately NOT CAS-retried: a rollback that raced another commit
+    // would silently erase it — the operator must re-decide against the
+    // new latest state
+    try writePointer(path, next, map)
+    catch {
+      case lost: PointerClaimLost => throw new IllegalStateException(
+        s"rollback lost a commit race under $path (pointer p$next " +
+          "appeared) — re-examine the new latest state before rolling " +
+          "back", lost)
+    }
     next
   }
 
@@ -302,27 +415,149 @@ object ManifestCommit {
   /** Fold every live generation into ONE new generation and flip the
     * pointer — compaction with zero data movement at retire time (the
     * old file set is retired by the pointer flip alone; [[vacuum]]
-    * reclaims it later). The manifest-pointer form of
-    * `Maintenance.compactPartitions`, without its adopt/retire
-    * visibility window. Returns the new generation id. */
+    * reclaims it later). A whole-table rewrite conflicts with ANY
+    * concurrent commit, so the CAS refuses instead of rebasing.
+    * Returns the new generation id. */
   def compact(spark: SparkSession, path: String,
       partitionCols: Seq[String]): Long = {
-    val data = read(spark, path)
-    val gen = latestPointer(path).get._1 + 1L
+    val base = latestPointer(path).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest-pointer state under $path"))
+    val data = readMap(spark, path, base)
+    val gen = claimGeneration(path, nextGenStart(path))
     val dest = genDir(path, gen)
-    // crashed-attempt orphan at the next id: clear before the append
-    if (Fs.exists(new HPath(dest))) Fs.deleteRetried(new HPath(dest))
     data.repartition(partitionCols.map(col): _*)
       .write.mode("append").partitionBy(partitionCols: _*).parquet(dest)
-    def leaves(p: HPath, depth: Int): Seq[HPath] =
-      if (depth == partitionCols.length) Seq(p)
-      else Fs.listDirs(p).filter(_.getName.contains("="))
-        .flatMap(leaves(_, depth + 1))
-    val destQ = Fs.of(new HPath(dest)).makeQualified(new HPath(dest))
-    val rels = leaves(destQ, 0)
-      .map(_.toString.stripPrefix(destQ.toString).stripPrefix("/"))
-    writePointer(path, gen, rels.map(_ -> Seq(gen)).toMap)
+    val rels = stagedRels(dest, partitionCols.length)
+    onCommitStep("generation-written")
+    casCommit(path, base, _ => true,
+      _ => rels.map(_ -> Seq(gen)).toMap, maxRetries = 0)
     gen
+  }
+
+  private def relFiles(path: String, rel: String, gens: Seq[Long]) =
+    gens.flatMap { g =>
+      val dir = new HPath(s"${genDir(path, g)}/$rel")
+      if (!Fs.exists(dir)) Seq.empty
+      else Fs.of(dir).listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+
+  /** Fragmented live partitions of the latest pointer — the manifest
+    * sibling of [[Maintenance.compactionCandidates]]: a partition whose
+    * file count (across every generation it cites) exceeds what one
+    * well-sized write would produce. Pointer resolution + per-partition
+    * listings, no data read, no Spark job. */
+  def compactionCandidates(path: String, targetFileBytes: Long)
+      : Seq[Maintenance.CompactionPlan] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val map = latestPointer(path).map(_._2).getOrElse(
+      return Seq.empty)
+    map.toSeq.sortBy(_._1).flatMap { case (rel, gens) =>
+      val fs = relFiles(path, rel, gens)
+      val bytes = fs.map(_.getLen).sum
+      val target = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (fs.size > target)
+        Some(Maintenance.CompactionPlan(rel, fs.size, bytes, target))
+      else None
+    }
+  }
+
+  /** Rewrite ONLY the fragmented partitions of a manifest-pointer table
+    * into one fresh generation and flip the pointer — the
+    * `Maintenance.compactPartitions` contract (cost proportional to the
+    * fragmentation, not the table; hash-bucketed deterministic file
+    * counts) under the pointer commit instead of per-partition rename
+    * swaps: readers never cross a visibility window, a crash before
+    * the PUT leaves the old pointer serving, and a concurrent commit
+    * that touched NONE of the fragmented partitions is rebased over
+    * (one that did touch them refuses — the next maintenance run
+    * recompacts). Returns the rewritten partition rel-paths. */
+  def compactFragmented(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxCommitRetries: Int = 5): Seq[String] = {
+    require(partitionCols.nonEmpty,
+      "manifest tables always have partition columns")
+    val base = latestPointer(path).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest-pointer state under $path"))
+    val plans = compactionCandidates(path, targetFileBytes)
+    if (plans.isEmpty) return Seq.empty
+    val gen = claimGeneration(path, nextGenStart(path))
+    val dest = genDir(path, gen)
+    // one read branch per DISTINCT target file count (few in practice),
+    // each bucketing rows with a constant modulus — the rename-mode
+    // branch layout, reading per cited generation with basePath so the
+    // partition columns materialize
+    val branches = plans.groupBy(_.targetFiles).toSeq.map { case (n, ps) =>
+      val rels = ps.map(_.rel).toSet
+      val perGen = base.toSeq
+        .filter { case (rel, _) => rels.contains(rel) }
+        .flatMap { case (rel, gens) => gens.map(g => g -> rel) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val df = perGen.map { case (g, grels) =>
+        spark.read.option("basePath", genDir(path, g))
+          .parquet(grels.map { case (_, rel) =>
+            s"${genDir(path, g)}/$rel" }.distinct: _*)
+      }.reduce(_ unionByName _)
+      df.withColumn("__graft_bucket",
+        pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong)).cast("int"))
+    }
+    branches.reduce(_ unionByName _)
+      .repartition((partitionCols :+ "__graft_bucket").map(col): _*)
+      .drop("__graft_bucket")
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(dest)
+    val staged = stagedRels(dest, partitionCols.length)
+    onCommitStep("generation-written")
+    val stagedSet = staged.toSet
+    casCommit(path, base, stagedSet.contains,
+      m => staged.foldLeft(m)((mm, rel) => mm.updated(rel, Seq(gen))),
+      maxCommitRetries)
+    staged
+  }
+
+  /** Z-order layout rewrite of a manifest-pointer table — the
+    * `Maintenance.zorderRewrite` contract (curve-clustered files within
+    * each partition, min/max skipping on every clustering dimension)
+    * committed by generation write + ONE pointer flip: a layout change
+    * rewrites every partition, so any concurrent commit conflicts and
+    * the CAS refuses rather than rebasing. Returns the rewritten
+    * partition rel-paths. */
+  def zorderRewrite(spark: SparkSession, path: String,
+      partitionCols: Seq[String], zorderCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8): Seq[String] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(partitionCols.nonEmpty,
+      "manifest tables always have partition columns")
+    val base = latestPointer(path).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest-pointer state under $path"))
+    val totalTarget = base.toSeq.map { case (rel, gens) =>
+      val bytes = relFiles(path, rel, gens).map(_.getLen).sum
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }.sum
+    val df = readMap(spark, path, base)
+    val zk = graft.operators.ZOrder.key(
+      graft.operators.ZOrder.fitBoundaries(df, zorderCols, bits),
+      zorderCols, bits)
+    val gen = claimGeneration(path, nextGenStart(path))
+    val dest = genDir(path, gen)
+    // one range exchange on (partition cols, curve key) — the rename
+    // writer's layout, landing in the fresh generation
+    val orderCols = partitionCols.map(col) :+ col("__graft_zkey")
+    df.withColumn("__graft_zkey", zk)
+      .repartitionByRange(totalTarget, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .drop("__graft_zkey")
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(dest)
+    val staged = stagedRels(dest, partitionCols.length)
+    onCommitStep("generation-written")
+    casCommit(path, base, _ => true,
+      _ => staged.map(_ -> Seq(gen)).toMap, maxRetries = 0)
+    staged
   }
 
   /** Reclaim everything the retained pointers do not reference: the
@@ -330,9 +565,15 @@ object ManifestCommit {
     * grace — a reader that just resolved one of them still finds every
     * generation it cites), older pointers are deleted, and any
     * generation referenced by NO surviving pointer goes with them.
-    * Single-maintenance-owner, like every vacuum in this library.
+    * Single-maintenance-owner, like every vacuum in this library; when
+    * writers may be IN FLIGHT during vacuum, set `minUnreferencedAgeMs`
+    * so their claimed-but-uncommitted generations get a grace window
+    * (an unreferenced dir younger than it is skipped — the
+    * [[Maintenance.SwapRecoveryMinAgeMs]] stance; the default 0 keeps
+    * the strict single-owner semantics where nothing is in flight).
     * Returns the deleted generation dirs. */
-  def vacuum(path: String, keepPointers: Int = 1): Seq[String] = {
+  def vacuum(path: String, keepPointers: Int = 1,
+      minUnreferencedAgeMs: Long = 0L): Seq[String] = {
     require(keepPointers >= 1, s"keepPointers must be >= 1, got $keepPointers")
     val pDir = new HPath(s"$path/_pointer")
     if (!Fs.exists(pDir)) return Seq.empty
@@ -346,11 +587,13 @@ object ManifestCommit {
         .flatMap(_.split('\t').toSeq.tail.map(_.toLong))
     }.toSet
     val genRoot = new HPath(s"$path/_gen")
+    val cutoff = System.currentTimeMillis() - minUnreferencedAgeMs
     val deleted = if (!Fs.exists(genRoot)) Seq.empty else {
-      Fs.listDirs(genRoot)
-        .filter(p => p.getName.startsWith("g=") &&
-          !live.contains(p.getName.stripPrefix("g=").toLong))
-        .map { p => Fs.deleteRetried(p); p.toString }
+      Fs.of(genRoot).listStatus(genRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g=") &&
+          !live.contains(s.getPath.getName.stripPrefix("g=").toLong) &&
+          s.getModificationTime <= cutoff)
+        .map { s => Fs.deleteRetried(s.getPath); s.getPath.toString }
     }
     ids.filterNot(keep.contains).foreach(id =>
       Fs.deleteRetried(new HPath(pDir, s"p$id.txt")))

@@ -362,6 +362,135 @@ class MaintenanceSpec extends SparkTestBase {
     assert(state() === Seq(("a", 10L), ("b", 2L)))
   }
 
+  test("manifest maintenance routing: compactPartitions on a " +
+      "manifest table folds ONLY fragmented partitions into a fresh " +
+      "generation via one pointer flip; old pointer still serves") {
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfmt").toString + "/t"
+    def state() = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // k=a accretes three generations of small files; k=b stays single
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("a", 3L)).toDF("k", "v").coalesce(1), root, Seq("k"),
+      overwrite = false)
+    ManifestCommit.writePartitioned(
+      Seq(("a", 4L)).toDF("k", "v").coalesce(1), root, Seq("k"),
+      overwrite = false)
+    val before = state()
+    val (p0, map0) = ManifestCommit.latestPointer(root).get
+    assert(map0("k=a").size === 3)
+    val plans = ManifestCommit.compactionCandidates(root, 1L << 30)
+    assert(plans.map(_.rel) === Seq("k=a"), "only k=a is fragmented")
+    // routed through Maintenance — the rename swap path must not run
+    val rels = Maintenance.compactPartitions(spark, root, Seq("k"), 1L << 30)
+    assert(rels === Seq("k=a"))
+    assert(state() === before, "content preserved")
+    val (p1, map1) = ManifestCommit.latestPointer(root).get
+    assert(p1 === p0 + 1, "commit = ONE pointer flip")
+    assert(map1("k=a").size === 1, "k=a folded to one generation")
+    assert(map1("k=b") === map0("k=b"), "k=b untouched")
+    // the pre-compaction pointer is a live snapshot (no renames ran)
+    assert(ManifestCommit.readAt(spark, root, p0)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted === before)
+    // idempotent: nothing fragmented now
+    assert(Maintenance.compactPartitions(spark, root, Seq("k"), 1L << 30)
+      === Seq.empty)
+    // z-order routing: layout rewrite of EVERY partition, same protocol
+    val zr = Maintenance.zorderRewrite(spark, root, Seq("k"), Seq("v"))
+    assert(zr.sorted === Seq("k=a", "k=b"))
+    assert(state() === before)
+    val (p2, map2) = ManifestCommit.latestPointer(root).get
+    assert(p2 === p1 + 1 &&
+      map2.values.flatten.toSet.size === 1, "one generation, one flip")
+  }
+
+  test("manifest maintenance crash window: a failure between the " +
+      "generation write and the pointer flip leaves the old pointer " +
+      "serving; fsck flags the orphan; the re-run succeeds") {
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfcr").toString + "/t"
+    def state() = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+    ManifestCommit.writePartitioned(
+      Seq(("a", 2L)).toDF("k", "v").coalesce(1), root, Seq("k"),
+      overwrite = false)
+    val before = state()
+    val (p0, _) = ManifestCommit.latestPointer(root).get
+    ManifestCommit.onCommitStep = {
+      case "generation-written" => sys.error("injected crash before PUT")
+      case _ => ()
+    }
+    try intercept[RuntimeException] {
+      Maintenance.compactPartitions(spark, root, Seq("k"), 1L << 30)
+    } finally ManifestCommit.onCommitStep = _ => ()
+    assert(state() === before, "old pointer still serves after the crash")
+    assert(ManifestCommit.latestPointer(root).get._1 === p0,
+      "no pointer was committed")
+    val orphans = ManifestCommit.fsck(spark, root)
+      .filter(col("check") === "orphan_generation").collect()
+    assert(orphans.length === 1, "the crashed generation is debris")
+    // an in-flight claim gets grace under minUnreferencedAgeMs...
+    assert(ManifestCommit.vacuum(root,
+      minUnreferencedAgeMs = 3600 * 1000L) === Seq.empty)
+    // ...and the re-run claims a FRESH generation (never reuses the
+    // debris dir) and commits cleanly
+    val rels = Maintenance.compactPartitions(spark, root, Seq("k"), 1L << 30)
+    assert(rels === Seq("k=a") && state() === before)
+    // strict single-owner vacuum now reclaims the debris
+    val deleted = ManifestCommit.vacuum(root)
+    assert(deleted.nonEmpty && state() === before)
+  }
+
+  test("manifest CAS commit: a concurrent NON-overlapping writer is " +
+      "rebased over (both commits land); an overlapping one refuses") {
+    import graft.sources.ManifestCommit
+    val root = Files.createTempDirectory("graft_mfcas").toString + "/t"
+    def state() = ManifestCommit.read(spark, root)
+      .select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    ManifestCommit.writePartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+    // writer B (k=b) plans, writes its generation — and in its commit
+    // window writer A (k=a) commits first; B must lose the pointer
+    // race once, rebase onto A's map, and land cleanly
+    ManifestCommit.onCommitStep = {
+      case "generation-written" =>
+        ManifestCommit.onCommitStep = _ => () // one-shot: A commits plainly
+        ManifestCommit.writePartitioned(
+          Seq(("a", 10L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+      case _ => ()
+    }
+    try ManifestCommit.writePartitioned(
+      Seq(("b", 20L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+    finally ManifestCommit.onCommitStep = _ => ()
+    assert(state() === Seq(("a", 10L), ("b", 20L)),
+      "both concurrent commits visible — one winner, one re-based retry")
+    val ids = ManifestCommit.pointerIds(root)
+    assert(ids.size === 3, "three pointers: base + A + re-based B")
+    // overlapping: both writers touch k=a — the loser must refuse
+    ManifestCommit.onCommitStep = {
+      case "generation-written" =>
+        ManifestCommit.onCommitStep = _ => ()
+        ManifestCommit.writePartitioned(
+          Seq(("a", 30L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+      case _ => ()
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestCommit.writePartitioned(
+        Seq(("a", 40L)).toDF("k", "v").coalesce(1), root, Seq("k"))
+    } finally ManifestCommit.onCommitStep = _ => ()
+    assert(e.getMessage.contains("concurrent overlapping write"))
+    assert(state() === Seq(("a", 30L), ("b", 20L)),
+      "the first overlapping commit won; the loser changed nothing")
+  }
+
   test("manifest time travel: readAt reproduces each committed " +
       "snapshot; vacuumed pointers refuse; history lists the chain") {
     import spark.implicits._
