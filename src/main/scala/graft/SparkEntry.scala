@@ -3729,6 +3729,51 @@ object SparkEntry {
       graft.streaming.MicroBatch.readBradleyTerry(s, outDir)
     }),
 
+    // Catalog-surfaced manifest time travel: a manifest-commit catalog
+    // table takes three INSERTs (append, append, static-partition
+    // overwrite — each ONE pointer PUT), then is read back at three
+    // versions THROUGH the SQL surface (`VERSION AS OF`, the live
+    // table, and the `.history` metadata table) — the catalog-first
+    // resolution the reference gives every table
+    // (`spark-connector/.../OdpsTableCatalog.scala:80-110`). The
+    // oracle reconstructs every version from the same orders slices.
+    "q361_catalog_time_travel" -> ((s, d) => {
+      if (s.conf.getOption("spark.sql.catalog.graft_ttq").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_ttq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ttq.root",
+          tmpDir("graft_ttq").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ttq.db")
+      s.sql("DROP TABLE IF EXISTS graft_ttq.db.ord")
+      s.sql("CREATE TABLE graft_ttq.db.ord (ok BIGINT, pt STRING) " +
+        "PARTITIONED BY (pt) " +
+        "TBLPROPERTIES ('graft.commit.mode'='manifest')")
+      t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          pmod(col("o_orderkey"), lit(4L)).cast(StringType).as("pt"))
+        .createOrReplaceTempView("graft_ttq_src")
+      s.sql("INSERT INTO graft_ttq.db.ord " +
+        "SELECT ok, pt FROM graft_ttq_src WHERE ok % 3 = 0")
+      s.sql("INSERT INTO graft_ttq.db.ord " +
+        "SELECT ok, pt FROM graft_ttq_src WHERE ok % 3 = 1")
+      s.sql("INSERT OVERWRITE graft_ttq.db.ord PARTITION (pt = '2') " +
+        "SELECT ok FROM graft_ttq_src WHERE ok % 3 = 2 AND pt = '2'")
+      def state(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("pt"))
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("sum_ok"))
+          .withColumn("tag", lit(tag))
+      val current = state(s.table("graft_ttq.db.ord"), "current")
+      val asOf1 = state(
+        s.sql("SELECT * FROM graft_ttq.db.ord VERSION AS OF 1"), "p1")
+      val asOf0 = state(
+        s.sql("SELECT * FROM graft_ttq.db.ord VERSION AS OF 0"), "p0")
+      val hist = s.sql("SELECT 'history' AS tag, '*' AS pt, " +
+        "count(*) AS n, max(pointer_id) AS sum_ok " +
+        "FROM graft_ttq.db.ord.history")
+      current.unionByName(asOf1).unionByName(asOf0).unionByName(hist)
+        .select(col("tag"), col("pt"), col("n"), col("sum_ok"))
+        .orderBy(col("tag"), col("pt"))
+    }),
+
     // McNemar's paired test between two screening heuristics on the
     // SAME orders: four exact cells, continuity-corrected chi2, the
     // dof-1 tail as a direct erfc.
@@ -9343,6 +9388,34 @@ object SparkEntry {
         |SELECT tag, pt, n, sum_ok
         |FROM (SELECT * FROM cur UNION ALL SELECT * FROM p1
         |      UNION ALL SELECT * FROM rb)
+        |ORDER BY tag, pt""".stripMargin,
+
+    "q361_catalog_time_travel" ->
+      """WITH o AS (
+        | SELECT o_orderkey AS ok,
+        |  CAST(o_orderkey % 4 AS VARCHAR) AS pt
+        | FROM orders),
+        |cur AS (
+        | SELECT 'current' AS tag, pt, count(*) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok
+        | FROM o
+        | WHERE (pt = '2' AND ok % 3 = 2)
+        |  OR (pt <> '2' AND ok % 3 IN (0, 1))
+        | GROUP BY pt),
+        |p1 AS (
+        | SELECT 'p1' AS tag, pt, count(*) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok
+        | FROM o WHERE ok % 3 IN (0, 1) GROUP BY pt),
+        |p0 AS (
+        | SELECT 'p0' AS tag, pt, count(*) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok
+        | FROM o WHERE ok % 3 = 0 GROUP BY pt),
+        |h AS (
+        | SELECT 'history' AS tag, '*' AS pt,
+        |  CAST(3 AS BIGINT) AS n, CAST(2 AS BIGINT) AS sum_ok)
+        |SELECT tag, pt, n, sum_ok
+        |FROM (SELECT * FROM cur UNION ALL SELECT * FROM p1
+        |      UNION ALL SELECT * FROM p0 UNION ALL SELECT * FROM h)
         |ORDER BY tag, pt""".stripMargin,
 
     "q351_join_explosion" ->

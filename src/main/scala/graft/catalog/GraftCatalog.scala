@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.Fs
+import graft.sources.{Fs, ManifestCommit}
 
 /** A Spark `TableCatalog` over a filesystem metastore: namespaces are
   * directories, tables are directories of partitioned parquet plus a
@@ -126,10 +126,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // here, and the uncached form is an exists+read against the metastore
     // per table per query. DDL through this catalog invalidates; foreign
     // DDL becomes visible within the TTL.
-    val meta = MetaCache.meta.get(metaFile(dir).toString) {
-      if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-      TableMeta.read(metaFile(dir))
-    }
+    val meta =
+      try MetaCache.meta.get(metaFile(dir).toString) {
+        if (!Fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+        TableMeta.read(metaFile(dir))
+      } catch {
+        // not a table — maybe a metadata-table suffix on a real table
+        // (`cat.ns.t.history`, the Iceberg-style identifier shape)
+        case e: NoSuchTableException =>
+          metadataTableFor(ident).foreach(t => return t)
+          throw e
+      }
     // initialize() may have run without an active session; every query
     // path goes through loadTable, so (re-)install the write strategy here
     graft.plans.GraftStrategies.install(SparkSession.active)
@@ -139,9 +146,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       // the warehouse directory that holds only their metadata — and their
       // stats file homes with the metadata (never inside external data)
       val dataDir = dataDirOf(dir, meta)
-      new GraftTable(ident, dataDir, meta, SparkSession.active,
+      // manifest-pointer tables get the pointer-resolving table: declared
+      // by property at CREATE, or detected on an external LOCATION that
+      // already carries a committed pointer
+      if (isManifestMeta(meta, dataDir))
+        new GraftManifestTable(ident, dataDir, meta, SparkSession.active)
+      else new GraftTable(ident, dataDir, meta, SparkSession.active,
         statsDir = if (meta.isExternal) Some(dir) else None)
     }
+  }
+
+  private def isManifestMeta(meta: TableMeta, dataDir: HPath): Boolean =
+    meta.properties.get(GraftManifestTable.CommitModeKey)
+      .exists(_.equalsIgnoreCase("manifest")) ||
+      (meta.isExternal && ManifestCommit.isManifestTable(dataDir.toString))
+
+  /** `VERSION AS OF <pointer-id>` — catalog-surfaced time travel for
+    * manifest-pointer tables ([[GraftManifestTable]]). The version
+    * string is the pointer id ([[ManifestCommit.history]] /
+    * `cat.ns.t.history` list them). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident) match {
+      case m: GraftManifestTable =>
+        val id = try version.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"VERSION AS OF '$version' on $ident: the version of a " +
+              "manifest-pointer table is its numeric pointer id " +
+              s"(see ${ident}.history)")
+        }
+        new GraftManifestTable(ident, new HPath(m.location), metaOf(ident),
+          SparkSession.active, pointerId = Some(id))
+      case _ => throw new UnsupportedOperationException(
+        s"$ident is not a manifest-pointer table — time travel needs " +
+          s"'${GraftManifestTable.CommitModeKey}'='manifest'")
+    }
+
+  /** `TIMESTAMP AS OF <ts>` — resolve to the newest pointer committed
+    * at or before `timestampMicros` (pointer-file mtime). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadTable(ident) match {
+      case m: GraftManifestTable =>
+        new GraftManifestTable(ident, new HPath(m.location), metaOf(ident),
+          SparkSession.active, asOfTimestampMicros = Some(timestampMicros))
+      case _ => throw new UnsupportedOperationException(
+        s"$ident is not a manifest-pointer table — time travel needs " +
+          s"'${GraftManifestTable.CommitModeKey}'='manifest'")
+    }
+
+  private def metaOf(ident: Identifier): TableMeta =
+    TableMeta.read(metaFile(tablePath(ident)))
+
+  /** Resolve `cat.ns.t.history` (parsed by Spark as table name
+    * `history` under namespace `ns.t`) to the commit-log metadata table
+    * when `ns.t` is a manifest-pointer table. */
+  private def metadataTableFor(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty ||
+        !ident.name().equalsIgnoreCase("history")) return None
+    val parent = Identifier.of(
+      ident.namespace().dropRight(1), ident.namespace().last)
+    val parentMetaFile = metaFile(tablePath(parent))
+    if (!Fs.exists(parentMetaFile)) return None
+    val meta = TableMeta.read(parentMetaFile)
+    val dataDir = dataDirOf(tablePath(parent), meta)
+    if (!meta.isView && isManifestMeta(meta, dataDir))
+      Some(new GraftManifestHistoryTable(ident, dataDir))
+    else None
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -213,6 +282,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         "partitioned write path does not enforce cluster distribution")
     val finalProps =
       properties.asScala.toMap ++ bucketProps ++ externalProps
+    // manifest-pointer commit mode: partition-granular pointer entries
+    // are the commit unit, so the table must be partitioned, and the
+    // generation writer lays out col=value dirs (no cluster distribution)
+    if (finalProps.get(GraftManifestTable.CommitModeKey)
+        .exists(_.equalsIgnoreCase("manifest"))) {
+      require(partitionCols.nonEmpty,
+        s"'${GraftManifestTable.CommitModeKey}'='manifest' needs at least " +
+          "one identity partition column — the pointer commits per-partition")
+      require(bucketProps.isEmpty,
+        "manifest commit mode cannot be combined with bucket/range " +
+          "clustering: the generation writer does not establish cluster " +
+          "distribution")
+    }
     // a hand-written range spec (TBLPROPERTIES) must name real columns,
     // and when the range_cluster transform is also given, the SAME
     // columns — otherwise the advertised clustering and the effective

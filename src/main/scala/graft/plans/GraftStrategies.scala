@@ -30,6 +30,8 @@ class GraftStrategies(spark: SparkSession) extends SparkStrategy {
         r.table match {
           case gt: GraftTable =>
             GraftDynamicOverwriteExec(gt, o.query, spark) :: Nil
+          case mt: graft.catalog.GraftManifestTable =>
+            GraftManifestDynamicOverwriteExec(mt, o.query, spark) :: Nil
           case _ => Nil
         }
       case _ => Nil
@@ -73,6 +75,33 @@ case class GraftDynamicOverwriteExec(table: GraftTable, query: LogicalPlan,
         System.err.println(s"[graft] stats refresh after dynamic overwrite " +
           s"failed (stale until next commit or ANALYZE): $e")
     }
+  }
+
+  override def executeCollect(): Array[InternalRow] = { ranOnce; Array.empty }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    ranOnce
+    sparkContext.emptyRDD
+  }
+}
+
+/** Dynamic partition overwrite of a manifest-pointer catalog table: the
+  * same replace-touched-partitions semantics, committed as one
+  * generation write + one pointer PUT
+  * ([[graft.sources.ManifestCommit.writePartitioned]]) — no stats file
+  * (pointer tables carry their state in the pointer itself). */
+case class GraftManifestDynamicOverwriteExec(
+    table: graft.catalog.GraftManifestTable, query: LogicalPlan,
+    spark: SparkSession) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  @transient private lazy val ranOnce: Unit = {
+    val df = org.apache.spark.sql.graft.Catalogs.ofRows(spark, query)
+    graft.sources.ManifestCommit.writePartitioned(
+      df, table.location, table.partitioning().map(
+        _.references()(0).fieldNames().mkString(".")).toSeq,
+      overwrite = true)
   }
 
   override def executeCollect(): Array[InternalRow] = { ranOnce; Array.empty }

@@ -176,6 +176,25 @@ object ManifestCommit {
     if (pointerIds(path).contains(id)) Some(parsePointer(path, id))
     else None
 
+  /** `TIMESTAMP AS OF`: the newest retained pointer whose pointer-file
+    * modification time is at or before `millis` — pointer files are
+    * written once and never touched, so mtime IS the commit time. None
+    * when every retained pointer postdates `millis` (the earlier
+    * pointers may also have been vacuumed; either way the snapshot the
+    * caller asked for is not retained). */
+  def pointerAsOfTime(path: String, millis: Long): Option[Long] = {
+    val pDir = new HPath(s"$path/_pointer")
+    if (!Fs.exists(pDir)) return None
+    Fs.of(pDir).listStatus(pDir).toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case PointerRe(id) if st.getModificationTime <= millis =>
+            Some(id.toLong)
+          case _ => None
+        }
+      }.maxOption
+  }
+
   /** Latest committed (gen, partitionRel → generation list) under
     * `path`; None before the first commit. */
   def latestPointer(path: String): Option[(Long, Map[String, Seq[Long]])] = {

@@ -555,4 +555,106 @@ class CatalogSpec extends SparkTestBase {
     val v3 = c.get("k") { again = true; "v3" }
     assert(v3 == "v2" && !again, "the clean v2 load must have cached")
   }
+
+  test("manifest-commit table: inserts commit pointers; VERSION AS OF, " +
+      "TIMESTAMP AS OF and .history resolve through the catalog") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mft")
+    sql("CREATE TABLE graft.mft.t (v BIGINT, pt STRING) " +
+      "PARTITIONED BY (pt) TBLPROPERTIES ('graft.commit.mode'='manifest')")
+    sql("INSERT INTO graft.mft.t VALUES (1,'a'), (2,'b')")          // p0
+    sql("INSERT INTO graft.mft.t VALUES (3,'a')")                    // p1
+    sql("INSERT OVERWRITE graft.mft.t VALUES (9,'a')")               // p2
+    def sums(q: String): Map[String, Long] =
+      sql(q).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums("SELECT pt, sum(v) FROM graft.mft.t GROUP BY pt") ==
+      Map("a" -> 9L))
+    assert(sums("SELECT pt, sum(v) FROM graft.mft.t VERSION AS OF 1 " +
+      "GROUP BY pt") == Map("a" -> 4L, "b" -> 2L))
+    assert(sums("SELECT pt, sum(v) FROM graft.mft.t VERSION AS OF 0 " +
+      "GROUP BY pt") == Map("a" -> 1L, "b" -> 2L))
+    // TIMESTAMP AS OF now → the latest pointer
+    assert(sums("SELECT pt, sum(v) FROM graft.mft.t TIMESTAMP AS OF " +
+      "(current_timestamp() + INTERVAL 1 MINUTE) GROUP BY pt") ==
+      Map("a" -> 9L))
+    // the commit log as a metadata table — pointer ids 0..2, latest last
+    val hist = sql("SELECT pointer_id, is_latest FROM graft.mft.t.history " +
+      "ORDER BY pointer_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(hist.toSeq == Seq((0L, false), (1L, false), (2L, true)))
+    // readers never list: planted crash debris outside the pointer is
+    // invisible to the catalog read
+    val loc = s"$warehouse/mft/t"
+    spark.range(5).selectExpr("id AS v", "'zz' AS pt")
+      .write.parquet(s"$loc/_gen/g=99")
+    assert(sql("SELECT count(*) FROM graft.mft.t").head().getLong(0) == 1)
+    // a vacuumed pointer fails loudly, not partially
+    graft.sources.ManifestCommit.vacuum(loc, keepPointers = 1)
+    val e = intercept[Exception](
+      sql("SELECT * FROM graft.mft.t VERSION AS OF 0").collect())
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // time travel on a plain table refuses with a clear message
+    sql("CREATE TABLE graft.mft.plain (v BIGINT, pt STRING) PARTITIONED BY (pt)")
+    val e2 = intercept[Exception](
+      sql("SELECT * FROM graft.mft.plain VERSION AS OF 0").collect())
+    assert(e2.getMessage.contains("manifest"), e2.getMessage)
+  }
+
+  test("manifest table: static partition overwrite and dynamic overwrite " +
+      "each commit exactly one new pointer") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mft2")
+    sql("CREATE TABLE graft.mft2.t (v BIGINT, pt STRING) " +
+      "PARTITIONED BY (pt) TBLPROPERTIES ('graft.commit.mode'='manifest')")
+    val loc = s"$warehouse/mft2/t"
+    def pointers() = graft.sources.ManifestCommit.pointerIds(loc).size
+    sql("INSERT INTO graft.mft2.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    assert(pointers() == 1)
+    // static partition overwrite: only pt='a' replaced, one pointer
+    sql("INSERT OVERWRITE graft.mft2.t PARTITION (pt='a') VALUES (10)")
+    assert(pointers() == 2)
+    def state(): Map[String, Long] =
+      sql("SELECT pt, sum(v) FROM graft.mft2.t GROUP BY pt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state() == Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
+    // dynamic overwrite: replaces exactly the touched partitions
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE graft.mft2.t VALUES (20, 'b')")
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(pointers() == 3)
+    assert(state() == Map("a" -> 10L, "b" -> 20L, "c" -> 3L))
+    // manifest mode without partition columns must refuse at CREATE
+    val e = intercept[Exception](sql(
+      "CREATE TABLE graft.mft2.np (v BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.mode'='manifest')"))
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("an external table whose LOCATION is a manifest layout reads the " +
+      "latest pointer read-only") {
+    import java.nio.file.Files
+    val ext = Files.createTempDirectory("graft_ext_manifest").toString + "/t"
+    val df = spark.range(4).selectExpr("id AS v",
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS pt")
+    graft.sources.ManifestCommit.writePartitioned(df, ext, Seq("pt"))
+    graft.sources.ManifestCommit.writePartitioned(
+      df.filter("pt = 'x'").selectExpr("v + 100 AS v", "pt"), ext, Seq("pt"))
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mft3")
+    sql("CREATE EXTERNAL TABLE graft.mft3.e (v BIGINT, pt STRING) " +
+      s"PARTITIONED BY (pt) LOCATION '$ext'")
+    val cur = sql("SELECT pt, sum(v) FROM graft.mft3.e GROUP BY pt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur == Map("x" -> 202L, "y" -> 4L))
+    // version 0 still resolvable through the catalog
+    val v0 = sql("SELECT pt, sum(v) FROM graft.mft3.e VERSION AS OF 0 " +
+      "GROUP BY pt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v0 == Map("x" -> 2L, "y" -> 4L))
+    // external ⇒ read-only through the catalog
+    val e = intercept[Exception](
+      sql("INSERT INTO graft.mft3.e VALUES (1, 'x')"))
+    assert(e.getMessage.toLowerCase.contains("does not support") ||
+      e.getMessage.contains("external"), e.getMessage)
+  }
 }
