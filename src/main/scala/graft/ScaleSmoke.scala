@@ -306,7 +306,15 @@ object ScaleSmoke {
     // pairwise-preference ranking
     "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry",
     // r14 wave 6: stratified association, effect sizes, live BT board
-    "q358_cmh", "q359_contingency_effects", "str360_stream_bt")
+    "q358_cmh", "q359_contingency_effects", "str360_stream_bt",
+    // r15: catalog time travel, the Gram-regression family (batch,
+    // granger, streaming), the reliability/paired-eval package, and
+    // the clustering/linkage/forecast additions
+    "q361_catalog_time_travel", "q362_linear_fit", "q363_levene",
+    "q364_platt", "q365_dp_release", "q366_phonetic_join",
+    "q367_kmeans", "q368_croston", "q369_granger",
+    "q370_welch_anova", "q371_ipw", "str372_stream_linear_fit",
+    "q373_wilcoxon", "q374_friedman", "q375_cronbach", "q376_icc")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

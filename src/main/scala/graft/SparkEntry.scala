@@ -3774,6 +3774,177 @@ object SparkEntry {
         .orderBy(col("tag"), col("pt"))
     }),
 
+    // Multi-feature OLS: lineitem price against quantity/discount/tax
+    // — ONE exact-decimal Gram aggregate (micro-quantized moments),
+    // deterministic driver solve with standard errors and R².
+    "q362_linear_fit" -> ((s, d) =>
+      operators.Regression.linearFit(t(s, d, "lineitem"),
+        col("l_extendedprice"),
+        Seq("qty" -> col("l_quantity"),
+          "discount" -> col("l_discount"),
+          "tax" -> col("l_tax")))
+        .orderBy(col("term"))),
+
+    // Brown-Forsythe variance-homogeneity test across order
+    // priorities: distributed exact medians, one deviation-moment
+    // aggregate, large-sample chi2 tail.
+    "q363_levene" -> ((s, d) =>
+      operators.Experiment.leveneTest(t(s, d, "orders"),
+        "o_orderpriority", col("o_totalprice"), "o_orderkey")),
+
+    // Platt calibration of a deterministic pseudo-score against the
+    // F-status label: per-iteration one 5-sum Newton aggregate,
+    // smoothed targets, driver 2x2 solve.
+    "q364_platt" -> ((s, d) =>
+      operators.Classifier.plattCalibrate(t(s, d, "orders"),
+        (col("o_totalprice") - 150000.0) / 100000.0,
+        col("o_orderstatus") === "F")),
+
+    // Seeded (eps,0)-DP noisy count release over order statuses:
+    // exact counts + inverse-CDF Laplace from a per-group xxhash64
+    // uniform; the exact count never leaves the plan.
+    "q365_dp_release" -> ((s, d) =>
+      operators.Expectations.dpNoisyCounts(t(s, d, "orders"),
+        Seq("o_orderstatus"), epsilon = 1.0)
+        .orderBy(col("o_orderstatus"))),
+
+    // Phonetic blocking join over the distinct first words of part
+    // names: soundex blocks (capped), one codegen'd levenshtein
+    // verify per in-block candidate.
+    "q366_phonetic_join" -> ((s, d) => {
+      def toks(df: DataFrame, c: Column): DataFrame =
+        df.select(explode(split(c, " ")).as("w"))
+      val words = toks(t(s, d, "part"), col("p_name"))
+        .unionByName(toks(t(s, d, "part"), col("p_type")))
+        .unionByName(t(s, d, "customer").select(col("c_mktsegment").as("w")))
+        .unionByName(t(s, d, "nation").select(col("n_name").as("w")))
+        .unionByName(t(s, d, "region").select(col("r_name").as("w")))
+        .unionByName(toks(t(s, d, "documents"), col("text")))
+        .select(upper(col("w")).as("w"))
+        .filter(col("w").rlike("^[A-Z]{3,}$"))
+        .distinct()
+      operators.Linkage.phoneticJoin(words, "w", "w", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic full-corpus Lloyd k-means over the embeddings:
+    // seeded order-statistic init, per-iteration one exact-decimal
+    // (cell, dim) postings aggregate, profile against final centers.
+    "q367_kmeans" -> ((s, d) =>
+      operators.Similarity.kmeansProfile(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)),
+
+    // Croston intermittent-demand forecast over sparse high-value
+    // event days: two truncated-window EWMAs (sizes, intervals) on
+    // the occurrences-only table, SBA bias correction.
+    "q368_croston" -> ((s, d) =>
+      operators.TimeSeries.croston(
+        t(s, d, "events").filter(col("value") > 150.0),
+        "event_type", "ts", col("value"))
+        // DATE re-emitted as ISO text: the pin layer refuses
+        // driver-unsafe column types (DECIMAL/DATE)
+        .withColumn("bucket", col("bucket").cast("string"))
+        .orderBy(col("series"), col("bucket"))),
+
+    // Granger-style lead-lag screen: does purchase history improve a
+    // view forecast beyond view's own lags? Calendar-aligned daily
+    // totals, two Gram fits, F-form with the chi2-limit tail.
+    "q369_granger" -> ((s, d) =>
+      operators.Regression.grangerScreen(t(s, d, "events"),
+        "event_type", "ts", col("value"), "view", "purchase",
+        maxLag = 2)),
+
+    // Welch one-way ANOVA across order priorities: exact per-group
+    // moments, pico-quantized precision weights, Paulson F tail with
+    // the data-driven Welch-Satterthwaite dof.
+    "q370_welch_anova" -> ((s, d) =>
+      operators.Experiment.welchAnova(t(s, d, "orders"),
+        "o_orderpriority", col("o_totalprice"))),
+
+    // IPW (Hajek) treatment-effect estimate with a deterministic
+    // pseudo-propensity: clipped stabilized weights, exact quantized
+    // weight moments, linearization SE, Kish ESS overlap diagnostics.
+    "q371_ipw" -> ((s, d) =>
+      operators.Experiment.ipwAte(t(s, d, "orders"),
+        pmod(col("o_orderkey"), lit(3L)) === 0,
+        col("o_totalprice"),
+        lit(1.0) / (lit(1.0) +
+          exp(-(col("o_totalprice") - 150000.0) / 100000.0)))),
+
+    // Streaming per-group OLS: Gram sums fold additively through the
+    // segment log across three replayed batches; the read-side solve
+    // equals the batch linearFit on the union by construction.
+    "str372_stream_linear_fit" -> ((s, d) => {
+      val root = tmpDir("graft_str372")
+      val (srcDir, outDir, ckpt) =
+        (s"$root/src", s"$root/gram", s"$root/ckpt")
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("y"), col("l_quantity").as("x1"),
+        col("l_discount").as("x2"))
+      stageReplayBatches(s, Seq(
+        li.filter(col("ok") % 3 === 0).drop("ok"),
+        li.filter(col("ok") % 3 === 1).drop("ok"),
+        li.filter(col("ok") % 3 === 2).drop("ok")), srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.MicroBatch.streamGramFit(stream, outDir,
+          "flag", col("y"), Seq(col("x1"), col("x2")),
+          graft.streaming.MicroBatch.IngestConfig(
+            checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.MicroBatch.readLinearFit(s, outDir,
+        Seq("qty", "discount"))
+        .orderBy(col("group"), col("term"))
+    }),
+
+    // Wilcoxon signed-rank on paired lineitem prices (discounted vs
+    // list): distributed midranks, exact doubled rank sums, the
+    // zero-diff drop counted, tie-corrected normal tail.
+    "q373_wilcoxon" -> ((s, d) =>
+      operators.Experiment.wilcoxonSignedRank(t(s, d, "lineitem"),
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        col("l_extendedprice"))),
+
+    // Friedman test + Kendall's W over per-user event-type value
+    // ranks: complete blocks only (counted), within-block midrank
+    // windows bounded by k, exact doubled rank sums.
+    "q374_friedman" -> ((s, d) =>
+      operators.Experiment.friedmanTest(t(s, d, "events"),
+        "user_id", "event_type", col("value"))),
+
+    // Cronbach's alpha over three deterministic per-order heuristics
+    // reshaped long: complete-case item/total variances from exact
+    // moments, pico-quantized cross-item fold.
+    "q375_cronbach" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+        (col("o_totalprice") / 1000.0).as("base"))
+      val long = o.select(col("ok"),
+        explode(array(
+          struct(lit("h1").as("item"), col("base").as("s")),
+          struct(lit("h2").as("item"),
+            (col("base") + pmod(col("ok"), lit(7L))).as("s")),
+          struct(lit("h3").as("item"),
+            (col("base") / 2.0 + pmod(col("ok") * 3, lit(5L)))
+              .as("s")))).as("x"))
+        .select(col("ok"), col("x.item"), col("x.s"))
+      operators.Classifier.cronbachAlpha(long, "ok", "item", col("s"))
+    }),
+
+    // One-way ICC(1,1) over two deterministic pseudo-judge scores per
+    // order: exact per-target moments, MSB/MSW quantized folds.
+    "q376_icc" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+        (col("o_totalprice") / 1000.0).as("base"))
+      val long = o.select(col("ok"), explode(array(
+          col("base") + pmod(col("ok"), lit(5L)),
+          col("base") + pmod(col("ok") * 7, lit(5L)))).as("s"))
+      operators.Classifier.iccOneWay(long, "ok", col("s"), 2)
+    }),
+
     // McNemar's paired test between two screening heuristics on the
     // SAME orders: four exact cells, continuity-corrected chi2, the
     // dof-1 tail as a direct erfc.
@@ -5720,6 +5891,14 @@ object SparkEntry {
     "str353_stream_tukey", "str354_stream_conformal",
     "q355_mcnemar", "q356_fleiss_kappa", "q357_bradley_terry",
     "q358_cmh", "q359_contingency_effects", "str360_stream_bt",
+    // r15 wave 1: driver-solved fits (q362/q364/q367/q369), erfc/cbrt
+    // tails (q363), seeded-Laplace ln (q365), soundex (no DuckDB
+    // equivalent, q366), and EWMA double ratios (q368) — pinned with
+    // the two-partitioning proof
+    "q362_linear_fit", "q363_levene", "q364_platt", "q365_dp_release",
+    "q366_phonetic_join", "q367_kmeans", "q368_croston", "q369_granger",
+    "q370_welch_anova", "q371_ipw", "str372_stream_linear_fit",
+    "q373_wilcoxon", "q374_friedman", "q375_cronbach", "q376_icc",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

@@ -891,4 +891,271 @@ object Classifier {
             (col("cum_n") * col("__p")).cast("double")).as("lift"))
       .orderBy(col("bucket"))
   }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * score battery (the "do my k quality heuristics measure ONE
+    * underlying thing?" check before averaging them into a single
+    * score, and the questionnaire-reliability standard):
+    * `α = k/(k−1)·(1 − Σⱼvarⱼ/var_total)` over COMPLETE respondents
+    * (a row missing any item would bias every variance; incomplete
+    * respondents are excluded and counted).
+    *
+    * Numerics: per-(respondent, item) scores micro-quantize once;
+    * item variances come from exact per-item moments, the total-score
+    * variance from exact per-respondent sums (both ONE aggregate
+    * each), and the cross-item variance sum folds pico-quantized
+    * (the χ²-parts convention). Returns ONE row: (k, n_respondents,
+    * n_incomplete, alpha, item_var_sum, total_var) — NULL alpha when
+    * k < 2, fewer than 2 complete respondents, or var_total = 0.
+    *
+    * Scale: one (respondent, item) dedup aggregate, one item-keyed
+    * and one respondent-keyed moment aggregate over it, k-sized and
+    * 1-row finales. */
+  def cronbachAlpha(df: DataFrame, respondentCol: String,
+      itemCol: String, score: Column): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(respondentCol).cast("string").as("__r"),
+        col(itemCol).cast("string").as("__i"),
+        score.cast("double").as("__sm"))
+      .filter(col("__r").isNotNull && col("__i").isNotNull &&
+        col("__sm").isNotNull && !isnan(col("__sm")) &&
+        abs(col("__sm")) < lit(Double.PositiveInfinity))
+      .select(col("__r"), col("__i"),
+        floor(col("__sm") * 1000000.0 + 0.5).cast("long").as("__s"))
+      .groupBy(col("__r"), col("__i"))
+      .agg(min(col("__s")).as("__s"))
+      .localCheckpoint(eager = false) // k inference + both moment passes
+    val k = base.select(col("__i")).distinct().count()
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__r"))
+    val marked = base
+      .withColumn("__rn", count(lit(1)).over(wR))
+      .localCheckpoint(eager = false) // complete + incomplete consumers
+    val nIncomplete = marked.filter(col("__rn") =!= k)
+      .select(col("__r")).distinct().count()
+    val complete = marked.filter(col("__rn") === k)
+    // per-item sample variance over complete respondents (exact moments)
+    val perItem = complete.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"),
+        sum(d19(col("__s"))).cast("decimal(28,0)").as("__sy"),
+        sum((d19(col("__s")) * d19(col("__s"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__syy"))
+    val nD = col("__n").cast("double")
+    val itemVar = when(col("__n") >= 2,
+      (nD * dbl(col("__syy")) - dbl(col("__sy")) * dbl(col("__sy"))) /
+        (nD * greatest(nD - 1.0, lit(1.0)) * 1e12))
+    val itemFold = perItem.agg(
+      count(lit(1)).as("__kc"),
+      min(col("__n")).as("__nresp"),
+      sum(floor(coalesce(itemVar, lit(0.0)) * 1e6 + 0.5)
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("__vsum"))
+    // total-score variance: exact per-respondent sums, then moments
+    val totals = complete.groupBy(col("__r"))
+      .agg(sum(d19(col("__s"))).cast("decimal(28,0)").as("__tot"))
+    val totFold = totals.agg(
+      count(lit(1)).as("__nt"),
+      sum(col("__tot").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("__st"),
+      sum((col("__tot") * col("__tot")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__stt"))
+    val out = itemFold.crossJoin(broadcast(totFold))
+    val ntD = col("__nt").cast("double")
+    val totVar = when(col("__nt") >= 2,
+      (ntD * dbl(col("__stt")) - dbl(col("__st")) * dbl(col("__st"))) /
+        (ntD * greatest(ntD - 1.0, lit(1.0)) * 1e12))
+    val kD = lit(k.toDouble)
+    val vsum = dbl(col("__vsum")) / 1e6
+    val alpha = (kD / (kD - 1.0)) * (lit(1.0) - vsum / totVar)
+    val valid = lit(k) > 1 && col("__nt") >= 2 && totVar > 0.0
+    out.select(lit(k).as("k"),
+      coalesce(col("__nt"), lit(0L)).as("n_respondents"),
+      lit(nIncomplete).as("n_incomplete"),
+      when(valid, alpha).as("alpha"),
+      when(valid, vsum).as("item_var_sum"),
+      when(valid, totVar).as("total_var"))
+  }
+
+  /** One-way intraclass correlation ICC(1,1) — absolute-agreement
+    * reliability of repeated CONTINUOUS measurements per target (the
+    * continuous complement of [[fleissKappa]]: "k judge scores per
+    * item — how much of the variance is the item rather than the
+    * judges?"): from the one-way random-effects ANOVA,
+    * `ICC = (MSB − MSW)/(MSB + (k−1)·MSW)`.
+    *
+    * `ratingsPerTarget` (k) is an EXPLICIT contract — targets with a
+    * different rating count are excluded and counted (an unbalanced
+    * one-way ICC silently reweights targets; refusing is honest).
+    * Returns ONE row: (k, n_targets, n_excluded, msb, msw, icc) —
+    * NULL icc when fewer than 2 complete targets, k < 2, or the
+    * denominator is 0.
+    *
+    * Numerics: exact per-target micro-integer moments in ONE
+    * aggregate; MSB/MSW from pico-quantized order-free folds; the
+    * final ratio is one fixed expression. Scale: one corpus
+    * aggregate, target-sized fold, 1-row finale. */
+  def iccOneWay(df: DataFrame, targetCol: String, score: Column,
+      ratingsPerTarget: Int): DataFrame = {
+    require(ratingsPerTarget >= 2,
+      s"ICC needs >= 2 ratings per target, got $ratingsPerTarget")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val k = ratingsPerTarget
+    val per = df
+      .select(col(targetCol).cast("string").as("__t"),
+        score.cast("double").as("__sm"))
+      .filter(col("__t").isNotNull && col("__sm").isNotNull &&
+        !isnan(col("__sm")) &&
+        abs(col("__sm")) < lit(Double.PositiveInfinity))
+      .select(col("__t"),
+        floor(col("__sm") * 1000000.0 + 0.5).cast("long").as("__s"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(d19(col("__s"))).cast("decimal(28,0)").as("__sy"),
+        sum((d19(col("__s")) * d19(col("__s"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__syy"))
+      .localCheckpoint(eager = false) // excluded count + fold
+    val nExcluded = per.filter(col("__n") =!= k).count()
+    val nD = lit(k.toDouble)
+    // per complete target: within-SS (exact) and the group mean
+    val withinSS = (nD * dbl(col("__syy")) - dbl(col("__sy")) *
+      dbl(col("__sy"))) / (nD * 1e12)
+    val mean = dbl(col("__sy")) / (nD * 1e6)
+    val fold = per.filter(col("__n") === k).agg(
+      count(lit(1)).as("__m"),
+      sum(col("__sy").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("__sall"),
+      sum(floor(withinSS * 1e6 + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__wss"),
+      sum(floor(mean * mean * 1e3 + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__m2"))
+    val mD = col("__m").cast("double")
+    val grand = dbl(col("__sall")) / (mD * nD * 1e6)
+    // between-SS = k·Σ(ȳᵢ − ȳ)² = k·(Σȳᵢ² − m·ȳ²)
+    val ssb = nD * (dbl(col("__m2")) / 1e3 - mD * grand * grand)
+    val msb = ssb / (mD - 1.0)
+    val msw = (dbl(col("__wss")) / 1e6) / (mD * (nD - 1.0))
+    val icc = (msb - msw) / (msb + (nD - 1.0) * msw)
+    val valid = col("__m") >= 2 &&
+      (dbl(col("__wss")) > 0.0 || dbl(col("__m2")) > 0.0)
+    fold.select(lit(k.toLong).as("k"),
+      coalesce(col("__m"), lit(0L)).as("n_targets"),
+      lit(nExcluded).as("n_excluded"),
+      when(valid, msb).as("msb"),
+      when(valid, msw).as("msw"),
+      when(valid && msb + (nD - 1.0) * msw > 0.0, icc).as("icc"))
+  }
+
+  /** Platt scaling — the PARAMETRIC sibling of [[isotonicCalibrate]]:
+    * fit `P(y=1|s) = σ(A·s + B)` by penalized maximum likelihood
+    * (Platt 1999, with Lin/Weng/Keerthi's smoothed targets
+    * `t₊ = (n₊+1)/(n₊+2)`, `t₋ = 1/(n₋+2)` — the standard
+    * regularization that keeps A finite on separable data), so a raw
+    * classifier margin becomes a probability with TWO parameters —
+    * monotone, smooth, and defined outside the calibration range
+    * (where isotonic clamps).
+    *
+    * Newton–Raphson on the driver: each iteration is ONE map-side-
+    * combined aggregate of five sums (∂A, ∂B, and the 2×2 Hessian) —
+    * per-row terms are fixed double expressions at the CURRENT (A, B)
+    * (broadcast as literals), quantized to pico-integers so the
+    * cross-row sums are exact decimals and order-free ([[mccReport]]'s
+    * discipline); the 2×2 solve is four driver flops. `iters` fixed
+    * (default 20, far past convergence at double precision for this
+    * concave 2-parameter problem) so the arithmetic sequence is
+    * deterministic — no data-dependent stopping.
+    *
+    * Returns ONE row: (n_pos, n_neg, a, b, nll) — `nll` the final
+    * per-row-averaged smoothed-target cross-entropy (the quantity
+    * minimized; compare against a baseline fit to judge fit quality).
+    * NULL a/b when either class is empty (the sigmoid is then
+    * unidentified).
+    *
+    * Scale: `iters` aggregate passes over (score, label) — each a
+    * 5-column reduce to one row, nothing corpus-sized ever moves; the
+    * calibration input is localCheckpointed once and reused by every
+    * epoch ([[train]]'s convention). */
+  def plattCalibrate(df: DataFrame, score: Column, label: Column,
+      iters: Int = 20): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val spark = df.sparkSession
+    val base = df
+      .select(score.cast("double").as("__s"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) &&
+        abs(col("__s")) < lit(Double.PositiveInfinity) &&
+        col("__y").isNotNull)
+      .localCheckpoint(eager = false) // one scan per Newton iteration
+    val counts = base.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("nn")).collect()(0)
+    val (nPos, nNeg) = (counts.getLong(0), counts.getLong(1))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_neg",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("nll",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    if (nPos == 0L || nNeg == 0L)
+      return spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(nPos, nNeg, null, null, null)), 1),
+        outSchema)
+    val tPos = (nPos + 1.0) / (nPos + 2.0)
+    val tNeg = 1.0 / (nNeg + 2.0)
+    // Platt's recommended start: A=0, B = ln((n−+1)/(n₊+1))
+    var aP = 0.0
+    var bP = math.log((nNeg + 1.0) / (nPos + 1.0))
+    def quantSum(c: Column): Column =
+      sum(floor(c * 1e12 + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+    var it = 0
+    while (it < iters) {
+      val t = when(col("__y"), lit(tPos)).otherwise(lit(tNeg))
+      val pr = lit(1.0) /
+        (lit(1.0) + exp(-(lit(aP) * col("__s") + lit(bP))))
+      val r = pr - t            // ∂/∂z of the smoothed cross-entropy
+      val wgt = pr * (lit(1.0) - pr)
+      val g = base.agg(
+        quantSum(r * col("__s")).as("ga"),
+        quantSum(r).as("gb"),
+        quantSum(wgt * col("__s") * col("__s")).as("haa"),
+        quantSum(wgt * col("__s")).as("hab"),
+        quantSum(wgt).as("hbb")).collect()(0)
+      def v(i: Int): Double = {
+        val x = g.get(i)
+        if (x == null) 0.0
+        else x.asInstanceOf[java.math.BigDecimal].doubleValue() / 1e12
+      }
+      val (ga, gb, haa, hab, hbb) = (v(0), v(1), v(2), v(3), v(4))
+      // 2×2 Newton step with a tiny Levenberg ridge so a flat Hessian
+      // (all scores equal) cannot divide by zero
+      val ridge = 1e-12 * math.max(1.0, math.max(haa, hbb))
+      val det = (haa + ridge) * (hbb + ridge) - hab * hab
+      val dA = (ga * (hbb + ridge) - gb * hab) / det
+      val dB = (gb * (haa + ridge) - ga * hab) / det
+      aP -= dA
+      bP -= dB
+      it += 1
+    }
+    val t = when(col("__y"), lit(tPos)).otherwise(lit(tNeg))
+    val zed = lit(aP) * col("__s") + lit(bP)
+    // numerically-stable cross-entropy: t·softplus(−z) + (1−t)·softplus(z)
+    def softplus(c: Column): Column =
+      when(c > 30.0, c).when(c < -30.0, lit(0.0))
+        .otherwise(log(lit(1.0) + exp(c)))
+    val nllSum = base.agg(
+      quantSum(t * softplus(-zed) + (lit(1.0) - t) * softplus(zed))
+        .as("s"), count(lit(1)).as("n")).collect()(0)
+    val nll = nllSum.get(0).asInstanceOf[java.math.BigDecimal]
+      .doubleValue() / 1e12 / nllSum.getLong(1).toDouble
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(org.apache.spark.sql.Row(nPos, nNeg, aP, bP, nll)), 1), outSchema)
+  }
 }

@@ -1236,4 +1236,48 @@ object Expectations {
         (col("__d").cast("double") / 1000000.0).as("mad"),
         when(col("__d") > 0, col("__out")).as("n_outliers"))
   }
+
+  /** Differentially-private noisy count release — the publication side
+    * of the privacy family ([[kAnonymity]] / [[tCloseness]] audit what
+    * is risky; this RELEASES a histogram with an (ε, 0)-DP guarantee):
+    * per group the exact count plus Laplace(1/ε) noise (count queries
+    * have sensitivity 1), via inverse-CDF sampling
+    * `−(1/ε)·sign(u−½)·ln(1−2|u−½|)` of a per-group uniform.
+    *
+    * The uniform is SEEDED: `u` derives from `xxhash64(groupCols…,
+    * seed)`, so a release is reproducible run-to-run and across
+    * engines (the pipeline-audit property every other operator here
+    * has) — equivalently, the seed selects one fixed draw from the
+    * Laplace mechanism; publishing MULTIPLE releases of the same data
+    * under different seeds composes ε additively, exactly like any
+    * repeated DP query, and callers own that budget.
+    *
+    * `suppressBelow`: groups whose NOISY count falls below the
+    * threshold are dropped — the standard mitigation for the fact
+    * that a data-derived group list is itself a presence signal
+    * (thresholded release). The exact count never appears in the
+    * output. Returns (groupCols…, noisy_count, epsilon).
+    *
+    * Scale: ONE map-side-combined count aggregate; noise is a per-GROUP
+    * expression on the group-cardinality result — nothing else moves. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, seed: Long = 42L,
+      suppressBelow: Double = 0.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // u ∈ (0,1): signed-long hash → [−½,½) → shift; clamp off the exact
+    // endpoints so ln(1−2|u−½|) stays finite
+    val u0 = (xxhash64((groupCols.map(col) :+ lit(seed)): _*)
+      .cast("double") / lit(math.pow(2.0, 64))) + lit(0.5)
+    val u = least(greatest(u0, lit(1e-12)), lit(1.0 - 1e-12))
+    val noise = (-lit(1.0 / epsilon)) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    counts
+      .withColumn("noisy_count", col("__n").cast("double") + noise)
+      .filter(col("noisy_count") >= lit(suppressBelow))
+      .select(groupCols.map(col) :+ col("noisy_count") :+
+        lit(epsilon).as("epsilon"): _*)
+  }
 }

@@ -1378,4 +1378,513 @@ object Experiment {
         col("__ci").getItem(1).as("ci_hi"),
         coalesce(col("n_reps"), lit(0L)).as("n_reps"))
   }
+
+  /** Levene / Brown–Forsythe homogeneity-of-variance test — the
+    * pre-check the mean-comparison layer ([[welchTTest]],
+    * [[kruskalWallis]]) assumes away, and a drift lens in its own
+    * right ("did the VARIANCE of latency/score/value shift between
+    * cohorts?"): one-way ANOVA on the absolute deviations
+    * `z = |y − center_g|`, with `center` = `"median"` (Brown–Forsythe,
+    * the robust default) or `"mean"` (classic Levene).
+    *
+    * Returns ONE row: (k, n, w, df1, df2, p_value). `W` is the exact
+    * textbook statistic `((N−k)/(k−1))·Σnⱼ(z̄ⱼ−z̄)²/ΣΣ(z−z̄ⱼ)²`;
+    * the tail is the large-sample χ²-limit `(k−1)·W ~ χ²_{k−1}`
+    * (F_{k−1,∞} — at the row counts this engine targets, df2 is
+    * astronomically large and the limit IS the F tail), evaluated by
+    * the house Wilson–Hilferty + erfc block. NULL w/p when k < 2 or
+    * every deviation is 0 (no variance to compare).
+    *
+    * Numerics: group centers come from [[Expectations.exactQuantiles]]
+    * (medians — distributed selection, no per-group window) or exact
+    * micro-integer means; deviations re-quantize to micro-integers, so
+    * the per-group (n, Σz, Σz²) moments are exact decimals and both
+    * quadratic forms are pico-quantized per-group doubles summed
+    * order-free (the χ²-parts convention).
+    *
+    * Scale: center pass + ONE deviation-moment aggregate over the
+    * corpus (map-side combined, group-cardinality output), the centers
+    * broadcast back (groups are few by contract); finale on the
+    * k-sized table. */
+  def leveneTest(df: DataFrame, groupCol: String, value: Column,
+      idCol: String, center: String = "median"): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(groupCol).cast("string").as("__g"),
+        value.cast("double").as("__v"), col(idCol).as("__id"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v")) && abs(col("__v")) < lit(Double.PositiveInfinity))
+      .localCheckpoint(eager = false) // center pass + deviation pass
+    val centers: DataFrame = center match {
+      case "median" =>
+        Expectations.exactQuantiles(base, "__g", col("__v"),
+            Seq(0.5), "__id")
+          .select(col("__g"), col("p50").as("__c"))
+      case "mean" =>
+        base.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__nc"),
+            sum(d19(floor(col("__v") * 1000000.0 + 0.5).cast("long")))
+              .cast("decimal(28,0)").as("__sc"))
+          .select(col("__g"),
+            (dbl(col("__sc")) / (col("__nc").cast("double") * 1000000.0))
+              .as("__c"))
+      case other => sys.error(
+        s"center must be 'median' (Brown–Forsythe) or 'mean', got $other")
+    }
+    val perG = base.join(broadcast(centers), Seq("__g"))
+      .select(col("__g"),
+        floor(abs(col("__v") - col("__c")) * 1000000.0 + 0.5)
+          .cast("long").as("__z"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n_g"),
+        sum(d19(col("__z"))).cast("decimal(28,0)").as("__sz"),
+        sum((d19(col("__z")) * d19(col("__z"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__szz"))
+    // within-group SS per group: Σz² − (Σz)²/n, exact-integer inputs,
+    // one fixed double expression, pico-quantized for the cross-group
+    // sum; the between part needs the grand mean, so fold (n, Σz) too
+    val within = dbl(col("__szz")) / 1e12 -
+      (dbl(col("__sz")) / 1e6) * (dbl(col("__sz")) / 1e6) /
+        col("__n_g").cast("double")
+    val folded = perG.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n_g")).as("__n"),
+      sum(col("__sz").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("__szt"),
+      sum(floor(within * 1000000.0 + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__wss"),
+      // Σ n_g·z̄_g² for the between part: z̄_g exact-integer mean
+      sum(floor((dbl(col("__sz")) / 1e6) * (dbl(col("__sz")) / 1e6) /
+          col("__n_g").cast("double") * 1000000.0 + 0.5)
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("__bq"))
+    val nD = col("__n").cast("double")
+    val kD = col("k").cast("double")
+    val zbar = dbl(col("__szt")) / (nD * 1e6)
+    val between = dbl(col("__bq")) / 1e6 - nD * zbar * zbar
+    val wss = dbl(col("__wss")) / 1e6
+    val w = ((nD - kD) / (kD - 1.0)) * between / wss
+    // large-sample tail: (k−1)·W ~ χ²_{k−1} via Wilson–Hilferty + erfc
+    val df1 = kD - 1.0
+    // x = (k−1)·W at dof k−1 ⇒ the W–H cube-root argument x/dof is W
+    val z = (cbrt(w) - (lit(1.0) - lit(2.0) / (lit(9.0) * df1))) /
+      sqrt(lit(2.0) / (lit(9.0) * df1))
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val p = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    val valid = col("k") > 1 && col("__wss") > 0
+    folded.select(col("k"), col("__n").as("n"),
+      when(valid, w).as("w"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("__n") - col("k")).cast("long").as("df2"),
+      when(valid, p).as("p_value"))
+  }
+
+  /** Wilcoxon signed-rank test — the PAIRED nonparametric mean-shift
+    * test ([[rankSumTest]] compares two independent samples;
+    * [[graft.operators.Classifier.mcNemar]] pairs binary outcomes;
+    * this pairs CONTINUOUS ones — the "model A vs model B scored the
+    * SAME prompts" readout): differences `d = a − b`, zeros dropped
+    * (Wilcoxon's convention), |d| midranked over the whole corpus,
+    * `W⁺` = rank sum of the positive differences, normal
+    * approximation with the exact tie correction
+    * `σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48` (no continuity correction —
+    * documented, matching the default of the standard
+    * implementations).
+    *
+    * Midranks ride the [[kruskalWallis]] distributed cumulative-count
+    * machinery (value rollup → range buckets → windowed cumulatives +
+    * broadcast offsets) — never a global single-partition sort. All
+    * rank sums are EXACT integers via the doubled-midrank trick
+    * (`2·mid = 2·below + ties + 1`); μ and σ are fixed double
+    * expressions over them. Returns ONE row:
+    * (n, n_zero, w_plus, w_minus, z, p_value) — NULL z/p when n = 0
+    * or σ² ≤ 0 (all differences tie at one |d|).
+    *
+    * Scale: one (|d|, sign) count aggregate (map-side combined), the
+    * value-level rank machinery, a 2-row sign rollup, 1-row finale. */
+  def wilcoxonSignedRank(df: DataFrame, a: Column, b: Column,
+      buckets: Int = 64): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d12 = "decimal(12,0)"
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val diffs = df
+      .select((a.cast("double") - b.cast("double")).as("__dm"))
+      .filter(col("__dm").isNotNull && !isnan(col("__dm")) &&
+        abs(col("__dm")) < lit(Double.PositiveInfinity))
+      .select(floor(col("__dm") * 1000000.0 + 0.5).cast("long").as("__d"))
+      .localCheckpoint(eager = false) // zero count + rank machinery
+    val nZero = diffs.agg(
+      sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("__nz"))
+    val byVS = diffs.filter(col("__d") =!= 0L)
+      .groupBy(abs(col("__d")).as("__v"), (col("__d") > 0).as("__pos"))
+      .agg(count(lit(1)).as("__ng"))
+      .localCheckpoint(eager = false) // value rollup + rank join back
+    val byV = byVS.groupBy(col("__v")).agg(sum(col("__ng")).as("__nt"))
+    val ranged = byV
+      .repartitionByRange(buckets, col("__v"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(eager = false) // bucket ids must not re-randomize
+    val offs = ranged.groupBy(col("__b"))
+      .agg(sum(col("__nt")).as("__tt"))
+      .select(col("__b"),
+        coalesce(sum(col("__tt")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"))
+    val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = ranged.join(broadcast(offs), Seq("__b"))
+      .select(col("__v"), col("__nt"),
+        (col("__off") + coalesce(sum(col("__nt")).over(wB), lit(0L)))
+          .cast(d19).as("__cb"))
+      .localCheckpoint(eager = false) // sign rollup + tie totals
+    // per sign: exact 2·(rank sum) — 2·mid = 2·below + ties + 1
+    val perSign = byVS.join(cums, Seq("__v"))
+      .groupBy(col("__pos"))
+      .agg(sum((col("__ng").cast(d19) *
+          (col("__cb") + col("__cb") + col("__nt").cast(d19) + 1)
+            .cast(d19)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__r2"))
+    val ties = cums.agg(
+      coalesce(sum(col("__nt")), lit(0L)).cast(d12).as("__n"),
+      coalesce(sum(col("__nt").cast(d12) * col("__nt").cast(d12) *
+          col("__nt").cast(d12) - col("__nt").cast(d12))
+        .cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")).as("__t3"))
+    val folded = ties.crossJoin(broadcast(
+        perSign.agg(
+          coalesce(sum(when(col("__pos"), col("__r2"))), lit(0)
+            .cast("decimal(38,0)")).as("__wp2"),
+          coalesce(sum(when(!col("__pos"), col("__r2"))), lit(0)
+            .cast("decimal(38,0)")).as("__wm2"))))
+      .crossJoin(broadcast(nZero))
+    val nD = dbl(col("__n"))
+    // Var(2W⁺) = 4·Var(W⁺) = n(n+1)(2n+1)/6 − Σ(t³−t)/12
+    val var2 = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 6.0 -
+      dbl(col("__t3")) / 12.0
+    val z = (dbl(col("__wp2")) - nD * (nD + 1.0) / 2.0) / sqrt(var2)
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val p = poly * exp(-zz * zz) // two-sided: erfc(|z|/√2)
+    val valid = col("__n") > 0 && var2 > 0.0
+    folded.select(col("__n").cast("bigint").as("n"),
+      coalesce(col("__nz"), lit(0L)).as("n_zero"),
+      (dbl(col("__wp2")) / 2.0).as("w_plus"),
+      (dbl(col("__wm2")) / 2.0).as("w_minus"),
+      when(valid, z).as("z"),
+      when(valid, p).as("p_value"))
+  }
+
+  /** Friedman test + Kendall's W — the k-treatment PAIRED comparison
+    * over blocked ranks (the "k models scored the SAME n prompts"
+    * omnibus, where [[wilcoxonSignedRank]] handles k = 2 and
+    * [[graft.operators.Classifier.fleissKappa]] handles categorical
+    * labels): within each complete block (an item scored by ALL k
+    * treatments — incomplete blocks are EXCLUDED and counted), scores
+    * midrank 1..k; the tie-corrected statistic
+    * `Q = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (A − C)` with `A = Σr²`,
+    * `C = nk(k+1)²/4` is χ²_{k−1} under the null, and Kendall's
+    * `W = Q/(n(k−1))` ∈ [0,1] is the agreement effect size.
+    *
+    * Ranks are within-BLOCK windows (bounded by k — never a corpus
+    * window); midranks double to integers, so every rank sum is
+    * exact; the W–H + erfc tail is the house block. Returns ONE row:
+    * (k, n_blocks, n_incomplete, q, kendall_w, dof, p_value) — NULL
+    * q/W/p when k < 2, no complete blocks, or every block ranks
+    * identically tie-flat (A = C).
+    *
+    * Scale: one (block, treatment) dedup-aggregate, per-block windows
+    * over k-sized partitions, one treatment rollup, 1-row finale. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      score: Column): DataFrame = {
+    val d19 = "decimal(19,0)"
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(blockCol).cast("string").as("__blk"),
+        col(treatmentCol).cast("string").as("__t"),
+        score.cast("double").as("__sm"))
+      .filter(col("__blk").isNotNull && col("__t").isNotNull &&
+        col("__sm").isNotNull && !isnan(col("__sm")) &&
+        abs(col("__sm")) < lit(Double.PositiveInfinity))
+      .select(col("__blk"), col("__t"),
+        floor(col("__sm") * 1000000.0 + 0.5).cast("long").as("__s"))
+      // one score per (block, treatment): ties broken by MIN score —
+      // a duplicate rating is a data issue surfaced by the count
+      .groupBy(col("__blk"), col("__t"))
+      .agg(min(col("__s")).as("__s"))
+      .localCheckpoint(eager = false) // k inference + rank pass
+    val k = base.groupBy(col("__t")).count().count()
+    val wBlk = Window.partitionBy(col("__blk"))
+    val complete = base
+      .withColumn("__bn", count(lit(1)).over(wBlk))
+      .localCheckpoint(eager = false) // complete + incomplete consumers
+    val nIncomplete = complete.filter(col("__bn") =!= k)
+      .select(col("__blk")).distinct().count()
+    // within-block midranks, doubled to integers:
+    // 2·mid = 2·(rank_min − 1) + ties + 1
+    val wOrd = wBlk.orderBy(col("__s"))
+    val ranked = complete.filter(col("__bn") === k)
+      .withColumn("__rmin", rank().over(wOrd))
+      .withColumn("__ties", count(lit(1))
+        .over(wBlk.partitionBy(col("__blk"), col("__s"))))
+      .withColumn("__r2",
+        (col("__rmin") - 1) * 2 + col("__ties") + 1)
+    val perT = ranked.groupBy(col("__t"))
+      .agg(sum(col("__r2").cast(d19)).cast("decimal(38,0)").as("__rs2"),
+        count(lit(1)).as("__nb"))
+      .localCheckpoint(eager = false) // A-sum + finale share the pass
+    val aSum = ranked.agg(
+      sum((col("__r2").cast(d19) * col("__r2").cast(d19))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("__a4"))
+    // Σⱼ(2Rⱼ)² exact; n from any treatment's block count
+    val folded = perT.agg(
+        count(lit(1)).as("__kT"),
+        max(col("__nb")).as("__n"),
+        sum((col("__rs2") * col("__rs2")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__sumR4"))
+      .crossJoin(broadcast(aSum))
+    val kD = col("__kT").cast("double")
+    val nD = col("__n").cast("double")
+    // descale the doubled ranks: R from 2R is /2, r² from (2r)² is /4
+    val sumR2 = dbl(col("__sumR4")) / 4.0
+    val aTerm = dbl(col("__a4")) / 4.0
+    val cTerm = nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    // Σ(Rⱼ − n(k+1)/2)² = ΣRⱼ² − n²k(k+1)²/4
+    val devSq = sumR2 - nD * nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val q = (kD - 1.0) * devSq / (aTerm - cTerm)
+    val w = q / (nD * (kD - 1.0))
+    val df1 = kD - 1.0
+    val z = (cbrt(q / df1) - (lit(1.0) - lit(2.0) / (lit(9.0) * df1))) /
+      sqrt(lit(2.0) / (lit(9.0) * df1))
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val p = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    val valid = col("__kT") > 1 && col("__n") > 0 &&
+      aTerm - cTerm > 0.0
+    folded.select(col("__kT").cast("bigint").as("k"),
+      coalesce(col("__n"), lit(0L)).as("n_blocks"),
+      lit(nIncomplete).as("n_incomplete"),
+      when(valid, q).as("q"),
+      when(valid, w).as("kendall_w"),
+      (col("__kT") - 1).cast("bigint").as("dof"),
+      when(valid, p).as("p_value"))
+  }
+
+  /** Welch's one-way ANOVA — the k-group generalization of
+    * [[welchTTest]] under UNEQUAL variances (the classic F assumes
+    * homogeneity — exactly what [[leveneTest]] often rejects on real
+    * metric data): Welch (1951)'s
+    * `W* = Σwⱼ(x̄ⱼ−x̃)²/(k−1) / (1 + 2(k−2)/(k²−1)·Σhⱼ)` with
+    * `wⱼ = nⱼ/s²ⱼ`, the precision-weighted grand mean `x̃`, and
+    * `hⱼ = (1−wⱼ/Σw)²/(nⱼ−1)`; `df2 = (k²−1)/(3Σhⱼ)`.
+    *
+    * Returns ONE row: (k, n, f_w, df1, df2, p_value) — `df2` the
+    * (fractional) Welch–Satterthwaite denominator dof, the tail via
+    * Paulson's normal approximation to F (the two-sided W–H form for
+    * BOTH dofs — a fixed cbrt/sqrt/erfc expression; df2 is
+    * data-driven here, so the χ²-limit shortcut of [[leveneTest]]
+    * would overstate significance at small groups). NULL statistic
+    * when k < 2, any group has n < 2, or any group variance is 0
+    * (infinite precision weight).
+    *
+    * Numerics: per-group (n, Σy, Σy²) exact micro-integer moments
+    * (ONE map-side-combined aggregate); the per-group wⱼ/hⱼ terms are
+    * fixed double expressions pico-quantized and summed order-free
+    * across the k-sized table (the χ²-parts convention), finale on
+    * one row. */
+  def welchAnova(df: DataFrame, groupCol: String, metric: Column)
+      : DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(groupCol).cast("string").as("__g"),
+        metric.cast("double").as("__ym"))
+      .filter(col("__g").isNotNull && col("__ym").isNotNull &&
+        !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity))
+      .select(col("__g"),
+        floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y"))
+    val per = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n_g"),
+        sum(d19(col("__y"))).cast("decimal(28,0)").as("__sy"),
+        sum((d19(col("__y")) * d19(col("__y"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__syy"))
+    val nD = col("__n_g").cast("double")
+    val mean = dbl(col("__sy")) / (nD * 1e6)
+    // ANSI-safe: the n=1 / zero-variance groups are REPORTED (folded
+    // into __bad → NULL result), so their terms compute as 0 behind
+    // guards instead of tripping ANSI divide-by-zero in the fold
+    val variance = when(col("__n_g") >= 2,
+      (nD * dbl(col("__syy")) - dbl(col("__sy")) * dbl(col("__sy"))) /
+        (nD * greatest(nD - 1.0, lit(1.0)) * 1e12))
+    val grpOk = col("__n_g") >= 2 && variance > 0.0
+    val wgt = when(grpOk, nD / variance).otherwise(lit(0.0))
+    // quantized cross-group folds: w (pico), w·x̄ (micro·pico mix kept
+    // at 1e6 — means carry metric units), w·x̄² (1e3 — can reach w·x̄²
+    // magnitudes), plus validity flags folded as min/sum
+    def q(c: Column, s: Double): Column =
+      sum(floor(c * lit(s) + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+    val folded = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n_g")).as("__n"),
+      sum(when(col("__n_g") < 2 || variance <= 0.0, 1L).otherwise(0L))
+        .as("__bad"),
+      q(wgt, 1e6).as("__sw"),
+      q(wgt * mean, 1e6).as("__swm"),
+      q(wgt * mean * mean, 1e3).as("__swm2"))
+      .localCheckpoint(eager = false) // h-pass re-reads the same fold
+    // hⱼ needs Σw, so a SECOND k-sized pass joins the 1-row fold back
+    // onto the per-group table (both tiny; the corpus is not re-read)
+    val withTot = per.crossJoin(broadcast(
+      folded.select(col("__sw"), col("k"), col("__n"), col("__bad"),
+        col("__swm"), col("__swm2"))))
+    val swD = dbl(col("__sw")) / 1e6
+    val h = when(grpOk && swD > 0.0, {
+      val frac = lit(1.0) - wgt / swD
+      frac * frac / greatest(nD - 1.0, lit(1.0))
+    }).otherwise(lit(0.0))
+    val out = withTot.agg(
+      max(col("k")).as("k"), max(col("__n")).as("n"),
+      max(col("__bad")).as("__bad"),
+      max(col("__sw")).as("__sw"), max(col("__swm")).as("__swm"),
+      max(col("__swm2")).as("__swm2"),
+      q(h, 1e9).as("__sh"))
+    val kD = col("k").cast("double")
+    val sw = dbl(col("__sw")) / 1e6
+    val swm = dbl(col("__swm")) / 1e6
+    val swm2 = dbl(col("__swm2")) / 1e3
+    val sh = dbl(col("__sh")) / 1e9
+    // Σwⱼ(x̄ⱼ−x̃)² = Σw·x̄² − (Σw·x̄)²/Σw (x̃ = Σw·x̄/Σw folded in)
+    val between = swm2 - swm * swm / sw
+    val fW = (between / (kD - 1.0)) /
+      (lit(1.0) + lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) * sh)
+    val df2 = (kD * kD - 1.0) / (lit(3.0) * sh)
+    // Paulson's normal approximation to the F tail (W–H on both dofs)
+    val df1 = kD - 1.0
+    val f13 = cbrt(fW)
+    val z = ((lit(1.0) - lit(2.0) / (lit(9.0) * df2)) * f13 -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * df1))) /
+      sqrt(lit(2.0) / (lit(9.0) * df1) + f13 * f13 * lit(2.0) /
+        (lit(9.0) * df2))
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val p = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    // __sh > 0 also guards the df2 division: h pico-quantizes to 0
+    // only past ~2e9 rows PER GROUP (where Welch ≈ classic anyway)
+    val valid = col("k") > 1 && col("__bad") === 0 && col("__sh") > 0
+    out.select(col("k"), col("n"),
+      when(valid, fW).as("f_w"),
+      (col("k") - 1).cast("long").as("df1"),
+      when(valid, df2).as("df2"),
+      when(valid, p).as("p_value"))
+  }
+
+  /** Inverse-probability-weighted (Hajek) treatment-effect estimate —
+    * the observational-data sibling of [[abTest]]/[[cuped]]: given a
+    * PROPENSITY column `e(x) = P(treated | x)` (from
+    * [[graft.operators.Classifier]] or any upstream model), reweight
+    * each arm to the full population (`1/e` treated, `1/(1−e)`
+    * control), stabilized by the marginal treatment rate and CLIPPED
+    * to `[clipLo, clipHi]` (the standard positivity guard — extreme
+    * propensities otherwise hand one row the estimate). Returns ONE
+    * row: (n_treated, n_control, clipped_frac, mean_treated,
+    * mean_control, ate, se, ess_treated, ess_control) — Hajek
+    * (weight-normalized) arm means, their difference, the
+    * linearization SE `√(Σw²(y−μ)²/(Σw)² per arm, summed)`, and
+    * Kish effective sample sizes `(Σw)²/Σw²` (the overlap
+    * diagnostic: ESS ≪ n means the weights concentrated).
+    *
+    * This estimates the ATE under unconfoundedness given e(x) — a
+    * modeling assumption the operator cannot check; `clipped_frac`
+    * and the ESS columns are the honesty report that travels with
+    * the number.
+    *
+    * Numerics: per-row weights are fixed double expressions;
+    * Σw, Σwy, Σwy², Σw² fold pico-quantized per arm in ONE map-side-
+    * combined aggregate; the finale is fixed arithmetic on that row.
+    * Scale: one corpus aggregate, nothing else moves. */
+  def ipwAte(df: DataFrame, treated: Column, outcome: Column,
+      propensity: Column, clipLo: Double = 0.01, clipHi: Double = 0.99)
+      : DataFrame = {
+    require(clipLo > 0.0 && clipHi < 1.0 && clipLo < clipHi,
+      s"clip bounds must satisfy 0 < lo < hi < 1, got [$clipLo, $clipHi]")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(treated.cast("boolean").as("__t"),
+        outcome.cast("double").as("__ym"),
+        propensity.cast("double").as("__e0"))
+      .filter(col("__t").isNotNull && col("__ym").isNotNull &&
+        !isnan(col("__ym")) &&
+        abs(col("__ym")) < lit(Double.PositiveInfinity) &&
+        col("__e0").isNotNull && !isnan(col("__e0")) &&
+        col("__e0") > 0.0 && col("__e0") < 1.0)
+    val e = least(greatest(col("__e0"), lit(clipLo)), lit(clipHi))
+    val w = when(col("__t"), lit(1.0) / e)
+      .otherwise(lit(1.0) / (lit(1.0) - e))
+    def q(c: Column, s: Double): Column =
+      sum(floor(c * lit(s) + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+    def armQ(t: Boolean, c: Column, s: Double, name: String): Column =
+      q(when(col("__t") === t, c).otherwise(lit(0.0)), s).as(name)
+    val agg = base.select(col("__t"), col("__ym"), w.as("__w"),
+        (col("__e0") =!= e).as("__clipped"))
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("__clipped"), 1L).otherwise(0L)).as("__ncl"),
+        armQ(t = true, col("__w"), 1e9, "__swt"),
+        armQ(t = false, col("__w"), 1e9, "__swc"),
+        armQ(t = true, col("__w") * col("__ym"), 1e6, "__swyt"),
+        armQ(t = false, col("__w") * col("__ym"), 1e6, "__swyc"),
+        armQ(t = true, col("__w") * col("__w"), 1e6, "__sw2t"),
+        armQ(t = false, col("__w") * col("__w"), 1e6, "__sw2c"),
+        armQ(t = true, col("__w") * col("__w") * col("__ym"), 1e3,
+          "__sw2yt"),
+        armQ(t = false, col("__w") * col("__w") * col("__ym"), 1e3,
+          "__sw2yc"),
+        armQ(t = true, col("__w") * col("__w") * col("__ym") * col("__ym"),
+          1.0, "__sw2yyt"),
+        armQ(t = false, col("__w") * col("__w") * col("__ym") * col("__ym"),
+          1.0, "__sw2yyc"))
+    def arm(sw: Column, swy: Column, sw2: Column, sw2y: Column,
+        sw2yy: Column): (Column, Column, Column) = {
+      val swD = dbl(sw) / 1e9
+      val mu = (dbl(swy) / 1e6) / swD
+      // Hajek linearization: Var(μ̂) ≈ Σw²(y−μ)²/(Σw)², the w² moments
+      // folded exactly: Σw²y² − 2μΣw²y + μ²Σw²
+      val varSum = dbl(sw2yy) - mu * (dbl(sw2y) / 1e3) * 2.0 +
+        mu * mu * (dbl(sw2) / 1e6)
+      val ess = swD * swD / (dbl(sw2) / 1e6)
+      (mu, greatest(varSum, lit(0.0)) / (swD * swD), ess)
+    }
+    val (mt, vt, essT) = arm(col("__swt"), col("__swyt"),
+      col("__sw2t"), col("__sw2yt"), col("__sw2yyt"))
+    val (mc, vc, essC) = arm(col("__swc"), col("__swyc"),
+      col("__sw2c"), col("__sw2yc"), col("__sw2yyc"))
+    val valid = col("nt") > 0 && col("nc") > 0
+    agg.select(col("nt").as("n_treated"), col("nc").as("n_control"),
+      (col("__ncl").cast("double") /
+        (col("nt") + col("nc")).cast("double")).as("clipped_frac"),
+      when(valid, mt).as("mean_treated"),
+      when(valid, mc).as("mean_control"),
+      when(valid, mt - mc).as("ate"),
+      when(valid, sqrt(vt + vc)).as("se"),
+      when(valid, essT).as("ess_treated"),
+      when(valid, essC).as("ess_control"))
+  }
 }

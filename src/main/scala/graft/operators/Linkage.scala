@@ -345,4 +345,61 @@ object Linkage {
         abs(datediff(col("b.__day"), col("a.__day"))).cast("long")
           .as("gap_days"))
   }
+
+  /** Phonetic blocking join — the sound-alike complement to
+    * [[editJoin]] (one typo) and [[sortedNeighborhoodPairs]] (near in
+    * sort order): candidate pairs share a Soundex code (Spark's
+    * codegen'd `soundex` — the classic American-English phonetic key:
+    * "Smith"/"Smyth", "Robert"/"Rupert" block together while one-letter
+    * lookalikes with different sounds do not), then verify with one
+    * exact `levenshtein` call, keeping pairs within `maxDist`.
+    *
+    * Returns (id_a, id_b, key_a, key_b, block, dist) with id_a < id_b —
+    * `block` the shared phonetic code, `dist` the verified edit
+    * distance. Keys are phonetic-normalized only for BLOCKING; the
+    * verify runs on the raw key text.
+    *
+    * 100 TB shape: one phonetic-key shuffle (16 B codes), within-block
+    * self-join, per-candidate codegen verify — never row×row. Soundex
+    * collapses aggressively (all codes are letter+3 digits), so
+    * degenerate blocks are dropped by the shared
+    * [[graft.operators.Dedup.capBuckets]] skew guard (`maxBlock`) —
+    * the recall/cost dial every blocking join here exposes; a dropped
+    * block is a REVIEW signal (that key text is too common to link
+    * phonetically), not silence, when `auditBlocks` is used. */
+  def phoneticJoin(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int = 2, maxBlock: Int = 256): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = df
+      .filter(col(idCol).isNotNull && col(keyCol).isNotNull &&
+        length(trim(col(keyCol))) > 0)
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"),
+        soundex(upper(trim(col(keyCol)))).as("__blk"))
+    val pruned = graft.operators.Dedup.capBuckets(
+      base, Seq("__blk"), maxBlock)
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .withColumn("dist",
+        levenshtein(col("a.__k"), col("b.__k")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__k").as("key_a"), col("b.__k").as("key_b"),
+        col("a.__blk").as("block"), col("dist"))
+  }
+
+  /** Block-size audit for [[phoneticJoin]]: one row per phonetic block
+    * with its member count and whether the join would skip it
+    * (`oversized` past `maxBlock`, `singleton` below pairing size) —
+    * the coverage report that makes the skew guard's drops visible. */
+  def phoneticBlockAudit(df: DataFrame, idCol: String, keyCol: String,
+      maxBlock: Int = 256): DataFrame =
+    df.filter(col(idCol).isNotNull && col(keyCol).isNotNull &&
+        length(trim(col(keyCol))) > 0)
+      .groupBy(soundex(upper(trim(col(keyCol)))).as("block"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("n_distinct_keys"))
+      .select(col("block"), col("n"), col("n_distinct_keys"),
+        (col("n") > maxBlock).as("oversized"),
+        (col("n") < 2).as("singleton"))
 }

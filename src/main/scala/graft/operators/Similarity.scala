@@ -751,4 +751,114 @@ object Similarity {
       "component/mean dimensions inconsistent")
     PcaModel(ordered.map(_._2), mean, ordered.map(_._3))
   }
+
+  /** DETERMINISTIC full-corpus Lloyd refinement — the audit-grade
+    * k-means this library's sketch-fit path ([[ivfFit]]: Spark ML on a
+    * capped sample, float-order-dependent) deliberately is not: a
+    * curation pipeline that SAMPLES BY CLUSTER (cluster-balanced
+    * mixing, SemDeDup-style mode trimming) needs assignments that
+    * reproduce bit-identically across runs and partitionings, or every
+    * re-run re-shuffles the training mix.
+    *
+    * Init: the `k` rows with the smallest `xxhash64(id, seed)` (a
+    * seeded distributed order statistic — deterministic "random" rows,
+    * no driver pass). Each Lloyd iteration is (a) the per-row
+    * nearest-centroid expression [[cellOf]] against the CURRENT
+    * centers as literals — no shuffle, and (b) ONE
+    * `posexplode`-postings aggregate of micro-quantized (1e-6)
+    * coordinate sums per (cell, dim) — exact decimals, order-free —
+    * collected (k·dim rows, model-sized) and descaled into the next
+    * centers on the driver. An emptied cell keeps its previous center
+    * (the standard degenerate-cell rule, deterministic here).
+    * `iters` is FIXED — no data-dependent stopping, one arithmetic
+    * sequence.
+    *
+    * Returns the cluster profile: one row per cell — (cell, n,
+    * mean_dist, max_dist) against the FINAL centers ([[diversity]]'s
+    * read-out, now on reproducible clusters). Compose with
+    * [[ivfAssign]]`(df, idCol, embCol, finalCenters)` for the
+    * assignment table; the centers come back via `kmeansFit`.
+    *
+    * Scale: `iters` passes over the corpus, each one map-side-combined
+    * aggregate of k·dim decimal sums; nothing corpus-sized ever
+    * reaches the driver. */
+  def kmeansProfile(embDf: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 4, seed: Long = 42L): DataFrame = {
+    val centers = kmeansFit(embDf, idCol, embCol, k, iters, seed)
+    diversityPreassigned(embDf, embCol, centers)
+  }
+
+  /** The fit side of [[kmeansProfile]]: final centers after `iters`
+    * deterministic Lloyd rounds. */
+  def kmeansFit(embDf: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 4, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in [1,64], got $iters")
+    val base = embDf
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("__emb"))
+      .localCheckpoint(eager = false) // scanned once per Lloyd round
+    // seeded order-statistic init: k distinct-hash rows, ties broken by
+    // id — one TakeOrderedAndProject, never a full sort
+    val init = base
+      .select(col("__id"), col("__emb"),
+        xxhash64(col("__id"), lit(seed)).as("__h"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(k)
+      .select(col("__emb")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(init.size == k,
+      s"corpus has only ${init.size} rows for k=$k clusters")
+    var centers = init
+    var it = 0
+    while (it < iters) {
+      val dim = centers.head.length
+      val assigned = base.select(
+        cellOf(col("__emb"), centers).as("__cell"),
+        col("__emb"))
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__emb"))
+          .as(Seq("__dim", "__x")))
+        .groupBy(col("__cell"), col("__dim"))
+        .agg(count(lit(1)).as("__n"),
+          sum(floor(col("__x") * 1000000.0 + 0.5).cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("__s"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centers = centers.zipWithIndex.map { case (prev, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val perDim = rows.map(r => r.getInt(1) ->
+              (r.getLong(2),
+                r.getDecimal(3).doubleValue() / 1e6)).toMap
+            (0 until dim).map { j =>
+              val (n, s) = perDim(j)
+              s / n.toDouble
+            }
+          case None => prev // emptied cell keeps its center
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** [[diversity]] against EXPLICIT centers (the [[kmeansFit]] output):
+    * per cell the member count and mean/max L2 distance. */
+  def diversityPreassigned(embDf: DataFrame, embCol: String,
+      centers: Seq[Seq[Double]]): DataFrame = {
+    val cd = cellAndDist(col(embCol).cast("array<double>"), centers)
+    embDf
+      .select(cd.getField("cell").as("cell"),
+        cd.getField("dist").as("__dist"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("__dist") * 1000000.0 + 0.5).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").cast("string").cast("double") /
+          (count(lit(1)).cast("double") * 1000000.0)).as("mean_dist"),
+        max(col("__dist")).as("max_dist"))
+      .orderBy(col("cell"))
+  }
 }

@@ -1020,4 +1020,94 @@ object TimeSeries {
           .as("mase"))
       .orderBy(col("series"))
   }
+
+  /** Croston's method for INTERMITTENT demand — the forecast family
+    * ([[ewma]], [[doubleSmoothing]]) breaks on series that are mostly
+    * zero (sparse SKUs, rare event types, long-tail error codes): a
+    * plain EWMA decays toward 0 between demands and spikes on each
+    * one. Croston (1972) smooths TWO series instead, both indexed by
+    * demand OCCURRENCES only: the nonzero demand sizes, and the
+    * inter-demand intervals (calendar days since the previous nonzero
+    * day); `forecast = size_ewma / interval_ewma` is the demand rate
+    * per day. `forecast_sba` applies the Syntetos–Boylan approximation
+    * `×(1−α/2)` correcting Croston's positive bias.
+    *
+    * Both smoothings are the exact truncated-window EWMA of [[ewma]] —
+    * exact decimal weights `α(1−α)ʲ` over the last `window`
+    * occurrences, balanced-tree decimal sums, per-row normalization by
+    * the available weight mass, ONE double division each — so the
+    * whole row is engine-bit-identical. The interval series starts at
+    * the second occurrence (the first has no predecessor), so
+    * `interval_ewma`/forecasts are NULL until then.
+    *
+    * Returns one row per DEMAND day: (series, bucket, demand,
+    * interval_days, size_ewma, interval_ewma, forecast, forecast_sba).
+    *
+    * Scale: one (series, day) aggregate over the events; the zero-day
+    * filter shrinks the table to occurrences BEFORE any window runs,
+    * and the lag stack is over the occurrences-sized table. */
+  def croston(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column, alpha: String = "0.2", window: Int = 16)
+      : DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"window must be in [1,64], got $window")
+    val a = new java.math.BigDecimal(alpha)
+    require(a.compareTo(java.math.BigDecimal.ZERO) > 0 &&
+      a.compareTo(java.math.BigDecimal.ONE) < 0,
+      s"alpha must be in (0,1), got $alpha")
+    val one = java.math.BigDecimal.ONE
+    val weights = (0 until window).map(j =>
+      a.multiply(one.subtract(a).pow(j)).stripTrailingZeros())
+    val wScale = weights.map(_.scale()).max
+    require(wScale + 6 <= 30,
+      s"alpha=$alpha over window=$window needs decimal scale " +
+        s"$wScale — too fine for exact 38-digit arithmetic")
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("bucket"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)").as("v"))
+      .filter(col("v") > 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+    val occ = dly
+      .withColumn("interval_days",
+        datediff(col("bucket"), lag(col("bucket"), 1).over(w))
+          .cast("decimal(16,6)"))
+      .localCheckpoint(eager = false) // two weighted lag stacks
+    def treeSum(cols: Seq[Column]): Column =
+      if (cols.sizeIs == 1) cols.head
+      else treeSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+    val tScale = wScale + 6
+    val zero = lit(java.math.BigDecimal.ZERO).cast(s"decimal(32,$tScale)")
+    val wZero = lit(java.math.BigDecimal.ZERO).cast(s"decimal(17,$wScale)")
+    // the [[ewma]] normalized truncated window, parameterized by the
+    // smoothed column (sizes and intervals take identical machinery)
+    def smoothed(c: Column): Column = {
+      val num = treeSum((0 until window).map { j =>
+        coalesce((lag(c, j).over(w) *
+          lit(weights(j)).cast(s"decimal(${wScale + 1},$wScale)"))
+          .cast(s"decimal(32,$tScale)"), zero)
+      })
+      val den = treeSum((0 until window).map { j =>
+        coalesce(when(lag(c, j).over(w).isNotNull,
+          lit(weights(j)).cast(s"decimal(${wScale + 1},$wScale)"))
+          .cast(s"decimal(17,$wScale)"), wZero)
+      })
+      when(den > 0, num.cast("string").cast("double") /
+        den.cast("string").cast("double"))
+    }
+    val sba = one.subtract(
+      a.divide(new java.math.BigDecimal(2))).doubleValue()
+    occ
+      .withColumn("size_ewma", smoothed(col("v")))
+      .withColumn("interval_ewma", smoothed(col("interval_days")))
+      .select(col("series"), col("bucket"),
+        col("v").cast("string").cast("double").as("demand"),
+        col("interval_days").cast("long").as("interval_days"),
+        col("size_ewma"), col("interval_ewma"),
+        when(col("interval_ewma") > 0,
+          col("size_ewma") / col("interval_ewma")).as("forecast"),
+        when(col("interval_ewma") > 0,
+          col("size_ewma") / col("interval_ewma") * lit(sba))
+          .as("forecast_sba"))
+  }
 }

@@ -850,6 +850,161 @@ object MicroBatch {
       iterations, maxVariants)
   }
 
+  /** The additive Gram-sum columns of a d-feature OLS state: exactly
+    * [[graft.operators.Regression.gramSums]]'s aggregate, made a
+    * segment-log schema — micro-quantized moments are integers, so
+    * the cross-batch fold is EXACT and the streamed state equals the
+    * batch aggregate on the union of all batches bit-for-bit. */
+  private def gramSumsSpec(d: Int): Seq[(String, String)] =
+    (Seq("__n" -> "bigint") ++
+      (0 until d).map(j => s"__sx$j" -> "decimal(38,0)") ++
+      (for (j <- 0 until d; k <- j until d)
+        yield s"__sxx_${j}_$k" -> "decimal(38,0)") ++
+      Seq("__sy" -> "decimal(38,0)") ++
+      (0 until d).map(j => s"__sxy$j" -> "decimal(38,0)") ++
+      Seq("__syy" -> "decimal(38,0)"))
+
+  /** Streaming per-group OLS maintenance — a LIVE regression without
+    * re-reading history: each micro-batch folds its O(d²) exact Gram
+    * sums per group (micro-quantized integers — the
+    * [[graft.operators.Regression.linearFit]] moments) additively
+    * through the manifest-committed segment log; the model itself is
+    * only ever solved at READ time ([[readLinearFit]]), so per-batch
+    * cost is one map-side-combined aggregate and an O(touched groups)
+    * delta write. The use case is the continuously-calibrated scorer:
+    * `quality ~ signals` per language/source, current after every
+    * batch, with the fit guaranteed to equal the batch fit on the
+    * union of all batches (same moments, same solver). */
+  def streamGramFit(stream: DataFrame, dir: String, groupCol: String,
+      target: Column, features: Seq[Column],
+      cfg: IngestConfig = IngestConfig(), compactEvery: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(features.nonEmpty && features.size <= 32,
+      s"streamGramFit needs 1..32 features, got ${features.size}")
+    val d = features.size
+    val w = stream.writeStream
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val finite = (c: Column) =>
+          c.isNotNull && !isnan(c) && abs(c) < lit(Double.PositiveInfinity)
+        val named = batch.select(
+          (col(groupCol).cast("string").as("__g") +:
+            target.cast("double").as("__ym") +:
+            features.zipWithIndex.map { case (c, j) =>
+              c.cast("double").as(s"__xm$j") }): _*)
+        val quant = named
+          .filter((0 until d).map(j => finite(col(s"__xm$j")))
+            .foldLeft(col("__g").isNotNull && finite(col("__ym")))(_ && _))
+          .select((col("__g") +:
+            floor(col("__ym") * 1000000.0 + 0.5).cast("long").as("__y") +:
+            (0 until d).map(j => floor(col(s"__xm$j") * 1000000.0 + 0.5)
+              .cast("long").as(s"__x$j"))): _*)
+        def d19(c: Column): Column = c.cast("decimal(19,0)")
+        def crossSum(a: Column, b: Column): Column =
+          sum((d19(a) * d19(b)).cast("decimal(38,0)")).cast("decimal(38,0)")
+        val sums: Seq[Column] =
+          Seq(count(lit(1)).as("__n")) ++
+          (0 until d).map(j => sum(d19(col(s"__x$j")))
+            .cast("decimal(38,0)").as(s"__sx$j")) ++
+          (for (j <- 0 until d; k <- j until d) yield
+            crossSum(col(s"__x$j"), col(s"__x$k")).as(s"__sxx_${j}_$k")) ++
+          Seq(sum(d19(col("__y"))).cast("decimal(38,0)").as("__sy")) ++
+          (0 until d).map(j =>
+            crossSum(col(s"__x$j"), col("__y")).as(s"__sxy$j")) ++
+          Seq(crossSum(col("__y"), col("__y")).as("__syy"))
+        val delta = quant.groupBy(col("__g"))
+          .agg(sums.head, sums.tail: _*)
+        foldSegments(Seq(SegPart("", Seq("__g"), gramSumsSpec(d)) -> delta),
+          batchId, dir, compactEvery, maxStateRows = None)
+      }
+    if (cfg.checkpointDir.nonEmpty)
+      w.option("checkpointLocation", cfg.checkpointDir) else w
+  }
+
+  /** The current per-group OLS fit of a [[streamGramFit]] directory:
+    * the maintained Gram state loads (group-cardinality-sized, bounded
+    * by `maxGroups` — the collect is `limit(maxGroups+1)`-capped
+    * in-plan, so an accidentally per-item-keyed state can never flood
+    * the driver) and each group solves through EXACTLY the batch
+    * machinery ([[graft.operators.Regression.solveWithInverse]] on the
+    * descaled moments), so live and batch coefficients cannot diverge.
+    * Returns one row per (group, term): (group, term, coef, std_err,
+    * t_stat, r2, n, df_resid) — singular groups carry NULLs, the batch
+    * contract. */
+  def readLinearFit(spark: SparkSession, dir: String,
+      featureNames: Seq[String], maxGroups: Int = 500): DataFrame = {
+    import graft.operators.Regression
+    val d = featureNames.size
+    val rows = currentSegState(spark, dir, "", gramSumsSpec(d), "gram-fit")
+      .orderBy(col("__g"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(rows.length <= maxGroups,
+      s"more than maxGroups=$maxGroups groups in the Gram state under " +
+        s"$dir — a per-item group key is a misuse of a model fit")
+    val p = d + 1
+    val M = 1e6
+    val out = rows.toSeq.flatMap { r =>
+      val g = r.getString(r.fieldIndex("__g"))
+      val n = r.getLong(r.fieldIndex("__n"))
+      def dec(name: String): Double = {
+        val v = r.get(r.fieldIndex(name))
+        if (v == null) 0.0
+        else v.asInstanceOf[java.math.BigDecimal].doubleValue()
+      }
+      val a = Array.ofDim[Double](p, p)
+      val b = new Array[Double](p)
+      a(0)(0) = n.toDouble
+      for (j <- 0 until d) {
+        a(0)(j + 1) = dec(s"__sx$j") / M
+        a(j + 1)(0) = a(0)(j + 1)
+      }
+      for (j <- 0 until d; k <- j until d) {
+        a(j + 1)(k + 1) = dec(s"__sxx_${j}_$k") / (M * M)
+        a(k + 1)(j + 1) = a(j + 1)(k + 1)
+      }
+      b(0) = dec("__sy") / M
+      for (j <- 0 until d) b(j + 1) = dec(s"__sxy$j") / (M * M)
+      val syy = dec("__syy") / (M * M)
+      val terms = "intercept" +: featureNames
+      Regression.solveWithInverse(a, b) match {
+        case None => terms.map(t => org.apache.spark.sql.Row(
+          g, t, null, null, null, null, n, null))
+        case Some((coef, inv)) =>
+          val gs = Regression.GramSums(n, a, b, syy)
+          val ssr = Regression.ssrOf(gs, coef)
+          val sst = math.max(0.0, syy - b(0) * b(0) / n.toDouble)
+          val r2: Any = if (sst == 0.0) null else 1.0 - ssr / sst
+          val dfResid = n - p
+          val sigma2 =
+            if (dfResid > 0) ssr / dfResid.toDouble else Double.NaN
+          terms.zipWithIndex.map { case (t, j) =>
+            val se: Any =
+              if (dfResid <= 0 || inv(j)(j) < 0.0) null
+              else math.sqrt(sigma2 * inv(j)(j))
+            val tStat: Any = se match {
+              case s: Double if s > 0.0 => coef(j) / s
+              case _ => null
+            }
+            org.apache.spark.sql.Row(g, t, coef(j), se, tStat, r2, n,
+              if (dfResid > 0) dfResid else null)
+          }
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("group", StringType, nullable = false),
+      StructField("term", StringType, nullable = false),
+      StructField("coef", DoubleType, nullable = true),
+      StructField("std_err", DoubleType, nullable = true),
+      StructField("t_stat", DoubleType, nullable = true),
+      StructField("r2", DoubleType, nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("df_resid", LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Top contributors from a [[streamKeySums]] directory: the k largest
     * totals (exact decimals, ties to the smaller key), each with its
     * share of the grand total — TakeOrderedAndProject over the

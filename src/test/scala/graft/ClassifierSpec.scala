@@ -473,4 +473,79 @@ class ClassifierSpec extends SparkTestBase {
       .orderBy("id").collect()
     assert(re.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
+
+  test("plattCalibrate: the two-point fixture fits the smoothed " +
+      "frequencies exactly (a = ln 2.5, b = 0); one-class input " +
+      "refuses with NULLs; partitioning-invariant") {
+    // 5 rows at s = −1 (1 pos) and 5 at s = +1 (4 pos): two free
+    // parameters interpolate the two smoothed means 2/7 and 5/7, so
+    // σ(a+b) = 5/7 and σ(−a+b) = 2/7 ⇒ a = ln(5/2), b = 0
+    val rows = (0 until 5).map(i => (-1.0, i == 0)) ++
+      (0 until 5).map(i => (1.0, i != 0))
+    val df = rows.toDF("s", "y")
+    val got = Classifier.plattCalibrate(df, $"s", $"y").head()
+    assert(got.getLong(0) == 5 && got.getLong(1) == 5)
+    assert(math.abs(got.getDouble(2) - math.log(2.5)) < 1e-6,
+      s"a = ${got.getDouble(2)}")
+    assert(math.abs(got.getDouble(3)) < 1e-6, s"b = ${got.getDouble(3)}")
+    assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 1.0)
+    val oneClass = Classifier.plattCalibrate(
+      df.filter($"y"), $"s", $"y").head()
+    assert(oneClass.isNullAt(2) && oneClass.isNullAt(3))
+    val re = Classifier.plattCalibrate(df.repartition(7), $"s", $"y")
+      .head()
+    assert(re.getDouble(2) == got.getDouble(2) &&
+      re.getDouble(3) == got.getDouble(3) &&
+      re.getDouble(4) == got.getDouble(4))
+  }
+
+  test("cronbachAlpha: duplicated items give alpha = 1; incomplete " +
+      "respondents are excluded and counted; partitioning-invariant") {
+    // two identical items → totals have exactly double the item
+    // variance structure → α = 2·(1 − (v+v)/(4v)) = 1
+    val rows = (1 to 4).flatMap(r => Seq(
+      (s"r$r", "i1", r.toDouble), (s"r$r", "i2", r.toDouble)))
+    val df = rows.toDF("resp", "item", "s")
+    val got = Classifier.cronbachAlpha(df, "resp", "item", $"s").head()
+    assert(got.getLong(0) == 2 && got.getLong(1) == 4 &&
+      got.getLong(2) == 0)
+    assert(math.abs(got.getDouble(3) - 1.0) < 1e-6,
+      s"alpha=${got.getDouble(3)}")
+    // item variance of {1,2,3,4} = 5/3 each; total var = 20/3
+    assert(math.abs(got.getDouble(4) - 10.0 / 3.0) < 1e-3)
+    assert(math.abs(got.getDouble(5) - 20.0 / 3.0) < 1e-3)
+    val withBad = df.unionByName(
+      Seq(("r9", "i1", 2.0)).toDF("resp", "item", "s"))
+    val g2 = Classifier.cronbachAlpha(withBad, "resp", "item", $"s")
+      .head()
+    assert(g2.getLong(1) == 4 && g2.getLong(2) == 1)
+    assert(g2.getDouble(3) == got.getDouble(3))
+    val rep = Classifier.cronbachAlpha(df.repartition(5), "resp",
+      "item", $"s").head()
+    assert(rep.getDouble(3) == got.getDouble(3))
+  }
+
+  test("iccOneWay: zero within-variance gives ICC = 1; identical " +
+      "targets with internal spread give ICC = −1; unbalanced " +
+      "targets are excluded; partitioning-invariant") {
+    val perfect = Seq(("t1", 1.0), ("t1", 1.0), ("t2", 5.0),
+      ("t2", 5.0), ("t3", 9.0), ("t3", 9.0)).toDF("t", "s")
+    val got = Classifier.iccOneWay(perfect, "t", $"s", 2).head()
+    assert(got.getLong(0) == 2 && got.getLong(1) == 3 &&
+      got.getLong(2) == 0)
+    assert(math.abs(got.getDouble(5) - 1.0) < 1e-6)
+    assert(got.getDouble(4) == 0.0, "MSW = 0 at perfect agreement")
+    val pure = Seq(("t1", 1.0), ("t1", 2.0), ("t2", 1.0), ("t2", 2.0))
+      .toDF("t", "s")
+    val g2 = Classifier.iccOneWay(pure, "t", $"s", 2).head()
+    assert(math.abs(g2.getDouble(5) + 1.0) < 1e-6,
+      s"icc=${g2.getDouble(5)}")
+    val withBad = perfect.unionByName(Seq(("t9", 3.0)).toDF("t", "s"))
+    val g3 = Classifier.iccOneWay(withBad, "t", $"s", 2).head()
+    assert(g3.getLong(1) == 3 && g3.getLong(2) == 1)
+    assert(g3.getDouble(5) == got.getDouble(5))
+    val rep = Classifier.iccOneWay(perfect.repartition(5), "t", $"s", 2)
+      .head()
+    assert(rep.getDouble(5) == got.getDouble(5))
+  }
 }

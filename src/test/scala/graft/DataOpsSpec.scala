@@ -1912,4 +1912,282 @@ class DataOpsSpec extends SparkTestBase {
         r.getDouble(4), r.getBoolean(5)))
     assert(re.toSeq === got.toSeq)
   }
+
+  test("linearFit: exact plane recovered with r2 = 1 and zero std_err; " +
+      "single-feature slope matches the closed form; collinear " +
+      "features refuse with NULLs; partitioning-invariant") {
+    import graft.operators.Regression
+    // y = 2 + 3x1 − 0.5x2, exact (values at micro-grid)
+    val plane = (1 to 40).map { i =>
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 5).toDouble * 2.0
+      (2.0 + 3.0 * x1 - 0.5 * x2, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val fit = Regression.linearFit(plane, col("y"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .orderBy("term").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(fit("intercept") - 2.0) < 1e-6)
+    assert(math.abs(fit("x1") - 3.0) < 1e-6)
+    assert(math.abs(fit("x2") + 0.5) < 1e-6)
+    val r2 = Regression.linearFit(plane, col("y"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .filter(col("term") === "intercept").head()
+    assert(math.abs(r2.getDouble(4) - 1.0) < 1e-9, "perfect fit r2")
+    assert(r2.getDouble(2) == 0.0, "zero residual → zero std_err")
+    // noisy single feature: slope must equal the closed form over the
+    // same micro-quantized values
+    val noisy = (1 to 30).map { i =>
+      val x = i.toDouble
+      (x * 1.5 + ((i * 13) % 7).toDouble, x)
+    }
+    val (sx, sy) = (noisy.map(_._2).sum, noisy.map(_._1).sum)
+    val sxx = noisy.map(t => t._2 * t._2).sum
+    val sxy = noisy.map(t => t._1 * t._2).sum
+    val n = noisy.size.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val one = Regression.linearFit(noisy.toDF("y", "x"), col("y"),
+      Seq("x" -> col("x")))
+      .filter(col("term") === "x").head()
+    assert(math.abs(one.getDouble(1) - slope) < 1e-9)
+    assert(one.getDouble(3) != 0.0, "t-stat present on noisy fit")
+    // collinear: x2 = 2·x1 → singular → NULL coefficients
+    val sing = (1 to 20).map(i =>
+      (i.toDouble, i.toDouble, 2.0 * i)).toDF("y", "x1", "x2")
+    val s = Regression.linearFit(sing, col("y"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2"))).collect()
+    assert(s.forall(_.isNullAt(1)), "collinear fit must refuse")
+    // partitioning invariance
+    val rep = Regression.linearFit(plane.repartition(13), col("y"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val base = Regression.linearFit(plane, col("y"),
+      Seq("x1" -> col("x1"), "x2" -> col("x2")))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rep.toSeq === base.toSeq)
+  }
+
+  test("leveneTest: hand Brown–Forsythe W on two 3-row groups; k=1 " +
+      "refuses with NULLs; partitioning-invariant") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L),
+      ("b", 10.0, 4L), ("b", 20.0, 5L), ("b", 30.0, 6L))
+      .toDF("g", "v", "id")
+    val got = Experiment.leveneTest(df, "g", col("v"), "id").head()
+    assert(got.getLong(0) == 2 && got.getLong(1) == 6)
+    // medians 2 / 20 → z: {1,0,1} and {10,0,10} → W = 648/202
+    assert(math.abs(got.getDouble(2) - 648.0 / 202.0) < 1e-3,
+      s"w = ${got.getDouble(2)}")
+    assert(got.getLong(3) == 1 && got.getLong(4) == 4)
+    assert(!got.isNullAt(5) && got.getDouble(5) > 0.0 &&
+      got.getDouble(5) < 1.0)
+    // one group → no test
+    val k1 = Experiment.leveneTest(df.filter(col("g") === "a"), "g",
+      col("v"), "id").head()
+    assert(k1.isNullAt(2) && k1.isNullAt(5))
+    // mean-centering on these symmetric groups gives the same centers
+    val mean = Experiment.leveneTest(df, "g", col("v"), "id",
+      center = "mean").head()
+    assert(math.abs(mean.getDouble(2) - got.getDouble(2)) < 1e-3)
+    val rep = Experiment.leveneTest(df.repartition(5), "g", col("v"),
+      "id").head()
+    assert(rep.getDouble(2) == got.getDouble(2) &&
+      rep.getDouble(5) == got.getDouble(5))
+  }
+
+  test("grangerScreen: a series that exactly copies yesterday's " +
+      "driver fits the full model near-perfectly; " +
+      "partitioning-invariant") {
+    val yVals = (0 until 50).map(i => ((i * 7) % 13 + 1).toDouble)
+    // x copies yesterday's y plus a small INDEPENDENT wiggle — an exact
+    // copy would make x_{t−1} ≡ y_{t−2} and the full design singular
+    val base = (0 until 50).flatMap { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val w = ((i * 3) % 4).toDouble * 0.1
+      val x = (if (i >= 1) yVals(i - 1) else 0.0) + w
+      Seq(("y", day.toString, yVals(i)), ("x", day.toString, x))
+    }.toDF("series", "day", "v")
+      .select(col("series"), to_timestamp(col("day")).as("ts"), col("v"))
+    val got = graft.operators.Regression.grangerScreen(base, "series", "ts", col("v"),
+      "x", "y", maxLag = 2).head()
+    assert(got.getString(0) == "x" && got.getString(1) == "y")
+    assert(got.getLong(3) >= 40, s"aligned days = ${got.getLong(3)}")
+    val (rssR, rssF) = (got.getDouble(4), got.getDouble(5))
+    assert(rssF < rssR * 0.01,
+      s"y's lag explains x: rssF=$rssF rssR=$rssR")
+    assert(got.getDouble(7) < 1e-6, s"p = ${got.getDouble(7)}")
+    val rep = graft.operators.Regression.grangerScreen(base.repartition(7), "series",
+      "ts", col("v"), "x", "y", maxLag = 2).head()
+    assert(rep.getDouble(6) == got.getDouble(6) &&
+      rep.getDouble(7) == got.getDouble(7))
+  }
+
+  test("dpNoisyCounts: seeded release is deterministic and " +
+      "partitioning-invariant; noise scales as 1/ε; suppression " +
+      "drops below-threshold groups; exact count never emitted") {
+    import graft.operators.Expectations
+    val df = (1 to 300).map(i => (s"g${i % 7}", i)).toDF("g", "v")
+    val r1 = Expectations.dpNoisyCounts(df, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val r2 = Expectations.dpNoisyCounts(df.repartition(11), Seq("g"),
+      epsilon = 1.0).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(r1.toSeq === r2.toSeq, "seeded release must reproduce")
+    assert(r1.length == 7)
+    val exact = df.groupBy("g").count().orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // same u per group ⇒ noise(ε=10) = noise(ε=1)/10 exactly
+    val r10 = Expectations.dpNoisyCounts(df, Seq("g"), epsilon = 10.0)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+      .toMap
+    r1.foreach { case (g, noisy1) =>
+      val n = exact(g).toDouble
+      assert(math.abs((r10(g) - n) - (noisy1 - n) / 10.0) < 1e-9)
+      assert(noisy1 != n, s"group $g released the exact count")
+    }
+    val kept = Expectations.dpNoisyCounts(df, Seq("g"), epsilon = 1.0,
+      suppressBelow = 1e9).count()
+    assert(kept == 0, "suppression threshold must drop all groups")
+  }
+
+  test("croston: hand sizes/intervals at alpha=0.5; first occurrence " +
+      "has NULL interval smoothing; SBA factor exact; " +
+      "partitioning-invariant") {
+    val df = Seq(("s", "2024-03-01", 10.0), ("s", "2024-03-03", 20.0),
+      ("s", "2024-03-07", 30.0))
+      .toDF("series", "day", "v")
+      .select(col("series"), to_timestamp(col("day")).as("ts"), col("v"))
+    val got = TimeSeries.croston(df, "series", "ts", col("v"),
+      alpha = "0.5", window = 16).orderBy("bucket").collect()
+    assert(got.length == 3)
+    // row 0: no interval yet
+    assert(got(0).isNullAt(5) && got(0).isNullAt(6))
+    assert(math.abs(got(0).getDouble(4) - 10.0) < 1e-12)
+    // row 1: sizes (.5·20+.25·10)/.75; interval 2 alone
+    assert(math.abs(got(1).getDouble(4) - 12.5 / 0.75) < 1e-12)
+    assert(math.abs(got(1).getDouble(5) - 2.0) < 1e-12)
+    assert(math.abs(got(1).getDouble(6) - (12.5 / 0.75) / 2.0) < 1e-12)
+    // row 2: sizes (.5·30+.25·20+.125·10)/.875; intervals (.5·4+.25·2)/.75
+    val s2 = 21.25 / 0.875
+    val i2 = 2.5 / 0.75
+    assert(math.abs(got(2).getDouble(4) - s2) < 1e-12)
+    assert(math.abs(got(2).getDouble(5) - i2) < 1e-12)
+    assert(math.abs(got(2).getDouble(6) - s2 / i2) < 1e-12)
+    assert(math.abs(got(2).getDouble(7) - s2 / i2 * 0.75) < 1e-12)
+    val rep = TimeSeries.croston(df.repartition(5), "series", "ts",
+      col("v"), alpha = "0.5", window = 16).orderBy("bucket").collect()
+    assert(rep.map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
+  test("welchAnova: at k=2 the statistic is the squared Welch t with " +
+      "the same df; degenerate groups refuse with NULLs; " +
+      "partitioning-invariant") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 2.5),
+      ("b", 10.0), ("b", 14.0), ("b", 12.0), ("b", 13.0), ("b", 11.0))
+      .toDF("g", "v")
+    val anova = Experiment.welchAnova(df, "g", col("v")).head()
+    assert(anova.getLong(0) == 2 && anova.getLong(1) == 9)
+    val t = Experiment.welchTTest(df, "g", col("v"), control = "a")
+      .filter(col("variant") === "b").head()
+    val tStat = t.getDouble(t.fieldIndex("t_stat"))
+    val tDf = t.getDouble(t.fieldIndex("welch_df"))
+    assert(math.abs(anova.getDouble(2) - tStat * tStat) < 1e-3,
+      s"f_w=${anova.getDouble(2)} vs t²=${tStat * tStat}")
+    assert(math.abs(anova.getDouble(4) - tDf) < 1e-3,
+      s"df2=${anova.getDouble(4)} vs welch df=$tDf")
+    assert(anova.getDouble(5) > 0.0 && anova.getDouble(5) < 1.0)
+    // a singleton group breaks the variance weight → NULL refusal
+    val degen = Experiment.welchAnova(
+      df.unionByName(Seq(("c", 5.0)).toDF("g", "v")), "g", col("v"))
+      .head()
+    assert(degen.isNullAt(2) && degen.isNullAt(5))
+    val rep = Experiment.welchAnova(df.repartition(7), "g", col("v"))
+      .head()
+    assert(rep.getDouble(2) == anova.getDouble(2) &&
+      rep.getDouble(5) == anova.getDouble(5))
+  }
+
+  test("ipwAte: constant propensity reduces to plain arm means with " +
+      "the hand linearization SE; clipping reports its fraction; an " +
+      "empty arm refuses; partitioning-invariant") {
+    val df = Seq((true, 1.0, 0.5), (true, 2.0, 0.5), (true, 3.0, 0.5),
+      (false, 2.0, 0.5), (false, 4.0, 0.5)).toDF("t", "y", "e")
+    val got = Experiment.ipwAte(df, col("t"), col("y"), col("e")).head()
+    assert(got.getLong(0) == 3 && got.getLong(1) == 2)
+    assert(got.getDouble(2) == 0.0, "e=0.5 is never clipped")
+    assert(math.abs(got.getDouble(3) - 2.0) < 1e-6)
+    assert(math.abs(got.getDouble(4) - 3.0) < 1e-6)
+    assert(math.abs(got.getDouble(5) + 1.0) < 1e-6)
+    // w=2 both arms: Var_t = 4·Σ(y−2)²/36 = 2/9, Var_c = 4·2/16 = 1/2
+    assert(math.abs(got.getDouble(6) - math.sqrt(2.0 / 9.0 + 0.5)) < 1e-4)
+    assert(math.abs(got.getDouble(7) - 3.0) < 1e-6, "ESS = n at const w")
+    assert(math.abs(got.getDouble(8) - 2.0) < 1e-6)
+    // extreme propensity clips and is counted
+    val clip = Experiment.ipwAte(
+      Seq((true, 1.0, 0.001), (true, 2.0, 0.5), (false, 2.0, 0.5))
+        .toDF("t", "y", "e"),
+      col("t"), col("y"), col("e")).head()
+    assert(math.abs(clip.getDouble(2) - 1.0 / 3.0) < 1e-9)
+    // one empty arm → NULL estimates
+    val empty = Experiment.ipwAte(df.filter(col("t")), col("t"),
+      col("y"), col("e")).head()
+    assert(empty.isNullAt(5) && empty.isNullAt(6))
+    val rep = Experiment.ipwAte(df.repartition(5), col("t"), col("y"),
+      col("e")).head()
+    assert(rep.getDouble(5) == got.getDouble(5) &&
+      rep.getDouble(6) == got.getDouble(6))
+  }
+
+  test("wilcoxonSignedRank: hand rank sums on distinct diffs; zeros " +
+      "drop and ties correct the variance; partitioning-invariant") {
+    // diffs 1, −2, 3, 4, 5 → ranks 1..5, W⁺ = 1+3+4+5 = 13, W⁻ = 2
+    val df = Seq((2.0, 1.0), (1.0, 3.0), (4.0, 1.0), (6.0, 2.0),
+      (10.0, 5.0)).toDF("a", "b")
+    val got = Experiment.wilcoxonSignedRank(df, col("a"), col("b"))
+      .head()
+    assert(got.getLong(0) == 5 && got.getLong(1) == 0)
+    assert(got.getDouble(2) == 13.0 && got.getDouble(3) == 2.0)
+    val z = 5.5 / math.sqrt(5.0 * 6.0 * 11.0 / 24.0)
+    assert(math.abs(got.getDouble(4) - z) < 1e-9)
+    assert(got.getDouble(5) > 0.13 && got.getDouble(5) < 0.15)
+    // zeros drop; a full tie at |d|=2 takes midrank 2 everywhere and
+    // the tie term (t³−t)/48 = 0.5 shrinks σ² from 3.5 to 3
+    val tied = Seq((1.0, 1.0), (3.0, 1.0), (5.0, 3.0), (1.0, 3.0))
+      .toDF("a", "b")
+    val t = Experiment.wilcoxonSignedRank(tied, col("a"), col("b"))
+      .head()
+    assert(t.getLong(0) == 3 && t.getLong(1) == 1)
+    assert(t.getDouble(2) == 4.0 && t.getDouble(3) == 2.0)
+    assert(math.abs(t.getDouble(4) - 1.0 / math.sqrt(3.0)) < 1e-9)
+    val rep = Experiment.wilcoxonSignedRank(df.repartition(7),
+      col("a"), col("b")).head()
+    assert(rep.getDouble(4) == got.getDouble(4) &&
+      rep.getDouble(5) == got.getDouble(5))
+  }
+
+  test("friedmanTest: unanimous ordering gives the textbook Q = 8 and " +
+      "Kendall W = 1; incomplete blocks are excluded and counted; " +
+      "partitioning-invariant") {
+    val rows = (1 to 4).flatMap(b => Seq(
+      (s"b$b", "t1", 1.0 + b * 0.0), (s"b$b", "t2", 2.0),
+      (s"b$b", "t3", 3.0)))
+    val df = rows.toDF("blk", "trt", "s")
+    val got = Experiment.friedmanTest(df, "blk", "trt", col("s")).head()
+    assert(got.getLong(0) == 3 && got.getLong(1) == 4 &&
+      got.getLong(2) == 0)
+    assert(math.abs(got.getDouble(3) - 8.0) < 1e-9, s"q=${got.getDouble(3)}")
+    assert(math.abs(got.getDouble(4) - 1.0) < 1e-9)
+    assert(got.getLong(5) == 2)
+    assert(got.getDouble(6) > 0.0 && got.getDouble(6) < 0.05)
+    // a block missing one treatment drops from the rank pass
+    val withBad = df.unionByName(
+      Seq(("b9", "t1", 1.0), ("b9", "t2", 2.0)).toDF("blk", "trt", "s"))
+    val g2 = Experiment.friedmanTest(withBad, "blk", "trt", col("s"))
+      .head()
+    assert(g2.getLong(1) == 4 && g2.getLong(2) == 1)
+    assert(g2.getDouble(3) == got.getDouble(3))
+    val rep = Experiment.friedmanTest(df.repartition(7), "blk", "trt",
+      col("s")).head()
+    assert(rep.getDouble(3) == got.getDouble(3) &&
+      rep.getDouble(6) == got.getDouble(6))
+  }
 }

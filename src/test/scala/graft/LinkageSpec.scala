@@ -197,4 +197,28 @@ class LinkageSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(6)))
     assert(got.toSeq === Seq((1L, 2L, 1L)))
   }
+
+  test("phoneticJoin: sound-alike blocks pair and verify by edit " +
+      "distance; maxDist tightens; the audit reports skipped blocks") {
+    val df = Seq(("1", "Smith"), ("2", "Smyth"), ("3", "Robert"),
+      ("4", "Rupert"), ("5", "Banana")).toDF("id", "name")
+    val got = Linkage.phoneticJoin(df, "id", "name", maxDist = 3)
+      .orderBy("id_a").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    assert(got.toSeq === Seq(("1", "2", 1L), ("3", "4", 2L)))
+    val tight = Linkage.phoneticJoin(df, "id", "name", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tight.toSeq === Seq(("1", "2")))
+    // oversized block dropped by the cap, visible in the audit
+    val many = (1 to 20).map(i => (s"x$i", "Smith")) ++
+      Seq(("a", "Robert"), ("b", "Rupert"))
+    val capped = Linkage.phoneticJoin(many.toDF("id", "name"), "id",
+      "name", maxDist = 3, maxBlock = 10).collect()
+    assert(capped.forall(r => r.getString(4) != "S530"),
+      "the oversized Smith block must be skipped")
+    val audit = Linkage.phoneticBlockAudit(many.toDF("id", "name"),
+        "id", "name", maxBlock = 10)
+      .filter(col("oversized")).collect()
+    assert(audit.length == 1 && audit(0).getLong(1) == 20)
+  }
 }

@@ -179,4 +179,35 @@ class ScaleOpsSpec extends SparkTestBase {
       .collect().map(row => (row.getString(0), row.getLong(3)))
     assert(re.toSeq === got.map(t => (t._1, t._4)).toSeq)
   }
+
+  test("kmeansFit: two well-separated blobs converge to their exact " +
+      "means; the profile covers the corpus; bit-identical across " +
+      "partitionings") {
+    import graft.operators.Similarity
+    // 20 points at (0,0)+jitter and 20 at (10,10)+jitter, micro-exact
+    val pts = (0 until 40).map { i =>
+      val basePt = if (i < 20) 0.0 else 10.0
+      val j1 = ((i * 7) % 5).toDouble * 0.01
+      val j2 = ((i * 11) % 5).toDouble * 0.01
+      (i.toLong, Seq(basePt + j1, basePt + j2))
+    }.toDF("id", "emb")
+    val centers = Similarity.kmeansFit(pts, "id", "emb", k = 2,
+      iters = 3)
+    assert(centers.length == 2)
+    val sorted = centers.sortBy(_.head)
+    // exact cluster means of the jitter grid
+    def meanOf(lo: Int, hi: Int, f: Int => Double): Double =
+      (lo until hi).map(f).sum / 20.0
+    assert(math.abs(sorted(0)(0) -
+      meanOf(0, 20, i => ((i * 7) % 5) * 0.01)) < 1e-9)
+    assert(math.abs(sorted(1)(0) -
+      (10.0 + meanOf(20, 40, i => ((i * 7) % 5) * 0.01))) < 1e-9)
+    val profile = Similarity.kmeansProfile(pts, "id", "emb", k = 2,
+      iters = 3).collect()
+    assert(profile.map(_.getLong(1)).sum == 40)
+    assert(profile.forall(_.getDouble(3) < 1.0), "tight clusters")
+    val re = Similarity.kmeansFit(pts.repartition(7), "id", "emb",
+      k = 2, iters = 3)
+    assert(re == centers, "Lloyd refinement must be deterministic")
+  }
 }

@@ -1110,6 +1110,59 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamGramFit: the streamed per-group OLS equals the batch " +
+      "linearFit on the union; restart is a no-op; maxGroups guards " +
+      "the read collect") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_strgram")
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/gram", s"$root/ckpt")
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 5).toDouble
+      // distinct planes per group plus deterministic noise
+      val y = (if (g == "a") 1.0 + 2.0 * x1 - x2 else 5.0 - x1 + 0.5 * x2) +
+        ((i * 13) % 3).toDouble * 0.1
+      (g, y, x1, x2)
+    }
+    mk(0, 40).toDF("g", "y", "x1", "x2").coalesce(1).write.parquet(srcDir)
+    mk(40, 80).toDF("g", "y", "x1", "x2").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = MicroBatch.streamGramFit(stream, outDir, "g", col("y"),
+          Seq(col("x1"), col("x2")),
+          MicroBatch.IngestConfig(checkpointDir = ckpt, triggerMillis = 0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val streamed = MicroBatch.readLinearFit(spark, outDir,
+        Seq("x1", "x2"))
+      .orderBy("group", "term").collect().map(_.toSeq)
+    // batch fit per group over the SAME union
+    val union = mk(0, 80).toDF("g", "y", "x1", "x2")
+    val batch = Seq("a", "b").flatMap { g =>
+      graft.operators.Regression.linearFit(
+          union.filter(col("g") === g), col("y"),
+          Seq("x1" -> col("x1"), "x2" -> col("x2")))
+        .collect().map(r => Seq(g) ++ r.toSeq)
+    }.sortBy(s => (s(0).toString, s(1).toString))
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed Gram state must reproduce the batch fit bit-for-bit")
+    run() // restart replays nothing
+    val again = MicroBatch.readLinearFit(spark, outDir, Seq("x1", "x2"))
+      .orderBy("group", "term").collect().map(_.toSeq)
+    assert(again.toSeq === streamed.toSeq)
+    intercept[IllegalArgumentException] {
+      MicroBatch.readLinearFit(spark, outDir, Seq("x1", "x2"),
+        maxGroups = 1)
+    }
+  }
+
   test("readConcentration over streamed value counts: hand HHI and " +
       "top share from additive exact counts") {
     import org.apache.spark.sql.functions._
