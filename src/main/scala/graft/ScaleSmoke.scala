@@ -314,7 +314,8 @@ object ScaleSmoke {
     "q364_platt", "q365_dp_release", "q366_phonetic_join",
     "q367_kmeans", "q368_croston", "q369_granger",
     "q370_welch_anova", "q371_ipw", "str372_stream_linear_fit",
-    "q373_wilcoxon", "q374_friedman", "q375_cronbach", "q376_icc")
+    "q373_wilcoxon", "q374_friedman", "q375_cronbach", "q376_icc",
+    "q377_cox", "q378_paired_t")
 
   private def runOne(spark: SparkSession, name: String, dir: String)
       : (Double, Int, Int) = {

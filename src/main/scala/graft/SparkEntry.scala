@@ -3945,6 +3945,31 @@ object SparkEntry {
       operators.Classifier.iccOneWay(long, "ok", col("s"), 2)
     }),
 
+    // Cox proportional hazards on days-to-ship: Breslow risk sets as
+    // reverse cumulatives over the distinct-duration table, quantized
+    // exp-weighted moments, fixed Newton iterations, driver solve.
+    "q377_cox" -> ((s, d) => {
+      val joined = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate"))
+            .as("days"),
+          (col("l_linestatus") === "F").as("done"),
+          (col("l_quantity") / 10.0).as("qty"),
+          (col("l_discount") * 10.0).as("disc"))
+        .filter(col("days") >= 0)
+      operators.Survival.coxPh(joined, "days", col("done"),
+        Seq("qty" -> col("qty"), "disc" -> col("disc")))
+        .orderBy(col("term"))
+    }),
+
+    // Paired t-test on the same discounted-vs-list pairing as the
+    // Wilcoxon gate: exact difference moments, one aggregate.
+    "q378_paired_t" -> ((s, d) =>
+      operators.Experiment.pairedTTest(t(s, d, "lineitem"),
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        col("l_extendedprice"))),
+
     // McNemar's paired test between two screening heuristics on the
     // SAME orders: four exact cells, continuity-corrected chi2, the
     // dof-1 tail as a direct erfc.
@@ -5899,6 +5924,7 @@ object SparkEntry {
     "q366_phonetic_join", "q367_kmeans", "q368_croston", "q369_granger",
     "q370_welch_anova", "q371_ipw", "str372_stream_linear_fit",
     "q373_wilcoxon", "q374_friedman", "q375_cronbach", "q376_icc",
+    "q377_cox", "q378_paired_t",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

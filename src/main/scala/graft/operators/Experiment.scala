@@ -1484,6 +1484,48 @@ object Experiment {
       when(valid, p).as("p_value"))
   }
 
+  /** Paired t-test — the parametric sibling of [[wilcoxonSignedRank]]
+    * (use this when differences are roughly symmetric and you want
+    * the mean shift in METRIC units; use the ranks when outliers
+    * rule): `t = d̄/(s_d/√n)` over exact micro-integer difference
+    * moments from ONE aggregate, two-sided p via the normal erfc
+    * (the [[welchTTest]] large-sample convention — at the row counts
+    * this engine targets, t ≈ z). Returns ONE row: (n, mean_diff,
+    * sd_diff, t_stat, p_value) — NULL t/p when n < 2 or s_d = 0.
+    *
+    * Scale: one map-side-combined aggregate, 1-row output. */
+  def pairedTTest(df: DataFrame, a: Column, b: Column): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val diffs = df
+      .select((a.cast("double") - b.cast("double")).as("__dm"))
+      .filter(col("__dm").isNotNull && !isnan(col("__dm")) &&
+        abs(col("__dm")) < lit(Double.PositiveInfinity))
+      .select(floor(col("__dm") * 1000000.0 + 0.5).cast("long").as("__d"))
+    val agg = diffs.agg(count(lit(1)).as("n"),
+      sum(d19(col("__d"))).cast("decimal(28,0)").as("__sd"),
+      sum((d19(col("__d")) * d19(col("__d"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__sdd"))
+    val nD = col("n").cast("double")
+    val mean = dbl(col("__sd")) / (nD * 1e6)
+    val variance = (nD * dbl(col("__sdd")) - dbl(col("__sd")) *
+      dbl(col("__sd"))) / (nD * greatest(nD - 1.0, lit(1.0)) * 1e12)
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val t = mean / (sd / sqrt(nD))
+    val zz = abs(t) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val p = poly * exp(-zz * zz)
+    val valid = col("n") >= 2 && variance > 0.0
+    agg.select(col("n"),
+      when(col("n") > 0, mean).as("mean_diff"),
+      when(col("n") >= 2, sd).as("sd_diff"),
+      when(valid, t).as("t_stat"),
+      when(valid, p).as("p_value"))
+  }
+
   /** Wilcoxon signed-rank test — the PAIRED nonparametric mean-shift
     * test ([[rankSumTest]] compares two independent samples;
     * [[graft.operators.Classifier.mcNemar]] pairs binary outcomes;

@@ -70,4 +70,186 @@ object Survival {
       .select(col("group"), col("t"), col("n_risk"), col("d"), col("c"),
         col("survival"))
   }
+
+  /** Cox proportional-hazards regression — the covariate-adjusted
+    * upgrade of [[kaplanMeier]] /
+    * [[graft.operators.Retention.logRankTest]] ("which FACTORS drive
+    * the hazard, holding the others fixed?"): maximize Breslow's
+    * partial likelihood by Newton–Raphson, with the risk-set sums
+    * `S0(t) = Σ_{t_l ≥ t} e^{xβ}`, `S1_j`, `S2_jk` computed as
+    * REVERSE CUMULATIVES over the per-time aggregate table — the
+    * [[kaplanMeier]] shape: the corpus shuffles once per iteration
+    * into a distinct-duration table (durations cast to long buckets,
+    * the same granularity contract as the KM curve), and the window
+    * runs over that curve-sized table, never over subjects.
+    *
+    * Per Newton iteration (fixed `iters` = 8 — far past convergence
+    * for this concave problem; no data-dependent stopping): one
+    * per-time aggregate of quantized `e^{xβ}`-weighted moments (the
+    * linear predictor is CLAMPED at ±20 before exp — the standard
+    * overflow safeguard, documented; keep features at moderate scale,
+    * |x| ≲ 1e4), reverse-cumulative windows, one quantized
+    * gradient/Hessian fold to the driver (d + d(d+1)/2 + d doubles —
+    * model-sized), and a (d×d) [[graft.operators.Regression]] solve.
+    *
+    * Returns one row per feature: (term, coef, hazard_ratio, std_err,
+    * z, p_value, n, n_events) — `hazard_ratio = e^coef`, standard
+    * errors from the inverse of the final Hessian, the two-sided
+    * normal tail via the house erfc polynomial (driver arithmetic,
+    * fixed sequence). All-NULL estimates when the Hessian is singular
+    * (a constant or collinear feature) or there are no events.
+    *
+    * Ties: Breslow (the risk set at t includes every subject with
+    * `t_l ≥ t`, tied events share the same denominator) — the
+    * convention of the big survival packages' default-adjacent
+    * option, stated here because Efron ties differ. */
+  def coxPh(df: DataFrame, durationCol: String, observed: Column,
+      features: Seq[(String, Column)], iters: Int = 8): DataFrame = {
+    require(features.nonEmpty && features.size <= 8,
+      s"coxPh supports 1..8 features, got ${features.size}")
+    require(iters >= 1 && iters <= 32,
+      s"iters must be in [1,32], got $iters")
+    val spark = df.sparkSession
+    val d = features.size
+    val finite = (c: Column) =>
+      c.isNotNull && !isnan(c) && abs(c) < lit(Double.PositiveInfinity)
+    val base = df
+      .select((col(durationCol).cast("long").as("__t") +:
+        observed.cast("boolean").as("__e") +:
+        features.zipWithIndex.map { case ((_, c), j) =>
+          c.cast("double").as(s"__xm$j") }): _*)
+      .filter(features.indices.map(j => finite(col(s"__xm$j")))
+        .foldLeft(col("__t").isNotNull && col("__t") >= 0 &&
+          col("__e").isNotNull)(_ && _))
+      .select((col("__t") +: col("__e") +:
+        features.indices.map(j =>
+          (floor(col(s"__xm$j") * 1000000.0 + 0.5) / 1000000.0)
+            .as(s"__x$j"))): _*)
+      .localCheckpoint(eager = false) // one scan per Newton iteration
+    val counts = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__e"), 1L).otherwise(0L)).as("ne")).collect()(0)
+    val (n, nEvents) = (counts.getLong(0), counts.getLong(1))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("coef",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("hazard_ratio",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("std_err",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("p_value",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def nullRows() = features.map { case (name, _) =>
+      org.apache.spark.sql.Row(name, null, null, null, null, null,
+        n, nEvents) }
+    if (nEvents == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(nullRows(), 1), schema)
+
+    var beta = new Array[Double](d)
+    var lastInv: Option[Array[Array[Double]]] = None
+    var singular = false
+    var it = 0
+    while (it < iters && !singular) {
+      // clamped linear predictor and its exp, per row — fixed double
+      // expressions at the CURRENT beta (driver literals)
+      val xb = features.indices
+        .map(j => col(s"__x$j") * lit(beta(j)))
+        .reduceOption(_ + _).getOrElse(lit(0.0))
+      val r = exp(least(greatest(xb, lit(-20.0)), lit(20.0)))
+      def q6(c: Column): Column =
+        sum(floor(c * 1e6 + 0.5).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")
+      def q3(c: Column): Column =
+        sum(floor(c * 1e3 + 0.5).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")
+      val aggCols: Seq[Column] =
+        Seq(sum(when(col("__e"), 1L).otherwise(0L)).as("__de"),
+          q6(r).as("__s0")) ++
+        features.indices.map(j =>
+          q6(when(col("__e"), col(s"__x$j")).otherwise(lit(0.0)))
+            .as(s"__ex$j")) ++
+        features.indices.map(j => q6(r * col(s"__x$j")).as(s"__s1_$j")) ++
+        (for (j <- 0 until d; k <- j until d) yield
+          q3(r * col(s"__x$j") * col(s"__x$k")).as(s"__s2_${j}_$k"))
+      val perTime = base.groupBy(col("__t"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      // reverse cumulatives over the curve-sized distinct-time table
+      val wRisk = Window.orderBy(col("__t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cum = perTime.select(
+        (Seq(col("__t"), col("__de")) ++
+          features.indices.map(j => col(s"__ex$j")) ++
+          Seq(sum(col("__s0")).over(wRisk).as("__S0")) ++
+          features.indices.map(j =>
+            sum(col(s"__s1_$j")).over(wRisk).as(s"__S1_$j")) ++
+          (for (j <- 0 until d; k <- j until d) yield
+            sum(col(s"__s2_${j}_$k")).over(wRisk).as(s"__S2_${j}_$k"))
+        ): _*)
+        .filter(col("__de") > 0)
+      def dbl(c: Column): Column = c.cast("string").cast("double")
+      val deD = col("__de").cast("double")
+      val s0 = dbl(col("__S0")) / 1e6
+      def s1(j: Int) = dbl(col(s"__S1_$j")) / 1e6
+      def s2(j: Int, k: Int) = {
+        val (a, b) = if (j <= k) (j, k) else (k, j)
+        dbl(col(s"__S2_${a}_$b")) / 1e3
+      }
+      def qf(c: Column): Column =
+        sum(floor(c * 1e9 + 0.5).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")
+      val folds: Seq[Column] =
+        features.indices.map(j =>
+          qf(dbl(col(s"__ex$j")) / 1e6 - deD * s1(j) / s0)
+            .as(s"__g$j")) ++
+        (for (j <- 0 until d; k <- j until d) yield
+          qf(deD * (s2(j, k) / s0 - (s1(j) / s0) * (s1(k) / s0)))
+            .as(s"__h_${j}_$k"))
+      val row = cum.agg(folds.head, folds.tail: _*).collect()(0)
+      def v(name: String): Double = {
+        val x = row.get(row.fieldIndex(name))
+        if (x == null) 0.0
+        else x.asInstanceOf[java.math.BigDecimal].doubleValue() / 1e9
+      }
+      val grad = Array.tabulate(d)(j => v(s"__g$j"))
+      val hess = Array.ofDim[Double](d, d)
+      for (j <- 0 until d; k <- j until d) {
+        hess(j)(k) = v(s"__h_${j}_$k")
+        hess(k)(j) = hess(j)(k)
+      }
+      Regression.solveWithInverse(hess, grad) match {
+        case None => singular = true
+        case Some((step, inv)) =>
+          for (j <- 0 until d) beta(j) += step(j)
+          lastInv = Some(inv)
+      }
+      it += 1
+    }
+    val rows = (singular, lastInv) match {
+      case (true, _) | (_, None) => nullRows()
+      case (false, Some(inv)) =>
+        features.zipWithIndex.map { case ((name, _), j) =>
+          val se = if (inv(j)(j) > 0.0) math.sqrt(inv(j)(j)) else 0.0
+          if (se > 0.0) {
+            val z = beta(j) / se
+            val zz = math.abs(z) / math.sqrt(2.0)
+            val u = 1.0 / (1.0 + 0.3275911 * zz)
+            val poly = u * (0.254829592 + u * (-0.284496736 +
+              u * (1.421413741 + u * (-1.453152027 + u * 1.061405429))))
+            val p = poly * math.exp(-zz * zz)
+            org.apache.spark.sql.Row(name, beta(j), math.exp(beta(j)),
+              se, z, p, n, nEvents)
+          } else org.apache.spark.sql.Row(name, beta(j),
+            math.exp(beta(j)), null, null, null, n, nEvents)
+        }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

@@ -2190,4 +2190,57 @@ class DataOpsSpec extends SparkTestBase {
     assert(rep.getDouble(3) == got.getDouble(3) &&
       rep.getDouble(6) == got.getDouble(6))
   }
+
+  test("pairedTTest: hand moments on diffs 1..4; constant diffs " +
+      "refuse the statistic; partitioning-invariant") {
+    val df = Seq((2.0, 1.0), (4.0, 2.0), (6.0, 3.0), (8.0, 4.0))
+      .toDF("a", "b")
+    val got = Experiment.pairedTTest(df, col("a"), col("b")).head()
+    assert(got.getLong(0) == 4)
+    assert(math.abs(got.getDouble(1) - 2.5) < 1e-9)
+    val sd = math.sqrt(5.0 / 3.0)
+    assert(math.abs(got.getDouble(2) - sd) < 1e-9)
+    assert(math.abs(got.getDouble(3) - 2.5 / (sd / 2.0)) < 1e-9)
+    assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 0.001)
+    val const = Experiment.pairedTTest(
+      Seq((2.0, 1.0), (3.0, 2.0)).toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(math.abs(const.getDouble(1) - 1.0) < 1e-9)
+    assert(const.isNullAt(3) && const.isNullAt(4))
+    val rep = Experiment.pairedTTest(df.repartition(5), col("a"),
+      col("b")).head()
+    assert(rep.getDouble(3) == got.getDouble(3))
+  }
+
+  test("coxPh: the three-subject closed form (beta = -ln(2)/2); " +
+      "translation invariance; constant covariate refuses; " +
+      "partitioning-invariant") {
+    import graft.operators.Survival
+    // subjects (t=1,e,x=1), (t=2,e,x=0), (t=3,e,x=1): the score
+    // equation reduces to 2u² = 1 with u = e^β ⇒ β = −ln 2 / 2
+    val df = Seq((1L, true, 1.0), (2L, true, 0.0), (3L, true, 1.0))
+      .toDF("t", "e", "x")
+    val got = Survival.coxPh(df, "t", col("e"), Seq("x" -> col("x")))
+      .head()
+    val expected = -math.log(2.0) / 2.0
+    assert(math.abs(got.getDouble(1) - expected) < 1e-4,
+      s"coef=${got.getDouble(1)} vs $expected")
+    assert(math.abs(got.getDouble(2) - math.exp(expected)) < 1e-4)
+    assert(got.getLong(6) == 3 && got.getLong(7) == 3)
+    assert(!got.isNullAt(3) && !got.isNullAt(5))
+    // Cox is invariant to covariate translation (the constant factor
+    // cancels in every S1/S0 ratio) — up to quantization of e^{xβ}
+    val shifted = Survival.coxPh(
+      df.withColumn("x", col("x") - 5.0), "t", col("e"),
+      Seq("x" -> col("x"))).head()
+    assert(math.abs(shifted.getDouble(1) - got.getDouble(1)) < 1e-3)
+    // a constant covariate has a zero Hessian → loud NULLs
+    val flat = Survival.coxPh(df.withColumn("x", lit(2.0)), "t",
+      col("e"), Seq("x" -> col("x"))).head()
+    assert(flat.isNullAt(1) && flat.isNullAt(3))
+    val rep = Survival.coxPh(df.repartition(3), "t", col("e"),
+      Seq("x" -> col("x"))).head()
+    assert(rep.getDouble(1) == got.getDouble(1) &&
+      rep.getDouble(3) == got.getDouble(3))
+  }
 }
