@@ -3970,6 +3970,130 @@ object SparkEntry {
         col("l_extendedprice") * (lit(1.0) - col("l_discount")),
         col("l_extendedprice"))),
 
+    // Restricted mean survival time over the same days-to-ship
+    // durations as the KM/log-rank gates: exact step-integral in
+    // micro-units, Klein SE from the reverse-cumulative areas.
+    "q379_rmst" -> ((s, d) => {
+      val subj = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("days"),
+          (col("l_linestatus") === "F").as("done"))
+        .filter(col("days") >= 0)
+      operators.Survival.restrictedMean(subj, "prio", "days",
+        col("done"), tau = 60L).orderBy(col("group"))
+    }),
+
+    // Cochran's Q across three deterministic screening heuristics on
+    // the SAME orders — the k-model McNemar: exact integer Q, W-H tail.
+    "q380_cochran_q" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val label = col("o_orderstatus") === "F"
+      def m(name: String, pred: Column) =
+        o.select(col("o_orderkey").as("id"), lit(name).as("model"),
+          (pred === label).as("ok"))
+      m("price", col("o_totalprice") < 150000.0)
+        .unionByName(m("prio",
+          col("o_orderpriority").startsWith("1")))
+        .unionByName(m("season", month(col("o_orderdate")) < 7))
+        .transform(df =>
+          operators.Classifier.cochranQ(df, "id", "model", col("ok")))
+    }),
+
+    // Qini / uplift curve over a deterministic pseudo-assignment on
+    // orders: one globalRank pass, exact per-arm bucket counts,
+    // integer-product qini.
+    "q381_qini" -> ((s, d) =>
+      operators.Classifier.qiniCurve(t(s, d, "orders"), "o_orderkey",
+        col("o_totalprice").cast("double"),
+        pmod(col("o_custkey"), lit(2L)) === 0,
+        col("o_orderstatus") === "F", buckets = 10)),
+
+    // Poisson regression of line-item quantity on discount and return
+    // flag: IRLS on quantized exp-weighted Gram moments, rate ratios.
+    "q382_poisson" -> ((s, d) =>
+      operators.Regression.poissonFit(t(s, d, "lineitem"),
+        col("l_quantity"),
+        Seq("disc" -> (col("l_discount") * 10.0),
+          "ret" -> (col("l_returnflag") === "R").cast("double")))
+        .orderBy(col("term"))),
+
+    // Variance inflation factors across three lineitem features: one
+    // Gram aggregate, driver correlation inverse.
+    "q383_vif" -> ((s, d) =>
+      operators.Regression.vif(t(s, d, "lineitem"),
+        Seq("qty" -> col("l_quantity"),
+          "price" -> (col("l_extendedprice") / 1000.0),
+          "disc" -> (col("l_discount") * 100.0)))
+        .orderBy(col("term"))),
+
+    // Breusch-Pagan heteroscedasticity screen for price ~ quantity:
+    // two Gram passes (main fit, squared-residual auxiliary), chi2 tail.
+    "q384_breusch_pagan" -> ((s, d) =>
+      operators.Regression.breuschPagan(t(s, d, "lineitem"),
+        col("l_extendedprice") / 1000.0,
+        Seq("qty" -> col("l_quantity")))),
+
+    // Grid DBSCAN on the (price, order-month) plane, summarized as
+    // per-cluster size/core counts: cell-bucketed 3x3 join, in-plan
+    // density guard, alternating-star components.
+    "q385_dbscan" -> ((s, d) => {
+      // a SPARSE plane (~60k cells): cell occupancy stays O(1) as SF
+      // grows within the bench range, so the 3x3 join is linear and
+      // the density guard never fires on well-chosen eps
+      val pts = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") / 1000.0).cast("double").as("px"),
+          (pmod(col("o_custkey"), lit(1000L)) / 10.0).cast("double")
+            .as("py"))
+      operators.Similarity.dbscanGrid(pts, "o_orderkey", col("px"),
+        col("py"), eps = 1.0, minPts = 4)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_core").cast("long")).as("n_core"),
+          min(col("o_orderkey")).as("min_id"))
+        .orderBy(col("n").desc, col("cluster"))
+        .limit(20)
+    }),
+
+    // Simplified silhouette against the deterministic Lloyd centers:
+    // top-2 argmin as one per-row expression, nlist-row aggregate.
+    "q387_silhouette" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centers = operators.Similarity.kmeansFit(emb, "vec_id",
+        "embedding", k = 4, iters = 3)
+      operators.Similarity.silhouetteSimplified(emb, "embedding",
+        centers)
+    }),
+
+    // Markov removal-effect attribution over the event stream: one
+    // (from, to) transition aggregate, driver absorption solves.
+    "q388_markov_attribution" -> ((s, d) =>
+      operators.Attribution.markovCredit(t(s, d, "events"), "user_id",
+        "ts", "event_id",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        channel = col("event_type"),
+        isConversion = col("event_type") === "purchase")
+        .orderBy(col("channel"))),
+
+    // Durbin-Watson residual autocorrelation per event-type series:
+    // in-plan trend fit from exact moments, quantized quadratic sums.
+    "q389_durbin_watson" -> ((s, d) =>
+      operators.TimeSeries.durbinWatson(t(s, d, "events"),
+        "event_type", "ts", col("value"))),
+
+    // Doubly-robust (AIPW) treatment effect with in-engine per-arm
+    // outcome models over a deterministic pseudo-assignment.
+    "q386_aipw" -> ((s, d) =>
+      operators.Experiment.aipwAte(t(s, d, "orders"),
+        pmod(col("o_custkey"), lit(2L)) === 0,
+        col("o_totalprice") / 1000.0,
+        lit(0.4) + (pmod(col("o_orderkey"), lit(2L)) === 0)
+          .cast("double") * 0.2,
+        Seq("mon" -> month(col("o_orderdate")).cast("double"),
+          "day" -> (dayofmonth(col("o_orderdate")) / 10.0)))),
+
     // McNemar's paired test between two screening heuristics on the
     // SAME orders: four exact cells, continuity-corrected chi2, the
     // dof-1 tail as a direct erfc.
@@ -5925,6 +6049,16 @@ object SparkEntry {
     "q370_welch_anova", "q371_ipw", "str372_stream_linear_fit",
     "q373_wilcoxon", "q374_friedman", "q375_cronbach", "q376_icc",
     "q377_cox", "q378_paired_t",
+    // r15 wave 4: KM ln/exp (q379), W-H/erfc tails (q380, q382, q384,
+    // q386), driver-solved fits (q382-q384, q386), double rank-cut
+    // bucketing (q381), and the DBSCAN component labels (q385) -
+    // pinned with the two-partitioning proof
+    "q379_rmst", "q380_cochran_q", "q381_qini", "q382_poisson",
+    "q383_vif", "q384_breusch_pagan", "q385_dbscan", "q386_aipw",
+    // r15 wave 5: sqrt-of-argmin distances (q387), driver absorption
+    // solves (q388), and in-plan OLS residual ratios (q389) - pinned
+    // with the two-partitioning proof
+    "q387_silhouette", "q388_markov_attribution", "q389_durbin_watson",
     "t141_compression_signal", "t241_isotonic", "t27_fingerprint",
     "t42_group_sketch", "t80_hll_sketch",
     // Round-11: the nine r10 driver-red gates. All are deterministic

@@ -154,4 +154,161 @@ object Attribution {
       .orderBy(col("n").desc, col("path"))
       .limit(topN)
   }
+
+  /** Markov removal-effect attribution — the DATA-DRIVEN credit model
+    * the rule-based [[credit]] family can't express ("how much
+    * conversion probability disappears if channel c vanishes?"):
+    * journeys become a first-order Markov chain over states
+    * {START, channels…, CONV, DROP}; the chain's absorption
+    * probability into CONV from START is the baseline; removing a
+    * channel (every hop INTO it re-routed to DROP) and re-solving
+    * gives that channel's removal effect
+    * `(P_base − P_without_c)/P_base`, and credit shares are removal
+    * effects normalized over channels (Anderl et al.'s standard
+    * construction).
+    *
+    * Span semantics are EXACTLY [[credit]]'s: per entity, each
+    * conversion closes a span; a span's hops are START→first touch,
+    * touch→next touch, last touch→CONV; a trailing span with no
+    * conversion ends →DROP; a conversion with NO preceding touch is a
+    * direct START→CONV hop (it raises the baseline but no channel can
+    * claim it — honest unattributed mass).
+    *
+    * Scale: one hash exchange on the entity key (the [[credit]]
+    * window), ONE (from, to) count aggregate — the collected
+    * transition matrix is ≤ (k+2)² rows with k guarded IN-PLAN at
+    * `maxChannels` (`raise_error` riding the count before the
+    * collect: a per-item id column fails loudly, never OOMs the
+    * driver). The k+1 absorption solves are driver arithmetic on that
+    * model-sized matrix ([[graft.operators.Regression]] Gauss–Jordan,
+    * fixed order).
+    *
+    * Returns one row per channel: (channel, n_transitions,
+    * removal_effect, share, credit) with `credit = share ×
+    * total conversions`; NULL effects when the baseline is 0 (no
+    * conversions) — and an all-zero removal row normalizes to NULL
+    * shares rather than 0/0. */
+  def markovCredit(events: DataFrame, entity: String, ts: String,
+      tie: String, isTouch: Column, channel: Column,
+      isConversion: Column, maxChannels: Int = 64): DataFrame = {
+    require(maxChannels >= 1 && maxChannels <= 256,
+      s"maxChannels must be in [1,256], got $maxChannels")
+    val spark = events.sparkSession
+    val wPrev = Window.partitionBy(col(entity))
+      .orderBy(col(ts), col(tie))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events
+      .filter(isTouch || isConversion)
+      .withColumn("__span", coalesce(
+        sum(isConversion.cast("long")).over(wPrev), lit(0L)))
+      .withColumn("__conv", isConversion)
+      .withColumn("__ch",
+        when(isConversion, lit(null).cast("string"))
+          .otherwise(channel.cast("string")))
+    // per (entity, span): ordered hops. The span window is bounded by
+    // one entity's touches between two conversions.
+    val wSpan = Window.partitionBy(col(entity), col("__span"))
+      .orderBy(col(ts), col(tie))
+    val hops = base
+      .withColumn("__rn", row_number().over(wSpan))
+      .withColumn("__next", lead(col("__ch"), 1).over(wSpan))
+      .withColumn("__nextConv", lead(col("__conv"), 1).over(wSpan))
+    val START = "__START__"
+    val CONV = "__CONV__"
+    val DROP = "__DROP__"
+    // edges: START→(first row's state), touch→touch, touch→CONV
+    // (conversion row is the span's LAST row by construction),
+    // trailing touch→DROP
+    val firstEdge = hops.filter(col("__rn") === 1)
+      .select(lit(START).as("__from"),
+        when(col("__conv"), lit(CONV)).otherwise(col("__ch"))
+          .as("__to"))
+    val touchEdge = hops.filter(!col("__conv"))
+      .select(col("__ch").as("__from"),
+        when(col("__nextConv").isNotNull && col("__nextConv"), lit(CONV))
+          .when(col("__next").isNotNull, col("__next"))
+          .otherwise(lit(DROP)).as("__to"))
+    val trans = firstEdge.unionByName(touchEdge)
+      .filter(col("__from").isNotNull && col("__to").isNotNull)
+      .groupBy(col("__from"), col("__to"))
+      .agg(count(lit(1)).as("__n"))
+    // in-plan channel-cardinality guard riding the aggregate spine
+    val kGuard = trans
+      .filter(col("__from") =!= START)
+      .agg(countDistinct(col("__from")).as("__k"))
+      .select(when(col("__k") > maxChannels,
+          raise_error(concat(col("__k").cast("string"),
+            lit(s" channels exceed maxChannels=$maxChannels — " +
+              "markovCredit is a channel-mix model, not a per-item " +
+              "scorer"))).cast("bigint"))
+        .otherwise(col("__k")).as("__k"))
+    // collect WITH the guard column — a select that dropped __k would
+    // let column pruning eliminate the raise_error (the bradleyTerry
+    // collect shape)
+    val rows = trans.crossJoin(broadcast(kGuard))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = rows.iterator
+      .flatMap { case (f, t, _) => Iterator(f, t) }
+      .filter(s => s != START && s != CONV && s != DROP)
+      .toSeq.distinct.sorted
+    val nConv = rows.iterator.filter(_._2 == CONV).map(_._3).sum
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("channel",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_transitions",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("removal_effect",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("share",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("credit",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val outRows: Seq[org.apache.spark.sql.Row] = {
+      val transient = START +: channels
+      val idx = transient.zipWithIndex.toMap
+      val outMass = rows.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum.toDouble).toMap
+      val fromTouches = channels.map(c =>
+        c -> rows.filter(_._1 == c).map(_._3).sum).toMap
+      // absorption probability into CONV from START with channel set
+      // `removed` re-routed to DROP: solve (I − Q)f = r
+      def pConv(removed: Set[String]): Option[Double] = {
+        val keep = transient.filterNot(removed)
+        val ki = keep.zipWithIndex.toMap
+        val m = keep.size
+        val a = Array.ofDim[Double](m, m)
+        val r = new Array[Double](m)
+        for (i <- 0 until m) a(i)(i) = 1.0
+        for ((f, t, n) <- rows if ki.contains(f)) {
+          val i = ki(f)
+          val p = n.toDouble / outMass(f)
+          if (t == CONV) r(i) += p
+          else if (t != DROP && ki.contains(t) && !removed(t))
+            a(i)(ki(t)) -= p
+          // hops into a removed/unknown state fall to DROP: no term
+        }
+        Regression.solveWithInverse(a, r).map(_._1(ki(START)))
+      }
+      pConv(Set.empty) match {
+        case Some(baseP) if baseP > 0.0 && nConv > 0 =>
+          val effects = channels.map { c =>
+            val p = pConv(Set(c)).getOrElse(0.0)
+            c -> math.max(0.0, (baseP - p) / baseP)
+          }
+          val total = effects.map(_._2).sum
+          effects.map { case (c, e) =>
+            val share: Any = if (total > 0.0) e / total else null
+            val credit: Any =
+              if (total > 0.0) e / total * nConv.toDouble else null
+            org.apache.spark.sql.Row(c, fromTouches(c), e, share, credit)
+          }
+        case _ =>
+          channels.map(c => org.apache.spark.sql.Row(
+            c, fromTouches(c), null, null, null))
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), schema)
+  }
 }

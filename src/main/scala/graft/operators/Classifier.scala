@@ -720,6 +720,174 @@ object Classifier {
         when(pE < 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
   }
 
+  /** Cochran's Q test — the k-MODEL extension of [[mcNemar]] ("do ANY
+    * of these k classifiers differ, example for example?" — run BEFORE
+    * pairwise McNemars, exactly as ANOVA runs before t-tests): over
+    * examples scored by ALL k models (incomplete examples carry no
+    * paired information and are excluded and counted),
+    * `Q = (k−1)·[k·ΣT_j² − (ΣR)²] / [k·ΣR − ΣR_i²]` with `T_j` the
+    * per-model correct totals and `R_i` the per-example correct
+    * counts, against χ²_{k−1}. At k = 2, Q is EXACTLY the
+    * uncorrected McNemar χ² — the continuity-corrected pairwise
+    * [[mcNemar]] is the follow-up, not a replacement.
+    *
+    * Returns ONE row: (k, n_complete, n_excluded, q, dof, p_value) —
+    * Q NULL when the denominator is 0 (every complete example has the
+    * same correct count — no discordance, nothing to test) or k < 2.
+    *
+    * Numerics: duplicate (example, model) scores collapse by
+    * disjunction (any correct run counts — stated); T_j, R_i and all
+    * four Q operands are EXACT integers (decimal-widened squares);
+    * Q is one fixed double expression; the tail is the direct erfc at
+    * dof 1 ([[mcNemar]]'s identity) and the house Wilson–Hilferty +
+    * erfc block past it.
+    *
+    * Scale: one (example, model) dedup aggregate (lazily
+    * checkpointed — it feeds both rollups), one example-keyed and one
+    * model-keyed exact-count aggregate over it, k-sized and 1-row
+    * finales — map-side combinable throughout; nothing wider than the
+    * dedup table ever shuffles. */
+  def cochranQ(df: DataFrame, idCol: String, modelCol: String,
+      correct: Column): DataFrame = {
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val cells = df
+      .select(col(idCol).as("__i"), col(modelCol).as("__m"),
+        correct.cast("boolean").as("__c"))
+      .filter(col("__i").isNotNull && col("__m").isNotNull &&
+        col("__c").isNotNull)
+      .groupBy(col("__i"), col("__m"))
+      .agg(max(col("__c").cast("int")).as("__x"))
+      .localCheckpoint(eager = false) // example + model rollups
+    val k = cells.agg(countDistinct(col("__m")).as("k"))
+    val perId = cells.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__x")).as("__r"))
+      .crossJoin(broadcast(k))
+    val idAgg = perId.agg(
+      max(col("k")).as("k"),
+      sum(when(col("__cnt") === col("k"), 1L).otherwise(0L))
+        .as("n_complete"),
+      sum(when(col("__cnt") =!= col("k"), 1L).otherwise(0L))
+        .as("n_excluded"),
+      sum(when(col("__cnt") === col("k"), col("__r")).otherwise(0L))
+        .cast("decimal(19,0)").as("__sr"),
+      sum(when(col("__cnt") === col("k"),
+        (d19(col("__r")) * d19(col("__r"))).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("__sr2"))
+    // per-model totals over COMPLETE examples only
+    val completeIds = perId.filter(col("__cnt") === col("k"))
+      .select(col("__i"))
+    val perModel = cells.join(completeIds, "__i")
+      .groupBy(col("__m")).agg(sum(col("__x")).as("__t"))
+    val modelAgg = perModel.agg(
+      sum((d19(col("__t")) * d19(col("__t"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("__st2"))
+    val out = idAgg.crossJoin(broadcast(modelAgg))
+    val kD = col("k").cast("double")
+    val num = (kD - 1.0) * (kD * dbl(col("__st2")) -
+      dbl(col("__sr")) * dbl(col("__sr")))
+    val den = kD * dbl(col("__sr")) - dbl(col("__sr2"))
+    val q = num / den
+    val dof = (col("k") - 1).cast("double")
+    // dof-1 tail = direct erfc at √Q; past it, Wilson–Hilferty
+    val zWh = (cbrt(q / dof) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
+      sqrt(lit(2.0) / (lit(9.0) * dof))
+    val z = when(col("k") === 2, sqrt(q)).otherwise(zWh)
+    val zz = abs(z) / lit(math.sqrt(2.0))
+    val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+    val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+      u * (lit(1.421413741) + u * (lit(-1.453152027) +
+        u * lit(1.061405429)))))
+    val halfErfc = poly * exp(-zz * zz) / 2.0
+    val pWh = when(z >= 0, halfErfc).otherwise(lit(1.0) - halfErfc)
+    val p = when(col("k") === 2, halfErfc * 2.0).otherwise(pWh)
+    val valid = col("k") >= 2 && col("n_complete") >= 2 && den > 0.0
+    out.select(col("k"), col("n_complete"), col("n_excluded"),
+      when(valid, q).as("q"),
+      (col("k") - 1).cast("long").as("dof"),
+      when(valid, p).as("p_value"))
+  }
+
+  /** Qini / uplift curve at `buckets` score buckets — the
+    * TREATMENT-AWARE [[liftCurve]] ("if we only act on the top decile
+    * by uplift score, how many INCREMENTAL conversions do we cause?"):
+    * rows rank DESCENDING by (score, id) across BOTH arms (the
+    * standard Qini construction — the model's ordering is what's under
+    * test; arm balance within a bucket is the randomization's job),
+    * bucket membership by the same integer cross-multiplied rank
+    * cut, and each bucket reports per-arm counts plus the cumulative
+    * uplift and Qini value
+    * `qini = cum_pos_t − cum_pos_c · cum_n_t / cum_n_c` (incremental
+    * conversions among the treated so far, control-scaled).
+    *
+    * Numerics: all counts exact integers;
+    * `uplift = cum_pos_t/cum_n_t − cum_pos_c/cum_n_c` is two exact
+    * divisions;
+    * `qini = (cum_pos_t·cum_n_c − cum_pos_c·cum_n_t)/cum_n_c` is ONE
+    * division of exact decimal-widened integer products. NULL/NaN
+    * scores and NULL labels/arms excluded (the eval-family
+    * convention); uplift/qini NULL until both arms appear in the
+    * cumulative prefix.
+    *
+    * Scale: one [[graft.operators.Linkage.globalRank]] pass
+    * (distributed range sort) + ONE buckets-sized aggregate + a
+    * cumulative window over ≤ buckets rows ([[liftCurve]]'s shape,
+    * token for token). Returns (bucket, n_treated, n_control,
+    * pos_treated, pos_control, cum_n_treated, cum_n_control,
+    * cum_pos_treated, cum_pos_control, uplift, qini) ordered by
+    * bucket. */
+  def qiniCurve(df: DataFrame, idCol: String, score: Column,
+      treated: Column, label: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val base = df
+      .select(col(idCol).as("__id"), score.cast("double").as("__s"),
+        treated.cast("boolean").as("__tr"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__tr").isNotNull && col("__y").isNotNull)
+    val ranked = graft.operators.Linkage.globalRank(
+      base.withColumn("__neg", -col("__s")).drop("__s"),
+      "__id", col("__neg"))
+    val stats = ranked.agg(count(lit(1)).as("__n"))
+    val bucket = ceil(col("grank").cast("double") * buckets /
+      col("__n").cast("double")).cast("long")
+    val perBucket = ranked.crossJoin(broadcast(stats))
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        sum(when(col("__tr"), 1L).otherwise(0L)).as("n_treated"),
+        sum(when(!col("__tr"), 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("__tr") && col("__y"), 1L).otherwise(0L))
+          .as("pos_treated"),
+        sum(when(!col("__tr") && col("__y"), 1L).otherwise(0L))
+          .as("pos_control"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_n_treated", sum(col("n_treated")).over(wCum))
+      .withColumn("cum_n_control", sum(col("n_control")).over(wCum))
+      .withColumn("cum_pos_treated", sum(col("pos_treated")).over(wCum))
+      .withColumn("cum_pos_control", sum(col("pos_control")).over(wCum))
+      .select(col("bucket"), col("n_treated"), col("n_control"),
+        col("pos_treated"), col("pos_control"),
+        col("cum_n_treated"), col("cum_n_control"),
+        col("cum_pos_treated"), col("cum_pos_control"),
+        when(col("cum_n_treated") > 0 && col("cum_n_control") > 0,
+          col("cum_pos_treated").cast("double") /
+            col("cum_n_treated").cast("double") -
+          col("cum_pos_control").cast("double") /
+            col("cum_n_control").cast("double")).as("uplift"),
+        when(col("cum_n_control") > 0,
+          dbl((d19(col("cum_pos_treated")) * d19(col("cum_n_control")) -
+            d19(col("cum_pos_control")) * d19(col("cum_n_treated")))
+            .cast("decimal(38,0)")) /
+            col("cum_n_control").cast("double")).as("qini"))
+      .orderBy(col("bucket"))
+  }
+
   /** Split-conformal threshold + coverage audit — the
     * distribution-free guarantee layer over any scorer ([[classify]],
     * the LM perplexity filter, an external model): given per-row

@@ -1929,4 +1929,127 @@ object Experiment {
       when(valid, essT).as("ess_treated"),
       when(valid, essC).as("ess_control"))
   }
+
+  /** Augmented IPW (doubly-robust) average treatment effect — the
+    * estimator that upgrades [[ipwAte]] with per-arm OUTCOME MODELS:
+    * `ψᵢ = μ̂₁(xᵢ) − μ̂₀(xᵢ) + Tᵢ(yᵢ−μ̂₁)/eᵢ − (1−Tᵢ)(yᵢ−μ̂₀)/(1−eᵢ)`
+    * and `ATE = ψ̄`. Consistent if EITHER the propensity OR the
+    * outcome regressions are right (the "doubly robust" property),
+    * and strictly lower-variance than IPW when the outcome models
+    * explain anything. The propensity is a caller-provided column
+    * ([[ipwAte]]'s contract — scores come from [[graft.operators.Classifier.train]]
+    * or an external model); the outcome models are per-arm OLS on
+    * `features` fit in-engine ([[graft.operators.Regression]] Gram
+    * machinery).
+    *
+    * Returns ONE row: (n_treated, n_control, clipped_frac, ate, se,
+    * z, p_value) — SE from the influence-function variance
+    * `√(Var(ψ)/n)` (the standard AIPW large-sample form), two-sided
+    * normal tail. All-NULL estimates when either arm's OLS is
+    * singular or an arm is empty (the [[graft.operators.Regression.linearFit]]
+    * refusal convention).
+    *
+    * Numerics: features/outcome micro-quantize once; both Gram
+    * aggregates are exact decimals; ψ is a fixed double expression
+    * over driver-literal β̂s with Σψ micro- and Σψ² milli-quantized
+    * exact folds; propensities clip to [clipLo, clipHi] (so |ψ| is
+    * bounded by the clip — the quantization headroom argument).
+    *
+    * Scale: THREE corpus passes over one lazily-checkpointed base
+    * (treated Gram, control Gram, ψ moments) — each a single
+    * map-side-combined aggregate; driver work is model-sized. */
+  def aipwAte(df: DataFrame, treated: Column, outcome: Column,
+      propensity: Column, features: Seq[(String, Column)],
+      clipLo: Double = 0.01, clipHi: Double = 0.99): DataFrame = {
+    require(features.nonEmpty && features.size <= 8,
+      s"aipwAte supports 1..8 features, got ${features.size}")
+    require(clipLo > 0.0 && clipHi < 1.0 && clipLo < clipHi,
+      s"clip bounds must satisfy 0 < lo < hi < 1, got [$clipLo, $clipHi]")
+    val spark = df.sparkSession
+    val d = features.size
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val finite = (c: Column) =>
+      c.isNotNull && !isnan(c) && abs(c) < lit(Double.PositiveInfinity)
+    val xs0 = features.map(_._2.cast("double"))
+    val base = df
+      .select((treated.cast("boolean").as("__t") +:
+        outcome.cast("double").as("__ymr") +:
+        propensity.cast("double").as("__e0") +:
+        xs0.zipWithIndex.map { case (c, j) => c.as(s"__xm$j") }): _*)
+      .filter(xs0.indices.map(j => finite(col(s"__xm$j")))
+        .foldLeft(col("__t").isNotNull && finite(col("__ymr")) &&
+          col("__e0").isNotNull && !isnan(col("__e0")) &&
+          col("__e0") > 0.0 && col("__e0") < 1.0)(_ && _))
+      .select((col("__t") +: col("__e0") +:
+        floor(col("__ymr") * 1000000.0 + 0.5).cast("long").as("__y") +:
+        xs0.indices.map(j =>
+          floor(col(s"__xm$j") * 1000000.0 + 0.5).cast("long")
+            .as(s"__x$j"))): _*)
+      .localCheckpoint(eager = false) // two Grams + the ψ finale
+    val gramCols = (col("__y") +: (0 until d).map(j => col(s"__x$j")))
+    val g1 = Regression.gramSums(
+      base.filter(col("__t")).select(gramCols: _*), d)
+    val g0 = Regression.gramSums(
+      base.filter(!col("__t")).select(gramCols: _*), d)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_treated",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_control",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("clipped_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("ate",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("se",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("p_value",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    (Regression.solveWithInverse(g1.a, g1.b),
+        Regression.solveWithInverse(g0.a, g0.b)) match {
+      case (Some((b1, _)), Some((b0, _))) if g1.n > 0 && g0.n > 0 =>
+        def muOf(b: Array[Double]): Column =
+          (0 until d).foldLeft(lit(b(0))) { (acc, j) =>
+            acc + col(s"__x$j").cast("double") / 1e6 * lit(b(j + 1)) }
+        val e = least(greatest(col("__e0"), lit(clipLo)), lit(clipHi))
+        val yD = col("__y").cast("double") / 1e6
+        val mu1 = muOf(b1)
+        val mu0 = muOf(b0)
+        val psi = mu1 - mu0 +
+          when(col("__t"), (yD - mu1) / e)
+            .otherwise(-(yD - mu0) / (lit(1.0) - e))
+        def q(c: Column, s: Double): Column =
+          sum(floor(c * lit(s) + 0.5).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        val agg = base.agg(
+          sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+          sum(when(!col("__t"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("__e0") =!= e, 1L).otherwise(0L)).as("__ncl"),
+          q(psi, 1e6).as("__sp"), q(psi * psi, 1e3).as("__sp2"))
+        val nD = (col("nt") + col("nc")).cast("double")
+        val ate = (dbl(col("__sp")) / 1e6) / nD
+        val varPsi = greatest(
+          (dbl(col("__sp2")) / 1e3) / nD - ate * ate, lit(0.0))
+        val se = sqrt(varPsi / nD)
+        val z = ate / se
+        val zz = abs(z) / lit(math.sqrt(2.0))
+        val u = lit(1.0) / (lit(1.0) + lit(0.3275911) * zz)
+        val poly = u * (lit(0.254829592) + u * (lit(-0.284496736) +
+          u * (lit(1.421413741) + u * (lit(-1.453152027) +
+            u * lit(1.061405429)))))
+        val p = poly * exp(-zz * zz)
+        agg.select(col("nt").as("n_treated"), col("nc").as("n_control"),
+          (col("__ncl").cast("double") / nD).as("clipped_frac"),
+          ate.as("ate"),
+          when(se > 0.0, se).as("se"),
+          when(se > 0.0, z).as("z"),
+          when(se > 0.0, p).as("p_value"))
+      case _ =>
+        val row = org.apache.spark.sql.Row(g1.n, g0.n, null, null, null,
+          null, null)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(row), 1), schema)
+    }
+  }
 }

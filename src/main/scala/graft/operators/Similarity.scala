@@ -845,6 +845,175 @@ object Similarity {
     centers
   }
 
+  /** Simplified silhouette per cell — the cluster-quality readout for
+    * [[kmeansFit]]/[[ivfFit]] centers ("are these clusters real, or
+    * did k just carve noise?"): per point `a` = distance to its own
+    * (nearest) center, `b` = distance to the SECOND-nearest, and
+    * `s = (b − a)/max(a, b)` ∈ [0, 1] here (a ≤ b by construction —
+    * the simplified form against centers, not the O(n²) pairwise
+    * silhouette; stated). Mean s near 0 ⇒ the point sits on a cell
+    * boundary; near 1 ⇒ well inside its cluster.
+    *
+    * Returns one row per cell: (cell, n, mean_silhouette, min_sil) —
+    * the weighted mean over cells is the corpus score; a low-mean cell
+    * is the merge candidate. Points with `max(a,b) = 0` (exactly ON
+    * two coincident centers) score 0 by convention.
+    *
+    * Scale: the top-2 argmin is ONE fixed per-row expression over the
+    * broadcast center literals (no shuffle — the [[cellOf]] shape);
+    * the only exchange is the nlist-row cell aggregate, micro-
+    * quantized exact sums. */
+  def silhouetteSimplified(embDf: DataFrame, embCol: String,
+      centers: Seq[Seq[Double]]): DataFrame = {
+    require(centers.size >= 2,
+      s"silhouette needs >= 2 centers, got ${centers.size}")
+    val v = col(embCol).cast("array<double>")
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2.0) * dot(v, vec(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    val top2 = slice(array_sort(array(scored: _*)), 1, 2)
+    val own = element_at(top2, 1)
+    val second = element_at(top2, 2)
+    val aD = sqrt(greatest(lit(0.0), dot(v, v) + own.getField("d")))
+    val bD = sqrt(greatest(lit(0.0), dot(v, v) + second.getField("d")))
+    val s = when(greatest(aD, bD) > 0.0,
+      (bD - aD) / greatest(aD, bD)).otherwise(lit(0.0))
+    embDf
+      .select(own.getField("cell").as("cell"), s.as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        ((sum(floor(col("__s") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+          .cast("decimal(38,0)").cast("string").cast("double") / 1e6) /
+          count(lit(1)).cast("double")).as("mean_silhouette"),
+        min(round(col("__s"), 6)).as("min_sil"))
+      .orderBy(col("cell"))
+  }
+
+  /** Grid DBSCAN over 2-D coordinates — density clustering when
+    * cluster COUNT is unknown and noise is real (geo points, a 2-D
+    * [[pcaProject]] of embeddings, (price, weight) planes): a point
+    * with ≥ `minPts` neighbors within `eps` (self included — the
+    * textbook convention) is CORE; core points within eps of each
+    * other share a cluster; a non-core point within eps of a core
+    * joins that core's cluster (border); everything else is noise
+    * (`cluster` NULL).
+    *
+    * Distribution strategy (the reason this isn't naive DBSCAN): cells
+    * of side `eps` on the micro-quantized plane — every eps-neighbor
+    * pair lands in the same or an ADJACENT cell, so the candidate join
+    * is postings(cell) ⋈ postings(3×3 neighborhood), never point ×
+    * point. Neighbor counting, the core-core edge list, and the border
+    * attach all ride that one bounded join; cluster labels come from
+    * [[graft.operators.Graph.connectedComponents]] on the core-core
+    * edges (O(log n) alternating-star rounds, label = min member id).
+    *
+    * Guard: the 3×3 join is O(Σ cell², so ONE pathological cell (all
+    * points at a venue) would quadratic-blow — an in-plan cardinality
+    * guard `raise_error`s when any cell exceeds `maxCellPoints`
+    * BEFORE any pair forms (the house maxVariants pattern: refuse
+    * loudly, never truncate silently — a denser dataset needs a
+    * smaller eps, which is also when DBSCAN's own semantics degrade).
+    *
+    * Determinism: coordinates micro-quantize once (1e-6 — distances
+    * are exact integer arithmetic on the quantized plane, stated as
+    * the distance contract); `dist² ≤ eps²` compares exact
+    * decimal(38) products; labels are min-id — partitioning-invariant
+    * end to end.
+    *
+    * Returns (id, is_core, cluster) — cluster NULL ⇔ noise. */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: Column,
+      yCol: Column, eps: Double, minPts: Int,
+      maxCellPoints: Int = 4096): DataFrame = {
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    require(maxCellPoints >= minPts,
+      s"maxCellPoints ($maxCellPoints) must be >= minPts ($minPts)")
+    val epsMicro = math.floor(eps * 1e6 + 0.5).toLong
+    require(epsMicro > 0L, s"eps quantizes to 0 micro-units: $eps")
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val quant = (c: Column) =>
+      floor(c.cast("double") * 1000000.0 + 0.5).cast("long")
+    // exact integer floor-division: pmod is non-negative, so the
+    // numerator is exactly divisible and the decimal quotient is the
+    // floor — long/long `/` would route through double and can
+    // misplace cells past 2⁵³ micro-units
+    val fdiv = (c: Column) =>
+      ((c - pmod(c, lit(epsMicro))).cast("decimal(38,0)") /
+        lit(epsMicro).cast("decimal(38,0)"))
+    val base = points
+      .select(col(idCol).as("__id"), quant(xCol).as("__x"),
+        quant(yCol).as("__y"))
+      .filter(col("__id").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .withColumn("__cx", fdiv(col("__x")).cast("long"))
+      .withColumn("__cy", fdiv(col("__y")).cast("long"))
+      .localCheckpoint(eager = false) // both join sides + the finale
+    // in-plan density guard: any cell past the cap refuses BEFORE the
+    // 3×3 join can form a quadratic pair set — the error expression
+    // rides the join key itself (the powerMde pattern), so column
+    // pruning cannot drop it and the 1-row broadcast build fails the
+    // job before any pair task runs
+    val cellMax = base.groupBy(col("__cx"), col("__cy"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"))
+    val guarded = base.crossJoin(broadcast(cellMax))
+      .select(col("__id"), col("__x"), col("__y"),
+        when(col("__mx") > maxCellPoints,
+          raise_error(concat(lit("dbscanGrid: a cell holds "),
+            col("__mx").cast("string"),
+            lit(s" points (> maxCellPoints=$maxCellPoints) — " +
+              "use a smaller eps or raise the cap"))).cast("long"))
+          .otherwise(col("__cx")).as("__cx"),
+        col("__cy"))
+    // 3×3 neighborhood postings on ONE side; equi-join on the cell
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val rhs = guarded
+      .withColumn("__o", explode(offsets))
+      .select((col("__cx") + col("__o.dx")).as("__cx"),
+        (col("__cy") + col("__o.dy")).as("__cy"),
+        col("__id").as("__jd"), col("__x").as("__jx"),
+        col("__y").as("__jy"))
+    val within = (d19(col("__x") - col("__jx")) *
+      d19(col("__x") - col("__jx")) +
+      d19(col("__y") - col("__jy")) * d19(col("__y") - col("__jy")))
+      .cast("decimal(38,0)") <=
+      lit(java.math.BigDecimal.valueOf(epsMicro)
+        .multiply(java.math.BigDecimal.valueOf(epsMicro)))
+        .cast("decimal(38,0)")
+    val pairs = guarded.join(rhs, Seq("__cx", "__cy"))
+      .filter(within)
+      .select(col("__id"), col("__jd"))
+      .localCheckpoint(eager = false) // counts, edges, border attach
+    val counts = pairs.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__deg")) // self-pair included (textbook)
+    val flagged = counts
+      .select(col("__id"), (col("__deg") >= minPts).as("__core"))
+    // core-core edges → components; isolated cores label as themselves
+    val coreIds = flagged.filter(col("__core")).select(col("__id"))
+    val edges = pairs
+      .join(coreIds, "__id")
+      .join(coreIds.select(col("__id").as("__jd")), "__jd")
+      .filter(col("__id") < col("__jd"))
+    val comp = Graph.connectedComponents(edges, "__id", "__jd")
+      .select(col("id").as("__id"), col("component").as("__cl"))
+    val coreLbl = coreIds.join(comp, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__cl"), col("__id"))
+        .as("__cluster"))
+    // border: non-core attaches to its MIN core neighbor's cluster
+    val borderLbl = pairs
+      .join(flagged.filter(!col("__core")).select(col("__id")), "__id")
+      .join(coreLbl.select(col("__id").as("__jd"),
+        col("__cluster").as("__jcl")), "__jd")
+      .groupBy(col("__id")).agg(min(col("__jcl")).as("__cluster"))
+    val lbl = coreLbl.unionByName(borderLbl)
+    flagged.join(lbl, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__core").as("is_core"),
+        col("__cluster").as("cluster"))
+  }
+
   /** [[diversity]] against EXPLICIT centers (the [[kmeansFit]] output):
     * per cell the member count and mean/max L2 distance. */
   def diversityPreassigned(embDf: DataFrame, embCol: String,

@@ -71,6 +71,91 @@ object Survival {
         col("survival"))
   }
 
+  /** Restricted mean survival time — the SINGLE-NUMBER summary of a
+    * [[kaplanMeier]] curve ("average time-to-churn over the first τ
+    * days") and the standard effect measure when proportional hazards
+    * is doubtful (a hazard ratio is uninterpretable under crossing
+    * hazards; `RMST(τ) = ∫₀^τ S(t) dt` is model-free area-under-the-
+    * curve in TIME UNITS, so RMST_A − RMST_B reads "days of retention
+    * gained"). Per group: the step integral of the KM curve truncated
+    * at `tau`, with Klein's variance
+    * `Var = Σ_{events t_i ≤ τ} A_i² · d_i / (n_i (n_i − d_i))` where
+    * `A_i = ∫_{t_i}^τ S(u) du` — the reverse cumulative of the SAME
+    * step areas the point estimate sums.
+    *
+    * Engine-reproducibility: the KM survival at each step is the
+    * 6-decimal-rounded value [[kaplanMeier]] publishes, i.e. an exact
+    * integer of micro-units (≤ 2²⁰); each step area is that integer
+    * times an exact long span — an EXACT long product (no double sum
+    * ever forms), summed in decimal(38,0); `rmst = Σ/10⁶` is one
+    * string-routed cast. Variance terms are fixed double expressions
+    * over exact integers, pico-quantized and summed order-free (the
+    * χ²-parts convention). Steps with `n_i = d_i` (the curve hits 0)
+    * contribute no variance term — their factor is 0/0 and every
+    * later A is 0; the estimate is unaffected.
+    *
+    * Returns one row per group: (group, tau, n, events, rmst, se) —
+    * `se` NULL when no events fall at-or-before τ. `tau` must be
+    * positive; subjects with duration ≥ τ are censored-at-τ by the
+    * integral itself (their full weight is the [0,τ) area), which is
+    * exactly the "restricted" contract.
+    *
+    * Scale: one [[kaplanMeier]] pass (corpus shuffles once), then two
+    * windows and one aggregate over the group×distinct-duration
+    * curve — everything after the KM aggregate is curve-sized. */
+  def restrictedMean(subjects: DataFrame, groupCol: String,
+      durationCol: String, observed: Column, tau: Long): DataFrame = {
+    require(tau > 0L, s"tau must be positive, got $tau")
+    val km = kaplanMeier(subjects, groupCol, durationCol, observed)
+    val wLead = Window.partitionBy(col("group")).orderBy(col("t"))
+    val wRev = Window.partitionBy(col("group")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tD = lit(tau)
+    // step i covers [t_i, t_{i+1}) at survival S_i; the last step runs
+    // to τ (S constant past the last observed time — the RMST
+    // convention when τ exceeds follow-up is the caller's contract);
+    // the pre-first interval [0, t_min) rides survival 1 via rn = 1
+    val stepped = km
+      .withColumn("__next", coalesce(lead(col("t"), 1).over(wLead), tD))
+      .withColumn("__rn", row_number().over(wLead))
+      // micro-unit survival: the 6-dec rounding IS an exact integer
+      .withColumn("__sm",
+        floor(col("survival") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("__span",
+        greatest(least(col("__next"), tD) - least(col("t"), tD), lit(0L)))
+      // exact long×long micro-area of this step; the survival-1 area
+      // of [0, t_min) is kept SEPARATE (first row only) — it belongs
+      // to the total but NOT to any A_i = ∫_{t_i}^τ (all t_i ≥ t_min)
+      .withColumn("__area", col("__sm") * col("__span"))
+      .withColumn("__pre",
+        when(col("__rn") === 1, least(col("t"), tD) * 1000000L)
+          .otherwise(0L))
+      .withColumn("__A", sum(col("__area")).over(wRev))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    // Klein variance term at EVENT steps t_i ≤ τ with n_i > d_i:
+    // (A_i/1e6)² · d_i/(n_i(n_i−d_i)) — pico-quantized exact fold
+    val aD = col("__A").cast("double") / 1e6
+    val term = aD * aD * col("d").cast("double") /
+      (col("n_risk").cast("double") *
+        (col("n_risk") - col("d")).cast("double"))
+    val varPart = when(col("d") > 0 && col("t") <= tD &&
+        col("n_risk") > col("d"),
+      floor(term * 1e12 + 0.5).cast("decimal(38,0)"))
+      .otherwise(lit(0L).cast("decimal(38,0)"))
+    stepped.groupBy(col("group"))
+      .agg(sum(col("d") + col("c")).as("n"),
+        sum(col("d")).as("events"),
+        sum(when(col("d") > 0 && col("t") <= tD, col("d"))
+          .otherwise(0L)).as("__ev_tau"),
+        sum((col("__area") + col("__pre")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__rm"),
+        sum(varPart).cast("decimal(38,0)").as("__v"))
+      .select(col("group"), lit(tau).as("tau"), col("n"), col("events"),
+        round(dbl(col("__rm")) / 1e6, 6).as("rmst"),
+        when(col("__ev_tau") > 0,
+          round(sqrt(dbl(col("__v")) / 1e12), 6)).as("se"))
+  }
+
   /** Cox proportional-hazards regression — the covariate-adjusted
     * upgrade of [[kaplanMeier]] /
     * [[graft.operators.Retention.logRankTest]] ("which FACTORS drive

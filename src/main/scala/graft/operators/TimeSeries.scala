@@ -680,6 +680,90 @@ object TimeSeries {
         .otherwise(num * num / (den * denY)).as("r2"))
   }
 
+  /** Durbin–Watson statistic per series — "are the residuals around
+    * the trend AUTOCORRELATED?": the diagnostic that says whether
+    * [[linearTrend]]'s (and any OLS-on-time) classical inference can
+    * be trusted — `DW = Σ(e_t − e_{t−1})² / Σe_t²` over the residuals
+    * of the per-series daily linear trend; DW ≈ 2 ⇒ independent,
+    * ≪ 2 ⇒ positive autocorrelation (momentum/level-shift — the usual
+    * case), ≫ 2 ⇒ alternation. Also reports `rho ≈ 1 − DW/2`, the
+    * lag-1 residual autocorrelation estimate.
+    *
+    * The trend is fit IN-PLAN from the same exact-decimal moment sums
+    * as [[linearTrend]] (slope/intercept per series as fixed double
+    * expressions over exact integers — no driver round-trip), and the
+    * consecutive-day lag is POSITIONAL over the day-ordered window —
+    * gap days are documented as adjacent steps (resample first for
+    * strict calendars, the [[autocorrelation]] caveat).
+    *
+    * Numerics: each residual is a fixed double expression over
+    * exact-decimal operands; both quadratic sums fold micro-quantized
+    * exact decimals (order-free). Returns (series, n_days, dw, rho) —
+    * NULL when the series has < 3 days or zero residual variance (an
+    * exact-line fit has no autocorrelation to measure).
+    *
+    * Scale: one (series, day) aggregate (corpus shuffles once), one
+    * series-keyed moment aggregate + broadcast-sized join back, a lag
+    * window over the days-sized per-series table. */
+  def durbinWatson(events: DataFrame, seriesCol: String, tsCol: String,
+      value: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val dly = events
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("day", col(tsCol)).cast("date").as("__d"))
+      .agg(sum(value.cast("decimal(28,6)")).cast("decimal(16,6)")
+        .as("__y"))
+    val first = dly.groupBy(col("series"))
+      .agg(min(col("__d")).as("__f"))
+    val pts = dly.join(first, Seq("series"))
+      .select(col("series"),
+        datediff(col("__d"), col("__f")).cast("long").as("__x"),
+        col("__y"))
+      .localCheckpoint(eager = false) // moments + residual pass
+    val d19 = "decimal(19,0)"
+    val moments = pts.groupBy(col("series")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(d19)).cast(d19).as("__sx"),
+      sum(col("__y").cast("decimal(28,6)")).cast("decimal(28,6)")
+        .as("__sy"),
+      sum((col("__x").cast(d19) * col("__y").cast("decimal(17,6)"))
+        .cast("decimal(38,6)")).cast("decimal(38,6)").as("__sxy"),
+      sum((col("__x").cast(d19) * col("__x").cast(d19))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("__sxx"))
+    val nD = col("__n").cast("double")
+    val slope = (nD * dbl(col("__sxy")) - dbl(col("__sx")) * dbl(col("__sy"))) /
+      (nD * dbl(col("__sxx")) - dbl(col("__sx")) * dbl(col("__sx")))
+    val icept = (dbl(col("__sy")) - slope * dbl(col("__sx"))) / nD
+    val fitted = pts.join(moments, Seq("series"))
+      .select(col("series"), col("__x"), col("__n"),
+        when(nD * dbl(col("__sxx")) - dbl(col("__sx")) * dbl(col("__sx"))
+            === 0.0, lit(null).cast("double"))
+          .otherwise(dbl(col("__y")) -
+            (icept + slope * col("__x").cast("double"))).as("__e"))
+    val w = Window.partitionBy(col("series")).orderBy(col("__x"))
+    val withLag = fitted
+      .withColumn("__ep", lag(col("__e"), 1).over(w))
+    def q(c: Column): Column =
+      sum(floor(c * 1e6 + 0.5).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+    val agg = withLag.groupBy(col("series")).agg(
+      max(col("__n")).as("n_days"),
+      q(col("__e") * col("__e")).as("__se2"),
+      q(when(col("__ep").isNotNull,
+        (col("__e") - col("__ep")) * (col("__e") - col("__ep")))
+        .otherwise(lit(0.0))).as("__sd2"),
+      sum(when(col("__e").isNull, 1L).otherwise(0L)).as("__bad"))
+    agg.select(col("series"), col("n_days").cast("bigint").as("n_days"),
+      when(col("n_days") >= 3 && col("__bad") === 0 &&
+          dbl(col("__se2")) > 0.0,
+        dbl(col("__sd2")) / dbl(col("__se2"))).as("dw"),
+      when(col("n_days") >= 3 && col("__bad") === 0 &&
+          dbl(col("__se2")) > 0.0,
+        lit(1.0) - dbl(col("__sd2")) / dbl(col("__se2")) / 2.0)
+        .as("rho"))
+      .orderBy(col("series"))
+  }
+
   /** Theil–Sen robust trend per series: the MEDIAN of all pairwise
     * day-to-day slopes — [[linearTrend]]'s outlier-proof sibling (OLS
     * chases one bad day; the median slope shrugs it off, breakdown

@@ -548,4 +548,72 @@ class ClassifierSpec extends SparkTestBase {
       .head()
     assert(rep.getDouble(5) == got.getDouble(5))
   }
+
+  test("cochranQ: hand-computed 3-model Q; k=2 equals uncorrected " +
+      "McNemar; incomplete examples excluded; no-discordance refuses; " +
+      "partitioning-invariant") {
+    // T = (3,2,1), R = (3,1,2,0) → Q = 2[3·14 − 36]/(18 − 14) = 3
+    val rows = Seq(
+      (1L, "a", 1), (1L, "b", 1), (1L, "c", 1),
+      (2L, "a", 1), (2L, "b", 0), (2L, "c", 0),
+      (3L, "a", 1), (3L, "b", 1), (3L, "c", 0),
+      (4L, "a", 0), (4L, "b", 0), (4L, "c", 0),
+      (5L, "a", 1)) // incomplete — excluded, counted
+    val df = rows.toDF("id", "model", "ok")
+    val got = Classifier.cochranQ(df, "id", "model", $"ok" === 1).head()
+    assert(got.getLong(0) == 3 && got.getLong(1) == 4 &&
+      got.getLong(2) == 1)
+    assert(math.abs(got.getDouble(3) - 3.0) < 1e-9)
+    assert(got.getLong(4) == 2)
+    // χ²₂ tail at 3 is e^{−3/2} ≈ 0.2231 (W–H lands near it)
+    assert(got.getDouble(5) > 0.19 && got.getDouble(5) < 0.26)
+    // k = 2: Q must equal the UNcorrected McNemar χ² on the same pairs
+    val two = Seq(
+      (1L, "a", 1), (1L, "b", 0), (2L, "a", 0), (2L, "b", 1),
+      (3L, "a", 1), (3L, "b", 0), (4L, "a", 1), (4L, "b", 1),
+      (5L, "a", 0), (5L, "b", 0)).toDF("id", "model", "ok")
+    val q2 = Classifier.cochranQ(two, "id", "model", $"ok" === 1).head()
+    val wide = Seq((true, false), (false, true), (true, false),
+      (true, true), (false, false)).toDF("a", "b")
+    val mc = Classifier.mcNemar(wide, $"a", $"b", continuity = false)
+      .head()
+    assert(math.abs(q2.getDouble(3) - mc.getDouble(5)) < 1e-9)
+    assert(math.abs(q2.getDouble(5) - mc.getDouble(6)) < 1e-9)
+    // every complete example identical → zero denominator → refuse
+    val flat = Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 1),
+      (2L, "b", 1)).toDF("id", "model", "ok")
+    val g3 = Classifier.cochranQ(flat, "id", "model", $"ok" === 1).head()
+    assert(g3.isNullAt(3) && g3.isNullAt(5))
+    val rep = Classifier.cochranQ(df.repartition(7), "id", "model",
+      $"ok" === 1).head()
+    assert(rep.getDouble(3) == got.getDouble(3) &&
+      rep.getDouble(5) == got.getDouble(5))
+  }
+
+  test("qiniCurve: hand-computed two-bucket uplift and qini; " +
+      "partitioning-invariant") {
+    val df = Seq(
+      (1L, 0.9, true, true), (2L, 0.8, false, false),
+      (3L, 0.7, true, true), (4L, 0.6, false, false),
+      (5L, 0.5, true, false), (6L, 0.4, false, true),
+      (7L, 0.3, true, false), (8L, 0.2, false, false))
+      .toDF("id", "s", "t", "y")
+    val got = Classifier.qiniCurve(df, "id", $"s", $"t", $"y",
+      buckets = 2).collect()
+    assert(got.length == 2)
+    val b1 = got(0)
+    assert(b1.getLong(1) == 2 && b1.getLong(2) == 2 &&
+      b1.getLong(3) == 2 && b1.getLong(4) == 0)
+    assert(math.abs(b1.getDouble(9) - 1.0) < 1e-9) // 2/2 − 0/2
+    assert(math.abs(b1.getDouble(10) - 2.0) < 1e-9) // 2 − 0·(2/2)
+    val b2 = got(1)
+    assert(b2.getLong(5) == 4 && b2.getLong(6) == 4 &&
+      b2.getLong(7) == 2 && b2.getLong(8) == 1)
+    assert(math.abs(b2.getDouble(9) - 0.25) < 1e-9) // 0.5 − 0.25
+    assert(math.abs(b2.getDouble(10) - 1.0) < 1e-9) // 2 − 1·(4/4)
+    val rep = Classifier.qiniCurve(df.repartition(5), "id", $"s", $"t",
+      $"y", buckets = 2).collect()
+    assert(rep.map(_.getDouble(10)).toSeq ==
+      got.map(_.getDouble(10)).toSeq)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Experiment, Skew, Survival, TimeSeries}
+import graft.operators.{Anomaly, Cdc, Dedup, Expectations, Experiment, Regression, Skew, Survival, TimeSeries}
 
 /** Table-versioning and data-quality operators: snapshot diff (the
   * inverse of CDC apply) and single-pass expectations reports. */
@@ -2242,5 +2242,162 @@ class DataOpsSpec extends SparkTestBase {
       Seq("x" -> col("x"))).head()
     assert(rep.getDouble(1) == got.getDouble(1) &&
       rep.getDouble(3) == got.getDouble(3))
+  }
+
+  test("restrictedMean: hand-computed step integral and Klein SE; " +
+      "tau truncation; partitioning-invariant") {
+    import graft.operators.Survival
+    // KM: S(1)=2/3, S(2)=2/3 (censor-only), S(3)=0 (n=d)
+    val df = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true))
+      .toDF("grp", "t", "e")
+    val got = Survival.restrictedMean(df, "grp", "t", col("e"), tau = 4L)
+      .head()
+    assert(got.getString(0) == "g" && got.getLong(1) == 4L)
+    assert(got.getLong(2) == 3 && got.getLong(3) == 2)
+    // 1·[0,1) + 0.666667·[1,2) + 0.666667·[2,3) + 0·[3,4)
+    assert(got.getDouble(4) == 2.333334, s"rmst=${got.getDouble(4)}")
+    // Klein: only t=1 contributes (t=3 has n=d): A₁ = 1.333334,
+    // term = A₁²/6 → se = √0.29629659 ≈ 0.544331
+    assert(math.abs(got.getDouble(5) - 0.544331) < 1e-6)
+    // τ = 2 truncates inside the second interval: 1 + 0.666667
+    val t2 = Survival.restrictedMean(df, "grp", "t", col("e"), tau = 2L)
+      .head()
+    assert(t2.getDouble(4) == 1.666667)
+    val rep = Survival.restrictedMean(df.repartition(3), "grp", "t",
+      col("e"), tau = 4L).head()
+    assert(rep.getDouble(4) == got.getDouble(4) &&
+      rep.getDouble(5) == got.getDouble(5))
+  }
+
+  test("poissonFit: saturated binary-feature closed form " +
+      "(coef = ln 3); hand deviances; collinear refuses; " +
+      "partitioning-invariant") {
+    // x=0: y ∈ {1,3} (mean 2); x=1: y ∈ {4,8} (mean 6) → intercept
+    // ln 2, coef ln 3; saturated-group deviance hand-summed
+    val df = Seq((1L, 0.0), (3L, 0.0), (4L, 1.0), (8L, 1.0))
+      .toDF("y", "x")
+    val rows = Regression.poissonFit(df, col("y"),
+      Seq("x" -> col("x"))).collect()
+    assert(rows.length == 2)
+    val (ic, cf) = (rows(0), rows(1))
+    assert(ic.getString(0) == "intercept" && cf.getString(0) == "x")
+    assert(math.abs(ic.getDouble(1) - math.log(2.0)) < 1e-4)
+    assert(math.abs(cf.getDouble(1) - math.log(3.0)) < 1e-4)
+    assert(math.abs(cf.getDouble(2) - 3.0) < 1e-3)
+    assert(!cf.isNullAt(3) && !cf.isNullAt(5))
+    val dev = 2.0 * ((1.0 * math.log(0.5) + 1.0) +
+      (3.0 * math.log(1.5) - 1.0) +
+      (4.0 * math.log(4.0 / 6.0) + 2.0) +
+      (8.0 * math.log(8.0 / 6.0) - 2.0))
+    assert(math.abs(cf.getDouble(7) - dev) < 1e-3,
+      s"deviance=${cf.getDouble(7)} vs $dev")
+    val dev0 = 2.0 * ((math.log(0.25) + 3.0) +
+      (3.0 * math.log(0.75) + 1.0) + 0.0 +
+      (8.0 * math.log(2.0) - 4.0))
+    assert(math.abs(cf.getDouble(8) - dev0) < 1e-3)
+    // constant feature duplicates the intercept → singular → NULLs
+    val flat = Regression.poissonFit(df.withColumn("x", lit(1.0)),
+      col("y"), Seq("x" -> col("x"))).collect()
+    assert(flat.forall(_.isNullAt(1)))
+    val rep = Regression.poissonFit(df.repartition(3), col("y"),
+      Seq("x" -> col("x"))).collect()
+    assert(rep(1).getDouble(1) == cf.getDouble(1))
+  }
+
+  test("vif: hand-computed two-feature VIF (175/6); exact " +
+      "collinearity refuses; constant feature refuses") {
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0))
+      .toDF("a", "b")
+    val got = Regression.vif(df,
+      Seq("a" -> col("a"), "b" -> col("b"))).collect()
+    assert(got.length == 2)
+    // r² = 2.640625/2.734375 → VIF = 29.1666…, equal on both rows
+    assert(math.abs(got(0).getDouble(1) - 175.0 / 6.0) < 1e-3)
+    // symmetric 2-feature VIFs agree to inversion round-off
+    assert(math.abs(got(0).getDouble(1) - got(1).getDouble(1)) < 1e-9)
+    assert(math.abs(got(0).getDouble(2) -
+      (1.0 - 6.0 / 175.0)) < 1e-4)
+    val coll = Regression.vif(df.withColumn("b", lit(6.0) - col("a")),
+      Seq("a" -> col("a"), "b" -> col("b"))).collect()
+    assert(coll.forall(_.isNullAt(1)))
+    val const = Regression.vif(df.withColumn("b", lit(2.0)),
+      Seq("a" -> col("a"), "b" -> col("b"))).collect()
+    assert(const.forall(_.isNullAt(1)))
+  }
+
+  test("breuschPagan: zero residuals refuse (SST=0); growing error " +
+      "variance flags; partitioning-invariant") {
+    val exact = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("y", "x")
+    val g0 = Regression.breuschPagan(exact, col("y"),
+      Seq("x" -> col("x"))).head()
+    assert(g0.getLong(0) == 4 && g0.isNullAt(2) && g0.isNullAt(4))
+    // residual magnitude grows with x → u = e² correlates with x
+    val rows = (1 to 8).map { i =>
+      val e = 0.2 * i * (if (i % 2 == 0) 1.0 else -1.0)
+      (i.toDouble + e, i.toDouble)
+    }
+    val het = rows.toDF("y", "x")
+    val g1 = Regression.breuschPagan(het, col("y"),
+      Seq("x" -> col("x"))).head()
+    assert(g1.getLong(0) == 8 && !g1.isNullAt(2))
+    assert(g1.getDouble(2) > 0.0 && g1.getLong(3) == 1)
+    assert(g1.getDouble(4) > 0.0 && g1.getDouble(4) < 1.0)
+    val rep = Regression.breuschPagan(het.repartition(5), col("y"),
+      Seq("x" -> col("x"))).head()
+    assert(rep.getDouble(2) == g1.getDouble(2))
+  }
+
+  test("durbinWatson: hand DW = 2.5 on trend-orthogonal residuals; " +
+      "exact-line fit refuses; partitioning-invariant") {
+    // y = t + e, e = (1,−1,0,0,−1,1): Σe = 0, Σe·t = 0 → OLS is
+    // exactly slope 1 / intercept 0; DW = 10/4 = 2.5, ρ = −0.25
+    val e = Seq(1.0, -1.0, 0.0, 0.0, -1.0, 1.0)
+    val rows = e.zipWithIndex.map { case (ei, i) =>
+      ("s", java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 00:00:00"),
+        i.toDouble + ei) }
+    val df = rows.toDF("series", "ts", "v")
+    val got = TimeSeries.durbinWatson(df, "series", "ts", col("v"))
+      .head()
+    assert(got.getLong(1) == 6)
+    assert(got.getDouble(2) == 2.5, s"dw=${got.getDouble(2)}")
+    assert(got.getDouble(3) == -0.25)
+    val line = rows.map { case (s, t, _) => (s, t, 7.0) }
+      .zipWithIndex.map { case ((s, t, _), i) => (s, t, i.toDouble) }
+      .toDF("series", "ts", "v")
+    val g0 = TimeSeries.durbinWatson(line, "series", "ts", col("v"))
+      .head()
+    assert(g0.isNullAt(2) && g0.isNullAt(3))
+    val re = TimeSeries.durbinWatson(df.repartition(5), "series", "ts",
+      col("v")).head()
+    assert(re.getDouble(2) == got.getDouble(2))
+  }
+
+  test("aipwAte: exact-arm-models fixture recovers ATE = 2 with the " +
+      "hand influence variance; degenerate zero-variance SE refuses; " +
+      "partitioning-invariant") {
+    // y = 1 + x + 2·t + e, e = ±0.5 orthogonal to (1, x) per arm,
+    // e = 0.5 constant propensity → ψ ∈ {1, 3}, mean 2, var 1
+    def arm(t: Boolean) = Seq(
+      (1.0, 0.5), (2.0, -0.5), (3.0, -0.5), (4.0, 0.5)).map {
+      case (x, e) => (t, 1.0 + x + (if (t) 2.0 else 0.0) + e, 0.5, x) }
+    val df = (arm(true) ++ arm(false)).toDF("t", "y", "e", "x")
+    val got = Experiment.aipwAte(df, col("t"), col("y"), col("e"),
+      Seq("x" -> col("x"))).head()
+    assert(got.getLong(0) == 4 && got.getLong(1) == 4)
+    assert(math.abs(got.getDouble(3) - 2.0) < 1e-6,
+      s"ate=${got.getDouble(3)}")
+    assert(math.abs(got.getDouble(4) - math.sqrt(1.0 / 8.0)) < 1e-3)
+    assert(got.getDouble(6) < 0.001) // p small at z ≈ 5.66
+    // residual-free arms → ψ constant → zero variance → SE refuses
+    val clean = df.withColumn("y",
+      lit(1.0) + col("x") + when(col("t"), 2.0).otherwise(0.0))
+    val g0 = Experiment.aipwAte(clean, col("t"), col("y"), col("e"),
+      Seq("x" -> col("x"))).head()
+    assert(math.abs(g0.getDouble(3) - 2.0) < 1e-6 && g0.isNullAt(4))
+    val rep = Experiment.aipwAte(df.repartition(5), col("t"), col("y"),
+      col("e"), Seq("x" -> col("x"))).head()
+    assert(rep.getDouble(3) == got.getDouble(3) &&
+      rep.getDouble(4) == got.getDouble(4))
   }
 }

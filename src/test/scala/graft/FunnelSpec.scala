@@ -702,4 +702,46 @@ class FunnelSpec extends SparkTestBase {
       "g", col("dur"), col("ev"), "a", "b").head()
     assert(re.toSeq === got.toSeq)
   }
+
+  test("markovCredit: hand-solved two-channel chain; removal effects " +
+      "and credits; channel guard fires in-plan; " +
+      "partitioning-invariant") {
+    // e1: A → B → conv; e2: A → (drop). Baseline P = 0.5; removing
+    // either channel kills every converting path → effects (1, 1),
+    // shares (0.5, 0.5), credit 0.5 conversions each
+    val ev = Seq(
+      (1L, ts(1), "touch", "A"), (1L, ts(2), "touch", "B"),
+      (1L, ts(3), "conv", null),
+      (2L, ts(1), "touch", "A"))
+      .toDF("u", "t", "kind", "ch")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Attribution.markovCredit(df, "u", "t", "t",
+        col("kind") === "touch", col("ch"), col("kind") === "conv")
+    val got = run(ev).collect().sortBy(_.getString(0))
+    assert(got.length == 2)
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "A" && a.getLong(1) == 2)
+    assert(b.getString(0) == "B" && b.getLong(1) == 1)
+    assert(math.abs(a.getDouble(2) - 1.0) < 1e-9 &&
+      math.abs(b.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(a.getDouble(3) - 0.5) < 1e-9)
+    assert(math.abs(a.getDouble(4) - 0.5) < 1e-9 &&
+      math.abs(b.getDouble(4) - 0.5) < 1e-9)
+    // a direct conversion raises the baseline but credits no channel
+    val withDirect = ev.union(
+      Seq((3L, ts(1), "conv", null)).toDF("u", "t", "kind", "ch"))
+    val g2 = run(withDirect).collect().sortBy(_.getString(0))
+    assert(math.abs(g2(0).getDouble(2) - 0.5) < 1e-9) // (2/3−1/3)/(2/3)
+    assert(math.abs(g2(0).getDouble(4) - 1.0) < 1e-9) // 0.5 share × 2
+    val err = intercept[Exception] {
+      Attribution.markovCredit(ev, "u", "t", "t",
+        col("kind") === "touch", col("ch"), col("kind") === "conv",
+        maxChannels = 1).collect()
+    }
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + chain(x.getCause)
+    assert(chain(err).contains("maxChannels"))
+    val re = run(ev.repartition(5)).collect().sortBy(_.getString(0))
+    assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
 }

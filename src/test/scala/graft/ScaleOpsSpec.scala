@@ -210,4 +210,78 @@ class ScaleOpsSpec extends SparkTestBase {
       k = 2, iters = 3)
     assert(re == centers, "Lloyd refinement must be deterministic")
   }
+
+  test("silhouetteSimplified: boundary point scores 0, center point " +
+      "scores 1, hand mean; partitioning-invariant") {
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    // (0,0): a=0,b=10 → 1; (1,0): a=1,b=9 → 8/9; (5,0): a=b → 0
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(5.0f, 0.0f)), (4L, Array(10.0f, 0.0f)))
+      .toDF("id", "emb")
+    val got = Similarity.silhouetteSimplified(pts, "emb", centers)
+      .collect()
+    assert(got.length == 2)
+    val c0 = got(0)
+    assert(c0.getInt(0) == 0 && c0.getLong(1) == 3)
+    val mean0 = (1.0 + 8.0 / 9.0 + 0.0) / 3.0
+    assert(math.abs(c0.getDouble(2) - mean0) < 1e-5,
+      s"mean=${c0.getDouble(2)}")
+    assert(c0.getDouble(3) == 0.0)
+    val c1 = got(1)
+    assert(c1.getInt(0) == 1 && c1.getLong(1) == 1 &&
+      c1.getDouble(2) == 1.0)
+    val re = Similarity.silhouetteSimplified(pts.repartition(3), "emb",
+      centers).collect()
+    assert(re.map(_.getDouble(2)).toSeq == got.map(_.getDouble(2)).toSeq)
+  }
+
+  test("dbscanGrid: core/border/noise labels on a hand fixture; " +
+      "two separated clusters stay separate; partitioning-invariant") {
+    // chain (0,0)-(0.4,0)-(0.8,0): with eps=0.5, minPts=3 only the
+    // middle point is core; ends are border; (10,10) is noise;
+    // second chain at (5,*) forms its own cluster
+    val df = Seq(
+      (1L, 0.0, 0.0), (2L, 0.4, 0.0), (3L, 0.8, 0.0),
+      (4L, 10.0, 10.0),
+      (5L, 5.0, 5.0), (6L, 5.4, 5.0), (7L, 5.8, 5.0))
+      .toDF("id", "x", "y")
+    val got = Similarity.dbscanGrid(df, "id", $"x", $"y",
+      eps = 0.5, minPts = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got.size == 7)
+    assert(got(2L) == ((true, 2L)) && got(6L) == ((true, 6L)))
+    assert(got(1L) == ((false, 2L)) && got(3L) == ((false, 2L)))
+    assert(got(5L) == ((false, 6L)) && got(7L) == ((false, 6L)))
+    assert(got(4L) == ((false, -1L)))
+    val rep = Similarity.dbscanGrid(df.repartition(5), "id", $"x",
+      $"y", eps = 0.5, minPts = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(rep == got)
+  }
+
+  test("dbscanGrid: adjacent-cell pairs across negative coordinates " +
+      "are found; the density guard refuses a pathological cell") {
+    // (−0.2,−0.2) and (0.2,0.2) sit in different cells across the
+    // origin; dist ≈ 0.566 ≤ 0.6 must pair them (floor-div, not
+    // truncation, places negative cells)
+    val df = Seq((1L, -0.2, -0.2), (2L, 0.2, 0.2)).toDF("id", "x", "y")
+    val got = Similarity.dbscanGrid(df, "id", $"x", $"y",
+      eps = 0.6, minPts = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((true, 1L)) && got(2L) == ((true, 1L)))
+    val dense = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 0.0, 0.0))
+      .toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      Similarity.dbscanGrid(dense, "id", $"x", $"y", eps = 0.5,
+        minPts = 2, maxCellPoints = 2).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage))
+      .mkString("\n")
+    assert(chain.contains("maxCellPoints"), s"unexpected: $chain")
+  }
 }
