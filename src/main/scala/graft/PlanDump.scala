@@ -20,11 +20,16 @@ object PlanDump {
     val Array(sfDir, outDir, names) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("GRAFT_PLAN_RUNS", "0").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc diagnosis confs, e.g. event logging:
+    //   GRAFT_EXTRA_CONFS="spark.eventLog.enabled=true,spark.eventLog.dir=/tmp/evt"
+    sys.env.get("GRAFT_EXTRA_CONFS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     // same warmup as Bench so timings are comparable

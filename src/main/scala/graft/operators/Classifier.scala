@@ -1255,7 +1255,11 @@ object Classifier {
       .filter(col("__s").isNotNull && !isnan(col("__s")) &&
         abs(col("__s")) < lit(Double.PositiveInfinity) &&
         col("__y").isNotNull)
-      .localCheckpoint(eager = false) // one scan per Newton iteration
+      // spread checkpoint: 20 Newton scans read this table; a plain
+      // checkpoint freezes the AQE-coalesced (often 1-partition)
+      // layout and runs them single-threaded — the quantized decimal
+      // sums are exact, so the layout cannot change results
+      .transform(org.apache.spark.sql.graft.CheckpointOps.checkpointSpread)
     val counts = base.agg(
       sum(when(col("__y"), 1L).otherwise(0L)).as("np"),
       sum(when(col("__y"), 0L).otherwise(1L)).as("nn")).collect()(0)

@@ -39,18 +39,43 @@ object Graph {
     *    nodes-sized (edges checkpoint once), so the extra I/O is small
     *    relative to the edge joins.
     *
-    * Returns a checkpoint function bound to the chosen strategy; sets
+    * Returns a checkpoint strategy bound to the chosen durability; sets
     * the SparkContext checkpoint dir once up front for the reliable
     * path. */
-  private def ckptFn(df0: DataFrame, dir: Option[String])
-      : Boolean => DataFrame => DataFrame = {
+  private def ckptFn(df0: DataFrame, dir: Option[String]): Ckpt = {
     // explicit param wins; else the session-wide switch
     // ([[Checkpointing.ConfKey]]) selects durability
     val resolved = dir.orElse(Checkpointing.configuredDir(df0))
     resolved.foreach(df0.sparkSession.sparkContext.setCheckpointDir)
-    eager => df =>
-      if (resolved.isDefined) df.checkpoint(eager)
-      else df.localCheckpoint(eager)
+    new Ckpt(resolved.isDefined)
+  }
+
+  /** The per-run checkpoint strategy [[ckptFn]] resolves. `apply` is
+    * the plain lineage truncation; [[keyed]] additionally pins and
+    * DECLARES a hash layout on `keys`
+    * ([[org.apache.spark.sql.graft.CheckpointOps]]) so that every
+    * later join/aggregate keyed on `keys` reads the checkpointed side
+    * in place instead of re-shuffling it — for the iterative loops
+    * here that is the difference between shuffling the edge table once
+    * (at the keyed checkpoint) and shuffling it once PER ITERATION
+    * (`localCheckpoint` under AQE comes back `UnknownPartitioning`, so
+    * `EnsureRequirements` re-exchanges it every round). */
+  private[graft] final class Ckpt(reliable: Boolean)
+      extends (Boolean => DataFrame => DataFrame) {
+    def apply(eager: Boolean): DataFrame => DataFrame = df =>
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    def keyed(eager: Boolean, keys: String*): DataFrame => DataFrame = {
+      require(eager, "keyed checkpoints are eager (size-adaptive layout)")
+      df => org.apache.spark.sql.graft.CheckpointOps
+        .checkpointHashPartitioned(df, keys, reliable)
+    }
+    /** [[keyed]] for loops that already hold (an upper bound on) the
+      * state's row count — sizes the layout from it and skips the
+      * sizing pass. */
+    def keyedSized(rowsUpperBound: Long, keys: String*)
+        : DataFrame => DataFrame =
+      df => org.apache.spark.sql.graft.CheckpointOps
+        .checkpointHashPartitionedSized(df, keys, reliable, rowsUpperBound)
   }
 
   /** Standard damped PageRank with uniform dangling-mass redistribution:
@@ -148,8 +173,12 @@ object Graph {
     val tNodes = withT.transform(ck(true))
     val outW = e.groupBy(col("src")).agg(sum(col("__w")).as("__deg"))
     // weight share rides WITH each edge so the per-iteration join
-    // touches only (edges ⋈ ranks) — checkpointed once
-    val eDeg = e.join(outW, "src").transform(ck(true))
+    // touches only (edges ⋈ ranks) — checkpointed once, KEYED by src:
+    // the declared layout makes every iteration's rank join read the
+    // edge table in place (ranks alone is exchanged, nodes-sized), so
+    // the only edge-scale shuffle per iteration is the contribution
+    // aggregate itself (guide §2.4 — the theoretical minimum)
+    val eDeg = e.join(outW, "src").transform(ck.keyed(true, "src"))
 
     var ranks = tNodes.select(col("id"), col("__t").as("rank"))
       .transform(ck(false))
@@ -202,12 +231,16 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val ck = ckptFn(edges, checkpointDir)
-    val e = edges
+    // the edge list is read keyed by src (auth step) AND by dst (hub
+    // step) every iteration: pin BOTH layouts once so neither step
+    // ever re-shuffles edges — only the nodes-sized score table moves
+    val eSrc = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().transform(ck(true))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .distinct().transform(ck.keyed(true, "src"))
+    val eDst = eSrc.transform(ck.keyed(true, "dst"))
+    val nodes = eSrc.select(col("src").as("id"))
+      .union(eSrc.select(col("dst").as("id"))).distinct()
       .transform(ck(true))
     var hub = nodes.select(col("id"), lit(1.0).as("hub"))
       .transform(ck(false))
@@ -216,7 +249,7 @@ object Graph {
       // nodes-sized; checkpointed because both the normalizer and the
       // score join read it — without truncation each reads re-runs the
       // edge join
-      val aRaw = e.join(hub, e("src") === hub("id"))
+      val aRaw = eSrc.join(hub, eSrc("src") === hub("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__a"))
         .transform(ck(false))
       val aNorm = aRaw.agg(sum(col("__a")).as("__s"))
@@ -225,7 +258,7 @@ object Graph {
         .select(col("id"),
           (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
         .transform(ck(false))
-      val hRaw = e.join(auth, e("dst") === auth("id"))
+      val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__h"))
         .transform(ck(false))
       val hNorm = hRaw.agg(sum(col("__h")).as("__s"))
@@ -264,10 +297,13 @@ object Graph {
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // keyed by a: the degree aggregate and the a-side semi-join both
+    // read the round's edge set in place — only the b-side semi-join
+    // moves edges (1 edge-keyed shuffle per round instead of 3)
     var e = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")) // self-loops add no core support
       .distinct()
-      .transform(ck(true))
+      .transform(ck.keyed(true, "a"))
     var n = e.count()
     var rounds = 0
     var converged = n == 0L
@@ -279,7 +315,8 @@ object Graph {
       val pruned = e
         .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-        .transform(ck(true))
+        // the surviving set only shrinks: last round's count bounds it
+        .transform(ck.keyedSized(n, "a"))
       val m = pruned.count()
       converged = m == n || m == 0 // empty is trivially the fixpoint
       e = pruned; n = m; rounds += 1
@@ -388,13 +425,14 @@ object Graph {
     // m(u) = min(Γ(u) ∪ {u}) from the both-directions view
     def gamma(pairs: DataFrame): DataFrame =
       pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-    def withMin(pairs: DataFrame): DataFrame = {
-      val nbrs = gamma(pairs)
-      val m = nbrs.groupBy(col("a")).agg(min(col("b")).as("__mn"))
-        .select(col("a").as("__u"),
-          least(col("__mn"), col("a")).as("__m"))
-      nbrs.join(m, nbrs("a") === col("__u"))
-    }
+    // the neighbor-min rides the SAME a-keyed pass as the rows it
+    // annotates: a whole-partition window min instead of the former
+    // groupBy + self-join (one exchange and zero joins per star step
+    // instead of two exchanges, an aggregate and a sort-merge join —
+    // the exact integer min is the same either way)
+    def withMin(pairs: DataFrame): DataFrame =
+      gamma(pairs).withColumn("__m",
+        least(min(col("b")).over(Window.partitionBy(col("a"))), col("a")))
     // large-star: every strictly-larger neighbor links to the min;
     // small-star: every not-larger neighbor AND u itself link to it
     def largeStar(pairs: DataFrame): DataFrame =
@@ -406,6 +444,9 @@ object Graph {
     def smallStar(pairs: DataFrame): DataFrame = {
       val wm = withMin(pairs)
       // (v, m) for every not-larger neighbor v, plus (u, m) itself
+      // (two selects over wm: the branches share the gamma exchange
+      // via ReusedExchange, and measured FASTER than a single-pass
+      // explode emission, which pays per-row array allocation)
       wm.filter(col("b") < col("a"))
         .select(col("b").as("a"), col("__m").as("b"))
         .union(wm.select(col("a"), col("__m").as("b")))
@@ -419,9 +460,13 @@ object Graph {
     var pCount = p.count()
     var rounds = 0
     var converged = pCount == 0L
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && rounds < maxRounds) {
+      val __t0 = System.nanoTime()
       val next = smallStar(largeStar(p)).transform(ck(true))
       val nCount = next.count()
+      if (dbg) System.err.println(f"[cc] round $rounds: $pCount -> " +
+        f"$nCount pairs, ${(System.nanoTime() - __t0) / 1e9}%.2f s")
       // exact set equality: same size and nothing new (both sets are
       // canonically (big, small)-oriented after the first round)
       converged = nCount == pCount &&
@@ -539,8 +584,10 @@ object Graph {
     val sym = if (directed) valid
       else valid.union(valid.select(col("dst").as("src"),
         col("src").as("dst")))
+    // keyed by src: every hop's frontier join reads the edge table in
+    // place; only the (tiny) frontier is exchanged per hop
     val e = sym.filter(col("src") =!= col("dst")).distinct()
-      .transform(ck(true))
+      .transform(ck.keyed(true, "src"))
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .withColumn("hops", lit(0))
       .transform(ck(true))
@@ -595,8 +642,9 @@ object Graph {
     val sym = if (directed) valid
       else valid.union(valid.select(col("dst").as("src"),
         col("src").as("dst")))
+    // keyed by src — same layout contract as [[bfsHops]]
     val e = sym.filter(col("src") =!= col("dst")).distinct()
-      .transform(ck(true))
+      .transform(ck.keyed(true, "src"))
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .select(col("id"), col("id").as("seed"), lit(0).as("hops"))
       .transform(ck(true))
@@ -747,9 +795,10 @@ object Graph {
     val sym = if (directed) valid
       else valid.union(valid.select(col("dst").as("src"),
         col("src").as("dst"), col("__w")))
+    // keyed by src — same layout contract as [[bfsHops]]
     val e = sym.filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
-      .transform(ck(true))
+      .transform(ck.keyed(true, "src"))
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .withColumn("dist", lit(0L))
       .transform(ck(true))
@@ -805,10 +854,12 @@ object Graph {
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // keyed by b: the per-round labels join reads the edge table in
+    // place (labels alone is exchanged, nodes-sized)
     val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .transform(ck(true)) // reused every round, fixed lineage
+      .transform(ck.keyed(true, "b")) // reused every round, fixed lineage
     var labels = e.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .transform(ck(true))

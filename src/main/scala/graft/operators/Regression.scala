@@ -159,7 +159,11 @@ object Regression {
         features.indices.map(j =>
           (floor(col(s"__xm$j") * 1000000.0 + 0.5) / 1000000.0)
             .as(s"__x$j"))): _*)
-      .localCheckpoint(eager = false) // one scan per Newton pass
+      // spread checkpoint: every Newton pass scans this table; the
+      // plain checkpoint freezes an AQE-coalesced (1-partition) layout
+      // and runs them single-threaded — exact decimal moments, so the
+      // layout cannot change results
+      .transform(org.apache.spark.sql.graft.CheckpointOps.checkpointSpread)
     val counts = base.agg(count(lit(1)).as("n"),
       sum(col("__y")).as("sy")).collect()(0)
     val n = counts.getLong(0)
@@ -370,7 +374,8 @@ object Regression {
         xs0.indices.map(j =>
           floor(col(s"__xm$j") * 1000000.0 + 0.5).cast("long")
             .as(s"__x$j"))): _*)
-      .localCheckpoint(eager = false) // main + auxiliary Gram passes
+      // spread checkpoint (see poissonFit): two Gram passes read this
+      .transform(org.apache.spark.sql.graft.CheckpointOps.checkpointSpread)
     val gMain = gramSums(base, d)
     val schema = StructType(Seq(
       StructField("n", LongType, nullable = false),

@@ -46,8 +46,14 @@ object Survival {
         col(durationCol).cast("long").as("t"))
       .agg(sum(observed.cast("long")).as("d"),
         sum((!observed).cast("long")).as("c"))
-    val wRisk = Window.partitionBy(col("group")).orderBy(col("t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // suffix sums as RUNNING sums over the reversed order: Spark
+    // recomputes a (currentRow → unboundedFollowing) frame from
+    // scratch PER ROW — O(steps²) per group — while a running prefix
+    // frame is incremental O(steps). `t` is distinct per group (output
+    // of the aggregate), so the reversed ROWS frame covers exactly the
+    // same set and the exact-integer sums are identical.
+    val wRisk = Window.partitionBy(col("group")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCum = Window.partitionBy(col("group")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     steps
@@ -108,8 +114,10 @@ object Survival {
     require(tau > 0L, s"tau must be positive, got $tau")
     val km = kaplanMeier(subjects, groupCol, durationCol, observed)
     val wLead = Window.partitionBy(col("group")).orderBy(col("t"))
-    val wRev = Window.partitionBy(col("group")).orderBy(col("t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // running frame over the reversed order — see [[kaplanMeier]]'s
+    // wRisk note (O(steps), same exact-integer sums)
+    val wRev = Window.partitionBy(col("group")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tD = lit(tau)
     // step i covers [t_i, t_{i+1}) at survival S_i; the last step runs
     // to τ (S constant past the last observed time — the RMST
@@ -210,7 +218,12 @@ object Survival {
         features.indices.map(j =>
           (floor(col(s"__xm$j") * 1000000.0 + 0.5) / 1000000.0)
             .as(s"__x$j"))): _*)
-      .localCheckpoint(eager = false) // one scan per Newton iteration
+      // spread checkpoint: the plain checkpoint freezes the
+      // AQE-coalesced (often single-partition) layout of the upstream
+      // join, and every Newton iteration's exp + quantized-moment pass
+      // — the fit's dominant per-row work — runs single-threaded. The
+      // moments are exact decimals, so the layout cannot change them.
+      .transform(org.apache.spark.sql.graft.CheckpointOps.checkpointSpread)
     val counts = base.agg(count(lit(1)).as("n"),
       sum(when(col("__e"), 1L).otherwise(0L)).as("ne")).collect()(0)
     val (n, nEvents) = (counts.getLong(0), counts.getLong(1))
@@ -243,10 +256,19 @@ object Survival {
     var singular = false
     var it = 0
     while (it < iters && !singular) {
-      // clamped linear predictor and its exp, per row — fixed double
-      // expressions at the CURRENT beta (driver literals)
+      // clamped linear predictor and its exp, per row. The CURRENT
+      // beta rides a broadcast ONE-ROW table instead of plan literals:
+      // literal betas make every Newton iteration a textually new plan
+      // (fresh whole-stage-codegen compilation per iteration — the
+      // dominant cost of the fit at bench scale); as broadcast DATA
+      // the eight iterations share one compiled plan shape and only
+      // the tiny broadcast changes. The arithmetic is unchanged
+      // (same multiply/add sequence on the same doubles), so results
+      // are bit-identical.
+      val betaRow = broadcast(spark.range(1).select(
+        features.indices.map(j => lit(beta(j)).as(s"__b$j")): _*))
       val xb = features.indices
-        .map(j => col(s"__x$j") * lit(beta(j)))
+        .map(j => col(s"__x$j") * col(s"__b$j"))
         .reduceOption(_ + _).getOrElse(lit(0.0))
       val r = exp(least(greatest(xb, lit(-20.0)), lit(20.0)))
       def q6(c: Column): Column =
@@ -264,11 +286,16 @@ object Survival {
         features.indices.map(j => q6(r * col(s"__x$j")).as(s"__s1_$j")) ++
         (for (j <- 0 until d; k <- j until d) yield
           q3(r * col(s"__x$j") * col(s"__x$k")).as(s"__s2_${j}_$k"))
-      val perTime = base.groupBy(col("__t"))
+      val perTime = base.crossJoin(betaRow).groupBy(col("__t"))
         .agg(aggCols.head, aggCols.tail: _*)
-      // reverse cumulatives over the curve-sized distinct-time table
-      val wRisk = Window.orderBy(col("__t"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // reverse cumulatives over the curve-sized distinct-time table —
+      // as a RUNNING frame over the reversed order: the
+      // (currentRow → unboundedFollowing) frame is recomputed from
+      // scratch per row (O(steps²) decimal adds PER ITERATION, the
+      // fit's former hot spot); the reversed prefix frame is O(steps)
+      // and the exact decimal sums are identical (__t is distinct)
+      val wRisk = Window.orderBy(col("__t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = perTime.select(
         (Seq(col("__t"), col("__de")) ++
           features.indices.map(j => col(s"__ex$j")) ++
@@ -297,7 +324,10 @@ object Survival {
         (for (j <- 0 until d; k <- j until d) yield
           qf(deD * (s2(j, k) / s0 - (s1(j) / s0) * (s1(k) / s0)))
             .as(s"__h_${j}_$k"))
+      val __t0 = System.nanoTime()
       val row = cum.agg(folds.head, folds.tail: _*).collect()(0)
+      if (sys.env.contains("GRAFT_COX_DEBUG"))
+        System.err.println(f"[cox] iter $it: ${(System.nanoTime() - __t0) / 1e9}%.2f s")
       def v(name: String): Double = {
         val x = row.get(row.fieldIndex(name))
         if (x == null) 0.0

@@ -87,14 +87,19 @@ object TemporalJoins {
     // left rows sort BEFORE right at equal ts (side 1 desc? no — order
     // right side with __side ascending puts right first; forward wants
     // the right row at equal ts to be visible in the following frame,
-    // so right rows must sort at-or-after left: order by (ts, -side)
+    // so right rows must sort at-or-after left: order by (ts, -side).
+    // Evaluated as a RUNNING frame over the exactly-reversed order —
+    // Spark recomputes a (currentRow → unboundedFollowing) frame from
+    // scratch per row, O(rows²) per key; the reversed prefix frame is
+    // incremental, and `last(..., ignoreNulls)` over it is the same
+    // "first non-null at-or-after" row.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r.withColumn("__l",
         lit(null).cast(l.schema("__l").dataType)))
-      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(p => col(s"__match.$p").as(s"asof_$p")): _*)
