@@ -480,4 +480,37 @@ class GraphSpec extends SparkTestBase {
       dmin = 2L).head
     assert(again.getDouble(4) === got.getDouble(4))
   }
+
+  test("keyed checkpoint declares its hash layout: a keyed join plans " +
+      "with NO Exchange on the checkpointed side") {
+    import spark.implicits._
+    val e = (1L to 5000L).map(i => (i % 97, i)).toDF("src", "dst")
+    val ck = org.apache.spark.sql.graft.CheckpointOps
+      .checkpointHashPartitioned(e, Seq("src"), reliable = false)
+    // the LogicalRDD must carry the declared HashPartitioning …
+    val scan = ck.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(scan.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+      s"declared partitioning lost: ${scan.outputPartitioning}")
+    // … and a join keyed on it must not re-exchange the checkpointed
+    // side: the only Exchange in the plan shuffles the OTHER side.
+    // (A plain localCheckpoint comes back UnknownPartitioning under
+    // AQE and both sides re-shuffle — the per-iteration edge shuffle
+    // the graph loops paid before r15.)
+    val ranks = (0L to 96L).map(i => (i, i * 0.5)).toDF("id", "rank")
+    val joined = ck.join(ranks, ck("src") === ranks("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(!exchanges.contains("src"),
+      s"checkpointed side re-shuffled:\n$plan")
+    assert(joined.count() === 5000L)
+    // the plain checkpoint really does lose it (the fact this guards)
+    val plain = e.localCheckpoint()
+    val plainScan = plain.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    assert(!plainScan.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+  }
 }
