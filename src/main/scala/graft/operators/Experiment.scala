@@ -177,9 +177,11 @@ object Experiment {
           (col("__cb") + col("__cb") + col("__nt").cast(d19) + 1)
             .cast(d19))
         .cast("decimal(38,0)").as("__r2a"),
+      // __t3 sized (38,0) like kruskalWallis': a d19 cap would NULL the
+      // tie sum past ~2.15M-way ties and silently null z at scale
       sum(col("__nt").cast(d12) * col("__nt").cast(d12) *
           col("__nt").cast(d12) - col("__nt").cast(d12))
-        .cast(d19).as("__t3"))
+        .cast("decimal(38,0)").as("__t3"))
     val n12 = (col("__sna") + col("__snb")).cast(d12)
     val cubic = ((n12 + 1) * n12).cast("decimal(25,0)") * (n12 - 1)
     val u2 = col("__r2a") -

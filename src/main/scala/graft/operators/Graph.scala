@@ -435,12 +435,17 @@ object Graph {
         least(min(col("b")).over(Window.partitionBy(col("a"))), col("a")))
     // large-star: every strictly-larger neighbor links to the min;
     // small-star: every not-larger neighbor AND u itself link to it
+    // no distinct() here: the output is ≤ |pairs| rows by construction
+    // (one b>a orientation per undirected pair), duplicates don't
+    // change smallStar's window min, and smallStar's own distinct
+    // canonicalizes — dropping it removes one Exchange+HashAggregate
+    // from EVERY round (guide §2.4 "a distinct on data that is already
+    // [set-semantically absorbed]")
     def largeStar(pairs: DataFrame): DataFrame =
       withMin(pairs)
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("__m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
     def smallStar(pairs: DataFrame): DataFrame = {
       val wm = withMin(pairs)
       // (v, m) for every not-larger neighbor v, plus (u, m) itself
@@ -453,6 +458,11 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
+    // (an r15 experiment composed TWO star rounds per checkpoint/count
+    // cycle to halve the orchestration — the compound plan's windows
+    // over the un-deduped 3×-wider intermediates cost ~2× MORE than
+    // the two checkpointed rounds they replaced; measured and
+    // reverted, guide §1.1's empirical loop)
     var p = und
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))

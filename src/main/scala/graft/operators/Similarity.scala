@@ -976,32 +976,59 @@ object Similarity {
         (col("__cy") + col("__o.dy")).as("__cy"),
         col("__id").as("__jd"), col("__x").as("__jx"),
         col("__y").as("__jy"))
-    val within = (d19(col("__x") - col("__jx")) *
-      d19(col("__x") - col("__jx")) +
-      d19(col("__y") - col("__jy")) * d19(col("__y") - col("__jy")))
-      .cast("decimal(38,0)") <=
-      lit(java.math.BigDecimal.valueOf(epsMicro)
-        .multiply(java.math.BigDecimal.valueOf(epsMicro)))
-        .cast("decimal(38,0)")
-    val pairs = guarded.join(rhs, Seq("__cx", "__cy"))
+    // join rows come only from the same/adjacent cell, so each delta is
+    // bounded by 2·epsMicro in VALUE (long subtraction of two coords
+    // whose true difference is small never overflows); for epsMicro ≤
+    // 1e9 the squared sum caps at 8e18 < 2⁶³, so the whole comparison
+    // runs on primitive longs in whole-stage codegen — exactly the
+    // integers the decimal path computed, at a fraction of the cost
+    // (guide §4: eliminate non-codegen-friendly expressions in the hot
+    // path; decimal(38) products are interpreted BigDecimal ops). The
+    // decimal route stays for pathological eps.
+    val within = if (epsMicro <= 1000000000L) {
+      val dx = col("__x") - col("__jx")
+      val dy = col("__y") - col("__jy")
+      dx * dx + dy * dy <= lit(epsMicro * epsMicro)
+    } else
+      (d19(col("__x") - col("__jx")) *
+        d19(col("__x") - col("__jx")) +
+        d19(col("__y") - col("__jy")) * d19(col("__y") - col("__jy")))
+        .cast("decimal(38,0)") <=
+        lit(java.math.BigDecimal.valueOf(epsMicro)
+          .multiply(java.math.BigDecimal.valueOf(epsMicro)))
+          .cast("decimal(38,0)")
+    // shuffled-hash, not sort-merge: both sides are cell-keyed with the
+    // per-cell cap already guarding build-side skew, so the SMJ's two
+    // sorts (the candidate side is 9× the points) are pure waste; SHJ
+    // is scale-safe where a broadcast of an unbounded point set is not
+    // (guide §3.1 "pick the strategy deliberately")
+    val pairs = guarded.hint("shuffle_hash").join(rhs, Seq("__cx", "__cy"))
       .filter(within)
       .select(col("__id"), col("__jd"))
       .localCheckpoint(eager = false) // counts, edges, border attach
     val counts = pairs.groupBy(col("__id"))
       .agg(count(lit(1)).as("__deg")) // self-pair included (textbook)
+    // the small derived tables checkpoint too: nodes, the initial pair
+    // set, and the finale each materialize separately, and without the
+    // cut every one re-aggregates the full pair set to rebuild the
+    // core flags (measured: 3× ~20 s of task CPU at bench scale doing
+    // identical work — guide §1.1's "decide where the time is going")
     val flagged = counts
       .select(col("__id"), (col("__deg") >= minPts).as("__core"))
+      .localCheckpoint(eager = false)
     // core-core edges → components; isolated cores label as themselves
     val coreIds = flagged.filter(col("__core")).select(col("__id"))
     val edges = pairs
       .join(coreIds, "__id")
       .join(coreIds.select(col("__id").as("__jd")), "__jd")
       .filter(col("__id") < col("__jd"))
+      .localCheckpoint(eager = false) // CC reads it twice (nodes + p)
     val comp = Graph.connectedComponents(edges, "__id", "__jd")
       .select(col("id").as("__id"), col("component").as("__cl"))
     val coreLbl = coreIds.join(comp, Seq("__id"), "left")
       .select(col("__id"), coalesce(col("__cl"), col("__id"))
         .as("__cluster"))
+      .localCheckpoint(eager = false) // border attach + the label union
     // border: non-core attaches to its MIN core neighbor's cluster
     val borderLbl = pairs
       .join(flagged.filter(!col("__core")).select(col("__id")), "__id")
