@@ -380,12 +380,26 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
     val pruned = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucketSize)
 
+    // candidate pairs checkpoint (O(dup pairs), two longs each): the
+    // two shingle joins below and any iterative consumer (dupClusters)
+    // otherwise re-run the band pipeline per reference
     val pairs = bucketPairs(pruned, Seq("band_idx", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .localCheckpoint(eager = false)
 
+    // shingle sets computed ONCE, for candidate ids only, and kept as a
+    // candidates-sized block (never corpus-sized): the former shape
+    // joined the full (id, sh) frame twice, which re-executed the
+    // upstream docs chain once per side — in the curation pipeline that
+    // chain is the whole quality/decontamination cascade
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
     val sh = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint(eager = false)
     pairs
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -624,11 +638,16 @@ object Dedup {
     // edges are checkpointed too: every iteration joins against them, and
     // without truncation each join would re-execute the full upstream
     // candidate pipeline (minhash/shingle over the corpus) per iteration.
-    // The block is O(dup pairs) — two longs per edge.
-    val edges = Checkpointing(
-      pairs.select(col("id_a"), col("id_b"))
-        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
-      eager = true)
+    // The block is O(dup pairs) — two longs per edge. Checkpoint the
+    // DIRECTED pairs first and build the symmetric view from the blocks:
+    // checkpointing the union directly would execute the candidate
+    // pipeline once per union branch (measured: the near-dup loser plan
+    // in the p332 pipeline carried the corpus chain twice, ~600 KB of
+    // physical plan).
+    val p0 = Checkpointing(
+      pairs.select(col("id_a"), col("id_b")), eager = true)
+    val edges =
+      p0.union(p0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = Checkpointing(
       edges.select(col("id_a").as("id")).distinct()
         .withColumn("label", col("id")),
