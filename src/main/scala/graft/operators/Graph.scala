@@ -64,10 +64,16 @@ object Graph {
       extends (Boolean => DataFrame => DataFrame) {
     def apply(eager: Boolean): DataFrame => DataFrame = df =>
       if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // declareNarrow = false: the declared layout only pays when the
+    // data-derived width reaches the session parallelism (a 100 TB edge
+    // table on a cluster); below it, pinning every iteration's joins to
+    // a 2-partition layout measured 1.13–1.70× at bench scale — there
+    // the plain checkpoint + AQE-coalesced exchange is the faster plan
     def keyed(eager: Boolean, keys: String*): DataFrame => DataFrame = {
       require(eager, "keyed checkpoints are eager (size-adaptive layout)")
       df => org.apache.spark.sql.graft.CheckpointOps
-        .checkpointHashPartitioned(df, keys, reliable)
+        .checkpointHashPartitioned(df, keys, reliable,
+          declareNarrow = false)
     }
     /** [[keyed]] for loops that already hold (an upper bound on) the
       * state's row count — sizes the layout from it and skips the
@@ -75,7 +81,8 @@ object Graph {
     def keyedSized(rowsUpperBound: Long, keys: String*)
         : DataFrame => DataFrame =
       df => org.apache.spark.sql.graft.CheckpointOps
-        .checkpointHashPartitionedSized(df, keys, reliable, rowsUpperBound)
+        .checkpointHashPartitionedSized(df, keys, reliable, rowsUpperBound,
+          declareNarrow = false)
   }
 
   /** Standard damped PageRank with uniform dangling-mass redistribution:

@@ -481,6 +481,35 @@ class GraphSpec extends SparkTestBase {
     assert(again.getDouble(4) === got.getDouble(4))
   }
 
+  test("declareNarrow=false gates the declared layout on the wide " +
+      "regime: narrow data falls back to the plain checkpoint, wide " +
+      "data still declares") {
+    import spark.implicits._
+    val e = (1L to 5000L).map(i => (i % 97, i)).toDF("src", "dst")
+    // narrow: data-derived width (1 at the default 2^20 rows/partition)
+    // is below the session parallelism — plain checkpoint, no pinned
+    // 1-partition layout throttling every downstream join
+    val narrow = org.apache.spark.sql.graft.CheckpointOps
+      .checkpointHashPartitioned(e, Seq("src"), reliable = false,
+        declareNarrow = false)
+    assert(!narrow.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      .outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(narrow.count() === 5000L)
+    // wide: rowsPerPartition=1 drives the width to shuffle.partitions
+    // (= the test session's parallelism), the cluster regime — the
+    // layout IS declared
+    val wide = org.apache.spark.sql.graft.CheckpointOps
+      .checkpointHashPartitioned(e, Seq("src"), reliable = false,
+        rowsPerPartition = 1L, declareNarrow = false)
+    assert(wide.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      .outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(wide.count() === 5000L)
+  }
+
   test("keyed checkpoint declares its hash layout: a keyed join plans " +
       "with NO Exchange on the checkpointed side") {
     import spark.implicits._
