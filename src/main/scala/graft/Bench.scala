@@ -25,20 +25,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Final-line driver contract: the full artifact line can run tens of
-    * kilobytes (357 queries; MIN-of-N carries every raw run), and the
+    * kilobytes (386 queries; MIN-of-N carries every raw run), and the
     * driver reconstructs its summary from a TRUNCATED captured log tail
-    * of ~2000 chars — even the `BENCH_JSON:` compact line (full query
-    * map, no `runs_raw`) is ~15 KB and never survives that window. So
-    * every exit path prints, as the very LAST stdout line, a summary
-    * SHORT enough to fit the tail window whole: total seconds, gate
-    * count, MIN basis, and where the full artifact lives. */
+    * of a few thousand chars — even the `BENCH_JSON:` compact line
+    * (full query map, no `runs_raw`) is ~15 KB and never survives that
+    * window, and r14/r15 both ended `parsed: null` because no COMPLETE
+    * bare JSON line sat inside the tail (the prefixed `BENCH_SUMMARY:`
+    * line does not `json.loads`). So every exit path now prints, as the
+    * very LAST stdout line, a BARE one-line JSON digest short enough to
+    * fit the tail window whole — no prefix dependence — with the same
+    * digest kept in `bench_out/summary.json`; the full per-query map
+    * stays in `bench_out/latest.json` plus a `$SPARK_GRAFT_CPUS`-keyed
+    * copy (`latest_c<cpus>.json`) so runs at different core counts
+    * never overwrite each other's map. */
   private def printBenchJson(compactLine: String): Unit = {
     println("BENCH_JSON: " + compactLine)
     printBenchSummary(compactLine)
   }
 
-  /** `BENCH_SUMMARY: {...}` — the ~120-byte driver-parseable digest of a
-    * headline artifact line (total/value, query count, basis, sf). */
+  /** The short digest of a headline artifact line (total, gate count,
+    * basis, sf): printed once prefixed (`BENCH_SUMMARY:`, grep-able)
+    * and once BARE as the final stdout line (tail-window parseable),
+    * and written to `bench_out/summary.json`. `queries` is present but
+    * empty by design — the full map never fits the tail window; it
+    * lives at the `artifact` path. */
   private def printBenchSummary(line: String): Unit = {
     val total = "\"value\":([0-9.Ee+-]+)".r.findFirstMatchIn(line)
       .map(_.group(1)).getOrElse("null")
@@ -49,9 +59,42 @@ object Bench {
       .map(_.group(1)).getOrElse("1")
     val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(line)
       .map(_.group(1)).getOrElse("")
-    println("BENCH_SUMMARY: " + s"""{"metric":"total","value":$total,""" +
-      s""""unit":"sec","gates":$gates,"basis":$basis,"runs":$runs,""" +
-      s""""sf":"$sf","artifact":"bench_out/latest.json"}""")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val digest = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":{},"gates":$gates,"basis":$basis,"runs":$runs,""" +
+      s""""cpus":$cpus,"sf":"$sf",""" +
+      s""""artifact":"bench_out/latest_c$cpus.json"}"""
+    println("BENCH_SUMMARY: " + digest)
+    locally {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      import java.nio.charset.StandardCharsets
+      val dir = Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("summary.json"),
+        (digest + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    println(digest) // the bare final line IS the driver contract
+  }
+
+  /** Write a headline artifact line to `<out>/<name>` and, for the full
+    * (non-partial) artifact, a `$SPARK_GRAFT_CPUS`-keyed copy — the r15
+    * 8-core driver run overwrote the 32-core map because both runs
+    * shared one `latest.json`. */
+  private def writeArtifact(line: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import java.nio.charset.StandardCharsets
+    val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
+    Files.createDirectories(dir)
+    val bytes = (line + "\n").getBytes(StandardCharsets.UTF_8)
+    Files.write(dir.resolve(name), bytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    if (name == "latest.json") {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      Files.write(dir.resolve(s"latest_c$cpus.json"), bytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,18 +162,10 @@ object Bench {
     // Durable copy: stdout log tails truncate under the driver harness, which
     // loses per-query timings needed for cross-round regression diffing. The
     // file is the artifact of record; stdout stays the driver contract.
-    locally {
-      import java.nio.file.{Files, Paths, StandardOpenOption}
-      import java.nio.charset.StandardCharsets
-      val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
-      Files.createDirectories(dir)
-      // a subset run must never clobber the full artifact of record
-      // (same contract as ScaleSmoke's sf1_smoke_partial.json)
-      val name = if (only.isDefined) "latest_partial.json" else "latest.json"
-      Files.write(dir.resolve(name),
-        (line + "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    }
+    // A subset run must never clobber the full artifact of record
+    // (same contract as ScaleSmoke's sf1_smoke_partial.json).
+    writeArtifact(line,
+      if (only.isDefined) "latest_partial.json" else "latest.json")
     // child shard/min-run processes must not emit the driver-contract
     // line — only the top-level process's merged artifact is canonical
     // (a failure-path fallback child re-enables it via the env flag,
@@ -209,12 +244,8 @@ object Bench {
       s""""basis":"min"}"""
     val line = compact.dropRight(1) + s""","runs_raw":$rawJson}"""
     println(line)
-    val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
-    Files.createDirectories(dir)
-    val name = if (only.isDefined) "latest_partial.json" else "latest.json"
-    Files.write(dir.resolve(name),
-      (line + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeArtifact(line,
+      if (only.isDefined) "latest_partial.json" else "latest.json")
     printBenchJson(compact)
   }
 
@@ -231,8 +262,14 @@ object Bench {
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val groups = (0 until shards).map(k =>
-      names.zipWithIndex.collect { case (n, i) if i % shards == k => n })
+    // Shard assignment is a STABLE HASH of the gate name, not the
+    // round-robin index: index-based assignment recomposed every shard
+    // when r15 added 29 gates, and context-sensitive ~1 s gates (t116,
+    // t324) swung 3-4x on the new neighbors alone. Name-hashed
+    // assignment keeps every existing gate in its shard when gates are
+    // added, so cross-round per-gate numbers compare like for like.
+    val groups = (0 until shards).map(k => names.filter(n =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(n), shards) == k))
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
@@ -276,11 +313,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${perQuery.values.sum},""" +
       s""""unit":"sec","queries":$qs,"sf":"$sfDir","shards":$shards}"""
     println(line)
-    val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("latest.json"),
-      (line + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeArtifact(line, "latest.json")
     printBenchJson(line)
   }
 }

@@ -8,15 +8,54 @@ import org.apache.spark.sql.functions._
   * lift. The recommendation-feature companion of [[Retrieval]]'s
   * content-based ranking.
   *
-  * Scale shape: baskets are distincted to (basket, item) postings, the
-  * pair expansion is a basket-keyed self-join (co-partitioned — one
-  * exchange feeds both sides), and a `maxBasketSize` cap bounds the
-  * quadratic blow-up the same way `capBuckets` guards the LSH family: a
-  * degenerate mega-basket (a crawler's session, a warehouse account)
-  * would otherwise emit |basket|² pairs of zero discriminative value.
-  * Counts are exact integers; `lift` is one fixed double formula over
-  * them, so results are engine-exact. */
+  * Scale shape: ONE basket-keyed aggregate collects each basket's
+  * sorted distinct item set, and the pair expansion is generated
+  * MAP-SIDE from that array — no self-join, no separate distinct or
+  * size-count pass (the pre-r16 shape paid a (basket,item)-keyed
+  * distinct, a size aggregate, a semi-join and a basket-keyed
+  * self-join: four exchanges of the posting set where one suffices).
+  * A `maxBasketSize` cap bounds the quadratic blow-up the same way
+  * `capBuckets` guards the LSH family: a degenerate mega-basket (a
+  * crawler's session, a warehouse account) would otherwise emit
+  * |basket|² pairs of zero discriminative value. Counts are exact
+  * integers; `lift` is one fixed double formula over them, so results
+  * are engine-exact. */
 object Affinity {
+
+  /** Per-basket sorted distinct item sets: `(__b, __items)` — the
+    * shared front half of the basket kernels, ONE basket-keyed
+    * aggregate. `collect_set` dedupes (basket, item) postings exactly
+    * like the former `.distinct()`, and the size cap drops oversized
+    * baskets whole. The aggregation buffer is ONE basket's distinct
+    * items (bounded by the largest basket, not the corpus; oversized
+    * baskets are discarded right after the aggregate — the guard
+    * bounds the pair EMISSION either way, this shape just carries the
+    * mega-basket's set through one exchange before dropping it).
+    * Lazily checkpointed: every kernel reads it 2-3 times. */
+  private[graft] def basketItemSets(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame =
+    df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+      .filter(size(col("__items")) <= maxBasketSize)
+      .localCheckpoint(eager = false)
+
+  /** Each basket's `a < b` item pairs as `(__x, __y)` rows, generated
+    * map-side from the sorted set: the array is distinct and
+    * ascending, so `(items[i], items[j])` for `i < j` enumerates
+    * exactly the pairs the former basket-keyed self-join
+    * (`a.__i < b.__i` on the same basket) produced — zero joins, and
+    * the downstream pair-count aggregate gets map-side partial
+    * aggregation that the join shape denied it. */
+  private[graft] def basketPairs(itemSets: DataFrame): DataFrame =
+    itemSets
+      .select(explode(flatten(transform(col("__items"),
+        (x, i) => transform(
+          slice(col("__items"), i + lit(2),
+            size(col("__items")) - i - lit(1)),
+          y => struct(x.as("__x"), y.as("__y")))))).as("__p"))
+      .select(col("__p.__x").as("__x"), col("__p.__y").as("__y"))
 
   /** Item-pair co-occurrence counts with support/lift:
     * (item_a, item_b, n_baskets, lift), item_a < item_b, pairs below
@@ -39,26 +78,16 @@ object Affinity {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     def maybeBroadcast(t: DataFrame) =
       if (broadcastPairs) broadcast(t) else t
-    val posts = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val sized = posts.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxBasketSize)
-      .select(col("__b"))
-    val kept = posts.join(sized, Seq("__b"), "left_semi")
-      .localCheckpoint(eager = false) // three consumers below
+    val kept = basketItemSets(df, basketCol, itemCol, maxBasketSize)
     // total basket count as a broadcast one-row scalar join — never a
-    // driver-side action in the operator body
-    val total = kept.select(col("__b")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val itemFreq = kept.groupBy(col("__i"))
+    // driver-side action in the operator body (kept is one row per
+    // basket, so no distinct is needed)
+    val total = kept.agg(count(lit(1)).as("__n"))
+    val itemFreq = kept.select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i"))
       .agg(count(lit(1)).as("__ni"))
-    val pairs = kept.as("a")
-      .join(kept.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+    val pairs = basketPairs(kept)
+      .groupBy(col("__x").as("item_a"), col("__y").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
     // the support-filtered pair table is OUTPUT-scale (the rules a
@@ -107,22 +136,12 @@ object Affinity {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     def maybeBroadcast(t: DataFrame) =
       if (broadcastPairs) broadcast(t) else t
-    val posts = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val sized = posts.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxBasketSize)
-      .select(col("__b"))
-    val kept = posts.join(sized, Seq("__b"), "left_semi")
-      .localCheckpoint(eager = false) // pair join + item frequencies
-    val itemFreq = kept.groupBy(col("__i"))
+    val kept = basketItemSets(df, basketCol, itemCol, maxBasketSize)
+    val itemFreq = kept.select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i"))
       .agg(count(lit(1)).as("__ni"))
-    val pairs = kept.as("a")
-      .join(kept.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("__x"), col("b.__i").as("__y"))
+    val pairs = basketPairs(kept)
+      .groupBy(col("__x"), col("__y"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSupport)
     val directed = pairs
@@ -226,24 +245,13 @@ object Affinity {
       s"minConfidence must be in [0,1], got $minConfidence")
     def maybeBroadcast(t: DataFrame) =
       if (broadcastPairs) broadcast(t) else t
-    val posts = df
-      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val sized = posts.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxBasketSize)
-      .select(col("__b"))
-    val kept = posts.join(sized, Seq("__b"), "left_semi")
-      .localCheckpoint(eager = false) // three consumers below
-    val total = kept.select(col("__b")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val itemFreq = kept.groupBy(col("__i"))
+    val kept = basketItemSets(df, basketCol, itemCol, maxBasketSize)
+    val total = kept.agg(count(lit(1)).as("__n"))
+    val itemFreq = kept.select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i"))
       .agg(count(lit(1)).as("__ni"))
-    val pairs = kept.as("a")
-      .join(kept.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("__x"), col("b.__i").as("__y"))
+    val pairs = basketPairs(kept)
+      .groupBy(col("__x"), col("__y"))
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
     val directed = pairs

@@ -689,9 +689,18 @@ object Dedup {
     * the id column; pass any deterministic expression to stratify
     * differently (e.g. by user, by domain). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
-      hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame = {
+      hash: Option[Column] = None, denominator: Int = 1 << 16): DataFrame =
+    df.filter(hashSampleKeep(idCol, fraction, hash, denominator))
+
+  /** The keep predicate [[hashSample]] filters on, exposed so an audit
+    * path (a drop ledger) can mark the rows sampled OUT by negating it
+    * over ONE pass of the input — instead of anti-joining the input
+    * against its own sampled self, which carries the upstream chain
+    * twice through the plan. */
+  def hashSampleKeep(idCol: String, fraction: Double,
+      hash: Option[Column] = None, denominator: Int = 1 << 16): Column = {
     val h = hash.getOrElse(xxhash64(lit("graft_sample"), col(idCol)))
-    df.filter(pmod(h, lit(denominator)) < (lit(fraction) * denominator))
+    pmod(h, lit(denominator)) < (lit(fraction) * denominator)
   }
 
   /** Deterministic weight-biased sample without replacement: each row
@@ -1403,6 +1412,24 @@ object Dedup {
       idCol: String, textCol: String,
       shingleK: Int = 5, threshold: Double = 0.5,
       maxMatchesPerShingle: Int = 64,
+      hintBroadcast: Boolean = true): DataFrame =
+    corpus.join(
+      decontaminateLosers(corpus, benchmark, idCol, textCol, shingleK,
+        threshold, maxMatchesPerShingle, hintBroadcast),
+      Seq(idCol), "left_anti")
+
+  /** The contaminated id set [[decontaminate]] removes — (`idCol`)
+    * rows, one per flagged corpus document. Exposed so a drop ledger
+    * can record the losers from the SAME kernel execution the corpus
+    * anti-join consumes (checkpoint this and anti-join against it),
+    * instead of re-deriving them as `corpus ANTI decontaminate(corpus)`
+    * — which carries the corpus chain twice through the audit plan and
+    * re-runs the contamination kernel a second time. */
+  def decontaminateLosers(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, threshold: Double = 0.5,
+      maxMatchesPerShingle: Int = 64,
       hintBroadcast: Boolean = true): DataFrame = {
     def hint(df: DataFrame): DataFrame =
       if (hintBroadcast) broadcast(df) else df
@@ -1446,8 +1473,8 @@ object Dedup {
       .filter(col("j") >= threshold)
       .select("id")
 
-    val dirty = exactDirty.union(nearDirty).distinct()
-    corpus.join(dirty.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    exactDirty.union(nearDirty).distinct()
+      .withColumnRenamed("id", idCol)
   }
 
   /** Per-benchmark-set contamination REPORT — the audit table a release

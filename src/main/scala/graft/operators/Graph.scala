@@ -179,22 +179,46 @@ object Graph {
     }
     val tNodes = withT.transform(ck(true))
     val outW = e.groupBy(col("src")).agg(sum(col("__w")).as("__deg"))
-    // weight share rides WITH each edge so the per-iteration join
-    // touches only (edges ⋈ ranks) — checkpointed once, KEYED by src:
-    // the declared layout makes every iteration's rank join read the
-    // edge table in place (ranks alone is exchanged, nodes-sized), so
-    // the only edge-scale shuffle per iteration is the contribution
-    // aggregate itself (guide §2.4 — the theoretical minimum)
-    val eDeg = e.join(outW, "src").transform(ck.keyed(true, "src"))
+    // weight share AND the source's teleport share ride WITH each edge
+    // so the per-iteration join touches only (edges ⋈ contrib) —
+    // checkpointed once, KEYED by src: the declared layout makes every
+    // iteration's rank join read the edge table in place, so the only
+    // edge-scale shuffle per iteration is the contribution aggregate
+    // itself (guide §2.4 — the theoretical minimum). Every e.src is in
+    // withT by construction (nodes ⊇ edge endpoints), so the __t join
+    // is loss-free.
+    val eDeg = e.join(outW, "src")
+      .join(withT.select(col("id").as("src"), col("__t")), Seq("src"))
+      .transform(ck.keyed(true, "src"))
 
-    var ranks = tNodes.select(col("id"), col("__t").as("rank"))
-      .transform(ck(false))
+    // The iteration state is the CONTRIBUTION table (in-degree-holders
+    // only), not the nodes-wide rank table: rank(u) is recomputed
+    // per-edge from (__t(u), contrib(u), dangling) — the same doubles
+    // the former per-node rank row carried, so every product and sum
+    // is bit-identical — and the per-iteration nodes-sized left join
+    // (+ its two exchanges: tNodes and contrib are both checkpoints
+    // with unknown partitioning) is gone; the full rank table is built
+    // ONCE at the end (r16, guide §2.4). Nodes with no out-edges never
+    // join eDeg, and their rank reaches the next iteration through the
+    // dangling-mass conservation scalar exactly as before.
+    def rankExpr(c: Column, dang: Column): Column =
+      lit(1.0 - damping) * col("__t") + lit(damping) *
+        (coalesce(c, lit(0.0)) + dang * col("__t"))
+    var state: Option[(DataFrame, DataFrame)] = None // (contrib, dangling)
     for (_ <- 0 until iterations) {
+      val withRank = state match {
+        // iteration 1: rank_0(u) = __t(u) (uniform 1/n, or the seed
+        // share) — no contribution table exists yet
+        case None => eDeg.withColumn("rank", col("__t"))
+        case Some((c, dang)) =>
+          eDeg.join(c.withColumnRenamed("id", "src"), Seq("src"), "left")
+            .crossJoin(broadcast(dang)) // one-row scalar join
+            .withColumn("rank", rankExpr(col("__c"), col("__dang")))
+      }
       // contrib is the iteration's ONE keyed aggregate; checkpointed
-      // because the dangling scalar and the rank join both read it (and
-      // to truncate the iterative lineage)
-      val contrib = eDeg
-        .join(ranks, eDeg("src") === ranks("id"))
+      // because the dangling scalar and the next rank join both read it
+      // (and to truncate the iterative lineage)
+      val contrib = withRank
         .select(col("dst").as("id"),
           (col("rank") * col("__w") / col("__deg")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__c"))
@@ -206,13 +230,14 @@ object Graph {
       val dangling = contrib
         .agg((lit(1.0) - coalesce(sum(col("__c")), lit(0.0)))
           .as("__dang"))
-      ranks = tNodes
-        .join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dangling)) // one-row scalar join
-        .select(col("id"),
-          (lit(1.0 - damping) * col("__t") + lit(damping) *
-            (coalesce(col("__c"), lit(0.0)) + col("__dang") * col("__t")))
-            .as("rank"))
+      state = Some((contrib, dangling))
+    }
+    val ranks = state match {
+      case None => tNodes.select(col("id"), col("__t").as("rank"))
+      case Some((c, dang)) =>
+        tNodes.join(c, Seq("id"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("id"), rankExpr(col("__c"), col("__dang")).as("rank"))
     }
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
@@ -249,31 +274,60 @@ object Graph {
     val nodes = eSrc.select(col("src").as("id"))
       .union(eSrc.select(col("dst").as("id"))).distinct()
       .transform(ck(true))
-    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
-      .transform(ck(false))
-    var auth = nodes.select(col("id"), lit(0.0).as("auth"))
+    // The iteration state is the RAW half-step aggregate (score-holding
+    // nodes only), not the nodes-wide normalized table: a node absent
+    // from aRaw/hRaw has score 0, and 0-valued rows are additive
+    // identities of the next half-step's sum (x + 0.0 == x for the
+    // non-negative scores here), so joining edges against the raw
+    // aggregate directly — normalizing per edge row with the SAME
+    // division of the SAME operands — is bit-identical while dropping
+    // the per-half-step nodes-sized left join + checkpoint (2 joins, 2
+    // checkpoint passes and their exchanges per iteration, r16); the
+    // full score tables are built ONCE at the end.
+    var aState: Option[(DataFrame, DataFrame)] = None // (aRaw, aNorm)
+    var hState: Option[(DataFrame, DataFrame)] = None // (hRaw, hNorm)
     for (_ <- 0 until iterations) {
-      // nodes-sized; checkpointed because both the normalizer and the
-      // score join read it — without truncation each reads re-runs the
-      // edge join
-      val aRaw = eSrc.join(hub, eSrc("src") === hub("id"))
+      // hub_0(u) = 1.0 for every node, so the first auth half-step
+      // needs no hub join at all
+      val withHub = hState match {
+        case None => eSrc.withColumn("hub", lit(1.0))
+        case Some((hRaw, hNorm)) =>
+          eSrc.join(hRaw.withColumnRenamed("id", "src"), Seq("src"))
+            .crossJoin(broadcast(hNorm)) // one-row scalar join
+            .withColumn("hub", col("__h") / col("__s"))
+      }
+      // score-holders only; checkpointed because the normalizer and the
+      // next half-step's edge join both read it — without truncation
+      // each read re-runs the edge join
+      val aRaw = withHub
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("__a"))
         .transform(ck(false))
       val aNorm = aRaw.agg(sum(col("__a")).as("__s"))
-      auth = nodes.join(aRaw, Seq("id"), "left")
-        .crossJoin(broadcast(aNorm)) // one-row scalar join
-        .select(col("id"),
-          (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
-        .transform(ck(false))
-      val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
+      aState = Some((aRaw, aNorm))
+      val hRaw = eDst
+        .join(aRaw.withColumnRenamed("id", "dst"), Seq("dst"))
+        .crossJoin(broadcast(aNorm))
+        .withColumn("auth", col("__a") / col("__s"))
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("__h"))
         .transform(ck(false))
       val hNorm = hRaw.agg(sum(col("__h")).as("__s"))
-      hub = nodes.join(hRaw, Seq("id"), "left")
-        .crossJoin(broadcast(hNorm))
-        .select(col("id"),
-          (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
-        .transform(ck(false))
+      hState = Some((hRaw, hNorm))
+    }
+    val auth = aState match {
+      case None => nodes.select(col("id"), lit(0.0).as("auth"))
+      case Some((aRaw, aNorm)) =>
+        nodes.join(aRaw, Seq("id"), "left")
+          .crossJoin(broadcast(aNorm))
+          .select(col("id"),
+            (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
+    }
+    val hub = hState match {
+      case None => nodes.select(col("id"), lit(1.0).as("hub"))
+      case Some((hRaw, hNorm)) =>
+        nodes.join(hRaw, Seq("id"), "left")
+          .crossJoin(broadcast(hNorm))
+          .select(col("id"),
+            (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
     }
     auth.join(hub, "id")
       .select(col("id"), round(col("auth"), roundTo).as("auth"),

@@ -922,10 +922,22 @@ object Similarity {
     * decimal(38) products; labels are min-id — partitioning-invariant
     * end to end.
     *
-    * Returns (id, is_core, cluster) — cluster NULL ⇔ noise. */
+    * Returns (id, is_core, cluster) — cluster NULL ⇔ noise.
+    *
+    * `shuffledHashCellJoin` (default true) forces the 3×3 cell join to
+    * shuffled-hash, dropping sort-merge's two sorts of the posting
+    * sets. Its sizing assumption: SHJ builds a hash table over an
+    * entire HASH PARTITION of the point side (many cells — the
+    * per-cell cap does NOT bound it) and cannot spill that build, so
+    * the session must keep points/shuffle.partitions per-task rows in
+    * execution memory — true wherever shuffle partitions are sized to
+    * the usual 100 MB–1 GB (guide §2.2), but a deliberately
+    * under-partitioned session should pass false to keep sort-merge's
+    * graceful spill. */
   def dbscanGrid(points: DataFrame, idCol: String, xCol: Column,
       yCol: Column, eps: Double, minPts: Int,
-      maxCellPoints: Int = 4096): DataFrame = {
+      maxCellPoints: Int = 4096,
+      shuffledHashCellJoin: Boolean = true): DataFrame = {
     require(eps > 0.0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     require(maxCellPoints >= minPts,
@@ -997,12 +1009,15 @@ object Similarity {
         lit(java.math.BigDecimal.valueOf(epsMicro)
           .multiply(java.math.BigDecimal.valueOf(epsMicro)))
           .cast("decimal(38,0)")
-    // shuffled-hash, not sort-merge: both sides are cell-keyed with the
-    // per-cell cap already guarding build-side skew, so the SMJ's two
-    // sorts (the candidate side is 9× the points) are pure waste; SHJ
-    // is scale-safe where a broadcast of an unbounded point set is not
-    // (guide §3.1 "pick the strategy deliberately")
-    val pairs = guarded.hint("shuffle_hash").join(rhs, Seq("__cx", "__cy"))
+    // shuffled-hash, not sort-merge: both sides are cell-keyed and the
+    // SMJ's two sorts (the candidate side is 9× the points) are pure
+    // waste; SHJ is scale-safe where a broadcast of an unbounded point
+    // set is not (guide §3.1 "pick the strategy deliberately"). Build
+    // side sizing is a PARTITION of the point set, not a cell — see
+    // the scaladoc knob for when to keep SMJ instead.
+    val lhs = if (shuffledHashCellJoin) guarded.hint("shuffle_hash")
+      else guarded
+    val pairs = lhs.join(rhs, Seq("__cx", "__cy"))
       .filter(within)
       .select(col("__id"), col("__jd"))
       .localCheckpoint(eager = false) // counts, edges, border attach

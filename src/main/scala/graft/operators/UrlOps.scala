@@ -82,6 +82,20 @@ object UrlOps {
       .groupBy(col("norm_url"))
       .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_urls"))
 
+  /** The ids [[urlDedup]] does NOT keep, in one window pass: a row
+    * loses iff its id differs from its normalized-URL group's min id —
+    * the exact complement of the survivor set (`keep = min(id)` per
+    * group), without anti-joining the corpus against its own deduped
+    * self (which carries the upstream chain twice through the plan and
+    * runs the URL aggregate a second time). Used by the drop-ledger
+    * audit path. */
+  def urlDedupLosers(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), normalizeUrl(col(urlCol)).as("__nu"))
+      .withColumn("__keep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__nu"))))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol))
+
   /** Drop (or keep only) rows whose registrable domain appears in
     * `domains`. The list is broadcast — a blocklist is never corpus-sized.
     * `mode = "deny"` removes listed domains (UT1-style blocklisting);

@@ -292,6 +292,22 @@ object TrainingDataPipeline {
     // union writes once, AFTER the shard write (so every observe()
     // metric is settled by the main action, and the ledger's extra
     // executions of observed subtrees are ignored by Observation).
+    // Every contributed frame is lazily local-checkpointed AT LEDGER
+    // WRITE TIME (after the main action) — ids only, never
+    // corpus-sized — so the ledger union's own plan is a union of
+    // LogicalRDD stubs instead of one multi-hundred-KB tree carrying
+    // every stage's corpus chain textually (the r15 p332 profile: the
+    // residual cost was Catalyst planning of exactly that tree). The
+    // checkpoint must NOT happen at frame creation: a lazy
+    // localCheckpoint issues a "checkpointLazy" query execution whose
+    // completion event can report an observe() node's UNRUN metrics
+    // (zero rows) and complete the Observation with 0 before the main
+    // action runs — deterministically reproduced for shuffle-free
+    // frames, whose plan is not wrapped (hidden) by AQE. Per-row
+    // screens contribute their losers by negating the gate's OWN
+    // predicate over one pass; set-valued screens (URL dedup,
+    // decontamination) contribute a losers-side derivation — never a
+    // `before ANTI after` that executes the prefix twice.
     val ledgerBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def ledgerIds(stage: String, before: DataFrame, after: DataFrame): Unit =
       dropLedger.foreach { _ =>
@@ -300,20 +316,34 @@ object TrainingDataPipeline {
           .select(col("doc_id"), lit(stage).as("stage"),
             lit(stage).as("reason"))
       }
+    def ledgerLosers(stage: String, losers: DataFrame): Unit =
+      dropLedger.foreach { _ =>
+        ledgerBuf += losers.select(col("doc_id"), lit(stage).as("stage"),
+            lit(stage).as("reason"))
+      }
+    // loser-id frames shared between the corpus chain and the ledger,
+    // persisted for the duration of the run (id-sized, never corpus);
+    // unpersisted right after the ledger write
+    val ledgerPersisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // URL hygiene first: blocklist + URL-level dedup read only the URL
     // column — no text signal is paid for a page that loses here
     val urlScreened = cfg.urlDedupCol.map { u =>
       val blocked = cfg.blockedDomains.filter(_.nonEmpty).map { doms =>
         import spark.implicits._
+        val list = doms.toDF("domain")
         val b = graft.operators.UrlOps.domainFilter(docs, u,
-          doms.toDF("domain"), "domain", "deny")
-        ledgerIds("url_blocked", docs, b)
+          list, "domain", "deny")
+        // the blocklist losers are the "allow"-mode complement of the
+        // same predicate — one pass over docs, no anti-join
+        ledgerLosers("url_blocked", graft.operators.UrlOps.domainFilter(
+          docs, u, list, "domain", "allow"))
         b
       }.getOrElse(docs)
       val keep = graft.operators.UrlOps.urlDedup(blocked, "doc_id", u)
         .select(col("keep_doc_id").as("doc_id"))
       val out = blocked.join(keep, Seq("doc_id"), "left_semi")
-      ledgerIds("url_dup", blocked, out)
+      ledgerLosers("url_dup",
+        graft.operators.UrlOps.urlDedupLosers(blocked, "doc_id", u))
       out
     }.getOrElse {
       require(cfg.blockedDomains.isEmpty,
@@ -333,15 +363,16 @@ object TrainingDataPipeline {
       c
     }.getOrElse(extracted)
     val annotated = annotate(pre, cfg).observe(obsIn, count(lit(1)).as("n"))
-    val sampled = cfg.sampleFraction
-      .map { f =>
-        val s0 = Dedup.hashSample(annotated, "doc_id", f)
-        ledgerIds("sampled_out", annotated, s0)
-        s0
-      }
-      .getOrElse(annotated)
+    // the sample keep-decision is a deterministic per-row predicate
+    // (Dedup.hashSampleKeep) — the ledger negates it instead of
+    // anti-joining the annotated chain against its own sampled self
+    val sampleKeep = cfg.sampleFraction
+      .map(f => Dedup.hashSampleKeep("doc_id", f))
+    val sampled = sampleKeep.map(annotated.filter).getOrElse(annotated)
     require(cfg.mixingRates.isEmpty || cfg.temperatureMixing.isEmpty,
       "set mixingRates (hand-set) or temperatureMixing (derived), not both")
+    val mixingOn =
+      cfg.mixingRates.isDefined || cfg.temperatureMixing.isDefined
     val mixed = cfg.mixingRates
       .map { case (strata, rates, dflt) =>
         Dedup.stratifiedSample(sampled, "doc_id", strata, rates, dflt) }
@@ -349,15 +380,34 @@ object TrainingDataPipeline {
         Dedup.temperatureMix(sampled, "doc_id", domain, alpha, target,
           cfg.temperatureMixWeightCol) })
       .getOrElse(sampled)
-    if (cfg.mixingRates.isDefined || cfg.temperatureMixing.isDefined)
-      ledgerIds("mixed_out", sampled, mixed)
+    if (mixingOn) ledgerIds("mixed_out", sampled, mixed)
     // per-row screens: the ledger re-uses the gate's OWN predicate
     // expressions (first failing screen), never a re-derivation
     dropLedger.foreach { _ =>
-      ledgerBuf += mixed
-        .select(col("doc_id"), lit("quality_screen").as("stage"),
-          qualityScreenReason(cfg).as("reason"))
-        .filter(col("reason").isNotNull)
+      val reason = qualityScreenReason(cfg)
+      sampleKeep match {
+        case Some(keep) if !mixingOn =>
+          // mixed == sampled here, so ONE pass over the annotated
+          // chain yields both frames' rows: a row failing the sample
+          // predicate is sampled_out; a surviving row failing a
+          // quality screen is quality_screen — same rows, same
+          // first-failing-stage attribution as the two-frame form
+          ledgerBuf += annotated.select(col("doc_id"),
+              when(!keep, lit("sampled_out"))
+                .when(reason.isNotNull, lit("quality_screen"))
+                .as("stage"),
+              when(!keep, lit("sampled_out")).otherwise(reason)
+                .as("reason"))
+            .filter(col("stage").isNotNull)
+        case _ =>
+          sampleKeep.foreach { keep =>
+            ledgerLosers("sampled_out", annotated.filter(!keep))
+          }
+          ledgerBuf += mixed
+            .select(col("doc_id"), lit("quality_screen").as("stage"),
+              reason.as("reason"))
+            .filter(col("reason").isNotNull)
+      }
     }
     val qualityGated = qualityFilter(mixed, cfg)
     // the calibrated gate is part of the quality stage: afterQuality
@@ -414,10 +464,22 @@ object TrainingDataPipeline {
         val b = if (cfg.redactPii)
           b0.withColumn("text", TextAnalysis.redactPii(col("text")))
         else b0
-        val c = Dedup.decontaminate(gated, b, "doc_id", "text",
+        if (dropLedger.isDefined) {
+          // the contaminated-id set is computed ONCE (persisted, ids
+          // only — materialized by the main action through the corpus
+          // anti-join, read back by the ledger, unpersisted after the
+          // ledger write) — the former before-ANTI-after audit re-ran
+          // the whole contamination kernel plus the gated chain a
+          // second time inside the ledger plan. persist(), not a lazy
+          // localCheckpoint: see the ledger-plumbing note on
+          // pre-action checkpointLazy executions vs Observation.
+          val losers = Dedup.decontaminateLosers(gated, b, "doc_id",
+              "text", cfg.shingleK).persist()
+          ledgerPersisted += losers
+          ledgerLosers("contaminated", losers)
+          gated.join(losers, Seq("doc_id"), "left_anti")
+        } else Dedup.decontaminate(gated, b, "doc_id", "text",
           cfg.shingleK)
-        ledgerIds("contaminated", gated, c)
-        c
       }
       .getOrElse(gated)
     // dedup stages share their ALREADY-COMPUTED loser-id sets with the
@@ -499,13 +561,20 @@ object TrainingDataPipeline {
     // settled, the dedup loser checkpoints are materialized, and a
     // pipeline failure never leaves a ledger for an unwritten corpus
     dropLedger.foreach { dl =>
-      val all = ledgerBuf.reduce(_ unionByName _)
+      // each branch is lazily checkpointed HERE — after the main
+      // action, so the checkpointLazy executions can no longer race an
+      // Observation (see the plumbing note) — turning the union's plan
+      // into a union of LogicalRDD stubs; each branch's (single-prefix)
+      // plan is planned on its own instead of inside one giant tree
+      val all = ledgerBuf.map(_.localCheckpoint(eager = false))
+        .reduce(_ unionByName _)
       val rows =
         if (dl.sampleMod > 1L)
           all.filter(pmod(xxhash64(lit("graft_ledger"),
             col("doc_id").cast("string")), lit(dl.sampleMod)) === 0L)
         else all
       rows.write.mode("overwrite").parquet(dl.dir)
+      ledgerPersisted.foreach(_.unpersist())
     }
 
     // Sequence emission reads BACK the just-written shards — referencing

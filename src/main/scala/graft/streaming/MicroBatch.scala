@@ -195,38 +195,45 @@ object MicroBatch {
     * identifies the partition a key lives in — string-typed keys
     * round-trip partition-value encoding cleanly; format timestamps with
     * `date_format` first). */
-  def upsertSnapshot(batch: DataFrame, dir: String, partitionCol: String,
+  def upsertSnapshot(batch0: DataFrame, dir: String, partitionCol: String,
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsertSnapshot needs at least one key column")
     require(!keyCols.contains(partitionCol),
       "partitionCol is implicitly part of the key; keyCols must not repeat it")
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val touched = batch.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)) // O(partitions per batch) scalars
-    val snapPath = new org.apache.hadoop.fs.Path(dir)
-    val exists = snapPath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(snapPath)
-    val prior =
-      if (!exists) // first batch: no snapshot yet
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-      else spark.read.schema(batch.schema).parquet(dir)
-        .filter(col(partitionCol).isin(touched: _*)) // partition-pruned
-        // batch rows REPLACE prior rows with the same key
-        .join(batch.select((partitionCol +: keyCols).map(col): _*),
-          partitionCol +: keyCols, "left_anti")
-    // cluster by the partition value before the partitioned write: without
-    // this every one of the N write tasks opens a file in every touched
-    // dir (N×dirs small files per upsert — the death-by-files pattern);
-    // with it each dir gets one file per upsert. The shuffle only moves
-    // the touched slice, which update-mode keeps bounded.
-    batch.unionByName(prior)
-      .repartition(col(partitionCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(dir)
+    // the batch plan is consumed FOUR times below (emptiness probe,
+    // touched-partition collect, anti-join key side, union side) — in
+    // foreachBatch each consumption re-runs the micro-batch's stateful
+    // aggregation read; persist so it runs once per trigger
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val touched = batch.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)) // O(partitions per batch) scalars
+      val snapPath = new org.apache.hadoop.fs.Path(dir)
+      val exists = snapPath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(snapPath)
+      val prior =
+        if (!exists) // first batch: no snapshot yet
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        else spark.read.schema(batch.schema).parquet(dir)
+          .filter(col(partitionCol).isin(touched: _*)) // partition-pruned
+          // batch rows REPLACE prior rows with the same key
+          .join(batch.select((partitionCol +: keyCols).map(col): _*),
+            partitionCol +: keyCols, "left_anti")
+      // cluster by the partition value before the partitioned write: without
+      // this every one of the N write tasks opens a file in every touched
+      // dir (N×dirs small files per upsert — the death-by-files pattern);
+      // with it each dir gets one file per upsert. The shuffle only moves
+      // the touched slice, which update-mode keeps bounded.
+      batch.unionByName(prior)
+        .repartition(col(partitionCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(dir)
+    } finally batch.unpersist()
   }
 
   /** Streaming wiring for [[upsertSnapshot]]: an update-mode
@@ -259,32 +266,38 @@ object MicroBatch {
     * rows win again and the snapshot converges; the orphaned previous
     * attempt's generation is unreferenced and vacuumed. Read the
     * snapshot with [[graft.sources.ManifestCommit.read]]. */
-  def upsertSnapshotManifest(batch: DataFrame, dir: String,
+  def upsertSnapshotManifest(batch0: DataFrame, dir: String,
       partitionCol: String, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsertSnapshotManifest needs at least one key column")
     require(!keyCols.contains(partitionCol),
       "partitionCol is implicitly part of the key; keyCols must not repeat it")
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val touched = batch.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)) // O(partitions per batch) scalars
-    val prior = graft.sources.ManifestCommit.latestPointer(dir) match {
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-      case Some(_) =>
-        // pin the batch's own types (partition discovery re-infers the
-        // partition column from dir names)
-        val cols = batch.schema.fields
-          .map(f => col(f.name).cast(f.dataType).as(f.name))
-        graft.sources.ManifestCommit.read(spark, dir)
-          .select(cols.toSeq: _*)
-          .filter(col(partitionCol).isin(touched: _*)) // pointer-pruned
-          .join(batch.select((partitionCol +: keyCols).map(col): _*),
-            partitionCol +: keyCols, "left_anti")
-    }
-    graft.sources.ManifestCommit.writePartitioned(
-      batch.unionByName(prior), dir, Seq(partitionCol))
-    ()
+    // consumed four times (emptiness probe, touched collect, anti-join
+    // key side, union side) — persist so the micro-batch's stateful
+    // aggregation read runs once per trigger, not once per consumer
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val touched = batch.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)) // O(partitions per batch) scalars
+      val prior = graft.sources.ManifestCommit.latestPointer(dir) match {
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        case Some(_) =>
+          // pin the batch's own types (partition discovery re-infers the
+          // partition column from dir names)
+          val cols = batch.schema.fields
+            .map(f => col(f.name).cast(f.dataType).as(f.name))
+          graft.sources.ManifestCommit.read(spark, dir)
+            .select(cols.toSeq: _*)
+            .filter(col(partitionCol).isin(touched: _*)) // pointer-pruned
+            .join(batch.select((partitionCol +: keyCols).map(col): _*),
+              partitionCol +: keyCols, "left_anti")
+      }
+      graft.sources.ManifestCommit.writePartitioned(
+        batch.unionByName(prior), dir, Seq(partitionCol))
+      ()
+    } finally batch.unpersist()
   }
 
   /** Streaming wiring for [[upsertSnapshotManifest]] — [[streamUpsert]]
@@ -421,26 +434,22 @@ object MicroBatch {
     val w = postings.writeStream
       .trigger(cfg.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val posts = batch
-          .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-          .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-          .distinct()
-        val sized = posts.groupBy(col("__b"))
-          .agg(count(lit(1)).as("__sz"))
-          .filter(col("__sz") <= maxBasketSize)
-          .select(col("__b"))
-        val kept = posts.join(sized, Seq("__b"), "left_semi")
-          .localCheckpoint(eager = false)
-        val pairsDelta = kept.as("a")
-          .join(kept.as("b"),
-            col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-          .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+        // the same one-aggregate basket kernel as the batch operator
+        // (graft.operators.Affinity): per-basket sorted distinct item
+        // sets, pairs generated map-side — no distinct / size-count /
+        // semi-join / self-join of the batch against itself
+        val kept = graft.operators.Affinity.basketItemSets(
+          batch, basketCol, itemCol, maxBasketSize)
+        val pairsDelta = graft.operators.Affinity.basketPairs(kept)
+          .groupBy(col("__x").as("item_a"), col("__y").as("item_b"))
           .agg(count(lit(1)).as("n_baskets"))
-        val freqDelta = kept.groupBy(col("__i").as("item"))
+        val freqDelta = kept.select(explode(col("__items")).as("item"))
+          .groupBy(col("item"))
           .agg(count(lit(1)).as("ni"))
         // an empty batch's global count row is n=0 — filtered so an
-        // all-empty delta skips the fold (state already current)
-        val totDelta = kept.select(col("__b")).distinct()
+        // all-empty delta skips the fold (state already current);
+        // kept is one row per basket, so the count needs no distinct
+        val totDelta = kept
           .agg(count(lit(1)).as("n")).filter(col("n") > 0)
         foldSegments(Seq(
             SegPart("pairs", Seq("item_a", "item_b"),
@@ -1204,8 +1213,20 @@ object MicroBatch {
     val deltas = parts.map { case (p, df) => p -> df.persist() }
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](
       deltas.map(_._2): _*)
+    // The per-part actions below (counts, segment writes) are
+    // independent micro-jobs over small state — run them concurrently
+    // from driver threads (guide §2.6 "overlap independent jobs"):
+    // sequential submission left most cores idle per job and the
+    // per-batch wall was job-count-bound, not data-bound.
+    def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      if (xs.lengthCompare(1) <= 0) xs.map(f)
+      else Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+    }
     try {
-      val deltaRows = deltas.map(_._2.count())
+      val deltaRows = inParallel(deltas)(_._2.count())
       if (deltaRows.sum == 0L) return // empty delta: state already current
       val prior = latestSegManifest(dir, beforeExclusive = Some(batchId))
       val priorSegs = prior.map(_._2).getOrElse(Seq.empty)
@@ -1213,7 +1234,7 @@ object MicroBatch {
       // (parquet metadata, no data read)
       lazy val priorFooterRows: Seq[Long] =
         if (priorSegs.isEmpty) deltas.map(_ => 0L)
-        else deltas.map { case (p, _) =>
+        else inParallel(deltas) { case (p, _) =>
           spark.read
             .parquet(priorSegs.map(id => segPath(dir, id, p.sub)): _*)
             .count()
@@ -1238,7 +1259,7 @@ object MicroBatch {
         else None
       val outRows: Seq[Long] = maxStateRows match {
         case Some(bound) =>
-          val exact = merged.map(_.map(_.count())).getOrElse(deltaRows)
+          val exact = merged.map(inParallel(_)(_.count())).getOrElse(deltaRows)
           if (exact.sum > bound) throw new IllegalStateException(
             s"value-count state under $dir would reach ${exact.sum} " +
             s"distinct rows (> maxStateRows=$bound): the value domain " +
@@ -1251,7 +1272,7 @@ object MicroBatch {
             priorFooterRows.zip(deltaRows).map { case (a, b) => a + b }
           else deltaRows
       }
-      deltas.zip(outRows).zipWithIndex.foreach {
+      inParallel(deltas.zip(outRows).zipWithIndex) {
         case (((p, d), rows), i) =>
           // segment file sizing from the (upper-bound) row count: state
           // rows are ~tens of bytes, target ~4M rows/file, cap fan-out

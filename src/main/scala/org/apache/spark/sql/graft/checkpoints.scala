@@ -75,8 +75,8 @@ object CheckpointOps {
       declareNarrow: Boolean = true): DataFrame = {
     val ck0 = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val rows = ck0.count()
-    if (!declareNarrow && layoutWidth(ck0, rows, rowsPerPartition) <
-        ck0.sparkSession.sparkContext.defaultParallelism)
+    if (!declareNarrow &&
+        layoutWidth(ck0, rows, rowsPerPartition) < wideRegimeFloor(ck0))
       return ck0 // narrow regime: the plain checkpoint (see below)
     val out = checkpointHashPartitionedSized(ck0, keys, reliable,
       rows, rowsPerPartition)
@@ -99,6 +99,23 @@ object CheckpointOps {
       (rowsUpperBound + rowsPerPartition - 1L) / rowsPerPartition)).toInt
   }
 
+  /** The width at which the declared layout starts to pay: the session's
+    * parallelism, CAPPED at its shuffle-partition count. `layoutWidth`
+    * itself caps at `spark.sql.shuffle.partitions`, so comparing it
+    * against bare `defaultParallelism` on a cluster where
+    * shuffle.partitions (default 200) < cores would make the wide gate
+    * unreachable — silently disabling the declared keyed-checkpoint
+    * layout in exactly the large-cluster regime it targets. Every keyed
+    * shuffle in the session runs at ≤ shuffle.partitions width anyway,
+    * so a declared layout AT that width pins nothing below what the
+    * session's own exchanges would use. */
+  def wideRegimeFloor(df: DataFrame): Int = {
+    val spark =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    math.min(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
   /** Single-pass variant for loops that already know (an upper bound
     * on) the row count — e.g. the previous round's convergence count of
     * a monotonically shrinking state: sizes the layout from the bound
@@ -115,8 +132,10 @@ object CheckpointOps {
     * parallelism-floored width was WORSE still (1.4×: dozens of
     * near-empty non-coalescable partitions per iteration). In the
     * narrow regime the plain checkpoint + AQE-coalesced per-iteration
-    // exchange is simply the cheaper plan; in the wide regime the
-    * declared layout removes a corpus-scale exchange per iteration. */
+    * exchange is simply the cheaper plan; in the wide regime the
+    * declared layout removes a corpus-scale exchange per iteration.
+    * The wide threshold is [[wideRegimeFloor]] — parallelism capped at
+    * shuffle.partitions, since [[layoutWidth]] is capped there too. */
   def checkpointHashPartitionedSized(df: DataFrame, keys: Seq[String],
       reliable: Boolean, rowsUpperBound: Long,
       rowsPerPartition: Long = DefaultRowsPerPartition,
@@ -125,7 +144,7 @@ object CheckpointOps {
     val spark =
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val n = layoutWidth(df, rowsUpperBound, rowsPerPartition)
-    if (!declareNarrow && n < spark.sparkContext.defaultParallelism)
+    if (!declareNarrow && n < wideRegimeFloor(df))
       return if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val rep = df.repartition(n, keys.map(df.col): _*)
     val ck = if (reliable) rep.checkpoint(true)
