@@ -70,9 +70,11 @@ object WideSmoke {
     spark
   }
 
+  // ~6M rows at sf1 → data-derived layout width ~6 (rows / 2^20),
+  // comfortably above the forced parallelism of 2, so the wide gate
+  // PASSES and the declared branch actually executes
   private def edges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_orderkey") % 7 === 0)
       .select((col("l_orderkey") % 100000L).as("src"),
         col("l_partkey").as("dst"))
 
@@ -116,6 +118,37 @@ object WideSmoke {
       r
     }
 
+    // Direct probe of the declared branch on the REAL sf1 edge table in
+    // the forced-narrow session (the GraphSpec pin, off synthetic data):
+    // the checkpoint must come back a LogicalRDD DECLARING
+    // HashPartitioning(src), and a keyed join over it must plan with no
+    // exchange between that scan and the join.
+    val probe = {
+      val spark = session("wide-smoke-probe", 2)
+      val e = edges(spark, dir)
+      val ck = org.apache.spark.sql.graft.CheckpointOps
+        .checkpointHashPartitioned(e, Seq("src"), reliable = false,
+          declareNarrow = false)
+      val declared = ck.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.outputPartitioning.toString
+        case other => s"NOT-A-LOGICALRDD: ${other.getClass.getName}"
+      }
+      val small = spark.range(100).select(col("id").as("src"))
+      val joined = ck.join(small, Seq("src"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // exchanges anywhere in the final plan that hash on src: the
+      // checkpointed side must contribute none (the small side
+      // broadcasts)
+      val srcExchanges =
+        "Exchange hashpartitioning\\(src".r.findAllIn(plan).size
+      spark.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      (declared, srcExchanges)
+    }
+
     // wide first (gate passes: parallelism 2 <= data width), then the
     // narrow fallback (parallelism 4096 > any width here)
     val (wideOut, wideEx, wideQ, widthWide, wideSec) = runMode("wide", 2)
@@ -126,6 +159,8 @@ object WideSmoke {
     }
     val line =
       s"""{"metric":"wide_smoke","data":"$dir","layout_width":$widthWide,""" +
+      s""""declared_partitioning":"${probe._1.replace("\"", "'")}",""" +
+      s""""probe_join_src_exchanges":${probe._2},""" +
       s""""wide":{"exchanges":$wideEx,"executions":$wideQ,"sec":$wideSec},""" +
       s""""narrow":{"exchanges":$plainEx,"executions":$plainQ,"sec":$plainSec},""" +
       s""""results_equal":$equal}"""

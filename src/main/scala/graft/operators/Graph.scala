@@ -157,11 +157,12 @@ object Graph {
     }
     val graphNodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+    // lazy checkpoint + count: one job materializes AND counts
     val nodes = teleportIds
       .map(s => graphNodes.union(
         s.select(s.columns.head).toDF("id")).distinct())
       .getOrElse(graphNodes)
-      .transform(ck(true))
+      .transform(ck(false))
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     // teleport share per node: uniform 1/n, or 1/|seeds| on seeds and 0
@@ -170,14 +171,15 @@ object Graph {
     val withT = teleportIds match {
       case Some(s) =>
         val seedSet = s.select(s.columns.head).toDF("id").distinct()
-          .transform(ck(true))
+          .transform(ck(false))
         val k = seedSet.count()
         require(k > 0, "personalized pageRank needs at least one seed")
         nodes.join(seedSet.withColumn("__t", lit(1.0 / k)), Seq("id"), "left")
           .select(col("id"), coalesce(col("__t"), lit(0.0)).as("__t"))
       case None => nodes.select(col("id"), lit(1.0 / n).as("__t"))
     }
-    val tNodes = withT.transform(ck(true))
+    // read once, by the final rank join — lazy is strictly cheaper
+    val tNodes = withT.transform(ck(false))
     val outW = e.groupBy(col("src")).agg(sum(col("__w")).as("__deg"))
     // weight share AND the source's teleport share ride WITH each edge
     // so the per-iteration join touches only (edges ⋈ contrib) —
@@ -271,9 +273,11 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(ck.keyed(true, "src"))
     val eDst = eSrc.transform(ck.keyed(true, "dst"))
+    // read by the two final score joins only — lazy: the first read
+    // materializes, the second reads blocks
     val nodes = eSrc.select(col("src").as("id"))
       .union(eSrc.select(col("dst").as("id"))).distinct()
-      .transform(ck(true))
+      .transform(ck(false))
     // The iteration state is the RAW half-step aggregate (score-holding
     // nodes only), not the nodes-wide normalized table: a node absent
     // from aRaw/hRaw has score 0, and 0-valued rows are additive
@@ -480,9 +484,11 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
+    // lazy: read exactly once, by the final label join — an eager
+    // materialization here was one whole extra job for nothing
     val nodes = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id"))).distinct()
-      .transform(ck(true))
+      .transform(ck(false))
     // m(u) = min(Γ(u) ∪ {u}) from the both-directions view
     def gamma(pairs: DataFrame): DataFrame =
       pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -524,17 +530,23 @@ object Graph {
     // over the un-deduped 3×-wider intermediates cost ~2× MORE than
     // the two checkpointed rounds they replaced; measured and
     // reverted, guide §1.1's empirical loop)
+    // lazy checkpoint + count: the count action materializes the
+    // checkpoint's blocks AND returns the row count in ONE job — the
+    // former eager checkpoint ran its own materialization job and the
+    // count re-scanned the cached blocks as a second one. At the
+    // measured tail (rounds moving < 0.1% of pairs) the round wall is
+    // pure orchestration, so one job fewer per round is a direct cut.
     var p = und
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
-      .distinct().transform(ck(true))
+      .distinct().transform(ck(false))
     var pCount = p.count()
     var rounds = 0
     var converged = pCount == 0L
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && rounds < maxRounds) {
       val __t0 = System.nanoTime()
-      val next = smallStar(largeStar(p)).transform(ck(true))
+      val next = smallStar(largeStar(p)).transform(ck(false))
       val nCount = next.count()
       if (dbg) System.err.println(f"[cc] round $rounds: $pCount -> " +
         f"$nCount pairs, ${(System.nanoTime() - __t0) / 1e9}%.2f s")
@@ -659,9 +671,12 @@ object Graph {
     // place; only the (tiny) frontier is exchanged per hop
     val e = sym.filter(col("src") =!= col("dst")).distinct()
       .transform(ck.keyed(true, "src"))
+    // lazy checkpoints: the per-hop count materializes the frontier in
+    // the same job, and the dist union materializes inside its next
+    // reader — one job per hop instead of three (r16)
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .withColumn("hops", lit(0))
-      .transform(ck(true))
+      .transform(ck(false))
     var frontier = dist.select(col("id"))
     var hop = 0
     var exhausted = false
@@ -671,10 +686,10 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
-        .transform(ck(true))
+        .transform(ck(false))
       if (next.count() == 0L) exhausted = true
       else {
-        dist = dist.union(next).transform(ck(true))
+        dist = dist.union(next).transform(ck(false))
         frontier = next.select(col("id"))
       }
     }
@@ -716,9 +731,10 @@ object Graph {
     // keyed by src — same layout contract as [[bfsHops]]
     val e = sym.filter(col("src") =!= col("dst")).distinct()
       .transform(ck.keyed(true, "src"))
+    // lazy checkpoints — same one-job-per-hop shape as [[bfsHops]]
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .select(col("id"), col("id").as("seed"), lit(0).as("hops"))
-      .transform(ck(true))
+      .transform(ck(false))
     var frontier = dist.select(col("id"), col("seed"))
     var hop = 0
     var exhausted = false
@@ -732,10 +748,10 @@ object Graph {
         .join(dist.select(col("id"), col("seed")), Seq("id", "seed"),
           "left_anti")
         .withColumn("hops", lit(hop))
-        .transform(ck(true))
+        .transform(ck(false))
       if (next.count() == 0L) exhausted = true
       else {
-        dist = dist.union(next).transform(ck(true))
+        dist = dist.union(next).transform(ck(false))
         frontier = next.select(col("id"), col("seed"))
       }
     }
@@ -870,9 +886,10 @@ object Graph {
     val e = sym.filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("__w")).as("__w"))
       .transform(ck.keyed(true, "src"))
+    // lazy checkpoints — same one-job-per-round shape as [[bfsHops]]
     var dist = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .withColumn("dist", lit(0L))
-      .transform(ck(true))
+      .transform(ck(false))
     var frontier = dist
     var hop = 0
     var converged = false
@@ -887,14 +904,14 @@ object Graph {
           Seq("id"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .select(col("id"), col("dist"))
-        .transform(ck(true))
+        .transform(ck(false))
       if (improved.count() == 0L) converged = true
       else {
         // min(old, improved) — improved rows are strictly smaller, so
         // the union-min rewrites exactly the improved ids
         dist = dist.union(improved)
           .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-          .transform(ck(true))
+          .transform(ck(false))
         frontier = improved
       }
     }
@@ -931,9 +948,11 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .transform(ck.keyed(true, "b")) // reused every round, fixed lineage
+    // lazy: each round's labels are read once (by the next round) —
+    // the truncated plan is what matters, not an eager materialization
     var labels = e.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .transform(ck(true))
+      .transform(ck(false))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__n").desc, col("label").asc)
     for (_ <- 1 to iterations) {
@@ -944,7 +963,7 @@ object Graph {
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") === 1)
         .select(col("id"), col("label"))
-        .transform(ck(true))
+        .transform(ck(false))
     }
     labels
   }

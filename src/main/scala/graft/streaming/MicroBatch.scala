@@ -2053,10 +2053,21 @@ object MicroBatch {
           pinned, index, idCol, textCol, shingleK, numHashes, bands,
           threshold, maxBucketSize)
         .localCheckpoint(eager = true)
-      survivors.drop("bands", "sh")
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      survivors.select(col(idCol).as("id"), col("bands"), col("sh"))
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      // the two survivor writes read the same checkpointed blocks and
+      // are independent — run them concurrently (guide §2.6): the
+      // per-batch wall here is job-count-bound, not data-bound
+      locally {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.sequence(Seq(
+          Future(survivors.drop("bands", "sh")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")),
+          Future(survivors.select(col(idCol).as("id"), col("bands"),
+              col("sh"))
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId"))
+        )), Duration.Inf)
+      }
     } finally pinned.unpersist()
   }
 
