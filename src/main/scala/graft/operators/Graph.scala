@@ -550,10 +550,34 @@ object Graph {
       val nCount = next.count()
       if (dbg) System.err.println(f"[cc] round $rounds: $pCount -> " +
         f"$nCount pairs, ${(System.nanoTime() - __t0) / 1e9}%.2f s")
-      // exact set equality: same size and nothing new (both sets are
-      // canonically (big, small)-oriented after the first round)
-      converged = nCount == pCount &&
-        next.join(p, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      // Convergence, checked only on count-stable rounds (counts
+      // stabilize before content at the tail, so this guard is free):
+      // 1. STAR CHECK (r16): the canonical pair set is a disjoint
+      //    union of stars ⇔ every a-side node carries exactly one pair
+      //    AND no node appears on both sides. A star set is a g-
+      //    fixpoint whose centers are the component minima (orientation
+      //    a > b makes the center the smallest member), so stopping
+      //    here yields labels identical to running the loop on — it
+      //    removes the redundant final round (which recomputes the
+      //    fixpoint onto itself) plus its anti-join that the old
+      //    equality check needed. One tiny aggregate job, exact.
+      // 2. Fallback, unchanged: exact set equality (same size, nothing
+      //    new) — kept so any non-star fixpoint (none is known to
+      //    exist for alternating star, but the stop rule must not
+      //    depend on that) still terminates the loop.
+      converged = nCount == pCount && {
+        val isStar = next
+          .select(col("a").as("id"), lit(1L).as("__na"), lit(0L).as("__nb"))
+          .union(next.select(col("b").as("id"), lit(0L).as("__na"),
+            lit(1L).as("__nb")))
+          .groupBy(col("id"))
+          .agg(sum(col("__na")).as("__na"), sum(col("__nb")).as("__nb"))
+          .filter(col("__na") > 1L ||
+            (col("__na") > 0L && col("__nb") > 0L))
+          .limit(1).count() == 0L
+        isStar ||
+          next.join(p, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      }
       p = next; pCount = nCount; rounds += 1
     }
     if (!converged) throw new IllegalStateException(

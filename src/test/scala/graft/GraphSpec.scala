@@ -340,6 +340,36 @@ class GraphSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("connectedComponents: star-check early stop (r16) yields labels " +
+      "identical to min-propagation on graphs whose pair count " +
+      "stabilizes before content (trees, shuffled chains, merged stars)") {
+    // the early stop fires on count-stable rounds; these shapes spend
+    // several tail rounds re-orienting a stable-sized pair set, which
+    // is exactly where a wrong star test would stop early with wrong
+    // labels — cross-check every one against the independent
+    // min-propagation loop
+    val shapes = Seq(
+      // binary tree, ids shuffled so parent < child never holds
+      (0L until 126L).map(i => ((i * 37) % 127, ((2 * i + 1) * 37) % 127)),
+      // two chains joined at one end through a high id (combined
+      // diameter kept under dupClusters' 20-hop propagation bound)
+      (1L until 9L).map(i => (i * 3, (i + 1) * 3)) ++
+        (1L until 9L).map(i => (i * 3 + 1, (i + 1) * 3 + 1)) ++
+        Seq((27L, 28L)),
+      // star of stars: hubs 100/200/300 bridged by leaves
+      (1L to 30L).flatMap(i => Seq((100L, 100L + i), (200L, 200L + i),
+        (300L, 300L + i))) ++ Seq((105L, 205L), (210L, 310L)))
+    shapes.foreach { pairs =>
+      val df = pairs.filter(p => p._1 != p._2).toDF("src", "dst")
+      val a = Graph.connectedComponents(df, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = graft.operators.Dedup.dupClusters(
+          df.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b)
+    }
+  }
+
   test("connectedComponents: throws when maxRounds is exhausted and is " +
       "partitioning-invariant") {
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
